@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver corpus (/root/repo/TESTDATA.md).
+  *
+  * Every query receives the scale-factor directory at call time, so plans are
+  * rebuilt per SF and Catalyst sees real parquet statistics at each scale
+  * (partition pruning / broadcast decisions are made per-SF, not frozen).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every corpus table as a temp view (for spark.sql queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Scratch dir for sink round-trips; kept inside the repo per sandbox rules. */
+  val scratchDir = "/root/repo/target/tmp"
+}
