@@ -14,7 +14,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+      // natively (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanoseconds and
+      // convert to a µs TimestampType with INTEGER division (a double-based
+      // division would lose precision above 2^53 ns ≈ 1970+104 days).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every corpus table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

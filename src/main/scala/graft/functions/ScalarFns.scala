@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function families (SURVEY.md §2.B "Scalar functions").
+  * The reference's only scalar work is byte extraction + IPv4 dotted-quad
+  * formatting (/root/reference/src/main.rs:193-196) — `f_ip_format`
+  * reproduces that exact formatting as a composition of codegen'd
+  * built-ins (shiftright / bitwiseAND / concat_ws), not a UDF.
+  *
+  * Scale notes: everything here is a narrow per-row projection of
+  * `org.apache.spark.sql.functions` built-ins — whole-stage-codegen'd,
+  * no shuffle, no UDF/serialization boundary. The only shuffle in each
+  * query is the final deterministic ORDER BY the oracle gate requires.
+  */
+object ScalarFns {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  def fString(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        col("p_name").like("%a%").as("has_a"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey").asc)
+
+  def fDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1995-01-01"))).as("days_since"))
+      .orderBy(col("o_orderkey").asc)
+
+  def fMath(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 2).as("abs_disc"),
+        ceil(col("l_quantity") / 7.0).as("ceil_q"),
+        floor(col("l_quantity") / 7.0).as("floor_q"),
+        round(pow(col("l_quantity"), 2), 2).as("q_sq"),
+        graft.Det.r4(log(col("l_extendedprice"))).as("ln_price"))
+      // non-unique (l_orderkey, l_linenumber): order by outputs too
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+               col("q_sq").asc, col("abs_disc").asc, col("ln_price").asc)
+
+  /** ArrayType surface over the 64-dim embedding column: size /
+    * element_at / slice / higher-order aggregate (dot-product building
+    * blocks for `sim_topk`). Elements are cast float->double BEFORE any
+    * arithmetic so both engines fold identical doubles in identical order. */
+  def fArray(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        graft.Det.r4(element_at(col("embedding"), 1).cast("double")).as("e0"),
+        graft.Det.r4(aggregate(
+          transform(slice(col("embedding"), 1, 4), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("sum_first4"))
+      .orderBy(col("vec_id").asc)
+
+  def fMapJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))
+          .getItem("k").as("k_int"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_via_path"))
+      .orderBy(col("event_id").asc)
+
+  /** int -> dotted-quad (reference main.rs:193-196 via std::net::Ipv4Addr);
+    * here: pure bit ops + concat_ws, fully codegen'd. */
+  def fIpFormat(spark: SparkSession, dir: String): DataFrame = {
+    val uid = col("user_id").bitwiseAND(lit(0xFFFFFFFFL))
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        concat_ws(".",
+          shiftright(uid, 24).bitwiseAND(lit(255L)),
+          shiftright(uid, 16).bitwiseAND(lit(255L)),
+          shiftright(uid, 8).bitwiseAND(lit(255L)),
+          uid.bitwiseAND(lit(255L))).as("ip"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_string" -> (fString _),
+    "f_date" -> (fDate _),
+    "f_math" -> (fMath _),
+    "f_array" -> (fArray _),
+    "f_map_json" -> (fMapJson _),
+    "f_ip_format" -> (fIpFormat _))
+
+  val oracle: Map[String, String] = Map(
+    "f_string" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  p_name LIKE '%a%' AS has_a,
+        |  CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+    "f_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "f_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_discount - 0.05), 2) AS abs_disc,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q,
+        |  round(pow(l_quantity, 2), 2) AS q_sq,
+        |  floor(ln(l_extendedprice) * 10000 + 0.5) / 10000 AS ln_price
+        |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  q_sq ASC NULLS FIRST, abs_disc ASC NULLS FIRST, ln_price ASC NULLS FIRST""".stripMargin,
+    "f_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  floor(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) / 10000 AS e0,
+        |  floor(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))) * 10000 + 0.5) / 10000 AS sum_first4
+        |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    "f_map_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_via_path
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "f_ip_format" ->
+      """SELECT event_id,
+        |  concat_ws('.', (user_id >> 24) & 255, (user_id >> 16) & 255,
+        |                 (user_id >> 8) & 255, user_id & 255) AS ip
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregation surface (SURVEY.md §2.B "Aggregation"; all ABSENT in the
+  * reference — the reference delegates querying to DuckDB, README.md:20-40).
+  *
+  * Scale notes (100 TB):
+  *  - Every `groupBy().agg()` here compiles to partial (map-side) +
+  *    final HashAggregateExec — one shuffle keyed on the group columns,
+  *    with map-side combine shrinking shuffle volume to ~|groups| per task.
+  *  - Group keys are low-cardinality (returnflag×linestatus = 6,
+  *    status×priority = 15), so the shuffle payload is tiny regardless of
+  *    input size; AQE coalesces the post-shuffle partitions.
+  *  - Money sums use DECIMAL(18,2) accumulation: exact (no float summation
+  *    order sensitivity across 1000 executors) and still codegen'd.
+  *  - `agg_approx_distinct` uses HLL++ (approx_count_distinct) — the
+  *    mergeable-sketch path a 100 TB COUNT DISTINCT needs; the exact
+  *    `agg_distinct` demonstrates Spark's expand + two-phase plan.
+  */
+object Aggregates {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Exact money arithmetic: cents-grid doubles -> DECIMAL so that the sum
+    * is order-independent (deterministic vs the DuckDB oracle). */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1 shape on lineitem — the flagship (SURVEY.md §7 M0). */
+  def aggHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"),
+        round(sum(dec("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+        round(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))), 2)
+          .cast("double").as("sum_disc_price"),
+        // avg as exact-decimal sum / count: both engines then perform the
+        // SAME IEEE divide + floor-round -> bit-identical (graft.Det).
+        graft.Det.r2(sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        graft.Det.r2(sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        graft.Det.r2(sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc)
+
+  private def hierSelect(df: DataFrame): DataFrame =
+    df.select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("revenue"))
+      .orderBy(col("status").asc, col("priority").asc)
+
+  /** No natural NULLs exist in the grouping columns (FIXTURES.md §1), so
+    * coalescing subtotal NULLs to "(all)" is unambiguous and keeps the
+    * oracle comparison free of NULL-ordering pitfalls. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    hierSelect(
+      t(spark, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(dec("o_totalprice")), 2).cast("double").as("revenue")))
+
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    hierSelect(
+      t(spark, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(dec("o_totalprice")), 2).cast("double").as("revenue")))
+
+  def aggGsets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(1) AS n,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status ASC, priority ASC""".stripMargin)
+  }
+
+  /** HLL++ sketch — mergeable, constant memory per group; exact column
+    * alongside it is asserted within ±5% in AggregatesSpec (no DuckDB
+    * oracle: sketch internals differ per engine). */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** collect_set drives ObjectHashAggregate (with sort-based fallback under
+    * memory pressure) — the non-codegen agg path; output is a sorted,
+    * comma-joined string so the oracle hash-matches. */
+  def aggSortFallback(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hash" -> (aggHash _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_gsets" -> (aggGsets _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_sort_fallback" -> (aggSortFallback _))
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1) * 100 + 0.5) / 100 AS avg_qty,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) * 100 + 0.5) / 100 AS avg_price,
+        |  floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1) * 100 + 0.5) / 100 AS avg_disc,
+        |  count(1) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(1) AS n_orders
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(1) AS n,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(1) AS n,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+    "agg_gsets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(1) AS n,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+    "agg_sort_fallback" ->
+      """SELECT o_orderpriority,
+        |       (SELECT string_agg(s, ',' ORDER BY s)
+        |          FROM (SELECT DISTINCT o_orderstatus AS s FROM orders o2
+        |                 WHERE o2.o_orderpriority = o1.o_orderpriority) d) AS statuses,
+        |       count(1) AS n
+        |FROM orders o1 GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join surface (SURVEY.md §2.B "Joins" — all ABSENT in the reference).
+  *
+  * Scale notes (100 TB):
+  *  - `join_inner` is hinted MERGE (shuffle sort-merge): the right shape
+  *    when BOTH sides are large — each side shuffles once on the key and
+  *    streams; no build-side OOM risk.
+  *  - `join_broadcast` broadcasts the dimension chain (nation 25 rows,
+  *    region 5): zero shuffle of the fact table, the only sane plan when
+  *    one side fits in memory. AQE also auto-converts at runtime, but the
+  *    explicit hint keeps the plan stable at any statistics quality.
+  *  - `join_theta_range` is a non-equi join against a 3-row broadcast
+  *    bands table -> BroadcastNestedLoopJoin where the inner side is tiny;
+  *    at 100 TB the fact side still streams with no shuffle.
+  *  - `join_asof` deliberately AVOIDS the naive range-join + dedup (which
+  *    explodes to |purchases| x |prior clicks| before pruning). It is a
+  *    single union + one window pass: shuffle each event once on user_id,
+  *    carry the last click timestamp forward. O(n log n) per key,
+  *    skew-bounded by events-per-user — the shape that survives 100 TB.
+  */
+object Joins {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** Large⋈large: shuffle sort-merge join (hinted; see scale notes). */
+  def joinInner(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer").hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(dec("o_totalprice")), 2).cast("double").as("revenue"))
+      .orderBy(col("c_nationkey").asc)
+
+  /** Fact⋈dim⋈dim with explicit broadcast of both dimensions. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc, col("n_name").asc)
+
+  /** LEFT OUTER: customers with zero orders survive with count 0. */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey").asc)
+
+  /** RIGHT OUTER: same result as joinLeft, exercised from the other side. */
+  def joinRight(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey").asc)
+
+  /** FULL OUTER over two pre-aggregated sides (nation-level rollups), so
+    * both null-extension directions actually occur. */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val cn = t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    val sn = t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("nk_c") === col("nk_s"), "full_outer")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+              col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey").asc)
+  }
+
+  /** LEFT SEMI = WHERE EXISTS (no right-side columns, no row duplication). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+
+  /** LEFT ANTI = WHERE NOT EXISTS: customers with no urgent order (the
+    * complement of joinSemi — guaranteed non-empty in this corpus, unlike
+    * "no orders at all"). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+
+  /** CROSS: region × supplier (both bounded); BroadcastNestedLoopJoin. */
+  def joinCross(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region").select(col("r_name"))
+      .crossJoin(t(spark, dir, "supplier").select(col("s_name")))
+      .orderBy(col("r_name").asc, col("s_name").asc)
+
+  /** Non-equi range join: events.value against a tiny in-line bands table.
+    * The bands side is broadcast, so the events side never shuffles. */
+  def joinThetaRange(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.createDataFrame(Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000000.0)))
+      .toDF("band", "lo", "hi")
+    t(spark, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(dec("value")), 2).cast("double").as("sum_value"))
+      .orderBy(col("band").asc)
+  }
+
+  /** AS-OF join: for every purchase event, the latest click by the same
+    * user at-or-before the purchase timestamp (NULL if none). Implemented
+    * as union + running max over a per-user window — one shuffle, no
+    * intermediate blowup (see scale notes). DuckDB oracle uses its native
+    * ASOF LEFT JOIN. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+              lit(null).cast("long").as("p_event_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+              col("event_id").as("p_event_id"), lit(null).cast("timestamp").as("click_ts"))
+    // kind asc => a click at exactly the purchase ts is visible to it (>= as-of).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_ts", max(col("click_ts")).over(w))
+      .filter(col("kind") === 1)
+      .select(col("p_event_id").as("event_id"), col("user_id"),
+              date_format(col("asof_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner" -> (joinInner _),
+    "join_broadcast" -> (joinBroadcast _),
+    "join_left" -> (joinLeft _),
+    "join_right" -> (joinRight _),
+    "join_full" -> (joinFull _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_cross" -> (joinCross _),
+    "join_theta_range" -> (joinThetaRange _),
+    "join_asof" -> (joinAsof _))
+
+  val oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT c_nationkey, count(1) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(1) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "join_full" ->
+      """SELECT coalesce(cn.nk, sn.nk) AS nationkey, n_cust, n_supp
+        |FROM (SELECT c_nationkey AS nk, count(1) AS n_cust FROM customer GROUP BY 1) cn
+        |FULL JOIN (SELECT s_nationkey AS nk, count(1) AS n_supp FROM supplier GROUP BY 1) sn
+        |  ON cn.nk = sn.nk
+        |ORDER BY nationkey ASC NULLS FIRST""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, s_name FROM region CROSS JOIN supplier
+        |ORDER BY r_name ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin,
+    "join_theta_range" ->
+      """WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000000.0))
+        |SELECT band, count(1) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band ASC NULLS FIRST""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-training-data-pipeline operators (north star, BASELINE.json;
+  * SURVEY.md §2.B "LLM-data-pipeline"): dedup, similarity search, text
+  * analysis, multimodal columns — over the `documents` and `embeddings`
+  * tables.
+  *
+  * Scale notes (100 TB):
+  *  - `dedup_exact` is a hash groupBy on the text: one shuffle keyed by
+  *    the (in production: a 128-bit hash of the) document body; at 100 TB
+  *    you'd group on `xxhash64(text)` to shuffle 8 bytes instead of the
+  *    body — the plan shape is identical.
+  *  - `dedup_fuzzy` is banded MinHash LSH: shingle -> 32 minhashes ->
+  *    8 bands of 4 -> groupBy(band, signature). Cost is O(n·k) map-side
+  *    plus a shuffle of n·bands small rows, NEVER the O(n²) all-pairs
+  *    product; only same-bucket candidates are paired (SURVEY.md:229).
+  *  - `sim_topk` broadcasts the (small) query set against the corpus:
+  *    corpus side streams, no shuffle; the per-query top-k is a window
+  *    rank over |queries|·|corpus| scored rows. The 100 TB path keeps the
+  *    same plan with an LSH/IVF prefilter shrinking the corpus per query.
+  *  - `text_stats` / `multimodal_cols` are narrow projections (+ one
+  *    broadcastable equi-join) — no scale hazards.
+  */
+object LlmOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Exact dedup: canonical (minimum) doc_id + copy count per distinct text. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), col("text"))
+      .orderBy(col("doc_id").asc)
+
+  // ---- MinHash LSH ------------------------------------------------------
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  // Deterministic permutation constants (splitmix-style constants; fixed
+  // seeds so the signature is stable across runs and executors).
+  private val permA: Array[Long] = Array.tabulate(NumHashes)(i => 2L * i + 1 + 2654435761L % MersennePrime)
+  private val permB: Array[Long] = Array.tabulate(NumHashes)(i => (i * 40503L + 2246822519L) % MersennePrime)
+
+  /** doc_id + 3-word shingle Murmur3 hashes, as an array column. */
+  private def shingleHashes(doc: DataFrame): DataFrame =
+    doc
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("shingles",
+        transform(sequence(lit(0), greatest(size(col("tokens")) - 3, lit(0))),
+          i => concat_ws(" ", element_at(col("tokens"), i + 1),
+                              element_at(col("tokens"), i + 2),
+                              element_at(col("tokens"), i + 3))))
+      .withColumn("hashes", transform(col("shingles"), s => hash(s).cast("long")))
+
+  /** minhash_j = min_h ((a_j * h + b_j) mod p) for 32 fixed permutations. */
+  private def minhashSignature: Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)), j => {
+      val a = element_at(lit(permA), j + 1)
+      val b = element_at(lit(permB), j + 1)
+      array_min(transform(col("hashes"),
+        h => pmod(a * pmod(h, lit(MersennePrime)) + b, lit(MersennePrime))))
+    })
+
+  /** Near-duplicate candidate pairs via banded MinHash LSH.
+    *
+    * The corpus word-soup has no natural near-dups, so the query unions in
+    * deterministic mutated copies (doc_id+1,000,000, one appended word) of
+    * the three lowest-id documents; the pipeline must rediscover each
+    * (original, copy) pair through the band buckets — end-to-end proof the
+    * LSH shuffle shape works, with output guaranteed non-empty. */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val mutated = docs.orderBy(col("doc_id").asc).limit(3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" mutated")).as("text"))
+    val sigs = shingleHashes(docs.unionByName(mutated))
+      .withColumn("sig", minhashSignature)
+    // one row per (doc, band): bucket key = band index + that band's slice
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => concat_ws(":", lit(b) +: (0 until RowsPerBand)
+          .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)))
+        .as(Seq("band", "bucket")))
+    val buckets = banded.groupBy(col("bucket"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // expand each bucket's id list into sorted (a < b) candidate pairs
+    buckets.select(explode(
+        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as("doc_a"),
+                   element_at(col("ids"), j + 1).as("doc_b")))))).as("pair"))
+      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Exact cosine top-5 neighbors for a 10-vector query set against the
+    * whole corpus. Query side is broadcast; dot/norms are sequential
+    * left-folds over double-cast elements so the oracle
+    * (list_cosine_similarity over DOUBLE[]) reproduces them bit-for-bit. */
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dbl: Column => Column = c => transform(c, x => x.cast("double"))
+    val queriesDf = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), dbl(col("embedding")).as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), dbl(col("embedding")).as("c_emb"))
+    val dot = aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
+                        lit(0.0), (acc, v) => acc + v)
+    val nq = sqrt(aggregate(col("q_emb"), lit(0.0), (a, x) => a + x * x))
+    val nc = sqrt(aggregate(col("c_emb"), lit(0.0), (a, x) => a + x * x))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    queriesDf.crossJoin(corpus)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot / (nq * nc))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), graft.Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("q_id").asc, col("rnk").asc)
+  }
+
+  /** Per-document text statistics: chars, tokens, distinct tokens,
+    * type-token ratio, mean token length. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_distinct"),
+        graft.Det.r4(size(array_distinct(col("tokens"))).cast("double") / size(col("tokens")))
+          .as("ttr"),
+        graft.Det.r4(length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("tokens")))
+          .as("avg_token_len"))
+      .orderBy(col("doc_id").asc)
+
+  /** Binary + text + vector in one relation: documents ⋈ embeddings with a
+    * BinaryType column derived from the text (octet length surfaces it
+    * in comparable form). */
+  def multimodalCols(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .join(t(spark, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .withColumn("blob", col("text").cast("binary"))
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("blob")).as("n_bytes"),
+        size(col("embedding")).as("dim"),
+        graft.Det.r4(element_at(col("embedding"), 1).cast("double")).as("e0"))
+      .orderBy(col("doc_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_fuzzy" -> (dedupFuzzy _),
+    "sim_topk" -> (simTopk _),
+    "text_stats" -> (textStats _),
+    "multimodal_cols" -> (multimodalCols _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(1) AS n_copies, text
+        |FROM documents GROUP BY text
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "sim_topk" ->
+      """SELECT q_id, rnk, c_id, floor(cos * 10000 + 0.5) / 10000 AS cosine FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INTEGER) AS rnk
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+        |WHERE rnk <= 5
+        |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, lang,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        |  floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS ttr,
+        |  floor(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "multimodal_cols" ->
+      """SELECT doc_id, lang,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  floor(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) / 10000 AS e0
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scans, projection, filters, conditionals, global sort/limit, set ops
+  * (SURVEY.md §2.B "Sources", "Projection / filter", "Sort / limit / set ops").
+  *
+  * Scale notes (100 TB):
+  *  - Projections and filters here stay declarative so Catalyst pushes them
+  *    into the parquet scan (`PushedFilters` / pruned `ReadSchema`) — at
+  *    100 TB that is the difference between reading 4 columns' row groups
+  *    and reading the whole table.
+  *  - `sort_limit` compiles to TakeOrderedAndProjectExec: per-partition
+  *    top-k + driver merge of k·partitions rows — no global sort shuffle.
+  *  - Set ops on a projected single column shuffle only that column;
+  *    `distinct` is a partial+final hash aggregate, not a global sort.
+  */
+object RelationalOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Plain pruned parquet scan: 4 of 11 lineitem columns, deterministic
+    * total order on the (l_orderkey, l_linenumber) primary key. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus — order by
+      // every output column so tied rows are identical rows.
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+               col("l_quantity").asc, col("l_returnflag").asc)
+      .limit(500)
+
+  /** JSON-in-string column access (events.props), SURVEY.md:178. */
+  def scanJsonCol(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+      .orderBy(col("event_id").asc)
+
+  /** Projection incl. a computed column (reference analog: field extraction
+    * A3–A7, /root/reference/src/main.rs:90,193-196). */
+  def projectSelect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")), 2)
+          .cast("double").as("net_price"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc, col("net_price").asc)
+
+  /** Conjunctive predicate — pushed to the parquet scan (analog of the
+    * EtherType/protocol dispatch, main.rs:198-209,239-250). */
+  def filterPred(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 30 && col("l_discount") < 0.05 && col("l_returnflag") === "A")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+               col("l_quantity").asc, col("l_discount").asc)
+
+  /** NULL semantics: nullif() fabricates NULLs (the corpus has none —
+    * FIXTURES.md §1), IS NULL / IS NOT NULL filter them (reference analog:
+    * Option-typed Packet fields, main.rs:5-16). */
+  def filterNull(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("et", expr("nullif(event_type, 'error')"))
+      .filter(col("et").isNull && col("props").isNotNull)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id").asc)
+
+  /** CASE WHEN conditional (reference analog: protocol naming,
+    * main.rs:199-206). */
+  def caseWhen(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 10000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large").as("price_band"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("pending").as("status_name"))
+      .orderBy(col("o_orderkey").asc)
+
+  /** Global ORDER BY + LIMIT -> TakeOrderedAndProjectExec (no full sort). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  private def custNations(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+  private def suppNations(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir).union(suppNations(spark, dir))
+      .distinct().orderBy(col("nationkey").asc)
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir).intersect(suppNations(spark, dir))
+      .orderBy(col("nationkey").asc)
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir).except(suppNations(spark, dir))
+      .orderBy(col("nationkey").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> (scanParquet _),
+    "scan_json_col" -> (scanJsonCol _),
+    "project_select" -> (projectSelect _),
+    "filter_pred" -> (filterPred _),
+    "filter_null" -> (filterNull _),
+    "case_when" -> (caseWhen _),
+    "sort_limit" -> (sortLimit _),
+    "set_union" -> (setUnion _),
+    "set_intersect" -> (setIntersect _),
+    "set_except" -> (setExcept _))
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |         l_quantity ASC NULLS FIRST, l_returnflag ASC NULLS FIRST LIMIT 500""".stripMargin,
+    "scan_json_col" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "project_select" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price
+        |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST, net_price ASC NULLS FIRST""".stripMargin,
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 30 AND l_discount < 0.05 AND l_returnflag = 'A'
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |         l_quantity ASC NULLS FIRST, l_discount ASC NULLS FIRST""".stripMargin,
+    "filter_null" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE nullif(event_type, 'error') IS NULL AND props IS NOT NULL
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "case_when" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 10000 THEN 'small'
+        |       WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS price_band,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
+        |       WHEN o_orderstatus = 'O' THEN 'open' ELSE 'pending' END AS status_name
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST
+        |LIMIT 100""".stripMargin,
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey ASC NULLS FIRST""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey ASC NULLS FIRST""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey ASC NULLS FIRST""".stripMargin)
+}

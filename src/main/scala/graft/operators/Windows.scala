@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function surface (SURVEY.md §2.B "Window functions" — ABSENT in
+  * the reference).
+  *
+  * Scale notes (100 TB):
+  *  - Every window here partitions by a real key (customer, supplier,
+  *    status): one shuffle on the partition key, then a per-partition sort.
+  *    No `Window.orderBy` without partitionBy anywhere — that collapses to
+  *    a single task at scale.
+  *  - `win_frame_range` uses a numeric day offset so the RANGE frame is an
+  *    O(1) sliding-frame scan per partition, not a per-row rescan.
+  *  - `topk_per_group` filters rank<=k immediately after the window so only
+  *    k rows per group survive the stage — the window itself is the only
+  *    full-data pass.
+  */
+object Windows {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** rank / dense_rank / row_number per order-status, deterministic via the
+    * unique o_orderkey tiebreak. */
+  def winRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              rank().over(w).as("rnk"),
+              dense_rank().over(w).as("drnk"),
+              row_number().over(w).as("rn"))
+      .orderBy(col("o_orderstatus").asc, col("o_orderkey").asc)
+  }
+
+  /** lag/lead of order totalprice within each customer's order history. */
+  def winLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+              round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  /** Running sum per supplier: ROWS UNBOUNDED PRECEDING..CURRENT ROW over a
+    * unique total order, so partial sums are reproducible. DECIMAL
+    * accumulation keeps every prefix sum exact vs the oracle. */
+  def winFrameRows(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is not unique in this corpus; the window
+    // order adds quantity+price to reach a unique total order, and the
+    // output order adds running_qty (strictly increasing within ties).
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+               col("l_quantity").asc, col("l_extendedprice").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              round(sum(col("l_quantity").cast("decimal(18,2)")).over(w), 2).cast("double")
+                .as("running_qty"))
+      .orderBy(col("l_suppkey").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+               col("running_qty").asc)
+  }
+
+  /** 30-day moving average over a RANGE frame keyed on integer day number
+    * (RANGE over a timestamp needs a numeric sort key in both engines). */
+  def winFrameRange(spark: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate").cast("date"), to_date(lit("1995-01-01")))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("day_num").asc)
+      .rangeBetween(-29, 0)
+    // moving avg as exact-decimal frame sum / frame count -> identical IEEE
+    // divide + floor-round in both engines (see graft.Det).
+    t(spark, dir, "orders")
+      .withColumn("day_num", dayNum)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("day_num"),
+              graft.Det.r2(sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+                           count(lit(1)).over(w)).as("mavg_price"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** Top-3 orders per customer by totalprice: window + rank<=k filter. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey").asc, col("rnk").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> (winRank _),
+    "win_lag_lead" -> (winLagLead _),
+    "win_frame_rows" -> (winFrameRows _),
+    "win_frame_range" -> (winFrameRange _),
+    "topk_per_group" -> (topkPerGroup _))
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "win_frame_rows" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |                      l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey ASC NULLS FIRST, l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |         running_qty ASC NULLS FIRST""".stripMargin,
+    "win_frame_range" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_num,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(1) OVER w * 100 + 0.5) / 100 AS mavg_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) ASC
+        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, rnk, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS INTEGER) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Deterministic synthetic legacy-pcap byte fixtures (FIXTURES.md §2).
+  * No pcap files exist in the corpus, so both the `pcap_ingest` query and
+  * the golden-row scalatests synthesize captures from these builders.
+  * Layouts follow /root/reference/src/main.rs:234-252 (Ethernet),
+  * 185-211 (IPv4), 213-231 (TCP/UDP), 157-183 (Metamako trailer). */
+object PcapFixtures {
+  val BaseTs = 1700000000L // fixed capture clock for heuristic validity
+
+  def ethernet(etherType: Int, payload: Array[Byte],
+               vlan: Boolean = false): Array[Byte] = {
+    val bb = ByteBuffer.allocate(14 + (if (vlan) 4 else 0) + payload.length)
+      .order(ByteOrder.BIG_ENDIAN)
+    bb.put(Array.fill[Byte](6)(0x02)).put(Array.fill[Byte](6)(0x04)) // MACs (ignored)
+    if (vlan) bb.putShort(0x8100.toShort).putShort(0x0064.toShort)   // 802.1Q tag
+    bb.putShort(etherType.toShort).put(payload)
+    bb.array()
+  }
+
+  def ipv4(proto: Int, srcIp: Array[Byte], dstIp: Array[Byte],
+           l4: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(20 + l4.length).order(ByteOrder.BIG_ENDIAN)
+    bb.put(0x45.toByte).put(0.toByte).putShort((20 + l4.length).toShort) // ver/IHL, tos, total
+    bb.putShort(1.toShort).putShort(0.toShort)                          // id, flags/frag
+    bb.put(64.toByte).put(proto.toByte).putShort(0.toShort)             // ttl, proto, csum
+    bb.put(srcIp).put(dstIp).put(l4)
+    bb.array()
+  }
+
+  def l4Ports(src: Int, dst: Int, extra: Int = 4): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + extra).order(ByteOrder.BIG_ENDIAN)
+    bb.putShort(src.toShort).putShort(dst.toShort).put(Array.fill[Byte](extra)(0x00))
+    bb.array()
+  }
+
+  /** 16-byte Metamako trailer: 12 bytes = flags/padding + BE i32 seconds +
+    * BE i32 ns live at [end-12, end-4); device id BE u16 at end-3, port u8
+    * at end-1 (main.rs:157-183). */
+  def mmTrailer(sec: Long, ns: Int, devId: Int, devPort: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0)                       // bytes 0-3: padding/flags
+    bb.putInt(sec.toInt).putInt(ns)    // bytes 4-11: seconds, nanoseconds
+    bb.put(0.toByte)                   // byte 12 (end-4): flags
+    bb.putShort(devId.toShort)         // bytes 13-14 (end-3..end-2)
+    bb.put(devPort.toByte)             // byte 15 (end-1)
+    bb.array()
+  }
+
+  private val ipA = Array[Byte](10, 0, 0, 1)
+  private val ipB = Array[Byte](10, 0, 0, 2)
+
+  /** The 12 golden frames of FIXTURES.md §2 (frame bytes, ts_sec). */
+  def goldenFrames: Seq[(Array[Byte], Long)] = Seq(
+    // 1. IPv4/UDP, no trailer
+    (ethernet(0x0800, ipv4(17, ipA, ipB, l4Ports(5353, 53))), BaseTs),
+    // 2. IPv4/TCP
+    (ethernet(0x0800, ipv4(6, ipA, ipB, l4Ports(443, 59000))), BaseTs),
+    // 3. IPv4/ICMP -> ports NULL
+    (ethernet(0x0800, ipv4(1, ipA, ipB, Array.fill[Byte](8)(0))), BaseTs),
+    // 4. IPv4/IGMP -> ports NULL
+    (ethernet(0x0800, ipv4(2, ipA, ipB, Array.fill[Byte](8)(0))), BaseTs),
+    // 5. IPv4 proto 47 (GRE) -> IPs set, protocol NULL
+    (ethernet(0x0800, ipv4(47, ipA, ipB, Array.fill[Byte](8)(0))), BaseTs),
+    // 6. ARP -> only len set
+    (ethernet(0x0806, Array.fill[Byte](28)(0)), BaseTs),
+    // 7. VLAN-tagged IPv4/UDP
+    (ethernet(0x0800, ipv4(17, ipA, ipB, l4Ports(68, 67)), vlan = true), BaseTs),
+    // 8. valid Metamako trailer
+    (ethernet(0x0800, ipv4(17, ipA, ipB,
+      l4Ports(1000, 2000) ++ mmTrailer(BaseTs + 1, 500, 7, 3))), BaseTs),
+    // 9. two stacked trailers -> first-appended (innermost) wins: dev 1
+    (ethernet(0x0800, ipv4(17, ipA, ipB,
+      l4Ports(1000, 2000) ++ mmTrailer(BaseTs + 1, 111, 1, 1)
+                          ++ mmTrailer(BaseTs + 2, 222, 2, 2))), BaseTs),
+    // 10. trailer + trailing 4-byte FCS -> found via the len-4 retry
+    (ethernet(0x0800, ipv4(17, ipA, ipB,
+      l4Ports(1000, 2000) ++ mmTrailer(BaseTs + 3, 333, 9, 4)
+                          ++ Array[Byte](0x7f, 0x7f, 0x7f, 0x7f))), BaseTs),
+    // 11. trailer-lookalike with ts far outside the ±300 s window -> NULL
+    (ethernet(0x0800, ipv4(17, ipA, ipB,
+      l4Ports(1000, 2000) ++ mmTrailer(BaseTs + 100000, 500, 7, 3))), BaseTs),
+    // 12. truncated IPv4 header (reference panics; we yield IP/proto NULLs)
+    (ethernet(0x0800, Array[Byte](0x45, 0x00, 0x00)), BaseTs))
+
+  /** Serialize frames into one legacy little-endian pcap buffer
+    * (global header magic 0xa1b2c3d4, version 2.4, linktype 1 —
+    * FIXTURES.md §2). */
+  def pcapFile(frames: Seq[(Array[Byte], Long)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gh = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    gh.putInt(0xa1b2c3d4).putShort(2).putShort(4).putInt(0).putInt(0)
+    gh.putInt(65535).putInt(1)
+    out.write(gh.array())
+    frames.foreach { case (data, ts) =>
+      val rh = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      rh.putInt(ts.toInt).putInt(0).putInt(data.length).putInt(data.length)
+      out.write(rh.array())
+      out.write(data)
+    }
+    out.toByteArray
+  }
+
+  def goldenPcap: Array[Byte] = pcapFile(goldenFrames)
+}

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Source/sink queries around the pcap decoder (SURVEY.md §2.B
+  * `pcap_ingest`, `sink_parquet_zstd`, `udf_packet_decode`).
+  *
+  * Scale notes (100 TB):
+  *  - `pcap_ingest` models the production shape: one capture file = one
+  *    unsplittable unit (legacy pcap has no sync markers — SURVEY.md risk
+  *    #4), decoded inside `flatMap` on executors. A directory of N
+  *    capture files parallelizes to N tasks via
+  *    `spark.read.format("binaryFile")` with exactly this per-file
+  *    decoder; here the input is the deterministic synthetic capture
+  *    (no pcap exists in the driver corpus).
+  *  - The per-packet single-row RecordBatch anti-pattern of the reference
+  *    (main.rs:104-106; SURVEY.md §4.2) disappears: rows flow through
+  *    Tungsten batches and columnar parquet write buffering.
+  *  - `sink_parquet_zstd` reproduces the reference writer config
+  *    (main.rs:72-77): ZSTD compression, parquet v2 page format.
+  */
+object PcapOps {
+
+  /** Synthetic capture -> flatMap(parseFile) -> typed Dataset -> DataFrame.
+    * Mirrors main() (main.rs:59-122) as a distributed pipeline. */
+  def pcapIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val capture = PcapFixtures.goldenPcap
+    // one (fileName, bytes) row per capture file — the binaryFile shape
+    spark.createDataset(Seq(("golden.pcap", capture)))
+      .flatMap { case (_, bytes) => PcapParser.parseFile(bytes) }
+      .toDF()
+      .orderBy(col("pkt_idx").asc)
+  }
+
+  /** Scalar-UDF packet decode over a BinaryType frame column — the
+    * reference's parse chain (A4–A9) as a reusable column function.
+    * Returns the decoded struct flattened to top-level columns. */
+  def udfPacketDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decode = udf { (idx: Long, frame: Array[Byte], tsSec: Long) =>
+      PcapParser.decodeRecord(idx, frame, tsSec, frame.length.toLong)
+    }
+    val frames = PcapFixtures.goldenFrames.zipWithIndex
+      .map { case ((bytes, ts), i) => (i.toLong, bytes, ts) }
+    spark.createDataset(frames).toDF("idx", "frame", "ts_sec")
+      .withColumn("p", decode(col("idx"), col("frame"), col("ts_sec")))
+      .select(col("p.*"))
+      .orderBy(col("pkt_idx").asc)
+  }
+
+  /** ZSTD + parquet v2 write (reference main.rs:72-77) with a read-back
+    * aggregate proving round-trip fidelity against the DuckDB oracle run
+    * on the ORIGINAL table. */
+  def sinkParquetZstd(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${Tables.scratchDir}/sink_parquet_zstd"
+    spark.sparkContext.hadoopConfiguration.set("parquet.writer.version", "v2")
+    Tables.t(spark, dir, "lineitem")
+      .write.mode("overwrite").option("compression", "zstd").parquet(out)
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"),
+           countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pcap_ingest" -> (pcapIngest _),
+    "udf_packet_decode" -> (udfPacketDecode _),
+    "sink_parquet_zstd" -> (sinkParquetZstd _))
+
+  val oracle: Map[String, String] = Map(
+    // pcap_ingest / udf_packet_decode: no DuckDB pcap support — golden-row
+    // scalatests pin the semantics instead (PcapParserSpec).
+    "sink_parquet_zstd" ->
+      """SELECT count(1) AS n_rows,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin)
+}

@@ -1,0 +1,184 @@
+package graft.sources
+
+/** Pure-Scala legacy-pcap frame decoder — the reference's entire job
+  * re-expressed as a deterministic byte-slice -> row function
+  * (SURVEY.md §2.A, A1–A9; semantics cited per function below from
+  * /root/reference/src/main.rs).
+  *
+  * Deliberate divergence from the reference: every read is bounds-checked.
+  * The reference panics on truncated frames (main.rs:190-191
+  * `try_into().expect`) and on snaplen-truncated captures (it indexes the
+  * buffer with `origlen`, main.rs:97); we yield NULL fields instead
+  * (SURVEY.md §2.A "fidelity traps" #1, FIXTURES.md §2 case 12).
+  *
+  * Scale note: the decoder is a pure function over a byte slice with no
+  * allocation beyond the output row — usable inside `flatMap` /
+  * `mapPartitions` over a `binaryFile` scan, one task per capture file
+  * (legacy pcap has no record sync markers, so file granularity is the
+  * correct split unit — SURVEY.md §7 M2 / risk #4).
+  */
+object PcapParser {
+
+  /** One decoded packet — the reference's 9-column Packet struct
+    * (main.rs:5-16) plus a packet index for deterministic ordering.
+    * Unsigned reference types widen to the next signed Spark type
+    * (SURVEY.md §1.4). */
+  final case class Packet(
+      pkt_idx: Long,
+      src_ip: Option[String],
+      dst_ip: Option[String],
+      len: Option[Long],          // u32 origlen -> long
+      protocol: Option[String],
+      src_port: Option[Int],      // u16 -> int
+      dst_port: Option[Int],
+      mm_ts: Option[Long],        // epoch nanoseconds (main.rs:177)
+      mm_id: Option[Int],         // u16 -> int
+      mm_port: Option[Int])       // u8 -> int
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
+      ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+
+  /** TCP/UDP port extraction (main.rs:213-231): BE u16 at L4 offsets 0/2. */
+  private def parsePorts(b: Array[Byte], off: Int): (Option[Int], Option[Int]) =
+    if (off + 4 <= b.length) (Some(be16(b, off)), Some(be16(b, off + 2)))
+    else (None, None)
+
+  /** IPv4 header decode (main.rs:185-211): IHL from the low nibble of
+    * byte 0; protocol at byte 9; src/dst addresses at bytes 12-15/16-19
+    * formatted dotted-quad (main.rs:193-196); dispatch 1/2/6/17 ->
+    * ICMP/IGMP/TCP/UDP (main.rs:198-210), anything else leaves protocol
+    * NULL. No checksum/fragment/option handling, as in the reference. */
+  private def parseIpv4(b: Array[Byte], off: Int, p: Packet): Packet = {
+    if (off + 20 > b.length) return p
+    val ihl = (b(off) & 0x0f) * 4
+    val proto = b(off + 9) & 0xff
+    def quad(o: Int) = s"${b(o) & 0xff}.${b(o + 1) & 0xff}.${b(o + 2) & 0xff}.${b(o + 3) & 0xff}"
+    val withIps = p.copy(src_ip = Some(quad(off + 12)), dst_ip = Some(quad(off + 16)))
+    proto match {
+      case 1 => withIps.copy(protocol = Some("ICMP"))
+      case 2 => withIps.copy(protocol = Some("IGMP"))
+      case 6 =>
+        val (s, d) = parsePorts(b, off + ihl)
+        withIps.copy(protocol = Some("TCP"), src_port = s, dst_port = d)
+      case 17 =>
+        val (s, d) = parsePorts(b, off + ihl)
+        withIps.copy(protocol = Some("UDP"), src_port = s, dst_port = d)
+      case _ => withIps // protocol number not mapped -> name stays NULL
+    }
+  }
+
+  /** Ethernet II decode (main.rs:234-252): EtherType at bytes 12-13;
+    * 0x0800 -> IPv4 at 14; single 802.1Q tag 0x8100 -> inner EtherType at
+    * 16-17, IPv4 at 18; anything else (ARP, IPv6, QinQ) ignored — fields
+    * stay NULL. MACs deliberately not extracted (main.rs:235-236). */
+  def parseEthernet(b: Array[Byte], p: Packet): Packet = {
+    if (b.length < 14) return p
+    be16(b, 12) match {
+      case 0x0800 => parseIpv4(b, 14, p)
+      case 0x8100 if b.length >= 18 && be16(b, 16) == 0x0800 => parseIpv4(b, 18, p)
+      case _ => p
+    }
+  }
+
+  /** Single Metamako trailer probe at `end` (exclusive) — main.rs:157-183.
+    * Valid iff |pcap_ts_sec - mm_s| < 300 and mm_ns < 1e9 (main.rs:174).
+    * Returns the trailer fields without mutating — the CALLER decides
+    * overwrite order (first-device-wins, main.rs:127). */
+  private def probeTrailer(b: Array[Byte], end: Int, pcapTsSec: Long): Option[(Long, Int, Int)] = {
+    if (end < 16 || end > b.length) return None
+    val s = be32(b, end - 12).toInt  // BE i32 seconds
+    val ns = be32(b, end - 8).toInt  // BE i32 nanoseconds
+    // NB: the reference only checks ns < 1e9, NOT ns >= 0 (main.rs:174) —
+    // a negative i32 ns passes and is added signed; replicated faithfully.
+    if (math.abs(pcapTsSec - s) < 300 && ns < 1000000000) {
+      val id = be16(b, end - 3)
+      val port = b(end - 1) & 0xff
+      Some((s.toLong * 1000000000L + ns, id, port))
+    } else None
+  }
+
+  /** Multi-trailer scan (main.rs:128-148): probe at the full length; on a
+    * hit, keep scanning backwards for stacked trailers (16-byte steps on
+    * hits, 1-byte slide on misses — main.rs:138) and let each deeper hit
+    * overwrite, so the FIRST-appended (innermost) trailer wins
+    * (main.rs:127). If the probe at full length misses, retry once
+    * assuming a trailing 4-byte FCS (main.rs:141-146). Scans against the
+    * actual buffer length, never past it (divergence: reference indexes
+    * with origlen and can panic). */
+  def extractTrailers(b: Array[Byte], pcapTsSec: Long, p: Packet): Packet = {
+    val len = b.length
+    def scanFrom(end: Int): Option[(Long, Int, Int)] =
+      probeTrailer(b, end, pcapTsSec) match {
+        case None => None
+        case Some(first) =>
+          var best = first
+          var i = 16 // bytes consumed from the tail so far
+          while (end - i >= 16) {
+            probeTrailer(b, end - i, pcapTsSec) match {
+              case Some(t) => best = t; i += 16
+              case None => i += 1
+            }
+          }
+          Some(best)
+      }
+    val hit = scanFrom(len).orElse(scanFrom(len - 4)) // FCS retry
+    hit.fold(p) { case (ts, id, port) =>
+      p.copy(mm_ts = Some(ts), mm_id = Some(id), mm_port = Some(port))
+    }
+  }
+
+  /** Full per-record pipeline (main() body, main.rs:89-101): trailer scan
+    * guarded by origlen >= 16 (main.rs:92), then Ethernet decode. */
+  def decodeRecord(pktIdx: Long, data: Array[Byte], tsSec: Long, origLen: Long): Packet = {
+    val base = Packet(pktIdx, None, None, Some(origLen), None, None, None, None, None, None)
+    val withMm = if (origLen >= 16) extractTrailers(data, tsSec, base) else base
+    parseEthernet(data, withMm)
+  }
+
+  // ---- legacy pcap container (main.rs:64-66, 83-118) ---------------------
+
+  private val MagicBe = 0xa1b2c3d4L
+  private val MagicLe = 0xd4c3b2a1L
+  private val MagicBeNs = 0xa1b23c4dL
+  private val MagicLeNs = 0x4d3cb2a1L
+
+  /** Iterate the records of one legacy pcap byte buffer. Equivalent of the
+    * reference's LegacyPcapReader loop (main.rs:83-118) minus the panics:
+    * an unrecognized magic (e.g. pcapng, main.rs:108) or a truncated
+    * record ends the iteration instead of crashing. Handles both byte
+    * orders and the nanosecond-magic variant (ts_sec stays seconds, so the
+    * trailer heuristic is unchanged — SURVEY.md §2.A trap #5). */
+  def parseFile(bytes: Array[Byte]): Iterator[Packet] = {
+    if (bytes.length < 24) return Iterator.empty
+    val magic = le32(bytes, 0)
+    val (swapped, ok) = magic match {
+      case MagicBe | MagicBeNs => (false, true)   // file written LE (we read LE)
+      case MagicLe | MagicLeNs => (true, true)    // file written BE
+      case _ => (false, false)                    // pcapng / unknown: stop
+    }
+    if (!ok) return Iterator.empty
+    def u32(off: Int): Long = if (swapped) be32(bytes, off) else le32(bytes, off)
+    new Iterator[Packet] {
+      private var off = 24
+      private var idx = 0L
+      def hasNext: Boolean = off + 16 <= bytes.length
+      def next(): Packet = {
+        val tsSec = u32(off)
+        val inclLen = u32(off + 8).toInt
+        val origLen = u32(off + 12)
+        val dataEnd = math.min(off + 16 + inclLen, bytes.length)
+        val data = java.util.Arrays.copyOfRange(bytes, off + 16, dataEnd)
+        off += 16 + inclLen
+        val p = decodeRecord(idx, data, tsSec, origLen)
+        idx += 1
+        p
+      }
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Streaming-analog surface (SURVEY.md §2.B "Streaming"). Each query is
+  * the BATCH-checkable analog over the `events` table — identical window
+  * semantics to the Structured Streaming pipelines, so the DuckDB oracle
+  * can gate them; the true incremental variants (readStream +
+  * watermark / session_window / dropDuplicatesWithinWatermark) run under
+  * MemoryStream in StreamingSpec, where results are asserted to match
+  * these batch analogs.
+  *
+  * Scale notes (100 TB / unbounded):
+  *  - Tumbling/sliding use Spark's `window()` — in streaming these become
+  *    watermark-bounded stateful aggs whose state is |open windows| ×
+  *    |keys|, constant per key; the batch analog is one hash agg shuffle.
+  *  - Sessionization partitions by user_id: the lag+cumsum pass is one
+  *    shuffle + per-key sort; in streaming the same semantics come from
+  *    `session_window(ts, gap)` with watermark-driven state eviction.
+  *  - `stream_watermark` demonstrates the closed-window rule (window.end
+  *    <= max(ts) - delay): the exact rows an append-mode watermark query
+  *    would have emitted.
+  */
+object StreamOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** 1-hour tumbling window counts. */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(dec("value")), 2).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), TsFmt).as("wstart"), col("n"), col("sum_value"))
+      .orderBy(col("wstart").asc)
+
+  /** 1-hour window sliding every 15 minutes (each event lands in 4). */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), TsFmt).as("wstart"), col("n"))
+      .orderBy(col("wstart").asc)
+
+  /** 30-minute-gap sessionization via lag + cumulative sum — the batch
+    * equivalent of `session_window(ts, "30 minutes")` per user. */
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(date_format(min(col("ts")), TsFmt).as("session_start"),
+           count(lit(1)).as("n_events"),
+           round(sum(dec("value")), 2).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id").asc, col("session_start").asc)
+  }
+
+  /** Late-data handling: only windows closed under a 10-minute watermark
+    * (window.end <= max(ts) - 10 min) are emitted — what an append-mode
+    * streaming query with `withWatermark("ts", "10 minutes")` outputs. */
+  def streamWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val wmRow = ev.agg((max(unix_micros(col("ts"))) - 600L * 1000000L).as("wm_us"))
+    ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(wmRow))
+      .filter(unix_micros(col("window.end")) <= col("wm_us"))
+      .select(date_format(col("window.start"), TsFmt).as("wstart"), col("n"))
+      .orderBy(col("wstart").asc)
+  }
+
+  /** Stateful dedup: first event per (user_id, event_type) in event-time
+    * order — batch analog of dropDuplicatesWithinWatermark keyed on
+    * (user_id, event_type). */
+  def streamDedupState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
+              date_format(col("ts"), TsFmt).as("first_ts"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (streamTumbling _),
+    "stream_sliding" -> (streamSliding _),
+    "stream_session" -> (streamSession _),
+    "stream_watermark" -> (streamWatermark _),
+    "stream_dedup_state" -> (streamDedupState _))
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  count(1) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY wstart ASC NULLS FIRST""".stripMargin,
+    "stream_sliding" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  count(1) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+        |GROUP BY 1 ORDER BY wstart ASC NULLS FIRST""".stripMargin,
+    "stream_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |                           ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(1) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin,
+    "stream_watermark" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, count(1) AS n
+        |FROM events
+        |GROUP BY date_trunc('hour', ts)
+        |HAVING epoch_us(date_trunc('hour', ts) + INTERVAL '1 hour')
+        |       <= (SELECT max(epoch_us(ts)) - 600000000 FROM events)
+        |ORDER BY wstart ASC NULLS FIRST""".stripMargin,
+    "stream_dedup_state" ->
+      """SELECT user_id, event_type, first_event_id, first_ts FROM (
+        |  SELECT user_id, event_type, event_id AS first_event_id,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)
+}

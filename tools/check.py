@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local dev-loop mirror of the driver's correctness gate: read each
+query's parquet dump from Verify, run its oracle SQL in DuckDB over the
+same SF dir, sort columns by name, compare row-by-row.  Usage:
+    python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, sys
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+def main(sf_dir, out_dir, only):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = []
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            fails.append(name); print(f"FAIL {name}: oracle error: {e}"); continue
+        try:
+            got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            fails.append(name); print(f"FAIL {name}: spark output missing: {e}"); continue
+        exp = exp[sorted(exp.columns)]
+        got = got[sorted(got.columns)]
+        if list(exp.columns) != list(got.columns):
+            fails.append(name)
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            continue
+        if len(exp) != len(got):
+            fails.append(name)
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            continue
+        mismatch = None
+        for i in range(len(exp)):
+            re_, rg = exp.iloc[i], got.iloc[i]
+            for c in exp.columns:
+                a, b = norm(re_[c]), norm(rg[c])
+                if isinstance(a, float) or isinstance(b, float):
+                    an, bn = (a is None or (isinstance(a, float) and math.isnan(a))), (b is None or (isinstance(b, float) and math.isnan(b)))
+                    if an and bn:
+                        continue
+                    if an != bn or abs(a - b) > 1e-9:
+                        mismatch = (i, c, a, b); break
+                elif str(a) != str(b):
+                    mismatch = (i, c, a, b); break
+            if mismatch:
+                break
+        if mismatch:
+            fails.append(name)
+            print(f"FAIL {name}: row {mismatch[0]} col {mismatch[1]}: oracle={mismatch[2]!r} spark={mismatch[3]!r}")
+        else:
+            print(f"ok   {name} ({len(exp)} rows)")
+    # queries without oracle: rows>0 smoke
+    import glob, os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle or (only and name not in only):
+            continue
+        try:
+            n = duckdb.sql(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+            print(f"ok   {name} (no oracle, {n} rows)" if n > 0 else f"WARN {name}: 0 rows")
+            if n == 0:
+                fails.append(name)
+        except Exception as e:
+            fails.append(name); print(f"FAIL {name}: unreadable: {e}")
+    print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+    return 1 if fails else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
