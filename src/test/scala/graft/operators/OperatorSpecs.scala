@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.{TopKAggregator, UdxOps}
+
+/** Operator-level assertions that the DuckDB oracle cannot express:
+  * sketch accuracy, typed-aggregator semantics, LSH recall. */
+class OperatorSpecs extends SparkTestBase {
+
+  test("agg_approx_distinct: HLL estimate within ±5% of exact (SURVEY.md §2.B)") {
+    val rows = Aggregates.aggApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL off by >5%: approx=$approx exact=$exact")
+    }
+  }
+
+  test("udaf_topk: typed Aggregator returns the true per-group top-3") {
+    import spark.implicits._
+    val got = UdxOps.udafTopk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val expected = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderstatus", $"o_totalprice").as[(String, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (st, vs) =>
+        vs.map(_._2).sorted(Ordering[Double].reverse).take(3).zipWithIndex
+          .map { case (v, i) => (st, i, math.round(v * 100).toDouble / 100) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected)
+  }
+
+  test("TopKAggregator merge keeps global top-k across partitions") {
+    val agg = new TopKAggregator(3)
+    val merged = agg.merge(agg.reduce(agg.reduce(agg.zero, 5.0), 1.0),
+                           agg.reduce(agg.reduce(agg.zero, 9.0), 7.0))
+    assert(agg.finish(merged) == Seq(9.0, 7.0, 5.0))
+  }
+
+  test("dedup_fuzzy: banded MinHash rediscovers every injected near-duplicate") {
+    val pairs = LlmOps.dedupFuzzy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the query injects mutated copies of the 3 lowest doc_ids as id+1e6
+    val lowest = graft.Tables.t(spark, sfDir, "documents")
+      .orderBy(col("doc_id").asc).limit(3).collect().map(_.getAs[Long]("doc_id"))
+    lowest.foreach { id =>
+      assert(pairs.contains((id, id + 1000000L)),
+        s"near-dup pair for doc $id not found in ${pairs.size} candidates")
+    }
+  }
+
+  test("sim_topk: exact brute-force agrees with an independent local computation") {
+    import spark.implicits._
+    val got = LlmOps.simTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val emb = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val expected = emb.filter(_._1 < 10).flatMap { case (q, qe) =>
+      emb.filter(_._1 != q).map { case (c, ce) => (q, c, cos(qe, ce)) }
+        .sortBy { case (_, c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((_, c, _), i) => (q, i + 1, c) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected.toSeq)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+/** True Structured Streaming variants of the `stream_*` batch analogs,
+  * driven by MemoryStream (SURVEY.md §2.B "Streaming", §7 M4). Each test
+  * asserts the incremental result matches the batch semantics the DuckDB
+  * oracle already gates. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 10.0),
+    (2L, ts("2024-01-01 00:20:00"), 20.0),
+    (3L, ts("2024-01-01 01:10:00"), 30.0),
+    (4L, ts("2024-01-01 02:40:00"), 40.0),
+    (5L, ts("2024-01-01 03:59:00"), 50.0))
+
+  test("streaming tumbling window agg matches batch window() result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData(sample: _*)
+    val q = mem.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tumbling_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select($"window.start".cast("string"), $"n", $"s").collect().toSet
+    val batch = spark.createDataset(sample).toDF("event_id", "ts", "value")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .select($"window.start".cast("string"), $"n", $"s").collect().toSet
+    assert(streamed == batch && batch.size == 4)
+  }
+
+  test("streaming dropDuplicatesWithinWatermark dedups within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00"), "click"),
+      (1L, ts("2024-01-01 00:01:00"), "click"), // dup key within watermark
+      (2L, ts("2024-01-01 00:02:00"), "view"),
+      (1L, ts("2024-01-01 00:03:00"), "view"))
+    val q = mem.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").select($"user_id", $"event_type").collect().toSet
+    assert(got.map(r => (r.getLong(0), r.getString(1))) ==
+      Set((1L, "click"), (2L, "view"), (1L, "view")))
+  }
+
+  test("session_window built-in agrees with the lag+cumsum batch sessionizer") {
+    import spark.implicits._
+    // built-in session_window over the real events table
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val builtIn = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"), $"n_events")
+    val analog = StreamOps.streamSession(spark, sfDir)
+      .select($"user_id", $"session_start", $"n_events")
+    assert(builtIn.exceptAll(analog).isEmpty && analog.exceptAll(builtIn).isEmpty)
+  }
+
+  test("streaming sliding window assigns each event to 4 windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData((1L, ts("2024-01-01 00:07:00")))
+    val q = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sliding_out").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("sliding_out").count() == 4)
+  }
+}
