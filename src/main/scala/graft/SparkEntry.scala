@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{ScalarFns, UdxOps}
-import graft.operators.{Aggregates, Joins, LlmOps, RelationalOps, Windows}
+import graft.operators.{Aggregates, Joins, LlmOps, LlmOpsExt, MultimodalOps, RelationalOps, Windows}
 import graft.sources.PcapOps
 import graft.streaming.StreamOps
 
@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ ScalarFns.queries ++ UdxOps.queries ++
-      PcapOps.queries ++ LlmOps.queries ++ StreamOps.queries
+      PcapOps.queries ++ LlmOps.queries ++ LlmOpsExt.queries ++
+      MultimodalOps.queries ++ StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops DuckDB can't reproduce
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ ScalarFns.oracle ++ UdxOps.oracle ++
-      PcapOps.oracle ++ LlmOps.oracle ++ StreamOps.oracle
+      PcapOps.oracle ++ LlmOps.oracle ++ LlmOpsExt.oracle ++
+      MultimodalOps.oracle ++ StreamOps.oracle
 }
