@@ -13,7 +13,9 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(new java.io.File(s"$dir/$name.parquet").exists(),
+      s"table '$name' not found at $dir/$name.parquet (valid tables: ${names.mkString(", ")})")
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
       // natively (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanoseconds and
@@ -24,11 +26,13 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every corpus table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Scratch dir for sink round-trips; kept inside the repo per sandbox rules. */
+  /** Scratch dir for sink round-trips (PcapOps.sinkParquetZstd); kept
+    * inside the repo per sandbox rules. Spark's writers create it. */
   val scratchDir = "/root/repo/target/tmp"
 }

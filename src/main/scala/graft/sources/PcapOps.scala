@@ -23,15 +23,17 @@ import graft.Tables
   */
 object PcapOps {
 
-  /** Synthetic capture -> flatMap(parseFile) -> typed Dataset -> DataFrame.
-    * Mirrors main() (main.rs:59-122) as a distributed pipeline. */
+  /** Synthetic capture ingested through the DataSource V2 connector
+    * (`spark.read.format("pcap")`, PcapDataSource.scala) — one input
+    * partition per capture file, decode on executors. Mirrors main()
+    * (main.rs:59-122) as a distributed pipeline. */
   def pcapIngest(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val capture = PcapFixtures.goldenPcap
-    // one (fileName, bytes) row per capture file — the binaryFile shape
-    spark.createDataset(Seq(("golden.pcap", capture)))
-      .flatMap { case (_, bytes) => PcapParser.parseFile(bytes) }
-      .toDF()
+    val capDir = new java.io.File(s"${Tables.scratchDir}/captures")
+    capDir.mkdirs()
+    val f = new java.io.File(capDir, "golden.pcap")
+    java.nio.file.Files.write(f.toPath, PcapFixtures.goldenPcap)
+    spark.read.format("pcap").load(capDir.getAbsolutePath)
+      .drop("file")
       .orderBy(col("pkt_idx").asc)
   }
 
