@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: integer -> IPv4 dotted-quad string — the
+  * reference's address formatting (/root/reference/src/main.rs:193-196,
+  * `std::net::Ipv4Addr` Display) as a whole-stage-codegen'd scalar.
+  *
+  * This is the (b) tier of the custom-operator preference order
+  * (SURVEY.md §4.3): a real `doGenCode` so the formatter stays inside the
+  * WholeStageCodegen span (no UDF serialization boundary, no
+  * CodegenFallback interpretation) — at 100 TB this runs once per row in
+  * the generated loop, exactly like a built-in.
+  */
+case class Ipv4Quad(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ip_quad expects BIGINT, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ip_quad"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Long]
+    UTF8String.fromString(
+      s"${(x >> 24) & 255}.${(x >> 16) & 255}.${(x >> 8) & 255}.${x & 255}")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.lang.String.valueOf(($c >> 24) & 255L) + "." +
+         |  java.lang.String.valueOf(($c >> 16) & 255L) + "." +
+         |  java.lang.String.valueOf(($c >> 8) & 255L) + "." +
+         |  java.lang.String.valueOf($c & 255L));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Ipv4Quad =
+    copy(child = newChild)
+}
+
+object Ipv4Quad {
+  /** Column-API entry point (casts the input to BIGINT). */
+  def ip_quad(c: Column): Column =
+    SqlBridge.column(Ipv4Quad(SqlBridge.expression(c.cast("long"))))
+
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ip_quad"),
+    new ExpressionInfo(classOf[Ipv4Quad].getName, "ip_quad"),
+    (exprs: Seq[Expression]) => Ipv4Quad(
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, LongType)))
+}
+
+/** Session extension wiring (`SparkSessionExtensions`): registers the
+  * native function for SQL use —
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(Ipv4Quad.functionDescription)
+}

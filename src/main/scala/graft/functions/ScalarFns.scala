@@ -78,20 +78,15 @@ object ScalarFns {
         get_json_object(col("props"), "$.k").cast("int").as("k_via_path"))
       .orderBy(col("event_id").asc)
 
-  /** int -> dotted-quad (reference main.rs:193-196 via std::net::Ipv4Addr);
-    * here: pure bit ops + concat_ws, fully codegen'd. */
-  def fIpFormat(spark: SparkSession, dir: String): DataFrame = {
-    val uid = col("user_id").bitwiseAND(lit(0xFFFFFFFFL))
+  /** int -> dotted-quad (reference main.rs:193-196 via std::net::Ipv4Addr)
+    * through the NATIVE Catalyst expression `Ipv4Quad` (real doGenCode —
+    * stays inside the WholeStageCodegen span; see Ipv4Quad.scala). */
+  def fIpFormat(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(
         col("event_id"),
-        concat_ws(".",
-          shiftright(uid, 24).bitwiseAND(lit(255L)),
-          shiftright(uid, 16).bitwiseAND(lit(255L)),
-          shiftright(uid, 8).bitwiseAND(lit(255L)),
-          uid.bitwiseAND(lit(255L))).as("ip"))
+        Ipv4Quad.ip_quad(col("user_id").bitwiseAND(lit(0xFFFFFFFFL))).as("ip"))
       .orderBy(col("event_id").asc)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_string" -> (fString _),
