@@ -76,17 +76,16 @@ object Aggregates {
         .agg(count(lit(1)).as("n"),
              round(sum(dec("o_totalprice")), 2).cast("double").as("revenue")))
 
-  def aggGsets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
-    spark.sql(
-      """SELECT coalesce(o_orderstatus, '(all)') AS status,
-        |       coalesce(o_orderpriority, '(all)') AS priority,
-        |       count(1) AS n,
-        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        |ORDER BY status ASC, priority ASC""".stripMargin)
-  }
+  /** GROUPING SETS ((status), (priority)) via the Dataset API (Spark 4
+    * `groupingSets`) — no temp views, only the orders schema is read. */
+  def aggGsets(spark: SparkSession, dir: String): DataFrame =
+    hierSelect(
+      t(spark, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(dec("o_totalprice")), 2).cast("double").as("revenue")))
 
   /** HLL++ sketch — mergeable, constant memory per group; exact column
     * alongside it is asserted within ±5% in AggregatesSpec (no DuckDB
