@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Skew and co-location techniques for 100 TB joins (prompt: "salting for
+  * skew, bucketing for co-located joins"). Both queries produce results a
+  * plain join would — the DuckDB oracle checks exactly that — while the
+  * physical plan demonstrates the scale-safe shape.
+  */
+object ScaleJoins {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  private val Salts = 8
+
+  /** Skew-safe join: lineitem ⋈ a 3-row dimension on l_returnflag — a
+    * worst-case skewed key (3 distinct values over the whole fact table).
+    * A plain shuffle join would put ~1/3 of 100 TB on single reducers.
+    * Salting: fact side gets salt = hash(unique key) mod 8; the dim side
+    * is replicated ×8 with an explicit salt column; the join key becomes
+    * (flag, salt), spreading each hot key over 8 reducers. (With a dim
+    * this small one would really broadcast — the salt pattern is what
+    * scales when BOTH sides are too big to broadcast, so the join is
+    * hinted shuffle-merge to force the shuffle path being demonstrated.) */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val flagNames = spark.createDataFrame(Seq(
+      ("A", "returned"), ("N", "in_flight"), ("R", "refused"))).toDF("flag", "flag_name")
+    val salted = flagNames.crossJoin(
+      spark.range(Salts).select(col("id").cast("int").as("salt")))
+    val fact = t(spark, dir, "lineitem")
+      .withColumn("salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
+    fact.join(salted.hint("merge"),
+        col("l_returnflag") === col("flag") && fact("salt") === salted("salt"))
+      .groupBy(col("flag_name"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"))
+      .orderBy(col("flag_name").asc)
+  }
+
+  /** Bucketed co-located join: both sides written bucketed by the join key
+    * (8 buckets, sorted), then joined — the physical plan has NO shuffle
+    * exchange on either side (bucket pruning + per-bucket sort-merge). At
+    * 100 TB this is THE pattern for repeated joins on a stable key:
+    * shuffle once at write time, never again at read time. */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    val wh = s"${Tables.scratchDir}/bucketed"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$wh'")
+    t(spark, dir, "orders")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b")
+      .saveAsTable("graft_buckets.orders_b")
+    t(spark, dir, "customer")
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b")
+      .saveAsTable("graft_buckets.customer_b")
+    // hint merge: with both sides bucketed+sorted on the key, sort-merge
+    // join needs NO Exchange (a broadcast would hide the point at test SF)
+    spark.table("graft_buckets.orders_b").hint("merge")
+      .join(spark.table("graft_buckets.customer_b").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(dec("o_totalprice")), 2).cast("double").as("revenue"))
+      .orderBy(col("c_nationkey").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
+    "join_bucketed" -> (joinBucketed _))
+
+  val oracle: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """WITH flags(flag, flag_name) AS (VALUES ('A', 'returned'), ('N', 'in_flight'), ('R', 'refused'))
+        |SELECT flag_name, count(1) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN flags ON l_returnflag = flag
+        |GROUP BY flag_name ORDER BY flag_name ASC NULLS FIRST""".stripMargin,
+    "join_bucketed" ->
+      """SELECT c_nationkey, count(1) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)
+}
