@@ -46,6 +46,8 @@ object ScaleJoins {
     * 100 TB this is THE pattern for repeated joins on a stable key:
     * shuffle once at write time, never again at read time. */
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    // keep the Derby metastore inside the repo regardless of launch cwd
+    System.setProperty("derby.system.home", Tables.scratchDir)
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     val wh = s"${Tables.scratchDir}/bucketed"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$wh'")

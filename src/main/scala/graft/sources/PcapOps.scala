@@ -67,8 +67,34 @@ object PcapOps {
            countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** Throughput-scale ingest: 200k synthetic packets (~14 MB of capture,
+    * cycling the golden frames with varying timestamps/ports) through the
+    * V2 connector, aggregated to a protocol histogram. Single capture
+    * file = single partition by design (no sync markers) — the number
+    * the bench reports is single-stream decode throughput, the unit that
+    * multiplies by file count on a real cluster. The capture is written
+    * once and reused across runs. */
+  def pcapIngestLarge(spark: SparkSession, dir: String): DataFrame = {
+    val capDir = new java.io.File(s"${Tables.scratchDir}/captures_large")
+    capDir.mkdirs()
+    val f = new java.io.File(capDir, "large.pcap")
+    if (!f.exists() || f.length() == 0) {
+      val base = PcapFixtures.goldenFrames
+      val frames = (0 until 200000).map { i =>
+        val (bytes, ts) = base(i % base.size)
+        (bytes, ts + (i / base.size))
+      }
+      java.nio.file.Files.write(f.toPath, PcapFixtures.pcapFile(frames))
+    }
+    spark.read.format("pcap").load(capDir.getAbsolutePath)
+      .groupBy(col("protocol"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("total_bytes"))
+      .orderBy(col("protocol").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pcap_ingest" -> (pcapIngest _),
+    "pcap_ingest_large" -> (pcapIngestLarge _),
     "udf_packet_decode" -> (udfPacketDecode _),
     "sink_parquet_zstd" -> (sinkParquetZstd _))
 
