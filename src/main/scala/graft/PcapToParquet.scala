@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Drop-in replacement for the reference CLI
+  * (/root/reference/src/main.rs:59-122):
+  *
+  *   runMain graft.PcapToParquet <input.pcap-or-dir> <output.parquet>
+  *
+  * Reads legacy pcap through the DataSource V2 connector, emits the
+  * reference's exact 9-column schema in its column order (main.rs:44-54),
+  * and writes ZSTD-compressed Parquet with the v2 writer format
+  * (main.rs:72-77). Unlike the reference: a directory of captures
+  * parallelizes across files, and malformed/truncated input yields NULL
+  * fields instead of a panic. */
+object PcapToParquet {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: PcapToParquet <input.pcap|dir> <output.parquet>")
+    val Array(in, out) = args
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .appName("pcap-to-parquet")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.hadoopConfiguration.set("parquet.writer.version", "v2")
+    spark.read.format("pcap").load(in)
+      .orderBy(col("file").asc, col("pkt_idx").asc) // capture order, as the reference emits
+      .select("src_ip", "dst_ip", "len", "protocol", "src_port", "dst_port",
+              "mm_ts", "mm_id", "mm_port")
+      .write.mode("overwrite").option("compression", "zstd").parquet(out)
+    if (!preexisting) spark.stop() // don't tear down a caller-owned session
+  }
+}
