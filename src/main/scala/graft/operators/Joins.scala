@@ -138,7 +138,25 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Same as-of semantics through the NATIVE operator (graft.plans
+    * .AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec): one shuffle per
+    * side + per-partition merge with O(1) state — the (c)-tier custom
+    * plan path of SURVEY.md §4.3. Oracle: DuckDB ASOF LEFT JOIN. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts_us"))
+    graft.plans.AsOfJoin.asof(purchases, clicks, "user_id", "c_user", "ts_us", "c_ts_us")
+      .select(col("event_id"), col("user_id"),
+              date_format(timestamp_micros(col("c_ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .as("click_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_native" -> (joinAsofNative _),
     "join_inner" -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
     "join_left" -> (joinLeft _),
@@ -151,6 +169,13 @@ object Joins {
     "join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
+    "join_asof_native" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
     "join_inner" ->
       """SELECT c_nationkey, count(1) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue

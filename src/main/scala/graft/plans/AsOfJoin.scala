@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native AS-OF join operator — the (c) tier of the custom-operator
+  * preference order (SURVEY.md §4.3): a LogicalPlan node, a planner
+  * Strategy and a physical SparkPlan, because Spark has no as-of join and
+  * the composed alternatives either explode (range join + dedup) or need
+  * a union trick (Joins.joinAsof).
+  *
+  * Semantics: for every left row, the single right row with the same key
+  * and the greatest time <= left time (LEFT join: no match -> right side
+  * NULL) — DuckDB's `ASOF LEFT JOIN`, Pandas' `merge_asof`.
+  *
+  * Scale shape: both sides hash-partition on the key and sort by
+  * (key, time) — exactly one shuffle each, like a sort-merge join — then
+  * a single forward merge pass per partition with O(1) state (two
+  * buffered right rows). No buffering of the right side, no blowup, skew
+  * bounded by rows-per-key.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // one shuffle per side, co-partitioned on the key (as SortMergeJoin)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  // per-partition sort by (key, time) so a single merge pass suffices
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ::
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) :: Nil
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    val rightSize = right.output.size
+    val outputAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rightSize)
+      val joiner = new JoinedRow
+      val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      // two-pointer state: rHead = next unconsumed right row (lookahead),
+      // rPrev = last consumed right row. O(1) memory.
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var rPrev: InternalRow = null
+      def rk(r: InternalRow): Long = rkB.eval(r).asInstanceOf[Long]
+      def rt(r: InternalRow): Long = rtB.eval(r).asInstanceOf[Long]
+      lIter.map { l =>
+        val lkV = lkB.eval(l)
+        val ltV = ltB.eval(l)
+        var matched: InternalRow = null
+        if (lkV != null && ltV != null) {
+          val lk = lkV.asInstanceOf[Long]
+          val lt = ltV.asInstanceOf[Long]
+          while (rHead != null &&
+                 (rk(rHead) < lk || (rk(rHead) == lk && rt(rHead) <= lt))) {
+            rPrev = rHead
+            rHead = if (rIter.hasNext) rIter.next().copy() else null
+          }
+          if (rPrev != null && rk(rPrev) == lk && rt(rPrev) <= lt) matched = rPrev
+        }
+        proj(joiner(l, if (matched == null) nullRight else matched))
+      }
+    }
+  }
+}
+
+object AsOfJoin {
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  /** `asof(left, right, key, time)`: LEFT as-of join on equal `key` with
+    * the greatest right `time` <= left `time`. Key and time expressions
+    * must be LongType (cast timestamps with unix_micros first); the two
+    * sides must not share attribute ids (alias a self-joined table). */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String): DataFrame = {
+    val spark = SparkSession.active
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
+    val la = SqlBridge.analyzed(left)
+    val ra = SqlBridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    SqlBridge.ofRows(spark, AsOfJoinPlan(la, ra,
+      attr(la, leftKey), attr(ra, rightKey), attr(la, leftTime), attr(ra, rightTime)))
+  }
+}

@@ -1,13 +1,22 @@
-package org.apache.spark.sql.graftbridge
+package org.apache.spark.sql
+package graftbridge
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column <-> Expression bridge. Spark 4 made these conversions
-  * `private[sql]` (columnNodeSupport.scala); libraries adding native
-  * Catalyst expressions use a package-located accessor like this one. */
+/** Column <-> Expression / LogicalPlan <-> DataFrame bridge. Spark 4 made
+  * these conversions `private[sql]` (columnNodeSupport.scala,
+  * classic.Dataset.ofRows); libraries adding native Catalyst expressions
+  * and plans use a package-located accessor like this one. */
 object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Build a DataFrame from a (resolved) logical plan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
