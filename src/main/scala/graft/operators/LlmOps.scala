@@ -99,19 +99,35 @@ object LlmOps {
       .select((col("doc_id") + 1000000L).as("doc_id"),
               concat(col("text"), lit(" mutated")).as("text"))
     // one row per (doc, band): bucket key = band index + that band's slice
-    val banded = docs.unionByName(mutated)
+    val docsAll = docs.unionByName(mutated)
+    val banded = docsAll
       .select(col("doc_id"), explode(minhashUdf(col("text"))).as("bucket"))
     val buckets = banded.groupBy(col("bucket"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     // expand each bucket's id list into sorted (a < b) candidate pairs
-    buckets.select(explode(
+    val candidates = buckets.select(explode(
         flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(sequence(i + 1, size(col("ids")) - 1), j =>
             struct(element_at(col("ids"), i + 1).as("doc_a"),
                    element_at(col("ids"), j + 1).as("doc_b")))))).as("pair"))
       .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
       .distinct()
+    // precision stage: LSH gives recall, exact token-set Jaccard on the
+    // few surviving candidates gives precision (band collisions of
+    // merely-similar docs are dropped). At 100 TB the candidate set is
+    // tiny relative to the corpus, so these two joins shuffle almost
+    // nothing (or broadcast the candidate list outright).
+    val toks = docsAll
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    candidates
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("jaccard", graft.Det.r4(
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+        size(array_union(col("toks_a"), col("toks_b")))))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 

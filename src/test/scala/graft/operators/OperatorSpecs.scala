@@ -40,16 +40,19 @@ class OperatorSpecs extends SparkTestBase {
     assert(agg.finish(merged) == Seq(9.0, 7.0, 5.0))
   }
 
-  test("dedup_fuzzy: banded MinHash rediscovers every injected near-duplicate") {
-    val pairs = LlmOps.dedupFuzzy(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("dedup_fuzzy: banded MinHash + Jaccard filter finds exactly the injected near-dups") {
+    val rows = LlmOps.dedupFuzzy(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val pairs = rows.map(_._1).toSet
     // the query injects mutated copies of the 3 lowest doc_ids as id+1e6
     val lowest = graft.Tables.t(spark, sfDir, "documents")
       .orderBy(col("doc_id").asc).limit(3).collect().map(_.getAs[Long]("doc_id"))
     lowest.foreach { id =>
       assert(pairs.contains((id, id + 1000000L)),
-        s"near-dup pair for doc $id not found in ${pairs.size} candidates")
+        s"near-dup pair for doc $id not found in ${pairs.size} survivors")
     }
+    // precision stage: everything surviving has high exact similarity
+    rows.foreach { case (p, j) => assert(j >= 0.7, s"pair $p below threshold: $j") }
   }
 
   test("sim_topk: exact brute-force agrees with an independent local computation") {
