@@ -87,15 +87,14 @@ object Aggregates {
         .agg(count(lit(1)).as("n"),
              round(sum(dec("o_totalprice")), 2).cast("double").as("revenue")))
 
-  /** HLL++ sketch — mergeable, constant memory per group; exact column
-    * alongside it is asserted within ±5% in AggregatesSpec (no DuckDB
-    * oracle: sketch internals differ per engine). */
+  /** HLL++ sketch — mergeable, constant memory per group (the only COUNT
+    * DISTINCT that scales to 100 TB). OperatorSpecs asserts the estimate
+    * is within ±5% of the exact count (no DuckDB oracle: sketch
+    * internals differ per engine). */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag").asc)
 
   /** collect_set drives ObjectHashAggregate (with sort-based fallback under

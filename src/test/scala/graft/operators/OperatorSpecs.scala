@@ -10,13 +10,15 @@ import graft.functions.{TopKAggregator, UdxOps}
 class OperatorSpecs extends SparkTestBase {
 
   test("agg_approx_distinct: HLL estimate within ±5% of exact (SURVEY.md §2.B)") {
-    val rows = Aggregates.aggApproxDistinct(spark, sfDir).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"HLL off by >5%: approx=$approx exact=$exact")
+    val approx = Aggregates.aggApproxDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_parts").toDouble).toMap
+    val exact = graft.Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("e").toDouble).toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)) / exact(k) <= 0.05,
+        s"HLL off by >5% for $k: approx=$a exact=${exact(k)}")
     }
   }
 
