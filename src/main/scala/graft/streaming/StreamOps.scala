@@ -29,20 +29,31 @@ object StreamOps {
   private def dec(c: String) = col(c).cast("decimal(18,2)")
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
 
-  /** 1-hour tumbling window counts. */
-  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+  /** Shared plan builder: 1-hour tumbling window counts. Works unchanged
+    * on a BATCH DataFrame and on a STREAMING one (readStream +
+    * withWatermark) — StreamingSpec runs this very builder both ways and
+    * asserts equal results. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"),
            round(sum(dec("value")), 2).cast("double").as("sum_value"))
+
+  /** Shared plan builder: 1-hour window sliding every 15 minutes (each
+    * event lands in 4 windows). Batch- and streaming-applicable. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Batch entry: deterministic formatting + total order for the oracle. */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    tumblingAgg(t(spark, dir, "events"))
       .select(date_format(col("window.start"), TsFmt).as("wstart"), col("n"), col("sum_value"))
       .orderBy(col("wstart").asc)
 
-  /** 1-hour window sliding every 15 minutes (each event lands in 4). */
   def streamSliding(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"))
+    slidingAgg(t(spark, dir, "events"))
       .select(date_format(col("window.start"), TsFmt).as("wstart"), col("n"))
       .orderBy(col("wstart").asc)
 

@@ -28,20 +28,19 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
     mem.addData(sample: _*)
-    val q = mem.toDF().toDF("event_id", "ts", "value")
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window($"ts", "1 hour"))
-      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+    // the SAME StreamOps.tumblingAgg builder runs the streaming pipeline…
+    val q = StreamOps.tumblingAgg(
+        mem.toDF().toDF("event_id", "ts", "value").withWatermark("ts", "10 minutes"))
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("tumbling_out").start()
     q.processAllAvailable(); q.stop()
 
     val streamed = spark.table("tumbling_out")
-      .select($"window.start".cast("string"), $"n", $"s").collect().toSet
-    val batch = spark.createDataset(sample).toDF("event_id", "ts", "value")
-      .groupBy(window($"ts", "1 hour"))
-      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
-      .select($"window.start".cast("string"), $"n", $"s").collect().toSet
+      .select($"window.start".cast("string"), $"n", $"sum_value").collect().toSet
+    // …and the batch one; results must be identical
+    val batch = StreamOps.tumblingAgg(
+        spark.createDataset(sample).toDF("event_id", "ts", "value"))
+      .select($"window.start".cast("string"), $"n", $"sum_value").collect().toSet
     assert(streamed == batch && batch.size == 4)
   }
 
@@ -82,10 +81,9 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
     mem.addData((1L, ts("2024-01-01 00:07:00")))
-    val q = mem.toDF().toDF("event_id", "ts")
-      .withWatermark("ts", "1 minute")
-      .groupBy(window($"ts", "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"))
+    val q = StreamOps.slidingAgg(
+        mem.toDF().toDF("event_id", "ts").withColumn("value", lit(1.0))
+          .withWatermark("ts", "1 minute"))
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("sliding_out").start()
     q.processAllAvailable(); q.stop()
