@@ -180,6 +180,57 @@ object LlmOpsExt {
       .orderBy(col("p_id").asc, col("rnk").asc)
   }
 
+  /** IVF-style ANN top-5: the corpus is partitioned into 16 cells by
+    * nearest centroid ("coarse quantizer"); probes search only their
+    * nprobe=2 closest cells, exact cosine re-ranks within them. The
+    * centroid set here is a deterministic stand-in (the 16 lowest-id
+    * vectors — a real pipeline would k-means once and broadcast); the
+    * 16-row "codebook" is collected to the driver exactly like a trained
+    * model artifact and broadcast into the assignment UDF.
+    *
+    * 100 TB shape: cell assignment is one map-side pass (16 dot products
+    * per vector); the probe↔corpus join is an equi-join on cell id over
+    * 1/8 of the corpus per probe instead of a full scan. */
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dbl: Column => Column = c => transform(c, x => x.cast("double"))
+    // "codebook": tiny, driver-collected like a trained model, then broadcast
+    val centroids: Array[(Int, Array[Double])] = emb.filter(col("vec_id") < 16)
+      .selectExpr("cast(vec_id as int) id", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosTo(cent: Array[Double], v: Seq[Float]): Double = {
+      var d = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < cent.length && i < v.length) {
+        d += cent(i) * v(i); nv += v(i).toDouble * v(i); nc += cent(i) * cent(i); i += 1
+      }
+      d / math.sqrt(nv * nc)
+    }
+    val topCellsUdf = udf { (v: Seq[Float], n: Int) =>
+      centroids.map { case (id, c) => (id, cosTo(c, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+    }
+    val corpus = emb.select(col("vec_id").as("c_id"), dbl(col("embedding")).as("c_emb_d"),
+        explode(topCellsUdf(col("embedding"), lit(1))).as("cell"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), dbl(col("embedding")).as("p_emb_d"),
+        explode(topCellsUdf(col("embedding"), lit(2))).as("cell"))
+    val dot = aggregate(zip_with(col("p_emb_d"), col("c_emb_d"), (x, y) => x * y),
+                        lit(0.0), (a, v) => a + v)
+    val np = sqrt(aggregate(col("p_emb_d"), lit(0.0), (a, x) => a + x * x))
+    val nc = sqrt(aggregate(col("c_emb_d"), lit(0.0), (a, x) => a + x * x))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(probes).join(corpus, "cell")
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"), col("p_emb_d"), col("c_emb_d"))
+      .dropDuplicates("p_id", "c_id")
+      .withColumn("cos", dot / (np * nc))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("p_id"), col("rnk"), col("c_id"), graft.Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("p_id").asc, col("rnk").asc)
+  }
+
   // ---- text analysis ----------------------------------------------------
 
   private val langMarkers: Map[String, Set[String]] = Map(
@@ -262,6 +313,7 @@ object LlmOpsExt {
     "dedup_ngram" -> (dedupNgram _),
     "dedup_embed" -> (dedupEmbed _),
     "sim_ann" -> (simAnn _),
+    "sim_ann_ivf" -> (simAnnIvf _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),

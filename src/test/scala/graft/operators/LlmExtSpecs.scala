@@ -62,6 +62,21 @@ class LlmExtSpecs extends SparkTestBase {
     overlap.foreach(k => assert(math.abs(ann(k) - exact(k)) < 1e-9))
   }
 
+  test("sim_ann_ivf: cell search returns exact cosines; bounded per-probe output") {
+    val ivf = LlmOpsExt.simAnnIvf(spark, sfDir)
+      .select(col("p_id"), col("c_id"), col("cosine"), col("rnk")).collect()
+    assert(ivf.nonEmpty)
+    val exact = LlmOps.simTopk(spark, sfDir)
+      .select(col("q_id"), col("c_id"), col("cosine")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivfMap = ivf.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // any pair the cell search surfaces must carry the exact cosine
+    val overlap = ivfMap.keySet intersect exact.keySet
+    assert(overlap.nonEmpty, "IVF surfaced none of the exact top-5 pairs")
+    overlap.foreach(k => assert(math.abs(ivfMap(k) - exact(k)) < 1e-9))
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) => assert(rs.length <= 5) }
+  }
+
   test("text_lang_id: marker-based heuristic identifies crafted sentences") {
     import spark.implicits._
     val got = Seq(
