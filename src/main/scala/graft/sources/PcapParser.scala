@@ -170,10 +170,15 @@ object PcapParser {
       def hasNext: Boolean = off + 16 <= bytes.length
       def next(): Packet = {
         val tsSec = u32(off)
-        val inclLen = u32(off + 8).toInt
+        // incl_len is a u32: `.toInt` on values >= 2^31 wraps negative and a
+        // negative length walks `off` backwards (non-terminating iterator) or
+        // crashes copyOfRange. Clamp to the bytes actually present instead: a
+        // record claiming more than remains is truncated — emit what's there,
+        // after which `off` lands at bytes.length and iteration ends. `off`
+        // therefore always advances by >= 16, so the iterator terminates.
+        val inclLen = math.min(u32(off + 8), (bytes.length - off - 16).toLong).toInt
         val origLen = u32(off + 12)
-        val dataEnd = math.min(off + 16 + inclLen, bytes.length)
-        val data = java.util.Arrays.copyOfRange(bytes, off + 16, dataEnd)
+        val data = java.util.Arrays.copyOfRange(bytes, off + 16, off + 16 + inclLen)
         off += 16 + inclLen
         val p = decodeRecord(idx, data, tsSec, origLen)
         idx += 1

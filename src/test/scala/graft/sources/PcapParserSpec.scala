@@ -95,4 +95,44 @@ class PcapParserSpec extends SparkTestBase {
     val ng = Array[Byte](0x0a, 0x0d, 0x0d, 0x0a) ++ Array.fill[Byte](40)(0)
     assert(PcapParser.parseFile(ng).isEmpty)
   }
+
+  /** A record header with an arbitrary u32 incl_len, followed by `payload`
+    * bytes, appended after a valid LE global header. */
+  private def pcapWithRawLen(inclLen: Long, origLen: Long,
+                             payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24 + 16 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0xa1b2c3d4).putShort(2).putShort(4).putInt(0).putInt(0)
+    bb.putInt(65535).putInt(1)                             // global header
+    bb.putInt(BaseTs.toInt).putInt(0)                      // ts_sec, ts_usec
+    bb.putInt(inclLen.toInt).putInt(origLen.toInt)         // incl_len, orig_len
+    bb.put(payload)
+    bb.array()
+  }
+
+  test("u32-wrap incl_len (0xFFFFFFF0) yields a truncated record, not a crash") {
+    val rows = PcapParser.parseFile(pcapWithRawLen(0xFFFFFFF0L, 42L,
+      PcapFixtures.goldenFrames.head._1.take(8))).toVector
+    assert(rows.size == 1)                 // one truncated record, then stop
+    assert(rows.head.len.contains(42L))    // origlen reported as-is
+    assert(rows.head.src_ip.isEmpty)       // 8 payload bytes -> no decode
+  }
+
+  test("incl_len just past the buffer emits the bytes present, then terminates") {
+    val frame = PcapFixtures.goldenFrames.head._1
+    val rows = PcapParser.parseFile(
+      pcapWithRawLen(frame.length + 24L, frame.length.toLong, frame)).toVector
+    assert(rows.size == 1)
+    assert(rows.head.protocol.contains("UDP")) // full frame was present, decodes fine
+  }
+
+  test("incl_len that wraps to a negative Int cannot walk the offset backwards") {
+    // 0x80000010 -> Int -2147483632: pre-fix this made `off` move backwards
+    // and the iterator never terminated. Two records follow; the corrupt one
+    // consumes the rest of the buffer, so exactly one row comes out.
+    val tail = PcapFixtures.pcapFile(Seq((PcapFixtures.goldenFrames.head._1, BaseTs))).drop(24)
+    val rows = PcapParser.parseFile(
+      pcapWithRawLen(0x80000010L, 42L, Array.fill[Byte](4)(0x7f)) ++ tail).toVector
+    assert(rows.size == 1 && rows.head.len.contains(42L))
+  }
 }

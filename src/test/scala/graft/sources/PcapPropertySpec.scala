@@ -42,6 +42,19 @@ object PcapPropertySpec extends Properties("PcapParser") {
         p.mm_ts.contains((BaseTs + skew) * 1000000000L + ns)
     }
 
+  // Adversarial container input: a VALID global header followed by random
+  // record bytes, so record parsing is actually reached (random bytes alone
+  // almost never contain the magic — the pre-round-3 version of this suite
+  // missed a confirmed u32-incl_len-wrap crash for exactly that reason).
+  private val leGlobalHeader: Array[Byte] = PcapFixtures.pcapFile(Seq.empty)
+
+  property("parseFile never throws and always terminates on adversarial record bytes") =
+    forAll(Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { junk =>
+      val rows = PcapParser.parseFile(leGlobalHeader ++ junk).toVector
+      // each record consumes >= 16 bytes, so the row count is bounded
+      rows.size <= junk.length / 16 + 1
+    }
+
   property("pcap container round-trip preserves record count and order") =
     forAll(Gen.chooseNum(0, 20)) { n =>
       val frames = (0 until n).map { i =>
