@@ -77,9 +77,21 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightSize)
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      // Next right row whose key AND time are both non-null. A null-keyed or
+      // null-timed right row can never be an as-of match (DuckDB ASOF skips
+      // them too) — and must NOT reach the Long comparisons below, where
+      // Scala unboxing would silently coerce null to 0L and let it match a
+      // legitimate key/time 0.
+      def nextRight(): InternalRow = {
+        while (rIter.hasNext) {
+          val r = rIter.next()
+          if (rkB.eval(r) != null && rtB.eval(r) != null) return r.copy()
+        }
+        null
+      }
       // two-pointer state: rHead = next unconsumed right row (lookahead),
       // rPrev = last consumed right row. O(1) memory.
-      var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var rHead: InternalRow = nextRight()
       var rPrev: InternalRow = null
       def rk(r: InternalRow): Long = rkB.eval(r).asInstanceOf[Long]
       def rt(r: InternalRow): Long = rtB.eval(r).asInstanceOf[Long]
@@ -93,7 +105,7 @@ case class AsOfJoinExec(
           while (rHead != null &&
                  (rk(rHead) < lk || (rk(rHead) == lk && rt(rHead) <= lt))) {
             rPrev = rHead
-            rHead = if (rIter.hasNext) rIter.next().copy() else null
+            rHead = nextRight()
           }
           if (rPrev != null && rk(rPrev) == lk && rt(rPrev) <= lt) matched = rPrev
         }
@@ -104,12 +116,40 @@ case class AsOfJoinExec(
 }
 
 object AsOfJoin {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, UnixDate, UnixMicros}
   import org.apache.spark.sql.graftbridge.SqlBridge
+  import org.apache.spark.sql.types._
+
+  /** Normalize a key/time column to LongType at plan construction so the
+    * exec's Long merge loop stays monomorphic. Integrals widen exactly;
+    * dates become epoch days, timestamps epoch micros (both exact and
+    * strictly monotone, so as-of semantics are preserved). Anything else
+    * fails HERE — analysis time — with a clear message, not at runtime. */
+  private def toLong(e: Expression, role: String): Expression = e.dataType match {
+    case LongType => e
+    case ByteType | ShortType | IntegerType => Cast(e, LongType)
+    case DateType => UnixDate(e)
+    case TimestampType => UnixMicros(e)
+    case TimestampNTZType => UnixMicros(Cast(e, TimestampType))
+    case dt => throw new IllegalArgumentException(
+      s"as-of $role column must be an integral, date or timestamp type; got ${dt.sql}")
+  }
+
+  /** Unit family of a time column: integral/date/timestamp normalize to
+    * different units (raw/days/micros), so mixing them across sides would
+    * compare incommensurate numbers. */
+  private def unitFamily(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "integral"
+    case DateType => "date"
+    case TimestampType | TimestampNTZType => "timestamp"
+    case other => other.sql
+  }
 
   /** `asof(left, right, key, time)`: LEFT as-of join on equal `key` with
-    * the greatest right `time` <= left `time`. Key and time expressions
-    * must be LongType (cast timestamps with unix_micros first); the two
-    * sides must not share attribute ids (alias a self-joined table). */
+    * the greatest right `time` <= left `time`. Key and time columns may be
+    * any integral, date or timestamp type (normalized to Long internally);
+    * the two time columns must be in the same unit family. The two sides
+    * must not share attribute ids (alias a self-joined table). */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String): DataFrame = {
@@ -122,7 +162,11 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val (lt, rt) = (attr(la, leftTime), attr(ra, rightTime))
+    require(unitFamily(lt.dataType) == unitFamily(rt.dataType),
+      s"as-of time columns must share a unit family; got ${lt.dataType.sql} vs ${rt.dataType.sql}")
     SqlBridge.ofRows(spark, AsOfJoinPlan(la, ra,
-      attr(la, leftKey), attr(ra, rightKey), attr(la, leftTime), attr(ra, rightTime)))
+      toLong(attr(la, leftKey), "key"), toLong(attr(ra, rightKey), "key"),
+      toLong(lt, "time"), toLong(rt, "time")))
   }
 }

@@ -22,16 +22,23 @@ object AsOfJoinPropertySpec extends Properties("AsOfJoinExec") {
     s
   }
 
+  // ~1 in 7 keys/times is NULL on both sides: null left rows must emit an
+  // unmatched row, null right rows must be skipped (never coerced to 0).
+  private val genKey: Gen[Option[Long]] =
+    Gen.frequency(6 -> Gen.chooseNum(0L, 5L).map(Some(_)), 1 -> Gen.const(None))
+  private val genTime: Gen[Option[Long]] =
+    Gen.frequency(6 -> Gen.chooseNum(0L, 20L).map(Some(_)), 1 -> Gen.const(None))
+
   private val genRows = for {
     nL <- Gen.chooseNum(0, 30)
     nR <- Gen.chooseNum(0, 30)
-    ls <- Gen.listOfN(nL, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 20L)))
-    rs <- Gen.listOfN(nR, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 20L)))
+    ls <- Gen.listOfN(nL, Gen.zip(genKey, genTime))
+    rs <- Gen.listOfN(nR, Gen.zip(genKey, genTime))
   } yield (ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
            // unique (k, t) on the right so the expected match is unambiguous
-           rs.distinct.map { case (k, t) => (k, t, k * 1000 + t) })
+           rs.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
 
-  property("matches the in-memory as-of reference") = forAll(genRows) { case (ls, rs) =>
+  property("matches the in-memory as-of reference (with nulls)") = forAll(genRows) { case (ls, rs) =>
     import spark.implicits._
     val l = ls.toDF("k", "t", "lid")
     val r = rs.toDF("rk", "rt", "rid")
@@ -40,8 +47,12 @@ object AsOfJoinPropertySpec extends Properties("AsOfJoinExec") {
       .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1))))
       .toMap
     val expected = ls.map { case (k, t, lid) =>
-      val m = rs.filter(x => x._1 == k && x._2 <= t)
-      lid -> (if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      val m = (k, t) match {
+        case (Some(kk), Some(tt)) =>
+          rs.filter(x => x._1.contains(kk) && x._2.exists(_ <= tt))
+        case _ => Nil // null left key/time: never matches
+      }
+      lid -> (if (m.isEmpty) None else Some(m.maxBy(_._2.get)._3))
     }.toMap
     got == expected
   }

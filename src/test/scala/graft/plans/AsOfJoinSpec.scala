@@ -33,6 +33,55 @@ class AsOfJoinSpec extends SparkTestBase {
       ("p3", None)))            // key with no right rows -> LEFT null
   }
 
+  test("null right-side key/time rows are skipped, not coerced to 0") {
+    import spark.implicits._
+    // left has a legitimate key 0 / time 0 row; the right NULL rows would
+    // match it if nulls unboxed to 0L (the pre-round-3 bug).
+    val l = Seq((0L, 0L, "at_zero"), (1L, 10L, "one")).toDF("k", "t", "tag")
+    val r = Seq(
+      (None: Option[Long], Some(0L), "null_key"),
+      (Some(0L), None: Option[Long], "null_time"),
+      (Some(1L), Some(5L), "real"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOfJoin.asof(l, r, "k", "rk", "t", "rt")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    assert(got == Set(("at_zero", None), ("one", Some("real"))))
+  }
+
+  test("int keys and timestamp times are accepted via construction-time casts") {
+    import spark.implicits._
+    val l = Seq((1, "2024-01-01 00:00:02", "p1"), (2, "2024-01-01 00:00:01", "p2"))
+      .toDF("k", "ts", "tag").withColumn("ts", to_timestamp(col("ts")))
+    val r = Seq((1, "2024-01-01 00:00:01", "q1"), (1, "2024-01-01 00:00:03", "q2"))
+      .toDF("rk", "rts", "rtag").withColumn("rts", to_timestamp(col("rts")))
+    val got = AsOfJoin.asof(l, r, "k", "rk", "ts", "rts")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    assert(got == Set(("p1", Some("q1")), ("p2", None)))
+  }
+
+  test("mixed time unit families fail at construction with a clear message") {
+    import spark.implicits._
+    val l = Seq((1L, "2024-01-01 00:00:02", "p1"))
+      .toDF("k", "ts", "tag").withColumn("ts", to_timestamp(col("ts")))
+    val r = Seq((1L, 5L, "q1")).toDF("rk", "rt", "rtag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "k", "rk", "ts", "rt")
+    }
+    assert(e.getMessage.contains("unit family"))
+  }
+
+  test("string time column fails at construction, not runtime") {
+    import spark.implicits._
+    val l = Seq((1L, "a", "p1")).toDF("k", "t", "tag")
+    val r = Seq((1L, "b", "q1")).toDF("rk", "rt", "rtag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("integral, date or timestamp"))
+  }
+
   test("physical plan uses AsOfJoinExec with one shuffle per side") {
     val df = Joins.joinAsofNative(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
