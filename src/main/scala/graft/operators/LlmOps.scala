@@ -98,20 +98,35 @@ object LlmOps {
     val mutated = docs.orderBy(col("doc_id").asc).limit(3)
       .select((col("doc_id") + 1000000L).as("doc_id"),
               concat(col("text"), lit(" mutated")).as("text"))
+    dedupFuzzyOn(docs.unionByName(mutated), DefaultMaxBucket)
+  }
+
+  /** Hot-bucket cap: an LSH bucket larger than this is dropped before pair
+    * expansion. A degenerate bucket (boilerplate shingles shared by millions
+    * of docs) would otherwise emit |bucket|² pairs into one reducer — the
+    * classic LSH OOM at 100 TB. What such a bucket holds is exact-duplicate
+    * or boilerplate mass, which is `dedup_exact`'s job; genuine near-dup
+    * *pairs* still collide in their other, smaller buckets. */
+  private[operators] val DefaultMaxBucket = 64
+
+  /** LSH core over a prepared (doc_id, text) relation: band-bucket the
+    * minhash signatures, self-join on bucket (doc_a < doc_b) — pairs STREAM
+    * out of the join instead of materializing per-bucket id arrays — then
+    * exact-Jaccard re-rank for precision. */
+  private[operators] def dedupFuzzyOn(docsAll: DataFrame, maxBucket: Int): DataFrame = {
     // one row per (doc, band): bucket key = band index + that band's slice
-    val docsAll = docs.unionByName(mutated)
     val banded = docsAll
       .select(col("doc_id"), explode(minhashUdf(col("text"))).as("bucket"))
-    val buckets = banded.groupBy(col("bucket"))
-      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    // expand each bucket's id list into sorted (a < b) candidate pairs
-    val candidates = buckets.select(explode(
-        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
-          transform(sequence(i + 1, size(col("ids")) - 1), j =>
-            struct(element_at(col("ids"), i + 1).as("doc_a"),
-                   element_at(col("ids"), j + 1).as("doc_b")))))).as("pair"))
-      .select(col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("bucket"))
+    // bucket self-join: the two sides are the same plan, so the bucket
+    // Exchange is computed once and reused; no collect_set, no per-bucket
+    // array whose size is unbounded.
+    val candidates = banded.select(col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("bucket"), col("doc_id").as("doc_b")), "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
     // precision stage: LSH gives recall, exact token-set Jaccard on the
     // few surviving candidates gives precision (band collisions of

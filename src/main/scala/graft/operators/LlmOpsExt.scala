@@ -30,48 +30,87 @@ object LlmOpsExt {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash over term-frequency-weighted token hashes; two 32-bit
-    * murmur seeds give the 64 bits. Tight loop, one evaluation per doc. */
-  private[operators] val simhashUdf = udf { text: String =>
-    val acc = new Array[Int](64)
-    text.split(' ').foreach { tok =>
-      val h = (scala.util.hashing.MurmurHash3.stringHash(tok, 42).toLong << 32) |
-        (scala.util.hashing.MurmurHash3.stringHash(tok, 7).toLong & 0xffffffffL)
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+  /** Banded SimHash: `bands` signatures of `bandBits` bits each over
+    * term-frequency-weighted token hashes. Bits come from 64-bit murmur
+    * blocks (two 32-bit seeds per block, fixed), so the layout is the
+    * classic 64-bit simhash when bands*bandBits <= 64 and widens losslessly
+    * beyond it. Tight loop, one evaluation per doc, returns one Long per
+    * band (the band's bucket value). */
+  private[operators] def simhashBandsUdf(bands: Int, bandBits: Int) = {
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 62, s"bad simhash shape $bands x $bandBits")
+    val nBits = bands * bandBits
+    udf { text: String =>
+      val acc = new Array[Int](nBits)
+      text.split(' ').foreach { tok =>
+        var blk = 0
+        while (blk * 64 < nBits) {
+          val h = (scala.util.hashing.MurmurHash3.stringHash(tok, 42 + blk * 1000).toLong << 32) |
+            (scala.util.hashing.MurmurHash3.stringHash(tok, 7 + blk * 1000).toLong & 0xffffffffL)
+          val lim = math.min(64, nBits - blk * 64)
+          var b = 0
+          while (b < lim) {
+            if (((h >>> b) & 1L) == 1L) acc(blk * 64 + b) += 1 else acc(blk * 64 + b) -= 1
+            b += 1
+          }
+          blk += 1
+        }
+      }
+      Array.tabulate(bands) { bd =>
+        var sig = 0L
+        var j = 0
+        while (j < bandBits) { if (acc(bd * bandBits + j) > 0) sig |= (1L << j); j += 1 }
+        sig
+      }
     }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
-    sig
   }
 
-  /** Near-dup candidates by SimHash band blocking: 4 bands of 16 bits;
-    * docs sharing any band are candidates, kept if hamming(sig) <= 8.
-    * Injects mutated copies of the 3 lowest-id docs (like `dedup_fuzzy`)
-    * so the pipeline provably rediscovers them. */
+  /** Band width for corpus size n: sized so the expected bucket occupancy
+    * n / 2^bandBits stays ~16 — the bucket space GROWS with the corpus
+    * instead of the fixed 4x65,536 of a hard-coded 64-bit simhash (which
+    * goes quadratic per bucket at 10^9+ docs). >= 16 keeps small corpora
+    * on the classic 64-bit layout. */
+  private[operators] def simhashBandBits(n: Long): Int =
+    math.min(62, math.max(16, math.ceil(math.log(n.toDouble / 16) / math.log(2)).toInt))
+
+  /** Near-dup candidates by SimHash band blocking: docs sharing any band
+    * are candidates, kept if total hamming <= nBits/8. Injects mutated
+    * copies of the 3 lowest-id docs (like `dedup_fuzzy`) so the pipeline
+    * provably rediscovers them. Band width scales with corpus size
+    * (simhashBandBits); buckets over LlmOps.DefaultMaxBucket are dropped
+    * before pair expansion (same hot-bucket guard as dedup_fuzzy). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val mutated = docs.orderBy(col("doc_id").asc).limit(3)
       .select((col("doc_id") + 1000000L).as("doc_id"),
               concat(col("text"), lit(" mutated")).as("text"))
-    val sigs = docs.unionByName(mutated)
-      .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        concat_ws(":", lit(b), shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)))): _*))
-        .as("bucket"))
-    val buckets = banded.groupBy(col("bucket"))
-      .agg(array_sort(collect_set(struct(col("doc_id"), col("sig")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets.select(explode(
-        flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
-          transform(sequence(i + 1, size(col("ids")) - 1), j =>
-            struct(element_at(col("ids"), i + 1).as("a"),
-                   element_at(col("ids"), j + 1).as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-              bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
-      .filter(col("hamming") <= 8)
+    dedupSimhashOn(docs.unionByName(mutated), bands = 4,
+      bandBits = simhashBandBits(docs.count()), maxBucket = LlmOps.DefaultMaxBucket)
+  }
+
+  /** SimHash core over a prepared (doc_id, text) relation: band-bucket the
+    * signatures, cap bucket size, self-join on bucket (doc_a < doc_b) so
+    * pairs stream out of the join, hamming-filter over the full signature. */
+  private[operators] def dedupSimhashOn(docsAll: DataFrame, bands: Int, bandBits: Int,
+                                        maxBucket: Int): DataFrame = {
+    val sigs = docsAll.select(col("doc_id"),
+      simhashBandsUdf(bands, bandBits)(col("text")).as("sigs"))
+    val banded = sigs
+      .select(col("doc_id"), col("sigs"), posexplode(col("sigs")).as(Seq("band", "bval")))
+      .select(col("doc_id"), col("sigs"),
+              concat_ws(":", col("band"), col("bval")).as("bucket"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("sigs"), col("bucket"))
+    val hamMax = bands * bandBits / 8
+    banded.select(col("bucket"), col("doc_id").as("doc_a"), col("sigs").as("sigs_a"))
+      .join(banded.select(col("bucket"), col("doc_id").as("doc_b"), col("sigs").as("sigs_b")),
+            "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sigs_a"), col("sigs_b"),
+                           (x, y) => bit_count(x.bitwiseXOR(y))),
+                  lit(0), (acc, v) => acc + v).as("hamming"))
+      .filter(col("hamming") <= hamMax)
       .distinct()
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
@@ -122,83 +161,176 @@ object LlmOpsExt {
 
   // ---- approximate nearest neighbors (sign-LSH) -------------------------
 
-  private val AnnPlanes = 16
   private val Dim = 64
-  /** Fixed pseudo-random hyperplanes (LCG, seed 1234543) — deterministic
-    * across executors/runs. */
-  private[operators] val planes: Array[Array[Double]] = {
+  private val AnnBands = 4
+  /** Target expected band-bucket occupancy (docs per bucket) the default
+    * plane count aims for. */
+  private val AnnTargetBucket = 32
+
+  /** Planes per band for corpus size n: 2^w buckets per band with expected
+    * occupancy n/2^w ~= AnnTargetBucket, so per-probe candidate work stays
+    * ~bands*AnnTargetBucket as the corpus grows — the blocking SCALES with
+    * n instead of being a constant 16x prefilter. w >= 4 keeps small
+    * corpora on the original 16-plane layout. */
+  private[operators] def annPlanesPerBand(n: Long): Int =
+    math.min(62, math.max(4,
+      math.ceil(math.log(n.toDouble / AnnTargetBucket) / math.log(2)).toInt))
+
+  /** Deterministic pseudo-random hyperplanes (LCG, seed 1234543). Fill
+    * order is row-major, so the first k rows are identical for any count —
+    * growing the plane count never perturbs existing plane directions. */
+  private[operators] def planesFor(count: Int): Array[Array[Double]] = {
     var s = 1234543L
     def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >> 11).toDouble / (1L << 52).toDouble }
-    Array.fill(AnnPlanes, Dim)(next() - 0.5)
+    Array.fill(count, Dim)(next() - 0.5)
   }
 
-  private[operators] val annSigUdf = udf { emb: Seq[Float] =>
-    var sig = 0
-    var p = 0
-    while (p < AnnPlanes) {
-      var d = 0.0; var i = 0
-      val pl = planes(p)
-      while (i < Dim && i < emb.length) { d += pl(i) * emb(i); i += 1 }
-      if (d > 0) sig |= (1 << p)
-      p += 1
+  /** Per-band sign-LSH signatures: band b packs the signs of planes
+    * [b*w, (b+1)*w) into a Long. One tight loop per row. */
+  private[operators] def annBandSigsUdf(bands: Int, w: Int) = {
+    val planes = planesFor(bands * w)
+    udf { emb: Seq[Float] =>
+      Array.tabulate(bands) { b =>
+        var sig = 0L
+        var j = 0
+        while (j < w) {
+          val pl = planes(b * w + j)
+          var d = 0.0
+          var i = 0
+          while (i < Dim && i < emb.length) { d += pl(i) * emb(i); i += 1 }
+          if (d > 0) sig |= (1L << j)
+          j += 1
+        }
+        sig
+      }
     }
-    sig
   }
 
-  /** ANN top-5: sign-LSH signatures, 4 bands of 4 bits as bucket keys,
-    * probe↔corpus bucket equi-join, exact cosine re-rank of colliding
-    * candidates. The bucket join replaces `sim_topk`'s full cross
-    * product — at 100 TB the corpus scan emits 4 small rows per vector
-    * and only same-bucket pairs are scored. */
-  def simAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+  /** The banded probe↔corpus bucket equi-join both ANN entry points build
+    * on: each side emits `bands` small rows per vector, only same-bucket
+    * pairs survive. Returns distinct (p_id, c_id) candidates with both
+    * double-cast embeddings. */
+  private[operators] def annJoinCandidates(emb: DataFrame, w: Int,
+                                           bands: Int = AnnBands): DataFrame = {
     val dbl: Column => Column = c => transform(c, x => x.cast("double"))
     def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
       df.select(col(idCol), dbl(col(embCol)).as(embCol + "_d"),
-                annSigUdf(col(embCol)).as("sig"))
+                annBandSigsUdf(bands, w)(col(embCol)).as("sigs"))
         .select(col(idCol), col(embCol + "_d"),
-          explode(array((0 until 4).map(b =>
-            concat_ws(":", lit(b), shiftright(col("sig"), b * 4).bitwiseAND(lit(15)))): _*))
-            .as("bucket"))
+                posexplode(col("sigs")).as(Seq("band", "bsig")))
+        .select(col(idCol), col(embCol + "_d"),
+                concat_ws(":", col("band"), col("bsig")).as("bucket"))
     val probes = banded(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("p_id"), col("embedding").as("p_emb")), "p_id", "p_emb")
     val corpus = banded(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
                         "c_id", "c_emb")
-    val dot = aggregate(zip_with(col("p_emb_d"), col("c_emb_d"), (x, y) => x * y),
-                        lit(0.0), (a, v) => a + v)
-    val np = sqrt(aggregate(col("p_emb_d"), lit(0.0), (a, x) => a + x * x))
-    val nc = sqrt(aggregate(col("c_emb_d"), lit(0.0), (a, x) => a + x * x))
-    val w = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
     broadcast(probes).join(corpus, "bucket")
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"), col("p_emb_d"), col("c_emb_d"))
       .dropDuplicates("p_id", "c_id")
+  }
+
+  /** Per-probe candidate-set sizes of the sign-LSH blocking — the quantity
+    * the scale claim rests on; LlmExtSpecs asserts it stays bounded as the
+    * corpus grows. */
+  private[operators] def annCandidatesPerProbe(emb: DataFrame, w: Int,
+                                               bands: Int = AnnBands): DataFrame =
+    annJoinCandidates(emb, w, bands)
+      .groupBy(col("p_id")).agg(count(lit(1)).as("n_candidates"))
+
+  /** ANN top-5: sign-LSH signatures, `bands` bands of `w` sign bits as
+    * bucket keys (w from annPlanesPerBand — grows with corpus size),
+    * probe↔corpus bucket equi-join, exact cosine re-rank of colliding
+    * candidates. The bucket join replaces `sim_topk`'s full cross
+    * product — the corpus scan emits `bands` small rows per vector and
+    * only same-bucket pairs are scored. */
+  def simAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    simAnnWith(emb, annPlanesPerBand(emb.count()))
+  }
+
+  private[operators] def simAnnWith(emb: DataFrame, w: Int,
+                                    bands: Int = AnnBands): DataFrame = {
+    val dot = aggregate(zip_with(col("p_emb_d"), col("c_emb_d"), (x, y) => x * y),
+                        lit(0.0), (a, v) => a + v)
+    val np = sqrt(aggregate(col("p_emb_d"), lit(0.0), (a, x) => a + x * x))
+    val nc = sqrt(aggregate(col("c_emb_d"), lit(0.0), (a, x) => a + x * x))
+    val win = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    annJoinCandidates(emb, w, bands)
       .withColumn("cos", dot / (np * nc))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(win))
       .filter(col("rnk") <= 5)
       .select(col("p_id"), col("rnk"), col("c_id"), graft.Det.r4(col("cos")).as("cosine"))
       .orderBy(col("p_id").asc, col("rnk").asc)
   }
 
-  /** IVF-style ANN top-5: the corpus is partitioned into 16 cells by
+  /** Cell count for corpus size n: ~sqrt(n) (>= 16), the classic IVF
+    * balance point — nprobe*sqrt(n) vectors scanned per probe and a
+    * sqrt(n)-row codebook, both sublinear. (Beyond ~10^10 vectors the
+    * codebook itself outgrows a driver artifact and goes hierarchical —
+    * out of scope here, noted for honesty.) */
+  private[operators] def ivfCellCount(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Spherical k-means on the driver over a deterministic sample — the
+    * "train once, broadcast forever" model-artifact path. L2-normalized
+    * Lloyd iterations; empty cells keep their previous centroid. */
+  private[operators] def kmeansCodebook(sample: Array[Array[Double]], k: Int,
+                                        iters: Int = 4): Array[(Int, Array[Double])] = {
+    val dim = sample.head.length
+    def normed(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      val s = if (n == 0) 1.0 else 1.0 / math.sqrt(n)
+      v.map(_ * s)
+    }
+    val xs = sample.map(normed)
+    var cents = xs.take(k) // deterministic init: first k sample vectors
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += cents(c)(i) * x(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c => if (counts(c) > 0) normed(sums(c)) else cents(c))
+      it += 1
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
+  /** IVF-style ANN top-5: the corpus is partitioned into ~sqrt(n) cells by
     * nearest centroid ("coarse quantizer"); probes search only their
     * nprobe=2 closest cells, exact cosine re-ranks within them. The
-    * centroid set here is a deterministic stand-in (the 16 lowest-id
-    * vectors — a real pipeline would k-means once and broadcast); the
-    * 16-row "codebook" is collected to the driver exactly like a trained
-    * model artifact and broadcast into the assignment UDF.
+    * codebook is trained by deterministic spherical k-means over a bounded
+    * sample, collected to the driver exactly like a trained model artifact
+    * and broadcast into the assignment UDF.
     *
-    * 100 TB shape: cell assignment is one map-side pass (16 dot products
-    * per vector); the probe↔corpus join is an equi-join on cell id over
-    * 1/8 of the corpus per probe instead of a full scan. */
+    * 100 TB shape: cell assignment is one map-side pass (sqrt(n) dot
+    * products per vector); the probe↔corpus join is an equi-join on cell
+    * id over ~nprobe*sqrt(n) corpus vectors per probe instead of a full
+    * scan. */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val dbl: Column => Column = c => transform(c, x => x.cast("double"))
-    // "codebook": tiny, driver-collected like a trained model, then broadcast
-    val centroids: Array[(Int, Array[Double])] = emb.filter(col("vec_id") < 16)
-      .selectExpr("cast(vec_id as int) id", "embedding")
+    val cells = ivfCellCount(emb.count())
+    // train the codebook on a deterministic bounded sample (8 vectors per
+    // cell), driver-side like any model-training step, then broadcast
+    val sample: Array[Array[Double]] = emb.filter(col("vec_id") < cells.toLong * 8)
+      .orderBy(col("vec_id").asc).select(col("embedding"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids: Array[(Int, Array[Double])] = kmeansCodebook(sample, cells)
     def cosTo(cent: Array[Double], v: Seq[Float]): Double = {
       var d = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
       while (i < cent.length && i < v.length) {

@@ -23,10 +23,48 @@ class LlmExtSpecs extends SparkTestBase {
   test("simhash is invariant to token order but sensitive to token change") {
     import spark.implicits._
     val sigs = Seq("alpha beta gamma delta", "delta gamma beta alpha", "alpha beta gamma epsilon")
-      .toDF("text").select(LlmOpsExt.simhashUdf(col("text")).as("sig"))
-      .collect().map(_.getLong(0))
+      .toDF("text").select(LlmOpsExt.simhashBandsUdf(4, 16)(col("text")).as("sigs"))
+      .collect().map(_.getSeq[Long](0))
     assert(sigs(0) == sigs(1)) // bag-of-words: order-invariant
     assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash band width grows with corpus size; wide bands keep band-collision recall") {
+    import spark.implicits._
+    // default sizing: classic 64-bit layout for small corpora, wider beyond
+    assert(LlmOpsExt.simhashBandBits(500) == 16)
+    assert(LlmOpsExt.simhashBandBits(100000000L) ==
+      math.ceil(math.log(100000000.0 / 16) / math.log(2)).toInt)
+    // a near-dup pair still shares bands at a 22-bit width (wider slices
+    // are *harder* to match exactly, so verify recall survives widening).
+    // The doc must be long enough that one added token flips few signature
+    // bits — a one-token edit of an 8-token doc is NOT a simhash near-dup.
+    val base = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val pairs = LlmOpsExt.dedupSimhashOn(
+      Seq((1L, base), (2L, base + " mutated"),
+          (3L, "totally different words nothing shared here at all"))
+        .toDF("doc_id", "text"),
+      bands = 4, bandBits = 22, maxBucket = 64).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(!pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+  }
+
+  test("dedup hot-bucket cap: a 1000-copy document cannot blow up pair expansion") {
+    import spark.implicits._
+    // 1000 identical docs -> every one of their LSH buckets holds 1000 ids;
+    // uncapped that is ~500k pairs per band into one reducer. The cap drops
+    // those buckets (identical docs are dedup_exact's job) while the
+    // genuine near-dup pair in ordinary buckets is still found.
+    val hot = (0 until 1000).map(i => (5000L + i, "same boilerplate text " * 5))
+    val normal = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mutated"),
+      (3L, "unrelated content entirely about something else altogether now"))
+    val out = LlmOps.dedupFuzzyOn((hot ++ normal).toDF("doc_id", "text"), maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)), "genuine near-dup lost")
+    assert(!out.exists { case (a, b) => a >= 5000L && b >= 5000L },
+      "hot-bucket pairs leaked through the cap")
   }
 
   test("sim_ann: scaled near-duplicate always collides and ranks first") {
@@ -37,8 +75,9 @@ class LlmExtSpecs extends SparkTestBase {
       .filter(col("vec_id") === 0).select(col("embedding"))
       .as[Seq[Float]].head()
     val scaled = emb.map(x => x * 1.001f)
-    val s1 = Seq(emb).toDF("embedding").select(LlmOpsExt.annSigUdf(col("embedding"))).head().getInt(0)
-    val s2 = Seq(scaled).toDF("embedding").select(LlmOpsExt.annSigUdf(col("embedding"))).head().getInt(0)
+    val sigUdf = LlmOpsExt.annBandSigsUdf(4, 4)
+    val s1 = Seq(emb).toDF("embedding").select(sigUdf(col("embedding"))).head().getSeq[Long](0)
+    val s2 = Seq(scaled).toDF("embedding").select(sigUdf(col("embedding"))).head().getSeq[Long](0)
     assert(s1 == s2)
     // and the ANN query itself returns exactly <=5 ranked rows per probe
     val ann = LlmOpsExt.simAnn(spark, sfDir)
@@ -46,6 +85,27 @@ class LlmExtSpecs extends SparkTestBase {
       .collect()
     assert(perProbe.nonEmpty)
     perProbe.foreach(r => assert(r.getAs[Long]("n") <= 5 && r.getAs[Int]("m") <= 5))
+  }
+
+  test("sim_ann blocking: per-probe candidate set stays bounded as the corpus grows") {
+    // The 100 TB claim: default plane sizing (annPlanesPerBand) keeps the
+    // expected bucket occupancy ~constant, so candidates per probe must NOT
+    // grow linearly with corpus size. sf0.001 has 500 vectors (w=4),
+    // sf0.1 has 2000 (w=6): corpus x4, candidate mean must stay within 2x
+    // and under an absolute bound.
+    def meanCandidates(dir: String): Double = {
+      val emb = graft.Tables.t(spark, dir, "embeddings")
+      val w = LlmOpsExt.annPlanesPerBand(emb.count())
+      val rows = LlmOpsExt.annCandidatesPerProbe(emb, w).collect()
+      rows.map(_.getAs[Long]("n_candidates")).sum.toDouble / math.max(rows.length, 1)
+    }
+    val small = meanCandidates("/root/testdata/sf0.001")
+    val large = meanCandidates("/root/testdata/sf0.1")
+    assert(small > 0, "blocking returned no candidates at sf0.001")
+    assert(large <= small * 2.5,
+      s"candidates grew with corpus size: $small -> $large (corpus grew 4x)")
+    assert(large <= 4.0 * 4 * 32, // bands * AnnTargetBucket * slack
+      s"mean candidate set $large exceeds the occupancy bound")
   }
 
   test("sim_ann candidates agree with exact cosine where they overlap") {
