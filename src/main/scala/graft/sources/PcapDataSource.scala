@@ -72,40 +72,57 @@ class PcapTable(properties: Map[String, String]) extends Table with SupportsRead
   }
 }
 
-class PcapScanBuilder(path: String) extends ScanBuilder with Scan with Batch {
+/** Scan with column pruning (SupportsPushDownRequiredColumns): Catalyst
+  * hands us the required columns and `SELECT protocol FROM pcap` then
+  * skips dotted-quad string formatting (no src_ip/dst_ip), the whole
+  * network decode (no network columns), and the Metamako trailer scan
+  * (no mm_* columns) per packet — at 100 TB of captures the formatting
+  * alone dominates an un-pruned scan. */
+class PcapScanBuilder(path: String) extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = PcapDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = this
-  override def readSchema(): StructType = PcapDataSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     PcapDataSource.listCaptureFiles(path).map(PcapFilePartition(_): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory = new PcapReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new PcapReaderFactory(required)
 }
 
 case class PcapFilePartition(file: String) extends InputPartition
 
-class PcapReaderFactory extends PartitionReaderFactory {
+class PcapReaderFactory(readSchema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PcapFilePartition].file
+    val names = readSchema.fieldNames
+    val wants = PcapParser.Wants(
+      ips = names.contains("src_ip") || names.contains("dst_ip"),
+      net = Seq("src_ip", "dst_ip", "protocol", "src_port", "dst_port").exists(names.contains),
+      trailers = Seq("mm_ts", "mm_id", "mm_port").exists(names.contains))
     new PartitionReader[InternalRow] {
       private val fileUtf8 = UTF8String.fromString(file)
+      // one value extractor per REQUIRED column, in the pruned schema's order
+      private val getters: Array[PcapParser.Packet => Any] = names.map {
+        case "file" => (_: PcapParser.Packet) => fileUtf8
+        case "pkt_idx" => (p: PcapParser.Packet) => p.pkt_idx
+        case "src_ip" => (p: PcapParser.Packet) => p.src_ip.map(UTF8String.fromString).orNull
+        case "dst_ip" => (p: PcapParser.Packet) => p.dst_ip.map(UTF8String.fromString).orNull
+        case "len" => (p: PcapParser.Packet) => p.len.map(Long.box).orNull
+        case "protocol" => (p: PcapParser.Packet) => p.protocol.map(UTF8String.fromString).orNull
+        case "src_port" => (p: PcapParser.Packet) => p.src_port.map(Int.box).orNull
+        case "dst_port" => (p: PcapParser.Packet) => p.dst_port.map(Int.box).orNull
+        case "mm_ts" => (p: PcapParser.Packet) => p.mm_ts.map(Long.box).orNull
+        case "mm_id" => (p: PcapParser.Packet) => p.mm_id.map(Int.box).orNull
+        case "mm_port" => (p: PcapParser.Packet) => p.mm_port.map(Int.box).orNull
+        case other => throw new IllegalArgumentException(s"unknown pcap column $other")
+      }
       private val it = PcapParser.parseFile(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), wants)
       private var current: PcapParser.Packet = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
-      override def get(): InternalRow = {
-        val p = current
-        new GenericInternalRow(Array[Any](
-          fileUtf8, p.pkt_idx,
-          p.src_ip.map(UTF8String.fromString).orNull,
-          p.dst_ip.map(UTF8String.fromString).orNull,
-          p.len.map(Long.box).orNull,
-          p.protocol.map(UTF8String.fromString).orNull,
-          p.src_port.map(Int.box).orNull,
-          p.dst_port.map(Int.box).orNull,
-          p.mm_ts.map(Long.box).orNull,
-          p.mm_id.map(Int.box).orNull,
-          p.mm_port.map(Int.box).orNull))
-      }
+      override def get(): InternalRow =
+        new GenericInternalRow(getters.map(_(current)))
       override def close(): Unit = ()
     }
   }

@@ -53,13 +53,17 @@ object PcapParser {
     * byte 0; protocol at byte 9; src/dst addresses at bytes 12-15/16-19
     * formatted dotted-quad (main.rs:193-196); dispatch 1/2/6/17 ->
     * ICMP/IGMP/TCP/UDP (main.rs:198-210), anything else leaves protocol
-    * NULL. No checksum/fragment/option handling, as in the reference. */
-  private def parseIpv4(b: Array[Byte], off: Int, p: Packet): Packet = {
+    * NULL. No checksum/fragment/option handling, as in the reference.
+    * `wantIps = false` (column pruned at the scan) skips the dotted-quad
+    * string formatting — the dominant per-packet cost. */
+  private def parseIpv4(b: Array[Byte], off: Int, p: Packet, wantIps: Boolean): Packet = {
     if (off + 20 > b.length) return p
     val ihl = (b(off) & 0x0f) * 4
     val proto = b(off + 9) & 0xff
     def quad(o: Int) = s"${b(o) & 0xff}.${b(o + 1) & 0xff}.${b(o + 2) & 0xff}.${b(o + 3) & 0xff}"
-    val withIps = p.copy(src_ip = Some(quad(off + 12)), dst_ip = Some(quad(off + 16)))
+    val withIps =
+      if (wantIps) p.copy(src_ip = Some(quad(off + 12)), dst_ip = Some(quad(off + 16)))
+      else p
     proto match {
       case 1 => withIps.copy(protocol = Some("ICMP"))
       case 2 => withIps.copy(protocol = Some("IGMP"))
@@ -77,11 +81,11 @@ object PcapParser {
     * 0x0800 -> IPv4 at 14; single 802.1Q tag 0x8100 -> inner EtherType at
     * 16-17, IPv4 at 18; anything else (ARP, IPv6, QinQ) ignored — fields
     * stay NULL. MACs deliberately not extracted (main.rs:235-236). */
-  def parseEthernet(b: Array[Byte], p: Packet): Packet = {
+  def parseEthernet(b: Array[Byte], p: Packet, wantIps: Boolean = true): Packet = {
     if (b.length < 14) return p
     be16(b, 12) match {
-      case 0x0800 => parseIpv4(b, 14, p)
-      case 0x8100 if b.length >= 18 && be16(b, 16) == 0x0800 => parseIpv4(b, 18, p)
+      case 0x0800 => parseIpv4(b, 14, p, wantIps)
+      case 0x8100 if b.length >= 18 && be16(b, 16) == 0x0800 => parseIpv4(b, 18, p, wantIps)
       case _ => p
     }
   }
@@ -133,12 +137,23 @@ object PcapParser {
     }
   }
 
+  /** Which column groups a consumer actually needs — the scan-side pruning
+    * contract. `ips` gates dotted-quad formatting, `net` the whole
+    * Ethernet/IPv4/L4 decode, `trailers` the Metamako tail scan. Full
+    * decode = Wants(true, true, true). */
+  final case class Wants(ips: Boolean = true, net: Boolean = true, trailers: Boolean = true)
+  val WantsAll: Wants = Wants()
+
   /** Full per-record pipeline (main() body, main.rs:89-101): trailer scan
-    * guarded by origlen >= 16 (main.rs:92), then Ethernet decode. */
-  def decodeRecord(pktIdx: Long, data: Array[Byte], tsSec: Long, origLen: Long): Packet = {
+    * guarded by origlen >= 16 (main.rs:92), then Ethernet decode. Pruned
+    * column groups (`wants`) skip their decode work entirely — the fields
+    * stay None, which the pruned scan never reads. */
+  def decodeRecord(pktIdx: Long, data: Array[Byte], tsSec: Long, origLen: Long,
+                   wants: Wants = WantsAll): Packet = {
     val base = Packet(pktIdx, None, None, Some(origLen), None, None, None, None, None, None)
-    val withMm = if (origLen >= 16) extractTrailers(data, tsSec, base) else base
-    parseEthernet(data, withMm)
+    val withMm =
+      if (wants.trailers && origLen >= 16) extractTrailers(data, tsSec, base) else base
+    if (wants.net) parseEthernet(data, withMm, wants.ips) else withMm
   }
 
   // ---- legacy pcap container (main.rs:64-66, 83-118) ---------------------
@@ -154,7 +169,7 @@ object PcapParser {
     * record ends the iteration instead of crashing. Handles both byte
     * orders and the nanosecond-magic variant (ts_sec stays seconds, so the
     * trailer heuristic is unchanged — SURVEY.md §2.A trap #5). */
-  def parseFile(bytes: Array[Byte]): Iterator[Packet] = {
+  def parseFile(bytes: Array[Byte], wants: Wants = WantsAll): Iterator[Packet] = {
     if (bytes.length < 24) return Iterator.empty
     val magic = le32(bytes, 0)
     val (swapped, ok) = magic match {
@@ -180,7 +195,7 @@ object PcapParser {
         val origLen = u32(off + 12)
         val data = java.util.Arrays.copyOfRange(bytes, off + 16, off + 16 + inclLen)
         off += 16 + inclLen
-        val p = decodeRecord(idx, data, tsSec, origLen)
+        val p = decodeRecord(idx, data, tsSec, origLen, wants)
         idx += 1
         p
       }

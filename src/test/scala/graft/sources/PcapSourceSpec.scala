@@ -43,4 +43,32 @@ class PcapSourceSpec extends SparkTestBase {
     assert(fields == Seq("file", "pkt_idx", "src_ip", "dst_ip", "len",
       "protocol", "src_port", "dst_port", "mm_ts", "mm_id", "mm_port"))
   }
+
+  test("column pruning reaches the scan: SELECT protocol reads a 1-column schema") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("pcap").load(dir)
+      .select(org.apache.spark.sql.functions.col("protocol"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("protocol"),
+      s"scan not pruned: ${scan.scan.readSchema().fieldNames.mkString(",")}")
+    // and the pruned read still returns correct values
+    val protos = df.collect().map(r => Option(r.getString(0)))
+    assert(protos.count(_.contains("UDP")) == 6 && protos.count(_.contains("TCP")) == 2)
+  }
+
+  test("pruned scans skip unrequested decode work but agree column-wise") {
+    // mm_* only: network fields never decoded; values must still match the
+    // full-decode parser on the overlapping columns
+    val viaPruned = spark.read.format("pcap").load(dir)
+      .filter(org.apache.spark.sql.functions.col("file").endsWith("a.pcap"))
+      .select("pkt_idx", "mm_ts", "mm_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1)
+    val direct = PcapParser.parseFile(PcapFixtures.goldenPcap).toVector
+      .map(p => (p.pkt_idx, p.mm_ts, p.mm_id))
+    assert(viaPruned.toVector == direct)
+  }
 }
