@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 import graft.Tables
 
 /** Streaming-analog surface (SURVEY.md §2.B "Streaming"). Each query is
@@ -103,6 +105,31 @@ object StreamOps {
       .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
               date_format(col("ts"), TsFmt).as("first_ts"))
       .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
+  /** Deployable Structured Streaming entry point: watch a GROWING directory
+    * of parquet event files (the capture-roll / event-log refill use case)
+    * and maintain the same 1-hour tumbling aggregate as the batch path —
+    * the identical `tumblingAgg` plan builder, under a 10-minute watermark
+    * in append mode, writing closed windows to a parquet sink with exactly-
+    * once checkpointing. New files dropped into `inputDir` are picked up on
+    * the next trigger; at scale parallelism is file count per micro-batch.
+    *
+    * `schema` is the event schema (file sources require one up front;
+    * must contain `ts: timestamp` and `value`). */
+  def startFilePipeline(spark: SparkSession, inputDir: String, outDir: String,
+                        checkpointDir: String, schema: StructType): StreamingQuery = {
+    val events = spark.readStream.schema(schema).parquet(inputDir)
+      .withWatermark("ts", "10 minutes")
+    tumblingAgg(events)
+      .select(date_format(col("window.start"), TsFmt).as("wstart"),
+              col("n"), col("sum_value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

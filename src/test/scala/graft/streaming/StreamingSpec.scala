@@ -76,6 +76,46 @@ class StreamingSpec extends SparkTestBase {
     assert(builtIn.exceptAll(analog).isEmpty && analog.exceptAll(builtIn).isEmpty)
   }
 
+  test("file-source pipeline over a growing directory emits closed windows (append mode)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream-files").toFile.getAbsolutePath
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    // real event rows, ts-ordered, delivered as two parquet file drops —
+    // the capture-roll / growing-log deployment the reference's refill
+    // loop serves
+    val rows = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_id".cast("long"), $"ts", $"value".cast("double"))
+      .orderBy($"ts".asc, $"event_id".asc)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val (c1, c2) = rows.splitAt((rows.length * 7) / 10)
+    spark.createDataset(c1.toSeq).toDF("event_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val q = StreamOps.startFilePipeline(spark, inDir, outDir, ckpt,
+      spark.read.parquet(inDir).schema)
+    q.processAllAvailable()
+    spark.createDataset(c2.toSeq).toDF("event_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(inDir) // the directory GROWS
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[String]("wstart"),
+                           (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+    val batch = StreamOps.streamTumbling(spark, sfDir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty, "pipeline emitted nothing")
+    // every emitted (closed) window must equal the batch result exactly
+    got.foreach { case (w, v) =>
+      assert(batch(w) == v, s"window $w: streamed $v, batch ${batch(w)}") }
+    // windows already closed by chunk 1's watermark must all have been emitted
+    def epochUtc(s: String): Long = java.time.LocalDateTime
+      .parse(s.replace(' ', 'T')).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val wm1 = c1.last._2.getTime - 600000L // max(ts) - 10 min
+    val mustHave = batch.keySet.filter(w => epochUtc(w) + 3600000L <= wm1)
+    assert(mustHave.subsetOf(got.keySet),
+      s"closed windows missing from sink: ${mustHave -- got.keySet}")
+  }
+
   test("streaming sliding window assigns each event to 4 windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
