@@ -9,7 +9,10 @@ import graft.functions.{TopKAggregator, UdxOps}
   * sketch accuracy, typed-aggregator semantics, LSH recall. */
 class OperatorSpecs extends SparkTestBase {
 
-  test("agg_approx_distinct: HLL estimate within ±5% of exact (SURVEY.md §2.B)") {
+  // NB: approx_count_distinct's default 5% rsd is a STANDARD DEVIATION,
+  // not a bound — assert 3x rsd so a correctly-behaving sketch can't flake
+  // the suite on a different corpus or Spark version.
+  test("agg_approx_distinct: HLL estimate within 3x rsd (15%) of exact (SURVEY.md §2.B)") {
     val approx = Aggregates.aggApproxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("approx_parts").toDouble).toMap
     val exact = graft.Tables.t(spark, sfDir, "lineitem")
@@ -17,8 +20,8 @@ class OperatorSpecs extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("e").toDouble).toMap
     assert(approx.nonEmpty && approx.keySet == exact.keySet)
     approx.foreach { case (k, a) =>
-      assert(math.abs(a - exact(k)) / exact(k) <= 0.05,
-        s"HLL off by >5% for $k: approx=$a exact=${exact(k)}")
+      assert(math.abs(a - exact(k)) / exact(k) <= 0.15,
+        s"HLL off by >15% (3x rsd) for $k: approx=$a exact=${exact(k)}")
     }
   }
 
