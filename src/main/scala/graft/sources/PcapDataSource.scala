@@ -9,14 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 connector for legacy pcap captures:
-  * `spark.read.format("pcap").load(pathOrDir)` (SURVEY.md §4.3 / §7 M5 —
-  * the "custom DataSource V2" milestone; v1 was binaryFile + flatMap).
+  * `spark.read.format("pcap").load(pathOrDir)` for batch and
+  * `spark.readStream.format("pcap").load(dir)` for a growing capture
+  * directory (SURVEY.md §4.3 / §7 M5 — the "custom DataSource V2"
+  * milestone; v1 was binaryFile + flatMap).
   *
   * Split model: ONE InputPartition PER CAPTURE FILE. Legacy pcap has no
   * record sync markers, so a file cannot be split mid-stream safely
@@ -63,7 +66,7 @@ class PcapTable(properties: Map[String, String]) extends Table with SupportsRead
   override def name(): String = s"pcap(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = PcapDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val path = Option(options.get("path"))
       .orElse(properties.get("path"))
@@ -88,9 +91,47 @@ class PcapScanBuilder(path: String) extends ScanBuilder with Scan with Batch
   override def planInputPartitions(): Array[InputPartition] =
     PcapDataSource.listCaptureFiles(path).map(PcapFilePartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = new PcapReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PcapMicroBatchStream(path, required)
 }
 
 case class PcapFilePartition(file: String) extends InputPartition
+
+/** Offset for the pcap stream: the count of (name-sorted) capture files
+  * already processed. */
+case class PcapOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch stream over a GROWING capture directory — the reference's
+  * refill loop (main.rs:112-115) as a deployable Structured Streaming
+  * source: `spark.readStream.format("pcap").load(dir)`. Each trigger picks
+  * up capture files that appeared since the last committed offset, one
+  * InputPartition per new file (the same unsplittable-file granularity as
+  * the batch scan). Contract: capture files are immutable once written and
+  * roll with lexicographically increasing names (how capture hardware
+  * names them); renames/deletes are unsupported. Column pruning applies
+  * the same as the batch path. */
+class PcapMicroBatchStream(path: String, readSchema: StructType) extends MicroBatchStream {
+  // snapshot the listing once per latestOffset() call so a file landing
+  // mid-planning can't shift indices between latestOffset and plan
+  @volatile private var snapshot: Seq[String] = Nil
+  override def initialOffset(): Offset = PcapOffset(0)
+  override def latestOffset(): Offset = {
+    snapshot = PcapDataSource.listCaptureFiles(path)
+    PcapOffset(snapshot.size)
+  }
+  override def deserializeOffset(json: String): Offset = PcapOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PcapOffset].n
+    val e = end.asInstanceOf[PcapOffset].n
+    val files = if (snapshot.size >= e) snapshot else PcapDataSource.listCaptureFiles(path)
+    files.slice(s, e).map(PcapFilePartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new PcapReaderFactory(readSchema)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class PcapReaderFactory(readSchema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -58,6 +58,27 @@ class PcapSourceSpec extends SparkTestBase {
     assert(protos.count(_.contains("UDP")) == 6 && protos.count(_.contains("TCP")) == 2)
   }
 
+  test("readStream.format(\"pcap\") picks up files as the capture directory grows") {
+    val d = Files.createTempDirectory("pcap-stream").toFile
+    Files.write(new java.io.File(d, "c00.pcap").toPath, PcapFixtures.goldenPcap)
+    val q = spark.readStream.format("pcap").load(d.getAbsolutePath)
+      .writeStream.format("memory").queryName("pcap_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("pcap_stream_out").count() == 12)
+    // a new capture file rolls in — next trigger must pick up ONLY it
+    Files.write(new java.io.File(d, "c01.pcap").toPath, PcapFixtures.pcapFile(Seq(
+      (PcapFixtures.ethernet(0x0800, PcapFixtures.ipv4(6,
+        Array[Byte](10, 1, 1, 1), Array[Byte](10, 2, 2, 2),
+        PcapFixtures.l4Ports(22, 2222))), BaseTs))))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pcap_stream_out")
+    assert(rows.count() == 13)
+    import org.apache.spark.sql.functions.col
+    assert(rows.filter(col("file").endsWith("c01.pcap")).count() == 1)
+  }
+
   test("pruned scans skip unrequested decode work but agree column-wise") {
     // mm_* only: network fields never decoded; values must still match the
     // full-decode parser on the overlapping columns
