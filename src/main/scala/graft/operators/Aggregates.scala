@@ -97,6 +97,32 @@ object Aggregates {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Exact percentiles (p50/p90/p99) per return flag — the sort-based
+    * aggregate path (Percentile buffers per group). Oracle: DuckDB
+    * quantile_cont uses the same linear interpolation; floor-rounding
+    * absorbs last-bit IEEE differences. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.Det.r2(expr("percentile(l_extendedprice, 0.5D)")).as("p50"),
+        graft.Det.r2(expr("percentile(l_extendedprice, 0.9D)")).as("p90"),
+        graft.Det.r2(expr("percentile(l_extendedprice, 0.99D)")).as("p99"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Approximate percentiles — the mergeable-sketch path that replaces
+    * exact percentile at 100 TB (constant memory per group, one shuffle
+    * of sketches). No DuckDB oracle (sketch internals are engine-
+    * specific); OperatorSpecs asserts closeness to the exact variant. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+             array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+      .select(col("l_returnflag"),
+        col("pcts")(0).as("p50"), col("pcts")(1).as("p90"), col("pcts")(2).as("p99"))
+      .orderBy(col("l_returnflag").asc)
+
   /** collect_set drives ObjectHashAggregate (with sort-based fallback under
     * memory pressure) — the non-codegen agg path; output is a sorted,
     * comma-joined string so the oracle hash-matches. */
@@ -115,6 +141,8 @@ object Aggregates {
     "agg_cube" -> (aggCube _),
     "agg_gsets" -> (aggGsets _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_percentile" -> (aggPercentile _),
+    "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +183,13 @@ object Aggregates {
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50,
+        |  floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90,
+        |  floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "agg_sort_fallback" ->
       """SELECT o_orderpriority,
         |       (SELECT string_agg(s, ',' ORDER BY s)

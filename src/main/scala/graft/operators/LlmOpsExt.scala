@@ -440,7 +440,41 @@ object LlmOpsExt {
       .orderBy(col("doc_id").asc)
   }
 
+  /** PII / boilerplate scrubbing: emails, URLs, then long digit runs are
+    * redacted with typed placeholders — the standard pre-training text
+    * hygiene pass, entirely in codegen'd regexp_replace (no UDF). The
+    * corpus word-soup contains no contaminants, so deterministic synthetic
+    * ones (derived from doc_id) are appended and provably removed; order
+    * matters (emails/URLs first, before the digit rule could eat their
+    * numeric parts). DuckDB-oracled. */
+  def textScrub(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com via https://ex.example/p/"),
+      col("doc_id"), lit(" ref 1234567890"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(dirty,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>"),
+          "[0-9]{6,}", "<NUM>").as("scrubbed"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Deterministic reproducible sampling: keep a doc iff the first hex
+    * digit of md5(text) is '0' or '1' (a 12.5% sample). Hash-gating is the
+    * only reproducible sample at 100 TB — no RNG state, stable under
+    * re-partitioning and re-runs, and any engine selects the SAME rows
+    * (the oracle reproduces it exactly). Content-keyed (text, not doc_id)
+    * so re-ingested duplicates sample identically. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub" -> (textScrub _),
+    "sample_hash" -> (sampleHash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_embed" -> (dedupEmbed _),
@@ -452,6 +486,18 @@ object LlmOpsExt {
     "doc_fingerprint" -> (docFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com via https://ex.example/p/' || doc_id || ' ref 1234567890',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(text), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_ngram" ->
       """WITH probes AS (
         |  SELECT doc_id + 1000000 AS p_id,

@@ -94,7 +94,23 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("rnk").asc)
   }
 
+  /** ntile / cume_dist / percent_rank per order priority — the quantile-
+    * bucketing window family (train/validation splits, score banding).
+    * Unique (o_totalprice, o_orderkey) order keeps every rank function
+    * deterministic. */
+  def winNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              ntile(4).over(w).as("quartile"),
+              graft.Det.r4(cume_dist().over(w)).as("cume"),
+              graft.Det.r4(percent_rank().over(w)).as("pct_rank"))
+      .orderBy(col("o_orderpriority").asc, col("o_orderkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ntile" -> (winNtile _),
     "win_rank" -> (winRank _),
     "win_lag_lead" -> (winLagLead _),
     "win_frame_rows" -> (winFrameRows _),
@@ -102,6 +118,15 @@ object Windows {
     "topk_per_group" -> (topkPerGroup _))
 
   val oracle: Map[String, String] = Map(
+    "win_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume,
+        |  floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST)
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "win_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(rank() OVER w AS INTEGER) AS rnk,

@@ -107,6 +107,28 @@ object StreamOps {
       .orderBy(col("user_id").asc, col("event_type").asc)
   }
 
+  /** Interval join: each click joined to the same user's views in the
+    * preceding 30 minutes — the batch analog of a stream-stream inner join
+    * with watermarks + a time-range condition (the true streaming variant
+    * runs under MemoryStream in StreamingSpec with this exact shape). One
+    * shuffle per side on user_id; in streaming the range predicate bounds
+    * the join state to 30 minutes of events per key. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+              date_format(col("c_ts"), TsFmt).as("click_ts"),
+              date_format(col("v_ts"), TsFmt).as("view_ts"))
+      .orderBy(col("user_id").asc, col("click_id").asc, col("view_id").asc)
+  }
+
   /** Deployable Structured Streaming entry point: watch a GROWING directory
     * of parquet event files (the capture-roll / event-log refill use case)
     * and maintain the same 1-hour tumbling aggregate as the batch path —
@@ -137,6 +159,7 @@ object StreamOps {
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
     "stream_watermark" -> (streamWatermark _),
+    "stream_join" -> (streamJoin _),
     "stream_dedup_state" -> (streamDedupState _))
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +200,15 @@ object StreamOps {
         |HAVING epoch_us(date_trunc('hour', ts) + INTERVAL '1 hour')
         |       <= (SELECT max(epoch_us(ts)) - 600000000 FROM events)
         |ORDER BY wstart ASC NULLS FIRST""".stripMargin,
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts - INTERVAL '30 minutes' AND v.ts <= c.ts
+        |ORDER BY c.user_id ASC NULLS FIRST, click_id ASC NULLS FIRST, view_id ASC NULLS FIRST""".stripMargin,
     "stream_dedup_state" ->
       """SELECT user_id, event_type, first_event_id, first_ts FROM (
         |  SELECT user_id, event_type, event_id AS first_event_id,

@@ -25,6 +25,19 @@ class OperatorSpecs extends SparkTestBase {
     }
   }
 
+  test("agg_approx_percentile: sketch within 1% of the exact percentile") {
+    val approx = Aggregates.aggApproxPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Aggregates.aggPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (k, (a50, a90, a99)) =>
+      val (e50, e90, e99) = exact(k)
+      Seq((a50, e50), (a90, e90), (a99, e99)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.01, s"approx pct off for $k: $a vs $e") }
+    }
+  }
+
   test("udaf_topk: typed Aggregator returns the true per-group top-3") {
     import spark.implicits._
     val got = UdxOps.udafTopk(spark, sfDir).collect()

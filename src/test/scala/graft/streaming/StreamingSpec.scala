@@ -116,6 +116,40 @@ class StreamingSpec extends SparkTestBase {
       s"closed windows missing from sink: ${mustHave -- got.keySet}")
   }
 
+  test("stream-stream interval join matches the in-memory reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickRows = Seq( // (user, click_id, ts)
+      (1L, 100L, ts("2024-01-01 01:00:00")),
+      (1L, 101L, ts("2024-01-01 02:00:00")),
+      (2L, 102L, ts("2024-01-01 01:30:00")))
+    val viewRows = Seq( // (user, view_id, ts)
+      (1L, 200L, ts("2024-01-01 00:45:00")), // 15 min before click 100: match
+      (1L, 201L, ts("2024-01-01 00:20:00")), // 40 min before click 100: too old
+      (1L, 202L, ts("2024-01-01 01:59:00")), // 1 min before click 101: match
+      (2L, 203L, ts("2024-01-01 01:35:00")), // AFTER click 102: no match
+      (3L, 204L, ts("2024-01-01 01:00:00"))) // no clicks for user 3
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    clicks.addData(clickRows: _*)
+    views.addData(viewRows: _*)
+    val joined = clicks.toDF().toDF("user_id", "click_id", "c_ts")
+      .withWatermark("c_ts", "1 hour")
+      .join(views.toDF().toDF("v_user", "view_id", "v_ts").withWatermark("v_ts", "1 hour"),
+        expr("user_id = v_user AND v_ts >= c_ts - INTERVAL 30 MINUTES AND v_ts <= c_ts"))
+    val q = joined.select($"click_id", $"view_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("join_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("join_out").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (cu, cid, cts) <- clickRows
+      (vu, vid, vts) <- viewRows
+      if cu == vu && !vts.after(cts) && vts.getTime >= cts.getTime - 1800000L
+    } yield (cid, vid)).toSet
+    assert(got == expected && expected == Set((100L, 200L), (101L, 202L)))
+  }
+
   test("streaming sliding window assigns each event to 4 windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
