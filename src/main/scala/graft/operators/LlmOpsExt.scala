@@ -472,9 +472,72 @@ object LlmOpsExt {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id").asc)
 
+  /** Duplicate-cluster assignment: connected components over the dup-pair
+    * graph by iterative min-label propagation — the step after pair
+    * detection in every production dedup pipeline (pairs alone don't say
+    * WHICH doc to keep; the cluster's min doc_id is the canonical one).
+    *
+    * Edges here: token-set-equal doc pairs (the corpus's real near-dups)
+    * plus a deterministic 0-1-2 chain that forces genuine transitivity
+    * (doc 2 never directly shares an edge with 0's token-equal partners,
+    * yet must land in the same cluster). Oracle: DuckDB WITH RECURSIVE
+    * transitive closure over the same edges.
+    *
+    * Scale shape: the loop is |diameter| rounds of (edge ⋈ label) +
+    * min-aggregate — each one shuffle keyed on node over the EDGE set
+    * (the dup graph, orders of magnitude smaller than the corpus), not
+    * the corpus. Convergence is checked per round; dup clusters are
+    * near-cliques so 2-3 rounds suffice in practice. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).as("k"))
+    val eq = docs.as("a").join(docs.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
+    val chain = spark.createDataFrame(Seq((0L, 1L), (1L, 2L))).toDF("s", "t")
+    val fwd = eq.unionByName(chain)
+    val edges = fwd.unionByName(fwd.select(col("t").as("s"), col("s").as("t"))).distinct()
+    var labels = edges.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 20) {
+      val prev = labels
+      val viaEdge = edges.join(labels, edges("s") === labels("node"))
+        .select(col("t").as("node"), col("lbl"))
+      val next = labels.unionByName(viaEdge)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      next.persist() // cut the per-round lineage; freed once the round ends
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      prev.unpersist() // no-op on the (unpersisted) initial labels
+      labels = next
+      iters += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Stratified deterministic sampling: the 20 docs per language with the
+    * smallest md5(text) — "N examples per stratum", reproducible across
+    * runs, engines and partitionings (no RNG). One window shuffle on the
+    * stratum key; rank<=N cuts each stratum immediately. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("text")).asc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang").asc, col("rn").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (textScrub _),
     "sample_hash" -> (sampleHash _),
+    "sample_stratified" -> (sampleStratified _),
+    "dedup_cluster" -> (dedupCluster _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_embed" -> (dedupEmbed _),
@@ -497,6 +560,32 @@ object LlmOpsExt {
     "sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(text), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text) ASC NULLS FIRST, doc_id ASC NULLS FIRST) AS INTEGER) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY lang ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |  tok AS (SELECT doc_id,
+        |            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k
+        |          FROM documents),
+        |  eq AS (SELECT a.doc_id AS s, b.doc_id AS t FROM tok a JOIN tok b
+        |          ON a.k = b.k AND a.doc_id < b.doc_id),
+        |  fwd AS (SELECT s, t FROM eq
+        |          UNION SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |          UNION SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |  edges AS (SELECT s, t FROM fwd UNION SELECT t, s FROM fwd),
+        |  nodes AS (SELECT DISTINCT s AS n FROM edges),
+        |  reach(a, b) AS (
+        |    SELECT n, n FROM nodes
+        |    UNION
+        |    SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s)
+        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_ngram" ->
       """WITH probes AS (

@@ -129,6 +129,35 @@ object StreamOps {
       .orderBy(col("user_id").asc, col("click_id").asc, col("view_id").asc)
   }
 
+  /** Custom stateful operator via the typed KeyValueGroupedDataset API:
+    * per-user running event count with mapGroupsWithState — the escape
+    * hatch when built-in windows/dedup can't express the state machine.
+    * Runs in BATCH mode here (state is per-group transient, so the result
+    * is the plain per-user count — DuckDB-oracled); StreamingSpec drives
+    * the same state function incrementally under MemoryStream and asserts
+    * state carries across micro-batches. */
+  def streamCustomState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(StreamOps.countingState)
+      .toDF("user_id", "n_events")
+      .orderBy(col("user_id").asc)
+  }
+
+  /** The state function shared by the batch query and the MemoryStream
+    * test: accumulate a per-key Long count across invocations. */
+  private[graft] def countingState(
+      user: Long, events: Iterator[(Long, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[Long]): (Long, Long) = {
+    val n = state.getOption.getOrElse(0L) + events.size
+    state.update(n)
+    (user, n)
+  }
+
   /** Deployable Structured Streaming entry point: watch a GROWING directory
     * of parquet event files (the capture-roll / event-log refill use case)
     * and maintain the same 1-hour tumbling aggregate as the batch path —
@@ -160,6 +189,7 @@ object StreamOps {
     "stream_session" -> (streamSession _),
     "stream_watermark" -> (streamWatermark _),
     "stream_join" -> (streamJoin _),
+    "stream_custom_state" -> (streamCustomState _),
     "stream_dedup_state" -> (streamDedupState _))
 
   val oracle: Map[String, String] = Map(
@@ -200,6 +230,9 @@ object StreamOps {
         |HAVING epoch_us(date_trunc('hour', ts) + INTERVAL '1 hour')
         |       <= (SELECT max(epoch_us(ts)) - 600000000 FROM events)
         |ORDER BY wstart ASC NULLS FIRST""".stripMargin,
+    "stream_custom_state" ->
+      """SELECT user_id, count(1) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,

@@ -116,6 +116,25 @@ class StreamingSpec extends SparkTestBase {
       s"closed windows missing from sink: ${mustHave -- got.keySet}")
   }
 
+  test("mapGroupsWithState carries per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((1L, 10L), (1L, 11L), (2L, 20L))
+    val q = mem.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(StreamOps.countingState)
+      .toDF("user_id", "n_events")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out").start()
+    q.processAllAvailable()
+    mem.addData((1L, 12L)) // second batch: user 1's count must RESUME at 2
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("state_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 2L), (2L, 1L), (1L, 3L)))
+  }
+
   test("stream-stream interval join matches the in-memory reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
