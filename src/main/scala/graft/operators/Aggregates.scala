@@ -123,6 +123,43 @@ object Aggregates {
         col("pcts")(0).as("p50"), col("pcts")(1).as("p90"), col("pcts")(2).as("p99"))
       .orderBy(col("l_returnflag").asc)
 
+  /** Pivot (long→wide): per-priority counts spread over the three order
+    * statuses. Explicit pivot values keep the plan single-pass at any
+    * scale — no extra distinct-discovery job, and the column set is fixed
+    * at plan time. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy(col("o_orderpriority").asc)
+
+  /** TPC-H Q3 shape through the SQL FRONT-END (temp views + spark.sql) —
+    * proves the whole surface is reachable from SQL text, not only the
+    * DataFrame API; Catalyst plans both identically. */
+  def sqlTpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin)
+  }
+
   /** collect_set drives ObjectHashAggregate (with sort-based fallback under
     * memory pressure) — the non-codegen agg path; output is a sorted,
     * comma-joined string so the oracle hash-matches. */
@@ -143,6 +180,8 @@ object Aggregates {
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_percentile" -> (aggPercentile _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
+    "agg_pivot" -> (aggPivot _),
+    "sql_tpch_q3" -> (sqlTpchQ3 _),
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
@@ -190,6 +229,27 @@ object Aggregates {
         |  floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(1) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  count(1) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  count(1) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "agg_sort_fallback" ->
       """SELECT o_orderpriority,
         |       (SELECT string_agg(s, ',' ORDER BY s)

@@ -105,7 +105,25 @@ object RelationalOps {
     custNations(spark, dir).except(suppNations(spark, dir))
       .orderBy(col("nationkey").asc)
 
+  /** Hive-style partitioned sink + partition-aware read-back: documents
+    * written `partitionBy("lang")`, re-read and aggregated per partition.
+    * At 100 TB partitioning by a low-cardinality routing column is what
+    * makes downstream per-language reads partition-PRUNED scans (the
+    * `lang = 'en'` probe in OperatorSpecs shows PartitionFilters) instead
+    * of full sweeps. */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-part-sink").toString
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_partitioned" -> (sinkPartitioned _),
     "scan_parquet" -> (scanParquet _),
     "scan_json_col" -> (scanJsonCol _),
     "project_select" -> (projectSelect _),
@@ -118,6 +136,9 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "sink_partitioned" ->
+      """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+        |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,

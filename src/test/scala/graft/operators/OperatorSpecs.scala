@@ -25,6 +25,23 @@ class OperatorSpecs extends SparkTestBase {
     }
   }
 
+  test("partitioned sink: per-partition layout and pruned read-back") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part-spec").toString
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    // hive-style directories, one per language
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh"))
+    // a lang-filtered read must PRUNE partitions, not scan-and-filter
+    val probe = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition pruning in plan:\n$plan")
+    assert(probe.count() ==
+      graft.Tables.t(spark, sfDir, "documents").filter(col("lang") === "en").count())
+  }
+
   test("agg_approx_percentile: sketch within 1% of the exact percentile") {
     val approx = Aggregates.aggApproxPercentile(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
