@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{ScalarFns, UdxOps}
-import graft.operators.{Aggregates, Joins, LlmOps, LlmOpsExt, MultimodalOps, RelationalOps, ScaleJoins, Windows}
+import graft.operators.{Aggregates, EmbeddingOps, Joins, LlmOps, LlmOpsExt, MultimodalOps, RelationalOps, ScaleJoins, TimeSeriesOps, Windows}
 import graft.sources.PcapOps
 import graft.streaming.StreamOps
 
@@ -22,7 +22,8 @@ object SparkEntry {
     RelationalOps.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ ScalarFns.queries ++ UdxOps.queries ++
       PcapOps.queries ++ LlmOps.queries ++ LlmOpsExt.queries ++
-      MultimodalOps.queries ++ ScaleJoins.queries ++ StreamOps.queries
+      MultimodalOps.queries ++ ScaleJoins.queries ++ StreamOps.queries ++
+      TimeSeriesOps.queries ++ EmbeddingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops DuckDB can't reproduce
@@ -32,5 +33,6 @@ object SparkEntry {
     RelationalOps.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ ScalarFns.oracle ++ UdxOps.oracle ++
       PcapOps.oracle ++ LlmOps.oracle ++ LlmOpsExt.oracle ++
-      MultimodalOps.oracle ++ ScaleJoins.oracle ++ StreamOps.oracle
+      MultimodalOps.oracle ++ ScaleJoins.oracle ++ StreamOps.oracle ++
+      TimeSeriesOps.oracle ++ EmbeddingOps.oracle
 }

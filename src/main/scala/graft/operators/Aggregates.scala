@@ -171,7 +171,36 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority").asc)
 
+  /** Second-moment statistics (stddev, correlation) per group, computed
+    * from EXACT decimal sums (n, Σx, Σy, Σxx, Σyy, Σxy) and only then
+    * combined in double arithmetic — the same formula the oracle runs, so
+    * results are bit-deterministic regardless of summation order across
+    * 1000 executors. This is also the right SCALE shape: the six sums are
+    * one map-side-combined hash agg (mergeable partials), unlike a naive
+    * two-pass mean-then-deviation which would scan the data twice. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec("l_quantity")
+    val y = dec("l_extendedprice")
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(x).as("sx_d"), sum(y).as("sy_d"),
+           sum((x * x).cast("decimal(38,4)")).as("sxx_d"),
+           sum((y * y).cast("decimal(38,4)")).as("syy_d"),
+           sum((x * y).cast("decimal(38,4)")).as("sxy_d"))
+      .select(col("l_returnflag"), col("n"),
+        graft.Det.r4(sqrt((d("sxx_d") - d("sx_d") * d("sx_d") / n) / (n - 1))).as("std_qty"),
+        graft.Det.r4(sqrt((d("syy_d") - d("sy_d") * d("sy_d") / n) / (n - 1))).as("std_price"),
+        graft.Det.r4((n * d("sxy_d") - d("sx_d") * d("sy_d")) /
+          (sqrt(n * d("sxx_d") - d("sx_d") * d("sx_d")) *
+           sqrt(n * d("syy_d") - d("sy_d") * d("sy_d")))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats" -> (aggStats _),
     "agg_hash" -> (aggHash _),
     "agg_distinct" -> (aggDistinct _),
     "agg_rollup" -> (aggRollup _),
@@ -185,6 +214,21 @@ object Aggregates {
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "agg_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(1) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 10000 + 0.5) / 10000 AS std_qty,
+        |  floor(sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 10000 + 0.5) / 10000 AS std_price,
+        |  floor((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) * 10000 + 0.5) / 10000 AS corr_qty_price
+        |FROM s ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Embedding-column preprocessing for the LLM-pipeline surface (prompt:
+  * similarity search needs normalized / quantized vectors long before any
+  * index is built). All arithmetic is per-row over the vector column via
+  * codegen'd higher-order functions — map-side only, NO shuffle, NO UDF —
+  * so these scale embarrassingly at 100 TB: throughput = scan throughput.
+  *
+  * Determinism: elements are cast float→double (exact) first; folds are
+  * short (64 dims) so the ±1 ulp association slack vs DuckDB's list
+  * functions is absorbed by `Det.r4`; the quantizer emits exact integers
+  * (floor over identically-computed doubles), so its outputs hash-match
+  * with no rounding at all.
+  */
+object EmbeddingOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  private def l2(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+
+  /** Per-vector geometry: dimension, L2 norm, max |component|, and the
+    * first component of the unit-normalized vector. */
+  def embedNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+              size(col("v")).as("dim"),
+              Det.r4(l2(col("v"))).as("l2_norm"),
+              Det.r4(array_max(transform(col("v"), x => abs(x)))).as("max_abs"),
+              Det.r4(element_at(col("v"), 1) / l2(col("v"))).as("x0_unit"))
+      .orderBy(col("vec_id").asc)
+
+  /** Symmetric int8 quantization (scale = 127 / max|x|, round-half-up via
+    * floor(x·scale + 0.5)): per-vector integer checksum and saturation
+    * count — exact integers, bit-identical across engines. The int8 codes
+    * are what a 100 TB ANN index stores: 4× smaller than float32, and the
+    * transform is a pure map over the scan. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"), x => floor(x * col("scale") + 0.5)))
+      .select(col("vec_id"),
+              aggregate(col("q"), lit(0L), (a, x) => a + x).as("checksum"),
+              size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+      .orderBy(col("vec_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_normalize" -> (embedNormalize _),
+    "embed_quantize" -> (embedQuantize _))
+
+  val oracle: Map[String, String] = Map(
+    "embed_normalize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(v) AS INTEGER) AS dim,
+        |  floor(sqrt(list_sum(list_transform(v, x -> x * x))) * 10000 + 0.5) / 10000 AS l2_norm,
+        |  floor(list_max(list_transform(v, x -> abs(x))) * 10000 + 0.5) / 10000 AS max_abs,
+        |  floor((v[1] / sqrt(list_sum(list_transform(v, x -> x * x)))) * 10000 + 0.5) / 10000 AS x0_unit
+        |FROM e ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> floor(x * scale + 0.5)) AS qv
+        |  FROM m)
+        |SELECT vec_id,
+        |  CAST(list_sum(qv) AS BIGINT) AS checksum,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id ASC NULLS FIRST""".stripMargin)
+}

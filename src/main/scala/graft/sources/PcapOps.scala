@@ -92,7 +92,27 @@ object PcapOps {
       .orderBy(col("protocol").asc_nulls_first)
   }
 
+  /** 5-tuple flow reconstruction over decoded packets — the canonical
+    * downstream analytic on capture data (what the reference's users run
+    * in DuckDB on its parquet output). One map-side-combined hash agg
+    * keyed on the flow tuple: at 100 TB the shuffle carries |flows| rows,
+    * not |packets|. Non-IPv4 frames (NULL tuple fields) group into their
+    * own bucket, matching SQL GROUP BY null semantics. */
+  def pcapFlows(spark: SparkSession, dir: String): DataFrame =
+    pcapIngest(spark, dir)
+      .groupBy(col("src_ip"), col("dst_ip"), col("src_port"),
+               col("dst_port"), col("protocol"))
+      .agg(count(lit(1)).as("n_packets"),
+           sum(col("len")).as("total_bytes"),
+           min(col("mm_ts")).as("first_mm_ts"),
+           max(col("mm_ts")).as("last_mm_ts"))
+      .withColumn("duration_ns", col("last_mm_ts") - col("first_mm_ts"))
+      .orderBy(col("src_ip").asc_nulls_first, col("dst_ip").asc_nulls_first,
+               col("src_port").asc_nulls_first, col("dst_port").asc_nulls_first,
+               col("protocol").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pcap_flows" -> (pcapFlows _),
     "pcap_ingest" -> (pcapIngest _),
     "pcap_ingest_large" -> (pcapIngestLarge _),
     "udf_packet_decode" -> (udfPacketDecode _),

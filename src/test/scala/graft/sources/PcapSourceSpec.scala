@@ -79,6 +79,28 @@ class PcapSourceSpec extends SparkTestBase {
     assert(rows.filter(col("file").endsWith("c01.pcap")).count() == 1)
   }
 
+  test("pcap_flows agrees with an in-memory flow fold over the direct parser") {
+    import org.apache.spark.sql.Row
+    val got = PcapOps.pcapFlows(spark, sfDir).collect().map {
+      case Row(si, di, sp, dp, proto, n, bytes, first, last, dur) =>
+        ((Option(si), Option(di), Option(sp), Option(dp), Option(proto)),
+         (n.asInstanceOf[Long], Option(bytes), Option(dur)))
+    }.toMap
+    val expected = PcapParser.parseFile(PcapFixtures.goldenPcap).toVector
+      .groupBy(p => (p.src_ip, p.dst_ip, p.src_port, p.dst_port, p.protocol))
+      .map { case (k, ps) =>
+        val ts = ps.flatMap(_.mm_ts)
+        val bytes = ps.flatMap(_.len)
+        (k, (ps.size.toLong,
+             if (bytes.isEmpty) None else Some(bytes.sum),
+             if (ts.isEmpty) None else Some(ts.max - ts.min)))
+      }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"flow $k") }
+    // multi-packet flows must exist in the fixture, else this test is vacuous
+    assert(expected.values.exists(_._1 > 1))
+  }
+
   test("pruned scans skip unrequested decode work but agree column-wise") {
     // mm_* only: network fields never decoded; values must still match the
     // full-decode parser on the overlapping columns
