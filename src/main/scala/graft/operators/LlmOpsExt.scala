@@ -533,7 +533,44 @@ object LlmOpsExt {
       .orderBy(col("lang").asc, col("rn").asc)
   }
 
+  /** The composed training-data pipeline, end to end in ONE declarative
+    * plan: scrub (PII/URL/digit-run redaction) → quality gate (≥10
+    * tokens, ≥0.3 distinct-token ratio) → exact dedup on the SCRUBBED
+    * text (keeper = min doc_id) → deterministic 50% md5-gate sample.
+    * Every stage is an individually-oracled operator above; composing
+    * them proves the stages stack without materialization barriers.
+    *
+    * Scale shape: the scrub/gate/sample stages are map-only over the
+    * scan; the single shuffle is the dedup window, partitioned by the
+    * md5 FINGERPRINT (16 bytes) rather than the scrubbed body, so 100 TB
+    * of text never ships through the exchange — only hashes do. Catalyst
+    * fuses the whole pre-shuffle chain into one codegen stage. */
+  def pipelinePretrain(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "https?://[^ ]+", "<URL>"),
+      "[0-9]{6,}", "<NUM>")
+    val toks = split(col("s"), " ")
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id").asc)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), scrubbed.as("s"))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .filter(col("n_tokens") >= 10 && col("distinct_ratio") >= 0.3)
+      .withColumn("fingerprint", md5(col("s")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(substring(col("fingerprint"), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+              graft.Det.r4(col("distinct_ratio")).as("distinct_ratio"),
+              col("fingerprint"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain" -> (pipelinePretrain _),
     "text_scrub" -> (textScrub _),
     "sample_hash" -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
@@ -549,6 +586,35 @@ object LlmOpsExt {
     "doc_fingerprint" -> (docFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "pipeline_pretrain" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS s
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, s,
+        |    CAST(len(string_split(s, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(s, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(s, ' ')) AS DOUBLE) AS distinct_ratio,
+        |    md5(s) AS fingerprint
+        |  FROM sc
+        |  WHERE CAST(len(string_split(s, ' ')) AS INTEGER) >= 10
+        |    AND CAST(len(list_distinct(string_split(s, ' '))) AS DOUBLE)
+        |        / CAST(len(string_split(s, ' ')) AS DOUBLE) >= 0.3),
+        |d AS (
+        |  SELECT doc_id, lang, n_tokens, distinct_ratio, fingerprint,
+        |    row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+        |  FROM q)
+        |SELECT doc_id, lang, n_tokens,
+        |  floor(distinct_ratio * 10000 + 0.5) / 10000 AS distinct_ratio,
+        |  fingerprint
+        |FROM d
+        |WHERE rn = 1
+        |  AND substring(fingerprint, 1, 1) IN ('0','1','2','3','4','5','6','7')
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -141,7 +141,29 @@ object RelationalOps {
       .orderBy(col("n_regionkey").asc)
   }
 
+  /** Small-files compaction — the unglamorous operation every 100 TB lake
+    * needs on a schedule: a fragmented table (64 tiny files here, the
+    * "one file per micro-batch/task" failure mode) rewritten to a few
+    * right-sized files with `coalesce` (no shuffle — coalesce only merges
+    * read splits; `repartition` would pay a full shuffle for better
+    * balance). The aggregate proves the rewrite is lossless; OperatorSpecs
+    * pins the file-count collapse. */
+  def sinkCompact(spark: SparkSession, dir: String): DataFrame = {
+    val frag = s"${graft.Tables.scratchDir}/compact_frag"
+    val out = s"${graft.Tables.scratchDir}/compact_out"
+    t(spark, dir, "documents")
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(2)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_compact" -> (sinkCompact _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "sink_partitioned" -> (sinkPartitioned _),
     "scan_parquet" -> (scanParquet _),
@@ -156,6 +178,10 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "sink_compact" ->
+      """SELECT source, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "scan_csv_roundtrip" ->
       """SELECT n_regionkey, count(1) AS n, min(n_name) AS first_name,
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key

@@ -97,7 +97,36 @@ object ScaleJoins {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Range join at scale: `join_theta_range` broadcasts one side, which
+    * dies when BOTH sides are big. The scale technique: quantize the range
+    * dimension into width-W buckets, expand the probe side to the ≤3
+    * buckets its window can touch, EQUI-join on bucket (shuffle-hash — a
+    * partitionable key!), then apply the exact range predicate. Here:
+    * each purchase event matched to clicks within ±5.0 in value; result
+    * is per-purchase neighbor count + closest distance, which the oracle
+    * reproduces with a plain (quadratic) theta join. */
+  def joinRangeBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val W = 5.0
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("value").as("pv"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("value").as("cv"))
+      .withColumn("bucket", floor(col("cv") / W).cast("long"))
+    purchases
+      .withColumn("bucket", explode(sequence(
+        floor((col("pv") - W) / W).cast("long"),
+        floor((col("pv") + W) / W).cast("long"))))
+      .join(clicks, "bucket")
+      .filter(abs(col("pv") - col("cv")) <= W)
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_close"),
+           graft.Det.r4(min(abs(col("pv") - col("cv")))).as("min_diff"))
+      .orderBy(col("p_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_bucketed" -> (joinRangeBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_bucketed" -> (joinBucketed _))
@@ -109,6 +138,14 @@ object ScaleJoins {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN flags ON l_returnflag = flag
         |GROUP BY flag_name ORDER BY flag_name ASC NULLS FIRST""".stripMargin,
+    "join_range_bucketed" ->
+      """SELECT p.event_id AS p_id, count(1) AS n_close,
+        |  floor(min(abs(p.value - c.value)) * 10000 + 0.5) / 10000 AS min_diff
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND abs(p.value - c.value) <= 5.0
+        |GROUP BY p.event_id
+        |ORDER BY p_id ASC NULLS FIRST""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT l_returnflag, count(1) AS n,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty

@@ -25,6 +25,16 @@ class OperatorSpecs extends SparkTestBase {
     }
   }
 
+  test("sink_compact: 64 fragment files collapse to <=2 without row loss") {
+    val n = RelationalOps.sinkCompact(spark, sfDir)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(n == graft.Tables.t(spark, sfDir, "documents").count())
+    def parts(p: String) = new java.io.File(s"${graft.Tables.scratchDir}/$p")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts("compact_frag") == 64)
+    assert(parts("compact_out") <= 2 && parts("compact_out") >= 1)
+  }
+
   test("partitioned sink: per-partition layout and pruned read-back") {
     val out = java.nio.file.Files.createTempDirectory("graft-part-spec").toString
     graft.Tables.t(spark, sfDir, "documents")
