@@ -497,9 +497,17 @@ object LlmOpsExt {
       .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
     val chain = spark.createDataFrame(Seq((0L, 1L), (1L, 2L))).toDF("s", "t")
     val fwd = eq.unionByName(chain)
+    // persist the edge set: every propagation round joins against it, and
+    // without caching each round would recompute the docs self-join
     val edges = fwd.unionByName(fwd.select(col("t").as("s"), col("s").as("t"))).distinct()
+      .persist()
     var labels = edges.select(col("s").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    // Convergence via the label-sum invariant: min-label propagation only
+    // ever DECREASES a node's label, so Σlbl is strictly decreasing until
+    // the fixpoint — one cheap aggregate action per round instead of a
+    // prev⋈next comparison join.
+    var prevSum = Long.MinValue
     var converged = false
     var iters = 0
     while (!converged && iters < 20) {
@@ -509,12 +517,14 @@ object LlmOpsExt {
       val next = labels.unionByName(viaEdge)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       next.persist() // cut the per-round lineage; freed once the round ends
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).isEmpty
+      val lblSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      converged = lblSum == prevSum
+      prevSum = lblSum
       prev.unpersist() // no-op on the (unpersisted) initial labels
       labels = next
       iters += 1
     }
+    edges.unpersist() // labels is materialized; the final sort reads it alone
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id").asc)
   }
