@@ -199,7 +199,29 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Mergeable-sketch COUNT DISTINCT — the actual 100 TB architecture:
+    * each "site" (modeled as the even/odd orderkey halves) builds compact
+    * Datasketches HLL sketches independently; only the ~KB sketches move
+    * to the final union+estimate. Unlike `agg_approx_distinct` (one-shot
+    * estimate), this exercises sketch MERGEABILITY — sketches built on
+    * disjoint data at different times/places combine losslessly, which is
+    * what makes pre-aggregated distinct-count cubes possible. Estimate
+    * accuracy is pinned by OperatorSpecs (no oracle: engine-specific
+    * sketch). */
+  def aggSketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    def site(m: Int) = li
+      .filter(pmod(col("l_orderkey"), lit(2)) === m)
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    site(0).unionByName(site(1))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_stats" -> (aggStats _),
     "agg_hash" -> (aggHash _),
     "agg_distinct" -> (aggDistinct _),

@@ -27,15 +27,19 @@ object PcapOps {
     * (`spark.read.format("pcap")`, PcapDataSource.scala) — one input
     * partition per capture file, decode on executors. Mirrors main()
     * (main.rs:59-122) as a distributed pipeline. */
-  def pcapIngest(spark: SparkSession, dir: String): DataFrame = {
+  /** Writes the golden synthetic capture to scratch, returns its dir. */
+  private[graft] def goldenCaptureDir(): String = {
     val capDir = new java.io.File(s"${Tables.scratchDir}/captures")
     capDir.mkdirs()
     val f = new java.io.File(capDir, "golden.pcap")
     java.nio.file.Files.write(f.toPath, PcapFixtures.goldenPcap)
-    spark.read.format("pcap").load(capDir.getAbsolutePath)
+    capDir.getAbsolutePath
+  }
+
+  def pcapIngest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("pcap").load(goldenCaptureDir())
       .drop("file")
       .orderBy(col("pkt_idx").asc)
-  }
 
   /** Scalar-UDF packet decode over a BinaryType frame column — the
     * reference's parse chain (A4–A9) as a reusable column function.
@@ -98,8 +102,11 @@ object PcapOps {
     * keyed on the flow tuple: at 100 TB the shuffle carries |flows| rows,
     * not |packets|. Non-IPv4 frames (NULL tuple fields) group into their
     * own bucket, matching SQL GROUP BY null semantics. */
-  def pcapFlows(spark: SparkSession, dir: String): DataFrame =
-    pcapIngest(spark, dir)
+  /** Shared plan builder: works unchanged on a batch pcap read and on
+    * `readStream.format("pcap")` (PcapSourceSpec runs it both ways in
+    * complete output mode and asserts equal results). */
+  def flowAgg(packets: DataFrame): DataFrame =
+    packets
       .groupBy(col("src_ip"), col("dst_ip"), col("src_port"),
                col("dst_port"), col("protocol"))
       .agg(count(lit(1)).as("n_packets"),
@@ -107,6 +114,9 @@ object PcapOps {
            min(col("mm_ts")).as("first_mm_ts"),
            max(col("mm_ts")).as("last_mm_ts"))
       .withColumn("duration_ns", col("last_mm_ts") - col("first_mm_ts"))
+
+  def pcapFlows(spark: SparkSession, dir: String): DataFrame =
+    flowAgg(spark.read.format("pcap").load(goldenCaptureDir()))
       .orderBy(col("src_ip").asc_nulls_first, col("dst_ip").asc_nulls_first,
                col("src_port").asc_nulls_first, col("dst_port").asc_nulls_first,
                col("protocol").asc_nulls_first)

@@ -25,6 +25,21 @@ class OperatorSpecs extends SparkTestBase {
     }
   }
 
+  test("agg_sketch_merge: unioned per-site HLL sketches estimate within 3% of exact") {
+    val approx = Aggregates.aggSketchMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_parts").toDouble).toMap
+    val exact = graft.Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("e").toDouble).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    // Datasketches HLL at default lgK=12 has rse ~1.04/sqrt(2^12) ~ 1.6%;
+    // 3% ~ 2x rse so a healthy sketch can't flake this
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)) / exact(k) <= 0.03,
+        s"merged HLL off by >3% for $k: approx=$a exact=${exact(k)}")
+    }
+  }
+
   test("sink_compact: 64 fragment files collapse to <=2 without row loss") {
     val n = RelationalOps.sinkCompact(spark, sfDir)
       .agg(sum(col("n"))).collect()(0).getLong(0)

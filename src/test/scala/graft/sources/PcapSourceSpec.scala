@@ -101,6 +101,21 @@ class PcapSourceSpec extends SparkTestBase {
     assert(expected.values.exists(_._1 > 1))
   }
 
+  test("flowAgg builder: streaming (complete mode) equals batch on the same captures") {
+    import org.apache.spark.sql.functions.col
+    val streamed = PcapOps.flowAgg(spark.readStream.format("pcap").load(dir))
+    val q = streamed.writeStream.format("memory")
+      .queryName("pcap_flows_stream").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = (0 to 4).map(i => Option(r.get(i)))
+    val got = spark.table("pcap_flows_stream").collect()
+      .map(r => key(r) -> (r.getLong(5), Option(r.get(6)), Option(r.get(9)))).toMap
+    val batch = PcapOps.flowAgg(spark.read.format("pcap").load(dir)).collect()
+      .map(r => key(r) -> (r.getLong(5), Option(r.get(6)), Option(r.get(9)))).toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("pruned scans skip unrequested decode work but agree column-wise") {
     // mm_* only: network fields never decoded; values must still match the
     // full-decode parser on the overlapping columns
