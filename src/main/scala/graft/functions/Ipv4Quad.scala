@@ -65,6 +65,8 @@ object Ipv4Quad {
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(Ipv4Quad.functionDescription)
+    e.injectFunction(VecDot.functionDescription)
+  }
 }

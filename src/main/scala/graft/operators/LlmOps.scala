@@ -156,10 +156,11 @@ object LlmOps {
     val queriesDf = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), dbl(col("embedding")).as("q_emb"))
     val corpus = emb.select(col("vec_id").as("c_id"), dbl(col("embedding")).as("c_emb"))
-    val dot = aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
-                        lit(0.0), (acc, v) => acc + v)
-    val nq = sqrt(aggregate(col("q_emb"), lit(0.0), (a, x) => a + x * x))
-    val nc = sqrt(aggregate(col("c_emb"), lit(0.0), (a, x) => a + x * x))
+    // codegen'd native loop (graft.functions.VecDot) — bit-identical to
+    // the aggregate(zip_with) HOF chain but allocation-free and fused
+    val dot = graft.functions.VecDot.vec_dot(col("q_emb"), col("c_emb"))
+    val nq = graft.functions.VecDot.vec_norm(col("q_emb"))
+    val nc = graft.functions.VecDot.vec_norm(col("c_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     // broadcast the QUERY side: the corpus side must stream (at 100 TB it
     // is the big one), so the build side is the handful of probe vectors

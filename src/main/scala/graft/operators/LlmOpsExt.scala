@@ -148,10 +148,9 @@ object LlmOpsExt {
       .select((col("vec_id") + 1000000L).as("p_id"),
               transform(dbl(col("embedding")), x => x * 1.001).as("p_emb"))
     val corpus = emb.select(col("vec_id").as("c_id"), dbl(col("embedding")).as("c_emb"))
-    val dot = aggregate(zip_with(col("p_emb"), col("c_emb"), (x, y) => x * y),
-                        lit(0.0), (a, v) => a + v)
-    val np = sqrt(aggregate(col("p_emb"), lit(0.0), (a, x) => a + x * x))
-    val nc = sqrt(aggregate(col("c_emb"), lit(0.0), (a, x) => a + x * x))
+    val dot = graft.functions.VecDot.vec_dot(col("p_emb"), col("c_emb"))
+    val np = graft.functions.VecDot.vec_norm(col("p_emb"))
+    val nc = graft.functions.VecDot.vec_norm(col("c_emb"))
     broadcast(probes).crossJoin(corpus)
       .withColumn("cos", dot / (np * nc))
       .filter(col("cos") >= 0.999)
@@ -251,10 +250,9 @@ object LlmOpsExt {
 
   private[operators] def simAnnWith(emb: DataFrame, w: Int,
                                     bands: Int = AnnBands): DataFrame = {
-    val dot = aggregate(zip_with(col("p_emb_d"), col("c_emb_d"), (x, y) => x * y),
-                        lit(0.0), (a, v) => a + v)
-    val np = sqrt(aggregate(col("p_emb_d"), lit(0.0), (a, x) => a + x * x))
-    val nc = sqrt(aggregate(col("c_emb_d"), lit(0.0), (a, x) => a + x * x))
+    val dot = graft.functions.VecDot.vec_dot(col("p_emb_d"), col("c_emb_d"))
+    val np = graft.functions.VecDot.vec_norm(col("p_emb_d"))
+    val nc = graft.functions.VecDot.vec_norm(col("c_emb_d"))
     val win = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
     annJoinCandidates(emb, w, bands)
       .withColumn("cos", dot / (np * nc))
@@ -347,10 +345,9 @@ object LlmOpsExt {
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("p_id"), dbl(col("embedding")).as("p_emb_d"),
         explode(topCellsUdf(col("embedding"), lit(2))).as("cell"))
-    val dot = aggregate(zip_with(col("p_emb_d"), col("c_emb_d"), (x, y) => x * y),
-                        lit(0.0), (a, v) => a + v)
-    val np = sqrt(aggregate(col("p_emb_d"), lit(0.0), (a, x) => a + x * x))
-    val nc = sqrt(aggregate(col("c_emb_d"), lit(0.0), (a, x) => a + x * x))
+    val dot = graft.functions.VecDot.vec_dot(col("p_emb_d"), col("c_emb_d"))
+    val np = graft.functions.VecDot.vec_norm(col("p_emb_d"))
+    val nc = graft.functions.VecDot.vec_norm(col("c_emb_d"))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
     broadcast(probes).join(corpus, "cell")
       .filter(col("p_id") =!= col("c_id"))
