@@ -19,8 +19,9 @@ import graft.{Det, Tables}
 object EmbeddingOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
-  private def l2(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+  // codegen'd native self-dot (graft.functions.VecDot) — same sequential
+  // fold as aggregate((a,x) => a + x*x), so oracle hashes are unchanged
+  private def l2(v: Column): Column = graft.functions.VecDot.vec_norm(v)
 
   /** Per-vector geometry: dimension, L2 norm, max |component|, and the
     * first component of the unit-normalized vector. */

@@ -162,7 +162,36 @@ object RelationalOps {
       .orderBy(col("source").asc)
   }
 
+  /** MERGE / upsert without a table format: base FULL-OUTER-joined with a
+    * change set on the key — matched rows take the change's values
+    * (updates), right-only rows appear (inserts), left-only rows persist.
+    * Changes: +100 balance for every custkey ≡ 0 (mod 10), plus inserts
+    * from a disjoint key domain. At 100 TB this is ONE co-partitioned
+    * shuffle join (shuffle-free if both sides are bucketed on the key —
+    * `join_bucketed`); Delta/Iceberg MERGE adds transactional commit on
+    * top of exactly this plan shape, not a different algorithm. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+              col("c_acctbal").as("bal"))
+    val updates = base.filter(pmod(col("k"), lit(10)) === 0)
+      .select(col("k"), col("nk"), (col("bal") + 100).as("bal"))
+    val inserts = t(spark, dir, "supplier")
+      .select((col("s_suppkey") + 10000000L).as("k"),
+              col("s_nationkey").as("nk"), col("s_acctbal").as("bal"))
+    val changes = updates.unionByName(inserts)
+      .select(col("k"), col("nk").as("c_nk"), col("bal").as("c_bal"))
+    base.join(changes, Seq("k"), "full_outer")
+      .select(coalesce(col("c_nk"), col("nk")).as("nk"),
+              coalesce(col("c_bal"), col("bal")).as("bal"))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("bal").cast("decimal(18,2)")), 2).cast("double").as("sum_bal"))
+      .orderBy(col("nk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _),
     "sink_compact" -> (sinkCompact _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "sink_partitioned" -> (sinkPartitioned _),
@@ -178,6 +207,19 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH chg AS (
+        |  SELECT c_custkey AS k, c_nationkey AS nk, c_acctbal + 100 AS bal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 10000000, s_nationkey, s_acctbal FROM supplier),
+        |m AS (
+        |  SELECT coalesce(chg.nk, c.c_nationkey) AS nk,
+        |         coalesce(chg.bal, c.c_acctbal) AS bal
+        |  FROM customer c FULL JOIN chg ON c.c_custkey = chg.k)
+        |SELECT nk, count(1) AS n,
+        |  CAST(round(sum(CAST(bal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_bal
+        |FROM m GROUP BY nk ORDER BY nk ASC NULLS FIRST""".stripMargin,
     "sink_compact" ->
       """SELECT source, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source
