@@ -576,7 +576,27 @@ object LlmOpsExt {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Corpus bigram frequency table, top 50 — the n-gram statistics pass
+    * every LM-data analysis runs (contamination probes, boilerplate
+    * detection, domain profiling). Bigrams are generated per row with
+    * zip_with over two shifted slices (no self-join), counted in one
+    * map-side-combined agg; the top-k is TakeOrderedAndProject, so only
+    * 50 rows reach the driver no matter the corpus size. */
+  def textNgramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(spark, dir, "documents")
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_freq" -> (textNgramFreq _),
     "pipeline_pretrain" -> (pipelinePretrain _),
     "text_scrub" -> (textScrub _),
     "sample_hash" -> (sampleHash _),
@@ -593,6 +613,13 @@ object LlmOpsExt {
     "doc_fingerprint" -> (docFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i))
+        |SELECT bigram, count(1) AS n FROM big GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
     "pipeline_pretrain" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

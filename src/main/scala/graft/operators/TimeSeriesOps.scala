@@ -57,11 +57,43 @@ object TimeSeriesOps {
       .orderBy(col("minute").asc)
   }
 
+  /** Ordered-funnel analysis: of all users, how many ever signed up, how
+    * many clicked AFTER their first signup, and how many completed
+    * signup → click → purchase in order (first-occurrence ordering).
+    * One hash agg to per-user stage timestamps (conditional min — no
+    * self-joins, no per-stage scans), then a single-row reduce: at 100 TB
+    * the funnel costs exactly one shuffle of |users| tiny rows. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    def firstTs(tpe: String) =
+      min(when(col("event_type") === tpe, col("ts"))).as(tpe.take(1))
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(firstTs("signup"), firstTs("click"), firstTs("purchase"))
+      .agg(count(lit(1)).as("n_users"),
+           count(col("s")).as("n_signup"),
+           count(when(col("s") < col("c"), 1)).as("n_signup_click"),
+           count(when(col("s") < col("c") && col("c") < col("p"), 1))
+             .as("n_full_funnel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_stages" -> (funnelStages _),
     "ts_downsample" -> (tsDownsample _),
     "ts_gap_fill" -> (tsGapFill _))
 
   val oracle: Map[String, String] = Map(
+    "funnel_stages" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(ts) FILTER (event_type = 'signup')   AS s,
+        |    min(ts) FILTER (event_type = 'click')    AS c,
+        |    min(ts) FILTER (event_type = 'purchase') AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT count(1) AS n_users,
+        |  count(s) AS n_signup,
+        |  count(1) FILTER (s < c) AS n_signup_click,
+        |  count(1) FILTER (s < c AND c < p) AS n_full_funnel
+        |FROM u""".stripMargin,
     "ts_downsample" ->
       """SELECT event_type,
         |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
