@@ -190,7 +190,28 @@ object RelationalOps {
       .orderBy(col("nk").asc)
   }
 
+  /** JSON-lines round-trip: orders subset written as JSONL, read back
+    * with an explicit schema (inference would cost a full pre-scan), then
+    * aggregated; oracle aggregates the original parquet. JSONL is the
+    * interchange format every LLM-data pipeline ingests; note parquet
+    * remains the at-rest format — this is the ingest edge. */
+  def scanJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Tables.scratchDir}/jsonl_roundtrip"
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+             .cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_jsonl_roundtrip" -> (scanJsonlRoundtrip _),
     "merge_upsert" -> (mergeUpsert _),
     "sink_compact" -> (sinkCompact _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
@@ -207,6 +228,11 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "scan_jsonl_roundtrip" ->
+      """SELECT o_orderstatus, count(1) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
     "merge_upsert" ->
       """WITH chg AS (
         |  SELECT c_custkey AS k, c_nationkey AS nk, c_acctbal + 100 AS bal
