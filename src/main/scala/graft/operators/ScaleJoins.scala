@@ -117,7 +117,9 @@ object ScaleJoins {
       .withColumn("bucket", explode(sequence(
         floor((col("pv") - W) / W).cast("long"),
         floor((col("pv") + W) / W).cast("long"))))
-      .join(clicks, "bucket")
+      // at test SF Catalyst would broadcast; hint the shuffle-hash path the
+      // pattern exists for (both sides big, bucket is the partitionable key)
+      .join(clicks.hint("shuffle_hash"), "bucket")
       .filter(abs(col("pv") - col("cv")) <= W)
       .groupBy(col("p_id"))
       .agg(count(lit(1)).as("n_close"),
