@@ -38,53 +38,12 @@ object LlmOps {
       .orderBy(col("doc_id").asc)
 
   // ---- MinHash LSH ------------------------------------------------------
-  private val NumHashes = 32
-  private val Bands = 8
-  private val RowsPerBand = NumHashes / Bands
-  private val MersennePrime = 2147483647L // 2^31 - 1
-  // Deterministic permutation constants (splitmix-style constants; fixed
-  // seeds so the signature is stable across runs and executors).
-  private val permA: Array[Long] = Array.tabulate(NumHashes)(i => 2L * i + 1 + 2654435761L % MersennePrime)
-  private val permB: Array[Long] = Array.tabulate(NumHashes)(i => (i * 40503L + 2246822519L) % MersennePrime)
-
-  /** All 32 minhashes in ONE pass over the 3-word shingles of a document:
-    * a tight JVM loop (O(shingles × permutations)) instead of 32
-    * interpreted higher-order array traversals — ~20× faster per row and
-    * embarrassingly parallel, which is what matters at 100 TB (the LSH
-    * map side is pure per-row CPU; the only shuffle is the band bucket).
-    * MurmurHash3 with a fixed seed keeps signatures deterministic across
-    * executors and runs. */
-  private val minhashUdf = udf { text: String =>
-    val tokens = text.split(' ')
-    val mins = Array.fill(NumHashes)(Long.MaxValue)
-    val nShingles = math.max(tokens.length - 2, 1)
-    var i = 0
-    while (i < nShingles) {
-      val s =
-        if (tokens.length >= 3) tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2)
-        else text
-      val h = scala.util.hashing.MurmurHash3.stringHash(s, 42)
-      val hp = java.lang.Math.floorMod(h.toLong, MersennePrime)
-      var j = 0
-      while (j < NumHashes) {
-        val v = (permA(j) * hp + permB(j)) % MersennePrime
-        if (v < mins(j)) mins(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    // emit the 8 LSH bucket keys directly (band index + that band's
-    // signature slice) so the signature is computed exactly once per row —
-    // a separate sig column would be duplicated into every band expression
-    // by CollapseProject and cost 8 evaluations.
-    Array.tabulate(Bands) { b =>
-      val sb = new StringBuilder
-      sb.append(b)
-      var r = 0
-      while (r < RowsPerBand) { sb.append(':').append(mins(b * RowsPerBand + r)); r += 1 }
-      sb.toString
-    }
-  }
+  // All 32 minhashes in ONE pass over the 3-word shingles of a document,
+  // emitted as the 8 banded bucket keys: a tight static JVM loop invoked
+  // via Catalyst StaticInvoke (graft.functions.HashKernels.minhashBuckets)
+  // -- no UDF closure, no converter round-trip, per-row CPU only; the
+  // single shuffle is the band bucket. Signatures are deterministic
+  // across executors and runs (fixed MurmurHash3 seed).
 
   /** Near-duplicate candidate pairs via banded MinHash LSH.
     *
@@ -116,7 +75,7 @@ object LlmOps {
   private[operators] def dedupFuzzyOn(docsAll: DataFrame, maxBucket: Int): DataFrame = {
     // one row per (doc, band): bucket key = band index + that band's slice
     val banded = docsAll
-      .select(col("doc_id"), explode(minhashUdf(col("text"))).as("bucket"))
+      .select(col("doc_id"), explode(graft.functions.HashKernels.minhash_buckets(col("text"))).as("bucket"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bsz") <= maxBucket)
       .select(col("doc_id"), col("bucket"))

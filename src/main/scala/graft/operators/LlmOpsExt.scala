@@ -36,33 +36,9 @@ object LlmOpsExt {
     * classic 64-bit simhash when bands*bandBits <= 64 and widens losslessly
     * beyond it. Tight loop, one evaluation per doc, returns one Long per
     * band (the band's bucket value). */
-  private[operators] def simhashBandsUdf(bands: Int, bandBits: Int) = {
-    require(bands >= 1 && bandBits >= 1 && bandBits <= 62, s"bad simhash shape $bands x $bandBits")
-    val nBits = bands * bandBits
-    udf { text: String =>
-      val acc = new Array[Int](nBits)
-      text.split(' ').foreach { tok =>
-        var blk = 0
-        while (blk * 64 < nBits) {
-          val h = (scala.util.hashing.MurmurHash3.stringHash(tok, 42 + blk * 1000).toLong << 32) |
-            (scala.util.hashing.MurmurHash3.stringHash(tok, 7 + blk * 1000).toLong & 0xffffffffL)
-          val lim = math.min(64, nBits - blk * 64)
-          var b = 0
-          while (b < lim) {
-            if (((h >>> b) & 1L) == 1L) acc(blk * 64 + b) += 1 else acc(blk * 64 + b) -= 1
-            b += 1
-          }
-          blk += 1
-        }
-      }
-      Array.tabulate(bands) { bd =>
-        var sig = 0L
-        var j = 0
-        while (j < bandBits) { if (acc(bd * bandBits + j) > 0) sig |= (1L << j); j += 1 }
-        sig
-      }
-    }
-  }
+  // simhash band signatures: graft.functions.HashKernels.simhash_bands —
+  // a static kernel invoked via Catalyst StaticInvoke (no UDF converter
+  // round-trip); hash math unchanged from the round-2 UDF.
 
   /** Band width for corpus size n: sized so the expected bucket occupancy
     * n / 2^bandBits stays ~16 — the bucket space GROWS with the corpus
@@ -93,7 +69,7 @@ object LlmOpsExt {
   private[operators] def dedupSimhashOn(docsAll: DataFrame, bands: Int, bandBits: Int,
                                         maxBucket: Int): DataFrame = {
     val sigs = docsAll.select(col("doc_id"),
-      simhashBandsUdf(bands, bandBits)(col("text")).as("sigs"))
+      graft.functions.HashKernels.simhash_bands(col("text"), bands, bandBits).as("sigs"))
     val banded = sigs
       .select(col("doc_id"), col("sigs"), posexplode(col("sigs")).as(Seq("band", "bval")))
       .select(col("doc_id"), col("sigs"),
@@ -175,35 +151,9 @@ object LlmOpsExt {
     math.min(62, math.max(4,
       math.ceil(math.log(n.toDouble / AnnTargetBucket) / math.log(2)).toInt))
 
-  /** Deterministic pseudo-random hyperplanes (LCG, seed 1234543). Fill
-    * order is row-major, so the first k rows are identical for any count —
-    * growing the plane count never perturbs existing plane directions. */
-  private[operators] def planesFor(count: Int): Array[Array[Double]] = {
-    var s = 1234543L
-    def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >> 11).toDouble / (1L << 52).toDouble }
-    Array.fill(count, Dim)(next() - 0.5)
-  }
-
-  /** Per-band sign-LSH signatures: band b packs the signs of planes
-    * [b*w, (b+1)*w) into a Long. One tight loop per row. */
-  private[operators] def annBandSigsUdf(bands: Int, w: Int) = {
-    val planes = planesFor(bands * w)
-    udf { emb: Seq[Float] =>
-      Array.tabulate(bands) { b =>
-        var sig = 0L
-        var j = 0
-        while (j < w) {
-          val pl = planes(b * w + j)
-          var d = 0.0
-          var i = 0
-          while (i < Dim && i < emb.length) { d += pl(i) * emb(i); i += 1 }
-          if (d > 0) sig |= (1L << j)
-          j += 1
-        }
-        sig
-      }
-    }
-  }
+  // sign-LSH band signatures: graft.functions.HashKernels.ann_band_sigs —
+  // static kernel via StaticInvoke; hyperplanes are the same LCG
+  // (seed 1234543), row-major fill, so signatures are unchanged.
 
   /** The banded probe↔corpus bucket equi-join both ANN entry points build
     * on: each side emits `bands` small rows per vector, only same-bucket
@@ -214,7 +164,7 @@ object LlmOpsExt {
     val dbl: Column => Column = c => transform(c, x => x.cast("double"))
     def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
       df.select(col(idCol), dbl(col(embCol)).as(embCol + "_d"),
-                annBandSigsUdf(bands, w)(col(embCol)).as("sigs"))
+                graft.functions.HashKernels.ann_band_sigs(col(embCol), bands, w).as("sigs"))
         .select(col(idCol), col(embCol + "_d"),
                 posexplode(col("sigs")).as(Seq("band", "bsig")))
         .select(col(idCol), col(embCol + "_d"),

@@ -23,7 +23,7 @@ class LlmExtSpecs extends SparkTestBase {
   test("simhash is invariant to token order but sensitive to token change") {
     import spark.implicits._
     val sigs = Seq("alpha beta gamma delta", "delta gamma beta alpha", "alpha beta gamma epsilon")
-      .toDF("text").select(LlmOpsExt.simhashBandsUdf(4, 16)(col("text")).as("sigs"))
+      .toDF("text").select(graft.functions.HashKernels.simhash_bands(col("text"), 4, 16).as("sigs"))
       .collect().map(_.getSeq[Long](0))
     assert(sigs(0) == sigs(1)) // bag-of-words: order-invariant
     assert(sigs(0) != sigs(2))
@@ -75,9 +75,9 @@ class LlmExtSpecs extends SparkTestBase {
       .filter(col("vec_id") === 0).select(col("embedding"))
       .as[Seq[Float]].head()
     val scaled = emb.map(x => x * 1.001f)
-    val sigUdf = LlmOpsExt.annBandSigsUdf(4, 4)
-    val s1 = Seq(emb).toDF("embedding").select(sigUdf(col("embedding"))).head().getSeq[Long](0)
-    val s2 = Seq(scaled).toDF("embedding").select(sigUdf(col("embedding"))).head().getSeq[Long](0)
+    def sigCol = graft.functions.HashKernels.ann_band_sigs(col("embedding"), 4, 4)
+    val s1 = Seq(emb).toDF("embedding").select(sigCol).head().getSeq[Long](0)
+    val s2 = Seq(scaled).toDF("embedding").select(sigCol).head().getSeq[Long](0)
     assert(s1 == s2)
     // and the ANN query itself returns exactly <=5 ranked rows per probe
     val ann = LlmOpsExt.simAnn(spark, sfDir)
