@@ -88,7 +88,22 @@ object ScalarFns {
         Ipv4Quad.ip_quad(col("user_id").bitwiseAND(lit(0xFFFFFFFFL))).as("ip"))
       .orderBy(col("event_id").asc)
 
+  /** Bitwise family — the reference's trailer decode is bit extraction
+    * (A8: `main.rs` shifts/masks); here as first-class codegen'd column
+    * ops over event ids. */
+  def fBitwise(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        col("event_id").bitwiseXOR(lit(0x5DEECE66DL)).as("xored"),
+        col("event_id").bitwiseAND(lit(255L)).as("low_byte"),
+        col("event_id").bitwiseOR(lit(1L)).as("ored"),
+        shiftleft(col("event_id"), 3).as("shifted"),
+        bit_count(col("event_id")).as("n_bits"))
+      .orderBy(col("event_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_bitwise" -> (fBitwise _),
     "f_string" -> (fString _),
     "f_date" -> (fDate _),
     "f_math" -> (fMath _),
@@ -97,6 +112,14 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_bitwise" ->
+      """SELECT event_id,
+        |  xor(event_id, 25214903917) AS xored,
+        |  event_id & 255 AS low_byte,
+        |  event_id | 1 AS ored,
+        |  event_id << 3 AS shifted,
+        |  CAST(bit_count(event_id) AS INTEGER) AS n_bits
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "f_string" ->
       """SELECT p_partkey,
         |  upper(p_brand) AS brand_upper,

@@ -109,7 +109,23 @@ object Windows {
       .orderBy(col("o_orderpriority").asc, col("o_orderkey").asc)
   }
 
+  /** first/last/nth over the FULL partition frame (unbounded both ways) —
+    * the "compare each row to its group's extremes" analytic; frame must
+    * be explicit because last_value's default frame ends at CURRENT ROW. */
+  def winFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+              first(col("o_totalprice")).over(w).as("first_price"),
+              last(col("o_totalprice")).over(w).as("last_price"),
+              nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_first_last" -> (winFirstLast _),
     "win_ntile" -> (winNtile _),
     "win_rank" -> (winRank _),
     "win_lag_lead" -> (winLagLead _),
@@ -118,6 +134,16 @@ object Windows {
     "topk_per_group" -> (topkPerGroup _))
 
   val oracle: Map[String, String] = Map(
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "win_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
