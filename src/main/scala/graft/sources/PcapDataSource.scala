@@ -1,16 +1,21 @@
 package graft.sources
 
+import java.io.{ObjectInputStream, ObjectOutputStream}
 import java.util
 
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,6 +32,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * of capture files, which is how capture hardware rolls them anyway.
   * Decoding happens inside each PartitionReader on executors; file bytes
   * never touch the driver.
+  *
+  * Filesystem: all listing and reading goes through the Hadoop
+  * `FileSystem` API resolved from the path's scheme, so `hdfs://`,
+  * `s3a://`, and plain local paths all work — the only place 100 TB of
+  * captures can actually live is a distributed store. The driver's hadoop
+  * conf (credentials, endpoints) ships to executors via
+  * [[SerializableHadoopConf]].
+  *
+  * Options:
+  *  - `mode` = `strict` (default) | `permissive`. Strict raises with the
+  *    offending file path on an unrecognized magic (e.g. pcapng) or a
+  *    truncated record — at 100 TB a silently-skipped capture directory
+  *    is undetectable data loss. Permissive keeps the salvage behavior
+  *    (decode what's intact, stop at the first corrupt record).
   */
 class PcapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pcap"
@@ -53,12 +72,50 @@ object PcapDataSource {
     StructField("mm_id", IntegerType, nullable = true),
     StructField("mm_port", IntegerType, nullable = true)))
 
-  def listCaptureFiles(path: String): Seq[String] = {
-    val f = new java.io.File(path)
-    if (f.isDirectory)
-      f.listFiles().filter(x => x.isFile && x.getName.endsWith(".pcap"))
-        .map(_.getAbsolutePath).sorted.toSeq
-    else Seq(f.getAbsolutePath)
+  /** Name-sorted `.pcap` members of `path` (or `path` itself if a file),
+    * through the scheme-resolved Hadoop FileSystem — works for `file:`,
+    * `hdfs:`, `s3a:`, …. Returns fully-qualified URIs. */
+  def listCaptureFiles(path: String, conf: Configuration): Seq[String] = {
+    val p = new HadoopPath(path)
+    val fs = p.getFileSystem(conf)
+    val status = fs.getFileStatus(p) // raises FileNotFoundException with the path
+    if (status.isDirectory)
+      fs.listStatus(p).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".pcap"))
+        .map(_.getPath.toString).toSeq.sorted
+    else Seq(status.getPath.toString)
+  }
+
+  /** Reads one capture fully via the Hadoop FileSystem API. A legacy pcap
+    * must be decoded sequentially anyway (no sync markers), and capture
+    * hardware rolls files at fixed sizes well under 2 GiB. */
+  def readCaptureBytes(file: String, conf: Configuration): Array[Byte] = {
+    val p = new HadoopPath(file)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue.toLong,
+      s"$file: capture is $len bytes; single-file captures above 2 GiB are unsupported " +
+        "(roll captures into smaller files — that is also what gives the scan parallelism)")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+}
+
+/** Hadoop `Configuration` is not `Serializable`; this is the standard
+  * Writable-based wrapper (the same shape as Spark's internal
+  * `SerializableConfiguration`) so reader factories can ship the driver's
+  * hadoop conf — `fs.*` credentials, endpoints — to executors. */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -71,36 +128,162 @@ class PcapTable(properties: Map[String, String]) extends Table with SupportsRead
     val path = Option(options.get("path"))
       .orElse(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("pcap source requires a path"))
-    new PcapScanBuilder(path)
+    val mode = Option(options.get("mode")).orElse(properties.get("mode"))
+      .getOrElse("strict").toLowerCase
+    require(mode == "strict" || mode == "permissive",
+      s"pcap option mode=$mode; expected strict or permissive")
+    // resolved on the driver, shipped to executors by the reader factory
+    val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+    new PcapScanBuilder(path, mode == "strict", conf)
   }
 }
 
-/** Scan with column pruning (SupportsPushDownRequiredColumns): Catalyst
-  * hands us the required columns and `SELECT protocol FROM pcap` then
-  * skips dotted-quad string formatting (no src_ip/dst_ip), the whole
-  * network decode (no network columns), and the Metamako trailer scan
-  * (no mm_* columns) per packet — at 100 TB of captures the formatting
-  * alone dominates an un-pruned scan. */
-class PcapScanBuilder(path: String) extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns {
+/** Translates pushed-down [[Filter]]s over the decodable columns into a
+  * `Packet => Boolean` evaluated inside the reader BEFORE row
+  * construction: a pushed `protocol = 'TCP'` skips InternalRow building
+  * (and the dotted-quad formatting the row would need) for every
+  * non-matching packet. Null semantics match SQL: a comparison against a
+  * NULL field is not-true, so the row is dropped — and every filter is
+  * also re-applied by Spark post-scan (parquet-style contract), so the
+  * push is a decode-skip optimization, never a correctness risk. */
+object PcapFilters {
+  import PcapParser.Packet
+
+  private val numericCols = Set("len", "src_port", "dst_port", "pkt_idx")
+  private val allCols = numericCols ++ Set("protocol", "file")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => allCols(a)
+    case In(a, _)                 => allCols(a)
+    case GreaterThan(a, _)        => numericCols(a)
+    case GreaterThanOrEqual(a, _) => numericCols(a)
+    case LessThan(a, _)           => numericCols(a)
+    case LessThanOrEqual(a, _)    => numericCols(a)
+    case IsNull(a)                => allCols(a)
+    case IsNotNull(a)             => allCols(a)
+    case And(l, r)                => supported(l) && supported(r)
+    case _                        => false
+  }
+
+  private def numVal(v: Any): Option[Long] = v match {
+    case i: Int   => Some(i.toLong)
+    case l: Long  => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
+  }
+
+  private def numField(a: String): Packet => Option[Long] = a match {
+    case "len"      => _.len
+    case "src_port" => _.src_port.map(_.toLong)
+    case "dst_port" => _.dst_port.map(_.toLong)
+    case "pkt_idx"  => p => Some(p.pkt_idx)
+    case other      => throw new IllegalArgumentException(s"not a numeric pcap filter column: $other")
+  }
+
+  /** `file` filters compile against the enclosing file's path (constant per
+    * partition), letting e.g. `file LIKE` residuals coexist with an exact
+    * `file =` push that skips the whole partition's decode. */
+  def compile(f: Filter, file: String): Packet => Boolean = f match {
+    case EqualTo("file", v)     => val hit = String.valueOf(v) == file; _ => hit
+    case In("file", vs)         => val hit = vs.map(String.valueOf).contains(file); _ => hit
+    case IsNull("file")         => _ => false
+    case IsNotNull("file")      => _ => true
+    case EqualTo("protocol", v) => val s = String.valueOf(v); p => p.protocol.contains(s)
+    case In("protocol", vs)     => val s = vs.map(String.valueOf).toSet; p => p.protocol.exists(s)
+    case IsNull(a)              => val g = anyField(a); p => g(p).isEmpty
+    case IsNotNull(a)           => val g = anyField(a); p => g(p).isDefined
+    case EqualTo(a, v)             => cmp(a, v, _ == _)
+    case In(a, vs)                 =>
+      val preds = vs.map(v => cmp(a, v, _ == _)); p => preds.exists(_(p))
+    case GreaterThan(a, v)         => cmp(a, v, _ > _)
+    case GreaterThanOrEqual(a, v)  => cmp(a, v, _ >= _)
+    case LessThan(a, v)            => cmp(a, v, _ < _)
+    case LessThanOrEqual(a, v)     => cmp(a, v, _ <= _)
+    case And(l, r) =>
+      val cl = compile(l, file); val cr = compile(r, file); p => cl(p) && cr(p)
+    case _ => _ => true // unsupported never reaches here (supported() gate); decode-all is safe
+  }
+
+  private def anyField(a: String): Packet => Option[Any] = a match {
+    case "protocol" => _.protocol
+    case other      => numField(other)
+  }
+
+  private def cmp(a: String, v: Any, op: (Long, Long) => Boolean): Packet => Boolean =
+    numVal(v) match {
+      case Some(n) => val g = numField(a); p => g(p).exists(op(_, n))
+      case None    => _ => true // unexpected literal type: decode everything, Spark re-filters
+    }
+
+  def toPredicate(fs: Array[Filter], file: String): Packet => Boolean =
+    if (fs.isEmpty) { _ => true }
+    else { val ps = fs.map(compile(_, file)); p => ps.forall(_(p)) }
+}
+
+/** Scan with column pruning (SupportsPushDownRequiredColumns) and filter
+  * pushdown (SupportsPushDownFilters). Catalyst hands us the required
+  * columns, so `SELECT protocol FROM pcap` skips dotted-quad string
+  * formatting (no src_ip/dst_ip), the whole network decode (no network
+  * columns), and the Metamako trailer scan (no mm_* columns) per packet —
+  * at 100 TB of captures the formatting alone dominates an un-pruned
+  * scan. Pushed filters additionally skip row construction for
+  * non-matching packets (see [[PcapFilters]]). */
+class PcapScanBuilder(path: String, strict: Boolean, conf: SerializableHadoopConf)
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = PcapDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(PcapFilters.supported)
+    // return ALL filters as residual: Spark re-evaluates them post-scan,
+    // the same contract parquet uses for its row-group filters — the push
+    // only skips per-packet decode work, it never owns correctness
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = this
   override def readSchema(): StructType = required
+  override def description(): String =
+    s"PcapScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    PcapDataSource.listCaptureFiles(path).map(PcapFilePartition(_): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory = new PcapReaderFactory(required)
+    PcapDataSource.listCaptureFiles(path, conf.value)
+      .map(PcapFilePartition(_): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PcapReaderFactory(required, pushed, strict, conf)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PcapMicroBatchStream(path, required)
+    new PcapMicroBatchStream(path, required, pushed, strict, conf)
 }
 
 case class PcapFilePartition(file: String) extends InputPartition
 
 /** Offset for the pcap stream: the count of (name-sorted) capture files
-  * already processed. */
-case class PcapOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+  * already processed, PLUS the name of the last one — so a file landing
+  * with a lexicographically earlier name (or a deletion) is detected as a
+  * broken append-only contract instead of silently shifting indices and
+  * duplicating/skipping packets. */
+case class PcapOffset(n: Int, last: Option[String]) extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("n", n)
+    last.foreach(node.put("last", _))
+    m.writeValueAsString(node)
+  }
+}
+
+object PcapOffset {
+  def fromJson(s: String): PcapOffset = {
+    val t = s.trim
+    if (t.startsWith("{")) {
+      val node = new ObjectMapper().readTree(t)
+      PcapOffset(node.get("n").asInt(),
+        Option(node.get("last")).filterNot(_.isNull).map(_.asText()))
+    } else PcapOffset(t.toInt, None) // pre-round-4 offsets were a bare count
+  }
 }
 
 /** Micro-batch stream over a GROWING capture directory — the reference's
@@ -110,37 +293,55 @@ case class PcapOffset(n: Int) extends Offset {
   * InputPartition per new file (the same unsplittable-file granularity as
   * the batch scan). Contract: capture files are immutable once written and
   * roll with lexicographically increasing names (how capture hardware
-  * names them); renames/deletes are unsupported. Column pruning applies
-  * the same as the batch path. */
-class PcapMicroBatchStream(path: String, readSchema: StructType) extends MicroBatchStream {
+  * names them) — ENFORCED via the last-filename carried in [[PcapOffset]]:
+  * a rename/delete/out-of-order landing fails the query loudly instead of
+  * silently replaying or skipping. Column pruning and filter pushdown
+  * apply the same as the batch path. */
+class PcapMicroBatchStream(path: String, readSchema: StructType, pushed: Array[Filter],
+                           strict: Boolean, conf: SerializableHadoopConf)
+    extends MicroBatchStream {
   // snapshot the listing once per latestOffset() call so a file landing
   // mid-planning can't shift indices between latestOffset and plan
   @volatile private var snapshot: Seq[String] = Nil
-  override def initialOffset(): Offset = PcapOffset(0)
+  override def initialOffset(): Offset = PcapOffset(0, None)
   override def latestOffset(): Offset = {
-    snapshot = PcapDataSource.listCaptureFiles(path)
-    PcapOffset(snapshot.size)
+    snapshot = PcapDataSource.listCaptureFiles(path, conf.value)
+    PcapOffset(snapshot.size, snapshot.lastOption)
   }
-  override def deserializeOffset(json: String): Offset = PcapOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = PcapOffset.fromJson(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[PcapOffset].n
-    val e = end.asInstanceOf[PcapOffset].n
-    val files = if (snapshot.size >= e) snapshot else PcapDataSource.listCaptureFiles(path)
-    files.slice(s, e).map(PcapFilePartition(_): InputPartition).toArray
+    val s = start.asInstanceOf[PcapOffset]
+    val e = end.asInstanceOf[PcapOffset]
+    val files =
+      if (snapshot.size >= e.n) snapshot
+      else PcapDataSource.listCaptureFiles(path, conf.value)
+    if (s.n > 0) s.last.foreach { committed =>
+      val now = if (files.size < s.n) None else Some(files(s.n - 1))
+      if (!now.contains(committed)) throw new IllegalStateException(
+        s"pcap stream listing shifted under committed offset $s: file #${s.n - 1} was " +
+          s"'$committed' but is now ${now.fold("missing")(f => s"'$f'")} — capture files must " +
+          "roll append-only with lexicographically increasing names (no renames/deletes)")
+    }
+    files.slice(s.n, e.n).map(PcapFilePartition(_): InputPartition).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new PcapReaderFactory(readSchema)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PcapReaderFactory(readSchema, pushed, strict, conf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class PcapReaderFactory(readSchema: StructType) extends PartitionReaderFactory {
+class PcapReaderFactory(readSchema: StructType, pushed: Array[Filter],
+                        strict: Boolean, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PcapFilePartition].file
     val names = readSchema.fieldNames
+    // decode must cover pushed-filter columns too, even when pruned away
+    val need = names.toSet ++ pushed.flatMap(_.references)
     val wants = PcapParser.Wants(
-      ips = names.contains("src_ip") || names.contains("dst_ip"),
-      net = Seq("src_ip", "dst_ip", "protocol", "src_port", "dst_port").exists(names.contains),
-      trailers = Seq("mm_ts", "mm_id", "mm_port").exists(names.contains))
+      ips = need("src_ip") || need("dst_ip"),
+      net = Seq("src_ip", "dst_ip", "protocol", "src_port", "dst_port").exists(need),
+      trailers = Seq("mm_ts", "mm_id", "mm_port").exists(need))
     new PartitionReader[InternalRow] {
       private val fileUtf8 = UTF8String.fromString(file)
       // one value extractor per REQUIRED column, in the pruned schema's order
@@ -158,8 +359,12 @@ class PcapReaderFactory(readSchema: StructType) extends PartitionReaderFactory {
         case "mm_port" => (p: PcapParser.Packet) => p.mm_port.map(Int.box).orNull
         case other => throw new IllegalArgumentException(s"unknown pcap column $other")
       }
+      // pushed filters run on the decoded Packet, BEFORE InternalRow
+      // construction — non-matching packets never allocate a row
+      private val pred = PcapFilters.toPredicate(pushed, file)
       private val it = PcapParser.parseFile(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), wants)
+        PcapDataSource.readCaptureBytes(file, conf.value),
+        wants, strict = strict, name = file).filter(pred)
       private var current: PcapParser.Packet = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
       override def get(): InternalRow =

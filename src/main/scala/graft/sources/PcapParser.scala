@@ -163,26 +163,50 @@ object PcapParser {
   private val MagicBeNs = 0xa1b23c4dL
   private val MagicLeNs = 0x4d3cb2a1L
 
+  /** Raised by strict-mode parses on malformed captures: unrecognized
+    * magic (pcapng), truncated global header, or a truncated record. The
+    * message always carries the capture's name/path — at 100 TB a
+    * silently-skipped capture is undetectable data loss. */
+  final class PcapFormatException(msg: String) extends RuntimeException(msg)
+
   /** Iterate the records of one legacy pcap byte buffer. Equivalent of the
-    * reference's LegacyPcapReader loop (main.rs:83-118) minus the panics:
-    * an unrecognized magic (e.g. pcapng, main.rs:108) or a truncated
-    * record ends the iteration instead of crashing. Handles both byte
-    * orders and the nanosecond-magic variant (ts_sec stays seconds, so the
-    * trailer heuristic is unchanged — SURVEY.md §2.A trap #5). */
-  def parseFile(bytes: Array[Byte], wants: Wants = WantsAll): Iterator[Packet] = {
-    if (bytes.length < 24) return Iterator.empty
+    * reference's LegacyPcapReader loop (main.rs:83-118) with its panics
+    * replaced by a mode switch: `strict = true` raises a
+    * [[PcapFormatException]] naming the capture on an unrecognized magic
+    * (e.g. pcapng, main.rs:108), a truncated global header, or a
+    * truncated/corrupt record; `strict = false` (the salvage mode) ends
+    * the iteration instead, keeping every record that decoded cleanly.
+    * Handles both byte orders and the nanosecond-magic variant (ts_sec
+    * stays seconds, so the trailer heuristic is unchanged — SURVEY.md
+    * §2.A trap #5). */
+  def parseFile(bytes: Array[Byte], wants: Wants = WantsAll,
+                strict: Boolean = false, name: String = "<buffer>"): Iterator[Packet] = {
+    def fail(why: String): Nothing = throw new PcapFormatException(s"$name: $why")
+    if (bytes.length < 24) {
+      if (strict) fail(s"truncated pcap global header (${bytes.length} bytes < 24)")
+      return Iterator.empty
+    }
     val magic = le32(bytes, 0)
     val (swapped, ok) = magic match {
       case MagicBe | MagicBeNs => (false, true)   // file written LE (we read LE)
       case MagicLe | MagicLeNs => (true, true)    // file written BE
       case _ => (false, false)                    // pcapng / unknown: stop
     }
-    if (!ok) return Iterator.empty
+    if (!ok) {
+      if (strict) fail(f"unrecognized pcap magic 0x$magic%08x — pcapng or not a capture " +
+        "(read with option(\"mode\", \"permissive\") to skip unreadable files)")
+      return Iterator.empty
+    }
     def u32(off: Int): Long = if (swapped) be32(bytes, off) else le32(bytes, off)
     new Iterator[Packet] {
       private var off = 24
       private var idx = 0L
-      def hasNext: Boolean = off + 16 <= bytes.length
+      def hasNext: Boolean = {
+        val rem = bytes.length - off
+        if (strict && rem > 0 && rem < 16) fail(
+          s"truncated record header after record ${idx - 1} at byte $off ($rem bytes < 16)")
+        rem >= 16
+      }
       def next(): Packet = {
         val tsSec = u32(off)
         // incl_len is a u32: `.toInt` on values >= 2^31 wraps negative and a
@@ -191,7 +215,12 @@ object PcapParser {
         // record claiming more than remains is truncated — emit what's there,
         // after which `off` lands at bytes.length and iteration ends. `off`
         // therefore always advances by >= 16, so the iterator terminates.
-        val inclLen = math.min(u32(off + 8), (bytes.length - off - 16).toLong).toInt
+        val rawIncl = u32(off + 8)
+        val avail = (bytes.length - off - 16).toLong
+        if (strict && rawIncl > avail) fail(
+          s"record $idx at byte $off claims $rawIncl bytes but only $avail remain " +
+            "(truncated or corrupt capture)")
+        val inclLen = math.min(rawIncl, avail).toInt
         val origLen = u32(off + 12)
         val data = java.util.Arrays.copyOfRange(bytes, off + 16, off + 16 + inclLen)
         off += 16 + inclLen

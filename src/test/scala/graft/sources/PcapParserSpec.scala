@@ -110,6 +110,37 @@ class PcapParserSpec extends SparkTestBase {
     bb.array()
   }
 
+  test("strict mode raises on pcapng magic, naming the capture") {
+    val ng = Array[Byte](0x0a, 0x0d, 0x0d, 0x0a) ++ Array.fill[Byte](40)(0)
+    val e = intercept[PcapParser.PcapFormatException] {
+      PcapParser.parseFile(ng, strict = true, name = "roll-0042.pcapng").toVector
+    }
+    assert(e.getMessage.contains("roll-0042.pcapng"))
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test("strict mode raises on a truncated global header") {
+    val e = intercept[PcapParser.PcapFormatException] {
+      PcapParser.parseFile(Array[Byte](1, 2, 3), strict = true, name = "short.pcap").toVector
+    }
+    assert(e.getMessage.contains("short.pcap"))
+  }
+
+  test("strict mode raises on a record claiming more bytes than remain") {
+    val frame = PcapFixtures.goldenFrames.head._1
+    val e = intercept[PcapParser.PcapFormatException] {
+      PcapParser.parseFile(pcapWithRawLen(frame.length + 24L, frame.length.toLong, frame),
+        strict = true, name = "cut.pcap").toVector
+    }
+    assert(e.getMessage.contains("cut.pcap") && e.getMessage.contains("record 0"))
+  }
+
+  test("strict mode passes the intact golden capture unchanged") {
+    val strictRows =
+      PcapParser.parseFile(PcapFixtures.goldenPcap, strict = true, name = "golden.pcap").toVector
+    assert(strictRows == rows)
+  }
+
   test("u32-wrap incl_len (0xFFFFFFF0) yields a truncated record, not a crash") {
     val rows = PcapParser.parseFile(pcapWithRawLen(0xFFFFFFF0L, 42L,
       PcapFixtures.goldenFrames.head._1.take(8))).toVector

@@ -79,6 +79,87 @@ class PcapSourceSpec extends SparkTestBase {
     assert(rows.filter(col("file").endsWith("c01.pcap")).count() == 1)
   }
 
+  test("stream offset pins the last filename: a listing shift fails loudly, not silently") {
+    val d = Files.createTempDirectory("pcap-shift").toFile
+    Files.write(new java.io.File(d, "m00.pcap").toPath, PcapFixtures.goldenPcap)
+    val q = spark.readStream.format("pcap").load(d.getAbsolutePath)
+      .writeStream.format("memory").queryName("pcap_shift_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("pcap_shift_out").count() == 12)
+    // a file landing with a lexicographically EARLIER name breaks the
+    // append-only contract the offset encodes — indices would silently
+    // shift and replay m00's packets as "new"; must fail instead
+    Files.write(new java.io.File(d, "a00.pcap").toPath, PcapFixtures.pcapFile(Seq(
+      (PcapFixtures.ethernet(0x0800, PcapFixtures.ipv4(6,
+        Array[Byte](10, 1, 1, 1), Array[Byte](10, 2, 2, 2),
+        PcapFixtures.l4Ports(22, 2222))), BaseTs))))
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("append-only")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+    q.stop()
+  }
+
+  test("listing and reading go through the Hadoop FileSystem API: file:// scheme works") {
+    // an explicit file:// URI exercises scheme resolution end-to-end — the
+    // same code path hdfs:// or s3a:// capture directories take
+    val df = spark.read.format("pcap").load("file://" + dir)
+    assert(df.count() == 13)
+    val files = PcapDataSource.listCaptureFiles("file://" + dir, spark.sessionState.newHadoopConf())
+    assert(files.size == 2 && files.forall(_.startsWith("file:")))
+  }
+
+  test("filter pushdown reaches the scan: protocol filter shows in PushedFilters") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("pcap").load(dir).filter(col("protocol") === "TCP")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.scan.description().contains("EqualTo(protocol,TCP)") &&
+      scan.scan.description().contains("PushedFilters"),
+      s"filter not pushed: ${scan.scan.description()}")
+    assert(df.count() == 2) // 1 golden TCP + 1 in b.pcap
+  }
+
+  test("pushed filters drop rows inside the reader, before row construction") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    def readerCount(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val factory = new PcapReaderFactory(PcapDataSource.schema, filters, strict = true, conf)
+      PcapDataSource.listCaptureFiles(dir, spark.sessionState.newHadoopConf()).map { f =>
+        val r = factory.createReader(PcapFilePartition(f))
+        var n = 0L
+        while (r.next()) n += 1
+        r.close()
+        n
+      }.sum
+    }
+    assert(readerCount(Array.empty) == 13)
+    assert(readerCount(Array(EqualTo("protocol", "UDP"))) == 6)
+    assert(readerCount(Array(EqualTo("protocol", "TCP"),
+      GreaterThanOrEqual("src_port", 100))) == 1) // golden TCP src=443; b.pcap TCP src=80 drops
+  }
+
+  test("strict mode (the default) raises naming the corrupt capture; permissive salvages") {
+    val d = Files.createTempDirectory("pcap-bad").toFile
+    Files.write(new java.io.File(d, "good.pcap").toPath, PcapFixtures.goldenPcap)
+    Files.write(new java.io.File(d, "zbad.pcap").toPath,
+      Array[Byte](0x0a, 0x0d, 0x0d, 0x0a) ++ Array.fill[Byte](40)(0)) // pcapng magic
+    val ex = intercept[Exception] {
+      spark.read.format("pcap").load(d.getAbsolutePath).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("zbad.pcap")),
+      s"error does not name the file: ${messages(ex).mkString(" | ")}")
+    val salvaged = spark.read.format("pcap").option("mode", "permissive")
+      .load(d.getAbsolutePath)
+    assert(salvaged.count() == 12) // the 12 golden rows; the bad file reads as empty
+  }
+
   test("pcap_flows agrees with an in-memory flow fold over the direct parser") {
     import org.apache.spark.sql.Row
     val got = PcapOps.pcapFlows(spark, sfDir).collect().map {
