@@ -28,6 +28,17 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Memoized table row count. The dedup/ANN operators size their blocking
+    * parameters (band bits, plane counts, IVF cells) from corpus
+    * cardinality; memoizing makes that one count job per (dir, table) per
+    * session instead of one full pass per query. On a real deployment this
+    * is the catalog's rowCount statistic (ANALYZE TABLE) — the driver
+    * corpus carries no stats, so the first call pays one count. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCountCache.getOrElseUpdate((dir, name), t(spark, dir, name).count())
+
   /** Register every corpus table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.SqlBridge
-import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels for the dedup/ANN blocking stages, wired into
@@ -128,10 +128,15 @@ object HashKernels {
     })
 
   /** Sign-LSH: `bands` signatures of `w` hyperplane-sign bits over a
-    * FLOAT embedding. */
+    * FLOAT embedding. The hyperplane table is `Dim`-wide; a wider
+    * embedding would be silently truncated to its first `Dim` components,
+    * so it is rejected instead (the ARRAY<FLOAT> element type itself is
+    * enforced at analysis time via the StaticInvoke inputTypes below). */
   def annBandSigs(emb: ArrayData, bands: Int, w: Int): ArrayData = {
     val planes = planesFor(bands * w)
     val n = emb.numElements()
+    require(n <= Dim,
+      s"ann_band_sigs supports embeddings up to $Dim dims, got $n — widen HashKernels.Dim")
     new GenericArrayData(Array.tabulate(bands) { b =>
       var sig = 0L
       var j = 0
@@ -147,10 +152,115 @@ object HashKernels {
     })
   }
 
-  /** Column API: ARRAY<BIGINT> sign-LSH band signatures. */
+  /** Column API: ARRAY<BIGINT> sign-LSH band signatures. `inputTypes`
+    * makes Catalyst enforce ARRAY<FLOAT> at analysis time — StaticInvoke
+    * otherwise skips type checks, and `getFloat` on 8-byte elements would
+    * read garbage silently. */
   def ann_band_sigs(c: Column, bands: Int, w: Int): Column =
     SqlBridge.column(StaticInvoke(
       HashKernels.getClass, ArrayType(LongType), "annBandSigs",
       Seq(SqlBridge.expression(c), Literal(bands), Literal(w)),
+      inputTypes = Seq(ArrayType(FloatType), IntegerType, IntegerType),
       returnNullable = false))
+
+  // ---- IVF coarse quantizer (sim_ann_ivf) ------------------------------
+
+  /** Per-thread cache of the last codebook parsed from its flattened
+    * plan-constant form. The same Literal ArrayData instance arrives for
+    * every row a task evaluates, so an identity check gives one unflatten
+    * per task thread — with no driver-populated global registry, which
+    * would not exist on real executors. */
+  private val lastCodebook = new ThreadLocal[(ArrayData, Array[Array[Double]])]
+
+  private def codebookFor(flat: ArrayData, dim: Int): Array[Array[Double]] = {
+    val cached = lastCodebook.get()
+    if (cached != null && (cached._1 eq flat)) cached._2
+    else {
+      val k = flat.numElements() / dim
+      val cb = Array.tabulate(k)(c => Array.tabulate(dim)(i => flat.getDouble(c * dim + i)))
+      lastCodebook.set((flat, cb))
+      cb
+    }
+  }
+
+  /** Top-`n` IVF cells for one embedding: cosine against every centroid
+    * of the codebook, ordered (score desc, cell asc). Bit-identical to
+    * the interpreted UDF it replaced (same loop bounds, same tuple-sort
+    * tie-break) but over `ArrayData` primitives with no converter
+    * round-trip — this is the one map-side pass every corpus row pays. */
+  def ivfTopCells(emb: ArrayData, flat: ArrayData, dim: Int, n: Int): ArrayData = {
+    val cb = codebookFor(flat, dim)
+    val ne = emb.numElements()
+    val scores = new Array[Double](cb.length)
+    var c = 0
+    while (c < cb.length) {
+      val cent = cb(c)
+      var d = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      val lim = math.min(cent.length, ne)
+      while (i < lim) {
+        val v = emb.getFloat(i).toDouble
+        d += cent(i) * v
+        nv += v * v
+        nc += cent(i) * cent(i)
+        i += 1
+      }
+      scores(c) = d / math.sqrt(nv * nc)
+      c += 1
+    }
+    val order = Array.tabulate(cb.length)(identity).sortBy(i => (-scores(i), i))
+    new GenericArrayData(Array.tabulate[Any](math.min(n, cb.length))(j => order(j)))
+  }
+
+  /** Column API: ARRAY<INT> of the top-n cell ids. The trained codebook
+    * travels flattened as an ARRAY<DOUBLE> literal inside the plan —
+    * Spark broadcasts task binaries, so executors receive it once per
+    * stage, never per row (the "train once, broadcast" model-artifact
+    * path without a closure capture). */
+  def ivf_top_cells(emb: Column, flatCodebook: Array[Double], dim: Int, n: Int): Column = {
+    require(dim > 0 && flatCodebook.length % dim == 0,
+      s"codebook length ${flatCodebook.length} is not a multiple of dim $dim")
+    SqlBridge.column(StaticInvoke(
+      HashKernels.getClass, ArrayType(IntegerType), "ivfTopCells",
+      Seq(SqlBridge.expression(emb),
+          Literal.create(flatCodebook, ArrayType(DoubleType, containsNull = false)),
+          Literal(dim), Literal(n)),
+      inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType, containsNull = false),
+        IntegerType, IntegerType),
+      returnNullable = false))
+  }
+
+  // ---- Bloom-filter gate (join_bloom_prefilter) ------------------------
+
+  private val lastSketch =
+    new ThreadLocal[(AnyRef, org.apache.spark.util.sketch.BloomFilter)]
+
+  /** Membership probe against a BloomFilter shipped serialized as a
+    * BinaryType plan constant: deserialized once per task thread
+    * (identity-cached), then a straight `mightContainLong` per row — no
+    * ScalaUDF closure, so the fact-table scan stays inside whole-stage
+    * codegen. */
+  def bloomMightContain(key: Long, sketch: Array[Byte]): Boolean = {
+    val cached = lastSketch.get()
+    val bf =
+      if (cached != null && (cached._1 eq sketch)) cached._2
+      else {
+        val parsed = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(sketch))
+        lastSketch.set((sketch, parsed))
+        parsed
+      }
+    bf.mightContainLong(key)
+  }
+
+  /** Column API: BOOLEAN gate over a BIGINT key. */
+  def bloom_might_contain(key: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    SqlBridge.column(StaticInvoke(
+      HashKernels.getClass, BooleanType, "bloomMightContain",
+      Seq(SqlBridge.expression(key), Literal.create(bos.toByteArray, BinaryType)),
+      inputTypes = Seq(LongType, BinaryType),
+      returnNullable = false))
+  }
 }

@@ -60,7 +60,8 @@ object LlmOpsExt {
       .select((col("doc_id") + 1000000L).as("doc_id"),
               concat(col("text"), lit(" mutated")).as("text"))
     dedupSimhashOn(docs.unionByName(mutated), bands = 4,
-      bandBits = simhashBandBits(docs.count()), maxBucket = LlmOps.DefaultMaxBucket)
+      bandBits = simhashBandBits(Tables.rowCount(spark, dir, "documents")),
+      maxBucket = LlmOps.DefaultMaxBucket)
   }
 
   /** SimHash core over a prepared (doc_id, text) relation: band-bucket the
@@ -195,7 +196,7 @@ object LlmOpsExt {
     * only same-bucket pairs are scored. */
   def simAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    simAnnWith(emb, annPlanesPerBand(emb.count()))
+    simAnnWith(emb, annPlanesPerBand(Tables.rowCount(spark, dir, "embeddings")))
   }
 
   private[operators] def simAnnWith(emb: DataFrame, w: Int,
@@ -271,30 +272,27 @@ object LlmOpsExt {
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val dbl: Column => Column = c => transform(c, x => x.cast("double"))
-    val cells = ivfCellCount(emb.count())
+    val cells = ivfCellCount(Tables.rowCount(spark, dir, "embeddings"))
     // train the codebook on a deterministic bounded sample (8 vectors per
-    // cell), driver-side like any model-training step, then broadcast
+    // cell), driver-side like any model-training step, then ship it into
+    // the assignment kernel as a plan constant (task-binary broadcast)
     val sample: Array[Array[Double]] = emb.filter(col("vec_id") < cells.toLong * 8)
       .orderBy(col("vec_id").asc).select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centroids: Array[(Int, Array[Double])] = kmeansCodebook(sample, cells)
-    def cosTo(cent: Array[Double], v: Seq[Float]): Double = {
-      var d = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
-      while (i < cent.length && i < v.length) {
-        d += cent(i) * v(i); nv += v(i).toDouble * v(i); nc += cent(i) * cent(i); i += 1
-      }
-      d / math.sqrt(nv * nc)
-    }
-    val topCellsUdf = udf { (v: Seq[Float], n: Int) =>
-      centroids.map { case (id, c) => (id, cosTo(c, v)) }
-        .sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
-    }
+    val dim = centroids.head._2.length
+    val flatCodebook: Array[Double] = centroids.flatMap(_._2)
+    // cell assignment is a StaticInvoke kernel over ArrayData (no ScalaUDF
+    // converter round-trip): HashKernels.ivfTopCells, bit-identical math
+    // to the interpreted UDF it replaced
+    def topCells(n: Int) =
+      graft.functions.HashKernels.ivf_top_cells(col("embedding"), flatCodebook, dim, n)
     val corpus = emb.select(col("vec_id").as("c_id"), dbl(col("embedding")).as("c_emb_d"),
-        explode(topCellsUdf(col("embedding"), lit(1))).as("cell"))
+        explode(topCells(1)).as("cell"))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("p_id"), dbl(col("embedding")).as("p_emb_d"),
-        explode(topCellsUdf(col("embedding"), lit(2))).as("cell"))
+        explode(topCells(2)).as("cell"))
     val dot = graft.functions.VecDot.vec_dot(col("p_emb_d"), col("c_emb_d"))
     val np = graft.functions.VecDot.vec_norm(col("p_emb_d"))
     val nc = graft.functions.VecDot.vec_norm(col("c_emb_d"))

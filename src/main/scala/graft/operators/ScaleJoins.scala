@@ -78,18 +78,19 @@ object ScaleJoins {
     * the Bloom false positives, so results equal a plain join (which is
     * what the oracle checks). This is the manual form of Spark's own
     * InjectRuntimeFilter: at 100 TB the sketch (~1.2 MB here, sized
-    * ∝ |dim keys|) ships in each task closure and discards ~96% of the
-    * fact scan output (URGENT ≈ 1/5 of orders, FPP 1%) pre-shuffle —
-    * the same reason the reference hand-prunes columns it won't emit. */
+    * ∝ |dim keys|) ships as a plan constant (task-binary broadcast) and
+    * discards ~96% of the fact scan output (URGENT ≈ 1/5 of orders, FPP
+    * 1%) pre-shuffle. The gate is a StaticInvoke static kernel
+    * (HashKernels.bloomMightContain), not a ScalaUDF — the fact scan
+    * stays inside whole-stage codegen (OperatorSpecs pins that). */
   def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
     val dim = t(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderpriority"))
     // one pass over the dim side builds the mergeable sketch (treeAggregate)
     val bf = dim.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
-    val mightContain = udf((k: Long) => bf.mightContain(k))
     t(spark, dir, "lineitem")
-      .filter(mightContain(col("l_orderkey")))
+      .filter(graft.functions.HashKernels.bloom_might_contain(col("l_orderkey"), bf))
       .join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

@@ -115,6 +115,21 @@ class OperatorSpecs extends SparkTestBase {
     rows.foreach { case (p, j) => assert(j >= 0.7, s"pair $p below threshold: $j") }
   }
 
+  test("join_bloom_prefilter and sim_ann_ivf carry no ScalaUDF: hot paths are static kernels") {
+    // the bloom gate and the IVF cell assignment were interpreted UDFs in
+    // earlier rounds; both are StaticInvoke kernels now — a ScalaUDF node
+    // would break whole-stage codegen on the fact/corpus scan
+    Seq(
+      "join_bloom_prefilter" -> ScaleJoins.joinBloomPrefilter(spark, sfDir),
+      "sim_ann_ivf" -> LlmOpsExt.simAnnIvf(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("UDF"), s"$name plan still has a ScalaUDF:\n$plan")
+      assert(plan.toLowerCase.contains("staticinvoke") || plan.contains("bloomMightContain")
+        || plan.contains("ivfTopCells"), s"$name plan missing the static kernel:\n$plan")
+    }
+  }
+
   test("sim_topk: exact brute-force agrees with an independent local computation") {
     import spark.implicits._
     val got = LlmOps.simTopk(spark, sfDir).collect()
