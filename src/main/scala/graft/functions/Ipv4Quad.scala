@@ -68,5 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(Ipv4Quad.functionDescription)
     e.injectFunction(VecDot.functionDescription)
+    e.injectOptimizerRule(_ => graft.plans.PushVecNormThroughJoin)
   }
 }

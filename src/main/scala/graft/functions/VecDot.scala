@@ -86,5 +86,11 @@ object VecDot {
   val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-    (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
+    (exprs: Seq[Expression]) => {
+      // arity-checked here so SELECT vec_dot(a) is a clear analysis error,
+      // not an IndexOutOfBoundsException from exprs(1)
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"vec_dot expects exactly 2 arguments (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got ${exprs.length}")
+      VecDot(exprs(0), exprs(1))
+    })
 }

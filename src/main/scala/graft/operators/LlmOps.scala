@@ -110,6 +110,10 @@ object LlmOps {
     * left-folds over double-cast elements so the oracle
     * (list_cosine_similarity over DOUBLE[]) reproduces them bit-for-bit. */
   def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    // optimizer Rule: rewrites the per-pair norms below the join (each
+    // side's norm computed once per row, not once per pair) — see
+    // graft.plans.PushVecNormThroughJoin; VecNormRuleSpec pins the rewrite
+    graft.plans.PushVecNormThroughJoin.register(spark)
     val emb = t(spark, dir, "embeddings")
     val dbl: Column => Column = c => transform(c, x => x.cast("double"))
     val queriesDf = emb.filter(col("vec_id") < 10)

@@ -119,6 +119,7 @@ object LlmOpsExt {
     * (x -> 1.001x, cosine ~= 1) probed against the corpus; pairs with
     * cosine >= 0.999 survive. DuckDB-oracled via list_cosine_similarity. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.PushVecNormThroughJoin.register(spark) // per-row, not per-pair norms
     val emb = t(spark, dir, "embeddings")
     val dbl: Column => Column = c => transform(c, x => x.cast("double"))
     val probes = emb.filter(col("vec_id") < 3)
@@ -470,6 +471,12 @@ object LlmOpsExt {
       iters += 1
     }
     edges.unpersist() // labels is materialized; the final sort reads it alone
+    // a capped-out loop means partially-propagated (WRONG) cluster ids —
+    // fail loudly rather than return them (a dup graph with diameter > 20
+    // means the edge extraction produced chains, not near-clique clusters)
+    if (!converged) throw new IllegalStateException(
+      s"dedup_cluster: label propagation did not reach its fixpoint in $iters rounds — " +
+        "dup-graph diameter exceeds the iteration cap; raise it or inspect the edge set")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id").asc)
   }

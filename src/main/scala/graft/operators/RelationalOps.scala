@@ -112,7 +112,9 @@ object RelationalOps {
     * `lang = 'en'` probe in OperatorSpecs shows PartitionFilters) instead
     * of full sweeps. */
   def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-part-sink").toString
+    // fixed scratch path (mode=overwrite replaces it) — a fresh temp dir
+    // per invocation would leak one directory per run
+    val out = s"${graft.Tables.scratchDir}/part_sink"
     t(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(out)

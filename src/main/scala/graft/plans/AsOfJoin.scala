@@ -77,37 +77,51 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightSize)
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
-      // Next right row whose key AND time are both non-null. A null-keyed or
-      // null-timed right row can never be an as-of match (DuckDB ASOF skips
-      // them too) — and must NOT reach the Long comparisons below, where
-      // Scala unboxing would silently coerce null to 0L and let it match a
-      // legitimate key/time 0.
-      def nextRight(): InternalRow = {
-        while (rIter.hasNext) {
-          val r = rIter.next()
-          if (rkB.eval(r) != null && rtB.eval(r) != null) return r.copy()
-        }
-        null
-      }
-      // two-pointer state: rHead = next unconsumed right row (lookahead),
-      // rPrev = last consumed right row. O(1) memory.
-      var rHead: InternalRow = nextRight()
+      // Generated (key, time) extractors: one codegen'd UnsafeProjection per
+      // side gives primitive getLong/isNullAt access — the merge loop below
+      // compares raw longs, no boxed Expression.eval per comparison (the
+      // neighboring built-in joins are whole-stage codegen'd; this keeps the
+      // custom operator's per-row cost in the same class).
+      val lKT = UnsafeProjection.create(Seq(lkB, ltB))
+      val rKT = UnsafeProjection.create(Seq(rkB, rtB))
+      // Buffered right state: the row copy plus its primitive key/time,
+      // extracted ONCE at consume time (previously re-eval'd per comparison).
+      // A null-keyed or null-timed right row can never be an as-of match
+      // (DuckDB ASOF skips them too) and must not reach the primitive
+      // comparisons, where null would read as 0 and match a legitimate 0.
+      var rHead: InternalRow = null
+      var rHeadKey = 0L
+      var rHeadTime = 0L
       var rPrev: InternalRow = null
-      def rk(r: InternalRow): Long = rkB.eval(r).asInstanceOf[Long]
-      def rt(r: InternalRow): Long = rtB.eval(r).asInstanceOf[Long]
-      lIter.map { l =>
-        val lkV = lkB.eval(l)
-        val ltV = ltB.eval(l)
-        var matched: InternalRow = null
-        if (lkV != null && ltV != null) {
-          val lk = lkV.asInstanceOf[Long]
-          val lt = ltV.asInstanceOf[Long]
-          while (rHead != null &&
-                 (rk(rHead) < lk || (rk(rHead) == lk && rt(rHead) <= lt))) {
-            rPrev = rHead
-            rHead = nextRight()
+      var rPrevKey = 0L
+      var rPrevTime = 0L
+      def advanceRight(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val kt = rKT(r)
+          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+            rHead = r.copy()
+            rHeadKey = kt.getLong(0)
+            rHeadTime = kt.getLong(1)
           }
-          if (rPrev != null && rk(rPrev) == lk && rt(rPrev) <= lt) matched = rPrev
+        }
+      }
+      advanceRight()
+      lIter.map { l =>
+        val lkt = lKT(l) // reused buffer; primitives read out immediately
+        var matched: InternalRow = null
+        if (!lkt.isNullAt(0) && !lkt.isNullAt(1)) {
+          val lk = lkt.getLong(0)
+          val lt = lkt.getLong(1)
+          while (rHead != null &&
+                 (rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt))) {
+            rPrev = rHead
+            rPrevKey = rHeadKey
+            rPrevTime = rHeadTime
+            advanceRight()
+          }
+          if (rPrev != null && rPrevKey == lk && rPrevTime <= lt) matched = rPrev
         }
         proj(joiner(l, if (matched == null) nullRight else matched))
       }
@@ -165,8 +179,14 @@ object AsOfJoin {
     val (lt, rt) = (attr(la, leftTime), attr(ra, rightTime))
     require(unitFamily(lt.dataType) == unitFamily(rt.dataType),
       s"as-of time columns must share a unit family; got ${lt.dataType.sql} vs ${rt.dataType.sql}")
+    // keys normalize to different units per family too (epoch-days vs raw
+    // longs): mixing DateType and integral keys would silently compare
+    // incommensurate numbers and produce all-NULL matches
+    val (lkA, rkA) = (attr(la, leftKey), attr(ra, rightKey))
+    require(unitFamily(lkA.dataType) == unitFamily(rkA.dataType),
+      s"as-of key columns must share a unit family; got ${lkA.dataType.sql} vs ${rkA.dataType.sql}")
     SqlBridge.ofRows(spark, AsOfJoinPlan(la, ra,
-      toLong(attr(la, leftKey), "key"), toLong(attr(ra, rightKey), "key"),
+      toLong(lkA, "key"), toLong(rkA, "key"),
       toLong(lt, "time"), toLong(rt, "time")))
   }
 }

@@ -72,6 +72,19 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(e.getMessage.contains("unit family"))
   }
 
+  test("mixed key unit families (date vs integral) fail at construction too") {
+    import spark.implicits._
+    // date keys normalize to epoch-days, integral keys stay raw longs —
+    // comparing them would silently produce all-NULL matches
+    val l = Seq(("2024-01-01", 1L, "p1")).toDF("k", "t", "tag")
+      .withColumn("k", to_date(col("k")))
+    val r = Seq((19723L, 1L, "q1")).toDF("rk", "rt", "rtag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("key columns") && e.getMessage.contains("unit family"))
+  }
+
   test("string time column fails at construction, not runtime") {
     import spark.implicits._
     val l = Seq((1L, "a", "p1")).toDF("k", "t", "tag")
