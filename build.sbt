@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] puts driver AND all executor threads in ONE JVM: 8g starved
+  // a ~100-query bench sweep (accumulated broadcasts + zstd write buffers
+  // pushed late queries into GC thrash, inflating them 20-30x — r4). The
+  // box has 128 GiB; 24g is still conservative for local[32].
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

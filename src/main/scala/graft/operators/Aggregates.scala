@@ -220,7 +220,22 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Fixed-width value histogram (r4): bin = floor(value / 10) — one
+    * map-side-combined hash agg, |bins| rows shuffled at any input size;
+    * binning in the SAME IEEE division both engines evaluate keeps the
+    * bucket edges bit-identical (no engine-specific width_bucket). The
+    * distinct-user count per bin rides the same shuffle. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(floor(col("value") / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"),
+           min(col("value")).as("lo"),
+           max(col("value")).as("hi"))
+      .orderBy(col("bin").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> (aggHistogram _),
     "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_stats" -> (aggStats _),
     "agg_hash" -> (aggHash _),
@@ -236,6 +251,14 @@ object Aggregates {
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+        |  count(1) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(value) AS lo,
+        |  max(value) AS hi
+        |FROM events GROUP BY 1
+        |ORDER BY bin ASC NULLS FIRST""".stripMargin,
     "agg_stats" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(1) AS n,

@@ -143,6 +143,27 @@ object RelationalOps {
       .orderBy(col("n_regionkey").asc)
   }
 
+  /** ORC round-trip (r4): orders written as zlib ORC and read back — the
+    * second columnar at-rest format a lake engine must speak (ORC embeds
+    * its schema, so unlike CSV no explicit-schema read is needed; the
+    * stripe/row-group structure gives the same pushdown/pruning story as
+    * parquet). The aggregate proves losslessness against the oracle run
+    * on the ORIGINAL parquet. */
+  def scanOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Tables.scratchDir}/orc_roundtrip"
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+      .write.mode("overwrite").option("compression", "zlib").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double")
+             .as("sum_price"),
+           countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   /** Small-files compaction — the unglamorous operation every 100 TB lake
     * needs on a schedule: a fragmented table (64 tiny files here, the
     * "one file per micro-batch/task" failure mode) rewritten to a few
@@ -213,6 +234,7 @@ object RelationalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_orc_roundtrip" -> (scanOrcRoundtrip _),
     "scan_jsonl_roundtrip" -> (scanJsonlRoundtrip _),
     "merge_upsert" -> (mergeUpsert _),
     "sink_compact" -> (sinkCompact _),
@@ -230,6 +252,12 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "scan_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "scan_jsonl_roundtrip" ->
       """SELECT o_orderstatus, count(1) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price

@@ -76,12 +76,84 @@ object TimeSeriesOps {
              .as("n_full_funnel"))
   }
 
+  /** Cohort retention matrix (r4): users grouped by first-activity day,
+    * distinct active users per (cohort, day-offset) — THE product/data
+    * health analytic over an events stream. Scale shape: the first-day agg
+    * is one shuffle keyed on user; the events ⋈ cohort join is
+    * co-partitioned on the same key (no extra exchange under AQE); the
+    * final agg is |cohorts × offsets| tiny rows. Nothing is quadratic and
+    * no per-day scan loop exists. */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+              col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day").asc, col("day_offset").asc)
+  }
+
+  /** Daily OHLC bars per event_type (r4): open/close = first/last value in
+    * (ts, event_id) order — the tiebreak makes ties deterministic — plus
+    * high/low/count. One window pass (partitioned by the bar key, full
+    * frame) then one agg on the same key: the window and the agg share a
+    * partitioning, so the plan carries ONE exchange. The canonical
+    * market-data / metrics resample. */
+  def tsOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("o", first(col("value")).over(w))
+      .withColumn("c", last(col("value")).over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.Det.r4(min(col("o"))).as("open"),
+           graft.Det.r4(max(col("value"))).as("high"),
+           graft.Det.r4(min(col("value"))).as("low"),
+           graft.Det.r4(min(col("c"))).as("close"),
+           count(lit(1)).as("n"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_stages" -> (funnelStages _),
+    "retention_cohort" -> (retentionCohort _),
     "ts_downsample" -> (tsDownsample _),
-    "ts_gap_fill" -> (tsGapFill _))
+    "ts_gap_fill" -> (tsGapFill _),
+    "ts_ohlc" -> (tsOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "retention_cohort" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY f.cohort_day, date_diff('day', cohort_day, day)
+        |ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST""".stripMargin,
+    "ts_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |    first_value(value) OVER w AS o, last_value(value) OVER w AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+        |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  floor(min(o) * 10000 + 0.5) / 10000 AS open,
+        |  floor(max(value) * 10000 + 0.5) / 10000 AS high,
+        |  floor(min(value) * 10000 + 0.5) / 10000 AS low,
+        |  floor(min(c) * 10000 + 0.5) / 10000 AS close,
+        |  count(1) AS n
+        |FROM b GROUP BY event_type, day
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
     "funnel_stages" ->
       """WITH u AS (
         |  SELECT user_id,
