@@ -6,18 +6,23 @@ import org.apache.spark.sql.functions.col
 /** Drop-in replacement for the reference CLI
   * (/root/reference/src/main.rs:59-122):
   *
-  *   runMain graft.PcapToParquet <input.pcap-or-dir> <output.parquet>
+  *   runMain graft.PcapToParquet <input.pcap-or-dir> <output.parquet> [strict|permissive]
   *
   * Reads legacy pcap through the DataSource V2 connector, emits the
   * reference's exact 9-column schema in its column order (main.rs:44-54),
   * and writes ZSTD-compressed Parquet with the v2 writer format
   * (main.rs:72-77). Unlike the reference: a directory of captures
-  * parallelizes across files, and malformed/truncated input yields NULL
-  * fields instead of a panic. */
+  * parallelizes across files (local, hdfs:// or s3a://), truncated
+  * FRAMES yield NULL fields instead of a panic, and malformed CAPTURES
+  * (pcapng, truncated records) raise naming the file — like the
+  * reference's crash (main.rs:108) but diagnosable; pass `permissive`
+  * to salvage what decodes cleanly instead. */
 object PcapToParquet {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: PcapToParquet <input.pcap|dir> <output.parquet>")
-    val Array(in, out) = args
+    require(args.length == 2 || args.length == 3,
+      "usage: PcapToParquet <input.pcap|dir> <output.parquet> [strict|permissive]")
+    val Array(in, out) = args.take(2)
+    val mode = if (args.length == 3) args(2) else "strict"
     val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
@@ -27,7 +32,7 @@ object PcapToParquet {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.hadoopConfiguration.set("parquet.writer.version", "v2")
-    spark.read.format("pcap").load(in)
+    spark.read.format("pcap").option("mode", mode).load(in)
       .orderBy(col("file").asc, col("pkt_idx").asc) // capture order, as the reference emits
       .select("src_ip", "dst_ip", "len", "protocol", "src_port", "dst_port",
               "mm_ts", "mm_id", "mm_port")

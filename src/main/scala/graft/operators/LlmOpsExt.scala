@@ -270,18 +270,38 @@ object LlmOpsExt {
     * products per vector); the probe↔corpus join is an equi-join on cell
     * id over ~nprobe*sqrt(n) corpus vectors per probe instead of a full
     * scan. */
-  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val dbl: Column => Column = c => transform(c, x => x.cast("double"))
-    val cells = ivfCellCount(Tables.rowCount(spark, dir, "embeddings"))
-    // train the codebook on a deterministic bounded sample (8 vectors per
-    // cell), driver-side like any model-training step, then ship it into
-    // the assignment kernel as a plan constant (task-binary broadcast)
+  /** Trains the ~√n-cell codebook on a deterministic bounded sample (8
+    * vectors per cell), driver-side like any model-training step. */
+  private[operators] def trainIvfCodebook(emb: DataFrame, cells: Int): Array[(Int, Array[Double])] = {
     val sample: Array[Array[Double]] = emb.filter(col("vec_id") < cells.toLong * 8)
       .orderBy(col("vec_id").asc).select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centroids: Array[(Int, Array[Double])] = kmeansCodebook(sample, cells)
+    kmeansCodebook(sample, cells)
+  }
+
+  /** Persist the trained codebook as a parquet MODEL ARTIFACT (cell id +
+    * centroid) — train once, reuse across queries/sessions/clusters: the
+    * artifact, not the training sample, is what ships to production. */
+  private[operators] def writeCodebook(spark: SparkSession, path: String,
+                                       centroids: Array[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted codebook; cell order restored by id so the
+    * flattened plan constant is byte-identical to the freshly-trained one. */
+  private[operators] def readCodebook(spark: SparkSession, path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(path).orderBy(col("cell").asc).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dbl: Column => Column = c => transform(c, x => x.cast("double"))
+    val cells = ivfCellCount(Tables.rowCount(spark, dir, "embeddings"))
+    val centroids: Array[(Int, Array[Double])] = trainIvfCodebook(emb, cells)
     val dim = centroids.head._2.length
     val flatCodebook: Array[Double] = centroids.flatMap(_._2)
     // cell assignment is a StaticInvoke kernel over ArrayData (no ScalaUDF

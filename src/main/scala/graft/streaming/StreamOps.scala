@@ -183,6 +183,37 @@ object StreamOps {
       .start()
   }
 
+  /** foreachBatch sink + Trigger.AvailableNow — the two workhorses of
+    * production Structured Streaming deployments:
+    *
+    *  - `foreachBatch` hands each micro-batch to the FULL batch writer
+    *    surface. Exactly-once lands via idempotent, batchId-keyed writes:
+    *    a re-delivered batch (failure between sink write and checkpoint
+    *    commit) overwrites its own `batch_id=N` directory instead of
+    *    duplicating — the pattern every JDBC/Delta/multi-sink pipeline
+    *    uses.
+    *  - `AvailableNow` drains the existing backlog in bounded micro-batches
+    *    and STOPS — backfill/catch-up over a directory without either a
+    *    forever-running query or a divergent "batch version of the job".
+    *
+    * StreamingSpec drives it over real files and asserts drain-and-stop,
+    * batch-vs-stream row equality, and restart idempotence (a second run
+    * over the same checkpoint emits nothing new). */
+  def startForeachBatchPipeline(spark: SparkSession, inputDir: String, outDir: String,
+                                checkpointDir: String, schema: StructType): StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
     "stream_sliding" -> (streamSliding _),

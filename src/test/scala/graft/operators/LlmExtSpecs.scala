@@ -137,6 +137,31 @@ class LlmExtSpecs extends SparkTestBase {
     ivf.groupBy(_.getLong(0)).foreach { case (_, rs) => assert(rs.length <= 5) }
   }
 
+  test("IVF codebook round-trips through its parquet artifact bit-exactly") {
+    // the "train once, broadcast forever" claim requires the ARTIFACT, not
+    // the training run, to be the unit of reuse: persist → reload must give
+    // byte-identical centroids, hence identical cell assignments
+    val emb = graft.Tables.t(spark, sfDir, "embeddings")
+    val cells = 16
+    val trained = LlmOpsExt.trainIvfCodebook(emb, cells)
+    val path = s"${graft.Tables.scratchDir}/ivf_codebook_spec"
+    LlmOpsExt.writeCodebook(spark, path, trained)
+    val reloaded = LlmOpsExt.readCodebook(spark, path)
+    assert(reloaded.length == trained.length)
+    trained.zip(reloaded).foreach { case ((idA, cA), (idB, cB)) =>
+      assert(idA == idB && cA.sameElements(cB), s"centroid $idA drifted through the artifact")
+    }
+    // assignments from the reloaded codebook equal assignments from the
+    // trained one (same flattened plan constant → same kernel output)
+    def assign(cb: Array[(Int, Array[Double])]) = {
+      val flat = cb.flatMap(_._2)
+      emb.select(col("vec_id"),
+          graft.functions.HashKernels.ivf_top_cells(col("embedding"), flat, cb.head._2.length, 1).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).head).toMap
+    }
+    assert(assign(trained) == assign(reloaded))
+  }
+
   test("text_lang_id: marker-based heuristic identifies crafted sentences") {
     import spark.implicits._
     val got = Seq(
