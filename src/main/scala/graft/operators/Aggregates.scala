@@ -234,7 +234,46 @@ object Aggregates {
            max(col("value")).as("hi"))
       .orderBy(col("bin").asc_nulls_first)
 
+  /** Wide→long unpivot/melt (r4) — the inverse of `agg_pivot`: a wide
+    * per-flag metrics frame melted to (flag, metric, value) rows. Spark's
+    * native `unpivot` is a Generate-style expansion, no shuffle beyond
+    * the feeding agg; the metric list is fixed at plan time (like the
+    * pivot value list), so the schema is static at any scale. */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"),
+           round(sum(dec("l_extendedprice")), 2).cast("double").as("sum_price"),
+           round(sum(dec("l_discount")), 2).cast("double").as("sum_disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag").asc, col("metric").asc)
+  }
+
+  /** Deterministic per-group mode (r4): most frequent status per priority,
+    * ties broken by value — engine-native `mode()` functions have
+    * engine-specific tie behavior, so the portable form is count + window
+    * rank with an explicit tiebreak. Two shuffles: the count agg
+    * (map-side combined) and the rank window over |groups × values| tiny
+    * rows, never over the input. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cnt").desc, col("o_orderstatus").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"), col("cnt"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_unpivot" -> (aggUnpivot _),
+    "agg_mode" -> (aggMode _),
     "agg_histogram" -> (aggHistogram _),
     "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_stats" -> (aggStats _),
@@ -251,6 +290,26 @@ object Aggregates {
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "agg_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        |    CAST(round(sum(CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w) u
+        |ORDER BY l_returnflag ASC NULLS FIRST, metric ASC NULLS FIRST""".stripMargin,
+    "agg_mode" ->
+      """SELECT o_orderpriority, mode_status, cnt FROM (
+        |  SELECT o_orderpriority, o_orderstatus AS mode_status, count(1) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY count(1) DESC NULLS LAST, o_orderstatus ASC NULLS FIRST) AS rn
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus) t
+        |WHERE rn = 1
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
         |  count(1) AS n,

@@ -155,7 +155,29 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Null-safe equi-join (r4): `<=>` treats NULL as a joinable value —
+    * the semantics MERGE/upsert and SCD pipelines need when the business
+    * key is nullable (plain `=` silently drops every NULL row). Spark
+    * plans EqualNullSafe as a real equi-join key (hash/SMJ, not a theta
+    * join). Scale note: NULL hashes as ONE key — a mostly-null key column
+    * is the worst skew case; salt the null bucket exactly like
+    * `join_skew_salted` when that happens. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.createDataFrame(Seq(
+        (None: Option[Long], "unbucketed"),
+        (Some(1L), "bucket_1"), (Some(2L), "bucket_2")))
+      .toDF("bk", "bucket_name")
+    val fact = t(spark, dir, "customer")
+      .withColumn("bk", expr("nullif(c_custkey % 5, 0)"))
+    fact.join(dim, fact("bk") <=> dim("bk"))
+      .groupBy(col("bucket_name"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(dec("c_acctbal")), 2).cast("double").as("sum_bal"))
+      .orderBy(col("bucket_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> (joinNullSafe _),
     "join_asof_native" -> (joinAsofNative _),
     "join_inner" -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
@@ -169,6 +191,14 @@ object Joins {
     "join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH dim(bk, bucket_name) AS (
+        |  VALUES (NULL, 'unbucketed'), (1, 'bucket_1'), (2, 'bucket_2')),
+        |f AS (SELECT nullif(c_custkey % 5, 0) AS bk, c_acctbal FROM customer)
+        |SELECT bucket_name, count(1) AS n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_bal
+        |FROM f JOIN dim ON f.bk IS NOT DISTINCT FROM dim.bk
+        |GROUP BY bucket_name ORDER BY bucket_name ASC NULLS FIRST""".stripMargin,
     "join_asof_native" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts

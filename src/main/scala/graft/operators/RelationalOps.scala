@@ -37,6 +37,21 @@ object RelationalOps {
       .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
       .orderBy(col("event_id").asc)
 
+  /** Typed schema-on-read over the JSON column (r4): `from_json` with an
+    * explicit struct schema turns the string into TYPED fields in one
+    * codegen'd pass — downstream arithmetic/grouping needs no casts and
+    * malformed JSON becomes NULL (PERMISSIVE), not a crash. The aggregate
+    * groups on a derived int bucket to prove the value is genuinely
+    * numeric, not a re-stringified extract. */
+  def scanJsonSchema(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("k_mod").asc_nulls_first)
+
   /** Projection incl. a computed column (reference analog: field extraction
     * A3–A7, /root/reference/src/main.rs:90,193-196). */
   def projectSelect(spark: SparkSession, dir: String): DataFrame =
@@ -242,6 +257,7 @@ object RelationalOps {
     "sink_partitioned" -> (sinkPartitioned _),
     "scan_parquet" -> (scanParquet _),
     "scan_json_col" -> (scanJsonCol _),
+    "scan_json_schema" -> (scanJsonSchema _),
     "project_select" -> (projectSelect _),
     "filter_pred" -> (filterPred _),
     "filter_null" -> (filterNull _),
@@ -295,6 +311,13 @@ object RelationalOps {
     "scan_json_col" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "scan_json_schema" ->
+      """WITH j AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |SELECT k % 10 AS k_mod, count(1) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM j GROUP BY 1
+        |ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
     "project_select" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price
