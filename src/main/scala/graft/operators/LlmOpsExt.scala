@@ -570,7 +570,32 @@ object LlmOpsExt {
       .limit(50)
   }
 
+  /** Corpus-typicality scoring (r4): each doc's mean corpus-frequency over
+    * its bigrams — the integer-exact cousin of LM perplexity (high score =
+    * stereotyped/boilerplate text, low = rare constructions), used to rank
+    * docs for dedup/quality triage without a trained model. All counting is
+    * exact BIGINT (deterministic across engines and partitionings); the
+    * single double division happens once per doc at the end. Scale shape:
+    * the freq table and the per-doc bigrams share the bigram key, so the
+    * join reuses the agg's exchange; the final agg shuffles |docs| rows. */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val freq = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("bg_freq"))
+    bigrams.join(freq, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bg_freq")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+        graft.Det.r4(col("sum_freq").cast("double") / col("n_bigrams")).as("typicality"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (textLmScore _),
     "text_ngram_freq" -> (textNgramFreq _),
     "pipeline_pretrain" -> (pipelinePretrain _),
     "text_scrub" -> (textScrub _),
@@ -588,6 +613,16 @@ object LlmOpsExt {
     "doc_fingerprint" -> (docFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |freq AS (SELECT bigram, count(1) AS bg_freq FROM bg GROUP BY bigram)
+        |SELECT doc_id, count(1) AS n_bigrams, CAST(sum(bg_freq) AS BIGINT) AS sum_freq,
+        |  floor(CAST(sum(bg_freq) AS DOUBLE) / count(1) * 10000 + 0.5) / 10000 AS typicality
+        |FROM bg JOIN freq USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "text_ngram_freq" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |big AS (

@@ -78,7 +78,9 @@ object PcapOps {
     * the bench reports is single-stream decode throughput, the unit that
     * multiplies by file count on a real cluster. The capture is written
     * once and reused across runs. */
-  def pcapIngestLarge(spark: SparkSession, dir: String): DataFrame = {
+  /** Writes (once) and returns the 200k-packet capture directory shared by
+    * the large-scale ingest/pushdown probes. */
+  private[graft] def largeCaptureDir(): String = {
     val capDir = new java.io.File(s"${Tables.scratchDir}/captures_large")
     capDir.mkdirs()
     val f = new java.io.File(capDir, "large.pcap")
@@ -90,11 +92,28 @@ object PcapOps {
       }
       java.nio.file.Files.write(f.toPath, PcapFixtures.pcapFile(frames))
     }
-    spark.read.format("pcap").load(capDir.getAbsolutePath)
+    capDir.getAbsolutePath
+  }
+
+  def pcapIngestLarge(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("pcap").load(largeCaptureDir())
       .groupBy(col("protocol"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("total_bytes"))
       .orderBy(col("protocol").asc_nulls_first)
-  }
+
+  /** Pushdown probe at ingest scale (r4): the same 200k-packet capture with
+    * a `protocol = 'TCP'` predicate. The DSv2 scan receives the filter
+    * (SupportsPushDownFilters) and drops non-matching packets BEFORE
+    * InternalRow construction — at 100 TB of captures the skipped
+    * dotted-quad formatting and row allocation are most of a filtered
+    * scan's cost. PcapSourceSpec pins both the pushed plan and row
+    * agreement with the unfiltered histogram. */
+  def pcapFilterPush(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("pcap").load(largeCaptureDir())
+      .filter(col("protocol") === "TCP")
+      .groupBy(col("dst_port"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("total_bytes"))
+      .orderBy(col("dst_port").asc_nulls_first)
 
   /** 5-tuple flow reconstruction over decoded packets — the canonical
     * downstream analytic on capture data (what the reference's users run
@@ -125,6 +144,7 @@ object PcapOps {
     "pcap_flows" -> (pcapFlows _),
     "pcap_ingest" -> (pcapIngest _),
     "pcap_ingest_large" -> (pcapIngestLarge _),
+    "pcap_filter_push" -> (pcapFilterPush _),
     "udf_packet_decode" -> (udfPacketDecode _),
     "sink_parquet_zstd" -> (sinkParquetZstd _))
 

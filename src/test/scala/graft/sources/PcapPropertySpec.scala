@@ -55,6 +55,66 @@ object PcapPropertySpec extends Properties("PcapParser") {
       rows.size <= junk.length / 16 + 1
     }
 
+  // The reader-side pushed-filter predicate must agree with SQL null
+  // semantics exactly: a packet it drops that Spark's residual filter would
+  // KEEP is silent data loss (the residual re-application can only remove
+  // rows, never restore them). Reference evaluator written independently.
+  private val genPkt: Gen[PcapParser.Packet] = for {
+    len <- Gen.option(Gen.chooseNum(0L, 2000L))
+    proto <- Gen.option(Gen.oneOf("TCP", "UDP", "ICMP", "IGMP"))
+    sp <- Gen.option(Gen.chooseNum(0, 65535))
+    dp <- Gen.option(Gen.chooseNum(0, 65535))
+  } yield PcapParser.Packet(0L, None, None, len, proto, sp, dp, None, None, None)
+
+  private val genFilter: Gen[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val numeric = for {
+      c <- Gen.oneOf("len", "src_port", "dst_port")
+      v <- Gen.chooseNum(0L, 2000L)
+      f <- Gen.oneOf[Filter](EqualTo(c, v), GreaterThan(c, v), GreaterThanOrEqual(c, v),
+        LessThan(c, v), LessThanOrEqual(c, v), In(c, Array[Any](v, v + 1)))
+    } yield f
+    val protoF = Gen.oneOf(
+      Gen.oneOf("TCP", "UDP", "ICMP", "NOPE").map(v => EqualTo("protocol", v): Filter),
+      Gen.listOfN(2, Gen.oneOf("TCP", "UDP", "ICMP")).map(vs => In("protocol", vs.toArray[Any]): Filter))
+    val nullF = for {
+      c <- Gen.oneOf("len", "src_port", "dst_port", "protocol")
+      f <- Gen.oneOf[Filter](IsNull(c), IsNotNull(c))
+    } yield f
+    val leaf = Gen.oneOf(numeric, protoF, nullF)
+    for { a <- leaf; b <- leaf; f <- Gen.oneOf[Filter](a, And(a, b)) } yield f
+  }
+
+  private def refEval(f: org.apache.spark.sql.sources.Filter, p: PcapParser.Packet): Boolean = {
+    import org.apache.spark.sql.sources._
+    def num(c: String): Option[Long] = c match {
+      case "len" => p.len
+      case "src_port" => p.src_port.map(_.toLong)
+      case "dst_port" => p.dst_port.map(_.toLong)
+    }
+    def any(c: String): Option[Any] = if (c == "protocol") p.protocol else num(c)
+    f match {
+      case EqualTo("protocol", v) => p.protocol.contains(String.valueOf(v))
+      case In("protocol", vs) => p.protocol.exists(vs.map(String.valueOf).contains)
+      case EqualTo(c, v: Long) => num(c).contains(v)
+      case In(c, vs) => num(c).exists(x => vs.collect { case v: Long => v }.contains(x))
+      case GreaterThan(c, v: Long) => num(c).exists(_ > v)
+      case GreaterThanOrEqual(c, v: Long) => num(c).exists(_ >= v)
+      case LessThan(c, v: Long) => num(c).exists(_ < v)
+      case LessThanOrEqual(c, v: Long) => num(c).exists(_ <= v)
+      case IsNull(c) => any(c).isEmpty
+      case IsNotNull(c) => any(c).isDefined
+      case And(a, b) => refEval(a, p) && refEval(b, p)
+      case other => sys.error(s"unexpected filter $other")
+    }
+  }
+
+  property("pushed-filter predicate matches SQL null semantics on random packets") =
+    forAll(genPkt, genFilter) { (p, f) =>
+      PcapFilters.supported(f) &&
+        PcapFilters.toPredicate(Array(f), "x.pcap")(p) == refEval(f, p)
+    }
+
   property("pcap container round-trip preserves record count and order") =
     forAll(Gen.chooseNum(0, 20)) { n =>
       val frames = (0 until n).map { i =>

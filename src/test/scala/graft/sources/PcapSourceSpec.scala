@@ -160,6 +160,23 @@ class PcapSourceSpec extends SparkTestBase {
     assert(salvaged.count() == 12) // the 12 golden rows; the bad file reads as empty
   }
 
+  test("pcap_filter_push: pushed plan + rows agree with the unfiltered histogram") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.{col, sum}
+    val pushed = PcapOps.pcapFilterPush(spark, sfDir)
+    // sparkPlan, not executedPlan: AQE wraps the aggregate in an
+    // AdaptiveSparkPlanExec whose subtree is hidden until execution
+    val scan = pushed.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.scan.description().contains("EqualTo(protocol,TCP)"),
+      s"protocol filter not pushed: ${scan.scan.description()}")
+    val nFiltered = pushed.agg(sum(col("n"))).collect()(0).getLong(0)
+    val nTcp = PcapOps.pcapIngestLarge(spark, sfDir)
+      .filter(col("protocol") === "TCP").collect()(0).getAs[Long]("n")
+    assert(nFiltered == nTcp && nTcp > 0)
+  }
+
   test("pcap_flows agrees with an in-memory flow fold over the direct parser") {
     import org.apache.spark.sql.Row
     val got = PcapOps.pcapFlows(spark, sfDir).collect().map {
