@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import java.util.OptionalLong
+
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
@@ -181,6 +183,22 @@ object PcapFilters {
     case other      => throw new IllegalArgumentException(s"not a numeric pcap filter column: $other")
   }
 
+  /** True iff a pushed filter set rejects EVERY packet of `file` without
+    * looking at packet contents — i.e. a `file`-column predicate that is
+    * constant-false for this partition. The reader then skips the file's
+    * I/O and decode entirely (partition pruning via pushdown): joining
+    * captures against a dim of interesting files decodes only those. */
+  def rejectsWholeFile(fs: Array[Filter], file: String): Boolean = {
+    def rejects(f: Filter): Boolean = f match {
+      case EqualTo("file", v)  => String.valueOf(v) != file
+      case In("file", vs)      => !vs.map(String.valueOf).contains(file)
+      case IsNull("file")      => true // file is never NULL
+      case And(l, r)           => rejects(l) || rejects(r)
+      case _                   => false
+    }
+    fs.exists(rejects)
+  }
+
   /** `file` filters compile against the enclosing file's path (constant per
     * partition), letting e.g. `file LIKE` residuals coexist with an exact
     * `file =` push that skips the whole partition's decode. */
@@ -231,7 +249,8 @@ object PcapFilters {
   * non-matching packets (see [[PcapFilters]]). */
 class PcapScanBuilder(path: String, strict: Boolean, conf: SerializableHadoopConf)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsReportStatistics {
   private var required: StructType = PcapDataSource.schema
   private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -249,6 +268,24 @@ class PcapScanBuilder(path: String, strict: Boolean, conf: SerializableHadoopCon
     s"PcapScan path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
   override def toBatch: Batch = this
+  /** Capture byte size from the listing (one RPC per plan) so Catalyst's
+    * join-side selection and AQE see a real size instead of defaulting to
+    * "unknown = huge": a small capture directory joined against a big
+    * table becomes the broadcast side, as it should. Row count stays
+    * unknown (legacy pcap has no record count in the header). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total: Long =
+      try {
+        val c = conf.value
+        PcapDataSource.listCaptureFiles(path, c).map { f =>
+          val p = new HadoopPath(f)
+          p.getFileSystem(c).getFileStatus(p).getLen
+        }.sum
+      } catch { case _: Exception => -1L }
+    override def sizeInBytes(): OptionalLong =
+      if (total < 0) OptionalLong.empty() else OptionalLong.of(total)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
   override def planInputPartitions(): Array[InputPartition] =
     PcapDataSource.listCaptureFiles(path, conf.value)
       .map(PcapFilePartition(_): InputPartition).toArray
@@ -360,11 +397,15 @@ class PcapReaderFactory(readSchema: StructType, pushed: Array[Filter],
         case other => throw new IllegalArgumentException(s"unknown pcap column $other")
       }
       // pushed filters run on the decoded Packet, BEFORE InternalRow
-      // construction — non-matching packets never allocate a row
+      // construction — non-matching packets never allocate a row; a
+      // file-level predicate that rejects this whole partition skips even
+      // the read (no bytes fetched, nothing decoded)
       private val pred = PcapFilters.toPredicate(pushed, file)
-      private val it = PcapParser.parseFile(
-        PcapDataSource.readCaptureBytes(file, conf.value),
-        wants, strict = strict, name = file).filter(pred)
+      private val it: Iterator[PcapParser.Packet] =
+        if (PcapFilters.rejectsWholeFile(pushed, file)) Iterator.empty
+        else PcapParser.parseFile(
+          PcapDataSource.readCaptureBytes(file, conf.value),
+          wants, strict = strict, name = file).filter(pred)
       private var current: PcapParser.Packet = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
       override def get(): InternalRow =

@@ -160,6 +160,39 @@ class PcapSourceSpec extends SparkTestBase {
     assert(salvaged.count() == 12) // the 12 golden rows; the bad file reads as empty
   }
 
+  test("a pushed file-predicate skips rejected partitions without any I/O") {
+    import org.apache.spark.sql.sources.EqualTo
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    // the partition points at a NONEXISTENT capture: if the reader tried to
+    // read it, this would throw FileNotFound — an empty result proves the
+    // file-level reject short-circuits before the fetch
+    val factory = new PcapReaderFactory(PcapDataSource.schema,
+      Array(EqualTo("file", "file:/captures/other.pcap")), strict = true, conf)
+    val r = factory.createReader(PcapFilePartition("file:/does/not/exist.pcap"))
+    assert(!r.next())
+    r.close()
+    // sanity: the same predicate MATCHING the partition's file still reads
+    val real = PcapDataSource.listCaptureFiles(dir, spark.sessionState.newHadoopConf()).head
+    val f2 = new PcapReaderFactory(PcapDataSource.schema,
+      Array(EqualTo("file", real)), strict = true, conf)
+    val r2 = f2.createReader(PcapFilePartition(real))
+    var n = 0
+    while (r2.next()) n += 1
+    r2.close()
+    assert(n == 12) // a.pcap = the 12 golden records
+  }
+
+  test("scan reports capture byte size to the planner (SupportsReportStatistics)") {
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val scan = new PcapScanBuilder(dir, strict = true, conf).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val stats = scan.estimateStatistics()
+    val expected = PcapDataSource.listCaptureFiles(dir, spark.sessionState.newHadoopConf())
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    assert(stats.sizeInBytes.isPresent && stats.sizeInBytes.getAsLong == expected)
+    assert(!stats.numRows.isPresent) // honestly unknown: pcap has no record count
+  }
+
   test("pcap_filter_push: pushed plan + rows agree with the unfiltered histogram") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.functions.{col, sum}
