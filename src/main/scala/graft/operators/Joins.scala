@@ -155,6 +155,40 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Forward as-of through the native operator (r4): each purchase matched
+    * to the same user's NEXT click at-or-after it — the "what happened
+    * next" direction (follow-up attribution, next-event latency). Same
+    * one-shuffle-per-side merge exec, direction flag only. */
+  def joinAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts_us"))
+    graft.plans.AsOfJoin.asof(purchases, clicks, "user_id", "c_user", "ts_us", "c_ts_us",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"),
+              date_format(timestamp_micros(col("c_ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .as("next_click_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Inner as-of through the native operator (r4): only purchases WITH a
+    * prior click survive — DuckDB's default `ASOF JOIN`. */
+  def joinAsofInner(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts_us"))
+    graft.plans.AsOfJoin.asof(purchases, clicks, "user_id", "c_user", "ts_us", "c_ts_us",
+        joinType = "inner")
+      .select(col("event_id"), col("user_id"),
+              date_format(timestamp_micros(col("c_ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .as("click_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Null-safe equi-join (r4): `<=>` treats NULL as a joinable value —
     * the semantics MERGE/upsert and SCD pipelines need when the business
     * key is nullable (plain `=` silently drops every NULL row). Spark
@@ -179,6 +213,8 @@ object Joins {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_null_safe" -> (joinNullSafe _),
     "join_asof_native" -> (joinAsofNative _),
+    "join_asof_fwd" -> (joinAsofFwd _),
+    "join_asof_inner" -> (joinAsofInner _),
     "join_inner" -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
     "join_left" -> (joinLeft _),
@@ -204,6 +240,20 @@ object Joins {
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
+    "join_asof_fwd" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
+    "join_asof_inner" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
     "join_inner" ->

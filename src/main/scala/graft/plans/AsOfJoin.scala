@@ -15,8 +15,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a union trick (Joins.joinAsof).
   *
   * Semantics: for every left row, the single right row with the same key
-  * and the greatest time <= left time (LEFT join: no match -> right side
-  * NULL) — DuckDB's `ASOF LEFT JOIN`, Pandas' `merge_asof`.
+  * and — `backward` (default): the greatest time <= left time; `forward`
+  * (r4): the smallest time >= left time. `left` join type null-extends
+  * unmatched lefts (DuckDB `ASOF LEFT JOIN`, Pandas `merge_asof`);
+  * `inner` (r4) drops them (DuckDB's default `ASOF JOIN`).
   *
   * Scale shape: both sides hash-partition on the key and sort by
   * (key, time) — exactly one shuffle each, like a sort-merge join — then
@@ -27,9 +29,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, inner: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ (if (inner) right.output else right.output.map(_.withNullability(true)))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -37,8 +40,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, inner) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, inner, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -46,10 +49,11 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    forward: Boolean, inner: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ (if (inner) right.output else right.output.map(_.withNullability(true)))
 
   // one shuffle per side, co-partitioned on the key (as SortMergeJoin)
   override def requiredChildDistribution: Seq[Distribution] =
@@ -108,22 +112,34 @@ case class AsOfJoinExec(
         }
       }
       advanceRight()
-      lIter.map { l =>
+      lIter.flatMap { l =>
         val lkt = lKT(l) // reused buffer; primitives read out immediately
         var matched: InternalRow = null
         if (!lkt.isNullAt(0) && !lkt.isNullAt(1)) {
           val lk = lkt.getLong(0)
           val lt = lkt.getLong(1)
-          while (rHead != null &&
-                 (rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt))) {
-            rPrev = rHead
-            rPrevKey = rHeadKey
-            rPrevTime = rHeadTime
-            advanceRight()
+          if (forward) {
+            // smallest right time >= left time: advance past strictly-earlier
+            // rows; the head (if key-matched) IS the answer and is NOT
+            // consumed — it may serve later lefts of the same key too
+            while (rHead != null &&
+                   (rHeadKey < lk || (rHeadKey == lk && rHeadTime < lt))) {
+              advanceRight()
+            }
+            if (rHead != null && rHeadKey == lk && rHeadTime >= lt) matched = rHead
+          } else {
+            while (rHead != null &&
+                   (rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt))) {
+              rPrev = rHead
+              rPrevKey = rHeadKey
+              rPrevTime = rHeadTime
+              advanceRight()
+            }
+            if (rPrev != null && rPrevKey == lk && rPrevTime <= lt) matched = rPrev
           }
-          if (rPrev != null && rPrevKey == lk && rPrevTime <= lt) matched = rPrev
         }
-        proj(joiner(l, if (matched == null) nullRight else matched))
+        if (matched == null && inner) None
+        else Some(proj(joiner(l, if (matched == null) nullRight else matched)))
       }
     }
   }
@@ -159,14 +175,22 @@ object AsOfJoin {
     case other => other.sql
   }
 
-  /** `asof(left, right, key, time)`: LEFT as-of join on equal `key` with
-    * the greatest right `time` <= left `time`. Key and time columns may be
-    * any integral, date or timestamp type (normalized to Long internally);
-    * the two time columns must be in the same unit family. The two sides
-    * must not share attribute ids (alias a self-joined table). */
+  /** `asof(left, right, key, time)`: as-of join on equal `key`.
+    * `direction = "backward"` (default) matches the greatest right `time`
+    * <= left `time`; `"forward"` the smallest right `time` >= left `time`.
+    * `joinType = "left"` (default) null-extends unmatched lefts; `"inner"`
+    * drops them. Key and time columns may be any integral, date or
+    * timestamp type (normalized to Long internally); the two time columns
+    * must be in the same unit family. The two sides must not share
+    * attribute ids (alias a self-joined table). */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           direction: String = "backward", joinType: String = "left"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward or forward, got $direction")
+    require(joinType == "left" || joinType == "inner",
+      s"as-of joinType must be left or inner, got $joinType")
     val spark = SparkSession.active
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(AsOfJoinStrategy))
@@ -187,6 +211,7 @@ object AsOfJoin {
       s"as-of key columns must share a unit family; got ${lkA.dataType.sql} vs ${rkA.dataType.sql}")
     SqlBridge.ofRows(spark, AsOfJoinPlan(la, ra,
       toLong(lkA, "key"), toLong(rkA, "key"),
-      toLong(lt, "time"), toLong(rt, "time")))
+      toLong(lt, "time"), toLong(rt, "time"),
+      forward = direction == "forward", inner = joinType == "inner"))
   }
 }

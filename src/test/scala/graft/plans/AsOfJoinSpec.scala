@@ -33,6 +33,43 @@ class AsOfJoinSpec extends SparkTestBase {
       ("p3", None)))            // key with no right rows -> LEFT null
   }
 
+  test("forward direction: smallest right time >= left time, ties match, none after -> NULL") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 160L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L, "c_at_100"), (1L, 150L, "c_at_150"), (3L, 10L, "c_other"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", direction = "forward")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    assert(got == Set(
+      ("p1", Some("c_at_100")), // tie: rt >= lt matches
+      ("p2", None),             // latest right for key 1 is 150 < 160
+      ("p3", None)))            // key with no right rows
+  }
+
+  test("a forward right row serves MULTIPLE earlier lefts of the same key") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "p1"), (1L, 20L, "p2")).toDF("k", "t", "tag")
+    val r = Seq((1L, 30L, "c30")).toDF("rk", "rt", "rtag")
+    val got = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", direction = "forward")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    assert(got == Set(("p1", Some("c30")), ("p2", Some("c30"))))
+  }
+
+  test("inner join type drops unmatched lefts instead of null-extending") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L, "c_at_100"), (1L, 150L, "c_at_150"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", joinType = "inner")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == Set(("p1", "c_at_100"), ("p2", "c_at_150"))) // p3 dropped
+  }
+
   test("null right-side key/time rows are skipped, not coerced to 0") {
     import spark.implicits._
     // left has a legitimate key 0 / time 0 row; the right NULL rows would
