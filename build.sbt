@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's stdout in forked runs instead of the default logger, which
+// prefixes every line with "[info] ". Bench/Verify's contract is ONE bare
+// JSON line on stdout; the prefix made it unparseable by line-wise
+// json.loads (every round's BENCH_r*.json shows "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

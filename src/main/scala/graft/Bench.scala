@@ -55,12 +55,31 @@ object Bench {
     }
     val medians = named.collect { case (name, _) if !errors.contains(name) && times.contains(name) =>
       val ts = times(name).sorted
-      name -> ts((ts.size - 1) / 2)
+      // 3-decimal (ms) precision: full float repr tripled the line length
+      // for no information, and line length matters (see below).
+      name -> math.rint(ts((ts.size - 1) / 2) * 1000) / 1000
     }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
+    val total = math.rint(medians.map(_._2).sum * 1000) / 1000
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
+    println(full)
+    // The harness that consumes this output keeps only the LAST ~2000
+    // characters of stdout, and sbt appends a "[success] Total time..."
+    // trailer line after ours. A ~110-query map is >2000 chars, so the full
+    // line always arrives truncated at the front and can't be parsed
+    // (BENCH_r01..r04 all show "parsed": null). Emit a second, COMPACT line
+    // (guaranteed < ~1000 chars: total + the slowest 15 queries) so at
+    // least one complete parseable JSON line sits inside the tail window.
+    // The full per-query map is also dumped to bench_full.json for humans.
+    val slowest = medians.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${medians.size},"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    println(compact)
     spark.stop()
   }
 }
