@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitters sketch as a NATIVE imperative aggregate —
+  * the `TypedImperativeAggregate` tier Spark's own `percentile` /
+  * `collect_list` run on (an opaque mutable buffer carried through
+  * partial → shuffle → final aggregation via `serialize`/`deserialize`).
+  *
+  * The sketch holds at most `k` (term → count) counters per partial
+  * buffer: seeing an untracked term with all counters full decrements
+  * every counter (dropping zeros) — the streaming argument charges each
+  * decrement round against k+1 distinct items, so any term with true
+  * frequency > n/(k+1) MUST survive with a positive counter
+  * (MisraGriesSpec pins this against adversarial orderings). Merging two
+  * sketches adds counts, then subtracts the (k+1)-largest count from all
+  * and drops non-positives (Agarwal et al., "Mergeable Summaries",
+  * PODS'12) — the guarantee composes across any merge tree, which is
+  * exactly what a 1000-executor partial/final aggregation needs: state is
+  * O(k) per task at ANY input size, and the shuffle moves one k-entry
+  * sketch per partition instead of one row per distinct term.
+  *
+  * `eval` emits the candidate terms sorted lexically. The candidate SET
+  * is order/partitioning-dependent for items near the threshold (inherent
+  * to the sketch), so the deterministic `agg_heavy_hitters` query treats
+  * it as a CANDIDATE GENERATOR and recounts candidates exactly — sketch
+  * recall guarantee + exact precision pass = deterministic output.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k >= 1, s"misra_gries needs k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  // ExpectsInputTypes is unusable outside org.apache.spark.sql
+  // (AbstractDataType is private[sql]); enforce the input type directly
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries expects a STRING column, got ${other.sql}")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  override def update(
+      buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val term = v.asInstanceOf[UTF8String].toString
+      buf.get(term) match {
+        case Some(c) => buf.update(term, c + 1)
+        case None if buf.size < k => buf.update(term, 1L)
+        case None =>
+          // decrement-all round: drains one count from k tracked terms
+          // plus the arriving one — n/(k+1) rounds max over the stream
+          buf.keys.toArray.foreach { t =>
+            val c = buf(t) - 1
+            if (c <= 0) buf.remove(t) else buf.update(t, c)
+          }
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+    if (a.size > k) {
+      // subtract the (k+1)-largest count from everything, drop <= 0:
+      // keeps exactly <= k counters and preserves the error bound
+      val counts = a.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - (k + 1)) // (k+1)-largest
+      a.keys.toArray.foreach { t =>
+        val c = a(t) - sub
+        if (c <= 0) a.remove(t) else a.update(t, c)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(
+      buf.keysIterator.toArray.sorted.map(UTF8String.fromString(_): Any))
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, c) =>
+      val bytes = t.getBytes("UTF-8")
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(child = newChildren.head)
+}
+
+object MisraGriesAgg {
+  /** Column-API entry: ARRAY<STRING> of ≤ k heavy-hitter candidates —
+    * guaranteed to include every term with frequency > n/(k+1). */
+  def misra_gries(c: Column, k: Int): Column =
+    SqlBridge.column(MisraGriesAgg(SqlBridge.expression(c), k).toAggregateExpression())
+}

@@ -102,7 +102,46 @@ object ScalarFns {
         bit_count(col("event_id")).as("n_bits"))
       .orderBy(col("event_id").asc)
 
+  /** URL parsing family (r5): host / path / a single query parameter via
+    * the codegen'd `parse_url` expression — the canonical first step of
+    * web-corpus curation (domain filtering, dedup by canonical URL).
+    * URLs are synthesized deterministically from document metadata (the
+    * corpus ships no URL column); DuckDB reproduces the extraction with
+    * regexes over the identical synthesized string. */
+  def fUrl(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.org/"),
+               col("lang"), lit("/doc-"), col("doc_id"), lit("?ref="), col("lang"),
+               lit("&id="), col("doc_id")))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"))
+      .orderBy(col("doc_id").asc)
+
+  /** Struct/nested-type family (r5): build a typed struct column, read
+    * fields back out, and serialize it as canonical JSON — nested types
+    * are how multimodal metadata travels next to binary payloads (§2.B
+    * `multimodal_cols`), and to_json is the interchange edge. Int and
+    * string fields only: JSON double formatting is engine-specific. */
+  def fStruct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("meta", struct(
+        col("lang").as("lang"),
+        col("source").as("source"),
+        col("n_chars").as("n_chars")))
+      .select(
+        col("doc_id"),
+        col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"),
+        to_json(col("meta")).as("meta_json"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_url" -> (fUrl _),
+    "f_struct" -> (fStruct _),
     "f_bitwise" -> (fBitwise _),
     "f_string" -> (fString _),
     "f_date" -> (fDate _),
@@ -112,6 +151,21 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.org/' || lang || '/doc-' || doc_id ||
+        |    '?ref=' || lang || '&id=' || doc_id AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid
+        |FROM u ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "f_struct" ->
+      """SELECT doc_id, lang, n_chars,
+        |  '{"lang":"' || lang || '","source":"' || source || '","n_chars":' || n_chars || '}' AS meta_json
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "f_bitwise" ->
       """SELECT event_id,
         |  xor(event_id, 25214903917) AS xored,

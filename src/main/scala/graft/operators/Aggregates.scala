@@ -271,7 +271,34 @@ object Aggregates {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** Skew-safe two-phase aggregation (r5): phase 1 groups on
+    * (key, salt = hash(row-unique cols) mod 16) so a pathologically hot
+    * key's rows spread over 16 reducers instead of melting one; phase 2
+    * re-aggregates the ≤16 partials per key. For algebraic aggregates
+    * (sum/count here) the result is identical to the direct groupBy —
+    * which is the oracle. Map-side combine already does most of this for
+    * hash aggs; the explicit salt is the pattern for the cases it can't
+    * cover (sort-fallback aggs, collect-style buffers, extreme skew where
+    * one key exceeds a single task's memory). Shuffle 1 carries
+    * |keys|·16 partial rows, shuffle 2 carries |keys|·16 → |keys|. */
+  def aggSkewTwophase(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val partial = li
+      .groupBy(col("l_returnflag"),
+               pmod(hash(col("l_orderkey"), col("l_partkey"), col("l_linenumber")), lit(16)).as("salt"))
+      .agg(sum(dec("l_quantity")).as("p_qty"),
+           sum(dec("l_extendedprice")).as("p_price"),
+           count(lit(1)).as("p_n"))
+    partial
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("p_qty")), 2).cast("double").as("sum_qty"),
+           round(sum(col("p_price")), 2).cast("double").as("sum_price"),
+           sum(col("p_n")).as("n_rows"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_skew_twophase" -> (aggSkewTwophase _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_mode" -> (aggMode _),
     "agg_histogram" -> (aggHistogram _),
@@ -290,6 +317,13 @@ object Aggregates {
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "agg_skew_twophase" ->
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        |  count(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "agg_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,

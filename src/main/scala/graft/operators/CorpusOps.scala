@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level analytics for the LLM-pipeline surface (r5): term
+  * weighting, sketch-based heavy hitters, and the k-NN neighborhood graph
+  * — the three corpus statistics a training-data curation pass computes
+  * after the per-document ones (`text_*`) and before sampling.
+  *
+  * Scale notes (100 TB):
+  *  - `text_tfidf`: two map-side-combined aggs (per-(doc,term) tf and
+  *    per-term df) + one broadcastable join of the |vocab|-sized df table
+  *    back onto tf — the shuffles carry |doc×term| and |vocab| rows, never
+  *    raw text. The rank window partitions by doc_id (same key as tf's
+  *    shuffle, so AQE reuses the partitioning).
+  *  - `agg_heavy_hitters`: the full-vocabulary groupBy dies when the
+  *    vocabulary doesn't fit (URLs, n-grams, user ids at 100 TB). The
+  *    Misra–Gries sketch (functions/MisraGries.scala) keeps O(k) state per
+  *    task and moves ONE k-entry sketch per partition through the shuffle;
+  *    the exact recount pass touches only the ≤ k candidate terms
+  *    (broadcast semi-join gates the scan pre-shuffle).
+  *  - `sim_knn_graph`: node set is a deterministic hash-gated sample;
+  *    corpus side STREAMS against the broadcast node set (the same
+  *    build-side choice as `sim_topk` — never broadcast the corpus). The
+  *    100 TB path swaps the cross join for the `sim_ann` bucket join;
+  *    plan topology is otherwise identical.
+  */
+object CorpusOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  /** Top-3 TF-IDF terms per document. The idf factor is the integer-exact
+    * `(1000·N) div df` (integer division — both engines compute the same
+    * BIGINT) rather than a float `ln(N/df)`: libm `log` is not required
+    * to be correctly rounded, so two engines can disagree by 1 ulp and
+    * flip a rank; the scaled-integer weight keeps the whole score in
+    * exact BIGINT arithmetic and the ranking deterministic. Monotone in
+    * tf and 1/df like the classic weight — same ordering semantics. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(spark, dir)
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(1000 * n_docs) div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id").asc, col("rnk").asc)
+  }
+
+  /** Heavy hitters over the token stream: Misra–Gries(k=30) candidate
+    * generation + exact recount of ONLY the candidates + the
+    * `count·30 > total` threshold. The sketch guarantees every term with
+    * frequency > n/31 is a candidate, and the recount makes the final set
+    * exactly {term : freq·30 > n} — deterministic, so the plain
+    * GROUP BY … HAVING is the oracle. */
+  def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(spark, dir).select(col("term"))
+    val cands = tok
+      .agg(graft.functions.MisraGriesAgg.misra_gries(col("term"), 30).as("cands"))
+      .select(explode(col("cands")).as("term"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(broadcast(cands), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 30 > col("total"))
+      .select(col("term"), col("n"))
+      .orderBy(col("term").asc)
+  }
+
+  /** Exact k-NN graph (k=3) over a deterministic node sample (every 25th
+    * vec_id): node set broadcast, corpus streams, codegen'd VecDot
+    * cosine, rank window per node with a vec_id tiebreak. */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.PushVecNormThroughJoin.register(spark)
+    val emb = t(spark, dir, "embeddings")
+    val dbl: Column => Column = c => transform(c, x => x.cast("double"))
+    val nodes = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("src"), dbl(col("embedding")).as("src_emb"))
+    val corpus = emb.select(col("vec_id").as("dst"), dbl(col("embedding")).as("dst_emb"))
+    val dot = graft.functions.VecDot.vec_dot(col("src_emb"), col("dst_emb"))
+    val ns = graft.functions.VecDot.vec_norm(col("src_emb"))
+    val nd = graft.functions.VecDot.vec_norm(col("dst_emb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    broadcast(nodes).crossJoin(corpus)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos", dot / (ns * nd))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("src"), col("rnk"), col("dst"), graft.Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("src").asc, col("rnk").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
+    "agg_heavy_hitters" -> (aggHeavyHitters _),
+    "sim_knn_graph" -> (simKnnGraph _))
+
+  val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |nd AS (SELECT count(1) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ((1000 * nd.n_docs) // df.df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+        |SELECT doc_id, rnk, term, score FROM (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS INTEGER) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 3
+        |ORDER BY doc_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
+    "agg_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT count(1) AS total FROM tok)
+        |SELECT term, count(1) AS n
+        |FROM tok CROSS JOIN tot
+        |GROUP BY term, total
+        |HAVING count(1) * 30 > total
+        |ORDER BY term ASC NULLS FIRST""".stripMargin,
+    "sim_knn_graph" ->
+      """SELECT src, rnk, dst, floor(cos * 10000 + 0.5) / 10000 AS cosine FROM (
+        |  SELECT q.vec_id AS src, c.vec_id AS dst,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INTEGER) AS rnk
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id) t
+        |WHERE rnk <= 3
+        |ORDER BY src ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin)
+}

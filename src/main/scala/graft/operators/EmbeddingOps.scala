@@ -50,11 +50,46 @@ object EmbeddingOps {
               size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
       .orderBy(col("vec_id").asc)
 
+  /** One distributed power-iteration step (r5): y = Σᵢ xᵢ (xᵢ·v₀) with
+    * start vector v₀ = e₁, i.e. yⱼ = Σᵢ xᵢⱼ·xᵢ₁ — the building block of
+    * PCA / spectral methods (y converges to the top principal direction
+    * under repetition). Scale shape: per-row work is a map (one dot + one
+    * scale), the only shuffle carries |dim| = 64 groups of partial sums —
+    * at 100 TB the step costs one scan + a 64-row aggregate, and each
+    * further iteration is the same. Determinism: per-element products are
+    * snapped to an integer 1e-12 grid (floor — pure IEEE, bit-identical
+    * in both engines) so the cross-partition sum is an exact BIGINT,
+    * order-independent across 1000 executors. */
+  def embedPcaPower(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("s", element_at(col("v"), 1))
+      .select(col("s"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum(floor(col("x") * col("s") * 1e12 + 0.5).cast("long")).as("y_grid"))
+      .select(col("j"),
+              Det.r4(col("y_grid").cast("double") / 1e12).as("y"))
+      .orderBy(col("j").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca_power" -> (embedPcaPower _),
     "embed_normalize" -> (embedNormalize _),
     "embed_quantize" -> (embedQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "embed_pca_power" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |x AS (SELECT v, v[1] AS s FROM e),
+        |flat AS (
+        |  SELECT g.j - 1 AS j,
+        |    CAST(floor(v[g.j] * s * 1e12 + 0.5) AS BIGINT) AS p
+        |  FROM x CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) g)
+        |SELECT CAST(j AS INTEGER) AS j,
+        |  floor((CAST(sum(p) AS DOUBLE) / 1e12) * 10000 + 0.5) / 10000 AS y
+        |FROM flat GROUP BY j
+        |ORDER BY j ASC NULLS FIRST""".stripMargin,
     "embed_normalize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -128,13 +128,55 @@ object ScaleJoins {
       .orderBy(col("p_id").asc)
   }
 
+  /** Dynamic partition pruning (r5): the fact table is laid out
+    * partitioned by `ship_year`; the dim side is a selective filter whose
+    * matching years are only known at RUN time. Catalyst's DPP inserts a
+    * `dynamicpruning` subquery on the fact scan: the dim side is executed
+    * first (reusing the broadcast), and only the fact PARTITIONS whose
+    * `ship_year` survives are ever read. At 100 TB with years as
+    * partitions this is the difference between scanning 7 years and
+    * scanning 1 — the partition-elimination analog of the bloom join's
+    * row elimination. DppPlanSpec pins `dynamicpruningexpression` in the
+    * physical plan; the oracle is the same join computed directly. */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    val sf = dir.replaceAll(".*/", "")
+    val factPath = s"${Tables.scratchDir}/dpp_fact_$sf"
+    // one-time layout per SF dir (idempotent): lineitem partitioned by year
+    if (!new java.io.File(factPath, "_SUCCESS").exists()) {
+      t(spark, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .write.mode("overwrite").partitionBy("ship_year").parquet(factPath)
+    }
+    val fact = spark.read.parquet(factPath)
+    // selective dim: years containing a top-price urgent order — the
+    // surviving year set is RUNTIME-only knowledge (no static predicate
+    // on the join key exists for Catalyst to push down instead)
+    val dim = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 490000.0)
+      .select(year(col("o_orderdate")).as("ship_year")).distinct()
+    fact.join(dim, Seq("ship_year"))
+      .groupBy(col("ship_year"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(dec("l_extendedprice")), 2).cast("double").as("sum_price"))
+      .orderBy(col("ship_year").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_dpp" -> (joinDpp _),
     "join_range_bucketed" -> (joinRangeBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_bucketed" -> (joinBucketed _))
 
   val oracle: Map[String, String] = Map(
+    "join_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT year(o_orderdate) AS ship_year FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 490000.0)
+        |SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year, count(1) AS n_rows,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN dim ON year(l_shipdate) = dim.ship_year
+        |GROUP BY 1 ORDER BY ship_year ASC NULLS FIRST""".stripMargin,
     "join_skew_salted" ->
       """WITH flags(flag, flag_name) AS (VALUES ('A', 'returned'), ('N', 'in_flight'), ('R', 'refused'))
         |SELECT flag_name, count(1) AS n,

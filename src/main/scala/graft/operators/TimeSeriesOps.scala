@@ -121,7 +121,41 @@ object TimeSeriesOps {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** Forward-fill over the dense minute grid (r5): the last-observation-
+    * carried-forward resample every downstream consumer of sparse sensor /
+    * tick data wants. Per-minute closing value (last in (ts, event_id)
+    * order — deterministic under ts ties), left-joined onto the generated
+    * grid, then `last(_, ignoreNulls)` over a running frame carries it
+    * across the gaps. The fill window here is a single global series (one
+    * partition); the production shape partitions by series key, which
+    * makes the window embarrassingly parallel — per-series state is one
+    * value, so a 100 TB fill streams. Minutes before the first
+    * observation stay NULL (both engines agree). */
+  def tsFillForward(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLast = Window.partitionBy(col("m"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val perMin = t(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .withColumn("m", date_trunc("minute", col("ts")))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("m"), col("value").as("v"))
+    val grid = perMin
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("m"))
+    val wFill = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perMin, Seq("m"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(wFill))
+      .select(date_format(col("m"), TsFmt).as("minute"),
+              col("v").isNotNull.as("observed"),
+              graft.Det.r2(col("filled")).as("value"))
+      .orderBy(col("minute").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_fill_forward" -> (tsFillForward _),
     "funnel_stages" -> (funnelStages _),
     "retention_cohort" -> (retentionCohort _),
     "ts_downsample" -> (tsDownsample _),
@@ -129,6 +163,23 @@ object TimeSeriesOps {
     "ts_ohlc" -> (tsOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "ts_fill_forward" ->
+      """WITH last_per_min AS (
+        |  SELECT m, v FROM (
+        |    SELECT date_trunc('minute', ts) AS m, value AS v,
+        |      row_number() OVER (PARTITION BY date_trunc('minute', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |g AS (
+        |  SELECT unnest(generate_series((SELECT min(m) FROM last_per_min),
+        |                                (SELECT max(m) FROM last_per_min),
+        |                                INTERVAL 1 minute)) AS m)
+        |SELECT strftime(g.m, '%Y-%m-%d %H:%M:%S') AS minute,
+        |  (v IS NOT NULL) AS observed,
+        |  floor(last_value(v IGNORE NULLS) OVER (ORDER BY g.m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS value
+        |FROM g LEFT JOIN last_per_min USING (m)
+        |ORDER BY minute ASC NULLS FIRST""".stripMargin,
     "retention_cohort" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.MisraGriesAgg
+
+/** r5 surface: Misra–Gries sketch guarantees, DPP plan shape, and the
+  * two-phase skew agg's equivalence to the direct plan. */
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("misra_gries: every term with freq > n/(k+1) survives an adversarial ordering") {
+    import spark.implicits._
+    // skewed stream: 3 heavy terms (1200/900/600) drowned in 97 distinct
+    // light terms x 30 — heavy sorted LAST so the sketch must evict light
+    // counters to admit them (the hard direction for MG)
+    val heavy = Seq.fill(1200)("hh_a") ++ Seq.fill(900)("hh_b") ++ Seq.fill(600)("hh_c")
+    val light = (1 to 97).flatMap(i => Seq.fill(30)(f"light_$i%03d"))
+    val stream = (light ++ heavy).toDF("term") // deterministic worst-ish order
+    val k = 10
+    val n = light.size + heavy.size
+    val cands = stream.repartition(7) // force multi-partition partial+merge
+      .agg(MisraGriesAgg.misra_gries(col("term"), k).as("c"))
+      .collect()(0).getSeq[String](0).toSet
+    assert(cands.size <= k, s"sketch exceeded k=$k: ${cands.size}")
+    Seq("hh_a" -> 1200, "hh_b" -> 900, "hh_c" -> 600).foreach { case (t, f) =>
+      assert(f > n / (k + 1), s"test setup broken: $t not above threshold")
+      assert(cands.contains(t), s"guaranteed heavy hitter $t missing from $cands")
+    }
+  }
+
+  test("misra_gries: serialize/deserialize roundtrips the counter map") {
+    val agg = MisraGriesAgg(org.apache.spark.sql.graftbridge.SqlBridge.expression(col("x")), 5)
+    val buf = agg.createAggregationBuffer()
+    buf ++= Map("alpha" -> 3L, "beta" -> 1L, "γ-utf8" -> 7L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+  }
+
+  test("agg_heavy_hitters: candidates recounted exactly match the direct GROUP BY") {
+    val viaSketch = CorpusOps.aggHeavyHitters(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tok = graft.Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val total = tok.count()
+    val direct = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * 30 > total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSketch == direct, s"sketch path diverged: $viaSketch vs $direct")
+    assert(direct.nonEmpty, "corpus produced no heavy hitters — threshold degenerate")
+  }
+
+  test("join_dpp: physical plan carries a dynamicpruning subquery on the fact scan") {
+    val df = ScaleJoins.joinDpp(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in the fact scan:\n$plan")
+    assert(df.count() >= 1)
+  }
+
+  test("agg_skew_twophase: salted two-phase equals the direct aggregation") {
+    val two = Aggregates.aggSkewTwophase(spark, sfDir).collect().map(_.toSeq)
+    val direct = graft.Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"),
+           round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").as("sum_price"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc)
+      .collect().map(_.toSeq)
+    assert(two.toSeq == direct.toSeq)
+  }
+}
