@@ -65,37 +65,13 @@ case class MisraGriesAgg(
   override def update(
       buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val term = v.asInstanceOf[UTF8String].toString
-      buf.get(term) match {
-        case Some(c) => buf.update(term, c + 1)
-        case None if buf.size < k => buf.update(term, 1L)
-        case None =>
-          // decrement-all round: drains one count from k tracked terms
-          // plus the arriving one — n/(k+1) rounds max over the stream
-          buf.keys.toArray.foreach { t =>
-            val c = buf(t) - 1
-            if (c <= 0) buf.remove(t) else buf.update(t, c)
-          }
-      }
-    }
+    if (v != null) MisraGriesAgg.add(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
   override def merge(
       a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
-    if (a.size > k) {
-      // subtract the (k+1)-largest count from everything, drop <= 0:
-      // keeps exactly <= k counters and preserves the error bound
-      val counts = a.values.toArray
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - (k + 1)) // (k+1)-largest
-      a.keys.toArray.foreach { t =>
-        val c = a(t) - sub
-        if (c <= 0) a.remove(t) else a.update(t, c)
-      }
-    }
+    MisraGriesAgg.mergeInto(a, b, k)
     a
   }
 
@@ -145,4 +121,37 @@ object MisraGriesAgg {
     * guaranteed to include every term with frequency > n/(k+1). */
   def misra_gries(c: Column, k: Int): Column =
     SqlBridge.column(MisraGriesAgg(SqlBridge.expression(c), k).toAggregateExpression())
+
+  /** Streaming-side sketch kernel, shared with the aggregate's `update`:
+    * admit `term` into an ≤ k-counter buffer, decrementing-all when full
+    * (each decrement round is charged against k+1 distinct items — the
+    * survival guarantee's argument). Also backs `stream_heavy_hitters`'
+    * mapGroupsWithState state transition. */
+  def add(buf: mutable.HashMap[String, Long], term: String, k: Int): Unit =
+    buf.get(term) match {
+      case Some(c) => buf.update(term, c + 1)
+      case None if buf.size < k => buf.update(term, 1L)
+      case None =>
+        buf.keys.toArray.foreach { t =>
+          val c = buf(t) - 1
+          if (c <= 0) buf.remove(t) else buf.update(t, c)
+        }
+    }
+
+  /** Mergeable-summaries combine (Agarwal et al., PODS'12), shared with
+    * the aggregate's `merge`: add counts, then subtract the (k+1)-largest
+    * count from all and drop non-positives — ≤ k counters out, error
+    * bound preserved under any merge tree. */
+  def mergeInto(a: mutable.HashMap[String, Long], b: collection.Map[String, Long], k: Int): Unit = {
+    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+    if (a.size > k) {
+      val counts = a.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - (k + 1)) // (k+1)-largest
+      a.keys.toArray.foreach { t =>
+        val c = a(t) - sub
+        if (c <= 0) a.remove(t) else a.update(t, c)
+      }
+    }
+  }
 }

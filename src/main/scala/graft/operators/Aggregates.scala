@@ -160,6 +160,46 @@ object Aggregates {
         |LIMIT 10""".stripMargin)
   }
 
+  /** TPC-H Q6 shape through the SQL front-end (r5): the pure
+    * filter-and-sum "forecast revenue change" scan — the canonical
+    * pushdown probe (every predicate reaches the parquet reader; the agg
+    * is a single global DECIMAL sum, no groups, no shuffle beyond the
+    * one-row partial merge). */
+  def sqlTpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  count(1) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 25""".stripMargin)
+  }
+
+  /** TPC-H Q14 shape through the SQL front-end (r5): promo revenue share
+    * — join + conditional aggregation producing one ratio. The division
+    * runs on exact DECIMAL sums cast to double, then floor-rounds
+    * (graft.Det): bit-identical in both engines. */
+  def sqlTpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT
+        |  floor(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS promo_share_pct,
+        |  count(1) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin)
+  }
+
   /** collect_set drives ObjectHashAggregate (with sort-based fallback under
     * memory pressure) — the non-codegen agg path; output is a sorted,
     * comma-joined string so the oracle hash-matches. */
@@ -314,9 +354,34 @@ object Aggregates {
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_pivot" -> (aggPivot _),
     "sql_tpch_q3" -> (sqlTpchQ3 _),
+    "sql_tpch_q6" -> (sqlTpchQ6 _),
+    "sql_tpch_q14" -> (sqlTpchQ14 _),
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "sql_tpch_q6" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  count(1) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 25""".stripMargin,
+    "sql_tpch_q14" ->
+      """SELECT
+        |  floor(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS promo_share_pct,
+        |  count(1) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin,
     "agg_skew_twophase" ->
       """SELECT l_returnflag,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,

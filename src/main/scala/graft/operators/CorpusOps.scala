@@ -78,6 +78,35 @@ object CorpusOps {
       .orderBy(col("term").asc)
   }
 
+  /** Canonical-URL dedup (r5): the web-corpus dedup that runs BEFORE any
+    * content hashing — fold scheme/case/tracking-param noise away and
+    * group by the canonical (lowercased host + path) identity. URLs are
+    * synthesized with deterministic noise (upper-cased hosts on every 3rd
+    * doc, utm params on every 2nd) since the corpus ships no URL column;
+    * canonicalization is codegen'd `parse_url` + `lower`. One shuffle
+    * keyed on the canonical string — at 100 TB the group key is ~60 bytes
+    * regardless of page size, and the min-doc_id pick per group is the
+    * same canonical-representative choice as `dedup_exact`. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val noisy = docs
+      .withColumn("host",
+        when(col("doc_id") % 3 === 0, concat(upper(col("source")), lit(".Example.ORG")))
+          .otherwise(concat(col("source"), lit(".example.org"))))
+      .withColumn("url", concat(
+        lit("https://"), col("host"), lit("/"), col("lang"),
+        lit("/page-"), col("doc_id") % 40,
+        when(col("doc_id") % 2 === 0,
+             concat(lit("?utm_campaign=promo&uid="), col("doc_id"))).otherwise(lit(""))))
+    noisy
+      .withColumn("canonical",
+        concat(lower(parse_url(col("url"), lit("HOST"))),
+               parse_url(col("url"), lit("PATH"))))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("canonical").asc)
+  }
+
   /** Exact k-NN graph (k=3) over a deterministic node sample (every 25th
     * vec_id): node set broadcast, corpus streams, codegen'd VecDot
     * cosine, rank window per node with a vec_id tiebreak. */
@@ -104,6 +133,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
+    "dedup_url" -> (dedupUrl _),
     "sim_knn_graph" -> (simKnnGraph _))
 
   val oracle: Map[String, String] = Map(
@@ -132,6 +162,17 @@ object CorpusOps {
         |GROUP BY term, total
         |HAVING count(1) * 30 > total
         |ORDER BY term ASC NULLS FIRST""".stripMargin,
+    "dedup_url" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    lower(CASE WHEN doc_id % 3 = 0
+        |               THEN upper(source) || '.Example.ORG'
+        |               ELSE source || '.example.org' END)
+        |    || '/' || lang || '/page-' || (doc_id % 40) AS canonical
+        |  FROM documents)
+        |SELECT canonical, count(1) AS n_variants, min(doc_id) AS first_doc
+        |FROM canon GROUP BY canonical
+        |ORDER BY canonical ASC NULLS FIRST""".stripMargin,
     "sim_knn_graph" ->
       """SELECT src, rnk, dst, floor(cos * 10000 + 0.5) / 10000 AS cosine FROM (
         |  SELECT q.vec_id AS src, c.vec_id AS dst,

@@ -158,6 +158,53 @@ object StreamOps {
     (user, n)
   }
 
+  /** Streaming heavy hitters (r5): the Misra–Gries sketch as PER-BUCKET
+    * mapGroupsWithState state. Terms are bucketed by `hash(term) mod 8` so
+    * state is parallel (8 independent sketches, O(k) each — NEVER one
+    * driver-side sketch) and a term always lands in the same bucket, so
+    * the per-bucket guarantee (in-bucket freq > n_b/(k+1) survives)
+    * implies the global one (global freq > n/(k+1) ⇒ survives). Batch
+    * mode = one state invocation per bucket; StreamingSpec drives the
+    * same state function across micro-batches and asserts the sketch
+    * state carries. Candidates are then exactly recounted and thresholded
+    * (count·30 > total) — the identical deterministic contract, and the
+    * identical oracle, as the batch `agg_heavy_hitters`. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val tok = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val cands = tok
+      .select(pmod(hash(col("term")), lit(8)).cast("int").as("bucket"), col("term"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(StreamOps.hhState)
+      .flatMap(_._2)
+      .toDF("term").distinct()
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(broadcast(cands), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 30 > col("total"))
+      .select(col("term"), col("n"))
+      .orderBy(col("term").asc)
+  }
+
+  /** Per-bucket Misra–Gries state transition, shared with the
+    * MemoryStream test: fold this invocation's terms into the carried
+    * ≤ k-counter sketch via the same kernels the batch
+    * `TypedImperativeAggregate` runs (functions/MisraGries.scala). */
+  private[graft] def hhState(
+      bucket: Int, rows: Iterator[(Int, String)],
+      state: org.apache.spark.sql.streaming.GroupState[Map[String, Long]]): (Int, Seq[String]) = {
+    val k = 30
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    state.getOption.foreach(m => buf ++= m)
+    rows.foreach(r => graft.functions.MisraGriesAgg.add(buf, r._2, k))
+    state.update(buf.toMap)
+    (bucket, buf.keys.toSeq.sorted)
+  }
+
   /** Deployable Structured Streaming entry point: watch a GROWING directory
     * of parquet event files (the capture-roll / event-log refill use case)
     * and maintain the same 1-hour tumbling aggregate as the batch path —
@@ -221,9 +268,19 @@ object StreamOps {
     "stream_watermark" -> (streamWatermark _),
     "stream_join" -> (streamJoin _),
     "stream_custom_state" -> (streamCustomState _),
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_dedup_state" -> (streamDedupState _))
 
   val oracle: Map[String, String] = Map(
+    "stream_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT count(1) AS total FROM tok)
+        |SELECT term, count(1) AS n
+        |FROM tok CROSS JOIN tot
+        |GROUP BY term, total
+        |HAVING count(1) * 30 > total
+        |ORDER BY term ASC NULLS FIRST""".stripMargin,
     "stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
         |  count(1) AS n,

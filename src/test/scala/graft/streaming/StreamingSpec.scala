@@ -163,6 +163,35 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 2L), (2L, 1L), (1L, 3L)))
   }
 
+  test("stream_heavy_hitters: Misra-Gries state carries across micro-batches and keeps the guarantee") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // one bucket (key 0), k=30: feed 40 distinct light terms over two
+    // batches around a heavy term whose global freq (24 of 104 > n/31)
+    // guarantees survival even though the sketch must evict to admit it
+    val b1 = (1 to 20).map(i => (0, f"light_a_$i%02d")) ++ Seq.fill(10)((0, "hot"))
+    val b2 = (1 to 40).map(i => (0, f"light_b_$i%02d")) ++ Seq.fill(14)((0, "hot")) ++
+      (1 to 20).map(i => (0, f"light_a_$i%02d"))
+    val mem = MemoryStream[(Int, String)]
+    mem.addData(b1: _*)
+    val q = mem.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(StreamOps.hhState)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hh_state_out").start()
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    val batches = spark.table("hh_state_out").collect()
+      .map(r => r.getSeq[String](1).toSet)
+    assert(batches.length == 2, s"expected one sketch emission per micro-batch: ${batches.length}")
+    // state carried: batch-2 candidates reflect batch-1 counts — "hot"
+    // (24/104 total, above n/31) must be present after batch 2, and the
+    // sketch stayed bounded
+    assert(batches.last.contains("hot"), s"heavy hitter evicted: ${batches.last}")
+    assert(batches.forall(_.size <= 30))
+  }
+
   test("stream-stream interval join matches the in-memory reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
