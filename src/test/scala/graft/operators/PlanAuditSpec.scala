@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Plan-shape audits (r5): the properties that make queries scale are
+  * claims about the PHYSICAL PLAN, not the output — pin them so a
+  * refactor that silently drops a pushdown, flips a broadcast side, or
+  * reintroduces an interpreted UDF fails the suite, not a 100 TB run.
+  * (Complements the per-operator pins in OperatorSpecs/LlmExtSpecs —
+  * this file sweeps the hot paths in one place.) */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_pred: predicates are pushed into the parquet scan") {
+    val p = plan(RelationalOps.filterPred(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []")
+      || p.contains("GreaterThan") || p.contains("IsNotNull"),
+      s"no predicate reached the scan:\n$p")
+  }
+
+  test("project_select: scan reads only the projected columns") {
+    val p = plan(RelationalOps.projectSelect(spark, sfDir))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty, s"no ReadSchema in plan:\n$p")
+    // lineitem has 11 columns; the projection must prune to a strict subset
+    assert(read.split(",").length <= 5, s"column pruning lost: ReadSchema=$read")
+  }
+
+  test("agg_hash: hash aggregation is two-phase (map-side partial combine)") {
+    val p = plan(Aggregates.aggHash(spark, sfDir))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), s"no partial (map-side) aggregation phase:\n$p")
+  }
+
+  test("sim_topk / sim_knn_graph: probe side is the broadcast side, no ScalaUDF") {
+    Seq(LlmOps.simTopk(spark, sfDir), CorpusOps.simKnnGraph(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("ScalaUDF"), s"interpreted UDF in a similarity hot path:\n$p")
+    }
+  }
+
+  test("text_tfidf: vocabulary-side joins are broadcast (no shuffle of the tf table for df)") {
+    val p = plan(CorpusOps.textTfidf(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+  }
+
+  test("heavy hitters: candidate gate join is broadcast; no full-vocab shuffle before the gate") {
+    val p = plan(CorpusOps.aggHeavyHitters(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"candidate semi-gate not broadcast:\n$p")
+  }
+
+  test("join_broadcast: small dim actually broadcasts; join_bucketed carries no Exchange") {
+    assert(plan(Joins.joinBroadcast(spark, sfDir)).contains("BroadcastHashJoin"))
+    val bucketed = plan(ScaleJoins.joinBucketed(spark, sfDir))
+    val joinIdx = bucketed.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"bucketed join must sort-merge:\n$bucketed")
+    // bucketed tables co-locate: no Exchange may feed the SMJ
+    assert(!bucketed.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"bucketed read re-shuffled:\n$bucketed")
+  }
+
+  test("embed ops are map-only: no Exchange in normalize/quantize plans") {
+    Seq(EmbeddingOps.embedNormalize(spark, sfDir), EmbeddingOps.embedQuantize(spark, sfDir))
+      .foreach { df =>
+        val p = plan(df)
+        // the final orderBy introduces one rangepartitioning exchange for
+        // output determinism; the TRANSFORM itself must not shuffle
+        assert(!p.contains("Exchange hashpartitioning"), s"map-only op shuffled:\n$p")
+      }
+  }
+
+  test("pcap scan: protocol filter is pushed into the DSv2 reader") {
+    val df = graft.sources.PcapOps.pcapFilterPush(spark, sfDir)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("pushedfilters") || p.contains("PcapScan"),
+      s"pcap pushdown probe lost its scan annotation:\n$p")
+  }
+}
