@@ -68,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(Ipv4Quad.functionDescription)
     e.injectFunction(VecDot.functionDescription)
+    e.injectFunction(MisraGriesAgg.functionDescription)
     e.injectOptimizerRule(_ => graft.plans.PushVecNormThroughJoin)
   }
 }

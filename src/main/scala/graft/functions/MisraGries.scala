@@ -122,6 +122,25 @@ object MisraGriesAgg {
   def misra_gries(c: Column, k: Int): Column =
     SqlBridge.column(MisraGriesAgg(SqlBridge.expression(c), k).toAggregateExpression())
 
+  /** SQL registration: `SELECT misra_gries(term, 30) FROM …` (k must be
+    * a literal int — it sizes per-task state at plan time). */
+  val functionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[MisraGriesAgg].getName, "misra_gries"),
+    (exprs: Seq[Expression]) => {
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"misra_gries expects (STRING col, INT k literal), got ${exprs.length} args")
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"misra_gries k must be an INT literal, got ${other.sql}")
+      }
+      MisraGriesAgg(exprs.head, k)
+    })
+
   /** Streaming-side sketch kernel, shared with the aggregate's `update`:
     * admit `term` into an ≤ k-counter buffer, decrementing-all when full
     * (each decrement round is charged against k+1 distinct items — the

@@ -37,6 +37,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(back == buf)
   }
 
+  test("misra_gries: registered for SQL via GraftExtensions function registry") {
+    val (ident, info, builder) = MisraGriesAgg.functionDescription
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val r = spark.sql(
+      "SELECT misra_gries(t, 2) FROM VALUES ('a'),('a'),('a'),('b'),('c') AS v(t)")
+      .collect()(0).getSeq[String](0)
+    assert(r.contains("a"), s"majority element missing from $r")
+    assert(r.size <= 2)
+    // non-literal k must be a clear error, not a crash later
+    val err = intercept[Exception] {
+      spark.sql("SELECT misra_gries(t, length(t)) FROM VALUES ('a') AS v(t)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("agg_heavy_hitters: candidates recounted exactly match the direct GROUP BY") {
     val viaSketch = CorpusOps.aggHeavyHitters(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
