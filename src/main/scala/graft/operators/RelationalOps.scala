@@ -248,7 +248,31 @@ object RelationalOps {
       .orderBy(col("o_orderstatus").asc)
   }
 
+  /** Parquet schema evolution (r5): two file generations in one dataset —
+    * v1 lacks the later `n_chars` column — read back under
+    * `mergeSchema=true`. The merged scan back-fills NULLs for the column
+    * a file doesn't carry, exactly the long-lived-table reality at 100 TB
+    * (columns get added; nobody rewrites petabytes). mergeSchema costs a
+    * footer read per file at planning (why Spark defaults it off) — for
+    * production tables the schema belongs in a catalog; the read
+    * SEMANTICS are what this operator pins. */
+  def scanSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Tables.scratchDir}/schema_evo"
+    val docs = t(spark, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("n_chars")).as("n_with_chars"),
+           coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_schema_evolution" -> (scanSchemaEvolution _),
     "scan_orc_roundtrip" -> (scanOrcRoundtrip _),
     "scan_jsonl_roundtrip" -> (scanJsonlRoundtrip _),
     "merge_upsert" -> (mergeUpsert _),
@@ -268,6 +292,16 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "scan_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(1) AS n_docs, count(n_chars) AS n_with_chars,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "scan_orc_roundtrip" ->
       """SELECT o_orderpriority, count(1) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,

@@ -134,6 +134,20 @@ object PcapOps {
            max(col("mm_ts")).as("last_mm_ts"))
       .withColumn("duration_ns", col("last_mm_ts") - col("first_mm_ts"))
 
+  /** Top talkers (r5): the flows ranked by bytes — the first question a
+    * network operator asks of a capture. Composes `flowAgg` with a
+    * global top-k: `orderBy(..).limit(k)` plans as
+    * TakeOrderedAndProject — each partition keeps its local top-k and
+    * only k rows per partition reach the driver-side merge, so the
+    * pattern holds at any flow count (never a full global sort).
+    * PcapSourceSpec pins the result against an in-memory fold. */
+  def pcapTopkTalkers(spark: SparkSession, dir: String): DataFrame =
+    flowAgg(spark.read.format("pcap").load(largeCaptureDir()))
+      .filter(col("src_ip").isNotNull)
+      .orderBy(col("total_bytes").desc, col("src_ip").asc, col("dst_ip").asc,
+               col("src_port").asc_nulls_first, col("dst_port").asc_nulls_first)
+      .limit(5)
+
   def pcapFlows(spark: SparkSession, dir: String): DataFrame =
     flowAgg(spark.read.format("pcap").load(goldenCaptureDir()))
       .orderBy(col("src_ip").asc_nulls_first, col("dst_ip").asc_nulls_first,
@@ -141,6 +155,7 @@ object PcapOps {
                col("protocol").asc_nulls_first)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pcap_topk_talkers" -> (pcapTopkTalkers _),
     "pcap_flows" -> (pcapFlows _),
     "pcap_ingest" -> (pcapIngest _),
     "pcap_ingest_large" -> (pcapIngestLarge _),

@@ -232,6 +232,28 @@ class PcapSourceSpec extends SparkTestBase {
     assert(expected.values.exists(_._1 > 1))
   }
 
+  test("pcap_topk_talkers: top-5 by bytes matches the fold; plans as TakeOrderedAndProject") {
+    val df = PcapOps.pcapTopkTalkers(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "global sort+limit must plan as per-partition top-k")
+    val got = df.collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getAs[Long]("total_bytes")))
+    // rebuild the same 200k-frame capture largeCaptureDir() lays down
+    val base = PcapFixtures.goldenFrames
+    val largeBytes = PcapFixtures.pcapFile((0 until 200000).map { i =>
+      val (bytes, ts) = base(i % base.size); (bytes, ts + (i / base.size))
+    })
+    val expected = PcapParser.parseFile(largeBytes).toVector
+      .filter(_.src_ip.isDefined)
+      .groupBy(p => (p.src_ip, p.dst_ip, p.src_port, p.dst_port, p.protocol))
+      .map { case (k, ps) => (k, ps.flatMap(_.len).map(_.toLong).sum) }
+      .toSeq
+      .sortBy { case ((si, di, sp, dp, _), bytes) => (-bytes, si.toString, di.toString) }
+      .take(5)
+    assert(got.length == 5)
+    assert(got.map(_._3).toSeq == expected.map(_._2),
+      s"byte totals differ: ${got.map(_._3).toSeq} vs ${expected.map(_._2)}")
+  }
+
   test("flowAgg builder: streaming (complete mode) equals batch on the same captures") {
     import org.apache.spark.sql.functions.col
     val streamed = PcapOps.flowAgg(spark.readStream.format("pcap").load(dir))
