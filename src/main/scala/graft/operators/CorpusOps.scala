@@ -78,6 +78,33 @@ object CorpusOps {
       .orderBy(col("term").asc)
   }
 
+  /** Train/test contamination detection (r5): the decontamination pass
+    * every eval-set owner runs before training — which held-out (odd
+    * doc_id) documents share an 8-gram with the training half (even
+    * doc_id), and how much. Grams travel as 16-byte md5 keys, so the
+    * distinct + join shuffles carry hashes, never text; at 100 TB the
+    * (small) eval side's gram set broadcasts or feeds a bloom prefilter
+    * and the training corpus streams — same topology, one pass. Output:
+    * per contaminated eval doc, its distinct-gram count, hit count, and
+    * contamination share. */
+  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val gramsExpr =
+      "transform(sequence(1, size(split(text, ' ')) - 7), " +
+        "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+    val grams = t(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 8)
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("g8"))
+    val train = grams.filter(col("doc_id") % 2 === 0).select(col("g8")).distinct()
+    val test = grams.filter(col("doc_id") % 2 === 1).distinct()
+    val totals = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = test.join(train, "g8")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+              graft.Det.r4(col("n_hit").cast("double") / col("n_grams")).as("share"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Canonical-URL dedup (r5): the web-corpus dedup that runs BEFORE any
     * content hashing — fold scheme/case/tracking-param noise away and
     * group by the canonical (lowercased host + path) identity. URLs are
@@ -134,6 +161,7 @@ object CorpusOps {
     "text_tfidf" -> (textTfidf _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "dedup_url" -> (dedupUrl _),
+    "decontam_overlap" -> (decontamOverlap _),
     "sim_knn_graph" -> (simKnnGraph _))
 
   val oracle: Map[String, String] = Map(
@@ -162,6 +190,23 @@ object CorpusOps {
         |GROUP BY term, total
         |HAVING count(1) * 30 > total
         |ORDER BY term ASC NULLS FIRST""".stripMargin,
+    "decontam_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |grams AS (
+        |  SELECT doc_id, md5(list_aggregate(t[g.i:g.i+7], 'string_agg', ' ')) AS g8
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g),
+        |train AS (SELECT DISTINCT g8 FROM grams WHERE doc_id % 2 = 0),
+        |test AS (SELECT DISTINCT doc_id, g8 FROM grams WHERE doc_id % 2 = 1),
+        |totals AS (SELECT doc_id, count(1) AS n_grams FROM test GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, count(1) AS n_hit FROM test JOIN train USING (g8)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_hit,
+        |  floor((CAST(n_hit AS DOUBLE) / n_grams) * 10000 + 0.5) / 10000 AS share
+        |FROM totals JOIN hits USING (doc_id)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_url" ->
       """WITH canon AS (
         |  SELECT doc_id,
