@@ -230,6 +230,59 @@ object HashKernels {
       returnNullable = false))
   }
 
+  // ---- n-gram md5 keys (decontam_overlap) ------------------------------
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** All n-token-gram md5 hex keys of a whitespace-tokenized text in ONE
+    * pass — replaces `transform(sequence(...), i -> md5(concat_ws(' ',
+    * slice(split(text), i, n))))`, whose lambda evaluates interpreted per
+    * gram position (HOFs don't codegen) and re-slices the token array
+    * each time. Bit-identical output: same `split(' ', -1)` tokenization,
+    * same single-space join, same lowercase-hex md5 (CorpusOpsSpec pins
+    * equality against the HOF chain). Returns an empty array for texts
+    * shorter than n tokens. */
+  def gramMd5Keys(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = hexDigits((d(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: ARRAY<STRING> of the text's n-gram md5 keys. */
+  def gram_md5_keys(c: Column, n: Int): Column = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    SqlBridge.column(StaticInvoke(
+      HashKernels.getClass, ArrayType(StringType), "gramMd5Keys",
+      Seq(SqlBridge.expression(c), Literal(n)),
+      inputTypes = Seq(StringType, IntegerType),
+      returnNullable = false))
+  }
+
   // ---- Bloom-filter gate (join_bloom_prefilter) ------------------------
 
   private val lastSketch =

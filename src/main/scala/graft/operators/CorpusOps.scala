@@ -88,12 +88,14 @@ object CorpusOps {
     * per contaminated eval doc, its distinct-gram count, hit count, and
     * contamination share. */
   def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val gramsExpr =
-      "transform(sequence(1, size(split(text, ' ')) - 7), " +
-        "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+    // one-pass StaticInvoke kernel (HashKernels.gramMd5Keys) — the HOF
+    // form (transform(sequence(..), i -> md5(concat_ws(slice(..)))))
+    // evaluates its lambda interpreted per gram position and re-slices
+    // the token array each time; CorpusOpsSpec pins bitwise equality
     val grams = t(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 8)
-      .select(col("doc_id"), explode(expr(gramsExpr)).as("g8"))
+      .select(col("doc_id"),
+              explode(graft.functions.HashKernels.gram_md5_keys(col("text"), 8)).as("g8"))
     val train = grams.filter(col("doc_id") % 2 === 0).select(col("g8")).distinct()
     val test = grams.filter(col("doc_id") % 2 === 1).distinct()
     val totals = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

@@ -65,6 +65,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(direct.nonEmpty, "corpus produced no heavy hitters — threshold degenerate")
   }
 
+  test("gram_md5_keys kernel is bit-identical to the HOF md5/slice chain") {
+    import org.apache.spark.sql.functions.expr
+    val hof = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)), " +
+        "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))")
+    val rows = graft.Tables.t(spark, sfDir, "documents")
+      .select(graft.functions.HashKernels.gram_md5_keys(col("text"), 8).as("kern"), hof.as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel diverged from HOF: ${r.getSeq[String](0).take(2)} vs ${r.getSeq[String](1).take(2)}")
+    }
+  }
+
   test("join_dpp: physical plan carries a dynamicpruning subquery on the fact scan") {
     val df = ScaleJoins.joinDpp(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString.toLowerCase
