@@ -139,7 +139,22 @@ object ScalarFns {
         to_json(col("meta")).as("meta_json"))
       .orderBy(col("doc_id").asc)
 
+  /** Regex family (r5): extract / match / replace-all with patterns in
+    * the common RE2-compatible subset (character classes, anchors,
+    * quantifiers) so Java regex and DuckDB's RE2 agree. The replace
+    * demonstrates the global-replace semantics Spark defaults to (DuckDB
+    * needs the explicit 'g' flag). */
+  def fRegex(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_tok"),
+        col("text").rlike("data").as("has_data"),
+        regexp_replace(substring(col("text"), 1, 20), "[aeiou]", "*").as("scrub20"))
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_regex" -> (fRegex _),
     "f_url" -> (fUrl _),
     "f_struct" -> (fStruct _),
     "f_bitwise" -> (fBitwise _),
@@ -151,6 +166,12 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^([a-z]+)', 1) AS first_tok,
+        |  regexp_matches(text, 'data') AS has_data,
+        |  regexp_replace(substr(text, 1, 20), '[aeiou]', '*', 'g') AS scrub20
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "f_url" ->
       """WITH u AS (
         |  SELECT doc_id,

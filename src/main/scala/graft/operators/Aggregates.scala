@@ -160,6 +160,32 @@ object Aggregates {
         |LIMIT 10""".stripMargin)
   }
 
+  /** TPC-H Q5 shape through the SQL front-end (r5): the six-table
+    * local-supplier-volume star join — customer and supplier must sit in
+    * the same nation, so the join graph has a cycle and the optimizer's
+    * join reorder actually matters. region/nation broadcast (≤25 rows);
+    * Catalyst plans the lineitem side as the streaming probe. Revenue is
+    * the exact-DECIMAL sum rounded before the double cast. */
+  def sqlTpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
   /** TPC-H Q6 shape through the SQL front-end (r5): the pure
     * filter-and-sum "forecast revenue change" scan — the canonical
     * pushdown probe (every predicate reaches the parquet reader; the agg
@@ -354,6 +380,7 @@ object Aggregates {
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_pivot" -> (aggPivot _),
     "sql_tpch_q3" -> (sqlTpchQ3 _),
+    "sql_tpch_q5" -> (sqlTpchQ5 _),
     "sql_tpch_q6" -> (sqlTpchQ6 _),
     "sql_tpch_q14" -> (sqlTpchQ14 _),
     "agg_sort_fallback" -> (aggSortFallback _))
@@ -483,6 +510,21 @@ object Aggregates {
         |  count(1) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "sql_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
     "sql_tpch_q3" ->
       """SELECT l_orderkey,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
