@@ -154,7 +154,58 @@ object TimeSeriesOps {
       .orderBy(col("minute").asc)
   }
 
+  /** Gap-based sessionization: per user, a new session starts when the
+    * inter-event gap exceeds 6 hours. The boundary flag comes from a
+    * `lag` window, the session id from a running sum over the same
+    * (user_id, ts, event_id) order — both windows share the one shuffle
+    * keyed on user_id, and every comparison is exact BIGINT microseconds
+    * (no float time math). This is the batch twin of `stream_session`
+    * (`session_window`): same session semantics, derivable offline over
+    * 100 TB with exactly one shuffle of |events| rows. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 6L * 3600 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+              date_format(col("lo"), TsFmt).as("start_ts"),
+              date_format(col("hi"), TsFmt).as("end_ts"),
+              ((unix_micros(col("hi")) - unix_micros(col("lo")))
+                 / lit(1000000L)).cast("long").as("dur_s"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
+  }
+
+  /** Event-type transition matrix: per user, consecutive event pairs in
+    * time order (the Markov-chain / user-journey statistic). One `lead`
+    * window on the user_id shuffle, then a map-side-combined count over
+    * the |types|² transition space — the shuffle output is O(|types|²)
+    * rows at any corpus size. */
+  def tsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type").asc, col("to_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> (sessionize _),
+    "ts_transitions" -> (tsTransitions _),
     "ts_fill_forward" -> (tsFillForward _),
     "funnel_stages" -> (funnelStages _),
     "retention_cohort" -> (retentionCohort _),
@@ -163,6 +214,36 @@ object TimeSeriesOps {
     "ts_ohlc" -> (tsOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(1) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id ASC NULLS FIRST, session_id ASC NULLS FIRST""".stripMargin,
+    "ts_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(1) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST""".stripMargin,
     "ts_fill_forward" ->
       """WITH last_per_min AS (
         |  SELECT m, v FROM (
