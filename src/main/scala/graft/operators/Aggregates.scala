@@ -226,6 +226,61 @@ object Aggregates {
         |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin)
   }
 
+  /** TPC-H Q10 shape through the SQL front-end (r5): returned-item
+    * revenue per customer — a 4-table star join whose top-20 cut runs as
+    * TakeOrderedAndProject (k rows per partition to the driver merge,
+    * never a global sort). nation broadcasts (25 rows); customer joins
+    * orders pre-filtered by the date window, so the shuffled side shrinks
+    * before the lineitem probe. Revenue is the exact-DECIMAL sum rounded
+    * before the double cast; the explicit c_custkey tiebreak makes the
+    * LIMIT deterministic. */
+  def sqlTpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(Q10Sql)
+  }
+
+  private val Q10Sql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 shape through the SQL front-end (r5): large-volume orders
+    * — the IN-subquery path. Catalyst rewrites the uncorrelated IN into a
+    * left-semi join on the aggregated subquery (RewritePredicateSubquery),
+    * so the "subquery" costs one map-side-combined agg + one semi join,
+    * not a per-row probe. Quantity sums are exact DECIMAL on both sides
+    * of the threshold, so the survivor set is engine-independent. */
+  def sqlTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(Q18Sql)
+  }
+
+  private val Q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |GROUP BY c_custkey, c_name, o_orderkey
+      |ORDER BY total_qty DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+      |LIMIT 20""".stripMargin
+
   /** collect_set drives ObjectHashAggregate (with sort-based fallback under
     * memory pressure) — the non-codegen agg path; output is a sorted,
     * comma-joined string so the oracle hash-matches. */
@@ -383,9 +438,13 @@ object Aggregates {
     "sql_tpch_q5" -> (sqlTpchQ5 _),
     "sql_tpch_q6" -> (sqlTpchQ6 _),
     "sql_tpch_q14" -> (sqlTpchQ14 _),
+    "sql_tpch_q10" -> (sqlTpchQ10 _),
+    "sql_tpch_q18" -> (sqlTpchQ18 _),
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "sql_tpch_q10" -> Q10Sql,
+    "sql_tpch_q18" -> Q18Sql,
     "sql_tpch_q6" ->
       """SELECT
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))

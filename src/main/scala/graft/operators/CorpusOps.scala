@@ -159,7 +159,55 @@ object CorpusOps {
       .orderBy(col("src").asc, col("rnk").asc)
   }
 
+  /** PageRank over the event-type transition graph (r5): two fixed power
+    * iterations of pr' = 0.15/N + 0.85·Σ pr(u)·w(u,v)/out(u) — the graph-
+    * centrality cousin of `embed_pca_power`, over the same edge extraction
+    * as `ts_transitions`. Fixed-iteration (not converge-to-ε) so the
+    * output is a pure function of the input and the DuckDB CTE chain can
+    * be the oracle. Scale shape: the graph is |types|² edges regardless of
+    * corpus size (the heavy lift — the lead window + edge count — is one
+    * user-keyed shuffle over the events, same as `ts_transitions`); each
+    * iteration shuffles |edges| contribution rows. Determinism: per-edge
+    * contributions snap to the integer 1e-12 grid pre-sum (exact BIGINT,
+    * order-independent), and the damping arithmetic is plain IEEE ops both
+    * engines evaluate identically, so iteration 2's INPUT is bit-identical
+    * too. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val edges = t(spark, dir, "events")
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("wgt"))
+      .persist() // reused by outw, nodes, and both iterations
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    val outw = edges.groupBy(col("src")).agg(sum(col("wgt")).as("outw"))
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = edges
+        .join(pr, edges("src") === pr("node"))
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          floor(col("pr") * col("wgt") / col("outw") * 1e12 + 0.5)
+            .cast("long").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cg"))
+      nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(nN)
+        .select(col("node"),
+          (lit(0.15) / col("n_nodes") +
+            lit(0.85) * (coalesce(col("cg"), lit(0L)).cast("double") / 1e12)).as("pr"))
+    }
+    val pr0 = nodes.crossJoin(nN)
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    step(step(pr0))
+      .select(col("node").as("event_type"), graft.Det.r4(col("pr")).as("pagerank"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "text_tfidf" -> (textTfidf _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "dedup_url" -> (dedupUrl _),
@@ -167,6 +215,47 @@ object CorpusOps {
     "sim_knn_graph" -> (simKnnGraph _))
 
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS dst
+        |  FROM events),
+        |edges AS (
+        |  SELECT src, dst, count(1) AS wgt FROM seq
+        |  WHERE dst IS NOT NULL GROUP BY src, dst),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |nn AS (SELECT count(1) AS n_nodes FROM nodes),
+        |outw AS (SELECT src, sum(wgt) AS outw FROM edges GROUP BY src),
+        |pr0 AS (
+        |  SELECT node, CAST(1 AS DOUBLE) / n_nodes AS pr
+        |  FROM nodes CROSS JOIN nn),
+        |c1 AS (
+        |  SELECT e.dst AS node,
+        |    sum(CAST(floor(p.pr * e.wgt / o.outw * 1e12 + 0.5) AS BIGINT)) AS cg
+        |  FROM edges e JOIN pr0 p ON e.src = p.node JOIN outw o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |pr1 AS (
+        |  SELECT n.node,
+        |    CAST(0.15 AS DOUBLE) / nn.n_nodes
+        |      + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c1.cg, 0) AS DOUBLE) / 1e12) AS pr
+        |  FROM nodes n LEFT JOIN c1 ON n.node = c1.node CROSS JOIN nn),
+        |c2 AS (
+        |  SELECT e.dst AS node,
+        |    sum(CAST(floor(p.pr * e.wgt / o.outw * 1e12 + 0.5) AS BIGINT)) AS cg
+        |  FROM edges e JOIN pr1 p ON e.src = p.node JOIN outw o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |pr2 AS (
+        |  SELECT n.node,
+        |    CAST(0.15 AS DOUBLE) / nn.n_nodes
+        |      + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c2.cg, 0) AS DOUBLE) / 1e12) AS pr
+        |  FROM nodes n LEFT JOIN c2 ON n.node = c2.node CROSS JOIN nn)
+        |SELECT node AS event_type,
+        |  floor(pr * 10000 + 0.5) / 10000 AS pagerank
+        |FROM pr2
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

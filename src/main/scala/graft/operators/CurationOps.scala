@@ -142,13 +142,47 @@ object CurationOps {
       .orderBy(col("source").asc, col("lang").asc)
   }
 
+  /** Deterministic train/val/test split (r5): split id comes from the
+    * first hex digit of md5(text) — content-keyed like `sample_hash`, so
+    * the assignment survives reshards, re-ingestion, and engine swaps
+    * (a `rand()` split reproduces on NOTHING; a row-number split changes
+    * whenever file order does). Digits 0-b → train (75%), c-d → val
+    * (12.5%), e-f → test (12.5%). Exact-duplicate texts land in the same
+    * split by construction — no train/test leakage through dup pairs.
+    * One map-side-combined agg; |splits| = 3 rows shuffle at any scale. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = substring(md5(col("text")), 1, 1)
+    docs(spark, dir)
+      .withColumn("split",
+        when(d.isin("c", "d"), lit("val"))
+          .when(d.isin("e", "f"), lit("test"))
+          .otherwise(lit("train")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+           min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "seq_pack" -> (seqPack _),
     "text_bm25" -> (textBm25 _),
+    "sample_split" -> (sampleSplit _),
     "mix_domain_stats" -> (mixDomainStats _))
 
   val oracle: Map[String, String] = Map(
+    "sample_split" ->
+      """SELECT
+        |  CASE WHEN substring(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+        |       WHEN substring(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+        |       ELSE 'train' END AS split,
+        |  count(1) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS n_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM documents
+        |GROUP BY split
+        |ORDER BY split ASC NULLS FIRST""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

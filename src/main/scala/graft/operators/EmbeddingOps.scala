@@ -71,12 +71,44 @@ object EmbeddingOps {
               Det.r4(col("y_grid").cast("double") / 1e12).as("y"))
       .orderBy(col("j").asc)
 
+  /** Per-class centroid embeddings (r5): the mean vector per label — what
+    * clustering-based curation (SemDeDup-style pruning, class-balanced
+    * sampling, IVF codebook seeding) computes first. Scale shape: one
+    * map-side-combined agg whose shuffle carries |labels|·dim partial-sum
+    * groups (640 here) regardless of corpus size. Determinism: per-element
+    * values snap to the integer 1e-12 grid before summing (same device as
+    * `embed_pca_power`), so partial sums are exact BIGINTs and the final
+    * mean is one double division both engines evaluate identically. */
+  def embedCentroid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"),
+              posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+      .groupBy(col("label"), col("j"))
+      .agg(sum(floor(col("x") * 1e12 + 0.5).cast("long")).as("g"),
+           count(lit(1)).as("n"))
+      .select(col("label"), col("j"), col("n"),
+              Det.r4(col("g").cast("double") / 1e12 / col("n")).as("centroid"))
+      .orderBy(col("label").asc, col("j").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_power" -> (embedPcaPower _),
+    "embed_centroid" -> (embedCentroid _),
     "embed_normalize" -> (embedNormalize _),
     "embed_quantize" -> (embedQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "embed_centroid" ->
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT label, g.j - 1 AS j,
+        |    CAST(floor(v[g.j] * 1e12 + 0.5) AS BIGINT) AS p
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) g)
+        |SELECT label, CAST(j AS INTEGER) AS j, count(1) AS n,
+        |  floor((CAST(sum(p) AS DOUBLE) / 1e12 / count(1)) * 10000 + 0.5) / 10000 AS centroid
+        |FROM flat GROUP BY label, j
+        |ORDER BY label ASC NULLS FIRST, j ASC NULLS FIRST""".stripMargin,
     "embed_pca_power" ->
       """WITH e AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -203,7 +203,36 @@ object TimeSeriesOps {
       .orderBy(col("from_type").asc, col("to_type").asc)
   }
 
+  /** Z-score anomaly detection (r5): events whose value deviates more
+    * than 2σ from their type's mean — the alerting primitive over any
+    * capture-derived metric stream. Two passes in ONE plan: a per-type
+    * stats agg (n, Σv, Σv² as EXACT decimals — order-independent across
+    * 1000 executors, same device as `agg_stats`) broadcast back onto the
+    * stream (|types| rows, never a shuffle of the events), then a
+    * codegen'd filter. Mean/σ and the 2σ verdict are computed from the
+    * exact sums in identical IEEE double steps in both engines, so the
+    * survivor SET (not just the scores) is engine-independent. */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val vd = dec("value")
+    def d(c: String) = col(c).cast("double")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(vd).as("sx_d"),
+           sum((vd * vd).cast("decimal(38,4)")).as("sxx_d"))
+      .select(col("event_type"),
+        (d("sx_d") / d("n")).as("mean"),
+        sqrt((d("sxx_d") - d("sx_d") * d("sx_d") / d("n")) / (d("n") - 1)).as("sd"))
+    val v = vd.cast("double")
+    ev.join(broadcast(stats), "event_type")
+      .filter(abs(v - col("mean")) > lit(2.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), v.as("value"),
+              graft.Det.r4((v - col("mean")) / col("sd")).as("z"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly" -> (tsAnomaly _),
     "sessionize" -> (sessionize _),
     "ts_transitions" -> (tsTransitions _),
     "ts_fill_forward" -> (tsFillForward _),
@@ -214,6 +243,23 @@ object TimeSeriesOps {
     "ts_ohlc" -> (tsOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "ts_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, count(1) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type,
+        |    sx / CAST(n AS DOUBLE) AS mean,
+        |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS sd
+        |  FROM s)
+        |SELECT event_id, e.event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        |  floor(((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sd) * 10000 + 0.5) / 10000 AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) > 2.0 * sd
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "sessionize" ->
       """WITH f AS (
         |  SELECT user_id, event_id, ts,

@@ -190,6 +190,74 @@ object StreamOps {
       .orderBy(col("term").asc)
   }
 
+  /** Session tracking via flatMapGroupsWithState (r5): the 1→N stateful
+    * escape hatch — unlike mapGroupsWithState's one-row-per-key contract,
+    * each invocation emits ZERO OR MORE closed sessions (6 h gap rule,
+    * same as `sessionize`) and keeps the still-open session in state.
+    * Append-mode semantics make the batch result exactly "every session
+    * CLOSED by a later event" — each user's final session is still open
+    * at end-of-input (on an unbounded stream it genuinely is), so the
+    * oracle excludes each user's last session. The streaming variant sets
+    * an event-time timeout of lastTs+gap so the watermark closes idle
+    * sessions; StreamingSpec drives the same state function across
+    * micro-batches and asserts timeout-driven emission. State per key is
+    * ONE (start, last, n) triple — O(users) state at 100 TB, evicted on
+    * close. */
+  def streamFlatmapState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        StreamOps.sessionFlatState(useTimeout = false))
+      .toDF("user_id", "s_us", "e_us", "n_events")
+      .select(col("user_id"),
+              date_format(timestamp_micros(col("s_us")), TsFmt).as("start_ts"),
+              date_format(timestamp_micros(col("e_us")), TsFmt).as("end_ts"),
+              col("n_events"))
+      .orderBy(col("user_id").asc, col("start_ts").asc)
+  }
+
+  /** Session state transition shared by the batch query and the
+    * MemoryStream test. Rows are (user_id, ts_micros); state is the open
+    * session (start, last, n). A timed-out invocation (streaming only)
+    * emits the open session and clears state; otherwise the batch's
+    * events fold in ts order, emitting every session closed by a > 6 h
+    * gap. `useTimeout` gates the event-time timeout registration — batch
+    * mode runs without a watermark, where setTimeoutTimestamp is
+    * unsupported. */
+  private[graft] def sessionFlatState(useTimeout: Boolean)(
+      user: Long, rows: Iterator[(Long, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)])
+      : Iterator[(Long, Long, Long, Long)] = {
+    val GapUs = 6L * 3600 * 1000000
+    if (!rows.hasNext && state.hasTimedOut) {
+      val (s0, last, n) = state.get
+      state.remove()
+      return Iterator.single((user, s0, last, n))
+    }
+    val ts = rows.map(_._2).toArray.sorted
+    val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cur = state.getOption
+    ts.foreach { tUs =>
+      cur match {
+        case Some((s0, last, n)) =>
+          if (tUs - last > GapUs) {
+            closed += ((user, s0, last, n))
+            cur = Some((tUs, tUs, 1L))
+          } else cur = Some((s0, math.max(last, tUs), n + 1))
+        case None => cur = Some((tUs, tUs, 1L))
+      }
+    }
+    cur.foreach { c =>
+      state.update(c)
+      if (useTimeout) state.setTimeoutTimestamp(c._2 / 1000 + GapUs / 1000)
+    }
+    closed.iterator
+  }
+
   /** Per-bucket Misra–Gries state transition, shared with the
     * MemoryStream test: fold this invocation's terms into the carried
     * ≤ k-counter sketch via the same kernels the batch
@@ -268,10 +336,37 @@ object StreamOps {
     "stream_watermark" -> (streamWatermark _),
     "stream_join" -> (streamJoin _),
     "stream_custom_state" -> (streamCustomState _),
+    "stream_flatmap_state" -> (streamFlatmapState _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_dedup_state" -> (streamDedupState _))
 
   val oracle: Map[String, String] = Map(
+    "stream_flatmap_state" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f),
+        |agg AS (
+        |  SELECT user_id, session_id, count(1) AS n_events,
+        |    min(ts) AS lo, max(ts) AS hi
+        |  FROM s GROUP BY user_id, session_id),
+        |mx AS (SELECT user_id, max(session_id) AS last_s FROM agg GROUP BY user_id)
+        |SELECT a.user_id,
+        |  strftime(lo, '%Y-%m-%d %H:%M:%S') AS start_ts,
+        |  strftime(hi, '%Y-%m-%d %H:%M:%S') AS end_ts,
+        |  n_events
+        |FROM agg a JOIN mx ON a.user_id = mx.user_id
+        |WHERE a.session_id < mx.last_s
+        |ORDER BY a.user_id ASC NULLS FIRST, start_ts ASC NULLS FIRST""".stripMargin,
     "stream_heavy_hitters" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),

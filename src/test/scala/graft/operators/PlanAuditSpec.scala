@@ -73,6 +73,37 @@ class PlanAuditSpec extends SparkTestBase {
       }
   }
 
+  test("cache_reuse: both aggregate branches read the in-memory columnar cache") {
+    val p = plan(RelationalOps.cacheReuse(spark, sfDir))
+    val hits = "InMemoryTableScan".r.findAllIn(p).length
+    assert(hits >= 2, s"expected both union branches on InMemoryTableScan, found $hits:\n$p")
+  }
+
+  test("sink_clustered: output files cover disjoint shipdate ranges") {
+    import org.apache.spark.sql.functions._
+    RelationalOps.sinkClustered(spark, sfDir).collect() // materialize the sink
+    val perFile = spark.read.parquet(s"${graft.Tables.scratchDir}/clustered_sink")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_shipdate").cast("string")).as("lo"),
+           max(col("l_shipdate").cast("string")).as("hi"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(perFile.length >= 2, "range repartition produced a single file")
+    perFile.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"file ranges overlap: $hi > $lo — clustering lost")
+    }
+  }
+
+  test("graph_pagerank: mass conservation and damping floor hold") {
+    val rows = CorpusOps.graphPagerank(spark, sfDir).collect()
+    val total = rows.map(_.getDouble(1)).sum
+    // Σpr = 1 up to the 1e-12 grid + r4 rounding slack
+    assert(math.abs(total - 1.0) < 1e-3, s"pagerank mass drifted: $total")
+    rows.foreach(r => assert(r.getDouble(1) >= 0.15 / 5 - 1e-9,
+      s"node below damping floor: ${r.getString(0)} -> ${r.getDouble(1)}"))
+  }
+
   test("pcap scan: protocol filter is pushed into the DSv2 reader") {
     val df = graft.sources.PcapOps.pcapFilterPush(spark, sfDir)
     val p = plan(df)

@@ -192,6 +192,50 @@ class StreamingSpec extends SparkTestBase {
     assert(batches.forall(_.size <= 30))
   }
 
+  test("flatMapGroupsWithState: gap closes sessions in-batch, event-time timeout closes idle ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val mem = MemoryStream[(Long, Timestamp)]
+    // batch 1: user 1 has a 2-event session then a 9h-later event — the
+    // gap rule must close session 1 within the batch
+    mem.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 01:00:00")),
+                (1L, ts("2024-01-01 10:00:00")))
+    // the watermarked ts column must stay in the stateful operator's
+    // input (Spark rejects EventTimeTimeout otherwise); the adapter strips
+    // it before handing rows to the SAME shared state function
+    val fn: (Long, Iterator[(Long, Long, Timestamp)],
+             org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)])
+            => Iterator[(Long, Long, Long, Long)] =
+      (k, rows, st) =>
+        StreamOps.sessionFlatState(useTimeout = true)(k, rows.map(r => (r._1, r._2)), st)
+    val q = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", unix_micros($"ts").as("us"), $"ts")
+      .as[(Long, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF("user_id", "s_us", "e_us", "n_events")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fmgs_out").start()
+    q.processAllAvailable()
+    // after batch 1 (watermark 10:00 < the 16:00 timeout) only the
+    // gap-closed session has been emitted
+    val afterB1 = spark.table("fmgs_out").count()
+    // batch 2 advances the watermark to 20:00 > 16:00 — the watermark-
+    // change follow-up batch fires user 1's idle-session timeout and
+    // EMITS it; user 2's open session (timeout 02:00 next day) does not
+    mem.addData((2L, ts("2024-01-01 20:00:00")))
+    q.processAllAvailable(); q.stop()
+    def us(s: String) = ts(s).getTime * 1000L
+    val got = spark.table("fmgs_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(afterB1 == 1, s"gap-closed session must be the only batch-1 emission, got $afterB1")
+    assert(got == Set(
+      (1L, us("2024-01-01 00:00:00"), us("2024-01-01 01:00:00"), 2L),
+      (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00"), 1L)), got)
+  }
+
   test("stream-stream interval join matches the in-memory reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
