@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{ScalarFns, UdxOps}
-import graft.operators.{Aggregates, CorpusOps, CurationOps, EmbeddingOps, Joins, LlmOps, LlmOpsExt, MultimodalOps, RelationalOps, ScaleJoins, TimeSeriesOps, Windows}
+import graft.operators.{Aggregates, CorpusOps, CurationOps, EmbeddingOps, Joins, LlmOps, LlmOpsExt, MultimodalOps, QualityOps, RelationalOps, ScaleJoins, TimeSeriesOps, Windows}
 import graft.sources.PcapOps
 import graft.streaming.StreamOps
 
@@ -23,7 +23,8 @@ object SparkEntry {
       Windows.queries ++ ScalarFns.queries ++ UdxOps.queries ++
       PcapOps.queries ++ LlmOps.queries ++ LlmOpsExt.queries ++
       MultimodalOps.queries ++ ScaleJoins.queries ++ StreamOps.queries ++
-      TimeSeriesOps.queries ++ EmbeddingOps.queries ++ CorpusOps.queries ++ CurationOps.queries
+      TimeSeriesOps.queries ++ EmbeddingOps.queries ++ CorpusOps.queries ++
+      CurationOps.queries ++ QualityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops DuckDB can't reproduce
@@ -34,5 +35,6 @@ object SparkEntry {
       Windows.oracle ++ ScalarFns.oracle ++ UdxOps.oracle ++
       PcapOps.oracle ++ LlmOps.oracle ++ LlmOpsExt.oracle ++
       MultimodalOps.oracle ++ ScaleJoins.oracle ++ StreamOps.oracle ++
-      TimeSeriesOps.oracle ++ EmbeddingOps.oracle ++ CorpusOps.oracle ++ CurationOps.oracle
+      TimeSeriesOps.oracle ++ EmbeddingOps.oracle ++ CorpusOps.oracle ++
+      CurationOps.oracle ++ QualityOps.oracle
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality operators (r5): the profiling and validation passes that
+  * run BEFORE a table is trusted — every serious ingestion pipeline
+  * (and every training-data refresh) gates on exactly these two shapes.
+  *
+  * Scale notes (100 TB):
+  *  - `dq_profile` is ONE full-table aggregate producing a fixed-width
+  *    row (per profiled column: null count, distinct count, min, max) —
+  *    the only full-scan pass; the stack() unpivot that reshapes it to
+  *    one-row-per-column is a Generate over that single row. The exact
+  *    `countDistinct`s expand the agg input ×|columns| through the
+  *    shuffle (Spark's Expand); at 100 TB swap them for
+  *    `approx_count_distinct` — the plan shape is otherwise identical
+  *    (here they stay exact so DuckDB can oracle the output).
+  *  - `dq_constraints` runs each rule as an aggregate or anti-join that
+  *    returns ONE row; the row-domain rules fold into a single shared
+  *    scan (one pass, |rules| counters), the PK/FK rules are a distinct
+  *    count and a broadcast anti-join. Nothing here moves data rows —
+  *    only violation COUNTS — so the suite costs ~one scan per table
+  *    regardless of scale.
+  */
+object QualityOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Table profile over `events`: per column — null count, exact distinct
+    * count, min/max rendered to a portable string. Column set is fixed at
+    * plan time (a profiler enumerates the schema up front). `ts` is
+    * profiled at SECOND grain: the corpus stores TIMESTAMP(NANOS), Spark
+    * reads µs, DuckDB ns — sub-second digits are the one place the
+    * engines legitimately disagree, so the profile pins the grain both
+    * agree on. Doubles render through DECIMAL(18,2) (engine double→string
+    * formatting differs; decimal→string doesn't). */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    // (name, value expr, min/max string renderer)
+    val profiled: Seq[(String, Column, Column => Column)] = Seq(
+      ("event_type", col("event_type"), identity[Column] _),
+      ("props", col("props"), identity[Column] _),
+      ("ts_sec", col("ts_sec"), (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")),
+      ("user_id", col("user_id"), (c: Column) => c.cast("string")),
+      ("value", col("value"), (c: Column) => c.cast("decimal(18,2)").cast("string")))
+    val aggs = profiled.flatMap { case (n, c, render) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nnull"),
+      countDistinct(c).as(s"${n}__ndist"),
+      render(min(c)).as(s"${n}__min"),
+      render(max(c)).as(s"${n}__max"))
+    }
+    val stacked = profiled.map { case (n, _, _) =>
+      s"'$n', ${n}__nnull, ${n}__ndist, ${n}__min, ${n}__max"
+    }.mkString(", ")
+    ev.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${profiled.length}, $stacked) as (col_name, n_null, n_distinct, min_s, max_s)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy(col("col_name").asc)
+  }
+
+  /** Constraint validation suite over the star schema: five production
+    * rule shapes — PK uniqueness, FK referential integrity (broadcast
+    * anti-join), a value-range rule, a positivity rule, and a domain
+    * rule. Output is one row per rule with its violation count and
+    * verdict; the three row-domain rules share ONE lineitem/orders scan
+    * (conditional counters in a single aggregate). */
+  def dqConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    def row(name: String, violations: Column): Column =
+      struct(lit(name).as("check"), violations.cast("long").as("n_violations"))
+    // PK uniqueness: duplicates = rows - distinct keys
+    val pk = orders.agg(
+      row("orders_pk_unique", count(lit(1)) - countDistinct(col("o_orderkey"))).as("r"))
+    // FK: orders whose customer is missing (anti join; dim side broadcasts)
+    val fk = orders.join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(row("orders_fk_customer", count(lit(1))).as("r"))
+    // three row-domain rules in one shared scan each
+    val liRules = li.agg(
+      row("lineitem_qty_range",
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))).as("r1"),
+      row("lineitem_price_positive",
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))).as("r2"))
+    val statusRule = orders.agg(
+      row("orders_status_domain",
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))).as("r"))
+    pk.select(col("r"))
+      .unionByName(fk.select(col("r")))
+      .unionByName(liRules.select(explode(array(col("r1"), col("r2"))).as("r")))
+      .unionByName(statusRule.select(col("r")))
+      .select(col("r.check").as("check"), col("r.n_violations").as("n_violations"),
+              when(col("r.n_violations") === 0, "pass").otherwise("fail").as("verdict"))
+      .orderBy(col("check").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile" -> (dqProfile _),
+    "dq_constraints" -> (dqConstraints _))
+
+  val oracle: Map[String, String] = Map(
+    "dq_profile" ->
+      """WITH ev AS (
+        |  SELECT event_type, props, date_trunc('second', ts) AS ts_sec,
+        |    user_id, value
+        |  FROM events),
+        |p AS (
+        |  SELECT 'event_type' AS col_name, count(1) AS n_rows,
+        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    count(DISTINCT event_type) AS n_distinct,
+        |    min(event_type) AS min_s, max(event_type) AS max_s
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'props', count(1),
+        |    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT props), min(props), max(props)
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'ts_sec', count(1),
+        |    sum(CASE WHEN ts_sec IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT ts_sec),
+        |    strftime(min(ts_sec), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(max(ts_sec), '%Y-%m-%d %H:%M:%S')
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'user_id', count(1),
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT user_id),
+        |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'value', count(1),
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT value),
+        |    CAST(CAST(min(value) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR)
+        |  FROM ev)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s
+        |FROM p ORDER BY col_name ASC NULLS FIRST""".stripMargin,
+    "dq_constraints" ->
+      """WITH checks AS (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    count(1) - count(DISTINCT o_orderkey) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer', count(1)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range',
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_price_positive',
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_status_domain',
+        |    sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+        |  FROM orders)
+        |SELECT check_name AS "check", n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS verdict
+        |FROM checks ORDER BY check_name ASC NULLS FIRST""".stripMargin)
+}

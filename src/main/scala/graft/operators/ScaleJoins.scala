@@ -161,7 +161,37 @@ object ScaleJoins {
       .orderBy(col("ship_year").asc)
   }
 
+  /** AQE skew join (r5): the RUNTIME answer to `join_skew_salted` — a
+    * deliberately skewed key (l_orderkey mod 10 < 9 all collapse to 'K0',
+    * ~90% of the fact) sort-merge-joined to a 10-row dim with NO manual
+    * salting. Under AQE with skew thresholds met, the final adaptive plan
+    * splits the oversized partition into advisory-sized slices and
+    * replicates the matching dim rows (`SortMergeJoin(skew=true)`) — same
+    * effect as salting, decided from actual runtime sizes instead of
+    * guessed at authoring time. The query itself is the plain join (the
+    * oracle is the same join in SQL); PlanAuditSpec lowers the thresholds
+    * to sf-test scale and pins the skew=true marker in the executed plan. */
+  def joinAqeSkew(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.createDataFrame(
+      (0 to 9).map(i => (s"K$i", s"bucket_$i"))).toDF("k", "k_name")
+    val fact = t(spark, dir, "lineitem")
+      .withColumn("k",
+        when(pmod(col("l_orderkey"), lit(10)) < 9, lit("K0"))
+          .otherwise(concat(lit("K"), pmod(col("l_orderkey"), lit(10)))))
+      // AQE splits a skewed reduce partition along MAPPER boundaries — a
+      // 100 TB table has thousands of map tasks, but the sf-test parquet
+      // is one split, so fabricate map parallelism the real table would
+      // have (8 mappers ⇒ the hot partition is splittable 8 ways)
+      .repartition(8, col("l_orderkey"), col("l_linenumber"))
+    fact.join(dim.hint("merge"), "k")
+      .groupBy(col("k_name"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"))
+      .orderBy(col("k_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_aqe_skew" -> (joinAqeSkew _),
     "join_dpp" -> (joinDpp _),
     "join_range_bucketed" -> (joinRangeBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -169,6 +199,23 @@ object ScaleJoins {
     "join_bucketed" -> (joinBucketed _))
 
   val oracle: Map[String, String] = Map(
+    "join_aqe_skew" ->
+      """WITH dim AS (
+        |  SELECT * FROM (VALUES
+        |    ('K0','bucket_0'), ('K1','bucket_1'), ('K2','bucket_2'),
+        |    ('K3','bucket_3'), ('K4','bucket_4'), ('K5','bucket_5'),
+        |    ('K6','bucket_6'), ('K7','bucket_7'), ('K8','bucket_8'),
+        |    ('K9','bucket_9')) AS t(k, k_name)),
+        |fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'K0'
+        |              ELSE 'K' || (l_orderkey % 10) END AS k,
+        |    l_quantity
+        |  FROM lineitem)
+        |SELECT k_name, count(1) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY k_name
+        |ORDER BY k_name ASC NULLS FIRST""".stripMargin,
     "join_dpp" ->
       """WITH dim AS (
         |  SELECT DISTINCT year(o_orderdate) AS ship_year FROM orders

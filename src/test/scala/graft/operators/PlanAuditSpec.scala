@@ -104,6 +104,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"node below damping floor: ${r.getString(0)} -> ${r.getDouble(1)}"))
   }
 
+  test("join_aqe_skew: AQE splits the skewed partition at runtime (skew=true)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // sf-test scale: the hot partition is ~100 KB, so thresholds drop
+      // to make AQE see it as skewed and split to ~8 KB slices
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = ScaleJoins.joinAqeSkew(spark, sfDir)
+      df.collect() // AQE decides after the shuffle materializes
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join (thresholds too high for this SF?):\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("pcap scan: protocol filter is pushed into the DSv2 reader") {
     val df = graft.sources.PcapOps.pcapFilterPush(spark, sfDir)
     val p = plan(df)
