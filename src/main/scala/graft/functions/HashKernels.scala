@@ -273,6 +273,51 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Strided variant of [[gramMd5Keys]]: NON-overlapping `size`-token
+    * chunks (stride = size, complete chunks only) — the paragraph/window
+    * unit of chunk-level dedup. Same one-pass digest loop; a doc yields
+    * ⌊n/size⌋ keys instead of n−size+1. */
+  def chunkMd5Keys(text: UTF8String, size: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = toks.length / size
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < size) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i * size + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = hexDigits((d(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: ARRAY<STRING> of md5 keys of non-overlapping chunks. */
+  def chunk_md5_keys(c: Column, size: Int): Column = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    SqlBridge.column(StaticInvoke(
+      HashKernels.getClass, ArrayType(StringType), "chunkMd5Keys",
+      Seq(SqlBridge.expression(c), Literal(size)),
+      inputTypes = Seq(StringType, IntegerType),
+      returnNullable = false))
+  }
+
   /** Column API: ARRAY<STRING> of the text's n-gram md5 keys. */
   def gram_md5_keys(c: Column, n: Int): Column = {
     require(n >= 1, s"gram size must be >= 1, got $n")

@@ -136,6 +136,26 @@ object CorpusOps {
       .orderBy(col("canonical").asc)
   }
 
+  /** Chunk-level dedup (r5): which 16-token chunks repeat across DISTINCT
+    * documents — the paragraph-grain dedup (boilerplate headers, licence
+    * blocks, repeated passages) that document-level hashing can't see and
+    * substring dedup (suffix arrays) over-kills. Non-overlapping chunks
+    * via the one-pass `chunkMd5Keys` StaticInvoke kernel (⌊n/16⌋ keys per
+    * doc, stride = size — ~16× fewer keys than the decontam gram
+    * explode); the shuffle is keyed on 32-hex md5 keys, never text, and
+    * output is only the repeated chunks. */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.HashKernels.chunk_md5_keys(col("text"), 16)).as("h"))
+    chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"),
+           min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("h").asc)
+  }
+
   /** Exact k-NN graph (k=3) over a deterministic node sample (every 25th
     * vec_id): node set broadcast, corpus streams, codegen'd VecDot
     * cosine, rank window per node with a vec_id tiebreak. */
@@ -207,6 +227,7 @@ object CorpusOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> (dedupParagraph _),
     "graph_pagerank" -> (graphPagerank _),
     "text_tfidf" -> (textTfidf _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
@@ -215,6 +236,21 @@ object CorpusOps {
     "sim_knn_graph" -> (simKnnGraph _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(list_aggregate(t[g.i * 16 + 1 : g.i * 16 + 16],
+        |                       'string_agg', ' ')) AS h
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(0, len(t) // 16 - 1)) AS i) g)
+        |SELECT h, count(DISTINCT doc_id) AS n_docs, count(1) AS n_occ,
+        |  min(doc_id) AS first_doc
+        |FROM chunks
+        |GROUP BY h
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY h ASC NULLS FIRST""".stripMargin,
     "graph_pagerank" ->
       """WITH seq AS (
         |  SELECT event_type AS src,

@@ -98,11 +98,44 @@ object QualityOps {
       .orderBy(col("check").asc)
   }
 
+  /** Query instrumentation via Dataset.observe (r5): production pipelines
+    * assert row counts / checksums WITHOUT a second scan by attaching
+    * observation metrics to the flowing plan — the metrics accumulate on
+    * executors as the REAL action (here: a parquet sink) runs, at zero
+    * extra passes. The op writes the filtered projection to scratch, then
+    * surfaces the observed (count, exact-decimal sum) as its result; the
+    * oracle computes the same aggregates directly, proving the observed
+    * metrics are the true ones. At 100 TB this is the difference between
+    * "validate = rerun the job" and "validate = read a counter". */
+  def pipelineObserve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
+    val instrumented = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_d"))
+    instrumented.write.mode("overwrite")
+      .parquet(s"${Tables.scratchDir}/observe_sink")
+    val m = obs.get
+    val sumQty = m("sum_qty_d").asInstanceOf[java.math.BigDecimal]
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue
+    spark.createDataFrame(Seq((m("n_rows").asInstanceOf[Long], sumQty)))
+      .toDF("n_rows", "sum_qty")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> (dqProfile _),
+    "pipeline_observe" -> (pipelineObserve _),
     "dq_constraints" -> (dqConstraints _))
 
   val oracle: Map[String, String] = Map(
+    "pipeline_observe" ->
+      """SELECT count(1) AS n_rows,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin,
     "dq_profile" ->
       """WITH ev AS (
         |  SELECT event_type, props, date_trunc('second', ts) AS ts_sec,

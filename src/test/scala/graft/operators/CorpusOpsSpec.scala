@@ -80,6 +80,25 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("chunk_md5_keys kernel is bit-identical to the strided HOF chain") {
+    import org.apache.spark.sql.functions.expr
+    // sequence(1, 0) DESCENDS in Spark, so short docs need the explicit
+    // empty-array branch rather than a greatest() clamp
+    val hof = expr(
+      "CASE WHEN size(split(text, ' ')) >= 16 THEN " +
+        "transform(sequence(1, size(split(text, ' ')) div 16), " +
+        "i -> md5(concat_ws(' ', slice(split(text, ' '), (i - 1) * 16 + 1, 16)))) " +
+        "ELSE array() END")
+    val rows = graft.Tables.t(spark, sfDir, "documents")
+      .select(graft.functions.HashKernels.chunk_md5_keys(col("text"), 16).as("kern"), hof.as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"chunk kernel diverged from HOF: ${r.getSeq[String](0).take(2)} vs ${r.getSeq[String](1).take(2)}")
+    }
+  }
+
   test("join_dpp: physical plan carries a dynamicpruning subquery on the fact scan") {
     val df = ScaleJoins.joinDpp(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString.toLowerCase
