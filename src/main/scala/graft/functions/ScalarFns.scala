@@ -153,7 +153,26 @@ object ScalarFns {
         regexp_replace(substring(col("text"), 1, 20), "[aeiou]", "*").as("scrub20"))
       .orderBy(col("doc_id").asc)
 
+  /** Temporal interval arithmetic (r5): add_months / day arithmetic /
+    * INTERVAL literals / last_day / quarter — the calendar-math family
+    * (billing periods, retention horizons, SLA windows). All codegen'd
+    * built-ins, map-only; rendered as formatted strings so both engines
+    * emit identical bytes. Month addition CLAMPS at month end in both
+    * engines (Jan 31 + 1 month = Feb 28/29). */
+  def fInterval(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3m"),
+        date_format(date_add(col("o_orderdate").cast("date"), 90), "yyyy-MM-dd").as("plus_90d"),
+        date_format(col("o_orderdate") + expr("INTERVAL 36 HOURS"),
+                    "yyyy-MM-dd HH:mm:ss").as("plus_36h"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        quarter(col("o_orderdate")).as("q"))
+      .orderBy(col("o_orderkey").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_interval" -> (fInterval _),
     "f_regex" -> (fRegex _),
     "f_url" -> (fUrl _),
     "f_struct" -> (fStruct _),
@@ -166,6 +185,14 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_interval" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        |  strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS plus_90d,
+        |  strftime(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS plus_36h,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "f_regex" ->
       """SELECT doc_id,
         |  regexp_extract(text, '^([a-z]+)', 1) AS first_tok,

@@ -281,6 +281,24 @@ object Aggregates {
       |ORDER BY total_qty DESC NULLS LAST, o_orderkey ASC NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  /** Deterministic argmax/argmin (r5): which order carries the highest
+    * (and lowest) total price per priority — `max_by`/`min_by` with a
+    * COMPOSITE (value, key) ordering struct: bare max_by ties are
+    * engine-nondeterministic, the composite makes the selection a total
+    * order. One map-side-combined hash agg; the equivalent window form
+    * pays a full per-group sort for the same single row. */
+  def aggArgmax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"),
+               struct(col("o_totalprice"), col("o_orderkey"))).as("max_price_order"),
+        min_by(col("o_orderkey"),
+               struct(col("o_totalprice"), col("o_orderkey"))).as("min_price_order"),
+        round(max(dec("o_totalprice")), 2).cast("double").as("max_price"),
+        round(min(dec("o_totalprice")), 2).cast("double").as("min_price"))
+      .orderBy(col("o_orderpriority").asc)
+
   /** collect_set drives ObjectHashAggregate (with sort-based fallback under
     * memory pressure) — the non-codegen agg path; output is a sorted,
     * comma-joined string so the oracle hash-matches. */
@@ -440,11 +458,27 @@ object Aggregates {
     "sql_tpch_q14" -> (sqlTpchQ14 _),
     "sql_tpch_q10" -> (sqlTpchQ10 _),
     "sql_tpch_q18" -> (sqlTpchQ18 _),
+    "agg_argmax" -> (aggArgmax _),
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
     "sql_tpch_q10" -> Q10Sql,
     "sql_tpch_q18" -> Q18Sql,
+    "agg_argmax" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_price_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_price_order,
+        |  CAST(round(max(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_price,
+        |  CAST(round(min(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS min_price
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "sql_tpch_q6" ->
       """SELECT
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -190,7 +190,32 @@ object ScaleJoins {
       .orderBy(col("k_name").asc)
   }
 
+  /** Exchange reuse (r5): a self-join whose two inputs are the IDENTICAL
+    * subplan — intra-order line pairs (same l_orderkey, strictly ordered
+    * linenumbers, the classic market-basket / co-occurrence shape).
+    * Catalyst's ReuseExchange rule canonicalizes both sides to the same
+    * shuffle and mounts the second on a ReusedExchange/reused stage: the
+    * table is scanned and shuffled ONCE, not twice — at 100 TB that
+    * halves the dominant cost of every self-join analytics pass.
+    * PlanAuditSpec pins the reuse marker in the executed plan. */
+  def joinSelfReuse(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val a = li.toDF("k", "ln_a", "q_a")
+    val b = li.toDF("k", "ln_b", "q_b")
+    // merge hint: at sf-test scale the planner would broadcast one side
+    // (nothing to reuse); a 100 TB self-join is SMJ, where both sides
+    // want the SAME hashpartitioning(k) exchange — the shape under test
+    a.join(b.hint("merge"), Seq("k"))
+      .filter(col("ln_a") < col("ln_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("k")).as("n_orders"),
+           round(sum((col("q_a") + col("q_b")).cast("decimal(18,2)")), 2)
+             .cast("double").as("sum_pair_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_self_reuse" -> (joinSelfReuse _),
     "join_aqe_skew" -> (joinAqeSkew _),
     "join_dpp" -> (joinDpp _),
     "join_range_bucketed" -> (joinRangeBucketed _),
@@ -199,6 +224,12 @@ object ScaleJoins {
     "join_bucketed" -> (joinBucketed _))
 
   val oracle: Map[String, String] = Map(
+    "join_self_reuse" ->
+      """SELECT count(1) AS n_pairs,
+        |  count(DISTINCT a.l_orderkey) AS n_orders,
+        |  CAST(round(sum(CAST(a.l_quantity + b.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_pair_qty
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber""".stripMargin,
     "join_aqe_skew" ->
       """WITH dim AS (
         |  SELECT * FROM (VALUES

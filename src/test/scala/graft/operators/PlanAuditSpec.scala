@@ -104,6 +104,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"node below damping floor: ${r.getString(0)} -> ${r.getDouble(1)}"))
   }
 
+  test("join_self_reuse: the self-join's second shuffle reuses the first (one scan+shuffle, not two)") {
+    val df = ScaleJoins.joinSelfReuse(spark, sfDir)
+    df.collect() // AQE stage reuse is decided as stages materialize
+    val p = df.queryExecution.executedPlan.toString
+    val reused = p.contains("ReusedExchange") ||
+      "ShuffleQueryStage (\\d+)".r.findAllMatchIn(p).toSeq.groupBy(_.group(1)).exists(_._2.size >= 2)
+    assert(reused, s"self-join did not reuse its exchange:\n$p")
+  }
+
   test("join_aqe_skew: AQE splits the skewed partition at runtime (skew=true)") {
     val conf = spark.conf
     val saved = Seq(
