@@ -190,6 +190,63 @@ object StreamOps {
       .orderBy(col("term").asc)
   }
 
+  /** Per-user running stats via the Spark 4 arbitrary-state API (r5):
+    * `transformWithState` + `StatefulProcessor` with named, typed
+    * `ValueState` slots — the successor to mapGroupsWithState (multiple
+    * independently-evolvable state variables, per-variable TTL, timers,
+    * and RocksDB-backed stores with changelog checkpointing in streaming
+    * — the state no longer has to fit an executor's heap). Batch mode =
+    * one invocation per key, so the result is the plain per-user
+    * (count, exact cents sum) — DuckDB-oracled; StreamingSpec drives the
+    * same processor incrementally under the RocksDB provider and asserts
+    * the ValueState carries across micro-batches. Values accumulate as
+    * floor(v·100+0.5) cents BIGINTs — exact, order-independent. */
+  def streamTransformState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // batch TWS loads RocksDB stores that report to the driver
+    // coordinator; create the endpoint if no streaming query did yet
+    org.apache.spark.sql.graftbridge.SqlBridge.ensureStateStoreCoordinator(spark)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new StreamOps.UserStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "sum_cents")
+      .orderBy(col("user_id").asc)
+  }
+
+  /** StatefulProcessor shared by the batch query and the MemoryStream
+    * test: two named ValueState slots (count, cents sum) folded per
+    * invocation and emitted as the running totals. */
+  private[graft] class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var centsState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long](
+        "n", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      centsState = getHandle.getValueState[Long](
+        "cents", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var cents = if (centsState.exists()) centsState.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        cents += math.floor(r._2 * 100 + 0.5).toLong
+      }
+      nState.update(n)
+      centsState.update(cents)
+      Iterator.single((user, n, cents))
+    }
+  }
+
   /** Session tracking via flatMapGroupsWithState (r5): the 1→N stateful
     * escape hatch — unlike mapGroupsWithState's one-row-per-key contract,
     * each invocation emits ZERO OR MORE closed sessions (6 h gap rule,
@@ -336,11 +393,18 @@ object StreamOps {
     "stream_watermark" -> (streamWatermark _),
     "stream_join" -> (streamJoin _),
     "stream_custom_state" -> (streamCustomState _),
+    "stream_transform_state" -> (streamTransformState _),
     "stream_flatmap_state" -> (streamFlatmapState _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_dedup_state" -> (streamDedupState _))
 
   val oracle: Map[String, String] = Map(
+    "stream_transform_state" ->
+      """SELECT user_id, count(1) AS n_events,
+        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "stream_flatmap_state" ->
       """WITH f AS (
         |  SELECT user_id, event_id, ts,

@@ -19,4 +19,14 @@ object SqlBridge {
   /** Build a DataFrame from a (resolved) logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Ensure the driver-side StateStoreCoordinator RPC endpoint exists.
+    * Streaming queries create it lazily via StreamingQueryManager, but a
+    * pure-BATCH `transformWithState` also loads RocksDB state stores
+    * whose provider phones the coordinator — in a session that never ran
+    * a streaming query the endpoint is missing and the load fails with
+    * RpcEndpointNotFoundException. Touching the manager's lazy val is
+    * idempotent and creates it on first use. */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.streams.asInstanceOf[classic.StreamingQueryManager].stateStoreCoordinator
 }

@@ -163,6 +163,37 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 2L), (2L, 1L), (1L, 3L)))
   }
 
+  test("transformWithState: ValueState persists across micro-batches under RocksDB (Spark 4 state API)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.TimeMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    // transformWithState requires the RocksDB provider in streaming —
+    // the state API that stops requiring state to fit the JVM heap
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      mem.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      val q = mem.toDS().groupByKey(_._1)
+        .transformWithState(new StreamOps.UserStatsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "sum_cents")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws_out").start()
+      q.processAllAvailable()
+      mem.addData((1L, 30.0)) // batch 2: user 1 must RESUME at (2, 3000)
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 2L, 3000L), (2L, 1L, 500L), (1L, 3L, 6000L)), rows)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream_heavy_hitters: Misra-Gries state carries across micro-batches and keeps the guarantee") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
