@@ -171,7 +171,28 @@ object ScalarFns {
         quarter(col("o_orderdate")).as("q"))
       .orderBy(col("o_orderkey").asc)
 
+  /** Network-math family (r5): subnet membership and /24 rollup — the
+    * capture-analytics companions to `f_ip_format` (the reference's
+    * domain): CIDR containment is a shift-compare (`ip >> (32-p) ==
+    * net >> (32-p)`), subnet aggregation masks the low octet. All
+    * codegen'd bit ops over synthesized IPv4s; the oracle runs the
+    * identical shift arithmetic. */
+  def fNetwork(spark: SparkSession, dir: String): DataFrame = {
+    val ip = col("user_id").bitwiseAND(lit(0xFFFFFFFFL))
+    // 10.0.0.0/8 in integer form
+    val net = lit(10L << 24)
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        Ipv4Quad.ip_quad(ip).as("ip"),
+        (shiftright(ip, 24) === shiftright(net, 24)).as("in_10_slash_8"),
+        Ipv4Quad.ip_quad(ip.bitwiseAND(lit(0xFFFFFF00L))).as("subnet_24"),
+        shiftright(ip, 16).as("prefix_16"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_network" -> (fNetwork _),
     "f_interval" -> (fInterval _),
     "f_regex" -> (fRegex _),
     "f_url" -> (fUrl _),
@@ -185,6 +206,16 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_network" ->
+      """WITH e AS (SELECT event_id, user_id & 4294967295 AS ip FROM events)
+        |SELECT event_id,
+        |  concat_ws('.', (ip >> 24) & 255, (ip >> 16) & 255,
+        |                 (ip >> 8) & 255, ip & 255) AS ip,
+        |  (ip >> 24) = 10 AS in_10_slash_8,
+        |  concat_ws('.', ((ip & 4294967040) >> 24) & 255, ((ip & 4294967040) >> 16) & 255,
+        |                 ((ip & 4294967040) >> 8) & 255, (ip & 4294967040) & 255) AS subnet_24,
+        |  ip >> 16 AS prefix_16
+        |FROM e ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "f_interval" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,

@@ -330,7 +330,28 @@ object RelationalOps {
       .orderBy(col("dim").asc, col("k").asc)
   }
 
+  /** Generic binary-file ingest (r5): `binaryFile` format — how opaque
+    * multimodal blobs (images, audio, rolled captures) enter a relation
+    * when no dedicated connector exists: one row per file with (path,
+    * modificationTime, length, content). Fixture: every 25th document
+    * written out as text files; the read-back aggregate uses only
+    * content-derived values (total bytes, rows-per-file-split is writer-
+    * dependent and deliberately NOT asserted). At 100 TB parallelism is
+    * one task per file — pair with `sink_compact` when files are tiny. */
+  def scanBinaryfile(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Tables.scratchDir}/binfiles"
+    t(spark, dir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("text"))
+      .write.mode("overwrite").text(out)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "part-*")
+      .load(out)
+      .agg(sum(length(col("content")).cast("long")).as("total_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_binaryfile" -> (scanBinaryfile _),
     "sink_clustered" -> (sinkClustered _),
     "cache_reuse" -> (cacheReuse _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
@@ -353,6 +374,9 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "scan_binaryfile" ->
+      """SELECT sum(octet_length(encode(text)) + 1) AS total_bytes
+        |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
     "sink_clustered" ->
       """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
         |  count(1) AS n,
