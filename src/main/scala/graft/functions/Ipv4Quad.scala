@@ -60,15 +60,19 @@ object Ipv4Quad {
       org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, LongType)))
 }
 
-/** Session extension wiring (`SparkSessionExtensions`): registers the
-  * native function for SQL use —
-  * `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+/** Session extension wiring (`SparkSessionExtensions`): the ONE-LINE
+  * library entry point — `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — registering
+  * every custom tier at once: the native SQL functions (ipv4_quad,
+  * vec_dot, misra_gries), the norm-pushdown optimizer rule, and the
+  * as-of-join planner strategy (the operators also self-register these
+  * lazily for sessions built without extensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(Ipv4Quad.functionDescription)
     e.injectFunction(VecDot.functionDescription)
     e.injectFunction(MisraGriesAgg.functionDescription)
     e.injectOptimizerRule(_ => graft.plans.PushVecNormThroughJoin)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

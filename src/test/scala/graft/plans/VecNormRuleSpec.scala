@@ -54,6 +54,19 @@ class VecNormRuleSpec extends SparkTestBase {
     assert(got == local.toSet)
   }
 
+  test("GraftExtensions wires functions, the norm rule, and the as-of planner strategy") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(e)
+    // buildXxx are private[sql] in Scala but public in bytecode
+    def built(name: String): Seq[_] = e.getClass
+      .getMethod(name, classOf[org.apache.spark.sql.SparkSession])
+      .invoke(e, spark).asInstanceOf[Seq[_]]
+    assert(built("buildPlannerStrategies").contains(graft.plans.AsOfJoinStrategy),
+      "as-of strategy not injected")
+    assert(built("buildOptimizerRules").contains(PushVecNormThroughJoin),
+      "norm-pushdown rule not injected")
+  }
+
   test("rule leaves plans without joins or without self-dots untouched") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
