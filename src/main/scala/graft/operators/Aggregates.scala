@@ -281,6 +281,51 @@ object Aggregates {
       |ORDER BY total_qty DESC NULLS LAST, o_orderkey ASC NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q4 analog through the SQL front-end (r5): a CORRELATED EXISTS
+    * — late-shipping orders per priority, where the subquery references
+    * the outer row's o_orderkey AND o_orderdate. Catalyst decorrelates
+    * it (RewritePredicateSubquery → left-semi join with the correlated
+    * predicate as the join condition), so "run the subquery per row"
+    * costs one semi join. The reference corpus has no
+    * commitdate/receiptdate, so lateness is shipdate > orderdate + 90d —
+    * same plan shape as the real Q4. */
+  def sqlTpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(Q4Sql)
+  }
+
+  private val Q4Sql =
+    """SELECT o_orderpriority, count(1) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Uncorrelated scalar subqueries through the SQL front-end (r5):
+    * orders priced 50% above the corpus average — both scalar subqueries
+    * compute once and broadcast as literals into the filter. Division is
+    * avoided (engine-specific decimal-avg types): the comparison is
+    * cross-multiplied so each side is one exact-decimal aggregate cast
+    * to double, identical in both engines. */
+  def sqlScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(ScalarSubSql)
+  }
+
+  private val ScalarSubSql =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM orders
+      |WHERE o_totalprice * (SELECT count(1) FROM orders) >
+      |  CAST(1.5 AS DOUBLE) *
+      |    (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** Deterministic argmax/argmin (r5): which order carries the highest
     * (and lowest) total price per priority — `max_by`/`min_by` with a
     * COMPOSITE (value, key) ordering struct: bare max_by ties are
@@ -459,11 +504,15 @@ object Aggregates {
     "sql_tpch_q10" -> (sqlTpchQ10 _),
     "sql_tpch_q18" -> (sqlTpchQ18 _),
     "agg_argmax" -> (aggArgmax _),
+    "sql_tpch_q4" -> (sqlTpchQ4 _),
+    "sql_scalar_subquery" -> (sqlScalarSubquery _),
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
     "sql_tpch_q10" -> Q10Sql,
     "sql_tpch_q18" -> Q18Sql,
+    "sql_tpch_q4" -> Q4Sql,
+    "sql_scalar_subquery" -> ScalarSubSql,
     "agg_argmax" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
