@@ -164,7 +164,38 @@ object CurationOps {
       .orderBy(col("split").asc)
   }
 
+  /** Mixture sampling (r5): the step AFTER `mix_domain_stats` — turn the
+    * T=0.5 temperature weights (p_source = √token-share) into an actual
+    * REPRODUCIBLE sampled corpus: a doc survives iff its md5 8-hex prefix
+    * is below the source's threshold `%08x(⌊p·2³²⌋)`. Content-keyed like
+    * `sample_hash`, so the mixed corpus is identical across reshards,
+    * engines, and reruns — no RNG state to version. The threshold table
+    * is |sources| rows (broadcast); the gate is one codegen'd string
+    * compare on the scan. Fixed-width lowercase hex compares exactly like
+    * the 32-bit integer it encodes, in both engines. */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      substring(md5(col("text")), 1, 8).as("h8"))
+    val bySrc = d.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+    val tot = d.agg(sum(col("n_tok")).as("total"))
+    val thr = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", sqrt(col("src_tok").cast("double") / col("total").cast("double")))
+      .withColumn("thr_hex", format_string("%08x",
+        least(floor(col("p") * 4294967296.0).cast("long"), lit(4294967295L))))
+      .select(col("source"), col("thr_hex"))
+    d.join(broadcast(thr), "source")
+      .filter(col("h8") < col("thr_hex"))
+      .groupBy(col("source"), col("thr_hex"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_tok")).as("tok_kept"),
+           min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_sample" -> (mixSample _),
     "text_repetition" -> (textRepetition _),
     "seq_pack" -> (seqPack _),
     "text_bm25" -> (textBm25 _),
@@ -172,6 +203,25 @@ object CurationOps {
     "mix_domain_stats" -> (mixDomainStats _))
 
   val oracle: Map[String, String] = Map(
+    "mix_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        |    substring(md5(text), 1, 8) AS h8
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok FROM d GROUP BY source),
+        |tot AS (SELECT sum(n_tok) AS total FROM d),
+        |thr AS (
+        |  SELECT source,
+        |    printf('%08x', least(CAST(floor(
+        |      sqrt(CAST(src_tok AS DOUBLE) / CAST(total AS DOUBLE)) * 4294967296) AS BIGINT),
+        |      4294967295)) AS thr_hex
+        |  FROM s CROSS JOIN tot)
+        |SELECT d.source, thr_hex, count(1) AS n_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS tok_kept, min(doc_id) AS first_doc
+        |FROM d JOIN thr ON d.source = thr.source
+        |WHERE h8 < thr_hex
+        |GROUP BY d.source, thr_hex
+        |ORDER BY d.source ASC NULLS FIRST""".stripMargin,
     "sample_split" ->
       """SELECT
         |  CASE WHEN substring(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
