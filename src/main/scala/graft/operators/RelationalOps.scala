@@ -350,7 +350,44 @@ object RelationalOps {
       .agg(sum(length(col("content")).cast("long")).as("total_bytes"))
   }
 
+  /** Versioned sink with an atomic pointer swap (r5) — the commit
+    * protocol underneath every table format (Delta/Iceberg/Hudi),
+    * hand-rolled: each write lands in an immutable version directory,
+    * and readers resolve a `_CURRENT` pointer file that is published by
+    * atomic rename. Readers NEVER see a half-written version (they read
+    * v1 until the single rename lands, v2 after), and old versions stay
+    * readable — time travel is "read v1". The pointer is pure metadata:
+    * one tiny file, swapped via the Hadoop FileSystem API (works on
+    * hdfs://; on S3 the same role is played by a conditional PUT). The
+    * output reads BOTH the pinned old version and the pointer-resolved
+    * current one. */
+  def sinkVersioned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = s"${graft.Tables.scratchDir}/versioned"
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$base/v1")
+    docs.write.mode("overwrite").parquet(s"$base/v2")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$base/_CURRENT.tmp")
+    val ptr = new Path(s"$base/_CURRENT")
+    val out = fs.create(tmp, true)
+    out.write("v2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr)) // the ATOMIC publish step
+      throw new IllegalStateException(s"commit failed: could not publish $ptr")
+    val in = fs.open(ptr)
+    val current = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    def snap(version: String) = spark.read.parquet(s"$base/$version")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(version).as("version"), col("n_docs"), col("sum_chars"))
+    snap("v1").unionByName(snap(current)).orderBy(col("version").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_versioned" -> (sinkVersioned _),
     "scan_binaryfile" -> (scanBinaryfile _),
     "sink_clustered" -> (sinkClustered _),
     "cache_reuse" -> (cacheReuse _),
@@ -374,6 +411,13 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "sink_versioned" ->
+      """SELECT 'v1' AS version, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'v2', count(1), CAST(sum(n_chars) AS BIGINT) FROM documents
+        |ORDER BY version ASC NULLS FIRST""".stripMargin,
     "scan_binaryfile" ->
       """SELECT sum(octet_length(encode(text)) + 1) AS total_bytes
         |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
