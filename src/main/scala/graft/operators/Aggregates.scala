@@ -281,6 +281,20 @@ object Aggregates {
       |ORDER BY total_qty DESC NULLS LAST, o_orderkey ASC NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  /** Boolean/conditional aggregate family (r5): count_if + bool_and +
+    * bool_or — the assertion aggregates (data-quality checks, flag
+    * rollups) in their native form instead of sum(CASE…). All algebraic,
+    * map-side combined, |groups| rows shuffled. */
+  def aggBool(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 100000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc)
+
   /** TPC-H Q4 analog through the SQL front-end (r5): a CORRELATED EXISTS
     * — late-shipping orders per priority, where the subquery references
     * the outer row's o_orderkey AND o_orderdate. Catalyst decorrelates
@@ -504,6 +518,7 @@ object Aggregates {
     "sql_tpch_q10" -> (sqlTpchQ10 _),
     "sql_tpch_q18" -> (sqlTpchQ18 _),
     "agg_argmax" -> (aggArgmax _),
+    "agg_bool" -> (aggBool _),
     "sql_tpch_q4" -> (sqlTpchQ4 _),
     "sql_scalar_subquery" -> (sqlScalarSubquery _),
     "agg_sort_fallback" -> (aggSortFallback _))
@@ -513,6 +528,15 @@ object Aggregates {
     "sql_tpch_q18" -> Q18Sql,
     "sql_tpch_q4" -> Q4Sql,
     "sql_scalar_subquery" -> ScalarSubSql,
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        |  count(1) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  count(1) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "agg_argmax" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
