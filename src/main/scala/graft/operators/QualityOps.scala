@@ -38,13 +38,17 @@ object QualityOps {
   def dqProfile(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .withColumn("ts_sec", date_trunc("second", col("ts")))
+      // a sparse column (NULL unless value > 300) so the null-accounting
+      // path is exercised on real gaps, not only on all-present columns
+      .withColumn("value_hi", when(col("value") > 300, col("value")))
     // (name, value expr, min/max string renderer)
     val profiled: Seq[(String, Column, Column => Column)] = Seq(
       ("event_type", col("event_type"), identity[Column] _),
       ("props", col("props"), identity[Column] _),
       ("ts_sec", col("ts_sec"), (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")),
       ("user_id", col("user_id"), (c: Column) => c.cast("string")),
-      ("value", col("value"), (c: Column) => c.cast("decimal(18,2)").cast("string")))
+      ("value", col("value"), (c: Column) => c.cast("decimal(18,2)").cast("string")),
+      ("value_hi", col("value_hi"), (c: Column) => c.cast("decimal(18,2)").cast("string")))
     val aggs = profiled.flatMap { case (n, c, render) => Seq(
       sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nnull"),
       countDistinct(c).as(s"${n}__ndist"),
@@ -139,7 +143,8 @@ object QualityOps {
     "dq_profile" ->
       """WITH ev AS (
         |  SELECT event_type, props, date_trunc('second', ts) AS ts_sec,
-        |    user_id, value
+        |    user_id, value,
+        |    CASE WHEN value > 300 THEN value END AS value_hi
         |  FROM events),
         |p AS (
         |  SELECT 'event_type' AS col_name, count(1) AS n_rows,
@@ -171,6 +176,13 @@ object QualityOps {
         |    count(DISTINCT value),
         |    CAST(CAST(min(value) AS DECIMAL(18,2)) AS VARCHAR),
         |    CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR)
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'value_hi', count(1),
+        |    sum(CASE WHEN value_hi IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT value_hi),
+        |    CAST(CAST(min(value_hi) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(max(value_hi) AS DECIMAL(18,2)) AS VARCHAR)
         |  FROM ev)
         |SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s
         |FROM p ORDER BY col_name ASC NULLS FIRST""".stripMargin,
