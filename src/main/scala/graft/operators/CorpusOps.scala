@@ -192,7 +192,12 @@ object CorpusOps {
     * order-independent), and the damping arithmetic is plain IEEE ops both
     * engines evaluate identically, so iteration 2's INPUT is bit-identical
     * too. */
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+  // one cached edge set max across invocations (the result is lazy, so
+  // the builder can't unpersist its own edges — the NEXT call does)
+  private var pagerankEdges: Option[DataFrame] = None
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = synchronized {
+    pagerankEdges.foreach(_.unpersist(false))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val edges = t(spark, dir, "events")
@@ -201,6 +206,7 @@ object CorpusOps {
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("wgt"))
       .persist() // reused by outw, nodes, and both iterations
+    pagerankEdges = Some(edges)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
     val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
