@@ -454,7 +454,12 @@ object LlmOpsExt {
     * (the dup graph, orders of magnitude smaller than the corpus), not
     * the corpus. Convergence is checked per round; dup clusters are
     * near-cliques so 2-3 rounds suffice in practice. */
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+  // the converged labels stay cached for the (lazy) returned sort to read;
+  // bound it to ONE copy across invocations instead of one per run
+  private var clusterLabels: Option[DataFrame] = None
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = synchronized {
+    clusterLabels.foreach(_.unpersist(false))
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"),
         concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).as("k"))
@@ -497,6 +502,7 @@ object LlmOpsExt {
     if (!converged) throw new IllegalStateException(
       s"dedup_cluster: label propagation did not reach its fixpoint in $iters rounds — " +
         "dup-graph diameter exceeds the iteration cap; raise it or inspect the edge set")
+    clusterLabels = Some(labels)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id").asc)
   }
