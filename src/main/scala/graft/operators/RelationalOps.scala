@@ -386,7 +386,40 @@ object RelationalOps {
     snap("v1").unionByName(snap(current)).orderBy(col("version").asc)
   }
 
+  /** Malformed-record handling on the CSV ingest edge (r5): the
+    * PERMISSIVE-mode contract — schema-violating lines land with NULL
+    * typed fields and the raw line preserved in `_corrupt_record`
+    * instead of killing the job (FAILFAST) or vanishing (DROPMALFORMED
+    * / the silent-loss failure mode the pcap connector's strict mode
+    * also guards). Fixture: a clean typed extract plus two injected
+    * garbage lines; the output is the clean/corrupt accounting every
+    * ingest job should emit. At 100 TB a corrupt-record COLUMN beats a
+    * corrupt-record LOG: it stays queryable, joinable, and countable
+    * next to the data it came from. */
+  def scanCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Tables.scratchDir}/csv_malformed"
+    val clean = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+                        col("o_orderstatus")).as("value"))
+    val garbage = spark.createDataFrame(Seq(
+      Tuple1("not,a,number,too,many,columns"),
+      Tuple1("alpha,beta,F"))).toDF("value")
+    clean.unionByName(garbage).coalesce(1)
+      .write.mode("overwrite").text(out)
+    spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("o_orderkey")).as("n_clean"),
+           count(col("_corrupt_record")).as("n_corrupt"),
+           sum(col("o_orderkey")).as("key_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_csv_malformed" -> (scanCsvMalformed _),
     "sink_versioned" -> (sinkVersioned _),
     "scan_binaryfile" -> (scanBinaryfile _),
     "sink_clustered" -> (sinkClustered _),
@@ -411,6 +444,14 @@ object RelationalOps {
     "set_except" -> (setExcept _))
 
   val oracle: Map[String, String] = Map(
+    "scan_csv_malformed" ->
+      """WITH sel AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT count(1) + 2 AS n_rows,
+        |  count(1) AS n_clean,
+        |  CAST(2 AS BIGINT) AS n_corrupt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM sel""".stripMargin,
     "sink_versioned" ->
       """SELECT 'v1' AS version, count(1) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
