@@ -139,6 +139,26 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("ANALYZE TABLE feeds exact rowCount and column NDV into optimizer statistics (CBO pipeline)") {
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    spark.sql(
+      s"""CREATE TABLE stats_nation USING parquet
+         |LOCATION '${graft.Tables.scratchDir}/stats_nation'
+         |AS SELECT * FROM parquet.`$sfDir/nation.parquet`""".stripMargin)
+    spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+    val saved = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("stats_nation").queryExecution.optimizedPlan.stats
+      // without ANALYZE the optimizer only has a file-size estimate;
+      // with it, join reorder / broadcast selection see exact cardinality
+      assert(stats.rowCount.contains(BigInt(25)), s"rowCount from ANALYZE missing: $stats")
+      assert(stats.attributeStats.exists { case (a, s) =>
+        a.name == "n_nationkey" && s.distinctCount.contains(BigInt(25))
+      }, s"column NDV from ANALYZE missing: ${stats.attributeStats}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", saved)
+  }
+
   test("pcap scan: protocol filter is pushed into the DSv2 reader") {
     val df = graft.sources.PcapOps.pcapFilterPush(spark, sfDir)
     val p = plan(df)
