@@ -27,6 +27,14 @@ import graft.Tables
   *    build-side choice as `sim_topk` — never broadcast the corpus). The
   *    100 TB path swaps the cross join for the `sim_ann` bucket join;
   *    plan topology is otherwise identical.
+  *  - `decontam_overlap` / `dedup_paragraph`: n-gram and chunk keys
+  *    travel as md5 hex via one-pass StaticInvoke kernels — shuffles
+  *    carry 32-byte keys, never document text; the chunk variant emits
+  *    ⌊n/16⌋ keys per doc (stride = size).
+  *  - `graph_pagerank`: the graph is |types|² edges regardless of corpus
+  *    size; the heavy lift (lead window + edge count) is one user-keyed
+  *    shuffle, each fixed iteration shuffles |edges| grid-snapped
+  *    contribution rows.
   */
 object CorpusOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)

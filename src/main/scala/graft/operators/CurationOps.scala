@@ -29,6 +29,10 @@ import graft.{Det, Tables}
   *    the group-key cardinality is the product of two small vocabularies,
   *    so the shuffle moves O(|sources|·|langs|) rows regardless of corpus
   *    size.
+  *  - `sample_split` / `mix_sample`: both gates are content-keyed md5
+  *    predicates — codegen'd string compares on the scan, reproducible
+  *    across reshards/engines/reruns with no RNG state; `mix_sample`'s
+  *    per-source thresholds are a |sources|-row broadcast.
   */
 object CurationOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
