@@ -141,9 +141,13 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("ANALYZE TABLE feeds exact rowCount and column NDV into optimizer statistics (CBO pipeline)") {
     spark.sql("DROP TABLE IF EXISTS stats_nation")
+    // the external LOCATION dir outlives the (in-memory) catalog entry —
+    // clear it or a rerun's CTAS refuses the non-empty directory
+    val loc = new org.apache.hadoop.fs.Path(s"${graft.Tables.scratchDir}/stats_nation")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     spark.sql(
       s"""CREATE TABLE stats_nation USING parquet
-         |LOCATION '${graft.Tables.scratchDir}/stats_nation'
+         |LOCATION '$loc'
          |AS SELECT * FROM parquet.`$sfDir/nation.parquet`""".stripMargin)
     spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS FOR COLUMNS n_nationkey")
     val saved = spark.conf.get("spark.sql.cbo.enabled", "false")
