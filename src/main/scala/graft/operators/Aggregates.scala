@@ -281,6 +281,37 @@ object Aggregates {
       |ORDER BY total_qty DESC NULLS LAST, o_orderkey ASC NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  /** Pairwise correlation matrix (r5): all three correlations among
+    * (quantity, price, discount) from ONE pass of exact decimal sums —
+    * the feature-screening matrix, computed the `agg_stats` way
+    * (order-independent BIGINT-exact partials, one map-side-combined
+    * agg; the double formula runs identically in both engines only on
+    * the final 10 scalars). At 100 TB: one scan, one 1-row shuffle —
+    * never the k-pass or row-pair forms. */
+  def aggCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val q = dec("l_quantity")
+    val p = dec("l_extendedprice")
+    val dd = dec("l_discount")
+    def d(c: String) = col(c).cast("double")
+    import org.apache.spark.sql.Column
+    def corr(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) =
+      graft.Det.r4((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+    t(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n"),
+           sum(q).as("sq"), sum(p).as("sp"), sum(dd).as("sd"),
+           sum((q * q).cast("decimal(38,4)")).as("sqq"),
+           sum((p * p).cast("decimal(38,4)")).as("spp"),
+           sum((dd * dd).cast("decimal(38,4)")).as("sdd"),
+           sum((q * p).cast("decimal(38,4)")).as("sqp"),
+           sum((q * dd).cast("decimal(38,4)")).as("sqd"),
+           sum((p * dd).cast("decimal(38,4)")).as("spd"))
+      .select(col("n"),
+        corr(d("n"), d("sq"), d("sp"), d("sqq"), d("spp"), d("sqp")).as("corr_qty_price"),
+        corr(d("n"), d("sq"), d("sd"), d("sqq"), d("sdd"), d("sqd")).as("corr_qty_disc"),
+        corr(d("n"), d("sp"), d("sd"), d("spp"), d("sdd"), d("spd")).as("corr_price_disc"))
+  }
+
   /** Boolean/conditional aggregate family (r5): count_if + bool_and +
     * bool_or — the assertion aggregates (data-quality checks, flag
     * rollups) in their native form instead of sum(CASE…). All algebraic,
@@ -519,6 +550,7 @@ object Aggregates {
     "sql_tpch_q18" -> (sqlTpchQ18 _),
     "agg_argmax" -> (aggArgmax _),
     "agg_bool" -> (aggBool _),
+    "agg_corr_matrix" -> (aggCorrMatrix _),
     "sql_tpch_q4" -> (sqlTpchQ4 _),
     "sql_scalar_subquery" -> (sqlScalarSubquery _),
     "agg_sort_fallback" -> (aggSortFallback _))
@@ -528,6 +560,27 @@ object Aggregates {
     "sql_tpch_q18" -> Q18Sql,
     "sql_tpch_q4" -> Q4Sql,
     "sql_scalar_subquery" -> ScalarSubSql,
+    "agg_corr_matrix" ->
+      """WITH s AS (
+        |  SELECT count(1) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sqq,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sdd,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sqp,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sqd,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT n,
+        |  floor((CAST(n AS DOUBLE) * sqp - sq * sp) /
+        |    (sqrt(CAST(n AS DOUBLE) * sqq - sq * sq) * sqrt(CAST(n AS DOUBLE) * spp - sp * sp)) * 10000 + 0.5) / 10000 AS corr_qty_price,
+        |  floor((CAST(n AS DOUBLE) * sqd - sq * sd) /
+        |    (sqrt(CAST(n AS DOUBLE) * sqq - sq * sq) * sqrt(CAST(n AS DOUBLE) * sdd - sd * sd)) * 10000 + 0.5) / 10000 AS corr_qty_disc,
+        |  floor((CAST(n AS DOUBLE) * spd - sp * sd) /
+        |    (sqrt(CAST(n AS DOUBLE) * spp - sp * sp) * sqrt(CAST(n AS DOUBLE) * sdd - sd * sd)) * 10000 + 0.5) / 10000 AS corr_price_disc
+        |FROM s""".stripMargin,
     "agg_bool" ->
       """SELECT o_orderpriority,
         |  count(1) FILTER (WHERE o_totalprice > 100000) AS n_big,
