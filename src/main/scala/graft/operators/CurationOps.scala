@@ -232,7 +232,7 @@ object CurationOps {
         |       WHEN substring(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
         |       ELSE 'train' END AS split,
         |  count(1) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS n_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc
         |FROM documents
         |GROUP BY split
@@ -265,8 +265,9 @@ object CurationOps {
         |  FROM documents),
         |b AS (
         |  SELECT source, doc_id, n_tok,
-        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+        |      AS BIGINT) AS bin
         |  FROM d)
         |SELECT source, bin, count(1) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,

@@ -184,7 +184,8 @@ object QualityOps {
         |    CAST(CAST(min(value_hi) AS DECIMAL(18,2)) AS VARCHAR),
         |    CAST(CAST(max(value_hi) AS DECIMAL(18,2)) AS VARCHAR)
         |  FROM ev)
-        |SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s
+        |SELECT col_name, n_rows, CAST(n_null AS BIGINT) AS n_null, n_distinct,
+        |  min_s, max_s
         |FROM p ORDER BY col_name ASC NULLS FIRST""".stripMargin,
     "dq_constraints" ->
       """WITH checks AS (
@@ -193,7 +194,8 @@ object QualityOps {
         |  FROM orders
         |  UNION ALL
         |  SELECT 'orders_fk_customer', count(1)
-        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         |  UNION ALL
         |  SELECT 'lineitem_qty_range',
         |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
@@ -206,7 +208,7 @@ object QualityOps {
         |  SELECT 'orders_status_domain',
         |    sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
         |  FROM orders)
-        |SELECT check_name AS "check", n_violations,
+        |SELECT check_name AS "check", CAST(n_violations AS BIGINT) AS n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS verdict
         |FROM checks ORDER BY check_name ASC NULLS FIRST""".stripMargin)
 }

@@ -460,7 +460,7 @@ object RelationalOps {
         |SELECT 'v2', count(1), CAST(sum(n_chars) AS BIGINT) FROM documents
         |ORDER BY version ASC NULLS FIRST""".stripMargin,
     "scan_binaryfile" ->
-      """SELECT sum(octet_length(encode(text)) + 1) AS total_bytes
+      """SELECT CAST(sum(octet_length(encode(text)) + 1) AS BIGINT) AS total_bytes
         |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
     "sink_clustered" ->
       """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,

@@ -401,7 +401,7 @@ object StreamOps {
   val oracle: Map[String, String] = Map(
     "stream_transform_state" ->
       """SELECT user_id, count(1) AS n_events,
-        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,

@@ -6,8 +6,26 @@ same SF dir, sort columns by name, compare row-by-row.  Usage:
 """
 import json, math, sys
 import duckdb
+import pyarrow as pa
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def type_sig(t):
+    """Normalized arrow type signature. Deliberately keeps integer width /
+    decimal-vs-int distinctions (DuckDB HUGEINT = decimal128(38,0) vs Spark
+    BIGINT = int64 — the exact class of bug the driver's hash catches and a
+    value-only compare misses). Only cosmetic encodings are unified."""
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_sig(t.value_type)}>"
+    return str(t)
 
 def norm(v):
     if isinstance(v, float):
@@ -26,11 +44,13 @@ def main(sf_dir, out_dir, only):
         if only and name not in only:
             continue
         try:
-            exp = con.sql(sql).df()
+            exp_arrow = con.sql(sql).arrow()
+            exp = exp_arrow.to_pandas()
         except Exception as e:
             fails.append(name); print(f"FAIL {name}: oracle error: {e}"); continue
         try:
-            got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got_arrow = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").arrow()
+            got = got_arrow.to_pandas()
         except Exception as e:
             fails.append(name); print(f"FAIL {name}: spark output missing: {e}"); continue
         exp = exp[sorted(exp.columns)]
@@ -38,6 +58,17 @@ def main(sf_dir, out_dir, only):
         if list(exp.columns) != list(got.columns):
             fails.append(name)
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            continue
+        type_bad = []
+        for c in exp.columns:
+            ts_e = type_sig(exp_arrow.schema.field(c).type)
+            ts_g = type_sig(got_arrow.schema.field(c).type)
+            if ts_e != ts_g:
+                type_bad.append((c, ts_e, ts_g))
+        if type_bad:
+            fails.append(name)
+            for c, te, tg in type_bad:
+                print(f"FAIL {name}: col {c} type: oracle={te} spark={tg}")
             continue
         if len(exp) != len(got):
             fails.append(name)
