@@ -3,89 +3,144 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.MediaCodec
 
 /** Multimodal-column pipeline (north star: "treat image/audio/video as
   * opaque binary columns with typed metadata; decode / feature-extract /
   * resize / frame-sample").
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC FAKE (clearly marked below) — what is real, and what
-  * this module demonstrates, is the Spark-side plumbing a 100 TB
-  * multimodal pipeline needs:
-  *  - opaque `BinaryType` payload column + typed metadata columns in one
-  *    relation;
-  *  - batch-at-a-time decode via `mapPartitions` on a typed Dataset —
-  *    the JVM analog of Python's `mapInPandas` (same contract: iterator
-  *    of batches in, iterator of batches out; codec state initialized
-  *    once per partition, NOT per row — exactly where a real decoder
-  *    would hold its native context);
+  * The corpus carries no media files, so the pipeline first RENDERS each
+  * document into a format-valid binary — even doc_ids become a real 24bpp
+  * BMP (proper BITMAPFILEHEADER/INFOHEADER, padded bottom-up BGR rows),
+  * odd doc_ids a real RIFF/WAVE PCM16 file — then DECODES those bytes
+  * with strict header parsers ([[graft.functions.MediaCodec]]) that
+  * validate magic numbers, walk chunk structure, and extract actual
+  * pixels/samples. Nothing is stubbed: the feature values below are
+  * computed from decoded pixel/sample data (Rec.601 luma over a real
+  * box-downsample; RMS amplitude over real samples).
+  *
+  * Spark-side shape (what a 100 TB multimodal pipeline needs):
+  *  - opaque `BinaryType` payload column + typed metadata in one relation;
+  *  - batch-at-a-time decode via `mapPartitions` on a typed Dataset — the
+  *    JVM analog of `mapInPandas` (iterator of rows in/out; any decoder
+  *    state is initialized once per partition, not per row);
   *  - decode → feature-extract → resize → frame-sample as composable
   *    per-row stages with real schemas.
   *
-  * Scale notes: decode is pure map-side work — no shuffle at all; the
+  * Scale notes: encode+decode are pure map-side work — no shuffle; the
   * pipeline inherits the scan's partitioning. Payload bytes never pass
-  * through a shuffle or a driver collect.
+  * through a shuffle or a driver collect (the final orderBy moves only
+  * the 10-column metadata rows, never payloads).
   */
 object MultimodalOps {
 
-  /** Decoded-media metadata row (the typed schema a real decoder yields). */
+  /** Decoded-media metadata row. Image rows carry pixel dims and resized
+    * dims; audio rows carry sample_rate/duration and leave dims null. */
   final case class DecodedMedia(
       doc_id: Long,
+      media_type: String,
       n_bytes: Int,
-      width: Int,
-      height: Int,
+      width: Option[Int],
+      height: Option[Int],
+      sample_rate: Option[Int],
       n_frames: Int,
-      resized_w: Int,
-      resized_h: Int,
-      sampled_frames: Seq[Int],
-      mean_luma: Double)
+      resized_w: Option[Int],
+      resized_h: Option[Int],
+      n_sampled: Int,
+      feature: Double)
 
-  /** ===== STUB DECODER =====
-    * A real implementation would call an image/video codec here (per
-    * partition: open codec context once, decode each payload). No codec
-    * ships in this container, so this derives deterministic fake
-    * dimensions/frames from the payload bytes — keeping schema, batch
-    * shape and partition lifecycle identical to the real thing. */
-  private def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val width = 64 + math.floorMod(h, 192)          // fake 64..255 px
-    val height = 64 + math.floorMod(h >> 8, 192)
-    val frames = 1 + math.floorMod(h >> 16, 30)     // fake 1..30 frames
-    (width, height, frames)
+  /** Audio frame = 256 samples (the frame-sample stage's unit). */
+  private val FrameSamples = 256
+  /** Image resize target: max dimension after aspect-preserving box resize. */
+  private val ResizeMax = 16
+
+  private def md5(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+
+  /** Render a document into a real BMP: dims and pixels derive
+    * deterministically from the content fingerprint. */
+  private[operators] def renderBmp(text: String): Array[Byte] = {
+    val h = md5(text)
+    val w = 4 + (h(0) & 0x1f)   // 4..35 px
+    val ht = 4 + (h(1) & 0x1f)
+    MediaCodec.encodeBmp(w, ht, (x, y) => {
+      val b = h((x + y * 7) % 16) & 0xff
+      val r = (b + x * 11) & 0xff
+      val g = (b + y * 17) & 0xff
+      val bl = (b ^ (x * 5 + y * 3)) & 0xff
+      (r << 16) | (g << 8) | bl
+    })
   }
 
-  /** decode → resize(128×128 max, aspect-preserving) → sample every 5th
-    * frame → mean-luma feature, as one mapPartitions pass. */
+  /** Render a document into a real WAV: PCM16 mono 8 kHz, samples derive
+    * deterministically from the content fingerprint and position. */
+  private[operators] def renderWav(text: String): Array[Byte] = {
+    val h = md5(text)
+    val n = 200 + (text.length % 800)
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((((h(i % 16) & 0xff) ^ (i & 0xff)) - 128) * 200).toShort
+      i += 1
+    }
+    MediaCodec.encodeWav(8000, samples)
+  }
+
+  private def snap4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  /** Decode one payload with the strict parsers and run the downstream
+    * stages (resize / frame-sample / feature-extract) on real data. */
+  private[operators] def decodeOne(id: Long, mediaType: String,
+                                   bytes: Array[Byte]): DecodedMedia =
+    mediaType match {
+      case "image" =>
+        val img = MediaCodec.decodeBmp(bytes)
+        val resized = img.boxResize(ResizeMax)
+        DecodedMedia(id, mediaType, bytes.length,
+          Some(img.width), Some(img.height), None,
+          n_frames = 1,
+          Some(resized.width), Some(resized.height),
+          n_sampled = 1,
+          feature = snap4(resized.meanLuma))
+      case "audio" =>
+        val wav = MediaCodec.decodeWav(bytes)
+        val frames = (wav.nSamples + FrameSamples - 1) / FrameSamples
+        val sampled = (0 until frames by 5).size // every 5th frame
+        DecodedMedia(id, mediaType, bytes.length,
+          None, None, Some(wav.sampleRate),
+          n_frames = frames,
+          None, None,
+          n_sampled = sampled,
+          feature = snap4(wav.rms))
+      case other =>
+        throw new IllegalArgumentException(s"unknown media_type '$other'")
+    }
+
+  /** encode(document → real BMP/WAV binary) → decode(strict parse) →
+    * resize/frame-sample → feature, all map-side. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-    payloads.mapPartitions { rows =>
-      // per-partition init point: a real codec context would open HERE
-      rows.map { case (id, bytes) =>
-        val (w, h, frames) = stubDecode(bytes)
-        val scale = math.min(1.0, 128.0 / math.max(w, h))
-        val sampled = (0 until frames by 5).toSeq
-        // fake luma: mean byte value — deterministic and cheap
-        val luma = if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        DecodedMedia(id, bytes.length, w, h, frames,
-          math.max(1, math.round(w * scale).toInt),
-          math.max(1, math.round(h * scale).toInt),
-          sampled, math.floor(luma * 10000 + 0.5) / 10000)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 2 == 0) (id, "image", renderBmp(text))
+        else (id, "audio", renderWav(text))
       }
+      .toDF("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+    payloads.mapPartitions { rows =>
+      // per-partition init point: a native codec context would open HERE
+      rows.map { case (id, mt, bytes) => decodeOne(id, mt, bytes) }
     }.toDF()
-      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-              col("n_frames"), col("resized_w"), col("resized_h"),
-              size(col("sampled_frames")).as("n_sampled"), col("mean_luma"))
       .orderBy(col("doc_id").asc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> (multimodalDecode _))
 
-  // no oracle: the decode kernel is engine-side (stub) — determinism and
-  // schema are pinned by MultimodalSpec instead.
+  // no oracle: the decode kernel is engine-side binary parsing DuckDB
+  // cannot express — determinism, golden header parses, and roundtrip
+  // fidelity are pinned by MultimodalSpec instead.
   val oracle: Map[String, String] = Map.empty
 }

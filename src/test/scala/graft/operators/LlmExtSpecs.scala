@@ -178,14 +178,6 @@ class LlmExtSpecs extends SparkTestBase {
       s"predicted ${r.getString(0)}, expected ${r.getString(1)}"))
   }
 
-  test("multimodal_decode: deterministic schema + stable values across runs") {
-    val a = MultimodalOps.multimodalDecode(spark, sfDir).collect()
-    val b = MultimodalOps.multimodalDecode(spark, sfDir).collect()
-    assert(a.nonEmpty && a.sameElements(b))
-    a.foreach { r =>
-      assert(r.getAs[Int]("resized_w") <= 128 && r.getAs[Int]("resized_h") <= 128)
-      assert(r.getAs[Int]("n_sampled") >= 1)
-      assert(r.getAs[Int]("n_bytes") > 0)
-    }
-  }
+  // multimodal_decode pins moved to MultimodalSpec (real BMP/WAV codec
+  // goldens + end-to-end determinism).
 }
