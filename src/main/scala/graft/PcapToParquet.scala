@@ -1,22 +1,29 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 /** Drop-in replacement for the reference CLI
   * (/root/reference/src/main.rs:59-122):
   *
   *   runMain graft.PcapToParquet <input.pcap-or-dir> <output.parquet> [strict|permissive]
   *
-  * Reads legacy pcap through the DataSource V2 connector, emits the
+  * Reads pcap AND pcapng (magic-sniffed; the reference crashes on
+  * pcapng, main.rs:108) through the DataSource V2 connector, emits the
   * reference's exact 9-column schema in its column order (main.rs:44-54),
   * and writes ZSTD-compressed Parquet with the v2 writer format
   * (main.rs:72-77). Unlike the reference: a directory of captures
   * parallelizes across files (local, hdfs:// or s3a://), truncated
   * FRAMES yield NULL fields instead of a panic, and malformed CAPTURES
-  * (pcapng, truncated records) raise naming the file — like the
-  * reference's crash (main.rs:108) but diagnosable; pass `permissive`
-  * to salvage what decodes cleanly instead. */
+  * raise naming the file — diagnosable, not a bare crash; pass
+  * `permissive` to salvage what decodes cleanly instead.
+  *
+  * Scale note: the job is pure map-side — NO shuffle anywhere. The
+  * connector reads one partition per capture file with records in
+  * sequential capture order, and the writer emits one parquet part per
+  * partition, so per-capture record order is preserved end-to-end
+  * without the global orderBy a naive port would add (at 100 TB that
+  * sort is an avoidable all-data Exchange; the reference itself only
+  * ever guarantees order WITHIN a capture, main.rs:83-118). */
 object PcapToParquet {
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
@@ -32,8 +39,9 @@ object PcapToParquet {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.hadoopConfiguration.set("parquet.writer.version", "v2")
+    // No orderBy: one scan partition per capture, records already in
+    // capture order — the write stays shuffle-free (see scaladoc).
     spark.read.format("pcap").option("mode", mode).load(in)
-      .orderBy(col("file").asc, col("pkt_idx").asc) // capture order, as the reference emits
       .select("src_ip", "dst_ip", "len", "protocol", "src_port", "dst_port",
               "mm_ts", "mm_id", "mm_port")
       .write.mode("overwrite").option("compression", "zstd").parquet(out)

@@ -42,12 +42,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * conf (credentials, endpoints) ships to executors via
   * [[SerializableHadoopConf]].
   *
+  * Formats: legacy pcap (both byte orders, ns-magic variant) AND pcapng
+  * (SHB/IDB/EPB/SPB block walk, per-section byte order, per-interface
+  * if_tsresol), magic-sniffed per file — the reference hard-crashes on
+  * pcapng (main.rs:108); we read it.
+  *
   * Options:
   *  - `mode` = `strict` (default) | `permissive`. Strict raises with the
-  *    offending file path on an unrecognized magic (e.g. pcapng) or a
-  *    truncated record — at 100 TB a silently-skipped capture directory
-  *    is undetectable data loss. Permissive keeps the salvage behavior
-  *    (decode what's intact, stop at the first corrupt record).
+  *    offending file path on an unrecognized magic, a truncated record, or
+  *    a malformed pcapng block — at 100 TB a silently-skipped capture
+  *    directory is undetectable data loss. Permissive keeps the salvage
+  *    behavior (decode what's intact, stop at the first corrupt record).
   */
 class PcapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pcap"
@@ -74,16 +79,19 @@ object PcapDataSource {
     StructField("mm_id", IntegerType, nullable = true),
     StructField("mm_port", IntegerType, nullable = true)))
 
-  /** Name-sorted `.pcap` members of `path` (or `path` itself if a file),
-    * through the scheme-resolved Hadoop FileSystem — works for `file:`,
-    * `hdfs:`, `s3a:`, …. Returns fully-qualified URIs. */
+  /** Name-sorted `.pcap` / `.pcapng` members of `path` (or `path` itself
+    * if a file), through the scheme-resolved Hadoop FileSystem — works for
+    * `file:`, `hdfs:`, `s3a:`, …. Returns fully-qualified URIs. */
   def listCaptureFiles(path: String, conf: Configuration): Seq[String] = {
     val p = new HadoopPath(path)
     val fs = p.getFileSystem(conf)
     val status = fs.getFileStatus(p) // raises FileNotFoundException with the path
     if (status.isDirectory)
       fs.listStatus(p).iterator
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".pcap"))
+        .filter { s =>
+          val n = s.getPath.getName
+          s.isFile && (n.endsWith(".pcap") || n.endsWith(".pcapng"))
+        }
         .map(_.getPath.toString).toSeq.sorted
     else Seq(status.getPath.toString)
   }

@@ -105,4 +105,80 @@ object PcapFixtures {
   }
 
   def goldenPcap: Array[Byte] = pcapFile(goldenFrames)
+
+  // ---- pcapng builders -----------------------------------------------------
+
+  /** One pcapng block: type, total length, body (padded to 4), trailing
+    * total length. SHB's type value is an endian palindrome, so the same
+    * builder serves both byte orders. */
+  def pcapngBlock(btype: Int, body: Array[Byte], order: ByteOrder): Array[Byte] = {
+    val pad = (4 - body.length % 4) % 4
+    val total = 12 + body.length + pad
+    val bb = ByteBuffer.allocate(total).order(order)
+    bb.putInt(btype).putInt(total).put(body)
+    bb.position(bb.position() + pad)
+    bb.putInt(total)
+    bb.array()
+  }
+
+  /** SHB with the given byte order's BOM, version 1.0, unknown section len. */
+  def pcapngShb(order: ByteOrder): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16).order(order)
+    bb.putInt(0x1a2b3c4d).putShort(1).putShort(0).putLong(-1L)
+    pcapngBlock(0x0a0d0d0a, bb.array(), order)
+  }
+
+  /** IDB: linktype 1 (Ethernet), snaplen 65535; optionally an if_tsresol
+    * option (code 9) selecting nanosecond timestamps. */
+  def pcapngIdb(order: ByteOrder, nsResol: Boolean = false): Array[Byte] = {
+    val body =
+      if (!nsResol) {
+        val bb = ByteBuffer.allocate(8).order(order)
+        bb.putShort(1).putShort(0).putInt(65535)
+        bb.array()
+      } else {
+        val bb = ByteBuffer.allocate(8 + 8 + 4).order(order)
+        bb.putShort(1).putShort(0).putInt(65535)
+        bb.putShort(9).putShort(1)                      // if_tsresol, len 1
+        bb.put(9.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // 10^-9 + pad
+        bb.putShort(0).putShort(0)                      // opt_endofopt
+        bb.array()
+      }
+    pcapngBlock(1, body, order)
+  }
+
+  /** EPB for `data` with timestamp `ts` (already in the IDB's units). */
+  def pcapngEpb(data: Array[Byte], ts: Long, order: ByteOrder,
+                iface: Int = 0): Array[Byte] = {
+    val bb = ByteBuffer.allocate(20 + data.length).order(order)
+    bb.putInt(iface).putInt((ts >>> 32).toInt).putInt(ts.toInt)
+    bb.putInt(data.length).putInt(data.length)
+    bb.put(data)
+    pcapngBlock(6, bb.array(), order)
+  }
+
+  /** SPB for `data` (no timestamp, interface 0 implied). */
+  def pcapngSpb(data: Array[Byte], order: ByteOrder): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + data.length).order(order)
+    bb.putInt(data.length).put(data)
+    pcapngBlock(3, bb.array(), order)
+  }
+
+  /** Serialize frames into one pcapng buffer: SHB + IDB + one EPB per
+    * frame. `nsResol` selects nanosecond if_tsresol; `bigEndian` writes
+    * the whole section big-endian (the SHB's BOM announces it). */
+  def pcapngFile(frames: Seq[(Array[Byte], Long)], nsResol: Boolean = false,
+                 bigEndian: Boolean = false): Array[Byte] = {
+    val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val unitsPerSec = if (nsResol) 1000000000L else 1000000L
+    val out = new ByteArrayOutputStream()
+    out.write(pcapngShb(order))
+    out.write(pcapngIdb(order, nsResol))
+    frames.foreach { case (data, ts) =>
+      out.write(pcapngEpb(data, ts * unitsPerSec, order))
+    }
+    out.toByteArray
+  }
+
+  def goldenPcapng: Array[Byte] = pcapngFile(goldenFrames)
 }

@@ -43,6 +43,8 @@ object PcapParser {
   private def le32(b: Array[Byte], off: Int): Long =
     ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
       ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+  private def le16(b: Array[Byte], off: Int): Int =
+    ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
 
   /** TCP/UDP port extraction (main.rs:213-231): BE u16 at L4 offsets 0/2. */
   private def parsePorts(b: Array[Byte], off: Int): (Option[Int], Option[Int]) =
@@ -164,24 +166,27 @@ object PcapParser {
   private val MagicLeNs = 0x4d3cb2a1L
 
   /** Raised by strict-mode parses on malformed captures: unrecognized
-    * magic (pcapng), truncated global header, or a truncated record. The
-    * message always carries the capture's name/path — at 100 TB a
-    * silently-skipped capture is undetectable data loss. */
+    * magic, truncated global header, truncated record, or a malformed
+    * pcapng block. The message always carries the capture's name/path —
+    * at 100 TB a silently-skipped capture is undetectable data loss. */
   final class PcapFormatException(msg: String) extends RuntimeException(msg)
 
-  /** Iterate the records of one legacy pcap byte buffer. Equivalent of the
-    * reference's LegacyPcapReader loop (main.rs:83-118) with its panics
-    * replaced by a mode switch: `strict = true` raises a
-    * [[PcapFormatException]] naming the capture on an unrecognized magic
-    * (e.g. pcapng, main.rs:108), a truncated global header, or a
-    * truncated/corrupt record; `strict = false` (the salvage mode) ends
-    * the iteration instead, keeping every record that decoded cleanly.
-    * Handles both byte orders and the nanosecond-magic variant (ts_sec
-    * stays seconds, so the trailer heuristic is unchanged — SURVEY.md
-    * §2.A trap #5). */
+  /** Iterate the records of one capture byte buffer, sniffing the
+    * container format from its magic: legacy pcap (both byte orders, the
+    * nanosecond-magic variant included — ts_sec stays seconds, so the
+    * trailer heuristic is unchanged, SURVEY.md §2.A trap #5) or pcapng
+    * (dispatched to [[parsePcapng]] — the format the reference refuses
+    * with `unreachable!()` at main.rs:108; we read it). The reference's
+    * panics become a mode switch: `strict = true` raises a
+    * [[PcapFormatException]] naming the capture on an unrecognized magic,
+    * a truncated global header, or a truncated/corrupt record;
+    * `strict = false` (the salvage mode) ends the iteration instead,
+    * keeping every record that decoded cleanly. */
   def parseFile(bytes: Array[Byte], wants: Wants = WantsAll,
                 strict: Boolean = false, name: String = "<buffer>"): Iterator[Packet] = {
     def fail(why: String): Nothing = throw new PcapFormatException(s"$name: $why")
+    if (bytes.length >= 4 && le32(bytes, 0) == PcapngShb)
+      return parsePcapng(bytes, wants, strict, name)
     if (bytes.length < 24) {
       if (strict) fail(s"truncated pcap global header (${bytes.length} bytes < 24)")
       return Iterator.empty
@@ -190,10 +195,10 @@ object PcapParser {
     val (swapped, ok) = magic match {
       case MagicBe | MagicBeNs => (false, true)   // file written LE (we read LE)
       case MagicLe | MagicLeNs => (true, true)    // file written BE
-      case _ => (false, false)                    // pcapng / unknown: stop
+      case _ => (false, false)                    // unknown container: stop
     }
     if (!ok) {
-      if (strict) fail(f"unrecognized pcap magic 0x$magic%08x — pcapng or not a capture " +
+      if (strict) fail(f"unrecognized pcap magic 0x$magic%08x — not a capture " +
         "(read with option(\"mode\", \"permissive\") to skip unreadable files)")
       return Iterator.empty
     }
@@ -230,4 +235,162 @@ object PcapParser {
       }
     }
   }
+
+  // ---- pcapng container ----------------------------------------------------
+  // Beyond the reference: main.rs:108 hits `unreachable!()` on the format
+  // every modern tcpdump/Wireshark writes by default. Same 9-column row out.
+
+  /** Section Header Block type — its byte sequence 0x0A0D0D0A is an endian
+    * palindrome by design, so it sniffs identically in either byte order. */
+  private val PcapngShb = 0x0a0d0d0aL
+  /** Byte-order magic inside the SHB body. */
+  private val PcapngBom = 0x1a2b3c4dL
+  private val IdbType = 0x00000001L
+  private val SpbType = 0x00000003L
+  private val EpbType = 0x00000006L
+
+  /** Timestamp units/second from an IDB's if_tsresol option (code 9):
+    * power of 10, or power of 2 when the MSB is set; default microseconds.
+    * Walks the option list from `o` (first option) to `end` (exclusive). */
+  private def idbUnitsPerSec(b: Array[Byte], o0: Int, end: Int, swapped: Boolean): Long = {
+    def u16(o: Int) = if (swapped) be16(b, o) else le16(b, o)
+    var o = o0
+    while (o + 4 <= end) {
+      val code = u16(o)
+      val len = u16(o + 2)
+      if (code == 0) return 1000000L // opt_endofopt
+      if (code == 9 && len >= 1 && o + 4 < end) {
+        val v = b(o + 4) & 0xff
+        if ((v & 0x80) != 0) return 1L << math.min(v & 0x7f, 62)
+        var r = 1L
+        var i = 0
+        while (i < math.min(v, 18)) { r *= 10; i += 1 }
+        return r
+      }
+      o += 4 + ((len + 3) & ~3)
+    }
+    1000000L
+  }
+
+  /** Iterate the packets of one pcapng byte buffer: walks the block chain
+    * (SHB / IDB / EPB / SPB; unknown block types skipped, as the spec
+    * requires), honoring per-section byte order (the BOM in each SHB) and
+    * per-interface if_tsresol, and feeds every packet through the same
+    * [[decodeRecord]] pipeline as legacy pcap. SPB carries no timestamp,
+    * so its trailer-heuristic window anchors at 0 — Metamako trailers in
+    * SPB-only captures are not recovered (they need the ±300 s check).
+    * Strict mode raises a [[PcapFormatException]] naming the capture on a
+    * bad SHB byte-order magic, a block overrunning the file, a non-aligned
+    * or impossible block length, an EPB referencing an undeclared
+    * interface, or an EPB claiming more captured bytes than its block
+    * holds; permissive mode ends the iteration, keeping clean records. */
+  def parsePcapng(bytes: Array[Byte], wants: Wants = WantsAll,
+                  strict: Boolean = false, name: String = "<buffer>"): Iterator[Packet] =
+    new Iterator[Packet] {
+      private def fail(why: String): Nothing =
+        throw new PcapFormatException(s"$name: $why")
+      private var off = 0
+      private var idx = 0L
+      private var swapped = false
+      private var inSection = false
+      private val unitsPerSec = scala.collection.mutable.ArrayBuffer.empty[Long]
+      private var pending: Packet = null
+      private var exhausted = false
+
+      private def u32(o: Int): Long = if (swapped) be32(bytes, o) else le32(bytes, o)
+
+      /** Advance to the next packet block; null at clean (or salvaged) EOF. */
+      @annotation.tailrec
+      private def advance(): Packet = {
+        if (off == bytes.length) return null
+        if (off + 12 > bytes.length) {
+          if (strict) fail(s"truncated pcapng block header at byte $off " +
+            s"(${bytes.length - off} bytes < 12)")
+          return null
+        }
+        val blockStart = off
+        val isShb = le32(bytes, blockStart) == PcapngShb
+        // SHB starts a (new) section and resets endianness + interfaces
+        if (isShb) {
+          val bomLe = le32(bytes, off + 8)
+          if (bomLe == PcapngBom) swapped = false
+          else if (be32(bytes, off + 8) == PcapngBom) swapped = true
+          else {
+            if (strict) fail(f"pcapng: bad byte-order magic 0x$bomLe%08x in " +
+              s"section header at byte $off")
+            return null
+          }
+          inSection = true
+          unitsPerSec.clear()
+        } else if (!inSection) {
+          if (strict) fail("pcapng: first block is not a section header")
+          return null
+        }
+        val totalLen = u32(blockStart + 4)
+        if (totalLen < 12 || (totalLen & 3) != 0 || blockStart + totalLen > bytes.length) {
+          if (strict) fail(s"pcapng: block at byte $blockStart declares impossible " +
+            s"length $totalLen (file holds ${bytes.length - blockStart} more bytes)")
+          return null
+        }
+        val body = blockStart + 8
+        val bodyEnd = blockStart + totalLen.toInt - 4
+        val btype = if (isShb) PcapngShb else u32(blockStart)
+        off = blockStart + totalLen.toInt
+        btype match {
+          case IdbType =>
+            // linktype u16 + reserved u16 + snaplen u32, then options
+            unitsPerSec += (if (bodyEnd - body >= 8)
+              idbUnitsPerSec(bytes, body + 8, bodyEnd, swapped) else 1000000L)
+            advance()
+          case EpbType =>
+            if (bodyEnd - body < 20) {
+              if (strict) fail(s"pcapng: EPB at byte ${body - 8} too small")
+              return null
+            }
+            val iface = u32(body).toInt
+            val ts = (u32(body + 4) << 32) | u32(body + 8)
+            val capLen = u32(body + 12)
+            val origLen = u32(body + 16)
+            val room = (bodyEnd - body - 20).toLong
+            if (strict && capLen > room) fail(s"pcapng: EPB packet $idx claims " +
+              s"$capLen captured bytes but its block holds $room")
+            val ups =
+              if (iface >= 0 && iface < unitsPerSec.length) unitsPerSec(iface)
+              else if (strict) fail(s"pcapng: EPB packet $idx references " +
+                s"undeclared interface $iface (${unitsPerSec.length} declared)")
+              else 1000000L
+            val take = math.min(capLen, room).toInt
+            val data = java.util.Arrays.copyOfRange(bytes, body + 20, body + 20 + take)
+            val p = decodeRecord(idx, data, ts / ups, origLen, wants)
+            idx += 1
+            p
+          case SpbType =>
+            if (bodyEnd - body < 4) {
+              if (strict) fail(s"pcapng: SPB at byte ${body - 8} too small")
+              return null
+            }
+            val origLen = u32(body)
+            val take = math.min(origLen, (bodyEnd - body - 4).toLong).toInt
+            val data = java.util.Arrays.copyOfRange(bytes, body + 4, body + 4 + take)
+            val p = decodeRecord(idx, data, 0L, origLen, wants) // SPB: no timestamp
+            idx += 1
+            p
+          case _ => advance() // SHB handled above; unknown blocks skipped
+        }
+      }
+
+      def hasNext: Boolean = {
+        if (pending == null && !exhausted) {
+          pending = advance()
+          exhausted = pending == null
+        }
+        pending != null
+      }
+      def next(): Packet = {
+        if (!hasNext) throw new NoSuchElementException("pcapng iterator exhausted")
+        val p = pending
+        pending = null
+        p
+      }
+    }
 }
