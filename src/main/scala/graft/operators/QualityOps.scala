@@ -35,7 +35,19 @@ object QualityOps {
     * engines legitimately disagree, so the profile pins the grain both
     * agree on. Doubles render through DECIMAL(18,2) (engine double→string
     * formatting differs; decimal→string doesn't). */
-  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+  def dqProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(spark, dir, approx = false)
+
+  /** The documented 100 TB variant of [[dqProfile]] as real code:
+    * `approx_count_distinct` (HLL++, default 5% relative sd) replaces the
+    * exact `countDistinct`, which removes the Expand ×|columns| blowup of
+    * the agg input through the shuffle — every other part of the plan is
+    * identical. No oracle (sketch estimates are engine-specific);
+    * QualityOpsSpec bounds it against the exact profile instead. */
+  def dqProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    profile(spark, dir, approx = true)
+
+  private def profile(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val ev = t(spark, dir, "events")
       .withColumn("ts_sec", date_trunc("second", col("ts")))
       // a sparse column (NULL unless value > 300) so the null-accounting
@@ -51,7 +63,9 @@ object QualityOps {
       ("value_hi", col("value_hi"), (c: Column) => c.cast("decimal(18,2)").cast("string")))
     val aggs = profiled.flatMap { case (n, c, render) => Seq(
       sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nnull"),
-      countDistinct(c).as(s"${n}__ndist"),
+      // rsd 0.01 → ~11 KB HLL registers per column: still map-side-mergeable
+      // pocket change, and tight enough that the spec's 5% bound is solid
+      (if (approx) approx_count_distinct(c, 0.01) else countDistinct(c)).as(s"${n}__ndist"),
       render(min(c)).as(s"${n}__min"),
       render(max(c)).as(s"${n}__max"))
     }
@@ -131,6 +145,7 @@ object QualityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> (dqProfile _),
+    "dq_profile_approx" -> (dqProfileApprox _),
     "pipeline_observe" -> (pipelineObserve _),
     "dq_constraints" -> (dqConstraints _))
 

@@ -106,6 +106,32 @@ object ScaleJoins {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Engine-native runtime filter (the counterpart of the MANUAL
+    * [[joinBloomPrefilter]]): Spark's own `InjectRuntimeFilter` rule
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default in
+    * Spark 4) derives the same dim-keys bloom and plants
+    * `bloom_filter_might_contain` under the fact scan — no hand-built
+    * sketch, no StaticInvoke kernel. The builder is a plain
+    * selective-dim shuffle join (`merge` hints keep the SMJ path the rule
+    * targets; a broadcast join would get its pruning from the broadcast
+    * itself). Injection is gated on production-scale stats — application
+    * side above `…applicationSideScanSizeThreshold` (10 GB default) — so
+    * at test SF the plan is an ordinary SMJ and results are unaffected
+    * either way (the filter only ever REMOVES non-joining rows);
+    * PlanAuditSpec lowers the thresholds and pins the injected
+    * `bloom_filter_might_contain` in the optimized plan. */
+  def joinBloomNative(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderkey"))
+    t(spark, dir, "lineitem").hint("merge")
+      .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   /** Range join at scale: `join_theta_range` broadcasts one side, which
     * dies when BOTH sides are big. The scale technique: quantize the range
     * dimension into width-W buckets, expand the probe side to the ≤3
@@ -229,6 +255,7 @@ object ScaleJoins {
     "join_range_bucketed" -> (joinRangeBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
+    "join_bloom_native" -> (joinBloomNative _),
     "join_bucketed" -> (joinBucketed _))
 
   val oracle: Map[String, String] = Map(
@@ -282,6 +309,12 @@ object ScaleJoins {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "join_bloom_native" ->
+      """SELECT l_returnflag, count(1) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '2-HIGH'
         |GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "join_bucketed" ->
       """SELECT c_nationkey, count(1) AS n_orders,

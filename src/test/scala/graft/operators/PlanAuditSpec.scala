@@ -163,6 +163,60 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.cbo.enabled", saved)
   }
 
+  test("dq_profile_approx: Expand gone from the plan; estimates within 5% of exact") {
+    val exact = QualityOps.dqProfile(spark, sfDir)
+    val approx = QualityOps.dqProfileApprox(spark, sfDir)
+    // exact countDistinct multiplies the agg input ×|columns| via Expand;
+    // the HLL++ swap must remove that — the whole point of the variant
+    assert(plan(exact).contains("Expand"), "exact profile lost its Expand (test premise)")
+    assert(!plan(approx).contains("Expand"), s"approx profile still Expands:\n${plan(approx)}")
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    val a = approx.collect().map(r => r.getString(0) -> r).toMap
+    assert(e.keySet == a.keySet)
+    e.foreach { case (col, er) =>
+      val ar = a(col)
+      // null counts and min/max render identically; only NDV is estimated
+      assert(er.getLong(2) == ar.getLong(2), s"$col: n_null differs")
+      assert(er.getString(4) == ar.getString(4) && er.getString(5) == ar.getString(5),
+        s"$col: min/max differ")
+      val (ne, na) = (er.getLong(3).toDouble, ar.getLong(3).toDouble)
+      assert(math.abs(na - ne) <= 0.05 * ne + 1,
+        s"$col: approx NDV $na off exact $ne by >5%")
+    }
+  }
+
+  test("join_bloom_native: InjectRuntimeFilter plants bloom_filter_might_contain under the fact scan") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // production gates: application side must scan > 10 GB, and the join
+      // must look like a SHUFFLE join (a broadcast-sized dim side makes
+      // InjectRuntimeFilter skip — canBroadcastBySize). Drop both so the
+      // sf-test tables qualify; the builder itself is untouched.
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = ScaleJoins.joinBloomNative(spark, sfDir)
+      val opt = df.queryExecution.optimizedPlan.toString
+      // Spark 4.1 prints the injected pair as might_contain(scalar-subquery)
+      // over a bloom_filter_agg of the dim keys
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"engine did not inject a runtime bloom filter:\n$opt")
+      // the filter only removes non-joining rows: results match the plain join
+      val plain = ScaleJoins.joinBloomPrefilter(spark, sfDir) // 1-URGENT variant
+      assert(df.collect().nonEmpty && plain.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("pcap scan: protocol filter is pushed into the DSv2 reader") {
     val df = graft.sources.PcapOps.pcapFilterPush(spark, sfDir)
     val p = plan(df)
