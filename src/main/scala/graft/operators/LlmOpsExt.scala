@@ -458,6 +458,56 @@ object LlmOpsExt {
   // bound it to ONE copy across invocations instead of one per run
   private var clusterLabels: Option[DataFrame] = None
 
+  /** Iterative min-label propagation over a directed (s, t) edge set —
+    * symmetrized, then |diameter| rounds of (edge ⋈ label) + min-agg.
+    *
+    * Convergence via the label-sum invariant: propagation only ever
+    * DECREASES a node's label, so Σlbl is strictly decreasing until the
+    * fixpoint — one cheap 1-row aggregate action per round instead of a
+    * prev⋈next comparison join.
+    *
+    * Lineage discipline: each round persists its labels (so the next round
+    * and the Σ action don't recompute the chain), and every 5th round goes
+    * through an eager `localCheckpoint()` instead — same materialization,
+    * but it also TRUNCATES the logical plan, which otherwise grows one
+    * join+agg layer per round and chokes the optimizer on deep graphs
+    * (checkpointed rounds' storage is reclaimed by GC rather than the
+    * explicit round-end unpersist — a bounded number of small label
+    * tables). Throws rather than returning partially-propagated (WRONG)
+    * labels if `maxIters` rounds don't reach the fixpoint. */
+  private[operators] def propagateMinLabels(fwd: DataFrame, maxIters: Int): DataFrame = {
+    // persist the symmetrized edge set: every round joins against it, and
+    // without caching each round would recompute the upstream edge extraction
+    val edges = fwd.unionByName(fwd.select(col("t").as("s"), col("s").as("t"))).distinct()
+      .persist()
+    var labels = edges.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var prevSum = Long.MinValue
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val prev = labels
+      val viaEdge = edges.join(labels, edges("s") === labels("node"))
+        .select(col("t").as("node"), col("lbl"))
+      val folded = labels.unionByName(viaEdge)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      val next =
+        if ((iters + 1) % 5 == 0) folded.localCheckpoint() // eager; truncates lineage
+        else { folded.persist(); folded }
+      val lblSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      converged = lblSum == prevSum
+      prevSum = lblSum
+      prev.unpersist() // no-op on the (unpersisted) initial labels
+      labels = next
+      iters += 1
+    }
+    edges.unpersist() // labels is materialized; downstream reads it alone
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not reach its fixpoint in $iters rounds — " +
+        "graph diameter exceeds the iteration cap; raise it or inspect the edge set")
+    labels
+  }
+
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = synchronized {
     clusterLabels.foreach(_.unpersist(false))
     val docs = t(spark, dir, "documents")
@@ -467,41 +517,9 @@ object LlmOpsExt {
         col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
     val chain = spark.createDataFrame(Seq((0L, 1L), (1L, 2L))).toDF("s", "t")
-    val fwd = eq.unionByName(chain)
-    // persist the edge set: every propagation round joins against it, and
-    // without caching each round would recompute the docs self-join
-    val edges = fwd.unionByName(fwd.select(col("t").as("s"), col("s").as("t"))).distinct()
-      .persist()
-    var labels = edges.select(col("s").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    // Convergence via the label-sum invariant: min-label propagation only
-    // ever DECREASES a node's label, so Σlbl is strictly decreasing until
-    // the fixpoint — one cheap aggregate action per round instead of a
-    // prev⋈next comparison join.
-    var prevSum = Long.MinValue
-    var converged = false
-    var iters = 0
-    while (!converged && iters < 20) {
-      val prev = labels
-      val viaEdge = edges.join(labels, edges("s") === labels("node"))
-        .select(col("t").as("node"), col("lbl"))
-      val next = labels.unionByName(viaEdge)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-      next.persist() // cut the per-round lineage; freed once the round ends
-      val lblSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
-      converged = lblSum == prevSum
-      prevSum = lblSum
-      prev.unpersist() // no-op on the (unpersisted) initial labels
-      labels = next
-      iters += 1
-    }
-    edges.unpersist() // labels is materialized; the final sort reads it alone
-    // a capped-out loop means partially-propagated (WRONG) cluster ids —
-    // fail loudly rather than return them (a dup graph with diameter > 20
-    // means the edge extraction produced chains, not near-clique clusters)
-    if (!converged) throw new IllegalStateException(
-      s"dedup_cluster: label propagation did not reach its fixpoint in $iters rounds — " +
-        "dup-graph diameter exceeds the iteration cap; raise it or inspect the edge set")
+    // dup clusters are near-cliques: diameter > 20 means the edge
+    // extraction produced chains, not clusters — fail loudly (in the throw)
+    val labels = propagateMinLabels(eq.unionByName(chain), maxIters = 20)
     clusterLabels = Some(labels)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id").asc)

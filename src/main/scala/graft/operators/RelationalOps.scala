@@ -374,9 +374,13 @@ object RelationalOps {
     val out = fs.create(tmp, true)
     out.write("v2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    fs.delete(ptr, false)
-    if (!fs.rename(tmp, ptr)) // the ATOMIC publish step
-      throw new IllegalStateException(s"commit failed: could not publish $ptr")
+    // the ATOMIC publish step: overwrite-rename via FileContext — unlike
+    // delete+rename there is no window where _CURRENT doesn't resolve
+    // (FileSystem.rename can't overwrite; FileContext's Rename.OVERWRITE
+    // is the API table formats use for exactly this swap)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     val in = fs.open(ptr)
     val current = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     in.close()

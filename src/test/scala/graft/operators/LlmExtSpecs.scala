@@ -180,4 +180,30 @@ class LlmExtSpecs extends SparkTestBase {
 
   // multimodal_decode pins moved to MultimodalSpec (real BMP/WAV codec
   // goldens + end-to-end determinism).
+
+  test("label propagation: diameter-30 chain converges (periodic localCheckpoint truncates lineage)") {
+    import spark.implicits._
+    // a 31-node path graph — worst case for min-label propagation: the
+    // label crosses one hop per round, so this needs ~30 rounds and
+    // exercises the every-5th-round lineage checkpoint repeatedly; plus a
+    // disjoint 3-clique that must keep its own label
+    val chain = (0L until 30L).map(i => (i + 1000L, i + 1001L))
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val labels = LlmOpsExt.propagateMinLabels(
+      (chain ++ clique).toDF("s", "t"), maxIters = 40).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1000L to 1030L).foreach(n => assert(labels(n) == 1000L,
+      s"chain node $n got label ${labels(n)}"))
+    (1L to 3L).foreach(n => assert(labels(n) == 1L))
+    assert(labels.size == 34)
+  }
+
+  test("label propagation: exceeding the iteration cap throws, never returns partial labels") {
+    import spark.implicits._
+    val chain = (0L until 12L).map(i => (i, i + 1)) // diameter 12 > cap 5
+    val e = intercept[IllegalStateException] {
+      LlmOpsExt.propagateMinLabels(chain.toDF("s", "t"), maxIters = 5).collect()
+    }
+    assert(e.getMessage.contains("did not reach its fixpoint"))
+  }
 }
