@@ -191,7 +191,33 @@ object ScalarFns {
       .orderBy(col("event_id").asc)
   }
 
+  /** Spark 4 VARIANT family (r6): semi-structured JSON as the binary
+    * variant type — `parse_json` once, then typed `variant_get` path
+    * extraction; a missing path is NULL, not an error (`try_variant_get`
+    * covers type mismatches). At 100 TB this is the open-schema column
+    * pattern: the variant encodes once at ingest and every downstream
+    * path read is a cheap binary probe, not a JSON re-parse (and parquet
+    * shredding can push the hot paths to columnar). The nested probe
+    * re-encodes a constructed document to exercise array indexing. All
+    * outputs are plain types so the DuckDB JSON oracle matches. */
+  def fVariant(spark: SparkSession, dir: String): DataFrame = {
+    val v = parse_json(col("props"))
+    t(spark, dir, "events")
+      .filter(col("event_id") % 6 === 0)
+      .select(
+        col("event_id"),
+        variant_get(v, "$.k", "bigint").as("k"),
+        variant_get(v, "$.k", "string").as("k_str"),
+        variant_get(parse_json(concat(lit("{\"a\":{\"b\":["),
+            variant_get(v, "$.k", "bigint"), lit(",2,3]}}"))),
+          "$.a.b[0]", "bigint").as("nested0"),
+        variant_get(v, "$.missing", "string").as("missing"),
+        is_variant_null(try_variant_get(v, "$.k", "variant")).as("k_is_json_null"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_variant" -> (fVariant _),
     "f_network" -> (fNetwork _),
     "f_interval" -> (fInterval _),
     "f_regex" -> (fRegex _),
@@ -206,6 +232,16 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_variant" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS k,
+        |  props->>'$.k' AS k_str,
+        |  CAST(json_extract('{"a":{"b":[' || (props->>'$.k') || ',2,3]}}',
+        |                    '$.a.b[0]') AS BIGINT) AS nested0,
+        |  props->>'$.missing' AS missing,
+        |  (json_extract(props, '$.k') = 'null') AS k_is_json_null
+        |FROM events WHERE event_id % 6 = 0
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "f_network" ->
       """WITH e AS (SELECT event_id, user_id & 4294967295 AS ip FROM events)
         |SELECT event_id,

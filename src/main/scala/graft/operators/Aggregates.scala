@@ -281,6 +281,130 @@ object Aggregates {
       |ORDER BY total_qty DESC NULLS LAST, o_orderkey ASC NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q7 shape through the SQL front-end (r6): cross-nation shipping
+    * volume — a 6-table snowflake where the interesting predicate is the
+    * symmetric two-nation DISJUNCTION over the two nation dims. Both
+    * nation joins broadcast (25 rows each); the disjunction can't be
+    * pushed into either scan, so it runs as a post-join filter before the
+    * (supp_nation, cust_nation, year) rollup — exactly how the real Q7
+    * plans. Revenue is the exact-decimal sum rounded pre-double. */
+  def sqlTpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "customer", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(Q7Sql)
+  }
+
+  private val Q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(round(sum(volume), 2) AS DOUBLE) AS revenue,
+      |  count(1) AS n_rows
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+      |  l_year ASC NULLS FIRST""".stripMargin
+
+  /** TPC-H Q8 shape through the SQL front-end (r6): national market share
+    * — the deepest join in the suite (7 tables, nation joined TWICE under
+    * different roles), with the share computed as a conditional sum over
+    * the full sum. Exact decimal sums on both sides; the division runs in
+    * double and grid-snaps, so 1000-executor summation order can't move
+    * the digits. Region/part predicates prune before the fact probe. */
+  def sqlTpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(Q8Sql)
+  }
+
+  private val Q8Sql =
+    """SELECT o_year,
+      |  floor(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+      |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE) * 10000 + 0.5) / 10000 AS mkt_share,
+      |  count(1) AS n_rows
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem  ON p_partkey = l_partkey
+      |  JOIN supplier  ON s_suppkey = l_suppkey
+      |  JOIN orders    ON l_orderkey = o_orderkey
+      |  JOIN customer  ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region    ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year ASC NULLS FIRST""".stripMargin
+
+  /** TPC-H Q19 shape through the SQL front-end (r6): the discounted
+    * revenue of three DISJUNCTIVE (brand, size-window, quantity-window)
+    * baskets — the classic OR-of-ANDs predicate. Catalyst extracts the
+    * common `p_partkey = l_partkey` equi-condition so the join stays a
+    * hash join with the disjunction as a residual filter (a naive engine
+    * degrades to a nested loop here); the p_brand IN superset-filter is
+    * pushed into the part scan. (The corpus carries no
+    * shipmode/shipinstruct — the conjuncts use its real columns.) */
+  def sqlTpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(Q19Sql)
+  }
+
+  private val Q19Sql =
+    """SELECT
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+      |  count(1) AS n_rows
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 5 AND 25
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 15 AND 40
+      |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** Recursive CTE through the SQL front-end (r6): Spark 4's
+    * `WITH RECURSIVE` (UnionLoop execution) on a deterministic doubling
+    * chain seeded from the 5 lowest customer keys — anchor + recursive
+    * step + fixpoint, the SQL-standard form of the iterative driver loop
+    * `dedup_cluster` hand-rolls. The per-root rollup joins the expanded
+    * closure back to `customer` to count which synthetic nodes hit real
+    * keys. Bounded: each chain is ~11 levels (k < 1500), so the loop
+    * materializes ~55 rows total — recursion depth scales with log of
+    * the bound, not table size. */
+  def sqlRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(RecursiveCteSql)
+  }
+
+  private val RecursiveCteSql =
+    """WITH RECURSIVE chain(root, k, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 5
+      |  UNION ALL
+      |  SELECT root, k * 2 + 1, depth + 1 FROM chain WHERE k * 2 + 1 < 1500
+      |)
+      |SELECT root, count(1) AS n_nodes, max(depth) AS max_depth,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  count(c_custkey) AS n_real_customers
+      |FROM chain LEFT JOIN customer ON k = c_custkey
+      |GROUP BY root
+      |ORDER BY root ASC NULLS FIRST""".stripMargin
+
   /** Pairwise correlation matrix (r5): all three correlations among
     * (quantity, price, discount) from ONE pass of exact decimal sums —
     * the feature-screening matrix, computed the `agg_stats` way
@@ -552,6 +676,10 @@ object Aggregates {
     "agg_bool" -> (aggBool _),
     "agg_corr_matrix" -> (aggCorrMatrix _),
     "sql_tpch_q4" -> (sqlTpchQ4 _),
+    "sql_tpch_q7" -> (sqlTpchQ7 _),
+    "sql_tpch_q8" -> (sqlTpchQ8 _),
+    "sql_tpch_q19" -> (sqlTpchQ19 _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
     "sql_scalar_subquery" -> (sqlScalarSubquery _),
     "agg_sort_fallback" -> (aggSortFallback _))
 
@@ -559,6 +687,10 @@ object Aggregates {
     "sql_tpch_q10" -> Q10Sql,
     "sql_tpch_q18" -> Q18Sql,
     "sql_tpch_q4" -> Q4Sql,
+    "sql_tpch_q7" -> Q7Sql,
+    "sql_tpch_q8" -> Q8Sql,
+    "sql_tpch_q19" -> Q19Sql,
+    "sql_recursive_cte" -> RecursiveCteSql,
     "sql_scalar_subquery" -> ScalarSubSql,
     "agg_corr_matrix" ->
       """WITH s AS (
