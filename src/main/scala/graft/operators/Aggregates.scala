@@ -405,6 +405,56 @@ object Aggregates {
       |GROUP BY root
       |ORDER BY root ASC NULLS FIRST""".stripMargin
 
+  /** TPC-H Q13 shape through the SQL front-end (r6): the customer order-
+    * count DISTRIBUTION — the double-aggregation idiom (aggregate, then
+    * aggregate the aggregate) over a LEFT join that must keep zero-order
+    * customers (count(o_orderkey) counts non-NULLs, so the preserved rows
+    * land in the c_count=0 bucket; an inner join would silently drop the
+    * most interesting bar of the histogram). The join-side predicate
+    * stands in for Q13's NOT LIKE comment filter: it must live in the ON
+    * clause — as a WHERE it would turn the outer join back into inner. */
+  def sqlTpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(Q13Sql)
+  }
+
+  private val Q13Sql =
+    """SELECT c_count, count(1) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin
+
+  /** TPC-H Q22 shape through the SQL front-end (r6): rich customers who
+    * never ordered — an uncorrelated scalar-subquery threshold (computed
+    * once, broadcast as a literal; division avoided by cross-multiplying
+    * exact sums, the `sql_scalar_subquery` device) combined with an
+    * anti-join (`NOT EXISTS` → left-anti). The corpus has no phone
+    * country codes, so the rollup keys on nationkey mod 5, and "never
+    * ordered" is scoped to the trailing year (every customer has SOME
+    * order in this corpus — Q22's 7-year-inactive analog). */
+  def sqlTpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(Q22Sql)
+  }
+
+  private val Q22Sql =
+    """SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntry,
+      |  count(1) AS numcust,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal * (SELECT count(1) FROM customer WHERE c_acctbal > 0.0) >
+      |  (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+      |GROUP BY cntry
+      |ORDER BY cntry ASC NULLS FIRST""".stripMargin
+
   /** Pairwise correlation matrix (r5): all three correlations among
     * (quantity, price, discount) from ONE pass of exact decimal sums —
     * the feature-screening matrix, computed the `agg_stats` way
@@ -678,7 +728,9 @@ object Aggregates {
     "sql_tpch_q4" -> (sqlTpchQ4 _),
     "sql_tpch_q7" -> (sqlTpchQ7 _),
     "sql_tpch_q8" -> (sqlTpchQ8 _),
+    "sql_tpch_q13" -> (sqlTpchQ13 _),
     "sql_tpch_q19" -> (sqlTpchQ19 _),
+    "sql_tpch_q22" -> (sqlTpchQ22 _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "sql_scalar_subquery" -> (sqlScalarSubquery _),
     "agg_sort_fallback" -> (aggSortFallback _))
@@ -689,7 +741,9 @@ object Aggregates {
     "sql_tpch_q4" -> Q4Sql,
     "sql_tpch_q7" -> Q7Sql,
     "sql_tpch_q8" -> Q8Sql,
+    "sql_tpch_q13" -> Q13Sql,
     "sql_tpch_q19" -> Q19Sql,
+    "sql_tpch_q22" -> Q22Sql,
     "sql_recursive_cte" -> RecursiveCteSql,
     "sql_scalar_subquery" -> ScalarSubSql,
     "agg_corr_matrix" ->

@@ -129,6 +129,34 @@ object StreamOps {
       .orderBy(col("user_id").asc, col("click_id").asc, col("view_id").asc)
   }
 
+  /** Stream-stream LEFT OUTER interval join (r6): every click, matched to
+    * the same user's views in the preceding 30 minutes, clicks with NO
+    * view surviving as NULL-padded rows — the attribution shape where
+    * "unmatched" is the interesting signal (organic traffic). In batch
+    * the result is the plain left join, aggregated per user so the NULL
+    * accounting is the output (the DuckDB oracle). The true streaming
+    * variant runs in StreamingSpec, which pins the outer-row contract: an
+    * unmatched click is HELD IN STATE and its NULL row emits only after
+    * the watermark passes the end of its join window — emitting earlier
+    * would be wrong (a matching view could still arrive). State stays
+    * bounded to the 30-minute window per key, same as the inner form. */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("c_ts"), "left_outer")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("view_id")).as("n_matched"),
+           countDistinct(col("click_id")).as("n_clicks"))
+      .orderBy(col("user_id").asc)
+  }
+
   /** Custom stateful operator via the typed KeyValueGroupedDataset API:
     * per-user running event count with mapGroupsWithState — the escape
     * hatch when built-in windows/dedup can't express the state machine.
@@ -392,6 +420,7 @@ object StreamOps {
     "stream_session" -> (streamSession _),
     "stream_watermark" -> (streamWatermark _),
     "stream_join" -> (streamJoin _),
+    "stream_join_outer" -> (streamJoinOuter _),
     "stream_custom_state" -> (streamCustomState _),
     "stream_transform_state" -> (streamTransformState _),
     "stream_flatmap_state" -> (streamFlatmapState _),
@@ -399,6 +428,17 @@ object StreamOps {
     "stream_dedup_state" -> (streamDedupState _))
 
   val oracle: Map[String, String] = Map(
+    "stream_join_outer" ->
+      """SELECT user_id, count(1) AS n_rows, count(view_id) AS n_matched,
+        |  count(DISTINCT click_id) AS n_clicks
+        |FROM (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+        |           FROM events WHERE event_type = 'view') v
+        |  ON user_id = v_user
+        | AND v_ts >= c_ts - INTERVAL 30 MINUTE AND v_ts <= c_ts
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "stream_transform_state" ->
       """SELECT user_id, count(1) AS n_events,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents

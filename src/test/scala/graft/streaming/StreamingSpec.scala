@@ -301,6 +301,43 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected && expected == Set((100L, 200L), (101L, 202L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: NULL row emits only after the watermark closes its window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val joined = clicks.toDF().toDF("user_id", "click_id", "c_ts")
+      .withWatermark("c_ts", "10 minutes")
+      .join(views.toDF().toDF("v_user", "view_id", "v_ts")
+              .withWatermark("v_ts", "10 minutes"),
+        expr("user_id = v_user AND v_ts >= c_ts - INTERVAL 30 MINUTES AND v_ts <= c_ts"),
+        "left_outer")
+    val q = joined.select($"click_id", $"view_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ljoin_out").start()
+    // batch 1: click 100 has a matching view; click 101 has none (yet?)
+    clicks.addData((1L, 100L, ts("2024-01-01 01:00:00")),
+                   (2L, 101L, ts("2024-01-01 01:00:00")))
+    views.addData((1L, 200L, ts("2024-01-01 00:50:00")))
+    q.processAllAvailable()
+    def rows() = spark.table("ljoin_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    // the matched row emits immediately; the unmatched click MUST NOT —
+    // a matching view could still arrive within its 30-minute window
+    assert(rows() == Set((100L, Some(200L))), rows())
+    // advance BOTH watermarks far past click 101's window, then nudge one
+    // more micro-batch so the state eviction (decided on watermark advance)
+    // actually runs
+    clicks.addData((9L, 900L, ts("2024-01-01 03:00:00")))
+    views.addData((9L, 901L, ts("2024-01-01 03:00:00")))
+    q.processAllAvailable()
+    clicks.addData((9L, 902L, ts("2024-01-01 03:30:00")))
+    views.addData((9L, 903L, ts("2024-01-01 03:30:00")))
+    q.processAllAvailable(); q.stop()
+    assert(rows().contains((101L, None)),
+      s"outer NULL row never emitted after watermark passed: ${rows()}")
+  }
+
   test("streaming sliding window assigns each event to 4 windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
