@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins the snapshot table format's commit protocol: manifest-scoped
+  * reads (orphan immunity), time travel, append reuse of parent files,
+  * and pointer resolution. */
+class TableFormatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshBase(name: String): String = {
+    val base = s"${graft.Tables.scratchDir}/$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  test("append commit reuses parent files; both versions stay readable (time travel)") {
+    val base = freshBase("tf_basic")
+    TableFormat.commit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 1, None)
+    TableFormat.commit(spark, base, Seq((3L, "c")).toDF("id", "v"), 2, Some(1))
+    assert(TableFormat.currentVersion(spark, base) == 2)
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 2)
+    assert(TableFormat.readSnapshot(spark, base).count() == 3) // pointer → v2
+    // v2's manifest NAMES v1's files (append moved no data)
+    val f1 = TableFormat.manifestFiles(spark, base, 1).toSet
+    val f2 = TableFormat.manifestFiles(spark, base, 2).toSet
+    assert(f1.subsetOf(f2) && f2.size > f1.size)
+  }
+
+  test("orphan data files are invisible: manifest-scoped read vs directory read") {
+    val base = freshBase("tf_orphan")
+    TableFormat.commit(spark, base, Seq((1L, "a")).toDF("id", "v"), 1, None)
+    // a failed/concurrent writer leaves an orphan under data/ — exactly
+    // what a directory-listing reader would wrongly pick up
+    Seq((99L, "orphan")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$base/data/c_failed_job")
+    val viaManifest = TableFormat.readSnapshot(spark, base).collect()
+    assert(viaManifest.map(_.getLong(0)).toSeq == Seq(1L),
+      "manifest read leaked an uncommitted file")
+    val viaDirectory = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/data").count()
+    assert(viaDirectory == 2, "test premise: the orphan IS on disk")
+  }
+
+  test("snapshot isolation: a reader's plan pinned to v1 is unaffected by a later commit") {
+    val base = freshBase("tf_iso")
+    TableFormat.commit(spark, base, Seq((1L, "a")).toDF("id", "v"), 1, None)
+    val pinned = TableFormat.readSnapshot(spark, base, Some(1)) // resolves files NOW
+    TableFormat.commit(spark, base, Seq((2L, "b")).toDF("id", "v"), 2, Some(1))
+    assert(pinned.count() == 1) // still v1's file list
+    assert(TableFormat.readSnapshot(spark, base).count() == 2)
+  }
+
+  test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
+    val out = TableFormat.tableTimetravel(spark, sfDir).collect()
+    assert(out.length == 2)
+    val byV = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val nAll = docs.count()
+    val even = docs.filter(col("doc_id") % 2 === 0)
+      .agg(count(lit(1)), sum(col("n_chars")).cast("long")).collect()(0)
+    assert(byV("v1") == ((even.getLong(0), even.getLong(1))))
+    assert(byV("v2")._1 == nAll)
+  }
+}
