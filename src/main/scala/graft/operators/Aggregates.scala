@@ -405,6 +405,24 @@ object Aggregates {
       |GROUP BY root
       |ORDER BY root ASC NULLS FIRST""".stripMargin
 
+  /** grouping()/grouping_id() over a cube (r6): the disambiguation
+    * functions every cube/rollup CONSUMER needs — a NULL group key is
+    * ambiguous ("the NULL value" vs "this key is rolled up") and
+    * grouping() is the only portable way to tell them apart; the composite
+    * grouping id is computed as 2·g(a)+g(b) portably (engine-native
+    * grouping_id() bit orders differ). Same Expand-based plan as
+    * `agg_cube`, one extra projected column. */
+  def aggGroupingId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+           grouping(col("o_orderstatus")).cast("int").as("g_st"),
+           (grouping(col("o_orderpriority")).cast("int") * 2 +
+             grouping(col("o_orderstatus")).cast("int")).as("gid"),
+           count(lit(1)).as("n"))
+      .orderBy(col("gid").asc, col("o_orderpriority").asc_nulls_first,
+               col("o_orderstatus").asc_nulls_first)
+
   /** TPC-H Q13 shape through the SQL front-end (r6): the customer order-
     * count DISTRIBUTION — the double-aggregation idiom (aggregate, then
     * aggregate the aggregate) over a LEFT join that must keep zero-order
@@ -723,6 +741,7 @@ object Aggregates {
     "sql_tpch_q10" -> (sqlTpchQ10 _),
     "sql_tpch_q18" -> (sqlTpchQ18 _),
     "agg_argmax" -> (aggArgmax _),
+    "agg_grouping_id" -> (aggGroupingId _),
     "agg_bool" -> (aggBool _),
     "agg_corr_matrix" -> (aggCorrMatrix _),
     "sql_tpch_q4" -> (sqlTpchQ4 _),
@@ -767,6 +786,17 @@ object Aggregates {
         |  floor((CAST(n AS DOUBLE) * spd - sp * sd) /
         |    (sqrt(CAST(n AS DOUBLE) * spp - sp * sp) * sqrt(CAST(n AS DOUBLE) * sdd - sd * sd)) * 10000 + 0.5) / 10000 AS corr_price_disc
         |FROM s""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) * 2
+        |    + CAST(GROUPING(o_orderstatus) AS INTEGER) AS gid,
+        |  count(1) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
     "agg_bool" ->
       """SELECT o_orderpriority,
         |  count(1) FILTER (WHERE o_totalprice > 100000) AS n_big,

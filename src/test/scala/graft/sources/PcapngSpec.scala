@@ -107,6 +107,24 @@ class PcapngSpec extends SparkTestBase {
     assert(PcapParser.parsePcapng(epb).isEmpty) // permissive: no section, no rows
   }
 
+  test("readStream.format(\"pcap\") picks up a .pcapng file rolling into the directory") {
+    val d = Files.createTempDirectory("pcapng-stream").toFile
+    Files.write(new java.io.File(d, "c00.pcap").toPath, PcapFixtures.goldenPcap)
+    val q = spark.readStream.format("pcap").load(d.getAbsolutePath)
+      .writeStream.format("memory").queryName("pcapng_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("pcapng_stream_out").count() == 12)
+    // a modern capture host rolls a pcapng file into the same directory
+    Files.write(new java.io.File(d, "c01.pcapng").toPath, PcapFixtures.goldenPcapng)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pcapng_stream_out")
+    assert(rows.count() == 24)
+    import org.apache.spark.sql.functions.col
+    assert(rows.filter(col("file").endsWith("c01.pcapng")).count() == 12)
+  }
+
   test("DSv2: .pcapng files read through format(\"pcap\"), mixed with legacy") {
     val d = Files.createTempDirectory("pcapng-dsv2").toFile
     Files.write(new java.io.File(d, "a.pcap").toPath, PcapFixtures.goldenPcap)
