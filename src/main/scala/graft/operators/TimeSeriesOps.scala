@@ -154,6 +154,53 @@ object TimeSeriesOps {
       .orderBy(col("minute").asc)
   }
 
+  /** Linear interpolation over series gaps (r6) — the step past
+    * `ts_fill_forward`'s LOCF: each missing minute gets
+    * prev + (next − prev) · Δt/ΔT from its nearest OBSERVED neighbors
+    * (IGNORE NULLS windows both directions; edges degrade to the one
+    * neighbor that exists). Time fractions are exact integer epoch
+    * seconds divided in double — both engines run the identical IEEE
+    * expression, and the result grid-snaps to 1e-4. Same two-window,
+    * one-sort shape as fill-forward: at 100 TB the windows partition by
+    * series key (one series here), so each series interpolates inside
+    * one task. */
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLast = Window.partitionBy(col("m"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val perMin = t(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .withColumn("m", date_trunc("minute", col("ts")))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("m"), col("value").as("v"))
+    val grid = perMin
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("m"))
+    val wPrev = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("m"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val mObs = when(col("v").isNotNull, col("m"))
+    grid.join(perMin, Seq("m"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pm", last(mObs, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nm", first(mObs, ignoreNulls = true).over(wNext))
+      .select(
+        date_format(col("m"), TsFmt).as("minute"),
+        col("v").isNotNull.as("observed"),
+        graft.Det.r4(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (unix_timestamp(col("m")) - unix_timestamp(col("pm"))).cast("double") /
+              (unix_timestamp(col("nm")) - unix_timestamp(col("pm"))).cast("double")))
+          .as("value"))
+      .orderBy(col("minute").asc)
+  }
+
   /** Gap-based sessionization: per user, a new session starts when the
     * inter-event gap exceeds 6 hours. The boundary flag comes from a
     * `lag` window, the session id from a running sum over the same
@@ -236,6 +283,7 @@ object TimeSeriesOps {
     "sessionize" -> (sessionize _),
     "ts_transitions" -> (tsTransitions _),
     "ts_fill_forward" -> (tsFillForward _),
+    "ts_interpolate" -> (tsInterpolate _),
     "funnel_stages" -> (funnelStages _),
     "retention_cohort" -> (retentionCohort _),
     "ts_downsample" -> (tsDownsample _),
@@ -307,6 +355,39 @@ object TimeSeriesOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS value
         |FROM g LEFT JOIN last_per_min USING (m)
         |ORDER BY minute ASC NULLS FIRST""".stripMargin,
+    "ts_interpolate" ->
+      """WITH last_per_min AS (
+        |  SELECT m, v FROM (
+        |    SELECT date_trunc('minute', ts) AS m, value AS v,
+        |      row_number() OVER (PARTITION BY date_trunc('minute', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |g AS (
+        |  SELECT unnest(generate_series((SELECT min(m) FROM last_per_min),
+        |                                (SELECT max(m) FROM last_per_min),
+        |                                INTERVAL 1 minute)) AS m),
+        |j AS (SELECT g.m, v FROM g LEFT JOIN last_per_min USING (m)),
+        |w AS (
+        |  SELECT m, v,
+        |    last_value(v IGNORE NULLS) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+        |    first_value(v IGNORE NULLS) OVER (ORDER BY m
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER (ORDER BY m
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+        |  FROM j)
+        |SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS minute,
+        |  (v IS NOT NULL) AS observed,
+        |  floor(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * CAST(epoch(m) - epoch(pm) AS DOUBLE)
+        |                        / CAST(epoch(nm) - epoch(pm) AS DOUBLE)
+        |  END * 10000 + 0.5) / 10000 AS value
+        |FROM w ORDER BY minute ASC NULLS FIRST""".stripMargin,
     "retention_cohort" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
