@@ -390,6 +390,31 @@ object RelationalOps {
     snap("v1").unionByName(snap(current)).orderBy(col("version").asc)
   }
 
+  /** XML roundtrip (r6): Spark 4's built-in XML data source (the donated
+    * spark-xml) — the interchange edge for feeds that still speak XML
+    * (financial/regulatory exports, sitemaps, legacy APIs). Sink with a
+    * rowTag, read back with an EXPLICIT schema (inference would cost a
+    * full extra scan at 100 TB, same rule as the CSV/JSONL edges), and
+    * aggregate; the oracle computes the same rollup on the source table,
+    * proving the roundtrip lossless. Multi-file parallelism: one task
+    * per XML part-file on both sides. */
+  def scanXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.Tables.scratchDir}/xml_roundtrip"
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .write.mode("overwrite").option("rowTag", "order").format("xml").save(out)
+    spark.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2)")
+      .option("rowTag", "order")
+      .format("xml").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc)
+  }
+
   /** Malformed-record handling on the CSV ingest edge (r5): the
     * PERMISSIVE-mode contract — schema-violating lines land with NULL
     * typed fields and the raw line preserved in `_corrupt_record`
@@ -434,6 +459,7 @@ object RelationalOps {
     "merge_upsert" -> (mergeUpsert _),
     "sink_compact" -> (sinkCompact _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
+    "scan_xml_roundtrip" -> (scanXmlRoundtrip _),
     "sink_partitioned" -> (sinkPartitioned _),
     "scan_parquet" -> (scanParquet _),
     "scan_json_col" -> (scanJsonCol _),
@@ -530,6 +556,12 @@ object RelationalOps {
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
+    "scan_xml_roundtrip" ->
+      """SELECT o_orderstatus, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
     "sink_partitioned" ->
       """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
         |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin,
