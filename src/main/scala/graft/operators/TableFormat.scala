@@ -56,28 +56,76 @@ object TableFormat {
     s
   }
 
+  /** One manifest entry: a data file plus optional (min, max) stats of
+    * the table's declared stats column — the file-skipping index. */
+  final case class ManifestEntry(path: String, lo: Option[Long], hi: Option[Long]) {
+    def line: String = s"$path\t${lo.fold("")(_.toString)}\t${hi.fold("")(_.toString)}"
+    /** Can this file possibly hold rows with statsCol in [qLo, qHi]? */
+    def mayMatch(qLo: Long, qHi: Long): Boolean = (lo, hi) match {
+      case (Some(l), Some(h)) => h >= qLo && l <= qHi
+      case _ => true // no stats recorded: must read
+    }
+  }
+  private object ManifestEntry {
+    def parse(line: String): ManifestEntry = line.split("\t", -1) match {
+      case Array(p, l, h) =>
+        ManifestEntry(p, if (l.isEmpty) None else Some(l.toLong),
+                         if (h.isEmpty) None else Some(h.toLong))
+      case other => ManifestEntry(other.head, None, None)
+    }
+  }
+
   /** Commit `df` as snapshot `version`. `parent = Some(v)` makes this an
     * APPEND commit (new manifest = v's files + the new ones); `None`
-    * starts the table (or replaces it wholesale). Returns the version. */
+    * starts the table (or replaces it wholesale). `statsCol` (a LONG
+    * column) records per-file min/max in the manifest — the file-skipping
+    * index `readSnapshotWhere` prunes on; the data is range-clustered on
+    * it first so file ranges are disjoint and skipping actually bites
+    * (production writers collect these stats task-side during the write;
+    * the one-pass read-back here stands in for that). Returns version. */
   def commit(spark: SparkSession, base: String, df: DataFrame, version: Int,
-             parent: Option[Int]): Int = {
+             parent: Option[Int], statsCol: Option[String] = None): Int = {
     val commitDir = s"$base/data/c$version"
-    df.write.mode("overwrite").parquet(commitDir)
+    val clustered = statsCol.fold(df)(c =>
+      df.repartitionByRange(math.max(2, spark.sparkContext.defaultParallelism / 8),
+        col(c)))
+    clustered.write.mode("overwrite").parquet(commitDir)
     val f = fs(spark, base)
     val newFiles = f.listStatus(new Path(commitDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
-    val parentFiles = parent.toSeq.flatMap(v => manifestFiles(spark, base, v))
+    val entries = statsCol match {
+      case None => newFiles.map(ManifestEntry(_, None, None))
+      case Some(c) =>
+        // input_file_name URIs and listStatus URIs can differ in scheme
+        // rendering — key the stats on the (per-directory-unique) filename
+        val stats = spark.read.parquet(commitDir)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+          .collect()
+          .map(r => r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        newFiles.map { p =>
+          stats.get(p.split('/').last)
+            .fold(ManifestEntry(p, None, None)) { case (l, h) =>
+              ManifestEntry(p, Some(l), Some(h)) }
+        }
+    }
+    val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
     writeFile(spark, s"$base/_manifests/v$version.manifest",
-      (parentFiles ++ newFiles).mkString("\n"))
+      (parentEntries ++ entries).map(_.line).mkString("\n"))
     writeFile(spark, s"$base/_CURRENT", version.toString) // atomic publish
     version
   }
 
+  /** The manifest entries (file + stats) of snapshot `version`. */
+  def manifestEntries(spark: SparkSession, base: String, version: Int): Seq[ManifestEntry] =
+    readFile(spark, s"$base/_manifests/v$version.manifest")
+      .split("\n").toSeq.filter(_.nonEmpty).map(ManifestEntry.parse)
+
   /** The data files snapshot `version` consists of. */
   def manifestFiles(spark: SparkSession, base: String, version: Int): Seq[String] =
-    readFile(spark, s"$base/_manifests/v$version.manifest")
-      .split("\n").toSeq.filter(_.nonEmpty)
+    manifestEntries(spark, base, version).map(_.path)
 
   def currentVersion(spark: SparkSession, base: String): Int =
     readFile(spark, s"$base/_CURRENT").trim.toInt
@@ -88,6 +136,43 @@ object TableFormat {
                    version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, base))
     spark.read.parquet(manifestFiles(spark, base, v): _*)
+  }
+
+  /** FILE SKIPPING — the reason table formats carry stats: resolve the
+    * manifest, drop every file whose recorded [min, max] of `statsCol`
+    * can't intersect [lo, hi], and plan ONLY the survivors (plus the
+    * exact row filter — stats prune files, they don't filter rows). At
+    * 100 TB with range-clustered commits a narrow predicate reads a
+    * handful of files instead of the table; files without stats are
+    * always read (correct, never fast-and-wrong). Returns the pruned
+    * DataFrame and the (filesRead, filesTotal) pair so callers — and
+    * TableFormatSpec — can see the skipping happen. */
+  def readSnapshotWhere(spark: SparkSession, base: String, statsCol: String,
+                        lo: Long, hi: Long,
+                        version: Option[Int] = None): (DataFrame, (Int, Int)) = {
+    val v = version.getOrElse(currentVersion(spark, base))
+    val entries = manifestEntries(spark, base, v)
+    val keep = entries.filter(_.mayMatch(lo, hi))
+    val df =
+      (if (keep.isEmpty) spark.read.parquet(entries.map(_.path): _*).limit(0)
+       else spark.read.parquet(keep.map(_.path): _*))
+        .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+    (df, (keep.size, entries.size))
+  }
+
+  /** Exactly-once streaming sink on the commit protocol: use the micro-
+    * batch id AS the snapshot version. A replayed batch (failure before
+    * the checkpoint advanced) finds its manifest already published and
+    * becomes a no-op — the manifest write IS the idempotence marker, so
+    * at-least-once delivery + idempotent commit = exactly-once table
+    * state. Wire it as `.foreachBatch(TableFormat.exactlyOnceBatch(base))`. */
+  def exactlyOnceBatch(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val version = batchId.toInt + 1 // manifests are 1-based
+    val marker = new Path(s"$base/_manifests/v$version.manifest")
+    if (fs(spark, base).exists(marker)) return // replayed batch: already committed
+    val parent = if (version == 1) None else Some(version - 1)
+    commit(spark, base, batch, version, parent)
   }
 
   /** `table_timetravel`: v1 = even docs; v2 = append of the odd docs
@@ -110,10 +195,34 @@ object TableFormat {
       .orderBy(col("version").asc)
   }
 
+  /** `table_fileskip`: orders committed range-clustered on o_orderkey
+    * with per-file stats; a narrow key-range read plans only the files
+    * whose stats intersect (TableFormatSpec pins filesRead < filesTotal)
+    * and the oracle recomputes the aggregate from the source. */
+  def tableFileskip(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/skip_table"
+    fs(spark, base).delete(new Path(base), true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    commit(spark, base, orders, 1, parent = None, statsCol = Some("o_orderkey"))
+    val (df, _) = readSnapshotWhere(spark, base, "o_orderkey", 1000L, 2000L)
+    df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "table_timetravel" -> (tableTimetravel _))
+    "table_timetravel" -> (tableTimetravel _),
+    "table_fileskip" -> (tableFileskip _))
 
   val oracle: Map[String, String] = Map(
+    "table_fileskip" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "table_timetravel" ->
       """SELECT 'v1' AS version, count(1) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -54,6 +54,52 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readSnapshot(spark, base).count() == 2)
   }
 
+  test("file skipping: stats prune files, results equal the unpruned filter") {
+    val base = freshBase("tf_skip")
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val (df, (read, total)) = TableFormat.readSnapshotWhere(spark, base, "k", 100L, 300L)
+    assert(total >= 2, s"test premise: range clustering must emit several files, got $total")
+    assert(read < total, s"no files skipped: read $read of $total")
+    assert(df.count() == 201) // stats prune FILES; the row filter is exact
+    // an out-of-domain range reads nothing
+    val (dfNone, (read0, _)) = TableFormat.readSnapshotWhere(spark, base, "k", 900000L, 900001L)
+    assert(read0 == 0 && dfNone.count() == 0)
+  }
+
+  test("files without stats are always read (correct, never fast-and-wrong)") {
+    val base = freshBase("tf_nostats")
+    TableFormat.commit(spark, base, Seq((1L, "a"), (500L, "b")).toDF("k", "v"), 1, None)
+    val (df, (read, total)) = TableFormat.readSnapshotWhere(spark, base, "k", 0L, 10L)
+    assert(read == total, "stats-less files must never be skipped")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("exactly-once sink: a replayed micro-batch is a no-op commit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = freshBase("tf_once")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch(TableFormat.exactlyOnceBatch(base) _)
+      .outputMode("append").start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(TableFormat.readSnapshot(spark, base).count() == 3)
+    // simulate an at-least-once redelivery of batch 1 (failure before the
+    // checkpoint advanced): same batchId, same data — must change nothing
+    TableFormat.exactlyOnceBatch(base)(Seq((3L, "c")).toDF("k", "v"), 1L)
+    assert(TableFormat.currentVersion(spark, base) == 2)
+    assert(TableFormat.readSnapshot(spark, base).count() == 3,
+      "replayed batch duplicated rows")
+    // a genuinely NEW batch still lands
+    TableFormat.exactlyOnceBatch(base)(Seq((4L, "d")).toDF("k", "v"), 2L)
+    assert(TableFormat.readSnapshot(spark, base).count() == 4)
+  }
+
   test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
     val out = TableFormat.tableTimetravel(spark, sfDir).collect()
     assert(out.length == 2)
