@@ -390,6 +390,25 @@ object RelationalOps {
     snap("v1").unionByName(snap(current)).orderBy(col("version").asc)
   }
 
+  /** Spark 4 `Dataset.transpose` (r6): rows ↔ columns on a small metrics
+    * table — the report-shaping step after aggregation (per-flag metrics
+    * as columns). Transpose is driver-materializing BY DESIGN (column
+    * names come from data), so the contract is: aggregate FIRST to a
+    * bounded |groups| × |metrics| table, transpose the tiny result —
+    * never a raw table. Values go through string rendering (transpose
+    * unifies column types to the least common type). */
+  def relTranspose(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("string").as("n_rows"),
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"),
+           countDistinct(col("l_orderkey")).cast("string").as("n_orders"))
+      .orderBy(col("l_returnflag").asc)
+    metrics.transpose(col("l_returnflag"))
+      .withColumnRenamed("key", "metric")
+      .orderBy(col("metric").asc)
+  }
+
   /** XML roundtrip (r6): Spark 4's built-in XML data source (the donated
     * spark-xml) — the interchange edge for feeds that still speak XML
     * (financial/regulatory exports, sitemaps, legacy APIs). Sink with a
@@ -460,6 +479,7 @@ object RelationalOps {
     "sink_compact" -> (sinkCompact _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "scan_xml_roundtrip" -> (scanXmlRoundtrip _),
+    "rel_transpose" -> (relTranspose _),
     "sink_partitioned" -> (sinkPartitioned _),
     "scan_parquet" -> (scanParquet _),
     "scan_json_col" -> (scanJsonCol _),
@@ -556,6 +576,23 @@ object RelationalOps {
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
+    "rel_transpose" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(1) AS VARCHAR) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+        |    CAST(count(DISTINCT l_orderkey) AS VARCHAR) AS n_orders
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT metric,
+        |  max(CASE WHEN l_returnflag = 'A' THEN v END) AS "A",
+        |  max(CASE WHEN l_returnflag = 'N' THEN v END) AS "N",
+        |  max(CASE WHEN l_returnflag = 'R' THEN v END) AS "R"
+        |FROM (
+        |  SELECT l_returnflag, 'n_rows' AS metric, n_rows AS v FROM m
+        |  UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM m
+        |  UNION ALL SELECT l_returnflag, 'n_orders', n_orders FROM m) u
+        |GROUP BY metric
+        |ORDER BY metric ASC NULLS FIRST""".stripMargin,
     "scan_xml_roundtrip" ->
       """SELECT o_orderstatus, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
