@@ -133,7 +133,10 @@ object MediaCodec {
   }
 
   /** Strict 24bpp BMP parser (BI_RGB only — the layout encodeBmp writes and
-    * the overwhelmingly common uncompressed case). */
+    * the overwhelmingly common uncompressed case). All bounds arithmetic
+    * runs in Long: a hostile header (width ≈ 2^30, giant pixOff) must hit
+    * the named requires below, never an Int overflow that slips past them
+    * into a negative-size allocation or a multi-GB Array. */
   def decodeBmp(bytes: Array[Byte]): BmpImage = {
     require(bytes.length >= 54, s"bmp: truncated header (${bytes.length} bytes)")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -149,11 +152,14 @@ object MediaCodec {
     require(rawHeight != 0, "bmp: zero height")
     require(bpp == 24, s"bmp: unsupported bpp $bpp (only 24)")
     require(compression == 0, s"bmp: unsupported compression $compression (only BI_RGB)")
+    require(pixOff >= 54 && pixOff <= bytes.length,
+      s"bmp: pixel-data offset $pixOff outside [54, ${bytes.length}]")
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
-    val stride = bmpRowStride(width)
-    require(bytes.length >= pixOff + stride * height,
-      s"bmp: truncated pixel data (need ${pixOff + stride * height}, have ${bytes.length})")
+    val strideL = (width.toLong * 3 + 3) & ~3L
+    require(pixOff + strideL * height <= bytes.length,
+      s"bmp: truncated pixel data (need ${pixOff + strideL * height}, have ${bytes.length})")
+    val stride = strideL.toInt // fits: bounded by bytes.length above
     val pixels = new Array[Int](width * height)
     var row = 0
     while (row < height) {
@@ -204,25 +210,28 @@ object MediaCodec {
       new String(bytes, off, 4, "US-ASCII")
     require(fourCC(0) == "RIFF", "wav: bad magic (expected RIFF)")
     require(fourCC(8) == "WAVE", "wav: not a WAVE file")
-    var off = 12
+    // chunk walk in Long: a hostile size (e.g. 0x7ffffff8) must hit the
+    // named overrun require, never wrap Int and walk off backwards
+    var off = 12L
     var sampleRate = -1; var channels = -1; var bits = -1
-    var dataOff = -1; var dataLen = -1
+    var dataOff = -1L; var dataLen = -1
     while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
-      val id = fourCC(off)
-      val sz = buf.getInt(off + 4)
-      require(sz >= 0 && off + 8 + sz <= bytes.length, s"wav: chunk '$id' overruns file")
+      val id = fourCC(off.toInt)
+      val sz = buf.getInt(off.toInt + 4).toLong & 0xffffffffL // u32 size
+      require(off + 8 + sz <= bytes.length, s"wav: chunk '$id' overruns file")
       id match {
         case "fmt " =>
           require(sz >= 16, s"wav: fmt chunk too small ($sz)")
-          val fmt = buf.getShort(off + 8).toInt
+          val o = off.toInt
+          val fmt = buf.getShort(o + 8).toInt
           require(fmt == 1, s"wav: unsupported audio format $fmt (only PCM)")
-          channels = buf.getShort(off + 10).toInt
-          sampleRate = buf.getInt(off + 12)
-          bits = buf.getShort(off + 22).toInt
+          channels = buf.getShort(o + 10).toInt
+          sampleRate = buf.getInt(o + 12)
+          bits = buf.getShort(o + 22).toInt
           require(bits == 16, s"wav: unsupported bit depth $bits (only 16)")
           require(channels >= 1, s"wav: bad channel count $channels")
         case "data" =>
-          dataOff = off + 8; dataLen = sz
+          dataOff = off + 8; dataLen = sz.toInt // fits: bounded by file length
         case _ => // skip unknown chunk (word-aligned)
       }
       off += 8 + sz + (sz & 1)
@@ -232,7 +241,7 @@ object MediaCodec {
     val n = dataLen / 2
     val samples = new Array[Short](n)
     var i = 0
-    while (i < n) { samples(i) = buf.getShort(dataOff + i * 2); i += 1 }
+    while (i < n) { samples(i) = buf.getShort(dataOff.toInt + i * 2); i += 1 }
     WavAudio(sampleRate, channels, bits, samples)
   }
 }

@@ -362,28 +362,15 @@ object RelationalOps {
     * output reads BOTH the pinned old version and the pointer-resolved
     * current one. */
   def sinkVersioned(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val base = s"${graft.Tables.scratchDir}/versioned"
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
     docs.filter(col("doc_id") % 2 === 0)
       .write.mode("overwrite").parquet(s"$base/v1")
     docs.write.mode("overwrite").parquet(s"$base/v2")
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"$base/_CURRENT.tmp")
-    val ptr = new Path(s"$base/_CURRENT")
-    val out = fs.create(tmp, true)
-    out.write("v2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    // the ATOMIC publish step: overwrite-rename via FileContext — unlike
-    // delete+rename there is no window where _CURRENT doesn't resolve
-    // (FileSystem.rename can't overwrite; FileContext's Rename.OVERWRITE
-    // is the API table formats use for exactly this swap)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    val in = fs.open(ptr)
-    val current = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    in.close()
+    // the ATOMIC publish step: tmp + overwrite-rename, the single shared
+    // implementation of the pointer protocol (TableFormat.writeFile)
+    TableFormat.writeFile(spark, s"$base/_CURRENT", "v2")
+    val current = TableFormat.readFile(spark, s"$base/_CURRENT")
     def snap(version: String) = spark.read.parquet(s"$base/$version")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .select(lit(version).as("version"), col("n_docs"), col("sum_chars"))

@@ -39,7 +39,11 @@ object TableFormat {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writeFile(spark: SparkSession, path: String, body: String): Unit = {
+  /** Atomic small-file publish: write to a sibling tmp, then ONE
+    * overwrite-rename (no delete window). Shared by the manifest/pointer
+    * writes here and by RelationalOps.sinkVersioned — the protocol must
+    * have exactly one implementation. */
+  private[operators] def writeFile(spark: SparkSession, path: String, body: String): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)
@@ -49,7 +53,7 @@ object TableFormat {
     fc.rename(tmp, new Path(path), Options.Rename.OVERWRITE)
   }
 
-  private def readFile(spark: SparkSession, path: String): String = {
+  private[operators] def readFile(spark: SparkSession, path: String): String = {
     val in = fs(spark, path).open(new Path(path))
     val s = new String(in.readAllBytes(), StandardCharsets.UTF_8)
     in.close()
@@ -163,14 +167,24 @@ object TableFormat {
   /** Exactly-once streaming sink on the commit protocol: use the micro-
     * batch id AS the snapshot version. A replayed batch (failure before
     * the checkpoint advanced) finds its manifest already published and
-    * becomes a no-op — the manifest write IS the idempotence marker, so
-    * at-least-once delivery + idempotent commit = exactly-once table
-    * state. Wire it as `.foreachBatch(TableFormat.exactlyOnceBatch(base))`. */
+    * skips the data write — the manifest write IS the idempotence marker,
+    * so at-least-once delivery + idempotent commit = exactly-once table
+    * state. The replay path still REPAIRS the pointer: a crash between
+    * the manifest write and the `_CURRENT` write would otherwise leave a
+    * fully-committed snapshot invisible forever if no later batch comes.
+    * Wire it as `.foreachBatch(TableFormat.exactlyOnceBatch(base))`. */
   def exactlyOnceBatch(base: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val version = batchId.toInt + 1 // manifests are 1-based
     val marker = new Path(s"$base/_manifests/v$version.manifest")
-    if (fs(spark, base).exists(marker)) return // replayed batch: already committed
+    if (fs(spark, base).exists(marker)) {
+      // replayed batch: data is committed; finish the pointer publish if
+      // the crash landed between the two writes
+      val cur = try currentVersion(spark, base) catch { case _: java.io.IOException => 0 }
+      if (cur < version)
+        writeFile(spark, s"$base/_CURRENT", version.toString)
+      return
+    }
     val parent = if (version == 1) None else Some(version - 1)
     commit(spark, base, batch, version, parent)
   }

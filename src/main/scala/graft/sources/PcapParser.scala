@@ -294,6 +294,7 @@ object PcapParser {
       private var swapped = false
       private var inSection = false
       private val unitsPerSec = scala.collection.mutable.ArrayBuffer.empty[Long]
+      private val snapLens = scala.collection.mutable.ArrayBuffer.empty[Long]
       private var pending: Packet = null
       private var exhausted = false
 
@@ -322,6 +323,7 @@ object PcapParser {
           }
           inSection = true
           unitsPerSec.clear()
+          snapLens.clear()
         } else if (!inSection) {
           if (strict) fail("pcapng: first block is not a section header")
           return null
@@ -341,6 +343,10 @@ object PcapParser {
             // linktype u16 + reserved u16 + snaplen u32, then options
             unitsPerSec += (if (bodyEnd - body >= 8)
               idbUnitsPerSec(bytes, body + 8, bodyEnd, swapped) else 1000000L)
+            // snaplen 0 means "no limit" per the spec
+            snapLens += (if (bodyEnd - body >= 8) {
+              val s = u32(body + 4); if (s == 0) Long.MaxValue else s
+            } else Long.MaxValue)
             advance()
           case EpbType =>
             if (bodyEnd - body < 20) {
@@ -370,7 +376,13 @@ object PcapParser {
               return null
             }
             val origLen = u32(body)
-            val take = math.min(origLen, (bodyEnd - body - 4).toLong).toInt
+            // spec: SPB captured length = min(orig_len, interface 0's
+            // snaplen) — the block body is padded to 4 bytes, so without
+            // the snaplen bound a snaplen-truncated packet would absorb
+            // its pad bytes as frame data
+            val snap = if (snapLens.nonEmpty) snapLens(0) else Long.MaxValue
+            val take = math.min(math.min(origLen, snap),
+              (bodyEnd - body - 4).toLong).toInt
             val data = java.util.Arrays.copyOfRange(bytes, body + 4, body + 4 + take)
             val p = decodeRecord(idx, data, 0L, origLen, wants) // SPB: no timestamp
             idx += 1

@@ -208,9 +208,15 @@ class PlanAuditSpec extends SparkTestBase {
       // over a bloom_filter_agg of the dim keys
       assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
         s"engine did not inject a runtime bloom filter:\n$opt")
-      // the filter only removes non-joining rows: results match the plain join
-      val plain = ScaleJoins.joinBloomPrefilter(spark, sfDir) // 1-URGENT variant
-      assert(df.collect().nonEmpty && plain.collect().nonEmpty)
+      // the runtime filter may only REMOVE non-joining rows: the injected
+      // plan's result must equal the same query with the rule disabled
+      val withFilter = df.collect().map(_.toString).sorted.toSeq
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = ScaleJoins.joinBloomNative(spark, sfDir)
+      assert(!without.queryExecution.optimizedPlan.toString.contains("might_contain"))
+      val plainRows = without.collect().map(_.toString).sorted.toSeq
+      assert(withFilter.nonEmpty && withFilter == plainRows,
+        s"runtime filter changed results:\n$withFilter\nvs\n$plainRows")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)

@@ -100,6 +100,22 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readSnapshot(spark, base).count() == 4)
   }
 
+  test("exactly-once sink repairs a crash between manifest and pointer writes") {
+    import spark.implicits._
+    val base = freshBase("tf_repair")
+    TableFormat.exactlyOnceBatch(base)(Seq((1L, "a")).toDF("k", "v"), 0L) // v1
+    TableFormat.exactlyOnceBatch(base)(Seq((2L, "b")).toDF("k", "v"), 1L) // v2
+    // simulate the crash window: v2's manifest exists but _CURRENT still
+    // points at v1 (the commit died between its two metadata writes)
+    TableFormat.writeFile(spark, s"$base/_CURRENT", "1")
+    assert(TableFormat.currentVersion(spark, base) == 1)
+    // the replay must finish the publish — not skip it — or v2's rows
+    // stay invisible forever when no later batch arrives
+    TableFormat.exactlyOnceBatch(base)(Seq((2L, "b")).toDF("k", "v"), 1L)
+    assert(TableFormat.currentVersion(spark, base) == 2)
+    assert(TableFormat.readSnapshot(spark, base).count() == 2)
+  }
+
   test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
     val out = TableFormat.tableTimetravel(spark, sfDir).collect()
     assert(out.length == 2)

@@ -42,6 +42,28 @@ class PcapngSpec extends SparkTestBase {
     assert(rows.head.mm_ts.isEmpty)            // ±300 s window anchored at 0
   }
 
+  test("SPB honors the IDB snaplen: block pad bytes don't extend the frame") {
+    val frame = PcapFixtures.goldenFrames.head._1 // 42B eth+ipv4+udp
+    val out = new ByteArrayOutputStream()
+    out.write(PcapFixtures.pcapngShb(LE))
+    val idb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    idb.putShort(1).putShort(0).putInt(37) // snaplen 37: cuts the UDP ports
+    out.write(PcapFixtures.pcapngBlock(1, idb.array(), LE))
+    // SPB: orig_len 42, 37 captured bytes, 3 block-alignment pad bytes
+    val spb = java.nio.ByteBuffer.allocate(4 + 37).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    spb.putInt(frame.length).put(frame.take(37))
+    out.write(PcapFixtures.pcapngBlock(3, spb.array(), LE))
+    val rows = PcapParser.parseFile(out.toByteArray).toVector
+    assert(rows.size == 1)
+    val p = rows.head
+    assert(p.len.contains(42L) && p.protocol.contains("UDP"))
+    // captured = min(orig_len, snaplen) per the spec: the pad bytes must
+    // NOT count as frame data, so the 4-byte port read at offset 34 is
+    // out of bounds of the 37 captured bytes → NULL (with the pad leaked
+    // in, take would be 40 and the ports would wrongly decode)
+    assert(p.src_port.isEmpty && p.dst_port.isEmpty)
+  }
+
   test("unknown block types between IDB and EPBs are skipped") {
     val out = new ByteArrayOutputStream()
     out.write(PcapFixtures.pcapngShb(LE))
