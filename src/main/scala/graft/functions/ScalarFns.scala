@@ -216,7 +216,26 @@ object ScalarFns {
       .orderBy(col("event_id").asc)
   }
 
+  /** ANSI-safe arithmetic family (r6): `try_add` / `try_divide` /
+    * `try_to_number` return NULL where strict ANSI arithmetic raises
+    * (overflow, ÷0, malformed input) — the error-handling posture a
+    * 100 TB pipeline needs: one poisoned row must NULL out, not kill a
+    * 6-hour job; the NULLs stay countable next to the data (same policy
+    * as the CSV corrupt-record column and the pcap permissive mode). */
+  def fTryArith(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("event_id") % 6 === 0)
+      .select(
+        col("event_id"),
+        try_divide(col("value"), col("event_id") % 3).as("div_maybe0"),
+        try_add(col("event_id"), lit(Long.MaxValue)).as("add_overflow"),
+        try_to_number(
+          when(col("event_id") % 4 === 0, format_string("%d", col("event_id")))
+            .otherwise(lit("not-a-number")), lit("999999999")).as("parsed"))
+      .orderBy(col("event_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_try_arith" -> (fTryArith _),
     "f_variant" -> (fVariant _),
     "f_network" -> (fNetwork _),
     "f_interval" -> (fInterval _),
@@ -232,6 +251,16 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_try_arith" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |       ELSE value / (event_id % 3) END AS div_maybe0,
+        |  CASE WHEN event_id > 0 THEN NULL
+        |       ELSE 9223372036854775807 END AS add_overflow,
+        |  CASE WHEN event_id % 4 = 0 THEN CAST(event_id AS DECIMAL(9,0))
+        |       ELSE NULL END AS parsed
+        |FROM events WHERE event_id % 6 = 0
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "f_variant" ->
       """SELECT event_id,
         |  CAST(props->>'$.k' AS BIGINT) AS k,

@@ -473,6 +473,27 @@ object Aggregates {
       |GROUP BY cntry
       |ORDER BY cntry ASC NULLS FIRST""".stripMargin
 
+  /** LATERAL correlated subquery in FROM (r6): per-order top-2 lineitems
+    * — "for each row, run this parameterized subquery" as SQL-standard
+    * syntax. Catalyst decorrelates the LIMIT-bearing lateral into a rank
+    * window over one join (DecorrelateInnerQuery), so the per-row
+    * subquery costs one shuffle, not |orders| probes — the same plan
+    * `topk_per_group` builds by hand. */
+  def sqlLateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(LateralSql)
+  }
+
+  private val LateralSql =
+    """SELECT o_orderkey, l.l_linenumber, l.l_quantity
+      |FROM orders o,
+      |LATERAL (SELECT l_linenumber, l_quantity FROM lineitem
+      |         WHERE l_orderkey = o.o_orderkey
+      |         ORDER BY l_quantity DESC, l_linenumber ASC LIMIT 2) l
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+      |  l_quantity DESC NULLS LAST""".stripMargin
+
   /** Pairwise correlation matrix (r5): all three correlations among
     * (quantity, price, discount) from ONE pass of exact decimal sums —
     * the feature-screening matrix, computed the `agg_stats` way
@@ -751,6 +772,7 @@ object Aggregates {
     "sql_tpch_q19" -> (sqlTpchQ19 _),
     "sql_tpch_q22" -> (sqlTpchQ22 _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "sql_lateral_join" -> (sqlLateralJoin _),
     "sql_scalar_subquery" -> (sqlScalarSubquery _),
     "agg_sort_fallback" -> (aggSortFallback _))
 
@@ -764,6 +786,7 @@ object Aggregates {
     "sql_tpch_q19" -> Q19Sql,
     "sql_tpch_q22" -> Q22Sql,
     "sql_recursive_cte" -> RecursiveCteSql,
+    "sql_lateral_join" -> LateralSql,
     "sql_scalar_subquery" -> ScalarSubSql,
     "agg_corr_matrix" ->
       """WITH s AS (
