@@ -473,6 +473,41 @@ object Aggregates {
       |GROUP BY cntry
       |ORDER BY cntry ASC NULLS FIRST""".stripMargin
 
+  /** TPC-H Q1 through the SQL front-end (r6): THE canonical pricing
+    * summary — completes the corpus-expressible TPC-H set (13 of 22;
+    * the other nine need partsupp/shipmode columns the corpus lacks).
+    * All sums exact DECIMAL (the two-factor and three-factor products
+    * widen to DECIMAL(38,6) identically in both engines) rounded before
+    * the double cast; averages computed from exact sums and the BIGINT
+    * count in double, grid-snapped — never engine `avg()`, whose
+    * internal accumulator type differs. One map-side-combined agg,
+    * 4 groups out at any scale. */
+  def sqlTpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(Q1Sql)
+  }
+
+  private val Q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+      |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(1) * 10000 + 0.5) / 10000 AS avg_qty,
+      |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(1) * 10000 + 0.5) / 10000 AS avg_price,
+      |  floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(1) * 10000 + 0.5) / 10000 AS avg_disc,
+      |  count(1) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** LATERAL correlated subquery in FROM (r6): per-order top-2 lineitems
     * — "for each row, run this parameterized subquery" as SQL-standard
     * syntax. Catalyst decorrelates the LIMIT-bearing lateral into a rank
@@ -662,6 +697,44 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Mergeable COUNT-MIN sketches (r6) — the frequency-estimate
+    * counterpart of `agg_sketch_merge`'s HLL distinct counts: each "site"
+    * (even/odd orderkey halves) builds a compact CMS over the priority
+    * stream independently; only the ~KB sketches move; the merged sketch
+    * answers point-frequency queries with a ONE-SIDED error bound
+    * (CMS only ever over-counts, by ≤ ε·N with the chosen confidence).
+    * Fixed seed → deterministic. The driver-side merge is two KB-sized
+    * binaries (same bounded pattern as the IVF codebook); output pairs
+    * each exact count with its estimate and the bound verdict, which the
+    * spec (not an oracle — engine sketch) pins. */
+  def aggCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val orders = t(spark, dir, "orders")
+    val sketches = (0 to 1).map { m =>
+      val bin = orders
+        .filter(pmod(col("o_orderkey"), lit(2)) === m)
+        .agg(count_min_sketch(col("o_orderpriority"),
+          lit(0.001), lit(0.99), lit(42)).as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bin))
+    }
+    val merged = sketches.reduce((a, b) => { a.mergeInPlace(b); a })
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_exact"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = exact.map(_._2).sum
+    val rows = exact.map { case (p, n) =>
+      // the SQL agg inserts strings as their UTF-8 bytes; String estimates
+      // hash the same byte sequence (UTF8String itself is unsupported)
+      val est = merged.estimateCount(p)
+      (p, n, est, est >= n && est <= n + math.ceil(0.001 * total).toLong)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("o_orderpriority", "n_exact", "n_est", "within_bound")
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   /** Fixed-width value histogram (r4): bin = floor(value / 10) — one
     * map-side-combined hash agg, |bins| rows shuffled at any input size;
     * binning in the SAME IEEE division both engines evaluate keeps the
@@ -745,6 +818,7 @@ object Aggregates {
     "agg_mode" -> (aggMode _),
     "agg_histogram" -> (aggHistogram _),
     "agg_sketch_merge" -> (aggSketchMerge _),
+    "agg_count_min" -> (aggCountMin _),
     "agg_stats" -> (aggStats _),
     "agg_hash" -> (aggHash _),
     "agg_distinct" -> (aggDistinct _),
@@ -755,6 +829,7 @@ object Aggregates {
     "agg_percentile" -> (aggPercentile _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_pivot" -> (aggPivot _),
+    "sql_tpch_q1" -> (sqlTpchQ1 _),
     "sql_tpch_q3" -> (sqlTpchQ3 _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
     "sql_tpch_q6" -> (sqlTpchQ6 _),
@@ -780,6 +855,7 @@ object Aggregates {
     "sql_tpch_q10" -> Q10Sql,
     "sql_tpch_q18" -> Q18Sql,
     "sql_tpch_q4" -> Q4Sql,
+    "sql_tpch_q1" -> Q1Sql,
     "sql_tpch_q7" -> Q7Sql,
     "sql_tpch_q8" -> Q8Sql,
     "sql_tpch_q13" -> Q13Sql,

@@ -40,6 +40,21 @@ class OperatorSpecs extends SparkTestBase {
     }
   }
 
+  test("agg_count_min: merged per-site CMS estimates are one-sided within eps*N") {
+    val rows = Aggregates.aggCountMin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_exact")).sum
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))
+      // CMS NEVER under-counts, and over-counts by at most eps*N (w.h.p.;
+      // deterministic here — fixed seed, fixed data)
+      assert(est >= exact, s"CMS under-counted ${r.getString(0)}: $est < $exact")
+      assert(est <= exact + math.ceil(0.001 * total).toLong,
+        s"CMS over-counted past eps*N for ${r.getString(0)}")
+      assert(r.getAs[Boolean]("within_bound"))
+    }
+  }
+
   test("sink_compact: 64 fragment files collapse to <=2 without row loss") {
     val n = RelationalOps.sinkCompact(spark, sfDir)
       .agg(sum(col("n"))).collect()(0).getLong(0)
