@@ -227,11 +227,24 @@ object ScalarFns {
       .filter(col("event_id") % 6 === 0)
       .select(
         col("event_id"),
-        try_divide(col("value"), col("event_id") % 3).as("div_maybe0"),
+        // r7: divisor `event_id % 4` VARIES within the `% 6 === 0` filter
+        // (6→2, 12→0, 18→2, …) so BOTH the ÷0→NULL path and the real
+        // quotient path are exercised (r6's `% 3` was always 0 under the
+        // filter — the success branch was never tested). The non-zero
+        // divisor is always 2 (a power of two), so the double division is
+        // binary-exact — no rounding needed, and none wanted: round()
+        // half-up vs half-even ties differ between engines.
+        try_divide(col("value"), col("event_id") % 4).as("div_maybe0"),
         try_add(col("event_id"), lit(Long.MaxValue)).as("add_overflow"),
+        // r7: CAST to BIGINT — try_to_number yields DECIMAL(9,0), which
+        // Spark writes as an INT32-backed parquet decimal while DuckDB
+        // materializes decimal128; equal values, different bytes, hash
+        // mismatch. Boring-type rule: oracle outputs are
+        // bigint/string/date/rounded-double only.
         try_to_number(
           when(col("event_id") % 4 === 0, format_string("%d", col("event_id")))
-            .otherwise(lit("not-a-number")), lit("999999999")).as("parsed"))
+            .otherwise(lit("not-a-number")), lit("999999999"))
+          .cast("bigint").as("parsed"))
       .orderBy(col("event_id").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -253,11 +266,11 @@ object ScalarFns {
   val oracle: Map[String, String] = Map(
     "f_try_arith" ->
       """SELECT event_id,
-        |  CASE WHEN event_id % 3 = 0 THEN NULL
-        |       ELSE value / (event_id % 3) END AS div_maybe0,
+        |  CASE WHEN event_id % 4 = 0 THEN NULL
+        |       ELSE value / (event_id % 4) END AS div_maybe0,
         |  CASE WHEN event_id > 0 THEN NULL
         |       ELSE 9223372036854775807 END AS add_overflow,
-        |  CASE WHEN event_id % 4 = 0 THEN CAST(event_id AS DECIMAL(9,0))
+        |  CASE WHEN event_id % 4 = 0 THEN CAST(event_id AS BIGINT)
         |       ELSE NULL END AS parsed
         |FROM events WHERE event_id % 6 = 0
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,

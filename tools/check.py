@@ -4,9 +4,10 @@ query's parquet dump from Verify, run its oracle SQL in DuckDB over the
 same SF dir, sort columns by name, compare row-by-row.  Usage:
     python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, math, sys
+import glob, json, math, sys
 import duckdb
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -26,6 +27,32 @@ def type_sig(t):
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{type_sig(t.value_type)}>"
     return str(t)
+
+def physical_lint(out_dir, name):
+    """r7: the driver's hash is PHYSICAL-byte sensitive — equal logical
+    values stored as INT32-backed parquet decimal (Spark) vs decimal128
+    (DuckDB) hash differently (the r6 f_try_arith failure; r5's HUGEINT
+    was the same class one level up). Read the Spark parquet FOOTER and
+    flag any physical/logical type outside the boring whitelist
+    (int32/int64/double/boolean/string/binary/date/timestamp + lists):
+    any DECIMAL annotation or INT96 fails here even when the arrow
+    logical compare would pass."""
+    bad = []
+    for f in glob.glob(f"{out_dir}/{name}/*.parquet"):
+        sch = pq.ParquetFile(f).schema
+        for i in range(len(sch)):
+            col = sch.column(i)
+            lt = str(col.logical_type)
+            if col.physical_type == "INT96" or lt.startswith("Decimal"):
+                bad.append((col.path, col.physical_type, lt))
+    return bad
+
+def oracle_type_lint(schema):
+    """Flag oracle outputs whose arrow type is outside the boring-type
+    whitelist (SURVEY determinism rule): decimals (incl. DuckDB HUGEINT
+    = decimal128(38,0)) will never byte-match Spark's encoding."""
+    return [(f.name, str(f.type)) for f in schema
+            if pa.types.is_decimal(f.type)]
 
 def norm(v):
     if isinstance(v, float):
@@ -69,6 +96,15 @@ def main(sf_dir, out_dir, only):
             fails.append(name)
             for c, te, tg in type_bad:
                 print(f"FAIL {name}: col {c} type: oracle={te} spark={tg}")
+            continue
+        phys_bad = physical_lint(out_dir, name)
+        orc_bad = oracle_type_lint(exp_arrow.schema)
+        if phys_bad or orc_bad:
+            fails.append(name)
+            for p, pt, lt in phys_bad:
+                print(f"FAIL {name}: exotic PHYSICAL type in spark parquet: {p} {pt} {lt}")
+            for c, t in orc_bad:
+                print(f"FAIL {name}: oracle col {c} is {t} — cast to BIGINT/DOUBLE (boring-type rule)")
             continue
         if len(exp) != len(got):
             fails.append(name)
