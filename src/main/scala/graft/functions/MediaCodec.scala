@@ -155,10 +155,15 @@ object MediaCodec {
     require(pixOff >= 54 && pixOff <= bytes.length,
       s"bmp: pixel-data offset $pixOff outside [54, ${bytes.length}]")
     val bottomUp = rawHeight > 0
-    val height = math.abs(rawHeight)
+    // abs in LONG: math.abs(Int.MinValue) stays negative in Int, which
+    // would flip strideL*height negative and sail past the truncation
+    // require below (then NegativeArraySizeException or a malformed
+    // zero-pixel image instead of the contractual named require).
+    val heightL = math.abs(rawHeight.toLong)
     val strideL = (width.toLong * 3 + 3) & ~3L
-    require(pixOff + strideL * height <= bytes.length,
-      s"bmp: truncated pixel data (need ${pixOff + strideL * height}, have ${bytes.length})")
+    require(pixOff + strideL * heightL <= bytes.length,
+      s"bmp: truncated pixel data (need ${pixOff + strideL * heightL}, have ${bytes.length})")
+    val height = heightL.toInt // fits: strideL >= 4, so heightL <= bytes.length / 4
     val stride = strideL.toInt // fits: bounded by bytes.length above
     val pixels = new Array[Int](width * height)
     var row = 0

@@ -3,8 +3,9 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import graft.Tables
 
 /** Snapshot table format (r6) — `sink_versioned`'s atomic pointer grown
@@ -87,8 +88,37 @@ object TableFormat {
     * it first so file ranges are disjoint and skipping actually bites
     * (production writers collect these stats task-side during the write;
     * the one-pass read-back here stands in for that). Returns version. */
+  /** Manifest header lines (r7). `#schema` records the table schema so an
+    * EMPTY snapshot (empty first commit, or a delete that drops every
+    * file) still reads back as a typed empty DataFrame instead of
+    * "unable to infer schema" from a zero-path parquet scan. `#txn`
+    * records the (appId, batchId) of a streaming commit — the
+    * exactly-once replay check keys on BOTH, like Delta's txn marker:
+    * version alone would make a fresh-checkpoint restart (batchId back
+    * to 0) silently drop new data. */
+  private val SchemaPrefix = "#schema\t"
+  private val TxnPrefix = "#txn\t"
+
+  private def manifestHeader(spark: SparkSession, base: String, version: Int,
+                             prefix: String): Option[String] =
+    readFile(spark, s"$base/_manifests/v$version.manifest")
+      .split("\n").find(_.startsWith(prefix)).map(_.substring(prefix.length))
+
+  /** The schema snapshot `version` was committed with. */
+  def manifestSchema(spark: SparkSession, base: String, version: Int): Option[StructType] =
+    manifestHeader(spark, base, version, SchemaPrefix)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  private def emptySnapshot(spark: SparkSession, base: String, version: Int): DataFrame = {
+    val schema = manifestSchema(spark, base, version).getOrElse(
+      throw new IllegalStateException(
+        s"table $base v$version: empty manifest with no recorded schema"))
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+  }
+
   def commit(spark: SparkSession, base: String, df: DataFrame, version: Int,
-             parent: Option[Int], statsCol: Option[String] = None): Int = {
+             parent: Option[Int], statsCol: Option[String] = None,
+             txn: Option[(String, Long)] = None): Int = {
     val commitDir = s"$base/data/c$version"
     val clustered = statsCol.fold(df)(c =>
       df.repartitionByRange(math.max(2, spark.sparkContext.defaultParallelism / 8),
@@ -116,8 +146,10 @@ object TableFormat {
         }
     }
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
+    val header = Seq(SchemaPrefix + df.schema.json) ++
+      txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
     writeFile(spark, s"$base/_manifests/v$version.manifest",
-      (parentEntries ++ entries).map(_.line).mkString("\n"))
+      (header ++ (parentEntries ++ entries).map(_.line)).mkString("\n"))
     writeFile(spark, s"$base/_CURRENT", version.toString) // atomic publish
     version
   }
@@ -125,7 +157,8 @@ object TableFormat {
   /** The manifest entries (file + stats) of snapshot `version`. */
   def manifestEntries(spark: SparkSession, base: String, version: Int): Seq[ManifestEntry] =
     readFile(spark, s"$base/_manifests/v$version.manifest")
-      .split("\n").toSeq.filter(_.nonEmpty).map(ManifestEntry.parse)
+      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(ManifestEntry.parse)
 
   /** The data files snapshot `version` consists of. */
   def manifestFiles(spark: SparkSession, base: String, version: Int): Seq[String] =
@@ -139,7 +172,9 @@ object TableFormat {
   def readSnapshot(spark: SparkSession, base: String,
                    version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, base))
-    spark.read.parquet(manifestFiles(spark, base, v): _*)
+    val files = manifestFiles(spark, base, v)
+    if (files.isEmpty) emptySnapshot(spark, base, v)
+    else spark.read.parquet(files: _*)
   }
 
   /** FILE SKIPPING — the reason table formats carry stats: resolve the
@@ -158,7 +193,7 @@ object TableFormat {
     val entries = manifestEntries(spark, base, v)
     val keep = entries.filter(_.mayMatch(lo, hi))
     val df =
-      (if (keep.isEmpty) spark.read.parquet(entries.map(_.path): _*).limit(0)
+      (if (keep.isEmpty) emptySnapshot(spark, base, v)
        else spark.read.parquet(keep.map(_.path): _*))
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     (df, (keep.size, entries.size))
@@ -172,21 +207,40 @@ object TableFormat {
     * state. The replay path still REPAIRS the pointer: a crash between
     * the manifest write and the `_CURRENT` write would otherwise leave a
     * fully-committed snapshot invisible forever if no later batch comes.
-    * Wire it as `.foreachBatch(TableFormat.exactlyOnceBatch(base))`. */
-  def exactlyOnceBatch(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    *
+    * r7: replay detection keys on the (appId, batchId) TXN MARKER in the
+    * manifest header, not the version number alone — a restart with a
+    * FRESH checkpoint (batchId back to 0) against an existing table, or
+    * a second query writing to the same base, finds v1.manifest present
+    * but with a FOREIGN txn and fails loudly instead of silently
+    * dropping its data (Delta's txn marker keys on (appId, version) for
+    * exactly this reason). `appId` defaults per-table; pass the
+    * checkpoint-scoped query name when several streams share a base.
+    * Wire it as `.foreachBatch(TableFormat.exactlyOnceBatch(base) _)`. */
+  def exactlyOnceBatch(base: String, appId: String = "stream")(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val version = batchId.toInt + 1 // manifests are 1-based
     val marker = new Path(s"$base/_manifests/v$version.manifest")
     if (fs(spark, base).exists(marker)) {
-      // replayed batch: data is committed; finish the pointer publish if
-      // the crash landed between the two writes
-      val cur = try currentVersion(spark, base) catch { case _: java.io.IOException => 0 }
-      if (cur < version)
-        writeFile(spark, s"$base/_CURRENT", version.toString)
+      manifestHeader(spark, base, version, TxnPrefix) match {
+        case Some(t) if t == s"$appId\t$batchId" =>
+          // genuine replay: data is committed; finish the pointer publish
+          // if the crash landed between the two writes
+          val cur = try currentVersion(spark, base) catch { case _: java.io.IOException => 0 }
+          if (cur < version)
+            writeFile(spark, s"$base/_CURRENT", version.toString)
+        case other =>
+          throw new IllegalStateException(
+            s"table $base v$version exists with txn=${other.getOrElse("<none>")}, " +
+              s"not ($appId, $batchId) — NOT a replay of this query; refusing to " +
+              "drop the batch (fresh checkpoint against an existing table, or a " +
+              "second stream writing to the same base?)")
+      }
       return
     }
     val parent = if (version == 1) None else Some(version - 1)
-    commit(spark, base, batch, version, parent)
+    commit(spark, base, batch, version, parent, txn = Some((appId, batchId)))
   }
 
   /** `table_timetravel`: v1 = even docs; v2 = append of the odd docs

@@ -375,6 +375,13 @@ object PcapParser {
               if (strict) fail(s"pcapng: SPB at byte ${body - 8} too small")
               return null
             }
+            // spec (§4.4): packet blocks may only follow an IDB in their
+            // section; an SPB with no interface declared would otherwise
+            // fall back to an unbounded snaplen — mirror the EPB
+            // undeclared-interface check in strict mode
+            if (strict && snapLens.isEmpty)
+              fail(s"pcapng: SPB packet $idx before any interface " +
+                "description block in its section")
             val origLen = u32(body)
             // spec: SPB captured length = min(orig_len, interface 0's
             // snaplen) — the block body is padded to 4 bytes, so without

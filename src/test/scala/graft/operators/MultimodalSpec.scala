@@ -67,6 +67,16 @@ class MultimodalSpec extends SparkTestBase {
       MediaCodec.decodeBmp(MediaCodec.encodeBmp(4, 4, (_, _) => 0).take(60))
     }
     assert(truncated.getMessage.contains("truncated pixel data"))
+    // height = Int.MinValue: math.abs stays negative in Int, which would
+    // turn the bounds product negative and slip past the require — the
+    // Long-domain abs must keep this on the named-require path
+    val bmp = MediaCodec.encodeBmp(4, 4, (_, _) => 0)
+    java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    val minHeight = intercept[IllegalArgumentException] {
+      MediaCodec.decodeBmp(bmp)
+    }
+    assert(minHeight.getMessage.contains("truncated pixel data"))
   }
 
   test("wav golden: PCM16 roundtrip with hand-computed RMS") {

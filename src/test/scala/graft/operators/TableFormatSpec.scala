@@ -116,6 +116,39 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readSnapshot(spark, base).count() == 2)
   }
 
+  test("exactly-once sink refuses a FOREIGN txn at an existing version (fresh checkpoint)") {
+    val base = freshBase("tf_txn")
+    TableFormat.exactlyOnceBatch(base)(Seq((1L, "a")).toDF("k", "v"), 0L) // v1
+    // restart with a FRESH checkpoint: batchId resets to 0 against the
+    // same table — version matches, txn doesn't; silently treating this
+    // as a replay would drop genuinely new data
+    val e = intercept[IllegalStateException] {
+      TableFormat.exactlyOnceBatch(base, appId = "restarted")(
+        Seq((9L, "z")).toDF("k", "v"), 0L)
+    }
+    assert(e.getMessage.contains("NOT a replay"))
+    // the original snapshot is untouched
+    assert(TableFormat.readSnapshot(spark, base).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("empty manifest reads back as a typed empty DataFrame (schema header)") {
+    val base = freshBase("tf_empty")
+    TableFormat.commit(spark, base, Seq.empty[(Long, String)].toDF("k", "v"), 1, None)
+    // force the zero-file case regardless of how Spark writes empty DFs:
+    // strip any data-file lines, keep the header
+    val m = TableFormat.readFile(spark, s"$base/_manifests/v1.manifest")
+    TableFormat.writeFile(spark, s"$base/_manifests/v1.manifest",
+      m.split("\n").filter(_.startsWith("#")).mkString("\n"))
+    val df = TableFormat.readSnapshot(spark, base)
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("k", "long"), ("v", "string")))
+    assert(df.count() == 0)
+    // the stats-pruned read path hits the same guard when every file is skipped
+    val (dfW, (read, _)) = TableFormat.readSnapshotWhere(spark, base, "k", 0L, 10L)
+    assert(read == 0 && dfW.count() == 0)
+  }
+
   test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
     val out = TableFormat.tableTimetravel(spark, sfDir).collect()
     assert(out.length == 2)

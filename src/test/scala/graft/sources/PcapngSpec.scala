@@ -105,6 +105,20 @@ class PcapngSpec extends SparkTestBase {
     assert(PcapParser.parseFile(out.toByteArray).size == 1)
   }
 
+  test("strict: SPB before any IDB in its section is an error (spec: IDB first)") {
+    val out = new ByteArrayOutputStream()
+    out.write(PcapFixtures.pcapngShb(LE))
+    out.write(PcapFixtures.pcapngSpb(PcapFixtures.goldenFrames(7)._1, LE))
+    val e = intercept[PcapParser.PcapFormatException] {
+      PcapParser.parseFile(out.toByteArray, strict = true,
+        name = "spb-first.pcapng").toVector
+    }
+    assert(e.getMessage.contains("spb-first.pcapng"))
+    assert(e.getMessage.contains("before any interface"))
+    // permissive keeps the record with the no-snaplen fallback
+    assert(PcapParser.parseFile(out.toByteArray).size == 1)
+  }
+
   test("strict: block overrunning the file names the capture; permissive salvages prefix") {
     val good = PcapFixtures.goldenPcapng
     val cut = good.take(good.length - 7) // slice into the last EPB
