@@ -116,19 +116,17 @@ object TableFormat {
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
   }
 
-  def commit(spark: SparkSession, base: String, df: DataFrame, version: Int,
-             parent: Option[Int], statsCol: Option[String] = None,
-             txn: Option[(String, Long)] = None): Int = {
-    val commitDir = s"$base/data/c$version"
-    val clustered = statsCol.fold(df)(c =>
-      df.repartitionByRange(math.max(2, spark.sparkContext.defaultParallelism / 8),
-        col(c)))
-    clustered.write.mode("overwrite").parquet(commitDir)
+  /** Write `df` into `commitDir` and return its manifest entries, with
+    * per-file min/max of `statsCol` when one is declared. Shared by
+    * append commits and delete-rewrites. */
+  private def writeDataFiles(spark: SparkSession, base: String, commitDir: String,
+                             df: DataFrame, statsCol: Option[String]): Seq[ManifestEntry] = {
+    df.write.mode("overwrite").parquet(commitDir)
     val f = fs(spark, base)
     val newFiles = f.listStatus(new Path(commitDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
-    val entries = statsCol match {
+    statsCol match {
       case None => newFiles.map(ManifestEntry(_, None, None))
       case Some(c) =>
         // input_file_name URIs and listStatus URIs can differ in scheme
@@ -145,13 +143,96 @@ object TableFormat {
               ManifestEntry(p, Some(l), Some(h)) }
         }
     }
-    val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
-    val header = Seq(SchemaPrefix + df.schema.json) ++
+  }
+
+  private def writeManifest(spark: SparkSession, base: String, version: Int,
+                            schemaJson: String, entries: Seq[ManifestEntry],
+                            txn: Option[(String, Long)]): Int = {
+    val header = Seq(SchemaPrefix + schemaJson) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
     writeFile(spark, s"$base/_manifests/v$version.manifest",
-      (header ++ (parentEntries ++ entries).map(_.line)).mkString("\n"))
+      (header ++ entries.map(_.line)).mkString("\n"))
     writeFile(spark, s"$base/_CURRENT", version.toString) // atomic publish
     version
+  }
+
+  def commit(spark: SparkSession, base: String, df: DataFrame, version: Int,
+             parent: Option[Int], statsCol: Option[String] = None,
+             txn: Option[(String, Long)] = None,
+             clusterFiles: Option[Int] = None): Int = {
+    val nFiles = clusterFiles.getOrElse(
+      math.max(2, spark.sparkContext.defaultParallelism / 8))
+    val clustered = statsCol.fold(df)(c => df.repartitionByRange(nFiles, col(c)))
+    val entries = writeDataFiles(spark, base, s"$base/data/c$version", clustered, statsCol)
+    val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
+    writeManifest(spark, base, version, df.schema.json, parentEntries ++ entries, txn)
+  }
+
+  /** DELETE commit (r7): remove every row with `statsCol` in [lo, hi] as
+    * a NEW snapshot — the parent's data files are never modified, so time
+    * travel to the pre-delete version stays intact. File-level semantics
+    * exactly like Delta/Iceberg's copy-on-write delete:
+    *  - files whose stats range lies fully inside [lo, hi] are simply
+    *    DROPPED from the new manifest (no IO at all);
+    *  - files that straddle the range are REWRITTEN without the matching
+    *    rows into this commit's directory;
+    *  - files that can't contain matching rows carry over untouched.
+    * At 100 TB a range delete therefore costs IO proportional to the
+    * straddling files only — with range-clustered commits that is O(1)
+    * files per range edge, not a table rewrite. Returns the new version. */
+  def deleteWhere(spark: SparkSession, base: String, statsCol: String,
+                  lo: Long, hi: Long): Int = {
+    val v = currentVersion(spark, base)
+    val version = v + 1
+    val entries = manifestEntries(spark, base, v)
+    val (touched, untouched) = entries.partition(_.mayMatch(lo, hi))
+    val (dropped, straddling) = touched.partition(e =>
+      e.lo.exists(_ >= lo) && e.hi.exists(_ <= hi))
+    val _ = dropped // named for clarity: fully-covered files just vanish from the manifest
+    val rewritten =
+      if (straddling.isEmpty) Seq.empty
+      else writeDataFiles(spark, base, s"$base/data/c$version",
+        spark.read.parquet(straddling.map(_.path): _*)
+          .filter(!(col(statsCol) >= lo && col(statsCol) <= hi)),
+        Some(statsCol))
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    writeManifest(spark, base, version, schemaJson, untouched ++ rewritten, txn = None)
+  }
+
+  /** VACUUM (r7): physically delete every data file under `base/data`
+    * that no RETAINED manifest references — superseded files from delete
+    * commits and orphans from failed writers alike — then drop the
+    * non-retained manifests themselves. Time travel to retained versions
+    * is untouched; non-retained versions become unreadable (that is the
+    * point: without GC a format that never rewrites data accumulates
+    * dead files forever). `retain` must include the current version.
+    * Returns (filesDeleted, filesKept). */
+  def vacuum(spark: SparkSession, base: String, retain: Seq[Int]): (Int, Int) = {
+    val cur = currentVersion(spark, base)
+    require(retain.contains(cur),
+      s"vacuum must retain the current version $cur (got ${retain.mkString(",")})")
+    val f = fs(spark, base)
+    val referenced = retain.flatMap(v => manifestFiles(spark, base, v))
+      .map(p => new Path(p).toUri.getPath).toSet
+    var deleted = 0
+    var kept = 0
+    val it = f.listFiles(new Path(s"$base/data"), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        if (referenced.contains(st.getPath.toUri.getPath)) kept += 1
+        else { f.delete(st.getPath, false); deleted += 1 }
+      }
+    }
+    f.listStatus(new Path(s"$base/_manifests")).foreach { st =>
+      val n = st.getPath.getName // vN.manifest
+      if (n.startsWith("v") && n.endsWith(".manifest")) {
+        val ver = n.stripPrefix("v").stripSuffix(".manifest").toIntOption
+        if (ver.exists(!retain.contains(_))) f.delete(st.getPath, false)
+      }
+    }
+    (deleted, kept)
   }
 
   /** The manifest entries (file + stats) of snapshot `version`. */
@@ -280,11 +361,43 @@ object TableFormat {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** `table_delete`: v1 = orders range-clustered on o_orderkey; v2 =
+    * `deleteWhere` o_orderkey ∈ [1000, 2000] (files fully inside the
+    * range dropped manifest-only, straddling files rewritten). Output:
+    * per-version aggregates — v1 via time travel (the pre-delete
+    * snapshot must stay intact), v2 via the pointer; the oracle
+    * recomputes both from the source table. */
+  def tableDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/del_table"
+    fs(spark, base).delete(new Path(base), true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    commit(spark, base, orders, 1, parent = None, statsCol = Some("o_orderkey"))
+    deleteWhere(spark, base, "o_orderkey", 1000L, 2000L)
+    def snap(label: String, version: Option[Int]) =
+      readSnapshot(spark, base, version)
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .select(lit(label).as("version"), col("n"), col("sum_price"))
+    snap("v1", Some(1)).unionByName(snap("v2", None))
+      .orderBy(col("version").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_timetravel" -> (tableTimetravel _),
+    "table_delete" -> (tableDelete _),
     "table_fileskip" -> (tableFileskip _))
 
   val oracle: Map[String, String] = Map(
+    "table_delete" ->
+      """SELECT 'v1' AS version, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |UNION ALL
+        |SELECT 'v2', count(1),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2000
+        |ORDER BY version ASC NULLS FIRST""".stripMargin,
     "table_fileskip" ->
       """SELECT o_orderpriority, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

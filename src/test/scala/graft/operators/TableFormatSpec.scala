@@ -149,6 +149,77 @@ class TableFormatSpec extends SparkTestBase {
     assert(read == 0 && dfW.count() == 0)
   }
 
+  private def parquetFiles(base: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/data")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = f.listFiles(p, true)
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += st.getPath.toUri.getPath
+    }
+    out.toSet
+  }
+
+  test("delete commit: covered files drop manifest-only, straddlers rewritten, v1 intact") {
+    val base = freshBase("tf_delete")
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"),
+      clusterFiles = Some(8))
+    val entries = TableFormat.manifestEntries(spark, base, 1).sortBy(_.lo)
+    assert(entries.size >= 4, "test premise: several range-clustered files")
+    // range chosen from the ACTUAL file boundaries so all three classes
+    // occur: entries(1) straddles, entries(2) is fully covered (dropped
+    // manifest-only), entries(0) and the tail carry over untouched
+    val delLo = entries(1).lo.get + 1
+    val delHi = entries(2).hi.get
+    assert(TableFormat.deleteWhere(spark, base, "k", delLo, delHi) == 2)
+    val v1Files = entries.map(_.path).toSet
+    val v2Files = TableFormat.manifestFiles(spark, base, 2).toSet
+    // exact surviving rows, through the pointer
+    val kept = TableFormat.readSnapshot(spark, base)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 4000L).filterNot(k => k >= delLo && k <= delHi).toSet)
+    // time travel: the pre-delete snapshot still reads in full
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 4000)
+    // the fully-covered file left the manifest with NO rewrite, and its
+    // data file is untouched on disk (time travel still needs it)
+    assert(!v2Files.contains(entries(2).path))
+    assert(parquetFiles(base).contains(
+      new org.apache.hadoop.fs.Path(entries(2).path).toUri.getPath))
+    // untouched files carry over by reference (no table rewrite)
+    assert(v2Files.contains(entries(0).path))
+    // the straddler was rewritten into a NEW file
+    assert(!v2Files.contains(entries(1).path))
+    assert((v2Files -- v1Files).nonEmpty)
+  }
+
+  test("vacuum physically deletes superseded + orphan files; retained snapshot reads") {
+    val base = freshBase("tf_vacuum")
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    TableFormat.deleteWhere(spark, base, "k", 0L, 1999L) // v2
+    Seq((99999L, "orphan")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/data/c_failed") // planted orphan
+    val before = parquetFiles(base)
+    val v2Files = TableFormat.manifestFiles(spark, base, 2)
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    assert((before -- v2Files).nonEmpty, "test premise: dead files exist")
+    // retain must include the current version
+    intercept[IllegalArgumentException] { TableFormat.vacuum(spark, base, Seq(1)) }
+    val (deleted, keptN) = TableFormat.vacuum(spark, base, retain = Seq(2))
+    assert(deleted == (before -- v2Files).size && keptN == v2Files.size)
+    assert(parquetFiles(base) == v2Files, "exactly the referenced files remain")
+    // the retained snapshot still reads correctly after GC
+    val kept = TableFormat.readSnapshot(spark, base)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(kept == (2000L until 4000L).toSet)
+    // the non-retained manifest is gone too
+    val mf = new org.apache.hadoop.fs.Path(s"$base/_manifests/v1.manifest")
+    assert(!mf.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mf))
+  }
+
   test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
     val out = TableFormat.tableTimetravel(spark, sfDir).collect()
     assert(out.length == 2)
