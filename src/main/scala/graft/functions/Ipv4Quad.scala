@@ -72,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(Ipv4Quad.functionDescription)
     e.injectFunction(VecDot.functionDescription)
     e.injectFunction(MisraGriesAgg.functionDescription)
+    e.injectFunction(CountMin.aggDescription)
+    e.injectFunction(CountMin.mergeDescription)
+    e.injectFunction(CountMin.estimateDescription)
     e.injectOptimizerRule(_ => graft.plans.PushVecNormThroughJoin)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

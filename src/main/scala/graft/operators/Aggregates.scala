@@ -697,41 +697,36 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
   }
 
-  /** Mergeable COUNT-MIN sketches (r6) — the frequency-estimate
-    * counterpart of `agg_sketch_merge`'s HLL distinct counts: each "site"
-    * (even/odd orderkey halves) builds a compact CMS over the priority
-    * stream independently; only the ~KB sketches move; the merged sketch
-    * answers point-frequency queries with a ONE-SIDED error bound
-    * (CMS only ever over-counts, by ≤ ε·N with the chosen confidence).
-    * Fixed seed → deterministic. The driver-side merge is two KB-sized
-    * binaries (same bounded pattern as the IVF codebook); output pairs
-    * each exact count with its estimate and the bound verdict, which the
-    * spec (not an oracle — engine sketch) pins. */
+  /** Mergeable COUNT-MIN sketches — the frequency-estimate counterpart
+    * of `agg_sketch_merge`'s HLL distinct counts, and since r7 a fully
+    * IN-PLAN pipeline on the native `graft.functions.CountMin` family
+    * (TypedImperativeAggregate — the `percentile`/`collect_list` tier;
+    * r6 merged the sketches driver-side via two `.collect()`s): each
+    * "site" (even/odd orderkey half) builds a compact CMS independently
+    * (`count_min`), the per-site sketches roll up in a second aggregate
+    * (`count_min_merge` — only ~KB sketches move, never rows), and the
+    * 1-row merged sketch broadcasts against the exact counts where the
+    * scalar `count_min_estimate` probes it. One-sided error: CMS only
+    * ever over-counts, by ≤ ε·N at the chosen confidence; fixed seed →
+    * deterministic. The spec (not an oracle — engine sketch) pins the
+    * bound and the SQL registration. */
   def aggCountMin(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.util.sketch.CountMinSketch
+    import graft.functions.CountMin.{count_min, count_min_estimate, count_min_merge}
     val orders = t(spark, dir, "orders")
-    val sketches = (0 to 1).map { m =>
-      val bin = orders
-        .filter(pmod(col("o_orderkey"), lit(2)) === m)
-        .agg(count_min_sketch(col("o_orderpriority"),
-          lit(0.001), lit(0.99), lit(42)).as("sk"))
-        .collect()(0).getAs[Array[Byte]](0)
-      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bin))
-    }
-    val merged = sketches.reduce((a, b) => { a.mergeInPlace(b); a })
-    val exact = orders.groupBy(col("o_orderpriority"))
+    val perSite = orders
+      .groupBy(pmod(col("o_orderkey"), lit(2)).as("site"))
+      .agg(count_min(col("o_orderpriority"), 0.001, 0.99, 42).as("sk"))
+    val merged = perSite.agg(count_min_merge(col("sk")).as("sk")) // 1 row
+    val total = orders.agg(count(lit(1)).as("n_total"))           // 1 row
+    orders.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_exact"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val total = exact.map(_._2).sum
-    val rows = exact.map { case (p, n) =>
-      // the SQL agg inserts strings as their UTF-8 bytes; String estimates
-      // hash the same byte sequence (UTF8String itself is unsupported)
-      val est = merged.estimateCount(p)
-      (p, n, est, est >= n && est <= n + math.ceil(0.001 * total).toLong)
-    }
-    spark.createDataFrame(rows.toSeq)
-      .toDF("o_orderpriority", "n_exact", "n_est", "within_bound")
+      .crossJoin(broadcast(merged))
+      .crossJoin(broadcast(total))
+      .withColumn("n_est", count_min_estimate(col("sk"), col("o_orderpriority")))
+      .withColumn("within_bound",
+        col("n_est") >= col("n_exact") &&
+          col("n_est") <= col("n_exact") + ceil(col("n_total") * 0.001).cast("long"))
+      .select(col("o_orderpriority"), col("n_exact"), col("n_est"), col("within_bound"))
       .orderBy(col("o_orderpriority").asc)
   }
 

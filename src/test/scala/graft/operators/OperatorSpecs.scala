@@ -55,6 +55,29 @@ class OperatorSpecs extends SparkTestBase {
     }
   }
 
+  test("count_min family: SQL-registered; two-site merge equals the single-pass sketch") {
+    import graft.functions.CountMin
+    Seq(CountMin.aggDescription, CountMin.mergeDescription, CountMin.estimateDescription)
+      .foreach { case (i, f, b) =>
+        spark.sessionState.functionRegistry.registerFunction(i, f, b) }
+    graft.Tables.t(spark, sfDir, "orders").createOrReplaceTempView("cm_orders")
+    val merged = spark.sql(
+      """SELECT count_min_estimate(count_min_merge(sk), '1-URGENT') AS e
+        |FROM (SELECT count_min(o_orderpriority, 0.001, 0.99, 42) AS sk
+        |      FROM cm_orders GROUP BY o_orderkey % 2)""".stripMargin)
+      .collect()(0).getLong(0)
+    val single = spark.sql(
+      """SELECT count_min_estimate(
+        |  count_min(o_orderpriority, 0.001, 0.99, 42), '1-URGENT') AS e
+        |FROM cm_orders""".stripMargin).collect()(0).getLong(0)
+    // CMS is a LINEAR sketch: same-seed per-site tables add cell-wise, so
+    // the merged estimate must EQUAL the single-pass one, not approximate it
+    assert(merged == single, s"merge broke linearity: $merged != $single")
+    val exact = graft.Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(merged >= exact, "CMS must never under-count")
+  }
+
   test("sink_compact: 64 fragment files collapse to <=2 without row loss") {
     val n = RelationalOps.sinkCompact(spark, sfDir)
       .agg(sum(col("n"))).collect()(0).getLong(0)
