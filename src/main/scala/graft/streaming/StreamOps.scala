@@ -236,8 +236,8 @@ object StreamOps {
     // coordinator; create the endpoint if no streaming query did yet
     org.apache.spark.sql.graftbridge.SqlBridge.ensureStateStoreCoordinator(spark)
     t(spark, dir, "events")
-      .select(col("user_id"), col("value"))
-      .as[(Long, Double)]
+      .select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .transformWithState(new StreamOps.UserStatsProcessor,
         TimeMode.None(), OutputMode.Append())
@@ -246,32 +246,60 @@ object StreamOps {
   }
 
   /** StatefulProcessor shared by the batch query and the MemoryStream
-    * test: two named ValueState slots (count, cents sum) folded per
-    * invocation and emitted as the running totals. */
-  private[graft] class UserStatsProcessor
+    * tests: two named ValueState slots (count, cents sum) folded per
+    * invocation and emitted as the running totals.
+    *
+    * r7: with `TimeMode.EventTime` and `idleGapMs > 0` the processor also
+    * exercises the TIMER half of the new state API — the feature that
+    * justifies it over mapGroupsWithState: each input batch re-arms ONE
+    * event-time timer per key at max(event time) + gap (deleting the
+    * previous deadline — the idle clock restarts with activity), and when
+    * the WATERMARK crosses the deadline `handleExpiredTimer` emits an
+    * eviction tombstone `(user, -n, -cents)` and clears both slots — at
+    * 100 TB this is what bounds state to ACTIVE keys instead of all keys
+    * ever seen. Batch mode (`TimeMode.None`) registers no timers, so the
+    * oracle-checked output is unchanged. */
+  private[graft] class UserStatsProcessor(idleGapMs: Long = 0L)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Double), (Long, Long, Long)] {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+        Long, (Long, Double, java.sql.Timestamp), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var nState: ValueState[Long] = _
     @transient private var centsState: ValueState[Long] = _
+    @transient private var armTimers: Boolean = false
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       nState = getHandle.getValueState[Long](
         "n", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       centsState = getHandle.getValueState[Long](
         "cents", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      armTimers = idleGapMs > 0 && timeMode == TimeMode.EventTime()
     }
     override def handleInputRows(
-        user: Long, rows: Iterator[(Long, Double)],
+        user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
       var n = if (nState.exists()) nState.get() else 0L
       var cents = if (centsState.exists()) centsState.get() else 0L
+      var maxTs = Long.MinValue
       rows.foreach { r =>
         n += 1
         cents += math.floor(r._2 * 100 + 0.5).toLong
+        if (r._3 != null) maxTs = math.max(maxTs, r._3.getTime)
       }
       nState.update(n)
       centsState.update(cents)
+      if (armTimers && maxTs != Long.MinValue) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer) // one live deadline per key
+        getHandle.registerTimer(maxTs + idleGapMs)
+      }
       Iterator.single((user, n, cents))
+    }
+    override def handleExpiredTimer(
+        user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val n = if (nState.exists()) nState.get() else 0L
+      val cents = if (centsState.exists()) centsState.get() else 0L
+      nState.clear()
+      centsState.clear()
+      Iterator.single((user, -n, -cents)) // eviction tombstone: final totals, negated
     }
   }
 

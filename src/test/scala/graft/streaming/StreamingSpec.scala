@@ -174,8 +174,9 @@ class StreamingSpec extends SparkTestBase {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val mem = MemoryStream[(Long, Double)]
-      mem.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val mem = MemoryStream[(Long, Double, java.sql.Timestamp)]
+      mem.addData((1L, 10.0, ts(1)), (1L, 20.0, ts(2)), (2L, 5.0, ts(3)))
       val q = mem.toDS().groupByKey(_._1)
         .transformWithState(new StreamOps.UserStatsProcessor,
           TimeMode.None(), OutputMode.Update())
@@ -183,11 +184,59 @@ class StreamingSpec extends SparkTestBase {
         .writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName("tws_out").start()
       q.processAllAvailable()
-      mem.addData((1L, 30.0)) // batch 2: user 1 must RESUME at (2, 3000)
+      mem.addData((1L, 30.0, ts(4))) // batch 2: user 1 must RESUME at (2, 3000)
       q.processAllAvailable(); q.stop()
       val rows = spark.table("tws_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(rows == Set((1L, 2L, 3000L), (2L, 1L, 500L), (1L, 3L, 6000L)), rows)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState: event-time timer evicts idle keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.TimeMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val mem = MemoryStream[(Long, Double, java.sql.Timestamp)]
+      mem.addData((1L, 10.0, ts(10))) // deadline armed at 10s + 5s = 15s
+      val q = mem.toDS().toDF("user_id", "value", "ts")
+        .withWatermark("ts", "2 seconds")
+        .as[(Long, Double, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new StreamOps.UserStatsProcessor(idleGapMs = 5000L),
+          TimeMode.EventTime(), OutputMode.Update())
+        .toDF("user_id", "n_events", "sum_cents")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws_timer_out").start()
+      q.processAllAvailable()
+      // watermark → 28s, past user 1's 15s deadline; the watermark-advance
+      // batch plus a nudge batch give the timer a batch to fire in
+      mem.addData((2L, 7.0, ts(30)))
+      q.processAllAvailable()
+      mem.addData((2L, 8.0, ts(31)))
+      q.processAllAvailable()
+      val afterEvict = spark.table("tws_timer_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(afterEvict.contains((1L, -1L, -1000L)),
+        s"timer must fire an eviction tombstone for idle user 1: ${afterEvict.toSeq}")
+      // user 1 returns AFTER eviction: state was cleared, so the count
+      // restarts at 1 instead of resuming at 2
+      mem.addData((1L, 40.0, ts(32)))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tws_timer_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.count(_ == ((1L, 1L, 1000L))) == 1, // batch-1 running total
+        s"unexpected duplicate of the pre-eviction row: ${rows.toSeq}")
+      assert(rows.contains((1L, 1L, 4000L)),
+        s"returning user must restart from cleared state: ${rows.toSeq}")
     } finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
