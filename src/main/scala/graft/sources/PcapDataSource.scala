@@ -82,7 +82,12 @@ object PcapDataSource {
   /** Name-sorted `.pcap` / `.pcapng` members of `path` (or `path` itself
     * if a file), through the scheme-resolved Hadoop FileSystem — works for
     * `file:`, `hdfs:`, `s3a:`, …. Returns fully-qualified URIs. */
-  def listCaptureFiles(path: String, conf: Configuration): Seq[String] = {
+  def listCaptureFiles(path: String, conf: Configuration): Seq[String] =
+    listCaptureFilesWithLen(path, conf).map(_._1)
+
+  /** Same listing with each capture's byte length (free from the same
+    * listStatus RPC) — split planning needs sizes. */
+  def listCaptureFilesWithLen(path: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new HadoopPath(path)
     val fs = p.getFileSystem(conf)
     val status = fs.getFileStatus(p) // raises FileNotFoundException with the path
@@ -92,21 +97,42 @@ object PcapDataSource {
           val n = s.getPath.getName
           s.isFile && (n.endsWith(".pcap") || n.endsWith(".pcapng"))
         }
-        .map(_.getPath.toString).toSeq.sorted
-    else Seq(status.getPath.toString)
+        .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
+    else Seq((status.getPath.toString, status.getLen))
   }
 
   /** Reads one capture fully via the Hadoop FileSystem API. A legacy pcap
     * must be decoded sequentially anyway (no sync markers), and capture
     * hardware rolls files at fixed sizes well under 2 GiB. */
-  def readCaptureBytes(file: String, conf: Configuration): Array[Byte] = {
+  def readCaptureBytes(file: String, conf: Configuration): Array[Byte] =
+    readCapturePrefix(file, conf, Long.MaxValue)._1
+
+  /** Reads `[0, min(fileLen, upTo))` of a capture; the Boolean is true
+    * when the file continues PAST the returned buffer — chunked readers
+    * prefetch only `[0, rangeEnd + straddle)` and must not mistake the
+    * prefetch edge for capture truncation. */
+  def readCapturePrefix(file: String, conf: Configuration,
+                        upTo: Long): (Array[Byte], Boolean) = {
     val p = new HadoopPath(file)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
-    require(len <= Int.MaxValue.toLong,
+    val take = math.min(len, upTo)
+    require(take <= Int.MaxValue.toLong,
       s"$file: capture is $len bytes; single-file captures above 2 GiB are unsupported " +
-        "(roll captures into smaller files — that is also what gives the scan parallelism)")
-    val buf = new Array[Byte](len.toInt)
+        "(roll captures into smaller files, or read with splitBytes for intra-file chunks)")
+    val buf = new Array[Byte](take.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    (buf, take < len)
+  }
+
+  /** First `n` bytes of a capture (the global-header probe a chunked
+    * reader sizes its prefetch window with). */
+  def readCaptureHead(file: String, conf: Configuration, n: Int): Array[Byte] = {
+    val p = new HadoopPath(file)
+    val fs = p.getFileSystem(conf)
+    val len = math.min(fs.getFileStatus(p).getLen, n.toLong).toInt
+    val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
     buf
@@ -142,9 +168,12 @@ class PcapTable(properties: Map[String, String]) extends Table with SupportsRead
       .getOrElse("strict").toLowerCase
     require(mode == "strict" || mode == "permissive",
       s"pcap option mode=$mode; expected strict or permissive")
+    val splitBytes = Option(options.get("splitBytes")).orElse(properties.get("splitBytes"))
+      .map(_.toLong).getOrElse(0L)
+    require(splitBytes >= 0, s"pcap option splitBytes=$splitBytes must be >= 0")
     // resolved on the driver, shipped to executors by the reader factory
     val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
-    new PcapScanBuilder(path, mode == "strict", conf)
+    new PcapScanBuilder(path, mode == "strict", conf, splitBytes)
   }
 }
 
@@ -255,7 +284,8 @@ object PcapFilters {
   * at 100 TB of captures the formatting alone dominates an un-pruned
   * scan. Pushed filters additionally skip row construction for
   * non-matching packets (see [[PcapFilters]]). */
-class PcapScanBuilder(path: String, strict: Boolean, conf: SerializableHadoopConf)
+class PcapScanBuilder(path: String, strict: Boolean, conf: SerializableHadoopConf,
+                      splitBytes: Long = 0L)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsReportStatistics {
@@ -294,16 +324,35 @@ class PcapScanBuilder(path: String, strict: Boolean, conf: SerializableHadoopCon
       if (total < 0) OptionalLong.empty() else OptionalLong.of(total)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
+  /** One partition per capture file — or, with `splitBytes > 0`, ceil(
+    * len / splitBytes) CHUNK partitions per larger-than-one-chunk file
+    * (r7): the realistic 100 TB input is a few thousand multi-GB
+    * captures, and one task per 50 GB file serializes the CPU-bound
+    * decode. Chunk boundaries are raw byte offsets; the reader resolves
+    * them to exact record boundaries (a record belongs to the chunk
+    * containing its first byte) via the framing skim in
+    * [[PcapParser.parseFileRange]], so the union of chunk reads is
+    * byte-identical to the unsplit read, global `pkt_idx` included. */
   override def planInputPartitions(): Array[InputPartition] =
-    PcapDataSource.listCaptureFiles(path, conf.value)
-      .map(PcapFilePartition(_): InputPartition).toArray
+    PcapDataSource.listCaptureFilesWithLen(path, conf.value)
+      .flatMap { case (f, len) =>
+        if (splitBytes <= 0 || len <= splitBytes) Seq(PcapFilePartition(f))
+        else {
+          val n = ((len + splitBytes - 1) / splitBytes).toInt
+          (0 until n).map { i =>
+            PcapFilePartition(f, i * splitBytes,
+              if (i == n - 1) Long.MaxValue else (i + 1) * splitBytes)
+          }
+        }
+      }.map(p => p: InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PcapReaderFactory(required, pushed, strict, conf)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PcapMicroBatchStream(path, required, pushed, strict, conf)
 }
 
-case class PcapFilePartition(file: String) extends InputPartition
+case class PcapFilePartition(file: String, rangeStart: Long = 0L,
+                             rangeEnd: Long = Long.MaxValue) extends InputPartition
 
 /** Offset for the pcap stream: the count of (name-sorted) capture files
   * already processed, PLUS the name of the last one — so a file landing
@@ -379,7 +428,8 @@ class PcapReaderFactory(readSchema: StructType, pushed: Array[Filter],
                         strict: Boolean, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[PcapFilePartition].file
+    val part = partition.asInstanceOf[PcapFilePartition]
+    val file = part.file
     val names = readSchema.fieldNames
     // decode must cover pushed-filter columns too, even when pruned away
     val need = names.toSet ++ pushed.flatMap(_.references)
@@ -411,9 +461,33 @@ class PcapReaderFactory(readSchema: StructType, pushed: Array[Filter],
       private val pred = PcapFilters.toPredicate(pushed, file)
       private val it: Iterator[PcapParser.Packet] =
         if (PcapFilters.rejectsWholeFile(pushed, file)) Iterator.empty
-        else PcapParser.parseFile(
-          PcapDataSource.readCaptureBytes(file, conf.value),
-          wants, strict = strict, name = file).filter(pred)
+        else if (part.rangeEnd == Long.MaxValue && part.rangeStart == 0L)
+          // unsplit partition: whole-file read, identical to pre-r7
+          PcapParser.parseFile(
+            PcapDataSource.readCaptureBytes(file, conf.value),
+            wants, strict = strict, name = file).filter(pred)
+        else {
+          // CHUNK partition: prefetch [0, rangeEnd + straddle) — the skim
+          // needs every framing header before rangeStart, and a record
+          // starting just under rangeEnd spans at most 16 + snaplen more
+          // bytes. pcapng (no global snaplen; block sizes unbounded) and
+          // snaplen-less/unbounded legacy captures read fully — chunking
+          // still buys the C-way DECODE parallelism, which is the
+          // bottleneck (the skim is header arithmetic, ~a few % of a
+          // decode pass).
+          val head = PcapDataSource.readCaptureHead(file, conf.value, 24)
+          val straddle = PcapParser.legacySnapLen(head) match {
+            case Some(snap) if snap > 0 && snap <= (16L << 20) => Some(16L + snap)
+            case _ => None // pcapng, junk magic, or unbounded snaplen
+          }
+          val (bytes, more) = straddle match {
+            case Some(s) if part.rangeEnd <= Long.MaxValue - s =>
+              PcapDataSource.readCapturePrefix(file, conf.value, part.rangeEnd + s)
+            case _ => (PcapDataSource.readCaptureBytes(file, conf.value), false)
+          }
+          PcapParser.parseFileRange(bytes, wants, strict = strict, name = file,
+            part.rangeStart, part.rangeEnd, moreAfterBuffer = more).filter(pred)
+        }
       private var current: PcapParser.Packet = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
       override def get(): InternalRow =

@@ -89,11 +89,11 @@ object PcapFixtures {
   /** Serialize frames into one legacy little-endian pcap buffer
     * (global header magic 0xa1b2c3d4, version 2.4, linktype 1 —
     * FIXTURES.md §2). */
-  def pcapFile(frames: Seq[(Array[Byte], Long)]): Array[Byte] = {
+  def pcapFile(frames: Seq[(Array[Byte], Long)], snapLen: Int = 65535): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val gh = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
     gh.putInt(0xa1b2c3d4).putShort(2).putShort(4).putInt(0).putInt(0)
-    gh.putInt(65535).putInt(1)
+    gh.putInt(snapLen).putInt(1)
     out.write(gh.array())
     frames.foreach { case (data, ts) =>
       val rh = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)

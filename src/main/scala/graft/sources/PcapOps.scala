@@ -96,7 +96,13 @@ object PcapOps {
   }
 
   def pcapIngestLarge(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("pcap").load(largeCaptureDir())
+    // r7: splitBytes chunks the single 200k-packet capture into ~8 tasks —
+    // the one-task-per-file model serializes the CPU-bound decode on a
+    // multi-GB capture; chunk readers skim framing to their offset and
+    // decode only their range (PcapParser.parseFileRange), so the result
+    // is byte-identical to the unsplit read (PcapSourceSpec pins parity)
+    spark.read.format("pcap").option("splitBytes", (2L << 20).toString)
+      .load(largeCaptureDir())
       .groupBy(col("protocol"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("total_bytes"))
       .orderBy(col("protocol").asc_nulls_first)

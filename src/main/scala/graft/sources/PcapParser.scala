@@ -183,10 +183,60 @@ object PcapParser {
     * `strict = false` (the salvage mode) ends the iteration instead,
     * keeping every record that decoded cleanly. */
   def parseFile(bytes: Array[Byte], wants: Wants = WantsAll,
-                strict: Boolean = false, name: String = "<buffer>"): Iterator[Packet] = {
+                strict: Boolean = false, name: String = "<buffer>"): Iterator[Packet] =
+    parseFileRange(bytes, wants, strict, name, 0L, Long.MaxValue, moreAfterBuffer = false)
+
+  /** Is this buffer (or its first bytes) a pcapng capture? */
+  def sniffPcapng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && le32(bytes, 0) == PcapngShb
+
+  /** The snaplen a legacy pcap global header declares, honoring its byte
+    * order; None when the magic isn't legacy pcap (pcapng, junk, or a
+    * short buffer). Lets the DSv2 source size a chunk's prefetch window —
+    * a record starting inside a chunk spans at most 16 + snaplen bytes. */
+  def legacySnapLen(head: Array[Byte]): Option[Long] = {
+    if (head.length < 24) return None
+    le32(head, 0) match {
+      case MagicBe | MagicBeNs => Some(le32(head, 16))
+      case MagicLe | MagicLeNs => Some(be32(head, 16))
+      case _ => None
+    }
+  }
+
+  /** CHUNKED parse (r7 — intra-file parallelism for large captures):
+    * decode only the records whose first byte lies in
+    * `[rangeStart, rangeEnd)`, with GLOBAL `pkt_idx` values, so the union
+    * of the chunk reads of one capture is byte-identical to the unsplit
+    * read. A record belongs to exactly the chunk containing its start.
+    *
+    * Legacy pcap has no record sync markers, so a mid-file offset cannot
+    * be decoded in isolation — and SPECULATIVE resync (scan for a
+    * plausible header, validate N records ahead) was rejected: it cannot
+    * recover the global record ordinal `pkt_idx` at all, and a crafted or
+    * unlucky payload embedding a plausible header misframes silently.
+    * Instead every chunk SKIMS the file prefix: a framing-only walk
+    * (16-byte header arithmetic, no payload copy, no network decode, no
+    * trailer scan — the actual per-record cost) that lands on its range
+    * start EXACTLY, counting records on the way. Decode CPU — the
+    * bottleneck; the reference is CPU-bound single-threaded — then
+    * parallelizes per chunk, while skim work sums to C²/2 header walks
+    * costing a few % of one decode pass. pcapng chunks skim the same way,
+    * additionally replaying SHB/IDB section state (byte order, tsresol,
+    * snaplens) that mid-file packets depend on.
+    *
+    * `moreAfterBuffer = true` says the buffer is a PREFIX of the capture
+    * (the caller prefetched `[0, rangeEnd + straddle)`): running out of
+    * buffer then just ends the chunk instead of raising "truncated", and
+    * a record that overruns the prefetch window (declared length past the
+    * snaplen the window was sized by) is a named strict error. Structural
+    * strict errors in the skimmed prefix raise exactly as the unsplit
+    * read would — a malformed capture names itself from every chunk. */
+  def parseFileRange(bytes: Array[Byte], wants: Wants, strict: Boolean, name: String,
+                     rangeStart: Long, rangeEnd: Long,
+                     moreAfterBuffer: Boolean): Iterator[Packet] = {
     def fail(why: String): Nothing = throw new PcapFormatException(s"$name: $why")
-    if (bytes.length >= 4 && le32(bytes, 0) == PcapngShb)
-      return parsePcapng(bytes, wants, strict, name)
+    if (sniffPcapng(bytes))
+      return parsePcapng(bytes, wants, strict, name, rangeStart, rangeEnd)
     if (bytes.length < 24) {
       if (strict) fail(s"truncated pcap global header (${bytes.length} bytes < 24)")
       return Iterator.empty
@@ -206,31 +256,69 @@ object PcapParser {
     new Iterator[Packet] {
       private var off = 24
       private var idx = 0L
+      private var pending: Packet = _
+      private var exhausted = false
+
+      /** Next record in [rangeStart, rangeEnd), skimming earlier ones;
+        * null once the range (or the capture) is exhausted. */
+      private def advance(): Packet = {
+        while (true) {
+          if (off >= rangeEnd) return null // next chunk's record
+          val rem = bytes.length - off
+          if (rem < 16) {
+            if (rem == 0 || moreAfterBuffer) return null // clean EOF / prefix end
+            if (strict) fail(
+              s"truncated record header after record ${idx - 1} at byte $off ($rem bytes < 16)")
+            return null
+          }
+          val tsSec = u32(off)
+          // incl_len is a u32: `.toInt` on values >= 2^31 wraps negative and a
+          // negative length walks `off` backwards (non-terminating iterator) or
+          // crashes copyOfRange. Clamp to the bytes actually present instead: a
+          // record claiming more than remains is truncated — emit what's there,
+          // after which `off` lands at bytes.length and iteration ends. `off`
+          // therefore always advances by >= 16, so the iterator terminates.
+          val rawIncl = u32(off + 8)
+          val avail = (bytes.length - off - 16).toLong
+          if (rawIncl > avail) {
+            if (moreAfterBuffer) {
+              // the prefetch window was sized by the header's snaplen, so
+              // only a record VIOLATING its capture's snaplen lands here
+              if (strict) fail(
+                s"record $idx at byte $off claims $rawIncl bytes, past the chunk " +
+                  "prefetch window sized by the capture's declared snaplen " +
+                  "(corrupt record, or a snaplen-violating writer)")
+              return null
+            }
+            if (strict) fail(
+              s"record $idx at byte $off claims $rawIncl bytes but only $avail remain " +
+                "(truncated or corrupt capture)")
+          }
+          val inclLen = math.min(rawIncl, avail).toInt
+          val origLen = u32(off + 12)
+          val start = off
+          off += 16 + inclLen
+          val i = idx
+          idx += 1
+          if (start >= rangeStart) { // ours: decode. Earlier: skim (framing only)
+            val data = java.util.Arrays.copyOfRange(bytes, start + 16, start + 16 + inclLen)
+            return decodeRecord(i, data, tsSec, origLen, wants)
+          }
+        }
+        null // unreachable
+      }
+
       def hasNext: Boolean = {
-        val rem = bytes.length - off
-        if (strict && rem > 0 && rem < 16) fail(
-          s"truncated record header after record ${idx - 1} at byte $off ($rem bytes < 16)")
-        rem >= 16
+        if (pending == null && !exhausted) {
+          pending = advance()
+          exhausted = pending == null
+        }
+        pending != null
       }
       def next(): Packet = {
-        val tsSec = u32(off)
-        // incl_len is a u32: `.toInt` on values >= 2^31 wraps negative and a
-        // negative length walks `off` backwards (non-terminating iterator) or
-        // crashes copyOfRange. Clamp to the bytes actually present instead: a
-        // record claiming more than remains is truncated — emit what's there,
-        // after which `off` lands at bytes.length and iteration ends. `off`
-        // therefore always advances by >= 16, so the iterator terminates.
-        val rawIncl = u32(off + 8)
-        val avail = (bytes.length - off - 16).toLong
-        if (strict && rawIncl > avail) fail(
-          s"record $idx at byte $off claims $rawIncl bytes but only $avail remain " +
-            "(truncated or corrupt capture)")
-        val inclLen = math.min(rawIncl, avail).toInt
-        val origLen = u32(off + 12)
-        val data = java.util.Arrays.copyOfRange(bytes, off + 16, off + 16 + inclLen)
-        off += 16 + inclLen
-        val p = decodeRecord(idx, data, tsSec, origLen, wants)
-        idx += 1
+        if (!hasNext) throw new NoSuchElementException("pcap iterator exhausted")
+        val p = pending
+        pending = null
         p
       }
     }
@@ -285,7 +373,8 @@ object PcapParser {
     * interface, or an EPB claiming more captured bytes than its block
     * holds; permissive mode ends the iteration, keeping clean records. */
   def parsePcapng(bytes: Array[Byte], wants: Wants = WantsAll,
-                  strict: Boolean = false, name: String = "<buffer>"): Iterator[Packet] =
+                  strict: Boolean = false, name: String = "<buffer>",
+                  rangeStart: Long = 0L, rangeEnd: Long = Long.MaxValue): Iterator[Packet] =
     new Iterator[Packet] {
       private def fail(why: String): Nothing =
         throw new PcapFormatException(s"$name: $why")
@@ -303,6 +392,7 @@ object PcapParser {
       /** Advance to the next packet block; null at clean (or salvaged) EOF. */
       @annotation.tailrec
       private def advance(): Packet = {
+        if (off >= rangeEnd) return null // next chunk's blocks
         if (off == bytes.length) return null
         if (off + 12 > bytes.length) {
           if (strict) fail(s"truncated pcapng block header at byte $off " +
@@ -365,11 +455,14 @@ object PcapParser {
               else if (strict) fail(s"pcapng: EPB packet $idx references " +
                 s"undeclared interface $iface (${unitsPerSec.length} declared)")
               else 1000000L
-            val take = math.min(capLen, room).toInt
-            val data = java.util.Arrays.copyOfRange(bytes, body + 20, body + 20 + take)
-            val p = decodeRecord(idx, data, ts / ups, origLen, wants)
-            idx += 1
-            p
+            if (blockStart < rangeStart) { idx += 1; advance() } // skim: framing only
+            else {
+              val take = math.min(capLen, room).toInt
+              val data = java.util.Arrays.copyOfRange(bytes, body + 20, body + 20 + take)
+              val p = decodeRecord(idx, data, ts / ups, origLen, wants)
+              idx += 1
+              p
+            }
           case SpbType =>
             if (bodyEnd - body < 4) {
               if (strict) fail(s"pcapng: SPB at byte ${body - 8} too small")
@@ -388,12 +481,15 @@ object PcapParser {
             // the snaplen bound a snaplen-truncated packet would absorb
             // its pad bytes as frame data
             val snap = if (snapLens.nonEmpty) snapLens(0) else Long.MaxValue
-            val take = math.min(math.min(origLen, snap),
-              (bodyEnd - body - 4).toLong).toInt
-            val data = java.util.Arrays.copyOfRange(bytes, body + 4, body + 4 + take)
-            val p = decodeRecord(idx, data, 0L, origLen, wants) // SPB: no timestamp
-            idx += 1
-            p
+            if (blockStart < rangeStart) { idx += 1; advance() } // skim: framing only
+            else {
+              val take = math.min(math.min(origLen, snap),
+                (bodyEnd - body - 4).toLong).toInt
+              val data = java.util.Arrays.copyOfRange(bytes, body + 4, body + 4 + take)
+              val p = decodeRecord(idx, data, 0L, origLen, wants) // SPB: no timestamp
+              idx += 1
+              p
+            }
           case _ => advance() // SHB handled above; unknown blocks skipped
         }
       }

@@ -157,6 +157,47 @@ class PcapParserSpec extends SparkTestBase {
     assert(rows.head.protocol.contains("UDP")) // full frame was present, decodes fine
   }
 
+  test("chunked parse: union over any byte-boundary chunking equals the unsplit read") {
+    val bytes = PcapFixtures.goldenPcap
+    val full = PcapParser.parseFile(bytes).toVector
+    // chunk boundaries at raw byte offsets — including degenerate 1-byte
+    // chunks — must resolve to exact record boundaries via the skim, with
+    // GLOBAL pkt_idx; boundaries inside headers/payloads are the norm
+    for (chunkSize <- Seq(1, 17, 40, 64, 256, 100000)) {
+      val n = ((bytes.length + chunkSize - 1) / chunkSize).max(1)
+      val union = (0 until n).flatMap { i =>
+        val start = i.toLong * chunkSize
+        val end = if (i == n - 1) Long.MaxValue else (i + 1).toLong * chunkSize
+        PcapParser.parseFileRange(bytes, PcapParser.WantsAll, strict = true,
+          "golden.pcap", start, end, moreAfterBuffer = false)
+      }.toVector
+      assert(union == full, s"chunkSize=$chunkSize broke parity")
+    }
+  }
+
+  test("chunked parse over PREFIX buffers (snaplen-sized straddle) equals the unsplit read") {
+    val snap = 256
+    val frames = PcapFixtures.goldenFrames
+    val bytes = PcapFixtures.pcapFile(frames ++ frames ++ frames, snapLen = snap)
+    assert(PcapParser.legacySnapLen(bytes).contains(snap.toLong))
+    val full = PcapParser.parseFile(bytes).toVector
+    val straddle = 16L + snap
+    for (splitBytes <- Seq(100L, 333L, 1000L)) {
+      val n = ((bytes.length + splitBytes - 1) / splitBytes).toInt
+      val union = (0 until n).flatMap { i =>
+        val start = i * splitBytes
+        val end = if (i == n - 1) Long.MaxValue else (i + 1) * splitBytes
+        // what the DSv2 chunk reader fetches: [0, rangeEnd + straddle)
+        val upTo = if (end == Long.MaxValue) bytes.length.toLong
+                   else math.min(bytes.length.toLong, end + straddle)
+        val buf = bytes.take(upTo.toInt)
+        PcapParser.parseFileRange(buf, PcapParser.WantsAll, strict = true,
+          "chunk.pcap", start, end, moreAfterBuffer = buf.length < bytes.length)
+      }.toVector
+      assert(union == full, s"splitBytes=$splitBytes broke prefix-buffer parity")
+    }
+  }
+
   test("incl_len that wraps to a negative Int cannot walk the offset backwards") {
     // 0x80000010 -> Int -2147483632: pre-fix this made `off` move backwards
     // and the iterator never terminated. Two records follow; the corrupt one

@@ -26,6 +26,37 @@ class PcapSourceSpec extends SparkTestBase {
     assert(df.count() == 13) // 12 golden + 1
   }
 
+  test("splitBytes: forced multi-way split yields byte-identical rows to the unsplit read") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(s => (s.head.toString, s(1).asInstanceOf[Long]))
+    val unsplit = spark.read.format("pcap").load(dir)
+    val split = spark.read.format("pcap").option("splitBytes", "64").load(dir)
+    assert(split.rdd.getNumPartitions > unsplit.rdd.getNumPartitions,
+      "test premise: 64-byte chunks must out-partition one-per-file")
+    assert(rows(split).toSeq == rows(unsplit).toSeq)
+    // a mixed directory: .pcapng chunks take the full-read straddle path
+    val d2 = Files.createTempDirectory("pcap-split-ng").toFile
+    Files.write(new java.io.File(d2, "g.pcapng").toPath, PcapFixtures.goldenPcapng)
+    val ngUnsplit = spark.read.format("pcap").load(d2.getAbsolutePath)
+    val ngSplit = spark.read.format("pcap").option("splitBytes", "64")
+      .load(d2.getAbsolutePath)
+    assert(ngSplit.rdd.getNumPartitions > 1)
+    assert(rows(ngSplit).toSeq == rows(ngUnsplit).toSeq)
+  }
+
+  test("splitBytes: a malformed capture still names the file from a chunk reader") {
+    val d = Files.createTempDirectory("pcap-split-bad").toFile
+    val cut = PcapFixtures.goldenPcap
+    Files.write(new java.io.File(d, "cut.pcap").toPath, cut.take(cut.length - 7))
+    val e = intercept[Exception] {
+      spark.read.format("pcap").option("splitBytes", "64")
+        .load(d.getAbsolutePath).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("cut.pcap"), s"error chain must name the capture:\n$msgs")
+  }
+
   test("connector rows agree with the direct parser") {
     val viaSource = spark.read.format("pcap").load(dir)
       .filter(org.apache.spark.sql.functions.col("file").endsWith("a.pcap"))

@@ -90,6 +90,33 @@ class PcapngSpec extends SparkTestBase {
     assert(rows.map(_.pkt_idx) == Vector(0L, 1L))
   }
 
+  test("chunked pcapng: union over byte-boundary chunks equals unsplit; section state replays") {
+    // two sections with DIFFERENT byte orders: a chunk starting in the BE
+    // section must have replayed the second SHB/IDB through the skim
+    val f = PcapFixtures.goldenFrames.head
+    val out = new ByteArrayOutputStream()
+    out.write(PcapFixtures.pcapngShb(LE))
+    out.write(PcapFixtures.pcapngIdb(LE))
+    PcapFixtures.goldenFrames.foreach { case (d, ts) =>
+      out.write(PcapFixtures.pcapngEpb(d, ts * 1000000L, LE)) }
+    out.write(PcapFixtures.pcapngShb(BE))
+    out.write(PcapFixtures.pcapngIdb(BE, nsResol = true))
+    out.write(PcapFixtures.pcapngEpb(f._1, f._2 * 1000000000L, BE))
+    val bytes = out.toByteArray
+    val full = PcapParser.parseFile(bytes).toVector
+    assert(full.size == PcapFixtures.goldenFrames.size + 1)
+    for (chunkSize <- Seq(1, 52, 100, 256, 100000)) {
+      val n = ((bytes.length + chunkSize - 1) / chunkSize).max(1)
+      val union = (0 until n).flatMap { i =>
+        val start = i.toLong * chunkSize
+        val end = if (i == n - 1) Long.MaxValue else (i + 1).toLong * chunkSize
+        PcapParser.parsePcapng(bytes, PcapParser.WantsAll, strict = true,
+          "chunked.pcapng", start, end)
+      }.toVector
+      assert(union == full, s"chunkSize=$chunkSize broke pcapng chunk parity")
+    }
+  }
+
   test("strict: EPB referencing an undeclared interface names the capture") {
     val out = new ByteArrayOutputStream()
     out.write(PcapFixtures.pcapngShb(LE))
