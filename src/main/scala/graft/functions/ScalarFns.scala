@@ -247,7 +247,42 @@ object ScalarFns {
           .cast("bigint").as("parsed"))
       .orderBy(col("event_id").asc)
 
+  /** Edit-distance family (r7): levenshtein over the nation-name pair
+    * space, plus the normalized similarity 1 - lev/max(len) a fuzzy-dedup
+    * gate thresholds on. The pair generation is the textbook quadratic —
+    * fine on a 25-row dim; at corpus scale the same scalar sits BEHIND a
+    * bucketing stage (LSH bands, length buckets — see dedup_fuzzy) so it
+    * only ever scores candidate pairs, never the cross product. */
+  def fLevenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = t(spark, dir, "nation").select(
+      col("n_nationkey").as("k1"), col("n_name").as("name1"))
+    val n2 = t(spark, dir, "nation").select(
+      col("n_nationkey").as("k2"), col("n_name").as("name2"))
+    n1.crossJoin(n2).filter(col("k1") < col("k2"))
+      .select(col("k1"), col("k2"),
+        levenshtein(col("name1"), col("name2")).cast("long").as("lev"),
+        graft.Det.r4(lit(1.0) - levenshtein(col("name1"), col("name2")).cast("double") /
+          greatest(length(col("name1")), length(col("name2"))).cast("double")).as("sim"))
+      .orderBy(col("k1").asc, col("k2").asc)
+  }
+
+  /** printf-style formatting (r7): `format_string` is the C-printf
+    * contract both engines share; zero-padding, hex and string widths
+    * render byte-identically, which makes formatted keys safe to hash or
+    * join on across engines. */
+  def fPrintf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("event_id") % 7 === 0)
+      .select(
+        col("event_id"),
+        format_string("evt-%08d", col("event_id")).as("padded"),
+        format_string("%x", col("event_id")).as("hexid"),
+        format_string("%s/%05d", col("event_type"), col("user_id")).as("route"))
+      .orderBy(col("event_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_levenshtein" -> (fLevenshtein _),
+    "f_printf" -> (fPrintf _),
     "f_try_arith" -> (fTryArith _),
     "f_variant" -> (fVariant _),
     "f_network" -> (fNetwork _),
@@ -264,6 +299,20 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_levenshtein" ->
+      """SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS lev,
+        |  floor((1.0 - CAST(levenshtein(a.n_name, b.n_name) AS DOUBLE)
+        |    / greatest(length(a.n_name), length(b.n_name))) * 10000 + 0.5) / 10000 AS sim
+        |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
+        |ORDER BY k1 ASC NULLS FIRST, k2 ASC NULLS FIRST""".stripMargin,
+    "f_printf" ->
+      """SELECT event_id,
+        |  printf('evt-%08d', event_id) AS padded,
+        |  printf('%x', event_id) AS hexid,
+        |  printf('%s/%05d', event_type, user_id) AS route
+        |FROM events WHERE event_id % 7 = 0
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "f_try_arith" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 4 = 0 THEN NULL

@@ -807,7 +807,85 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Ordered string aggregation (r7) — LISTAGG semantics made
+    * deterministic: `array_join(array_sort(collect_set(x)))` gives the
+    * sorted-distinct concatenation regardless of row arrival order, so
+    * it shuffles |distinct| values per group and never depends on task
+    * scheduling (raw LISTAGG without WITHIN GROUP ordering is
+    * nondeterministic by definition — the one SQL aggregate you cannot
+    * let arrive unordered at 1000 executors). */
+  def aggListagg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+           countDistinct(col("l_linestatus")).as("n_status"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Linear-regression aggregate family (r7): regr_slope / regr_intercept
+    * / regr_r2 / regr_count of extendedprice on quantity per returnflag —
+    * single-pass algebraic moments (sum, sum², cross-sum), so they
+    * map-side combine like any sum; 4-dp floor-rounding on both sides
+    * because the final divisions are doubles. */
+  def aggRegr(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(graft.Det.r4(regr_slope(col("y"), col("x"))).as("slope"),
+           graft.Det.r4(regr_intercept(col("y"), col("x"))).as("intercept"),
+           graft.Det.r4(regr_r2(col("y"), col("x"))).as("r2"),
+           regr_count(col("y"), col("x")).cast("long").as("n"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Discrete percentiles (r7): `percentile_disc` RETURNS AN ACTUAL
+    * ELEMENT of the group (the smallest value at-or-above the cume_dist
+    * cutoff), so unlike the interpolating percentile the output is exact
+    * — no float synthesis, no rounding, hash-stable across engines. */
+  def aggPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q25,
+        |  CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q50,
+        |  CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Bitwise aggregates (r7): bit_and / bit_or / bit_xor over the event id
+    * space per type — algebraic, order-independent, exact; the xor
+    * doubles as a cheap set-membership checksum (xor of ids is invariant
+    * under reordering and re-sharding, a classic reconciliation trick for
+    * comparing two 100 TB copies without sorting either). */
+  def aggBitOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("bit_and(event_id)").as("ids_and"),
+           expr("bit_or(event_id)").as("ids_or"),
+           expr("bit_xor(event_id)").as("ids_xor"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  /** GROUP BY ALL (r7) — groups on every non-aggregate select item; the
+    * resolver expands it before optimization, so the plan is identical to
+    * the explicit form (one hash agg). */
+  def sqlGroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_listagg" -> (aggListagg _),
+    "agg_regr" -> (aggRegr _),
+    "agg_percentile_disc" -> (aggPercentileDisc _),
+    "agg_bit_ops" -> (aggBitOps _),
+    "sql_group_by_all" -> (sqlGroupByAll _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_mode" -> (aggMode _),
@@ -847,6 +925,38 @@ object Aggregates {
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "agg_listagg" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_status, count(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        |  floor(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) * 10000 + 0.5) / 10000 AS slope,
+        |  floor(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) * 10000 + 0.5) / 10000 AS intercept,
+        |  floor(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) * 10000 + 0.5) / 10000 AS r2,
+        |  CAST(regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS q25,
+        |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5)  AS BIGINT) AS q50,
+        |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9)  AS BIGINT) AS q90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "agg_bit_ops" ->
+      """SELECT event_type,
+        |  bit_and(event_id) AS ids_and, bit_or(event_id) AS ids_or,
+        |  bit_xor(event_id) AS ids_xor, count(1) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "sql_tpch_q10" -> Q10Sql,
     "sql_tpch_q18" -> Q18Sql,
     "sql_tpch_q4" -> Q4Sql,

@@ -240,7 +240,36 @@ object CorpusOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** Zipf profile of the corpus vocabulary (r7): term frequencies ranked
+    * (rank() with the term as tiebreak — a total order, so the cut at 50
+    * is deterministic), emitting freq·rank whose rough constancy IS
+    * Zipf's law — the standard sanity probe that a scraped corpus has a
+    * natural-language frequency profile rather than boilerplate spam.
+    * One hash agg over the token stream (map-side combined); the global
+    * rank window — inherently single-partition — runs only on the terms
+    * that can still rank ≤ 50: every rank-≤50 term has n ≥ the count at
+    * position 50 of the total order, so a 1-row threshold broadcast
+    * bounds the window's input to the top slice (+ ties) instead of the
+    * whole |vocab| aggregate. */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = tokens(spark, dir)
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val n50 = freq.orderBy(col("n").desc, col("term").asc).limit(50)
+      .agg(min(col("n")).as("n50")) // count at position 50 (1 row)
+    freq.crossJoin(broadcast(n50))
+      .filter(col("n") >= col("n50"))
+      .withColumn("rnk", rank().over(
+        Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= 50)
+      .select(col("rnk"), col("term"), col("n"),
+        (col("rnk") * col("n")).as("zipf_product"))
+      .orderBy(col("rnk").asc, col("term").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (textZipf _),
     "dedup_paragraph" -> (dedupParagraph _),
     "graph_pagerank" -> (graphPagerank _),
     "text_tfidf" -> (textTfidf _),
@@ -250,6 +279,17 @@ object CorpusOps {
     "sim_knn_graph" -> (simKnnGraph _))
 
   val oracle: Map[String, String] = Map(
+    "text_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (
+        |  SELECT term, count(1) AS n FROM toks WHERE term <> '' GROUP BY term),
+        |ranked AS (
+        |  SELECT CAST(rank() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rnk,
+        |         term, n FROM freq)
+        |SELECT rnk, term, n, rnk * n AS zipf_product
+        |FROM ranked WHERE rnk <= 50
+        |ORDER BY rnk ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin,
     "dedup_paragraph" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
