@@ -868,6 +868,22 @@ object Aggregates {
            count(lit(1)).as("n"))
       .orderBy(col("event_type").asc_nulls_first)
 
+  /** Weighted average (r7): quantity-weighted mean price per flag — both
+    * sums in EXACT decimal (order-independent, map-side combined), the
+    * one IEEE division at the very end, floor-rounded: the numerically
+    * honest form of every "weighted mean over 10^12 rows" aggregate
+    * (a running float mean accumulates error and depends on partial
+    * ordering; two exact sums don't). */
+  def aggWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.Det.r4(
+             sum(dec("l_extendedprice") * dec("l_quantity")).cast("double") /
+             sum(dec("l_quantity")).cast("double")).as("wavg_price"),
+           sum(dec("l_quantity")).cast("double").as("total_weight"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc)
+
   /** GROUP BY ALL (r7) — groups on every non-aggregate select item; the
     * resolver expands it before optimization, so the plan is identical to
     * the explicit form (one hash agg). */
@@ -885,6 +901,7 @@ object Aggregates {
     "agg_regr" -> (aggRegr _),
     "agg_percentile_disc" -> (aggPercentileDisc _),
     "agg_bit_ops" -> (aggBitOps _),
+    "agg_weighted_avg" -> (aggWeightedAvg _),
     "sql_group_by_all" -> (sqlGroupByAll _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
     "agg_unpivot" -> (aggUnpivot _),
@@ -944,6 +961,14 @@ object Aggregates {
         |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS q25,
         |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5)  AS BIGINT) AS q50,
         |  CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9)  AS BIGINT) AS q90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 10000 + 0.5) / 10000 AS wavg_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_weight,
+        |  count(1) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "agg_bit_ops" ->

@@ -145,13 +145,56 @@ object QualityOps {
       .toDF("n_rows", "sum_qty")
   }
 
+  /** IQR outlier screen (r7): per-flag Tukey fences over price in cents —
+    * quartiles via `percentile_disc` (actual elements, exact), fences in
+    * scaled BIGINT arithmetic (×10 so the 1.5·IQR factor stays integral
+    * — no float threshold to drift between engines), then one
+    * conditional-count pass against the broadcast 5-row fence table.
+    * Two scans total at any scale; only counts move. */
+  def dqOutlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """WITH cents AS (
+        |  SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |fences AS (
+        |  SELECT l_returnflag,
+        |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c) AS BIGINT) AS q1,
+        |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c) AS BIGINT) AS q3
+        |  FROM cents GROUP BY l_returnflag)
+        |SELECT c.l_returnflag, f.q1, f.q3,
+        |  count(CASE WHEN 10 * c.c < 10 * f.q1 - 15 * (f.q3 - f.q1) THEN 1 END) AS n_low,
+        |  count(CASE WHEN 10 * c.c > 10 * f.q3 + 15 * (f.q3 - f.q1) THEN 1 END) AS n_high,
+        |  count(1) AS n
+        |FROM cents c JOIN fences f ON c.l_returnflag = f.l_returnflag
+        |GROUP BY c.l_returnflag, f.q1, f.q3
+        |ORDER BY c.l_returnflag ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_outlier_iqr" -> (dqOutlierIqr _),
     "dq_profile" -> (dqProfile _),
     "dq_profile_approx" -> (dqProfileApprox _),
     "pipeline_observe" -> (pipelineObserve _),
     "dq_constraints" -> (dqConstraints _))
 
   val oracle: Map[String, String] = Map(
+    "dq_outlier_iqr" ->
+      """WITH cents AS (
+        |  SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |fences AS (
+        |  SELECT l_returnflag,
+        |    CAST(quantile_disc(c, 0.25) AS BIGINT) AS q1,
+        |    CAST(quantile_disc(c, 0.75) AS BIGINT) AS q3
+        |  FROM cents GROUP BY l_returnflag)
+        |SELECT c.l_returnflag, f.q1, f.q3,
+        |  count(CASE WHEN 10 * c.c < 10 * f.q1 - 15 * (f.q3 - f.q1) THEN 1 END) AS n_low,
+        |  count(CASE WHEN 10 * c.c > 10 * f.q3 + 15 * (f.q3 - f.q1) THEN 1 END) AS n_high,
+        |  count(1) AS n
+        |FROM cents c JOIN fences f ON c.l_returnflag = f.l_returnflag
+        |GROUP BY c.l_returnflag, f.q1, f.q3
+        |ORDER BY c.l_returnflag ASC NULLS FIRST""".stripMargin,
     "pipeline_observe" ->
       """SELECT count(1) AS n_rows,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty

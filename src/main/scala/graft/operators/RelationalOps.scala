@@ -120,6 +120,45 @@ object RelationalOps {
     custNations(spark, dir).except(suppNations(spark, dir))
       .orderBy(col("nationkey").asc)
 
+  /** MULTISET set ops (r7): INTERSECT ALL / EXCEPT ALL keep duplicate
+    * MULTIPLICITY (min / difference of per-row counts) — a genuinely
+    * different operator from the distinct forms above; Spark plans both
+    * as a count-compare aggregation, one shuffle on the row value. The
+    * output re-aggregates to (row, multiplicity) so it's deterministic. */
+  private def prioPairs(spark: SparkSession, dir: String, m: Int) =
+    Tables.t(spark, dir, "orders")
+      .filter(col("o_orderkey") % m === 0)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    prioPairs(spark, dir, 2).intersectAll(prioPairs(spark, dir, 3))
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_orderpriority").asc, col("o_orderstatus").asc)
+
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    prioPairs(spark, dir, 2).exceptAll(prioPairs(spark, dir, 3))
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_orderpriority").asc, col("o_orderstatus").asc)
+
+  /** Plain-text source/sink roundtrip (r7): one string column per line —
+    * the lowest-common-denominator interchange format every corpus
+    * pipeline still meets (WET dumps, log shipping). Newlines are
+    * scrubbed pre-write (a line IS the record boundary), and the
+    * read-back aggregate is oracle-checked against the source table. */
+  def scanTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${Tables.scratchDir}/text_roundtrip"
+    Tables.t(spark, dir, "documents")
+      .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+           sum(length(col("value"))).cast("long").as("total_chars"),
+           min(length(col("value"))).cast("long").as("min_len"),
+           max(length(col("value"))).cast("long").as("max_len"))
+  }
+
   /** Hive-style partitioned sink + partition-aware read-back: documents
     * written `partitionBy("lang")`, re-read and aggregated per partition.
     * At 100 TB partitioning by a low-cardinality routing column is what
@@ -478,9 +517,34 @@ object RelationalOps {
     "sort_limit" -> (sortLimit _),
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
-    "set_except" -> (setExcept _))
+    "set_except" -> (setExcept _),
+    "set_intersect_all" -> (setIntersectAll _),
+    "set_except_all" -> (setExceptAll _),
+    "scan_text_roundtrip" -> (scanTextRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "set_intersect_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(1) AS multiplicity
+        |FROM (
+        |  SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
+        |GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "set_except_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(1) AS multiplicity
+        |FROM (
+        |  SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
+        |GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "scan_text_roundtrip" ->
+      """SELECT count(1) AS n_lines,
+        |  CAST(sum(length(replace(replace(text, chr(13), ' '), chr(10), ' '))) AS BIGINT) AS total_chars,
+        |  CAST(min(length(replace(replace(text, chr(13), ' '), chr(10), ' '))) AS BIGINT) AS min_len,
+        |  CAST(max(length(replace(replace(text, chr(13), ' '), chr(10), ' '))) AS BIGINT) AS max_len
+        |FROM documents""".stripMargin,
     "scan_csv_malformed" ->
       """WITH sel AS (
         |  SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0)

@@ -124,7 +124,28 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
   }
 
+  /** Running DISTINCT count over a growing frame (r7) — "how many
+    * distinct event types has this user produced so far": windowed
+    * count(DISTINCT) is unsupported in Spark, so the portable form is
+    * `size(array_distinct(collect_list))` over the frame — the set size
+    * is order-independent, so the result is deterministic even though
+    * the collected list isn't. State is one frame-sized list per row;
+    * bounded here by the small per-user type alphabet (at an unbounded
+    * alphabet the HLL sketch, not a window, is the 100 TB form). */
+  def winDistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.t(spark, dir, "events")
+      .filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), col("event_id"),
+        size(array_distinct(collect_list(col("event_type")).over(w)))
+          .cast("long").as("n_types_seen"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distinct_count" -> (winDistinctCount _),
     "win_first_last" -> (winFirstLast _),
     "win_ntile" -> (winNtile _),
     "win_rank" -> (winRank _),
@@ -134,6 +155,14 @@ object Windows {
     "topk_per_group" -> (topkPerGroup _))
 
   val oracle: Map[String, String] = Map(
+    "win_distinct_count" ->
+      """SELECT user_id, event_id,
+        |  CAST(len(list_distinct(list(event_type) OVER w)) AS BIGINT) AS n_types_seen
+        |FROM events WHERE user_id % 5 = 0
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     "win_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER w AS first_price,
