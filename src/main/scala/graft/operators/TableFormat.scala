@@ -200,6 +200,33 @@ object TableFormat {
     writeManifest(spark, base, version, schemaJson, untouched ++ rewritten, txn = None)
   }
 
+  /** COMPACT (r7): rewrite the current snapshot's SMALL files (strictly
+    * under `smallBytes`) into one consolidated run as a new snapshot —
+    * the small-file problem is the table-format failure mode at scale
+    * (every streaming micro-batch commit adds a file; a year of
+    * 1-minute batches is half a million files whose per-file open/stat
+    * dominates the scan). Large files carry over by reference; data is
+    * never mutated, so time travel to pre-compaction versions is intact
+    * and the superseded fragments are reclaimed by `vacuum` once their
+    * versions age out. Returns (newVersion, filesCompacted). */
+  def compact(spark: SparkSession, base: String, smallBytes: Long,
+              targetFiles: Int = 1): (Int, Int) = {
+    val v = currentVersion(spark, base)
+    val version = v + 1
+    val f = fs(spark, base)
+    val entries = manifestEntries(spark, base, v)
+    val (small, large) = entries.partition(e =>
+      f.getFileStatus(new Path(e.path)).getLen < smallBytes)
+    if (small.size < 2) return (v, 0) // nothing to consolidate
+    val rewritten = writeDataFiles(spark, base, s"$base/data/c$version",
+      spark.read.parquet(small.map(_.path): _*).coalesce(targetFiles),
+      statsCol = None)
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    (writeManifest(spark, base, version, schemaJson, large ++ rewritten, txn = None),
+      small.size)
+  }
+
   /** VACUUM (r7): physically delete every data file under `base/data`
     * that no RETAINED manifest references — superseded files from delete
     * commits and orphans from failed writers alike — then drop the

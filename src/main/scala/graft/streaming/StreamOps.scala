@@ -259,18 +259,26 @@ object StreamOps {
     * 100 TB this is what bounds state to ACTIVE keys instead of all keys
     * ever seen. Batch mode (`TimeMode.None`) registers no timers, so the
     * oracle-checked output is unchanged. */
-  private[graft] class UserStatsProcessor(idleGapMs: Long = 0L)
+  private[graft] class UserStatsProcessor(
+      idleGapMs: Long = 0L,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Double, java.sql.Timestamp), (Long, Long, Long)] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, ValueState}
     @transient private var nState: ValueState[Long] = _
     @transient private var centsState: ValueState[Long] = _
     @transient private var armTimers: Boolean = false
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // per-variable TTL (r7): with a TTLConfig the store evicts a key's
+      // value ttlDuration after its last UPDATE (processing time) — the
+      // declarative state bound for "forget inactive keys" when no
+      // event-time watermark exists; the timer path above is the
+      // event-time-precise alternative. Batch + oracle use TTLConfig.NONE.
       nState = getHandle.getValueState[Long](
-        "n", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        "n", org.apache.spark.sql.Encoders.scalaLong, ttl)
       centsState = getHandle.getValueState[Long](
-        "cents", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        "cents", org.apache.spark.sql.Encoders.scalaLong, ttl)
       armTimers = idleGapMs > 0 && timeMode == TimeMode.EventTime()
     }
     override def handleInputRows(

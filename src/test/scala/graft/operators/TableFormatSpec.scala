@@ -220,6 +220,32 @@ class TableFormatSpec extends SparkTestBase {
     assert(!mf.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mf))
   }
 
+  test("compact consolidates small files; rows identical; vacuum reclaims fragments") {
+    val base = freshBase("tf_compact")
+    // 5 micro-commits of a few rows each = 5+ small files
+    (1 to 5).foreach { v =>
+      TableFormat.commit(spark, base,
+        Seq((v.toLong, s"r$v")).toDF("k", "v"), v,
+        parent = if (v == 1) None else Some(v - 1))
+    }
+    val before = TableFormat.manifestFiles(spark, base, 5)
+    assert(before.size >= 5, "test premise: one file per micro-commit")
+    val (v6, nCompacted) = TableFormat.compact(spark, base, smallBytes = 1 << 20)
+    assert(v6 == 6 && nCompacted == before.size)
+    val after = TableFormat.manifestFiles(spark, base, 6)
+    assert(after.size < before.size, s"${after.size} !< ${before.size}")
+    assert(TableFormat.readSnapshot(spark, base).collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+    // pre-compaction version still reads (data untouched)...
+    assert(TableFormat.readSnapshot(spark, base, Some(5)).count() == 5)
+    // ...until vacuum reclaims the superseded fragments
+    val (deleted, kept) = TableFormat.vacuum(spark, base, retain = Seq(6))
+    assert(deleted >= before.size && kept == after.size)
+    assert(TableFormat.readSnapshot(spark, base).count() == 5)
+    // an already-compact table is a no-op, not a rewrite loop
+    assert(TableFormat.compact(spark, base, smallBytes = 1)._2 == 0)
+  }
+
   test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
     val out = TableFormat.tableTimetravel(spark, sfDir).collect()
     assert(out.length == 2)

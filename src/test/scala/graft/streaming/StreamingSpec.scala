@@ -243,6 +243,57 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState: per-variable TTL evicts state between micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      // ProcessingTime TimeMode makes the operator request a follow-up
+      // batch every time the clock advances (that's how TTL state gets
+      // swept), so the query NEVER drains: processAllAvailable hangs and
+      // even Trigger.AvailableNow keeps constructing sweep batches (270
+      // epochs in 60 s, measured). Never wait for drain — poll the sink
+      // for the expected row, then stop() the still-running query.
+      val mem = MemoryStream[(Long, Double, java.sql.Timestamp)]
+      val q = mem.toDS().groupByKey(_._1)
+        .transformWithState(
+          new StreamOps.UserStatsProcessor(
+            ttl = TTLConfig(java.time.Duration.ofMillis(600))),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("user_id", "n_events", "sum_cents")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws_ttl_out").start()
+      def rows(): Seq[(Long, Long, Long)] = spark.table("tws_ttl_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      def awaitRow(want: (Long, Long, Long)): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!rows().contains(want)) {
+          assert(System.nanoTime() < deadline, s"no $want in 30s: ${rows()}")
+          Thread.sleep(100)
+        }
+      }
+      try {
+        mem.addData((1L, 10.0, ts(1)))
+        awaitRow((1L, 1L, 1000L))
+        Thread.sleep(1200) // let the 600ms TTL lapse in processing time
+        mem.addData((1L, 20.0, ts(2)))
+        // TTL evicted the value between micro-batches: the count RESTARTS
+        // at 1 with only the second event's cents — not (2, 3000)
+        awaitRow((1L, 1L, 2000L))
+        assert(!rows().contains((1L, 2L, 3000L)),
+          s"state survived past its TTL: ${rows()}")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream_heavy_hitters: Misra-Gries state carries across micro-batches and keeps the guarantee") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
