@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.Tables
@@ -61,21 +61,33 @@ object TableFormat {
     s
   }
 
-  /** One manifest entry: a data file plus optional (min, max) stats of
-    * the table's declared stats column — the file-skipping index. */
-  final case class ManifestEntry(path: String, lo: Option[Long], hi: Option[Long]) {
-    def line: String = s"$path\t${lo.fold("")(_.toString)}\t${hi.fold("")(_.toString)}"
+  /** One manifest entry: a data file plus optional (min, max) stats of up
+    * to TWO declared stats columns — the file-skipping index. One stats
+    * pair serves range-clustered tables; the second exists for z-ordered
+    * tables, where per-file bounds on BOTH clustering dimensions let a
+    * predicate on EITHER column prune files (linear clustering can only
+    * ever prune on its one sort key). */
+  final case class ManifestEntry(path: String, lo: Option[Long], hi: Option[Long],
+                                 lo2: Option[Long] = None, hi2: Option[Long] = None) {
+    private def f(o: Option[Long]) = o.fold("")(_.toString)
+    def line: String =
+      if (lo2.isEmpty && hi2.isEmpty) s"$path\t${f(lo)}\t${f(hi)}"
+      else s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}"
+    private def inter(l: Option[Long], h: Option[Long], qLo: Long, qHi: Long) =
+      (l, h) match {
+        case (Some(lv), Some(hv)) => hv >= qLo && lv <= qHi
+        case _ => true // no stats recorded: must read
+      }
     /** Can this file possibly hold rows with statsCol in [qLo, qHi]? */
-    def mayMatch(qLo: Long, qHi: Long): Boolean = (lo, hi) match {
-      case (Some(l), Some(h)) => h >= qLo && l <= qHi
-      case _ => true // no stats recorded: must read
-    }
+    def mayMatch(qLo: Long, qHi: Long): Boolean = inter(lo, hi, qLo, qHi)
+    /** Same question against the SECOND stats column. */
+    def mayMatch2(qLo: Long, qHi: Long): Boolean = inter(lo2, hi2, qLo, qHi)
   }
   private object ManifestEntry {
+    private def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
     def parse(line: String): ManifestEntry = line.split("\t", -1) match {
-      case Array(p, l, h) =>
-        ManifestEntry(p, if (l.isEmpty) None else Some(l.toLong),
-                         if (h.isEmpty) None else Some(h.toLong))
+      case Array(p, l, h) => ManifestEntry(p, opt(l), opt(h))
+      case Array(p, l, h, l2, h2) => ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2))
       case other => ManifestEntry(other.head, None, None)
     }
   }
@@ -120,7 +132,8 @@ object TableFormat {
     * per-file min/max of `statsCol` when one is declared. Shared by
     * append commits and delete-rewrites. */
   private def writeDataFiles(spark: SparkSession, base: String, commitDir: String,
-                             df: DataFrame, statsCol: Option[String]): Seq[ManifestEntry] = {
+                             df: DataFrame, statsCol: Option[String],
+                             statsCol2: Option[String] = None): Seq[ManifestEntry] = {
     df.write.mode("overwrite").parquet(commitDir)
     val f = fs(spark, base)
     val newFiles = f.listStatus(new Path(commitDir)).toSeq
@@ -131,16 +144,21 @@ object TableFormat {
       case Some(c) =>
         // input_file_name URIs and listStatus URIs can differ in scheme
         // rendering — key the stats on the (per-directory-unique) filename
+        val aggs = Seq(min(col(c)).cast("long"), max(col(c)).cast("long")) ++
+          statsCol2.toSeq.flatMap(c2 =>
+            Seq(min(col(c2)).cast("long"), max(col(c2)).cast("long")))
         val stats = spark.read.parquet(commitDir)
           .groupBy(input_file_name().as("f"))
-          .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2)))
+          .map(r => r.getString(0).split('/').last ->
+            (1 until r.length).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
           .toMap
         newFiles.map { p =>
-          stats.get(p.split('/').last)
-            .fold(ManifestEntry(p, None, None)) { case (l, h) =>
-              ManifestEntry(p, Some(l), Some(h)) }
+          stats.get(p.split('/').last).fold(ManifestEntry(p, None, None)) { s =>
+            ManifestEntry(p, s(0), s(1),
+              if (s.length > 2) s(2) else None, if (s.length > 3) s(3) else None)
+          }
         }
     }
   }
@@ -307,6 +325,86 @@ object TableFormat {
     (df, (keep.size, entries.size))
   }
 
+  /** Z-ORDER commit (r7): cluster `df` along a space-filling curve over
+    * TWO columns and record per-file min/max of BOTH in the manifest.
+    * Linear (range) clustering sorts on one key, so only predicates on
+    * that key prune files; interleaving the bits of both normalized keys
+    * keeps rows that are close in EITHER dimension in the same files, so
+    * per-file bounds stay tight on both and a predicate on either column
+    * skips files. This is Delta's OPTIMIZE ZORDER BY / Iceberg's
+    * rewrite-with-zorder strategy. Mechanics:
+    *  - one 1-row aggregate computes each column's global [min, max]
+    *    (bounded driver work, same class as the file-stats read-back);
+    *  - both columns normalize to 16-bit grid cells, whose bits
+    *    interleave into a 32-bit z-value (pure Column arithmetic —
+    *    codegen'd, no UDF);
+    *  - `repartitionByRange` on the z-value range-clusters the files
+    *    along the curve; per-file stats of both SOURCE columns go to the
+    *    manifest (the z-value itself is never stored).
+    * At 100 TB the range exchange is the same shuffle any clustered
+    * write pays; the win is every later query on either dimension. */
+  def commitZorder(spark: SparkSession, base: String, df: DataFrame,
+                   c1: String, c2: String, version: Int,
+                   nFiles: Int = 16): Int = {
+    val b = df.agg(min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+                   min(col(c2)).cast("long"), max(col(c2)).cast("long"))
+      .collect()(0) // 1 row of bounds — broadcast into the norm expressions
+    def norm(c: String, lo: Long, hi: Long): Column = {
+      val span = math.max(1L, hi - lo)
+      ((col(c).cast("long") - lit(lo)) * lit(65535L) / lit(span)).cast("long")
+    }
+    val g1 = norm(c1, b.getLong(0), b.getLong(1))
+    val g2 = norm(c2, b.getLong(2), b.getLong(3))
+    // interleave: bit i of g1 → bit 2i, bit i of g2 → bit 2i+1
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(g1, i).bitwiseAND(lit(1L)), 2 * i))
+         .bitwiseOR(shiftleft(shiftright(g2, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z")).drop("__z")
+    val entries = writeDataFiles(spark, base, s"$base/data/c$version",
+      clustered, Some(c1), Some(c2))
+    writeManifest(spark, base, version, df.schema.json, entries, txn = None)
+  }
+
+  /** Two-dimensional file skipping over a z-ordered table: drop every
+    * file whose recorded bounds miss EITHER box edge, then apply the
+    * exact row filter. Returns the DataFrame and (filesRead, filesTotal). */
+  def readSnapshotWhere2(spark: SparkSession, base: String,
+                         c1: String, lo1: Long, hi1: Long,
+                         c2: String, lo2: Long, hi2: Long,
+                         version: Option[Int] = None): (DataFrame, (Int, Int)) = {
+    val v = version.getOrElse(currentVersion(spark, base))
+    val entries = manifestEntries(spark, base, v)
+    val keep = entries.filter(e => e.mayMatch(lo1, hi1) && e.mayMatch2(lo2, hi2))
+    val df =
+      (if (keep.isEmpty) emptySnapshot(spark, base, v)
+       else spark.read.parquet(keep.map(_.path): _*))
+        .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
+                col(c2) >= lo2 && col(c2) <= hi2)
+    (df, (keep.size, entries.size))
+  }
+
+  /** INCREMENTAL read (r7): the rows ADDED between two snapshots = the
+    * files named by `toVersion`'s manifest but not `fromVersion`'s —
+    * manifest set-difference, no data diffing, because append commits
+    * never rewrite files. This is the table format's changelog surface
+    * (Delta CDF / Iceberg incremental scan restricted to appends): a
+    * downstream consumer polls the pointer and processes only new files.
+    * Valid across append and compact commits is NOT implied — a delete's
+    * rewritten straddlers and a compaction run would surface as "new"
+    * files carrying old rows — so this reads strictly append ranges;
+    * callers crossing a delete/compact version should fall back to a
+    * snapshot read (same restriction Delta CDF documents for
+    * non-append commits without the CDC sidecar). */
+  def readIncremental(spark: SparkSession, base: String,
+                      fromVersion: Int, toVersion: Int): DataFrame = {
+    val before = manifestFiles(spark, base, fromVersion).toSet
+    val added = manifestFiles(spark, base, toVersion).filterNot(before)
+    if (added.isEmpty) emptySnapshot(spark, base, toVersion)
+    else spark.read.parquet(added: _*)
+  }
+
   /** Exactly-once streaming sink on the commit protocol: use the micro-
     * batch id AS the snapshot version. A replayed batch (failure before
     * the checkpoint advanced) finds its manifest already published and
@@ -410,10 +508,74 @@ object TableFormat {
       .orderBy(col("version").asc)
   }
 
+  /** `table_compact`: four micro-commits (events split by user_id % 4),
+    * then `compact` consolidates every file into a 2-file run as v5.
+    * Output: identical aggregates from v4 (time travel, pre-compaction)
+    * and v5 (pointer) — compaction moves bytes, never rows; the oracle
+    * computes the same aggregate once per label from the source. The
+    * file-count drop itself is pinned by TableFormatSpec (file counts
+    * aren't SQL-expressible). */
+  def tableCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/compact_table"
+    fs(spark, base).delete(new Path(base), true)
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    (0 to 3).foreach { k =>
+      commit(spark, base, ev.filter(pmod(col("user_id"), lit(4)) === k), k + 1,
+        parent = if (k == 0) None else Some(k))
+    }
+    compact(spark, base, smallBytes = Long.MaxValue, targetFiles = 2)
+    def snap(label: String, version: Option[Int]) =
+      readSnapshot(spark, base, version)
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).cast("long").as("sum_id"))
+        .select(lit(label).as("version"), col("n"), col("sum_id"))
+    snap("v4", Some(4)).unionByName(snap("v5", None))
+      .orderBy(col("version").asc)
+  }
+
+  /** `table_incremental`: v1 = even docs, v2 appends the odd docs;
+    * `readIncremental(1, 2)` reads ONLY v2's added files — the
+    * append-range changelog a downstream consumer tails instead of
+    * re-scanning snapshots. The oracle recomputes the odd half. */
+  def tableIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/incr_table"
+    fs(spark, base).delete(new Path(base), true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    commit(spark, base, docs.filter(col("doc_id") % 2 === 0), 1, parent = None)
+    commit(spark, base, docs.filter(col("doc_id") % 2 === 1), 2, parent = Some(1))
+    readIncremental(spark, base, 1, 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+           sum(col("n_chars")).cast("long").as("new_chars"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** `table_zorder`: orders z-ordered on (o_custkey, o_orderkey); a box
+    * predicate on BOTH columns reads only the files whose two-dimensional
+    * bounds intersect it (TableFormatSpec pins that predicates on either
+    * single dimension also prune — the property linear clustering can't
+    * give). The oracle runs the box query directly on the source. */
+  def tableZorder(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/zorder_table"
+    fs(spark, base).delete(new Path(base), true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    commitZorder(spark, base, orders, "o_custkey", "o_orderkey", version = 1)
+    val (df, _) = readSnapshotWhere2(spark, base,
+      "o_custkey", 100L, 300L, "o_orderkey", 1000L, 5000L)
+    df.agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_timetravel" -> (tableTimetravel _),
     "table_delete" -> (tableDelete _),
-    "table_fileskip" -> (tableFileskip _))
+    "table_fileskip" -> (tableFileskip _),
+    "table_compact" -> (tableCompact _),
+    "table_incremental" -> (tableIncremental _),
+    "table_zorder" -> (tableZorder _))
 
   val oracle: Map[String, String] = Map(
     "table_delete" ->
@@ -437,5 +599,23 @@ object TableFormat {
         |FROM documents WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT 'v2', count(1), CAST(sum(n_chars) AS BIGINT) FROM documents
-        |ORDER BY version ASC NULLS FIRST""".stripMargin)
+        |ORDER BY version ASC NULLS FIRST""".stripMargin,
+    "table_compact" ->
+      """SELECT 'v4' AS version, count(1) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id FROM events
+        |UNION ALL
+        |SELECT 'v5', count(1), CAST(sum(event_id) AS BIGINT) FROM events
+        |ORDER BY version ASC NULLS FIRST""".stripMargin,
+    "table_incremental" ->
+      """SELECT lang, count(1) AS n_new,
+        |  CAST(sum(n_chars) AS BIGINT) AS new_chars
+        |FROM documents WHERE doc_id % 2 = 1
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "table_zorder" ->
+      """SELECT count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin)
 }

@@ -246,6 +246,47 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.compact(spark, base, smallBytes = 1)._2 == 0)
   }
 
+  test("z-order: predicates on EITHER dimension prune files; box read is exact") {
+    val base = freshBase("tf_zorder")
+    // 64×64 grid: both dims uniform, so linear clustering on one key
+    // would leave the other key's per-file range at full span
+    val grid = spark.range(0, 4096).selectExpr(
+      "id % 64 AS x", "CAST(id / 64 AS BIGINT) AS y", "id AS payload")
+    TableFormat.commitZorder(spark, base, grid, "x", "y", version = 1, nFiles = 16)
+    // box on BOTH dims
+    val (both, (rBoth, total)) =
+      TableFormat.readSnapshotWhere2(spark, base, "x", 10, 20, "y", 10, 20)
+    assert(total == 16 && rBoth < total, s"box read $rBoth of $total files")
+    assert(both.count() == 11 * 11)
+    // narrow predicate on dim1 ONLY (dim2 unbounded)…
+    val (_, (r1, _)) =
+      TableFormat.readSnapshotWhere2(spark, base, "x", 0, 7, "y", 0, 63)
+    // …and on dim2 ONLY (dim1 unbounded): BOTH must prune — the property
+    // linear clustering cannot give (its non-sort key never prunes)
+    val (_, (r2, _)) =
+      TableFormat.readSnapshotWhere2(spark, base, "x", 0, 63, "y", 0, 7)
+    assert(r1 < total, s"dim1-only predicate read $r1 of $total")
+    assert(r2 < total, s"dim2-only predicate read $r2 of $total")
+    // stats prune files, never rows: sums match the unpruned filter
+    val direct = grid.filter("x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20")
+      .agg(sum("payload")).collect()(0).getLong(0)
+    assert(both.agg(sum("payload")).collect()(0).getLong(0) == direct)
+  }
+
+  test("incremental read returns exactly the appended rows; same-version diff is empty") {
+    val base = freshBase("tf_incr")
+    TableFormat.commit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1, None)
+    TableFormat.commit(spark, base, Seq((3L, "c")).toDF("k", "v"), 2, Some(1))
+    TableFormat.commit(spark, base, Seq((4L, "d"), (5L, "e")).toDF("k", "v"), 3, Some(2))
+    assert(TableFormat.readIncremental(spark, base, 1, 3).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    assert(TableFormat.readIncremental(spark, base, 2, 3).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+    // no new files → typed empty frame, not a zero-path scan error
+    val empty = TableFormat.readIncremental(spark, base, 3, 3)
+    assert(empty.schema.fieldNames.toSeq == Seq("k", "v") && empty.count() == 0)
+  }
+
   test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
     val out = TableFormat.tableTimetravel(spark, sfDir).collect()
     assert(out.length == 2)
