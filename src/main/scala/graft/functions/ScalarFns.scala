@@ -280,7 +280,27 @@ object ScalarFns {
         format_string("%s/%05d", col("event_type"), col("user_id")).as("route"))
       .orderBy(col("event_id").asc)
 
+  /** Binary codec family (r7): base64 / hex / sha256 over UTF-8 bytes,
+    * plus the encode→decode roundtrip — the content-addressing toolkit
+    * (dedup keys, cache keys, wire-safe ids travel in exactly these
+    * encodings). Spark's hex() is uppercase and DuckDB's lowercase, so
+    * the query pins lower() as the cross-engine canonical form; both
+    * emit unpadded-free standard base64 and lowercase sha256 hex. */
+  def fCodec(spark: SparkSession, dir: String): DataFrame = {
+    val p = substring(col("text"), 1, 24).cast("binary")
+    t(spark, dir, "documents")
+      .filter(col("doc_id") % 11 === 0)
+      .select(
+        col("doc_id"),
+        base64(p).as("b64"),
+        lower(hex(p)).as("hx"),
+        sha2(p, 256).as("sha"),
+        unbase64(base64(p)).cast("string").as("roundtrip"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_codec" -> (fCodec _),
     "f_levenshtein" -> (fLevenshtein _),
     "f_printf" -> (fPrintf _),
     "f_try_arith" -> (fTryArith _),
@@ -299,6 +319,14 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_codec" ->
+      """SELECT doc_id,
+        |  base64(encode(substring(text, 1, 24))) AS b64,
+        |  lower(hex(encode(substring(text, 1, 24)))) AS hx,
+        |  sha256(substring(text, 1, 24)) AS sha,
+        |  decode(from_base64(base64(encode(substring(text, 1, 24))))) AS roundtrip
+        |FROM documents WHERE doc_id % 11 = 0
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "f_levenshtein" ->
       """SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
         |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS lev,

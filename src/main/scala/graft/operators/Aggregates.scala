@@ -896,7 +896,29 @@ object Aggregates {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Robust location/spread (r7): exact `median` plus MAD (median
+    * absolute deviation) per group — the outlier-resistant pair a data-
+    * quality screen prefers over mean/stddev (one corrupt 1e9 row drags
+    * a mean arbitrarily far; the median moves one rank). Selection-based,
+    * so no float-summation order sensitivity: Spark lacks a mad()
+    * aggregate, so it's two exact-median passes — group medians broadcast
+    * back (KB-sized), then the median of |x − med|. Both passes are sort-
+    * aggregates over the same event_type shuffle key. */
+  def aggMedianMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(median(col("value")).as("med0"), count(lit(1)).as("n"))
+    ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med0")).as("m"), first(col("n")).as("n0"),
+           median(abs(col("value") - col("med0"))).as("mad0"))
+      .select(col("event_type"), graft.Det.r4(col("m")).as("med"),
+              graft.Det.r4(col("mad0")).as("mad"), col("n0").as("n"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_median_mad" -> (aggMedianMad _),
     "agg_listagg" -> (aggListagg _),
     "agg_regr" -> (aggRegr _),
     "agg_percentile_disc" -> (aggPercentileDisc _),
@@ -942,6 +964,13 @@ object Aggregates {
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "agg_median_mad" ->
+      """SELECT event_type,
+        |  floor(median(value) * 10000 + 0.5) / 10000 AS med,
+        |  floor(mad(value) * 10000 + 0.5) / 10000 AS mad,
+        |  count(1) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "agg_listagg" ->
       """SELECT l_returnflag,
         |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,

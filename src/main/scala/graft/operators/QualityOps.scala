@@ -171,7 +171,30 @@ object QualityOps {
         |ORDER BY c.l_returnflag ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Benford first-digit screen (r7): the leading-digit distribution of
+    * order totals vs Benford's log10(1 + 1/d) expectation — the classic
+    * fabricated-data tripwire (organic magnitudes follow it, generated or
+    * tampered values usually don't; this corpus's uniform prices visibly
+    * fail it, which is the point of the screen). One scan, 9 output rows;
+    * the single-partition window that turns counts into shares runs over
+    * those 9 rows only. */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("pct", graft.Det.r4(
+        col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()).cast("double")))
+      .withColumn("expected", graft.Det.r4(
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))))
+      .orderBy(col("digit").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> (dqBenford _),
     "dq_outlier_iqr" -> (dqOutlierIqr _),
     "dq_profile" -> (dqProfile _),
     "dq_profile_approx" -> (dqProfileApprox _),
@@ -179,6 +202,15 @@ object QualityOps {
     "dq_constraints" -> (dqConstraints _))
 
   val oracle: Map[String, String] = Map(
+    "dq_benford" ->
+      """WITH c AS (
+        |  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        |         count(1) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT digit, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)) * 10000 + 0.5) / 10000 AS pct,
+        |  floor(log10(1 + 1.0 / CAST(digit AS DOUBLE)) * 10000 + 0.5) / 10000 AS expected
+        |FROM c ORDER BY digit ASC NULLS FIRST""".stripMargin,
     "dq_outlier_iqr" ->
       """WITH cents AS (
         |  SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c

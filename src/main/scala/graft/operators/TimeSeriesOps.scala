@@ -278,7 +278,38 @@ object TimeSeriesOps {
       .orderBy(col("event_id").asc)
   }
 
+  /** Lag-1 autocorrelation per series (r7): is the signal noise, drift,
+    * or oscillation? Computed from exact DECIMAL co-moments (the
+    * ts_anomaly trick — Pearson corr as one streaming float aggregate is
+    * summation-order-dependent, so the sums happen in DECIMAL and the
+    * division in double from identical inputs on any engine). The lag
+    * window and the co-moment aggregation share the event_type
+    * partitioning, so the whole thing is one shuffle. */
+  def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val vd = col("value").cast("decimal(18,2)")
+    val pairs = Tables.t(spark, dir, "events")
+      .select(col("event_type"), vd.as("x"), lag(vd, 1).over(w).as("y"))
+      .filter(col("y").isNotNull)
+    def d(c: String) = col(c).cast("double")
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"),
+           sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"),
+           sum((col("y") * col("y")).cast("decimal(38,4)")).as("syy"))
+      .select(col("event_type"), col("n"),
+        graft.Det.r4(
+          (d("n") * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+             sqrt(d("n") * d("syy") - d("sy") * d("sy")))).as("acf1"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_acf" -> (tsAcf _),
     "ts_anomaly" -> (tsAnomaly _),
     "sessionize" -> (sessionize _),
     "ts_transitions" -> (tsTransitions _),
@@ -291,6 +322,24 @@ object TimeSeriesOps {
     "ts_ohlc" -> (tsOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "ts_acf" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+        |    lag(CAST(value AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(1) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y*y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM p WHERE y IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |  floor(((CAST(n AS DOUBLE)*sxy - sx*sy) /
+        |         (sqrt(CAST(n AS DOUBLE)*sxx - sx*sx) *
+        |          sqrt(CAST(n AS DOUBLE)*syy - sy*sy))) * 10000 + 0.5)/10000 AS acf1
+        |FROM a ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "ts_anomaly" ->
       """WITH s AS (
         |  SELECT event_type, count(1) AS n,
