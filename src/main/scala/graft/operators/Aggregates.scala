@@ -917,7 +917,25 @@ object Aggregates {
       .orderBy(col("event_type").asc)
   }
 
+  /** approx_top_k (r7): Spark 4.1's DataSketches frequent-items aggregate.
+    * Sketch guarantee: with maxItemsTracked ≥ the distinct count the
+    * sketch never evicts, so the "approximate" counts are EXACT — which
+    * is what makes this oracle-checkable (same argument as the CMS
+    * under-capacity spec). At real cardinalities the same query degrades
+    * gracefully to ±n/maxItemsTracked error, mergeable across partitions
+    * — the shuffle carries one KB-scale sketch per partition, not the
+    * keyspace (the engine-native tier of agg_heavy_hitters' Misra-Gries). */
+  def aggApproxTopk(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT s.col.item AS event_type, CAST(s.col.count AS BIGINT) AS n
+        |FROM (SELECT explode(approx_top_k(event_type, 3, 100)) AS col
+        |      FROM events) s
+        |ORDER BY n DESC, event_type ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_topk" -> (aggApproxTopk _),
     "agg_median_mad" -> (aggMedianMad _),
     "agg_listagg" -> (aggListagg _),
     "agg_regr" -> (aggRegr _),
@@ -964,6 +982,11 @@ object Aggregates {
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "agg_approx_topk" ->
+      """SELECT event_type, count(1) AS n FROM events
+        |GROUP BY event_type
+        |ORDER BY n DESC, event_type ASC NULLS FIRST
+        |LIMIT 3""".stripMargin,
     "agg_median_mad" ->
       """SELECT event_type,
         |  floor(median(value) * 10000 + 0.5) / 10000 AS med,

@@ -198,7 +198,46 @@ object CurationOps {
       .orderBy(col("source").asc)
   }
 
+  /** Deterministic corpus shuffle (r7): every epoch-shuffling trainer
+    * needs a REPRODUCIBLE global order + shard assignment that no engine,
+    * partition count, or re-run changes. Keyed shuffle: h = md5(seed ∥
+    * doc_id); shard = first hex nibble (16-way), position = rank of h
+    * within the shard. Content never moves twice: the only shuffle is the
+    * 16-way hash exchange the rank window needs, and at 100 TB each shard
+    * sorts independently (the global order is the concatenation). */
+  def seqShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("seed42-"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .select(col("doc_id"), col("shard"), row_number().over(w).as("pos"))
+      .orderBy(col("shard").asc, col("pos").asc)
+  }
+
+  /** Temperature-resampled domain mix (r7): up-weight small domains with
+    * p_i ∝ n_i^(1/2) (temperature 2 sampling, the multilingual-corpus
+    * standard). α = 0.5 is chosen deliberately: sqrt is IEEE
+    * correctly-rounded (pow(x, 0.7) is not, and differs across libm
+    * builds), and the weights are floor-scaled to BIGINT before the
+    * normalizing sum so the total is integer-exact — no float summation
+    * order anywhere. One |domains|-row aggregate + a 1-row broadcast. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"),
+        floor(sqrt(col("n").cast("double")) * 10000 + 0.5).cast("long").as("w"))
+    val tot = d.agg(sum(col("w")).as("tw"), sum(col("n")).as("tn"))
+    d.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        Det.r4(col("n").cast("double") / col("tn").cast("double")).as("p_natural"),
+        Det.r4(col("w").cast("double") / col("tw").cast("double")).as("p_temp"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_shuffle" -> (seqShuffle _),
+    "mix_temperature" -> (mixTemperature _),
     "mix_sample" -> (mixSample _),
     "text_repetition" -> (textRepetition _),
     "seq_pack" -> (seqPack _),
@@ -207,6 +246,25 @@ object CurationOps {
     "mix_domain_stats" -> (mixDomainStats _))
 
   val oracle: Map[String, String] = Map(
+    "seq_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, substring(h, 1, 1) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY substring(h, 1, 1)
+        |    ORDER BY h ASC, doc_id ASC) AS INT) AS pos
+        |FROM h
+        |ORDER BY shard ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
+    "mix_temperature" ->
+      """WITH d AS (
+        |  SELECT source, count(1) AS n,
+        |    CAST(floor(sqrt(CAST(count(1) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n) AS BIGINT) AS tn FROM d)
+        |SELECT source, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)) * 10000 + 0.5) / 10000 AS p_natural,
+        |  floor((CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) * 10000 + 0.5) / 10000 AS p_temp
+        |FROM d, t ORDER BY source ASC NULLS FIRST""".stripMargin,
     "mix_sample" ->
       """WITH d AS (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,

@@ -308,7 +308,37 @@ object TimeSeriesOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** Windowed EWMA (r7): exponential smoothing over the last 8 samples
+    * per series — α = 0.5, so every weight is an EXACT power of two
+    * (0.5^k scales a double without rounding) and the 8-term numerator /
+    * denominator sums run in fixed expression order: bit-identical on
+    * any engine, unlike a recursive EWMA (not SQL-expressible) or a
+    * float window-sum (order-dependent). Sequence starts normalize by
+    * the weights actually present. The 8 lag columns share ONE window
+    * spec, so Spark evaluates them in a single pass over the series
+    * partitioning (one shuffle). */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val terms = (0 until 8).map { k =>
+      val x = lag(col("value"), k).over(w)
+      val wt = lit(math.pow(0.5, k)) // 1, 0.5, 0.25, … — exact binary
+      (when(x.isNotNull, wt * x).otherwise(lit(0.0)),
+       when(x.isNotNull, wt).otherwise(lit(0.0)))
+    }
+    Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        terms.map(_._1).reduce(_ + _).as("num"),
+        terms.map(_._2).reduce(_ + _).as("den"))
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"),
+        graft.Det.r4(col("num") / col("den")).as("ewma"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma" -> (tsEwma _),
     "ts_acf" -> (tsAcf _),
     "ts_anomaly" -> (tsAnomaly _),
     "sessionize" -> (sessionize _),
@@ -322,6 +352,35 @@ object TimeSeriesOps {
     "ts_ohlc" -> (tsOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "ts_ewma" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type,
+        |    lag(value, 0) OVER w AS x0, lag(value, 1) OVER w AS x1,
+        |    lag(value, 2) OVER w AS x2, lag(value, 3) OVER w AS x3,
+        |    lag(value, 4) OVER w AS x4, lag(value, 5) OVER w AS x5,
+        |    lag(value, 6) OVER w AS x6, lag(value, 7) OVER w AS x7
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC))
+        |SELECT event_id, event_type,
+        |  floor(((CASE WHEN x0 IS NOT NULL THEN 1.0 * x0 ELSE 0.0 END
+        |        + CASE WHEN x1 IS NOT NULL THEN 0.5 * x1 ELSE 0.0 END
+        |        + CASE WHEN x2 IS NOT NULL THEN 0.25 * x2 ELSE 0.0 END
+        |        + CASE WHEN x3 IS NOT NULL THEN 0.125 * x3 ELSE 0.0 END
+        |        + CASE WHEN x4 IS NOT NULL THEN 0.0625 * x4 ELSE 0.0 END
+        |        + CASE WHEN x5 IS NOT NULL THEN 0.03125 * x5 ELSE 0.0 END
+        |        + CASE WHEN x6 IS NOT NULL THEN 0.015625 * x6 ELSE 0.0 END
+        |        + CASE WHEN x7 IS NOT NULL THEN 0.0078125 * x7 ELSE 0.0 END)
+        |       / (CASE WHEN x0 IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |        + CASE WHEN x1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |        + CASE WHEN x2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |        + CASE WHEN x3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+        |        + CASE WHEN x4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+        |        + CASE WHEN x5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+        |        + CASE WHEN x6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+        |        + CASE WHEN x7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END))
+        |    * 10000 + 0.5) / 10000 AS ewma
+        |FROM l WHERE event_id % 20 = 0
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "ts_acf" ->
       """WITH p AS (
         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
