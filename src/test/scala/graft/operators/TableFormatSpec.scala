@@ -287,6 +287,29 @@ class TableFormatSpec extends SparkTestBase {
     assert(empty.schema.fieldNames.toSeq == Seq("k", "v") && empty.count() == 0)
   }
 
+  test("stream → exactly-once sink → incremental read: the table IS a changelog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = freshBase("tf_once_incr")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch(TableFormat.exactlyOnceBatch(base) _)
+      .outputMode("append").start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"), (4L, "d"))
+    q.processAllAvailable()
+    mem.addData((5L, "e"))
+    q.processAllAvailable()
+    q.stop()
+    // a downstream consumer that saw v1 catches up by manifest diff:
+    // exactly the micro-batch-2 and -3 rows, nothing re-read
+    assert(TableFormat.readIncremental(spark, base, 1, 3).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    // cursor at head → empty, typed
+    assert(TableFormat.readIncremental(spark, base, 3, 3).count() == 0)
+  }
+
   test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
     val out = TableFormat.tableTimetravel(spark, sfDir).collect()
     assert(out.length == 2)
