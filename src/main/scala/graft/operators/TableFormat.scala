@@ -210,7 +210,7 @@ object TableFormat {
     val rewritten =
       if (straddling.isEmpty) Seq.empty
       else writeDataFiles(spark, base, s"$base/data/c$version",
-        spark.read.parquet(straddling.map(_.path): _*)
+        readFiles(spark, base, v, straddling.map(_.path))
           .filter(!(col(statsCol) >= lo && col(statsCol) <= hi)),
         Some(statsCol))
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
@@ -237,7 +237,7 @@ object TableFormat {
       f.getFileStatus(new Path(e.path)).getLen < smallBytes)
     if (small.size < 2) return (v, 0) // nothing to consolidate
     val rewritten = writeDataFiles(spark, base, s"$base/data/c$version",
-      spark.read.parquet(small.map(_.path): _*).coalesce(targetFiles),
+      readFiles(spark, base, v, small.map(_.path)).coalesce(targetFiles),
       statsCol = None)
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
@@ -280,6 +280,24 @@ object TableFormat {
     (deleted, kept)
   }
 
+  /** SCHEMA EVOLUTION (r7): read `files` under `version`'s RECORDED
+    * schema instead of whatever the first parquet footer says. An append
+    * commit may carry new columns; its manifest records the widened
+    * schema while still naming the parent's old-schema files, and the
+    * parquet reader fills a file's missing columns with NULL — so old
+    * files project nulls for new columns, and time travel to an old
+    * version reads with that version's narrower schema. Without this, a
+    * mixed-schema file list silently takes the first file's footer
+    * (column loss or read failure depending on file order). Type
+    * CHANGES are not supported — add a column, never mutate one (the
+    * Delta/Iceberg add-only default). */
+  private def readFiles(spark: SparkSession, base: String, version: Int,
+                        files: Seq[String]): DataFrame =
+    manifestSchema(spark, base, version) match {
+      case Some(schema) => spark.read.schema(schema).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+
   /** The manifest entries (file + stats) of snapshot `version`. */
   def manifestEntries(spark: SparkSession, base: String, version: Int): Seq[ManifestEntry] =
     readFile(spark, s"$base/_manifests/v$version.manifest")
@@ -300,7 +318,7 @@ object TableFormat {
     val v = version.getOrElse(currentVersion(spark, base))
     val files = manifestFiles(spark, base, v)
     if (files.isEmpty) emptySnapshot(spark, base, v)
-    else spark.read.parquet(files: _*)
+    else readFiles(spark, base, v, files)
   }
 
   /** FILE SKIPPING — the reason table formats carry stats: resolve the
@@ -320,7 +338,7 @@ object TableFormat {
     val keep = entries.filter(_.mayMatch(lo, hi))
     val df =
       (if (keep.isEmpty) emptySnapshot(spark, base, v)
-       else spark.read.parquet(keep.map(_.path): _*))
+       else readFiles(spark, base, v, keep.map(_.path)))
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     (df, (keep.size, entries.size))
   }
@@ -379,7 +397,7 @@ object TableFormat {
     val keep = entries.filter(e => e.mayMatch(lo1, hi1) && e.mayMatch2(lo2, hi2))
     val df =
       (if (keep.isEmpty) emptySnapshot(spark, base, v)
-       else spark.read.parquet(keep.map(_.path): _*))
+       else readFiles(spark, base, v, keep.map(_.path)))
         .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
                 col(c2) >= lo2 && col(c2) <= hi2)
     (df, (keep.size, entries.size))
@@ -402,7 +420,7 @@ object TableFormat {
     val before = manifestFiles(spark, base, fromVersion).toSet
     val added = manifestFiles(spark, base, toVersion).filterNot(before)
     if (added.isEmpty) emptySnapshot(spark, base, toVersion)
-    else spark.read.parquet(added: _*)
+    else readFiles(spark, base, toVersion, added)
   }
 
   /** Exactly-once streaming sink on the commit protocol: use the micro-
@@ -569,7 +587,34 @@ object TableFormat {
            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** `table_schema_evol`: v1 = (doc_id, lang) for even docs; v2 appends
+    * the odd docs WITH a new n_chars column — the manifest records the
+    * widened schema while still naming v1's narrow files, and the
+    * snapshot read projects NULL n_chars for them (schema-aware read —
+    * a naive mixed-footer read silently drops or fails on the new
+    * column). Output: per-lang counts with the nulls made visible; the
+    * oracle reproduces evolution with a CASE on the doc half. */
+  def tableSchemaEvol(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/evol_table"
+    fs(spark, base).delete(new Path(base), true)
+    val docs = Tables.t(spark, dir, "documents")
+    commit(spark, base,
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang")),
+      1, parent = None)
+    commit(spark, base,
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      2, parent = Some(1))
+    readSnapshot(spark, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("n_chars")).as("n_with_chars"),
+           sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("sum_chars"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_schema_evol" -> (tableSchemaEvol _),
     "table_timetravel" -> (tableTimetravel _),
     "table_delete" -> (tableDelete _),
     "table_fileskip" -> (tableFileskip _),
@@ -600,6 +645,13 @@ object TableFormat {
         |UNION ALL
         |SELECT 'v2', count(1), CAST(sum(n_chars) AS BIGINT) FROM documents
         |ORDER BY version ASC NULLS FIRST""".stripMargin,
+    "table_schema_evol" ->
+      """SELECT lang, count(1) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "table_compact" ->
       """SELECT 'v4' AS version, count(1) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id FROM events

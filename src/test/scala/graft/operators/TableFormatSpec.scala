@@ -310,6 +310,29 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readIncremental(spark, base, 3, 3).count() == 0)
   }
 
+  test("schema evolution: old files project NULL for added columns; time travel stays narrow") {
+    val base = freshBase("tf_evol")
+    TableFormat.commit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1, None)
+    TableFormat.commit(spark, base,
+      Seq((3L, "c", 30L)).toDF("k", "v", "extra"), 2, Some(1))
+    val cur = TableFormat.readSnapshot(spark, base)
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    val rows = cur.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(rows == Seq((1L, -1L), (2L, -1L), (3L, 30L)),
+      s"old files must project NULL extra: $rows")
+    // time travel reads v1 under ITS schema — the column doesn't exist yet
+    assert(TableFormat.readSnapshot(spark, base, Some(1))
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+    // maintenance under evolution: compact rewrites the mixed files under
+    // the CURRENT schema without losing the new column
+    val (v3, _) = TableFormat.compact(spark, base, smallBytes = 1 << 20)
+    assert(v3 == 3)
+    val afterCompact = TableFormat.readSnapshot(spark, base).collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(afterCompact == rows, s"compact changed rows: $afterCompact")
+  }
+
   test("table_timetravel query: v1 is exactly the even half, v2 the full set") {
     val out = TableFormat.tableTimetravel(spark, sfDir).collect()
     assert(out.length == 2)
