@@ -189,6 +189,30 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Tolerance-bounded as-of (r7): same backward merge, but a match older
+    * than the bound is rejected and the left row null-extends — pandas
+    * merge_asof(tolerance=…) semantics. The attribution cutoff every
+    * real funnel needs ("credit the click only within the window");
+    * post-filtering the unbounded as-of is equivalent for backward
+    * matches (the rejected match is the NEWEST candidate — nothing
+    * younger exists), which is exactly what the oracle does, but the
+    * native bound skips the projection of doomed matches inside the
+    * exec. 36 h splits this corpus's match-age distribution near its
+    * median, so both outcomes are exercised. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts_us"))
+    graft.plans.AsOfJoin.asof(purchases, clicks, "user_id", "c_user", "ts_us", "c_ts_us",
+        tolerance = Some(129600L * 1000000L)) // 36 h in µs
+      .select(col("event_id"), col("user_id"),
+              date_format(timestamp_micros(col("c_ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .as("click_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Null-safe equi-join (r4): `<=>` treats NULL as a joinable value —
     * the semantics MERGE/upsert and SCD pipelines need when the business
     * key is nullable (plain `=` silently drops every NULL row). Spark
@@ -215,6 +239,7 @@ object Joins {
     "join_asof_native" -> (joinAsofNative _),
     "join_asof_fwd" -> (joinAsofFwd _),
     "join_asof_inner" -> (joinAsofInner _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_inner" -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
     "join_left" -> (joinLeft _),
@@ -238,6 +263,15 @@ object Joins {
     "join_asof_native" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |  CASE WHEN c.ts IS NOT NULL
+        |        AND epoch_us(p.ts) - epoch_us(c.ts) <= 129600000000
+        |       THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts

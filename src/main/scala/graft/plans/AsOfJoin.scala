@@ -30,7 +30,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    forward: Boolean = false, inner: Boolean = false) extends BinaryNode {
+    forward: Boolean = false, inner: Boolean = false,
+    tolerance: Long = Long.MaxValue) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ (if (inner) right.output else right.output.map(_.withNullability(true)))
   override protected def withNewChildrenInternal(
@@ -40,8 +41,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, inner) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, inner, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, inner, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, inner, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -49,7 +50,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    forward: Boolean, inner: Boolean,
+    forward: Boolean, inner: Boolean, tolerance: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -126,7 +127,8 @@ case class AsOfJoinExec(
                    (rHeadKey < lk || (rHeadKey == lk && rHeadTime < lt))) {
               advanceRight()
             }
-            if (rHead != null && rHeadKey == lk && rHeadTime >= lt) matched = rHead
+            if (rHead != null && rHeadKey == lk && rHeadTime >= lt &&
+                rHeadTime - lt <= tolerance) matched = rHead
           } else {
             while (rHead != null &&
                    (rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt))) {
@@ -135,7 +137,8 @@ case class AsOfJoinExec(
               rPrevTime = rHeadTime
               advanceRight()
             }
-            if (rPrev != null && rPrevKey == lk && rPrevTime <= lt) matched = rPrev
+            if (rPrev != null && rPrevKey == lk && rPrevTime <= lt &&
+                lt - rPrevTime <= tolerance) matched = rPrev
           }
         }
         if (matched == null && inner) None
@@ -186,7 +189,9 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           direction: String = "backward", joinType: String = "left"): DataFrame = {
+           direction: String = "backward", joinType: String = "left",
+           tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0), s"as-of tolerance must be >= 0, got $tolerance")
     require(direction == "backward" || direction == "forward",
       s"as-of direction must be backward or forward, got $direction")
     require(joinType == "left" || joinType == "inner",
@@ -212,6 +217,7 @@ object AsOfJoin {
     SqlBridge.ofRows(spark, AsOfJoinPlan(la, ra,
       toLong(lkA, "key"), toLong(rkA, "key"),
       toLong(lt, "time"), toLong(rt, "time"),
-      forward = direction == "forward", inner = joinType == "inner"))
+      forward = direction == "forward", inner = joinType == "inner",
+      tolerance = tolerance.getOrElse(Long.MaxValue)))
   }
 }

@@ -33,6 +33,37 @@ class AsOfJoinSpec extends SparkTestBase {
       ("p3", None)))            // key with no right rows -> LEFT null
   }
 
+  test("tolerance: boundary match kept, staler dropped to NULL, both directions") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "exact"), (1L, 200L, "stale"), (1L, 300L, "fresh"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, "c90"), (1L, 295L, "c295")).toDF("rk", "rt", "rtag")
+    // backward, tolerance 10: age<=10 matches, age 110 (200-90) does not
+    val back = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", tolerance = Some(10L))
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    assert(back == Set(
+      ("exact", Some("c90")),  // age 10 == tolerance: inclusive bound
+      ("stale", None),         // nearest candidate too old -> null-extend
+      ("fresh", Some("c295"))))
+    // forward, tolerance 5, right times shifted to (95, 300): the next
+    // right for t=100 and t=200 is 300 (gaps 200/100, dropped); for
+    // t=300 it's 300 itself (gap 0, kept)
+    val fwd = AsOfJoin.asof(l, r.withColumn("rt", col("rt") + 5), "k", "rk", "t", "rt",
+        direction = "forward", tolerance = Some(5L))
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    assert(fwd == Set(
+      ("exact", None),
+      ("stale", None),
+      ("fresh", Some("c295"))), s"forward tolerance: $fwd")
+    // tolerance must be non-negative — construction-time failure
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "k", "rk", "t", "rt", tolerance = Some(-1L))
+    }
+    assert(e.getMessage.contains("tolerance"))
+  }
+
   test("forward direction: smallest right time >= left time, ties match, none after -> NULL") {
     import spark.implicits._
     val l = Seq((1L, 100L, "p1"), (1L, 160L, "p2"), (2L, 50L, "p3"))
