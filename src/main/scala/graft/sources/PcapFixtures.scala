@@ -21,6 +21,41 @@ object PcapFixtures {
     bb.array()
   }
 
+  /** Ethernet frame under an arbitrary VLAN tag STACK (r7): `tpids`
+    * outermost-first (0x8100 / 0x88A8 QinQ / 0x9100), each with a dummy
+    * TCI, then the real EtherType and payload. */
+  def ethernetStacked(tpids: Seq[Int], etherType: Int,
+                      payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(14 + 4 * tpids.length + payload.length)
+      .order(ByteOrder.BIG_ENDIAN)
+    bb.put(Array.fill[Byte](6)(0x02)).put(Array.fill[Byte](6)(0x04))
+    tpids.foreach(t => bb.putShort(t.toShort).putShort(0x0064.toShort))
+    bb.putShort(etherType.toShort).put(payload)
+    bb.array()
+  }
+
+  /** IPv6 fixed header (r7): 40 bytes — version/class/flow, payload len,
+    * next-header, hop limit, 16-byte src/dst — followed by `payload`
+    * (which may itself start with extension headers). */
+  def ipv6(nextHeader: Int, src: Array[Byte], dst: Array[Byte],
+           payload: Array[Byte]): Array[Byte] = {
+    require(src.length == 16 && dst.length == 16, "ipv6 addrs are 16 bytes")
+    val bb = ByteBuffer.allocate(40 + payload.length).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0x60000000)                    // version 6, tc/flow 0
+    bb.putShort(payload.length.toShort)      // payload length
+    bb.put(nextHeader.toByte).put(64.toByte) // next header, hop limit
+    bb.put(src).put(dst).put(payload)
+    bb.array()
+  }
+
+  /** One IPv6 extension header of the (next, (len+1)·8) family — 8 bytes
+    * at len=0: next-header, hdr-ext-len, 6 padding bytes. */
+  def ipv6Ext(nextHeader: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8)
+    bb.put(nextHeader.toByte).put(0.toByte).put(Array.fill[Byte](6)(0))
+    bb.array()
+  }
+
   def ipv4(proto: Int, srcIp: Array[Byte], dstIp: Array[Byte],
            l4: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.allocate(20 + l4.length).order(ByteOrder.BIG_ENDIAN)

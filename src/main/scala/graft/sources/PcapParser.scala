@@ -79,15 +79,68 @@ object PcapParser {
     }
   }
 
+  /** IPv6 header decode (r7 — EXTENSION past the reference, which leaves
+    * every field NULL for 0x86DD frames, main.rs:234-252; real captures
+    * are full of IPv6, so a user migrating hits this immediately). Fixed
+    * 40-byte header: next-header at byte 6, src at 8–23, dst at 24–39,
+    * rendered as full-form lowercase-hex groups (unambiguous, no ::
+    * compression — the join-key property matters more than RFC 5952
+    * prettiness: equal addresses MUST render equal). Extension headers
+    * (hop-by-hop 0, routing 43, fragment 44, dest-opts 60) are walked —
+    * bounded at 8, each (next, (len+1)·8) except fragment's fixed 8 —
+    * to reach TCP/UDP/ICMPv6; an unmapped or truncated chain leaves
+    * protocol NULL, exactly the IPv4 posture. */
+  private def parseIpv6(b: Array[Byte], off: Int, p: Packet, wantIps: Boolean): Packet = {
+    if (off + 40 > b.length) return p
+    def addr(o: Int) =
+      (0 until 8).map(i => Integer.toHexString(be16(b, o + 2 * i))).mkString(":")
+    val withIps =
+      if (wantIps) p.copy(src_ip = Some(addr(off + 8)), dst_ip = Some(addr(off + 24)))
+      else p
+    var next = b(off + 6) & 0xff
+    var l4 = off + 40
+    var hops = 0
+    while ((next == 0 || next == 43 || next == 44 || next == 60) &&
+           hops < 8 && l4 + 8 <= b.length) {
+      val n = b(l4) & 0xff
+      val len = if (next == 44) 8 else ((b(l4 + 1) & 0xff) + 1) * 8
+      next = n
+      l4 += len
+      hops += 1
+    }
+    next match {
+      case 6 =>
+        val (s, d) = parsePorts(b, l4)
+        withIps.copy(protocol = Some("TCP"), src_port = s, dst_port = d)
+      case 17 =>
+        val (s, d) = parsePorts(b, l4)
+        withIps.copy(protocol = Some("UDP"), src_port = s, dst_port = d)
+      case 58 => withIps.copy(protocol = Some("ICMPv6"))
+      case _ => withIps
+    }
+  }
+
   /** Ethernet II decode (main.rs:234-252): EtherType at bytes 12-13;
-    * 0x0800 -> IPv4 at 14; single 802.1Q tag 0x8100 -> inner EtherType at
-    * 16-17, IPv4 at 18; anything else (ARP, IPv6, QinQ) ignored — fields
-    * stay NULL. MACs deliberately not extracted (main.rs:235-236). */
+    * 0x0800 -> IPv4. r7 EXTENSIONS past the reference (which handles one
+    * 802.1Q tag then gives up): the VLAN tag STACK is walked — 0x8100 /
+    * 0x88A8 QinQ / legacy 0x9100, bounded at 4 tags — and 0x86DD
+    * dispatches to the IPv6 decoder. ARP and everything else still
+    * leaves fields NULL. MACs deliberately not extracted
+    * (main.rs:235-236). */
   def parseEthernet(b: Array[Byte], p: Packet, wantIps: Boolean = true): Packet = {
     if (b.length < 14) return p
-    be16(b, 12) match {
-      case 0x0800 => parseIpv4(b, 14, p, wantIps)
-      case 0x8100 if b.length >= 18 && be16(b, 16) == 0x0800 => parseIpv4(b, 18, p, wantIps)
+    var off = 12
+    var tags = 0
+    var et = be16(b, off)
+    while ((et == 0x8100 || et == 0x88a8 || et == 0x9100) &&
+           tags < 4 && off + 6 <= b.length) {
+      off += 4
+      et = be16(b, off)
+      tags += 1
+    }
+    et match {
+      case 0x0800 => parseIpv4(b, off + 2, p, wantIps)
+      case 0x86dd => parseIpv6(b, off + 2, p, wantIps)
       case _ => p
     }
   }

@@ -83,6 +83,51 @@ class PcapParserSpec extends SparkTestBase {
     assert(p.src_ip.isEmpty && p.protocol.isEmpty)
   }
 
+  test("IPv6: full-form addresses, TCP ports through an extension chain, ICMPv6 (r7 extension)") {
+    val src = Array.tabulate[Byte](16)(i => if (i == 0) 0x20 else if (i == 1) 0x01 else 0)
+    val dst = Array.tabulate[Byte](16)(i => if (i == 15) 1 else 0)
+    // plain TCP
+    val tcp = PcapFixtures.ethernet(0x86dd,
+      PcapFixtures.ipv6(6, src, dst, PcapFixtures.l4Ports(443, 55000)))
+    val p1 = PcapParser.decodeRecord(0, tcp, BaseTs, tcp.length.toLong)
+    assert(p1.src_ip.contains("2001:0:0:0:0:0:0:0"))
+    assert(p1.dst_ip.contains("0:0:0:0:0:0:0:1"))
+    assert(p1.protocol.contains("TCP") && p1.src_port.contains(443)
+      && p1.dst_port.contains(55000))
+    // hop-by-hop (0) then dest-opts (60) then UDP: the walk crosses both
+    val udp = PcapFixtures.ethernet(0x86dd, PcapFixtures.ipv6(0, src, dst,
+      PcapFixtures.ipv6Ext(60) ++ PcapFixtures.ipv6Ext(17) ++
+        PcapFixtures.l4Ports(53, 5353)))
+    val p2 = PcapParser.decodeRecord(1, udp, BaseTs, udp.length.toLong)
+    assert(p2.protocol.contains("UDP") && p2.src_port.contains(53))
+    // ICMPv6: protocol named, no ports
+    val icmp = PcapFixtures.ethernet(0x86dd,
+      PcapFixtures.ipv6(58, src, dst, Array.fill[Byte](8)(0)))
+    val p3 = PcapParser.decodeRecord(2, icmp, BaseTs, icmp.length.toLong)
+    assert(p3.protocol.contains("ICMPv6") && p3.src_port.isEmpty)
+    // truncated fixed header: len only, no crash
+    val trunc = PcapFixtures.ethernet(0x86dd,
+      PcapFixtures.ipv6(6, src, dst, Array.emptyByteArray).take(20))
+    val p4 = PcapParser.decodeRecord(3, trunc, BaseTs, trunc.length.toLong)
+    assert(p4.src_ip.isEmpty && p4.protocol.isEmpty)
+  }
+
+  test("VLAN tag stacks: QinQ and triple-tag decode, 5-deep stops NULL (r7 extension)") {
+    val v4 = PcapFixtures.ipv4(17, Array[Byte](10, 0, 0, 1),
+      Array[Byte](10, 0, 0, 2), PcapFixtures.l4Ports(68, 67))
+    val qinq = PcapFixtures.ethernetStacked(Seq(0x88a8, 0x8100), 0x0800, v4)
+    val p1 = PcapParser.decodeRecord(0, qinq, BaseTs, qinq.length.toLong)
+    assert(p1.src_ip.contains("10.0.0.1") && p1.protocol.contains("UDP"),
+      s"QinQ frame must decode: $p1")
+    val triple = PcapFixtures.ethernetStacked(Seq(0x9100, 0x88a8, 0x8100), 0x0800, v4)
+    val p2 = PcapParser.decodeRecord(1, triple, BaseTs, triple.length.toLong)
+    assert(p2.protocol.contains("UDP"))
+    // bounded walk: 5 tags exceeds the 4-tag cap -> fields stay NULL
+    val five = PcapFixtures.ethernetStacked(Seq.fill(5)(0x8100), 0x0800, v4)
+    val p3 = PcapParser.decodeRecord(2, five, BaseTs, five.length.toLong)
+    assert(p3.src_ip.isEmpty && p3.protocol.isEmpty)
+  }
+
   test("ns >= 1e9 in the ns field rejects the trailer (main.rs:174)") {
     val frame = PcapFixtures.ethernet(0x0800, PcapFixtures.ipv4(17,
       Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
