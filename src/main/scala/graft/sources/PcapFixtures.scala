@@ -141,6 +141,33 @@ object PcapFixtures {
 
   def goldenPcap: Array[Byte] = pcapFile(goldenFrames)
 
+  private def v6(last: Int, first: Int = 0x20): Array[Byte] =
+    Array.tabulate[Byte](16) {
+      case 0 => first.toByte
+      case 1 => 0x01
+      case 15 => last.toByte
+      case _ => 0
+    }
+
+  /** Mixed IPv4/IPv6 frames (r7): plain + VLAN-stacked IPv6 TCP/UDP,
+    * ICMPv6, and an IPv4 control row — the capture `pcap_ipv6_flows`
+    * aggregates (frames the reference decodes to all-NULL). */
+  def mixedV6Frames: Seq[(Array[Byte], Long)] = Seq(
+    (ethernet(0x86dd, ipv6(6, v6(1), v6(2), l4Ports(443, 51000))), BaseTs),
+    (ethernet(0x86dd, ipv6(6, v6(1), v6(2), l4Ports(443, 51001))), BaseTs + 1),
+    (ethernet(0x86dd, ipv6(17, v6(3), v6(2), l4Ports(5353, 5353))), BaseTs + 2),
+    // QinQ-wrapped IPv6 UDP: both extensions compose
+    (ethernetStacked(Seq(0x88a8, 0x8100), 0x86dd,
+      ipv6(17, v6(3), v6(2), l4Ports(5353, 5353))), BaseTs + 3),
+    // extension-header chain to TCP
+    (ethernet(0x86dd, ipv6(0, v6(4), v6(5),
+      ipv6Ext(60) ++ ipv6Ext(6) ++ l4Ports(8080, 52000))), BaseTs + 4),
+    (ethernet(0x86dd, ipv6(58, v6(6), v6(7), Array.fill[Byte](8)(0))), BaseTs + 5),
+    (ethernet(0x0800, ipv4(6, Array[Byte](10, 0, 0, 1),
+      Array[Byte](10, 0, 0, 2), l4Ports(80, 53000))), BaseTs + 6))
+
+  def mixedV6Pcap: Array[Byte] = pcapFile(mixedV6Frames)
+
   // ---- pcapng builders -----------------------------------------------------
 
   /** One pcapng block: type, total length, body (padded to 4), trailing

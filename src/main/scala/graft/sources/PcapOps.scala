@@ -160,7 +160,25 @@ object PcapOps {
                col("src_port").asc_nulls_first, col("dst_port").asc_nulls_first,
                col("protocol").asc_nulls_first)
 
+  /** `pcap_ipv6_flows` (r7): flow aggregation over a capture of IPv6
+    * (plain, QinQ-wrapped, extension-chained), ICMPv6 and IPv4 frames —
+    * the traffic mix the reference decodes to all-NULL rows. Same DSv2
+    * read + flow groupBy as `pcap_flows`; spec-pinned (no DuckDB pcap),
+    * and PcapParserSpec pins every per-frame decode this relies on. */
+  def pcapIpv6Flows(spark: SparkSession, dir: String): DataFrame = {
+    val capDir = new java.io.File(s"${Tables.scratchDir}/captures_v6")
+    capDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(capDir, "mixed_v6.pcap").toPath, PcapFixtures.mixedV6Pcap)
+    spark.read.format("pcap").load(capDir.getAbsolutePath)
+      .groupBy(col("src_ip"), col("dst_ip"), col("protocol"))
+      .agg(count(lit(1)).as("n_pkts"), sum(col("len")).as("bytes"))
+      .orderBy(col("src_ip").asc_nulls_first, col("dst_ip").asc_nulls_first,
+               col("protocol").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pcap_ipv6_flows" -> (pcapIpv6Flows _),
     "pcap_topk_talkers" -> (pcapTopkTalkers _),
     "pcap_flows" -> (pcapFlows _),
     "pcap_ingest" -> (pcapIngest _),

@@ -57,6 +57,17 @@ class PcapSourceSpec extends SparkTestBase {
     assert(msgs.contains("cut.pcap"), s"error chain must name the capture:\n$msgs")
   }
 
+  test("pcap_ipv6_flows: QinQ and plain IPv6 frames land in the same flow") {
+    val out = PcapOps.pcapIpv6Flows(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(2)), r.getLong(3)))
+    // the QinQ-wrapped UDP frame merges with its untagged twin: n_pkts = 2
+    assert(out.contains((Some("2001:0:0:0:0:0:0:3"), Some("UDP"), 2L)),
+      s"QinQ flow must merge with the plain IPv6 flow: ${out.toSeq}")
+    assert(out.contains((Some("2001:0:0:0:0:0:0:6"), Some("ICMPv6"), 1L)))
+    assert(out.contains((Some("10.0.0.1"), Some("TCP"), 1L))) // v4 control row
+    assert(out.length == 5)
+  }
+
   test("connector rows agree with the direct parser") {
     val viaSource = spark.read.format("pcap").load(dir)
       .filter(org.apache.spark.sql.functions.col("file").endsWith("a.pcap"))
