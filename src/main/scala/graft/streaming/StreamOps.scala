@@ -311,6 +311,75 @@ object StreamOps {
     }
   }
 
+  /** `stream_tws_list_map` (r7): the remaining two state primitives of
+    * the transformWithState API — ListState (the 3 most recent events
+    * per user, bounded: put() replaces, so state is O(3) per key forever)
+    * and MapState (per-user event-type counts — point lookups and
+    * per-entry updates without rewriting a whole value). Batch mode
+    * (TimeMode.None) makes it oracle-checkable exactly like
+    * stream_transform_state; the streaming spec pins that the list
+    * carries across micro-batches. */
+  def streamTwsListMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    org.apache.spark.sql.graftbridge.SqlBridge.ensureStateStoreCoordinator(spark)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("value"), col("ts"))
+      .as[(Long, Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new StreamOps.RecentMixProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "recent3_cents", "n_types", "top_type")
+      .orderBy(col("user_id").asc)
+  }
+
+  /** StatefulProcessor over ListState + MapState: keeps the 3 most recent
+    * (ts, event_id)-ordered events' cents in a ListState and the per-type
+    * counts in a MapState; emits (user, Σ recent-3 cents, #types, most
+    * frequent type — ties broken lexicographically, so deterministic). */
+  private[graft] class RecentMixProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, Double, java.sql.Timestamp),
+        (Long, Long, Long, String)] {
+    import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var recent: ListState[(Long, Long, Long)] = _ // (tsUs, eventId, cents)
+    @transient private var byType: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[(Long, Long, Long)]("recent",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long]("byType",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, Long, String, Double, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      recent.get().foreach(buf += _)
+      rows.foreach { r =>
+        val tsUs = if (r._5 == null) Long.MinValue else r._5.getTime
+        buf += ((tsUs, r._2, math.floor(r._4 * 100 + 0.5).toLong))
+        val prev = if (byType.containsKey(r._3)) byType.getValue(r._3) else 0L
+        byType.updateValue(r._3, prev + 1L)
+      }
+      // most recent first: (ts, event_id) desc — event_id breaks ts ties
+      val top3 = buf.sortBy(t => (-t._1, -t._2)).take(3).toArray
+      recent.put(top3)
+      var nTypes = 0L
+      var topType: String = null
+      var topN = -1L
+      byType.iterator().foreach { case (k, v) =>
+        nTypes += 1
+        if (v > topN || (v == topN && k < topType)) {
+          topType = k; topN = v
+        }
+      }
+      Iterator.single((user, top3.map(_._3).sum, nTypes, topType))
+    }
+  }
+
   /** Session tracking via flatMapGroupsWithState (r5): the 1→N stateful
     * escape hatch — unlike mapGroupsWithState's one-row-per-key contract,
     * each invocation emits ZERO OR MORE closed sessions (6 h gap rule,
@@ -459,6 +528,7 @@ object StreamOps {
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_custom_state" -> (streamCustomState _),
     "stream_transform_state" -> (streamTransformState _),
+    "stream_tws_list_map" -> (streamTwsListMap _),
     "stream_flatmap_state" -> (streamFlatmapState _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_dedup_state" -> (streamDedupState _))
@@ -475,6 +545,31 @@ object StreamOps {
         | AND v_ts >= c_ts - INTERVAL 30 MINUTE AND v_ts <= c_ts
         |GROUP BY user_id
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "stream_tws_list_map" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |r3 AS (
+        |  SELECT user_id, CAST(sum(cents) AS BIGINT) AS recent3_cents
+        |  FROM c WHERE rn <= 3 GROUP BY user_id),
+        |t AS (
+        |  SELECT user_id, event_type, count(1) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |nt AS (SELECT user_id, count(1) AS n_types FROM t GROUP BY user_id),
+        |top AS (
+        |  SELECT user_id, event_type AS top_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY n DESC, event_type ASC) AS rk
+        |    FROM t) WHERE rk = 1)
+        |SELECT r3.user_id, r3.recent3_cents, nt.n_types, top.top_type
+        |FROM r3
+        |JOIN nt ON r3.user_id = nt.user_id
+        |JOIN top ON r3.user_id = top.user_id
+        |ORDER BY r3.user_id ASC NULLS FIRST""".stripMargin,
     "stream_transform_state" ->
       """SELECT user_id, count(1) AS n_events,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -195,6 +195,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState: ListState and MapState carry across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.TimeMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val mem = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+      // batch 1: two clicks at t=1,2 (cents 100, 200)
+      mem.addData((1L, 1L, "click", 1.0, ts(1)), (1L, 2L, "click", 2.0, ts(2)))
+      val q = mem.toDS().groupByKey(_._1)
+        .transformWithState(new StreamOps.RecentMixProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "recent3_cents", "n_types", "top_type")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws_lm_out").start()
+      q.processAllAvailable()
+      // batch 2: two views at t=3,4 — the recent-3 must MERGE batch-1's
+      // list with these (keep t=4,3,2 → cents 400+300+200), and the map
+      // must see 2 clicks vs 2 views (tie → lexicographic: "click")
+      mem.addData((1L, 3L, "view", 3.0, ts(3)), (1L, 4L, "view", 4.0, ts(4)))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tws_lm_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(rows == Set(
+        (1L, 300L, 1L, "click"),   // batch 1: 100+200, one type
+        (1L, 900L, 2L, "click")),  // batch 2: 400+300+200, tie → "click"
+        s"list/map state must persist: $rows")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState: event-time timer evicts idle keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
