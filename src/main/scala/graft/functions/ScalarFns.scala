@@ -299,7 +299,23 @@ object ScalarFns {
       .orderBy(col("doc_id").asc)
   }
 
+  /** PII masking (r7): `mask()` — upper→X, lower→x, digit→n, punctuation
+    * kept — plus the show-last-4 partial form; the redaction pass a
+    * training-data pipeline runs before text leaves the trust boundary.
+    * Codegen'd builtin; the oracle reproduces the class map with three
+    * regexp_replace passes. */
+  def fMask(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(
+        col("c_custkey"),
+        expr("mask(c_name)").as("name_masked"),
+        concat(lit("***"), expr("right(c_name, 4)")).as("name_last4"),
+        expr("mask(c_mktsegment)").as("segment_masked"))
+      .orderBy(col("c_custkey").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_mask" -> (fMask _),
     "f_codec" -> (fCodec _),
     "f_levenshtein" -> (fLevenshtein _),
     "f_printf" -> (fPrintf _),
@@ -319,6 +335,17 @@ object ScalarFns {
     "f_ip_format" -> (fIpFormat _))
 
   val oracle: Map[String, String] = Map(
+    "f_mask" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS name_masked,
+        |  '***' || right(c_name, 4) AS name_last4,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS segment_masked
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
     "f_codec" ->
       """SELECT doc_id,
         |  base64(encode(substring(text, 1, 24))) AS b64,

@@ -934,7 +934,26 @@ object Aggregates {
         |ORDER BY n DESC, event_type ASC NULLS FIRST""".stripMargin)
   }
 
+  /** SQL PIVOT clause (r7) — the syntax surface over the same plan as
+    * `agg_pivot`'s DataFrame form: the resolver rewrites PIVOT to a
+    * conditional-aggregate groupBy, so it's one hash-agg shuffle (which
+    * is exactly what the oracle writes out longhand — Spark-side coalesce
+    * because PIVOT yields NULL for an absent (group, value) pair where
+    * the longhand count yields 0). */
+  def sqlPivotSyntax(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  CAST(coalesce(st_o, 0) AS BIGINT) AS n_open,
+        |  CAST(coalesce(st_f, 0) AS BIGINT) AS n_finished,
+        |  CAST(coalesce(st_p, 0) AS BIGINT) AS n_pending
+        |FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        |PIVOT (count(1) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pivot_syntax" -> (sqlPivotSyntax _),
     "agg_approx_topk" -> (aggApproxTopk _),
     "agg_median_mad" -> (aggMedianMad _),
     "agg_listagg" -> (aggListagg _),
@@ -982,6 +1001,13 @@ object Aggregates {
     "agg_sort_fallback" -> (aggSortFallback _))
 
   val oracle: Map[String, String] = Map(
+    "sql_pivot_syntax" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "agg_approx_topk" ->
       """SELECT event_type, count(1) AS n FROM events
         |GROUP BY event_type

@@ -120,6 +120,24 @@ object RelationalOps {
     custNations(spark, dir).except(suppNations(spark, dir))
       .orderBy(col("nationkey").asc)
 
+  /** unionByName with missing columns (r7): the evolution-tolerant append
+    * — data from an older pipeline that lacks a column unions in with
+    * NULL for it, aligned BY NAME not position (positional union with a
+    * shifted schema silently scrambles columns; by-name refuses or
+    * fills). DuckDB's UNION ALL BY NAME oracles the exact semantics. */
+  def setUnionByname(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+              col("c_acctbal").cast("decimal(18,2)").cast("double").as("balance"))
+    val s = t(spark, dir, "supplier")
+      .filter(col("s_suppkey") % 20 === 0)
+      .select(col("s_suppkey").as("key"), col("s_name").as("name")) // no balance
+    c.unionByName(s, allowMissingColumns = true)
+      .select(col("key"), col("name"), col("balance"))
+      .orderBy(col("name").asc, col("key").asc)
+  }
+
   /** MULTISET set ops (r7): INTERSECT ALL / EXCEPT ALL keep duplicate
     * MULTIPLICITY (min / difference of per-row counts) — a genuinely
     * different operator from the distinct forms above; Spark plans both
@@ -516,6 +534,7 @@ object RelationalOps {
     "case_when" -> (caseWhen _),
     "sort_limit" -> (sortLimit _),
     "set_union" -> (setUnion _),
+    "set_union_byname" -> (setUnionByname _),
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
     "set_intersect_all" -> (setIntersectAll _),
@@ -691,6 +710,15 @@ object RelationalOps {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST
         |LIMIT 100""".stripMargin,
+    "set_union_byname" ->
+      """SELECT key, name, balance FROM (
+        |  SELECT c_custkey AS key, c_name AS name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS balance
+        |  FROM customer WHERE c_custkey % 50 = 0
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey AS key, s_name AS name
+        |  FROM supplier WHERE s_suppkey % 20 = 0)
+        |ORDER BY name ASC NULLS FIRST, key ASC NULLS FIRST""".stripMargin,
     "set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION SELECT s_nationkey FROM supplier
