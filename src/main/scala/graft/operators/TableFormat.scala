@@ -46,7 +46,10 @@ object TableFormat {
     * have exactly one implementation. */
   private[operators] def writeFile(spark: SparkSession, path: String, body: String): Unit = {
     val f = fs(spark, path)
-    val tmp = new Path(path + ".tmp")
+    // UNIQUE tmp (r8): concurrent writers of the same target (two racing
+    // pointer advances) each need their own staging file — a shared
+    // ".tmp" lets writer B delete the tmp out from under writer A's rename
+    val tmp = new Path(path + ".tmp." + java.util.UUID.randomUUID.toString.take(8))
     val out = f.create(tmp, true)
     out.write(body.getBytes(StandardCharsets.UTF_8))
     out.close()
@@ -61,18 +64,25 @@ object TableFormat {
     s
   }
 
-  /** One manifest entry: a data file plus optional (min, max) stats of up
-    * to TWO declared stats columns — the file-skipping index. One stats
-    * pair serves range-clustered tables; the second exists for z-ordered
-    * tables, where per-file bounds on BOTH clustering dimensions let a
-    * predicate on EITHER column prune files (linear clustering can only
-    * ever prune on its one sort key). */
+  /** One manifest entry: a data file plus optional (min, max, nullCount)
+    * stats of up to TWO declared stats columns — the file-skipping index.
+    * One stats triple serves range-clustered tables; the second exists
+    * for z-ordered tables, where per-file bounds on BOTH clustering
+    * dimensions let a predicate on EITHER column prune files (linear
+    * clustering can only ever prune on its one sort key). min/max IGNORE
+    * NULLs (parquet footer semantics), so `nulls` exists separately: a
+    * range DELETE may drop a file manifest-only ONLY when its bounds are
+    * fully covered AND it is proven null-free — otherwise its NULL-key
+    * rows (which no range predicate matches) would silently vanish
+    * (r8, ADVICE r7 #1). `nulls = None` means unknown → conservative. */
   final case class ManifestEntry(path: String, lo: Option[Long], hi: Option[Long],
-                                 lo2: Option[Long] = None, hi2: Option[Long] = None) {
+                                 lo2: Option[Long] = None, hi2: Option[Long] = None,
+                                 nulls: Option[Long] = None, nulls2: Option[Long] = None) {
     private def f(o: Option[Long]) = o.fold("")(_.toString)
     def line: String =
-      if (lo2.isEmpty && hi2.isEmpty) s"$path\t${f(lo)}\t${f(hi)}"
-      else s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}"
+      if (lo2.isEmpty && hi2.isEmpty && nulls2.isEmpty)
+        s"$path\t${f(lo)}\t${f(hi)}\t${f(nulls)}"
+      else s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}"
     private def inter(l: Option[Long], h: Option[Long], qLo: Long, qHi: Long) =
       (l, h) match {
         case (Some(lv), Some(hv)) => hv >= qLo && lv <= qHi
@@ -82,12 +92,17 @@ object TableFormat {
     def mayMatch(qLo: Long, qHi: Long): Boolean = inter(lo, hi, qLo, qHi)
     /** Same question against the SECOND stats column. */
     def mayMatch2(qLo: Long, qHi: Long): Boolean = inter(lo2, hi2, qLo, qHi)
+    /** Proven to contain zero NULLs in the first stats column? */
+    def nullFree: Boolean = nulls.contains(0L)
   }
   private object ManifestEntry {
     private def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
     def parse(line: String): ManifestEntry = line.split("\t", -1) match {
       case Array(p, l, h) => ManifestEntry(p, opt(l), opt(h))
+      case Array(p, l, h, n) => ManifestEntry(p, opt(l), opt(h), nulls = opt(n))
       case Array(p, l, h, l2, h2) => ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2))
+      case Array(p, l, h, l2, h2, n, n2) =>
+        ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2))
       case other => ManifestEntry(other.head, None, None)
     }
   }
@@ -128,9 +143,18 @@ object TableFormat {
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
   }
 
+  /** Per-commit data directory. UNIQUE per attempt (r8): under optimistic
+    * concurrency two committers may both stage data for the same target
+    * version; a shared `c$version` directory would let the loser's
+    * `mode("overwrite")` write DELETE the winner's already-committed
+    * files. Losers instead leave orphans in their own directory, which
+    * stay invisible (manifest-scoped reads) until `vacuum` reclaims them. */
+  private def newCommitDir(base: String, version: Int): String =
+    s"$base/data/c${version}_${java.util.UUID.randomUUID.toString.take(8)}"
+
   /** Write `df` into `commitDir` and return its manifest entries, with
-    * per-file min/max of `statsCol` when one is declared. Shared by
-    * append commits and delete-rewrites. */
+    * per-file (min, max, nullCount) of `statsCol` when one is declared.
+    * Shared by append commits, delete-rewrites, and merge-rewrites. */
   private def writeDataFiles(spark: SparkSession, base: String, commitDir: String,
                              df: DataFrame, statsCol: Option[String],
                              statsCol2: Option[String] = None): Seq[ManifestEntry] = {
@@ -144,9 +168,10 @@ object TableFormat {
       case Some(c) =>
         // input_file_name URIs and listStatus URIs can differ in scheme
         // rendering — key the stats on the (per-directory-unique) filename
-        val aggs = Seq(min(col(c)).cast("long"), max(col(c)).cast("long")) ++
-          statsCol2.toSeq.flatMap(c2 =>
-            Seq(min(col(c2)).cast("long"), max(col(c2)).cast("long")))
+        def colAggs(cc: String) = Seq(
+          min(col(cc)).cast("long"), max(col(cc)).cast("long"),
+          count(when(col(cc).isNull, 1)).cast("long"))
+        val aggs = colAggs(c) ++ statsCol2.toSeq.flatMap(colAggs)
         val stats = spark.read.parquet(commitDir)
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -157,21 +182,137 @@ object TableFormat {
         newFiles.map { p =>
           stats.get(p.split('/').last).fold(ManifestEntry(p, None, None)) { s =>
             ManifestEntry(p, s(0), s(1),
-              if (s.length > 2) s(2) else None, if (s.length > 3) s(3) else None)
+              if (s.length > 3) s(3) else None, if (s.length > 4) s(4) else None,
+              nulls = s(2), nulls2 = if (s.length > 5) s(5) else None)
           }
         }
     }
   }
 
+  /** Two commits raced from the same parent: the manifest slot was taken
+    * between reading the parent version and publishing. Re-read the
+    * latest version, rebase (recompute the parent file list), retry —
+    * exactly Delta/Iceberg's optimistic-concurrency loop. */
+  final class CommitConflictException(base: String, version: Int)
+      extends RuntimeException(
+        s"table $base: v$version.manifest already exists — a concurrent commit won " +
+          "this version; re-read the latest version and rebase (appendCommit does this " +
+          "automatically)")
+
+  /** Single-JVM guard making exists+create atomic under local[*] (tests,
+    * local mode). On HDFS `create(overwrite=false)` is server-side
+    * atomic anyway; object stores need their conditional-put (the same
+    * place Delta plugs in a LogStore). */
+  private val manifestLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Put-if-absent publish (r8): creates `path` ONLY if absent; returns
+    * false when a concurrent writer got there first. The foundation of
+    * optimistic concurrency — losing a race must be an observable event,
+    * never a silent overwrite. */
+  private[operators] def writeFileIfAbsent(spark: SparkSession, path: String,
+                                           body: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    val lock = manifestLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (f.exists(p)) return false
+      try {
+        val out = f.create(p, false) // overwrite=false: put-if-absent
+        out.write(body.getBytes(StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
+  }
+
+  /** `#stats` header: the column name(s) the manifest's per-file stats
+    * were collected on — so SQL-side readers (the `graft` catalog) can
+    * map pushed predicates onto the file-skipping index. */
+  private val StatsPrefix = "#stats\t"
+
+  def manifestStatsCols(spark: SparkSession, base: String, version: Int): Seq[String] =
+    manifestHeader(spark, base, version, StatsPrefix)
+      .map(_.split("\t").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Highest version with a manifest on disk — the rebase point for a
+    * conflicted committer (`_CURRENT` can lag a just-published manifest
+    * by one crashed pointer write, so conflicts resolve against the
+    * manifest listing, not the pointer). */
+  def latestVersion(spark: SparkSession, base: String): Int = {
+    val dir = new Path(s"$base/_manifests")
+    val f = fs(spark, base)
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".manifest"))
+        n.stripPrefix("v").stripSuffix(".manifest").toIntOption
+      else None
+    }.foldLeft(0)(math.max)
+  }
+
   private def writeManifest(spark: SparkSession, base: String, version: Int,
                             schemaJson: String, entries: Seq[ManifestEntry],
-                            txn: Option[(String, Long)]): Int = {
+                            txn: Option[(String, Long)],
+                            statsCols: Seq[String] = Nil): Int = {
     val header = Seq(SchemaPrefix + schemaJson) ++
+      (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
-    writeFile(spark, s"$base/_manifests/v$version.manifest",
-      (header ++ entries.map(_.line)).mkString("\n"))
-    writeFile(spark, s"$base/_CURRENT", version.toString) // atomic publish
+    // put-if-absent (r8): v$N.manifest is the commit's compare-and-swap
+    // slot — two committers from the same parent CANNOT both win it; the
+    // pre-r8 overwrite-rename silently kept only the second writer's files
+    if (!writeFileIfAbsent(spark, s"$base/_manifests/v$version.manifest",
+        (header ++ entries.map(_.line)).mkString("\n")))
+      throw new CommitConflictException(base, version)
+    // pointer publish stays an overwrite-rename (it is DERIVED state),
+    // but only ever ADVANCES — a slow loser must not regress it. The
+    // read-compare-write is serialized per table (same single-JVM guard
+    // as the manifest CAS; cross-JVM, latestVersion() self-heals a stale
+    // pointer on the next commit).
+    val ptrLock = manifestLocks.computeIfAbsent(s"$base/_CURRENT", _ => new Object)
+    ptrLock.synchronized {
+      val cur = try currentVersion(spark, base) catch { case scala.util.control.NonFatal(_) => 0 }
+      if (version > cur)
+        writeFile(spark, s"$base/_CURRENT", version.toString) // atomic publish
+    }
     version
+  }
+
+  /** APPEND with optimistic concurrency (r8): stage the data files ONCE,
+    * then loop — read the latest version, build the rebased manifest
+    * (parent's entries + ours), try the put-if-absent publish; on
+    * [[CommitConflictException]] re-read and retry. Appends commute, so
+    * rebasing is always safe; DELETE/MERGE/COMPACT conflicts instead
+    * fail loudly for the caller to re-run against the new snapshot
+    * (rewrite sets may overlap — the Delta "concurrent modification"
+    * rule). Data staging is outside the loop: a retry re-publishes
+    * METADATA only, never rewrites data. */
+  def appendCommit(spark: SparkSession, base: String, df: DataFrame,
+                   statsCol: Option[String] = None, maxRetries: Int = 10): Int = {
+    val nFiles = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    val clustered = statsCol.fold(df)(c => df.repartitionByRange(nFiles, col(c)))
+    val entries = writeDataFiles(spark, base,
+      newCommitDir(base, latestVersion(spark, base) + 1), clustered, statsCol)
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      val parentEntries =
+        if (parentV == 0) Seq.empty else manifestEntries(spark, base, parentV)
+      val statsCols =
+        if (parentV == 0) statsCol.toSeq else manifestStatsCols(spark, base, parentV)
+      try
+        return writeManifest(spark, base, parentV + 1, df.schema.json,
+          parentEntries ++ entries, txn = None, statsCols = statsCols)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   def commit(spark: SparkSession, base: String, df: DataFrame, version: Int,
@@ -181,9 +322,10 @@ object TableFormat {
     val nFiles = clusterFiles.getOrElse(
       math.max(2, spark.sparkContext.defaultParallelism / 8))
     val clustered = statsCol.fold(df)(c => df.repartitionByRange(nFiles, col(c)))
-    val entries = writeDataFiles(spark, base, s"$base/data/c$version", clustered, statsCol)
+    val entries = writeDataFiles(spark, base, newCommitDir(base, version), clustered, statsCol)
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
-    writeManifest(spark, base, version, df.schema.json, parentEntries ++ entries, txn)
+    writeManifest(spark, base, version, df.schema.json, parentEntries ++ entries, txn,
+      statsCols = statsCol.toSeq)
   }
 
   /** DELETE commit (r7): remove every row with `statsCol` in [lo, hi] as
@@ -204,18 +346,84 @@ object TableFormat {
     val version = v + 1
     val entries = manifestEntries(spark, base, v)
     val (touched, untouched) = entries.partition(_.mayMatch(lo, hi))
+    // manifest-only drop needs the file PROVEN null-free (r8, ADVICE r7
+    // #1): min/max ignore NULLs, so "bounds fully inside [lo, hi]" says
+    // nothing about NULL-key rows — and SQL `DELETE WHERE c BETWEEN lo
+    // AND hi` must KEEP them (NULL comparisons are never true). Files
+    // with unknown or nonzero null counts route through the rewrite.
     val (dropped, straddling) = touched.partition(e =>
-      e.lo.exists(_ >= lo) && e.hi.exists(_ <= hi))
+      e.lo.exists(_ >= lo) && e.hi.exists(_ <= hi) && e.nullFree)
     val _ = dropped // named for clarity: fully-covered files just vanish from the manifest
     val rewritten =
       if (straddling.isEmpty) Seq.empty
-      else writeDataFiles(spark, base, s"$base/data/c$version",
+      else writeDataFiles(spark, base, newCommitDir(base, version),
         readFiles(spark, base, v, straddling.map(_.path))
-          .filter(!(col(statsCol) >= lo && col(statsCol) <= hi)),
+          .filter(!(col(statsCol) >= lo && col(statsCol) <= hi) || col(statsCol).isNull),
         Some(statsCol))
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    writeManifest(spark, base, version, schemaJson, untouched ++ rewritten, txn = None)
+    writeManifest(spark, base, version, schemaJson, untouched ++ rewritten, txn = None,
+      statsCols = Seq(statsCol))
+  }
+
+  /** MERGE commit (r8, VERDICT r7 #2): upsert `changes` into the table by
+    * unique `key` as a new snapshot — Delta's `MERGE WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, file-level
+    * copy-on-write glued to the stats index:
+    *  - only files whose recorded [min, max] of `key` intersects the
+    *    change-set's key range are REWRITTEN (base rows whose key appears
+    *    in `changes` replaced whole-row, plus every `changes` row —
+    *    matched or new — written fresh);
+    *  - every other file carries over by reference, untouched.
+    * NULL-key change rows match no base row (SQL equality) and land as
+    * pure inserts. At 100 TB a merge touching a narrow key band costs IO
+    * proportional to the intersecting files, not the table — the reason
+    * MERGE needs the manifest's stats rather than a blind rewrite.
+    * `changes` must carry the table's schema and unique keys (the
+    * standard MERGE precondition — duplicate source keys are a Delta
+    * runtime error too). Returns (newVersion, filesRewritten, filesTotal). */
+  def mergeInto(spark: SparkSession, base: String, changes: DataFrame,
+                key: String): (Int, Int, Int) = {
+    val v = currentVersion(spark, base)
+    val version = v + 1
+    val entries = manifestEntries(spark, base, v)
+    if (changes.isEmpty) return (v, 0, entries.size) // empty change set: no-op
+    // Per-file pruning by SEMI-JOINING the change keys against the file
+    // ranges — precise where a min/max envelope over-touches (one distant
+    // insert key would stretch the envelope over every file). The ranges
+    // side is file METADATA (one row per file — small even at 100 TB), so
+    // this broadcasts; stat-less files are always touched (could hold any
+    // key). Keys landing in NO file's range (pure inserts, incl. NULL
+    // keys) match no base row and just write fresh.
+    val cands = entries.filter(e => e.lo.isDefined && e.hi.isDefined)
+    val noStats = entries.filterNot(e => e.lo.isDefined && e.hi.isDefined)
+    val touchedPaths: Set[String] =
+      if (cands.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val ranges = cands.map(e => (e.path, e.lo.get, e.hi.get)).toDF("path", "lo", "hi")
+        changes.select(col(key).cast("long").as("__k")).na.drop
+          .join(broadcast(ranges), col("__k") >= col("lo") && col("__k") <= col("hi"))
+          .select("path").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val touched = noStats ++ cands.filter(e => touchedPaths(e.path))
+    val untouched = entries.filterNot(touched.toSet)
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    val baseRows =
+      if (touched.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      else readFiles(spark, base, v, touched.map(_.path))
+    // survivors (keys NOT in the change set) + the full change set
+    val merged = baseRows.join(changes, Seq(key), "left_anti").unionByName(changes)
+    val nFiles = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
+      merged.repartitionByRange(nFiles, col(key)), Some(key))
+    val out = writeManifest(spark, base, version, schemaJson,
+      untouched ++ rewritten, txn = None, statsCols = Seq(key))
+    (out, touched.size, entries.size)
   }
 
   /** COMPACT (r7): rewrite the current snapshot's SMALL files (strictly
@@ -236,12 +444,13 @@ object TableFormat {
     val (small, large) = entries.partition(e =>
       f.getFileStatus(new Path(e.path)).getLen < smallBytes)
     if (small.size < 2) return (v, 0) // nothing to consolidate
-    val rewritten = writeDataFiles(spark, base, s"$base/data/c$version",
+    val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
       readFiles(spark, base, v, small.map(_.path)).coalesce(targetFiles),
       statsCol = None)
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    (writeManifest(spark, base, version, schemaJson, large ++ rewritten, txn = None),
+    (writeManifest(spark, base, version, schemaJson, large ++ rewritten, txn = None,
+      statsCols = manifestStatsCols(spark, base, v)),
       small.size)
   }
 
@@ -367,9 +576,20 @@ object TableFormat {
     val b = df.agg(min(col(c1)).cast("long"), max(col(c1)).cast("long"),
                    min(col(c2)).cast("long"), max(col(c2)).cast("long"))
       .collect()(0) // 1 row of bounds — broadcast into the norm expressions
+    // empty input or an all-NULL cluster column has no bounds: fall back
+    // to an unclustered commit instead of NPE-ing on the bounds row (r8,
+    // ADVICE r7 #4) — reads stay correct, there is just nothing to skip
+    if ((0 to 3).exists(b.isNullAt))
+      return commit(spark, base, df, version, parent = None, statsCol = None,
+        clusterFiles = Some(nFiles))
     def norm(c: String, lo: Long, hi: Long): Column = {
-      val span = math.max(1L, hi - lo)
-      ((col(c).cast("long") - lit(lo)) * lit(65535L) / lit(span)).cast("long")
+      // grid cell in DOUBLE: the old integer form (x - lo) * 65535
+      // overflows LongType for column spans above ~1.4e14, silently
+      // scrambling the curve (stats stayed right, clustering degraded)
+      val span = math.max(1.0, hi.toDouble - lo.toDouble)
+      least(lit(65535.0),
+        (col(c).cast("double") - lit(lo.toDouble)) * lit(65535.0) / lit(span))
+        .cast("long")
     }
     val g1 = norm(c1, b.getLong(0), b.getLong(1))
     val g2 = norm(c2, b.getLong(2), b.getLong(3))
@@ -380,9 +600,10 @@ object TableFormat {
     }
     val clustered = df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z")).drop("__z")
-    val entries = writeDataFiles(spark, base, s"$base/data/c$version",
+    val entries = writeDataFiles(spark, base, newCommitDir(base, version),
       clustered, Some(c1), Some(c2))
-    writeManifest(spark, base, version, df.schema.json, entries, txn = None)
+    writeManifest(spark, base, version, df.schema.json, entries, txn = None,
+      statsCols = Seq(c1, c2))
   }
 
   /** Two-dimensional file skipping over a z-ordered table: drop every
@@ -613,7 +834,34 @@ object TableFormat {
       .orderBy(col("lang").asc)
   }
 
+  /** `table_merge` (r8): orders range-clustered on o_orderkey; one MERGE
+    * commit applies updates (keys in [500, 1500], price doubled) plus
+    * inserts (keys shifted by +10M) — only files whose stats intersect
+    * the change-set's key range rewrite (TableFormatSpec pins
+    * filesRewritten < filesTotal); v1 stays readable. The oracle replays
+    * the upsert as FULL JOIN + coalesce on the source table. */
+  def tableMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/merge_table"
+    fs(spark, base).delete(new Path(base), true)
+    val src = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    commit(spark, base, src, 1, parent = None, statsCol = Some("o_orderkey"))
+    val updates = src.filter(col("o_orderkey").between(500, 1500))
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+    val inserts = src.filter(col("o_orderkey").between(100, 200))
+      .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+              col("o_totalprice"))
+    mergeInto(spark, base, updates.unionByName(inserts), "o_orderkey")
+    readSnapshot(spark, base)
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+           sum(when(col("o_orderkey") > 10000000L, 1L).otherwise(0L))
+             .cast("long").as("n_inserted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_merge" -> (tableMerge _),
     "table_schema_evol" -> (tableSchemaEvol _),
     "table_timetravel" -> (tableTimetravel _),
     "table_delete" -> (tableDelete _),
@@ -623,6 +871,22 @@ object TableFormat {
     "table_zorder" -> (tableZorder _))
 
   val oracle: Map[String, String] = Map(
+    "table_merge" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 500 AND 1500
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 100 AND 200),
+        |merged AS (
+        |  SELECT coalesce(c.k, b.o_orderkey) AS k,
+        |         coalesce(c.p, b.o_totalprice) AS p
+        |  FROM orders b FULL JOIN changes c ON b.o_orderkey = c.k)
+        |SELECT count(1) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CASE WHEN k > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM merged""".stripMargin,
     "table_delete" ->
       """SELECT 'v1' AS version, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -344,4 +344,91 @@ class TableFormatSpec extends SparkTestBase {
     assert(byV("v1") == ((even.getLong(0), even.getLong(1))))
     assert(byV("v2")._1 == nAll)
   }
+
+  test("delete keeps NULL-key rows: SQL DELETE WHERE BETWEEN never matches NULL (r8)") {
+    val base = freshBase("tf_delnull")
+    // 1000 keyed rows + 7 NULL-key rows; range-clustered so some file is
+    // FULLY covered by the delete range — the manifest-only drop path
+    val rows = (0L until 1000L).map(i => (Some(i), s"r$i")) ++
+      (0 until 7).map(i => (None: Option[Long], s"null$i"))
+    TableFormat.commit(spark, base, rows.toDF("k", "v"), 1, None, statsCol = Some("k"))
+    // delete EVERY keyed row — covers every file's [min,max] entirely
+    TableFormat.deleteWhere(spark, base, "k", 0L, 5000L)
+    val left = TableFormat.readSnapshot(spark, base).collect()
+    assert(left.length == 7, s"NULL-key rows lost by delete: ${left.length} of 7 remain")
+    assert(left.forall(_.isNullAt(0)))
+    // narrower delete: fully-covered null-free files still drop manifest-only
+    val base2 = freshBase("tf_delnull2")
+    TableFormat.commit(spark, base2, rows.toDF("k", "v"), 1, None, statsCol = Some("k"))
+    val before = TableFormat.manifestFiles(spark, base2, 1).toSet
+    TableFormat.deleteWhere(spark, base2, "k", 0L, 5000L)
+    val after = TableFormat.manifestFiles(spark, base2, 2).toSet
+    assert(after.intersect(before).isEmpty || after.size < before.size)
+  }
+
+  test("optimistic concurrency: losing committer gets CommitConflict, never overwrites (r8)") {
+    val base = freshBase("tf_occ")
+    TableFormat.commit(spark, base, Seq((1L, "a")).toDF("k", "v"), 1, None)
+    // two committers both derived parent=v1 and race for v2: first wins,
+    // second must CONFLICT (pre-r8 it silently rename-overwrote v2)
+    TableFormat.commit(spark, base, Seq((2L, "b")).toDF("k", "v"), 2, Some(1))
+    intercept[TableFormat.CommitConflictException] {
+      TableFormat.commit(spark, base, Seq((3L, "c")).toDF("k", "v"), 2, Some(1))
+    }
+    // the winner's commit is intact
+    assert(TableFormat.readSnapshot(spark, base).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("two interleaved appendCommits both land as v2/v3 with no lost files (r8)") {
+    val base = freshBase("tf_occ2")
+    TableFormat.commit(spark, base, Seq((0L, "base")).toDF("k", "v"), 1, None)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(TableFormat.appendCommit(spark, base, Seq((1L, "a")).toDF("k", "v")))
+    val b = Future(TableFormat.appendCommit(spark, base, Seq((2L, "b")).toDF("k", "v")))
+    val versions = Seq(Await.result(a, 120.seconds), Await.result(b, 120.seconds)).sorted
+    assert(versions == Seq(2, 3), s"committers landed as $versions")
+    assert(TableFormat.currentVersion(spark, base) == 3)
+    // v3 carries ALL files: base's, A's, and B's — nothing lost
+    assert(TableFormat.readSnapshot(spark, base).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L))
+    // and the intermediate version holds exactly the first winner's view
+    assert(TableFormat.readSnapshot(spark, base, Some(2)).count() == 2)
+  }
+
+  test("mergeInto rewrites only stats-intersecting files; upsert semantics exact (r8)") {
+    val base = freshBase("tf_merge")
+    val rows = (0L until 4000L).map(i => (i, i * 10))
+    TableFormat.commit(spark, base, rows.toDF("k", "v"), 1, None, statsCol = Some("k"))
+    val total = TableFormat.manifestFiles(spark, base, 1).size
+    assert(total >= 2, s"test premise: need multiple files, got $total")
+    // updates confined to a narrow key band + one brand-new key
+    val changes = ((0L until 100L).map(i => (i, -1L)) :+ (999999L, 7L)).toDF("k", "v")
+    val (v2, rewrote, filesTotal) = TableFormat.mergeInto(spark, base, changes, "k")
+    assert(v2 == 2 && filesTotal == total)
+    assert(rewrote < total, s"merge rewrote $rewrote of $total files — stats didn't prune")
+    val got = TableFormat.readSnapshot(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 4001)
+    assert((0L until 100L).forall(got(_) == -1L), "updated rows wrong")
+    assert((100L until 4000L).forall(i => got(i) == i * 10), "untouched rows changed")
+    assert(got(999999L) == 7L, "insert missing")
+    // pre-merge snapshot intact (time travel)
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 4000)
+  }
+
+  test("commitZorder survives empty input and all-NULL cluster columns (r8)") {
+    val base = freshBase("tf_zguard")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
+    val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    TableFormat.commitZorder(spark, base, empty, "a", "b", version = 1)
+    assert(TableFormat.readSnapshot(spark, base).count() == 0)
+    val base2 = freshBase("tf_zguard2")
+    val allNull = Seq((None: Option[Long], 1L), (None, 2L)).toDF("a", "b")
+    TableFormat.commitZorder(spark, base2, allNull, "a", "b", version = 1)
+    assert(TableFormat.readSnapshot(spark, base2).count() == 2)
+  }
 }
