@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{ScalarFns, UdxOps}
 import graft.operators.{Aggregates, CorpusOps, CurationOps, EmbeddingOps, Joins, LlmOps, LlmOpsExt, MultimodalOps, QualityOps, RelationalOps, ScaleJoins, TableFormat, TimeSeriesOps, Windows}
-import graft.sources.PcapOps
+import graft.sources.{GraftCatalogOps, PcapOps}
 import graft.streaming.StreamOps
 
 /** Driver contract (SURVEY.md §7): the full declared operator surface of
@@ -24,7 +24,8 @@ object SparkEntry {
       PcapOps.queries ++ LlmOps.queries ++ LlmOpsExt.queries ++
       MultimodalOps.queries ++ ScaleJoins.queries ++ StreamOps.queries ++
       TimeSeriesOps.queries ++ EmbeddingOps.queries ++ CorpusOps.queries ++
-      CurationOps.queries ++ QualityOps.queries ++ TableFormat.queries
+      CurationOps.queries ++ QualityOps.queries ++ TableFormat.queries ++
+      GraftCatalogOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops DuckDB can't reproduce
@@ -36,5 +37,6 @@ object SparkEntry {
       PcapOps.oracle ++ LlmOps.oracle ++ LlmOpsExt.oracle ++
       MultimodalOps.oracle ++ ScaleJoins.oracle ++ StreamOps.oracle ++
       TimeSeriesOps.oracle ++ EmbeddingOps.oracle ++ CorpusOps.oracle ++
-      CurationOps.oracle ++ QualityOps.oracle ++ TableFormat.oracle
+      CurationOps.oracle ++ QualityOps.oracle ++ TableFormat.oracle ++
+      GraftCatalogOps.oracle
 }

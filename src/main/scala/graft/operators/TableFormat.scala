@@ -274,7 +274,11 @@ object TableFormat {
     // pointer on the next commit).
     val ptrLock = manifestLocks.computeIfAbsent(s"$base/_CURRENT", _ => new Object)
     ptrLock.synchronized {
-      val cur = try currentVersion(spark, base) catch { case scala.util.control.NonFatal(_) => 0 }
+      // compare against the RAW pointer file (not currentVersion, whose
+      // manifest-listing fallback would see the manifest just written
+      // above and conclude the pointer needs no write at all)
+      val cur = try readFile(spark, s"$base/_CURRENT").trim.toInt
+                catch { case scala.util.control.NonFatal(_) => 0 }
       if (version > cur)
         writeFile(spark, s"$base/_CURRENT", version.toString) // atomic publish
     }
@@ -500,8 +504,8 @@ object TableFormat {
     * (column loss or read failure depending on file order). Type
     * CHANGES are not supported — add a column, never mutate one (the
     * Delta/Iceberg add-only default). */
-  private def readFiles(spark: SparkSession, base: String, version: Int,
-                        files: Seq[String]): DataFrame =
+  private[graft] def readFiles(spark: SparkSession, base: String, version: Int,
+                               files: Seq[String]): DataFrame =
     manifestSchema(spark, base, version) match {
       case Some(schema) => spark.read.schema(schema).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
@@ -518,7 +522,20 @@ object TableFormat {
     manifestEntries(spark, base, version).map(_.path)
 
   def currentVersion(spark: SparkSession, base: String): Int =
-    readFile(spark, s"$base/_CURRENT").trim.toInt
+    try readFile(spark, s"$base/_CURRENT").trim.toInt
+    catch {
+      case e @ (_: java.io.FileNotFoundException |
+                _: org.apache.hadoop.fs.ChecksumException) =>
+        // pointer momentarily unreadable: local-FS overwrite-rename is
+        // delete-then-rename and the .crc sidecar swaps in a SECOND
+        // rename (both real windows, unlike HDFS), and a crash can land
+        // between manifest and pointer writes. The manifest LISTING is
+        // the durable source of truth (how Delta resolves the current
+        // version — by listing the log, not a pointer); a published
+        // manifest IS a committed snapshot.
+        val lv = latestVersion(spark, base)
+        if (lv > 0) lv else throw e
+    }
 
   /** Read a snapshot: `version = None` resolves `_CURRENT`. Plans from
     * the manifest's explicit file list — never a directory listing. */

@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+
+import graft.SparkTestBase
+import graft.operators.TableFormat
+
+/** Pins the `graft` TableCatalog (SQL + VERSION AS OF + stats-pruned
+  * scans) and the table-format micro-batch stream (version offsets,
+  * exactly-once arrival, append-only guard, pinned-restart replay). */
+class GraftTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshBase(name: String): String = {
+    val base = s"${graft.Tables.scratchDir}/$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  // ONE warehouse for the whole suite: Spark caches the catalog instance
+  // after first use, so a later conf.set of a different warehouse is
+  // silently ignored — distinct TABLES isolate the tests instead
+  private lazy val wh: String = {
+    val w = s"${graft.Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    w
+  }
+
+  test("catalog SQL: VERSION AS OF pins a manifest; bare name follows the pointer") {
+    val base = s"$wh/db/spec_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1, None)
+    TableFormat.commit(spark, base, Seq((3L, "c")).toDF("k", "v"), 2, Some(1))
+    assert(spark.sql("SELECT count(1) FROM graft.db.spec_t VERSION AS OF 1").head.getLong(0) == 2)
+    assert(spark.sql("SELECT count(1) FROM graft.db.spec_t").head.getLong(0) == 3)
+    assert(spark.sql("SELECT k FROM graft.db.spec_t VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("catalog scan: pushed range filters prune files via manifest stats") {
+    val base = s"$wh/db/spec_r"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val total = TableFormat.manifestEntries(spark, base, 1).size
+    assert(total >= 2, s"test premise: need multiple files, got $total")
+    val sb = new GraftScanBuilder(base, 1,
+      TableFormat.manifestSchema(spark, base, 1).get, Seq("k"), spark, 0)
+    sb.pushFilters(Array(GreaterThanOrEqual("k", 100L), LessThanOrEqual("k", 200L)))
+    val kept = sb.keptEntries().size
+    assert(kept < total, s"scan kept $kept of $total files — stats didn't prune")
+    // and the SQL result over the pruned scan is exact
+    val n = spark.sql("SELECT count(1) FROM graft.db.spec_r WHERE k BETWEEN 100 AND 200")
+      .head.getLong(0)
+    assert(n == 101)
+  }
+
+  test("catalog DDL: createTable commits an empty v1; dropTable removes it") {
+    val _ = wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.fresh")
+    spark.sql("CREATE TABLE graft.db.fresh (id BIGINT, name STRING)")
+    val out = spark.sql("SELECT * FROM graft.db.fresh")
+    assert(out.count() == 0 && out.schema.fieldNames.toSeq == Seq("id", "name"))
+    spark.sql("DROP TABLE graft.db.fresh")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.db.fresh").collect() }
+  }
+
+  test("table stream: version offsets deliver each append exactly once") {
+    val base = freshBase("tstream1")
+    TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None)
+    val q = spark.readStream.format("graft-table").option("path", base).load()
+      .writeStream.format("memory").queryName("tstream1").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tstream1").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L), "initial snapshot not delivered")
+      TableFormat.commit(spark, base, Seq((3L, 30L)).toDF("k", "v"), 2, Some(1))
+      q.processAllAvailable()
+      val got = spark.table("tstream1").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), s"after append: $got (duplicates = files re-read)")
+      TableFormat.commit(spark, base, Seq((4L, 40L)).toDF("k", "v"), 3, Some(2))
+      q.processAllAvailable()
+      assert(spark.table("tstream1").count() == 4)
+    } finally q.stop()
+  }
+
+  test("table stream: fresh checkpoint replays from the pinned start version") {
+    val base = freshBase("tstream2")
+    val ck1 = freshBase("tstream2_ck1")
+    val ck2 = freshBase("tstream2_ck2")
+    TableFormat.commit(spark, base, Seq((1L, 10L)).toDF("k", "v"), 1, None)
+    val q1 = spark.readStream.format("graft-table").option("path", base).load()
+      .writeStream.format("memory").queryName("tstream2a")
+      .option("checkpointLocation", ck1).start()
+    try {
+      q1.processAllAvailable()
+      TableFormat.commit(spark, base, Seq((2L, 20L)).toDF("k", "v"), 2, Some(1))
+      q1.processAllAvailable()
+      assert(spark.table("tstream2a").count() == 2)
+    } finally q1.stop()
+    // fresh checkpoint, startVersion = 0 (default): sees ALL files again
+    val q2 = spark.readStream.format("graft-table").option("path", base).load()
+      .writeStream.format("memory").queryName("tstream2b")
+      .option("checkpointLocation", ck2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("tstream2b").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L), "fresh checkpoint must replay from version 0")
+    } finally q2.stop()
+    // pinned mid-table start: only versions AFTER startVersion arrive
+    val ck3 = freshBase("tstream2_ck3")
+    val q3 = spark.readStream.format("graft-table").option("path", base)
+      .option("startVersion", "1").load()
+      .writeStream.format("memory").queryName("tstream2c")
+      .option("checkpointLocation", ck3).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("tstream2c").collect().map(_.getLong(0)).toSeq == Seq(2L),
+        "startVersion=1 must deliver only the v1->v2 diff")
+    } finally q3.stop()
+  }
+
+  test("table stream: a non-append commit crossing the stream fails loudly") {
+    val base = freshBase("tstream3")
+    TableFormat.commit(spark, base, (0L until 100L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"))
+    val q = spark.readStream.format("graft-table").option("path", base).load()
+      .writeStream.format("memory").queryName("tstream3").start()
+    try {
+      q.processAllAvailable()
+      // delete rewrites/drops v1 files — the version diff now REMOVES files
+      TableFormat.deleteWhere(spark, base, "k", 10L, 90L)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("APPEND") || ex.getCause != null)
+    } finally q.stop()
+  }
+}
