@@ -256,6 +256,19 @@ object PcapParser {
     }
   }
 
+  /** The record byte order a legacy global header declares: Some(true)
+    * when reads must swap (file written big-endian), None when the magic
+    * isn't legacy pcap at all (pcapng, junk, short buffer). The r8
+    * seek-skim carries this so chunk decoding needs no header re-probe. */
+  def legacyByteOrder(head: Array[Byte]): Option[Boolean] = {
+    if (head.length < 24) return None
+    le32(head, 0) match {
+      case MagicBe | MagicBeNs => Some(false)
+      case MagicLe | MagicLeNs => Some(true)
+      case _ => None
+    }
+  }
+
   /** CHUNKED parse (r7 — intra-file parallelism for large captures):
     * decode only the records whose first byte lies in
     * `[rangeStart, rangeEnd)`, with GLOBAL `pkt_idx` values, so the union
@@ -305,10 +318,32 @@ object PcapParser {
         "(read with option(\"mode\", \"permissive\") to skip unreadable files)")
       return Iterator.empty
     }
+    recordsIterator(bytes, swapped, startOff = 24, baseIdx = 0L,
+      rangeStart, rangeEnd, moreAfterBuffer, wants, strict, name)
+  }
+
+  /** Parse a buffer holding legacy pcap RECORDS ONLY (no 24-byte global
+    * header) with absolute record ordinals from `baseIdx` — the decode
+    * half of the r8 seek-skim chunk reader: the skim walks framing
+    * headers through a bounded window to find a chunk's exact byte
+    * range, then hands JUST that range here. `swapped` carries the byte
+    * order the capture's global header declared. */
+  def parseRecords(bytes: Array[Byte], swapped: Boolean, baseIdx: Long,
+                   wants: Wants, strict: Boolean, name: String): Iterator[Packet] =
+    recordsIterator(bytes, swapped, startOff = 0, baseIdx,
+      rangeStart = 0L, rangeEnd = Long.MaxValue, moreAfterBuffer = false,
+      wants, strict, name)
+
+  private def recordsIterator(bytes: Array[Byte], swapped: Boolean,
+                              startOff: Int, baseIdx: Long,
+                              rangeStart: Long, rangeEnd: Long,
+                              moreAfterBuffer: Boolean, wants: Wants,
+                              strict: Boolean, name: String): Iterator[Packet] = {
+    def fail(why: String): Nothing = throw new PcapFormatException(s"$name: $why")
     def u32(off: Int): Long = if (swapped) be32(bytes, off) else le32(bytes, off)
     new Iterator[Packet] {
-      private var off = 24
-      private var idx = 0L
+      private var off = startOff
+      private var idx = baseIdx
       private var pending: Packet = _
       private var exhausted = false
 

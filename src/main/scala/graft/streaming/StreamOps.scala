@@ -359,13 +359,23 @@ object StreamOps {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       recent.get().foreach(buf += _)
       rows.foreach { r =>
-        val tsUs = if (r._5 == null) Long.MinValue else r._5.getTime
+        // TRUE microsecond key (r8, ADVICE r7 #3): getTime() alone is
+        // millisecond-truncated, so two events of one user differing
+        // only sub-millisecond could rank differently than the oracle's
+        // full-µs ORDER BY and flip the recent-3 set
+        val tsUs =
+          if (r._5 == null) Long.MinValue
+          else Math.floorDiv(r._5.getTime, 1000L) * 1000000L + r._5.getNanos / 1000L
         buf += ((tsUs, r._2, math.floor(r._4 * 100 + 0.5).toLong))
         val prev = if (byType.containsKey(r._3)) byType.getValue(r._3) else 0L
         byType.updateValue(r._3, prev + 1L)
       }
-      // most recent first: (ts, event_id) desc — event_id breaks ts ties
-      val top3 = buf.sortBy(t => (-t._1, -t._2)).take(3).toArray
+      // most recent first: (ts, event_id) desc via a REVERSE Ordering —
+      // sortBy(-t) overflows for the null sentinel (-Long.MinValue ==
+      // Long.MinValue), which sorted null-ts rows as MOST recent
+      val top3 = buf.sorted(
+        Ordering.Tuple2[Long, Long].on[(Long, Long, Long)](t => (t._1, t._2)).reverse)
+        .take(3).toArray
       recent.put(top3)
       var nTypes = 0L
       var topType: String = null

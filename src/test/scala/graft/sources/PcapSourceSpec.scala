@@ -324,4 +324,36 @@ class PcapSourceSpec extends SparkTestBase {
       .map(p => (p.pkt_idx, p.mm_ts, p.mm_id))
     assert(viaPruned.toVector == direct)
   }
+
+  test("runtime filtering: an execution-time In(file, ...) re-plans fewer partitions (r8)") {
+    import org.apache.spark.sql.sources.In
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val files = PcapDataSource.listCaptureFiles(dir, conf.value)
+    assert(files.size == 2)
+    val sb = new PcapScanBuilder(dir, strict = true, conf)
+    assert(sb.filterAttributes().map(_.describe()).toSeq == Seq("file"))
+    assert(sb.planInputPartitions().length == 2)
+    // Spark hands the dim side's values to filter() at execution time;
+    // the re-plan must drop the non-matching capture entirely
+    sb.filter(Array[org.apache.spark.sql.sources.Filter](In("file", Array(files.head))))
+    val planned = sb.planInputPartitions()
+    assert(planned.length == 1, s"runtime filter kept ${planned.length} of 2 partitions")
+    assert(planned.head.asInstanceOf[PcapFilePartition].file == files.head)
+    // and rows behind the runtime filter stay exact
+    val factory = sb.createReaderFactory()
+    val reader = factory.createReader(planned.head)
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n == 12, s"expected the 12 golden rows, got $n") // a.pcap sorts first
+  }
+
+  test("runtime filtering e2e: join against a 1-file dim is exact (r8)") {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val files = PcapDataSource.listCaptureFiles(dir, conf.value)
+    val dim = Seq(files.last).toDF("file")
+    val got = spark.read.format("pcap").load(dir)
+      .join(dim, "file").agg(org.apache.spark.sql.functions.count("*")).head.getLong(0)
+    assert(got == 1, s"b.pcap holds 1 packet, join returned $got")
+  }
 }
