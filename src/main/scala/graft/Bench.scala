@@ -53,16 +53,43 @@ object Bench {
       }
       sweep += 1
     }
+    // CONTAMINATION TRIPWIRE (r8, VERDICT r7 #5): a loaded host inflates
+    // single runs 2-40x and a committed artifact then fabricates
+    // regressions (BENCH_r07 did exactly this; the judge's idle re-run
+    // reversed every one). median/min > 2 across reps means at least
+    // half the reps were contention-hit — rerun those queries ONCE
+    // while (presumably) the burst has passed, then flag whatever still
+    // exceeds the ratio as `suspects` so a reader never mistakes host
+    // noise for a code regression.
+    def med(ts: Seq[Double]): Double = { val s = ts.sorted; s((s.size - 1) / 2) }
+    val suspectNames = named.collect {
+      case (name, _) if !errors.contains(name) && times.contains(name) &&
+        reps > 1 && med(times(name).toSeq) / times(name).min > 2.0 => name
+    }
+    suspectNames.foreach { name =>
+      named.find(_._1 == name).foreach { case (_, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times(name) += (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => () } // keep the original reps; flag stays
+      }
+    }
+    val stillSuspect = suspectNames.filter(n =>
+      med(times(n).toSeq) / times(n).min > 2.0)
     val medians = named.collect { case (name, _) if !errors.contains(name) && times.contains(name) =>
-      val ts = times(name).sorted
       // 3-decimal (ms) precision: full float repr tripled the line length
       // for no information, and line length matters (see below).
-      name -> math.rint(ts((ts.size - 1) / 2) * 1000) / 1000
+      name -> math.rint(med(times(name).toSeq) * 1000) / 1000
+    }
+    val mins = named.collect { case (name, _) if !errors.contains(name) && times.contains(name) =>
+      name -> math.rint(times(name).min * 1000) / 1000
     }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qmins = mins.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val susp = stillSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = math.rint(medians.map(_._2).sum * 1000) / 1000
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
+    val totalMin = math.rint(mins.map(_._2).sum * 1000) / 1000
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"suspects":$susp,"errors":$errs,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
     println(full)
     // The harness that consumes this output keeps only the LAST ~2000
     // characters of stdout, and sbt appends a "[success] Total time..."
@@ -74,7 +101,7 @@ object Bench {
     // The full per-query map is also dumped to bench_full.json for humans.
     val slowest = medians.sortBy(-_._2).take(15)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${medians.size},"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_suspect":${stillSuspect.size},"queries":$slowest,"n_queries":${medians.size},"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
