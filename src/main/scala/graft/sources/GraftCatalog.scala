@@ -158,7 +158,9 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 class GraftTable(base: String, version: Option[Int], spark: SparkSession)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
   private[sources] lazy val resolvedVersion: Int =
     version.getOrElse(TableFormat.currentVersion(spark, base))
   override def name(): String = s"graft:$base" + version.fold("")(v => s"@v$v")
@@ -166,11 +168,37 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession)
     TableFormat.manifestSchema(spark, base, resolvedVersion).getOrElse(
       TableFormat.readSnapshot(spark, base, Some(resolvedVersion)).schema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(base, resolvedVersion, schema(),
       TableFormat.manifestStatsCols(spark, base, resolvedVersion), spark,
       startVersion = Option(options.get("startVersion")).map(_.toInt).getOrElse(0))
+
+  /** `INSERT INTO graft.db.t …` = an `appendCommit` (optimistic
+    * concurrency — two concurrent SQL inserts both land); `INSERT
+    * OVERWRITE` = a parentless commit at the next version, so the
+    * previous snapshot stays time-travel readable (Delta's overwrite
+    * semantics, not a destructive truncate). V1Write delegation keeps
+    * the write path the table format's own commit protocol. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                legacyOverwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              if (overwrite || legacyOverwrite)
+                TableFormat.commit(s, base, data,
+                  TableFormat.latestVersion(s, base) + 1, parent = None)
+              else TableFormat.appendCommit(s, base, data)
+            }
+          }
+      }
+    }
 }
 
 /** Scan with manifest-stats FILE skipping + V1 delegation to a native
@@ -493,11 +521,43 @@ object GraftCatalogOps {
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_insert` (r8): DDL + DML end to end on the catalog — CREATE
+    * TABLE, two INSERT INTO … SELECT appends (each an `appendCommit`
+    * underneath: put-if-absent manifest, rebase on conflict), read back
+    * through the pointer. The oracle recomputes from the source. */
+  def sqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/ins"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents").createOrReplaceTempView("src_documents")
+    spark.sql("CREATE TABLE graft.db.ins (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    spark.sql(
+      """INSERT INTO graft.db.ins
+        |SELECT doc_id, lang, n_chars FROM src_documents WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.ins
+        |SELECT doc_id, lang, n_chars FROM src_documents WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.ins
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_timetravel" -> (sqlTimetravel _),
+    "sql_insert" -> (sqlInsert _),
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_insert" ->
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_timetravel" ->
       """SELECT 'v1' AS version, count(1) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

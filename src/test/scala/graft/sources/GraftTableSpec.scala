@@ -70,6 +70,23 @@ class GraftTableSpec extends SparkTestBase {
     intercept[Exception] { spark.sql("SELECT * FROM graft.db.fresh").collect() }
   }
 
+  test("catalog DML: INSERT INTO appends a version; INSERT OVERWRITE replaces, old version readable") {
+    val _ = wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.dml")
+    spark.sql("CREATE TABLE graft.db.dml (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.dml VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.dml VALUES (3, 'c')")
+    assert(spark.sql("SELECT k FROM graft.db.dml ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // each INSERT INTO is one append commit: create=1, +2 inserts = v3
+    val base = s"$wh/db/dml"
+    assert(TableFormat.currentVersion(spark, base) == 3)
+    spark.sql("INSERT OVERWRITE graft.db.dml VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM graft.db.dml").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // overwrite is a NEW snapshot, not a truncate: v3 stays readable
+    assert(spark.sql("SELECT count(1) FROM graft.db.dml VERSION AS OF 3").head.getLong(0) == 3)
+  }
+
   test("table stream: version offsets deliver each append exactly once") {
     val base = freshBase("tstream1")
     TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None)
