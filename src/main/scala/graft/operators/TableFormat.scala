@@ -307,9 +307,30 @@ object TableFormat {
         if (parentV == 0) Seq.empty else manifestEntries(spark, base, parentV)
       val statsCols =
         if (parentV == 0) statsCol.toSeq else manifestStatsCols(spark, base, parentV)
+      // entry stats must MEAN what the inherited #stats header says they
+      // mean (r9, ADVICE r8 #2): appending with a different statsCol than
+      // the table's declared one would record bounds of column Y under a
+      // header naming column X — readers would then prune files on the
+      // wrong column's ranges. Strip stats off our entries unless they
+      // were collected on the header's own column.
+      val publishable =
+        if (statsCols.headOption == statsCol) entries
+        else entries.map(e => ManifestEntry(e.path, None, None))
+      // the new manifest's schema is the UNION of the parent's and the
+      // append's fields (r9, ADVICE r8 #4): the parent's entries stay in
+      // this snapshot, so a NARROWER append must not shrink the recorded
+      // schema and hide older files' columns — evolution is add-only in
+      // both directions. SQL INSERT aligns schemas up front; this guards
+      // the programmatic API.
+      val parentSchema =
+        if (parentV == 0) None else manifestSchema(spark, base, parentV)
+      val mergedSchema = parentSchema.fold(df.schema) { ps =>
+        val have = ps.fieldNames.toSet
+        StructType(ps.fields ++ df.schema.fields.filterNot(f => have(f.name)))
+      }
       try
-        return writeManifest(spark, base, parentV + 1, df.schema.json,
-          parentEntries ++ entries, txn = None, statsCols = statsCols)
+        return writeManifest(spark, base, parentV + 1, mergedSchema.json,
+          parentEntries ++ publishable, txn = None, statsCols = statsCols)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -399,8 +420,17 @@ object TableFormat {
     // this broadcasts; stat-less files are always touched (could hold any
     // key). Keys landing in NO file's range (pure inserts, incl. NULL
     // keys) match no base row and just write fresh.
-    val cands = entries.filter(e => e.lo.isDefined && e.hi.isDefined)
-    val noStats = entries.filterNot(e => e.lo.isDefined && e.hi.isDefined)
+    // Stats prune ONLY when they were collected on the merge key itself
+    // (r9, ADVICE r8 #2): the manifest's lo/hi describe the #stats
+    // header's column — merging on any OTHER column must treat every
+    // file as a candidate (full copy-on-write), or files holding
+    // matching keys would be skipped and the merge would silently
+    // miss updates / produce duplicate keys.
+    val statsOnKey = manifestStatsCols(spark, base, v).headOption.contains(key)
+    val cands =
+      if (statsOnKey) entries.filter(e => e.lo.isDefined && e.hi.isDefined)
+      else Seq.empty
+    val noStats = entries.filterNot(cands.toSet)
     val touchedPaths: Set[String] =
       if (cands.isEmpty) Set.empty
       else {
@@ -521,21 +551,30 @@ object TableFormat {
   def manifestFiles(spark: SparkSession, base: String, version: Int): Seq[String] =
     manifestEntries(spark, base, version).map(_.path)
 
-  def currentVersion(spark: SparkSession, base: String): Int =
-    try readFile(spark, s"$base/_CURRENT").trim.toInt
-    catch {
-      case e @ (_: java.io.FileNotFoundException |
-                _: org.apache.hadoop.fs.ChecksumException) =>
+  def currentVersion(spark: SparkSession, base: String): Int = {
+    val ptr =
+      try Some(readFile(spark, s"$base/_CURRENT").trim.toInt)
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case _: org.apache.hadoop.fs.ChecksumException => None
         // pointer momentarily unreadable: local-FS overwrite-rename is
         // delete-then-rename and the .crc sidecar swaps in a SECOND
         // rename (both real windows, unlike HDFS), and a crash can land
-        // between manifest and pointer writes. The manifest LISTING is
-        // the durable source of truth (how Delta resolves the current
-        // version — by listing the log, not a pointer); a published
-        // manifest IS a committed snapshot.
-        val lv = latestVersion(spark, base)
-        if (lv > 0) lv else throw e
-    }
+        // between manifest and pointer writes.
+      }
+    // The manifest LISTING is the durable source of truth (how Delta
+    // resolves the current version — by listing the log, not a pointer);
+    // a published manifest IS a committed snapshot. Taking max(pointer,
+    // listing) also heals a REGRESSED pointer (r9, ADVICE r8 #5): the
+    // advance-only guard in writeManifest is serialized per-JVM only, so
+    // across JVMs a slow loser can still write a stale version — which
+    // would otherwise be served until the next commit.
+    val lv = latestVersion(spark, base)
+    val v = math.max(ptr.getOrElse(0), lv)
+    if (v > 0) v
+    else throw new java.io.FileNotFoundException(
+      s"table $base: no _CURRENT pointer and no manifests")
+  }
 
   /** Read a snapshot: `version = None` resolves `_CURRENT`. Plans from
     * the manifest's explicit file list — never a directory listing. */

@@ -87,10 +87,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val path = tablePath(ident)
-    // Spark already guarded existence via loadTable; anything on disk
-    // here is NOT a table (no _CURRENT) — debris from a crashed create
+    // Spark already guarded existence via loadTable, so anything here
+    // lacks _CURRENT — but that does NOT make it deletable debris (r9,
+    // ADVICE r8 #3): namespaces and tables share the warehouse tree, so
+    // a populated namespace directory (or unrelated data parked at the
+    // path) must never be recursively destroyed by CREATE TABLE. Only
+    // reclaim an empty dir or a recognizably half-created table: at most
+    // a `data/` staging dir, and NO `_manifests` (a manifest means a
+    // COMMITTED snapshot whose pointer write crashed — recoverable, not
+    // debris).
     val p = new HadoopPath(path)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(p)) {
+      val children = fs.listStatus(p).map(_.getPath.getName).toSet
+      val debris = children.subsetOf(Set("data")) ||
+        children.forall(_.endsWith(".tmp"))
+      if (!debris) throw new IllegalArgumentException(
+        s"graft catalog: path $path exists and is not a graft table " +
+          s"(contains: ${children.toSeq.sorted.mkString(", ")}) — refusing to delete; " +
+          "drop it explicitly or pick another table name")
+      fs.delete(p, true)
+    }
     val empty = spark.createDataFrame(new util.ArrayList[Row](), schema)
     TableFormat.commit(spark, path, empty, 1, parent = None)
     new GraftTable(path, None, spark)
@@ -227,11 +243,24 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
     s"GraftTableScan $base v$version, PushedFilters: [${pushed.mkString(", ")}]"
 
   /** Manifest entries surviving the pushed filters' bounds on the
-    * recorded stats column(s) — the SQL route into file skipping. */
+    * recorded stats column(s) — the SQL route into file skipping.
+    * Pruning is attempted ONLY for stats columns whose DECLARED type is
+    * integral (r9, ADVICE r8 #1): manifest stats are long-cast, so on a
+    * double column a file holding 10.6–10.9 records lo=hi=10 and a
+    * predicate `k > 10.5` (or even `k > 10`) would prune it while it
+    * still holds matching rows. Non-integral stats columns read every
+    * file — correct, never fast-and-wrong. */
+  private def integral(c: String): Boolean =
+    tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
   private[sources] def keptEntries(): Seq[TableFormat.ManifestEntry] = {
     val entries = TableFormat.manifestEntries(spark, base, version)
-    val b1 = statsCols.headOption.map(GraftScanBuilder.bounds(pushed, _))
-    val b2 = statsCols.drop(1).headOption.map(GraftScanBuilder.bounds(pushed, _))
+    val b1 = statsCols.headOption.filter(integral)
+      .map(GraftScanBuilder.bounds(pushed, _))
+    val b2 = statsCols.drop(1).headOption.filter(integral)
+      .map(GraftScanBuilder.bounds(pushed, _))
     entries.filter { e =>
       b1.forall { case (lo, hi) => e.mayMatch(lo, hi) } &&
         b2.forall { case (lo, hi) => e.mayMatch2(lo, hi) }
@@ -337,8 +366,15 @@ object GraftScanBuilder {
       (math.max(lo, l), math.min(hi, h))
     }
   }
+  /** Integral literals ONLY (r9, ADVICE r8 #1): `longValue()` on a
+    * fractional literal truncates (10.5 → 10), and the ±1 open-bound
+    * adjustments in [[bounds]] assume an integral domain — `k > 10.5`
+    * would become bounds (11, MAX) and prune files holding 10.6–10.9.
+    * Fractional literals yield no bound → the filter prunes nothing. */
   private def num(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue())
+    case n @ (_: java.lang.Byte | _: java.lang.Short |
+              _: java.lang.Integer | _: java.lang.Long) =>
+      Some(n.asInstanceOf[java.lang.Number].longValue())
     case _ => None
   }
 }

@@ -106,11 +106,16 @@ class TableFormatSpec extends SparkTestBase {
     TableFormat.exactlyOnceBatch(base)(Seq((1L, "a")).toDF("k", "v"), 0L) // v1
     TableFormat.exactlyOnceBatch(base)(Seq((2L, "b")).toDF("k", "v"), 1L) // v2
     // simulate the crash window: v2's manifest exists but _CURRENT still
-    // points at v1 (the commit died between its two metadata writes)
+    // points at v1 (the commit died between its two metadata writes).
+    // Since r9 currentVersion resolves max(pointer, manifest listing),
+    // so the committed v2 is visible IMMEDIATELY — no replay needed to
+    // finish the publish (ADVICE r8 #5: a stale pointer can't hide or
+    // regress a committed snapshot)
     TableFormat.writeFile(spark, s"$base/_CURRENT", "1")
-    assert(TableFormat.currentVersion(spark, base) == 1)
-    // the replay must finish the publish — not skip it — or v2's rows
-    // stay invisible forever when no later batch arrives
+    assert(TableFormat.currentVersion(spark, base) == 2)
+    assert(TableFormat.readSnapshot(spark, base).count() == 2)
+    // the at-least-once replay of batch 1 is then a pure no-op: same
+    // version, same txn — nothing duplicated, pointer repaired on disk
     TableFormat.exactlyOnceBatch(base)(Seq((2L, "b")).toDF("k", "v"), 1L)
     assert(TableFormat.currentVersion(spark, base) == 2)
     assert(TableFormat.readSnapshot(spark, base).count() == 2)
@@ -417,6 +422,64 @@ class TableFormatSpec extends SparkTestBase {
     assert(got(999999L) == 7L, "insert missing")
     // pre-merge snapshot intact (time travel)
     assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 4000)
+  }
+
+  test("mergeInto on a non-stats column rewrites everything — no missed updates (r9)") {
+    val base = freshBase("tf_merge_nk")
+    // stats collected on k; merge key is v, whose value range (100000+)
+    // lies entirely OUTSIDE every file's recorded k-bounds — pre-r9 the
+    // pruner compared v-keys against k-bounds, touched zero files, and
+    // the "updates" landed as duplicate inserts
+    val rows = (0L until 2000L).map(i => (i, i + 100000L))
+    TableFormat.commit(spark, base, rows.toDF("k", "v"), 1, None, statsCol = Some("k"))
+    val changes = (0L until 50L).map(i => (-1L, i + 100000L)).toDF("k", "v")
+    TableFormat.mergeInto(spark, base, changes, "v")
+    val got = TableFormat.readSnapshot(spark, base).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(got.size == 2000, s"duplicate merge keys: ${got.size} distinct of expected 2000")
+    assert(TableFormat.readSnapshot(spark, base).count() == 2000)
+    assert((0L until 50L).forall(i => got(i + 100000L) == -1L), "updates missed")
+    assert((50L until 2000L).forall(i => got(i + 100000L) == i), "untouched rows changed")
+  }
+
+  test("appendCommit never narrows the snapshot schema; foreign statsCol publishes no stats (r9)") {
+    val base = freshBase("tf_app_schema")
+    TableFormat.commit(spark, base,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "extra"),
+      1, None, statsCol = Some("k"))
+    // narrower append: snapshot schema must stay (k, v, extra)
+    TableFormat.appendCommit(spark, base, Seq((3L, "c")).toDF("k", "v"))
+    val snap = TableFormat.readSnapshot(spark, base)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "v", "extra"),
+      s"schema narrowed to ${snap.schema.fieldNames.mkString(",")}")
+    val byK = snap.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byK(1L).getLong(2) == 10L && byK(2L).getLong(2) == 20L,
+      "old files' extra column hidden")
+    assert(byK(3L).isNullAt(2), "appended row should project NULL extra")
+    // append with a DIFFERENT statsCol than the table's #stats header:
+    // its entries must carry NO stats (bounds of v under a header naming
+    // k would mis-prune), and a k-range read must still see its rows
+    TableFormat.appendCommit(spark, base,
+      Seq((5000L, "z", 1L)).toDF("k", "v", "extra"), statsCol = Some("extra"))
+    val v3 = TableFormat.latestVersion(spark, base)
+    val newEntries = TableFormat.manifestEntries(spark, base, v3)
+      .filterNot(TableFormat.manifestEntries(spark, base, v3 - 1).toSet)
+    assert(newEntries.nonEmpty && newEntries.forall(e => e.lo.isEmpty && e.hi.isEmpty),
+      "foreign-statsCol append published misleading stats")
+    val (df, _) = TableFormat.readSnapshotWhere(spark, base, "k", 4000L, 6000L)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(5000L),
+      "stat-less appended file skipped by k-range read")
+  }
+
+  test("currentVersion heals a regressed pointer via the manifest listing (r9)") {
+    val base = freshBase("tf_ptr_regress")
+    TableFormat.commit(spark, base, Seq((1L, "a")).toDF("k", "v"), 1, None)
+    TableFormat.commit(spark, base, Seq((2L, "b")).toDF("k", "v"), 2, Some(1))
+    // simulate a slow cross-JVM loser writing a stale pointer
+    TableFormat.writeFile(spark, s"$base/_CURRENT", "1")
+    assert(TableFormat.currentVersion(spark, base) == 2,
+      "stale pointer served instead of the committed v2 manifest")
+    assert(TableFormat.readSnapshot(spark, base).count() == 2)
   }
 
   test("commitZorder survives empty input and all-NULL cluster columns (r8)") {

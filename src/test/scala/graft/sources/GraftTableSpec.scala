@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThanOrEqual}
 
 import graft.SparkTestBase
 import graft.operators.TableFormat
@@ -58,6 +58,56 @@ class GraftTableSpec extends SparkTestBase {
     val n = spark.sql("SELECT count(1) FROM graft.db.spec_r WHERE k BETWEEN 100 AND 200")
       .head.getLong(0)
     assert(n == 101)
+  }
+
+  test("catalog scan: fractional filters / non-integral stats columns never mis-prune (r9)") {
+    val base = s"$wh/db/spec_f"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // DOUBLE stats column: manifest lo/hi are long-truncated (10.6→10),
+    // so file skipping must be disabled for this column outright —
+    // `d > 10.5` pre-r9 computed bounds (11, MAX) and dropped the file
+    // holding 10.6–10.9 (ADVICE r8 #1)
+    val rows = (0L until 4000L).map(i => (i, i / 10.0)).toDF("k", "d")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("d"))
+    val total = TableFormat.manifestEntries(spark, base, 1).size
+    assert(total >= 2, s"test premise: need multiple files, got $total")
+    val sb = new GraftScanBuilder(base, 1,
+      TableFormat.manifestSchema(spark, base, 1).get, Seq("d"), spark, 0)
+    sb.pushFilters(Array(GreaterThan("d", 10.5)))
+    assert(sb.keptEntries().size == total,
+      "pruned on a DOUBLE stats column — truncated bounds are not trustworthy")
+    val n = spark.sql(
+      "SELECT count(1) FROM graft.db.spec_f WHERE d > 10.5 AND d < 11.0").head.getLong(0)
+    assert(n == 4, s"expected d in {10.6..10.9}, got $n rows")
+    // fractional LITERAL against an integral column: no bound derived,
+    // filter prunes nothing, result exact
+    val sb2 = new GraftScanBuilder(base, 1,
+      TableFormat.manifestSchema(spark, base, 1).get, Seq("k"), spark, 0)
+    sb2.pushFilters(Array(GreaterThan("k", 100.5)))
+    assert(sb2.keptEntries().size == total,
+      "a fractional literal must yield no pruning bound on an integral column")
+    assert(spark.sql("SELECT count(1) FROM graft.db.spec_f WHERE k > 100.5")
+      .head.getLong(0) == 3899)
+  }
+
+  test("catalog DDL: createTable refuses to destroy a populated non-table path (r9)") {
+    val _ = wh
+    // park a REAL table under the directory CREATE TABLE would claim:
+    // namespaces and tables share the warehouse tree, so `occupied` here
+    // is a populated namespace dir — pre-r9 createTable recursively
+    // deleted it as "crash debris" (ADVICE r8 #3)
+    val inner = s"$wh/occupied/t"
+    val p = new org.apache.hadoop.fs.Path(s"$wh/occupied")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, inner, Seq((1L, "a")).toDF("k", "v"), 1, None)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.occupied (id BIGINT)")
+    }
+    assert(e.getMessage.contains("not a graft table"),
+      s"wrong failure: ${e.getMessage}")
+    assert(TableFormat.readSnapshot(spark, inner).count() == 1,
+      "CREATE TABLE destroyed the namespace's contents")
   }
 
   test("catalog DDL: createTable commits an empty v1; dropTable removes it") {
