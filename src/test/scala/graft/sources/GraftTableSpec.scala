@@ -137,6 +137,126 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(1) FROM graft.db.dml VERSION AS OF 3").head.getLong(0) == 3)
   }
 
+  test("native streaming sink: writeStream lands each epoch as an append commit (r9)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = freshBase("tsink1")
+    val ck = freshBase("tsink1_ck")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    TableFormat.commit(spark, base,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+      1, parent = None)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("k", "v").writeStream.format("graft-table")
+      .option("path", base).option("checkpointLocation", ck).start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = TableFormat.readSnapshot(spark, base).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"sink rows wrong/duplicated: $got")
+    // two non-empty epochs on top of the create = v3, and the sink's own
+    // appends stream back out through the table source (reads own sink)
+    assert(TableFormat.currentVersion(spark, base) == 3)
+    val q2 = spark.readStream.format("graft-table").option("path", base).load()
+      .writeStream.format("memory").queryName("tsink1_rb").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("tsink1_rb").count() == 3, "table_stream can't read the sink's appends")
+    } finally q2.stop()
+  }
+
+  test("streaming sink exactly-once: a replayed epoch commits nothing, crash windows repair (r9)") {
+    val base = freshBase("tsink2")
+    TableFormat.commit(spark, base, Seq((1L, "a")).toDF("k", "v"), 1, None)
+    def stage(rows: Seq[(Long, String)], tag: String): Seq[String] = {
+      val dir = s"$base/data/stream_q1/$tag"
+      rows.toDF("k", "v").write.mode("overwrite").parquet(dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    val schema = Seq((0L, "")).toDF("k", "v").schema
+    // epoch 0 commits
+    val v1 = TableFormat.exactlyOnceStagedEpoch(spark, base, "q1", 0L,
+      stage(Seq((2L, "b")), "e0"), schema)
+    assert(v1.contains(2))
+    // replay of epoch 0 (restart before checkpoint advanced): no-op
+    assert(TableFormat.exactlyOnceStagedEpoch(spark, base, "q1", 0L,
+      stage(Seq((2L, "b")), "e0r"), schema).isEmpty, "replayed epoch committed twice")
+    assert(TableFormat.readSnapshot(spark, base).count() == 2)
+    // crash window: epoch 1's manifest commits but the watermark write is
+    // lost — the txn header scan must still detect the replay
+    val v2 = TableFormat.exactlyOnceStagedEpoch(spark, base, "q1", 1L,
+      stage(Seq((3L, "c")), "e1"), schema)
+    assert(v2.contains(3))
+    val wm = new org.apache.hadoop.fs.Path(s"$base/_streams/q1")
+    wm.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wm, false)
+    assert(TableFormat.exactlyOnceStagedEpoch(spark, base, "q1", 1L,
+      stage(Seq((3L, "c")), "e1r"), schema).isEmpty,
+      "lost watermark turned a committed epoch into a duplicate")
+    assert(TableFormat.readSnapshot(spark, base).count() == 3)
+    // a DIFFERENT query's epoch 0 at the same table is NOT a replay
+    val v3 = TableFormat.exactlyOnceStagedEpoch(spark, base, "q2", 0L,
+      stage(Seq((4L, "d")), "q2e0"), schema)
+    assert(v3.contains(4), "foreign query's epoch dropped as a replay")
+    // and a concurrent batch INSERT interleaves via the same OCC append
+    TableFormat.appendCommit(spark, base, Seq((5L, "e")).toDF("k", "v"))
+    val v4 = TableFormat.exactlyOnceStagedEpoch(spark, base, "q1", 2L,
+      stage(Seq((6L, "f")), "e2"), schema)
+    assert(v4.contains(6))
+    assert(TableFormat.readSnapshot(spark, base).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("SQL DELETE FROM: copy-on-write commit, out-of-range files carry over (r9)") {
+    val _ = wh
+    val base = s"$wh/db/sqldel"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val before = TableFormat.manifestEntries(spark, base, 1)
+    spark.sql("DELETE FROM graft.db.sqldel WHERE k BETWEEN 100 AND 200")
+    assert(spark.sql("SELECT count(1) FROM graft.db.sqldel").head.getLong(0) == 3899)
+    assert(spark.sql("SELECT count(1) FROM graft.db.sqldel WHERE k BETWEEN 100 AND 200")
+      .head.getLong(0) == 0)
+    val after = TableFormat.manifestEntries(spark, base, 2)
+    assert(after.map(_.path).toSet.intersect(before.map(_.path).toSet).nonEmpty,
+      "a narrow-range DELETE rewrote every file — stats pruning didn't bound the rewrite")
+    // pre-delete snapshot intact
+    assert(spark.sql("SELECT count(1) FROM graft.db.sqldel VERSION AS OF 1").head.getLong(0) == 4000)
+  }
+
+  test("SQL MERGE INTO: upsert through the row-level operation API (r9)") {
+    val _ = wh
+    val base = s"$wh/db/sqlmerge"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 1000L).map(i => (i, i)).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    (990L until 1010L).map(i => (i, -1L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO graft.db.sqlmerge t USING merge_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM graft.db.sqlmerge").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1010, s"expected 1010 distinct keys, got ${got.size}")
+    assert((990L until 1010L).forall(got(_) == -1L), "matched/inserted rows wrong")
+    assert((0L until 990L).forall(i => got(i) == i), "untouched rows changed")
+    // pre-merge snapshot stays readable (parentless replace, not truncate)
+    assert(spark.sql("SELECT count(1) FROM graft.db.sqlmerge VERSION AS OF 1").head.getLong(0) == 1000)
+  }
+
   test("table stream: version offsets deliver each append exactly once") {
     val base = freshBase("tstream1")
     TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None)
