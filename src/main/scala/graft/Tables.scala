@@ -17,14 +17,26 @@ object Tables {
     require(new java.io.File(s"$dir/$name.parquet").exists(),
       s"table '$name' not found at $dir/$name.parquet (valid tables: ${names.mkString(", ")})")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-      // natively (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanoseconds and
-      // convert to a µs TimestampType with INTEGER division (a double-based
-      // division would lose precision above 2^53 ns ≈ 1970+104 days).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some corpus
+      // generations and TIMESTAMP(MICROS, ntz) in others — normalize BOTH
+      // to the same µs TimestampType so every downstream query sees one
+      // type regardless of generation:
+      //  - NANOS: Spark 4 refuses to read it natively
+      //    (PARQUET_TYPE_ILLEGAL); read the raw int64 via nanosAsLong and
+      //    convert with INTEGER division (a double-based division would
+      //    lose precision above 2^53 ns ≈ 1970+104 days);
+      //  - MICROS ntz: reads as TIMESTAMP_NTZ; the cast to TimestampType
+      //    is value-preserving under the UTC session timezone every
+      //    entrypoint pins.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already µs TimestampType
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
