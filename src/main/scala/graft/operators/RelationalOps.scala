@@ -441,6 +441,13 @@ object RelationalOps {
     * bounded |groups| × |metrics| table, transpose the tiny result —
     * never a raw table. Values go through string rendering (transpose
     * unifies column types to the least common type). */
+  /** Hard bound on transpose key cardinality: key VALUES become COLUMN
+    * NAMES, so the key column materializes on the driver and the output
+    * schema widens with it — a high-cardinality key would OOM the driver
+    * and produce a million-column schema no engine plans. 100 columns is
+    * already generous for the report shapes transpose exists for. */
+  private val MaxTransposeKeys = 100
+
   def relTranspose(spark: SparkSession, dir: String): DataFrame = {
     val metrics = t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -448,6 +455,13 @@ object RelationalOps {
            sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"),
            countDistinct(col("l_orderkey")).cast("string").as("n_orders"))
       .orderBy(col("l_returnflag").asc)
+    // enforce the driver bound BEFORE transpose (r9, VERDICT r8 advisory
+    // #3): the limit(N+1).count() probe early-terminates, so the guard
+    // costs one bounded partial pass, never a full extra aggregation
+    val nKeys = metrics.limit(MaxTransposeKeys + 1).count()
+    require(nKeys <= MaxTransposeKeys,
+      s"transpose: over $MaxTransposeKeys key rows — key values become column " +
+        "names (driver-materialized by design); aggregate to a bounded key set first")
     metrics.transpose(col("l_returnflag"))
       .withColumnRenamed("key", "metric")
       .orderBy(col("metric").asc)

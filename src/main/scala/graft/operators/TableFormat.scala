@@ -234,6 +234,22 @@ object TableFormat {
     * map pushed predicates onto the file-skipping index. */
   private val StatsPrefix = "#stats\t"
 
+  /** `#op` header (r9): WHAT KIND of commit produced this version —
+    * `append`, `replace`, `delete`, `merge`, `compact`, `restore`. The
+    * change-data-feed ([[readChanges]]) needs it for exactly one
+    * distinction: a COMPACT commit moves bytes but changes no rows, so
+    * it must emit zero change rows — without the marker a file diff
+    * would have to read and cancel the entire compacted payload to
+    * discover that nothing changed (Delta/Iceberg record the same
+    * operation tag in their commit metadata for the same reason). */
+  private val OpPrefix = "#op\t"
+
+  /** The operation tag snapshot `version` was committed with (absent on
+    * pre-r9 manifests — [[readChanges]] then falls back to the full
+    * file diff, which is always correct, just not compact-aware). */
+  def manifestOp(spark: SparkSession, base: String, version: Int): Option[String] =
+    manifestHeader(spark, base, version, OpPrefix)
+
   def manifestStatsCols(spark: SparkSession, base: String, version: Int): Seq[String] =
     manifestHeader(spark, base, version, StatsPrefix)
       .map(_.split("\t").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
@@ -257,9 +273,11 @@ object TableFormat {
   private def writeManifest(spark: SparkSession, base: String, version: Int,
                             schemaJson: String, entries: Seq[ManifestEntry],
                             txn: Option[(String, Long)],
-                            statsCols: Seq[String] = Nil): Int = {
+                            statsCols: Seq[String] = Nil,
+                            op: String = "append"): Int = {
     val header = Seq(SchemaPrefix + schemaJson) ++
       (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
+      Seq(OpPrefix + op) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
     // put-if-absent (r8): v$N.manifest is the commit's compare-and-swap
     // slot — two committers from the same parent CANNOT both win it; the
@@ -350,7 +368,8 @@ object TableFormat {
     val entries = writeDataFiles(spark, base, newCommitDir(base, version), clustered, statsCol)
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
     writeManifest(spark, base, version, df.schema.json, parentEntries ++ entries, txn,
-      statsCols = statsCol.toSeq)
+      statsCols = statsCol.toSeq,
+      op = if (parent.isDefined) "append" else "replace")
   }
 
   /** DELETE commit (r7): remove every row with `statsCol` in [lo, hi] as
@@ -388,7 +407,7 @@ object TableFormat {
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
     writeManifest(spark, base, version, schemaJson, untouched ++ rewritten, txn = None,
-      statsCols = Seq(statsCol))
+      statsCols = Seq(statsCol), op = "delete")
   }
 
   /** MERGE commit (r8, VERDICT r7 #2): upsert `changes` into the table by
@@ -456,7 +475,7 @@ object TableFormat {
     val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
       merged.repartitionByRange(nFiles, col(key)), Some(key))
     val out = writeManifest(spark, base, version, schemaJson,
-      untouched ++ rewritten, txn = None, statsCols = Seq(key))
+      untouched ++ rewritten, txn = None, statsCols = Seq(key), op = "merge")
     (out, touched.size, entries.size)
   }
 
@@ -484,7 +503,7 @@ object TableFormat {
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
     (writeManifest(spark, base, version, schemaJson, large ++ rewritten, txn = None,
-      statsCols = manifestStatsCols(spark, base, v)),
+      statsCols = manifestStatsCols(spark, base, v), op = "compact"),
       small.size)
   }
 
@@ -659,7 +678,7 @@ object TableFormat {
     val entries = writeDataFiles(spark, base, newCommitDir(base, version),
       clustered, Some(c1), Some(c2))
     writeManifest(spark, base, version, df.schema.json, entries, txn = None,
-      statsCols = Seq(c1, c2))
+      statsCols = Seq(c1, c2), op = "replace")
   }
 
   /** Two-dimensional file skipping over a z-ordered table: drop every
@@ -698,6 +717,94 @@ object TableFormat {
     val added = manifestFiles(spark, base, toVersion).filterNot(before)
     if (added.isEmpty) emptySnapshot(spark, base, toVersion)
     else readFiles(spark, base, toVersion, added)
+  }
+
+  /** CHANGE DATA FEED (r9, VERDICT r8 #3) — the full row-level changelog
+    * between two snapshots, the Delta CDF / Iceberg changelog-scan
+    * analog: for every commit in (fromVersion, toVersion], emit each
+    * changed row tagged `_change_type` (`insert` | `delete`) and
+    * `_commit_version`. An updated row (MERGE) appears as its delete
+    * pre-image plus its insert post-image at the same version — the CDC
+    * shape a downstream consumer folds into upserts.
+    *
+    * Because commits never mutate data files, each step's change set is
+    * derivable from the MANIFEST DIFF alone — no CDC sidecar files:
+    *  - files named by v but not v-1 hold that commit's candidate
+    *    inserts; files named by v-1 but not v hold candidate deletes;
+    *  - a copy-on-write rewrite carries SURVIVOR rows into both sides,
+    *    so the multiset difference (`exceptAll`, each direction) cancels
+    *    them exactly, leaving only genuinely inserted/deleted rows;
+    *  - the `#op` tag short-circuits the two no-logical-change commit
+    *    kinds: `compact` emits nothing without reading the compacted
+    *    bytes, and `append` skips the (empty-right-side) exceptAll.
+    * Both sides of a step read under the step's RECORDED schema, so
+    * add-only evolution projects NULLs for pre-evolution files (the
+    * comparison stays aligned). Scale: per-step IO is proportional to
+    * the files the commit actually touched — the same order as the CoW
+    * rewrite that produced it — never the table; the exceptAll shuffles
+    * only those touched files' rows. Restriction (documented, same as
+    * Delta CDF): fromVersion must predate toVersion and both manifests
+    * must still be retained (not vacuumed). */
+  def readChanges(spark: SparkSession, base: String,
+                  fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"readChanges: fromVersion $fromVersion must precede toVersion $toVersion")
+    val steps = ((fromVersion + 1) to toVersion).map { v =>
+      val before = manifestFiles(spark, base, v - 1)
+      val after = manifestFiles(spark, base, v)
+      val added = after.filterNot(before.toSet)
+      val removed = before.filterNot(after.toSet)
+      val op = manifestOp(spark, base, v)
+      def read(files: Seq[String]) =
+        if (files.isEmpty) emptySnapshot(spark, base, v)
+        else readFiles(spark, base, v, files)
+      def tag(df: DataFrame, t: String) =
+        df.withColumn("_change_type", lit(t))
+          .withColumn("_commit_version", lit(v))
+      op match {
+        case Some("compact") => Seq.empty // bytes moved, no rows changed
+        case Some("append") => Seq(tag(read(added), "insert"))
+        case _ => // delete / merge / replace / restore / pre-r9: full diff
+          val a = read(added)
+          val r = read(removed)
+          Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
+      }
+    }
+    val all = steps.flatten
+    if (all.isEmpty)
+      emptySnapshot(spark, base, toVersion)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0))
+    else all.reduce(_ unionByName _)
+  }
+
+  /** RESTORE (r9): roll the table back to `toVersion`'s contents as a
+    * NEW commit — the Delta `RESTORE TABLE … TO VERSION AS OF` analog.
+    * Pure metadata: the new manifest re-names the old version's files
+    * (no data IO at all), history stays intact (the undone versions
+    * remain time-travel readable), and the CDF reports the restore
+    * honestly as the file diff between the restored-from and
+    * restored-to snapshots. Returns the new version. */
+  def restoreVersion(spark: SparkSession, base: String, toVersion: Int): Int = {
+    val schemaJson = manifestSchema(spark, base, toVersion).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$toVersion has no schema header"))
+    var attempt = 0
+    val maxRetries = 10
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      require(toVersion <= parentV,
+        s"restore target v$toVersion does not exist (latest is v$parentV)")
+      try
+        return writeManifest(spark, base, parentV + 1, schemaJson,
+          manifestEntries(spark, base, toVersion), txn = None,
+          statsCols = manifestStatsCols(spark, base, toVersion), op = "restore")
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   /** Exactly-once streaming sink on the commit protocol: use the micro-
@@ -799,7 +906,7 @@ object TableFormat {
       val statsCols = if (parentV == 0) Nil else manifestStatsCols(spark, base, parentV)
       try
         return writeManifest(spark, base, parentV + 1, schema.json, entries,
-          txn = None, statsCols = statsCols)
+          txn = None, statsCols = statsCols, op = "replace")
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -895,7 +1002,7 @@ object TableFormat {
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
     writeManifest(spark, base, version, schemaJson, untouched ++ rewritten,
-      txn = None, statsCols = statsCols)
+      txn = None, statsCols = statsCols, op = "delete")
   }
 
   /** `table_timetravel`: v1 = even docs; v2 = append of the odd docs
@@ -1070,7 +1177,63 @@ object TableFormat {
              .cast("long").as("n_inserted"))
   }
 
+  /** `table_cdf` (r9): one table driven through the full commit-kind
+    * alphabet — v1 initial (even keys), v2 append (odd keys), v3 range
+    * delete, v4 merge (updates + inserts) — then `readChanges(1, 4)`
+    * replays the row-level changelog and aggregates it per
+    * (commit, change_type). Updated rows surface as delete pre-image +
+    * insert post-image at the merge version; survivors carried through
+    * the copy-on-write rewrites cancel and appear nowhere. The oracle
+    * reconstructs each commit's expected change set from the source. */
+  def tableCdf(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/cdf_table"
+    fs(spark, base).delete(new Path(base), true)
+    val src = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    commit(spark, base, src.filter(col("o_orderkey") % 2 === 0), 1,
+      parent = None, statsCol = Some("o_orderkey"))
+    appendCommit(spark, base, src.filter(col("o_orderkey") % 2 === 1),
+      statsCol = Some("o_orderkey"))
+    deleteWhere(spark, base, "o_orderkey", 1000L, 2000L)
+    val updates = src.filter(col("o_orderkey").between(5000, 5500))
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") + 1000).cast("double"))
+    val inserts = src.filter(col("o_orderkey").between(100, 200))
+      .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+              col("o_totalprice"))
+    mergeInto(spark, base, updates.unionByName(inserts), "o_orderkey")
+    readChanges(spark, base, 1, 4)
+      .groupBy(col("_commit_version").as("v"), col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("v").asc, col("change_type").asc)
+  }
+
+  /** `table_restore` (r9): v1 = all docs, v2 = range delete, v3 =
+    * `restoreVersion(1)` — a metadata-only rollback commit re-naming
+    * v1's files (no data IO; the undone v2 stays time-travel readable).
+    * Output compares the post-delete and post-restore snapshots; the
+    * oracle recomputes both from the source. */
+  def tableRestore(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/restore_table"
+    fs(spark, base).delete(new Path(base), true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    commit(spark, base, docs, 1, parent = None, statsCol = Some("doc_id"))
+    deleteWhere(spark, base, "doc_id", 100L, 300L)
+    restoreVersion(spark, base, 1)
+    def snap(label: String, version: Option[Int]) =
+      readSnapshot(spark, base, version)
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(lit(label).as("version"), col("n_docs"), col("sum_chars"))
+    snap("v2", Some(2)).unionByName(snap("v3", None))
+      .orderBy(col("version").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_cdf" -> (tableCdf _),
+    "table_restore" -> (tableRestore _),
     "table_merge" -> (tableMerge _),
     "table_schema_evol" -> (tableSchemaEvol _),
     "table_timetravel" -> (tableTimetravel _),
@@ -1081,6 +1244,33 @@ object TableFormat {
     "table_zorder" -> (tableZorder _))
 
   val oracle: Map[String, String] = Map(
+    "table_cdf" ->
+      """SELECT 2 AS v, 'insert' AS change_type, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 3, 'delete', count(1),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+        |UNION ALL
+        |SELECT 4, 'delete', count(1),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey BETWEEN 5000 AND 5500
+        |UNION ALL
+        |SELECT 4, 'insert', count(1), CAST(sum(p) AS DOUBLE) FROM (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 5000 AND 5500
+        |  UNION ALL
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey BETWEEN 100 AND 200)
+        |ORDER BY v ASC NULLS FIRST, change_type ASC NULLS FIRST""".stripMargin,
+    "table_restore" ->
+      """SELECT 'v2' AS version, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 300
+        |UNION ALL
+        |SELECT 'v3', count(1), CAST(sum(n_chars) AS BIGINT) FROM documents
+        |ORDER BY version ASC NULLS FIRST""".stripMargin,
     "table_merge" ->
       """WITH changes AS (
         |  SELECT o_orderkey AS k,

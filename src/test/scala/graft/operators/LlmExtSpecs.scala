@@ -162,6 +162,22 @@ class LlmExtSpecs extends SparkTestBase {
     assert(assign(trained) == assign(reloaded))
   }
 
+  test("IVF training sample is budget-bounded as the corpus grows (r9)") {
+    import LlmOpsExt.{ivfSampleSize, IvfSampleBudget, ivfCellCount}
+    // small corpora keep the 8-per-cell behavior unchanged
+    assert(ivfSampleSize(22) == 176L)
+    // at scale the sample pins to the BUDGET, not cells*8
+    assert(ivfSampleSize(10000) == IvfSampleBudget.toLong)
+    // degenerate huge-cell case: never below one point per centroid
+    assert(ivfSampleSize(1 << 20) == (1 << 20).toLong)
+    // corpus growth 10^9 → 10^12: driver sample never exceeds
+    // max(codebook size, budget) — the pre-r9 cells*8 did (8× the codebook)
+    Seq(1e9, 1e10, 1e11, 1e12).foreach { n =>
+      val cells = ivfCellCount(n.toLong)
+      assert(ivfSampleSize(cells) <= math.max(cells.toLong, IvfSampleBudget.toLong))
+    }
+  }
+
   test("text_lang_id: marker-based heuristic identifies crafted sentences") {
     import spark.implicits._
     val got = Seq(

@@ -494,4 +494,46 @@ class TableFormatSpec extends SparkTestBase {
     TableFormat.commitZorder(spark, base2, allNull, "a", "b", version = 1)
     assert(TableFormat.readSnapshot(spark, base2).count() == 2)
   }
+
+  test("change data feed: appends are inserts, deletes are deletes, compact emits nothing (r9)") {
+    val base = freshBase("tf_cdf")
+    TableFormat.commit(spark, base,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    TableFormat.appendCommit(spark, base,
+      (100L until 120L).map(i => (i, s"r$i")).toDF("k", "v"), statsCol = Some("k"))
+    TableFormat.deleteWhere(spark, base, "k", 10L, 19L)
+    TableFormat.compact(spark, base, smallBytes = Long.MaxValue, targetFiles = 1)
+    assert(TableFormat.manifestOp(spark, base, 2).contains("append"))
+    assert(TableFormat.manifestOp(spark, base, 3).contains("delete"))
+    assert(TableFormat.manifestOp(spark, base, 4).contains("compact"))
+    val ch = TableFormat.readChanges(spark, base, 1, 4)
+    val byStep = ch.groupBy(col("_commit_version"), col("_change_type")).count().collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    // the copy-on-write survivors cancel; the compact commit contributes NOTHING
+    assert(byStep == Map((2, "insert") -> 20L, (3, "delete") -> 10L), s"got $byStep")
+    val delKeys = ch.filter(col("_change_type") === "delete")
+      .select(col("k")).as[Long].collect().sorted.toSeq
+    assert(delKeys == (10L until 20L), s"got $delKeys")
+  }
+
+  test("restore is metadata-only; CDF reports the rollback as the honest diff (r9)") {
+    val base = freshBase("tf_restore")
+    TableFormat.commit(spark, base,
+      (0L until 50L).map(i => (i, i * 2)).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    TableFormat.deleteWhere(spark, base, "k", 0L, 9L)
+    val v3 = TableFormat.restoreVersion(spark, base, 1)
+    assert(v3 == 3)
+    // metadata-only rollback: v3 re-names exactly v1's files (no data IO)
+    assert(TableFormat.manifestFiles(spark, base, 3).toSet ==
+      TableFormat.manifestFiles(spark, base, 1).toSet)
+    assert(TableFormat.readSnapshot(spark, base).count() == 50)
+    assert(TableFormat.readSnapshot(spark, base, Some(2)).count() == 40) // undone v2 readable
+    assert(TableFormat.manifestOp(spark, base, 3).contains("restore"))
+    // across the restore the rows deleted in v2 come BACK as inserts, nothing deleted
+    val ch = TableFormat.readChanges(spark, base, 2, 3)
+    val ins = ch.filter(col("_change_type") === "insert")
+      .select(col("k")).as[Long].collect().sorted.toSeq
+    assert(ins == (0L until 10L), s"got $ins")
+    assert(ch.filter(col("_change_type") === "delete").count() == 0)
+  }
 }
