@@ -771,11 +771,45 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_update` (r9): `UPDATE … SET … WHERE …` — the third SQL
+    * row-level write, planned through the SAME group-based row-level
+    * operation API as MERGE (the builder passes `info.command()`
+    * through, so UPDATE needed no new connector code): Spark computes
+    * the replacement contents (matched rows rewritten by the SET
+    * expressions, the rest carried), [[GraftReplaceWrite]] publishes
+    * them as one parentless commit, prior versions stay readable. The
+    * oracle replays the UPDATE as a CASE projection on the source. */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/su"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_orderpriority"),
+              org.apache.spark.sql.functions.col("o_totalprice"))
+    TableFormat.commit(spark, base, orders, 1, parent = None,
+      statsCol = Some("o_orderkey"))
+    spark.sql(
+      """UPDATE graft.db.su
+        |SET o_totalprice = CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE)
+        |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.db.su
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_timetravel" -> (sqlTimetravel _),
     "sql_insert" -> (sqlInsert _),
     "sql_delete" -> (sqlDelete _),
     "sql_merge" -> (sqlMerge _),
+    "sql_update" -> (sqlUpdate _),
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
@@ -813,6 +847,14 @@ object GraftCatalogOps {
         |UNION ALL
         |SELECT 'v2', count(1), CAST(sum(n_chars) AS BIGINT) FROM documents
         |ORDER BY version ASC NULLS FIRST""".stripMargin,
+    "sql_update" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "sql_catalog_skip" ->
       """SELECT o_orderpriority, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -257,6 +257,25 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(1) FROM graft.db.sqlmerge VERSION AS OF 1").head.getLong(0) == 1000)
   }
 
+  test("SQL UPDATE: SET expressions rewrite matched rows, history intact (r9)") {
+    val _ = wh
+    val base = s"$wh/db/sqlupd"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 1000L).map(i => (i, i)).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    spark.sql("UPDATE graft.db.sqlupd SET v = v + 5000 WHERE k BETWEEN 10 AND 19")
+    val got = spark.sql("SELECT k, v FROM graft.db.sqlupd").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1000, "UPDATE changed the row count")
+    assert((10L until 20L).forall(i => got(i) == i + 5000), "matched rows not updated")
+    assert((0L until 10L).forall(i => got(i) == i) &&
+      (20L until 1000L).forall(i => got(i) == i), "untouched rows changed")
+    // pre-update snapshot stays readable (parentless replace, not truncate)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.sqlupd VERSION AS OF 1")
+      .head.getLong(0) == (0L until 1000L).sum)
+  }
+
   test("table stream: version offsets deliver each append exactly once") {
     val base = freshBase("tstream1")
     TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None)
