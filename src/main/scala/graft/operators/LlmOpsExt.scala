@@ -525,31 +525,39 @@ object LlmOpsExt {
     labels
   }
 
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = synchronized {
-    clusterLabels.foreach(_.unpersist(false))
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).as("k"))
-    // Equality-edge extraction in two passes so the FULL-CORPUS shuffle
-    // never carries document text (r9, VERDICT r8 advisory #1):
-    //  1. shuffle only (xxhash64(k), doc_id) — 16 bytes/row at any
-    //     document length — and keep the hash buckets with >1 member:
-    //     the duplicate CANDIDATES, a small fraction of a real corpus;
-    //  2. broadcast those bucket ids back as a filter, so only candidate
-    //     docs re-enter with their text keys for the small self-join,
-    //     where full-key equality is rechecked EXACTLY — an xxhash64
-    //     collision costs a recheck, never a wrong edge. (A corpus so
-    //     duplicate-dominated that the bucket list outgrows a broadcast
-    //     should drop the hint and let AQE pick the join side.)
+  /** Exact-duplicate equality edges over (doc_id, k) rows: (s, t) pairs
+    * with s < t and IDENTICAL keys, extracted in two passes so the
+    * FULL-CORPUS shuffle never carries document text (r9, VERDICT r8
+    * advisory #1):
+    *  1. shuffle only (xxhash64(k), doc_id) — 16 bytes/row at any
+    *     document length — and keep the hash buckets with >1 member:
+    *     the duplicate CANDIDATES, a small fraction of a real corpus;
+    *  2. broadcast those bucket ids back as a filter, so only candidate
+    *     docs re-enter with their text keys for the small self-join,
+    *     where full-key equality is rechecked EXACTLY — an xxhash64
+    *     collision costs a recheck, never a wrong edge. (A corpus so
+    *     duplicate-dominated that the bucket list outgrows a broadcast
+    *     should drop the hint and let AQE pick the join side.)
+    * PlanAuditSpec pins the shape: every shuffle carrying `k` sits on
+    * the broadcast-filtered candidate slice, never the full corpus. */
+  private[operators] def equalityEdges(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"), xxhash64(col("k")).as("kh"))
     val dupBuckets = keyed.groupBy(col("kh"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("kh"))
     val cands = docs.withColumn("kh", xxhash64(col("k")))
       .join(broadcast(dupBuckets), "kh")
-    val eq = cands.as("a").join(cands.as("b"),
+    cands.as("a").join(cands.as("b"),
         col("a.kh") === col("b.kh") && col("a.k") === col("b.k") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
+  }
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = synchronized {
+    clusterLabels.foreach(_.unpersist(false))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).as("k"))
+    val eq = equalityEdges(docs)
     val chain = spark.createDataFrame(Seq((0L, 1L), (1L, 2L))).toDF("s", "t")
     // dup clusters are near-cliques: diameter > 20 means the edge
     // extraction produced chains, not clusters — fail loudly (in the throw)

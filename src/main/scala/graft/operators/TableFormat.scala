@@ -778,6 +778,36 @@ object TableFormat {
     else all.reduce(_ unionByName _)
   }
 
+  /** SHALLOW CLONE (r9): start a NEW table at `dstBase` whose v1
+    * manifest references `srcBase`'s current files BY PATH — zero data
+    * copied or moved, one manifest write (the Delta `SHALLOW CLONE`
+    * analog: dev/test sandboxes and what-if writes over production
+    * data). Commits to the clone stage their files under the CLONE's
+    * own tree and never touch the source; the source never learns the
+    * clone exists. Documented contract (same as Delta's): a VACUUM on
+    * the SOURCE can reclaim files the clone still references — shallow
+    * clones are working copies, not backups. Returns the source
+    * version that was cloned. */
+  def cloneTable(spark: SparkSession, srcBase: String, dstBase: String): Int = {
+    val v = currentVersion(spark, srcBase)
+    val schemaJson = manifestSchema(spark, srcBase, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $srcBase v$v has no schema header"))
+    writeManifest(spark, dstBase, 1, schemaJson, manifestEntries(spark, srcBase, v),
+      txn = None, statsCols = manifestStatsCols(spark, srcBase, v), op = "clone")
+    v
+  }
+
+  /** COMMIT HISTORY (r9) — one (version, operation, fileCount) row per
+    * retained version, oldest first: the `DESCRIBE HISTORY` analog.
+    * Pure manifest metadata (two small reads per version, no data IO);
+    * the audit surface an operator checks before VACUUM/RESTORE. */
+  def history(spark: SparkSession, base: String): Seq[(Int, String, Int)] =
+    (1 to latestVersion(spark, base)).flatMap { v =>
+      try Some((v, manifestOp(spark, base, v).getOrElse("unknown"),
+        manifestEntries(spark, base, v).size))
+      catch { case _: java.io.FileNotFoundException => None } // vacuumed gap
+    }
+
   /** RESTORE (r9): roll the table back to `toVersion`'s contents as a
     * NEW commit — the Delta `RESTORE TABLE … TO VERSION AS OF` analog.
     * Pure metadata: the new manifest re-names the old version's files
@@ -1231,9 +1261,63 @@ object TableFormat {
       .orderBy(col("version").asc)
   }
 
+  /** `table_history` (r9): drive one table through initial/append/
+    * delete/restore commits, then read the audit trail — each version's
+    * operation tag from the manifest header plus that snapshot's row
+    * count (time-travel reads; the counts double-check every commit
+    * kind's row semantics). The oracle recomputes each version's
+    * expected count from the source. */
+  def tableHistory(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/history_table"
+    fs(spark, base).delete(new Path(base), true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    commit(spark, base, docs.filter(col("doc_id") % 2 === 0), 1,
+      parent = None, statsCol = Some("doc_id"))
+    appendCommit(spark, base, docs.filter(col("doc_id") % 2 === 1),
+      statsCol = Some("doc_id"))
+    deleteWhere(spark, base, "doc_id", 100L, 300L)
+    restoreVersion(spark, base, 2)
+    history(spark, base).map { case (v, op, _) =>
+      readSnapshot(spark, base, Some(v))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v).as("version"), lit(op).as("op"), col("n_rows"))
+    }.reduce(_ unionByName _).orderBy(col("version").asc)
+  }
+
+  /** `table_clone` (r9): shallow-clone orders, append clone-only rows,
+    * then read BOTH tables — the source must be bit-identical to its
+    * pre-clone state (clone writes stay in the clone) while the clone
+    * carries the extra rows over the source's files by reference. The
+    * oracle recomputes both sides from the source table. */
+  def tableClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"${Tables.scratchDir}/clone_src"
+    val dst = s"${Tables.scratchDir}/clone_dst"
+    fs(spark, src).delete(new Path(src), true)
+    fs(spark, dst).delete(new Path(dst), true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    commit(spark, src, orders, 1, parent = None, statsCol = Some("o_orderkey"))
+    cloneTable(spark, src, dst)
+    appendCommit(spark, dst,
+      orders.filter(col("o_orderkey").between(1, 100))
+        .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+                col("o_totalprice")),
+      statsCol = Some("o_orderkey"))
+    def snap(label: String, base: String) =
+      readSnapshot(spark, base)
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .select(lit(label).as("side"), col("n"), col("sum_price"))
+    snap("clone", dst).unionByName(snap("source", src))
+      .orderBy(col("side").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_cdf" -> (tableCdf _),
     "table_restore" -> (tableRestore _),
+    "table_history" -> (tableHistory _),
+    "table_clone" -> (tableClone _),
     "table_merge" -> (tableMerge _),
     "table_schema_evol" -> (tableSchemaEvol _),
     "table_timetravel" -> (tableTimetravel _),
@@ -1264,6 +1348,30 @@ object TableFormat {
         |  SELECT CAST(o_totalprice AS DECIMAL(18,2))
         |  FROM orders WHERE o_orderkey BETWEEN 100 AND 200)
         |ORDER BY v ASC NULLS FIRST, change_type ASC NULLS FIRST""".stripMargin,
+    "table_clone" ->
+      """SELECT 'clone' AS side,
+        |  CAST(count(1) + (SELECT count(1) FROM orders WHERE o_orderkey BETWEEN 1 AND 100)
+        |    AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    + (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders WHERE o_orderkey BETWEEN 1 AND 100) AS DOUBLE) AS sum_price
+        |FROM orders
+        |UNION ALL
+        |SELECT 'source', count(1),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |ORDER BY side ASC NULLS FIRST""".stripMargin,
+    "table_history" ->
+      """SELECT 1 AS version, 'replace' AS op, count(1) AS n_rows
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 2, 'append', count(1) FROM documents
+        |UNION ALL
+        |SELECT 3, 'delete', count(1) FROM documents
+        |WHERE doc_id NOT BETWEEN 100 AND 300
+        |UNION ALL
+        |SELECT 4, 'restore', count(1) FROM documents
+        |ORDER BY version ASC NULLS FIRST""".stripMargin,
     "table_restore" ->
       """SELECT 'v2' AS version, count(1) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

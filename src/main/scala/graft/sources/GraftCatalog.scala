@@ -76,6 +76,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `VERSION AS OF n` lands here with the literal version string. */
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toInt))
+  /** `TIMESTAMP AS OF t` lands here with MICROSECONDS since epoch (r9):
+    * resolve the newest version whose manifest was published at or
+    * before t. The manifest file's mtime IS the commit instant — the
+    * put-if-absent create is the atomic commit event, and manifests are
+    * never rewritten afterwards (Delta resolves timestamp travel from
+    * its log files' mtimes the same way, with the same caveat that
+    * copying a table resets the clock). Versions, not timestamps, are
+    * what the manifests record — so this stays a resolution step in the
+    * catalog, not a header field that could drift from the filesystem. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val tsMillis = timestamp / 1000L
+    val atOrBefore = (1 to TableFormat.latestVersion(spark, path)).filter { v =>
+      try fs.getFileStatus(new HadoopPath(s"$path/_manifests/v$v.manifest"))
+        .getModificationTime <= tsMillis
+      catch { case _: java.io.FileNotFoundException => false } // vacuumed gap
+    }
+    require(atOrBefore.nonEmpty,
+      s"graft catalog: no snapshot of $ident at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest manifest is newer)")
+    new GraftTable(path, Some(atOrBefore.max), spark)
+  }
   private def load(ident: Identifier, version: Option[Int]): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)

@@ -229,4 +229,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.toLowerCase.contains("pushedfilters") || p.contains("PcapScan"),
       s"pcap pushdown probe lost its scan annotation:\n$p")
   }
+
+  test("dedup_cluster edges: every shuffle partitions on the 8-byte hash, never text (r9)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).as("k"))
+    val p = plan(LlmOpsExt.equalityEdges(docs))
+    // the full-corpus candidate aggregation shuffles the hash
+    assert(p.contains("Exchange hashpartitioning(kh#"),
+      s"no hash-keyed exchange found:\n$p")
+    // and NO shuffle anywhere in the plan partitions on the text key —
+    // every Exchange's leading key must be the 8-byte kh (the candidate
+    // self-join either broadcasts, or shuffles (kh, k) with kh leading;
+    // a raw-k-first exchange would sort/compare full document text)
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_ == "kh"),
+      s"an exchange partitions on ${keys.filterNot(_ == "kh")}:\n$p")
+  }
 }

@@ -516,6 +516,33 @@ class TableFormatSpec extends SparkTestBase {
     assert(delKeys == (10L until 20L), s"got $delKeys")
   }
 
+  test("shallow clone copies no data; clone writes never touch the source (r9)") {
+    val src = freshBase("tf_clone_src")
+    val dst = freshBase("tf_clone_dst")
+    TableFormat.commit(spark, src,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    val clonedV = TableFormat.cloneTable(spark, src, dst)
+    assert(clonedV == 1)
+    // zero data copied: the clone has a manifest but NO data tree
+    val f = new org.apache.hadoop.fs.Path(s"$dst/data")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "shallow clone materialized data files")
+    assert(TableFormat.manifestFiles(spark, dst, 1).toSet ==
+      TableFormat.manifestFiles(spark, src, 1).toSet)
+    assert(TableFormat.readSnapshot(spark, dst).count() == 100)
+    assert(TableFormat.manifestOp(spark, dst, 1).contains("clone"))
+    // clone-side writes stage under the CLONE's tree; the source is inert
+    TableFormat.appendCommit(spark, dst, Seq((1000L, "x")).toDF("k", "v"))
+    assert(TableFormat.readSnapshot(spark, dst).count() == 101)
+    assert(TableFormat.currentVersion(spark, src) == 1)
+    assert(TableFormat.readSnapshot(spark, src).count() == 100)
+    val newFiles = TableFormat.manifestFiles(spark, dst, 2)
+      .filterNot(TableFormat.manifestFiles(spark, dst, 1).toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("clone_dst")),
+      s"clone append staged outside the clone tree: $newFiles")
+  }
+
   test("restore is metadata-only; CDF reports the rollback as the honest diff (r9)") {
     val base = freshBase("tf_restore")
     TableFormat.commit(spark, base,

@@ -276,6 +276,30 @@ class GraftTableSpec extends SparkTestBase {
       .head.getLong(0) == (0L until 1000L).sum)
   }
 
+  test("TIMESTAMP AS OF resolves the newest snapshot at or before t (r9)") {
+    val _ = wh
+    val base = s"$wh/db/tsaof"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1, None)
+    Thread.sleep(150) // manifest mtimes are millisecond-granular
+    val mid = java.sql.Timestamp.from(java.time.Instant.now())
+    Thread.sleep(150)
+    TableFormat.appendCommit(spark, base, Seq((3L, "c")).toDF("k", "v"))
+    assert(spark.sql(
+      s"SELECT count(1) FROM graft.db.tsaof TIMESTAMP AS OF '$mid'").head.getLong(0) == 2)
+    assert(spark.sql(
+      "SELECT count(1) FROM graft.db.tsaof").head.getLong(0) == 3)
+    // a timestamp before the first commit fails loudly, not empty
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT count(1) FROM graft.db.tsaof TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no snapshot") ||
+      Option(e.getCause).exists(_.getMessage.contains("no snapshot")), e.getMessage)
+  }
+
   test("table stream: version offsets deliver each append exactly once") {
     val base = freshBase("tstream1")
     TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None)
