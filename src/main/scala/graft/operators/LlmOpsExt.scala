@@ -525,27 +525,33 @@ object LlmOpsExt {
     labels
   }
 
-  /** Exact-duplicate equality edges over (doc_id, k) rows: (s, t) pairs
-    * with s < t and IDENTICAL keys, extracted in two passes so the
-    * FULL-CORPUS shuffle never carries document text (r9, VERDICT r8
-    * advisory #1):
-    *  1. shuffle only (xxhash64(k), doc_id) — 16 bytes/row at any
-    *     document length — and keep the hash buckets with >1 member:
-    *     the duplicate CANDIDATES, a small fraction of a real corpus;
-    *  2. broadcast those bucket ids back as a filter, so only candidate
-    *     docs re-enter with their text keys for the small self-join,
-    *     where full-key equality is rechecked EXACTLY — an xxhash64
-    *     collision costs a recheck, never a wrong edge. (A corpus so
-    *     duplicate-dominated that the bucket list outgrows a broadcast
-    *     should drop the hint and let AQE pick the join side.)
-    * PlanAuditSpec pins the shape: every shuffle carrying `k` sits on
-    * the broadcast-filtered candidate slice, never the full corpus. */
-  private[operators] def equalityEdges(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(col("doc_id"), xxhash64(col("k")).as("kh"))
-    val dupBuckets = keyed.groupBy(col("kh"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("kh"))
-    val cands = docs.withColumn("kh", xxhash64(col("k")))
-      .join(broadcast(dupBuckets), "kh")
+  /** Exact-duplicate equality edges: (s, t) doc pairs with s < t and
+    * IDENTICAL keys (`key` evaluated over `raw`'s columns), extracted
+    * in two passes so the FULL-CORPUS work is one key evaluation and
+    * one 16-byte-per-row shuffle — never a shuffle of document text
+    * (r9, VERDICT r8 advisory #1):
+    *  1. evaluate the key ONCE per doc, shuffle only (xxhash64(key),
+    *     doc_id), and keep the hash buckets with >1 member — their
+    *     member ids are the duplicate CANDIDATES, a small fraction of
+    *     any real corpus;
+    *  2. broadcast the candidate ids back as a doc_id semi-filter on
+    *     the RAW input (the join precedes key evaluation, so the
+    *     re-evaluation touches only candidates), then self-join the
+    *     tiny slice on the hash with EXACT key-equality recheck — an
+    *     xxhash64 collision costs a recheck, never a wrong edge.
+    * (A corpus so duplicate-dominated that the candidate list outgrows
+    * a broadcast should drop the hint and let AQE pick the join side.)
+    * PlanAuditSpec pins the shape: every shuffle in the plan partitions
+    * on the 8-byte hash. */
+  private[operators] def equalityEdges(raw: DataFrame, key: Column): DataFrame = {
+    val keyed = raw.select(col("doc_id"), xxhash64(key).as("kh"))
+    val dupIds = keyed.groupBy(col("kh"))
+      .agg(count(lit(1)).as("n"), collect_list(col("doc_id")).as("ids"))
+      .filter(col("n") > 1)
+      .select(explode(col("ids")).as("doc_id"))
+    val cands = raw.join(broadcast(dupIds), "doc_id")
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("kh", xxhash64(col("k")))
     cands.as("a").join(cands.as("b"),
         col("a.kh") === col("b.kh") && col("a.k") === col("b.k") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -554,10 +560,9 @@ object LlmOpsExt {
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = synchronized {
     clusterLabels.foreach(_.unpersist(false))
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).as("k"))
-    val eq = equalityEdges(docs)
+    val eq = equalityEdges(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")),
+      concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
     val chain = spark.createDataFrame(Seq((0L, 1L), (1L, 2L))).toDF("s", "t")
     // dup clusters are near-cliques: diameter > 20 means the edge
     // extraction produced chains, not clusters — fail loudly (in the throw)

@@ -180,23 +180,44 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     require(p != null && p.nonEmpty, "graft-table requires option(\"path\", <table base>)")
     p
   }
+  /** `changesFrom`/`changesTo` read options (r9): the CHANGE DATA FEED
+    * surface — the scan returns [[graft.operators.TableFormat.readChanges]]
+    * rows (table schema + `_change_type` + `_commit_version`) instead of
+    * a snapshot. `changesTo` defaults to the current version. */
+  private def changeRange(spark: SparkSession, base: String,
+                          options: CaseInsensitiveStringMap): Option[(Int, Int)] =
+    Option(options.get("changesFrom")).map { from =>
+      (from.toInt, Option(options.get("changesTo")).map(_.toInt)
+        .getOrElse(TableFormat.currentVersion(spark, base)))
+    }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val base = path(options)
-    val v = Option(options.get("versionAsOf")).map(_.toInt)
-      .getOrElse(TableFormat.currentVersion(spark, base))
-    TableFormat.manifestSchema(spark, base, v).getOrElse(
-      TableFormat.readSnapshot(spark, base, Some(v)).schema)
+    changeRange(spark, base, options) match {
+      case Some((_, to)) =>
+        val snap = TableFormat.manifestSchema(spark, base, to).getOrElse(
+          TableFormat.readSnapshot(spark, base, Some(to)).schema)
+        StructType(snap.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", IntegerType, nullable = false)))
+      case None =>
+        val v = Option(options.get("versionAsOf")).map(_.toInt)
+          .getOrElse(TableFormat.currentVersion(spark, base))
+        TableFormat.manifestSchema(spark, base, v).getOrElse(
+          TableFormat.readSnapshot(spark, base, Some(v)).schema)
+    }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val spark = SparkSession.active
     new GraftTable(path(opts), Option(opts.get("versionAsOf")).map(_.toInt),
-      SparkSession.active)
+      spark, changes = changeRange(spark, path(opts), opts))
   }
 }
 
-class GraftTable(base: String, version: Option[Int], spark: SparkSession)
+class GraftTable(base: String, version: Option[Int], spark: SparkSession,
+                 changes: Option[(Int, Int)] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -206,18 +227,29 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession)
   import org.apache.spark.sql.connector.write.streaming.StreamingWrite
   private[sources] lazy val resolvedVersion: Int =
     version.getOrElse(TableFormat.currentVersion(spark, base))
-  override def name(): String = s"graft:$base" + version.fold("")(v => s"@v$v")
-  override def schema(): StructType =
-    TableFormat.manifestSchema(spark, base, resolvedVersion).getOrElse(
+  override def name(): String = s"graft:$base" + version.fold("")(v => s"@v$v") +
+    changes.fold("") { case (f, t) => s"@changes[$f,$t]" }
+  override def schema(): StructType = {
+    val snap = TableFormat.manifestSchema(spark, base, resolvedVersion).getOrElse(
       TableFormat.readSnapshot(spark, base, Some(resolvedVersion)).schema)
+    if (changes.isEmpty) snap
+    else StructType(snap.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", IntegerType, nullable = false)))
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(base, resolvedVersion, schema(),
-      TableFormat.manifestStatsCols(spark, base, resolvedVersion), spark,
-      startVersion = Option(options.get("startVersion")).map(_.toInt).getOrElse(0))
+    changes match {
+      case Some((from, to)) =>
+        new GraftChangesScanBuilder(base, from, to, schema(), spark)
+      case None =>
+        new GraftScanBuilder(base, resolvedVersion, schema(),
+          TableFormat.manifestStatsCols(spark, base, resolvedVersion), spark,
+          startVersion = Option(options.get("startVersion")).map(_.toInt).getOrElse(0))
+    }
 
   /** `INSERT INTO graft.db.t …` = an `appendCommit` (optimistic
     * concurrency — two concurrent SQL inserts both land); `INSERT
@@ -410,6 +442,29 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftTableMicroBatch(base, required, startVersion, spark,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+}
+
+/** Change-data-feed scan (r9): `spark.read.format("graft-table")
+  * .option("changesFrom", a).option("changesTo", b)` — delegates the
+  * whole scan to [[graft.operators.TableFormat.readChanges]]'s
+  * distributed diff plan via V1Scan (the same delegation pattern as the
+  * snapshot scan). No pushdown interfaces: the per-commit `exceptAll`
+  * owns change-row correctness, and a filter applied before the diff
+  * could cancel a delete against an unrelated insert; Spark applies
+  * residual filters above the scan. */
+class GraftChangesScanBuilder(base: String, from: Int, to: Int,
+                              cdfSchema: StructType, spark: SparkSession)
+    extends ScanBuilder with Scan with V1Scan {
+  override def build(): Scan = this
+  override def readSchema(): StructType = cdfSchema
+  override def description(): String = s"GraftChangesScan $base changes[$from, $to]"
+  override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = cdfSchema
+      override def buildScan(): RDD[Row] =
+        TableFormat.readChanges(ctx.sparkSession, base, from, to).rdd
+    }.asInstanceOf[T]
 }
 
 class GraftV1Relation(ctx: SQLContext, base: String, version: Int,

@@ -232,10 +232,9 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("dedup_cluster edges: every shuffle partitions on the 8-byte hash, never text (r9)") {
     import org.apache.spark.sql.functions._
-    val docs = graft.Tables.t(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).as("k"))
-    val p = plan(LlmOpsExt.equalityEdges(docs))
+    val p = plan(LlmOpsExt.equalityEdges(
+      graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text")),
+      concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
     // the full-corpus candidate aggregation shuffles the hash
     assert(p.contains("Exchange hashpartitioning(kh#"),
       s"no hash-keyed exchange found:\n$p")

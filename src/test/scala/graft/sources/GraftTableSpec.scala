@@ -276,6 +276,26 @@ class GraftTableSpec extends SparkTestBase {
       .head.getLong(0) == (0L until 1000L).sum)
   }
 
+  test("changesFrom/changesTo read options surface the change data feed (r9)") {
+    val base = freshBase("tcdf_reader")
+    TableFormat.commit(spark, base,
+      (0L until 50L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    TableFormat.appendCommit(spark, base,
+      (50L until 60L).map(i => (i, s"r$i")).toDF("k", "v"), statsCol = Some("k"))
+    TableFormat.deleteWhere(spark, base, "k", 10L, 14L)
+    val cdf = spark.read.format("graft-table")
+      .option("path", base).option("changesFrom", "1").load() // changesTo defaults current
+    assert(cdf.columns.toSeq == Seq("k", "v", "_change_type", "_commit_version"))
+    val got = cdf.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3))).sorted.toSeq
+    val want = ((50L until 60L).map((_, "insert", 2)) ++
+      (10L until 15L).map((_, "delete", 3))).sorted
+    assert(got == want, s"got $got")
+    // bounded range: only the append step
+    assert(spark.read.format("graft-table").option("path", base)
+      .option("changesFrom", "1").option("changesTo", "2").load().count() == 10)
+  }
+
   test("TIMESTAMP AS OF resolves the newest snapshot at or before t (r9)") {
     val _ = wh
     val base = s"$wh/db/tsaof"
