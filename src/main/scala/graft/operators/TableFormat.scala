@@ -737,9 +737,12 @@ object TableFormat {
     *  - the `#op` tag short-circuits the two no-logical-change commit
     *    kinds: `compact` emits nothing without reading the compacted
     *    bytes, and `append` skips the (empty-right-side) exceptAll.
-    * Both sides of a step read under the step's RECORDED schema, so
-    * add-only evolution projects NULLs for pre-evolution files (the
-    * comparison stays aligned). Scale: per-step IO is proportional to
+    * EVERY step reads under `toVersion`'s recorded schema — the
+    * superset of all in-range step schemas under add-only evolution —
+    * so pre-evolution files project NULLs and all steps union cleanly
+    * (per-step schemas would diverge across an evolution commit and
+    * break both the union and the exceptAll alignment). Scale: per-step
+    * IO is proportional to
     * the files the commit actually touched — the same order as the CoW
     * rewrite that produced it — never the table; the exceptAll shuffles
     * only those touched files' rows. Restriction (documented, same as
@@ -756,8 +759,8 @@ object TableFormat {
       val removed = before.filterNot(after.toSet)
       val op = manifestOp(spark, base, v)
       def read(files: Seq[String]) =
-        if (files.isEmpty) emptySnapshot(spark, base, v)
-        else readFiles(spark, base, v, files)
+        if (files.isEmpty) emptySnapshot(spark, base, toVersion)
+        else readFiles(spark, base, toVersion, files)
       def tag(df: DataFrame, t: String) =
         df.withColumn("_change_type", lit(t))
           .withColumn("_commit_version", lit(v))

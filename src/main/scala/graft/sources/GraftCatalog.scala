@@ -230,8 +230,13 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
   override def name(): String = s"graft:$base" + version.fold("")(v => s"@v$v") +
     changes.fold("") { case (f, t) => s"@changes[$f,$t]" }
   override def schema(): StructType = {
-    val snap = TableFormat.manifestSchema(spark, base, resolvedVersion).getOrElse(
-      TableFormat.readSnapshot(spark, base, Some(resolvedVersion)).schema)
+    // changes mode reads under changesTo's recorded schema (the diff's
+    // per-step reads are ≤ changesTo) — resolving from the CURRENT
+    // version instead would mismatch the scan when the schema evolved
+    // after changesTo
+    val v = changes.map(_._2).getOrElse(resolvedVersion)
+    val snap = TableFormat.manifestSchema(spark, base, v).getOrElse(
+      TableFormat.readSnapshot(spark, base, Some(v)).schema)
     if (changes.isEmpty) snap
     else StructType(snap.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),

@@ -516,6 +516,24 @@ class TableFormatSpec extends SparkTestBase {
     assert(delKeys == (10L until 20L), s"got $delKeys")
   }
 
+  test("CDF spans a schema-evolution commit: all steps read under the widened schema (r9)") {
+    val base = freshBase("tf_cdf_evol")
+    TableFormat.commit(spark, base,
+      (0L until 20L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    // evolution append: new column w arrives at v2
+    TableFormat.appendCommit(spark, base,
+      (20L until 30L).map(i => (i, s"r$i", i * 10)).toDF("k", "v", "w"),
+      statsCol = Some("k"))
+    TableFormat.deleteWhere(spark, base, "k", 0L, 4L)
+    val ch = TableFormat.readChanges(spark, base, 1, 3)
+    assert(ch.columns.toSeq == Seq("k", "v", "w", "_change_type", "_commit_version"))
+    val ins = ch.filter(col("_change_type") === "insert")
+    assert(ins.count() == 10 && ins.filter(col("w").isNull).count() == 0)
+    // deletes come from pre-evolution files: w projects NULL under the wide schema
+    val del = ch.filter(col("_change_type") === "delete")
+    assert(del.count() == 5 && del.filter(col("w").isNull).count() == 5)
+  }
+
   test("shallow clone copies no data; clone writes never touch the source (r9)") {
     val src = freshBase("tf_clone_src")
     val dst = freshBase("tf_clone_dst")
