@@ -152,9 +152,54 @@ object TableFormat {
   private def newCommitDir(base: String, version: Int): String =
     s"$base/data/c${version}_${java.util.UUID.randomUUID.toString.take(8)}"
 
+  /** Per-file (min, max, nullCount) of `cols` read from the parquet
+    * FOOTER — metadata-only, no data scan: row-group statistics are
+    * exactly what the manifest records. Only integral (INT32/INT64
+    * primitive) columns yield stats, matching the read side, which
+    * never prunes on non-integral stats columns (truncated long-cast
+    * bounds on doubles/decimals were the r8 mis-pruning hazard — now
+    * they are never recorded in the first place). An all-NULL or
+    * stats-less chunk yields (None, None) bounds and the null count
+    * when the writer set it. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration, file: String,
+                          cols: Seq[String]): Map[String, (Option[Long], Option[Long], Option[Long])] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics, Statistics}
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.map { c =>
+        val chunkStats: Seq[Statistics[_]] = blocks
+          .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
+          .map(_.getStatistics).filter(_ != null)
+        def longOf(s: Statistics[_], wantMin: Boolean): Option[Long] = s match {
+          case l: LongStatistics => Some(if (wantMin) l.getMin else l.getMax)
+          case i: IntStatistics => Some((if (wantMin) i.getMin else i.getMax).toLong)
+          case _ => None // non-integral: never recorded (see scaladoc)
+        }
+        val withValues = chunkStats.filter(_.hasNonNullValue)
+        val los = withValues.flatMap(longOf(_, wantMin = true))
+        val his = withValues.flatMap(longOf(_, wantMin = false))
+        val nulls =
+          if (chunkStats.nonEmpty && chunkStats.forall(_.isNumNullsSet))
+            Some(chunkStats.map(_.getNumNulls).sum)
+          else None
+        c -> (
+          if (los.size == withValues.size) los.minOption else None,
+          if (his.size == withValues.size) his.maxOption else None,
+          nulls)
+      }.toMap
+    } finally reader.close()
+  }
+
   /** Write `df` into `commitDir` and return its manifest entries, with
     * per-file (min, max, nullCount) of `statsCol` when one is declared.
-    * Shared by append commits, delete-rewrites, and merge-rewrites. */
+    * Shared by append commits, delete-rewrites, and merge-rewrites.
+    * Stats come from the just-written files' parquet FOOTERS — K
+    * metadata reads instead of the pre-r9 full re-scan of the commit's
+    * data (the one-pass read-back this replaces stood in for the
+    * task-side stats collection production writers do). */
   private def writeDataFiles(spark: SparkSession, base: String, commitDir: String,
                              df: DataFrame, statsCol: Option[String],
                              statsCol2: Option[String] = None): Seq[ManifestEntry] = {
@@ -166,25 +211,15 @@ object TableFormat {
     statsCol match {
       case None => newFiles.map(ManifestEntry(_, None, None))
       case Some(c) =>
-        // input_file_name URIs and listStatus URIs can differ in scheme
-        // rendering — key the stats on the (per-directory-unique) filename
-        def colAggs(cc: String) = Seq(
-          min(col(cc)).cast("long"), max(col(cc)).cast("long"),
-          count(when(col(cc).isNull, 1)).cast("long"))
-        val aggs = colAggs(c) ++ statsCol2.toSeq.flatMap(colAggs)
-        val stats = spark.read.parquet(commitDir)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map(r => r.getString(0).split('/').last ->
-            (1 until r.length).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
-          .toMap
+        val conf = spark.sparkContext.hadoopConfiguration
+        val cols = Seq(c) ++ statsCol2.toSeq
         newFiles.map { p =>
-          stats.get(p.split('/').last).fold(ManifestEntry(p, None, None)) { s =>
-            ManifestEntry(p, s(0), s(1),
-              if (s.length > 3) s(3) else None, if (s.length > 4) s(4) else None,
-              nulls = s(2), nulls2 = if (s.length > 5) s(5) else None)
-          }
+          val st = footerStats(conf, p, cols)
+          val (lo, hi, nu) = st(c)
+          val second = statsCol2.map(st)
+          ManifestEntry(p, lo, hi,
+            second.flatMap(_._1), second.flatMap(_._2),
+            nulls = nu, nulls2 = second.flatMap(_._3))
         }
     }
   }
