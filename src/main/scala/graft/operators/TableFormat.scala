@@ -682,7 +682,7 @@ object TableFormat {
     * write pays; the win is every later query on either dimension. */
   def commitZorder(spark: SparkSession, base: String, df: DataFrame,
                    c1: String, c2: String, version: Int,
-                   nFiles: Int = 16): Int = {
+                   nFiles: Int = 16, op: String = "replace"): Int = {
     val b = df.agg(min(col(c1)).cast("long"), max(col(c1)).cast("long"),
                    min(col(c2)).cast("long"), max(col(c2)).cast("long"))
       .collect()(0) // 1 row of bounds — broadcast into the norm expressions
@@ -713,7 +713,25 @@ object TableFormat {
     val entries = writeDataFiles(spark, base, newCommitDir(base, version),
       clustered, Some(c1), Some(c2))
     writeManifest(spark, base, version, df.schema.json, entries, txn = None,
-      statsCols = Seq(c1, c2), op = "replace")
+      statsCols = Seq(c1, c2), op = op)
+  }
+
+  /** OPTIMIZE ZORDER on an EXISTING table (r9) — rewrite the current
+    * snapshot clustered along the (c1, c2) z-curve as a new commit:
+    * Delta's `OPTIMIZE … ZORDER BY` / Iceberg's rewrite-with-zorder.
+    * Rows are moved, never changed, so the commit is tagged like a
+    * compaction and the change data feed emits NOTHING for it; prior
+    * versions stay readable and vacuum reclaims the superseded layout.
+    * The payoff is every later predicate on either dimension pruning
+    * files — turning an unclustered (or append-fragmented) table into
+    * a skippable one without blocking writers (OCC: a conflicting
+    * concurrent commit wins the version slot and the optimize retries
+    * against the new snapshot only by re-running it). */
+  def optimizeZorder(spark: SparkSession, base: String, c1: String, c2: String,
+                     nFiles: Int = 16): Int = {
+    val v = currentVersion(spark, base)
+    commitZorder(spark, base, readSnapshot(spark, base, Some(v)), c1, c2,
+      version = v + 1, nFiles = nFiles, op = "optimize")
   }
 
   /** Two-dimensional file skipping over a z-ordered table: drop every
@@ -800,7 +818,7 @@ object TableFormat {
         df.withColumn("_change_type", lit(t))
           .withColumn("_commit_version", lit(v))
       op match {
-        case Some("compact") => Seq.empty // bytes moved, no rows changed
+        case Some("compact") | Some("optimize") => Seq.empty // bytes moved, no rows changed
         case Some("append") => Seq(tag(read(added), "insert"))
         case _ => // delete / merge / replace / restore / pre-r9: full diff
           val a = read(added)
@@ -1351,11 +1369,32 @@ object TableFormat {
       .orderBy(col("side").asc)
   }
 
+  /** `table_optimize` (r9): commit orders UNCLUSTERED (no stats — every
+    * read scans every file), then `optimizeZorder` re-clusters the
+    * snapshot along (o_custkey, o_orderkey); the same box query now
+    * plans from two-dimensional per-file bounds (TableFormatSpec pins
+    * filesRead < filesTotal post-optimize, and that the CDF stays
+    * silent). Output = the box aggregate; the oracle runs the box on
+    * the source — optimize must never change a query's answer. */
+  def tableOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/optimize_table"
+    fs(spark, base).delete(new Path(base), true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    commit(spark, base, orders, 1, parent = None) // unclustered, stat-less
+    optimizeZorder(spark, base, "o_custkey", "o_orderkey")
+    val (df, _) = readSnapshotWhere2(spark, base,
+      "o_custkey", 100L, 300L, "o_orderkey", 1000L, 5000L)
+    df.agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "table_cdf" -> (tableCdf _),
     "table_restore" -> (tableRestore _),
     "table_history" -> (tableHistory _),
     "table_clone" -> (tableClone _),
+    "table_optimize" -> (tableOptimize _),
     "table_merge" -> (tableMerge _),
     "table_schema_evol" -> (tableSchemaEvol _),
     "table_timetravel" -> (tableTimetravel _),
@@ -1399,6 +1438,12 @@ object TableFormat {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM orders
         |ORDER BY side ASC NULLS FIRST""".stripMargin,
+    "table_optimize" ->
+      """SELECT count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     "table_history" ->
       """SELECT 1 AS version, 'replace' AS op, count(1) AS n_rows
         |FROM documents WHERE doc_id % 2 = 0

@@ -516,6 +516,24 @@ class TableFormatSpec extends SparkTestBase {
     assert(delKeys == (10L until 20L), s"got $delKeys")
   }
 
+  test("optimizeZorder makes an unclustered table skippable; CDF stays silent (r9)") {
+    val base = freshBase("tf_optimize")
+    val rows = (0L until 4000L).map(i => (i, (i * 7919) % 4000, s"r$i")).toDF("a", "b", "v")
+    TableFormat.commit(spark, base, rows, 1, None) // unclustered, stat-less
+    val (_, (read1, total1)) = TableFormat.readSnapshotWhere2(spark, base,
+      "a", 100L, 200L, "b", 0L, 4000L)
+    assert(read1 == total1, "test premise: no stats, nothing skippable")
+    val v2 = TableFormat.optimizeZorder(spark, base, "a", "b")
+    assert(v2 == 2 && TableFormat.manifestOp(spark, base, 2).contains("optimize"))
+    val (df2, (read2, total2)) = TableFormat.readSnapshotWhere2(spark, base,
+      "a", 100L, 200L, "b", 0L, 4000L)
+    assert(total2 >= 4 && read2 < total2, s"optimize did not enable skipping: $read2/$total2")
+    assert(df2.count() == 101) // answer identical to the exact filter
+    assert(TableFormat.readSnapshot(spark, base).count() == 4000)
+    // rows moved, none changed: the change data feed is silent
+    assert(TableFormat.readChanges(spark, base, 1, 2).count() == 0)
+  }
+
   test("CDF spans a schema-evolution commit: all steps read under the widened schema (r9)") {
     val base = freshBase("tf_cdf_evol")
     TableFormat.commit(spark, base,
