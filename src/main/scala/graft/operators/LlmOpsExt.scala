@@ -536,9 +536,14 @@ object LlmOpsExt {
     *     any real corpus;
     *  2. broadcast the candidate ids back as a doc_id semi-filter on
     *     the RAW input (the join precedes key evaluation, so the
-    *     re-evaluation touches only candidates), then self-join the
-    *     tiny slice on the hash with EXACT key-equality recheck — an
-    *     xxhash64 collision costs a recheck, never a wrong edge.
+    *     re-evaluation touches only candidates), then STAR edges over
+    *     the tiny slice: each doc links to the MINIMUM doc_id of its
+    *     exact (hash, key) group — grouping on the full key makes an
+    *     xxhash64 collision split the bucket correctly, no recheck
+    *     join needed, and a clique of m copies emits m-1 edges instead
+    *     of the self-join's m²/2 (the 1M-copy boilerplate document
+    *     that would detonate a pair expansion costs 10⁶ edges, not
+    *     10¹²); star edges span the same connected components.
     * (A corpus so duplicate-dominated that the candidate list outgrows
     * a broadcast should drop the hint and let AQE pick the join side.)
     * PlanAuditSpec pins the shape: every shuffle in the plan partitions
@@ -552,10 +557,11 @@ object LlmOpsExt {
     val cands = raw.join(broadcast(dupIds), "doc_id")
       .select(col("doc_id"), key.as("k"))
       .withColumn("kh", xxhash64(col("k")))
-    cands.as("a").join(cands.as("b"),
-        col("a.kh") === col("b.kh") && col("a.k") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("s"), col("b.doc_id").as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kh"), col("k"))
+    cands.withColumn("s", min(col("doc_id")).over(w))
+      .filter(col("s") < col("doc_id"))
+      .select(col("s"), col("doc_id").as("t"))
   }
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = synchronized {
