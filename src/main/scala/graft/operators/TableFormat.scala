@@ -559,7 +559,16 @@ object TableFormat {
       .map(p => new Path(p).toUri.getPath).toSet
     var deleted = 0
     var kept = 0
-    val it = f.listFiles(new Path(s"$base/data"), true)
+    // a table may own no data tree at all (a fresh shallow clone
+    // references only the source's files) — nothing local to reclaim
+    val dataDir = new Path(s"$base/data")
+    val it: org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
+      if (f.exists(dataDir)) f.listFiles(dataDir, true)
+      else new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+        override def hasNext: Boolean = false
+        override def next(): org.apache.hadoop.fs.LocatedFileStatus =
+          throw new java.util.NoSuchElementException
+      }
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {

@@ -577,6 +577,14 @@ class TableFormatSpec extends SparkTestBase {
       .filterNot(TableFormat.manifestFiles(spark, dst, 1).toSet)
     assert(newFiles.nonEmpty && newFiles.forall(_.contains("clone_dst")),
       s"clone append staged outside the clone tree: $newFiles")
+    // vacuum on a data-less clone is a no-op, not a crash, and never
+    // reaches across into the source's files
+    val dst2 = freshBase("tf_clone_dst2")
+    TableFormat.cloneTable(spark, src, dst2)
+    val (del, kept) = TableFormat.vacuum(spark, dst2, retain = Seq(1))
+    assert(del == 0 && kept == 0)
+    assert(TableFormat.readSnapshot(spark, dst2).count() == 100)
+    assert(TableFormat.readSnapshot(spark, src).count() == 100)
   }
 
   test("restore is metadata-only; CDF reports the rollback as the honest diff (r9)") {
