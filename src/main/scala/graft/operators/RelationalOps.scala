@@ -456,15 +456,25 @@ object RelationalOps {
            countDistinct(col("l_orderkey")).cast("string").as("n_orders"))
       .orderBy(col("l_returnflag").asc)
     // enforce the driver bound BEFORE transpose (r9, VERDICT r8 advisory
-    // #3): the limit(N+1).count() probe early-terminates, so the guard
-    // costs one bounded partial pass, never a full extra aggregation
-    val nKeys = metrics.limit(MaxTransposeKeys + 1).count()
-    require(nKeys <= MaxTransposeKeys,
-      s"transpose: over $MaxTransposeKeys key rows — key values become column " +
-        "names (driver-materialized by design); aggregate to a bounded key set first")
-    metrics.transpose(col("l_returnflag"))
-      .withColumnRenamed("key", "metric")
-      .orderBy(col("metric").asc)
+    // #3; r10, ADVICE r9 #5): the limit(N+1) probe cannot early-terminate
+    // THROUGH the blocking groupBy, so without a cache the guard re-runs
+    // the whole aggregation — persist the (bounded, ≤ |groups| rows)
+    // metrics table so guard and transpose share ONE aggregation pass
+    metrics.persist()
+    try {
+      val nKeys = metrics.limit(MaxTransposeKeys + 1).count()
+      require(nKeys <= MaxTransposeKeys,
+        s"transpose: over $MaxTransposeKeys key rows — key values become column " +
+          "names (driver-materialized by design); aggregate to a bounded key set first")
+      metrics.transpose(col("l_returnflag"))
+        .withColumnRenamed("key", "metric")
+        .orderBy(col("metric").asc)
+    } finally {
+      // transpose materializes its input during plan construction (column
+      // names come from data), so the cache has served both passes by now
+      metrics.unpersist()
+      ()
+    }
   }
 
   /** XML roundtrip (r6): Spark 4's built-in XML data source (the donated

@@ -170,9 +170,28 @@ object TableFormat {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       cols.map { c =>
-        val chunkStats: Seq[Statistics[_]] = blocks
+        val chunks = blocks
           .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
-          .map(_.getStatistics).filter(_ != null)
+        // plain INT32/INT64 ONLY — a converted/logical-type annotation
+        // (DATE day ordinals, TIMESTAMP micros, INT64-backed DECIMAL
+        // unscaled values) records bounds in the annotation's internal
+        // unit, contradicting the manifest's "integral column" contract
+        // (r10, ADVICE r9 #2); such columns yield no bounds at all.
+        val plain = chunks.nonEmpty &&
+          chunks.forall(_.getPrimitiveType.getLogicalTypeAnnotation == null)
+        // a chunk whose stats were never recorded (statistics disabled at
+        // write time) is INDISTINGUISHABLE from an all-NULL chunk by
+        // hasNonNullValue alone — bounds that silently exclude it would
+        // be narrower than the data and file skipping would drop matching
+        // rows (r10, ADVICE r9 #1). Record bounds only when EVERY chunk
+        // either has values or is PROVEN all-null (numNulls == valueCount).
+        val accounted = chunks.forall { ch =>
+          val s: Statistics[_] = ch.getStatistics
+          s != null && (s.hasNonNullValue ||
+            (s.isNumNullsSet && s.getNumNulls == ch.getValueCount))
+        }
+        val chunkStats: Seq[Statistics[_]] =
+          chunks.map(_.getStatistics).filter(_ != null)
         def longOf(s: Statistics[_], wantMin: Boolean): Option[Long] = s match {
           case l: LongStatistics => Some(if (wantMin) l.getMin else l.getMax)
           case i: IntStatistics => Some((if (wantMin) i.getMin else i.getMax).toLong)
@@ -186,8 +205,8 @@ object TableFormat {
             Some(chunkStats.map(_.getNumNulls).sum)
           else None
         c -> (
-          if (los.size == withValues.size) los.minOption else None,
-          if (his.size == withValues.size) his.maxOption else None,
+          if (plain && accounted && los.size == withValues.size) los.minOption else None,
+          if (plain && accounted && his.size == withValues.size) his.maxOption else None,
           nulls)
       }.toMap
     } finally reader.close()
@@ -402,9 +421,14 @@ object TableFormat {
     val clustered = statsCol.fold(df)(c => df.repartitionByRange(nFiles, col(c)))
     val entries = writeDataFiles(spark, base, newCommitDir(base, version), clustered, statsCol)
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
+    // `append` promises readChanges' fast path that NOTHING was removed
+    // relative to version-1 — true only when the parent IS version-1. A
+    // caller committing over an older parent (the API allows it) drops
+    // version-1's extra files, so tag it `replace` and let the CDF take
+    // the always-correct full-diff path (r10, ADVICE r9 #3).
     writeManifest(spark, base, version, df.schema.json, parentEntries ++ entries, txn,
       statsCols = statsCol.toSeq,
-      op = if (parent.isDefined) "append" else "replace")
+      op = if (parent.contains(version - 1)) "append" else "replace")
   }
 
   /** DELETE commit (r7): remove every row with `statsCol` in [lo, hi] as
@@ -773,10 +797,35 @@ object TableFormat {
     * callers crossing a delete/compact version should fall back to a
     * snapshot read (same restriction Delta CDF documents for
     * non-append commits without the CDC sidecar). */
+  /** A manifest in a changelog range is gone — vacuumed past retention,
+    * or never committed. The documented retention contract surfaces as a
+    * NAMED error carrying the missing version (r10, VERDICT r9 #6 /
+    * ADVICE r9 #4), not the raw FileNotFoundException of the underlying
+    * read — the caller needs to know WHICH version to re-anchor past. */
+  final class VersionNotRetainedException(base: String, val version: Int, caller: String)
+      extends java.io.FileNotFoundException(
+        s"table $base: manifest v$version is not retained (vacuumed, or never " +
+          s"committed) — $caller needs every manifest in its version range; " +
+          "re-anchor the range at a retained version (see history()) or fall " +
+          "back to a full snapshot read")
+
+  /** [[manifestFiles]] with the retention contract made loud. Version 0
+    * (the state before the first commit) is the empty file set — so
+    * changelog ranges anchored at 0 include the table's first commit. */
+  private def retainedFiles(spark: SparkSession, base: String, version: Int,
+                            caller: String): Seq[String] =
+    if (version == 0) Seq.empty
+    else
+      try manifestFiles(spark, base, version)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new VersionNotRetainedException(base, version, caller)
+      }
+
   def readIncremental(spark: SparkSession, base: String,
                       fromVersion: Int, toVersion: Int): DataFrame = {
-    val before = manifestFiles(spark, base, fromVersion).toSet
-    val added = manifestFiles(spark, base, toVersion).filterNot(before)
+    val before = retainedFiles(spark, base, fromVersion, "readIncremental").toSet
+    val added = retainedFiles(spark, base, toVersion, "readIncremental").filterNot(before)
     if (added.isEmpty) emptySnapshot(spark, base, toVersion)
     else readFiles(spark, base, toVersion, added)
   }
@@ -814,9 +863,11 @@ object TableFormat {
                   fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
       s"readChanges: fromVersion $fromVersion must precede toVersion $toVersion")
+    require(fromVersion >= 0,
+      s"readChanges: fromVersion $fromVersion must be >= 0 (0 = before the first commit)")
     val steps = ((fromVersion + 1) to toVersion).map { v =>
-      val before = manifestFiles(spark, base, v - 1)
-      val after = manifestFiles(spark, base, v)
+      val before = retainedFiles(spark, base, v - 1, "readChanges")
+      val after = retainedFiles(spark, base, v, "readChanges")
       val added = after.filterNot(before.toSet)
       val removed = before.filterNot(after.toSet)
       val op = manifestOp(spark, base, v)
@@ -986,21 +1037,38 @@ object TableFormat {
 
   /** REPLACE the table with pre-staged data files as a new snapshot
     * (r9) — the commit half of SQL row-level rewrites (MERGE INTO /
-    * group-based DELETE), which produce the table's full replacement
-    * contents. Parentless like INSERT OVERWRITE: prior versions stay
-    * time-travel readable. The parent's `#stats` header carries over so
-    * later range-clustered commits keep their pruning contract, but the
-    * staged entries themselves are stat-less (always read — correct,
-    * never fast-and-wrong). */
+    * UPDATE / group-based DELETE). `carried` (r10, VERDICT r9 #1) are
+    * the manifest entries of files the runtime group filter proved
+    * UNTOUCHED by the operation: they re-enter the new manifest by
+    * reference — stats intact, zero IO — so a narrow SQL MERGE/UPDATE
+    * costs IO proportional to the files it actually rewrote, not the
+    * table. With no carried entries this is the full replacement
+    * (parentless like INSERT OVERWRITE); prior versions stay time-travel
+    * readable either way. The parent's `#stats` header carries over, and
+    * staged files get per-file bounds from their parquet FOOTERS (K
+    * metadata reads, same as the batch write path) so the rewrite keeps
+    * the file-skipping contract instead of degrading it. */
   def replaceCommitStaged(spark: SparkSession, base: String, paths: Seq[String],
-                          schema: StructType, maxRetries: Int = 10): Int = {
-    val entries = paths.sorted.map(ManifestEntry(_, None, None))
+                          schema: StructType, maxRetries: Int = 10,
+                          carried: Seq[ManifestEntry] = Seq.empty): Int = {
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
       val statsCols = if (parentV == 0) Nil else manifestStatsCols(spark, base, parentV)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val staged = paths.sorted.map { p =>
+        if (statsCols.isEmpty) ManifestEntry(p, None, None)
+        else {
+          val st = footerStats(conf, p, statsCols)
+          val (lo, hi, nu) = st(statsCols.head)
+          val second = statsCols.drop(1).headOption.map(st)
+          ManifestEntry(p, lo, hi,
+            second.flatMap(_._1), second.flatMap(_._2),
+            nulls = nu, nulls2 = second.flatMap(_._3))
+        }
+      }
       try
-        return writeManifest(spark, base, parentV + 1, schema.json, entries,
+        return writeManifest(spark, base, parentV + 1, schema.json, carried ++ staged,
           txn = None, statsCols = statsCols, op = "replace")
       catch {
         case e: CommitConflictException =>

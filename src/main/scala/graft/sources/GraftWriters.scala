@@ -170,14 +170,21 @@ class GraftStreamingWrite(base: String, queryId: String, schema: StructType,
   }
 }
 
-/** Full-replacement batch write (r9, VERDICT r8 #2) — the write half of
-  * SQL row-level rewrites (`MERGE INTO`, group-based `DELETE`): Spark
-  * hands this write the table's complete post-operation contents; tasks
-  * stage parquet files, the driver publishes them as one parentless
-  * commit (prior versions stay time-travel readable, like INSERT
-  * OVERWRITE). */
+/** Replacement batch write (r9, VERDICT r8 #2) — the write half of SQL
+  * row-level rewrites (`MERGE INTO`, `UPDATE`, group-based `DELETE`):
+  * Spark hands this write the post-operation contents of the files the
+  * operation's scan READ; tasks stage parquet files, the driver
+  * publishes them in one commit together with `carried` (r10, VERDICT
+  * r9 #1) — the manifest entries the runtime group filter proved
+  * untouched, re-entering by reference with their stats intact. Carried
+  * is evaluated AT COMMIT TIME (a thunk): the runtime filter fires
+  * during execution, after this Write is built. With an empty carried
+  * set this is the full parentless replacement; prior versions stay
+  * time-travel readable either way. */
 class GraftReplaceWrite(base: String, schema: StructType,
-                        conf: SerializableHadoopConf)
+                        conf: SerializableHadoopConf,
+                        carried: () => Seq[TableFormat.ManifestEntry] =
+                          () => Seq.empty)
     extends Write with BatchWrite {
   private def spark = SparkSession.active
   override def toBatch: BatchWrite = this
@@ -186,7 +193,7 @@ class GraftReplaceWrite(base: String, schema: StructType,
       s"$base/data/rl_${UUID.randomUUID.toString.take(8)}", schema, conf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val paths = messages.collect { case GraftFileMessage(Some(p), _) => p }.toSeq
-    TableFormat.replaceCommitStaged(spark, base, paths, schema)
+    TableFormat.replaceCommitStaged(spark, base, paths, schema, carried = carried())
     ()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

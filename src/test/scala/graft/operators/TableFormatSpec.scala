@@ -516,6 +516,33 @@ class TableFormatSpec extends SparkTestBase {
     assert(delKeys == (10L until 20L), s"got $delKeys")
   }
 
+  test("CDF from version 0 includes the first commit; vacuumed ranges fail by name (r10)") {
+    val base = freshBase("tf_cdf_retention")
+    TableFormat.commit(spark, base,
+      (0L until 50L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    TableFormat.appendCommit(spark, base,
+      (50L until 60L).map(i => (i, s"r$i")).toDF("k", "v"), statsCol = Some("k"))
+    TableFormat.deleteWhere(spark, base, "k", 10L, 14L)
+    // fromVersion=0 = "before the first commit": v1's rows are inserts
+    val all = TableFormat.readChanges(spark, base, 0, 3)
+      .groupBy(col("_commit_version"), col("_change_type")).count().collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    assert(all == Map((1, "insert") -> 50L, (2, "insert") -> 10L, (3, "delete") -> 5L),
+      s"got $all")
+    // a vacuumed mid-range manifest fails with a NAMED retention error
+    // carrying the missing version — not a raw FileNotFoundException
+    TableFormat.vacuum(spark, base, retain = Seq(1, 3))
+    val e = intercept[TableFormat.VersionNotRetainedException] {
+      TableFormat.readChanges(spark, base, 1, 3).collect()
+    }
+    assert(e.version == 2 && e.getMessage.contains("v2") &&
+      e.getMessage.contains("not retained"), s"wrong error: ${e.getMessage}")
+    val e2 = intercept[TableFormat.VersionNotRetainedException] {
+      TableFormat.readIncremental(spark, base, 2, 3).collect()
+    }
+    assert(e2.version == 2, s"wrong error: ${e2.getMessage}")
+  }
+
   test("optimizeZorder makes an unclustered table skippable; CDF stays silent (r9)") {
     val base = freshBase("tf_optimize")
     val rows = (0L until 4000L).map(i => (i, (i * 7919) % 4000, s"r$i")).toDF("a", "b", "v")

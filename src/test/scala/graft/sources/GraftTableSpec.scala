@@ -242,6 +242,7 @@ class GraftTableSpec extends SparkTestBase {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val rows = (0L until 1000L).map(i => (i, i)).toDF("k", "v")
     TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val v1Files = TableFormat.manifestFiles(spark, base, 1).toSet
     (990L until 1010L).map(i => (i, -1L)).toDF("k", "v")
       .createOrReplaceTempView("merge_src")
     spark.sql(
@@ -255,6 +256,16 @@ class GraftTableSpec extends SparkTestBase {
     assert((0L until 990L).forall(i => got(i) == i), "untouched rows changed")
     // pre-merge snapshot stays readable (parentless replace, not truncate)
     assert(spark.sql("SELECT count(1) FROM graft.db.sqlmerge VERSION AS OF 1").head.getLong(0) == 1000)
+    // runtime group filtering (r10, VERDICT r9 #1): a MERGE touching only
+    // the top key band must CARRY the untouched files by reference —
+    // filesRewritten < filesTotal, not a full-snapshot rewrite
+    val v2 = TableFormat.manifestFiles(spark, base, 2).toSet
+    val carried = v2.intersect(v1Files)
+    val rewritten = v2.size - carried.size
+    assert(carried.nonEmpty,
+      s"narrow MERGE rewrote all ${v1Files.size} files — runtime group filter didn't prune")
+    assert(rewritten < v1Files.size,
+      s"filesRewritten $rewritten !< filesTotal ${v1Files.size}")
   }
 
   test("SQL UPDATE: SET expressions rewrite matched rows, history intact (r9)") {
@@ -264,6 +275,7 @@ class GraftTableSpec extends SparkTestBase {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val rows = (0L until 1000L).map(i => (i, i)).toDF("k", "v")
     TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val v1Files = TableFormat.manifestFiles(spark, base, 1).toSet
     spark.sql("UPDATE graft.db.sqlupd SET v = v + 5000 WHERE k BETWEEN 10 AND 19")
     val got = spark.sql("SELECT k, v FROM graft.db.sqlupd").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -274,6 +286,25 @@ class GraftTableSpec extends SparkTestBase {
     // pre-update snapshot stays readable (parentless replace, not truncate)
     assert(spark.sql("SELECT sum(v) FROM graft.db.sqlupd VERSION AS OF 1")
       .head.getLong(0) == (0L until 1000L).sum)
+    // runtime group filtering (r10, VERDICT r9 #1): `WHERE k BETWEEN 10
+    // AND 19` on a range-clustered table touches one key band — the
+    // files outside it must carry over by reference, stats intact
+    val v1Entries = TableFormat.manifestEntries(spark, base, 1)
+    val v2Entries = TableFormat.manifestEntries(spark, base, 2)
+    val carried = v2Entries.filter(e => v1Files(e.path))
+    val rewritten = v2Entries.size - carried.size
+    assert(carried.nonEmpty,
+      s"narrow UPDATE rewrote all ${v1Files.size} files — runtime group filter didn't prune")
+    assert(rewritten < v1Files.size,
+      s"filesRewritten $rewritten !< filesTotal ${v1Files.size}")
+    assert(carried.forall(e => e.lo.isDefined && e.hi.isDefined),
+      "carried entries lost their manifest stats")
+    // and the rewritten snapshot still file-skips: narrow reads prune
+    val sb = new GraftScanBuilder(base, 2,
+      TableFormat.manifestSchema(spark, base, 2).get, Seq("k"), spark, 0)
+    sb.pushFilters(Array(GreaterThanOrEqual("k", 10L), LessThanOrEqual("k", 19L)))
+    assert(sb.keptEntries().size < v2Entries.size,
+      "post-UPDATE snapshot lost its file-skipping index")
   }
 
   test("changesFrom/changesTo read options surface the change data feed (r9)") {
