@@ -36,6 +36,27 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // WARM-UP SWEEP (r10, VERDICT r9 #7): a query's FIRST execution pays
+    // one-time costs the steady state never sees — whole-stage-codegen JIT
+    // compilation, FS metadata caching, scratch-dir creation — and a timed
+    // first sweep bills them to the query. With reps=3 that skews the
+    // MEDIAN whenever any second run wobbles, which is exactly the
+    // median/min ≈ 2 signature r9 flagged on text_lm_score /
+    // sql_group_by_all / sql_pivot_syntax (min fine, median doubled). One
+    // untimed sweep retires those costs so the timed reps measure the
+    // plan; a query that fails here is recorded and skipped like any
+    // sweep failure. Disable with SPARK_GRAFT_WARMUP=0 for dev loops.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      named.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          try { fn(spark, sfDir).count(); () }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED (warmup): ${e.getClass.getName}: ${e.getMessage}")
+            errors(name) = e.getClass.getSimpleName
+          }
+        }
+      }
+    }
     var sweep = 0
     while (sweep < reps) {
       named.foreach { case (name, fn) =>

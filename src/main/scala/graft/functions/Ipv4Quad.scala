@@ -77,5 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(CountMin.estimateDescription)
     e.injectOptimizerRule(_ => graft.plans.PushVecNormThroughJoin)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableChangesTvf.name),
+      graft.sources.TableChangesTvf.info,
+      graft.sources.TableChangesTvf.builder))
   }
 }

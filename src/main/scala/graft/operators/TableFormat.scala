@@ -879,6 +879,7 @@ object TableFormat {
           .withColumn("_commit_version", lit(v))
       op match {
         case Some("compact") | Some("optimize") => Seq.empty // bytes moved, no rows changed
+        case Some("alter") => Seq.empty // schema widened, no files touched at all
         case Some("append") => Seq(tag(read(added), "insert"))
         case _ => // delete / merge / replace / restore / pre-r9: full diff
           val a = read(added)
@@ -1070,6 +1071,41 @@ object TableFormat {
       try
         return writeManifest(spark, base, parentV + 1, schema.json, carried ++ staged,
           txn = None, statsCols = statsCols, op = "replace")
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** SCHEMA-ALTER commit (r10, VERDICT r9 #3): re-publish the current
+    * snapshot's entries under a WIDENED schema — the `ALTER TABLE ADD
+    * COLUMN` commit. Pure metadata (same files, same stats, zero data
+    * IO); existing files project NULL for the added column(s) on read,
+    * exactly like the append path's add-only evolution. The new schema
+    * must be a SUPERSET of the recorded one (never narrow, never
+    * retype) — the caller validates the DDL, this guards the protocol.
+    * Rides the standard OCC loop; returns the new version. */
+  def alterSchemaCommit(spark: SparkSession, base: String, schema: StructType,
+                        maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      require(parentV > 0, s"table $base: cannot ALTER a table with no commits")
+      val parent = manifestSchema(spark, base, parentV).getOrElse(
+        throw new IllegalStateException(s"table $base v$parentV has no schema header"))
+      parent.fields.foreach { f =>
+        val kept = schema.fields.find(_.name == f.name)
+        require(kept.exists(_.dataType == f.dataType),
+          s"alterSchemaCommit: column ${f.name} (${f.dataType.simpleString}) " +
+            "missing or retyped in the new schema — evolution is add-only")
+      }
+      try
+        return writeManifest(spark, base, parentV + 1, schema.json,
+          manifestEntries(spark, base, parentV), txn = None,
+          statsCols = manifestStatsCols(spark, base, parentV), op = "alter")
       catch {
         case e: CommitConflictException =>
           attempt += 1

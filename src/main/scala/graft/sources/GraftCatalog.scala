@@ -44,7 +44,7 @@ import graft.operators.TableFormat
   * Reference basis: catalog/time-travel surface mirrors what
   * `pcap-to-parquet` users get from querying its parquet output through
   * engines like DuckDB (README.md:21-24), lifted to a versioned table. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -134,9 +134,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     TableFormat.commit(spark, path, empty, 1, parent = None)
     new GraftTable(path, None, spark)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: evolve schemas by append-committing a wider DataFrame")
+  /** `ALTER TABLE … ADD COLUMN` (r10, VERDICT r9 #3): widen the recorded
+    * schema in a METADATA-ONLY commit — same entries, same stats, zero
+    * data IO; existing files project NULL for the new column on read
+    * (the same add-only evolution the append path already speaks, now
+    * reachable as DDL). Evolution is add-only by contract
+    * (Delta/Iceberg's default): drops, renames, and type changes are
+    * rejected — they would change the meaning of data already written.
+    * Time travel to pre-alter versions reads under the narrower schema
+    * those manifests recorded. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val v = TableFormat.currentVersion(spark, path)
+    val current = TableFormat.manifestSchema(spark, path, v).getOrElse(
+      throw new IllegalStateException(s"table $path v$v has no schema header"))
+    val widened = changes.foldLeft(current) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          s"graft catalog: nested ADD COLUMN is not supported " +
+            s"(got ${add.fieldNames.mkString(".")})")
+        val colName = add.fieldNames.head
+        require(!sch.fieldNames.contains(colName),
+          s"graft catalog: column $colName already exists")
+        require(add.isNullable,
+          s"graft catalog: new column $colName must be nullable — " +
+            "rows already written have no value for it")
+        sch.add(StructField(colName, add.dataType, nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER ($other) — schema evolution is " +
+          "add-only (ADD COLUMN); drops/renames/type changes would change " +
+          "the meaning of already-written data")
+    }
+    TableFormat.alterSchemaCommit(spark, path, widened)
+    new GraftTable(path, None, spark)
+  }
   override def dropTable(ident: Identifier): Boolean = {
     val p = new HadoopPath(tablePath(ident))
     fs.exists(p) && fs.delete(p, true)
@@ -167,6 +199,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = new HadoopPath((warehouse +: namespace.toSeq).mkString("/"))
     fs.exists(p) && (cascade || fs.listStatus(p).isEmpty) && fs.delete(p, true)
   }
+
+  /** SQL maintenance surface (r10, VERDICT r9 #2):
+    * `CALL graft.system.<verb>(…)` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"graft catalog: procedures live in the `system` namespace " +
+        s"(got ${ident.namespace.mkString(".")}.${ident.name})")
+    GraftProcedures.load(warehouse, ident.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: no procedure ${ident.name} " +
+          s"(available: ${GraftProcedures.names.mkString(", ")})"))
+  }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 }
 
 /** Standalone provider for the same table:
@@ -932,15 +980,220 @@ object GraftCatalogOps {
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_alter_evolution` (r10, VERDICT r9 #3): `ALTER TABLE ADD
+    * COLUMN` as DDL — v1 holds (doc_id, lang), the alter widens the
+    * recorded schema METADATA-ONLY (same files, CDF-silent), and the
+    * following INSERT carries the new column; the snapshot read projects
+    * NULL n_chars for pre-alter files. The oracle reproduces the
+    * evolution with a CASE on the doc half. */
+  def sqlAlterEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/alt"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.t(spark, dir, "documents")
+    docs.createOrReplaceTempView("src_documents_alt")
+    TableFormat.commit(spark, base,
+      docs.filter("doc_id % 2 = 0")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("lang")),
+      1, parent = None)
+    spark.sql("ALTER TABLE graft.db.alt ADD COLUMN n_chars BIGINT")
+    spark.sql(
+      """INSERT INTO graft.db.alt
+        |SELECT doc_id, lang, n_chars FROM src_documents_alt WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(1) AS n_docs, count(n_chars) AS n_with_chars,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+        |FROM graft.db.alt
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `sql_table_changes` (r10, VERDICT r9 #4): the change data feed as a
+    * composable TVF — the table walks append/delete commits, then ONE
+    * SQL query aggregates `graft_table_changes('db.t', 0, 3)` per
+    * (commit, change_type); `from = 0` includes the first commit. The
+    * oracle reconstructs each commit's expected change set. */
+  def sqlTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/tvc"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_totalprice"))
+    TableFormat.commit(spark, base, orders.filter("o_orderkey % 2 = 0"), 1,
+      parent = None, statsCol = Some("o_orderkey"))
+    TableFormat.appendCommit(spark, base, orders.filter("o_orderkey % 2 = 1"),
+      statsCol = Some("o_orderkey"))
+    TableFormat.deleteWhere(spark, base, "o_orderkey", 1000L, 2000L)
+    TableChangesTvf.register(spark)
+    spark.sql(
+      """SELECT _commit_version AS v, _change_type AS change_type, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft_table_changes('db.tvc', 0, 3)
+        |GROUP BY _commit_version, _change_type
+        |ORDER BY v ASC NULLS FIRST, change_type ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `sql_maint_compact` (r10, VERDICT r9 #2): four micro-appends
+    * fragment the table, `CALL graft.system.compact` consolidates every
+    * file into a 2-file run as a new commit, and the post-compact read
+    * answers identically — compaction moves bytes, never rows. The
+    * procedure's audit row (files_compacted) is pinned by
+    * GraftTableSpec; this query pins the invariant the oracle CAN check:
+    * the data. */
+  def sqlMaintCompact(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/mc"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val ev = Tables.t(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+              org.apache.spark.sql.functions.col("user_id"))
+    (0 to 3).foreach { k =>
+      TableFormat.commit(spark, base,
+        ev.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.lit(4)) === k),
+        k + 1, parent = if (k == 0) None else Some(k))
+    }
+    spark.sql(s"CALL graft.system.compact('db.mc', ${Long.MaxValue}L, 2)").collect()
+    spark.sql(
+      """SELECT count(1) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM graft.db.mc""".stripMargin)
+  }
+
+  /** `sql_maint_optimize` (r10, VERDICT r9 #2): an unclustered stat-less
+    * table, `CALL graft.system.optimize_zorder` re-clusters it along
+    * (o_custkey, o_orderkey), and the box query — pure catalog SQL —
+    * plans from the new two-dimensional per-file bounds
+    * (GraftTableSpec pins the skip; the oracle pins the answer). */
+  def sqlMaintOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/mo"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_custkey"),
+              org.apache.spark.sql.functions.col("o_totalprice"))
+    TableFormat.commit(spark, base, orders, 1, parent = None) // unclustered
+    spark.sql("CALL graft.system.optimize_zorder('db.mo', 'o_custkey', 'o_orderkey', 16)")
+      .collect()
+    spark.sql(
+      """SELECT count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.db.mo
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin)
+  }
+
+  /** `sql_maint_restore` (r10, VERDICT r9 #2): SQL DELETE drops a key
+    * band, `CALL graft.system.restore` rolls the table back to v1 as a
+    * metadata-only commit, and the read shows the full pre-delete
+    * contents again (the undone delete stays time-travel readable). */
+  def sqlMaintRestore(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/mr"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    TableFormat.commit(spark, base, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql("DELETE FROM graft.db.mr WHERE doc_id BETWEEN 100 AND 300")
+    spark.sql("CALL graft.system.restore('db.mr', 1)").collect()
+    spark.sql(
+      """SELECT count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.mr""".stripMargin)
+  }
+
+  /** `sql_maint_vacuum` (r10, VERDICT r9 #2): a delete supersedes files,
+    * `CALL graft.system.vacuum('db.t', 1)` retains only the current
+    * version and physically reclaims the rest, and the current snapshot
+    * still answers exactly — vacuum touches dead files only.
+    * GraftTableSpec pins the physical deletion; the oracle pins the
+    * surviving data. */
+  def sqlMaintVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/mv"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    TableFormat.commit(spark, base, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql("DELETE FROM graft.db.mv WHERE doc_id BETWEEN 100 AND 300")
+    spark.sql("CALL graft.system.vacuum('db.mv', 1)").collect()
+    spark.sql(
+      """SELECT count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.mv""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_timetravel" -> (sqlTimetravel _),
     "sql_insert" -> (sqlInsert _),
     "sql_delete" -> (sqlDelete _),
     "sql_merge" -> (sqlMerge _),
     "sql_update" -> (sqlUpdate _),
+    "sql_alter_evolution" -> (sqlAlterEvolution _),
+    "sql_table_changes" -> (sqlTableChanges _),
+    "sql_maint_compact" -> (sqlMaintCompact _),
+    "sql_maint_optimize" -> (sqlMaintOptimize _),
+    "sql_maint_restore" -> (sqlMaintRestore _),
+    "sql_maint_vacuum" -> (sqlMaintVacuum _),
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_alter_evolution" ->
+      """SELECT lang, count(1) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "sql_table_changes" ->
+      """SELECT 1 AS v, 'insert' AS change_type, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 2, 'insert', count(1),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 3, 'delete', count(1),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+        |ORDER BY v ASC NULLS FIRST, change_type ASC NULLS FIRST""".stripMargin,
+    "sql_maint_compact" ->
+      """SELECT count(1) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events""".stripMargin,
+    "sql_maint_optimize" ->
+      """SELECT count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    "sql_maint_restore" ->
+      """SELECT count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    "sql_maint_vacuum" ->
+      """SELECT count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 300""".stripMargin,
     "sql_delete" ->
       """SELECT o_orderpriority, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -1,0 +1,203 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableFormat
+
+/** `graft_table_changes(base, from[, to])` — the CHANGE DATA FEED as a
+  * SQL table-valued function (r10, VERDICT r9 #4), the analog of
+  * Delta's `table_changes(...)`: composes in any SELECT/JOIN/GROUP BY,
+  * returning [[TableFormat.readChanges]]'s rows (table schema +
+  * `_change_type` + `_commit_version`). `base` is the table's path, or
+  * `db.t` resolved against the session's configured graft-catalog
+  * warehouse; `to` defaults to the current version. Arguments must be
+  * literals (resolved at analysis time — the TVF builder runs during
+  * analysis, exactly like Spark's built-in `range(...)`). Registered in
+  * the session TableFunctionRegistry by [[register]] (and by
+  * `GraftExtensions` for sessions built with extensions). */
+object TableChangesTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  val name = "graft_table_changes"
+
+  private def evalStr(e: Expression): String = e.eval() match {
+    case u: UTF8String => u.toString
+    case other => String.valueOf(other)
+  }
+  private def evalInt(e: Expression): Int = e.eval() match {
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$name: expected an integer literal, got $other")
+  }
+
+  /** Resolve `db.t` through the graft catalog's warehouse when one is
+    * configured and the argument isn't already a path. */
+  private def resolveBase(spark: SparkSession, s: String): String =
+    if (s.contains("/")) s
+    else {
+      val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+      wh.fold(s)(w => (w +: s.split('.').toSeq).mkString("/"))
+    }
+
+  def builder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 2 || args.length == 3,
+      s"$name(base, fromVersion[, toVersion]) takes 2 or 3 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val base = resolveBase(spark, evalStr(args.head))
+    val from = evalInt(args(1))
+    val to =
+      if (args.length == 3) evalInt(args(2))
+      else TableFormat.currentVersion(spark, base)
+    SqlBridge.analyzed(TableFormat.readChanges(spark, base, from, to))
+  }
+
+  val info = new ExpressionInfo(getClass.getName, name)
+
+  /** Idempotent session-level registration. */
+  def register(spark: SparkSession): Unit =
+    SqlBridge.registerTableFunction(spark, name, info, builder)
+}
+
+/** SQL maintenance verbs for graft tables (r10, VERDICT r9 #2) — Spark
+  * 4's DSv2 stored-procedure API (`ProcedureCatalog` + `CALL`), the
+  * route Delta exposes as `OPTIMIZE`/`VACUUM` and Iceberg as
+  * `CALL catalog.system.…`: an operator at a SQL prompt can now
+  * compact, vacuum, z-order, and restore a graft table with no Scala.
+  *
+  *   CALL graft.system.compact('db.t', 1048576, 2)
+  *   CALL graft.system.vacuum('db.t', 2)
+  *   CALL graft.system.optimize_zorder('db.t', 'a', 'b', 16)
+  *   CALL graft.system.restore('db.t', 3)
+  *
+  * Each verb delegates to the table format's existing programmatic
+  * operation (TableFormat.compact/vacuum/optimizeZorder/restoreVersion
+  * — the single implementation of each protocol) and returns its result
+  * as ONE driver-local row ([[LocalScan]]): maintenance moves table
+  * METADATA plus bounded rewrite IO; the result set is audit numbers,
+  * never data. All verbs are driver-side commits riding the same OCC
+  * loop as every other commit — a concurrent writer can only cost a
+  * retry, never corruption. */
+object GraftProcedures {
+
+  /** One maintenance verb: binds trivially (parameters are fixed), runs
+    * against the catalog's warehouse, returns one audit row. */
+  private abstract class Proc(procName: String, params: Seq[ProcedureParameter],
+                              result: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // commits move state
+    protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow
+    protected def tablePath(warehouse: String, table: String): String =
+      (warehouse +: table.split('.').toSeq).mkString("/")
+    final def callWith(warehouse: String): InternalRow => java.util.Iterator[Scan] = {
+      input =>
+        val spark = SparkSession.active
+        val table = input.getUTF8String(0).toString
+        val row = run(spark, tablePath(warehouse, table), input)
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = result
+        }).iterator()
+    }
+    // bound per-catalog in load(); the default is never used
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      throw new IllegalStateException(s"procedure $procName not bound to a catalog")
+  }
+
+  private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+
+  /** COMPACT: consolidate files under `small_bytes` into `target_files`
+    * as a new commit. Returns (version, files_compacted). */
+  private object CompactProc extends Proc("compact",
+    Seq(in("table", StringType), in("small_bytes", LongType), in("target_files", IntegerType)),
+    StructType(Seq(StructField("version", IntegerType), StructField("files_compacted", IntegerType)))) {
+    override def description(): String =
+      "rewrite files smaller than small_bytes into target_files consolidated files"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (v, n) = TableFormat.compact(spark, base, input.getLong(1), input.getInt(2))
+      new GenericInternalRow(Array[Any](v, n))
+    }
+  }
+
+  /** VACUUM: retain the last `retain_last` versions, physically delete
+    * everything no retained manifest references. Returns
+    * (files_deleted, files_kept). */
+  private object VacuumProc extends Proc("vacuum",
+    Seq(in("table", StringType), in("retain_last", IntegerType)),
+    StructType(Seq(StructField("files_deleted", IntegerType), StructField("files_kept", IntegerType)))) {
+    override def description(): String =
+      "physically delete data files and manifests outside the last retain_last versions"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val cur = TableFormat.currentVersion(spark, base)
+      val keep = input.getInt(1)
+      require(keep >= 1, s"vacuum: retain_last must be >= 1 (got $keep)")
+      val (deleted, kept) =
+        TableFormat.vacuum(spark, base, (math.max(1, cur - keep + 1) to cur))
+      new GenericInternalRow(Array[Any](deleted, kept))
+    }
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the current snapshot clustered along the
+    * (c1, c2) z-curve — CDF-silent, prior versions readable. Returns
+    * (version, files_total). */
+  private object OptimizeZorderProc extends Proc("optimize_zorder",
+    Seq(in("table", StringType), in("c1", StringType), in("c2", StringType),
+        in("n_files", IntegerType)),
+    StructType(Seq(StructField("version", IntegerType), StructField("files_total", IntegerType)))) {
+    override def description(): String =
+      "rewrite the current snapshot z-ordered on (c1, c2) with per-file bounds on both"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val v = TableFormat.optimizeZorder(spark, base,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        nFiles = input.getInt(3))
+      new GenericInternalRow(Array[Any](v, TableFormat.manifestEntries(spark, base, v).size))
+    }
+  }
+
+  /** RESTORE: roll back to `version`'s contents as a new metadata-only
+    * commit. Returns (restored_version, new_version). */
+  private object RestoreProc extends Proc("restore",
+    Seq(in("table", StringType), in("version", IntegerType)),
+    StructType(Seq(StructField("restored_version", IntegerType), StructField("new_version", IntegerType)))) {
+    override def description(): String =
+      "re-publish version's file list as a new commit (metadata-only rollback)"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val target = input.getInt(1)
+      val v = TableFormat.restoreVersion(spark, base, target)
+      new GenericInternalRow(Array[Any](target, v))
+    }
+  }
+
+  private val all: Seq[Proc] =
+    Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc)
+
+  def names: Seq[String] = all.map(_.name())
+
+  /** The procedure bound to `warehouse` — the UnboundProcedure the
+    * catalog serves, whose bind() wires call() to the warehouse root. */
+  def load(warehouse: String, name: String): Option[UnboundProcedure] =
+    all.find(_.name() == name).map { p =>
+      new UnboundProcedure {
+        override def name(): String = p.name()
+        override def description(): String = p.description()
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = p.name()
+          override def description(): String = p.description()
+          override def parameters(): Array[ProcedureParameter] = p.parameters()
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            p.callWith(warehouse)(input)
+        }
+      }
+    }
+}

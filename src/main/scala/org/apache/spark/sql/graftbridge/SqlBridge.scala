@@ -20,6 +20,19 @@ object SqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Register a TABLE-VALUED function in the session's
+    * TableFunctionRegistry (the registry `SELECT * FROM fn(...)` resolves
+    * against). Spark exposes TVF registration to libraries only via
+    * SparkSessionExtensions at session BUILD time; this is the runtime
+    * equivalent for sessions built without extensions — same registry,
+    * same builder signature. Idempotent: re-registering a name replaces
+    * its builder. */
+  def registerTableFunction(spark: SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
   /** Ensure the driver-side StateStoreCoordinator RPC endpoint exists.
     * Streaming queries create it lazily via StreamingQueryManager, but a
     * pure-BATCH `transformWithState` also loads RocksDB state stores

@@ -239,12 +239,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Exchange hashpartitioning(kh#"),
       s"no hash-keyed exchange found:\n$p")
     // and NO shuffle anywhere in the plan partitions on the text key —
-    // every Exchange's leading key must be the 8-byte kh (the candidate
-    // self-join either broadcasts, or shuffles (kh, k) with kh leading;
-    // a raw-k-first exchange would sort/compare full document text)
+    // every Exchange's leading key must be the 8-byte kh (the semi-join
+    // gate joins on kh, the star window leads on kh; a raw-k-first
+    // exchange would sort/compare full document text)
     val keys = "Exchange hashpartitioning\\((\\w+)#".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(keys.nonEmpty && keys.forall(_ == "kh"),
       s"an exchange partitions on ${keys.filterNot(_ == "kh")}:\n$p")
+    // bucket membership is gated by a count-only aggregate + semi-join
+    // (r10, VERDICT r9 #5): no collect_list buffer (whole cliques in one
+    // task's memory), no broadcast HINT (AQE picks the join side from
+    // runtime sizes instead of an unconditional driver collect)
+    assert(!p.contains("collect_list"),
+      s"clique-sized aggregation buffer is back:\n$p")
   }
 }

@@ -307,6 +307,97 @@ class GraftTableSpec extends SparkTestBase {
       "post-UPDATE snapshot lost its file-skipping index")
   }
 
+  test("ALTER TABLE ADD COLUMN widens the schema metadata-only; time travel stays narrow (r10)") {
+    val _ = wh
+    val base = s"$wh/db/sqlalter"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    val v1Files = TableFormat.manifestFiles(spark, base, 1)
+    spark.sql("ALTER TABLE graft.db.sqlalter ADD COLUMN extra BIGINT")
+    // metadata-only: same files, new version, `alter` op, CDF silent
+    assert(TableFormat.manifestFiles(spark, base, 2) == v1Files)
+    assert(TableFormat.manifestOp(spark, base, 2).contains("alter"))
+    assert(TableFormat.readChanges(spark, base, 1, 2).count() == 0)
+    // old rows project NULL; INSERT can now carry the column
+    assert(spark.sql("SELECT count(extra) FROM graft.db.sqlalter").head.getLong(0) == 0)
+    spark.sql("INSERT INTO graft.db.sqlalter VALUES (1000, 'new', 7)")
+    val got = spark.sql(
+      "SELECT count(1), count(extra), sum(extra) FROM graft.db.sqlalter").head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((101L, 1L, 7L)))
+    // time travel to the pre-alter version reads the NARROW schema
+    assert(spark.sql("SELECT * FROM graft.db.sqlalter VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+    // add-only contract: drops and renames are refused
+    intercept[Exception] { spark.sql("ALTER TABLE graft.db.sqlalter DROP COLUMN v") }
+    intercept[Exception] { spark.sql("ALTER TABLE graft.db.sqlalter RENAME COLUMN v TO w") }
+  }
+
+  test("CALL graft.system.*: compact/vacuum/optimize_zorder/restore as SQL (r10)") {
+    val _ = wh
+    val base = s"$wh/db/maint"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // four micro-appends -> fragmented table
+    TableFormat.commit(spark, base,
+      (0L until 1000L).map(i => (i, (i * 7919) % 1000, s"r$i")).toDF("a", "b", "v"), 1, None)
+    (1 to 3).foreach { k =>
+      TableFormat.appendCommit(spark, base,
+        (1000L * k until 1000L * (k + 1)).map(i => (i, (i * 7919) % 1000, s"r$i"))
+          .toDF("a", "b", "v"))
+    }
+    val fragmented = TableFormat.manifestEntries(spark, base, 4).size
+    // COMPACT via SQL: files consolidate, rows identical
+    val c = spark.sql(s"CALL graft.system.compact('db.maint', ${Long.MaxValue}L, 2)").head
+    assert(c.getInt(0) == 5 && c.getInt(1) == fragmented, s"got $c")
+    assert(TableFormat.manifestEntries(spark, base, 5).size == 2)
+    assert(spark.sql("SELECT count(1) FROM graft.db.maint").head.getLong(0) == 4000)
+    // OPTIMIZE ZORDER via SQL: v6 is skippable on either dimension
+    val o = spark.sql("CALL graft.system.optimize_zorder('db.maint', 'a', 'b', 8)").head
+    assert(o.getInt(0) == 6 && o.getInt(1) >= 4, s"got $o")
+    val (_, (read1, total1)) = TableFormat.readSnapshotWhere(spark, base, "a", 0L, 400L, Some(6))
+    assert(read1 < total1, s"post-optimize read $read1/$total1 — no skipping")
+    assert(TableFormat.manifestOp(spark, base, 6).contains("optimize"))
+    // RESTORE via SQL: metadata-only rollback to the pre-optimize layout
+    val r = spark.sql("CALL graft.system.restore('db.maint', 5)").head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 7, s"got $r")
+    assert(TableFormat.manifestFiles(spark, base, 7) == TableFormat.manifestFiles(spark, base, 5))
+    // VACUUM via SQL: retain the last 2 versions, superseded layouts reclaimed
+    val vac = spark.sql("CALL graft.system.vacuum('db.maint', 2)").head
+    assert(vac.getInt(0) > 0, s"vacuum deleted nothing: $vac")
+    assert(spark.sql("SELECT count(1) FROM graft.db.maint").head.getLong(0) == 4000)
+    // history shows the maintenance trail (vacuumed versions drop out)
+    val hist = TableFormat.history(spark, base).map(h => h._1 -> h._2).toMap
+    assert(hist.get(6).contains("optimize") && hist.get(7).contains("restore"), s"got $hist")
+    // unknown procedure fails by name (Spark wraps it as FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception] { spark.sql("CALL graft.system.nope('db.maint')") }
+    assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("graft_table_changes TVF composes in SQL; to defaults to current (r10)") {
+    val base = freshBase("tvf_cdf")
+    TableFormat.commit(spark, base,
+      (0L until 50L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    TableFormat.appendCommit(spark, base,
+      (50L until 60L).map(i => (i, s"r$i")).toDF("k", "v"), statsCol = Some("k"))
+    TableFormat.deleteWhere(spark, base, "k", 10L, 14L)
+    TableChangesTvf.register(spark)
+    // explicit range, composed under GROUP BY
+    val got = spark.sql(
+      s"""SELECT _commit_version, _change_type, count(1) AS n
+         |FROM graft_table_changes('$base', 1, 3)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((2, "insert", 10L), (3, "delete", 5L)), s"got $got")
+    // `to` defaults to the current version; joins work like any relation
+    val joined = spark.sql(
+      s"""SELECT count(1) FROM graft_table_changes('$base', 2) c
+         |JOIN graft_table_changes('$base', 2) d ON c.k = d.k""".stripMargin)
+      .head.getLong(0)
+    assert(joined == 5L, s"got $joined")
+  }
+
   test("changesFrom/changesTo read options surface the change data feed (r9)") {
     val base = freshBase("tcdf_reader")
     TableFormat.commit(spark, base,
