@@ -1049,12 +1049,30 @@ object TableFormat {
     * staged files get per-file bounds from their parquet FOOTERS (K
     * metadata reads, same as the batch write path) so the rewrite keeps
     * the file-skipping contract instead of degrading it. */
+  /** A row-level rewrite raced a concurrent commit: the replacement was
+    * computed against a snapshot that is no longer current, so publishing
+    * it would silently erase the interleaved commit's rows (the replace
+    * is parentless — it names its OWN file set). Delta/Iceberg raise the
+    * same ConcurrentModification error; the statement must re-run
+    * against the new snapshot. */
+  final class ConcurrentModificationException(base: String, expected: Int, found: Int)
+      extends RuntimeException(
+        s"table $base: row-level operation read snapshot v$expected but v$found is " +
+          "now current — a concurrent commit landed mid-operation; publishing the " +
+          "stale replacement would drop its rows. Re-run the statement")
+
   def replaceCommitStaged(spark: SparkSession, base: String, paths: Seq[String],
                           schema: StructType, maxRetries: Int = 10,
-                          carried: Seq[ManifestEntry] = Seq.empty): Int = {
+                          carried: Seq[ManifestEntry] = Seq.empty,
+                          basedOnVersion: Option[Int] = None): Int = {
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
+      // write-write conflict guard (r10): the replacement contents were
+      // derived from `basedOnVersion`'s files — if anything committed
+      // since, fail loudly instead of silently un-committing it
+      basedOnVersion.filter(_ != parentV).foreach(v =>
+        throw new ConcurrentModificationException(base, v, parentV))
       val statsCols = if (parentV == 0) Nil else manifestStatsCols(spark, base, parentV)
       val conf = spark.sparkContext.hadoopConfiguration
       val staged = paths.sorted.map { p =>

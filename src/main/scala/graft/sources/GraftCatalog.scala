@@ -417,7 +417,8 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
             override def build(): Write = new GraftReplaceWrite(base, winfo.schema(),
               new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
               carried = () => Option(cowScan).fold(
-                Seq.empty[TableFormat.ManifestEntry])(_.retained))
+                Seq.empty[TableFormat.ManifestEntry])(_.retained),
+              basedOn = () => Option(cowScan).map(_.snapshotVersion))
           }
       }
     }
@@ -446,6 +447,9 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
 class GraftCowScanBuilder(base: String, version: Int, tableSchema: StructType,
                           spark: SparkSession)
     extends ScanBuilder with Scan with Batch with SupportsRuntimeFiltering {
+  /** The snapshot the replacement contents derive from — the write's
+    * conflict guard compares it against the latest version at commit. */
+  private[sources] val snapshotVersion: Int = version
   private val allEntries = TableFormat.manifestEntries(spark, base, version)
   /** Entries the runtime filter proved untouched — carried by reference
     * at commit time. Empty until (unless) Spark calls [[filter]]. */

@@ -141,8 +141,13 @@ object GraftProcedures {
       val cur = TableFormat.currentVersion(spark, base)
       val keep = input.getInt(1)
       require(keep >= 1, s"vacuum: retain_last must be >= 1 (got $keep)")
-      val (deleted, kept) =
-        TableFormat.vacuum(spark, base, (math.max(1, cur - keep + 1) to cur))
+      // a second vacuum's retain window may reach back past versions the
+      // FIRST vacuum already dropped — retain only versions whose
+      // manifest still exists, or the core vacuum would FNF reading a
+      // manifest this very procedure deleted last time
+      val retained = TableFormat.history(spark, base).map(_._1)
+        .filter(v => v > cur - keep && v <= cur)
+      val (deleted, kept) = TableFormat.vacuum(spark, base, retained)
       new GenericInternalRow(Array[Any](deleted, kept))
     }
   }

@@ -184,7 +184,8 @@ class GraftStreamingWrite(base: String, queryId: String, schema: StructType,
 class GraftReplaceWrite(base: String, schema: StructType,
                         conf: SerializableHadoopConf,
                         carried: () => Seq[TableFormat.ManifestEntry] =
-                          () => Seq.empty)
+                          () => Seq.empty,
+                        basedOn: () => Option[Int] = () => None)
     extends Write with BatchWrite {
   private def spark = SparkSession.active
   override def toBatch: BatchWrite = this
@@ -193,7 +194,11 @@ class GraftReplaceWrite(base: String, schema: StructType,
       s"$base/data/rl_${UUID.randomUUID.toString.take(8)}", schema, conf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val paths = messages.collect { case GraftFileMessage(Some(p), _) => p }.toSeq
-    TableFormat.replaceCommitStaged(spark, base, paths, schema, carried = carried())
+    // basedOn = the snapshot the operation scan read; a concurrent commit
+    // since then means publishing would erase its rows — fail loudly
+    // (TableFormat.ConcurrentModificationException), never silently win
+    TableFormat.replaceCommitStaged(spark, base, paths, schema,
+      carried = carried(), basedOnVersion = basedOn())
     ()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -307,6 +307,27 @@ class GraftTableSpec extends SparkTestBase {
       "post-UPDATE snapshot lost its file-skipping index")
   }
 
+  test("SQL DELETE with a non-translatable predicate routes through the pruned row-level path (r10)") {
+    val _ = wh
+    val base = s"$wh/db/sqldel2"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val v1Files = TableFormat.manifestFiles(spark, base, 1).toSet
+    assert(v1Files.size >= 2, s"test premise: need multiple files, got ${v1Files.size}")
+    // LIKE doesn't translate to the metadata-delete filter set, so Spark
+    // plans the GROUP-BASED delete — which must still runtime-prune: only
+    // files holding matching rows rewrite, the rest carry by reference
+    spark.sql("DELETE FROM graft.db.sqldel2 WHERE k BETWEEN 100 AND 110 AND v LIKE 'v10%'")
+    val got = spark.sql("SELECT count(1) FROM graft.db.sqldel2").head.getLong(0)
+    assert(got == 4000 - 10, s"expected 3990 rows (k=100..109 dropped), got $got")
+    val v2 = TableFormat.manifestFiles(spark, base, 2).toSet
+    val carried = v2.intersect(v1Files)
+    assert(carried.nonEmpty && (v2.size - carried.size) < v1Files.size,
+      s"non-translatable DELETE rewrote all ${v1Files.size} files")
+  }
+
   test("ALTER TABLE ADD COLUMN widens the schema metadata-only; time travel stays narrow (r10)") {
     val _ = wh
     val base = s"$wh/db/sqlalter"
@@ -373,6 +394,24 @@ class GraftTableSpec extends SparkTestBase {
     // unknown procedure fails by name (Spark wraps it as FAILED_TO_LOAD_ROUTINE)
     val e = intercept[Exception] { spark.sql("CALL graft.system.nope('db.maint')") }
     assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("row-level replace refuses to publish over a concurrent commit (r10)") {
+    val base = freshBase("rl_conflict")
+    TableFormat.commit(spark, base,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None)
+    // replacement derived from v1, but an append lands first: publishing
+    // the stale replacement would silently erase the appended rows
+    TableFormat.appendCommit(spark, base,
+      (100L until 110L).map(i => (i, s"r$i")).toDF("k", "v"))
+    val e = intercept[TableFormat.ConcurrentModificationException] {
+      TableFormat.replaceCommitStaged(spark, base, Seq.empty,
+        TableFormat.manifestSchema(spark, base, 1).get, basedOnVersion = Some(1))
+    }
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("v2"),
+      s"wrong error: ${e.getMessage}")
+    // the interleaved commit's rows are intact
+    assert(TableFormat.readSnapshot(spark, base).count() == 110)
   }
 
   test("graft_table_changes TVF composes in SQL; to defaults to current (r10)") {
