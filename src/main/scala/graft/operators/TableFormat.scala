@@ -1003,15 +1003,30 @@ object TableFormat {
     * written their parquet files and the driver holds only the paths.
     * Same optimistic-concurrency loop as [[appendCommit]] (rebase on the
     * latest manifest, put-if-absent publish, retry), same schema-union
-    * and foreign-stats rules; entries are stat-less (executor writers
-    * don't compute the stats aggregate — compaction or a later z-order
-    * commit re-clusters if skipping matters on streamed data). `txn`
-    * lands in the manifest header so replays are detectable by
-    * [[txnVersion]]. */
+    * and foreign-stats rules. When the table declares `#stats` columns,
+    * the staged files' bounds come from their parquet FOOTERS (r10 — K
+    * driver-side metadata reads per epoch, the same accounting Delta
+    * does in its log), so a streamed table keeps its file-skipping
+    * index instead of accreting stat-less files; streamed files aren't
+    * range-clustered, so bounds may be wide — less skipping, never
+    * wrong. `txn` lands in the manifest header so replays are
+    * detectable by [[txnVersion]]. */
   def appendCommitStaged(spark: SparkSession, base: String, paths: Seq[String],
                          schema: StructType, txn: Option[(String, Long)] = None,
                          maxRetries: Int = 10): Int = {
-    val entries = paths.sorted.map(ManifestEntry(_, None, None))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def entriesFor(statsCols: Seq[String]): Seq[ManifestEntry] =
+      paths.sorted.map { p =>
+        if (statsCols.isEmpty) ManifestEntry(p, None, None)
+        else {
+          val st = footerStats(conf, p, statsCols)
+          val (lo, hi, nu) = st(statsCols.head)
+          val second = statsCols.drop(1).headOption.map(st)
+          ManifestEntry(p, lo, hi,
+            second.flatMap(_._1), second.flatMap(_._2),
+            nulls = nu, nulls2 = second.flatMap(_._3))
+        }
+      }
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
@@ -1026,7 +1041,7 @@ object TableFormat {
       }
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
-          parentEntries ++ entries, txn, statsCols = statsCols)
+          parentEntries ++ entriesFor(statsCols), txn, statsCols = statsCols)
       catch {
         case e: CommitConflictException =>
           attempt += 1

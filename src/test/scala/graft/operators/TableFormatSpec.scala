@@ -516,6 +516,34 @@ class TableFormatSpec extends SparkTestBase {
     assert(delKeys == (10L until 20L), s"got $delKeys")
   }
 
+  test("staged appends inherit footer stats when the table declares a stats column (r10)") {
+    val base = freshBase("tf_staged_stats")
+    TableFormat.commit(spark, base,
+      (0L until 1000L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    val v1Files = TableFormat.manifestFiles(spark, base, 1).toSet
+    // stage files out-of-band, exactly like the streaming sink's executors
+    val stageDir = s"${graft.Tables.scratchDir}/tf_staged_src"
+    val sp = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true)
+    (5000L until 5100L).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(stageDir)
+    val staged = fs.listStatus(sp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val v2 = TableFormat.appendCommitStaged(spark, base, staged,
+      TableFormat.manifestSchema(spark, base, 1).get)
+    // the staged entries carry FOOTER-derived bounds (pre-r10: stat-less)
+    val newEntries = TableFormat.manifestEntries(spark, base, v2)
+      .filterNot(e => v1Files(e.path))
+    assert(newEntries.nonEmpty && newEntries.forall(e =>
+      e.lo.contains(5000L) && e.hi.contains(5099L)),
+      s"staged entries lost footer stats: $newEntries")
+    // and the index works: a narrow read over the staged band skips v1 files
+    val (df, (read, total)) = TableFormat.readSnapshotWhere(spark, base, "k", 5000L, 5099L)
+    assert(df.count() == 100 && read < total, s"read $read/$total")
+  }
+
   test("CDF from version 0 includes the first commit; vacuumed ranges fail by name (r10)") {
     val base = freshBase("tf_cdf_retention")
     TableFormat.commit(spark, base,
