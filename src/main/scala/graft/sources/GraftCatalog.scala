@@ -604,6 +604,7 @@ object GraftScanBuilder {
   import org.apache.spark.sql.functions.{col, lit}
 
   private[sources] def translatable(f: Filter): Boolean = f match {
+    case AlwaysTrue() | AlwaysFalse() => true // TRUNCATE arrives as AlwaysTrue
     case EqualTo(_, v) => literalOk(v)
     case GreaterThan(_, v) => literalOk(v)
     case GreaterThanOrEqual(_, v) => literalOk(v)
@@ -623,6 +624,8 @@ object GraftScanBuilder {
   }
 
   private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))

@@ -396,6 +396,46 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
   }
 
+  test("TRUNCATE TABLE empties the snapshot; prior versions stay readable (r10)") {
+    val _ = wh
+    val base = s"$wh/db/sqltrunc"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    spark.sql("TRUNCATE TABLE graft.db.sqltrunc")
+    assert(spark.sql("SELECT count(1) FROM graft.db.sqltrunc").head.getLong(0) == 0)
+    // typed empty read (schema header), pre-truncate snapshot intact
+    assert(spark.sql("SELECT * FROM graft.db.sqltrunc").schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(spark.sql("SELECT count(1) FROM graft.db.sqltrunc VERSION AS OF 1").head.getLong(0) == 100)
+    // and the table accepts fresh inserts after
+    spark.sql("INSERT INTO graft.db.sqltrunc VALUES (7, 'x')")
+    assert(spark.sql("SELECT count(1) FROM graft.db.sqltrunc").head.getLong(0) == 1)
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE clauses takes the unfiltered full rewrite (r10)") {
+    val _ = wh
+    val base = s"$wh/db/sqlmerge2"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), 1, None, statsCol = Some("k"))
+    (50L until 110L).map(i => (i, -1L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_src2")
+    // NOT MATCHED BY SOURCE must touch EVERY group — the runtime group
+    // filter cannot prune here (Spark plans no group-filter subquery),
+    // and the operation must still be correct via the full rewrite
+    spark.sql(
+      """MERGE INTO graft.db.sqlmerge2 t USING merge_src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM graft.db.sqlmerge2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60, s"expected keys 50..109 only, got ${got.size}")
+    assert((50L until 110L).forall(got.get(_).contains(-1L)), s"got $got")
+  }
+
   test("row-level replace refuses to publish over a concurrent commit (r10)") {
     val base = freshBase("rl_conflict")
     TableFormat.commit(spark, base,
