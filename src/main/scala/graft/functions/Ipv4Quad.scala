@@ -81,5 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableChangesTvf.name),
       graft.sources.TableChangesTvf.info,
       graft.sources.TableChangesTvf.builder))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableHistoryTvf.name),
+      graft.sources.TableHistoryTvf.info,
+      graft.sources.TableHistoryTvf.builder))
   }
 }

@@ -1151,7 +1151,36 @@ object GraftCatalogOps {
         |FROM graft.db.mv""".stripMargin)
   }
 
+  /** `sql_table_history` (r10): `DESCRIBE HISTORY` as a composable TVF —
+    * the table walks the full commit-kind alphabet (initial, append,
+    * range delete, restore), then one SQL query reads the audit trail's
+    * (version, op) pairs from `graft_table_history('db.t')`. The oracle
+    * pins the exact operation sequence; row-level effects of each kind
+    * are oracled by `table_history`. */
+  def sqlTableHistory(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/th"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    TableFormat.commit(spark, base, docs.filter("doc_id % 2 = 0"), 1,
+      parent = None, statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, base, docs.filter("doc_id % 2 = 1"),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, base, "doc_id", 100L, 300L)
+    TableFormat.restoreVersion(spark, base, 2)
+    TableHistoryTvf.register(spark)
+    spark.sql(
+      """SELECT version, op FROM graft_table_history('db.th')
+        |ORDER BY version ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_table_history" -> (sqlTableHistory _),
     "sql_timetravel" -> (sqlTimetravel _),
     "sql_insert" -> (sqlInsert _),
     "sql_delete" -> (sqlDelete _),
@@ -1166,6 +1195,12 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_table_history" ->
+      """SELECT 1 AS version, 'replace' AS op
+        |UNION ALL SELECT 2, 'append'
+        |UNION ALL SELECT 3, 'delete'
+        |UNION ALL SELECT 4, 'restore'
+        |ORDER BY version ASC NULLS FIRST""".stripMargin,
     "sql_alter_evolution" ->
       """SELECT lang, count(1) AS n_docs,
         |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,

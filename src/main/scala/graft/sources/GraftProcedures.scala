@@ -66,6 +66,46 @@ object TableChangesTvf {
     SqlBridge.registerTableFunction(spark, name, info, builder)
 }
 
+/** `graft_table_history(base)` — `DESCRIBE HISTORY` as a composable TVF
+  * (r10): one (version, op, n_files) row per retained version from the
+  * manifest headers, queryable/joinable like any relation (Delta's
+  * `DESCRIBE HISTORY` is a bespoke statement; a TVF composes). Pure
+  * driver-side metadata (two small reads per version) surfaced as a
+  * local relation — the audit an operator consults before
+  * `CALL graft.system.vacuum/restore`. */
+object TableHistoryTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  val name = "graft_table_history"
+
+  private def evalStr(e: Expression): String = e.eval() match {
+    case u: UTF8String => u.toString
+    case other => String.valueOf(other)
+  }
+  private def resolveBase(spark: SparkSession, s: String): String =
+    if (s.contains("/")) s
+    else {
+      val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+      wh.fold(s)(w => (w +: s.split('.').toSeq).mkString("/"))
+    }
+
+  def builder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 1, s"$name(base) takes 1 argument, got ${args.length}")
+    val spark = SparkSession.active
+    val base = resolveBase(spark, evalStr(args.head))
+    import spark.implicits._
+    SqlBridge.analyzed(
+      TableFormat.history(spark, base).toDF("version", "op", "n_files"))
+  }
+
+  val info = new ExpressionInfo(getClass.getName, name)
+
+  def register(spark: SparkSession): Unit =
+    SqlBridge.registerTableFunction(spark, name, info, builder)
+}
+
 /** SQL maintenance verbs for graft tables (r10, VERDICT r9 #2) — Spark
   * 4's DSv2 stored-procedure API (`ProcedureCatalog` + `CALL`), the
   * route Delta exposes as `OPTIMIZE`/`VACUUM` and Iceberg as
