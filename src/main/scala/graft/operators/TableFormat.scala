@@ -1113,6 +1113,24 @@ object TableFormat {
     -1 // unreachable
   }
 
+  /** CREATE an empty v1 snapshot that DECLARES its clustering columns
+    * (r10): the `#stats` header is written up front — no entries yet —
+    * so every later append/overwrite knows which column(s) to
+    * range-cluster and record per-file bounds on. This is how
+    * `CREATE TABLE … PARTITIONED BY (k)` maps onto the format: the
+    * declared column becomes the file-skipping index that all SQL
+    * INSERTs maintain automatically (hive-style directory partitions
+    * shard the NAMESPACE; per-file bounds on a clustered column prune
+    * the same reads without small-file explosion on high-cardinality
+    * keys — the Delta liquid-clustering argument). */
+  def createEmpty(spark: SparkSession, base: String, schema: StructType,
+                  statsCols: Seq[String]): Int = {
+    require(statsCols.size <= 2,
+      s"createEmpty: at most 2 clustering columns (got ${statsCols.mkString(", ")})")
+    writeManifest(spark, base, 1, schema.json, Seq.empty, txn = None,
+      statsCols = statsCols, op = "replace")
+  }
+
   /** SCHEMA-ALTER commit (r10, VERDICT r9 #3): re-publish the current
     * snapshot's entries under a WIDENED schema — the `ALTER TABLE ADD
     * COLUMN` commit. Pure metadata (same files, same stats, zero data

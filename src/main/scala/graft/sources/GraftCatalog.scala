@@ -105,7 +105,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new GraftTable(path, version, spark)
   }
 
-  /** CREATE TABLE = an empty v1 commit recording the declared schema. */
+  /** CREATE TABLE = an empty v1 commit recording the declared schema.
+    * `PARTITIONED BY (k[, k2])` (r10) declares the table's CLUSTERING
+    * columns: they land in the v1 manifest's `#stats` header, so every
+    * later SQL INSERT range-clusters on them and records per-file
+    * bounds — the file-skipping index is maintained automatically
+    * instead of degrading to stat-less files until an OPTIMIZE.
+    * Identity transforms on integral columns only: bounds are
+    * long-typed and reads prune only integral stats columns (a
+    * bucket/days transform or a string key would record meaningless
+    * bounds) — same guard as the scan side. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -130,8 +139,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "drop it explicitly or pick another table name")
       fs.delete(p, true)
     }
-    val empty = spark.createDataFrame(new util.ArrayList[Row](), schema)
-    TableFormat.commit(spark, path, empty, 1, parent = None)
+    val clusterCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $other — declare " +
+          "PARTITIONED BY (col[, col2]) with plain (identity) columns")
+    }
+    require(clusterCols.size <= 2,
+      s"graft catalog: at most 2 clustering columns (got ${clusterCols.mkString(", ")})")
+    clusterCols.foreach { c =>
+      val field = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: partition column $c is not in the table schema"))
+      field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case dt => throw new UnsupportedOperationException(
+          s"graft catalog: partition column $c has type ${dt.simpleString} — " +
+            "clustering bounds are integral; partition by an integral key " +
+            "(e.g. an epoch-day INT) so file skipping can actually prune")
+      }
+    }
+    TableFormat.createEmpty(spark, path, schema, clusterCols)
     new GraftTable(path, None, spark)
   }
   /** `ALTER TABLE … ADD COLUMN` (r10, VERDICT r9 #3): widen the recorded
@@ -322,10 +351,28 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 legacyOverwrite: Boolean): Unit = {
               val s = data.sparkSession
-              if (overwrite || legacyOverwrite)
-                TableFormat.commit(s, base, data,
-                  TableFormat.latestVersion(s, base) + 1, parent = None)
-              else TableFormat.appendCommit(s, base, data)
+              // honor the table's DECLARED clustering (r10): SQL INSERTs
+              // into a `PARTITIONED BY` / stats-declared table cluster on
+              // the recorded column(s) and keep per-file bounds flowing —
+              // pre-r10 every SQL INSERT appended stat-less files and the
+              // skipping index silently decayed until an OPTIMIZE
+              val declared =
+                try TableFormat.manifestStatsCols(s, base,
+                  TableFormat.currentVersion(s, base))
+                catch { case _: java.io.FileNotFoundException => Nil }
+              if (overwrite || legacyOverwrite) {
+                val v = TableFormat.latestVersion(s, base) + 1
+                declared match {
+                  case Seq(c1, c2) => // 2-D declared: overwrite re-z-orders
+                    TableFormat.commitZorder(s, base, data, c1, c2, v)
+                  case _ =>
+                    TableFormat.commit(s, base, data, v, parent = None,
+                      statsCol = declared.headOption)
+                }
+              } else
+                TableFormat.appendCommit(s, base, data,
+                  statsCol = declared.headOption)
+              ()
             }
           }
         override def toStreaming: StreamingWrite = {
@@ -1179,7 +1226,42 @@ object GraftCatalogOps {
         |ORDER BY version ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_partitioned_insert` (r10): `CREATE TABLE … PARTITIONED BY (k)`
+    * declares the clustering column, two plain SQL INSERTs maintain the
+    * file-skipping index automatically (pre-r10 they appended stat-less
+    * files), and the narrow-band read prunes files (GraftTableSpec pins
+    * kept < total); the oracle runs the same predicate on the source. */
+  def sqlPartitionedInsert(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/pt"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("src_orders_pt")
+    spark.sql(
+      """CREATE TABLE graft.db.pt
+        |  (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+        |PARTITIONED BY (o_orderkey)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.pt
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM src_orders_pt WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.pt
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM src_orders_pt WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.db.pt
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_partitioned_insert" -> (sqlPartitionedInsert _),
     "sql_table_history" -> (sqlTableHistory _),
     "sql_timetravel" -> (sqlTimetravel _),
     "sql_insert" -> (sqlInsert _),
@@ -1195,6 +1277,12 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_partitioned_insert" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "sql_table_history" ->
       """SELECT 1 AS version, 'replace' AS op
         |UNION ALL SELECT 2, 'append'

@@ -396,6 +396,36 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
   }
 
+  test("CREATE TABLE PARTITIONED BY declares clustering; SQL INSERTs keep the index (r10)") {
+    val _ = wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.part")
+    spark.sql("CREATE TABLE graft.db.part (k BIGINT, v STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.db.part SELECT id, concat('r', id) FROM range(0, 2000)")
+    spark.sql("INSERT INTO graft.db.part SELECT id, concat('r', id) FROM range(2000, 4000)")
+    val base = s"$wh/db/part"
+    val v = TableFormat.currentVersion(spark, base)
+    // the declared clustering column flowed into every INSERT: all
+    // entries carry bounds, and the header still names k
+    assert(TableFormat.manifestStatsCols(spark, base, v) == Seq("k"))
+    val entries = TableFormat.manifestEntries(spark, base, v)
+    assert(entries.size >= 2 && entries.forall(e => e.lo.isDefined && e.hi.isDefined),
+      s"SQL INSERTs produced stat-less entries: $entries")
+    // and a narrow catalog-SQL predicate prunes files
+    val sb = new GraftScanBuilder(base, v,
+      TableFormat.manifestSchema(spark, base, v).get, Seq("k"), spark, 0)
+    sb.pushFilters(Array(GreaterThanOrEqual("k", 100L), LessThanOrEqual("k", 200L)))
+    assert(sb.keptEntries().size < entries.size,
+      s"kept ${sb.keptEntries().size} of ${entries.size} — no pruning")
+    assert(spark.sql("SELECT count(1) FROM graft.db.part WHERE k BETWEEN 100 AND 200")
+      .head.getLong(0) == 101)
+    // non-integral partition columns are rejected with a clear error
+    spark.sql("DROP TABLE IF EXISTS graft.db.partbad")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.partbad (a STRING, b BIGINT) PARTITIONED BY (a)")
+    }
+    assert(e.getMessage.contains("integral"), s"wrong error: ${e.getMessage}")
+  }
+
   test("TRUNCATE TABLE empties the snapshot; prior versions stay readable (r10)") {
     val _ = wh
     val base = s"$wh/db/sqltrunc"
