@@ -721,10 +721,17 @@ object TableFormat {
       .collect()(0) // 1 row of bounds — broadcast into the norm expressions
     // empty input or an all-NULL cluster column has no bounds: fall back
     // to an unclustered commit instead of NPE-ing on the bounds row (r8,
-    // ADVICE r7 #4) — reads stay correct, there is just nothing to skip
-    if ((0 to 3).exists(b.isNullAt))
-      return commit(spark, base, df, version, parent = None, statsCol = None,
-        clusterFiles = Some(nFiles))
+    // ADVICE r7 #4) — reads stay correct, there is just nothing to skip.
+    // The `#stats` header still records BOTH declared columns (r10): a
+    // table's clustering declaration must survive a degenerate commit
+    // (e.g. INSERT OVERWRITE with an empty SELECT), or every later
+    // append would silently stop recording bounds.
+    if ((0 to 3).exists(b.isNullAt)) {
+      val entries = writeDataFiles(spark, base, newCommitDir(base, version),
+        df.repartition(nFiles), Some(c1), Some(c2))
+      return writeManifest(spark, base, version, df.schema.json, entries,
+        txn = None, statsCols = Seq(c1, c2), op = op)
+    }
     def norm(c: String, lo: Long, hi: Long): Column = {
       // grid cell in DOUBLE: the old integer form (x - lo) * 65535
       // overflows LongType for column spans above ~1.4e14, silently
