@@ -77,10 +77,16 @@ object TableFormat {
     * (r8, ADVICE r7 #1). `nulls = None` means unknown → conservative. */
   final case class ManifestEntry(path: String, lo: Option[Long], hi: Option[Long],
                                  lo2: Option[Long] = None, hi2: Option[Long] = None,
-                                 nulls: Option[Long] = None, nulls2: Option[Long] = None) {
+                                 nulls: Option[Long] = None, nulls2: Option[Long] = None,
+                                 rows: Option[Long] = None) {
     private def f(o: Option[Long]) = o.fold("")(_.toString)
+    // `rows` (r10) always serializes in the full 8-field form — the
+    // count is what metadata-only aggregate pushdown sums; entries
+    // parsed from pre-r10 manifests round-trip in their original form
     def line: String =
-      if (lo2.isEmpty && hi2.isEmpty && nulls2.isEmpty)
+      if (rows.isDefined)
+        s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}\t${f(rows)}"
+      else if (lo2.isEmpty && hi2.isEmpty && nulls2.isEmpty)
         s"$path\t${f(lo)}\t${f(hi)}\t${f(nulls)}"
       else s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}"
     private def inter(l: Option[Long], h: Option[Long], qLo: Long, qHi: Long) =
@@ -103,6 +109,8 @@ object TableFormat {
       case Array(p, l, h, l2, h2) => ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2))
       case Array(p, l, h, l2, h2, n, n2) =>
         ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2))
+      case Array(p, l, h, l2, h2, n, n2, r) =>
+        ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2), opt(r))
       case other => ManifestEntry(other.head, None, None)
     }
   }
@@ -161,15 +169,20 @@ object TableFormat {
     * they are never recorded in the first place). An all-NULL or
     * stats-less chunk yields (None, None) bounds and the null count
     * when the writer set it. */
+  /** Returns (per-column (min, max, nullCount), file ROW COUNT) — one
+    * footer open per file. The row count (r10) is unconditional (every
+    * parquet footer has it) and is what metadata-only COUNT pushdown
+    * sums; the column stats obey the integral/accounted guards below. */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration, file: String,
-                          cols: Seq[String]): Map[String, (Option[Long], Option[Long], Option[Long])] = {
+                          cols: Seq[String]): (Map[String, (Option[Long], Option[Long], Option[Long])], Long) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics, Statistics}
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      cols.map { c =>
+      val rowCount = blocks.map(_.getRowCount).sum
+      val stats = cols.map { c =>
         val chunks = blocks
           .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
         // plain INT32/INT64 ONLY — a converted/logical-type annotation
@@ -209,6 +222,7 @@ object TableFormat {
           if (plain && accounted && his.size == withValues.size) his.maxOption else None,
           nulls)
       }.toMap
+      (stats, rowCount)
     } finally reader.close()
   }
 
@@ -227,19 +241,17 @@ object TableFormat {
     val newFiles = f.listStatus(new Path(commitDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
-    statsCol match {
-      case None => newFiles.map(ManifestEntry(_, None, None))
-      case Some(c) =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        val cols = Seq(c) ++ statsCol2.toSeq
-        newFiles.map { p =>
-          val st = footerStats(conf, p, cols)
-          val (lo, hi, nu) = st(c)
-          val second = statsCol2.map(st)
-          ManifestEntry(p, lo, hi,
-            second.flatMap(_._1), second.flatMap(_._2),
-            nulls = nu, nulls2 = second.flatMap(_._3))
-        }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cols = statsCol.toSeq ++ statsCol2.toSeq
+    newFiles.map { p =>
+      val (st, nRows) = footerStats(conf, p, cols)
+      val first = statsCol.map(st)
+      val second = statsCol2.map(st)
+      ManifestEntry(p,
+        first.flatMap(_._1), first.flatMap(_._2),
+        second.flatMap(_._1), second.flatMap(_._2),
+        nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
+        rows = Some(nRows))
     }
   }
 
@@ -1024,15 +1036,14 @@ object TableFormat {
     val conf = spark.sparkContext.hadoopConfiguration
     def entriesFor(statsCols: Seq[String]): Seq[ManifestEntry] =
       paths.sorted.map { p =>
-        if (statsCols.isEmpty) ManifestEntry(p, None, None)
-        else {
-          val st = footerStats(conf, p, statsCols)
-          val (lo, hi, nu) = st(statsCols.head)
-          val second = statsCols.drop(1).headOption.map(st)
-          ManifestEntry(p, lo, hi,
-            second.flatMap(_._1), second.flatMap(_._2),
-            nulls = nu, nulls2 = second.flatMap(_._3))
-        }
+        val (st, nRows) = footerStats(conf, p, statsCols)
+        val first = statsCols.headOption.map(st)
+        val second = statsCols.drop(1).headOption.map(st)
+        ManifestEntry(p,
+          first.flatMap(_._1), first.flatMap(_._2),
+          second.flatMap(_._1), second.flatMap(_._2),
+          nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
+          rows = Some(nRows))
       }
     var attempt = 0
     while (true) {
@@ -1098,15 +1109,14 @@ object TableFormat {
       val statsCols = if (parentV == 0) Nil else manifestStatsCols(spark, base, parentV)
       val conf = spark.sparkContext.hadoopConfiguration
       val staged = paths.sorted.map { p =>
-        if (statsCols.isEmpty) ManifestEntry(p, None, None)
-        else {
-          val st = footerStats(conf, p, statsCols)
-          val (lo, hi, nu) = st(statsCols.head)
-          val second = statsCols.drop(1).headOption.map(st)
-          ManifestEntry(p, lo, hi,
-            second.flatMap(_._1), second.flatMap(_._2),
-            nulls = nu, nulls2 = second.flatMap(_._3))
-        }
+        val (st, nRows) = footerStats(conf, p, statsCols)
+        val first = statsCols.headOption.map(st)
+        val second = statsCols.drop(1).headOption.map(st)
+        ManifestEntry(p,
+          first.flatMap(_._1), first.flatMap(_._2),
+          second.flatMap(_._1), second.flatMap(_._2),
+          nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
+          rows = Some(nRows))
       }
       try
         return writeManifest(spark, base, parentV + 1, schema.json, carried ++ staged,

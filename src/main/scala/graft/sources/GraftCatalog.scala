@@ -544,9 +544,16 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
                        statsCols: Seq[String], spark: SparkSession,
                        startVersion: Int)
     extends ScanBuilder with Scan with V1Scan
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  /** Set when a whole aggregation was answered from manifest METADATA
+    * (r10): (result schema, the single result row) — zero data IO. */
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftScanBuilder.translatable)
@@ -556,9 +563,99 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = if (requiredSchema.isEmpty) tableSchema else requiredSchema
   override def build(): Scan = this
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggResult.map(_._1).getOrElse(required)
   override def description(): String =
-    s"GraftTableScan $base v$version, PushedFilters: [${pushed.mkString(", ")}]"
+    s"GraftTableScan $base v$version, PushedFilters: [${pushed.mkString(", ")}]" +
+      aggResult.fold("")(_ => ", metadata-only aggregate")
+
+  /** METADATA-ONLY aggregate pushdown (r10) — the manifest's per-file
+    * (rows, min, max, nulls) answer whole-table aggregates with ZERO
+    * data IO, like Delta/Iceberg stats-reads:
+    *  - `COUNT(*)`  = Σ rows (every entry carries a footer row count);
+    *  - `COUNT(c)`  = Σ (rows − nulls) when every entry proves its
+    *    null count for the stats column;
+    *  - `MIN/MAX(c)` on an integral stats column = min/max of the
+    *    recorded bounds — files PROVEN all-null (nulls = rows)
+    *    contribute nothing, any other entry missing bounds bails.
+    * Complete pushdown only (no partial): no group-by, no filters —
+    * Spark only attempts the push when every predicate was fully
+    * consumed, and this scan keeps all predicates residual, so any
+    * WHERE routes to the normal file-skipping read. Pre-r10 manifests
+    * (no row counts) bail to the data path untouched. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    computeAgg(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    computeAgg(agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+      case _ => None
+    }
+
+  private def computeAgg(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val entries = TableFormat.manifestEntries(spark, base, version)
+    if (!entries.forall(_.rows.isDefined)) return None // pre-r10 manifest
+    def statsIdx(c: String): Option[Int] =
+      statsCols.indexOf(c) match {
+        case i if i >= 0 && i < 2 && integral(c) => Some(i)
+        case _ => None
+      }
+    def boundsOf(e: TableFormat.ManifestEntry, i: Int) =
+      if (i == 0) (e.lo, e.hi, e.nulls) else (e.lo2, e.hi2, e.nulls2)
+    def castTo(v: Long, dt: DataType): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case _ => v
+    }
+    def minMax(column: org.apache.spark.sql.connector.expressions.Expression,
+               wantMin: Boolean): Option[(StructField, Any)] =
+      colName(column).flatMap { n =>
+        statsIdx(n).flatMap { i =>
+          val dt = tableSchema.fields.find(_.name == n).get.dataType
+          // all-null files (nulls = rows, proven) contribute nothing to
+          // MIN/MAX; every OTHER file must carry bounds or we bail
+          val contributing = entries.filterNot { e =>
+            val (_, _, nu) = boundsOf(e, i)
+            nu.isDefined && nu == e.rows
+          }
+          val picked = contributing.map(e =>
+            if (wantMin) boundsOf(e, i)._1 else boundsOf(e, i)._2)
+          if (picked.forall(_.isDefined)) {
+            val vals = picked.flatten
+            val v: Any =
+              if (vals.isEmpty) null
+              else castTo(if (wantMin) vals.min else vals.max, dt)
+            Some((StructField(s"${if (wantMin) "min" else "max"}($n)", dt), v))
+          } else None
+        }
+      }
+    val results: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          entries.flatMap(_.rows).sum: Any))
+      case c: Count if !c.isDistinct =>
+        colName(c.column).flatMap { n =>
+          statsIdx(n).flatMap { i =>
+            val nulls = entries.map(e => boundsOf(e, i)._3)
+            if (nulls.forall(_.isDefined))
+              Some((StructField(s"count($n)", LongType, nullable = false),
+                entries.zip(nulls).map { case (e, nu) => e.rows.get - nu.get }.sum: Any))
+            else None
+          }
+        }
+      case m: Min => minMax(m.column, wantMin = true)
+      case m: Max => minMax(m.column, wantMin = false)
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) None
+    else Some((StructType(results.map(_.get._1)), results.map(_.get._2)))
+  }
 
   /** Manifest entries surviving the pushed filters' bounds on the
     * recorded stats column(s) — the SQL route into file skipping.
@@ -586,7 +683,19 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-    new GraftV1Relation(ctx, base, version, required, pushed, keptEntries()).asInstanceOf[T]
+    aggResult match {
+      case Some((aggSchema, vals)) =>
+        // the aggregate was answered from the manifest: one local row,
+        // no file ever opens
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = ctx
+          override def schema: StructType = aggSchema
+          override def buildScan(): RDD[Row] =
+            ctx.sparkSession.sparkContext.parallelize(Seq(Row.fromSeq(vals)), 1)
+        }.asInstanceOf[T]
+      case None =>
+        new GraftV1Relation(ctx, base, version, required, pushed, keptEntries()).asInstanceOf[T]
+    }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftTableMicroBatch(base, required, startVersion, spark,
@@ -1260,7 +1369,31 @@ object GraftCatalogOps {
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_agg_pushdown` (r10): whole-table COUNT/MIN/MAX answered from
+    * the manifest's per-file (rows, bounds, nulls) — complete DSv2
+    * aggregate pushdown, zero data IO (GraftTableSpec pins the plan has
+    * no aggregation operator and no parquet read). The oracle computes
+    * the same aggregates by scanning the source. */
+  def sqlAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/ap"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_totalprice"))
+    TableFormat.commit(spark, base, orders, 1, parent = None,
+      statsCol = Some("o_orderkey"))
+    spark.sql(
+      """SELECT count(*) AS n, CAST(min(o_orderkey) AS BIGINT) AS min_k,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_k
+        |FROM graft.db.ap""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_agg_pushdown" -> (sqlAggPushdown _),
     "sql_partitioned_insert" -> (sqlPartitionedInsert _),
     "sql_table_history" -> (sqlTableHistory _),
     "sql_timetravel" -> (sqlTimetravel _),
@@ -1277,6 +1410,10 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_agg_pushdown" ->
+      """SELECT count(*) AS n, CAST(min(o_orderkey) AS BIGINT) AS min_k,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_k
+        |FROM orders""".stripMargin,
     "sql_partitioned_insert" ->
       """SELECT o_orderpriority, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

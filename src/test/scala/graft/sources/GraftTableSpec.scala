@@ -426,6 +426,32 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("integral"), s"wrong error: ${e.getMessage}")
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX answered from the manifest, zero data IO (r10)") {
+    val _ = wh
+    val base = s"$wh/db/aggmeta"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val df = spark.sql("SELECT count(*), min(k), max(k), count(k) FROM graft.db.aggmeta")
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4000L, 0L, 3999L, 4000L)))
+    // the plan never touches a data file: complete pushdown leaves a bare
+    // Project over the 1-row metadata scan — no aggregation operator, no
+    // parquet read anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("parquet") && !plan.contains("HashAggregate") &&
+      !plan.contains("SortAggregate"),
+      s"aggregate was not answered from metadata:\n$plan")
+    // a WHERE routes to the normal file-skipping read (filters stay
+    // residual, so Spark never attempts the aggregate push) — exactness
+    assert(spark.sql("SELECT count(*) FROM graft.db.aggmeta WHERE k BETWEEN 10 AND 20")
+      .head.getLong(0) == 11)
+    // avg/sum are NOT pushable from bounds: still exact via the data path
+    assert(spark.sql("SELECT sum(k) FROM graft.db.aggmeta").head.getLong(0) ==
+      (0L until 4000L).sum)
+  }
+
   test("TRUNCATE TABLE empties the snapshot; prior versions stay readable (r10)") {
     val _ = wh
     val base = s"$wh/db/sqltrunc"
