@@ -545,7 +545,7 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
                        startVersion: Int)
     extends ScanBuilder with Scan with V1Scan
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
@@ -682,6 +682,25 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
     }
   }
 
+  /** Plan-time statistics from the manifest (r10): row count = Σ rows of
+    * the entries SURVIVING the pushed filters' file pruning, bytes ≈
+    * rows × projected row width. Catalyst's join-side selection and AQE
+    * see a real (safe: superset-of-matching) size instead of "unknown =
+    * huge" — a narrow range read of a big graft table becomes the
+    * BROADCAST side, as it should. Pre-r10 manifests (no row counts)
+    * report unknown, never a guess. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val nRows: Option[Long] = {
+      val kept = keptEntries()
+      if (kept.forall(_.rows.isDefined)) Some(kept.flatMap(_.rows).sum) else None
+    }
+    private def rowWidth: Long = math.max(1L, required.fields.map(_.dataType.defaultSize).sum.toLong)
+    override def sizeInBytes(): java.util.OptionalLong =
+      nRows.fold(java.util.OptionalLong.empty())(n => java.util.OptionalLong.of(n * rowWidth))
+    override def numRows(): java.util.OptionalLong =
+      nRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+  }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
     aggResult match {
       case Some((aggSchema, vals)) =>
@@ -731,6 +750,15 @@ class GraftV1Relation(ctx: SQLContext, base: String, version: Int,
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
+  /** Manifest-derived size (r10): rows surviving file pruning × row
+    * width — same estimate the DSv2 scan reports; the V1 fallback's
+    * default would be spark.sql.defaultSizeInBytes (= "huge"), vetoing
+    * every broadcast of a pruned graft-table side. */
+  override def sizeInBytes: Long =
+    if (kept.forall(_.rows.isDefined))
+      kept.flatMap(_.rows).sum *
+        math.max(1L, required.fields.map(_.dataType.defaultSize).sum.toLong)
+    else super.sizeInBytes
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val df =

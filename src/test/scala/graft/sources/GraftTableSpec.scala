@@ -452,6 +452,35 @@ class GraftTableSpec extends SparkTestBase {
       (0L until 4000L).sum)
   }
 
+  test("manifest row counts drive join statistics: pruned side broadcasts (r10)") {
+    val _ = wh
+    val base = s"$wh/db/statjoin"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    // scan-level: statistics equal the pruned entries' recorded rows
+    val sb = new GraftScanBuilder(base, 1,
+      TableFormat.manifestSchema(spark, base, 1).get, Seq("k"), spark, 0)
+    sb.pushFilters(Array(GreaterThanOrEqual("k", 0L), LessThanOrEqual("k", 99L)))
+    val stats = sb.estimateStatistics()
+    val total = TableFormat.manifestEntries(spark, base, 1).flatMap(_.rows).sum
+    assert(stats.numRows.isPresent && stats.numRows.getAsLong < total,
+      s"pruned stats ${stats.numRows} not below table rows $total")
+    // end-to-end: the narrow graft side of a join is chosen for BROADCAST
+    // (pre-r10 the V1 fallback reported defaultSizeInBytes = huge and the
+    // join planned sort-merge)
+    (0L until 4000L).map(i => (i, i * 2)).toDF("k", "w")
+      .createOrReplaceTempView("stat_probe")
+    val joined = spark.sql(
+      """SELECT count(1) FROM stat_probe j
+        |JOIN (SELECT k FROM graft.db.statjoin WHERE k BETWEEN 0 AND 99) g
+        |ON j.k = g.k""".stripMargin)
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"pruned graft side did not broadcast:\n${joined.queryExecution.executedPlan}")
+    assert(joined.head.getLong(0) == 100)
+  }
+
   test("TRUNCATE TABLE empties the snapshot; prior versions stay readable (r10)") {
     val _ = wh
     val base = s"$wh/db/sqltrunc"
