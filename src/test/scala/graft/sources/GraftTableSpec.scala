@@ -481,6 +481,28 @@ class GraftTableSpec extends SparkTestBase {
     assert(joined.head.getLong(0) == 100)
   }
 
+  test("CREATE TABLE AS SELECT lands as create + append commits (r10)") {
+    val _ = wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.ctas")
+    (0L until 500L).map(i => (i, s"r$i")).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft.db.ctas AS SELECT k, v FROM ctas_src WHERE k < 300")
+    assert(spark.sql("SELECT count(1) FROM graft.db.ctas").head.getLong(0) == 300)
+    assert(spark.sql("SELECT * FROM graft.db.ctas").schema.fieldNames.toSeq == Seq("k", "v"))
+    // partitioned CTAS: the declared clustering column flows into the
+    // written files' stats
+    spark.sql("DROP TABLE IF EXISTS graft.db.ctasp")
+    spark.sql(
+      "CREATE TABLE graft.db.ctasp PARTITIONED BY (k) AS SELECT k, v FROM ctas_src")
+    val base = s"$wh/db/ctasp"
+    val v = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestStatsCols(spark, base, v) == Seq("k"))
+    val entries = TableFormat.manifestEntries(spark, base, v)
+    assert(entries.nonEmpty && entries.forall(e => e.lo.isDefined && e.hi.isDefined),
+      s"CTAS into a partitioned table lost stats: $entries")
+    assert(spark.sql("SELECT count(1) FROM graft.db.ctasp").head.getLong(0) == 500)
+  }
+
   test("TRUNCATE TABLE empties the snapshot; prior versions stay readable (r10)") {
     val _ = wh
     val base = s"$wh/db/sqltrunc"
