@@ -1033,18 +1033,8 @@ object TableFormat {
   def appendCommitStaged(spark: SparkSession, base: String, paths: Seq[String],
                          schema: StructType, txn: Option[(String, Long)] = None,
                          maxRetries: Int = 10): Int = {
-    val conf = spark.sparkContext.hadoopConfiguration
     def entriesFor(statsCols: Seq[String]): Seq[ManifestEntry] =
-      paths.sorted.map { p =>
-        val (st, nRows) = footerStats(conf, p, statsCols)
-        val first = statsCols.headOption.map(st)
-        val second = statsCols.drop(1).headOption.map(st)
-        ManifestEntry(p,
-          first.flatMap(_._1), first.flatMap(_._2),
-          second.flatMap(_._1), second.flatMap(_._2),
-          nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
-          rows = Some(nRows))
-      }
+      entriesFromFooters(spark, paths, statsCols)
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
@@ -1094,6 +1084,23 @@ object TableFormat {
           "now current — a concurrent commit landed mid-operation; publishing the " +
           "stale replacement would drop its rows. Re-run the statement")
 
+  /** Manifest entries for pre-staged files: one footer open each for
+    * the row count + bounds/nulls of the declared stats columns. */
+  private def entriesFromFooters(spark: SparkSession, paths: Seq[String],
+                                 statsCols: Seq[String]): Seq[ManifestEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.sorted.map { p =>
+      val (st, nRows) = footerStats(conf, p, statsCols)
+      val first = statsCols.headOption.map(st)
+      val second = statsCols.drop(1).headOption.map(st)
+      ManifestEntry(p,
+        first.flatMap(_._1), first.flatMap(_._2),
+        second.flatMap(_._1), second.flatMap(_._2),
+        nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
+        rows = Some(nRows))
+    }
+  }
+
   def replaceCommitStaged(spark: SparkSession, base: String, paths: Seq[String],
                           schema: StructType, maxRetries: Int = 10,
                           carried: Seq[ManifestEntry] = Seq.empty,
@@ -1107,19 +1114,37 @@ object TableFormat {
       basedOnVersion.filter(_ != parentV).foreach(v =>
         throw new ConcurrentModificationException(base, v, parentV))
       val statsCols = if (parentV == 0) Nil else manifestStatsCols(spark, base, parentV)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val staged = paths.sorted.map { p =>
-        val (st, nRows) = footerStats(conf, p, statsCols)
-        val first = statsCols.headOption.map(st)
-        val second = statsCols.drop(1).headOption.map(st)
-        ManifestEntry(p,
-          first.flatMap(_._1), first.flatMap(_._2),
-          second.flatMap(_._1), second.flatMap(_._2),
-          nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
-          rows = Some(nRows))
-      }
+      val staged = entriesFromFooters(spark, paths, statsCols)
       try
         return writeManifest(spark, base, parentV + 1, schema.json, carried ++ staged,
+          txn = None, statsCols = statsCols, op = "replace")
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Publish pre-staged files as a whole-table definition with an
+    * EXPLICIT clustering declaration (r10) — the commit half of atomic
+    * CTAS / `REPLACE TABLE … AS SELECT` through the staging catalog:
+    * unlike [[replaceCommitStaged]] (row-level rewrites, which INHERIT
+    * the parent's `#stats` header), the new table definition's declared
+    * columns win — REPLACE TABLE re-declares the schema AND the
+    * clustering. Works for a fresh table too (latestVersion 0 → v1, the
+    * put-if-absent CAS arbitrates racing CTAS). Prior versions of a
+    * replaced table stay time-travel readable. */
+  def replaceTableStaged(spark: SparkSession, base: String, paths: Seq[String],
+                         schema: StructType, statsCols: Seq[String],
+                         maxRetries: Int = 10): Int = {
+    val staged = entriesFromFooters(spark, paths, statsCols)
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      try
+        return writeManifest(spark, base, parentV + 1, schema.json, staged,
           txn = None, statsCols = statsCols, op = "replace")
       catch {
         case e: CommitConflictException =>

@@ -44,7 +44,8 @@ import graft.operators.TableFormat
   * Reference basis: catalog/time-travel surface mirrors what
   * `pcap-to-parquet` users get from querying its parquet output through
   * engines like DuckDB (README.md:21-24), lifted to a versioned table. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -115,19 +116,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * long-typed and reads prune only integral stats columns (a
     * bucket/days transform or a string key would record meaningless
     * bounds) — same guard as the scan side. */
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
-    val path = tablePath(ident)
-    // Spark already guarded existence via loadTable, so anything here
-    // lacks _CURRENT — but that does NOT make it deletable debris (r9,
-    // ADVICE r8 #3): namespaces and tables share the warehouse tree, so
-    // a populated namespace directory (or unrelated data parked at the
-    // path) must never be recursively destroyed by CREATE TABLE. Only
-    // reclaim an empty dir or a recognizably half-created table: at most
-    // a `data/` staging dir, and NO `_manifests` (a manifest means a
-    // COMMITTED snapshot whose pointer write crashed — recoverable, not
-    // debris).
+  /** Existence/debris guard shared by CREATE TABLE and staged CTAS:
+    * anything at the path lacking `_CURRENT` is NOT automatically
+    * deletable debris (r9, ADVICE r8 #3) — namespaces and tables share
+    * the warehouse tree, so a populated namespace directory (or
+    * unrelated data parked at the path) must never be recursively
+    * destroyed. Only reclaim an empty dir or a recognizably
+    * half-created table: at most a `data/` staging dir, and NO
+    * `_manifests` (a manifest means a COMMITTED snapshot whose pointer
+    * write crashed — recoverable, not debris). */
+  private def ensureCreatablePath(path: String): Unit = {
     val p = new HadoopPath(path)
     if (fs.exists(p)) {
       val children = fs.listStatus(p).map(_.getPath.getName).toSet
@@ -138,7 +136,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           s"(contains: ${children.toSeq.sorted.mkString(", ")}) — refusing to delete; " +
           "drop it explicitly or pick another table name")
       fs.delete(p, true)
+      ()
     }
+  }
+
+  /** `PARTITIONED BY` → clustering-column validation shared by CREATE
+    * TABLE, CTAS, and REPLACE TABLE (identity transforms on integral
+    * columns only — see [[createTable]]). */
+  private def clusterColsOf(schema: StructType,
+                            partitions: Array[Transform]): Seq[String] = {
     val clusterCols = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
@@ -160,7 +166,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             "(e.g. an epoch-day INT) so file skipping can actually prune")
       }
     }
-    TableFormat.createEmpty(spark, path, schema, clusterCols)
+    clusterCols
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    ensureCreatablePath(path)
+    TableFormat.createEmpty(spark, path, schema, clusterColsOf(schema, partitions))
     new GraftTable(path, None, spark)
   }
   /** `ALTER TABLE … ADD COLUMN` (r10, VERDICT r9 #3): widen the recorded
@@ -229,6 +243,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     fs.exists(p) && (cascade || fs.listStatus(p).isEmpty) && fs.delete(p, true)
   }
 
+  /** ATOMIC CTAS / `[CREATE OR] REPLACE TABLE … AS SELECT` (r10) —
+    * `StagingTableCatalog`: the query's tasks write data files into the
+    * table's tree, NOTHING is visible until `commitStagedChanges`
+    * publishes ONE manifest (put-if-absent CAS — racing CTAS lose
+    * loudly, half-written queries leave only invisible orphans for
+    * vacuum). REPLACE lands as a parentless `replace` commit, so the
+    * replaced table's history stays time-travel readable — and the NEW
+    * definition's `PARTITIONED BY` wins (the staged files' footer
+    * stats land under the new declaration). */
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    val path = tablePath(ident)
+    ensureCreatablePath(path)
+    new GraftStagedTable(path, info.schema(),
+      clusterColsOf(info.schema(), info.partitions()), requireAbsent = true, spark)
+  }
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(path, info.schema(),
+      clusterColsOf(info.schema(), info.partitions()), requireAbsent = false, spark)
+  }
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    val path = tablePath(ident)
+    if (!isTable(path)) ensureCreatablePath(path)
+    new GraftStagedTable(path, info.schema(),
+      clusterColsOf(info.schema(), info.partitions()), requireAbsent = false, spark)
+  }
+
   /** SQL maintenance surface (r10, VERDICT r9 #2):
     * `CALL graft.system.<verb>(…)` — see [[GraftProcedures]]. */
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -244,6 +289,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (namespace.toSeq == Seq("system"))
       GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+}
+
+/** The staged half of atomic CTAS/RTAS (r10): collects each task's
+  * committed file path, publishes them as ONE manifest on
+  * `commitStagedChanges` — v1 for a fresh table, a parentless `replace`
+  * commit otherwise (history stays readable). Until then nothing
+  * references the staged files, so a failed or aborted query leaves
+  * only invisible orphans (vacuum's province). The new definition's
+  * clustering declaration becomes the `#stats` header, with footer
+  * bounds read per staged file. */
+private[sources] class GraftStagedTable(path: String, tableSchema: StructType,
+                                        clusterCols: Seq[String],
+                                        requireAbsent: Boolean, spark: SparkSession)
+    extends StagedTable with SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def fs = new HadoopPath(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def name(): String = s"graft:$path (staged)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // SupportsTruncate: RTAS plans its write with truncate semantics —
+  // trivially satisfied here, the staged commit REPLACES the whole
+  // definition regardless
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
+      with SupportsTruncate {
+    override def truncate(): WriteBuilder = this
+    override def build(): Write = new Write with BatchWrite {
+      override def toBatch: BatchWrite = this
+      override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+        new GraftBatchWriterFactory(
+          s"$path/data/stage_${java.util.UUID.randomUUID.toString.take(8)}",
+          info.schema(), new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        staged.synchronized {
+          staged ++= messages.collect { case GraftFileMessage(Some(p), _) => p }
+          ()
+        }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.collect { case GraftFileMessage(Some(p), _) => p }
+          .foreach(p => try fs.delete(new HadoopPath(p), false) catch { case _: Exception => () })
+    }
+  }
+
+  override def commitStagedChanges(): Unit = {
+    if (requireAbsent && TableFormat.latestVersion(spark, path) > 0)
+      throw new IllegalStateException(
+        s"graft catalog: $path gained a committed snapshot while this CTAS was " +
+          "staging — refusing to overwrite it (re-run as CREATE OR REPLACE)")
+    TableFormat.replaceTableStaged(spark, path, staged.toSeq, tableSchema, clusterCols)
+    ()
+  }
+  override def abortStagedChanges(): Unit =
+    staged.synchronized {
+      staged.foreach(p => try fs.delete(new HadoopPath(p), false) catch { case _: Exception => () })
+      staged.clear()
+    }
 }
 
 /** Standalone provider for the same table:

@@ -503,6 +503,34 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(1) FROM graft.db.ctasp").head.getLong(0) == 500)
   }
 
+  test("REPLACE TABLE AS SELECT publishes atomically; replaced history stays readable (r10)") {
+    val _ = wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.rtas")
+    (0L until 300L).map(i => (i, s"r$i")).toDF("k", "v").createOrReplaceTempView("rtas_src")
+    spark.sql("CREATE TABLE graft.db.rtas AS SELECT k, v FROM rtas_src")
+    val base = s"$wh/db/rtas"
+    val v1 = TableFormat.currentVersion(spark, base)
+    // REPLACE: new schema AND new clustering declaration win
+    spark.sql(
+      """REPLACE TABLE graft.db.rtas PARTITIONED BY (k2)
+        |AS SELECT k * 2 AS k2 FROM rtas_src WHERE k < 100""".stripMargin)
+    assert(spark.sql("SELECT count(1), max(k2) FROM graft.db.rtas").head match {
+      case r => (r.getLong(0), r.getLong(1)) == ((100L, 198L))
+    })
+    assert(spark.sql("SELECT * FROM graft.db.rtas").schema.fieldNames.toSeq == Seq("k2"))
+    val v2 = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestStatsCols(spark, base, v2) == Seq("k2"),
+      "REPLACE TABLE did not re-declare the clustering column")
+    assert(TableFormat.manifestEntries(spark, base, v2).forall(_.rows.isDefined))
+    // the replaced definition is STILL time-travel readable
+    assert(spark.sql(s"SELECT count(1) FROM graft.db.rtas VERSION AS OF $v1")
+      .head.getLong(0) == 300)
+    // CREATE OR REPLACE on a fresh name just creates
+    spark.sql("DROP TABLE IF EXISTS graft.db.corp")
+    spark.sql("CREATE OR REPLACE TABLE graft.db.corp AS SELECT k FROM rtas_src WHERE k < 7")
+    assert(spark.sql("SELECT count(1) FROM graft.db.corp").head.getLong(0) == 7)
+  }
+
   test("TRUNCATE TABLE empties the snapshot; prior versions stay readable (r10)") {
     val _ = wh
     val base = s"$wh/db/sqltrunc"
