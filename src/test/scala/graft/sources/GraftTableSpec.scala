@@ -383,14 +383,18 @@ class GraftTableSpec extends SparkTestBase {
     // RESTORE via SQL: metadata-only rollback to the pre-optimize layout
     val r = spark.sql("CALL graft.system.restore('db.maint', 5)").head
     assert(r.getInt(0) == 5 && r.getInt(1) == 7, s"got $r")
+    // named arguments resolve against the declared parameter names
+    val r2 = spark.sql("CALL graft.system.restore(`table` => 'db.maint', version => 5)").head
+    assert(r2.getInt(0) == 5 && r2.getInt(1) == 8, s"named-arg CALL: got $r2")
     assert(TableFormat.manifestFiles(spark, base, 7) == TableFormat.manifestFiles(spark, base, 5))
     // VACUUM via SQL: retain the last 2 versions, superseded layouts reclaimed
     val vac = spark.sql("CALL graft.system.vacuum('db.maint', 2)").head
     assert(vac.getInt(0) > 0, s"vacuum deleted nothing: $vac")
     assert(spark.sql("SELECT count(1) FROM graft.db.maint").head.getLong(0) == 4000)
-    // history shows the maintenance trail (vacuumed versions drop out)
+    // history shows the maintenance trail (vacuumed versions drop out:
+    // retain_last=2 keeps v7+v8, both restore commits)
     val hist = TableFormat.history(spark, base).map(h => h._1 -> h._2).toMap
-    assert(hist.get(6).contains("optimize") && hist.get(7).contains("restore"), s"got $hist")
+    assert(hist.get(7).contains("restore") && hist.get(8).contains("restore"), s"got $hist")
     // unknown procedure fails by name (Spark wraps it as FAILED_TO_LOAD_ROUTINE)
     val e = intercept[Exception] { spark.sql("CALL graft.system.nope('db.maint')") }
     assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
