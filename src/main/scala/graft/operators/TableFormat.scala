@@ -78,17 +78,28 @@ object TableFormat {
   final case class ManifestEntry(path: String, lo: Option[Long], hi: Option[Long],
                                  lo2: Option[Long] = None, hi2: Option[Long] = None,
                                  nulls: Option[Long] = None, nulls2: Option[Long] = None,
-                                 rows: Option[Long] = None) {
+                                 rows: Option[Long] = None,
+                                 dv: Option[String] = None,
+                                 dvRows: Option[Long] = None) {
     private def f(o: Option[Long]) = o.fold("")(_.toString)
     // `rows` (r10) always serializes in the full 8-field form — the
     // count is what metadata-only aggregate pushdown sums; entries
-    // parsed from pre-r10 manifests round-trip in their original form
+    // parsed from pre-r10 manifests round-trip in their original form.
+    // `dv`/`dvRows` (r10, merge-on-read deletes) extend to a 10-field
+    // form ONLY when a deletion vector is attached — a dv-free entry
+    // keeps its shorter spelling, so older manifests and dv-free tables
+    // are byte-identical to before the feature existed.
     def line: String =
-      if (rows.isDefined)
+      if (dv.isDefined)
+        s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}\t${f(rows)}\t${dv.get}\t${f(dvRows)}"
+      else if (rows.isDefined)
         s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}\t${f(rows)}"
       else if (lo2.isEmpty && hi2.isEmpty && nulls2.isEmpty)
         s"$path\t${f(lo)}\t${f(hi)}\t${f(nulls)}"
       else s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}"
+    /** Rows still visible through the deletion vector — what COUNT
+      * pushdown and size estimation must use instead of raw `rows`. */
+    def liveRows: Option[Long] = rows.map(_ - dvRows.getOrElse(0L))
     private def inter(l: Option[Long], h: Option[Long], qLo: Long, qHi: Long) =
       (l, h) match {
         case (Some(lv), Some(hv)) => hv >= qLo && lv <= qHi
@@ -111,6 +122,9 @@ object TableFormat {
         ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2))
       case Array(p, l, h, l2, h2, n, n2, r) =>
         ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2), opt(r))
+      case Array(p, l, h, l2, h2, n, n2, r, dvp, dvr) =>
+        ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2), opt(r),
+          dv = if (dvp.isEmpty) None else Some(dvp), dvRows = opt(dvr))
       case other => ManifestEntry(other.head, None, None)
     }
   }
@@ -300,6 +314,25 @@ object TableFormat {
     * map pushed predicates onto the file-skipping index. */
   private val StatsPrefix = "#stats\t"
 
+  /** `#props` header (r10): the table's user properties (TBLPROPERTIES)
+    * as URL-encoded k=v pairs — versioned metadata like the schema, so
+    * time travel sees the properties a snapshot was committed under.
+    * Every commit INHERITS the parent's props unless it explicitly sets
+    * them ([[alterPropsCommit]]); pre-r10 manifests simply have none. */
+  private val PropsPrefix = "#props\t"
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** The table properties snapshot `version` was committed with. */
+  def manifestProps(spark: SparkSession, base: String, version: Int): Map[String, String] =
+    manifestHeader(spark, base, version, PropsPrefix).map { body =>
+      body.split("\t").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        dec(kv.substring(0, i)) -> dec(kv.substring(i + 1))
+      }.toMap
+    }.getOrElse(Map.empty)
+
   /** `#op` header (r9): WHAT KIND of commit produced this version —
     * `append`, `replace`, `delete`, `merge`, `compact`, `restore`. The
     * change-data-feed ([[readChanges]]) needs it for exactly one
@@ -340,10 +373,24 @@ object TableFormat {
                             schemaJson: String, entries: Seq[ManifestEntry],
                             txn: Option[(String, Long)],
                             statsCols: Seq[String] = Nil,
-                            op: String = "append"): Int = {
+                            op: String = "append",
+                            props: Option[Map[String, String]] = None): Int = {
+    // properties flow with the table unless this commit sets them:
+    // None = inherit the parent's #props verbatim (absent parent or
+    // pre-props manifest → none), Some(m) = write m (empty m clears)
+    val effProps = props.getOrElse {
+      if (version <= 1) Map.empty[String, String]
+      else
+        try manifestProps(spark, base, version - 1)
+        catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
+    }
     val header = Seq(SchemaPrefix + schemaJson) ++
       (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
       Seq(OpPrefix + op) ++
+      (if (effProps.nonEmpty)
+         Seq(PropsPrefix + effProps.toSeq.sortBy(_._1)
+           .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("\t"))
+       else Nil) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
     // put-if-absent (r8): v$N.manifest is the commit's compare-and-swap
     // slot — two committers from the same parent CANNOT both win it; the
@@ -472,7 +519,8 @@ object TableFormat {
     val rewritten =
       if (straddling.isEmpty) Seq.empty
       else writeDataFiles(spark, base, newCommitDir(base, version),
-        readFiles(spark, base, v, straddling.map(_.path))
+        readEntriesDf(spark, base, v, straddling) // dv-aware: a straddling
+          // file's already-deleted rows must not resurrect in the rewrite
           .filter(!(col(statsCol) >= lo && col(statsCol) <= hi) || col(statsCol).isNull),
         Some(statsCol))
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
@@ -539,7 +587,7 @@ object TableFormat {
       if (touched.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](),
           DataType.fromJson(schemaJson).asInstanceOf[StructType])
-      else readFiles(spark, base, v, touched.map(_.path))
+      else readEntriesDf(spark, base, v, touched) // dv-aware (see deleteWhere)
     // survivors (keys NOT in the change set) + the full change set
     val merged = baseRows.join(changes, Seq(key), "left_anti").unionByName(changes)
     val nFiles = math.max(2, spark.sparkContext.defaultParallelism / 8)
@@ -569,7 +617,10 @@ object TableFormat {
       f.getFileStatus(new Path(e.path)).getLen < smallBytes)
     if (small.size < 2) return (v, 0) // nothing to consolidate
     val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
-      readFiles(spark, base, v, small.map(_.path)).coalesce(targetFiles),
+      // dv-aware read: compacting a dv-carrying file MATERIALIZES its
+      // deletes — the consolidated output holds live rows only and the
+      // superseded dv ages out with its manifests
+      readEntriesDf(spark, base, v, small).coalesce(targetFiles),
       statsCol = None)
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
@@ -591,7 +642,17 @@ object TableFormat {
     require(retain.contains(cur),
       s"vacuum must retain the current version $cur (got ${retain.mkString(",")})")
     val f = fs(spark, base)
-    val referenced = retain.flatMap(v => manifestFiles(spark, base, v))
+    val retainedEntriesAll = retain.flatMap(v => manifestEntries(spark, base, v))
+    // a retained manifest references dv DIRS; the walk below sees their
+    // PART files — expand each referenced dv dir to its files (r10)
+    val dvFiles = retainedEntriesAll.flatMap(_.dv).distinct.flatMap { d =>
+      val dp = new Path(d)
+      if (f.exists(dp))
+        f.listStatus(dp).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toUri.getPath)
+      else Seq.empty
+    }
+    val referenced = (retainedEntriesAll.map(_.path) ++ dvFiles)
       .map(p => new Path(p).toUri.getPath).toSet
     var deleted = 0
     var kept = 0
@@ -646,6 +707,148 @@ object TableFormat {
       .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(ManifestEntry.parse)
 
+  /** DELETION VECTORS (r10) — merge-on-read deletes. A dv file is a
+    * parquet relation of (file_path, row_index) pairs naming the rows
+    * deleted from still-referenced data files; `file_path` holds the
+    * value Spark's `_metadata.file_path` reports for the data file (the
+    * join key on the read side), `row_index` the row's file-global
+    * ordinal (`_metadata.row_index`). One dv directory per delete
+    * commit, referenced from each affected entry's `dv` field; an
+    * entry's dv always describes its COMPLETE deletion state (a later
+    * delete writes a superseding dv carrying old + new positions), so a
+    * reader consults exactly one dv per file. Dv dirs live under
+    * `base/data/` like any commit and are vacuumed once no retained
+    * manifest references them. */
+  private[graft] val DvFileCol = "file_path"
+  private[graft] val DvPosCol = "row_index"
+
+  /** Scheme-insensitive path identity (same normalization as the SQL
+    * layer's runtime filter): manifest entries spell Hadoop
+    * `Path.toString` (`file:/x`), `_metadata.file_path` spells a URI
+    * (`file:///x`) — equal files, different spellings. */
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** The distinct (file_path, row_index) pairs of the dv dirs `entries`
+    * reference, or None when no entry carries a dv. Distinct matters: a
+    * superseding dv repeats the pairs of the dir it replaced, and a
+    * snapshot can reference both dirs through different entries. */
+  private def dvPairsOf(spark: SparkSession, entries: Seq[ManifestEntry]): Option[DataFrame] = {
+    val dirs = entries.flatMap(_.dv).distinct
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select(DvFileCol, DvPosCol).distinct())
+  }
+
+  /** Read `entries` under `schemaVersion`'s recorded schema with each
+    * entry's deletion vector applied. Dv-free entries take the plain
+    * parquet path (zero overhead — the anti-join exists only for files
+    * that actually carry deletes); dv-carrying entries read with the
+    * parquet metadata columns and anti-join the broadcast dv pairs on
+    * (file_path, row_index). The dv side is positions-only (16 bytes a
+    * row), so broadcasting is bounded by the table's DELETED-row count —
+    * merge-on-read is the right mode for small scattered deletes; bulk
+    * deletes belong on the copy-on-write path ([[deleteRows]]), exactly
+    * Delta's guidance for its own deletion vectors. `keepPos = true`
+    * retains the `__fp`/`__ri` metadata columns in the output (what
+    * [[deleteRowsDV]] matches new positions from); `fileCol` names an
+    * output column to carry `_metadata.file_path` (the SQL `_file`
+    * metadata column). */
+  private[graft] def readEntriesDf(spark: SparkSession, base: String,
+                                   schemaVersion: Int, entries: Seq[ManifestEntry],
+                                   keepPos: Boolean = false,
+                                   fileCol: Option[String] = None): DataFrame = {
+    require(entries.nonEmpty, "readEntriesDf: empty entry list (caller owns the empty case)")
+    val (dvd, plain) = entries.partition(_.dv.isDefined)
+    def decorate(df: DataFrame) = {
+      val withF = fileCol.fold(df)(c => df.withColumn(c, col("_metadata.file_path")))
+      if (keepPos)
+        withF.withColumn("__fp", col("_metadata.file_path"))
+             .withColumn("__ri", col("_metadata.row_index"))
+      else withF
+    }
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(decorate(readFiles(spark, base, schemaVersion, plain.map(_.path))))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val data = readFiles(spark, base, schemaVersion, dvd.map(_.path))
+          .withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__ri", col("_metadata.row_index"))
+        val pairs = dvPairsOf(spark, dvd).get
+        val joined = data.join(broadcast(pairs),
+          data("__fp") === pairs(DvFileCol) && data("__ri") === pairs(DvPosCol),
+          "left_anti")
+        val withF = fileCol.fold(joined)(c => joined.withColumn(c, col("__fp")))
+        Some(if (keepPos) withF else withF.drop("__fp", "__ri"))
+      }
+    (plainDf.toSeq ++ dvdDf.toSeq).reduce(_ unionByName _)
+  }
+
+  /** MERGE-ON-READ DELETE commit (r10) — remove every row where `cond`
+    * is TRUE without rewriting ANY data file: the matched rows' file
+    * positions are written as a deletion vector and the affected
+    * entries re-enter the manifest pointing at it. The copy-on-write
+    * [[deleteRows]] pays IO proportional to the SIZE of the touched
+    * files; this pays IO proportional to the COUNT of deleted rows —
+    * the right trade for small scattered deletes (GDPR row removals,
+    * late-arriving corrections) where CoW would rewrite gigabytes to
+    * drop kilobytes. Reads stay correct through [[readEntriesDf]]'s
+    * anti-join; a file whose every row is deleted drops out of the
+    * manifest entirely (no dv needed); [[compact]] / OPTIMIZE
+    * materialize dvs back into clean files. `bounds` prune candidate
+    * files by manifest stats exactly like [[deleteRows]]. Returns
+    * (newVersion, filesWithDv, filesTotal). */
+  def deleteRowsDV(spark: SparkSession, base: String, cond: Column,
+                   bounds: Seq[(Long, Long)] = Nil): (Int, Int, Int) = {
+    val v = currentVersion(spark, base)
+    val version = v + 1
+    val entries = manifestEntries(spark, base, v)
+    val statsCols = manifestStatsCols(spark, base, v)
+    val touched = entries.filter { e =>
+      bounds.zipWithIndex.forall {
+        case ((lo, hi), 0) => e.mayMatch(lo, hi)
+        case ((lo, hi), 1) => e.mayMatch2(lo, hi)
+        case _ => true
+      }
+    }
+    val untouched = entries.filterNot(touched.toSet)
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    if (touched.isEmpty) return (v, 0, entries.size) // stats prove nothing matches
+    // positions matched THIS delete — computed over the LIVE rows (the
+    // existing dv is applied first, so already-deleted rows can't be
+    // re-matched), NULL-valued conditions keep their rows (SQL DELETE)
+    val newPairs = readEntriesDf(spark, base, v, touched, keepPos = true)
+      .filter(coalesce(cond, lit(false)))
+      .select(col("__fp").as(DvFileCol), col("__ri").as(DvPosCol))
+    // superseding dv = old positions ∪ new positions for the touched
+    // files (an entry's dv must describe its complete deletion state —
+    // see the invariant above). Pairs the old dirs carry for files
+    // outside `touched` ride along harmlessly: no entry will reference
+    // them through this dir, and `distinct` bounds the duplication.
+    val allPairs = dvPairsOf(spark, touched)
+      .fold(newPairs)(old => newPairs.unionByName(old)).distinct()
+    val dvDir = s"$base/data/dv${version}_${java.util.UUID.randomUUID.toString.take(8)}"
+    // one file: a dv is positions-only — even a million deleted rows is
+    // ~16 MB; a delete big enough to strain one task belongs on CoW
+    allPairs.coalesce(1).write.parquet(dvDir)
+    // per-file deleted counts from the WRITTEN dv (tiny metadata read):
+    // drives live-row accounting and the full-file drop below
+    val counts: Map[String, Long] =
+      spark.read.parquet(dvDir).groupBy(DvFileCol).count()
+        .collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+    var withDv = 0
+    val updated = touched.flatMap { e =>
+      val n = counts.getOrElse(normPath(e.path), 0L)
+      if (n == 0L) Some(e) // no matches in this file: carries over as-is
+      else if (e.rows.contains(n)) None // every row deleted: file drops out
+      else { withDv += 1; Some(e.copy(dv = Some(dvDir), dvRows = Some(n))) }
+    }
+    val out = writeManifest(spark, base, version, schemaJson, untouched ++ updated,
+      txn = None, statsCols = statsCols, op = "delete_dv")
+    (out, withDv, entries.size)
+  }
+
   /** The data files snapshot `version` consists of. */
   def manifestFiles(spark: SparkSession, base: String, version: Int): Seq[String] =
     manifestEntries(spark, base, version).map(_.path)
@@ -680,9 +883,9 @@ object TableFormat {
   def readSnapshot(spark: SparkSession, base: String,
                    version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, base))
-    val files = manifestFiles(spark, base, v)
-    if (files.isEmpty) emptySnapshot(spark, base, v)
-    else readFiles(spark, base, v, files)
+    val entries = manifestEntries(spark, base, v)
+    if (entries.isEmpty) emptySnapshot(spark, base, v)
+    else readEntriesDf(spark, base, v, entries)
   }
 
   /** FILE SKIPPING — the reason table formats carry stats: resolve the
@@ -702,7 +905,7 @@ object TableFormat {
     val keep = entries.filter(_.mayMatch(lo, hi))
     val df =
       (if (keep.isEmpty) emptySnapshot(spark, base, v)
-       else readFiles(spark, base, v, keep.map(_.path)))
+       else readEntriesDf(spark, base, v, keep))
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     (df, (keep.size, entries.size))
   }
@@ -798,7 +1001,7 @@ object TableFormat {
     val keep = entries.filter(e => e.mayMatch(lo1, hi1) && e.mayMatch2(lo2, hi2))
     val df =
       (if (keep.isEmpty) emptySnapshot(spark, base, v)
-       else readFiles(spark, base, v, keep.map(_.path)))
+       else readEntriesDf(spark, base, v, keep))
         .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
                 col(c2) >= lo2 && col(c2) <= hi2)
     (df, (keep.size, entries.size))
@@ -836,6 +1039,17 @@ object TableFormat {
     if (version == 0) Seq.empty
     else
       try manifestFiles(spark, base, version)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new VersionNotRetainedException(base, version, caller)
+      }
+
+  /** [[manifestEntries]] under the same loud retention contract. */
+  private def retainedEntries(spark: SparkSession, base: String, version: Int,
+                              caller: String): Seq[ManifestEntry] =
+    if (version == 0) Seq.empty
+    else
+      try manifestEntries(spark, base, version)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new VersionNotRetainedException(base, version, caller)
@@ -885,14 +1099,20 @@ object TableFormat {
     require(fromVersion >= 0,
       s"readChanges: fromVersion $fromVersion must be >= 0 (0 = before the first commit)")
     val steps = ((fromVersion + 1) to toVersion).map { v =>
-      val before = retainedFiles(spark, base, v - 1, "readChanges")
-      val after = retainedFiles(spark, base, v, "readChanges")
-      val added = after.filterNot(before.toSet)
-      val removed = before.filterNot(after.toSet)
+      val before = retainedEntries(spark, base, v - 1, "readChanges")
+      val after = retainedEntries(spark, base, v, "readChanges")
+      // entry identity is (path, dv) — a deletion vector changing under
+      // an unchanged path IS a content change (r10): path-only diffing
+      // would see a dv-delete (or a restore across one) as a no-op
+      def key(e: ManifestEntry) = (normPath(e.path), e.dv)
+      val beforeKeys = before.map(key).toSet
+      val afterKeys = after.map(key).toSet
+      val added = after.filterNot(e => beforeKeys(key(e)))
+      val removed = before.filterNot(e => afterKeys(key(e)))
       val op = manifestOp(spark, base, v)
-      def read(files: Seq[String]) =
-        if (files.isEmpty) emptySnapshot(spark, base, toVersion)
-        else readFiles(spark, base, toVersion, files)
+      def read(entries: Seq[ManifestEntry]) =
+        if (entries.isEmpty) emptySnapshot(spark, base, toVersion)
+        else readEntriesDf(spark, base, toVersion, entries)
       def tag(df: DataFrame, t: String) =
         df.withColumn("_change_type", lit(t))
           .withColumn("_commit_version", lit(v))
@@ -900,6 +1120,33 @@ object TableFormat {
         case Some("compact") | Some("optimize") => Seq.empty // bytes moved, no rows changed
         case Some("alter") => Seq.empty // schema widened, no files touched at all
         case Some("append") => Seq(tag(read(added), "insert"))
+        case Some("delete_dv") =>
+          // merge-on-read delete: no bytes moved, only dvs grew (and
+          // fully-deleted files dropped). Emitting the deletes needs the
+          // POSITION diff, not the payload diff — read only the affected
+          // files once and semi-join the new-this-commit positions,
+          // instead of the generic exceptAll over both full sides.
+          val beforeByPath = before.map(e => normPath(e.path) -> e).toMap
+          val dropped = removed.filterNot(e => after.exists(a => normPath(a.path) == normPath(e.path)))
+          // dv pointer changed → candidate; identical pairs diff to zero
+          val grown = added.filter(e => beforeByPath.contains(normPath(e.path)))
+          val droppedDeletes =
+            if (dropped.isEmpty) None else Some(tag(read(dropped), "delete"))
+          val grownDeletes =
+            if (grown.isEmpty) None
+            else {
+              val data = readFiles(spark, base, toVersion, grown.map(_.path))
+                .withColumn("__fp", col("_metadata.file_path"))
+                .withColumn("__ri", col("_metadata.row_index"))
+              val afterPairs = dvPairsOf(spark, grown).get
+              val beforePairs =
+                dvPairsOf(spark, grown.flatMap(e => beforeByPath.get(normPath(e.path))))
+              val diff = beforePairs.fold(afterPairs)(b => afterPairs.exceptAll(b))
+              Some(tag(data.join(broadcast(diff),
+                data("__fp") === diff(DvFileCol) && data("__ri") === diff(DvPosCol),
+                "left_semi").drop("__fp", "__ri"), "delete"))
+            }
+          (droppedDeletes.toSeq ++ grownDeletes.toSeq)
         case _ => // delete / merge / replace / restore / pre-r9: full diff
           val a = read(added)
           val r = read(removed)
@@ -1166,11 +1413,42 @@ object TableFormat {
     * the same reads without small-file explosion on high-cardinality
     * keys — the Delta liquid-clustering argument). */
   def createEmpty(spark: SparkSession, base: String, schema: StructType,
-                  statsCols: Seq[String]): Int = {
+                  statsCols: Seq[String],
+                  props: Map[String, String] = Map.empty): Int = {
     require(statsCols.size <= 2,
       s"createEmpty: at most 2 clustering columns (got ${statsCols.mkString(", ")})")
     writeManifest(spark, base, 1, schema.json, Seq.empty, txn = None,
-      statsCols = statsCols, op = "replace")
+      statsCols = statsCols, op = "replace", props = Some(props))
+  }
+
+  /** PROPERTIES commit (r10): re-publish the current snapshot's entries
+    * with `set` applied and `unset` removed from the table properties —
+    * the `ALTER TABLE … SET/UNSET TBLPROPERTIES` commit. Pure metadata
+    * (same files, stats, schema; zero data IO), rides the OCC loop, and
+    * time travel to earlier versions reads THEIR properties (versioned
+    * config, the Delta/Iceberg behavior). Returns the new version. */
+  def alterPropsCommit(spark: SparkSession, base: String,
+                       set: Map[String, String], unset: Seq[String] = Nil,
+                       maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      require(parentV > 0, s"table $base: cannot ALTER a table with no commits")
+      val schemaJson = manifestSchema(spark, base, parentV).map(_.json).getOrElse(
+        throw new IllegalStateException(s"table $base v$parentV has no schema header"))
+      val merged = (manifestProps(spark, base, parentV) ++ set) -- unset
+      try
+        return writeManifest(spark, base, parentV + 1, schemaJson,
+          manifestEntries(spark, base, parentV), txn = None,
+          statsCols = manifestStatsCols(spark, base, parentV), op = "alter",
+          props = Some(merged))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   /** SCHEMA-ALTER commit (r10, VERDICT r9 #3): re-publish the current
@@ -1288,7 +1566,7 @@ object TableFormat {
     val rewritten =
       if (touched.isEmpty) Seq.empty
       else writeDataFiles(spark, base, newCommitDir(base, version),
-        readFiles(spark, base, v, touched.map(_.path))
+        readEntriesDf(spark, base, v, touched) // dv-aware (see deleteWhere)
           .filter(!coalesce(cond, lit(false))),
         statsCols.headOption, statsCols.drop(1).headOption)
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
@@ -1347,6 +1625,31 @@ object TableFormat {
       .select(col("o_orderkey"), col("o_totalprice"))
     commit(spark, base, orders, 1, parent = None, statsCol = Some("o_orderkey"))
     deleteWhere(spark, base, "o_orderkey", 1000L, 2000L)
+    def snap(label: String, version: Option[Int]) =
+      readSnapshot(spark, base, version)
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .select(lit(label).as("version"), col("n"), col("sum_price"))
+    snap("v1", Some(1)).unionByName(snap("v2", None))
+      .orderBy(col("version").asc)
+  }
+
+  /** `table_delete_dv` (r10): v1 = orders range-clustered on o_orderkey;
+    * v2 = [[deleteRowsDV]] of every 97th key — a SCATTERED delete, the
+    * shape where copy-on-write degrades to a near-full rewrite (every
+    * file straddles some matching key) while merge-on-read writes one
+    * positions-only deletion vector and moves ZERO data bytes (the
+    * file-set invariance is spec-pinned; file identity isn't
+    * SQL-expressible). Output: per-version aggregates — v1 via time
+    * travel, v2 through the dv-applying read; oracle recomputes both
+    * from the source. */
+  def tableDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/dv_table"
+    fs(spark, base).delete(new Path(base), true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    commit(spark, base, orders, 1, parent = None, statsCol = Some("o_orderkey"))
+    deleteRowsDV(spark, base, pmod(col("o_orderkey"), lit(97)) === 0)
     def snap(label: String, version: Option[Int]) =
       readSnapshot(spark, base, version)
         .agg(count(lit(1)).as("n"),
@@ -1605,6 +1908,7 @@ object TableFormat {
     "table_schema_evol" -> (tableSchemaEvol _),
     "table_timetravel" -> (tableTimetravel _),
     "table_delete" -> (tableDelete _),
+    "table_delete_dv" -> (tableDeleteDv _),
     "table_fileskip" -> (tableFileskip _),
     "table_compact" -> (tableCompact _),
     "table_incremental" -> (tableIncremental _),
@@ -1692,6 +1996,15 @@ object TableFormat {
         |SELECT 'v2', count(1),
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2000
+        |ORDER BY version ASC NULLS FIRST""".stripMargin,
+    "table_delete_dv" ->
+      """SELECT 'v1' AS version, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |UNION ALL
+        |SELECT 'v2', count(1),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 97 <> 0
         |ORDER BY version ASC NULLS FIRST""".stripMargin,
     "table_fileskip" ->
       """SELECT o_orderpriority, count(1) AS n,

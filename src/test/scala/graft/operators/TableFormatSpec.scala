@@ -662,4 +662,104 @@ class TableFormatSpec extends SparkTestBase {
     assert(ins == (0L until 10L), s"got $ins")
     assert(ch.filter(col("_change_type") === "delete").count() == 0)
   }
+
+  test("merge-on-read delete: zero data files rewritten, reads exact, stats prune the dv scope (r10)") {
+    val base = freshBase("tf_dv")
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"),
+      clusterFiles = Some(8))
+    val v1Files = TableFormat.manifestFiles(spark, base, 1).toSet
+    assert(v1Files.size >= 4, "premise: range-clustered commit produced several files")
+    // scattered single-row deletes — CoW would rewrite a file per row
+    val targets = Seq(7L, 1500L, 3999L)
+    val (v2, withDv, total) = TableFormat.deleteRowsDV(spark, base,
+      col("k").isin(targets: _*), bounds = Seq((7L, 3999L)))
+    assert(v2 == 2 && withDv >= 1 && withDv <= 3 && total == v1Files.size)
+    // THE point: the data file set is untouched — only dvs attached
+    assert(TableFormat.manifestFiles(spark, base, 2).toSet == v1Files,
+      "merge-on-read delete moved data bytes")
+    val live = TableFormat.readSnapshot(spark, base)
+    assert(live.count() == 4000 - 3)
+    assert(live.filter(col("k").isin(targets: _*)).count() == 0)
+    // time travel: the pre-delete snapshot still sees every row
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 4000)
+    // stats-pruned read path applies the dv too
+    val (df, (kept, all)) = TableFormat.readSnapshotWhere(spark, base, "k", 1490L, 1510L)
+    assert(kept < all, "premise: the range read pruned files")
+    assert(df.count() == 20 && df.filter(col("k") === 1500L).count() == 0)
+    // a SECOND dv delete supersedes: both generations stay deleted
+    val (v3, _, _) = TableFormat.deleteRowsDV(spark, base, col("k") === 8L)
+    assert(v3 == 3)
+    val live3 = TableFormat.readSnapshot(spark, base)
+    assert(live3.count() == 4000 - 4)
+    assert(live3.filter(col("k").isin(7L, 8L, 1500L, 3999L)).count() == 0)
+    assert(TableFormat.manifestFiles(spark, base, 3).toSet == v1Files)
+  }
+
+  test("dv lifecycle: CDF reports exact deletes, CoW paths apply dvs, compact materializes, vacuum keeps referenced dvs (r10)") {
+    val base = freshBase("tf_dv_life")
+    val rows = (0L until 1000L).map(i => (i, i % 10)).toDF("k", "grp")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val (v2, _, _) = TableFormat.deleteRowsDV(spark, base, col("k").isin(5L, 500L, 995L))
+    // CDF: the dv commit emits EXACTLY the deleted rows, no inserts
+    val ch = TableFormat.readChanges(spark, base, 1, v2)
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+    val dels = ch.filter(col("_change_type") === "delete")
+      .select(col("k")).as[Long].collect().sorted.toSeq
+    assert(dels == Seq(5L, 500L, 995L), s"got $dels")
+    // a LATER CoW delete must not resurrect dv-deleted rows in its rewrite
+    TableFormat.deleteWhere(spark, base, "k", 990L, 992L)
+    val afterCow = TableFormat.readSnapshot(spark, base)
+    assert(afterCow.count() == 1000 - 3 - 3)
+    assert(afterCow.filter(col("k") === 995L).count() == 0,
+      "CoW rewrite resurrected a dv-deleted row")
+    // compact materializes: consolidated entries carry no dv, rows exact
+    val (v4, nCompacted) = TableFormat.compact(spark, base, smallBytes = 1L << 30)
+    assert(nCompacted >= 2)
+    assert(TableFormat.manifestEntries(spark, base, v4).forall(_.dv.isEmpty),
+      "compacted snapshot still references dvs")
+    assert(TableFormat.readSnapshot(spark, base).count() == 994)
+    // vacuum to the current (dv-free) version: dv dirs age out with their
+    // manifests, data stays intact
+    val (deleted, keptN) = TableFormat.vacuum(spark, base, retain = Seq(v4))
+    assert(deleted > 0 && keptN > 0)
+    assert(TableFormat.readSnapshot(spark, base).count() == 994)
+    // and a vacuum that RETAINS a dv version keeps its dv files readable
+    val base2 = freshBase("tf_dv_vac2")
+    TableFormat.commit(spark, base2, rows, 1, None, statsCol = Some("k"))
+    val (w2, _, _) = TableFormat.deleteRowsDV(spark, base2, col("k") === 77L)
+    TableFormat.vacuum(spark, base2, retain = Seq(w2))
+    assert(TableFormat.readSnapshot(spark, base2).count() == 999)
+    assert(TableFormat.readSnapshot(spark, base2).filter(col("k") === 77L).count() == 0,
+      "vacuum reclaimed a dv still referenced by the retained manifest")
+  }
+
+  test("dv full-file deletion drops the entry; mergeInto over a dv file keeps deletes (r10)") {
+    val base = freshBase("tf_dv_full")
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    val entries = TableFormat.manifestEntries(spark, base, 1)
+    // pick one whole file's range and dv-delete all of it
+    val victim = entries.find(e => e.lo.isDefined && e.hi.isDefined).get
+    val (v2, _, _) = TableFormat.deleteRowsDV(spark, base,
+      col("k") >= victim.lo.get && col("k") <= victim.hi.get && col("k").isNotNull)
+    val files2 = TableFormat.manifestFiles(spark, base, v2)
+    assert(!files2.contains(victim.path),
+      "fully-deleted file should drop out of the manifest, not carry a full dv")
+    val expect2 = 4000L - (victim.hi.get - victim.lo.get + 1)
+    assert(TableFormat.readSnapshot(spark, base).count() == expect2)
+    // now dv-delete one surviving row, then MERGE over its key range:
+    // the rewrite must apply the dv (no resurrection), and the upsert lands
+    val survivor = TableFormat.readSnapshot(spark, base)
+      .agg(max(col("k"))).collect()(0).getLong(0)
+    TableFormat.deleteRowsDV(spark, base, col("k") === survivor)
+    val changes = Seq((survivor - 1, "UPDATED")).toDF("k", "v")
+    TableFormat.mergeInto(spark, base, changes, "k")
+    val fin = TableFormat.readSnapshot(spark, base)
+    assert(fin.filter(col("k") === survivor).count() == 0,
+      "merge rewrite resurrected a dv-deleted row")
+    assert(fin.filter(col("k") === survivor - 1).select("v").as[String].collect()
+      .toSeq == Seq("UPDATED"))
+    assert(fin.count() == expect2 - 1)
+  }
 }

@@ -731,4 +731,87 @@ class GraftTableSpec extends SparkTestBase {
       assert(ex.getMessage.contains("APPEND") || ex.getCause != null)
     } finally q.stop()
   }
+
+  test("SQL DELETE under merge-on-read: zero files rewritten, scans/COUNT/MERGE all dv-aware (r10)") {
+    val _ = wh
+    val base = s"$wh/db/sqldv"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 4000L).map(i => (i, i)).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"),
+      clusterFiles = Some(8))
+    val v1Files = TableFormat.manifestFiles(spark, base, 1).toSet
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try {
+      spark.sql("DELETE FROM graft.db.sqldv WHERE k IN (3, 1111, 2222, 3333)")
+      // the defining property: the data file set did not move
+      assert(TableFormat.manifestFiles(spark, base, 2).toSet == v1Files,
+        "merge-on-read SQL DELETE rewrote data files")
+      assert(TableFormat.manifestOp(spark, base, 2).contains("delete_dv"))
+      // V1Relation scan path applies the dv
+      assert(spark.sql("SELECT count(1) AS n FROM graft.db.sqldv WHERE k < 100")
+        .head.getLong(0) == 99)
+      // metadata-only COUNT(*) pushdown stays EXACT via live row counts
+      assert(spark.sql("SELECT count(*) FROM graft.db.sqldv").head.getLong(0) == 3996)
+      // MIN/MAX must NOT be answered from (now stale-capable) bounds:
+      // delete the current max and ask again
+      spark.sql("DELETE FROM graft.db.sqldv WHERE k = 3999")
+      assert(spark.sql("SELECT max(k) FROM graft.db.sqldv").head.getLong(0) == 3998)
+      // SQL MERGE over the dv table: the row-level CoW scan must skip
+      // dv-deleted rows (no resurrection) while applying the upsert
+      Seq((2222L, -1L), (5000L, -2L)).toDF("k", "v")
+        .createOrReplaceTempView("dv_changes")
+      spark.sql(
+        """MERGE INTO graft.db.sqldv t USING dv_changes s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val fin = spark.sql("SELECT k, v FROM graft.db.sqldv").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!fin.contains(3L) && !fin.contains(1111L) && !fin.contains(3999L),
+        "MERGE resurrected dv-deleted rows")
+      assert(fin(2222L) == -1L && fin(5000L) == -2L)
+      // 4000 - 4 dv-deletes - 1 dv-delete + re-inserted 2222 + new 5000
+      assert(fin.size == 3997)
+    } finally spark.conf.unset("spark.graft.delete.mode")
+  }
+
+  test("TBLPROPERTIES persist in the manifest, version with the table, and route delete.mode (r10)") {
+    val _ = wh
+    val base = s"$wh/db/props_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.props_spec (k BIGINT, v BIGINT)
+        |PARTITIONED BY (k)
+        |TBLPROPERTIES ('delete.mode' = 'merge-on-read', 'team' = 'ingest')""".stripMargin)
+    // v1 props as declared; engine bookkeeping (provider) filtered out
+    val p1 = TableFormat.manifestProps(spark, base, 1)
+    assert(p1 == Map("delete.mode" -> "merge-on-read", "team" -> "ingest"), p1.toString)
+    // props INHERIT through ordinary commits
+    (0L until 2000L).map(i => (i, i)).toDF("k", "v").createOrReplaceTempView("props_src")
+    spark.sql("INSERT INTO graft.db.props_spec SELECT * FROM props_src")
+    assert(TableFormat.manifestProps(spark, base, 2) == p1, "INSERT dropped the props")
+    // the TABLE PROPERTY alone routes SQL DELETE through deletion
+    // vectors — no session conf set
+    val beforeFiles = TableFormat.manifestFiles(spark, base, 2).toSet
+    spark.sql("DELETE FROM graft.db.props_spec WHERE k IN (5, 1500)")
+    assert(TableFormat.manifestOp(spark, base, 3).contains("delete_dv"))
+    assert(TableFormat.manifestFiles(spark, base, 3).toSet == beforeFiles)
+    assert(spark.sql("SELECT count(*) FROM graft.db.props_spec").head.getLong(0) == 1998)
+    // SET/UNSET commit metadata-only revisions; SHOW reads them back
+    spark.sql("ALTER TABLE graft.db.props_spec SET TBLPROPERTIES " +
+      "('delete.mode' = 'copy-on-write', 'quality.tier' = 'gold')")
+    spark.sql("ALTER TABLE graft.db.props_spec UNSET TBLPROPERTIES ('team')")
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.db.props_spec").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown == Map("delete.mode" -> "copy-on-write", "quality.tier" -> "gold"), shown.toString)
+    // properties are VERSIONED: the pre-alter manifests still carry theirs
+    assert(TableFormat.manifestProps(spark, base, 3)("delete.mode") == "merge-on-read")
+    // with copy-on-write restored, the same delete shape now moves files
+    spark.sql("DELETE FROM graft.db.props_spec WHERE k IN (6, 1501)")
+    val vNow = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestOp(spark, base, vNow).contains("delete"))
+    assert(TableFormat.manifestFiles(spark, base, vNow).toSet != beforeFiles)
+    assert(spark.sql("SELECT count(*) FROM graft.db.props_spec").head.getLong(0) == 1996)
+  }
 }
