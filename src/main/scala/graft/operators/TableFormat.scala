@@ -250,17 +250,33 @@ object TableFormat {
   private def writeDataFiles(spark: SparkSession, base: String, commitDir: String,
                              df: DataFrame, statsCol: Option[String],
                              statsCol2: Option[String] = None): Seq[ManifestEntry] = {
-    df.write.mode("overwrite").parquet(commitDir)
+    // column mapping (r10): files ALWAYS store physical names — a table
+    // whose `#colmap` diverges writes through one logical→physical
+    // aliasing select, so files created after a rename are byte-layout
+    // identical to files created before it (rename never forks the
+    // on-disk naming). Footer stats read back under physical names too.
+    val cm: Map[String, String] = {
+      val v = latestVersion(spark, base)
+      if (v == 0) Map.empty
+      else
+        try manifestColmap(spark, base, v).filter { case (l, p) => l != p }
+        catch { case _: java.io.FileNotFoundException => Map.empty }
+    }
+    val physDf =
+      if (cm.isEmpty) df
+      else df.select(df.columns.toSeq.map(c => col(c).as(cm.getOrElse(c, c))): _*)
+    def phys(c: String) = cm.getOrElse(c, c)
+    physDf.write.mode("overwrite").parquet(commitDir)
     val f = fs(spark, base)
     val newFiles = f.listStatus(new Path(commitDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
     val conf = spark.sparkContext.hadoopConfiguration
-    val cols = statsCol.toSeq ++ statsCol2.toSeq
+    val cols = (statsCol.toSeq ++ statsCol2.toSeq).map(phys)
     newFiles.map { p =>
       val (st, nRows) = footerStats(conf, p, cols)
-      val first = statsCol.map(st)
-      val second = statsCol2.map(st)
+      val first = statsCol.map(c => st(phys(c)))
+      val second = statsCol2.map(c => st(phys(c)))
       ManifestEntry(p,
         first.flatMap(_._1), first.flatMap(_._2),
         second.flatMap(_._1), second.flatMap(_._2),
@@ -333,6 +349,35 @@ object TableFormat {
       }.toMap
     }.getOrElse(Map.empty)
 
+  /** `#colmap` header (r10): logical→PHYSICAL column-name mapping — the
+    * Delta column-mapping (name mode) / Iceberg rename device. A
+    * column's physical name (what parquet files store) NEVER changes;
+    * RENAME only re-points the logical name, so zero data files move
+    * and files written before or after the rename read identically.
+    * Only columns whose names diverge appear here. `#tombstones` lists
+    * physical names that once held data under a now-retired meaning
+    * (dropped columns, or names vacated by rename): ADD COLUMN re-using
+    * such a name is assigned a FRESH physical name, so old files'
+    * stale bytes can never resurrect under the new column. Both
+    * headers inherit through commits like `#props`. */
+  private val ColmapPrefix = "#colmap\t"
+  private val TombstonesPrefix = "#tombstones\t"
+
+  /** logical → physical name map of snapshot `version` (empty = all
+    * columns store under their logical names). */
+  def manifestColmap(spark: SparkSession, base: String, version: Int): Map[String, String] =
+    manifestHeader(spark, base, version, ColmapPrefix).map { body =>
+      body.split("\t").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        dec(kv.substring(0, i)) -> dec(kv.substring(i + 1))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Physical names retired by DROP/RENAME as of `version`. */
+  def manifestTombstones(spark: SparkSession, base: String, version: Int): Set[String] =
+    manifestHeader(spark, base, version, TombstonesPrefix)
+      .map(_.split("\t").toSet.filter(_.nonEmpty).map(dec)).getOrElse(Set.empty)
+
   /** `#op` header (r9): WHAT KIND of commit produced this version —
     * `append`, `replace`, `delete`, `merge`, `compact`, `restore`. The
     * change-data-feed ([[readChanges]]) needs it for exactly one
@@ -374,22 +419,36 @@ object TableFormat {
                             txn: Option[(String, Long)],
                             statsCols: Seq[String] = Nil,
                             op: String = "append",
-                            props: Option[Map[String, String]] = None): Int = {
-    // properties flow with the table unless this commit sets them:
-    // None = inherit the parent's #props verbatim (absent parent or
-    // pre-props manifest → none), Some(m) = write m (empty m clears)
-    val effProps = props.getOrElse {
-      if (version <= 1) Map.empty[String, String]
+                            props: Option[Map[String, String]] = None,
+                            colmap: Option[Map[String, String]] = None,
+                            tombstones: Option[Set[String]] = None): Int = {
+    // properties/colmap/tombstones flow with the table unless this
+    // commit sets them: None = inherit the parent's header verbatim
+    // (absent parent or pre-feature manifest → none), Some = write it
+    def inherited[A](read: => A, empty: A): A =
+      if (version <= 1) empty
       else
-        try manifestProps(spark, base, version - 1)
-        catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
-    }
+        try read
+        catch { case _: java.io.FileNotFoundException => empty }
+    val effProps = props.getOrElse(
+      inherited(manifestProps(spark, base, version - 1), Map.empty[String, String]))
+    val effColmap = colmap.getOrElse(
+      inherited(manifestColmap(spark, base, version - 1), Map.empty[String, String]))
+    val effTombs = tombstones.getOrElse(
+      inherited(manifestTombstones(spark, base, version - 1), Set.empty[String]))
     val header = Seq(SchemaPrefix + schemaJson) ++
       (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
       Seq(OpPrefix + op) ++
       (if (effProps.nonEmpty)
          Seq(PropsPrefix + effProps.toSeq.sortBy(_._1)
            .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("\t"))
+       else Nil) ++
+      (if (effColmap.nonEmpty)
+         Seq(ColmapPrefix + effColmap.toSeq.sortBy(_._1)
+           .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("\t"))
+       else Nil) ++
+      (if (effTombs.nonEmpty)
+         Seq(TombstonesPrefix + effTombs.toSeq.sorted.map(enc).mkString("\t"))
        else Nil) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
     // put-if-absent (r8): v$N.manifest is the commit's compare-and-swap
@@ -457,7 +516,25 @@ object TableFormat {
         if (parentV == 0) None else manifestSchema(spark, base, parentV)
       val mergedSchema = parentSchema.fold(df.schema) { ps =>
         val have = ps.fieldNames.toSet
-        StructType(ps.fields ++ df.schema.fields.filterNot(f => have(f.name)))
+        val added = df.schema.fields.filterNot(f => have(f.name))
+        // implicit evolution cannot re-use a RETIRED or in-use physical
+        // name (r10): the appended files are already staged under the
+        // new column's own spelling, so the colmap fresh-name device
+        // (which must act BEFORE any data lands) can't apply here —
+        // route such adds through ALTER TABLE ADD COLUMN instead
+        if (added.nonEmpty) {
+          val tombs = manifestTombstones(spark, base, parentV)
+          val cm = manifestColmap(spark, base, parentV)
+          val physInUse = ps.fieldNames.map(n => cm.getOrElse(n, n)).toSet -- have
+          added.foreach { f =>
+            require(!tombs(f.name) && !physInUse(f.name),
+              s"appendCommit: column ${f.name} re-uses a retired physical name " +
+                "(a dropped or renamed-away column once stored bytes under it); " +
+                "add it via ALTER TABLE ADD COLUMN, which assigns a fresh " +
+                "physical spelling")
+          }
+        }
+        StructType(ps.fields ++ added)
       }
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
@@ -696,10 +773,38 @@ object TableFormat {
     * Delta/Iceberg add-only default). */
   private[graft] def readFiles(spark: SparkSession, base: String, version: Int,
                                files: Seq[String]): DataFrame =
+    readFilesWith(spark, base, version, files, withPos = false)
+
+  /** [[readFiles]] plus column-mapping resolution and (optionally) the
+    * parquet metadata position columns. Under a `#colmap`, files are
+    * read under the PHYSICAL schema and re-aliased to logical names in
+    * ONE select (sequential renames could collide when a vacated
+    * physical name was re-used as another column's logical name); the
+    * position columns are derived BEFORE that projection — `_metadata`
+    * resolves only against the file-source relation itself. */
+  private[graft] def readFilesWith(spark: SparkSession, base: String, version: Int,
+                                   files: Seq[String], withPos: Boolean): DataFrame = {
+    def pos(df: DataFrame) =
+      if (withPos)
+        df.withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__ri", col("_metadata.row_index"))
+      else df
     manifestSchema(spark, base, version) match {
-      case Some(schema) => spark.read.schema(schema).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+      case Some(schema) =>
+        val cm = manifestColmap(spark, base, version).filter { case (l, p) => l != p }
+        if (cm.isEmpty) pos(spark.read.schema(schema).parquet(files: _*))
+        else {
+          val phys = StructType(schema.fields.map(f =>
+            f.copy(name = cm.getOrElse(f.name, f.name))))
+          val raw = pos(spark.read.schema(phys).parquet(files: _*))
+          val cols = schema.fields.toSeq.map(f =>
+            col(cm.getOrElse(f.name, f.name)).as(f.name)) ++
+            (if (withPos) Seq(col("__fp"), col("__ri")) else Nil)
+          raw.select(cols: _*)
+        }
+      case None => pos(spark.read.parquet(files: _*))
     }
+  }
 
   /** The manifest entries (file + stats) of snapshot `version`. */
   def manifestEntries(spark: SparkSession, base: String, version: Int): Seq[ManifestEntry] =
@@ -758,22 +863,22 @@ object TableFormat {
                                    fileCol: Option[String] = None): DataFrame = {
     require(entries.nonEmpty, "readEntriesDf: empty entry list (caller owns the empty case)")
     val (dvd, plain) = entries.partition(_.dv.isDefined)
+    val needPos = keepPos || fileCol.isDefined
     def decorate(df: DataFrame) = {
-      val withF = fileCol.fold(df)(c => df.withColumn(c, col("_metadata.file_path")))
-      if (keepPos)
-        withF.withColumn("__fp", col("_metadata.file_path"))
-             .withColumn("__ri", col("_metadata.row_index"))
+      val withF = fileCol.fold(df)(c => df.withColumn(c, col("__fp")))
+      if (keepPos) withF
+      else if (needPos) withF.drop("__fp", "__ri")
       else withF
     }
     val plainDf =
       if (plain.isEmpty) None
-      else Some(decorate(readFiles(spark, base, schemaVersion, plain.map(_.path))))
+      else Some(decorate(readFilesWith(spark, base, schemaVersion,
+        plain.map(_.path), withPos = needPos)))
     val dvdDf =
       if (dvd.isEmpty) None
       else {
-        val data = readFiles(spark, base, schemaVersion, dvd.map(_.path))
-          .withColumn("__fp", col("_metadata.file_path"))
-          .withColumn("__ri", col("_metadata.row_index"))
+        val data = readFilesWith(spark, base, schemaVersion, dvd.map(_.path),
+          withPos = true)
         val pairs = dvPairsOf(spark, dvd).get
         val joined = data.join(broadcast(pairs),
           data("__fp") === pairs(DvFileCol) && data("__ri") === pairs(DvPosCol),
@@ -1135,9 +1240,8 @@ object TableFormat {
           val grownDeletes =
             if (grown.isEmpty) None
             else {
-              val data = readFiles(spark, base, toVersion, grown.map(_.path))
-                .withColumn("__fp", col("_metadata.file_path"))
-                .withColumn("__ri", col("_metadata.row_index"))
+              val data = readFilesWith(spark, base, toVersion, grown.map(_.path),
+                withPos = true)
               val afterPairs = dvPairsOf(spark, grown).get
               val beforePairs =
                 dvPairsOf(spark, grown.flatMap(e => beforeByPath.get(normPath(e.path))))
@@ -1280,14 +1384,16 @@ object TableFormat {
   def appendCommitStaged(spark: SparkSession, base: String, paths: Seq[String],
                          schema: StructType, txn: Option[(String, Long)] = None,
                          maxRetries: Int = 10): Int = {
-    def entriesFor(statsCols: Seq[String]): Seq[ManifestEntry] =
-      entriesFromFooters(spark, paths, statsCols)
+    def entriesFor(statsCols: Seq[String], cm: Map[String, String]): Seq[ManifestEntry] =
+      entriesFromFooters(spark, paths, statsCols, cm)
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
       val parentEntries =
         if (parentV == 0) Seq.empty else manifestEntries(spark, base, parentV)
       val statsCols = if (parentV == 0) Nil else manifestStatsCols(spark, base, parentV)
+      val cm = if (parentV == 0) Map.empty[String, String]
+               else manifestColmap(spark, base, parentV)
       val parentSchema =
         if (parentV == 0) None else manifestSchema(spark, base, parentV)
       val mergedSchema = parentSchema.fold(schema) { ps =>
@@ -1296,7 +1402,7 @@ object TableFormat {
       }
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
-          parentEntries ++ entriesFor(statsCols), txn, statsCols = statsCols)
+          parentEntries ++ entriesFor(statsCols, cm), txn, statsCols = statsCols)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -1334,12 +1440,14 @@ object TableFormat {
   /** Manifest entries for pre-staged files: one footer open each for
     * the row count + bounds/nulls of the declared stats columns. */
   private def entriesFromFooters(spark: SparkSession, paths: Seq[String],
-                                 statsCols: Seq[String]): Seq[ManifestEntry] = {
+                                 statsCols: Seq[String],
+                                 colmap: Map[String, String] = Map.empty): Seq[ManifestEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val physCols = statsCols.map(c => colmap.getOrElse(c, c))
     paths.sorted.map { p =>
-      val (st, nRows) = footerStats(conf, p, statsCols)
-      val first = statsCols.headOption.map(st)
-      val second = statsCols.drop(1).headOption.map(st)
+      val (st, nRows) = footerStats(conf, p, physCols)
+      val first = physCols.headOption.map(st)
+      val second = physCols.drop(1).headOption.map(st)
       ManifestEntry(p,
         first.flatMap(_._1), first.flatMap(_._2),
         second.flatMap(_._1), second.flatMap(_._2),
@@ -1361,7 +1469,9 @@ object TableFormat {
       basedOnVersion.filter(_ != parentV).foreach(v =>
         throw new ConcurrentModificationException(base, v, parentV))
       val statsCols = if (parentV == 0) Nil else manifestStatsCols(spark, base, parentV)
-      val staged = entriesFromFooters(spark, paths, statsCols)
+      val cm = if (parentV == 0) Map.empty[String, String]
+               else manifestColmap(spark, base, parentV)
+      val staged = entriesFromFooters(spark, paths, statsCols, cm)
       try
         return writeManifest(spark, base, parentV + 1, schema.json, carried ++ staged,
           txn = None, statsCols = statsCols, op = "replace")
@@ -1391,8 +1501,12 @@ object TableFormat {
     while (true) {
       val parentV = latestVersion(spark, base)
       try
+        // a table REDEFINITION resets the column mapping: the staged
+        // files store the new schema's literal names, and carrying an
+        // old colmap/tombstones forward would misread them (r10)
         return writeManifest(spark, base, parentV + 1, schema.json, staged,
-          txn = None, statsCols = statsCols, op = "replace")
+          txn = None, statsCols = statsCols, op = "replace",
+          colmap = Some(Map.empty), tombstones = Some(Set.empty))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -1473,10 +1587,122 @@ object TableFormat {
           s"alterSchemaCommit: column ${f.name} (${f.dataType.simpleString}) " +
             "missing or retyped in the new schema — evolution is add-only")
       }
+      // an ADDED column whose name is a retired or in-use PHYSICAL name
+      // gets a fresh physical spelling via the colmap (r10) — otherwise
+      // pre-drop/pre-rename files would resurrect their stale bytes
+      // under the new column
+      val cm = manifestColmap(spark, base, parentV)
+      val tombs = manifestTombstones(spark, base, parentV)
+      val parentNames = parent.fieldNames.toSet
+      val physInUse = parent.fieldNames.map(n => cm.getOrElse(n, n)).toSet
+      val newCm = schema.fields.filterNot(f => parentNames(f.name)).foldLeft(cm) {
+        (m, f) =>
+          if (tombs(f.name) || physInUse(f.name))
+            m + (f.name -> s"${f.name}__r${parentV + 1}")
+          else m
+      }
       try
         return writeManifest(spark, base, parentV + 1, schema.json,
           manifestEntries(spark, base, parentV), txn = None,
-          statsCols = manifestStatsCols(spark, base, parentV), op = "alter")
+          statsCols = manifestStatsCols(spark, base, parentV), op = "alter",
+          colmap = Some(newCm))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** RENAME COLUMN commit (r10) — pure metadata, zero data IO: the
+    * logical name re-points at the column's unchanged PHYSICAL name
+    * through the `#colmap` header, the recorded schema and `#stats`
+    * header swap to the new spelling, and the old logical name joins
+    * the tombstones (re-adding it later must not read this column's
+    * bytes). Files written before and after the rename are identical on
+    * disk — the mapping is resolved at read time, exactly Delta's
+    * column-mapping name mode. Time travel reads old versions under
+    * their own names. Returns the new version. */
+  def alterRenameCommit(spark: SparkSession, base: String,
+                        oldName: String, newName: String,
+                        maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      require(parentV > 0, s"table $base: cannot ALTER a table with no commits")
+      val parent = manifestSchema(spark, base, parentV).getOrElse(
+        throw new IllegalStateException(s"table $base v$parentV has no schema header"))
+      require(parent.fieldNames.contains(oldName),
+        s"alterRenameCommit: no column $oldName in ${parent.fieldNames.mkString(", ")}")
+      require(!parent.fieldNames.contains(newName),
+        s"alterRenameCommit: column $newName already exists")
+      val cm = manifestColmap(spark, base, parentV)
+      val physical = cm.getOrElse(oldName, oldName)
+      val newSchema = StructType(parent.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val newCm = (cm - oldName) + (newName -> physical)
+      // no tombstone: the vacated logical name's physical spelling is
+      // STILL in use (by the renamed column), and the ADD-COLUMN guard
+      // checks in-use physicals as well as tombstones — a later ADD of
+      // the old name gets a fresh physical either way
+      val statsCols = manifestStatsCols(spark, base, parentV)
+        .map(c => if (c == oldName) newName else c)
+      try
+        return writeManifest(spark, base, parentV + 1, newSchema.json,
+          manifestEntries(spark, base, parentV), txn = None,
+          statsCols = statsCols, op = "alter",
+          colmap = Some(newCm))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** DROP COLUMN commit (r10) — pure metadata, zero data IO: the field
+    * leaves the recorded schema (reads with an explicit schema simply
+    * ignore the column's bytes still sitting in old files), its
+    * physical name joins the tombstones so a later ADD COLUMN of the
+    * same name cannot resurrect them, and a dropped STATS column
+    * remaps the per-entry stats slots (second slot promotes to first
+    * when the first drops — the positional triples must keep meaning
+    * what the `#stats` header says). Time travel to pre-drop versions
+    * still reads the column. Returns the new version. */
+  def alterDropCommit(spark: SparkSession, base: String, colName: String,
+                      maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      require(parentV > 0, s"table $base: cannot ALTER a table with no commits")
+      val parent = manifestSchema(spark, base, parentV).getOrElse(
+        throw new IllegalStateException(s"table $base v$parentV has no schema header"))
+      require(parent.fieldNames.contains(colName),
+        s"alterDropCommit: no column $colName in ${parent.fieldNames.mkString(", ")}")
+      require(parent.fields.length > 1,
+        s"alterDropCommit: cannot drop the only column of $base")
+      val cm = manifestColmap(spark, base, parentV)
+      val physical = cm.getOrElse(colName, colName)
+      val newSchema = StructType(parent.fields.filterNot(_.name == colName))
+      val statsCols = manifestStatsCols(spark, base, parentV)
+      val entries = manifestEntries(spark, base, parentV)
+      val (newStats, newEntries) = statsCols.indexOf(colName) match {
+        case 0 => // first stats slot drops: promote the second
+          (statsCols.drop(1), entries.map(e => e.copy(
+            lo = e.lo2, hi = e.hi2, nulls = e.nulls2,
+            lo2 = None, hi2 = None, nulls2 = None)))
+        case 1 =>
+          (statsCols.take(1), entries.map(e =>
+            e.copy(lo2 = None, hi2 = None, nulls2 = None)))
+        case _ => (statsCols, entries)
+      }
+      try
+        return writeManifest(spark, base, parentV + 1, newSchema.json,
+          newEntries, txn = None, statsCols = newStats, op = "alter",
+          colmap = Some(cm - colName),
+          tombstones = Some(manifestTombstones(spark, base, parentV) + physical))
       catch {
         case e: CommitConflictException =>
           attempt += 1

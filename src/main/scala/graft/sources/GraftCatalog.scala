@@ -213,11 +213,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
     if (setProps.nonEmpty || unsetProps.nonEmpty)
       TableFormat.alterPropsCommit(spark, path, setProps, unsetProps)
-    if (schemaChanges.nonEmpty) {
+    // RENAME/DROP COLUMN (r10) are their own metadata-only commits via
+    // the column-mapping device (physical names never change); ADD
+    // COLUMNs batch into one widening commit
+    schemaChanges.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft catalog: nested RENAME COLUMN is not supported " +
+            s"(got ${r.fieldNames.mkString(".")})")
+        TableFormat.alterRenameCommit(spark, path, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft catalog: nested DROP COLUMN is not supported " +
+            s"(got ${d.fieldNames.mkString(".")})")
+        TableFormat.alterDropCommit(spark, path, d.fieldNames.head)
+      case _ => ()
+    }
+    val addChanges = schemaChanges.filterNot(c =>
+      c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn])
+    if (addChanges.nonEmpty) {
       val v = TableFormat.currentVersion(spark, path)
       val current = TableFormat.manifestSchema(spark, path, v).getOrElse(
         throw new IllegalStateException(s"table $path v$v has no schema header"))
-      val widened = schemaChanges.foldLeft(current) {
+      val widened = addChanges.foldLeft(current) {
         case (sch, add: TableChange.AddColumn) =>
           require(add.fieldNames.length == 1,
             s"graft catalog: nested ADD COLUMN is not supported " +
@@ -230,9 +248,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               "rows already written have no value for it")
           sch.add(StructField(colName, add.dataType, nullable = true))
         case (_, other) => throw new UnsupportedOperationException(
-          s"graft catalog: unsupported ALTER ($other) — schema evolution is " +
-            "add-only (ADD COLUMN); drops/renames/type changes would change " +
-            "the meaning of already-written data")
+          s"graft catalog: unsupported ALTER ($other) — supported: ADD COLUMN, " +
+            "RENAME COLUMN, DROP COLUMN, SET/UNSET TBLPROPERTIES; type changes " +
+            "would change the meaning of already-written data")
       }
       TableFormat.alterSchemaCommit(spark, path, widened)
     }
@@ -690,7 +708,8 @@ class GraftCowScanBuilder(base: String, version: Int, tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftParquetReaderFactory(tableSchema,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      appendFilePath = true)
+      appendFilePath = true,
+      colmap = TableFormat.manifestColmap(spark, base, version))
 }
 
 /** Scan with manifest-stats FILE skipping + V1 delegation to a native
@@ -1091,7 +1110,9 @@ class GraftTableMicroBatch(base: String, readSchema: StructType, startVersion: I
       .map(en => GraftFilePartition(en.path, en.dv): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftParquetReaderFactory(readSchema, conf)
+    new GraftParquetReaderFactory(readSchema, conf,
+      colmap = TableFormat.manifestColmap(spark, base,
+        TableFormat.currentVersion(spark, base)))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1107,7 +1128,8 @@ case class GraftFilePartition(file: String, dv: Option[String] = None)
   * reads as NULL. The BATCH path never comes here — it rides the native
   * parquet scan via [[GraftV1Relation]]. */
 class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoopConf,
-                                appendFilePath: Boolean = false)
+                                appendFilePath: Boolean = false,
+                                colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[GraftFilePartition]
@@ -1149,13 +1171,16 @@ class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoop
       }
       private var ordinal: Long = -1L
       private var current: Group = _
-      // per-file field resolution (by NAME — column order may differ
-      // across commits; -1 = column absent in this file → NULL)
+      // per-file field resolution (by PHYSICAL name through the colmap
+      // — column order may differ across commits, renamed columns store
+      // under their original spelling; -1 = column absent → NULL)
       private var fieldIdx: Array[Int] = _
       private def resolve(g: Group): Unit = {
         val t = g.getType
-        fieldIdx = readSchema.fields.map(f =>
-          if (t.containsField(f.name)) t.getFieldIndex(f.name) else -1)
+        fieldIdx = readSchema.fields.map { f =>
+          val phys = colmap.getOrElse(f.name, f.name)
+          if (t.containsField(phys)) t.getFieldIndex(phys) else -1
+        }
       }
       override def next(): Boolean = {
         current = reader.read()
@@ -1412,6 +1437,49 @@ object GraftCatalogOps {
       """SELECT lang, count(1) AS n_docs, count(n_chars) AS n_with_chars,
         |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
         |FROM graft.db.alt
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `sql_alter_rename_drop` (r10): RENAME/DROP COLUMN as DDL through
+    * the column-mapping device — physical names never change, so both
+    * alters are metadata-only commits (file identity spec-pinned) and
+    * files written before and after a rename read identically. The
+    * flow: ingest docs, RENAME n_chars→char_count, DROP the wordy
+    * column, INSERT more under the NEW names, aggregate. The oracle
+    * replays it with aliases over the source. */
+  def sqlAlterRenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/ren_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"),
+              org.apache.spark.sql.functions.col("source"))
+    docs.createOrReplaceTempView("src_docs_ren")
+    spark.sql(
+      """CREATE TABLE graft.db.ren_q
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT, source STRING)
+        |PARTITIONED BY (doc_id)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.ren_q SELECT * FROM src_docs_ren WHERE doc_id % 2 = 0")
+    spark.sql("ALTER TABLE graft.db.ren_q RENAME COLUMN n_chars TO char_count")
+    spark.sql("ALTER TABLE graft.db.ren_q DROP COLUMN source")
+    // the second half inserts under the POST-alter shape: old files
+    // (physical n_chars) and new files (physical n_chars via colmap)
+    // must aggregate identically under the logical char_count
+    spark.sql(
+      """INSERT INTO graft.db.ren_q
+        |SELECT doc_id, lang, n_chars AS char_count
+        |FROM src_docs_ren WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(char_count) AS BIGINT) AS sum_chars
+        |FROM graft.db.ren_q
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
@@ -1710,6 +1778,7 @@ object GraftCatalogOps {
     "sql_merge" -> (sqlMerge _),
     "sql_update" -> (sqlUpdate _),
     "sql_alter_evolution" -> (sqlAlterEvolution _),
+    "sql_alter_rename_drop" -> (sqlAlterRenameDrop _),
     "sql_tblproperties" -> (sqlTblProperties _),
     "sql_delete_dv" -> (sqlDeleteDv _),
     "sql_table_changes" -> (sqlTableChanges _),
@@ -1720,6 +1789,12 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_alter_rename_drop" ->
+      """SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_tblproperties" ->
       """SELECT 'delete.mode' AS key, 'copy-on-write' AS value
         |UNION ALL SELECT 'quality.tier', 'gold'

@@ -148,8 +148,20 @@ class GraftStreamingWrite(base: String, queryId: String, schema: StructType,
                           conf: SerializableHadoopConf)
     extends StreamingWrite {
   private def spark = SparkSession.active
+  /** Under a column mapping, staged files store PHYSICAL names — same
+    * contract as the batch write path (r10). Row layout is positional,
+    * so only the parquet field names change. */
+  private def physSchema(s: StructType): StructType = {
+    val v = TableFormat.latestVersion(spark, base)
+    if (v == 0) s
+    else {
+      val cm = TableFormat.manifestColmap(spark, base, v)
+      if (cm.isEmpty) s
+      else StructType(s.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+    }
+  }
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(s"$base/data/stream_$queryId", schema, conf)
+    new GraftStreamingWriterFactory(s"$base/data/stream_$queryId", physSchema(schema), conf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val paths = messages.collect { case GraftFileMessage(Some(p), _) => p }.toSeq
@@ -189,9 +201,17 @@ class GraftReplaceWrite(base: String, schema: StructType,
     extends Write with BatchWrite {
   private def spark = SparkSession.active
   override def toBatch: BatchWrite = this
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // physical names under a column mapping (r10) — see GraftStreamingWrite
+    val v = TableFormat.latestVersion(spark, base)
+    val cm = if (v == 0) Map.empty[String, String]
+             else TableFormat.manifestColmap(spark, base, v)
+    val phys =
+      if (cm.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
     new GraftBatchWriterFactory(
-      s"$base/data/rl_${UUID.randomUUID.toString.take(8)}", schema, conf)
+      s"$base/data/rl_${UUID.randomUUID.toString.take(8)}", phys, conf)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val paths = messages.collect { case GraftFileMessage(Some(p), _) => p }.toSeq
     // basedOn = the snapshot the operation scan read; a concurrent commit

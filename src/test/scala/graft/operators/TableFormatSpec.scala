@@ -734,6 +734,87 @@ class TableFormatSpec extends SparkTestBase {
       "vacuum reclaimed a dv still referenced by the retained manifest")
   }
 
+  test("rename column: zero data IO, old and new files read identically, stats keep pruning (r10)") {
+    val base = freshBase("tf_ren")
+    val rows = (0L until 2000L).map(i => (i, i * 10)).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"),
+      clusterFiles = Some(4))
+    val v1Files = TableFormat.manifestFiles(spark, base, 1).toSet
+    // rename the DATA column, then the STATS column — both metadata-only
+    TableFormat.alterRenameCommit(spark, base, "v", "value")
+    TableFormat.alterRenameCommit(spark, base, "k", "key")
+    assert(TableFormat.manifestFiles(spark, base, 3).toSet == v1Files,
+      "rename moved data bytes")
+    val renamed = TableFormat.readSnapshot(spark, base)
+    assert(renamed.columns.toSeq == Seq("key", "value"))
+    assert(renamed.filter(col("key") === 7L).select("value").as[Long].collect()
+      .toSeq == Seq(70L))
+    // appends AFTER the rename write under the ORIGINAL physical names:
+    // old and new files must read back identically under logical names
+    TableFormat.appendCommit(spark, base,
+      Seq((5000L, 50000L)).toDF("key", "value"), statsCol = Some("key"))
+    val all = TableFormat.readSnapshot(spark, base)
+    assert(all.count() == 2001)
+    assert(all.filter(col("key") === 5000L).select("value").as[Long].collect()
+      .toSeq == Seq(50000L))
+    // the renamed stats column still prunes files
+    val (df, (kept, total)) = TableFormat.readSnapshotWhere(spark, base, "key", 100L, 120L)
+    assert(kept < total, "rename broke the file-skipping index")
+    assert(df.count() == 21)
+    // time travel reads the OLD names
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("drop column tombstones its physical name; re-add yields NULLs, never stale bytes (r10)") {
+    val base = freshBase("tf_drop")
+    val rows = (0L until 100L).map(i => (i, s"secret$i", i * 2)).toDF("k", "payload", "w")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    TableFormat.alterDropCommit(spark, base, "payload")
+    val dropped = TableFormat.readSnapshot(spark, base)
+    assert(dropped.columns.toSeq == Seq("k", "w"), "drop left the column visible")
+    // time travel: the pre-drop version still reads it
+    assert(TableFormat.readSnapshot(spark, base, Some(1))
+      .filter(col("k") === 3L).select("payload").as[String].collect().toSeq == Seq("secret3"))
+    // re-ADD the same name: fresh physical spelling — the old files'
+    // bytes must NOT resurrect
+    val widened = org.apache.spark.sql.types.StructType(dropped.schema.fields :+
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    TableFormat.alterSchemaCommit(spark, base, widened)
+    val readded = TableFormat.readSnapshot(spark, base)
+    assert(readded.filter(col("payload").isNotNull).count() == 0,
+      "re-added column resurrected dropped bytes")
+    // new appends carry real values under the fresh physical name
+    TableFormat.appendCommit(spark, base,
+      Seq((500L, 1000L, "fresh")).toDF("k", "w", "payload"), statsCol = Some("k"))
+    val fin = TableFormat.readSnapshot(spark, base)
+    assert(fin.filter(col("payload") === "fresh").count() == 1)
+    assert(fin.filter(col("payload").isNotNull).count() == 1)
+    // implicit (appendCommit schema-merge) re-use of a retired name is
+    // rejected loudly — the fresh-name device only works through ALTER
+    TableFormat.alterDropCommit(spark, base, "payload")
+    val ex = intercept[IllegalArgumentException] {
+      TableFormat.appendCommit(spark, base,
+        Seq((501L, 1002L, "again")).toDF("k", "w", "payload"), statsCol = Some("k"))
+    }
+    assert(ex.getMessage.contains("retired physical name"))
+  }
+
+  test("dropping a stats column promotes the second slot; pruning on the survivor stays exact (r10)") {
+    val base = freshBase("tf_drop_stats")
+    val rows = (0L until 4000L).map(i => (i % 64, i / 64, i)).toDF("a", "b", "payload")
+    TableFormat.commitZorder(spark, base, rows, "a", "b", 1)
+    assert(TableFormat.manifestStatsCols(spark, base, 1) == Seq("a", "b"))
+    TableFormat.alterDropCommit(spark, base, "a")
+    assert(TableFormat.manifestStatsCols(spark, base, 2) == Seq("b"))
+    // entries' second-slot bounds promoted to the first slot: a range
+    // read on b still prunes and returns exactly b's rows
+    val (df, (kept, total)) = TableFormat.readSnapshotWhere(spark, base, "b", 10L, 12L)
+    assert(kept < total, "promoted stats slot does not prune")
+    assert(df.count() == 3 * 64)
+    assert(df.columns.toSeq == Seq("b", "payload"))
+  }
+
   test("dv full-file deletion drops the entry; mergeInto over a dv file keeps deletes (r10)") {
     val base = freshBase("tf_dv_full")
     val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")

@@ -350,9 +350,12 @@ class GraftTableSpec extends SparkTestBase {
     // time travel to the pre-alter version reads the NARROW schema
     assert(spark.sql("SELECT * FROM graft.db.sqlalter VERSION AS OF 1")
       .schema.fieldNames.toSeq == Seq("k", "v"))
-    // add-only contract: drops and renames are refused
-    intercept[Exception] { spark.sql("ALTER TABLE graft.db.sqlalter DROP COLUMN v") }
-    intercept[Exception] { spark.sql("ALTER TABLE graft.db.sqlalter RENAME COLUMN v TO w") }
+    // drops and renames are SUPPORTED since the column-mapping device
+    // landed (r10, dedicated spec below) — type changes stay refused:
+    // they would change the meaning of already-written bytes
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.sqlalter ALTER COLUMN extra TYPE STRING")
+    }
   }
 
   test("CALL graft.system.*: compact/vacuum/optimize_zorder/restore as SQL (r10)") {
@@ -773,6 +776,45 @@ class GraftTableSpec extends SparkTestBase {
       // 4000 - 4 dv-deletes - 1 dv-delete + re-inserted 2222 + new 5000
       assert(fin.size == 3997)
     } finally spark.conf.unset("spark.graft.delete.mode")
+  }
+
+  test("SQL RENAME/DROP COLUMN: metadata-only, scans and row-level rewrites speak the mapping (r10)") {
+    val _ = wh
+    val base = s"$wh/db/ren_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.ren_spec (k BIGINT, v BIGINT, junk STRING) PARTITIONED BY (k)")
+    (0L until 1000L).map(i => (i, i * 3, s"x$i")).toDF("k", "v", "junk")
+      .createOrReplaceTempView("ren_src")
+    spark.sql("INSERT INTO graft.db.ren_spec SELECT * FROM ren_src")
+    val filesBefore = TableFormat.manifestFiles(spark, base,
+      TableFormat.currentVersion(spark, base)).toSet
+    spark.sql("ALTER TABLE graft.db.ren_spec RENAME COLUMN v TO amount")
+    spark.sql("ALTER TABLE graft.db.ren_spec DROP COLUMN junk")
+    assert(TableFormat.manifestFiles(spark, base,
+      TableFormat.currentVersion(spark, base)).toSet == filesBefore,
+      "SQL rename/drop moved data bytes")
+    // scans resolve through the mapping
+    assert(spark.sql("SELECT amount FROM graft.db.ren_spec WHERE k = 7").head.getLong(0) == 21)
+    assert(!spark.table("graft.db.ren_spec").columns.contains("junk"))
+    // pushed range filter on the (still-pruning) stats column
+    assert(spark.sql("SELECT count(1) FROM graft.db.ren_spec WHERE k BETWEEN 10 AND 20")
+      .head.getLong(0) == 11)
+    // row-level rewrite (MERGE) over renamed columns: the CoW reader
+    // resolves physical names, the replace write stores them
+    Seq((7L, -7L), (2000L, -2L)).toDF("k", "amount").createOrReplaceTempView("ren_changes")
+    spark.sql(
+      """MERGE INTO graft.db.ren_spec t USING ren_changes s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = spark.sql("SELECT k, amount FROM graft.db.ren_spec WHERE k IN (7, 8, 2000)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(7L -> -7L, 8L -> 24L, 2000L -> -2L), m.toString)
+    // after the CoW rewrite the renamed column still reads everywhere
+    assert(spark.sql("SELECT count(1) FROM graft.db.ren_spec").head.getLong(0) == 1001)
+    // re-adding the dropped name yields NULLs, not the old strings
+    spark.sql("ALTER TABLE graft.db.ren_spec ADD COLUMN junk STRING")
+    assert(spark.sql("SELECT count(junk) FROM graft.db.ren_spec").head.getLong(0) == 0,
+      "re-added column resurrected dropped bytes through SQL")
   }
 
   test("TBLPROPERTIES persist in the manifest, version with the table, and route delete.mode (r10)") {
