@@ -85,5 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableHistoryTvf.name),
       graft.sources.TableHistoryTvf.info,
       graft.sources.TableHistoryTvf.builder))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableDetailTvf.name),
+      graft.sources.TableDetailTvf.info,
+      graft.sources.TableDetailTvf.builder))
   }
 }

@@ -378,6 +378,61 @@ object TableFormat {
     manifestHeader(spark, base, version, TombstonesPrefix)
       .map(_.split("\t").toSet.filter(_.nonEmpty).map(dec)).getOrElse(Set.empty)
 
+  /** `#constraints` header (r10): the table's enforced CHECK
+    * constraints as URL-encoded name=predicateSql pairs — versioned
+    * metadata inherited through commits like `#props`. Only CHECK is
+    * stored: unique/PK/FK are not enforceable without a global index
+    * (the Delta posture — CHECK + NOT NULL only). */
+  private val ConstraintsPrefix = "#constraints\t"
+
+  /** (name, predicateSql) CHECK constraints of snapshot `version`. */
+  def manifestConstraints(spark: SparkSession, base: String, version: Int): Seq[(String, String)] =
+    manifestHeader(spark, base, version, ConstraintsPrefix).map { body =>
+      body.split("\t").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        dec(kv.substring(0, i)) -> dec(kv.substring(i + 1))
+      }
+    }.getOrElse(Seq.empty)
+
+  /** CONSTRAINT commit (r10): add (`upsert`) or remove (`drop`) a CHECK
+    * constraint as a metadata-only commit (`#op alter`, OCC loop). The
+    * CALLER validates existing data before adding — this publishes the
+    * already-validated definition. */
+  def alterConstraintsCommit(spark: SparkSession, base: String,
+                             upsert: Option[(String, String)] = None,
+                             drop: Option[String] = None,
+                             maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      require(parentV > 0, s"table $base: cannot ALTER a table with no commits")
+      val schemaJson = manifestSchema(spark, base, parentV).map(_.json).getOrElse(
+        throw new IllegalStateException(s"table $base v$parentV has no schema header"))
+      val cur = manifestConstraints(spark, base, parentV)
+      val afterDrop = drop.fold(cur)(n => cur.filterNot(_._1 == n))
+      val merged = upsert.fold(afterDrop)(u =>
+        afterDrop.filterNot(_._1 == u._1) :+ u)
+      try
+        return writeManifestWithConstraints(spark, base, parentV + 1, schemaJson,
+          manifestEntries(spark, base, parentV),
+          statsCols = manifestStatsCols(spark, base, parentV), merged)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def writeManifestWithConstraints(spark: SparkSession, base: String,
+                                           version: Int, schemaJson: String,
+                                           entries: Seq[ManifestEntry],
+                                           statsCols: Seq[String],
+                                           constraints: Seq[(String, String)]): Int =
+    writeManifest(spark, base, version, schemaJson, entries, txn = None,
+      statsCols = statsCols, op = "alter", constraints = Some(constraints))
+
   /** `#op` header (r9): WHAT KIND of commit produced this version —
     * `append`, `replace`, `delete`, `merge`, `compact`, `restore`. The
     * change-data-feed ([[readChanges]]) needs it for exactly one
@@ -421,7 +476,8 @@ object TableFormat {
                             op: String = "append",
                             props: Option[Map[String, String]] = None,
                             colmap: Option[Map[String, String]] = None,
-                            tombstones: Option[Set[String]] = None): Int = {
+                            tombstones: Option[Set[String]] = None,
+                            constraints: Option[Seq[(String, String)]] = None): Int = {
     // properties/colmap/tombstones flow with the table unless this
     // commit sets them: None = inherit the parent's header verbatim
     // (absent parent or pre-feature manifest → none), Some = write it
@@ -436,6 +492,8 @@ object TableFormat {
       inherited(manifestColmap(spark, base, version - 1), Map.empty[String, String]))
     val effTombs = tombstones.getOrElse(
       inherited(manifestTombstones(spark, base, version - 1), Set.empty[String]))
+    val effCons = constraints.getOrElse(
+      inherited(manifestConstraints(spark, base, version - 1), Seq.empty[(String, String)]))
     val header = Seq(SchemaPrefix + schemaJson) ++
       (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
       Seq(OpPrefix + op) ++
@@ -449,6 +507,10 @@ object TableFormat {
        else Nil) ++
       (if (effTombs.nonEmpty)
          Seq(TombstonesPrefix + effTombs.toSeq.sorted.map(enc).mkString("\t"))
+       else Nil) ++
+      (if (effCons.nonEmpty)
+         Seq(ConstraintsPrefix + effCons
+           .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("\t"))
        else Nil) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
     // put-if-absent (r8): v$N.manifest is the commit's compare-and-swap
@@ -505,7 +567,9 @@ object TableFormat {
       // were collected on the header's own column.
       val publishable =
         if (statsCols.headOption == statsCol) entries
-        else entries.map(e => ManifestEntry(e.path, None, None))
+        else entries.map(e => e.copy(lo = None, hi = None, lo2 = None, hi2 = None,
+          nulls = None, nulls2 = None)) // keep `rows` — the count is
+          // column-independent and COUNT(*) pushdown sums it (r10)
       // the new manifest's schema is the UNION of the parent's and the
       // append's fields (r9, ADVICE r8 #4): the parent's entries stay in
       // this snapshot, so a NARROWER append must not shrink the recorded

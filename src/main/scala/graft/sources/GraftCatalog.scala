@@ -57,6 +57,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
   override def name(): String = catalogName
 
+  /** COLUMN DEFAULT VALUES (r10): declaring the capability makes the
+    * analyzer honor `DEFAULT` clauses — CREATE TABLE stores them as
+    * StructField metadata (CURRENT_DEFAULT/EXISTS_DEFAULT), which rides
+    * the manifest's schema JSON for free; INSERTs with a column list
+    * (or the DEFAULT keyword) fill from CURRENT_DEFAULT; files written
+    * before a defaulted column existed read its EXISTS_DEFAULT through
+    * Spark's parquet reader (and the executor-side record reader
+    * mirrors it). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark = SparkSession.active
   private def fs = new HadoopPath(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -213,6 +225,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
     if (setProps.nonEmpty || unsetProps.nonEmpty)
       TableFormat.alterPropsCommit(spark, path, setProps, unsetProps)
+    // CHECK constraints (r10): ADD validates EXISTING data first (one
+    // scan counting violations — the Delta ADD CONSTRAINT contract),
+    // then publishes the definition metadata-only; enforcement of new
+    // writes is the analyzer's (Table.constraints → enforced Check →
+    // validation injected into every write plan). DROP is pure
+    // metadata. Unique/PK/FK are rejected: unenforceable without a
+    // global index (same posture as Delta).
+    schemaChanges.foreach {
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val pred = org.apache.spark.sql.functions.expr(c.predicateSql())
+            val violations = TableFormat.readSnapshot(spark, path)
+              .filter(!org.apache.spark.sql.functions.coalesce(
+                pred, org.apache.spark.sql.functions.lit(true)))
+              .limit(1).count()
+            require(violations == 0,
+              s"graft catalog: cannot ADD CONSTRAINT ${c.name()} — existing rows " +
+                s"violate CHECK (${c.predicateSql()})")
+            TableFormat.alterConstraintsCommit(spark, path,
+              upsert = Some(c.name() -> ("C:" + c.predicateSql())))
+          case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey
+              if !pk.enforced() =>
+            TableFormat.alterConstraintsCommit(spark, path,
+              upsert = Some(pk.name() -> ("PK:" +
+                pk.columns().map(_.fieldNames.mkString(".")).mkString(","))))
+          case uq: org.apache.spark.sql.connector.catalog.constraints.Unique
+              if !uq.enforced() =>
+            TableFormat.alterConstraintsCommit(spark, path,
+              upsert = Some(uq.name() -> ("UQ:" +
+                uq.columns().map(_.fieldNames.mkString(".")).mkString(","))))
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: unsupported constraint ${other.toDDL} — CHECK is the " +
+              "only ENFORCEABLE constraint without a global index (the Delta " +
+              "posture); PRIMARY KEY / UNIQUE are accepted as informational " +
+              "(NOT ENFORCED) metadata only")
+        }
+      case d: TableChange.DropConstraint =>
+        TableFormat.alterConstraintsCommit(spark, path, drop = Some(d.name()))
+      case _ => ()
+    }
     // RENAME/DROP COLUMN (r10) are their own metadata-only commits via
     // the column-mapping device (physical names never change); ADD
     // COLUMNs batch into one widening commit
@@ -230,7 +283,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case _ => ()
     }
     val addChanges = schemaChanges.filterNot(c =>
-      c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn])
+      c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.AddConstraint] || c.isInstanceOf[TableChange.DropConstraint])
     if (addChanges.nonEmpty) {
       val v = TableFormat.currentVersion(spark, path)
       val current = TableFormat.manifestSchema(spark, path, v).getOrElse(
@@ -246,11 +300,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           require(add.isNullable,
             s"graft catalog: new column $colName must be nullable — " +
               "rows already written have no value for it")
-          sch.add(StructField(colName, add.dataType, nullable = true))
+          // DEFAULT clause (r10): CURRENT_DEFAULT fills future INSERTs,
+          // EXISTS_DEFAULT is what rows from files PREDATING the column
+          // read — both the analyzer-standard metadata keys the parquet
+          // reader resolves for missing columns
+          val field = Option(add.defaultValue()).fold(
+            StructField(colName, add.dataType, nullable = true)) { dv =>
+            StructField(colName, add.dataType, nullable = true,
+              metadata = new MetadataBuilder()
+                .putString("CURRENT_DEFAULT", dv.getSql)
+                .putString("EXISTS_DEFAULT", dv.getSql).build())
+          }
+          sch.add(field)
+        case (sch, upd: TableChange.UpdateColumnDefaultValue) =>
+          require(upd.fieldNames.length == 1,
+            s"graft catalog: nested ALTER COLUMN is not supported " +
+              s"(got ${upd.fieldNames.mkString(".")})")
+          val colName = upd.fieldNames.head
+          require(sch.fieldNames.contains(colName),
+            s"graft catalog: no column $colName to set a default on")
+          // SET/DROP DEFAULT changes FUTURE inserts only — existing
+          // rows keep reading whatever EXISTS_DEFAULT (or NULL) they
+          // already had; that is the SQL-standard split
+          StructType(sch.fields.map { f =>
+            if (f.name != colName) f
+            else {
+              val b = new MetadataBuilder().withMetadata(f.metadata)
+              val sql = Option(upd.newDefaultValue()).filter(_.nonEmpty)
+              f.copy(metadata = sql.fold(b.remove("CURRENT_DEFAULT"))(
+                s => b.putString("CURRENT_DEFAULT", s)).build())
+            }
+          })
         case (_, other) => throw new UnsupportedOperationException(
-          s"graft catalog: unsupported ALTER ($other) — supported: ADD COLUMN, " +
-            "RENAME COLUMN, DROP COLUMN, SET/UNSET TBLPROPERTIES; type changes " +
-            "would change the meaning of already-written data")
+          s"graft catalog: unsupported ALTER ($other) — supported: ADD COLUMN " +
+            "[DEFAULT], RENAME COLUMN, DROP COLUMN, ALTER COLUMN SET/DROP " +
+            "DEFAULT, SET/UNSET TBLPROPERTIES; type changes would change the " +
+            "meaning of already-written data")
       }
       TableFormat.alterSchemaCommit(spark, path, widened)
     }
@@ -413,10 +498,14 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     * a snapshot. `changesTo` defaults to the current version. */
   private def changeRange(spark: SparkSession, base: String,
                           options: CaseInsensitiveStringMap): Option[(Int, Int)] =
-    Option(options.get("changesFrom")).map { from =>
-      (from.toInt, Option(options.get("changesTo")).map(_.toInt)
-        .getOrElse(TableFormat.currentVersion(spark, base)))
-    }
+    Option(options.get("changesFrom"))
+      // `readChangeFeed = true` (r10) is the streaming spelling: the
+      // whole feed from version 0 (or changesFrom when both are given)
+      .orElse(if (options.getBoolean("readChangeFeed", false)) Some("0") else None)
+      .map { from =>
+        (from.toInt, Option(options.get("changesTo")).map(_.toInt)
+          .getOrElse(TableFormat.currentVersion(spark, base)))
+      }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val base = path(options)
@@ -473,6 +562,39 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+  /** Constraints (r10), rebuilt from the `#constraints` header: CHECK
+    * (`C:` entries) reports ENFORCED + VALID — ADD validated existing
+    * data and the analyzer validates every subsequent write — so the
+    * optimizer may also exploit it as a known-true predicate; PRIMARY
+    * KEY / UNIQUE (`PK:`/`UQ:` entries) are informational (NOT
+    * ENFORCED, RELY) declarations the planner can trust for uniqueness
+    * reasoning, the standard lakehouse posture for keys no global index
+    * enforces. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    import org.apache.spark.sql.connector.expressions.Expressions
+    def cols(s: String) = s.split(',').map(Expressions.column(_):
+      org.apache.spark.sql.connector.expressions.NamedReference)
+    TableFormat.manifestConstraints(spark, base, resolvedVersion).map {
+      case (name, v) if v.startsWith("C:") =>
+        Constraint.check(name).predicateSql(v.drop(2)).enforced(true)
+          .validationStatus(Constraint.ValidationStatus.VALID)
+          .build(): Constraint
+      case (name, v) if v.startsWith("PK:") =>
+        Constraint.primaryKey(name, cols(v.drop(3))).enforced(false).rely(true)
+          .validationStatus(Constraint.ValidationStatus.UNVALIDATED)
+          .build(): Constraint
+      case (name, v) if v.startsWith("UQ:") =>
+        Constraint.unique(name, cols(v.drop(3))).enforced(false).rely(true)
+          .validationStatus(Constraint.ValidationStatus.UNVALIDATED)
+          .build(): Constraint
+      case (name, v) => // pre-prefix spelling: a CHECK predicate
+        Constraint.check(name).predicateSql(v).enforced(true)
+          .validationStatus(Constraint.ValidationStatus.VALID)
+          .build(): Constraint
+    }.toArray
+  }
+
   /** TBLPROPERTIES (r10): the `#props` of the resolved snapshot — so
     * `SHOW TBLPROPERTIES` (and time travel over it) reads the versioned
     * properties the manifest records. */
@@ -485,7 +607,8 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     changes match {
       case Some((from, to)) =>
-        new GraftChangesScanBuilder(base, from, to, schema(), spark)
+        new GraftChangesScanBuilder(base, from, to, schema(), spark,
+          skipChangeCommits = options.getBoolean("skipChangeCommits", false))
       case None =>
         new GraftScanBuilder(base, resolvedVersion, schema(),
           TableFormat.manifestStatsCols(spark, base, resolvedVersion), spark,
@@ -912,7 +1035,8 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   * could cancel a delete against an unrelated insert; Spark applies
   * residual filters above the scan. */
 class GraftChangesScanBuilder(base: String, from: Int, to: Int,
-                              cdfSchema: StructType, spark: SparkSession)
+                              cdfSchema: StructType, spark: SparkSession,
+                              skipChangeCommits: Boolean = false)
     extends ScanBuilder with Scan with V1Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = cdfSchema
@@ -924,6 +1048,98 @@ class GraftChangesScanBuilder(base: String, from: Int, to: Int,
       override def buildScan(): RDD[Row] =
         TableFormat.readChanges(ctx.sparkSession, base, from, to).rdd
     }.asInstanceOf[T]
+  /** STREAMING change feed (r10): `readStream.format("graft-table")
+    * .option("readChangeFeed", true)` — each micro-batch emits the
+    * change rows of the commits between two version offsets. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftTableCdfMicroBatch(base,
+      StructType(cdfSchema.fields.dropRight(2)), from, spark,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      skipChangeCommits)
+}
+
+/** Micro-batch CHANGE DATA FEED source (r10) — the Delta
+  * `readChangeFeed` streaming analog, derived from manifest diffs with
+  * no CDC sidecars: per commit in a version-offset range,
+  *  - `append` emits its added files' rows tagged `insert`;
+  *  - `delete_dv` (merge-on-read DELETE) emits exactly the rows the
+  *    commit deleted: dropped files stream their pre-image (old dv
+  *    skipped), dv-grown files stream the POSITION DIFF (new pairs
+  *    minus old — [[GraftCdfSpec]] emit-mode);
+  *  - `compact`/`optimize`/`alter` move no rows and emit nothing;
+  *  - copy-on-write rewrites (delete/merge/replace/restore) cannot be
+  *    attributed row-wise without a distributed diff, so they FAIL the
+  *    stream loudly — or skip silently under `skipChangeCommits`
+  *    (Delta's flag, same contract). Merge-on-read deletes are the
+  *    stream-friendly delete mode for exactly this reason.
+  * Exactly-once for free: manifests are immutable, so an offset range
+  * resolves to the same change set forever. */
+class GraftTableCdfMicroBatch(base: String, dataSchema: StructType, startVersion: Int,
+                              spark: SparkSession, conf: SerializableHadoopConf,
+                              skipChangeCommits: Boolean)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = GraftVersionOffset(startVersion)
+  override def latestOffset(): Offset =
+    GraftVersionOffset(TableFormat.currentVersion(spark, base))
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val e = end.asInstanceOf[GraftVersionOffset].version
+    def norm(p: String) = new HadoopPath(p).toUri.getPath
+    ((s + 1) to e).flatMap { v =>
+      val before =
+        if (v == 1) Seq.empty[TableFormat.ManifestEntry]
+        else TableFormat.manifestEntries(spark, base, v - 1)
+      val after = TableFormat.manifestEntries(spark, base, v)
+      val beforeByPath = before.map(en => norm(en.path) -> en).toMap
+      val afterPaths = after.map(en => norm(en.path)).toSet
+      TableFormat.manifestOp(spark, base, v) match {
+        case Some("compact") | Some("optimize") | Some("alter") => Seq.empty
+        case Some("append") =>
+          after.filterNot(en => beforeByPath.contains(norm(en.path)))
+            .map(en => GraftFilePartition(en.path, en.dv,
+              cdf = Some(GraftCdfSpec("insert", v))))
+        case Some("delete_dv") =>
+          val dropped = before.filterNot(en => afterPaths(norm(en.path)))
+            .map(en => GraftFilePartition(en.path, en.dv,
+              cdf = Some(GraftCdfSpec("delete", v))))
+          val grown = after.filter(en =>
+            beforeByPath.get(norm(en.path)).exists(b => b.dv != en.dv))
+            .map(en => GraftFilePartition(en.path, None,
+              cdf = Some(GraftCdfSpec("delete", v,
+                emitDiffNew = en.dv,
+                emitDiffOld = beforeByPath(norm(en.path)).dv))))
+          dropped ++ grown
+        case other =>
+          // a "rewrite" that removed nothing and touched no dv (the
+          // table's first commit, INSERT OVERWRITE of an empty table)
+          // is pure inserts — stream it; a genuine rewrite is not
+          // row-attributable without a distributed diff
+          val removedAny = before.exists(en => !afterPaths(norm(en.path)))
+          val dvChanged = after.exists(en =>
+            beforeByPath.get(norm(en.path)).exists(b => b.dv != en.dv))
+          if (!removedAny && !dvChanged)
+            after.filterNot(en => beforeByPath.contains(norm(en.path)))
+              .map(en => GraftFilePartition(en.path, en.dv,
+                cdf = Some(GraftCdfSpec("insert", v))))
+          else if (skipChangeCommits) Seq.empty
+          else throw new IllegalStateException(
+            s"graft-table change feed on $base: commit v$v is a copy-on-write " +
+              s"rewrite (op=${other.getOrElse("unknown")}) whose row-level changes " +
+              "need a distributed diff — not expressible as a stream batch. Use " +
+              "merge-on-read deletes (delete.mode=merge-on-read) for streamable " +
+              "deletes, read the range in batch via changesFrom/changesTo, or set " +
+              "option(\"skipChangeCommits\", true) to skip such commits")
+      }
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftParquetReaderFactory(dataSchema, conf,
+      colmap = TableFormat.manifestColmap(spark, base,
+        TableFormat.currentVersion(spark, base)))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class GraftV1Relation(ctx: SQLContext, base: String, version: Int,
@@ -1117,8 +1333,48 @@ class GraftTableMicroBatch(base: String, readSchema: StructType, startVersion: I
   override def stop(): Unit = ()
 }
 
-case class GraftFilePartition(file: String, dv: Option[String] = None)
+case class GraftFilePartition(file: String, dv: Option[String] = None,
+                              cdf: Option[GraftCdfSpec] = None)
     extends InputPartition
+
+/** Change-feed tagging for a [[GraftFilePartition]] (r10): every row the
+  * partition emits is stamped (`changeType`, `version`). With
+  * `emitDiffNew` set the reader inverts from skip-mode to EMIT-mode:
+  * only ordinals present in `emitDiffNew`'s dv and absent from
+  * `emitDiffOld`'s are produced — the rows a merge-on-read DELETE
+  * removed in exactly that commit. */
+case class GraftCdfSpec(changeType: String, version: Int,
+                        emitDiffNew: Option[String] = None,
+                        emitDiffOld: Option[String] = None)
+
+/** Executor-side deletion-vector position loading shared by the
+  * snapshot reader (skip-mode) and the CDF stream reader (emit-mode). */
+object GraftDv {
+  def positions(conf: org.apache.hadoop.conf.Configuration, dir: String,
+                file: String): java.util.HashSet[java.lang.Long] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val want = new HadoopPath(file).toUri.getPath
+    val set = new java.util.HashSet[java.lang.Long]()
+    val dfs = new HadoopPath(dir).getFileSystem(conf)
+    dfs.listStatus(new HadoopPath(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val r = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+          .withConf(conf).build()
+        var g = r.read()
+        while (g != null) {
+          val t = g.getType
+          val fp = g.getBinary(t.getFieldIndex("file_path"), 0).toStringUsingUTF8
+          if (new HadoopPath(fp).toUri.getPath == want)
+            set.add(g.getLong(t.getFieldIndex("row_index"), 0))
+          g = r.read()
+        }
+        r.close()
+      }
+    set
+  }
+}
 
 /** Executor-side parquet record reader for stream batches, built on
   * parquet-hadoop's example `Group` materializer (the plain-record API
@@ -1131,6 +1387,38 @@ class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoop
                                 appendFilePath: Boolean = false,
                                 colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
+  /** Existence defaults (r10), mirroring Spark's parquet reader: a
+    * column ABSENT from a file reads its EXISTS_DEFAULT (what rows
+    * predating the column must show), while a present-but-null value
+    * stays NULL. Parsed once here (driver side) from the metadata's
+    * SQL literal; the supported literal forms match this reader's
+    * supported scalar types. */
+  private val existsDefault: Array[Any] = readSchema.fields.map { f =>
+    if (!f.metadata.contains("EXISTS_DEFAULT")) null
+    else {
+      // the stored text is a FOLDED catalyst literal: numerics carry a
+      // type suffix (42L, 1.5D, 2.0F) and a retyped literal arrives as
+      // CAST(lit AS type) — unwrap both before parsing
+      var sql = f.metadata.getString("EXISTS_DEFAULT").trim
+      val cast = "(?i)^CAST\\((.+) AS [A-Za-z0-9_() ]+\\)$".r
+      sql = sql match { case cast(inner) => inner.trim; case s => s }
+      def num(s: String) = s.replaceAll("(?i)[LDF]$", "")
+      if (sql.equalsIgnoreCase("null")) null
+      else f.dataType match {
+        case LongType => num(sql).toLong
+        case IntegerType => num(sql).toInt
+        case DoubleType => num(sql).toDouble
+        case FloatType => num(sql).toFloat
+        case BooleanType => sql.toBoolean
+        case StringType =>
+          UTF8String.fromString(sql.stripPrefix("'").stripSuffix("'")
+            .replace("''", "'").replace("\\'", "'"))
+        case other => throw new UnsupportedOperationException(
+          s"graft-table reader: EXISTS_DEFAULT on ${f.name} of type $other " +
+            "is not supported (long/int/double/float/boolean/string literals only)")
+      }
+    }
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[GraftFilePartition]
     val file = part.file
@@ -1146,29 +1434,18 @@ class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoop
       // its own file's ordinals; rows at those ordinals are skipped
       // below. Path identity is scheme-insensitive (dv records
       // `_metadata.file_path` URIs, the partition a manifest path).
-      private val deleted: java.util.HashSet[java.lang.Long] = part.dv match {
-        case None => null
-        case Some(dir) =>
-          val want = new HadoopPath(file).toUri.getPath
-          val set = new java.util.HashSet[java.lang.Long]()
-          val dfs = new HadoopPath(dir).getFileSystem(conf.value)
-          dfs.listStatus(new HadoopPath(dir)).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .foreach { st =>
-              val r = ParquetReader.builder(new GroupReadSupport(), st.getPath)
-                .withConf(conf.value).build()
-              var g = r.read()
-              while (g != null) {
-                val t = g.getType
-                val fp = g.getBinary(t.getFieldIndex("file_path"), 0).toStringUsingUTF8
-                if (new HadoopPath(fp).toUri.getPath == want)
-                  set.add(g.getLong(t.getFieldIndex("row_index"), 0))
-                g = r.read()
-              }
-              r.close()
-            }
-          set
-      }
+      private val deleted: java.util.HashSet[java.lang.Long] =
+        part.dv.map(GraftDv.positions(conf.value, _, file)).orNull
+      // CDF emit-mode (r10): produce ONLY the positions a merge-on-read
+      // delete commit added to the dv — new pairs minus old pairs
+      private val emitOnly: java.util.HashSet[java.lang.Long] =
+        part.cdf.flatMap(_.emitDiffNew).map { nd =>
+          val s = GraftDv.positions(conf.value, nd, file)
+          part.cdf.flatMap(_.emitDiffOld).foreach { od =>
+            s.removeAll(GraftDv.positions(conf.value, od, file))
+          }
+          s
+        }.orNull
       private var ordinal: Long = -1L
       private var current: Group = _
       // per-file field resolution (by PHYSICAL name through the colmap
@@ -1182,10 +1459,13 @@ class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoop
           if (t.containsField(phys)) t.getFieldIndex(phys) else -1
         }
       }
+      private def keep(o: Long): Boolean =
+        if (emitOnly != null) emitOnly.contains(o)
+        else deleted == null || !deleted.contains(o)
       override def next(): Boolean = {
         current = reader.read()
         ordinal += 1
-        while (current != null && deleted != null && deleted.contains(ordinal)) {
+        while (current != null && !keep(ordinal)) {
           current = reader.read()
           ordinal += 1
         }
@@ -1193,14 +1473,20 @@ class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoop
         current != null
       }
       override def get(): InternalRow = {
-        val vals = new Array[Any](
-          if (appendFilePath) readSchema.length + 1 else readSchema.length)
+        val extra = (if (appendFilePath) 1 else 0) + (if (part.cdf.isDefined) 2 else 0)
+        val vals = new Array[Any](readSchema.length + extra)
         if (appendFilePath) vals(readSchema.length) = UTF8String.fromString(file)
+        part.cdf.foreach { spec =>
+          val at = readSchema.length + (if (appendFilePath) 1 else 0)
+          vals(at) = UTF8String.fromString(spec.changeType)
+          vals(at + 1) = spec.version
+        }
         var i = 0
         while (i < readSchema.length) {
           val idx = fieldIdx(i)
           vals(i) =
-            if (idx < 0 || current.getFieldRepetitionCount(idx) == 0) null
+            if (idx < 0) existsDefault(i) // column absent from this file
+            else if (current.getFieldRepetitionCount(idx) == 0) null
             else readSchema.fields(i).dataType match {
               case LongType => current.getLong(idx, 0)
               case IntegerType => current.getInteger(idx, 0)
@@ -1482,6 +1768,81 @@ object GraftCatalogOps {
         |FROM graft.db.ren_q
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `sql_check_constraints` (r10): enforced CHECK constraints as DDL —
+    * ADD CONSTRAINT validates the existing corpus rows (one violation
+    * scan), every later write is analyzer-enforced (violating INSERTs
+    * throw; caught here and surfaced as a status row so enforcement is
+    * part of the oracle-checked OUTPUT), and the surviving table
+    * aggregates exactly the valid rows. */
+  def sqlCheckConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/chk_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+      .createOrReplaceTempView("src_docs_chk")
+    spark.sql(
+      """CREATE TABLE graft.db.chk_q (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |PARTITIONED BY (doc_id)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.chk_q SELECT * FROM src_docs_chk")
+    spark.sql("ALTER TABLE graft.db.chk_q ADD CONSTRAINT chars_nonneg CHECK (n_chars >= 0)")
+    val rejected =
+      try {
+        spark.sql("INSERT INTO graft.db.chk_q VALUES (-1, 'xx', -42)")
+        "accepted"
+      } catch { case _: Exception => "rejected" }
+    spark.sql(
+      s"""SELECT '$rejected' AS violating_insert, count(1) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM graft.db.chk_q""".stripMargin)
+  }
+
+  /** `sql_column_defaults` (r10): column DEFAULT values as DDL — CREATE
+    * TABLE declares them (CURRENT_DEFAULT metadata in the manifest
+    * schema), short INSERTs fill from them, ADD COLUMN … DEFAULT gives
+    * rows in PRE-COLUMN files the existence default on read (no
+    * rewrite), and SET DEFAULT re-points future inserts only. The
+    * oracle replays the same fills explicitly. */
+  def sqlColumnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/def_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"))
+      .createOrReplaceTempView("src_docs_def")
+    spark.sql(
+      """CREATE TABLE graft.db.def_q
+        |  (doc_id BIGINT, lang STRING, quality BIGINT DEFAULT 3)
+        |PARTITIONED BY (doc_id)""".stripMargin)
+    // first half: short INSERT — quality fills from CURRENT_DEFAULT
+    spark.sql(
+      """INSERT INTO graft.db.def_q (doc_id, lang)
+        |SELECT doc_id, lang FROM src_docs_def WHERE doc_id % 2 = 0""".stripMargin)
+    // evolve: the new column's existence default applies to the files
+    // already written above — metadata-only, no rewrite
+    spark.sql("ALTER TABLE graft.db.def_q ADD COLUMN stage STRING DEFAULT 'raw'")
+    // re-point the default for FUTURE inserts, then land the second half
+    spark.sql("ALTER TABLE graft.db.def_q ALTER COLUMN quality SET DEFAULT 5")
+    spark.sql(
+      """INSERT INTO graft.db.def_q (doc_id, lang)
+        |SELECT doc_id, lang FROM src_docs_def WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT lang, stage, quality, count(1) AS n
+        |FROM graft.db.def_q
+        |GROUP BY lang, stage, quality
+        |ORDER BY lang ASC NULLS FIRST, stage ASC NULLS FIRST,
+        |  quality ASC NULLS FIRST""".stripMargin)
   }
 
   /** `sql_tblproperties` (r10): versioned table properties as DDL —
@@ -1779,6 +2140,8 @@ object GraftCatalogOps {
     "sql_update" -> (sqlUpdate _),
     "sql_alter_evolution" -> (sqlAlterEvolution _),
     "sql_alter_rename_drop" -> (sqlAlterRenameDrop _),
+    "sql_column_defaults" -> (sqlColumnDefaults _),
+    "sql_check_constraints" -> (sqlCheckConstraints _),
     "sql_tblproperties" -> (sqlTblProperties _),
     "sql_delete_dv" -> (sqlDeleteDv _),
     "sql_table_changes" -> (sqlTableChanges _),
@@ -1789,6 +2152,18 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_check_constraints" ->
+      """SELECT 'rejected' AS violating_insert, count(1) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    "sql_column_defaults" ->
+      """SELECT lang, 'raw' AS stage,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 5 END AS BIGINT) AS quality,
+        |  count(1) AS n
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY lang ASC NULLS FIRST, stage ASC NULLS FIRST,
+        |  quality ASC NULLS FIRST""".stripMargin,
     "sql_alter_rename_drop" ->
       """SELECT lang, count(1) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -817,6 +817,164 @@ class GraftTableSpec extends SparkTestBase {
       "re-added column resurrected dropped bytes through SQL")
   }
 
+  test("graft_table_detail TVF: one metadata row — files, dvs, exact live rows, bytes (r10)") {
+    val base = freshBase("detail_tvf")
+    TableFormat.commit(spark, base, (0L until 1000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(4))
+    TableFormat.deleteRowsDV(spark, base, col("k").isin(5L, 500L, 995L))
+    TableDetailTvf.register(spark)
+    val r = spark.sql(s"SELECT * FROM graft_table_detail('$base')").head
+    assert(r.getInt(0) == 2, "version")
+    assert(r.getInt(1) == 4, "n_files")
+    assert(r.getInt(2) >= 1 && r.getInt(2) <= 3, "n_dv_files")
+    assert(r.getLong(3) == 997L, "live_rows must be dv-exact")
+    assert(r.getLong(4) > 0L, "size_bytes")
+    assert(r.getString(5) == "k", "stats_cols")
+    // composable: the TVF joins/filters like any relation
+    assert(spark.sql(
+      s"SELECT n_files - n_dv_files FROM graft_table_detail('$base') WHERE live_rows < 1000")
+      .head.getInt(0) >= 1)
+  }
+
+  test("CHECK constraints: ADD validates existing data, writes enforce, DROP releases (r10)") {
+    val _ = wh
+    val base = s"$wh/db/chk_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.chk_spec (k BIGINT, amount BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.db.chk_spec VALUES (1, 10), (2, -5)")
+    // existing data violates → ADD CONSTRAINT must refuse
+    val bad = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.chk_spec ADD CONSTRAINT nonneg CHECK (amount >= 0)")
+    }
+    assert(bad.getMessage.contains("violate") || bad.getCause != null)
+    spark.sql("DELETE FROM graft.db.chk_spec WHERE amount < 0")
+    spark.sql("ALTER TABLE graft.db.chk_spec ADD CONSTRAINT nonneg CHECK (amount >= 0)")
+    // enforcement: a violating INSERT fails, a valid one (and NULL —
+    // SQL CHECK passes unknown) lands
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.chk_spec VALUES (3, -1)")
+    }
+    spark.sql("INSERT INTO graft.db.chk_spec VALUES (4, 40), (5, NULL)")
+    assert(spark.sql("SELECT count(1) FROM graft.db.chk_spec").head.getLong(0) == 3)
+    // MERGE enforcement: an update driving amount negative fails too
+    Seq((4L, -99L)).toDF("k", "amount").createOrReplaceTempView("chk_changes")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.chk_spec t USING chk_changes s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    // DROP CONSTRAINT: the same insert now lands
+    spark.sql("ALTER TABLE graft.db.chk_spec DROP CONSTRAINT nonneg")
+    spark.sql("INSERT INTO graft.db.chk_spec VALUES (3, -1)")
+    assert(spark.sql("SELECT count(1) FROM graft.db.chk_spec").head.getLong(0) == 4)
+    // informational keys: NOT ENFORCED PRIMARY KEY is stored and
+    // reported as unenforced RELY metadata; an ENFORCED one is refused
+    spark.sql("ALTER TABLE graft.db.chk_spec ADD CONSTRAINT pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    val cons = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "chk_spec")).constraints()
+    val pk = cons.find(_.name == "pk").get
+    assert(!pk.enforced() && pk.rely(), pk.toDDL)
+  }
+
+  test("streaming change feed: inserts and merge-on-read deletes tagged per commit; CoW fails or skips (r10)") {
+    val base = freshBase("cdfstream1")
+    TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None,
+      statsCol = Some("k"))
+    val q = spark.readStream.format("graft-table").option("path", base)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfstream1").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("cdfstream1").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getInt(3))).sortBy(t => (t._3, t._1)).toSeq
+      assert(rows() == Seq((1L, "insert", 1), (2L, "insert", 1)),
+        s"initial commit not tagged: ${rows()}")
+      // an append arrives as inserts at its commit version
+      TableFormat.commit(spark, base, Seq((3L, 30L)).toDF("k", "v"), 2, Some(1))
+      q.processAllAvailable()
+      assert(rows().contains((3L, "insert", 2)))
+      // a merge-on-read delete streams EXACTLY its deleted rows
+      TableFormat.deleteRowsDV(spark, base, col("k") === 2L)
+      q.processAllAvailable()
+      val dels = rows().filter(_._2 == "delete")
+      assert(dels == Seq((2L, "delete", 3)), s"dv delete misattributed: $dels")
+      // a second dv delete on the SAME file emits only the NEW position
+      TableFormat.deleteRowsDV(spark, base, col("k") === 1L)
+      q.processAllAvailable()
+      val dels2 = rows().filter(_._2 == "delete")
+      assert(dels2 == Seq((2L, "delete", 3), (1L, "delete", 4)), s"got $dels2")
+      // a copy-on-write delete is not streamable: fail loudly
+      TableFormat.deleteWhere(spark, base, "k", 3L, 3L)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("copy-on-write") || ex.getCause != null)
+    } finally q.stop()
+    // skipChangeCommits: the same CoW commit is skipped silently and the
+    // stream keeps going with later appends
+    val q2 = spark.readStream.format("graft-table").option("path", base)
+      .option("readChangeFeed", "true").option("skipChangeCommits", "true").load()
+      .writeStream.format("memory").queryName("cdfstream2").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      TableFormat.appendCommit(spark, base, Seq((9L, 90L)).toDF("k", "v"))
+      q2.processAllAvailable()
+      val got = spark.table("cdfstream2").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got.contains((9L, "insert")), s"post-skip append lost: $got")
+      assert(!got.exists(t => t._1 == 3L && t._2 == "delete"),
+        "skipChangeCommits leaked the CoW commit's rows")
+    } finally q2.stop()
+  }
+
+  test("column DEFAULT values: INSERT fill, exists-default for pre-column files, SET/DROP DEFAULT (r10)") {
+    val _ = wh
+    val base = s"$wh/db/def_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.def_spec
+        |  (k BIGINT, v STRING DEFAULT 'none', n BIGINT DEFAULT 42)
+        |PARTITIONED BY (k)""".stripMargin)
+    // INSERT with a column list fills the rest from CURRENT_DEFAULT
+    spark.sql("INSERT INTO graft.db.def_spec (k) VALUES (1)")
+    spark.sql("INSERT INTO graft.db.def_spec VALUES (2, 'real', 7)")
+    val r1 = spark.sql("SELECT v, n FROM graft.db.def_spec WHERE k = 1").head
+    assert((r1.getString(0), r1.getLong(1)) == (("none", 42L)))
+    // ADD COLUMN ... DEFAULT: rows in files that PREDATE the column
+    // read the existence default, not NULL
+    spark.sql("ALTER TABLE graft.db.def_spec ADD COLUMN tag STRING DEFAULT 'legacy'")
+    assert(spark.sql("SELECT tag FROM graft.db.def_spec WHERE k = 2").head.getString(0)
+      == "legacy", "pre-column file did not read the existence default")
+    spark.sql("INSERT INTO graft.db.def_spec (k) VALUES (3)")
+    assert(spark.sql("SELECT tag FROM graft.db.def_spec WHERE k = 3").head.getString(0)
+      == "legacy")
+    // SET DEFAULT changes FUTURE inserts only; k=1/2 rows keep their values
+    spark.sql("ALTER TABLE graft.db.def_spec ALTER COLUMN n SET DEFAULT 100")
+    spark.sql("INSERT INTO graft.db.def_spec (k) VALUES (4)")
+    val byK = spark.sql("SELECT k, n FROM graft.db.def_spec").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK == Map(1L -> 42L, 2L -> 7L, 3L -> 42L, 4L -> 100L), byK.toString)
+    // DROP DEFAULT: new short inserts land NULL
+    spark.sql("ALTER TABLE graft.db.def_spec ALTER COLUMN n DROP DEFAULT")
+    spark.sql("INSERT INTO graft.db.def_spec (k) VALUES (5)")
+    assert(spark.sql("SELECT n FROM graft.db.def_spec WHERE k = 5").head.isNullAt(0))
+    // MERGE (the executor-side record reader) preserves exist-defaults
+    // for pre-column files instead of nulling them in the rewrite
+    Seq((1L, "upd")).toDF("k", "v").createOrReplaceTempView("def_changes")
+    spark.sql(
+      """MERGE INTO graft.db.def_spec t
+        |USING (SELECT k, v, 42 AS n, 'legacy' AS tag FROM def_changes) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val m = spark.sql("SELECT v, n, tag FROM graft.db.def_spec WHERE k = 2").head
+    assert((m.getString(0), m.getLong(1), m.getString(2)) == (("real", 7L, "legacy")),
+      "row-level rewrite lost the existence default")
+  }
+
   test("TBLPROPERTIES persist in the manifest, version with the table, and route delete.mode (r10)") {
     val _ = wh
     val base = s"$wh/db/props_spec"
