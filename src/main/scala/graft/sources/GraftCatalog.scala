@@ -67,7 +67,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * mirrors it). */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def spark = SparkSession.active
   private def fs = new HadoopPath(warehouse)
@@ -199,6 +200,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     ensureCreatablePath(path)
     TableFormat.createEmpty(spark, path, schema, clusterColsOf(schema, partitions),
       props = userProps(properties))
+    new GraftTable(path, None, spark)
+  }
+
+  /** Modern CREATE TABLE entry (r10): the `TableInfo` route is the ONLY
+    * one that carries generation expressions and inline constraints —
+    * the deprecated StructType overload above receives a schema with
+    * generation already stripped. Build the persisted schema from the
+    * raw columns (defaults, comments, and GENERATED ALWAYS AS all land
+    * as the analyzer-standard metadata keys), then store inline
+    * constraints exactly like ALTER ADD CONSTRAINT (the table is empty
+    * — CHECK is trivially valid). */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val fields = info.columns().map { c =>
+      val md = new MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j => md.withMetadata(Metadata.fromJson(j)))
+      Option(c.comment()).foreach(md.putString("comment", _))
+      Option(c.defaultValue()).foreach { dv =>
+        md.putString("CURRENT_DEFAULT", dv.getSql)
+        md.putString("EXISTS_DEFAULT", dv.getSql)
+        ()
+      }
+      Option(c.generationExpression()).filter(_.nonEmpty)
+        .foreach(md.putString("GENERATION_EXPRESSION", _))
+      require(c.identityColumnSpec() == null,
+        s"graft catalog: identity columns are not supported (column ${c.name}) — " +
+          "monotonic id allocation needs serialized commits; use a generated " +
+          "column over a natural key instead")
+      StructField(c.name, c.dataType, c.nullable, md.build())
+    }
+    val schema = StructType(fields)
+    val path = tablePath(ident)
+    ensureCreatablePath(path)
+    TableFormat.createEmpty(spark, path, schema,
+      clusterColsOf(schema, info.partitions()), props = userProps(info.properties()))
+    info.constraints().foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        TableFormat.alterConstraintsCommit(spark, path,
+          upsert = Some(c.name() -> ("C:" + c.predicateSql())))
+      case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey
+          if !pk.enforced() =>
+        TableFormat.alterConstraintsCommit(spark, path,
+          upsert = Some(pk.name() -> ("PK:" +
+            pk.columns().map(_.fieldNames.mkString(".")).mkString(","))))
+      case uq: org.apache.spark.sql.connector.catalog.constraints.Unique
+          if !uq.enforced() =>
+        TableFormat.alterConstraintsCommit(spark, path,
+          upsert = Some(uq.name() -> ("UQ:" +
+            uq.columns().map(_.fieldNames.mkString(".")).mkString(","))))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported constraint ${other.toDDL} — CHECK enforced, " +
+          "PRIMARY KEY / UNIQUE informational (NOT ENFORCED) only")
+    }
     new GraftTable(path, None, spark)
   }
   /** `ALTER TABLE … ADD COLUMN` (r10, VERDICT r9 #3): widen the recorded
@@ -630,9 +683,21 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: org.apache.spark.sql.DataFrame,
+            override def insert(data0: org.apache.spark.sql.DataFrame,
                                 legacyOverwrite: Boolean): Unit = {
-              val s = data.sparkSession
+              val s = data0.sparkSession
+              // GENERATED ALWAYS AS columns (r10): the ENGINE owns the
+              // value — every insert recomputes them from their
+              // generation expression, so a partition-by-derived-column
+              // layout can never drift from its source column (any
+              // user-supplied value is overwritten by definition of
+              // GENERATED ALWAYS)
+              val data = schema().fields
+                .filter(_.metadata.contains("GENERATION_EXPRESSION"))
+                .foldLeft(data0)((d, f) => d.withColumn(f.name,
+                  org.apache.spark.sql.functions
+                    .expr(f.metadata.getString("GENERATION_EXPRESSION"))
+                    .cast(f.dataType)))
               // honor the table's DECLARED clustering (r10): SQL INSERTs
               // into a `PARTITIONED BY` / stats-declared table cluster on
               // the recorded column(s) and keep per-file bounds flowing —
@@ -1770,6 +1835,38 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_generated_columns` (r10): GENERATED ALWAYS AS columns — the
+    * engine computes the column on every INSERT (user-supplied values
+    * are overwritten by definition), and since the generated column is
+    * also the declared clustering key, the derived layout can never
+    * drift from its source expression. The oracle replays the
+    * expression explicitly. */
+  def sqlGeneratedColumns(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/gen_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("n_chars"))
+      .createOrReplaceTempView("src_docs_gen")
+    spark.sql(
+      """CREATE TABLE graft.db.gen_q
+        |  (doc_id BIGINT, n_chars BIGINT,
+        |   bucket BIGINT GENERATED ALWAYS AS (doc_id % 7))
+        |PARTITIONED BY (bucket)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.gen_q (doc_id, n_chars)
+        |SELECT doc_id, n_chars FROM src_docs_gen""".stripMargin)
+    spark.sql(
+      """SELECT bucket, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.gen_q
+        |GROUP BY bucket
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `sql_check_constraints` (r10): enforced CHECK constraints as DDL —
     * ADD CONSTRAINT validates the existing corpus rows (one violation
     * scan), every later write is analyzer-enforced (violating INSERTs
@@ -2142,6 +2239,7 @@ object GraftCatalogOps {
     "sql_alter_rename_drop" -> (sqlAlterRenameDrop _),
     "sql_column_defaults" -> (sqlColumnDefaults _),
     "sql_check_constraints" -> (sqlCheckConstraints _),
+    "sql_generated_columns" -> (sqlGeneratedColumns _),
     "sql_tblproperties" -> (sqlTblProperties _),
     "sql_delete_dv" -> (sqlDeleteDv _),
     "sql_table_changes" -> (sqlTableChanges _),
@@ -2152,6 +2250,12 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_generated_columns" ->
+      """SELECT doc_id % 7 AS bucket, count(1) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
     "sql_check_constraints" ->
       """SELECT 'rejected' AS violating_insert, count(1) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

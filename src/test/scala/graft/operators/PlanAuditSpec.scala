@@ -253,4 +253,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("collect_list"),
       s"clique-sized aggregation buffer is back:\n$p")
   }
+
+  test("table reads: dv-free snapshot keeps the plain scan plan; a dv adds ONE broadcast anti-join (r10)") {
+    import org.apache.spark.sql.functions.col
+    val base = s"${graft.Tables.scratchDir}/plan_dv"
+    val fsp = new org.apache.hadoop.fs.Path(base)
+    fsp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fsp, true)
+    val rows = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    // the dv-aware read path must cost NOTHING when no dv exists: the
+    // plan is the plain parquet scan — no join, no metadata columns
+    val clean = TableFormat.readSnapshot(spark, base)
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("Join"), s"dv-free snapshot read gained a join:\n$clean")
+    assert(!clean.contains("_metadata"),
+      s"dv-free snapshot read materializes metadata columns:\n$clean")
+    // with a dv: exactly one BROADCAST anti-join against the positions
+    // (a shuffled anti-join would move the DATA side for a tiny dv)
+    TableFormat.deleteRowsDV(spark, base, col("k") === 7L)
+    val dv = TableFormat.readSnapshot(spark, base)
+      .queryExecution.executedPlan.toString
+    assert(dv.contains("BroadcastHashJoin") && dv.contains("LeftAnti"),
+      s"dv read is not a broadcast anti-join:\n$dv")
+  }
 }

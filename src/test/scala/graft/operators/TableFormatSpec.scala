@@ -815,6 +815,50 @@ class TableFormatSpec extends SparkTestBase {
     assert(df.columns.toSeq == Seq("b", "payload"))
   }
 
+  test("dv × rename × evolution compose: reads, merges and the CDF stay exact across all three (r10)") {
+    val base = freshBase("tf_mix")
+    val rows = (0L until 1000L).map(i => (i, i * 3)).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"),
+      clusterFiles = Some(4))
+    // v2: merge-on-read delete; v3: rename the data column; v4: widen
+    TableFormat.deleteRowsDV(spark, base, col("k").isin(5L, 500L))
+    TableFormat.alterRenameCommit(spark, base, "v", "amount")
+    TableFormat.alterSchemaCommit(spark, base,
+      org.apache.spark.sql.types.StructType(
+        TableFormat.manifestSchema(spark, base, 3).get.fields :+
+          org.apache.spark.sql.types.StructField("tag",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+    // the dv anti-join must compose with the colmap aliasing AND the
+    // widened schema: deleted rows stay gone, renamed column reads, new
+    // column projects NULL
+    val snap = TableFormat.readSnapshot(spark, base)
+    assert(snap.columns.toSeq == Seq("k", "amount", "tag"))
+    assert(snap.count() == 998)
+    assert(snap.filter(col("k").isin(5L, 500L)).count() == 0,
+      "dv lost through rename/evolution")
+    assert(snap.filter(col("k") === 7L).select("amount").as[Long].collect().toSeq == Seq(21L))
+    // append under the NEW names; stats keep flowing; dv still applies
+    TableFormat.appendCommit(spark, base,
+      Seq((5000L, 1L, "new")).toDF("k", "amount", "tag"), statsCol = Some("k"))
+    assert(TableFormat.readSnapshot(spark, base).count() == 999)
+    // a merge over the mixed table: dv applied, colmap resolved, upsert lands
+    TableFormat.mergeInto(spark, base,
+      Seq((7L, -7L, "upd")).toDF("k", "amount", "tag"), "k")
+    val fin = TableFormat.readSnapshot(spark, base)
+    assert(fin.filter(col("k") === 7L).select("amount").as[Long].collect().toSeq == Seq(-7L))
+    assert(fin.filter(col("k").isin(5L, 500L)).count() == 0,
+      "merge rewrite resurrected dv rows through the colmap")
+    // CDF spanning dv delete + rename + evolution + append + merge reads
+    // every step under the FINAL names/schema: the dv step reports its
+    // two rows, the alters report nothing
+    val ch = TableFormat.readChanges(spark, base, 1, 4)
+    assert(ch.columns.take(3).toSeq == Seq("k", "amount", "tag"))
+    val dels = ch.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(dels == Seq(5L, 500L), s"got $dels")
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+  }
+
   test("dv full-file deletion drops the entry; mergeInto over a dv file keeps deletes (r10)") {
     val base = freshBase("tf_dv_full")
     val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")

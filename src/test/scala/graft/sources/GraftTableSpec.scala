@@ -817,6 +817,35 @@ class GraftTableSpec extends SparkTestBase {
       "re-added column resurrected dropped bytes through SQL")
   }
 
+  test("generated columns: engine-computed on every INSERT, usable as the clustering key (r10)") {
+    val _ = wh
+    val base = s"$wh/db/gen_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.gen_spec
+        |  (ts BIGINT, v STRING, day BIGINT GENERATED ALWAYS AS (ts DIV 86400))
+        |PARTITIONED BY (day)""".stripMargin)
+    // short INSERT: the engine computes day; it also range-clusters on it
+    spark.sql("INSERT INTO graft.db.gen_spec (ts, v) VALUES " +
+      "(0, 'a'), (86400, 'b'), (90000, 'c'), (200000, 'd')")
+    val got = spark.sql("SELECT ts, day FROM graft.db.gen_spec ORDER BY ts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(0L -> 0L, 86400L -> 1L, 90000L -> 1L, 200000L -> 2L), got.toString)
+    // the generated column feeds the file-skipping index like any
+    // declared clustering column
+    val entries = TableFormat.manifestEntries(spark, base,
+      TableFormat.currentVersion(spark, base))
+    assert(TableFormat.manifestStatsCols(spark, base,
+      TableFormat.currentVersion(spark, base)) == Seq("day"))
+    assert(entries.exists(e => e.lo.isDefined && e.hi.isDefined),
+      "generated clustering column recorded no bounds")
+    // GENERATED ALWAYS: a user-supplied value is overwritten, not honored
+    spark.sql("INSERT INTO graft.db.gen_spec VALUES (172800, 'e', 999)")
+    assert(spark.sql("SELECT day FROM graft.db.gen_spec WHERE ts = 172800")
+      .head.getLong(0) == 2L, "user-supplied value overrode GENERATED ALWAYS")
+  }
+
   test("graft_table_detail TVF: one metadata row — files, dvs, exact live rows, bytes (r10)") {
     val base = freshBase("detail_tvf")
     TableFormat.commit(spark, base, (0L until 1000L).map(i => (i, i)).toDF("k", "v"),
