@@ -199,13 +199,17 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = params.toArray
     override def isDeterministic: Boolean = false // commits move state
     protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow
+    /** Override when a verb needs a SECOND table path (clone). */
+    protected def runWith(spark: SparkSession, warehouse: String, base: String,
+                          input: InternalRow): InternalRow =
+      run(spark, base, input)
     protected def tablePath(warehouse: String, table: String): String =
       (warehouse +: table.split('.').toSeq).mkString("/")
     final def callWith(warehouse: String): InternalRow => java.util.Iterator[Scan] = {
       input =>
         val spark = SparkSession.active
         val table = input.getUTF8String(0).toString
-        val row = run(spark, tablePath(warehouse, table), input)
+        val row = runWith(spark, warehouse, tablePath(warehouse, table), input)
         java.util.List.of[Scan](new LocalScan {
           override def rows(): Array[InternalRow] = Array(row)
           override def readSchema(): StructType = result
@@ -285,8 +289,29 @@ object GraftProcedures {
     }
   }
 
+  /** SHALLOW CLONE: start `target` as a zero-copy reference to
+    * `source`'s current snapshot (one manifest write; clone commits
+    * never touch the source — the Delta SHALLOW CLONE analog as a
+    * procedure). Returns (source_version, target_path). */
+  private object CloneProc extends Proc("clone",
+    Seq(in("source", StringType), in("target", StringType)),
+    StructType(Seq(StructField("source_version", IntegerType),
+                   StructField("target_path", StringType)))) {
+    override def description(): String =
+      "shallow-clone source's current snapshot as target's v1 (zero data copied)"
+    override protected def run(spark: SparkSession, base: String,
+                               input: InternalRow): InternalRow =
+      throw new IllegalStateException("clone resolves two tables — runWith only")
+    override protected def runWith(spark: SparkSession, warehouse: String,
+                                   base: String, input: InternalRow): InternalRow = {
+      val target = tablePath(warehouse, input.getUTF8String(1).toString)
+      val srcV = TableFormat.cloneTable(spark, base, target)
+      new GenericInternalRow(Array[Any](srcV, UTF8String.fromString(target)))
+    }
+  }
+
   private val all: Seq[Proc] =
-    Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc)
+    Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc)
 
   def names: Seq[String] = all.map(_.name())
 

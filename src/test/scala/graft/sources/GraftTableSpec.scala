@@ -817,6 +817,24 @@ class GraftTableSpec extends SparkTestBase {
       "re-added column resurrected dropped bytes through SQL")
   }
 
+  test("CALL graft.system.clone: zero-copy sandbox whose commits never touch the source (r10)") {
+    val _ = wh
+    val base = s"$wh/db/clone_src"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val p2 = new org.apache.hadoop.fs.Path(s"$wh/db/clone_dst")
+    p2.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p2, true)
+    TableFormat.commit(spark, base, (0L until 100L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"))
+    val r = spark.sql("CALL graft.system.clone('db.clone_src', 'db.clone_dst')").head
+    assert(r.getInt(0) == 1 && r.getString(1).endsWith("db/clone_dst"))
+    assert(spark.sql("SELECT count(1) FROM graft.db.clone_dst").head.getLong(0) == 100)
+    // a write to the clone stays in the clone
+    spark.sql("INSERT INTO graft.db.clone_dst VALUES (999, 999)")
+    assert(spark.sql("SELECT count(1) FROM graft.db.clone_dst").head.getLong(0) == 101)
+    assert(spark.sql("SELECT count(1) FROM graft.db.clone_src").head.getLong(0) == 100)
+  }
+
   test("generated columns: engine-computed on every INSERT, usable as the clustering key (r10)") {
     val _ = wh
     val base = s"$wh/db/gen_spec"
