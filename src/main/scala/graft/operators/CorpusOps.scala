@@ -268,7 +268,37 @@ object CorpusOps {
       .orderBy(col("rnk").asc, col("term").asc)
   }
 
+  /** `dedup_incremental` (r10): dedup a NEW ingest batch against the
+    * ALREADY-INGESTED corpus — the shape production pipelines actually
+    * run (within-batch dedup alone re-admits anything ingested last
+    * week). Corpus = docs with doc_id % 3 != 0 (standing in for the
+    * already-committed table); batch = every doc, so two thirds of it
+    * collides. Both sides project to 16-byte md5 content fingerprints
+    * BEFORE the join — the text never shuffles, the anti-join moves
+    * fingerprints only (at 100 TB: |corpus| 16-byte keys, and the
+    * corpus side would come from the graft table's snapshot read, or a
+    * bloom prefilter when the batch is small). Batch rows surviving the
+    * corpus screen then dedup within-batch (min doc_id per fingerprint
+    * via one min(struct) agg — no window, no second shuffle). Output:
+    * per-lang admitted counts. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpusFp = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(md5(col("text")).as("fp")).distinct()
+    val batch = docs.select(md5(col("text")).as("fp"), col("doc_id"), col("lang"))
+    val fresh = batch.join(corpusFp, Seq("fp"), "left_anti")
+    val kept = fresh
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"))
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"),
+           min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "text_zipf" -> (textZipf _),
     "dedup_paragraph" -> (dedupParagraph _),
     "graph_pagerank" -> (graphPagerank _),
@@ -279,6 +309,19 @@ object CorpusOps {
     "sim_knn_graph" -> (simKnnGraph _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+        |), fresh AS (
+        |  SELECT md5(text) AS fp, doc_id, lang FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = md5(d.text))
+        |), kept AS (
+        |  SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp
+        |)
+        |SELECT f.lang, count(1) AS n_admitted, min(f.doc_id) AS first_doc
+        |FROM fresh f JOIN kept k ON f.fp = k.fp AND f.doc_id = k.doc_id
+        |GROUP BY f.lang
+        |ORDER BY f.lang ASC NULLS FIRST""".stripMargin,
     "text_zipf" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),

@@ -254,6 +254,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"clique-sized aggregation buffer is back:\n$p")
   }
 
+  test("dedup_incremental: every shuffle carries the 16-byte fingerprint, never text (r10)") {
+    val p = plan(CorpusOps.dedupIncremental(spark, sfDir))
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty, s"expected fp-keyed exchanges:\n$p")
+    assert(keys.forall(k => k == "fp" || k == "lang"),
+      s"an exchange partitions on ${keys.filterNot(k => k == "fp" || k == "lang")}:\n$p")
+    assert(!p.contains("text#") ||
+      !"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined,
+      s"document text crosses a shuffle:\n$p")
+  }
+
   test("table reads: dv-free snapshot keeps the plain scan plan; a dv adds ONE broadcast anti-join (r10)") {
     import org.apache.spark.sql.functions.col
     val base = s"${graft.Tables.scratchDir}/plan_dv"
