@@ -401,11 +401,18 @@ object TableFormat {
   def alterConstraintsCommit(spark: SparkSession, base: String,
                              upsert: Option[(String, String)] = None,
                              drop: Option[String] = None,
-                             maxRetries: Int = 10): Int = {
+                             maxRetries: Int = 10,
+                             validate: Int => Unit = _ => ()): Int = {
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
       require(parentV > 0, s"table $base: cannot ALTER a table with no commits")
+      // re-run the caller's data validation against THE SNAPSHOT BEING
+      // COMMITTED OVER (r10): an OCC retry rebases onto commits that
+      // landed after the first validation scan — publishing an
+      // ENFORCED/VALID constraint over unvalidated rows would hand the
+      // optimizer a known-true predicate the data violates
+      validate(parentV)
       val schemaJson = manifestSchema(spark, base, parentV).map(_.json).getOrElse(
         throw new IllegalStateException(s"table $base v$parentV has no schema header"))
       val cur = manifestConstraints(spark, base, parentV)
@@ -1343,8 +1350,17 @@ object TableFormat {
     val v = currentVersion(spark, srcBase)
     val schemaJson = manifestSchema(spark, srcBase, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $srcBase v$v has no schema header"))
+    // the clone must carry the source's FULL header state (r10): a
+    // renamed column without the colmap would read NULL in the clone
+    // (files store physical names), a dropped-then-readded column
+    // without the tombstones could resurrect, and props/constraints are
+    // part of the table's definition
     writeManifest(spark, dstBase, 1, schemaJson, manifestEntries(spark, srcBase, v),
-      txn = None, statsCols = manifestStatsCols(spark, srcBase, v), op = "clone")
+      txn = None, statsCols = manifestStatsCols(spark, srcBase, v), op = "clone",
+      props = Some(manifestProps(spark, srcBase, v)),
+      colmap = Some(manifestColmap(spark, srcBase, v)),
+      tombstones = Some(manifestTombstones(spark, srcBase, v)),
+      constraints = Some(manifestConstraints(spark, srcBase, v)))
     v
   }
 
@@ -1462,7 +1478,22 @@ object TableFormat {
         if (parentV == 0) None else manifestSchema(spark, base, parentV)
       val mergedSchema = parentSchema.fold(schema) { ps =>
         val have = ps.fieldNames.toSet
-        StructType(ps.fields ++ schema.fields.filterNot(f => have(f.name)))
+        val added = schema.fields.filterNot(f => have(f.name))
+        // same retired-physical-name guard as appendCommit (r10): the
+        // staged files already store the new column under its own
+        // spelling, so the colmap fresh-name device cannot apply — a
+        // streamed epoch must not resurrect a dropped column's bytes
+        if (added.nonEmpty) {
+          val tombs = manifestTombstones(spark, base, parentV)
+          val physInUse = ps.fieldNames.map(n => cm.getOrElse(n, n)).toSet -- have
+          added.foreach { f =>
+            require(!tombs(f.name) && !physInUse(f.name),
+              s"appendCommitStaged: column ${f.name} re-uses a retired physical " +
+                "name (a dropped or renamed-away column once stored bytes under " +
+                "it); add it via ALTER TABLE ADD COLUMN first")
+          }
+        }
+        StructType(ps.fields ++ added)
       }
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
@@ -1559,18 +1590,32 @@ object TableFormat {
     * replaced table stay time-travel readable. */
   def replaceTableStaged(spark: SparkSession, base: String, paths: Seq[String],
                          schema: StructType, statsCols: Seq[String],
-                         maxRetries: Int = 10): Int = {
+                         maxRetries: Int = 10,
+                         props: Map[String, String] = Map.empty,
+                         requireParent: Option[Int] = None): Int = {
     val staged = entriesFromFooters(spark, paths, statsCols)
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
+      // CREATE (not REPLACE) semantics (r10): the publish is only valid
+      // over the exact parent the caller staged against — a CTAS loser
+      // must NOT rebase onto the winner's v1 and silently replace it
+      // (the pre-r10 retry loop did exactly that); fail loudly instead
+      requireParent.filter(_ != parentV).foreach(exp =>
+        throw new IllegalStateException(
+          s"table $base: CTAS expected to publish v${exp + 1} but v$parentV is " +
+            "already committed — a concurrent CREATE won this table; re-run " +
+            "against it (or use CREATE OR REPLACE)"))
       try
-        // a table REDEFINITION resets the column mapping: the staged
-        // files store the new schema's literal names, and carrying an
-        // old colmap/tombstones forward would misread them (r10)
+        // a table REDEFINITION resets the column mapping, tombstones,
+        // properties and constraints: the staged files store the new
+        // schema's literal names, and a replaced definition must not
+        // inherit the old table's config (an old CHECK could name a
+        // column the new schema lacks, bricking every write) (r10)
         return writeManifest(spark, base, parentV + 1, schema.json, staged,
           txn = None, statsCols = statsCols, op = "replace",
-          colmap = Some(Map.empty), tombstones = Some(Set.empty))
+          colmap = Some(Map.empty), tombstones = Some(Set.empty),
+          props = Some(props), constraints = Some(Seq.empty))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -1679,6 +1724,32 @@ object TableFormat {
     -1 // unreachable
   }
 
+  /** Dependent-metadata guard (r10): renaming or dropping a column that
+    * a CHECK constraint's predicate or a generated column's expression
+    * references by name would leave that SQL text unresolvable and
+    * brick every subsequent write — refuse with the dependent named
+    * (drop the constraint / the generated column first). Word-boundary
+    * matching is conservative: a name appearing only inside a string
+    * literal is a false positive, and a false refusal names its cure. */
+  private def requireNoDependents(spark: SparkSession, base: String, version: Int,
+                                  colName: String, verb: String): Unit = {
+    val pat = ("(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+    manifestConstraints(spark, base, version).foreach { case (n, body) =>
+      if (body.startsWith("C:") && pat.findFirstIn(body.drop(2)).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot $verb column $colName: CHECK constraint $n references it " +
+            s"(${body.drop(2)}) — DROP CONSTRAINT $n first")
+    }
+    manifestSchema(spark, base, version).foreach(_.fields.foreach { f =>
+      if (f.name != colName && f.metadata.contains("GENERATION_EXPRESSION") &&
+          pat.findFirstIn(f.metadata.getString("GENERATION_EXPRESSION")).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot $verb column $colName: generated column ${f.name} derives " +
+            s"from it (${f.metadata.getString("GENERATION_EXPRESSION")}) — drop " +
+            "the generated column first")
+    })
+  }
+
   /** RENAME COLUMN commit (r10) — pure metadata, zero data IO: the
     * logical name re-points at the column's unchanged PHYSICAL name
     * through the `#colmap` header, the recorded schema and `#stats`
@@ -1701,6 +1772,7 @@ object TableFormat {
         s"alterRenameCommit: no column $oldName in ${parent.fieldNames.mkString(", ")}")
       require(!parent.fieldNames.contains(newName),
         s"alterRenameCommit: column $newName already exists")
+      requireNoDependents(spark, base, parentV, oldName, "rename")
       val cm = manifestColmap(spark, base, parentV)
       val physical = cm.getOrElse(oldName, oldName)
       val newSchema = StructType(parent.fields.map(f =>
@@ -1747,6 +1819,7 @@ object TableFormat {
         s"alterDropCommit: no column $colName in ${parent.fieldNames.mkString(", ")}")
       require(parent.fields.length > 1,
         s"alterDropCommit: cannot drop the only column of $base")
+      requireNoDependents(spark, base, parentV, colName, "drop")
       val cm = manifestColmap(spark, base, parentV)
       val physical = cm.getOrElse(colName, colName)
       val newSchema = StructType(parent.fields.filterNot(_.name == colName))

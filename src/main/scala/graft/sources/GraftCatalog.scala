@@ -148,8 +148,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"graft catalog: path $path exists and is not a graft table " +
           s"(contains: ${children.toSeq.sorted.mkString(", ")}) — refusing to delete; " +
           "drop it explicitly or pick another table name")
-      fs.delete(p, true)
-      ()
+      // debris is left IN PLACE (r10): a `data/`-only tree could be a
+      // CONCURRENT CTAS mid-staging — deleting it would yank that
+      // query's files out from under its commit. Orphaned files are
+      // invisible (reads are manifest-scoped) and vacuum reclaims them;
+      // the v1 manifest CAS arbitrates who actually creates the table.
     }
   }
 
@@ -289,16 +292,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case a: TableChange.AddConstraint =>
         a.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-            val pred = org.apache.spark.sql.functions.expr(c.predicateSql())
-            val violations = TableFormat.readSnapshot(spark, path)
-              .filter(!org.apache.spark.sql.functions.coalesce(
-                pred, org.apache.spark.sql.functions.lit(true)))
-              .limit(1).count()
-            require(violations == 0,
-              s"graft catalog: cannot ADD CONSTRAINT ${c.name()} — existing rows " +
-                s"violate CHECK (${c.predicateSql()})")
+            // validation runs INSIDE the commit loop (r10, per attempt):
+            // an OCC rebase onto a concurrent INSERT must re-scan the
+            // snapshot it actually publishes over
+            def validate(v: Int): Unit = {
+              val pred = org.apache.spark.sql.functions.expr(c.predicateSql())
+              val violations = TableFormat.readSnapshot(spark, path, Some(v))
+                .filter(!org.apache.spark.sql.functions.coalesce(
+                  pred, org.apache.spark.sql.functions.lit(true)))
+                .limit(1).count()
+              require(violations == 0,
+                s"graft catalog: cannot ADD CONSTRAINT ${c.name()} — existing rows " +
+                  s"violate CHECK (${c.predicateSql()})")
+            }
             TableFormat.alterConstraintsCommit(spark, path,
-              upsert = Some(c.name() -> ("C:" + c.predicateSql())))
+              upsert = Some(c.name() -> ("C:" + c.predicateSql())),
+              validate = validate)
           case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey
               if !pk.enforced() =>
             TableFormat.alterConstraintsCommit(spark, path,
@@ -434,26 +443,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * replaced table's history stays time-travel readable — and the NEW
     * definition's `PARTITIONED BY` wins (the staged files' footer
     * stats land under the new declaration). */
+  private def stagedOf(path: String,
+                       info: org.apache.spark.sql.connector.catalog.TableInfo,
+                       requireAbsent: Boolean): GraftStagedTable = {
+    // inline constraints can't be validated against data that doesn't
+    // exist until the staged query finishes — declare them with ALTER
+    // TABLE ADD CONSTRAINT afterwards (which validates properly)
+    require(info.constraints().isEmpty,
+      "graft catalog: constraints on CREATE/REPLACE TABLE AS SELECT are not " +
+        "supported — add them with ALTER TABLE ADD CONSTRAINT after the " +
+        "query, which validates the landed data")
+    new GraftStagedTable(path, info.schema(),
+      clusterColsOf(info.schema(), info.partitions()), requireAbsent, spark,
+      props = userProps(info.properties()))
+  }
   override def stageCreate(ident: Identifier,
                            info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
     val path = tablePath(ident)
     ensureCreatablePath(path)
-    new GraftStagedTable(path, info.schema(),
-      clusterColsOf(info.schema(), info.partitions()), requireAbsent = true, spark)
+    stagedOf(path, info, requireAbsent = true)
   }
   override def stageReplace(ident: Identifier,
                             info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
-    new GraftStagedTable(path, info.schema(),
-      clusterColsOf(info.schema(), info.partitions()), requireAbsent = false, spark)
+    stagedOf(path, info, requireAbsent = false)
   }
   override def stageCreateOrReplace(ident: Identifier,
                                     info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
     val path = tablePath(ident)
     if (!isTable(path)) ensureCreatablePath(path)
-    new GraftStagedTable(path, info.schema(),
-      clusterColsOf(info.schema(), info.partitions()), requireAbsent = false, spark)
+    stagedOf(path, info, requireAbsent = false)
   }
 
   /** SQL maintenance surface (r10, VERDICT r9 #2):
@@ -483,7 +503,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   * bounds read per staged file. */
 private[sources] class GraftStagedTable(path: String, tableSchema: StructType,
                                         clusterCols: Seq[String],
-                                        requireAbsent: Boolean, spark: SparkSession)
+                                        requireAbsent: Boolean, spark: SparkSession,
+                                        props: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -520,11 +541,13 @@ private[sources] class GraftStagedTable(path: String, tableSchema: StructType,
   }
 
   override def commitStagedChanges(): Unit = {
-    if (requireAbsent && TableFormat.latestVersion(spark, path) > 0)
-      throw new IllegalStateException(
-        s"graft catalog: $path gained a committed snapshot while this CTAS was " +
-          "staging — refusing to overwrite it (re-run as CREATE OR REPLACE)")
-    TableFormat.replaceTableStaged(spark, path, staged.toSeq, tableSchema, clusterCols)
+    // for plain CTAS the publish is pinned to v1 (requireParent = 0):
+    // the check-then-act guard alone left a window where the LOSER of a
+    // racing CTAS would rebase onto the winner's v1 and silently
+    // replace it — the pin turns that into the documented loud failure
+    TableFormat.replaceTableStaged(spark, path, staged.toSeq, tableSchema,
+      clusterCols, props = props,
+      requireParent = if (requireAbsent) Some(0) else None)
     ()
   }
   override def abortStagedChanges(): Unit =
@@ -768,7 +791,12 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
     // leave masked bytes behind.
     val mode = spark.conf.getOption("spark.graft.delete.mode")
       .orElse(TableFormat.manifestProps(spark, base, v).get("delete.mode"))
-    val mor = mode.exists(_.equalsIgnoreCase("merge-on-read"))
+    // TRUNCATE (AlwaysTrue) stays copy-on-write regardless of mode
+    // (r10): the CoW filter constant-folds to an EMPTY write — pure
+    // metadata — while a dv would scan the table to record every row's
+    // position and then drop every file anyway
+    val mor = mode.exists(_.equalsIgnoreCase("merge-on-read")) &&
+      !filters.contains(AlwaysTrue())
     if (mor) TableFormat.deleteRowsDV(spark, base, cond, bounds)
     else TableFormat.deleteRows(spark, base, cond, bounds)
     ()
@@ -947,10 +975,23 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
     * consumed, and this scan keeps all predicates residual, so any
     * WHERE routes to the normal file-skipping read. Pre-r10 manifests
     * (no row counts) bail to the data path untouched. */
+  // Spark probes supportCompletePushDown then pushAggregation with the
+  // same Aggregation — memoize so the manifest is read and the bounds
+  // computed ONCE per query (r10; on an object store each manifest read
+  // is a network round-trip)
+  private var aggMemo: Option[(Aggregation, Option[(StructType, Seq[Any])])] = None
+  private def computeAggCached(agg: Aggregation): Option[(StructType, Seq[Any])] =
+    aggMemo match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = computeAgg(agg)
+        aggMemo = Some((agg, r))
+        r
+    }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    computeAgg(agg).isDefined
+    computeAggCached(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean =
-    computeAgg(agg) match {
+    computeAggCached(agg) match {
       case some @ Some(_) => aggResult = some; true
       case None => false
     }
@@ -961,9 +1002,14 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
       case _ => None
     }
 
+  // ONE manifest read per scan builder — shared by the aggregate
+  // pushdown and the file-pruning path (r10)
+  private lazy val manifestEntriesCached: Seq[TableFormat.ManifestEntry] =
+    TableFormat.manifestEntries(spark, base, version)
+
   private def computeAgg(agg: Aggregation): Option[(StructType, Seq[Any])] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
-    val entries = TableFormat.manifestEntries(spark, base, version)
+    val entries = manifestEntriesCached
     if (!entries.forall(_.rows.isDefined)) return None // pre-r10 manifest
     // deletion vectors (r10): COUNT(*) stays answerable — liveRows is
     // exact — but per-column stats describe the file INCLUDING deleted
@@ -1041,7 +1087,7 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
       case _ => false
     }
   private[sources] def keptEntries(): Seq[TableFormat.ManifestEntry] = {
-    val entries = TableFormat.manifestEntries(spark, base, version)
+    val entries = manifestEntriesCached
     val b1 = statsCols.headOption.filter(integral)
       .map(GraftScanBuilder.bounds(pushed, _))
     val b2 = statsCols.drop(1).headOption.filter(integral)

@@ -21,6 +21,31 @@ import graft.operators.TableFormat
   * analysis, exactly like Spark's built-in `range(...)`). Registered in
   * the session TableFunctionRegistry by [[register]] (and by
   * `GraftExtensions` for sessions built with extensions). */
+/** Shared argument/path resolution for the graft TVFs (r10): literal
+  * evaluation and `db.t` → warehouse-path resolution must have exactly
+  * one implementation across the changes/history/detail functions. */
+private[sources] object GraftTvf {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  def evalStr(e: Expression): String = e.eval() match {
+    case u: UTF8String => u.toString
+    case other => String.valueOf(other)
+  }
+  def evalInt(name: String)(e: Expression): Int = e.eval() match {
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$name: expected an integer literal, got $other")
+  }
+  /** Resolve `db.t` through the graft catalog's warehouse when one is
+    * configured and the argument isn't already a path. */
+  def resolveBase(spark: SparkSession, s: String): String =
+    if (s.contains("/")) s
+    else {
+      val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+      wh.fold(s)(w => (w +: s.split('.').toSeq).mkString("/"))
+    }
+}
+
 object TableChangesTvf {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -28,33 +53,16 @@ object TableChangesTvf {
 
   val name = "graft_table_changes"
 
-  private def evalStr(e: Expression): String = e.eval() match {
-    case u: UTF8String => u.toString
-    case other => String.valueOf(other)
-  }
-  private def evalInt(e: Expression): Int = e.eval() match {
-    case n: java.lang.Number => n.intValue()
-    case other => throw new IllegalArgumentException(
-      s"$name: expected an integer literal, got $other")
-  }
 
-  /** Resolve `db.t` through the graft catalog's warehouse when one is
-    * configured and the argument isn't already a path. */
-  private def resolveBase(spark: SparkSession, s: String): String =
-    if (s.contains("/")) s
-    else {
-      val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
-      wh.fold(s)(w => (w +: s.split('.').toSeq).mkString("/"))
-    }
 
   def builder: Seq[Expression] => LogicalPlan = { args =>
     require(args.length == 2 || args.length == 3,
       s"$name(base, fromVersion[, toVersion]) takes 2 or 3 arguments, got ${args.length}")
     val spark = SparkSession.active
-    val base = resolveBase(spark, evalStr(args.head))
-    val from = evalInt(args(1))
+    val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
+    val from = GraftTvf.evalInt(name)(args(1))
     val to =
-      if (args.length == 3) evalInt(args(2))
+      if (args.length == 3) GraftTvf.evalInt(name)(args(2))
       else TableFormat.currentVersion(spark, base)
     SqlBridge.analyzed(TableFormat.readChanges(spark, base, from, to))
   }
@@ -80,21 +88,11 @@ object TableHistoryTvf {
 
   val name = "graft_table_history"
 
-  private def evalStr(e: Expression): String = e.eval() match {
-    case u: UTF8String => u.toString
-    case other => String.valueOf(other)
-  }
-  private def resolveBase(spark: SparkSession, s: String): String =
-    if (s.contains("/")) s
-    else {
-      val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
-      wh.fold(s)(w => (w +: s.split('.').toSeq).mkString("/"))
-    }
 
   def builder: Seq[Expression] => LogicalPlan = { args =>
     require(args.length == 1, s"$name(base) takes 1 argument, got ${args.length}")
     val spark = SparkSession.active
-    val base = resolveBase(spark, evalStr(args.head))
+    val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
     import spark.implicits._
     SqlBridge.analyzed(
       TableFormat.history(spark, base).toDF("version", "op", "n_files"))
@@ -120,21 +118,11 @@ object TableDetailTvf {
 
   val name = "graft_table_detail"
 
-  private def evalStr(e: Expression): String = e.eval() match {
-    case u: UTF8String => u.toString
-    case other => String.valueOf(other)
-  }
-  private def resolveBase(spark: SparkSession, s: String): String =
-    if (s.contains("/")) s
-    else {
-      val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
-      wh.fold(s)(w => (w +: s.split('.').toSeq).mkString("/"))
-    }
 
   def builder: Seq[Expression] => LogicalPlan = { args =>
     require(args.length == 1, s"$name(base) takes 1 argument, got ${args.length}")
     val spark = SparkSession.active
-    val base = resolveBase(spark, evalStr(args.head))
+    val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
     val v = TableFormat.currentVersion(spark, base)
     val entries = TableFormat.manifestEntries(spark, base, v)
     val fs = new org.apache.hadoop.fs.Path(base)

@@ -859,6 +859,50 @@ class TableFormatSpec extends SparkTestBase {
     assert(ch.filter(col("_change_type") === "insert").count() == 0)
   }
 
+  test("review fixes: clone carries headers, dependent-metadata guards, CTAS parent pin (r10)") {
+    val base = freshBase("tf_fix")
+    val rows = (0L until 200L).map(i => (i, i * 2)).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    TableFormat.alterRenameCommit(spark, base, "v", "amount")
+    TableFormat.deleteRowsDV(spark, base, col("k") === 7L)
+    TableFormat.alterPropsCommit(spark, base, Map("delete.mode" -> "merge-on-read"))
+    TableFormat.alterConstraintsCommit(spark, base,
+      upsert = Some("nonneg" -> "C:amount >= 0"))
+    // CLONE must carry colmap + dv + props + constraints: without the
+    // colmap the renamed column reads NULL in the clone
+    val dst = freshBase("tf_fix_clone")
+    TableFormat.cloneTable(spark, base, dst)
+    val cl = TableFormat.readSnapshot(spark, dst)
+    assert(cl.count() == 199, "clone lost the deletion vector")
+    assert(cl.filter(col("amount").isNull).count() == 0,
+      "clone lost the column mapping — renamed column reads NULL")
+    assert(TableFormat.manifestProps(spark, dst, 1) == Map("delete.mode" -> "merge-on-read"))
+    assert(TableFormat.manifestConstraints(spark, dst, 1)
+      == Seq("nonneg" -> "C:amount >= 0"))
+    // renaming/dropping a column a CHECK references is refused by name
+    val ex1 = intercept[IllegalArgumentException] {
+      TableFormat.alterRenameCommit(spark, base, "amount", "price")
+    }
+    assert(ex1.getMessage.contains("nonneg"))
+    val ex2 = intercept[IllegalArgumentException] {
+      TableFormat.alterDropCommit(spark, base, "amount")
+    }
+    assert(ex2.getMessage.contains("nonneg"))
+    // a CTAS-style publish pinned to parent 0 fails loudly once a
+    // concurrent create has won the table
+    val staged = s"${graft.Tables.scratchDir}/tf_fix_staged"
+    Seq((1L, 1L)).toDF("k", "amount").coalesce(1).write.mode("overwrite").parquet(staged)
+    val f = new org.apache.hadoop.fs.Path(staged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(staged)).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+    val ex3 = intercept[IllegalStateException] {
+      TableFormat.replaceTableStaged(spark, base, part,
+        cl.schema, Nil, requireParent = Some(0))
+    }
+    assert(ex3.getMessage.contains("concurrent CREATE"))
+  }
+
   test("dv full-file deletion drops the entry; mergeInto over a dv file keeps deletes (r10)") {
     val base = freshBase("tf_dv_full")
     val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")

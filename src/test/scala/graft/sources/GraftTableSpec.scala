@@ -817,6 +817,42 @@ class GraftTableSpec extends SparkTestBase {
       "re-added column resurrected dropped bytes through SQL")
   }
 
+  test("CTAS carries TBLPROPERTIES; REPLACE TABLE resets the old definition's config (r10)") {
+    val _ = wh
+    val base = s"$wh/db/ctas_props"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    (0L until 100L).map(i => (i, i)).toDF("k", "v").createOrReplaceTempView("ctas_src")
+    spark.sql(
+      """CREATE TABLE graft.db.ctas_props
+        |TBLPROPERTIES ('delete.mode' = 'merge-on-read', 'tier' = 'gold')
+        |AS SELECT * FROM ctas_src""".stripMargin)
+    val props1 = TableFormat.manifestProps(spark, base,
+      TableFormat.currentVersion(spark, base))
+    assert(props1 == Map("delete.mode" -> "merge-on-read", "tier" -> "gold"),
+      s"CTAS dropped TBLPROPERTIES: $props1")
+    // the property routes the dv path with no session conf
+    val filesBefore = TableFormat.manifestFiles(spark, base,
+      TableFormat.currentVersion(spark, base)).toSet
+    spark.sql("DELETE FROM graft.db.ctas_props WHERE k IN (3, 97)")
+    val vNow = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestOp(spark, base, vNow).contains("delete_dv"))
+    assert(TableFormat.manifestFiles(spark, base, vNow).toSet == filesBefore)
+    // add a constraint, then REPLACE: the new definition must NOT
+    // inherit the old constraint (its column is gone) or the old props
+    spark.sql("ALTER TABLE graft.db.ctas_props ADD CONSTRAINT vn CHECK (v >= 0)")
+    spark.sql(
+      """REPLACE TABLE graft.db.ctas_props
+        |AS SELECT k AS kk FROM ctas_src""".stripMargin)
+    val vR = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestConstraints(spark, base, vR).isEmpty,
+      "REPLACE TABLE inherited a constraint naming a dropped column")
+    assert(TableFormat.manifestProps(spark, base, vR).isEmpty)
+    // writes against the replaced definition work (no phantom CHECK)
+    spark.sql("INSERT INTO graft.db.ctas_props VALUES (12345)")
+    assert(spark.sql("SELECT count(1) FROM graft.db.ctas_props").head.getLong(0) == 101)
+  }
+
   test("CALL graft.system.clone: zero-copy sandbox whose commits never touch the source (r10)") {
     val _ = wh
     val base = s"$wh/db/clone_src"
