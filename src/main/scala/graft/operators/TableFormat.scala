@@ -305,7 +305,20 @@ object TableFormat {
   /** Put-if-absent publish (r8): creates `path` ONLY if absent; returns
     * false when a concurrent writer got there first. The foundation of
     * optimistic concurrency — losing a race must be an observable event,
-    * never a silent overwrite. */
+    * never a silent overwrite.
+    *
+    * STAGE-THEN-RENAME (r10): the body is written to a sibling tmp and
+    * RENAMED into the slot. The pre-r10 direct create+write left a
+    * window where a concurrent REBASER could read the just-created
+    * manifest before its bytes landed — an empty parent entry list —
+    * and publish the next version with the parent's files silently
+    * dropped (a rare full-suite flake was exactly this). Rename is
+    * atomic for READERS on local FS and HDFS: a manifest either isn't
+    * there or is complete. Writer-vs-writer arbitration stays the
+    * exists-check under the per-path lock (single-JVM guard; HDFS's
+    * no-overwrite rename rejects a racing double-publish server-side,
+    * object stores plug in their conditional-put here — same seam as
+    * Delta's LogStore). */
   private[operators] def writeFileIfAbsent(spark: SparkSession, path: String,
                                            body: String): Boolean = {
     val f = fs(spark, path)
@@ -313,14 +326,21 @@ object TableFormat {
     val lock = manifestLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
       if (f.exists(p)) return false
+      val tmp = new Path(path + ".staged." + java.util.UUID.randomUUID.toString.take(8))
       try {
-        val out = f.create(p, false) // overwrite=false: put-if-absent
+        val out = f.create(tmp, false)
         out.write(body.getBytes(StandardCharsets.UTF_8))
         out.close()
+        val fc = FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, p) // NO overwrite option: dst must not exist
         true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          try f.delete(tmp, false) catch { case _: Exception => () }
+          false
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try f.delete(tmp, false) catch { case _: Exception => () }
+          false
       }
     }
   }
@@ -826,6 +846,11 @@ object TableFormat {
       if (n.startsWith("v") && n.endsWith(".manifest")) {
         val ver = n.stripPrefix("v").stripSuffix(".manifest").toIntOption
         if (ver.exists(!retain.contains(_))) f.delete(st.getPath, false)
+      } else if (n.contains(".staged.")) {
+        // a crashed publisher's staging leftover (r10) — its rename
+        // never happened, so nothing references it
+        f.delete(st.getPath, false)
+        ()
       }
     }
     (deleted, kept)

@@ -1881,6 +1881,63 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `table_cdc_apply` (r10): the CDC REPLICATION loop end-to-end — the
+    * reason a change feed exists. Source table: two append generations
+    * then a merge-on-read delete; a `readChangeFeed` STREAM applies
+    * each commit's changes to a mirror table in `foreachBatch`
+    * (per-version, deletes before inserts — a CoW update's
+    * delete-pre-image/insert-post-image pair lands in order), and the
+    * mirror converges to the source exactly. The per-version delete-key
+    * set is micro-batch-bounded driver state feeding a stats-bounded
+    * CoW delete; at scale the same loop applies deletes through the
+    * anti-join merge path instead. Output: the MIRROR's per-lang
+    * aggregate; the oracle recomputes the source's expected final
+    * state. */
+  def tableCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+    val src = s"${Tables.scratchDir}/cdc_src"
+    val mirror = s"${Tables.scratchDir}/cdc_mirror"
+    Seq(src, mirror).foreach { b =>
+      val p = new HadoopPath(b)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    TableFormat.commit(spark, src, docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      1, parent = None, statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, src, docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteRowsDV(spark, src, pmod(col("doc_id"), lit(10)) === 3)
+    val q = spark.readStream.format("graft-table").option("path", src)
+      .option("readChangeFeed", "true").load()
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val versions = b.select(col("_commit_version")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          versions.foreach { v =>
+            val step = b.filter(col("_commit_version") === v)
+            val delKeys = step.filter(col("_change_type") === "delete")
+              .select(col("doc_id")).collect().map(_.getLong(0))
+            if (delKeys.nonEmpty)
+              TableFormat.deleteRows(spark, mirror,
+                col("doc_id").isInCollection(delKeys.toSeq),
+                bounds = Seq((delKeys.min, delKeys.max)))
+            val ins = step.filter(col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version")
+            if (!ins.isEmpty)
+              TableFormat.appendCommit(spark, mirror, ins, statsCol = Some("doc_id"))
+          }
+        } finally { b.unpersist(); () }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    TableFormat.readSnapshot(spark, mirror)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
   /** `sql_generated_columns` (r10): GENERATED ALWAYS AS columns — the
     * engine computes the column on every INSERT (user-supplied values
     * are overwritten by definition), and since the generated column is
@@ -2286,6 +2343,7 @@ object GraftCatalogOps {
     "sql_column_defaults" -> (sqlColumnDefaults _),
     "sql_check_constraints" -> (sqlCheckConstraints _),
     "sql_generated_columns" -> (sqlGeneratedColumns _),
+    "table_cdc_apply" -> (tableCdcApply _),
     "sql_tblproperties" -> (sqlTblProperties _),
     "sql_delete_dv" -> (sqlDeleteDv _),
     "sql_table_changes" -> (sqlTableChanges _),
@@ -2296,6 +2354,11 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "table_cdc_apply" ->
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 3
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_generated_columns" ->
       """SELECT doc_id % 7 AS bucket, count(1) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

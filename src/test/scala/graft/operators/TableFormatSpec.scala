@@ -859,6 +859,34 @@ class TableFormatSpec extends SparkTestBase {
     assert(ch.filter(col("_change_type") === "insert").count() == 0)
   }
 
+  test("manifest publish is reader-atomic: N racing appendCommits never drop a file (r10)") {
+    // the pre-r10 publish created the manifest THEN wrote its bytes; a
+    // concurrent rebaser reading in that window saw an empty parent
+    // entry list and silently dropped every prior file from its own
+    // commit. Six concurrent appenders over several rounds make that
+    // window likely; with stage-then-rename a manifest is either
+    // absent or complete.
+    val base = freshBase("tf_occ_n")
+    TableFormat.commit(spark, base, Seq((0L, "base")).toDF("k", "v"), 1, None)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val n = 6
+    val fs = (1 to n).map(i =>
+      Future(TableFormat.appendCommit(spark, base, Seq((i.toLong, s"w$i")).toDF("k", "v"))))
+    val versions = fs.map(Await.result(_, 180.seconds)).sorted
+    assert(versions == (2 to n + 1), s"committers landed as $versions")
+    val got = TableFormat.readSnapshot(spark, base).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L to n.toLong), s"files lost in the race: $got")
+    // every intermediate version is a superset chain — no version ever
+    // shrank (the exact symptom of the partial-manifest read)
+    (1 to n + 1).foldLeft(Set.empty[String]) { (prev, v) =>
+      val files = TableFormat.manifestFiles(spark, base, v).toSet
+      assert(prev.subsetOf(files), s"v$v dropped files of v${v - 1}")
+      files
+    }
+  }
+
   test("review fixes: clone carries headers, dependent-metadata guards, CTAS parent pin (r10)") {
     val base = freshBase("tf_fix")
     val rows = (0L until 200L).map(i => (i, i * 2)).toDF("k", "v")
