@@ -35,6 +35,23 @@ object Windows {
       .orderBy(col("o_orderstatus").asc, col("o_orderkey").asc)
   }
 
+  /** `win_percent_rank` (r10): relative-position analytics — the
+    * distribution functions `percent_rank` ((rank-1)/(n-1)) and
+    * `cume_dist` (rows ≤ current / n) per status partition, the
+    * percentile-style window family `win_ntile`'s bucketing
+    * approximates. Floor-rounded to 4 dp so IEEE division agrees
+    * across engines; same one-shuffle window as every rank. */
+  def winPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              floor(percent_rank().over(w) * 10000).cast("long").as("pr4"),
+              floor(cume_dist().over(w) * 10000).cast("long").as("cd4"))
+      .orderBy(col("o_orderstatus").asc, col("o_orderkey").asc)
+  }
+
   /** lag/lead of order totalprice within each customer's order history. */
   def winLagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -149,12 +166,21 @@ object Windows {
     "win_first_last" -> (winFirstLast _),
     "win_ntile" -> (winNtile _),
     "win_rank" -> (winRank _),
+    "win_percent_rank" -> (winPercentRank _),
     "win_lag_lead" -> (winLagLead _),
     "win_frame_rows" -> (winFrameRows _),
     "win_frame_range" -> (winFrameRange _),
     "topk_per_group" -> (topkPerGroup _))
 
   val oracle: Map[String, String] = Map(
+    "win_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr4,
+        |  CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cd4
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "win_distinct_count" ->
       """SELECT user_id, event_id,
         |  CAST(len(list_distinct(list(event_type) OVER w)) AS BIGINT) AS n_types_seen
