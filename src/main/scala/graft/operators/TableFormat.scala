@@ -648,12 +648,23 @@ object TableFormat {
     val clustered = statsCol.fold(df)(c => df.repartitionByRange(nFiles, col(c)))
     val entries = writeDataFiles(spark, base, newCommitDir(base, version), clustered, statsCol)
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
+    // keep the previous snapshot's field metadata (r11): an INSERT
+    // OVERWRITE's DataFrame flowed through withColumn/planner and lost
+    // GENERATION_EXPRESSION/defaults — re-attach from the latest
+    // recorded schema (parentless overwrites still belong to the table)
+    val prevSchema = {
+      val pv = parent.getOrElse(version - 1)
+      if (pv <= 0) None
+      else try manifestSchema(spark, base, pv)
+           catch { case _: java.io.FileNotFoundException => None }
+    }
+    val outSchema = preserveFieldMetadata(prevSchema, df.schema)
     // `append` promises readChanges' fast path that NOTHING was removed
     // relative to version-1 — true only when the parent IS version-1. A
     // caller committing over an older parent (the API allows it) drops
     // version-1's extra files, so tag it `replace` and let the CDF take
     // the always-correct full-diff path (r10, ADVICE r9 #3).
-    writeManifest(spark, base, version, df.schema.json, parentEntries ++ entries, txn,
+    writeManifest(spark, base, version, outSchema.json, parentEntries ++ entries, txn,
       statsCols = statsCol.toSeq,
       op = if (parent.contains(version - 1)) "append" else "replace")
   }
@@ -848,9 +859,18 @@ object TableFormat {
         if (ver.exists(!retain.contains(_))) f.delete(st.getPath, false)
       } else if (n.contains(".staged.")) {
         // a crashed publisher's staging leftover (r10) — its rename
-        // never happened, so nothing references it
-        f.delete(st.getPath, false)
-        ()
+        // never happened, so nothing references it. r11 (ADVICE r10
+        // low): only reclaim STALE leftovers (mtime older than a grace
+        // period) — an unconditional delete races a LIVE publisher
+        // between its tmp-create and rename, failing that commit
+        // spuriously at the rename. Five minutes dwarfs any real
+        // create→rename window; a crashed publisher's file ages past
+        // it and is reclaimed on the next vacuum.
+        val graceMs = 5L * 60 * 1000
+        if (System.currentTimeMillis() - st.getModificationTime > graceMs) {
+          f.delete(st.getPath, false)
+          ()
+        }
       }
     }
     (deleted, kept)
@@ -1132,6 +1152,12 @@ object TableFormat {
   def commitZorder(spark: SparkSession, base: String, df: DataFrame,
                    c1: String, c2: String, version: Int,
                    nFiles: Int = 16, op: String = "replace"): Int = {
+    // keep the previous snapshot's field metadata (r11) — see commit()
+    val zSchema = preserveFieldMetadata(
+      if (version <= 1) None
+      else try manifestSchema(spark, base, version - 1)
+           catch { case _: java.io.FileNotFoundException => None },
+      df.schema)
     val b = df.agg(min(col(c1)).cast("long"), max(col(c1)).cast("long"),
                    min(col(c2)).cast("long"), max(col(c2)).cast("long"))
       .collect()(0) // 1 row of bounds — broadcast into the norm expressions
@@ -1145,7 +1171,7 @@ object TableFormat {
     if ((0 to 3).exists(b.isNullAt)) {
       val entries = writeDataFiles(spark, base, newCommitDir(base, version),
         df.repartition(nFiles), Some(c1), Some(c2))
-      return writeManifest(spark, base, version, df.schema.json, entries,
+      return writeManifest(spark, base, version, zSchema.json, entries,
         txn = None, statsCols = Seq(c1, c2), op = op)
     }
     def norm(c: String, lo: Long, hi: Long): Column = {
@@ -1168,7 +1194,7 @@ object TableFormat {
       .repartitionByRange(nFiles, col("__z")).drop("__z")
     val entries = writeDataFiles(spark, base, newCommitDir(base, version),
       clustered, Some(c1), Some(c2))
-    writeManifest(spark, base, version, df.schema.json, entries, txn = None,
+    writeManifest(spark, base, version, zSchema.json, entries, txn = None,
       statsCols = Seq(c1, c2), op = op)
   }
 
@@ -1406,7 +1432,22 @@ object TableFormat {
     * (no data IO at all), history stays intact (the undone versions
     * remain time-travel readable), and the CDF reports the restore
     * honestly as the file diff between the restored-from and
-    * restored-to snapshots. Returns the new version. */
+    * restored-to snapshots. Returns the new version.
+    *
+    * r11 (ADVICE r10 high): the restore commit carries `toVersion`'s OWN
+    * props/colmap/tombstones/constraints, never the current parent's.
+    * Inheriting the parent's headers under a restored (older) schema is
+    * silently wrong: after RENAME a→b then ADD COLUMN a (fresh physical
+    * a__rN in the colmap), a restore to the pre-rename snapshot would
+    * pair logical `a` with the parent's a→a__rN mapping and every
+    * pre-rename file would read NULL for it; likewise a parent CHECK
+    * referencing a column absent from the restored schema would brick
+    * every later write. cloneTable got this fix in r10 (commit 153bf87's
+    * header-loss class) — restore is the same operation against its own
+    * history, so it takes the same explicit pass-through. By
+    * construction toVersion's headers resolve against toVersion's
+    * schema (they were committed together), so no extra guard is
+    * needed beyond the pass-through itself. */
   def restoreVersion(spark: SparkSession, base: String, toVersion: Int): Int = {
     val schemaJson = manifestSchema(spark, base, toVersion).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$toVersion has no schema header"))
@@ -1419,7 +1460,11 @@ object TableFormat {
       try
         return writeManifest(spark, base, parentV + 1, schemaJson,
           manifestEntries(spark, base, toVersion), txn = None,
-          statsCols = manifestStatsCols(spark, base, toVersion), op = "restore")
+          statsCols = manifestStatsCols(spark, base, toVersion), op = "restore",
+          props = Some(manifestProps(spark, base, toVersion)),
+          colmap = Some(manifestColmap(spark, base, toVersion)),
+          tombstones = Some(manifestTombstones(spark, base, toVersion)),
+          constraints = Some(manifestConstraints(spark, base, toVersion)))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -1576,6 +1621,30 @@ object TableFormat {
     }
   }
 
+  /** Field-wise schema-metadata preservation (r11, ADVICE r10 medium):
+    * commits whose DataFrame/write schema flowed through the planner
+    * arrive with field metadata stripped (a `withColumn` or a DSv2
+    * write schema carries no GENERATION_EXPRESSION / CURRENT_DEFAULT /
+    * comment) — re-attach the parent's recorded metadata to every
+    * same-name same-type field whose outgoing metadata is empty, so a
+    * rewrite can never silently undeclare a generated column or a
+    * default. A field the commit GENUINELY redefines (carrying its own
+    * metadata) wins. */
+  private def preserveFieldMetadata(parent: Option[StructType],
+                                    out: StructType): StructType =
+    parent.fold(out) { ps =>
+      val byName = ps.fields.map(f => f.name -> f).toMap
+      StructType(out.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(pf) if pf.dataType == f.dataType &&
+              f.metadata == org.apache.spark.sql.types.Metadata.empty &&
+              pf.metadata != org.apache.spark.sql.types.Metadata.empty =>
+            f.copy(metadata = pf.metadata)
+          case _ => f
+        }
+      })
+    }
+
   def replaceCommitStaged(spark: SparkSession, base: String, paths: Seq[String],
                           schema: StructType, maxRetries: Int = 10,
                           carried: Seq[ManifestEntry] = Seq.empty,
@@ -1592,8 +1661,16 @@ object TableFormat {
       val cm = if (parentV == 0) Map.empty[String, String]
                else manifestColmap(spark, base, parentV)
       val staged = entriesFromFooters(spark, paths, statsCols, cm)
+      // a row-level rewrite never changes the table's DEFINITION — keep
+      // the parent's field METADATA (r11, ADVICE r10 medium): the write
+      // plan's schema strips GENERATION_EXPRESSION / CURRENT_DEFAULT /
+      // comments, and publishing it verbatim made the first UPDATE
+      // silently erase the table's generated-column declarations for
+      // every later write
+      val effSchema = preserveFieldMetadata(
+        if (parentV == 0) None else manifestSchema(spark, base, parentV), schema)
       try
-        return writeManifest(spark, base, parentV + 1, schema.json, carried ++ staged,
+        return writeManifest(spark, base, parentV + 1, effSchema.json, carried ++ staged,
           txn = None, statsCols = statsCols, op = "replace")
       catch {
         case e: CommitConflictException =>
@@ -1662,11 +1739,18 @@ object TableFormat {
     * keys — the Delta liquid-clustering argument). */
   def createEmpty(spark: SparkSession, base: String, schema: StructType,
                   statsCols: Seq[String],
-                  props: Map[String, String] = Map.empty): Int = {
+                  props: Map[String, String] = Map.empty,
+                  constraints: Seq[(String, String)] = Nil): Int = {
     require(statsCols.size <= 2,
       s"createEmpty: at most 2 clustering columns (got ${statsCols.mkString(", ")})")
+    // r11 (ADVICE r10 low): inline constraints land IN the v1 manifest —
+    // one atomic commit. The old shape (createEmpty, then one
+    // alterConstraintsCommit per constraint) left a half-created table
+    // behind a failed CREATE when a later constraint was rejected, and
+    // made each constraint a separate non-atomic commit.
     writeManifest(spark, base, 1, schema.json, Seq.empty, txn = None,
-      statsCols = statsCols, op = "replace", props = Some(props))
+      statsCols = statsCols, op = "replace", props = Some(props),
+      constraints = if (constraints.nonEmpty) Some(constraints) else None)
   }
 
   /** PROPERTIES commit (r10): re-publish the current snapshot's entries
@@ -1760,10 +1844,20 @@ object TableFormat {
                                   colName: String, verb: String): Unit = {
     val pat = ("(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
     manifestConstraints(spark, base, version).foreach { case (n, body) =>
-      if (body.startsWith("C:") && pat.findFirstIn(body.drop(2)).isDefined)
+      // r11 (ADVICE r10 low): any body that is not a PK:/UQ: key
+      // declaration is a CHECK predicate — the reader (constraints())
+      // treats the legacy pre-prefix spelling as an enforced CHECK, so
+      // the dependent scan must too, or RENAME/DROP of a column a
+      // legacy CHECK references would succeed and brick every write.
+      val checkBody =
+        if (body.startsWith("C:")) Some(body.drop(2))
+        else if (body.startsWith("PK:") || body.startsWith("UQ:")) None
+        else Some(body)
+      checkBody.filter(b => pat.findFirstIn(b).isDefined).foreach { b =>
         throw new IllegalArgumentException(
           s"cannot $verb column $colName: CHECK constraint $n references it " +
-            s"(${body.drop(2)}) — DROP CONSTRAINT $n first")
+            s"($b) — DROP CONSTRAINT $n first")
+      }
     }
     manifestSchema(spark, base, version).foreach(_.fields.foreach { f =>
       if (f.name != colName && f.metadata.contains("GENERATION_EXPRESSION") &&

@@ -234,27 +234,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     val schema = StructType(fields)
     val path = tablePath(ident)
-    ensureCreatablePath(path)
-    TableFormat.createEmpty(spark, path, schema,
-      clusterColsOf(schema, info.partitions()), props = userProps(info.properties()))
-    info.constraints().foreach {
+    // r11 (ADVICE r10 low): translate — and thereby VALIDATE — every
+    // inline constraint BEFORE any commit exists, then write them all
+    // into the single v1 createEmpty commit. The old shape committed
+    // the empty table first, so an unsupported constraint (e.g. an
+    // enforced PRIMARY KEY) threw after v1 existed, leaving a
+    // half-created table behind a failed CREATE TABLE, and each
+    // constraint landed as its own non-atomic commit.
+    val inlineConstraints = info.constraints().toSeq.map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-        TableFormat.alterConstraintsCommit(spark, path,
-          upsert = Some(c.name() -> ("C:" + c.predicateSql())))
+        c.name() -> ("C:" + c.predicateSql())
       case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey
           if !pk.enforced() =>
-        TableFormat.alterConstraintsCommit(spark, path,
-          upsert = Some(pk.name() -> ("PK:" +
-            pk.columns().map(_.fieldNames.mkString(".")).mkString(","))))
+        pk.name() -> ("PK:" +
+          pk.columns().map(_.fieldNames.mkString(".")).mkString(","))
       case uq: org.apache.spark.sql.connector.catalog.constraints.Unique
           if !uq.enforced() =>
-        TableFormat.alterConstraintsCommit(spark, path,
-          upsert = Some(uq.name() -> ("UQ:" +
-            uq.columns().map(_.fieldNames.mkString(".")).mkString(","))))
+        uq.name() -> ("UQ:" +
+          uq.columns().map(_.fieldNames.mkString(".")).mkString(","))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported constraint ${other.toDDL} — CHECK enforced, " +
           "PRIMARY KEY / UNIQUE informational (NOT ENFORCED) only")
     }
+    ensureCreatablePath(path)
+    TableFormat.createEmpty(spark, path, schema,
+      clusterColsOf(schema, info.partitions()), props = userProps(info.properties()),
+      constraints = inlineConstraints)
     new GraftTable(path, None, spark)
   }
   /** `ALTER TABLE … ADD COLUMN` (r10, VERDICT r9 #3): widen the recorded

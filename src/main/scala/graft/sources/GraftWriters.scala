@@ -64,17 +64,75 @@ object GraftParquetWrite {
   * task saw zero rows — no file is created for empty partitions). */
 case class GraftFileMessage(path: Option[String], rows: Long) extends WriterCommitMessage
 
+/** GENERATED ALWAYS AS recompute for the EXECUTOR-side write paths
+  * (r11, ADVICE r10 medium): the V1 batch INSERT recomputes generated
+  * columns driver-side (`withColumn` over the incoming DataFrame), but
+  * row-level rewrites ([[GraftReplaceWrite]]) and the streaming sink
+  * ([[GraftStreamingWrite]]) receive InternalRows straight from the
+  * plan — an UPDATE of a generated column's SOURCE would persist the
+  * stale derived value, silently violating GENERATED ALWAYS and
+  * corrupting any layout/grouping keyed on it. Fix: on the DRIVER,
+  * parse + analyze each generation expression against the write schema
+  * and bind it to row ordinals; the per-task writer then runs the bound
+  * projection over every row before encoding. Bound Catalyst
+  * expressions are serializable case classes, and binding happens once
+  * per write — the executors only evaluate. */
+object GenerationProjection {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSeq, BindReferences, BoundReference, Cast, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+
+  /** Bound output expressions recomputing every generated column of the
+    * table at `base`, positional against `writeSchema`; None when the
+    * table declares none (the common case — zero overhead). */
+  def forWrite(spark: SparkSession, base: String,
+               writeSchema: StructType): Option[Seq[Expression]] = {
+    val v = TableFormat.latestVersion(spark, base)
+    if (v == 0) return None
+    val tbl = TableFormat.manifestSchema(spark, base, v).getOrElse(return None)
+    val gen = tbl.fields.iterator
+      .filter(_.metadata.contains("GENERATION_EXPRESSION"))
+      .map(f => f.name -> f.metadata.getString("GENERATION_EXPRESSION")).toMap
+    if (gen.isEmpty) return None
+    val attrs: Seq[AttributeReference] = writeSchema.fields.toSeq
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    val exprs = writeSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      gen.get(f.name) match {
+        case Some(sql) =>
+          val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+          val analyzed = spark.sessionState.analyzer
+            .execute(Project(Seq(Alias(parsed, f.name)()), LocalRelation(attrs)))
+            .asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+          BindReferences.bindReference(
+            Cast(analyzed, f.dataType,
+              Option(spark.sessionState.conf.sessionLocalTimeZone)),
+            AttributeSeq(attrs)): Expression
+        case None => BoundReference(i, f.dataType, f.nullable): Expression
+      }
+    }
+    Some(exprs)
+  }
+}
+
 /** One task's writer. The file is created LAZILY on the first row, so
-  * empty partitions cost nothing; abort deletes the file. */
+  * empty partitions cost nothing; abort deletes the file. `gen` (r11):
+  * bound generated-column recompute expressions from
+  * [[GenerationProjection.forWrite]], evaluated over each row before
+  * encoding — absent for tables without generated columns. */
 class GraftParquetDataWriter(file: String, schema: StructType,
-                             conf: SerializableHadoopConf)
+                             conf: SerializableHadoopConf,
+                             gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
     extends DataWriter[InternalRow] {
   private val msgType = GraftParquetWrite.messageType(schema)
   private val factory = new SimpleGroupFactory(msgType)
   private var writer: ParquetWriter[org.apache.parquet.example.data.Group] = _
   private var rows = 0L
+  // executor-side, once per task: codegen'd projection over the bound
+  // recompute expressions (falls back to interpreted automatically)
+  private lazy val genProj = gen.map(
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create)
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    val row = genProj.fold(row0)(p => p(row0): InternalRow)
     if (writer == null)
       writer = ExampleParquetWriter.builder(
         HadoopOutputFile.fromPath(new HadoopPath(file), conf.value))
@@ -115,22 +173,24 @@ class GraftParquetDataWriter(file: String, schema: StructType,
 }
 
 class GraftStreamingWriterFactory(stagingDir: String, schema: StructType,
-                                  conf: SerializableHadoopConf)
+                                  conf: SerializableHadoopConf,
+                                  gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftParquetDataWriter(
       s"$stagingDir/part-e${epochId}-p${partitionId}-${UUID.randomUUID.toString.take(8)}.parquet",
-      schema, conf)
+      schema, conf, gen)
 }
 
 class GraftBatchWriterFactory(stagingDir: String, schema: StructType,
-                              conf: SerializableHadoopConf)
+                              conf: SerializableHadoopConf,
+                              gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftParquetDataWriter(
       s"$stagingDir/part-p${partitionId}-${UUID.randomUUID.toString.take(8)}.parquet",
-      schema, conf)
+      schema, conf, gen)
 }
 
 /** Native streaming sink into the table format (r9, VERDICT r8 #1):
@@ -161,7 +221,11 @@ class GraftStreamingWrite(base: String, queryId: String, schema: StructType,
     }
   }
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(s"$base/data/stream_$queryId", physSchema(schema), conf)
+    // generated-column recompute (r11, ADVICE r10 medium): bound on the
+    // LOGICAL schema (positional — the physical rename below changes
+    // parquet field names, never ordinals)
+    new GraftStreamingWriterFactory(s"$base/data/stream_$queryId", physSchema(schema), conf,
+      GenerationProjection.forWrite(spark, base, schema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val paths = messages.collect { case GraftFileMessage(Some(p), _) => p }.toSeq
@@ -209,8 +273,12 @@ class GraftReplaceWrite(base: String, schema: StructType,
     val phys =
       if (cm.isEmpty) schema
       else StructType(schema.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+    // generated-column recompute (r11, ADVICE r10 medium): an UPDATE/
+    // MERGE touching a generated column's source must re-derive the
+    // generated value — bound on the logical schema, positional
     new GraftBatchWriterFactory(
-      s"$base/data/rl_${UUID.randomUUID.toString.take(8)}", phys, conf)
+      s"$base/data/rl_${UUID.randomUUID.toString.take(8)}", phys, conf,
+      GenerationProjection.forWrite(spark, base, schema))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val paths = messages.collect { case GraftFileMessage(Some(p), _) => p }.toSeq

@@ -959,4 +959,77 @@ class TableFormatSpec extends SparkTestBase {
       .toSeq == Seq("UPDATED"))
     assert(fin.count() == expect2 - 1)
   }
+
+  test("restore carries the RESTORED version's colmap/props/constraints, not the parent's (r11, ADVICE r10 high)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = freshBase("tf_restore_hdr")
+    TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("a", "v"), 1, None)
+    TableFormat.alterRenameCommit(spark, base, "a", "b")             // v2: colmap b→a
+    val s2 = TableFormat.manifestSchema(spark, base, 2).get
+    TableFormat.alterSchemaCommit(spark, base,                       // v3: re-ADD `a`
+      StructType(s2.fields :+ StructField("a", LongType)))
+    // premise: the re-added `a` got a FRESH physical name via the colmap
+    // (physical `a` is still owned by the renamed column b)
+    assert(TableFormat.manifestColmap(spark, base, 3).get("a").exists(_ != "a"),
+      "test premise: re-added column must map to a fresh physical name")
+    TableFormat.alterPropsCommit(spark, base, Map("tier" -> "late")) // v4
+    TableFormat.alterConstraintsCommit(spark, base,                  // v5: CHECK on b,
+      upsert = Some("chk_b" -> "C:b > 0"))                           // absent from v1
+    val vR = TableFormat.restoreVersion(spark, base, 1)
+    // v1 had no colmap/props/constraints — the restore commit must carry
+    // v1's (empty) headers. Inheriting the parent's a→a__r3 mapping
+    // would silently NULL column `a` in every pre-rename file, and the
+    // inherited CHECK on `b` (absent from the restored schema) would
+    // brick every subsequent write.
+    assert(TableFormat.manifestColmap(spark, base, vR).isEmpty,
+      "restore inherited the parent's colmap")
+    assert(TableFormat.manifestProps(spark, base, vR).isEmpty,
+      "restore inherited the parent's props")
+    assert(TableFormat.manifestConstraints(spark, base, vR).isEmpty,
+      "restore inherited the parent's constraints")
+    val got = TableFormat.readSnapshot(spark, base, Some(vR)).orderBy("a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 10L, 2L -> 20L), s"restored column a lost its bytes: $got")
+    // and the table still accepts writes (no phantom CHECK on b)
+    TableFormat.appendCommit(spark, base, Seq((3L, 30L)).toDF("a", "v"))
+    assert(TableFormat.readSnapshot(spark, base).count() == 3)
+  }
+
+  test("legacy pre-prefix CHECK bodies block RENAME/DROP of referenced columns (r11, ADVICE r10 low)") {
+    val base = freshBase("tf_legacy_chk")
+    TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None)
+    // legacy spelling: body with NO C:/PK:/UQ: prefix — constraints()
+    // treats it as an enforced CHECK, so the dependent guard must too
+    TableFormat.alterConstraintsCommit(spark, base, upsert = Some("legacy" -> "k > 0"))
+    val e1 = intercept[IllegalArgumentException] {
+      TableFormat.alterRenameCommit(spark, base, "k", "kk")
+    }
+    assert(e1.getMessage.contains("legacy"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TableFormat.alterDropCommit(spark, base, "k")
+    }
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
+    // dropping the constraint releases the column
+    TableFormat.alterConstraintsCommit(spark, base, drop = Some("legacy"))
+    TableFormat.alterRenameCommit(spark, base, "k", "kk")
+    assert(TableFormat.manifestSchema(spark, base,
+      TableFormat.latestVersion(spark, base)).get.fieldNames.contains("kk"))
+  }
+
+  test("vacuum spares fresh .staged. leftovers (live publishers) and reclaims stale ones (r11, ADVICE r10 low)") {
+    val base = freshBase("tf_vac_grace")
+    TableFormat.commit(spark, base, Seq((1L, 10L)).toDF("k", "v"), 1, None)
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a publisher mid-flight: tmp created, rename not yet issued
+    val staged = new org.apache.hadoop.fs.Path(s"$base/_manifests/v9.manifest.staged.deadbeef")
+    val out = f.create(staged); out.writeBytes("in-flight"); out.close()
+    TableFormat.vacuum(spark, base, retain = Seq(1))
+    assert(f.exists(staged),
+      "vacuum deleted a FRESH staged file — races a live publisher's rename")
+    // age it past the grace period: now it is a crashed publisher's orphan
+    f.setTimes(staged, System.currentTimeMillis() - 10L * 60 * 1000, -1)
+    TableFormat.vacuum(spark, base, retain = Seq(1))
+    assert(!f.exists(staged), "vacuum failed to reclaim a stale staged orphan")
+  }
 }

@@ -1097,4 +1097,80 @@ class GraftTableSpec extends SparkTestBase {
     assert(TableFormat.manifestFiles(spark, base, vNow).toSet != beforeFiles)
     assert(spark.sql("SELECT count(*) FROM graft.db.props_spec").head.getLong(0) == 1996)
   }
+
+  test("generated columns recompute through row-level UPDATE and MERGE (r11, ADVICE r10 medium)") {
+    val _ = wh
+    val base = s"$wh/db/gen_rl"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.gen_rl
+        |  (ts BIGINT, v STRING, day BIGINT GENERATED ALWAYS AS (ts DIV 86400))
+        |PARTITIONED BY (day)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.gen_rl (ts, v) VALUES (0, 'a'), (86400, 'b')")
+    // UPDATE of the SOURCE column: the engine must re-derive `day` — the
+    // plan itself carries the stale value (pre-r11 it was persisted)
+    spark.sql("UPDATE graft.db.gen_rl SET ts = 200000 WHERE v = 'a'")
+    assert(spark.sql("SELECT day FROM graft.db.gen_rl WHERE v = 'a'")
+      .head.getLong(0) == 2L, "UPDATE persisted a stale generated value")
+    // a direct UPDATE of the generated column itself is overwritten by
+    // the recompute — GENERATED ALWAYS owns the value
+    spark.sql("UPDATE graft.db.gen_rl SET day = 999 WHERE v = 'b'")
+    assert(spark.sql("SELECT day FROM graft.db.gen_rl WHERE v = 'b'")
+      .head.getLong(0) == 1L, "direct UPDATE overrode GENERATED ALWAYS")
+    // MERGE through the same row-level write path
+    spark.sql("SELECT 90000L AS ts, 'b' AS v").createOrReplaceTempView("gen_rl_src")
+    spark.sql(
+      """MERGE INTO graft.db.gen_rl t USING gen_rl_src s ON t.v = s.v
+        |WHEN MATCHED THEN UPDATE SET ts = s.ts""".stripMargin)
+    assert(spark.sql("SELECT day FROM graft.db.gen_rl WHERE v = 'b'")
+      .head.getLong(0) == 1L)
+    assert(spark.sql("SELECT ts FROM graft.db.gen_rl WHERE v = 'b'")
+      .head.getLong(0) == 90000L)
+  }
+
+  test("CREATE TABLE with an unsupported constraint leaves nothing behind; inline constraints land in the v1 commit (r11, ADVICE r10 low)") {
+    val _ = wh
+    import org.apache.spark.sql.connector.catalog.{Column => CatColumn, Identifier, TableInfo}
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+    val base = s"$wh/db/atomic_cr"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+    val cat = spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array("db"), "atomic_cr")
+    val cols = Array(
+      CatColumn.create("k", org.apache.spark.sql.types.LongType),
+      CatColumn.create("v", org.apache.spark.sql.types.LongType))
+    // an ENFORCED PRIMARY KEY is unsupported (no global index) — the
+    // CREATE must fail BEFORE any commit exists, not after
+    val enforcedPk = Constraint.primaryKey("pk_bad",
+      Array(Expressions.column("k"):
+        org.apache.spark.sql.connector.expressions.NamedReference))
+      .enforced(true).build(): Constraint
+    intercept[UnsupportedOperationException] {
+      cat.createTable(ident, new TableInfo.Builder()
+        .withColumns(cols).withPartitions(Array.empty[Transform])
+        .withProperties(new java.util.HashMap[String, String]())
+        .withConstraints(Array(enforcedPk)).build())
+    }
+    assert(!f.exists(p), "failed CREATE TABLE left a half-created table behind")
+    // supported inline constraints land IN the single v1 commit
+    val chk = Constraint.check("k_pos").predicateSql("k > 0").enforced(true)
+      .validationStatus(Constraint.ValidationStatus.VALID).build(): Constraint
+    val pk = Constraint.primaryKey("pk_k",
+      Array(Expressions.column("k"):
+        org.apache.spark.sql.connector.expressions.NamedReference))
+      .enforced(false).rely(true).build(): Constraint
+    cat.createTable(ident, new TableInfo.Builder()
+      .withColumns(cols).withPartitions(Array.empty[Transform])
+      .withProperties(new java.util.HashMap[String, String]())
+      .withConstraints(Array(chk, pk)).build())
+    assert(TableFormat.latestVersion(spark, base) == 1,
+      "inline constraints must not spawn extra commits")
+    val cons = TableFormat.manifestConstraints(spark, base, 1).toMap
+    assert(cons.get("k_pos").contains("C:k > 0"), cons.toString)
+    assert(cons.get("pk_k").contains("PK:k"), cons.toString)
+  }
 }
