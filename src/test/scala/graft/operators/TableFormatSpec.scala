@@ -1032,4 +1032,47 @@ class TableFormatSpec extends SparkTestBase {
     TableFormat.vacuum(spark, base, retain = Seq(1))
     assert(!f.exists(staged), "vacuum failed to reclaim a stale staged orphan")
   }
+
+  test("deleteByKeys: distributed anti-join delete — stats-pruned rewrite, no row keys on the driver (r11, VERDICT r10 #1)") {
+    val base = freshBase("tf_del_keys")
+    TableFormat.commit(spark, base, (0L until 4000L).map(i => (i, s"v$i")).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(8))
+    val total = TableFormat.manifestEntries(spark, base, 1).size
+    assert(total >= 4, s"test premise: need several files, got $total")
+    // capture every executed plan during the delete: the apply must be
+    // ONE keyed LeftAnti join — never an IN-literal over collected keys
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // keys clustered in one narrow range → stats prune most files
+      val keys = (100L until 160L).toDF("k")
+      val (v2, touched, nTotal) = TableFormat.deleteByKeys(spark, base, keys, "k")
+      assert(v2 == 2 && nTotal == total)
+      assert(touched < total,
+        s"deleteByKeys rewrote $touched of $total files — stats pruning broke")
+      assert(TableFormat.readSnapshot(spark, base).count() == 3940)
+      assert(TableFormat.readSnapshot(spark, base)
+        .filter(col("k").between(100, 159)).count() == 0)
+      // QueryExecutionListener delivery is async — poll for the plans
+      val deadline = System.currentTimeMillis() + 15000
+      while (!plans.synchronized(plans.exists(_.contains("LeftAnti"))) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val all = plans.synchronized(plans.toSeq)
+      assert(all.exists(_.contains("LeftAnti")),
+        "deleteByKeys did not execute a LeftAnti join")
+      assert(!all.exists(p => p.contains("k#") && p.contains(" IN (100,")),
+        "deleteByKeys materialized an IN-literal key list")
+    } finally spark.listenerManager.unregister(listener)
+    // keys missing every file's range: zero rewrites, version unchanged
+    val (v3, touched3, _) = TableFormat.deleteByKeys(spark, base,
+      Seq(999999L).toDF("k"), "k")
+    assert(v3 == 2 && touched3 == 0, "out-of-range keys must touch nothing")
+  }
 }
