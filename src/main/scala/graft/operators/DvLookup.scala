@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.util.{HashSet => JHashSet, LinkedHashMap => JLinkedHashMap}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** EXECUTOR-SIDE deletion-vector application for the DataFrame read
+  * path (r11, VERDICT r10 #2). The r10 shape anti-joined the scan
+  * against a `broadcast()` of ALL dv (file, position) pairs — bounded
+  * by the table's total deleted-row count, with NO fallback past the
+  * broadcast limit, and costing a BroadcastExchange + join in every
+  * snapshot read. This kernel replaces the join with a codegen'd
+  * per-row predicate (`StaticInvoke`, the same mechanism as
+  * [[graft.functions.HashKernels]]): each task lazily loads the
+  * deleted ordinals OF ITS OWN FILE from the dv dirs its entries
+  * reference, so executor memory is bounded by the largest single
+  * file's deletions — the Delta/Iceberg per-file-sidecar model — and
+  * the scan stays one WholeStageCodegen span with no exchange.
+  *
+  * Mirrors the row-at-a-time reader's skip
+  * ([[graft.sources.GraftDv]], which delegates its loading here): path
+  * identity is scheme-insensitive, positions are file-global parquet
+  * row ordinals (`_metadata.row_index`).
+  */
+object DvLookup {
+  /** Separator for packing several dv dirs into one literal — chosen
+    * outside the legal path alphabet. */
+  val DirSep = "\u0001"
+
+  /** The deleted row ordinals of `file` recorded in dv dir `dir` —
+    * scans the dir's positions parquet keeping only `file`'s rows
+    * (scheme-insensitive: dv rows spell `_metadata.file_path` URIs,
+    * callers may pass manifest `Path.toString` spellings). */
+  def positions(conf: Configuration, dir: String,
+                file: String): JHashSet[java.lang.Long] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val want = new HadoopPath(file).toUri.getPath
+    val set = new JHashSet[java.lang.Long]()
+    val dfs = new HadoopPath(dir).getFileSystem(conf)
+    dfs.listStatus(new HadoopPath(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val r = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+          .withConf(conf).build()
+        var g = r.read()
+        while (g != null) {
+          val t = g.getType
+          val fp = g.getBinary(t.getFieldIndex("file_path"), 0).toStringUsingUTF8
+          if (new HadoopPath(fp).toUri.getPath == want)
+            set.add(g.getLong(t.getFieldIndex("row_index"), 0))
+          g = r.read()
+        }
+        r.close()
+      }
+    set
+  }
+
+  // bounded executor-global (dirs, file) → ordinals cache: task retries
+  // and several tasks scanning the same file reuse one load; the LRU cap
+  // keeps a wide scan from pinning every file's dv set at once
+  private val MaxCached = 128
+  private val cache =
+    new JLinkedHashMap[String, JHashSet[java.lang.Long]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, JHashSet[java.lang.Long]]): Boolean =
+        size() > MaxCached
+    }
+
+  // rows arrive file-contiguous within a task — memoize the last file's
+  // set per thread so the hot path is two UTF8String equality checks
+  private val last = new ThreadLocal[Array[AnyRef]]()
+
+  private def load(dirs: String, file: String): JHashSet[java.lang.Long] = {
+    val key = dirs + DirSep + file
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) return hit
+    val conf = new Configuration()
+    val set = new JHashSet[java.lang.Long]()
+    dirs.split(DirSep).filter(_.nonEmpty)
+      .foreach(d => set.addAll(positions(conf, d, file)))
+    cache.synchronized(cache.put(key, set))
+    set
+  }
+
+  /** StaticInvoke kernel: is row `rowIndex` of `file` deleted according
+    * to the dv dirs packed in `dirs`? Codegen calls this directly on
+    * internal types — no closure, no broadcast, no join. */
+  def deleted(dirs: UTF8String, file: UTF8String, rowIndex: Long): Boolean = {
+    val t = last.get()
+    val set =
+      if (t != null && t(0).asInstanceOf[UTF8String].equals(dirs) &&
+          t(1).asInstanceOf[UTF8String].equals(file))
+        t(2).asInstanceOf[JHashSet[java.lang.Long]]
+      else {
+        val s = load(dirs.toString, file.toString)
+        last.set(Array[AnyRef](dirs.clone(), file.clone(), s))
+        s
+      }
+    set.contains(rowIndex)
+  }
+}

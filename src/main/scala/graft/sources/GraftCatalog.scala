@@ -1464,32 +1464,14 @@ case class GraftCdfSpec(changeType: String, version: Int,
                         emitDiffOld: Option[String] = None)
 
 /** Executor-side deletion-vector position loading shared by the
-  * snapshot reader (skip-mode) and the CDF stream reader (emit-mode). */
+  * snapshot reader (skip-mode) and the CDF stream reader (emit-mode).
+  * r11: the loader itself lives in [[graft.operators.DvLookup]] — one
+  * implementation behind both the row-at-a-time reader here and the
+  * DataFrame path's codegen'd per-file skip predicate. */
 object GraftDv {
   def positions(conf: org.apache.hadoop.conf.Configuration, dir: String,
-                file: String): java.util.HashSet[java.lang.Long] = {
-    import org.apache.parquet.hadoop.ParquetReader
-    import org.apache.parquet.hadoop.example.GroupReadSupport
-    val want = new HadoopPath(file).toUri.getPath
-    val set = new java.util.HashSet[java.lang.Long]()
-    val dfs = new HadoopPath(dir).getFileSystem(conf)
-    dfs.listStatus(new HadoopPath(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { st =>
-        val r = ParquetReader.builder(new GroupReadSupport(), st.getPath)
-          .withConf(conf).build()
-        var g = r.read()
-        while (g != null) {
-          val t = g.getType
-          val fp = g.getBinary(t.getFieldIndex("file_path"), 0).toStringUsingUTF8
-          if (new HadoopPath(fp).toUri.getPath == want)
-            set.add(g.getLong(t.getFieldIndex("row_index"), 0))
-          g = r.read()
-        }
-        r.close()
-      }
-    set
-  }
+                file: String): java.util.HashSet[java.lang.Long] =
+    graft.operators.DvLookup.positions(conf, dir, file)
 }
 
 /** Executor-side parquet record reader for stream batches, built on
