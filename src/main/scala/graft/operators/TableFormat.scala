@@ -65,12 +65,13 @@ object TableFormat {
   }
 
   /** One manifest entry: a data file plus optional (min, max, nullCount)
-    * stats of up to TWO declared stats columns — the file-skipping index.
-    * One stats triple serves range-clustered tables; the second exists
-    * for z-ordered tables, where per-file bounds on BOTH clustering
-    * dimensions let a predicate on EITHER column prune files (linear
-    * clustering can only ever prune on its one sort key). min/max IGNORE
-    * NULLs (parquet footer semantics), so `nulls` exists separately: a
+    * stats of EVERY declared stats column — the file-skipping index.
+    * The first two columns occupy the historical positional slots
+    * (`lo/hi/nulls`, `lo2/hi2/nulls2` — range-clustered and z-ordered
+    * tables); columns 3+ live in `ext` (r11, VERDICT r10 #3), so an
+    * N-column clustering declaration prunes on ANY declared key — the
+    * Delta/Iceberg per-column stats-map model. min/max IGNORE NULLs
+    * (parquet footer semantics), so null counts exist separately: a
     * range DELETE may drop a file manifest-only ONLY when its bounds are
     * fully covered AND it is proven null-free — otherwise its NULL-key
     * rows (which no range predicate matches) would silently vanish
@@ -80,7 +81,8 @@ object TableFormat {
                                  nulls: Option[Long] = None, nulls2: Option[Long] = None,
                                  rows: Option[Long] = None,
                                  dv: Option[String] = None,
-                                 dvRows: Option[Long] = None) {
+                                 dvRows: Option[Long] = None,
+                                 ext: Seq[(Option[Long], Option[Long], Option[Long])] = Nil) {
     private def f(o: Option[Long]) = o.fold("")(_.toString)
     // `rows` (r10) always serializes in the full 8-field form — the
     // count is what metadata-only aggregate pushdown sums; entries
@@ -88,9 +90,16 @@ object TableFormat {
     // `dv`/`dvRows` (r10, merge-on-read deletes) extend to a 10-field
     // form ONLY when a deletion vector is attached — a dv-free entry
     // keeps its shorter spelling, so older manifests and dv-free tables
-    // are byte-identical to before the feature existed.
+    // are byte-identical to before the feature existed. `ext` (r11)
+    // extends to an 11-field form ONLY when a 3rd+ stats column exists:
+    // the extra columns' triples pack into ONE field (`lo:hi:nulls;…`),
+    // so 1- and 2-column tables stay byte-identical and pre-r11 readers
+    // of the common forms are unaffected.
     def line: String =
-      if (dv.isDefined)
+      if (ext.nonEmpty)
+        s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}\t${f(rows)}\t${dv.getOrElse("")}\t${f(dvRows)}\t" +
+          ext.map { case (l, h, n) => s"${f(l)}:${f(h)}:${f(n)}" }.mkString(";")
+      else if (dv.isDefined)
         s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}\t${f(rows)}\t${dv.get}\t${f(dvRows)}"
       else if (rows.isDefined)
         s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}\t${f(rows)}"
@@ -105,15 +114,48 @@ object TableFormat {
         case (Some(lv), Some(hv)) => hv >= qLo && lv <= qHi
         case _ => true // no stats recorded: must read
       }
+    /** The (min, max, nulls) triple of the i-th declared stats column
+      * (r11) — positional against the `#stats` header; an index past
+      * what the entry recorded answers (None, None, None) = unknown. */
+    def statsAt(i: Int): (Option[Long], Option[Long], Option[Long]) =
+      if (i == 0) (lo, hi, nulls)
+      else if (i == 1) (lo2, hi2, nulls2)
+      else ext.lift(i - 2).getOrElse((None, None, None))
+    /** Can this file possibly hold rows with the i-th stats column in
+      * [qLo, qHi]? Unknown bounds → must read. */
+    def mayMatchAt(i: Int, qLo: Long, qHi: Long): Boolean = {
+      val (l, h, _) = statsAt(i)
+      inter(l, h, qLo, qHi)
+    }
     /** Can this file possibly hold rows with statsCol in [qLo, qHi]? */
     def mayMatch(qLo: Long, qHi: Long): Boolean = inter(lo, hi, qLo, qHi)
     /** Same question against the SECOND stats column. */
     def mayMatch2(qLo: Long, qHi: Long): Boolean = inter(lo2, hi2, qLo, qHi)
     /** Proven to contain zero NULLs in the first stats column? */
     def nullFree: Boolean = nulls.contains(0L)
+    /** Copy with the full positional stats-triple list replaced (r11) —
+      * the DROP COLUMN slot-remapping helper. */
+    def withStatsTriples(ts: Seq[(Option[Long], Option[Long], Option[Long])]): ManifestEntry = {
+      val t0 = ts.headOption.getOrElse((None, None, None))
+      val t1 = ts.lift(1).getOrElse((None, None, None))
+      copy(lo = t0._1, hi = t0._2, nulls = t0._3,
+        lo2 = t1._1, hi2 = t1._2, nulls2 = t1._3,
+        ext = ts.drop(2).toList match {
+          case rest if rest.exists(t => t._1.isDefined || t._2.isDefined || t._3.isDefined) => rest
+          case _ => Nil
+        })
+    }
   }
   private object ManifestEntry {
     private def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
+    private def parseExt(s: String): Seq[(Option[Long], Option[Long], Option[Long])] =
+      if (s.isEmpty) Nil
+      else s.split(";", -1).toSeq.map { t =>
+        t.split(":", -1) match {
+          case Array(l, h, n) => (opt(l), opt(h), opt(n))
+          case _ => (None, None, None)
+        }
+      }
     def parse(line: String): ManifestEntry = line.split("\t", -1) match {
       case Array(p, l, h) => ManifestEntry(p, opt(l), opt(h))
       case Array(p, l, h, n) => ManifestEntry(p, opt(l), opt(h), nulls = opt(n))
@@ -125,6 +167,10 @@ object TableFormat {
       case Array(p, l, h, l2, h2, n, n2, r, dvp, dvr) =>
         ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2), opt(r),
           dv = if (dvp.isEmpty) None else Some(dvp), dvRows = opt(dvr))
+      case Array(p, l, h, l2, h2, n, n2, r, dvp, dvr, ext) =>
+        ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2), opt(r),
+          dv = if (dvp.isEmpty) None else Some(dvp), dvRows = opt(dvr),
+          ext = parseExt(ext))
       case other => ManifestEntry(other.head, None, None)
     }
   }
@@ -249,7 +295,8 @@ object TableFormat {
     * task-side stats collection production writers do). */
   private def writeDataFiles(spark: SparkSession, base: String, commitDir: String,
                              df: DataFrame, statsCol: Option[String],
-                             statsCol2: Option[String] = None): Seq[ManifestEntry] = {
+                             statsCol2: Option[String] = None,
+                             moreStatsCols: Seq[String] = Nil): Seq[ManifestEntry] = {
     // column mapping (r10): files ALWAYS store physical names — a table
     // whose `#colmap` diverges writes through one logical→physical
     // aliasing select, so files created after a rename are byte-layout
@@ -272,7 +319,10 @@ object TableFormat {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
     val conf = spark.sparkContext.hadoopConfiguration
-    val cols = (statsCol.toSeq ++ statsCol2.toSeq).map(phys)
+    // columns 3+ (r11, VERDICT r10 #3) land in the entry's `ext`
+    // triples — every declared stats column gets per-file bounds
+    val allCols = statsCol.toSeq ++ statsCol2.toSeq ++ moreStatsCols
+    val cols = allCols.map(phys)
     newFiles.map { p =>
       val (st, nRows) = footerStats(conf, p, cols)
       val first = statsCol.map(c => st(phys(c)))
@@ -281,7 +331,10 @@ object TableFormat {
         first.flatMap(_._1), first.flatMap(_._2),
         second.flatMap(_._1), second.flatMap(_._2),
         nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
-        rows = Some(nRows))
+        rows = Some(nRows),
+        ext = moreStatsCols.map { c =>
+          val t = st(phys(c)); (t._1, t._2, t._3)
+        })
     }
   }
 
@@ -576,27 +629,42 @@ object TableFormat {
   def appendCommit(spark: SparkSession, base: String, df: DataFrame,
                    statsCol: Option[String] = None, maxRetries: Int = 10): Int = {
     val nFiles = math.max(2, spark.sparkContext.defaultParallelism / 8)
-    val clustered = statsCol.fold(df)(c => df.repartitionByRange(nFiles, col(c)))
+    // when the caller's statsCol IS the table's declared first cluster
+    // column, collect bounds for EVERY declared column (r11, VERDICT
+    // r10 #3) — an append into an N-column-clustered table keeps the
+    // whole skipping index alive, not just its first dimension
+    val declared0 =
+      try manifestStatsCols(spark, base, latestVersion(spark, base))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val collectCols: Seq[String] =
+      if (statsCol.isDefined && declared0.headOption == statsCol) declared0
+      else statsCol.toSeq
+    val clustered =
+      if (collectCols.isEmpty) df
+      else df.repartitionByRange(nFiles, collectCols.map(col): _*)
     val entries = writeDataFiles(spark, base,
-      newCommitDir(base, latestVersion(spark, base) + 1), clustered, statsCol)
+      newCommitDir(base, latestVersion(spark, base) + 1), clustered,
+      collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2))
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
       val parentEntries =
         if (parentV == 0) Seq.empty else manifestEntries(spark, base, parentV)
       val statsCols =
-        if (parentV == 0) statsCol.toSeq else manifestStatsCols(spark, base, parentV)
+        if (parentV == 0) collectCols else manifestStatsCols(spark, base, parentV)
       // entry stats must MEAN what the inherited #stats header says they
       // mean (r9, ADVICE r8 #2): appending with a different statsCol than
       // the table's declared one would record bounds of column Y under a
       // header naming column X — readers would then prune files on the
       // wrong column's ranges. Strip stats off our entries unless they
-      // were collected on the header's own column.
+      // were collected on a PREFIX of the header's own columns
+      // (positional slots line up; missing tail slots stay None).
       val publishable =
-        if (statsCols.headOption == statsCol) entries
+        if (collectCols.nonEmpty && statsCols.startsWith(collectCols)) entries
+        else if (statsCols.headOption == statsCol && collectCols == statsCol.toSeq) entries
         else entries.map(e => e.copy(lo = None, hi = None, lo2 = None, hi2 = None,
-          nulls = None, nulls2 = None)) // keep `rows` — the count is
-          // column-independent and COUNT(*) pushdown sums it (r10)
+          nulls = None, nulls2 = None, ext = Nil)) // keep `rows` — the count
+          // is column-independent and COUNT(*) pushdown sums it (r10)
       // the new manifest's schema is the UNION of the parent's and the
       // append's fields (r9, ADVICE r8 #4): the parent's entries stay in
       // this snapshot, so a NARROWER append must not shrink the recorded
@@ -645,8 +713,22 @@ object TableFormat {
              clusterFiles: Option[Int] = None): Int = {
     val nFiles = clusterFiles.getOrElse(
       math.max(2, spark.sparkContext.defaultParallelism / 8))
-    val clustered = statsCol.fold(df)(c => df.repartitionByRange(nFiles, col(c)))
-    val entries = writeDataFiles(spark, base, newCommitDir(base, version), clustered, statsCol)
+    // N-column upgrade (r11, VERDICT r10 #3), same rule as appendCommit:
+    // statsCol matching the table's declared first cluster column means
+    // this commit maintains the WHOLE declared index
+    val declared0 =
+      if (version <= 1) Nil
+      else
+        try manifestStatsCols(spark, base, version - 1)
+        catch { case _: java.io.FileNotFoundException => Nil }
+    val collectCols: Seq[String] =
+      if (statsCol.isDefined && declared0.headOption == statsCol) declared0
+      else statsCol.toSeq
+    val clustered =
+      if (collectCols.isEmpty) df
+      else df.repartitionByRange(nFiles, collectCols.map(col): _*)
+    val entries = writeDataFiles(spark, base, newCommitDir(base, version), clustered,
+      collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2))
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
     // keep the previous snapshot's field metadata (r11): an INSERT
     // OVERWRITE's DataFrame flowed through withColumn/planner and lost
@@ -665,7 +747,7 @@ object TableFormat {
     // version-1's extra files, so tag it `replace` and let the CDF take
     // the always-correct full-diff path (r10, ADVICE r9 #3).
     writeManifest(spark, base, version, outSchema.json, parentEntries ++ entries, txn,
-      statsCols = statsCol.toSeq,
+      statsCols = collectCols,
       op = if (parent.contains(version - 1)) "append" else "replace")
   }
 
@@ -821,7 +903,8 @@ object TableFormat {
     val survivors = readEntriesDf(spark, base, v, touched)
       .join(keys.select(col(key)), Seq(key), "left_anti")
     val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
-      survivors, statsCols.headOption, statsCols.drop(1).headOption)
+      survivors, statsCols.headOption, statsCols.drop(1).headOption,
+      statsCols.drop(2))
     val out = writeManifest(spark, base, version, schemaJson,
       untouched ++ rewritten, txn = None, statsCols = statsCols, op = "delete")
     (out, touched.size, entries.size)
@@ -1085,9 +1168,7 @@ object TableFormat {
     val statsCols = manifestStatsCols(spark, base, v)
     val touched = entries.filter { e =>
       bounds.zipWithIndex.forall {
-        case ((lo, hi), 0) => e.mayMatch(lo, hi)
-        case ((lo, hi), 1) => e.mayMatch2(lo, hi)
-        case _ => true
+        case ((lo, hi), i) => e.mayMatchAt(i, lo, hi)
       }
     }
     val untouched = entries.filterNot(touched.toSet)
@@ -1675,7 +1756,8 @@ object TableFormat {
         first.flatMap(_._1), first.flatMap(_._2),
         second.flatMap(_._1), second.flatMap(_._2),
         nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
-        rows = Some(nRows))
+        rows = Some(nRows),
+        ext = physCols.drop(2).map { c => val t = st(c); (t._1, t._2, t._3) })
     }
   }
 
@@ -1799,8 +1881,8 @@ object TableFormat {
                   statsCols: Seq[String],
                   props: Map[String, String] = Map.empty,
                   constraints: Seq[(String, String)] = Nil): Int = {
-    require(statsCols.size <= 2,
-      s"createEmpty: at most 2 clustering columns (got ${statsCols.mkString(", ")})")
+    // any number of clustering columns (r11, VERDICT r10 #3) — per-file
+    // bounds are recorded for each declared column
     // r11 (ADVICE r10 low): inline constraints land IN the v1 manifest —
     // one atomic commit. The old shape (createEmpty, then one
     // alterConstraintsCommit per constraint) left a half-created table
@@ -2002,15 +2084,17 @@ object TableFormat {
       val newSchema = StructType(parent.fields.filterNot(_.name == colName))
       val statsCols = manifestStatsCols(spark, base, parentV)
       val entries = manifestEntries(spark, base, parentV)
+      // dropping a STATS column removes its positional slot and shifts
+      // the later columns' triples down one (r11: generalized to any
+      // number of declared columns — the per-entry triples must keep
+      // meaning what the `#stats` header says, position by position)
       val (newStats, newEntries) = statsCols.indexOf(colName) match {
-        case 0 => // first stats slot drops: promote the second
-          (statsCols.drop(1), entries.map(e => e.copy(
-            lo = e.lo2, hi = e.hi2, nulls = e.nulls2,
-            lo2 = None, hi2 = None, nulls2 = None)))
-        case 1 =>
-          (statsCols.take(1), entries.map(e =>
-            e.copy(lo2 = None, hi2 = None, nulls2 = None)))
-        case _ => (statsCols, entries)
+        case -1 => (statsCols, entries)
+        case idx =>
+          (statsCols.patch(idx, Nil, 1), entries.map { e =>
+            e.withStatsTriples(
+              statsCols.indices.map(e.statsAt).patch(idx, Nil, 1))
+          })
       }
       try
         return writeManifest(spark, base, parentV + 1, newSchema.json,
@@ -2097,9 +2181,7 @@ object TableFormat {
     val statsCols = manifestStatsCols(spark, base, v)
     val touched = entries.filter { e =>
       bounds.zipWithIndex.forall {
-        case ((lo, hi), 0) => e.mayMatch(lo, hi)
-        case ((lo, hi), 1) => e.mayMatch2(lo, hi)
-        case _ => true
+        case ((lo, hi), i) => e.mayMatchAt(i, lo, hi)
       }
     }
     val untouched = entries.filterNot(touched.toSet)
@@ -2108,7 +2190,7 @@ object TableFormat {
       else writeDataFiles(spark, base, newCommitDir(base, version),
         readEntriesDf(spark, base, v, touched) // dv-aware (see deleteWhere)
           .filter(!coalesce(cond, lit(false))),
-        statsCols.headOption, statsCols.drop(1).headOption)
+        statsCols.headOption, statsCols.drop(1).headOption, statsCols.drop(2))
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
     writeManifest(spark, base, version, schemaJson, untouched ++ rewritten,

@@ -266,7 +266,7 @@ class PlanAuditSpec extends SparkTestBase {
       s"document text crosses a shuffle:\n$p")
   }
 
-  test("table reads: dv-free snapshot keeps the plain scan plan; a dv adds ONE broadcast anti-join (r10)") {
+  test("table reads: dv-free snapshot keeps the plain scan plan; a dv adds only a codegen'd position-skip predicate (r11, VERDICT r10 #2)") {
     import org.apache.spark.sql.functions.col
     val base = s"${graft.Tables.scratchDir}/plan_dv"
     val fsp = new org.apache.hadoop.fs.Path(base)
@@ -280,12 +280,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!clean.contains("Join"), s"dv-free snapshot read gained a join:\n$clean")
     assert(!clean.contains("_metadata"),
       s"dv-free snapshot read materializes metadata columns:\n$clean")
-    // with a dv: exactly one BROADCAST anti-join against the positions
-    // (a shuffled anti-join would move the DATA side for a tiny dv)
+    // with a dv (r11): STILL no join and no broadcast — deletes drop
+    // through the executor-side DvLookup StaticInvoke predicate over
+    // the scan's metadata columns, per-file loading, one codegen span
+    // (the r10 shape broadcast ALL dv pairs into a LeftAnti join —
+    // unbounded past the broadcast limit and an exchange per read)
     TableFormat.deleteRowsDV(spark, base, col("k") === 7L)
     val dv = TableFormat.readSnapshot(spark, base)
       .queryExecution.executedPlan.toString
-    assert(dv.contains("BroadcastHashJoin") && dv.contains("LeftAnti"),
-      s"dv read is not a broadcast anti-join:\n$dv")
+    assert(!dv.contains("Join") && !dv.contains("BroadcastExchange"),
+      s"dv read still joins/broadcasts:\n$dv")
+    assert(dv.contains("DvLookup"),
+      s"dv read lost the executor-side skip predicate:\n$dv")
   }
 }
