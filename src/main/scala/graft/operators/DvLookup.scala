@@ -30,9 +30,12 @@ object DvLookup {
   val DirSep = "\u0001"
 
   /** The deleted row ordinals of `file` recorded in dv dir `dir` —
-    * scans the dir's positions parquet keeping only `file`'s rows
+    * scans the dir's parquet keeping only `file`'s rows
     * (scheme-insensitive: dv rows spell `_metadata.file_path` URIs,
-    * callers may pass manifest `Path.toString` spellings). */
+    * callers may pass manifest `Path.toString` spellings). Detects the
+    * format per parquet row type (r11): positions rows carry
+    * `row_index`; run-length rows carry `run_start`/`run_len` and
+    * expand into the set here. */
   def positions(conf: Configuration, dir: String,
                 file: String): JHashSet[java.lang.Long] = {
     import org.apache.parquet.hadoop.ParquetReader
@@ -49,8 +52,16 @@ object DvLookup {
         while (g != null) {
           val t = g.getType
           val fp = g.getBinary(t.getFieldIndex("file_path"), 0).toStringUsingUTF8
-          if (new HadoopPath(fp).toUri.getPath == want)
-            set.add(g.getLong(t.getFieldIndex("row_index"), 0))
+          if (new HadoopPath(fp).toUri.getPath == want) {
+            if (t.containsField("row_index"))
+              set.add(g.getLong(t.getFieldIndex("row_index"), 0))
+            else {
+              val start = g.getLong(t.getFieldIndex("run_start"), 0)
+              val len = g.getLong(t.getFieldIndex("run_len"), 0)
+              var i = 0L
+              while (i < len) { set.add(start + i); i += 1 }
+            }
+          }
           g = r.read()
         }
         r.close()

@@ -1075,6 +1075,15 @@ object TableFormat {
     * manifest references them. */
   private[graft] val DvFileCol = "file_path"
   private[graft] val DvPosCol = "row_index"
+  /** Run-length dv encoding (r11, VERDICT r10 #4): dv dirs written
+    * since r11 store (file_path, run_start, run_len) RUNS of contiguous
+    * deleted ordinals instead of one row per position — the RLE analog
+    * of Delta's RoaringBitmap sidecars (a dense delete of N contiguous
+    * rows is ONE 3-field row, not N 16-byte pairs). Readers detect the
+    * format per dir/file by field presence, so pre-r11 positions-parquet
+    * dirs keep reading unchanged. */
+  private[graft] val DvRunStartCol = "run_start"
+  private[graft] val DvRunLenCol = "run_len"
 
   /** Scheme-insensitive path identity (same normalization as the SQL
     * layer's runtime filter): manifest entries spell Hadoop
@@ -1089,7 +1098,29 @@ object TableFormat {
   private def dvPairsOf(spark: SparkSession, entries: Seq[ManifestEntry]): Option[DataFrame] = {
     val dirs = entries.flatMap(_.dv).distinct
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*).select(DvFileCol, DvPosCol).distinct())
+    else Some(dirs.map(dvPairsOfDir(spark, _)).reduce(_ unionByName _).distinct())
+  }
+
+  /** One dv dir as (file_path, row_index) pairs, whichever format it
+    * stores (r11): positions pass through; run-length dirs expand
+    * distributively — long runs chunk first (≤64 Ki ordinals per
+    * exploded array) so a dense run never materializes one huge array. */
+  private def dvPairsOfDir(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(dir)
+    if (raw.columns.contains(DvPosCol)) raw.select(DvFileCol, DvPosCol)
+    else {
+      val chunk = 65536L
+      raw.select(col(DvFileCol), col(DvRunStartCol), col(DvRunLenCol))
+        .withColumn("__ci",
+          explode(sequence(lit(0L),
+            floor((col(DvRunLenCol) - 1) / chunk).cast("long"))))
+        .select(col(DvFileCol),
+          explode(sequence(
+            col(DvRunStartCol) + col("__ci") * chunk,
+            least(col(DvRunStartCol) + col(DvRunLenCol) - 1,
+              col(DvRunStartCol) + (col("__ci") + 1) * chunk - 1)))
+            .as(DvPosCol))
+    }
   }
 
   /** Read `entries` under `schemaVersion`'s recorded schema with each
@@ -1189,13 +1220,28 @@ object TableFormat {
     val allPairs = dvPairsOf(spark, touched)
       .fold(newPairs)(old => newPairs.unionByName(old)).distinct()
     val dvDir = s"$base/data/dv${version}_${java.util.UUID.randomUUID.toString.take(8)}"
-    // one file: a dv is positions-only — even a million deleted rows is
-    // ~16 MB; a delete big enough to strain one task belongs on CoW
-    allPairs.coalesce(1).write.parquet(dvDir)
+    // RUN-LENGTH encode before writing (r11, VERDICT r10 #4): contiguous
+    // ordinals collapse into (run_start, run_len) rows — scattered
+    // deletes cost what they did (1 run ≈ 1 position), dense deletes
+    // collapse by orders of magnitude (the RoaringBitmap-sidecar
+    // trade in parquet clothing). The classic gaps-and-islands shape:
+    // pos - row_number is constant exactly within a contiguous run.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(DvFileCol)).orderBy(col(DvPosCol))
+    val runs = allPairs
+      .withColumn("__grp", col(DvPosCol) - row_number().over(w))
+      .groupBy(col(DvFileCol), col("__grp"))
+      .agg(min(col(DvPosCol)).as(DvRunStartCol),
+           count(lit(1)).as(DvRunLenCol))
+      .drop("__grp")
+    // one file: a dv is runs-only — tiny; a delete big enough to strain
+    // one task belongs on CoW
+    runs.coalesce(1).write.parquet(dvDir)
     // per-file deleted counts from the WRITTEN dv (tiny metadata read):
     // drives live-row accounting and the full-file drop below
     val counts: Map[String, Long] =
-      spark.read.parquet(dvDir).groupBy(DvFileCol).count()
+      spark.read.parquet(dvDir).groupBy(DvFileCol)
+        .agg(sum(col(DvRunLenCol)).as("n"))
         .collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
     var withDv = 0
     val updated = touched.flatMap { e =>

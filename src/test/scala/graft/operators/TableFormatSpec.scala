@@ -1100,4 +1100,36 @@ class TableFormatSpec extends SparkTestBase {
     TableFormat.deleteRowsDV(spark, base, col("k") % 100 === 8)
     assert(TableFormat.readSnapshot(spark, base).count() == 2940)
   }
+
+  test("dv runs: a dense delete encodes as runs, bytes far under 16 per row (r11, VERDICT r10 #4)") {
+    val base = freshBase("tf_dv_rle")
+    TableFormat.commit(spark, base, (0L until 200000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(2))
+    // delete a dense contiguous block of 90k rows, but NOT a whole file
+    // (a fully-deleted file drops from the manifest instead)
+    val (v2, withDv, _) = TableFormat.deleteRowsDV(spark, base,
+      col("k").between(5000L, 94999L))
+    assert(withDv >= 1, "expected at least one dv-carrying file")
+    assert(TableFormat.readSnapshot(spark, base).count() == 110000L)
+    assert(TableFormat.readSnapshot(spark, base)
+      .filter(col("k").between(5000L, 94999L)).count() == 0)
+    // the dv dir's bytes: 90k deleted rows × 16 B/pair = 1.44 MB in the
+    // positions encoding; runs collapse the block to a handful of rows
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDirs = TableFormat.manifestEntries(spark, base, v2).flatMap(_.dv).distinct
+    assert(dvDirs.nonEmpty)
+    val dvBytes = dvDirs.map { d =>
+      f.listStatus(new org.apache.hadoop.fs.Path(d)).filter(_.isFile)
+        .map(_.getLen).sum
+    }.sum
+    assert(dvBytes < 16L * 90000 / 10,
+      s"dense dv is $dvBytes bytes — run-length encoding is not collapsing " +
+        s"(positions form would be ${16L * 90000})")
+    // superseding delete unions through the run encoding; time travel to
+    // v2 still sees v2's deletion state
+    TableFormat.deleteRowsDV(spark, base, col("k") === 100000L)
+    assert(TableFormat.readSnapshot(spark, base).count() == 109999L)
+    assert(TableFormat.readSnapshot(spark, base, Some(v2)).count() == 110000L)
+  }
 }
