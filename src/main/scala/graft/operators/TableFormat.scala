@@ -458,6 +458,25 @@ object TableFormat {
     * (the Delta posture — CHECK + NOT NULL only). */
   private val ConstraintsPrefix = "#constraints\t"
 
+  /** IDENTITY high-water marks (r11, VERDICT r10 #5): per identity
+    * column, the NEXT value to allocate. The OCC commit loop serializes
+    * versions, so an insert that reads hwm H and publishes hwm H + n·step
+    * owns [H, H + n·step) exclusively — a loser's conflict re-reads the
+    * new hwm and re-assigns before retrying ([[appendCommitIdentity]]).
+    * Inherited through ordinary commits like `#props`; RESTORE keeps the
+    * PARENT's marks (a watermark must never regress, or restored-past
+    * inserts would re-issue ids — the Delta identity rule). */
+  private val HwmPrefix = "#hwm\t"
+
+  /** identity column → next value to allocate, of snapshot `version`. */
+  def manifestHwm(spark: SparkSession, base: String, version: Int): Map[String, Long] =
+    manifestHeader(spark, base, version, HwmPrefix).map { body =>
+      body.split("\t").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        dec(kv.substring(0, i)) -> kv.substring(i + 1).toLong
+      }.toMap
+    }.getOrElse(Map.empty)
+
   /** (name, predicateSql) CHECK constraints of snapshot `version`. */
   def manifestConstraints(spark: SparkSession, base: String, version: Int): Seq[(String, String)] =
     manifestHeader(spark, base, version, ConstraintsPrefix).map { body =>
@@ -557,7 +576,8 @@ object TableFormat {
                             props: Option[Map[String, String]] = None,
                             colmap: Option[Map[String, String]] = None,
                             tombstones: Option[Set[String]] = None,
-                            constraints: Option[Seq[(String, String)]] = None): Int = {
+                            constraints: Option[Seq[(String, String)]] = None,
+                            hwm: Option[Map[String, Long]] = None): Int = {
     // properties/colmap/tombstones flow with the table unless this
     // commit sets them: None = inherit the parent's header verbatim
     // (absent parent or pre-feature manifest → none), Some = write it
@@ -574,6 +594,8 @@ object TableFormat {
       inherited(manifestTombstones(spark, base, version - 1), Set.empty[String]))
     val effCons = constraints.getOrElse(
       inherited(manifestConstraints(spark, base, version - 1), Seq.empty[(String, String)]))
+    val effHwm = hwm.getOrElse(
+      inherited(manifestHwm(spark, base, version - 1), Map.empty[String, Long]))
     val header = Seq(SchemaPrefix + schemaJson) ++
       (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
       Seq(OpPrefix + op) ++
@@ -591,6 +613,10 @@ object TableFormat {
       (if (effCons.nonEmpty)
          Seq(ConstraintsPrefix + effCons
            .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("\t"))
+       else Nil) ++
+      (if (effHwm.nonEmpty)
+         Seq(HwmPrefix + effHwm.toSeq.sortBy(_._1)
+           .map { case (k, v) => s"${enc(k)}=$v" }.mkString("\t"))
        else Nil) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
     // put-if-absent (r8): v$N.manifest is the commit's compare-and-swap
@@ -698,6 +724,97 @@ object TableFormat {
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
           parentEntries ++ publishable, txn = None, statsCols = statsCols)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** IDENTITY-allocating commit (r11, VERDICT r10 #5): insert `df` with
+    * each identity column's values engine-assigned as the CONTIGUOUS
+    * range `[hwm, hwm + n·step)` claimed from the parent snapshot's
+    * `#hwm` header. The OCC loop IS the serializer Delta-style identity
+    * needs: the put-if-absent manifest publish means exactly one
+    * committer advances v→v+1, so its claimed range is exclusively
+    * owned; a loser re-reads the winner's hwm and — if it moved —
+    * RE-ASSIGNS and re-stages before retrying (ids are baked into the
+    * staged files, so a stale allocation can never be published).
+    * Assignment is distributed (one `zipWithIndex` pass for dense
+    * ordinals); gap-free across commits because every publish advances
+    * the mark by exactly the rows it wrote. `replace = true` publishes
+    * an INSERT OVERWRITE (parentless entries) while still advancing the
+    * watermark monotonically — restored or overwritten tables never
+    * re-issue an id. */
+  def appendCommitIdentity(spark: SparkSession, base: String, df: DataFrame,
+                           identityCols: Seq[(String, Long, Long)],
+                           statsCol: Option[String] = None,
+                           replace: Boolean = false,
+                           maxRetries: Int = 10): Int = {
+    require(identityCols.nonEmpty, "appendCommitIdentity: no identity columns")
+    val nFiles = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    val schema = df.schema
+    val idIdx = identityCols.map { case (n, _, _) => schema.fieldIndex(n) }
+    def assign(hwm: Map[String, Long]): DataFrame = {
+      val cols = identityCols
+      val idx = idIdx
+      val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+        val vals = r.toSeq.toArray
+        cols.zipWithIndex.foreach { case ((n, start, step), j) =>
+          vals(idx(j)) = hwm.getOrElse(n, start) + i * step
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    def fOf = fs(spark, base)
+    var staged: Option[(Map[String, Long], Seq[ManifestEntry])] = None
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      require(parentV > 0,
+        s"table $base: identity tables are created via the catalog before any insert")
+      val hwm0 = manifestHwm(spark, base, parentV)
+      def marksOf(h: Map[String, Long]) = identityCols.map {
+        case (n, start, _) => n -> h.getOrElse(n, start)
+      }.toMap
+      val entries = staged match {
+        case Some((h, e)) if h == marksOf(hwm0) => e // hwm unchanged: ids valid
+        case prev =>
+          // a winner consumed ids since we staged — our baked-in ids
+          // would collide; discard and re-stage under the new marks
+          prev.foreach { case (_, old) =>
+            old.foreach(en => fOf.delete(new Path(en.path), false))
+          }
+          val declared = manifestStatsCols(spark, base, parentV)
+          val collectCols =
+            if (statsCol.isDefined && declared.headOption == statsCol) declared
+            else statsCol.toSeq
+          val assigned = assign(hwm0)
+          val clustered =
+            if (collectCols.isEmpty) assigned
+            else assigned.repartitionByRange(nFiles, collectCols.map(col): _*)
+          val e = writeDataFiles(spark, base, newCommitDir(base, parentV + 1),
+            clustered, collectCols.headOption, collectCols.drop(1).headOption,
+            collectCols.drop(2))
+          staged = Some((marksOf(hwm0), e))
+          e
+      }
+      val n = entries.flatMap(_.rows).sum
+      val newHwm = hwm0 ++ identityCols.map { case (c, start, step) =>
+        c -> (hwm0.getOrElse(c, start) + n * step)
+      }
+      val parentEntries =
+        if (replace) Seq.empty else manifestEntries(spark, base, parentV)
+      val ps = manifestSchema(spark, base, parentV)
+      val outSchema = preserveFieldMetadata(ps, schema)
+      try
+        return writeManifest(spark, base, parentV + 1, outSchema.json,
+          parentEntries ++ entries, txn = None,
+          statsCols = manifestStatsCols(spark, base, parentV),
+          op = if (replace) "replace" else "append", hwm = Some(newHwm))
       catch {
         case e: CommitConflictException =>
           attempt += 1

@@ -68,7 +68,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark = SparkSession.active
   private def fs = new HadoopPath(warehouse)
@@ -227,10 +228,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       }
       Option(c.generationExpression()).filter(_.nonEmpty)
         .foreach(md.putString("GENERATION_EXPRESSION", _))
-      require(c.identityColumnSpec() == null,
-        s"graft catalog: identity columns are not supported (column ${c.name}) — " +
-          "monotonic id allocation needs serialized commits; use a generated " +
-          "column over a natural key instead")
+      // IDENTITY columns (r11, VERDICT r10 #5): the OCC commit loop
+      // serializes versions, so each insert claims [hwm, hwm + n·step)
+      // from the manifest's `#hwm` header — gap-free, monotone, no
+      // central sequence service. GENERATED ALWAYS only: BY DEFAULT
+      // (explicit-insert) would need engine-side conflict checks with
+      // user-supplied ids.
+      Option(c.identityColumnSpec()).foreach { spec =>
+        require(!spec.isAllowExplicitInsert,
+          s"graft catalog: identity column ${c.name} must be GENERATED ALWAYS " +
+            "(BY DEFAULT / explicit insert is not supported)")
+        require(c.dataType == LongType,
+          s"graft catalog: identity column ${c.name} must be BIGINT")
+        md.putLong("GRAFT_IDENTITY_START", spec.getStart)
+        md.putLong("GRAFT_IDENTITY_STEP", spec.getStep)
+        ()
+      }
       StructField(c.name, c.dataType, c.nullable, md.build())
     }
     val schema = StructType(fields)
@@ -736,7 +749,17 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
                 try TableFormat.manifestStatsCols(s, base,
                   TableFormat.currentVersion(s, base))
                 catch { case _: java.io.FileNotFoundException => Nil }
-              if (overwrite || legacyOverwrite) {
+              // IDENTITY columns (r11): allocation rides the OCC commit
+              // loop — the range is claimed by the manifest publish
+              val identityCols = schema().fields.toSeq
+                .filter(_.metadata.contains("GRAFT_IDENTITY_START"))
+                .map(f => (f.name, f.metadata.getLong("GRAFT_IDENTITY_START"),
+                  f.metadata.getLong("GRAFT_IDENTITY_STEP")))
+              if (identityCols.nonEmpty)
+                TableFormat.appendCommitIdentity(s, base, data, identityCols,
+                  statsCol = declared.headOption,
+                  replace = overwrite || legacyOverwrite)
+              else if (overwrite || legacyOverwrite) {
                 val v = TableFormat.latestVersion(s, base) + 1
                 declared match {
                   case Seq(c1, c2) => // 2-D declared: overwrite re-z-orders
@@ -2322,7 +2345,44 @@ object GraftCatalogOps {
         |FROM graft.db.ap""".stripMargin)
   }
 
+  /** `sql_identity_columns` (r11, VERDICT r10 #5): GENERATED ALWAYS AS
+    * IDENTITY — ids allocated as contiguous ranges claimed through the
+    * OCC commit loop's `#hwm` watermark, across TWO inserts. The row→id
+    * MAPPING depends on partition order (like any engine), so the
+    * oracle checks the deterministic invariants: the id set is exactly
+    * [1, n] gap-free (min, max, distinct count all pinned) and the
+    * payload aggregates match the source. */
+  def sqlIdentityColumns(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/ident_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("n_chars"))
+      .createOrReplaceTempView("src_docs_ident")
+    spark.sql(
+      """CREATE TABLE graft.db.ident_q
+        |  (id BIGINT GENERATED ALWAYS AS IDENTITY,
+        |   doc_id BIGINT, n_chars BIGINT)
+        |PARTITIONED BY (id)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.ident_q (doc_id, n_chars)
+        |SELECT doc_id, n_chars FROM src_docs_ident WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.ident_q (doc_id, n_chars)
+        |SELECT doc_id, n_chars FROM src_docs_ident WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id,
+        |  count(DISTINCT id) AS n_ids, count(1) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.ident_q""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_identity_columns" -> (sqlIdentityColumns _),
     "sql_agg_pushdown" -> (sqlAggPushdown _),
     "sql_partitioned_insert" -> (sqlPartitionedInsert _),
     "sql_table_history" -> (sqlTableHistory _),
@@ -2347,6 +2407,11 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_identity_columns" ->
+      """SELECT CAST(1 AS BIGINT) AS min_id, CAST(count(1) AS BIGINT) AS max_id,
+        |  count(1) AS n_ids, count(1) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
     "table_cdc_apply" ->
       """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 10 <> 3

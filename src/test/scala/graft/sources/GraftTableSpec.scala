@@ -1225,4 +1225,48 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(1) FROM graft.db.stats3 WHERE c BETWEEN 1000100 AND 1000200")
       .head.getLong(0) == 101, "post-drop pruning on the shifted slot broke")
   }
+
+  test("identity columns: OCC range allocation — two concurrent writers, gap-free monotone ids (r11, VERDICT r10 #5)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val _ = wh
+    val base = s"$wh/db/ident_occ"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.ident_occ
+        |  (id BIGINT GENERATED ALWAYS AS IDENTITY, w BIGINT, v BIGINT)
+        |PARTITIONED BY (id)""".stripMargin)
+    // identity declaration survives in the manifest schema
+    val md = TableFormat.manifestSchema(spark, base, 1).get("id").metadata
+    assert(md.contains("GRAFT_IDENTITY_START") && md.getLong("GRAFT_IDENTITY_STEP") == 1L)
+    // TWO writers race 3 inserts each of 500 rows — the OCC loop must
+    // serialize the hwm claims: every conflict re-reads the winner's
+    // mark and re-assigns, so the final id set is exactly [1, 3000]
+    val n = 500
+    def insertBatch(writer: Int, batch: Int): Unit = {
+      (0 until n).map(i => (writer.toLong, (batch * n + i).toLong))
+        .toDF("w", "v").createOrReplaceTempView(s"ident_src_${writer}_$batch")
+      spark.sql(s"INSERT INTO graft.db.ident_occ (w, v) " +
+        s"SELECT w, v FROM ident_src_${writer}_$batch")
+    }
+    val fut = (1 to 2).map(wr => Future { (0 until 3).foreach(b => insertBatch(wr, b)) })
+    fut.foreach(Await.result(_, 300.seconds))
+    val r = spark.sql(
+      """SELECT count(1) AS n, count(DISTINCT id) AS nd,
+        |  min(id) AS lo, max(id) AS hi FROM graft.db.ident_occ""".stripMargin).head
+    assert(r.getLong(0) == 3000L, s"rows: ${r.getLong(0)}")
+    assert(r.getLong(1) == 3000L, s"duplicate ids: ${r.getLong(1)} distinct of 3000")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3000L,
+      s"ids not gap-free [1,3000]: [${r.getLong(2)}, ${r.getLong(3)}]")
+    // the manifest watermark agrees: next id to allocate is 3001
+    val hwm = TableFormat.manifestHwm(spark, base, TableFormat.currentVersion(spark, base))
+    assert(hwm.get("id").contains(3001L), hwm.toString)
+    // ids being the clustering key, a range predicate prunes files
+    val vCur = TableFormat.currentVersion(spark, base)
+    val entries = TableFormat.manifestEntries(spark, base, vCur)
+    assert(entries.exists(e => e.lo.isDefined && e.hi.isDefined),
+      "identity clustering recorded no bounds")
+  }
 }
