@@ -87,11 +87,23 @@ object Bench {
       case (name, _) if !errors.contains(name) && times.contains(name) &&
         reps > 1 && med(times(name).toSeq) / times(name).min > 2.0 => name
     }
+    // r11 (VERDICT r10 #6): suspects re-run up to THREE times, stopping
+    // as soon as the ratio clears. A genuinely bimodal-but-fast query
+    // (scan_json_schema: a single-row-group 0.4 s single-task JSON
+    // parse — one GC pause or scheduling hiccup doubles it, and the
+    // corpus file can't split finer than its one row group) collects
+    // enough clean samples for the median to tell noise from plan; a
+    // genuinely slow query keeps a high median through every re-run and
+    // STAYS flagged — the tripwire's meaning is unchanged.
     suspectNames.foreach { name =>
       named.find(_._1 == name).foreach { case (_, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times(name) += (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => () } // keep the original reps; flag stays
+        var extra = 0
+        while (extra < 3 && med(times(name).toSeq) / times(name).min > 2.0) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); times(name) += (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => () } // keep the original reps; flag stays
+          extra += 1
+        }
       }
     }
     val stillSuspect = suspectNames.filter(n =>
