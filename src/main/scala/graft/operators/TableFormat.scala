@@ -468,6 +468,100 @@ object TableFormat {
     * inserts would re-issue ids — the Delta identity rule). */
   private val HwmPrefix = "#hwm\t"
 
+  /** Per-column NDV sketches (r11, VERDICT r10 #7): `#ndv` carries one
+    * base64 DataSketches HLL per declared stats column — MERGEABLE, so
+    * every data-adding commit unions the new files' sketch into the
+    * parent's instead of rescanning the table (the Iceberg puffin-
+    * sketch model). Deletes/rewrites inherit the sketch unchanged: an
+    * HLL cannot subtract, so the estimate is a documented UPPER bound
+    * until a full rewrite rebuilds it — exactly the staleness contract
+    * CBO stats have everywhere. Surfaced to Spark through the scan's
+    * `columnStats()` (distinctCount), which `transformV2Stats` turns
+    * into catalyst attribute stats — CBO join-reorder sees real NDVs
+    * for graft-native joins. */
+  private val NdvPrefix = "#ndv\t"
+
+  /** stats column → base64 HLL sketch of snapshot `version`. */
+  def manifestNdv(spark: SparkSession, base: String, version: Int): Map[String, String] =
+    manifestHeader(spark, base, version, NdvPrefix).map { body =>
+      body.split("\t").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        dec(kv.substring(0, i)) -> kv.substring(i + 1)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Distinct-count estimate decoded from a `#ndv` sketch. */
+  def ndvEstimate(sketchB64: String): Long =
+    math.round(org.apache.datasketches.hll.HllSketch.heapify(
+      java.util.Base64.getDecoder.decode(sketchB64)).getEstimate)
+
+  /** One HLL sketch per stats column over freshly STAGED files — a
+    * column-pruned parquet re-read, never a recompute of the insert's
+    * source query. Files store PHYSICAL names; output keys are logical. */
+  private def ndvFromFiles(spark: SparkSession, paths: Seq[String],
+                           statsCols: Seq[String],
+                           cm: Map[String, String]): Map[String, String] = {
+    if (paths.isEmpty || statsCols.isEmpty) return Map.empty
+    // session off-switch (`spark.graft.stats.ndv=false`): a pipeline of
+    // many tiny commits (CDC replication micro-batches) can skip the
+    // per-commit sketch job and ANALYZE later via optimize/compact
+    if (spark.conf.getOption("spark.graft.stats.ndv").exists(_.equalsIgnoreCase("false")))
+      return Map.empty
+    val df = spark.read.parquet(paths: _*)
+    // hll_sketch_agg accepts int/long/string/binary — other stats-column
+    // types (a double cluster key) simply record no NDV
+    def sketchable(p: String): Boolean =
+      df.schema.fields.find(_.name == p).map(_.dataType).exists {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => true
+        case _ => false
+      }
+    val present = statsCols.map(c => c -> cm.getOrElse(c, c))
+      .filter { case (_, p) => df.columns.contains(p) && sketchable(p) }
+    if (present.isEmpty) return Map.empty
+    val aggs = present.map { case (l, p) => hll_sketch_agg(col(p)).as(l) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    present.zipWithIndex.map { case ((l, _), i) =>
+      l -> java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
+    }.toMap
+  }
+
+  /** Union `fresh` into `parent` column-wise (driver-side, bytes only). */
+  private def mergeNdv(parent: Map[String, String],
+                       fresh: Map[String, String]): Map[String, String] =
+    (parent.keySet ++ fresh.keySet).map { c =>
+      (parent.get(c), fresh.get(c)) match {
+        case (Some(p), Some(f)) =>
+          val u = new org.apache.datasketches.hll.Union(12)
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(p)))
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(f)))
+          c -> java.util.Base64.getEncoder.encodeToString(
+            u.getResult.toCompactByteArray)
+        case (p, f) => c -> p.orElse(f).get
+      }
+    }.toMap
+
+  /** The `#ndv` value for a commit whose fresh sketches are `fresh`,
+    * publishing over `parentV` — `mergeParent = false` for whole-table
+    * replacements (the fresh sketch alone is exact); appends union with
+    * the parent's. None when there is nothing to record (callers then
+    * let [[writeManifest]] inherit). */
+  private def ndvOut(spark: SparkSession, base: String, parentV: Int,
+                     fresh: Map[String, String],
+                     mergeParent: Boolean): Option[Map[String, String]] = {
+    if (fresh.isEmpty) return None
+    val parent =
+      if (!mergeParent || parentV <= 0) Map.empty[String, String]
+      else
+        try manifestNdv(spark, base, parentV)
+        catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
+    Some(mergeNdv(parent, fresh))
+  }
+
   /** identity column → next value to allocate, of snapshot `version`. */
   def manifestHwm(spark: SparkSession, base: String, version: Int): Map[String, Long] =
     manifestHeader(spark, base, version, HwmPrefix).map { body =>
@@ -577,7 +671,8 @@ object TableFormat {
                             colmap: Option[Map[String, String]] = None,
                             tombstones: Option[Set[String]] = None,
                             constraints: Option[Seq[(String, String)]] = None,
-                            hwm: Option[Map[String, Long]] = None): Int = {
+                            hwm: Option[Map[String, Long]] = None,
+                            ndv: Option[Map[String, String]] = None): Int = {
     // properties/colmap/tombstones flow with the table unless this
     // commit sets them: None = inherit the parent's header verbatim
     // (absent parent or pre-feature manifest → none), Some = write it
@@ -596,6 +691,8 @@ object TableFormat {
       inherited(manifestConstraints(spark, base, version - 1), Seq.empty[(String, String)]))
     val effHwm = hwm.getOrElse(
       inherited(manifestHwm(spark, base, version - 1), Map.empty[String, Long]))
+    val effNdv = ndv.getOrElse(
+      inherited(manifestNdv(spark, base, version - 1), Map.empty[String, String]))
     val header = Seq(SchemaPrefix + schemaJson) ++
       (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
       Seq(OpPrefix + op) ++
@@ -616,6 +713,10 @@ object TableFormat {
        else Nil) ++
       (if (effHwm.nonEmpty)
          Seq(HwmPrefix + effHwm.toSeq.sortBy(_._1)
+           .map { case (k, v) => s"${enc(k)}=$v" }.mkString("\t"))
+       else Nil) ++
+      (if (effNdv.nonEmpty)
+         Seq(NdvPrefix + effNdv.toSeq.sortBy(_._1)
            .map { case (k, v) => s"${enc(k)}=$v" }.mkString("\t"))
        else Nil) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
@@ -671,6 +772,12 @@ object TableFormat {
     val entries = writeDataFiles(spark, base,
       newCommitDir(base, latestVersion(spark, base) + 1), clustered,
       collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2))
+    // NDV sketches of the new files (r11, VERDICT r10 #7) — one
+    // column-pruned re-read of what was just staged
+    val cmNdv =
+      try manifestColmap(spark, base, latestVersion(spark, base))
+      catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
+    val freshNdv = ndvFromFiles(spark, entries.map(_.path), collectCols, cmNdv)
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
@@ -723,7 +830,8 @@ object TableFormat {
       }
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
-          parentEntries ++ publishable, txn = None, statsCols = statsCols)
+          parentEntries ++ publishable, txn = None, statsCols = statsCols,
+          ndv = ndvOut(spark, base, parentV, freshNdv, mergeParent = true))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -814,7 +922,12 @@ object TableFormat {
         return writeManifest(spark, base, parentV + 1, outSchema.json,
           parentEntries ++ entries, txn = None,
           statsCols = manifestStatsCols(spark, base, parentV),
-          op = if (replace) "replace" else "append", hwm = Some(newHwm))
+          op = if (replace) "replace" else "append", hwm = Some(newHwm),
+          ndv = ndvOut(spark, base, parentV,
+            ndvFromFiles(spark, entries.map(_.path),
+              manifestStatsCols(spark, base, parentV),
+              manifestColmap(spark, base, parentV)),
+            mergeParent = !replace))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -846,6 +959,12 @@ object TableFormat {
       else df.repartitionByRange(nFiles, collectCols.map(col): _*)
     val entries = writeDataFiles(spark, base, newCommitDir(base, version), clustered,
       collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2))
+    val cmNdv =
+      if (version <= 1) Map.empty[String, String]
+      else
+        try manifestColmap(spark, base, version - 1)
+        catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
+    val freshNdv = ndvFromFiles(spark, entries.map(_.path), collectCols, cmNdv)
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
     // keep the previous snapshot's field metadata (r11): an INSERT
     // OVERWRITE's DataFrame flowed through withColumn/planner and lost
@@ -864,6 +983,8 @@ object TableFormat {
     // version-1's extra files, so tag it `replace` and let the CDF take
     // the always-correct full-diff path (r10, ADVICE r9 #3).
     writeManifest(spark, base, version, outSchema.json, parentEntries ++ entries, txn,
+      ndv = ndvOut(spark, base, version - 1, freshNdv,
+        mergeParent = parent.isDefined),
       statsCols = collectCols,
       op = if (parent.contains(version - 1)) "append" else "replace")
   }
@@ -1474,7 +1595,10 @@ object TableFormat {
       val entries = writeDataFiles(spark, base, newCommitDir(base, version),
         df.repartition(nFiles), Some(c1), Some(c2))
       return writeManifest(spark, base, version, zSchema.json, entries,
-        txn = None, statsCols = Seq(c1, c2), op = op)
+        txn = None, statsCols = Seq(c1, c2), op = op,
+        ndv = ndvOut(spark, base, version - 1,
+          ndvFromFiles(spark, entries.map(_.path), Seq(c1, c2), Map.empty),
+          mergeParent = false))
     }
     def norm(c: String, lo: Long, hi: Long): Column = {
       // grid cell in DOUBLE: the old integer form (x - lo) * 65535
@@ -1496,8 +1620,12 @@ object TableFormat {
       .repartitionByRange(nFiles, col("__z")).drop("__z")
     val entries = writeDataFiles(spark, base, newCommitDir(base, version),
       clustered, Some(c1), Some(c2))
+    // whole-table rewrite: the fresh sketch is EXACT — replace, not merge
     writeManifest(spark, base, version, zSchema.json, entries, txn = None,
-      statsCols = Seq(c1, c2), op = op)
+      statsCols = Seq(c1, c2), op = op,
+      ndv = ndvOut(spark, base, version - 1,
+        ndvFromFiles(spark, entries.map(_.path), Seq(c1, c2), Map.empty),
+        mergeParent = false))
   }
 
   /** OPTIMIZE ZORDER on an EXISTING table (r9) — rewrite the current
@@ -1713,7 +1841,8 @@ object TableFormat {
       props = Some(manifestProps(spark, srcBase, v)),
       colmap = Some(manifestColmap(spark, srcBase, v)),
       tombstones = Some(manifestTombstones(spark, srcBase, v)),
-      constraints = Some(manifestConstraints(spark, srcBase, v)))
+      constraints = Some(manifestConstraints(spark, srcBase, v)),
+      ndv = Some(manifestNdv(spark, srcBase, v)))
     v
   }
 
@@ -1766,7 +1895,10 @@ object TableFormat {
           props = Some(manifestProps(spark, base, toVersion)),
           colmap = Some(manifestColmap(spark, base, toVersion)),
           tombstones = Some(manifestTombstones(spark, base, toVersion)),
-          constraints = Some(manifestConstraints(spark, base, toVersion)))
+          constraints = Some(manifestConstraints(spark, base, toVersion)),
+          // contents ARE toVersion's — its NDV is exact for the restore
+          // (the identity hwm, by contrast, stays the parent's: monotone)
+          ndv = Some(manifestNdv(spark, base, toVersion)))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -1869,7 +2001,9 @@ object TableFormat {
       }
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
-          parentEntries ++ entriesFor(statsCols, cm), txn, statsCols = statsCols)
+          parentEntries ++ entriesFor(statsCols, cm), txn, statsCols = statsCols,
+          ndv = ndvOut(spark, base, parentV,
+            ndvFromFiles(spark, paths, statsCols, cm), mergeParent = true))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -1974,7 +2108,12 @@ object TableFormat {
         if (parentV == 0) None else manifestSchema(spark, base, parentV), schema)
       try
         return writeManifest(spark, base, parentV + 1, effSchema.json, carried ++ staged,
-          txn = None, statsCols = statsCols, op = "replace")
+          txn = None, statsCols = statsCols, op = "replace",
+          // carried entries keep parent rows -> union is the honest bound;
+          // a full replacement (nothing carried) takes the fresh sketch
+          ndv = ndvOut(spark, base, parentV,
+            ndvFromFiles(spark, paths, statsCols, cm),
+            mergeParent = carried.nonEmpty))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -2020,7 +2159,9 @@ object TableFormat {
         return writeManifest(spark, base, parentV + 1, schema.json, staged,
           txn = None, statsCols = statsCols, op = "replace",
           colmap = Some(Map.empty), tombstones = Some(Set.empty),
-          props = Some(props), constraints = Some(Seq.empty))
+          props = Some(props), constraints = Some(Seq.empty),
+          // a redefined table's NDV is exactly its fresh contents
+          ndv = Some(ndvFromFiles(spark, paths, statsCols, Map.empty)))
       catch {
         case e: CommitConflictException =>
           attempt += 1

@@ -293,4 +293,67 @@ class PlanAuditSpec extends SparkTestBase {
     assert(dv.contains("DvLookup"),
       s"dv read lost the executor-side skip predicate:\n$dv")
   }
+
+  test("NDV statistics: CBO join reorder flips on the manifest's #ndv sketches (r11, VERDICT r10 #7)") {
+    import graft.sources.GraftCatalog
+    import spark.implicits._
+    val wh = s"${graft.Tables.scratchDir}/graft_wh_ndv"
+    val p = new org.apache.hadoop.fs.Path(wh)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.conf.set("spark.sql.catalog.graft_ndv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ndv.warehouse", wh)
+    // fact: k1 has 1000 distinct values, k2 only 10 — the join through
+    // k2 explodes (20k·1k / max(10,10) = 2M rows) while the join
+    // through k1 stays flat (20k). Only NDV can SEE that: row counts
+    // and sizes of the two dims are identical by construction.
+    (0L until 20000L).map(i => (i % 1000, i % 10, i)).toDF("k1", "k2", "v")
+      .createOrReplaceTempView("ndv_f_src")
+    (0L until 1000L).map(i => (i, i)).toDF("k", "w")
+      .createOrReplaceTempView("ndv_a_src")
+    (0L until 1000L).map(i => (i % 10, i)).toDF("k", "w")
+      .createOrReplaceTempView("ndv_b_src")
+    spark.sql("CREATE TABLE graft_ndv.db.ndv_f (k1 BIGINT, k2 BIGINT, v BIGINT) PARTITIONED BY (k1, k2)")
+    spark.sql("INSERT INTO graft_ndv.db.ndv_f SELECT * FROM ndv_f_src")
+    spark.sql("CREATE TABLE graft_ndv.db.ndv_a (k BIGINT, w BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft_ndv.db.ndv_a SELECT * FROM ndv_a_src")
+    spark.sql("CREATE TABLE graft_ndv.db.ndv_b (k BIGINT, w BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft_ndv.db.ndv_b SELECT * FROM ndv_b_src")
+    // the manifests carry mergeable HLL sketches whose estimates see
+    // the 1000-vs-10 asymmetry
+    val ndvF = TableFormat.manifestNdv(spark, s"$wh/db/ndv_f",
+      TableFormat.currentVersion(spark, s"$wh/db/ndv_f"))
+    val estK1 = TableFormat.ndvEstimate(ndvF("k1"))
+    val estK2 = TableFormat.ndvEstimate(ndvF("k2"))
+    assert(estK1 > 900 && estK1 < 1100, s"k1 ndv estimate $estK1")
+    assert(estK2 >= 9 && estK2 <= 11, s"k2 ndv estimate $estK2")
+    val q =
+      """SELECT count(1) AS n FROM graft_ndv.db.ndv_f f
+        |JOIN graft_ndv.db.ndv_b b ON f.k2 = b.k
+        |JOIN graft_ndv.db.ndv_a a ON f.k1 = a.k""".stripMargin
+    def innermostLeaves(sql: String): String = {
+      val joins = spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size == 2, s"expected 2 joins, got ${joins.size}")
+      joins.last.collectLeaves().map(_.toString).mkString("\n")
+    }
+    // syntactic order without CBO: b joins first
+    val plain = innermostLeaves(q)
+    assert(plain.contains("ndv_b") && !plain.contains("ndv_a"),
+      s"premise: syntactic order should join b first, got leaves:\n$plain")
+    // with CBO + join reorder, the NDV sketches flip the order: the
+    // flat k1 join (a) moves below the exploding k2 join (b)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val reordered = innermostLeaves(q)
+      assert(reordered.contains("ndv_a") && !reordered.contains("ndv_b"),
+        s"CBO did not reorder on NDV — innermost join leaves:\n$reordered")
+      // and the result is unchanged by the reorder
+      assert(spark.sql(q).head.getLong(0) == 20000L * 100)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    }
+  }
 }
