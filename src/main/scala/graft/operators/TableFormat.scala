@@ -1090,10 +1090,17 @@ object TableFormat {
     // survivors (keys NOT in the change set) + the full change set
     val merged = baseRows.join(changes, Seq(key), "left_anti").unionByName(changes)
     val nFiles = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    // keep the table's DECLARED stats header when the merge key is its
+    // first column (r11): a merge on the cluster key used to re-declare
+    // the header as just `Seq(key)`, silently dropping a 2nd/3rd
+    // declared column's index for every later commit
+    val declared = manifestStatsCols(spark, base, v)
+    val outStats = if (declared.headOption.contains(key)) declared else Seq(key)
     val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
-      merged.repartitionByRange(nFiles, col(key)), Some(key))
+      merged.repartitionByRange(nFiles, outStats.map(col): _*),
+      outStats.headOption, outStats.drop(1).headOption, outStats.drop(2))
     val out = writeManifest(spark, base, version, schemaJson,
-      untouched ++ rewritten, txn = None, statsCols = Seq(key), op = "merge")
+      untouched ++ rewritten, txn = None, statsCols = outStats, op = "merge")
     (out, touched.size, entries.size)
   }
 
@@ -1166,12 +1173,20 @@ object TableFormat {
     val (small, large) = entries.partition(e =>
       f.getFileStatus(new Path(e.path)).getLen < smallBytes)
     if (small.size < 2) return (v, 0) // nothing to consolidate
-    val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
+    // compacted output keeps the declared file-skipping index alive
+    // (r11): re-cluster the consolidated rows on the declared columns
+    // and record their bounds — a stat-less compacted file would read
+    // on EVERY predicate forever (the pre-r11 behavior)
+    val declared = manifestStatsCols(spark, base, v)
+    val smallDf = readEntriesDf(spark, base, v, small)
       // dv-aware read: compacting a dv-carrying file MATERIALIZES its
       // deletes — the consolidated output holds live rows only and the
       // superseded dv ages out with its manifests
-      readEntriesDf(spark, base, v, small).coalesce(targetFiles),
-      statsCol = None)
+    val clustered =
+      if (declared.isEmpty) smallDf.coalesce(targetFiles)
+      else smallDf.repartitionByRange(targetFiles, declared.map(col): _*)
+    val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
+      clustered, declared.headOption, declared.drop(1).headOption, declared.drop(2))
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
     (writeManifest(spark, base, version, schemaJson, large ++ rewritten, txn = None,

@@ -1101,6 +1101,29 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readSnapshot(spark, base).count() == 2940)
   }
 
+  test("compact keeps the file-skipping index: consolidated files re-cluster on the declared columns with bounds (r11)") {
+    val base = freshBase("tf_compact_stats")
+    TableFormat.commit(spark, base, (0L until 1000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(2))
+    // fragment the table with several tiny appends
+    (1 to 4).foreach { i =>
+      TableFormat.appendCommit(spark, base,
+        Seq((1000L + i, 1000L + i)).toDF("k", "v"), statsCol = Some("k"))
+    }
+    val (vC, n) = TableFormat.compact(spark, base, smallBytes = 512 * 1024,
+      targetFiles = 2)
+    assert(n >= 4, s"expected the fragments compacted, got $n")
+    val compacted = TableFormat.manifestEntries(spark, base, vC)
+    assert(compacted.forall(e => e.lo.isDefined && e.hi.isDefined),
+      "compacted files lost the declared column's bounds — the skipping " +
+        "index would decay on every compaction")
+    // and the bounds PRUNE: a narrow range must not read every file
+    assert(TableFormat.readSnapshotWhere(spark, base, "k", 0, 10)._1.count() == 11)
+    val keptFiles = compacted.count(_.mayMatch(0, 10))
+    assert(keptFiles < compacted.size,
+      s"post-compact pruning kept $keptFiles of ${compacted.size}")
+  }
+
   test("dv runs: a dense delete encodes as runs, bytes far under 16 per row (r11, VERDICT r10 #4)") {
     val base = freshBase("tf_dv_rle")
     TableFormat.commit(spark, base, (0L until 200000L).map(i => (i, i)).toDF("k", "v"),
