@@ -545,6 +545,55 @@ object TableFormat {
       }
     }.toMap
 
+  /** ANALYZE (r11): rebuild the `#ndv` sketches EXACTLY from the
+    * current snapshot's LIVE rows as a metadata-only commit — the
+    * repair for upper-bound drift: incremental sketches union on every
+    * add but cannot subtract on delete, so after heavy deletes the
+    * estimate only ever grows. One dv-aware scan of the declared stats
+    * columns, OCC loop, entries unchanged. Returns
+    * (newVersion, column → fresh estimate); (current, empty) when the
+    * table declares no stats columns or is empty. */
+  def analyzeNdv(spark: SparkSession, base: String,
+                 maxRetries: Int = 10): (Int, Map[String, Long]) = {
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(spark, base)
+      require(v > 0, s"table $base: cannot ANALYZE a table with no commits")
+      val statsCols = manifestStatsCols(spark, base, v)
+      val entries = manifestEntries(spark, base, v)
+      if (statsCols.isEmpty || entries.isEmpty)
+        return (v, Map.empty)
+      val df = readEntriesDf(spark, base, v, entries) // dv-aware: LIVE rows
+      val sketchable = statsCols.filter(c =>
+        df.schema.fields.find(_.name == c).map(_.dataType).exists {
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BinaryType => true
+          case _ => false
+        })
+      if (sketchable.isEmpty) return (v, Map.empty)
+      val aggs = sketchable.map(c => hll_sketch_agg(col(c)).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val fresh = sketchable.zipWithIndex.map { case (c, i) =>
+        c -> java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
+      }.toMap
+      val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+        throw new IllegalStateException(s"table $base v$v has no schema header"))
+      try
+        return (writeManifest(spark, base, v + 1, schemaJson, entries,
+          txn = None, statsCols = statsCols, op = "alter",
+          ndv = Some(fresh)),
+          fresh.map { case (c, s) => c -> ndvEstimate(s) })
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    (0, Map.empty) // unreachable
+  }
+
   /** The `#ndv` value for a commit whose fresh sketches are `fresh`,
     * publishing over `parentV` — `mergeParent = false` for whole-table
     * replacements (the fresh sketch alone is exact); appends union with
@@ -1857,8 +1906,85 @@ object TableFormat {
       colmap = Some(manifestColmap(spark, srcBase, v)),
       tombstones = Some(manifestTombstones(spark, srcBase, v)),
       constraints = Some(manifestConstraints(spark, srcBase, v)),
-      ndv = Some(manifestNdv(spark, srcBase, v)))
+      ndv = Some(manifestNdv(spark, srcBase, v)),
+      // identity watermarks travel with the clone (r11): a clone (or a
+      // branch) of an identity table must CONTINUE the sequence, never
+      // restart it — publish merges marks back per-column MAX
+      hwm = Some(manifestHwm(spark, srcBase, v)))
     v
+  }
+
+  /** BRANCHES (r11) — the Iceberg-branch / Delta-WAP workflow on the
+    * clone machinery: a branch is a SHALLOW CLONE living under the
+    * parent's own tree (`base/branches/<name>`), so it is zero-copy,
+    * fully addressable through the SQL catalog
+    * (`graft.db.t.branches.dev` resolves to the path directly), and
+    * every table operation — INSERT, UPDATE, MERGE, DELETE, OPTIMIZE —
+    * already works on it unchanged. `_FORK` records the parent version
+    * the branch forked from; [[publishBranch]] fast-forwards the parent
+    * to the branch's contents in ONE metadata commit, refusing when the
+    * parent advanced since the fork (re-branch and replay — the same
+    * fast-forward-only rule Iceberg's `fast_forward` procedure has).
+    * Branch data files stage under the branch's OWN data tree, outside
+    * the parent's `data/` sweep, so neither side's vacuum can reclaim
+    * the other's files. Returns (branchBase, forkVersion). */
+  def branchBaseOf(base: String, name: String): String = s"$base/branches/$name"
+
+  def branchCreate(spark: SparkSession, base: String, name: String): (String, Int) = {
+    require(name.matches("[A-Za-z0-9_\\-]+"),
+      s"branch name '$name' must be alphanumeric/underscore/dash")
+    val bb = branchBaseOf(base, name)
+    require(!fs(spark, bb).exists(new Path(s"$bb/_CURRENT")),
+      s"branch $name of $base already exists")
+    val forkV = cloneTable(spark, base, bb)
+    writeFile(spark, s"$bb/_FORK", forkV.toString)
+    (bb, forkV)
+  }
+
+  /** PUBLISH (write-audit-publish): fast-forward the parent table to
+    * branch `name`'s current contents as one commit. All of the
+    * branch's headers travel (schema/colmap/constraints/props/stats/
+    * ndv); identity watermarks merge per-column MAX so ids can never
+    * regress. Returns the parent's new version. */
+  def publishBranch(spark: SparkSession, base: String, name: String,
+                    maxRetries: Int = 10): Int = {
+    val bb = branchBaseOf(base, name)
+    val fork =
+      try readFile(spark, s"$bb/_FORK").trim.toInt
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"no branch $name of $base") }
+    val bv = currentVersion(spark, bb)
+    var attempt = 0
+    while (true) {
+      val mainV = latestVersion(spark, base)
+      require(mainV == fork,
+        s"cannot publish branch $name: $base advanced to v$mainV since the " +
+          s"branch forked at v$fork — fast-forward only; re-branch and replay")
+      val schemaJson = manifestSchema(spark, bb, bv).map(_.json).getOrElse(
+        throw new IllegalStateException(s"branch $name has no schema header"))
+      val mergedHwm = {
+        val m = manifestHwm(spark, base, mainV)
+        val b = manifestHwm(spark, bb, bv)
+        (m.keySet ++ b.keySet).map(k =>
+          k -> math.max(m.getOrElse(k, Long.MinValue), b.getOrElse(k, Long.MinValue))).toMap
+      }
+      try
+        return writeManifest(spark, base, mainV + 1, schemaJson,
+          manifestEntries(spark, bb, bv), txn = None,
+          statsCols = manifestStatsCols(spark, bb, bv), op = "publish",
+          props = Some(manifestProps(spark, bb, bv)),
+          colmap = Some(manifestColmap(spark, bb, bv)),
+          tombstones = Some(manifestTombstones(spark, bb, bv)),
+          constraints = Some(manifestConstraints(spark, bb, bv)),
+          ndv = Some(manifestNdv(spark, bb, bv)),
+          hwm = Some(mergedHwm))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   /** COMMIT HISTORY (r9) — one (version, operation, fileCount) row per
@@ -2819,6 +2945,41 @@ object TableFormat {
       .orderBy(col("side").asc)
   }
 
+  /** `table_branch_wap` (r11): the WRITE-AUDIT-PUBLISH loop — the
+    * production ingest pattern branches exist for. Seed the table with
+    * ⅔ of documents; fork branch `wap`; land the remaining batch ON THE
+    * BRANCH; audit there (the batch row count — in production, CHECK
+    * constraints / dq suites); the PARENT still serves the pre-batch
+    * snapshot throughout (isolation is part of the oracle-checked
+    * output); publish fast-forwards the parent in one metadata commit.
+    * Output = per-stage aggregates; the oracle recomputes both stages
+    * from the source. */
+  def tableBranchWap(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/wap_table"
+    fs(spark, base).delete(new Path(base), true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    commit(spark, base, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+      1, parent = None, statsCol = Some("doc_id"))
+    val (bb, _) = branchCreate(spark, base, "wap")
+    appendCommit(spark, bb, docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      statsCol = Some("doc_id"))
+    // audit gate: refuse to publish a batch that lost rows
+    val audited = readSnapshot(spark, bb).count()
+    require(audited > readSnapshot(spark, base).count(),
+      "audit failed: branch holds no new rows")
+    def agg(label: String, b: String) =
+      readSnapshot(spark, b)
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(lit(label).as("stage"), col("n_docs"), col("sum_chars"))
+    // parent BEFORE publish: still the seed snapshot
+    val pre = agg("pre_publish", base)
+    publishBranch(spark, base, "wap")
+    pre.unionByName(agg("published", base))
+      .orderBy(col("stage").asc_nulls_first)
+  }
+
   /** `table_optimize` (r9): commit orders UNCLUSTERED (no stats — every
     * read scans every file), then `optimizeZorder` re-clusters the
     * snapshot along (o_custkey, o_orderkey); the same box query now
@@ -2853,9 +3014,18 @@ object TableFormat {
     "table_fileskip" -> (tableFileskip _),
     "table_compact" -> (tableCompact _),
     "table_incremental" -> (tableIncremental _),
-    "table_zorder" -> (tableZorder _))
+    "table_zorder" -> (tableZorder _),
+    "table_branch_wap" -> (tableBranchWap _))
 
   val oracle: Map[String, String] = Map(
+    "table_branch_wap" ->
+      """SELECT 'pre_publish' AS stage, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT 'published', count(1), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents
+        |ORDER BY stage ASC NULLS FIRST""".stripMargin,
     "table_cdf" ->
       """SELECT 2 AS v, 'insert' AS change_type, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

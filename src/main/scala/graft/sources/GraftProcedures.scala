@@ -298,8 +298,59 @@ object GraftProcedures {
     }
   }
 
+  /** ANALYZE (r11): rebuild the `#ndv` sketches exactly from the
+    * current snapshot's live rows — the repair for the incremental
+    * sketch's upper-bound drift after heavy deletes. Returns
+    * (version, analyzed) where `analyzed` is `col=estimate` pairs. */
+  private object AnalyzeProc extends Proc("analyze",
+    Seq(in("table", StringType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("analyzed", StringType)))) {
+    override def description(): String =
+      "rebuild per-column NDV sketches exactly from the current snapshot's live rows"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (v, est) = TableFormat.analyzeNdv(spark, base)
+      new GenericInternalRow(Array[Any](v, UTF8String.fromString(
+        est.toSeq.sortBy(_._1).map { case (c, n) => s"$c=$n" }.mkString(","))))
+    }
+  }
+
+  /** BRANCH (r11): zero-copy fork of the table's current snapshot under
+    * `base/branches/<name>` — addressable as `graft.db.t.branches.<name>`
+    * for every SQL operation. Returns (fork_version, branch_ident). */
+  private object BranchProc extends Proc("branch",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("fork_version", IntegerType),
+                   StructField("branch", StringType)))) {
+    override def description(): String =
+      "fork the table's current snapshot as a zero-copy branch (write-audit-publish)"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val name = input.getUTF8String(1).toString
+      val (_, forkV) = TableFormat.branchCreate(spark, base, name)
+      new GenericInternalRow(Array[Any](forkV,
+        UTF8String.fromString(s"branches.$name")))
+    }
+  }
+
+  /** PUBLISH (r11): fast-forward the table to a branch's contents in one
+    * metadata commit — refused if the table advanced since the fork.
+    * Returns (published_version, files). */
+  private object PublishProc extends Proc("publish",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("published_version", IntegerType),
+                   StructField("files", IntegerType)))) {
+    override def description(): String =
+      "fast-forward the table to the branch's current contents (fails if diverged)"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val v = TableFormat.publishBranch(spark, base, input.getUTF8String(1).toString)
+      new GenericInternalRow(Array[Any](v,
+        TableFormat.manifestEntries(spark, base, v).size))
+    }
+  }
+
   private val all: Seq[Proc] =
-    Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc)
+    Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
+      AnalyzeProc, BranchProc, PublishProc)
 
   def names: Seq[String] = all.map(_.name())
 

@@ -1269,4 +1269,70 @@ class GraftTableSpec extends SparkTestBase {
     assert(entries.exists(e => e.lo.isDefined && e.hi.isDefined),
       "identity clustering recorded no bounds")
   }
+
+  test("CALL graft.system.analyze rebuilds NDV exactly, repairing delete-induced upper-bound drift (r11)") {
+    val _ = wh
+    val base = s"$wh/db/analyze_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.analyze_t (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    (0L until 5000L).map(i => (i, i)).toDF("k", "v").createOrReplaceTempView("an_src")
+    spark.sql("INSERT INTO graft.db.analyze_t SELECT * FROM an_src")
+    def est(v: Int): Long = TableFormat.ndvEstimate(
+      TableFormat.manifestNdv(spark, base, v)("k"))
+    val before = est(TableFormat.currentVersion(spark, base))
+    assert(before > 4500 && before < 5500, s"seed ndv $before")
+    // delete 90% of the keys: the INCREMENTAL sketch cannot subtract —
+    // the estimate stays near 5000 (the documented upper bound)
+    spark.sql("DELETE FROM graft.db.analyze_t WHERE k >= 500")
+    val stale = est(TableFormat.currentVersion(spark, base))
+    assert(stale > 4000, s"premise: pre-analyze estimate should be stale, got $stale")
+    // ANALYZE scans the live rows and rebuilds the sketch exactly
+    val r = spark.sql("CALL graft.system.analyze('db.analyze_t')").head
+    val fresh = est(r.getInt(0))
+    assert(fresh > 450 && fresh < 550, s"post-analyze ndv $fresh (want ~500)")
+    assert(r.getString(1).startsWith("k="), r.getString(1))
+    // metadata-only: same files, rows unchanged
+    assert(spark.sql("SELECT count(1) FROM graft.db.analyze_t").head.getLong(0) == 500L)
+  }
+
+  test("branches: SQL write-audit-publish — zero-copy fork, isolated writes, fast-forward publish, divergence refused (r11)") {
+    val _ = wh
+    val base = s"$wh/db/wap_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.wap_t (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    (0L until 1000L).map(i => (i, i)).toDF("k", "v").createOrReplaceTempView("wap_src")
+    spark.sql("INSERT INTO graft.db.wap_t SELECT * FROM wap_src")
+    val r = spark.sql("CALL graft.system.branch('db.wap_t', 'staged')").head
+    assert(r.getInt(0) == 2 && r.getString(1) == "branches.staged")
+    // the branch is a real SQL table: INSERT + even UPDATE work on it —
+    // and the parent never sees a byte until publish
+    spark.sql("INSERT INTO graft.db.wap_t.branches.staged " +
+      "SELECT k + 1000, v FROM wap_src")
+    spark.sql("UPDATE graft.db.wap_t.branches.staged SET v = -1 WHERE k = 1500")
+    assert(spark.sql("SELECT count(1) FROM graft.db.wap_t.branches.staged")
+      .head.getLong(0) == 2000L)
+    assert(spark.sql("SELECT count(1) FROM graft.db.wap_t").head.getLong(0) == 1000L,
+      "branch write leaked into the parent")
+    // audit on the branch, then publish: ONE metadata commit
+    assert(spark.sql(
+      "SELECT v FROM graft.db.wap_t.branches.staged WHERE k = 1500").head.getLong(0) == -1L)
+    val pub = spark.sql("CALL graft.system.publish('db.wap_t', 'staged')").head
+    assert(pub.getInt(0) == 3, pub.toString)
+    assert(spark.sql("SELECT count(1) FROM graft.db.wap_t").head.getLong(0) == 2000L)
+    assert(spark.sql("SELECT v FROM graft.db.wap_t WHERE k = 1500").head.getLong(0) == -1L)
+    // pre-publish versions stay time-travel readable
+    assert(spark.sql("SELECT count(1) FROM graft.db.wap_t VERSION AS OF 2")
+      .head.getLong(0) == 1000L)
+    // divergence: fork a new branch, advance the PARENT, publish refused
+    spark.sql("CALL graft.system.branch('db.wap_t', 'late')")
+    spark.sql("INSERT INTO graft.db.wap_t VALUES (99999, 0)")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.publish('db.wap_t', 'late')").collect()
+    }
+    assert(e.getMessage.contains("fast-forward"), e.getMessage)
+    // the failed publish changed nothing
+    assert(spark.sql("SELECT count(1) FROM graft.db.wap_t").head.getLong(0) == 2001L)
+  }
 }
