@@ -2418,6 +2418,53 @@ object TableFormat {
     -1 // unreachable
   }
 
+  /** TYPE WIDENING commit (r11) — `ALTER TABLE … ALTER COLUMN c TYPE t`
+    * as METADATA-ONLY evolution (the Delta 3.x type-widening feature):
+    * the recorded schema re-types the column; files written before keep
+    * their narrower physical type and Spark's vectorized parquet reader
+    * up-casts at scan time (verified supported promotions only —
+    * int→long, float→double, int→double; the row-at-a-time reader
+    * resolves per-file physical types the same way). Time travel to
+    * pre-widen versions reads the narrow type. Narrowing and any other
+    * re-type stay rejected — they would change the meaning of data
+    * already written. */
+  def alterWidenCommit(spark: SparkSession, base: String, colName: String,
+                       newType: DataType, maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (IntegerType, DoubleType) => true
+      case _ => false
+    }
+    var attempt = 0
+    while (true) {
+      val parentV = latestVersion(spark, base)
+      require(parentV > 0, s"table $base: cannot ALTER a table with no commits")
+      val parent = manifestSchema(spark, base, parentV).getOrElse(
+        throw new IllegalStateException(s"table $base v$parentV has no schema header"))
+      val f = parent.fields.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(
+          s"alterWidenCommit: no column $colName in ${parent.fieldNames.mkString(", ")}"))
+      if (f.dataType == newType) return parentV // no-op
+      require(widens(f.dataType, newType),
+        s"alterWidenCommit: ${f.dataType.simpleString} → ${newType.simpleString} " +
+          "is not a supported widening (int→bigint, float→double, int→double)")
+      val newSchema = StructType(parent.fields.map(x =>
+        if (x.name == colName) x.copy(dataType = newType) else x))
+      try
+        return writeManifest(spark, base, parentV + 1, newSchema.json,
+          manifestEntries(spark, base, parentV), txn = None,
+          statsCols = manifestStatsCols(spark, base, parentV), op = "alter")
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Dependent-metadata guard (r10): renaming or dropping a column that
     * a CHECK constraint's predicate or a generated column's expression
     * references by name would leave that SQL text unresolvable and

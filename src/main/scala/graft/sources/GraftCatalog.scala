@@ -365,10 +365,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           s"graft catalog: nested DROP COLUMN is not supported " +
             s"(got ${d.fieldNames.mkString(".")})")
         TableFormat.alterDropCommit(spark, path, d.fieldNames.head)
+      // TYPE WIDENING (r11): `ALTER COLUMN c TYPE bigint` — metadata-only;
+      // old files up-cast at read time (int→long, float→double, int→double)
+      case t: TableChange.UpdateColumnType =>
+        require(t.fieldNames.length == 1,
+          s"graft catalog: nested ALTER COLUMN TYPE is not supported " +
+            s"(got ${t.fieldNames.mkString(".")})")
+        TableFormat.alterWidenCommit(spark, path, t.fieldNames.head, t.newDataType)
       case _ => ()
     }
     val addChanges = schemaChanges.filterNot(c =>
       c.isInstanceOf[TableChange.RenameColumn] || c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
         c.isInstanceOf[TableChange.AddConstraint] || c.isInstanceOf[TableChange.DropConstraint])
     if (addChanges.nonEmpty) {
       val v = TableFormat.currentVersion(spark, path)
@@ -1651,19 +1659,34 @@ class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoop
           vals(i) =
             if (idx < 0) existsDefault(i) // column absent from this file
             else if (current.getFieldRepetitionCount(idx) == 0) null
-            else readSchema.fields(i).dataType match {
-              case LongType => current.getLong(idx, 0)
-              case IntegerType => current.getInteger(idx, 0)
-              case DoubleType => current.getDouble(idx, 0)
-              case FloatType => current.getFloat(idx, 0)
-              case BooleanType => current.getBoolean(idx, 0)
-              case StringType =>
-                UTF8String.fromBytes(current.getBinary(idx, 0).getBytes)
-              case DateType => current.getInteger(idx, 0)
-              case other => throw new UnsupportedOperationException(
-                s"graft-table stream: column ${readSchema.fields(i).name} has " +
-                  s"unsupported type $other (supported: long/int/double/float/" +
-                  "boolean/string/date — read timestamps as unix micros)")
+            else {
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+              // the FILE's physical type — under type widening (r11) a
+              // pre-widen file stores the narrower encoding and must be
+              // read as such, then up-cast to the logical type
+              def physName = current.getType.getType(idx).asPrimitiveType()
+                .getPrimitiveTypeName
+              readSchema.fields(i).dataType match {
+                case LongType =>
+                  if (physName == PrimitiveTypeName.INT32)
+                    current.getInteger(idx, 0).toLong
+                  else current.getLong(idx, 0)
+                case IntegerType => current.getInteger(idx, 0)
+                case DoubleType => physName match {
+                  case PrimitiveTypeName.FLOAT => current.getFloat(idx, 0).toDouble
+                  case PrimitiveTypeName.INT32 => current.getInteger(idx, 0).toDouble
+                  case _ => current.getDouble(idx, 0)
+                }
+                case FloatType => current.getFloat(idx, 0)
+                case BooleanType => current.getBoolean(idx, 0)
+                case StringType =>
+                  UTF8String.fromBytes(current.getBinary(idx, 0).getBytes)
+                case DateType => current.getInteger(idx, 0)
+                case other => throw new UnsupportedOperationException(
+                  s"graft-table stream: column ${readSchema.fields(i).name} has " +
+                    s"unsupported type $other (supported: long/int/double/float/" +
+                    "boolean/string/date — read timestamps as unix micros)")
+              }
             }
           i += 1
         }

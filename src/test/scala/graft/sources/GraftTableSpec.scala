@@ -1335,4 +1335,47 @@ class GraftTableSpec extends SparkTestBase {
     // the failed publish changed nothing
     assert(spark.sql("SELECT count(1) FROM graft.db.wap_t").head.getLong(0) == 2001L)
   }
+
+  test("type widening: ALTER COLUMN TYPE BIGINT is metadata-only; mixed narrow/wide files read, rewrite, and time-travel exactly (r11)") {
+    val _ = wh
+    val base = s"$wh/db/widen_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.widen_t (k BIGINT, n INT, f FLOAT) PARTITIONED BY (k)")
+    (0L until 100L).map(i => (i, i.toInt, i.toFloat)).toDF("k", "n", "f")
+      .createOrReplaceTempView("widen_src")
+    spark.sql("INSERT INTO graft.db.widen_t SELECT * FROM widen_src")
+    val filesBefore = TableFormat.manifestFiles(spark, base,
+      TableFormat.currentVersion(spark, base)).toSet
+    spark.sql("ALTER TABLE graft.db.widen_t ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.db.widen_t ALTER COLUMN f TYPE DOUBLE")
+    // metadata-only: the files did not move
+    val vW = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestFiles(spark, base, vW).toSet == filesBefore,
+      "type widening rewrote data")
+    val sch = spark.table("graft.db.widen_t").schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("f").dataType == org.apache.spark.sql.types.DoubleType)
+    // values beyond INT range land in NEW (wide) files; old files up-cast
+    spark.sql("INSERT INTO graft.db.widen_t VALUES (100, 9999999999, 1.5)")
+    assert(spark.sql("SELECT sum(n) FROM graft.db.widen_t").head.getLong(0) ==
+      (0L until 100L).sum + 9999999999L)
+    // narrowing is refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.widen_t ALTER COLUMN n TYPE INT")
+    }
+    // Spark's analyzer rejects the narrowing before our guard; either
+    // refusal is the right outcome
+    assert(e.getMessage.contains("widening") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+    // row-level UPDATE reads MIXED narrow/wide files through the CoW
+    // reader and rewrites wide
+    spark.sql("UPDATE graft.db.widen_t SET n = n + 1000000000000 WHERE k = 5")
+    assert(spark.sql("SELECT n FROM graft.db.widen_t WHERE k = 5")
+      .head.getLong(0) == 1000000000005L)
+    // time travel: the pre-widen snapshot reads the NARROW type
+    val pre = spark.sql("SELECT * FROM graft.db.widen_t VERSION AS OF 2")
+    assert(pre.schema("n").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(pre.count() == 100)
+  }
 }
