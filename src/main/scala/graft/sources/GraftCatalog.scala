@@ -2443,7 +2443,46 @@ object GraftCatalogOps {
         |FROM graft.db.ident_q""".stripMargin)
   }
 
+  /** `sql_widen_type` (r11): TYPE WIDENING end-to-end — documents land
+    * with an INT length column, `ALTER COLUMN … TYPE BIGINT` re-types
+    * it metadata-only, a second batch inserts values past INT range,
+    * and the aggregate reads MIXED narrow/wide files exactly (old
+    * files up-cast at scan time). The oracle replays both batches with
+    * the wide type throughout. */
+  def sqlWidenType(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/widen_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+      .createOrReplaceTempView("src_docs_widen")
+    spark.sql(
+      """CREATE TABLE graft.db.widen_q (doc_id BIGINT, lang STRING, len INT)
+        |PARTITIONED BY (doc_id)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.widen_q
+        |SELECT doc_id, lang, CAST(n_chars AS INT) FROM src_docs_widen
+        |WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.db.widen_q ALTER COLUMN len TYPE BIGINT")
+    spark.sql(
+      """INSERT INTO graft.db.widen_q
+        |SELECT doc_id, lang, n_chars + 10000000000 FROM src_docs_widen
+        |WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(1) AS n, CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CAST(max(len) AS BIGINT) AS max_len
+        |FROM graft.db.widen_q
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_widen_type" -> (sqlWidenType _),
     "sql_identity_columns" -> (sqlIdentityColumns _),
     "sql_agg_pushdown" -> (sqlAggPushdown _),
     "sql_partitioned_insert" -> (sqlPartitionedInsert _),
@@ -2469,6 +2508,15 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_widen_type" ->
+      """SELECT lang, count(1) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars
+        |               ELSE n_chars + 10000000000 END) AS BIGINT) AS sum_len,
+        |  CAST(max(CASE WHEN doc_id % 2 = 0 THEN n_chars
+        |               ELSE n_chars + 10000000000 END) AS BIGINT) AS max_len
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_identity_columns" ->
       """SELECT CAST(1 AS BIGINT) AS min_id, CAST(count(1) AS BIGINT) AS max_id,
         |  count(1) AS n_ids, count(1) AS n_rows,
