@@ -719,7 +719,9 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
       case None =>
         new GraftScanBuilder(base, resolvedVersion, schema(),
           TableFormat.manifestStatsCols(spark, base, resolvedVersion), spark,
-          startVersion = Option(options.get("startVersion")).map(_.toInt).getOrElse(0))
+          startVersion = Option(options.get("startVersion")).map(_.toInt).getOrElse(0),
+          maxVersionsPerBatch =
+            Option(options.get("maxVersionsPerBatch")).map(_.toInt).getOrElse(0))
     }
 
   /** `INSERT INTO graft.db.t …` = an `appendCommit` (optimistic
@@ -976,7 +978,8 @@ class GraftCowScanBuilder(base: String, version: Int, tableSchema: StructType,
   * the inner DataFrame — to reach the parquet row-group index. */
 class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
                        statsCols: Seq[String], spark: SparkSession,
-                       startVersion: Int)
+                       startVersion: Int,
+                       maxVersionsPerBatch: Int = 0)
     extends ScanBuilder with Scan with V1Scan
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsReportStatistics {
@@ -1213,7 +1216,8 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftTableMicroBatch(base, required, startVersion, spark,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      maxVersionsPerBatch)
 }
 
 /** Change-data-feed scan (r9): `spark.read.format("graft-table")
@@ -1480,11 +1484,37 @@ case class GraftVersionOffset(version: Int) extends Offset {
   * files per trigger, which is the write parallelism of the upstream
   * committer. */
 class GraftTableMicroBatch(base: String, readSchema: StructType, startVersion: Int,
-                           spark: SparkSession, conf: SerializableHadoopConf)
-    extends MicroBatchStream {
+                           spark: SparkSession, conf: SerializableHadoopConf,
+                           maxVersionsPerBatch: Int = 0)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
   override def initialOffset(): Offset = GraftVersionOffset(startVersion)
+  // Trigger.AvailableNow (r11): snapshot the catch-up target ONCE at
+  // query start — the stream drains up to it in (rate-limited) batches
+  // and stops, even while writers keep committing (the Delta contract)
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TableFormat.currentVersion(spark, base))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Admission control (r11): `maxVersionsPerBatch` bounds how many
+    * COMMITS one micro-batch absorbs — a stream recovering from hours
+    * of backlog processes it in bounded, checkpointable steps instead
+    * of one giant batch (the maxFilesPerTrigger analog at commit
+    * granularity). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = TableFormat.currentVersion(spark, base)
+    val capped = availableNowTarget.fold(cur)(math.min(cur, _))
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val stepped =
+      if (maxVersionsPerBatch > 0) math.min(capped, s + maxVersionsPerBatch)
+      else capped
+    GraftVersionOffset(math.max(s, stepped))
+  }
   override def latestOffset(): Offset =
-    GraftVersionOffset(TableFormat.currentVersion(spark, base))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toInt)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

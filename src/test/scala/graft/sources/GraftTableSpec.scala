@@ -1378,4 +1378,30 @@ class GraftTableSpec extends SparkTestBase {
     assert(pre.schema("n").dataType == org.apache.spark.sql.types.IntegerType)
     assert(pre.count() == 100)
   }
+
+  test("table stream: Trigger.AvailableNow drains the backlog in maxVersionsPerBatch-bounded steps, then stops (r11)") {
+    val base = freshBase("tstream_avnow")
+    // 5 commits of backlog before the stream ever starts
+    TableFormat.commit(spark, base, Seq((1L, "a")).toDF("k", "v"), 1, None)
+    (2 to 5).foreach { i =>
+      TableFormat.appendCommit(spark, base, Seq((i.toLong, s"v$i")).toDF("k", "v"))
+    }
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.format("graft-table").option("path", base)
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow TERMINATES on its own once the snapshot target drains
+    assert(q.awaitTermination(120000), "AvailableNow stream did not stop")
+    assert(rows.get() == 5L, s"rows: ${rows.get()}")
+    // 5 versions at <=2 versions per batch = at least 3 non-empty batches
+    assert(batches.get() >= 3,
+      s"admission control did not bound the catch-up: ${batches.get()} batches")
+  }
 }
