@@ -1214,14 +1214,14 @@ object TableFormat {
     * and the superseded fragments are reclaimed by `vacuum` once their
     * versions age out. Returns (newVersion, filesCompacted). */
   def compact(spark: SparkSession, base: String, smallBytes: Long,
-              targetFiles: Int = 1): (Int, Int) = {
+              targetFiles: Int = 1, minFiles: Int = 2): (Int, Int) = {
     val v = currentVersion(spark, base)
     val version = v + 1
     val f = fs(spark, base)
     val entries = manifestEntries(spark, base, v)
     val (small, large) = entries.partition(e =>
       f.getFileStatus(new Path(e.path)).getLen < smallBytes)
-    if (small.size < 2) return (v, 0) // nothing to consolidate
+    if (small.size < math.max(2, minFiles)) return (v, 0) // nothing to consolidate
     // compacted output keeps the declared file-skipping index alive
     // (r11): re-cluster the consolidated rows on the declared columns
     // and record their bounds — a stat-less compacted file would read

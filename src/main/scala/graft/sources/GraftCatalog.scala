@@ -782,9 +782,28 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
                     TableFormat.commit(s, base, data, v, parent = None,
                       statsCol = declared.headOption)
                 }
-              } else
+              } else {
                 TableFormat.appendCommit(s, base, data,
                   statsCol = declared.headOption)
+                // AUTO-COMPACT (r11, the Delta autoCompact analog):
+                // tables that opt in via TBLPROPERTIES consolidate
+                // their small files right after the append once enough
+                // accumulate — streaming/trickle ingest stays readable
+                // without a separate maintenance job. Post-commit and
+                // OCC-safe: the compact rides its own commit; a lost
+                // race just means the next insert retries.
+                val vNow = TableFormat.currentVersion(s, base)
+                val props = TableFormat.manifestProps(s, base, vNow)
+                if (props.get("autoCompact").exists(_.equalsIgnoreCase("true"))) {
+                  val smallBytes = props.get("autoCompact.smallBytes")
+                    .map(_.toLong).getOrElse(16L * 1024 * 1024)
+                  val minFiles = props.get("autoCompact.minFiles")
+                    .map(_.toInt).getOrElse(8)
+                  TableFormat.compact(s, base, smallBytes,
+                    targetFiles = math.max(1, minFiles / 4), minFiles = minFiles)
+                  ()
+                }
+              }
               ()
             }
           }

@@ -1404,4 +1404,31 @@ class GraftTableSpec extends SparkTestBase {
     assert(batches.get() >= 3,
       s"admission control did not bound the catch-up: ${batches.get()} batches")
   }
+
+  test("autoCompact: trickle inserts into an opted-in table keep the file count bounded (r11)") {
+    val _ = wh
+    val base = s"$wh/db/autoc_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.autoc_t (k BIGINT, v BIGINT)
+        |PARTITIONED BY (k)
+        |TBLPROPERTIES ('autoCompact' = 'true', 'autoCompact.minFiles' = '6',
+        |               'autoCompact.smallBytes' = '1048576')""".stripMargin)
+    (1 to 12).foreach { i =>
+      spark.sql(s"INSERT INTO graft.db.autoc_t VALUES ($i, $i)")
+    }
+    assert(spark.sql("SELECT count(1) FROM graft.db.autoc_t").head.getLong(0) == 12L)
+    val v = TableFormat.currentVersion(spark, base)
+    val nFiles = TableFormat.manifestEntries(spark, base, v).size
+    assert(nFiles < 8,
+      s"autoCompact did not bound the small-file count: $nFiles files after 12 inserts")
+    // the compactions are honest commits in the history
+    assert(TableFormat.history(spark, base).exists(_._2 == "compact"),
+      "no compact commit in history")
+    // compacted files keep the declared clustering's bounds (r11 compact fix)
+    assert(TableFormat.manifestEntries(spark, base, v)
+      .forall(e => e.lo.isDefined && e.hi.isDefined),
+      "auto-compacted files lost their bounds")
+  }
 }
