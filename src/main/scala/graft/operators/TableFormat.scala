@@ -1710,6 +1710,33 @@ object TableFormat {
       version = v + 1, nFiles = nFiles, op = "optimize")
   }
 
+  /** OPTIMIZE over the table's DECLARED clustering (r11) — rewrite the
+    * current snapshot hierarchically range-clustered on ALL declared
+    * stats columns (any number, complementing the 2-D z-order): rows
+    * move, never change, so the commit is CDF-silent like a compaction;
+    * NDV sketches rebuild exactly (whole-table rewrite → fresh-only).
+    * The right maintenance pass after heavy out-of-order ingest into
+    * an N-column-clustered table. Returns the new version. */
+  def optimizeCluster(spark: SparkSession, base: String, nFiles: Int = 16): Int = {
+    val v = currentVersion(spark, base)
+    val declared = manifestStatsCols(spark, base, v)
+    require(declared.nonEmpty,
+      s"optimizeCluster: table $base declares no clustering columns — " +
+        "use compact for plain consolidation")
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    val clustered = readSnapshot(spark, base, Some(v))
+      .repartitionByRange(nFiles, declared.map(col): _*)
+    val entries = writeDataFiles(spark, base, newCommitDir(base, v + 1),
+      clustered, declared.headOption, declared.drop(1).headOption, declared.drop(2))
+    writeManifest(spark, base, v + 1, schemaJson, entries, txn = None,
+      statsCols = declared, op = "optimize",
+      ndv = ndvOut(spark, base, v,
+        ndvFromFiles(spark, entries.map(_.path), declared,
+          manifestColmap(spark, base, v)),
+        mergeParent = false))
+  }
+
   /** Two-dimensional file skipping over a z-ordered table: drop every
     * file whose recorded bounds miss EITHER box edge, then apply the
     * exact row filter. Returns the DataFrame and (filesRead, filesTotal). */

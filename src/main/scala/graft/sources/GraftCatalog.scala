@@ -715,7 +715,8 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
     changes match {
       case Some((from, to)) =>
         new GraftChangesScanBuilder(base, from, to, schema(), spark,
-          skipChangeCommits = options.getBoolean("skipChangeCommits", false))
+          skipChangeCommits = options.getBoolean("skipChangeCommits", false),
+          maxVersionsPerBatch = options.getInt("maxVersionsPerBatch", 0))
       case None =>
         new GraftScanBuilder(base, resolvedVersion, schema(),
           TableFormat.manifestStatsCols(spark, base, resolvedVersion), spark,
@@ -1249,7 +1250,8 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   * residual filters above the scan. */
 class GraftChangesScanBuilder(base: String, from: Int, to: Int,
                               cdfSchema: StructType, spark: SparkSession,
-                              skipChangeCommits: Boolean = false)
+                              skipChangeCommits: Boolean = false,
+                              maxVersionsPerBatch: Int = 0)
     extends ScanBuilder with Scan with V1Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = cdfSchema
@@ -1268,7 +1270,7 @@ class GraftChangesScanBuilder(base: String, from: Int, to: Int,
     new GraftTableCdfMicroBatch(base,
       StructType(cdfSchema.fields.dropRight(2)), from, spark,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      skipChangeCommits)
+      skipChangeCommits, maxVersionsPerBatch)
 }
 
 /** Micro-batch CHANGE DATA FEED source (r10) — the Delta
@@ -1289,11 +1291,31 @@ class GraftChangesScanBuilder(base: String, from: Int, to: Int,
   * resolves to the same change set forever. */
 class GraftTableCdfMicroBatch(base: String, dataSchema: StructType, startVersion: Int,
                               spark: SparkSession, conf: SerializableHadoopConf,
-                              skipChangeCommits: Boolean)
-    extends MicroBatchStream {
+                              skipChangeCommits: Boolean,
+                              maxVersionsPerBatch: Int = 0)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
   override def initialOffset(): Offset = GraftVersionOffset(startVersion)
+  // same AvailableNow + commit-granular admission control as the
+  // snapshot stream (r11): drain to a start-time target in bounded steps
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TableFormat.currentVersion(spark, base))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = TableFormat.currentVersion(spark, base)
+    val capped = availableNowTarget.fold(cur)(math.min(cur, _))
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val stepped =
+      if (maxVersionsPerBatch > 0) math.min(capped, s + maxVersionsPerBatch)
+      else capped
+    GraftVersionOffset(math.max(s, stepped))
+  }
   override def latestOffset(): Offset =
-    GraftVersionOffset(TableFormat.currentVersion(spark, base))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toInt)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

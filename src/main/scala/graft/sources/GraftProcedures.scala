@@ -348,9 +348,26 @@ object GraftProcedures {
     }
   }
 
+  /** OPTIMIZE CLUSTER (r11): rewrite the snapshot hierarchically
+    * range-clustered on ALL declared clustering columns (any number) —
+    * the N-column complement of optimize_zorder. CDF-silent; NDV
+    * rebuilds exactly. Returns (version, files_total). */
+  private object OptimizeClusterProc extends Proc("optimize_cluster",
+    Seq(in("table", StringType), in("n_files", IntegerType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("files_total", IntegerType)))) {
+    override def description(): String =
+      "rewrite the current snapshot range-clustered on every declared clustering column"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val v = TableFormat.optimizeCluster(spark, base, nFiles = input.getInt(1))
+      new GenericInternalRow(Array[Any](v,
+        TableFormat.manifestEntries(spark, base, v).size))
+    }
+  }
+
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
-      AnalyzeProc, BranchProc, PublishProc)
+      AnalyzeProc, BranchProc, PublishProc, OptimizeClusterProc)
 
   def names: Seq[String] = all.map(_.name())
 

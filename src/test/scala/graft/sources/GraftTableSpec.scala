@@ -1431,4 +1431,38 @@ class GraftTableSpec extends SparkTestBase {
       .forall(e => e.lo.isDefined && e.hi.isDefined),
       "auto-compacted files lost their bounds")
   }
+
+  test("optimize_cluster: N-column re-clustering restores pruning on every declared key, CDF-silent (r11)") {
+    val _ = wh
+    val base = s"$wh/db/optc_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.optc_t (a BIGINT, b BIGINT, c BIGINT) PARTITIONED BY (a, b, c)")
+    // OUT-OF-ORDER trickle: each insert spans the whole key space, so
+    // every file's range covers everything and nothing can prune
+    (0 until 4).foreach { i =>
+      (0L until 2000L).map(j => (j * 4 + i, j % 50, j * 4 + i + 1000000L))
+        .toDF("a", "b", "c").createOrReplaceTempView(s"optc_src_$i")
+      spark.sql(s"INSERT INTO graft.db.optc_t SELECT * FROM optc_src_$i")
+    }
+    val v0 = TableFormat.currentVersion(spark, base)
+    val before = TableFormat.manifestEntries(spark, base, v0)
+    val beforeKept = before.count(_.mayMatchAt(0, 100, 200))
+    // fragmented ingest: EVERY commit contributes a matching file
+    assert(beforeKept >= 4,
+      s"premise: fragmented ingest should spread the range ($beforeKept/${before.size})")
+    val r = spark.sql("CALL graft.system.optimize_cluster('db.optc_t', 8)").head
+    val v1 = r.getInt(0)
+    val after = TableFormat.manifestEntries(spark, base, v1)
+    val afterKept = after.count(_.mayMatchAt(0, 100, 200))
+    assert(afterKept < beforeKept && afterKept <= 2,
+      s"optimize_cluster did not restore pruning ($afterKept of ${after.size} " +
+        s"vs $beforeKept of ${before.size} before)")
+    // third-column bounds present too, rows identical, CDF silent
+    assert(after.forall(_.statsAt(2)._1.isDefined), "no 3rd-column bounds")
+    assert(spark.sql("SELECT count(1) FROM graft.db.optc_t").head.getLong(0) == 8000L)
+    assert(TableFormat.manifestOp(spark, base, v1).contains("optimize"))
+    assert(TableFormat.readChanges(spark, base, v0, v1).count() == 0,
+      "optimize must be CDF-silent")
+  }
 }
