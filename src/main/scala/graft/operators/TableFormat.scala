@@ -82,8 +82,11 @@ object TableFormat {
                                  rows: Option[Long] = None,
                                  dv: Option[String] = None,
                                  dvRows: Option[Long] = None,
-                                 ext: Seq[(Option[Long], Option[Long], Option[Long])] = Nil) {
+                                 ext: Seq[(Option[Long], Option[Long], Option[Long])] = Nil,
+                                 sext: Seq[(Option[String], Option[String])] = Nil) {
     private def f(o: Option[Long]) = o.fold("")(_.toString)
+    private def fs(o: Option[String]) =
+      o.fold("")(v => java.net.URLEncoder.encode(v, "UTF-8"))
     // `rows` (r10) always serializes in the full 8-field form — the
     // count is what metadata-only aggregate pushdown sums; entries
     // parsed from pre-r10 manifests round-trip in their original form.
@@ -95,8 +98,16 @@ object TableFormat {
     // the extra columns' triples pack into ONE field (`lo:hi:nulls;…`),
     // so 1- and 2-column tables stay byte-identical and pre-r11 readers
     // of the common forms are unaffected.
+    // `sext` (r11) extends to a 12-field form ONLY for tables with
+    // STRING stats columns: per-slot URL-encoded (min, max) pairs; the
+    // 11th (numeric-ext) field serializes even when empty so positions
+    // stay fixed.
     def line: String =
-      if (ext.nonEmpty)
+      if (sext.exists(t => t._1.isDefined || t._2.isDefined))
+        s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}\t${f(rows)}\t${dv.getOrElse("")}\t${f(dvRows)}\t" +
+          ext.map { case (l, h, n) => s"${f(l)}:${f(h)}:${f(n)}" }.mkString(";") + "\t" +
+          sext.map { case (l, h) => s"${fs(l)}:${fs(h)}" }.mkString(";")
+      else if (ext.nonEmpty)
         s"$path\t${f(lo)}\t${f(hi)}\t${f(lo2)}\t${f(hi2)}\t${f(nulls)}\t${f(nulls2)}\t${f(rows)}\t${dv.getOrElse("")}\t${f(dvRows)}\t" +
           ext.map { case (l, h, n) => s"${f(l)}:${f(h)}:${f(n)}" }.mkString(";")
       else if (dv.isDefined)
@@ -127,6 +138,19 @@ object TableFormat {
       val (l, h, _) = statsAt(i)
       inter(l, h, qLo, qHi)
     }
+    /** The (min, max) STRING bounds of the i-th declared stats column
+      * (r11) — byte-order semantics; (None, None) = unknown. */
+    def strStatsAt(i: Int): (Option[String], Option[String]) =
+      sext.lift(i).getOrElse((None, None))
+    /** Can this file possibly hold rows with the i-th (STRING) stats
+      * column intersecting [qLo, qHi]? None query bound = unbounded;
+      * unknown file bounds → must read. */
+    def mayMatchStrAt(i: Int, qLo: Option[String], qHi: Option[String]): Boolean = {
+      val (l, h) = strStatsAt(i)
+      val ord = utf8Ordering
+      qLo.forall(q => h.forall(hv => ord.gteq(hv, q))) &&
+        qHi.forall(q => l.forall(lv => ord.lteq(lv, q)))
+    }
     /** Can this file possibly hold rows with statsCol in [qLo, qHi]? */
     def mayMatch(qLo: Long, qHi: Long): Boolean = inter(lo, hi, qLo, qHi)
     /** Same question against the SECOND stats column. */
@@ -135,7 +159,8 @@ object TableFormat {
     def nullFree: Boolean = nulls.contains(0L)
     /** Copy with the full positional stats-triple list replaced (r11) —
       * the DROP COLUMN slot-remapping helper. */
-    def withStatsTriples(ts: Seq[(Option[Long], Option[Long], Option[Long])]): ManifestEntry = {
+    def withStatsTriples(ts: Seq[(Option[Long], Option[Long], Option[Long])],
+                         ss: Seq[(Option[String], Option[String])] = Nil): ManifestEntry = {
       val t0 = ts.headOption.getOrElse((None, None, None))
       val t1 = ts.lift(1).getOrElse((None, None, None))
       copy(lo = t0._1, hi = t0._2, nulls = t0._3,
@@ -143,11 +168,22 @@ object TableFormat {
         ext = ts.drop(2).toList match {
           case rest if rest.exists(t => t._1.isDefined || t._2.isDefined || t._3.isDefined) => rest
           case _ => Nil
-        })
+        },
+        sext = if (ss.exists(t => t._1.isDefined || t._2.isDefined)) ss.toList else Nil)
     }
   }
   private object ManifestEntry {
     private def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
+    private def parseSext(s: String): Seq[(Option[String], Option[String])] =
+      if (s.isEmpty) Nil
+      else s.split(";", -1).toSeq.map { t =>
+        t.split(":", -1) match {
+          case Array(l, h) =>
+            (if (l.isEmpty) None else Some(java.net.URLDecoder.decode(l, "UTF-8")),
+             if (h.isEmpty) None else Some(java.net.URLDecoder.decode(h, "UTF-8")))
+          case _ => (None, None)
+        }
+      }
     private def parseExt(s: String): Seq[(Option[Long], Option[Long], Option[Long])] =
       if (s.isEmpty) Nil
       else s.split(";", -1).toSeq.map { t =>
@@ -171,6 +207,10 @@ object TableFormat {
         ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2), opt(r),
           dv = if (dvp.isEmpty) None else Some(dvp), dvRows = opt(dvr),
           ext = parseExt(ext))
+      case Array(p, l, h, l2, h2, n, n2, r, dvp, dvr, ext, sx) =>
+        ManifestEntry(p, opt(l), opt(h), opt(l2), opt(h2), opt(n), opt(n2), opt(r),
+          dv = if (dvp.isEmpty) None else Some(dvp), dvRows = opt(dvr),
+          ext = parseExt(ext), sext = parseSext(sx))
       case other => ManifestEntry(other.head, None, None)
     }
   }
@@ -233,10 +273,20 @@ object TableFormat {
     * footer open per file. The row count (r10) is unconditional (every
     * parquet footer has it) and is what metadata-only COUNT pushdown
     * sums; the column stats obey the integral/accounted guards below. */
+  /** Per-column footer statistics: integral bounds for plain INT32/64
+    * columns, STRING bounds (r11) for UTF8-annotated BINARY columns —
+    * the `PARTITIONED BY (lang)` case. Byte-order comparison throughout
+    * (parquet's Binary stats order), and parquet-mr's truncation
+    * contract (min truncated DOWN, max incremented) keeps truncated
+    * bounds safe for pruning. */
+  private case class ColFooterStats(lo: Option[Long], hi: Option[Long],
+                                    nulls: Option[Long],
+                                    slo: Option[String] = None,
+                                    shi: Option[String] = None)
   private def footerStats(conf: org.apache.hadoop.conf.Configuration, file: String,
-                          cols: Seq[String]): (Map[String, (Option[Long], Option[Long], Option[Long])], Long) = {
+                          cols: Seq[String]): (Map[String, ColFooterStats], Long) = {
     import scala.jdk.CollectionConverters._
-    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics, Statistics}
+    import org.apache.parquet.column.statistics.{BinaryStatistics, IntStatistics, LongStatistics, Statistics}
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
     try {
@@ -245,13 +295,17 @@ object TableFormat {
       val stats = cols.map { c =>
         val chunks = blocks
           .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
-        // plain INT32/INT64 ONLY — a converted/logical-type annotation
-        // (DATE day ordinals, TIMESTAMP micros, INT64-backed DECIMAL
-        // unscaled values) records bounds in the annotation's internal
-        // unit, contradicting the manifest's "integral column" contract
-        // (r10, ADVICE r9 #2); such columns yield no bounds at all.
+        // numeric bounds: plain INT32/INT64 ONLY — a converted/logical-
+        // type annotation (DATE day ordinals, TIMESTAMP micros,
+        // INT64-backed DECIMAL unscaled values) records bounds in the
+        // annotation's internal unit, contradicting the manifest's
+        // "integral column" contract (r10, ADVICE r9 #2).
         val plain = chunks.nonEmpty &&
           chunks.forall(_.getPrimitiveType.getLogicalTypeAnnotation == null)
+        // string bounds (r11): BINARY chunks annotated UTF8 only
+        val isString = chunks.nonEmpty && chunks.forall(ch =>
+          ch.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation])
         // a chunk whose stats were never recorded (statistics disabled at
         // write time) is INDISTINGUISHABLE from an all-NULL chunk by
         // hasNonNullValue alone — bounds that silently exclude it would
@@ -270,20 +324,40 @@ object TableFormat {
           case i: IntStatistics => Some((if (wantMin) i.getMin else i.getMax).toLong)
           case _ => None // non-integral: never recorded (see scaladoc)
         }
+        def strOf(s: Statistics[_], wantMin: Boolean): Option[String] = s match {
+          case b: BinaryStatistics =>
+            Option(if (wantMin) b.genericGetMin else b.genericGetMax)
+              .map(_.toStringUsingUTF8)
+          case _ => None
+        }
         val withValues = chunkStats.filter(_.hasNonNullValue)
         val los = withValues.flatMap(longOf(_, wantMin = true))
         val his = withValues.flatMap(longOf(_, wantMin = false))
+        val slos = withValues.flatMap(strOf(_, wantMin = true))
+        val shis = withValues.flatMap(strOf(_, wantMin = false))
         val nulls =
           if (chunkStats.nonEmpty && chunkStats.forall(_.isNumNullsSet))
             Some(chunkStats.map(_.getNumNulls).sum)
           else None
-        c -> (
+        c -> ColFooterStats(
           if (plain && accounted && los.size == withValues.size) los.minOption else None,
           if (plain && accounted && his.size == withValues.size) his.maxOption else None,
-          nulls)
+          nulls,
+          slo = if (isString && accounted && slos.size == withValues.size)
+            slos.minOption(utf8Ordering) else None,
+          shi = if (isString && accounted && shis.size == withValues.size)
+            shis.maxOption(utf8Ordering) else None)
       }.toMap
       (stats, rowCount)
     } finally reader.close()
+  }
+
+  /** Byte-wise UTF-8 ordering — parquet's Binary stats order, and the
+    * order every string-bounds comparison in the format uses. */
+  private[graft] val utf8Ordering: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
   }
 
   /** Write `df` into `commitDir` and return its manifest entries, with
@@ -327,14 +401,21 @@ object TableFormat {
       val (st, nRows) = footerStats(conf, p, cols)
       val first = statsCol.map(c => st(phys(c)))
       val second = statsCol2.map(c => st(phys(c)))
+      val sPairs = allCols.map { c =>
+        val t = st(phys(c)); (t.slo, t.shi)
+      }
       ManifestEntry(p,
-        first.flatMap(_._1), first.flatMap(_._2),
-        second.flatMap(_._1), second.flatMap(_._2),
-        nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
+        first.flatMap(_.lo), first.flatMap(_.hi),
+        second.flatMap(_.lo), second.flatMap(_.hi),
+        nulls = first.flatMap(_.nulls), nulls2 = second.flatMap(_.nulls),
         rows = Some(nRows),
         ext = moreStatsCols.map { c =>
-          val t = st(phys(c)); (t._1, t._2, t._3)
-        })
+          val t = st(phys(c)); (t.lo, t.hi, t.nulls)
+        },
+        // string bounds (r11): positional for EVERY declared column —
+        // numeric slots stay (None, None); omitted when none defined
+        sext = if (sPairs.exists(t => t._1.isDefined || t._2.isDefined)) sPairs
+               else Nil)
     }
   }
 
@@ -845,7 +926,7 @@ object TableFormat {
         if (collectCols.nonEmpty && statsCols.startsWith(collectCols)) entries
         else if (statsCols.headOption == statsCol && collectCols == statsCol.toSeq) entries
         else entries.map(e => e.copy(lo = None, hi = None, lo2 = None, hi2 = None,
-          nulls = None, nulls2 = None, ext = Nil)) // keep `rows` — the count
+          nulls = None, nulls2 = None, ext = Nil, sext = Nil)) // keep `rows` — the count
           // is column-independent and COUNT(*) pushdown sums it (r10)
       // the new manifest's schema is the UNION of the parent's and the
       // append's fields (r9, ADVICE r8 #4): the parent's entries stay in
@@ -2217,12 +2298,15 @@ object TableFormat {
       val (st, nRows) = footerStats(conf, p, physCols)
       val first = physCols.headOption.map(st)
       val second = physCols.drop(1).headOption.map(st)
+      val sPairs = physCols.map { c => val t = st(c); (t.slo, t.shi) }
       ManifestEntry(p,
-        first.flatMap(_._1), first.flatMap(_._2),
-        second.flatMap(_._1), second.flatMap(_._2),
-        nulls = first.flatMap(_._3), nulls2 = second.flatMap(_._3),
+        first.flatMap(_.lo), first.flatMap(_.hi),
+        second.flatMap(_.lo), second.flatMap(_.hi),
+        nulls = first.flatMap(_.nulls), nulls2 = second.flatMap(_.nulls),
         rows = Some(nRows),
-        ext = physCols.drop(2).map { c => val t = st(c); (t._1, t._2, t._3) })
+        ext = physCols.drop(2).map { c => val t = st(c); (t.lo, t.hi, t.nulls) },
+        sext = if (sPairs.exists(t => t._1.isDefined || t._2.isDefined)) sPairs
+               else Nil)
     }
   }
 
@@ -2612,7 +2696,8 @@ object TableFormat {
         case idx =>
           (statsCols.patch(idx, Nil, 1), entries.map { e =>
             e.withStatsTriples(
-              statsCols.indices.map(e.statsAt).patch(idx, Nil, 1))
+              statsCols.indices.map(e.statsAt).patch(idx, Nil, 1),
+              statsCols.indices.map(e.strStatsAt).patch(idx, Nil, 1))
           })
       }
       try

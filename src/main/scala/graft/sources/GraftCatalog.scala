@@ -182,10 +182,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           s"graft catalog: partition column $c is not in the table schema"))
       field.dataType match {
         case ByteType | ShortType | IntegerType | LongType => ()
+        case StringType => () // r11: string bounds (lang/domain/split keys)
         case dt => throw new UnsupportedOperationException(
           s"graft catalog: partition column $c has type ${dt.simpleString} — " +
-            "clustering bounds are integral; partition by an integral key " +
-            "(e.g. an epoch-day INT) so file skipping can actually prune")
+            "clustering bounds are integral or string; partition by an " +
+            "integral key (e.g. an epoch-day INT) or a string key (e.g. lang)")
       }
     }
     clusterCols
@@ -776,8 +777,14 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
                   replace = overwrite || legacyOverwrite)
               else if (overwrite || legacyOverwrite) {
                 val v = TableFormat.latestVersion(s, base) + 1
+                def zOk(c: String) = schema().fields.find(_.name == c)
+                  .map(_.dataType).exists {
+                    case ByteType | ShortType | IntegerType | LongType => true
+                    case _ => false
+                  }
                 declared match {
-                  case Seq(c1, c2) => // 2-D declared: overwrite re-z-orders
+                  case Seq(c1, c2) if zOk(c1) && zOk(c2) =>
+                    // 2-D integral declared: overwrite re-z-orders
                     TableFormat.commitZorder(s, base, data, c1, c2, v)
                   case _ =>
                     TableFormat.commit(s, base, data, v, parent = None,
@@ -1154,13 +1161,25 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
     // EVERY declared stats column prunes (r11, VERDICT r10 #3) — a
     // 3-column clustering declaration skips files on a predicate over
     // its third key exactly like its first
+    def isString(c: String): Boolean =
+      tableSchema.fields.find(_.name == c).exists(_.dataType == StringType)
     val bs: Seq[(Int, Option[(Long, Long)])] = statsCols.zipWithIndex.map {
       case (c, i) =>
         (i, Some(c).filter(integral).map(GraftScanBuilder.bounds(pushed, _)))
     }
+    // STRING stats columns (r11): equality/range predicates prune on the
+    // per-file byte-order (min, max) string bounds
+    val sbs: Seq[(Int, Option[(Option[String], Option[String])])] =
+      statsCols.zipWithIndex.map { case (c, i) =>
+        (i, Some(c).filter(isString).map(GraftScanBuilder.strBounds(pushed, _))
+          .filter(b => b._1.isDefined || b._2.isDefined))
+      }
     entries.filter { e =>
       bs.forall { case (i, b) =>
         b.forall { case (lo, hi) => e.mayMatchAt(i, lo, hi) }
+      } &&
+      sbs.forall { case (i, b) =>
+        b.forall { case (lo, hi) => e.mayMatchStrAt(i, lo, hi) }
       }
     }
   }
@@ -1486,6 +1505,49 @@ object GraftScanBuilder {
     }
     fs.map(one).foldLeft(all) { case ((lo, hi), (l, h)) =>
       (math.max(lo, l), math.min(hi, h))
+    }
+  }
+
+  /** Necessary STRING bounds on column `c` from the pushed filters
+    * (r11): (Some(lo), Some(hi)) with byte-order semantics; None =
+    * unbounded on that side. Open bounds (`>`/`<`) keep the literal —
+    * conservative (a file whose max equals the literal is read, never
+    * wrongly skipped), which is all a NECESSARY condition needs. */
+  private[sources] def strBounds(fs: Array[Filter],
+                                 c: String): (Option[String], Option[String]) = {
+    val ord = graft.operators.TableFormat.utf8Ordering
+    def maxOpt(a: Option[String], b: Option[String]): Option[String] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(ord.max(x, y))
+        case _ => a.orElse(b)
+      }
+    def minOpt(a: Option[String], b: Option[String]): Option[String] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(ord.min(x, y))
+        case _ => a.orElse(b)
+      }
+    val all: (Option[String], Option[String]) = (None, None)
+    def one(f: Filter): (Option[String], Option[String]) = f match {
+      case EqualTo(a, v: String) if a == c => (Some(v), Some(v))
+      case GreaterThan(a, v: String) if a == c => (Some(v), None)
+      case GreaterThanOrEqual(a, v: String) if a == c => (Some(v), None)
+      case LessThan(a, v: String) if a == c => (None, Some(v))
+      case LessThanOrEqual(a, v: String) if a == c => (None, Some(v))
+      case In(a, vs) if a == c && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val ss = vs.map(_.asInstanceOf[String])
+        (Some(ss.min(ord)), Some(ss.max(ord)))
+      case And(l, r) =>
+        val (ll, lh) = one(l); val (rl, rh) = one(r)
+        (maxOpt(ll, rl), minOpt(lh, rh))
+      case Or(l, r) =>
+        val (ll, lh) = one(l); val (rl, rh) = one(r)
+        // an OR is only bounded when BOTH sides bound the column
+        (for { x <- ll; y <- rl } yield ord.min(x, y),
+         for { x <- lh; y <- rh } yield ord.max(x, y))
+      case _ => all
+    }
+    fs.map(one).foldLeft(all) { case ((lo, hi), (l, h)) =>
+      (maxOpt(lo, l), minOpt(hi, h))
     }
   }
   /** Integral literals ONLY (r9, ADVICE r8 #1): `longValue()` on a
@@ -2552,7 +2614,39 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_string_cluster` (r11): STRING clustering columns — the
+    * `PARTITIONED BY (lang, doc_id)` shape every document corpus wants:
+    * per-file byte-order (min, max) STRING bounds from the parquet
+    * footers land in the manifest (positional `sext` slots alongside
+    * the numeric ones), and equality/range predicates on the string
+    * key prune files exactly like integral keys. The oracle replays
+    * the language filter over the source. */
+  def sqlStringCluster(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/strclust"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("n_chars"))
+      .createOrReplaceTempView("src_docs_str")
+    spark.sql(
+      """CREATE TABLE graft.db.strclust (lang STRING, doc_id BIGINT, n_chars BIGINT)
+        |PARTITIONED BY (lang, doc_id)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.strclust SELECT * FROM src_docs_str")
+    spark.sql(
+      """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.strclust
+        |WHERE lang = 'en' OR lang = 'de'
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_string_cluster" -> (sqlStringCluster _),
     "sql_widen_type" -> (sqlWidenType _),
     "sql_identity_columns" -> (sqlIdentityColumns _),
     "sql_agg_pushdown" -> (sqlAggPushdown _),
@@ -2579,6 +2673,12 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_string_cluster" ->
+      """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang = 'en' OR lang = 'de'
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_widen_type" ->
       """SELECT lang, count(1) AS n,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars

@@ -425,10 +425,11 @@ class GraftTableSpec extends SparkTestBase {
       s"kept ${sb.keptEntries().size} of ${entries.size} — no pruning")
     assert(spark.sql("SELECT count(1) FROM graft.db.part WHERE k BETWEEN 100 AND 200")
       .head.getLong(0) == 101)
-    // non-integral partition columns are rejected with a clear error
+    // r11: STRING partition columns are supported (byte-order bounds);
+    // unboundable types (double) are still rejected with a clear error
     spark.sql("DROP TABLE IF EXISTS graft.db.partbad")
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE graft.db.partbad (a STRING, b BIGINT) PARTITIONED BY (a)")
+      spark.sql("CREATE TABLE graft.db.partbad (a DOUBLE, b BIGINT) PARTITIONED BY (a)")
     }
     assert(e.getMessage.contains("integral"), s"wrong error: ${e.getMessage}")
   }
@@ -1464,5 +1465,41 @@ class GraftTableSpec extends SparkTestBase {
     assert(TableFormat.manifestOp(spark, base, v1).contains("optimize"))
     assert(TableFormat.readChanges(spark, base, v0, v1).count() == 0,
       "optimize must be CDF-silent")
+  }
+
+  test("string clustering: per-file string bounds prune lang predicates; slots stay positional beside numeric keys (r11)") {
+    val _ = wh
+    val base = s"$wh/db/strc_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.strc_t (lang STRING, k BIGINT, v BIGINT) PARTITIONED BY (lang, k)")
+    val langs = Seq("ar", "de", "en", "fr", "ja", "ko", "pt", "zh")
+    (0L until 8000L).map(i => (langs((i % 8).toInt), i, i * 2))
+      .toDF("lang", "k", "v").createOrReplaceTempView("strc_src")
+    spark.sql("INSERT INTO graft.db.strc_t SELECT * FROM strc_src")
+    val ver = TableFormat.currentVersion(spark, base)
+    val entries = TableFormat.manifestEntries(spark, base, ver)
+    assert(entries.size >= 2, s"premise: need multiple files, got ${entries.size}")
+    // string bounds recorded in slot 0; numeric bounds for k in slot 1
+    assert(entries.forall(e => e.strStatsAt(0)._1.isDefined &&
+      e.strStatsAt(0)._2.isDefined), "no string bounds recorded")
+    assert(entries.forall(e => e.statsAt(1)._1.isDefined),
+      "numeric slot lost beside the string key")
+    // entries round-trip through the 12-field form
+    assert(TableFormat.manifestEntries(spark, base, ver) == entries)
+    // equality on the string key prunes the SCAN
+    val sb = new GraftScanBuilder(base, ver,
+      TableFormat.manifestSchema(spark, base, ver).get, Seq("lang", "k"), spark, 0)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("lang", "ar")))
+    val kept = sb.keptEntries().size
+    assert(kept < entries.size,
+      s"lang = 'ar' kept $kept of ${entries.size} files — string bounds didn't prune")
+    // and the answers are exact (including a range over the string order)
+    assert(spark.sql("SELECT count(1) FROM graft.db.strc_t WHERE lang = 'ar'")
+      .head.getLong(0) == 1000L)
+    assert(spark.sql("SELECT count(1) FROM graft.db.strc_t WHERE lang >= 'pt'")
+      .head.getLong(0) == 2000L)
+    assert(spark.sql("SELECT count(1) FROM graft.db.strc_t WHERE lang IN ('de','ja')")
+      .head.getLong(0) == 2000L)
   }
 }
