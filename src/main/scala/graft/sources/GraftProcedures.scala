@@ -156,6 +156,52 @@ object TableDetailTvf {
     SqlBridge.registerTableFunction(spark, name, info, builder)
 }
 
+/** `graft_table_branches(base)` — the branch listing as a composable
+  * TVF (r11): one row per branch under `base/branches/` with its fork
+  * version, current head version, and whether it has diverged from the
+  * version it forked at (publishable = parent still AT the fork). Pure
+  * metadata; what an operator reads before `publish`. */
+object TableBranchesTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  val name = "graft_table_branches"
+
+  def builder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 1, s"$name(base) takes 1 argument, got ${args.length}")
+    val spark = SparkSession.active
+    val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = new org.apache.hadoop.fs.Path(s"$base/branches")
+    val mainV = TableFormat.currentVersion(spark, base)
+    val rows: Seq[(String, Int, Int, Int, Boolean)] =
+      if (!fs.exists(bdir)) Seq.empty
+      else fs.listStatus(bdir).toSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        val bb = TableFormat.branchBaseOf(base, name)
+        try {
+          val in = fs.open(new org.apache.hadoop.fs.Path(s"$bb/_FORK"))
+          val fork =
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+            finally in.close()
+          val head = TableFormat.currentVersion(spark, bb)
+          Some((name, fork, head, mainV, mainV == fork))
+        } catch { case _: java.io.FileNotFoundException => None }
+      }.sortBy(_._1)
+    import spark.implicits._
+    SqlBridge.analyzed(rows
+      .toDF("branch", "fork_version", "head_version", "table_version", "publishable"))
+  }
+
+  val info = new ExpressionInfo(getClass.getName, name)
+
+  def register(spark: SparkSession): Unit =
+    SqlBridge.registerTableFunction(spark, name, info, builder)
+}
+
 /** SQL maintenance verbs for graft tables (r10, VERDICT r9 #2) — Spark
   * 4's DSv2 stored-procedure API (`ProcedureCatalog` + `CALL`), the
   * route Delta exposes as `OPTIMIZE`/`VACUUM` and Iceberg as

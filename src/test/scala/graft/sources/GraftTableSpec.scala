@@ -1335,6 +1335,16 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("fast-forward"), e.getMessage)
     // the failed publish changed nothing
     assert(spark.sql("SELECT count(1) FROM graft.db.wap_t").head.getLong(0) == 2001L)
+    // graft_table_branches TVF: the listing shows `late` diverged
+    TableBranchesTvf.register(spark)
+    val br = spark.sql(s"SELECT * FROM graft_table_branches('$base') ORDER BY branch")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(4))).toSeq
+    assert(br.map(_._1) == Seq("late", "staged"), br.toString)
+    assert(!br.head._3, "diverged branch must not report publishable")
+    // TVFs compose: filter to the publishable set
+    assert(spark.sql(
+      s"SELECT count(1) FROM graft_table_branches('$base') WHERE publishable")
+      .head.getLong(0) == 0L)
   }
 
   test("type widening: ALTER COLUMN TYPE BIGINT is metadata-only; mixed narrow/wide files read, rewrite, and time-travel exactly (r11)") {
