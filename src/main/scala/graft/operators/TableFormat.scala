@@ -85,8 +85,11 @@ object TableFormat {
                                  ext: Seq[(Option[Long], Option[Long], Option[Long])] = Nil,
                                  sext: Seq[(Option[String], Option[String])] = Nil) {
     private def f(o: Option[Long]) = o.fold("")(_.toString)
+    // defined values carry an "s" presence marker so Some("") — a legal
+    // empty-string bound — stays distinguishable from None (caught by
+    // the r11 round-trip property test)
     private def fs(o: Option[String]) =
-      o.fold("")(v => java.net.URLEncoder.encode(v, "UTF-8"))
+      o.fold("")(v => "s" + java.net.URLEncoder.encode(v, "UTF-8"))
     // `rows` (r10) always serializes in the full 8-field form — the
     // count is what metadata-only aggregate pushdown sums; entries
     // parsed from pre-r10 manifests round-trip in their original form.
@@ -174,16 +177,18 @@ object TableFormat {
   }
   private object ManifestEntry {
     private def opt(s: String) = if (s.isEmpty) None else Some(s.toLong)
-    private def parseSext(s: String): Seq[(Option[String], Option[String])] =
+    private def parseSext(s: String): Seq[(Option[String], Option[String])] = {
+      def one(v: String): Option[String] =
+        if (v.startsWith("s")) Some(java.net.URLDecoder.decode(v.drop(1), "UTF-8"))
+        else None
       if (s.isEmpty) Nil
       else s.split(";", -1).toSeq.map { t =>
         t.split(":", -1) match {
-          case Array(l, h) =>
-            (if (l.isEmpty) None else Some(java.net.URLDecoder.decode(l, "UTF-8")),
-             if (h.isEmpty) None else Some(java.net.URLDecoder.decode(h, "UTF-8")))
+          case Array(l, h) => (one(l), one(h))
           case _ => (None, None)
         }
       }
+    }
     private def parseExt(s: String): Seq[(Option[Long], Option[Long], Option[Long])] =
       if (s.isEmpty) Nil
       else s.split(";", -1).toSeq.map { t =>
@@ -370,7 +375,22 @@ object TableFormat {
   private def writeDataFiles(spark: SparkSession, base: String, commitDir: String,
                              df: DataFrame, statsCol: Option[String],
                              statsCol2: Option[String] = None,
-                             moreStatsCols: Seq[String] = Nil): Seq[ManifestEntry] = {
+                             moreStatsCols: Seq[String] = Nil): Seq[ManifestEntry] =
+    writeDataFilesNdv(spark, base, commitDir, df, statsCol, statsCol2,
+      moreStatsCols, collectNdv = false).entries
+
+  /** [[writeDataFiles]] plus IN-FLIGHT NDV sketches (r11): with
+    * `collectNdv` the declared columns' HLL sketches accumulate through
+    * `Dataset.observe` WHILE the write runs — zero extra pass, unlike
+    * the staged-file re-read ([[ndvFromFiles]], still used where only
+    * executor-written files exist). */
+  private case class StagedWrite(entries: Seq[ManifestEntry],
+                                 ndv: Map[String, String])
+  private def writeDataFilesNdv(spark: SparkSession, base: String, commitDir: String,
+                                df: DataFrame, statsCol: Option[String],
+                                statsCol2: Option[String] = None,
+                                moreStatsCols: Seq[String] = Nil,
+                                collectNdv: Boolean = false): StagedWrite = {
     // column mapping (r10): files ALWAYS store physical names — a table
     // whose `#colmap` diverges writes through one logical→physical
     // aliasing select, so files created after a rename are byte-layout
@@ -387,7 +407,36 @@ object TableFormat {
       if (cm.isEmpty) df
       else df.select(df.columns.toSeq.map(c => col(c).as(cm.getOrElse(c, c))): _*)
     def phys(c: String) = cm.getOrElse(c, c)
-    physDf.write.mode("overwrite").parquet(commitDir)
+    val declaredAll = statsCol.toSeq ++ statsCol2.toSeq ++ moreStatsCols
+    def sketchableCol(c: String): Boolean =
+      df.schema.fields.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => true
+        case _ => false
+      }
+    val ndvCols =
+      if (collectNdv &&
+          !spark.conf.getOption("spark.graft.stats.ndv").exists(_.equalsIgnoreCase("false")))
+        declaredAll.filter(c => df.columns.contains(c) && sketchableCol(c))
+      else Nil
+    val observation =
+      if (ndvCols.isEmpty) None
+      else Some(new org.apache.spark.sql.Observation())
+    val toWrite = observation.fold(physDf) { o =>
+      physDf.observe(o,
+        hll_sketch_agg(col(phys(ndvCols.head))).as(ndvCols.head),
+        ndvCols.tail.map(c => hll_sketch_agg(col(phys(c))).as(c)): _*)
+    }
+    toWrite.write.mode("overwrite").parquet(commitDir)
+    val ndvSketches: Map[String, String] = observation.fold(Map.empty[String, String]) { o =>
+      val metrics = o.get
+      ndvCols.flatMap(c => metrics.get(c).collect {
+        case b: Array[Byte] =>
+          c -> java.util.Base64.getEncoder.encodeToString(b)
+      }).toMap
+    }
     val f = fs(spark, base)
     val newFiles = f.listStatus(new Path(commitDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -397,7 +446,7 @@ object TableFormat {
     // triples — every declared stats column gets per-file bounds
     val allCols = statsCol.toSeq ++ statsCol2.toSeq ++ moreStatsCols
     val cols = allCols.map(phys)
-    newFiles.map { p =>
+    val entries = newFiles.map { p =>
       val (st, nRows) = footerStats(conf, p, cols)
       val first = statsCol.map(c => st(phys(c)))
       val second = statsCol2.map(c => st(phys(c)))
@@ -417,6 +466,7 @@ object TableFormat {
         sext = if (sPairs.exists(t => t._1.isDefined || t._2.isDefined)) sPairs
                else Nil)
     }
+    StagedWrite(entries, ndvSketches)
   }
 
   /** Two commits raced from the same parent: the manifest slot was taken
@@ -899,15 +949,14 @@ object TableFormat {
     val clustered =
       if (collectCols.isEmpty) df
       else df.repartitionByRange(nFiles, collectCols.map(col): _*)
-    val entries = writeDataFiles(spark, base,
+    // NDV sketches accumulate IN-FLIGHT through the write (r11,
+    // VERDICT r10 #7 + observe refinement: zero extra pass)
+    val staged0 = writeDataFilesNdv(spark, base,
       newCommitDir(base, latestVersion(spark, base) + 1), clustered,
-      collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2))
-    // NDV sketches of the new files (r11, VERDICT r10 #7) — one
-    // column-pruned re-read of what was just staged
-    val cmNdv =
-      try manifestColmap(spark, base, latestVersion(spark, base))
-      catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
-    val freshNdv = ndvFromFiles(spark, entries.map(_.path), collectCols, cmNdv)
+      collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2),
+      collectNdv = true)
+    val entries = staged0.entries
+    val freshNdv = staged0.ndv
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
@@ -1009,6 +1058,7 @@ object TableFormat {
     }
     def fOf = fs(spark, base)
     var staged: Option[(Map[String, Long], Seq[ManifestEntry])] = None
+    var idNdv: Map[String, String] = Map.empty
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
@@ -1034,11 +1084,12 @@ object TableFormat {
           val clustered =
             if (collectCols.isEmpty) assigned
             else assigned.repartitionByRange(nFiles, collectCols.map(col): _*)
-          val e = writeDataFiles(spark, base, newCommitDir(base, parentV + 1),
+          val e = writeDataFilesNdv(spark, base, newCommitDir(base, parentV + 1),
             clustered, collectCols.headOption, collectCols.drop(1).headOption,
-            collectCols.drop(2))
-          staged = Some((marksOf(hwm0), e))
-          e
+            collectCols.drop(2), collectNdv = true)
+          staged = Some((marksOf(hwm0), e.entries))
+          idNdv = e.ndv
+          e.entries
       }
       val n = entries.flatMap(_.rows).sum
       val newHwm = hwm0 ++ identityCols.map { case (c, start, step) =>
@@ -1053,11 +1104,7 @@ object TableFormat {
           parentEntries ++ entries, txn = None,
           statsCols = manifestStatsCols(spark, base, parentV),
           op = if (replace) "replace" else "append", hwm = Some(newHwm),
-          ndv = ndvOut(spark, base, parentV,
-            ndvFromFiles(spark, entries.map(_.path),
-              manifestStatsCols(spark, base, parentV),
-              manifestColmap(spark, base, parentV)),
-            mergeParent = !replace))
+          ndv = ndvOut(spark, base, parentV, idNdv, mergeParent = !replace))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -1087,14 +1134,11 @@ object TableFormat {
     val clustered =
       if (collectCols.isEmpty) df
       else df.repartitionByRange(nFiles, collectCols.map(col): _*)
-    val entries = writeDataFiles(spark, base, newCommitDir(base, version), clustered,
-      collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2))
-    val cmNdv =
-      if (version <= 1) Map.empty[String, String]
-      else
-        try manifestColmap(spark, base, version - 1)
-        catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
-    val freshNdv = ndvFromFiles(spark, entries.map(_.path), collectCols, cmNdv)
+    val staged0 = writeDataFilesNdv(spark, base, newCommitDir(base, version), clustered,
+      collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2),
+      collectNdv = true)
+    val entries = staged0.entries
+    val freshNdv = staged0.ndv
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
     // keep the previous snapshot's field metadata (r11): an INSERT
     // OVERWRITE's DataFrame flowed through withColumn/planner and lost
@@ -1737,13 +1781,11 @@ object TableFormat {
     // (e.g. INSERT OVERWRITE with an empty SELECT), or every later
     // append would silently stop recording bounds.
     if ((0 to 3).exists(b.isNullAt)) {
-      val entries = writeDataFiles(spark, base, newCommitDir(base, version),
-        df.repartition(nFiles), Some(c1), Some(c2))
-      return writeManifest(spark, base, version, zSchema.json, entries,
+      val staged0 = writeDataFilesNdv(spark, base, newCommitDir(base, version),
+        df.repartition(nFiles), Some(c1), Some(c2), collectNdv = true)
+      return writeManifest(spark, base, version, zSchema.json, staged0.entries,
         txn = None, statsCols = Seq(c1, c2), op = op,
-        ndv = ndvOut(spark, base, version - 1,
-          ndvFromFiles(spark, entries.map(_.path), Seq(c1, c2), Map.empty),
-          mergeParent = false))
+        ndv = ndvOut(spark, base, version - 1, staged0.ndv, mergeParent = false))
     }
     def norm(c: String, lo: Long, hi: Long): Column = {
       // grid cell in DOUBLE: the old integer form (x - lo) * 65535
@@ -1763,14 +1805,12 @@ object TableFormat {
     }
     val clustered = df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z")).drop("__z")
-    val entries = writeDataFiles(spark, base, newCommitDir(base, version),
-      clustered, Some(c1), Some(c2))
+    val staged0 = writeDataFilesNdv(spark, base, newCommitDir(base, version),
+      clustered, Some(c1), Some(c2), collectNdv = true)
     // whole-table rewrite: the fresh sketch is EXACT — replace, not merge
-    writeManifest(spark, base, version, zSchema.json, entries, txn = None,
+    writeManifest(spark, base, version, zSchema.json, staged0.entries, txn = None,
       statsCols = Seq(c1, c2), op = op,
-      ndv = ndvOut(spark, base, version - 1,
-        ndvFromFiles(spark, entries.map(_.path), Seq(c1, c2), Map.empty),
-        mergeParent = false))
+      ndv = ndvOut(spark, base, version - 1, staged0.ndv, mergeParent = false))
   }
 
   /** OPTIMIZE ZORDER on an EXISTING table (r9) — rewrite the current
@@ -1808,14 +1848,12 @@ object TableFormat {
       throw new IllegalStateException(s"table $base v$v has no schema header"))
     val clustered = readSnapshot(spark, base, Some(v))
       .repartitionByRange(nFiles, declared.map(col): _*)
-    val entries = writeDataFiles(spark, base, newCommitDir(base, v + 1),
-      clustered, declared.headOption, declared.drop(1).headOption, declared.drop(2))
-    writeManifest(spark, base, v + 1, schemaJson, entries, txn = None,
+    val staged0 = writeDataFilesNdv(spark, base, newCommitDir(base, v + 1),
+      clustered, declared.headOption, declared.drop(1).headOption, declared.drop(2),
+      collectNdv = true)
+    writeManifest(spark, base, v + 1, schemaJson, staged0.entries, txn = None,
       statsCols = declared, op = "optimize",
-      ndv = ndvOut(spark, base, v,
-        ndvFromFiles(spark, entries.map(_.path), declared,
-          manifestColmap(spark, base, v)),
-        mergeParent = false))
+      ndv = ndvOut(spark, base, v, staged0.ndv, mergeParent = false))
   }
 
   /** Two-dimensional file skipping over a z-ordered table: drop every

@@ -1124,6 +1124,62 @@ class TableFormatSpec extends SparkTestBase {
       s"post-compact pruning kept $keptFiles of ${compacted.size}")
   }
 
+  test("manifest entries: 200 randomized stats/dv/ext/sext shapes round-trip the text format exactly (r11 property)") {
+    val base = freshBase("tf_entry_rt")
+    val rnd = new scala.util.Random(42)
+    def optL(): Option[Long] =
+      if (rnd.nextBoolean()) Some(rnd.nextLong() % 100000) else None
+    val nasty = Seq("en", "zh", "a b", "x:y", "p;q", "%41", "tab\tchar",
+      "unié中", "=eq", "", "zz")
+    def optS(): Option[String] =
+      if (rnd.nextBoolean()) Some(nasty(rnd.nextInt(nasty.length))) else None
+    val entries = (0 until 200).map { i =>
+      val withDv = rnd.nextInt(4) == 0
+      val nExt = rnd.nextInt(3)
+      val sextRaw = (0 until rnd.nextInt(4)).map(_ => (optS(), optS()))
+      new TableFormat.ManifestEntry(
+        s"/data/f$i.parquet",
+        optL(), optL(), optL(), optL(), optL(), optL(),
+        rows = if (rnd.nextBoolean()) Some(rnd.nextInt(100000).toLong) else None,
+        dv = if (withDv) Some(s"/data/dv$i") else None,
+        dvRows = if (withDv) Some(rnd.nextInt(1000).toLong) else None,
+        ext = (0 until nExt).map(_ => (optL(), optL(), optL())),
+        // the writer only emits sext when some bound is defined — an
+        // all-None sext is indistinguishable from absent by design
+        sext = if (sextRaw.exists(t => t._1.isDefined || t._2.isDefined)) sextRaw
+               else Nil)
+    }
+    // publish them through a hand-built manifest file (the exact wire
+    // format writeManifest emits) and read back through the real parser
+    val body = (Seq("#schema\t" +
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT").json) ++
+      entries.map(_.line)).mkString("\n")
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$base/_manifests/v1.manifest"))
+    out.write(body.getBytes("UTF-8")); out.close()
+    val parsed = TableFormat.manifestEntries(spark, base, 1)
+    // ext normalization: the writer serializes ext whenever nonEmpty,
+    // but WITHOUT a dv/rows reason an all-empty trailing form may
+    // shorten — compare the semantic accessors, which is what every
+    // consumer reads
+    assert(parsed.size == entries.size)
+    parsed.zip(entries).zipWithIndex.foreach { case ((p, e), i) =>
+      assert(p.path == e.path, s"entry $i path")
+      (0 until 6).foreach { slot =>
+        assert(p.statsAt(slot) == e.statsAt(slot) ||
+          // stat-less short forms legitimately drop empty tails
+          (e.statsAt(slot) == ((None, None, None)) &&
+            p.statsAt(slot) == ((None, None, None))),
+          s"entry $i numeric slot $slot: ${p.statsAt(slot)} vs ${e.statsAt(slot)}")
+        assert(p.strStatsAt(slot) == e.strStatsAt(slot),
+          s"entry $i string slot $slot: ${p.strStatsAt(slot)} vs ${e.strStatsAt(slot)}")
+      }
+      assert(p.rows == e.rows || (e.rows.isEmpty && p.rows.isEmpty), s"entry $i rows")
+      assert(p.dv == e.dv && p.dvRows == e.dvRows, s"entry $i dv")
+    }
+  }
+
   test("dv runs: a dense delete encodes as runs, bytes far under 16 per row (r11, VERDICT r10 #4)") {
     val base = freshBase("tf_dv_rle")
     TableFormat.commit(spark, base, (0L until 200000L).map(i => (i, i)).toDF("k", "v"),
