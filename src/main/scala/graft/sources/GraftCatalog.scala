@@ -2124,20 +2124,27 @@ object GraftCatalogOps {
       .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          val versions = b.select(col("_commit_version")).distinct()
-            .collect().map(_.getInt(0)).sorted
+          // ONE metadata aggregate tells the whole batch's shape —
+          // (version, change_type) counts — so the per-version loop
+          // runs exactly the apply jobs that have work, never an
+          // isEmpty probe per branch (r11 refinement)
+          val shape = b.groupBy(col("_commit_version"), col("_change_type"))
+            .count().collect()
+            .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+          val versions = shape.keys.map(_._1).toSeq.distinct.sorted
           versions.foreach { v =>
             val step = b.filter(col("_commit_version") === v)
             // deletes as a DISTRIBUTED keyed anti-join (r11, VERDICT
             // r10 #1) — no row keys on the driver, no IN-literal list
-            val dels = step.filter(col("_change_type") === "delete")
-              .select(col("doc_id"))
-            if (!dels.isEmpty) // first batch: mirror may not exist yet
-              TableFormat.deleteByKeys(spark, mirror, dels, "doc_id")
-            val ins = step.filter(col("_change_type") === "insert")
-              .drop("_change_type", "_commit_version")
-            if (!ins.isEmpty)
-              TableFormat.appendCommit(spark, mirror, ins, statsCol = Some("doc_id"))
+            if (shape.getOrElse((v, "delete"), 0L) > 0L)
+              TableFormat.deleteByKeys(spark, mirror,
+                step.filter(col("_change_type") === "delete").select(col("doc_id")),
+                "doc_id")
+            if (shape.getOrElse((v, "insert"), 0L) > 0L)
+              TableFormat.appendCommit(spark, mirror,
+                step.filter(col("_change_type") === "insert")
+                  .drop("_change_type", "_commit_version"),
+                statsCol = Some("doc_id"))
           }
         } finally { b.unpersist(); () }
       }.start()
