@@ -1347,6 +1347,37 @@ class GraftTableSpec extends SparkTestBase {
       .head.getLong(0) == 0L)
   }
 
+  test("identity x branches: the watermark travels with the branch and merges back on publish — ids never re-issued (r11)") {
+    val _ = wh
+    val base = s"$wh/db/idbr_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.idbr_t
+        |  (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)
+        |PARTITIONED BY (id)""".stripMargin)
+    (0L until 100L).map(i => Tuple1(i)).toDF("v").createOrReplaceTempView("idbr_src")
+    spark.sql("INSERT INTO graft.db.idbr_t (v) SELECT v FROM idbr_src")
+    // fork; the clone carries the watermark, so branch inserts CONTINUE
+    // the sequence instead of re-issuing [1, 100]
+    spark.sql("CALL graft.system.branch('db.idbr_t', 'ingest')")
+    spark.sql("INSERT INTO graft.db.idbr_t.branches.ingest (v) SELECT v + 100 FROM idbr_src")
+    val br = spark.sql(
+      "SELECT min(id), max(id), count(DISTINCT id) FROM graft.db.idbr_t.branches.ingest").head
+    assert((br.getLong(0), br.getLong(1), br.getLong(2)) == ((1L, 200L, 200L)),
+      s"branch ids: $br")
+    // publish: parent adopts the branch contents AND its watermark
+    spark.sql("CALL graft.system.publish('db.idbr_t', 'ingest')")
+    val hwm = TableFormat.manifestHwm(spark, base, TableFormat.currentVersion(spark, base))
+    assert(hwm.get("id").contains(201L), hwm.toString)
+    // post-publish inserts continue gap-free from the merged mark
+    spark.sql("INSERT INTO graft.db.idbr_t (v) VALUES (999)")
+    val fin = spark.sql(
+      "SELECT min(id), max(id), count(DISTINCT id), count(1) FROM graft.db.idbr_t").head
+    assert((fin.getLong(0), fin.getLong(1), fin.getLong(2), fin.getLong(3)) ==
+      ((1L, 201L, 201L, 201L)), s"published ids: $fin")
+  }
+
   test("type widening: ALTER COLUMN TYPE BIGINT is metadata-only; mixed narrow/wide files read, rewrite, and time-travel exactly (r11)") {
     val _ = wh
     val base = s"$wh/db/widen_t"
