@@ -1347,6 +1347,33 @@ class GraftTableSpec extends SparkTestBase {
       .head.getLong(0) == 0L)
   }
 
+  test("string bounds stay SOUND under long shared-prefix values — never a wrongful prune (r11)") {
+    val _ = wh
+    val base = s"$wh/db/strlong_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.strlong_t (u STRING, k BIGINT) PARTITIONED BY (u)")
+    // 4000-char shared prefix: parquet either truncates the stats (its
+    // contract: min down, max incremented — still prune-safe) or omits
+    // them (no bounds → no prune). Either way every query stays exact.
+    val prefix = "p" * 4000
+    (0L until 2000L).map(i => (prefix + f"${i % 40}%04d", i))
+      .toDF("u", "k").createOrReplaceTempView("strlong_src")
+    spark.sql("INSERT INTO graft.db.strlong_t SELECT * FROM strlong_src")
+    val want = prefix + "0007"
+    assert(spark.sql(s"SELECT count(1) FROM graft.db.strlong_t WHERE u = '$want'")
+      .head.getLong(0) == 50L, "equality on a long-prefix value lost rows")
+    assert(spark.sql(
+      s"SELECT count(1) FROM graft.db.strlong_t WHERE u >= '${prefix}0030'")
+      .head.getLong(0) == 500L, "range on a long-prefix value lost rows")
+    // every value starts with 'p': a predicate excluding the whole
+    // range answers zero, one covering it answers everything
+    assert(spark.sql("SELECT count(1) FROM graft.db.strlong_t WHERE u < 'a'")
+      .head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(1) FROM graft.db.strlong_t WHERE u < 'q'")
+      .head.getLong(0) == 2000L)
+  }
+
   test("identity x branches: the watermark travels with the branch and merges back on publish — ids never re-issued (r11)") {
     val _ = wh
     val base = s"$wh/db/idbr_t"
