@@ -1831,6 +1831,60 @@ object TableFormat {
       version = v + 1, nFiles = nFiles, op = "optimize")
   }
 
+  /** k-DIMENSIONAL Z-ORDER commit (r11) — the 2-D interleave generalized
+    * to any 2..6 integral columns: each dimension grids into 60/k bits,
+    * bit j of dimension i lands at curve position j·k + i, and the
+    * snapshot rewrites range-clustered along the curve. Unlike
+    * hierarchical range clustering (which serves mostly the leading
+    * key), the curve bounds EVERY dimension's per-file range, so a
+    * predicate on any single declared column prunes. Returns the new
+    * version; falls back to hierarchical clustering when any dimension
+    * has no bounds (empty/all-NULL). */
+  def optimizeZorderN(spark: SparkSession, base: String, nFiles: Int = 16): Int = {
+    val v = currentVersion(spark, base)
+    val cols = manifestStatsCols(spark, base, v)
+    require(cols.size >= 2 && cols.size <= 6,
+      s"optimizeZorderN: need 2..6 declared clustering columns (got ${cols.mkString(", ")})")
+    val schema = manifestSchema(spark, base, v).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    cols.foreach { c =>
+      require(schema.fields.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }, s"optimizeZorderN: column $c is not integral — use optimize_cluster")
+    }
+    val df = readSnapshot(spark, base, Some(v))
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val b = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if ((0 until cols.size * 2).exists(b.isNullAt))
+      return optimizeCluster(spark, base, nFiles) // no bounds: hierarchical
+    val k = cols.size
+    val bits = 60 / k
+    val top = (1L << bits) - 1
+    val gs = cols.zipWithIndex.map { case (c, i) =>
+      val lo = b.getLong(2 * i)
+      val hi = b.getLong(2 * i + 1)
+      val span = math.max(1.0, hi.toDouble - lo.toDouble)
+      least(lit(top.toDouble),
+        (col(c).cast("double") - lit(lo.toDouble)) * lit(top.toDouble) / lit(span))
+        .cast("long")
+    }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      gs.zipWithIndex.foldLeft(acc) { case (a, (g, i)) =>
+        a.bitwiseOR(shiftleft(shiftright(g, j).bitwiseAND(lit(1L)), j * k + i))
+      }
+    }
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z")).drop("__z")
+    val staged0 = writeDataFilesNdv(spark, base, newCommitDir(base, v + 1),
+      clustered, cols.headOption, cols.drop(1).headOption, cols.drop(2),
+      collectNdv = true)
+    writeManifest(spark, base, v + 1, schema.json, staged0.entries, txn = None,
+      statsCols = cols, op = "optimize",
+      ndv = ndvOut(spark, base, v, staged0.ndv, mergeParent = false))
+  }
+
   /** OPTIMIZE over the table's DECLARED clustering (r11) — rewrite the
     * current snapshot hierarchically range-clustered on ALL declared
     * stats columns (any number, complementing the 2-D z-order): rows

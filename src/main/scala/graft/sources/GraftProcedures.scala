@@ -411,9 +411,27 @@ object GraftProcedures {
     }
   }
 
+  /** k-D Z-ORDER (r11): re-cluster along the interleaved curve over ALL
+    * declared integral clustering columns (2..6) — a predicate on any
+    * single column prunes, where hierarchical clustering mostly serves
+    * the leading key. Returns (version, files_total). */
+  private object OptimizeZorderNProc extends Proc("optimize_zorder_n",
+    Seq(in("table", StringType), in("n_files", IntegerType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("files_total", IntegerType)))) {
+    override def description(): String =
+      "rewrite the snapshot z-ordered across every declared integral clustering column"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val v = TableFormat.optimizeZorderN(spark, base, nFiles = input.getInt(1))
+      new GenericInternalRow(Array[Any](v,
+        TableFormat.manifestEntries(spark, base, v).size))
+    }
+  }
+
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
-      AnalyzeProc, BranchProc, PublishProc, OptimizeClusterProc)
+      AnalyzeProc, BranchProc, PublishProc, OptimizeClusterProc,
+      OptimizeZorderNProc)
 
   def names: Seq[String] = all.map(_.name())
 

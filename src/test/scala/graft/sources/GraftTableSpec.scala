@@ -1535,6 +1535,36 @@ class GraftTableSpec extends SparkTestBase {
       "optimize must be CDF-silent")
   }
 
+  test("optimize_zorder_n: 3-D curve bounds EVERY dimension — a predicate on any single key prunes (r11)") {
+    val _ = wh
+    val base = s"$wh/db/z3_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.z3_t (a BIGINT, b BIGINT, c BIGINT) PARTITIONED BY (a, b, c)")
+    // three INDEPENDENT uniform dimensions — hierarchical clustering
+    // would leave b and c unboundable per file
+    val rnd = new scala.util.Random(7)
+    (0 until 16000).map(_ => (rnd.nextInt(4096).toLong,
+        rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+      .toDF("a", "b", "c").createOrReplaceTempView("z3_src")
+    spark.sql("INSERT INTO graft.db.z3_t SELECT * FROM z3_src")
+    val r = spark.sql("CALL graft.system.optimize_zorder_n('db.z3_t', 64)").head
+    val v = r.getInt(0)
+    val entries = TableFormat.manifestEntries(spark, base, v)
+    assert(entries.size >= 16, s"need many files for the curve test, got ${entries.size}")
+    // a narrow box on EACH dimension ALONE prunes files
+    Seq(0, 1, 2).foreach { dim =>
+      val kept = entries.count(_.mayMatchAt(dim, 100, 400))
+      assert(kept < entries.size,
+        s"dimension $dim: z-curve kept $kept of ${entries.size} — no pruning")
+    }
+    // answers exact through the rewrite
+    val expect = spark.table("z3_src").where("b BETWEEN 100 AND 400").count()
+    assert(spark.sql("SELECT count(1) FROM graft.db.z3_t WHERE b BETWEEN 100 AND 400")
+      .head.getLong(0) == expect)
+    assert(TableFormat.manifestOp(spark, base, v).contains("optimize"))
+  }
+
   test("string clustering: per-file string bounds prune lang predicates; slots stay positional beside numeric keys (r11)") {
     val _ = wh
     val base = s"$wh/db/strc_t"
