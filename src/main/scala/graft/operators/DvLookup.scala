@@ -29,22 +29,66 @@ object DvLookup {
     * outside the legal path alphabet. */
   val DirSep = "\u0001"
 
+  /** Partition-directory column of SHARDED dv dirs (r12, VERDICT r11
+    * #1): dv dirs written since r12 are parquet-partitioned by
+    * `__fk=<shardKey(file_path)>`, one sidecar subtree per DATA FILE —
+    * so a task loading its own file's deletions opens only that file's
+    * sidecar bytes instead of rescanning the whole dir. Pre-r12 flat
+    * dirs are detected by the absence of `__fk=` subdirs and keep
+    * reading with the full-dir scan, unchanged. */
+  val ShardCol = "__fk"
+  private val ShardPrefix = ShardCol + "="
+
+  /** Shard key of a data-file path: md5 prefix (16 hex chars) of the
+    * SCHEME-INSENSITIVE path — computable identically from a manifest
+    * `Path.toString` spelling (`file:/x`) and a `_metadata.file_path`
+    * URI (`file:///x`), which is what makes the write-side sharding and
+    * the read-side lookup agree. */
+  def shardKey(path: UTF8String): UTF8String =
+    UTF8String.fromString(shardKeyOf(path.toString))
+  def shardKeyOf(path: String): String = {
+    val norm = new HadoopPath(path).toUri.getPath
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** The parquet files [[positions]] will scan for `file` in dv dir
+    * `dir`: a SHARDED dir resolves to the file's own sidecar subtree
+    * only (possibly empty — the file has no deletions there); a flat
+    * pre-r12 dir resolves to every parquet file in the dir. Exposed for
+    * TableFormatSpec, which pins per-task dv bytes ∝ own-file
+    * deletions on sharded dirs. */
+  private[graft] def sidecarFiles(conf: Configuration, dir: String,
+                                  file: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val dfs = new HadoopPath(dir).getFileSystem(conf)
+    val top = dfs.listStatus(new HadoopPath(dir)).toSeq
+    val sharded = top.exists(s => s.isDirectory && s.getPath.getName.startsWith(ShardPrefix))
+    if (sharded) {
+      val shard = new HadoopPath(dir, ShardPrefix + shardKeyOf(file))
+      if (dfs.exists(shard))
+        dfs.listStatus(shard).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      else Seq.empty
+    } else
+      top.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   /** The deleted row ordinals of `file` recorded in dv dir `dir` —
-    * scans the dir's parquet keeping only `file`'s rows
-    * (scheme-insensitive: dv rows spell `_metadata.file_path` URIs,
-    * callers may pass manifest `Path.toString` spellings). Detects the
-    * format per parquet row type (r11): positions rows carry
-    * `row_index`; run-length rows carry `run_start`/`run_len` and
-    * expand into the set here. */
+    * scans ONLY the file's own sidecar shard on r12+ dirs
+    * ([[sidecarFiles]]), the whole dir on pre-r12 flat dirs; either way
+    * keeps only `file`'s rows (scheme-insensitive: dv rows spell
+    * `_metadata.file_path` URIs, callers may pass manifest
+    * `Path.toString` spellings). Detects the value format per parquet
+    * row type (r11): positions rows carry `row_index`; run-length rows
+    * carry `run_start`/`run_len` and expand into the set here. */
   def positions(conf: Configuration, dir: String,
                 file: String): JHashSet[java.lang.Long] = {
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
     val want = new HadoopPath(file).toUri.getPath
     val set = new JHashSet[java.lang.Long]()
-    val dfs = new HadoopPath(dir).getFileSystem(conf)
-    dfs.listStatus(new HadoopPath(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    sidecarFiles(conf, dir, file)
       .foreach { st =>
         val r = ParquetReader.builder(new GroupReadSupport(), st.getPath)
           .withConf(conf).build()

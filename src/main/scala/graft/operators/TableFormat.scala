@@ -1383,13 +1383,22 @@ object TableFormat {
     val f = fs(spark, base)
     val retainedEntriesAll = retain.flatMap(v => manifestEntries(spark, base, v))
     // a retained manifest references dv DIRS; the walk below sees their
-    // PART files — expand each referenced dv dir to its files (r10)
+    // PART files — expand each referenced dv dir to its files (r10).
+    // RECURSIVE since r12: sharded dv dirs keep their sidecars under
+    // `__fk=` subdirs — a flat listing would miss them and vacuum would
+    // reclaim live deletion state
     val dvFiles = retainedEntriesAll.flatMap(_.dv).distinct.flatMap { d =>
       val dp = new Path(d)
-      if (f.exists(dp))
-        f.listStatus(dp).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toUri.getPath)
-      else Seq.empty
+      if (f.exists(dp)) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val dit = f.listFiles(dp, true)
+        while (dit.hasNext) {
+          val st = dit.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += st.getPath.toUri.getPath
+        }
+        out.toSeq
+      } else Seq.empty
     }
     val referenced = (retainedEntriesAll.map(_.path) ++ dvFiles)
       .map(p => new Path(p).toUri.getPath).toSet
@@ -1661,9 +1670,22 @@ object TableFormat {
       .agg(min(col(DvPosCol)).as(DvRunStartCol),
            count(lit(1)).as(DvRunLenCol))
       .drop("__grp")
-    // one file: a dv is runs-only — tiny; a delete big enough to strain
-    // one task belongs on CoW
-    runs.coalesce(1).write.parquet(dvDir)
+    // PER-FILE SIDECARS (r12, VERDICT r11 #1): partition the dv write by
+    // a shard key of the data-file path, so a reading task opens ONLY its
+    // own file's sidecar — per-task dv IO ∝ own-file deletions, not the
+    // dv dir's total bytes (the r11 full-dir rescan degraded a wide
+    // scattered delete quadratically: F files × S dir bytes). The
+    // repartition routes each file's runs to one task, so every shard
+    // holds exactly one parquet file; the shard key is computed by the
+    // same [[DvLookup.shardKey]] kernel the read side resolves with.
+    val shardK = org.apache.spark.sql.graftbridge.SqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        DvLookup.getClass, org.apache.spark.sql.types.StringType, "shardKey",
+        Seq(org.apache.spark.sql.graftbridge.SqlBridge.expression(col(DvFileCol))),
+        returnNullable = false))
+    runs.withColumn(DvLookup.ShardCol, shardK)
+      .repartition(col(DvLookup.ShardCol))
+      .write.partitionBy(DvLookup.ShardCol).parquet(dvDir)
     // per-file deleted counts from the WRITTEN dv (tiny metadata read):
     // drives live-row accounting and the full-file drop below
     val counts: Map[String, Long] =

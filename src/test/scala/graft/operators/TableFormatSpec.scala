@@ -1198,10 +1198,17 @@ class TableFormatSpec extends SparkTestBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvDirs = TableFormat.manifestEntries(spark, base, v2).flatMap(_.dv).distinct
     assert(dvDirs.nonEmpty)
-    val dvBytes = dvDirs.map { d =>
-      f.listStatus(new org.apache.hadoop.fs.Path(d)).filter(_.isFile)
-        .map(_.getLen).sum
-    }.sum
+    // recursive walk (r12): sharded dv dirs keep sidecars under __fk= subdirs
+    def dvDirBytes(d: String): Long = {
+      var n = 0L
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(d), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) n += st.getLen
+      }
+      n
+    }
+    val dvBytes = dvDirs.map(dvDirBytes).sum
     assert(dvBytes < 16L * 90000 / 10,
       s"dense dv is $dvBytes bytes — run-length encoding is not collapsing " +
         s"(positions form would be ${16L * 90000})")
@@ -1210,5 +1217,63 @@ class TableFormatSpec extends SparkTestBase {
     TableFormat.deleteRowsDV(spark, base, col("k") === 100000L)
     assert(TableFormat.readSnapshot(spark, base).count() == 109999L)
     assert(TableFormat.readSnapshot(spark, base, Some(v2)).count() == 110000L)
+  }
+
+  test("dv sidecars: a task reads only its OWN file's dv bytes, not the dir (r12, VERDICT r11 #1)") {
+    val base = freshBase("tf_dv_shard")
+    // 4 range-clustered files, a scattered delete touching all of them
+    TableFormat.commit(spark, base, (0L until 40000L).map(i => (i, i * 2)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(4))
+    val (v2, withDv, total) = TableFormat.deleteRowsDV(spark, base, col("k") % 100L === 7L)
+    assert(withDv == 4 && total == 4, s"expected all 4 files dv-touched, got $withDv/$total")
+    // reads stay exact through the sharded layout
+    assert(TableFormat.readSnapshot(spark, base).count() == 40000L - 400L)
+    assert(TableFormat.readSnapshot(spark, base)
+      .filter(col("k") % 100L === 7L).count() == 0L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = TableFormat.manifestEntries(spark, base, v2).filter(_.dv.isDefined)
+    assert(entries.size == 4)
+    val dir = entries.head.dv.get
+    val f = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    // layout IS sharded: one __fk= sidecar subtree per data file
+    val shards = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__fk="))
+    assert(shards.length == 4, s"expected 4 sidecar shards, got ${shards.length}")
+    // THE r12 claim: the files a task opens for ONE data file are exactly
+    // its own shard — own-sidecar bytes strictly under the dir total, and
+    // disjoint across data files
+    def bytes(sts: Seq[org.apache.hadoop.fs.FileStatus]) = sts.map(_.getLen).sum
+    val dirTotal = shards.flatMap(s => f.listStatus(s.getPath).filter(_.isFile)).map(_.getLen).sum
+    val perFile = entries.map(e => DvLookup.sidecarFiles(conf, dir, e.path))
+    perFile.foreach { sts =>
+      assert(sts.nonEmpty, "a dv-touched file must resolve to its own sidecar")
+      assert(bytes(sts) < dirTotal,
+        s"per-task dv bytes ${bytes(sts)} not under dir total $dirTotal — still scanning the dir")
+      val shardDirs = sts.map(_.getPath.getParent.getName).distinct
+      assert(shardDirs.size == 1 && shardDirs.head.startsWith("__fk="),
+        s"sidecar files span shards: $shardDirs")
+    }
+    assert(perFile.flatMap(_.map(_.getPath.toString)).distinct.size ==
+      perFile.map(_.size).sum, "sidecar file sets overlap across data files")
+    // positions parity: the sharded lookup returns exactly this file's ordinals
+    val e0 = entries.head
+    val got = DvLookup.positions(conf, dir, e0.path)
+    assert(got.size.toLong == e0.dvRows.get, s"ordinals ${got.size} != dvRows ${e0.dvRows.get}")
+    // a PRE-r12 flat dir (no __fk= subdirs) still reads: write one by hand
+    val flatDir = s"$base/data/dv_legacy"
+    import spark.implicits._
+    Seq((new org.apache.hadoop.fs.Path(e0.path).toUri.toString, 3L, 2L))
+      .toDF("file_path", "run_start", "run_len")
+      .coalesce(1).write.parquet(flatDir)
+    val legacy = DvLookup.positions(conf, flatDir, e0.path)
+    assert(legacy.contains(3L) && legacy.contains(4L) && legacy.size == 2,
+      s"legacy flat dv dir misread: $legacy")
+    // superseding delete through the sharded union path; vacuum keeps the
+    // recursive sidecar files of the retained version
+    val (v3, _, _) = TableFormat.deleteRowsDV(spark, base, col("k") === 11L)
+    assert(TableFormat.readSnapshot(spark, base).count() == 40000L - 401L)
+    TableFormat.vacuum(spark, base, retain = Seq(v3))
+    assert(TableFormat.readSnapshot(spark, base).count() == 40000L - 401L,
+      "vacuum reclaimed sharded sidecars still referenced by the retained manifest")
   }
 }
