@@ -386,11 +386,38 @@ object TableFormat {
     * executor-written files exist). */
   private case class StagedWrite(entries: Seq[ManifestEntry],
                                  ndv: Map[String, String])
+  /** BUCKETED LAYOUT (r12, VERDICT r11 #2 — storage-partitioned joins).
+    * A table declaring TBLPROPERTIES `graft.bucket = "<n>:<col>"` lays
+    * every commit's files out one-file-per-bucket under `__bkt=<id>/`
+    * subdirs, where id = pmod(murmur3_hash(col), n) — Spark's own
+    * `hash()` so the SQL layer's reported KeyGroupedPartitioning and
+    * its `bucket` V2 function agree with the on-disk routing. A file's
+    * bucket is recoverable from its PATH, so manifests need no new
+    * field and pre-bucket files are recognizably unbucketed (scan falls
+    * back to the ordinary path). */
+  private[graft] val BucketProp = "graft.bucket"
+  private[graft] val BucketDirCol = "__bkt"
+  /** Parse `"<n>:<col>"` → (n, col); malformed or absent → None. */
+  private[graft] def bucketSpecOf(props: Map[String, String]): Option[(Int, String)] =
+    props.get(BucketProp).flatMap { v =>
+      val i = v.indexOf(':')
+      if (i <= 0 || i == v.length - 1) None
+      else v.take(i).toIntOption.filter(_ > 0).map(n => (n, v.drop(i + 1)))
+    }
+  /** The bucket id a bucketed write encoded in `path`, if any. */
+  private[graft] def bucketOfPath(path: String): Option[Int] = {
+    val marker = s"/$BucketDirCol="
+    val i = path.lastIndexOf(marker)
+    if (i < 0) None
+    else path.substring(i + marker.length).takeWhile(_ != '/').toIntOption
+  }
+
   private def writeDataFilesNdv(spark: SparkSession, base: String, commitDir: String,
                                 df: DataFrame, statsCol: Option[String],
                                 statsCol2: Option[String] = None,
                                 moreStatsCols: Seq[String] = Nil,
-                                collectNdv: Boolean = false): StagedWrite = {
+                                collectNdv: Boolean = false,
+                                bucketBy: Option[(Int, String)] = None): StagedWrite = {
     // column mapping (r10): files ALWAYS store physical names — a table
     // whose `#colmap` diverges writes through one logical→physical
     // aliasing select, so files created after a rename are byte-layout
@@ -429,7 +456,21 @@ object TableFormat {
         hll_sketch_agg(col(phys(ndvCols.head))).as(ndvCols.head),
         ndvCols.tail.map(c => hll_sketch_agg(col(phys(c))).as(c)): _*)
     }
-    toWrite.write.mode("overwrite").parquet(commitDir)
+    bucketBy match {
+      case Some((n, c)) =>
+        // one file per bucket per commit: route rows by the bucket id
+        // (hash-repartition on the id itself — every id's rows land in
+        // exactly one task), then partitionBy splits the task output
+        // into per-bucket dirs; rows sort within partitions on the
+        // declared stats columns so footer bounds stay usable
+        val sortCols = (BucketDirCol +: declaredAll.map(phys)).map(col)
+        toWrite.withColumn(BucketDirCol, pmod(hash(col(phys(c))), lit(n)))
+          .repartition(n, col(BucketDirCol))
+          .sortWithinPartitions(sortCols: _*)
+          .write.mode("overwrite").partitionBy(BucketDirCol).parquet(commitDir)
+      case None =>
+        toWrite.write.mode("overwrite").parquet(commitDir)
+    }
     val ndvSketches: Map[String, String] = observation.fold(Map.empty[String, String]) { o =>
       val metrics = o.get
       ndvCols.flatMap(c => metrics.get(c).collect {
@@ -438,9 +479,22 @@ object TableFormat {
       }).toMap
     }
     val f = fs(spark, base)
-    val newFiles = f.listStatus(new Path(commitDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).sorted
+    val newFiles =
+      if (bucketBy.isEmpty)
+        f.listStatus(new Path(commitDir)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted
+      else {
+        // bucketed commits nest files under __bkt= subdirs
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = f.listFiles(new Path(commitDir), true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += st.getPath.toString
+        }
+        out.toSeq.sorted
+      }
     val conf = spark.sparkContext.hadoopConfiguration
     // columns 3+ (r11, VERDICT r10 #3) land in the entry's `ext`
     // triples — every declared stats column gets per-file bounds
@@ -934,7 +988,9 @@ object TableFormat {
     * rule). Data staging is outside the loop: a retry re-publishes
     * METADATA only, never rewrites data. */
   def appendCommit(spark: SparkSession, base: String, df: DataFrame,
-                   statsCol: Option[String] = None, maxRetries: Int = 10): Int = {
+                   statsCol: Option[String] = None, maxRetries: Int = 10,
+                   bucketBy: Option[(Int, String)] = None,
+                   replace: Boolean = false): Int = {
     val nFiles = math.max(2, spark.sparkContext.defaultParallelism / 8)
     // when the caller's statsCol IS the table's declared first cluster
     // column, collect bounds for EVERY declared column (r11, VERDICT
@@ -946,22 +1002,28 @@ object TableFormat {
     val collectCols: Seq[String] =
       if (statsCol.isDefined && declared0.headOption == statsCol) declared0
       else statsCol.toSeq
+    // a bucketed table's layout is owned by the write itself (r12,
+    // one-file-per-bucket routing inside writeDataFilesNdv) — the range
+    // exchange would be immediately overridden, so skip it
     val clustered =
-      if (collectCols.isEmpty) df
+      if (collectCols.isEmpty || bucketBy.isDefined) df
       else df.repartitionByRange(nFiles, collectCols.map(col): _*)
     // NDV sketches accumulate IN-FLIGHT through the write (r11,
     // VERDICT r10 #7 + observe refinement: zero extra pass)
     val staged0 = writeDataFilesNdv(spark, base,
       newCommitDir(base, latestVersion(spark, base) + 1), clustered,
       collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2),
-      collectNdv = true)
+      collectNdv = true, bucketBy = bucketBy)
     val entries = staged0.entries
     val freshNdv = staged0.ndv
     var attempt = 0
     while (true) {
       val parentV = latestVersion(spark, base)
+      // `replace` (r12): publish as an INSERT OVERWRITE — parentless
+      // entry list at the next version slot, prior snapshots readable
       val parentEntries =
-        if (parentV == 0) Seq.empty else manifestEntries(spark, base, parentV)
+        if (parentV == 0 || replace) Seq.empty
+        else manifestEntries(spark, base, parentV)
       val statsCols =
         if (parentV == 0) collectCols else manifestStatsCols(spark, base, parentV)
       // entry stats must MEAN what the inherited #stats header says they
@@ -1010,7 +1072,8 @@ object TableFormat {
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
           parentEntries ++ publishable, txn = None, statsCols = statsCols,
-          ndv = ndvOut(spark, base, parentV, freshNdv, mergeParent = true))
+          op = if (replace) "replace" else "append",
+          ndv = ndvOut(spark, base, parentV, freshNdv, mergeParent = !replace))
       catch {
         case e: CommitConflictException =>
           attempt += 1

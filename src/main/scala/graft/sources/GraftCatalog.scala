@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -45,7 +45,7 @@ import graft.operators.TableFormat
   * `pcap-to-parquet` users get from querying its parquet output through
   * engines like DuckDB (README.md:21-24), lifted to a versioned table. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -90,6 +90,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .filter(s => s.isDirectory && isTable(s.getPath.toString))
       .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
   }
+
+  /** [[FunctionCatalog]] (r12, storage-partitioned joins): Spark's
+    * V2ScanPartitioning rule resolves a scan's reported
+    * `bucket(n, col)` KeyGroupedPartitioning by loading the `bucket`
+    * function from the TABLE's catalog — without it the reported
+    * partitioning silently drops and every co-bucketed join keeps its
+    * Exchanges. The function IS the write path's routing
+    * (pmod(murmur3_hash(col), n)), so reported partition values and
+    * on-disk layout can never disagree. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
   /** `VERSION AS OF n` lands here with the literal version string. */
@@ -771,9 +788,22 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
                 .filter(_.metadata.contains("GRAFT_IDENTITY_START"))
                 .map(f => (f.name, f.metadata.getLong("GRAFT_IDENTITY_START"),
                   f.metadata.getLong("GRAFT_IDENTITY_STEP")))
+              // BUCKETED tables (r12, storage-partitioned joins): the
+              // declared `graft.bucket = "n:col"` property routes every
+              // INSERT through the one-file-per-bucket layout, so the
+              // scan can report KeyGroupedPartitioning and co-bucketed
+              // joins plan with no Exchange
+              val bucketSpec =
+                try TableFormat.bucketSpecOf(TableFormat.manifestProps(s, base,
+                  TableFormat.currentVersion(s, base)))
+                catch { case _: java.io.FileNotFoundException => None }
               if (identityCols.nonEmpty)
                 TableFormat.appendCommitIdentity(s, base, data, identityCols,
                   statsCol = declared.headOption,
+                  replace = overwrite || legacyOverwrite)
+              else if (bucketSpec.isDefined)
+                TableFormat.appendCommit(s, base, data,
+                  statsCol = declared.headOption, bucketBy = bucketSpec,
                   replace = overwrite || legacyOverwrite)
               else if (overwrite || legacyOverwrite) {
                 val v = TableFormat.latestVersion(s, base) + 1
@@ -1026,7 +1056,36 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = if (requiredSchema.isEmpty) tableSchema else requiredSchema
-  override def build(): Scan = this
+  /** STORAGE-PARTITIONED JOIN scan (r12, VERDICT r11 #2): when the
+    * table declares a `graft.bucket` layout, the session opted in via
+    * `spark.sql.sources.v2.bucketing.enabled`, and every kept file
+    * carries its bucket in its path, build() returns a NATIVE DSv2
+    * batch scan reporting `KeyGroupedPartitioning(bucket(n, col))` —
+    * two graft tables bucketed the same way then sort-merge join with
+    * NO Exchange on either side (the 100 TB join feature the layout
+    * metadata pays for). Everything else — aggregate pushdown answered
+    * from the manifest, `_file` metadata reads, unbucketed or
+    * partially-bucketed snapshots, sessions without the flag — keeps
+    * the V1-delegated scan (vectorized parquet, row-group pushdown). */
+  override def build(): Scan = {
+    val spjOn = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      .exists(_.equalsIgnoreCase("true"))
+    if (spjOn && aggResult.isEmpty && !required.fieldNames.contains("_file")) {
+      val spec =
+        try TableFormat.bucketSpecOf(TableFormat.manifestProps(spark, base, version))
+        catch { case _: java.io.FileNotFoundException => None }
+      spec match {
+        case Some((n, c)) =>
+          val kept = keptEntries()
+          if (kept.nonEmpty &&
+              kept.forall(e => TableFormat.bucketOfPath(e.path).isDefined))
+            return new GraftBucketedScan(base, version, required, n, c, kept,
+              spark, startVersion, maxVersionsPerBatch)
+        case None => ()
+      }
+    }
+    this
+  }
   override def readSchema(): StructType = aggResult.map(_._1).getOrElse(required)
   override def description(): String =
     s"GraftTableScan $base v$version, PushedFilters: [${pushed.mkString(", ")}]" +
@@ -1434,6 +1493,144 @@ class GraftV1Relation(ctx: SQLContext, base: String, version: Int,
       if (required.isEmpty) filtered
       else filtered.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     projected.rdd
+  }
+}
+
+/** STORAGE-PARTITIONED JOIN scan over a bucketed graft table (r12,
+  * VERDICT r11 #2) — the DSv2-native batch read that lets Spark plan
+  * co-bucketed joins with no Exchange. One input partition per bucket
+  * id present in the (file-pruned) snapshot; each implements
+  * [[HasPartitionKey]] so `BatchScanExec` groups and aligns them
+  * against the other side's partition values
+  * (`spark.sql.sources.v2.bucketing.pushPartValues.enabled` fills
+  * either side's missing buckets). Filters stay residual — the builder
+  * pushes them for FILE pruning only — and deletion vectors apply
+  * per-file inside the reader exactly like the streaming path.
+  * Reference partitioning basis: Spark's own
+  * `SupportsReportPartitioning` contract; the layout analog of
+  * Iceberg's bucket-transform SPJ. */
+class GraftBucketedScan(base: String, version: Int, required: StructType,
+                        nBuckets: Int, bucketCol: String,
+                        kept: Seq[TableFormat.ManifestEntry],
+                        spark: SparkSession,
+                        startVersion: Int, maxVersionsPerBatch: Int)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+  private val groups: Seq[(Int, Seq[TableFormat.ManifestEntry])] =
+    kept.groupBy(e => TableFormat.bucketOfPath(e.path).get).toSeq.sortBy(_._1)
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftBucketedScan $base v$version bucket($nBuckets, $bucketCol): " +
+      s"${groups.size} bucket groups, ${kept.size} files"
+  override def toBatch: Batch = this
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(nBuckets, bucketCol)), groups.size)
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.map { case (b, es) =>
+      GraftBucketPartition(b, es.map(e => (e.path, e.dv)).toArray): InputPartition
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBucketReaderFactory(required,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      TableFormat.manifestColmap(spark, base, version))
+  /** Same manifest-derived size the V1 path reports — the bucketed scan
+    * must not regress join-side selection to "unknown = huge". */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val nRows: Option[Long] =
+      if (kept.forall(_.rows.isDefined)) Some(kept.flatMap(_.liveRows).sum) else None
+    private def rowWidth: Long =
+      math.max(1L, required.fields.map(_.dataType.defaultSize).sum.toLong)
+    override def sizeInBytes(): java.util.OptionalLong =
+      nRows.fold(java.util.OptionalLong.empty())(n => java.util.OptionalLong.of(n * rowWidth))
+    override def numRows(): java.util.OptionalLong =
+      nRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+  }
+  /** Streaming on a bucketed table keeps working under the SPJ flag —
+    * same version-diff micro-batch source as the V1-delegated scan. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftTableMicroBatch(base, required, startVersion, spark,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      maxVersionsPerBatch)
+}
+
+/** One bucket's files; the partition key IS the bucket id. */
+case class GraftBucketPartition(bucket: Int, files: Array[(String, Option[String])])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucket))
+}
+
+/** Concatenates the per-file record readers of a bucket group. */
+class GraftBucketReaderFactory(readSchema: StructType, conf: SerializableHadoopConf,
+                               colmap: Map[String, String])
+    extends PartitionReaderFactory {
+  private val per = new GraftParquetReaderFactory(readSchema, conf, colmap = colmap)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBucketPartition]
+    new PartitionReader[InternalRow] {
+      private var i = 0
+      private var cur: PartitionReader[InternalRow] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (i >= p.files.length) return false
+            val (f, dv) = p.files(i)
+            i += 1
+            cur = per.createReader(GraftFilePartition(f, dv))
+          }
+          if (cur.next()) return true
+          cur.close()
+          cur = null
+        }
+        false // unreachable
+      }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
+}
+
+/** The catalog's V2 `bucket` function — EXACTLY the bucketed write
+  * path's routing, `pmod(murmur3_hash(col), n)` with Spark's seed 42,
+  * so the partition values two scans report are comparable and a
+  * runtime re-bucketing of an unbucketed join side (the v2 bucketing
+  * shuffle) lands rows where the layout would have. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col) = pmod(murmur3_hash(col), n) — graft bucketed-layout routing"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"graft bucket: expected (numBuckets INT, col), got $inputType")
+    inputType.fields(1).dataType match {
+      case dt @ (ByteType | ShortType | IntegerType | LongType) => new Bound(dt)
+      case other => throw new UnsupportedOperationException(
+        s"graft bucket: unsupported column type ${other.simpleString} (integral only)")
+    }
+  }
+  private class Bound(dt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      import org.apache.spark.unsafe.hash.Murmur3_x86_32
+      val n = input.getInt(0)
+      // the Murmur3 variants Spark's own hash() applies per type (its
+      // seed is 42): byte/short/int hash as ints, longs as longs
+      val h = dt match {
+        case LongType => Murmur3_x86_32.hashLong(input.getLong(1), 42)
+        case IntegerType => Murmur3_x86_32.hashInt(input.getInt(1), 42)
+        case ShortType => Murmur3_x86_32.hashInt(input.getShort(1).toInt, 42)
+        case _ => Murmur3_x86_32.hashInt(input.getByte(1).toInt, 42)
+      }
+      ((h % n) + n) % n
+    }
   }
 }
 
@@ -2652,7 +2849,62 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_spj_join` (r12, VERDICT r11 #2): STORAGE-PARTITIONED JOIN —
+    * two graft tables declaring the same `graft.bucket = "8:custkey"`
+    * layout join on the bucket key with NO Exchange on either side:
+    * each scan reports `KeyGroupedPartitioning(bucket(8, key))`
+    * ([[GraftBucketedScan]]), the catalog's `bucket` V2 function proves
+    * both sides route identically, and EnsureRequirements aligns the
+    * bucket groups instead of shuffling ~rows. At 100 TB this deletes
+    * the dominant cost of every fact⋈fact / fact⋈big-dim join the
+    * layout was declared for — the join analog of `join_bucketed`,
+    * funded by table metadata instead of a warehouse bucketing DDL.
+    * GraftTableSpec pins the Exchange-free plan; the oracle replays the
+    * join relationally. */
+  def sqlSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    // session opt-in, harmless elsewhere: only bucketed graft scans
+    // report partitioning at all
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    Seq("spj_o", "spj_c").foreach { t =>
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables.t(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_custkey"),
+              org.apache.spark.sql.functions.col("o_totalprice"))
+      .createOrReplaceTempView("src_spj_orders")
+    Tables.t(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+              org.apache.spark.sql.functions.col("c_mktsegment"))
+      .createOrReplaceTempView("src_spj_customer")
+    spark.sql(
+      """CREATE TABLE graft.db.spj_o (o_orderkey BIGINT, o_custkey BIGINT,
+        |  o_totalprice DOUBLE)
+        |TBLPROPERTIES ('graft.bucket' = '8:o_custkey')""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.db.spj_c (c_custkey BIGINT, c_mktsegment STRING)
+        |TBLPROPERTIES ('graft.bucket' = '8:c_custkey')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.spj_o SELECT * FROM src_spj_orders")
+    spark.sql("INSERT INTO graft.db.spj_c SELECT * FROM src_spj_customer")
+    // MERGE hint: at test SF the stats would broadcast one side (no
+    // exchange either way); a 100 TB co-bucketed join is SMJ — the
+    // Exchange-free SMJ is the shape under test and the shipped plan
+    spark.sql(
+      """SELECT /*+ MERGE(c) */ c.c_mktsegment, count(1) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.db.spj_o o JOIN graft.db.spj_c c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_spj_join" -> (sqlSpjJoin _),
     "sql_string_cluster" -> (sqlStringCluster _),
     "sql_widen_type" -> (sqlWidenType _),
     "sql_identity_columns" -> (sqlIdentityColumns _),
@@ -2680,6 +2932,12 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_spj_join" ->
+      """SELECT c.c_mktsegment, count(1) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
     "sql_string_cluster" ->
       """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents

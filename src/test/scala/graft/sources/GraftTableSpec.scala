@@ -1600,4 +1600,59 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(1) FROM graft.db.strc_t WHERE lang IN ('de','ja')")
       .head.getLong(0) == 2000L)
   }
+
+  test("storage-partitioned join: co-bucketed tables SMJ with ZERO Exchange; dv and appends compose; flag off falls back (r12, VERDICT r11 #2)") {
+    wh // force catalog registration
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try {
+      Seq("spj_a", "spj_b").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$wh/db/$t")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      spark.sql("""CREATE TABLE graft.db.spj_a (k BIGINT, v BIGINT)
+                  |TBLPROPERTIES ('graft.bucket' = '4:k')""".stripMargin)
+      spark.sql("""CREATE TABLE graft.db.spj_b (k BIGINT, w BIGINT)
+                  |TBLPROPERTIES ('graft.bucket' = '4:k')""".stripMargin)
+      spark.sql("INSERT INTO graft.db.spj_a SELECT id, id * 2 FROM range(2000)")
+      spark.sql("INSERT INTO graft.db.spj_b SELECT id, id * 3 FROM range(1000)")
+      // on-disk layout: one file per bucket per commit, bucket in the path
+      val aEntries = TableFormat.manifestEntries(spark, s"$wh/db/spj_a",
+        TableFormat.currentVersion(spark, s"$wh/db/spj_a"))
+      assert(aEntries.size == 4, s"expected 4 per-bucket files, got ${aEntries.size}")
+      assert(aEntries.forall(e => e.path.contains("__bkt=")), "bucket id missing from paths")
+      def joined = spark.sql(
+        """SELECT /*+ MERGE(b) */ a.k, a.v, b.w
+          |FROM graft.db.spj_a a JOIN graft.db.spj_b b ON a.k = b.k""".stripMargin)
+      val rows = joined.collect()
+      assert(rows.length == 1000)
+      assert(rows.map(_.getLong(1)).sum == (0L until 1000L).map(_ * 2).sum)
+      val plan = {
+        val d = joined; d.collect(); d.queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("SortMergeJoin"), s"not an SMJ:\n$plan")
+      // (the AQE string renders Final + Initial plans — 2 scans each)
+      assert("GraftBucketedScan".r.findAllIn(plan).size >= 2,
+        s"both sides must be bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still shuffles:\n$plan")
+      // an APPEND adds one more file per bucket; the join stays aligned
+      spark.sql("INSERT INTO graft.db.spj_b SELECT id + 1000, id FROM range(500)")
+      assert(joined.collect().length == 1500)
+      // a merge-on-read DELETE keeps bucket paths; scan applies the dv
+      TableFormat.deleteRowsDV(spark, s"$wh/db/spj_b", col("k") < 10L)
+      val afterDv = joined
+      assert(afterDv.collect().length == 1490)
+      assert(afterDv.queryExecution.executedPlan.toString.contains("GraftBucketedScan"),
+        "dv-carrying bucketed snapshot lost the SPJ scan")
+      // flag off: same query plans through the V1 (vectorized parquet) path
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val fallback = joined
+      assert(fallback.collect().length == 1490)
+      assert(!fallback.queryExecution.executedPlan.toString.contains("GraftBucketedScan"),
+        "bucketed scan must be opt-in via spark.sql.sources.v2.bucketing.enabled")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+  }
 }
