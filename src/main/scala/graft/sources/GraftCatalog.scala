@@ -2179,6 +2179,53 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_merge_clauses` (r12, VERDICT r11 #3): the FULL Delta/Iceberg
+    * MERGE clause surface through the same group-based row-level
+    * operation — conditional `WHEN MATCHED AND cond THEN DELETE`,
+    * unconditional `WHEN MATCHED THEN UPDATE SET`, conditional
+    * `WHEN NOT MATCHED AND cond THEN INSERT (…) VALUES (…)`, and
+    * `WHEN NOT MATCHED BY SOURCE AND cond THEN UPDATE SET` — the CDC /
+    * SCD-2 forms every pipeline reaches for. Spark's
+    * RewriteMergeIntoTable compiles the clause ladder into the
+    * replacement-data plan; [[GraftReplaceWrite]] publishes it as one
+    * commit. (A BY-SOURCE clause makes every target row a candidate,
+    * so runtime group filtering correctly stands down — the
+    * matched-clause-only pruning path is pinned by GraftTableSpec.)
+    * The oracle replays all four clauses as set algebra. */
+  def sqlMergeClauses(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/smc"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    TableFormat.commit(spark, base, docs, 1, parent = None, statsCol = Some("doc_id"))
+    docs.createOrReplaceTempView("smc_docs")
+    spark.sql(
+      """SELECT doc_id, lang, n_chars FROM smc_docs WHERE doc_id % 10 = 3
+        |UNION ALL
+        |SELECT doc_id + 1000000000, lang, n_chars FROM smc_docs
+        |WHERE doc_id % 10 = 4""".stripMargin)
+      .createOrReplaceTempView("smc_changes")
+    spark.sql(
+      """MERGE INTO graft.db.smc t USING smc_changes s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND t.n_chars % 3 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 100
+        |WHEN NOT MATCHED AND s.doc_id % 4 = 0 THEN
+        |  INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, 'new', s.n_chars)
+        |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 10 = 5 THEN
+        |  UPDATE SET lang = 'zz'""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.smc
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `sql_update` (r9): `UPDATE … SET … WHERE …` — the third SQL
     * row-level write, planned through the SAME group-based row-level
     * operation API as MERGE (the builder passes `info.command()`
@@ -2915,6 +2962,7 @@ object GraftCatalogOps {
     "sql_insert" -> (sqlInsert _),
     "sql_delete" -> (sqlDelete _),
     "sql_merge" -> (sqlMerge _),
+    "sql_merge_clauses" -> (sqlMergeClauses _),
     "sql_update" -> (sqlUpdate _),
     "sql_alter_evolution" -> (sqlAlterEvolution _),
     "sql_alter_rename_drop" -> (sqlAlterRenameDrop _),
@@ -2932,6 +2980,25 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_merge_clauses" ->
+      """WITH merged AS (
+        |  -- matched (doc_id % 10 = 3): DELETE when n_chars % 3 = 0,
+        |  -- else UPDATE n_chars + 100
+        |  SELECT doc_id, lang, n_chars + 100 AS n_chars FROM documents
+        |  WHERE doc_id % 10 = 3 AND n_chars % 3 <> 0
+        |  UNION ALL
+        |  -- not matched by source: UPDATE lang = 'zz' when doc_id % 10 = 5
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 5 THEN 'zz' ELSE lang END AS lang, n_chars
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  -- not matched: conditional INSERT of the shifted keys
+        |  SELECT doc_id + 1000000000, 'new', n_chars FROM documents
+        |  WHERE doc_id % 10 = 4 AND (doc_id + 1000000000) % 4 = 0)
+        |SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_spj_join" ->
       """SELECT c.c_mktsegment, count(1) AS n_orders,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
