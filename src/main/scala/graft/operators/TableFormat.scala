@@ -2155,7 +2155,41 @@ object TableFormat {
         case _ => // delete / merge / replace / restore / pre-r9: full diff
           val a = read(added)
           val r = read(removed)
-          Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
+          val ins = tag(a.exceptAll(r), "insert")
+          val del = tag(r.exceptAll(a), "delete")
+          // UPDATE IMAGES (r12, VERDICT r11 #4): when the table DECLARES
+          // a primary key (`PK:` constraint — RELY, the lakehouse key
+          // contract), a CoW rewrite's delete+insert rows pair up on it
+          // and re-tag as `update_preimage`/`update_postimage` — the
+          // Delta CDF shape that lets a consumer distinguish an update
+          // from an unrelated delete+insert. One window shuffle over the
+          // commit's OWN changed rows (never the table); NULL keys and
+          // key columns missing from this schema (dropped/renamed)
+          // never pair; without a declared key the raw delete+insert
+          // form is unchanged.
+          val keyCols = manifestConstraints(spark, base, toVersion)
+            .collectFirst { case (_, spec) if spec.startsWith("PK:") =>
+              spec.drop(3).split(',').toSeq }
+            .getOrElse(Seq.empty)
+          if (keyCols.isEmpty || !keyCols.forall(ins.columns.contains))
+            Seq(ins, del)
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*)
+            val ct = col("_change_type")
+            val keyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
+            Seq(ins.unionByName(del)
+              .withColumn("__ni",
+                sum(when(ct === "insert", 1).otherwise(0)).over(w))
+              .withColumn("__nd",
+                sum(when(ct === "delete", 1).otherwise(0)).over(w))
+              .withColumn("_change_type",
+                when(keyed && col("__ni") > 0 && col("__nd") > 0,
+                  when(ct === "insert", lit("update_postimage"))
+                    .otherwise(lit("update_preimage")))
+                  .otherwise(ct))
+              .drop("__ni", "__nd"))
+          }
       }
     }
     val all = steps.flatten
