@@ -73,6 +73,31 @@ object HashKernels {
       HashKernels.getClass, ArrayType(StringType), "minhashBuckets",
       Seq(SqlBridge.expression(c)), returnNullable = false))
 
+  // ---- String prefix rank (z-order string dims, r12) -------------------
+
+  /** First 7 UTF-8 bytes of `s` packed big-endian into a NON-NEGATIVE
+    * long — a monotone map from byte-wise string order onto the integral
+    * grid the z-curve interleaves (TableFormat.optimizeZorderN). Strings
+    * equal through 7 bytes collapse to one grid cell, which only loosens
+    * clustering; the recorded per-file bounds come from the real strings,
+    * so pruning correctness never depends on this rank. */
+  def prefixRank(s: UTF8String): Long = {
+    val b = s.getBytes
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  /** Column API: the 56-bit prefix rank (NULL in, NULL out). */
+  def prefix_rank(c: Column): Column =
+    SqlBridge.column(StaticInvoke(
+      HashKernels.getClass, LongType, "prefixRank",
+      Seq(SqlBridge.expression(c)), returnNullable = false))
+
   // ---- SimHash (dedup_simhash) -----------------------------------------
 
   /** TF-weighted SimHash over whitespace tokens, emitted as `bands`

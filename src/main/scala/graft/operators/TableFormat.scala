@@ -1226,6 +1226,40 @@ object TableFormat {
       op = if (parent.contains(version - 1)) "append" else "replace")
   }
 
+  /** NDV STALENESS trigger (r12, VERDICT r11 #7). Incremental `#ndv`
+    * sketches union on every add but cannot subtract on delete, so
+    * after heavy deletes the estimate is an upper bound drifted
+    * arbitrarily far from the live table — and CBO would keep planning
+    * join orders on it until someone remembers to ANALYZE. Tables that
+    * opt in via TBLPROPERTIES `graft.analyze.auto = true` re-run
+    * [[analyzeNdv]] automatically right after any delete-kind commit
+    * that removed at least `graft.analyze.threshold` (default 0.2) of
+    * the parent snapshot's live rows — the live counts come from the
+    * two manifests (pure metadata), so the check itself is free; the
+    * rebuild is the same one dv-aware scan ANALYZE costs. Hooked into
+    * every delete path: [[deleteWhere]], [[deleteRows]],
+    * [[deleteRowsDV]], [[deleteByKeys]] (and therefore SQL DELETE in
+    * both CoW and merge-on-read modes). */
+  private def maybeAutoAnalyze(spark: SparkSession, base: String,
+                               newVersion: Int): Unit = {
+    val props =
+      try manifestProps(spark, base, newVersion)
+      catch { case _: java.io.FileNotFoundException => return }
+    if (!props.get("graft.analyze.auto").exists(_.equalsIgnoreCase("true"))) return
+    val threshold = props.get("graft.analyze.threshold")
+      .flatMap(_.toDoubleOption).getOrElse(0.2)
+    def live(v: Int): Option[Long] =
+      try {
+        val es = manifestEntries(spark, base, v)
+        if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.liveRows).sum) else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    for { p <- live(newVersion - 1); n <- live(newVersion) }
+      if (p > 0 && (p - n).toDouble / p >= threshold) {
+        analyzeNdv(spark, base)
+        ()
+      }
+  }
+
   /** DELETE commit (r7): remove every row with `statsCol` in [lo, hi] as
     * a NEW snapshot — the parent's data files are never modified, so time
     * travel to the pre-delete version stays intact. File-level semantics
@@ -1261,8 +1295,10 @@ object TableFormat {
         Some(statsCol))
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    writeManifest(spark, base, version, schemaJson, untouched ++ rewritten, txn = None,
-      statsCols = Seq(statsCol), op = "delete")
+    val out = writeManifest(spark, base, version, schemaJson, untouched ++ rewritten,
+      txn = None, statsCols = Seq(statsCol), op = "delete")
+    maybeAutoAnalyze(spark, base, out)
+    out
   }
 
   /** MERGE commit (r8, VERDICT r7 #2): upsert `changes` into the table by
@@ -1389,6 +1425,7 @@ object TableFormat {
       statsCols.drop(2))
     val out = writeManifest(spark, base, version, schemaJson,
       untouched ++ rewritten, txn = None, statsCols = statsCols, op = "delete")
+    maybeAutoAnalyze(spark, base, out)
     (out, touched.size, entries.size)
   }
 
@@ -1764,6 +1801,7 @@ object TableFormat {
     }
     val out = writeManifest(spark, base, version, schemaJson, untouched ++ updated,
       txn = None, statsCols = statsCols, op = "delete_dv")
+    maybeAutoAnalyze(spark, base, out)
     (out, withDv, entries.size)
   }
 
@@ -1932,27 +1970,39 @@ object TableFormat {
       s"optimizeZorderN: need 2..6 declared clustering columns (got ${cols.mkString(", ")})")
     val schema = manifestSchema(spark, base, v).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    cols.foreach { c =>
-      require(schema.fields.find(_.name == c).map(_.dataType).exists {
-        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }, s"optimizeZorderN: column $c is not integral — use optimize_cluster")
+    // STRING dimensions (r12, VERDICT r11 #6): a string key rides the
+    // curve through its 7-byte PREFIX RANK — a monotone byte-order →
+    // long map (HashKernels.prefixRank), so the interleave and the
+    // per-file string bounds (sext slots) agree on ordering; ties past
+    // 7 bytes collapse to one grid cell, which only loosens clustering,
+    // never the recorded bounds. Integral keys grid directly.
+    val dimExprs: Seq[Column] = cols.map { c =>
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.ByteType |
+                  org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType |
+                  org.apache.spark.sql.types.LongType) => col(c).cast("long")
+        case Some(org.apache.spark.sql.types.StringType) =>
+          graft.functions.HashKernels.prefix_rank(col(c))
+        case other => throw new IllegalArgumentException(
+          s"optimizeZorderN: column $c (${other.fold("?")(_.simpleString)}) is " +
+            "neither integral nor string — use optimize_cluster")
+      }
     }
     val df = readSnapshot(spark, base, Some(v))
-    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val aggs = dimExprs.flatMap(e => Seq(min(e).cast("long"), max(e).cast("long")))
     val b = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     if ((0 until cols.size * 2).exists(b.isNullAt))
       return optimizeCluster(spark, base, nFiles) // no bounds: hierarchical
     val k = cols.size
     val bits = 60 / k
     val top = (1L << bits) - 1
-    val gs = cols.zipWithIndex.map { case (c, i) =>
+    val gs = dimExprs.zipWithIndex.map { case (e, i) =>
       val lo = b.getLong(2 * i)
       val hi = b.getLong(2 * i + 1)
       val span = math.max(1.0, hi.toDouble - lo.toDouble)
       least(lit(top.toDouble),
-        (col(c).cast("double") - lit(lo.toDouble)) * lit(top.toDouble) / lit(span))
+        (e.cast("double") - lit(lo.toDouble)) * lit(top.toDouble) / lit(span))
         .cast("long")
     }
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
@@ -3070,8 +3120,10 @@ object TableFormat {
         statsCols.headOption, statsCols.drop(1).headOption, statsCols.drop(2))
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    writeManifest(spark, base, version, schemaJson, untouched ++ rewritten,
+    val out = writeManifest(spark, base, version, schemaJson, untouched ++ rewritten,
       txn = None, statsCols = statsCols, op = "delete")
+    maybeAutoAnalyze(spark, base, out)
+    out
   }
 
   /** `table_timetravel`: v1 = even docs; v2 = append of the odd docs

@@ -1219,6 +1219,48 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readSnapshot(spark, base, Some(v2)).count() == 110000L)
   }
 
+  test("auto-analyze: a heavy delete rebuilds stale NDV only under graft.analyze.auto; light deletes never trigger (r12, VERDICT r11 #7)") {
+    def est(base: String): Long = {
+      val v = TableFormat.currentVersion(spark, base)
+      TableFormat.ndvEstimate(TableFormat.manifestNdv(spark, base, v)("k"))
+    }
+    // WITHOUT the property: the sketch is an upper bound frozen at
+    // pre-delete cardinality — no hidden extra commit, estimate stale
+    val base = freshBase("tf_auto_an")
+    TableFormat.commit(spark, base, (0L until 10000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(4))
+    TableFormat.deleteWhere(spark, base, "k", 0L, 8999L) // −90 %
+    assert(TableFormat.currentVersion(spark, base) == 2, "unexpected extra commit")
+    assert(est(base) > 5000, s"premise: estimate should be stale, got ${est(base)}")
+    // WITH the property: the same delete triggers ANALYZE automatically —
+    // one extra metadata commit, estimate repaired to the live table
+    val base2 = freshBase("tf_auto_an2")
+    TableFormat.commit(spark, base2, (0L until 10000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(4))
+    TableFormat.alterPropsCommit(spark, base2,
+      Map("graft.analyze.auto" -> "true"), Nil)
+    TableFormat.deleteWhere(spark, base2, "k", 0L, 8999L)
+    val v2 = TableFormat.currentVersion(spark, base2)
+    assert(v2 == 4, s"expected commit+props+delete+analyze = v4, got v$v2")
+    assert(TableFormat.manifestOp(spark, base2, v2).contains("alter"),
+      "last commit should be the auto-ANALYZE")
+    val repaired = est(base2)
+    assert(repaired < 2000, s"auto-analyze did not repair the estimate: $repaired")
+    // a BELOW-threshold delete (default 0.2) commits once, no analyze
+    TableFormat.deleteWhere(spark, base2, "k", 9000L, 9099L)
+    assert(TableFormat.currentVersion(spark, base2) == 5,
+      "light delete must not trigger analyze")
+    // merge-on-read deletes trigger through the same hook
+    val base3 = freshBase("tf_auto_an3")
+    TableFormat.commit(spark, base3, (0L until 10000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(4))
+    TableFormat.alterPropsCommit(spark, base3,
+      Map("graft.analyze.auto" -> "true", "graft.analyze.threshold" -> "0.5"), Nil)
+    TableFormat.deleteRowsDV(spark, base3, col("k") % 10L =!= 9L) // −90 %, dv path
+    assert(TableFormat.currentVersion(spark, base3) == 4)
+    assert(est(base3) < 2000, s"dv-delete auto-analyze missing: ${est(base3)}")
+  }
+
   test("incremental optimize: only layout-violating files rewrite, the clustered body carries by reference (r12, VERDICT r11 #5)") {
     val base = freshBase("tf_opt_incr")
     // clustered body: 5 disjoint range files over k = 0..9999

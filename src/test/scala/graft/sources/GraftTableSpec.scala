@@ -1565,6 +1565,41 @@ class GraftTableSpec extends SparkTestBase {
     assert(TableFormat.manifestOp(spark, base, v).contains("optimize"))
   }
 
+  test("optimize_zorder_n with a STRING dimension: (lang, doc_id) curve prunes on the string dim alone (r12, VERDICT r11 #6)") {
+    val _ = wh
+    val base = s"$wh/db/zs_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.zs_t (lang STRING, doc_id BIGINT) PARTITIONED BY (lang, doc_id)")
+    val langs = Seq("ar", "de", "en", "fr", "ja", "ko", "pt", "zh")
+    val rnd = new scala.util.Random(11)
+    // independent dims: language uncorrelated with doc_id
+    (0 until 16000).map(_ => (langs(rnd.nextInt(8)), rnd.nextInt(100000).toLong))
+      .toDF("lang", "doc_id").createOrReplaceTempView("zs_src")
+    spark.sql("INSERT INTO graft.db.zs_t SELECT * FROM zs_src")
+    val r = spark.sql("CALL graft.system.optimize_zorder_n('db.zs_t', 32)").head
+    val v = r.getInt(0)
+    val entries = TableFormat.manifestEntries(spark, base, v)
+    assert(entries.size >= 8, s"need many files for the curve test, got ${entries.size}")
+    // the STRING dimension alone prunes: an equality on lang drops files
+    assert(entries.forall(e => e.strStatsAt(0)._1.isDefined), "string bounds lost")
+    val sb = new GraftScanBuilder(base, v,
+      TableFormat.manifestSchema(spark, base, v).get, Seq("lang", "doc_id"), spark, 0)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("lang", "de")))
+    val keptStr = sb.keptEntries().size
+    assert(keptStr < entries.size,
+      s"lang = 'de' kept $keptStr of ${entries.size} — the string dim is not on the curve")
+    // the integral dimension alone ALSO prunes (slot 1)
+    val keptNum = entries.count(_.mayMatchAt(1, 1000, 20000))
+    assert(keptNum < entries.size,
+      s"doc_id box kept $keptNum of ${entries.size} — integral dim lost beside the string")
+    // answers exact through the rewrite
+    val expect = spark.table("zs_src").where("lang = 'de'").count()
+    assert(spark.sql("SELECT count(1) FROM graft.db.zs_t WHERE lang = 'de'")
+      .head.getLong(0) == expect)
+    assert(TableFormat.manifestOp(spark, base, v).contains("optimize"))
+  }
+
   test("string clustering: per-file string bounds prune lang predicates; slots stay positional beside numeric keys (r11)") {
     val _ = wh
     val base = s"$wh/db/strc_t"
