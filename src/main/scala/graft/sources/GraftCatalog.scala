@@ -797,15 +797,37 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
                 try TableFormat.bucketSpecOf(TableFormat.manifestProps(s, base,
                   TableFormat.currentVersion(s, base)))
                 catch { case _: java.io.FileNotFoundException => None }
+              // AUTO-COMPACT (r11, the Delta autoCompact analog; r12:
+              // bucket-aware — compaction preserves the `__bkt=` layout
+              // so trickle ingest into an SPJ table stays joinable):
+              // tables that opt in via TBLPROPERTIES consolidate their
+              // small files right after an append once enough
+              // accumulate. Post-commit and OCC-safe: the compact rides
+              // its own commit; a lost race just means the next insert
+              // retries.
+              def autoCompact(): Unit = {
+                val vNow = TableFormat.currentVersion(s, base)
+                val props = TableFormat.manifestProps(s, base, vNow)
+                if (props.get("autoCompact").exists(_.equalsIgnoreCase("true"))) {
+                  val smallBytes = props.get("autoCompact.smallBytes")
+                    .map(_.toLong).getOrElse(16L * 1024 * 1024)
+                  val minFiles = props.get("autoCompact.minFiles")
+                    .map(_.toInt).getOrElse(8)
+                  TableFormat.compact(s, base, smallBytes,
+                    targetFiles = math.max(1, minFiles / 4), minFiles = minFiles)
+                  ()
+                }
+              }
               if (identityCols.nonEmpty)
                 TableFormat.appendCommitIdentity(s, base, data, identityCols,
                   statsCol = declared.headOption,
                   replace = overwrite || legacyOverwrite)
-              else if (bucketSpec.isDefined)
+              else if (bucketSpec.isDefined) {
                 TableFormat.appendCommit(s, base, data,
                   statsCol = declared.headOption, bucketBy = bucketSpec,
                   replace = overwrite || legacyOverwrite)
-              else if (overwrite || legacyOverwrite) {
+                if (!(overwrite || legacyOverwrite)) autoCompact()
+              } else if (overwrite || legacyOverwrite) {
                 val v = TableFormat.latestVersion(s, base) + 1
                 def zOk(c: String) = schema().fields.find(_.name == c)
                   .map(_.dataType).exists {
@@ -823,24 +845,7 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
               } else {
                 TableFormat.appendCommit(s, base, data,
                   statsCol = declared.headOption)
-                // AUTO-COMPACT (r11, the Delta autoCompact analog):
-                // tables that opt in via TBLPROPERTIES consolidate
-                // their small files right after the append once enough
-                // accumulate — streaming/trickle ingest stays readable
-                // without a separate maintenance job. Post-commit and
-                // OCC-safe: the compact rides its own commit; a lost
-                // race just means the next insert retries.
-                val vNow = TableFormat.currentVersion(s, base)
-                val props = TableFormat.manifestProps(s, base, vNow)
-                if (props.get("autoCompact").exists(_.equalsIgnoreCase("true"))) {
-                  val smallBytes = props.get("autoCompact.smallBytes")
-                    .map(_.toLong).getOrElse(16L * 1024 * 1024)
-                  val minFiles = props.get("autoCompact.minFiles")
-                    .map(_.toInt).getOrElse(8)
-                  TableFormat.compact(s, base, smallBytes,
-                    targetFiles = math.max(1, minFiles / 4), minFiles = minFiles)
-                  ()
-                }
+                autoCompact()
               }
               ()
             }

@@ -447,10 +447,29 @@ object GraftProcedures {
     }
   }
 
+  /** CONVERT TO BUCKETED LAYOUT (r12): one commit that rewrites the
+    * snapshot one-file-per-bucket and declares `graft.bucket` — the
+    * on-ramp to storage-partitioned joins for an existing table.
+    * Returns (version, files_total). */
+  private object OptimizeBucketProc extends Proc("optimize_bucket",
+    Seq(in("table", StringType), in("n_buckets", IntegerType),
+        in("bucket_col", StringType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("files_total", IntegerType)))) {
+    override def description(): String =
+      "rewrite the snapshot bucketed on bucket_col and declare graft.bucket atomically"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val v = TableFormat.optimizeBucket(spark, base, input.getInt(1),
+        input.getUTF8String(2).toString)
+      new GenericInternalRow(Array[Any](v,
+        TableFormat.manifestEntries(spark, base, v).size))
+    }
+  }
+
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, OptimizeClusterProc,
-      OptimizeZorderNProc, OptimizeIncrementalProc)
+      OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc)
 
   def names: Seq[String] = all.map(_.name())
 

@@ -1738,4 +1738,48 @@ class GraftTableSpec extends SparkTestBase {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     }
   }
+
+  test("optimize_bucket converts an existing table in one commit; compact preserves the bucket layout (r12)") {
+    val base = s"$wh/db/spj_conv"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.spj_conv (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.db.spj_conv SELECT id, id * 2 FROM range(2000)")
+    val r = spark.sql(
+      "CALL graft.system.optimize_bucket('db.spj_conv', 4, 'k')").head
+    assert(r.getInt(1) == 4, s"expected 4 per-bucket files, got ${r.getInt(1)}")
+    val v = r.getInt(0)
+    val entries = TableFormat.manifestEntries(spark, base, v)
+    assert(entries.forall(_.path.contains("__bkt=")), "conversion lost bucket paths")
+    // layout + property land ATOMICALLY in the same commit
+    assert(TableFormat.manifestProps(spark, base, v).get("graft.bucket")
+      .contains("4:k"), "graft.bucket not declared by the conversion commit")
+    assert(TableFormat.manifestOp(spark, base, v).contains("optimize"))
+    // trickle ingest then compact: consolidation must PRESERVE the layout
+    spark.sql("INSERT INTO graft.db.spj_conv SELECT id + 2000, id FROM range(40)")
+    spark.sql("INSERT INTO graft.db.spj_conv SELECT id + 2040, id FROM range(40)")
+    val (v2, compacted) = TableFormat.compact(spark, base, Long.MaxValue / 2)
+    assert(compacted > 0)
+    val after = TableFormat.manifestEntries(spark, base, v2)
+    assert(after.size == 4, s"bucket-aware compact should emit 4 files, got ${after.size}")
+    assert(after.forall(_.path.contains("__bkt=")), "compaction destroyed the bucket layout")
+    // the compacted table still storage-partition-joins exchange-free
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val joined = spark.sql(
+        """SELECT /*+ MERGE(b) */ a.k FROM graft.db.spj_conv a
+          |JOIN graft.db.spj_conv b ON a.k = b.k""".stripMargin)
+      assert(joined.collect().length == 2080)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketedScan") && !plan.contains("Exchange"),
+        s"post-compact bucketed self-join shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+    // optimize paths that would break the layout refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      TableFormat.optimizeIncremental(spark, base)
+    }
+    assert(e.getMessage.contains("bucket"), e.getMessage)
+  }
 }
