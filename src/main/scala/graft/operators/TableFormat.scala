@@ -3022,11 +3022,22 @@ object TableFormat {
       // the old name gets a fresh physical either way
       val statsCols = manifestStatsCols(spark, base, parentV)
         .map(c => if (c == oldName) newName else c)
+      // the bucket declaration names the LOGICAL column (r12): renaming
+      // the bucket key re-points the property in the same commit, so the
+      // scan's reported partitioning keeps resolving and SPJ survives
+      // the rename (files are untouched — the physical routing is
+      // unchanged by construction)
+      val props0 = manifestProps(spark, base, parentV)
+      val propsOut = bucketSpecOf(props0) match {
+        case Some((n, c)) if c == oldName =>
+          Some(props0 + (BucketProp -> s"$n:$newName"))
+        case _ => None // inherit verbatim
+      }
       try
         return writeManifest(spark, base, parentV + 1, newSchema.json,
           manifestEntries(spark, base, parentV), txn = None,
           statsCols = statsCols, op = "alter",
-          colmap = Some(newCm))
+          props = propsOut, colmap = Some(newCm))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -3058,6 +3069,14 @@ object TableFormat {
       require(parent.fields.length > 1,
         s"alterDropCommit: cannot drop the only column of $base")
       requireNoDependents(spark, base, parentV, colName, "drop")
+      // the bucket key is load-bearing layout metadata (r12): dropping
+      // it would leave `graft.bucket` naming a ghost column and every
+      // later insert unroutable — refuse with the cure named
+      bucketSpecOf(manifestProps(spark, base, parentV)).foreach { case (_, c) =>
+        require(c != colName,
+          s"cannot drop column $colName: it is the table's declared bucket " +
+            "key (graft.bucket) — UNSET the property first")
+      }
       val cm = manifestColmap(spark, base, parentV)
       val physical = cm.getOrElse(colName, colName)
       val newSchema = StructType(parent.fields.filterNot(_.name == colName))

@@ -1728,6 +1728,14 @@ class GraftTableSpec extends SparkTestBase {
       assert(afterDv.collect().length == 1490)
       assert(afterDv.queryExecution.executedPlan.toString.contains("GraftBucketedScan"),
         "dv-carrying bucketed snapshot lost the SPJ scan")
+      // the reported partitioning ALSO serves aggregation: GROUP BY the
+      // bucket key needs no Exchange — partial = final on bucket groups
+      val agg = spark.sql(
+        "SELECT k, count(1) AS n FROM graft.db.spj_a GROUP BY k")
+      assert(agg.collect().length == 2000)
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(aggPlan.contains("GraftBucketedScan") && !aggPlan.contains("Exchange"),
+        s"GROUP BY bucket key still shuffles:\n$aggPlan")
       // flag off: same query plans through the V1 (vectorized parquet) path
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val fallback = joined
@@ -1781,5 +1789,27 @@ class GraftTableSpec extends SparkTestBase {
       TableFormat.optimizeIncremental(spark, base)
     }
     assert(e.getMessage.contains("bucket"), e.getMessage)
+    // renaming the bucket key re-points graft.bucket in the SAME commit —
+    // the reported partitioning keeps resolving and SPJ survives
+    spark.sql("ALTER TABLE graft.db.spj_conv RENAME COLUMN k TO kk")
+    val vR = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestProps(spark, base, vR).get("graft.bucket")
+      .contains("4:kk"), "rename did not re-point the bucket declaration")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j2 = spark.sql(
+        """SELECT /*+ MERGE(b) */ a.kk FROM graft.db.spj_conv a
+          |JOIN graft.db.spj_conv b ON a.kk = b.kk""".stripMargin)
+      assert(j2.collect().length == 2080)
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "SPJ lost across the bucket-key rename")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+    // dropping the bucket key refuses with the cure named
+    val e2 = intercept[IllegalArgumentException] {
+      TableFormat.alterDropCommit(spark, base, "kk")
+    }
+    assert(e2.getMessage.contains("bucket key"), e2.getMessage)
   }
 }
