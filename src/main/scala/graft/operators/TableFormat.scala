@@ -456,6 +456,27 @@ object TableFormat {
         hll_sketch_agg(col(phys(ndvCols.head))).as(ndvCols.head),
         ndvCols.tail.map(c => hll_sketch_agg(col(phys(c))).as(c)): _*)
     }
+    // BLOOM FILTER INDEX (r12): TBLPROPERTIES `graft.bloom = "c1,c2"`
+    // turns on parquet's own per-row-group split-block bloom filters for
+    // those columns on every commit — the needle-in-a-haystack device
+    // for POINT lookups on columns the clustering doesn't serve (an id
+    // probe on a time-clustered table). The native read path applies
+    // them automatically under the pushed `=`/IN predicates, skipping
+    // row groups the way Delta's bloom index does, with zero manifest
+    // growth (the filter lives in the file it describes).
+    val bloomCols: Seq[String] = {
+      val v = latestVersion(spark, base)
+      if (v == 0) Nil
+      else
+        try manifestProps(spark, base, v).get("graft.bloom")
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+          .filter(c => df.columns.contains(c))
+        catch { case _: java.io.FileNotFoundException => Nil }
+    }
+    def configured(d: DataFrame) =
+      bloomCols.foldLeft(d.write.mode("overwrite")) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#${phys(c)}", "true")
+      }
     bucketBy match {
       case Some((n, c)) =>
         // one file per bucket per commit: route rows by the bucket id
@@ -464,12 +485,12 @@ object TableFormat {
         // into per-bucket dirs; rows sort within partitions on the
         // declared stats columns so footer bounds stay usable
         val sortCols = (BucketDirCol +: declaredAll.map(phys)).map(col)
-        toWrite.withColumn(BucketDirCol, pmod(hash(col(phys(c))), lit(n)))
+        configured(toWrite.withColumn(BucketDirCol, pmod(hash(col(phys(c))), lit(n)))
           .repartition(n, col(BucketDirCol))
-          .sortWithinPartitions(sortCols: _*)
-          .write.mode("overwrite").partitionBy(BucketDirCol).parquet(commitDir)
+          .sortWithinPartitions(sortCols: _*))
+          .partitionBy(BucketDirCol).parquet(commitDir)
       case None =>
-        toWrite.write.mode("overwrite").parquet(commitDir)
+        configured(toWrite).parquet(commitDir)
     }
     val ndvSketches: Map[String, String] = observation.fold(Map.empty[String, String]) { o =>
       val metrics = o.get

@@ -1933,9 +1933,44 @@ class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoop
       import org.apache.parquet.example.data.Group
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
+      // COLUMN PROJECTION (r12): without a requested schema the Group
+      // materializer decodes EVERY column of every row — a pruned scan
+      // (SELECT two columns of twenty) still paid full decode on the
+      // streaming/CoW/bucketed read paths. Push the projection into
+      // parquet-mr (`parquet.read.schema`): the projection is built from
+      // the FILE's own footer schema restricted to the requested
+      // physical names, so schema evolution (columns absent from old
+      // files) and column mapping stay exact; row ordinals are
+      // projection-invariant, so dv skip/emit positions are unaffected.
+      // One extra footer read per file, repaid by skipping whole column
+      // chunks.
+      private val readConf: org.apache.hadoop.conf.Configuration = {
+        val wanted = readSchema.fields
+          .map(f => colmap.getOrElse(f.name, f.name)).toSet
+        try {
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new HadoopPath(file), conf.value))
+          val fileSchema =
+            try fr.getFooter.getFileMetaData.getSchema
+            finally fr.close()
+          val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
+          fileSchema.getFields.forEach { t =>
+            if (wanted.contains(t.getName)) { kept.add(t); () }
+          }
+          if (kept.isEmpty || kept.size == fileSchema.getFieldCount) conf.value
+          else {
+            val c2 = new org.apache.hadoop.conf.Configuration(conf.value)
+            c2.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+              new org.apache.parquet.schema.MessageType(fileSchema.getName, kept)
+                .toString)
+            c2
+          }
+        } catch { case scala.util.control.NonFatal(_) => conf.value }
+      }
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new HadoopPath(file))
-          .withConf(conf.value).build()
+          .withConf(readConf).build()
       // deletion-vector positions for THIS file (r10): the dv dir is
       // positions-only and small, so each task reads it whole and keeps
       // its own file's ordinals; rows at those ordinals are skipped

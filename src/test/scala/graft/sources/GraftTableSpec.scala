@@ -1747,6 +1747,42 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("graft.bloom: declared columns carry parquet split-block bloom filters, others don't; point lookups exact (r12)") {
+    val base = s"$wh/db/bloom_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.bloom_t (k BIGINT, v BIGINT, w STRING)
+        |PARTITIONED BY (k)
+        |TBLPROPERTIES ('graft.bloom' = 'v')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.bloom_t
+        |SELECT id, (id * 37) % 100000, concat('s', id) FROM range(20000)""".stripMargin)
+    val v = TableFormat.currentVersion(spark, base)
+    val entries = TableFormat.manifestEntries(spark, base, v)
+    assert(entries.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    entries.foreach { e =>
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(e.path), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val cols = fr.getFooter.getBlocks.asScala.head.getColumns.asScala
+        def offset(name: String): Long =
+          cols.find(_.getPath.toDotString == name).get.getBloomFilterOffset
+        assert(offset("v") >= 0, s"${e.path}: declared bloom column v has no filter")
+        assert(offset("k") < 0, s"${e.path}: undeclared column k grew a filter")
+      } finally fr.close()
+    }
+    // point lookups stay exact through the filtered read path
+    assert(spark.sql("SELECT count(1) FROM graft.db.bloom_t WHERE v = 37")
+      .head.getLong(0) ==
+      (0L until 20000L).count(i => (i * 37) % 100000 == 37).toLong)
+    assert(spark.sql("SELECT count(1) FROM graft.db.bloom_t WHERE v = 99999999")
+      .head.getLong(0) == 0L)
+  }
+
   test("optimize_bucket converts an existing table in one commit; compact preserves the bucket layout (r12)") {
     val base = s"$wh/db/spj_conv"
     val p = new org.apache.hadoop.fs.Path(base)
