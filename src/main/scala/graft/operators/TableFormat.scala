@@ -2083,6 +2083,54 @@ object TableFormat {
       ndv = ndvOut(spark, base, v, staged0.ndv, mergeParent = false))
   }
 
+  /** REPLACE WHERE commit (r12) — ONE atomic commit that deletes every
+    * row matching `cond` and inserts `data`: the Delta `replaceWhere`
+    * contract, the primitive behind every date-partition reload.
+    * `touched` is the caller's stats-pruned candidate set (the SQL
+    * layer passes the scan index's survivors) — out-of-range files
+    * carry by reference; touched files rewrite keeping only their
+    * NON-matching rows (NULL-cond rows kept, SQL DELETE semantics),
+    * dv-aware. Incoming rows must ALL satisfy `cond` (the Delta
+    * validation: data leaking outside the replaced region would make
+    * the operation unreplayable); the check is one short-circuiting
+    * count. Published as `op = replace`, so the CDF takes the
+    * always-correct full-diff path. Bucketed tables keep their layout
+    * through `bucketBy`. Returns (newVersion, filesRewritten,
+    * filesTotal). */
+  def replaceWhereCommit(spark: SparkSession, base: String, data: DataFrame,
+                         cond: Column, touched: Seq[ManifestEntry],
+                         bucketBy: Option[(Int, String)] = None): (Int, Int, Int) = {
+    val v = currentVersion(spark, base)
+    val version = v + 1
+    val entries = manifestEntries(spark, base, v)
+    val statsCols = manifestStatsCols(spark, base, v)
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    val leaks = data.filter(!coalesce(cond, lit(false))).limit(1).count()
+    require(leaks == 0,
+      "REPLACE WHERE: incoming rows fall OUTSIDE the replaced region — " +
+        "every inserted row must satisfy the REPLACE WHERE condition " +
+        "(widen the condition or filter the data)")
+    val untouched = entries.filterNot(touched.toSet)
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(readEntriesDf(spark, base, v, touched)
+        .filter(!coalesce(cond, lit(false))))
+    val merged = survivors.fold(data)(sv => sv.unionByName(data))
+    val nF = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    val clustered =
+      if (bucketBy.isDefined || statsCols.isEmpty) merged
+      else merged.repartitionByRange(nF, statsCols.map(col): _*)
+    val staged = writeDataFilesNdv(spark, base, newCommitDir(base, version),
+      clustered, statsCols.headOption, statsCols.drop(1).headOption,
+      statsCols.drop(2), collectNdv = true, bucketBy = bucketBy)
+    val out = writeManifest(spark, base, version, schemaJson,
+      untouched ++ staged.entries, txn = None, statsCols = statsCols,
+      op = "replace",
+      ndv = ndvOut(spark, base, v, staged.ndv, mergeParent = true))
+    (out, touched.size, entries.size)
+  }
+
   /** CONVERT TO BUCKETED LAYOUT (r12) — `CALL graft.system
     * .optimize_bucket('db.t', n, 'col')`: one commit that rewrites the
     * current snapshot one-file-per-bucket AND declares

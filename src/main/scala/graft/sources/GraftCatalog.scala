@@ -686,7 +686,8 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   /** Constraints (r10), rebuilt from the `#constraints` header: CHECK
     * (`C:` entries) reports ENFORCED + VALID — ADD validated existing
     * data and the analyzer validates every subsequent write — so the
@@ -752,9 +753,20 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
     * `toStreaming` (r9, VERDICT r8 #1) is the native exactly-once
     * micro-batch sink ([[GraftStreamingWrite]]). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      /** REPLACE WHERE (r12) — `INSERT INTO t REPLACE WHERE cond SELECT …`
+        * / `df.writeTo(t).overwrite(cond)`: atomically delete the rows
+        * matching `cond` and insert the new data in ONE commit (the
+        * Delta `replaceWhere` contract, the date-partition-reload
+        * primitive). A bare AlwaysTrue is a plain INSERT OVERWRITE. */
+      private var replaceFilters: Array[Filter] = Array.empty
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(_ == AlwaysTrue())) overwrite = true
+        else replaceFilters = filters
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -818,7 +830,28 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
                   ()
                 }
               }
-              if (identityCols.nonEmpty)
+              if (replaceFilters.nonEmpty) {
+                // REPLACE WHERE (r12): one commit = predicate-scoped
+                // delete + insert. File pruning reuses the SCAN side's
+                // own index (bounds + string bounds on every declared
+                // column) — out-of-range files carry by reference.
+                require(identityCols.isEmpty,
+                  "graft-table: REPLACE WHERE into an identity table is " +
+                    "not supported — identity allocation needs the " +
+                    "append path")
+                val cond = replaceFilters.flatMap(GraftScanBuilder.toColumn)
+                  .reduceOption(_ && _)
+                  .getOrElse(throw new UnsupportedOperationException(
+                    "graft-table REPLACE WHERE: cannot translate " +
+                      s"${replaceFilters.mkString(", ")} to a row predicate"))
+                val v = TableFormat.currentVersion(s, base)
+                val sb = new GraftScanBuilder(base, v, schema(),
+                  TableFormat.manifestStatsCols(s, base, v), s, 0)
+                sb.pushFilters(replaceFilters)
+                TableFormat.replaceWhereCommit(s, base, data, cond,
+                  sb.keptEntries(), bucketBy = bucketSpec)
+                ()
+              } else if (identityCols.nonEmpty)
                 TableFormat.appendCommitIdentity(s, base, data, identityCols,
                   statsCol = declared.headOption,
                   replace = overwrite || legacyOverwrite)
@@ -2266,6 +2299,42 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_replace_where` (r12): `INSERT INTO … REPLACE WHERE cond
+    * SELECT …` — the Delta `replaceWhere` primitive: ONE commit deletes
+    * the predicate's rows and inserts the reload, out-of-range files
+    * carry by reference through the scan's own stats index, and
+    * incoming rows leaking outside the region are refused (pinned by
+    * GraftTableSpec). The oracle replays the reload as a CASE over the
+    * source. */
+  def sqlReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/rw"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_orderpriority"),
+              org.apache.spark.sql.functions.col("o_totalprice"))
+      .createOrReplaceTempView("src_orders_rw")
+    spark.sql(
+      """CREATE TABLE graft.db.rw (o_orderkey BIGINT, o_orderpriority STRING,
+        |  o_totalprice DOUBLE)
+        |PARTITIONED BY (o_orderkey)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.rw SELECT * FROM src_orders_rw")
+    spark.sql(
+      """INSERT INTO graft.db.rw REPLACE WHERE o_orderkey BETWEEN 1000 AND 2000
+        |SELECT o_orderkey, 'RELOADED', o_totalprice * 2
+        |FROM src_orders_rw WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.db.rw
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `sql_update` (r9): `UPDATE … SET … WHERE …` — the third SQL
     * row-level write, planned through the SAME group-based row-level
     * operation API as MERGE (the builder passes `info.command()`
@@ -3043,6 +3112,7 @@ object GraftCatalogOps {
     "sql_delete" -> (sqlDelete _),
     "sql_merge" -> (sqlMerge _),
     "sql_merge_clauses" -> (sqlMergeClauses _),
+    "sql_replace_where" -> (sqlReplaceWhere _),
     "sql_update" -> (sqlUpdate _),
     "sql_alter_evolution" -> (sqlAlterEvolution _),
     "sql_alter_rename_drop" -> (sqlAlterRenameDrop _),
@@ -3061,6 +3131,17 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "sql_replace_where" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+        |              THEN 'RELOADED' ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+        |              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
     "table_cdf_update" ->
       """SELECT 'update_postimage' AS change_type, count(1) AS n,
         |  CAST(sum(n_chars + 7) AS BIGINT) AS sum_chars

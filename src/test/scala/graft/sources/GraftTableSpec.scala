@@ -1747,6 +1747,49 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("REPLACE WHERE: one commit, out-of-range files carried by reference, leaking rows refused, time travel intact (r12)") {
+    val base = s"$wh/db/rw_spec"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base, (0L until 8000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(8))
+    val v1Paths = TableFormat.manifestEntries(spark, base, 1).map(_.path).toSet
+    spark.sql("SELECT id AS k, id * 100 AS v FROM range(1000, 1500)")
+      .createOrReplaceTempView("rw_reload")
+    spark.sql(
+      """INSERT INTO graft.db.rw_spec REPLACE WHERE k BETWEEN 1000 AND 1999
+        |SELECT * FROM rw_reload""".stripMargin)
+    val v2 = TableFormat.currentVersion(spark, base)
+    assert(v2 == 2, "REPLACE WHERE must be ONE commit")
+    // out-of-range files carried by reference
+    val v2Paths = TableFormat.manifestEntries(spark, base, v2).map(_.path).toSet
+    // (range boundaries are sampled — the band can straddle 2-3 files)
+    assert(v2Paths.intersect(v1Paths).size >= 5,
+      s"expected distant files carried, got ${v2Paths.intersect(v1Paths).size}/8")
+    // the region was REPLACED: [1000,2000) old rows gone, reload present
+    assert(spark.sql("SELECT count(1) FROM graft.db.rw_spec").head.getLong(0) ==
+      8000L - 1000L + 500L)
+    val reg = spark.sql(
+      "SELECT count(1) AS n, CAST(sum(v) AS BIGINT) AS s FROM graft.db.rw_spec " +
+        "WHERE k BETWEEN 1000 AND 1999").head
+    assert(reg.getLong(0) == 500L)
+    assert(reg.getLong(1) == (1000L until 1500L).map(_ * 100).sum)
+    // time travel to the pre-replace snapshot is intact
+    assert(spark.sql("SELECT count(1) FROM graft.db.rw_spec VERSION AS OF 1")
+      .head.getLong(0) == 8000L)
+    // rows OUTSIDE the region are refused (the Delta replaceWhere check)
+    val e = intercept[Exception] {
+      spark.sql(
+        """INSERT INTO graft.db.rw_spec REPLACE WHERE k BETWEEN 0 AND 9
+          |SELECT id AS k, id AS v FROM range(0, 20)""".stripMargin)
+    }
+    assert(e.getMessage.contains("OUTSIDE the replaced region") ||
+      Option(e.getCause).exists(_.getMessage.contains("OUTSIDE the replaced region")),
+      s"expected the leak refusal, got: ${e.getMessage}")
+    // and the refused write changed NOTHING
+    assert(TableFormat.currentVersion(spark, base) == v2)
+  }
+
   test("graft.bloom: declared columns carry parquet split-block bloom filters, others don't; point lookups exact (r12)") {
     val base = s"$wh/db/bloom_t"
     val p = new org.apache.hadoop.fs.Path(base)
