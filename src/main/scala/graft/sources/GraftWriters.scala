@@ -64,6 +64,22 @@ object GraftParquetWrite {
   * task saw zero rows — no file is created for empty partitions). */
 case class GraftFileMessage(path: Option[String], rows: Long) extends WriterCommitMessage
 
+/** Commit message of a BUCKET-routING task (r12): one parquet file per
+  * bucket id the task saw. */
+case class GraftFilesMessage(paths: Seq[String], rows: Long) extends WriterCommitMessage
+
+/** All staged paths a write's commit messages name — both the one-file
+  * and the per-bucket message shapes. */
+object GraftStagedPaths {
+  def of(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.flatMap {
+      case GraftFileMessage(Some(p), _) => Seq(p)
+      case GraftFileMessage(None, _) => Nil
+      case GraftFilesMessage(ps, _) => ps
+      case _ => Nil
+    }
+}
+
 /** GENERATED ALWAYS AS recompute for the EXECUTOR-side write paths
   * (r11, ADVICE r10 medium): the V1 batch INSERT recomputes generated
   * columns driver-side (`withColumn` over the incoming DataFrame), but
@@ -172,25 +188,95 @@ class GraftParquetDataWriter(file: String, schema: StructType,
   override def close(): Unit = if (writer != null) { writer.close(); writer = null }
 }
 
+/** BUCKET-ROUTING task writer (r12): keeps the table's `__bkt=` layout
+  * alive through the DSv2 write paths — the streaming sink and the
+  * row-level-rewrite write used to stage plain files, silently knocking
+  * a bucketed table off the storage-partitioned-join path until a full
+  * rewrite. Each row routes to `pmod(murmur3_hash(key), n)` — exactly
+  * the batch write's `hash()` semantics, including NULL → seed 42 — and
+  * lands in that bucket's own lazily-created file; the commit message
+  * names every file the task produced. Generated columns recompute
+  * HERE (once), so a bucket key derived from a generated column routes
+  * on the recomputed value like the batch path. */
+class GraftBucketedDataWriter(stagingDir: String, tag: String,
+                              schema: StructType, conf: SerializableHadoopConf,
+                              gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
+                              nBuckets: Int, keyIdx: Int)
+    extends DataWriter[InternalRow] {
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32
+  private val delegates = new java.util.HashMap[Int, GraftParquetDataWriter]()
+  private val keyType = schema.fields(keyIdx).dataType
+  private lazy val genProj = gen.map(
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create)
+  override def write(row0: InternalRow): Unit = {
+    val row = genProj.fold(row0)(p => p(row0): InternalRow)
+    val h =
+      if (row.isNullAt(keyIdx)) 42 // hash(NULL) leaves the seed — Spark semantics
+      else keyType match {
+        case LongType => Murmur3_x86_32.hashLong(row.getLong(keyIdx), 42)
+        case IntegerType => Murmur3_x86_32.hashInt(row.getInt(keyIdx), 42)
+        case ShortType => Murmur3_x86_32.hashInt(row.getShort(keyIdx).toInt, 42)
+        case _ => Murmur3_x86_32.hashInt(row.getByte(keyIdx).toInt, 42)
+      }
+    val b = ((h % nBuckets) + nBuckets) % nBuckets
+    var w = delegates.get(b)
+    if (w == null) {
+      w = new GraftParquetDataWriter(
+        s"$stagingDir/__bkt=$b/$tag-${UUID.randomUUID.toString.take(8)}.parquet",
+        schema, conf, gen = None) // generation already applied above
+      delegates.put(b, w)
+    }
+    w.write(row)
+  }
+  override def commit(): WriterCommitMessage = {
+    import scala.jdk.CollectionConverters._
+    val msgs = delegates.values.asScala.map(_.commit()).toSeq
+    GraftFilesMessage(msgs.collect { case GraftFileMessage(Some(p), _) => p },
+      msgs.map(_.asInstanceOf[GraftFileMessage].rows).sum)
+  }
+  override def abort(): Unit = {
+    import scala.jdk.CollectionConverters._
+    delegates.values.asScala.foreach(_.abort())
+  }
+  override def close(): Unit = {
+    import scala.jdk.CollectionConverters._
+    delegates.values.asScala.foreach(_.close())
+  }
+}
+
 class GraftStreamingWriterFactory(stagingDir: String, schema: StructType,
                                   conf: SerializableHadoopConf,
-                                  gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
+                                  gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+                                  bucket: Option[(Int, Int)] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new GraftParquetDataWriter(
-      s"$stagingDir/part-e${epochId}-p${partitionId}-${UUID.randomUUID.toString.take(8)}.parquet",
-      schema, conf, gen)
+    bucket match {
+      case Some((n, keyIdx)) =>
+        new GraftBucketedDataWriter(stagingDir, s"part-e$epochId-p$partitionId",
+          schema, conf, gen, n, keyIdx)
+      case None =>
+        new GraftParquetDataWriter(
+          s"$stagingDir/part-e${epochId}-p${partitionId}-${UUID.randomUUID.toString.take(8)}.parquet",
+          schema, conf, gen)
+    }
 }
 
 class GraftBatchWriterFactory(stagingDir: String, schema: StructType,
                               conf: SerializableHadoopConf,
-                              gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
+                              gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+                              bucket: Option[(Int, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftParquetDataWriter(
-      s"$stagingDir/part-p${partitionId}-${UUID.randomUUID.toString.take(8)}.parquet",
-      schema, conf, gen)
+    bucket match {
+      case Some((n, keyIdx)) =>
+        new GraftBucketedDataWriter(stagingDir, s"part-p$partitionId",
+          schema, conf, gen, n, keyIdx)
+      case None =>
+        new GraftParquetDataWriter(
+          s"$stagingDir/part-p${partitionId}-${UUID.randomUUID.toString.take(8)}.parquet",
+          schema, conf, gen)
+    }
 }
 
 /** Native streaming sink into the table format (r9, VERDICT r8 #1):
@@ -225,10 +311,11 @@ class GraftStreamingWrite(base: String, queryId: String, schema: StructType,
     // LOGICAL schema (positional — the physical rename below changes
     // parquet field names, never ordinals)
     new GraftStreamingWriterFactory(s"$base/data/stream_$queryId", physSchema(schema), conf,
-      GenerationProjection.forWrite(spark, base, schema))
+      GenerationProjection.forWrite(spark, base, schema),
+      bucket = GraftWriterBucket.forWrite(spark, base, physSchema(schema)))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val paths = messages.collect { case GraftFileMessage(Some(p), _) => p }.toSeq
+    val paths = GraftStagedPaths.of(messages)
     val committed = TableFormat.exactlyOnceStagedEpoch(
       spark, base, queryId, epochId, paths, schema)
     if (committed.isEmpty && paths.nonEmpty) {
@@ -241,8 +328,33 @@ class GraftStreamingWrite(base: String, queryId: String, schema: StructType,
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = new HadoopPath(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case GraftFileMessage(Some(p), _) => p }
+    GraftStagedPaths.of(messages)
       .foreach(p => try f.delete(new HadoopPath(p), false) catch { case _: Exception => () })
+  }
+}
+
+/** Bucket routing spec for the executor write paths (r12): (nBuckets,
+  * key ordinal in the PHYSICAL write schema), or None when the table
+  * declares no bucket layout, the key column is absent from this
+  * write's schema, or its type is not integral. */
+object GraftWriterBucket {
+  def forWrite(spark: SparkSession, base: String,
+               physSchema: StructType): Option[(Int, Int)] = {
+    val v = TableFormat.latestVersion(spark, base)
+    if (v == 0) return None
+    val props =
+      try TableFormat.manifestProps(spark, base, v)
+      catch { case _: java.io.FileNotFoundException => return None }
+    TableFormat.bucketSpecOf(props).flatMap { case (n, c) =>
+      val cm = TableFormat.manifestColmap(spark, base, v)
+      val phys = cm.getOrElse(c, c)
+      val i = physSchema.fieldNames.indexOf(phys)
+      val integral = i >= 0 && (physSchema.fields(i).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      if (integral) Some((n, i)) else None
+    }
   }
 }
 
@@ -278,10 +390,14 @@ class GraftReplaceWrite(base: String, schema: StructType,
     // generated value — bound on the logical schema, positional
     new GraftBatchWriterFactory(
       s"$base/data/rl_${UUID.randomUUID.toString.take(8)}", phys, conf,
-      GenerationProjection.forWrite(spark, base, schema))
+      GenerationProjection.forWrite(spark, base, schema),
+      // bucketed tables keep their layout through MERGE/UPDATE/DELETE
+      // rewrites (r12) — without this one row-level op demoted the
+      // table off the storage-partitioned-join path until a rewrite
+      bucket = GraftWriterBucket.forWrite(spark, base, phys))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val paths = messages.collect { case GraftFileMessage(Some(p), _) => p }.toSeq
+    val paths = GraftStagedPaths.of(messages)
     // basedOn = the snapshot the operation scan read; a concurrent commit
     // since then means publishing would erase its rows — fail loudly
     // (TableFormat.ConcurrentModificationException), never silently win
@@ -291,7 +407,7 @@ class GraftReplaceWrite(base: String, schema: StructType,
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val f = new HadoopPath(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case GraftFileMessage(Some(p), _) => p }
+    GraftStagedPaths.of(messages)
       .foreach(p => try f.delete(new HadoopPath(p), false) catch { case _: Exception => () })
   }
 }

@@ -1790,6 +1790,70 @@ class GraftTableSpec extends SparkTestBase {
     assert(TableFormat.currentVersion(spark, base) == v2)
   }
 
+  test("bucketed layout survives row-level rewrites and the streaming sink (r12)") {
+    // UPDATE through the group-based rewrite: staged files keep __bkt=
+    val base = s"$wh/db/spj_rl"
+    val p0 = new org.apache.hadoop.fs.Path(base)
+    p0.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p0, true)
+    spark.sql("""CREATE TABLE graft.db.spj_rl (k BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.bucket' = '4:k')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.spj_rl SELECT id, id FROM range(2000)")
+    spark.sql("UPDATE graft.db.spj_rl SET v = v + 1000000 WHERE k BETWEEN 100 AND 199")
+    val entries = TableFormat.manifestEntries(spark, base,
+      TableFormat.currentVersion(spark, base))
+    assert(entries.forall(_.path.contains("__bkt=")),
+      s"row-level rewrite staged unbucketed files:\n${entries.map(_.path).mkString("\n")}")
+    assert(spark.sql("SELECT count(1) FROM graft.db.spj_rl WHERE v >= 1000000")
+      .head.getLong(0) == 100L)
+    // MERGE keeps the layout too
+    spark.sql("SELECT id AS k, id * 7 AS v FROM range(1990, 2010)")
+      .createOrReplaceTempView("spj_rl_src")
+    spark.sql(
+      """MERGE INTO graft.db.spj_rl t USING spj_rl_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val entries2 = TableFormat.manifestEntries(spark, base,
+      TableFormat.currentVersion(spark, base))
+    assert(entries2.forall(_.path.contains("__bkt=")),
+      "MERGE rewrite staged unbucketed files")
+    assert(spark.sql("SELECT count(1) FROM graft.db.spj_rl").head.getLong(0) == 2010L)
+    // the streaming sink routes per-bucket files as well
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base2 = s"$wh/db/spj_sink"
+    val p2 = new org.apache.hadoop.fs.Path(base2)
+    p2.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p2, true)
+    spark.sql("""CREATE TABLE graft.db.spj_sink (k BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.bucket' = '4:k')""".stripMargin)
+    val ck = freshBase("spj_sink_ck")
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF.toDF("k", "v").writeStream.format("graft-table")
+      .option("path", base2).option("checkpointLocation", ck).start()
+    try {
+      mem.addData((0L until 200L).map(i => (i, i * 2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sinkEntries = TableFormat.manifestEntries(spark, base2,
+      TableFormat.currentVersion(spark, base2))
+    assert(sinkEntries.nonEmpty &&
+      sinkEntries.forall(_.path.contains("__bkt=")),
+      s"streaming sink staged unbucketed files:\n${sinkEntries.map(_.path).mkString("\n")}")
+    assert(spark.sql("SELECT count(1) FROM graft.db.spj_sink").head.getLong(0) == 200L)
+    // and the streamed table still storage-partition-joins exchange-free
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j = spark.sql(
+        """SELECT /*+ MERGE(b) */ a.k FROM graft.db.spj_sink a
+          |JOIN graft.db.spj_rl b ON a.k = b.k""".stripMargin)
+      assert(j.collect().length == 200)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketedScan") && !plan.contains("Exchange"),
+        s"streamed bucketed table lost SPJ:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+  }
+
   test("graft.bloom: declared columns carry parquet split-block bloom filters, others don't; point lookups exact (r12)") {
     val base = s"$wh/db/bloom_t"
     val p = new org.apache.hadoop.fs.Path(base)
