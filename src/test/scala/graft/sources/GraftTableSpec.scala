@@ -1790,6 +1790,47 @@ class GraftTableSpec extends SparkTestBase {
     assert(TableFormat.currentVersion(spark, base) == v2)
   }
 
+  test("bucket routing parity: SQL hash expr, V2 bucket function, and the executor writer agree on every key (r12 property)") {
+    // three independent implementations route rows: the batch write's
+    // pmod(hash(k), n) Column expr, the FunctionCatalog's bucket()
+    // (what SPJ compatibility and the v2 bucketing shuffle evaluate),
+    // and the streaming/row-level writer's inline murmur3. Silent drift
+    // between any two would mis-join co-bucketed tables.
+    import org.apache.spark.sql.catalyst.InternalRow
+    val rnd = new scala.util.Random(3)
+    val keys = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue) ++
+      (0 until 200).map(_ => rnd.nextLong())
+    Seq(1, 4, 32, 257).foreach { n =>
+      val viaExpr = spark.createDataFrame(
+          keys.map(k => Tuple1(k))).toDF("k")
+        .select(col("k"), pmod(hash(col("k")), lit(n)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val bound = GraftBucketFunction.bind(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+      keys.foreach { k =>
+        val f = bound.produceResult(InternalRow(n, k)).intValue
+        assert(f == viaExpr(k),
+          s"V2 bucket($n, $k) = $f but the write expr routes to ${viaExpr(k)}")
+        // the executor writer's routing (same arithmetic, inline)
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42)
+        val w = ((h % n) + n) % n
+        assert(w == viaExpr(k), s"writer bucket($n, $k) = $w vs expr ${viaExpr(k)}")
+      }
+    }
+    // int keys route identically through hashInt
+    val intKeys = Seq(0, 7, -7, Int.MaxValue, Int.MinValue)
+    val viaExprI = spark.createDataFrame(intKeys.map(k => Tuple1(k))).toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(8)).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    intKeys.foreach { k =>
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      assert(((h % 8) + 8) % 8 == viaExprI(k), s"int key $k drifts")
+    }
+  }
+
   test("bucketed layout survives row-level rewrites and the streaming sink (r12)") {
     // UPDATE through the group-based rewrite: staged files keep __bkt=
     val base = s"$wh/db/spj_rl"
