@@ -90,13 +90,71 @@ object EmbeddingOps {
               Det.r4(col("g").cast("double") / 1e12 / col("n")).as("centroid"))
       .orderBy(col("label").asc, col("j").asc)
 
+  /** Embedding OUTLIER screen (r12): per-vector squared distance to its
+    * label's centroid — the quality gate that drops mis-embedded /
+    * mislabeled vectors before they poison an ANN index or a
+    * class-balanced sample. Scale shape: the centroid table is
+    * |labels|·dim rows (640 here) and BROADCASTS; the per-vector pass is
+    * one exploded map-side join + a (label, vec_id) re-agg — no
+    * all-pairs anything, cost = one scan at any corpus size.
+    * Determinism: centroids come from the exact 1e-12 grid (same device
+    * as [[embedCentroid]]), per-dimension squared deviations snap to a
+    * 1e-8 grid as BIGINTs, so distances are EXACT integers and the
+    * outlier threshold is an integer compare — no boundary flicker
+    * between engines. */
+  def embedOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val flat = t(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+              posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+    val cent = flat.groupBy(col("label"), col("j"))
+      .agg(sum(floor(col("x") * 1e12 + 0.5).cast("long")).as("g"),
+           count(lit(1)).as("n"))
+      .select(col("label"), col("j"),
+              (col("g").cast("double") / 1e12 / col("n")).as("c"))
+    val d2 = flat.join(broadcast(cent), Seq("label", "j"))
+      .withColumn("dg",
+        floor((col("x") - col("c")) * (col("x") - col("c")) * 1e8 + 0.5)
+          .cast("long"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("dg")).as("d2"))
+    d2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum((col("d2") > lit(200000000L)).cast("long")).as("n_outliers"),
+           max(col("d2")).as("max_d2"))
+      .orderBy(col("label").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_power" -> (embedPcaPower _),
     "embed_centroid" -> (embedCentroid _),
     "embed_normalize" -> (embedNormalize _),
+    "embed_outlier" -> (embedOutlier _),
     "embed_quantize" -> (embedQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "embed_outlier" ->
+      """WITH e AS (
+        |  SELECT label, vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT label, vec_id, g.j AS j, v[g.j] AS x
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) g),
+        |cent AS (
+        |  SELECT label, j,
+        |    CAST(sum(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1e12 / count(1) AS c
+        |  FROM flat GROUP BY label, j),
+        |d AS (
+        |  SELECT f.label, f.vec_id,
+        |    sum(CAST(floor((f.x - c.c) * (f.x - c.c) * 1e8 + 0.5) AS BIGINT)) AS d2
+        |  FROM flat f JOIN cent c ON f.label = c.label AND f.j = c.j
+        |  GROUP BY f.label, f.vec_id)
+        |SELECT label, count(1) AS n_vecs,
+        |  CAST(sum(CASE WHEN d2 > 200000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(max(d2) AS BIGINT) AS max_d2
+        |FROM d GROUP BY label
+        |ORDER BY label ASC NULLS FIRST""".stripMargin,
     "embed_centroid" ->
       """WITH e AS (
         |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

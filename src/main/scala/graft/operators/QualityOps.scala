@@ -193,7 +193,33 @@ object QualityOps {
       .orderBy(col("digit").asc)
   }
 
+  /** DISTRIBUTION DRIFT between two corpus slices (r12) — the
+    * training-data drift monitor: histogram both slices on a bounded
+    * bin grid and report, per bin, the cross-multiplied absolute
+    * deviation |n_a·N_b − n_b·N_a| — an EXACT-integer total-variation
+    * analog (no libm `ln` as PSI would need, so no cross-engine drift
+    * in the drift detector itself). Scale shape: one map-side-combined
+    * agg into ≤ 20 bins, then a 20-row window for the totals — the
+    * shuffle carries the bin count regardless of corpus size. Here the
+    * two slices are the even/odd doc_id halves of `documents` binned on
+    * n_chars; in production they are yesterday's and today's ingest. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(least(lit(19L), floor(col("n_chars") / 30L).cast("long")).as("bin"),
+              (col("doc_id") % 2 === 0).as("in_a"))
+    val binned = docs.groupBy(col("bin"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+           sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    binned
+      .withColumn("xdev",
+        abs(col("n_a") * sum(col("n_b")).over(w) -
+            col("n_b") * sum(col("n_a")).over(w)))
+      .orderBy(col("bin").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_drift" -> (dqDrift _),
     "dq_benford" -> (dqBenford _),
     "dq_outlier_iqr" -> (dqOutlierIqr _),
     "dq_profile" -> (dqProfile _),
@@ -202,6 +228,20 @@ object QualityOps {
     "dq_constraints" -> (dqConstraints _))
 
   val oracle: Map[String, String] = Map(
+    "dq_drift" ->
+      """WITH b AS (
+        |  SELECT least(19, CAST(floor(n_chars / 30) AS BIGINT)) AS bin,
+        |         doc_id % 2 = 0 AS in_a
+        |  FROM documents),
+        |binned AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n_a, n_b,
+        |  CAST(abs(n_a * sum(n_b) OVER () - n_b * sum(n_a) OVER ()) AS BIGINT) AS xdev
+        |FROM binned
+        |ORDER BY bin ASC NULLS FIRST""".stripMargin,
     "dq_benford" ->
       """WITH c AS (
         |  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
