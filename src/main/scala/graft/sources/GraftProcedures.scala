@@ -156,6 +156,52 @@ object TableDetailTvf {
     SqlBridge.registerTableFunction(spark, name, info, builder)
 }
 
+/** `graft_table_files(base[, version])` — the per-FILE inventory as a
+  * composable TVF (r12): one row per manifest entry with its path,
+  * footer row count, live rows (dv-adjusted), on-disk bytes, bucket id
+  * (when the file belongs to a bucketed layout), dv pointer, and
+  * whether the entry carries bounds for the first declared stats
+  * column. `DESCRIBE DETAIL`'s drill-down: what an operator reads to
+  * see WHICH files a compaction/optimize would touch, how skewed the
+  * bucket layout is, or where dv-carrying files concentrate. Pure
+  * metadata — one manifest read + one file-status per entry. */
+object TableFilesTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  val name = "graft_table_files"
+
+  def builder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.nonEmpty && args.length <= 2,
+      s"$name(base[, version]) takes 1-2 arguments, got ${args.length}")
+    val spark = SparkSession.active
+    val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
+    val v =
+      if (args.length == 2)
+        args(1).eval(null).asInstanceOf[Number].intValue
+      else TableFormat.currentVersion(spark, base)
+    val entries = TableFormat.manifestEntries(spark, base, v)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    SqlBridge.analyzed(entries.map { e =>
+      val bytes =
+        try fs.getFileStatus(new org.apache.hadoop.fs.Path(e.path)).getLen
+        catch { case _: java.io.FileNotFoundException => -1L }
+      (e.path, e.rows, e.liveRows, bytes,
+        TableFormat.bucketOfPath(e.path), e.dv, e.dvRows,
+        e.lo.isDefined && e.hi.isDefined)
+    }.toDF("path", "rows", "live_rows", "size_bytes", "bucket",
+           "dv_path", "dv_rows", "has_bounds"))
+  }
+
+  val info = new ExpressionInfo(getClass.getName, name)
+
+  def register(spark: SparkSession): Unit =
+    SqlBridge.registerTableFunction(spark, name, info, builder)
+}
+
 /** `graft_table_branches(base)` — the branch listing as a composable
   * TVF (r11): one row per branch under `base/branches/` with its fork
   * version, current head version, and whether it has diverged from the

@@ -1790,6 +1790,43 @@ class GraftTableSpec extends SparkTestBase {
     assert(TableFormat.currentVersion(spark, base) == v2)
   }
 
+  test("graft_table_files TVF: per-file inventory with live rows, bytes, bucket ids and dv pointers (r12)") {
+    val base = s"$wh/db/files_tvf"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base, (0L until 4000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(4))
+    TableFormat.deleteRowsDV(spark, base, col("k") % 40L === 1L) // 100 rows, dv
+    TableFilesTvf.register(spark)
+    val rows = spark.sql(
+      "SELECT * FROM graft_table_files('db.files_tvf')").collect()
+    val entries = TableFormat.manifestEntries(spark, base, 2)
+    assert(rows.length == entries.size)
+    assert(rows.map(_.getAs[Long]("rows")).sum == 4000L)
+    assert(rows.map(_.getAs[Long]("live_rows")).sum == 3900L, "dv not reflected")
+    assert(rows.forall(_.getAs[Long]("size_bytes") > 0))
+    assert(rows.forall(_.getAs[Boolean]("has_bounds")))
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("bucket"))),
+      "unbucketed files must report NULL bucket")
+    assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("dv_path"))))
+    // version argument: the pre-delete snapshot has no dv pointers
+    val v1 = spark.sql(
+      "SELECT * FROM graft_table_files('db.files_tvf', 1)").collect()
+    assert(v1.forall(_.isNullAt(v1.head.fieldIndex("dv_path"))))
+    assert(v1.map(_.getAs[Long]("live_rows")).sum == 4000L)
+    // bucketed table: bucket ids populate
+    val b2 = s"$wh/db/files_tvf_b"
+    val p2 = new org.apache.hadoop.fs.Path(b2)
+    p2.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p2, true)
+    spark.sql("""CREATE TABLE graft.db.files_tvf_b (k BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.bucket' = '4:k')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.files_tvf_b SELECT id, id FROM range(400)")
+    val bk = spark.sql(
+      "SELECT bucket FROM graft_table_files('db.files_tvf_b')").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(bk == Seq(0, 1, 2, 3), s"bucket ids wrong: $bk")
+  }
+
   test("bucket routing parity: SQL hash expr, V2 bucket function, and the executor writer agree on every key (r12 property)") {
     // three independent implementations route rows: the batch write's
     // pmod(hash(k), n) Column expr, the FunctionCatalog's bucket()
