@@ -239,9 +239,58 @@ object TableFormat {
   private val SchemaPrefix = "#schema\t"
   private val TxnPrefix = "#txn\t"
 
+  /** MANIFEST CACHE (r12). Every table query resolves headers and
+    * entries with SEVERAL reads of the same manifest (schema, stats,
+    * props, colmap, op, entries …) — each a full open+read+parse; at
+    * 100 TB a manifest is a 10⁶-line file and on an object store each
+    * read is a network GET. Manifests are immutable once published
+    * (put-if-absent + rename; never rewritten), so the text and the
+    * parsed entry list cache safely per path. Validity guard: one
+    * `getFileStatus` per access compares (mtime, length) — a table
+    * DROPPED and re-created at the same path from ANOTHER process
+    * (this JVM's own re-publishes invalidate explicitly in
+    * [[writeFileIfAbsent]]) re-reads instead of serving the old
+    * table's snapshot; a VACUUMED manifest fails the status call with
+    * the same FileNotFoundException an uncached read threw. Bounded
+    * LRU — a long-lived session touching thousands of versions cannot
+    * pin them all. */
+  private case class ManifestStamp(mtime: Long, len: Long)
+  private val ManifestCacheMax = 64
+  private def lru[A]() =
+    new java.util.LinkedHashMap[String, (ManifestStamp, A)](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (ManifestStamp, A)]): Boolean =
+        size() > ManifestCacheMax
+    }
+  private val manifestTextCache = lru[String]()
+  private val manifestEntriesCache = lru[Seq[ManifestEntry]]()
+  private def manifestPath(base: String, version: Int): String =
+    s"$base/_manifests/v$version.manifest"
+  private[operators] def invalidateManifest(path: String): Unit = {
+    manifestTextCache.synchronized { manifestTextCache.remove(path); () }
+    manifestEntriesCache.synchronized { manifestEntriesCache.remove(path); () }
+  }
+  private def manifestStamp(spark: SparkSession, path: String): ManifestStamp = {
+    val st = fs(spark, path).getFileStatus(new Path(path)) // FNF exactly like an uncached read
+    ManifestStamp(st.getModificationTime, st.getLen)
+  }
+  private def manifestText(spark: SparkSession, base: String, version: Int): String = {
+    val path = manifestPath(base, version)
+    val stamp = manifestStamp(spark, path)
+    manifestTextCache.synchronized {
+      Option(manifestTextCache.get(path)) match {
+        case Some((s, t)) if s == stamp => return t
+        case _ => ()
+      }
+    }
+    val t = readFile(spark, path)
+    manifestTextCache.synchronized { manifestTextCache.put(path, (stamp, t)); () }
+    t
+  }
+
   private def manifestHeader(spark: SparkSession, base: String, version: Int,
                              prefix: String): Option[String] =
-    readFile(spark, s"$base/_manifests/v$version.manifest")
+    manifestText(spark, base, version)
       .split("\n").find(_.startsWith(prefix)).map(_.substring(prefix.length))
 
   /** The schema snapshot `version` was committed with. */
@@ -592,6 +641,11 @@ object TableFormat {
         out.close()
         val fc = FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
         fc.rename(tmp, p) // NO overwrite option: dst must not exist
+        // a re-created table can re-publish a version number an older
+        // incarnation once used (tests drop+recreate constantly; users
+        // DROP+CREATE) — this JVM's cache entries for the path are now
+        // stale regardless of the (mtime, len) guard
+        invalidateManifest(path)
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -1620,11 +1674,29 @@ object TableFormat {
     }
   }
 
-  /** The manifest entries (file + stats) of snapshot `version`. */
-  def manifestEntries(spark: SparkSession, base: String, version: Int): Seq[ManifestEntry] =
-    readFile(spark, s"$base/_manifests/v$version.manifest")
+  /** The manifest entries (file + stats) of snapshot `version` — parsed
+    * once per (path, stamp) and served from the bounded cache (r12):
+    * the entry list is the hot metadata object (every scan, write
+    * rebase, CDF step, and maintenance pass walks it), and at 10⁶ files
+    * re-parsing it per access dominates driver planning time. */
+  def manifestEntries(spark: SparkSession, base: String, version: Int): Seq[ManifestEntry] = {
+    val path = manifestPath(base, version)
+    val stamp = manifestStamp(spark, path)
+    manifestEntriesCache.synchronized {
+      Option(manifestEntriesCache.get(path)) match {
+        case Some((s, e)) if s == stamp => return e
+        case _ => ()
+      }
+    }
+    val parsed = manifestText(spark, base, version)
       .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(ManifestEntry.parse)
+    manifestEntriesCache.synchronized {
+      manifestEntriesCache.put(path, (stamp, parsed))
+      ()
+    }
+    parsed
+  }
 
   /** DELETION VECTORS (r10) — merge-on-read deletes. A dv file is a
     * parquet relation of (file_path, row_index) pairs naming the rows
