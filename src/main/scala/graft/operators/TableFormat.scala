@@ -1361,13 +1361,17 @@ object TableFormat {
     val (dropped, straddling) = touched.partition(e =>
       e.lo.exists(_ >= lo) && e.hi.exists(_ <= hi) && e.nullFree)
     val _ = dropped // named for clarity: fully-covered files just vanish from the manifest
+    // bucketed tables keep their layout through the rewrite (review
+    // r12): a CoW DELETE staging plain files would silently knock the
+    // table off the storage-partitioned-join path
+    val bucket = bucketSpecOf(manifestProps(spark, base, v))
     val rewritten =
       if (straddling.isEmpty) Seq.empty
-      else writeDataFiles(spark, base, newCommitDir(base, version),
+      else writeDataFilesNdv(spark, base, newCommitDir(base, version),
         readEntriesDf(spark, base, v, straddling) // dv-aware: a straddling
           // file's already-deleted rows must not resurrect in the rewrite
           .filter(!(col(statsCol) >= lo && col(statsCol) <= hi) || col(statsCol).isNull),
-        Some(statsCol))
+        Some(statsCol), bucketBy = bucket).entries
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
     val out = writeManifest(spark, base, version, schemaJson, untouched ++ rewritten,
@@ -1444,9 +1448,13 @@ object TableFormat {
     // declared column's index for every later commit
     val declared = manifestStatsCols(spark, base, v)
     val outStats = if (declared.headOption.contains(key)) declared else Seq(key)
-    val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
-      merged.repartitionByRange(nFiles, outStats.map(col): _*),
-      outStats.headOption, outStats.drop(1).headOption, outStats.drop(2))
+    // bucketed tables keep their layout through the merge rewrite (r12)
+    val bucket = bucketSpecOf(manifestProps(spark, base, v))
+    val rewritten = writeDataFilesNdv(spark, base, newCommitDir(base, version),
+      if (bucket.isDefined) merged
+      else merged.repartitionByRange(nFiles, outStats.map(col): _*),
+      outStats.headOption, outStats.drop(1).headOption, outStats.drop(2),
+      bucketBy = bucket).entries
     val out = writeManifest(spark, base, version, schemaJson,
       untouched ++ rewritten, txn = None, statsCols = outStats, op = "merge")
     (out, touched.size, entries.size)
@@ -1495,9 +1503,10 @@ object TableFormat {
     // delete's masked rows must not resurrect through the rewrite)
     val survivors = readEntriesDf(spark, base, v, touched)
       .join(keys.select(col(key)), Seq(key), "left_anti")
-    val rewritten = writeDataFiles(spark, base, newCommitDir(base, version),
+    val rewritten = writeDataFilesNdv(spark, base, newCommitDir(base, version),
       survivors, statsCols.headOption, statsCols.drop(1).headOption,
-      statsCols.drop(2))
+      statsCols.drop(2),
+      bucketBy = bucketSpecOf(manifestProps(spark, base, v))).entries
     val out = writeManifest(spark, base, version, schemaJson,
       untouched ++ rewritten, txn = None, statsCols = statsCols, op = "delete")
     maybeAutoAnalyze(spark, base, out)
@@ -2171,31 +2180,53 @@ object TableFormat {
     * filesTotal). */
   def replaceWhereCommit(spark: SparkSession, base: String, data: DataFrame,
                          cond: Column, touched: Seq[ManifestEntry],
+                         basedOnVersion: Int,
                          bucketBy: Option[(Int, String)] = None): (Int, Int, Int) = {
-    val v = currentVersion(spark, base)
+    // anchored to the SNAPSHOT the caller pruned against (review r12):
+    // the commit claims slot basedOn+1, so a concurrent commit landing
+    // after the caller's scan makes the CAS fail loudly
+    // (CommitConflictException) instead of carrying the concurrent
+    // files past the replace unexamined
+    val v = basedOnVersion
     val version = v + 1
     val entries = manifestEntries(spark, base, v)
     val statsCols = manifestStatsCols(spark, base, v)
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    val leaks = data.filter(!coalesce(cond, lit(false))).limit(1).count()
-    require(leaks == 0,
-      "REPLACE WHERE: incoming rows fall OUTSIDE the replaced region — " +
-        "every inserted row must satisfy the REPLACE WHERE condition " +
-        "(widen the condition or filter the data)")
     val untouched = entries.filterNot(touched.toSet)
+    // the Delta replaceWhere validation — incoming rows must ALL satisfy
+    // the condition — accumulates IN-FLIGHT through the write itself
+    // (review r12): one pass instead of a separate pre-scan, and the
+    // rows VALIDATED are exactly the rows WRITTEN (a nondeterministic
+    // source cannot pass the check with one sample and leak another)
+    val obs = new org.apache.spark.sql.Observation()
+    val dataObs = data.observe(obs,
+      sum(when(!coalesce(cond, lit(false)), 1L).otherwise(0L)).as("leaks"))
     val survivors =
       if (touched.isEmpty) None
       else Some(readEntriesDf(spark, base, v, touched)
         .filter(!coalesce(cond, lit(false))))
-    val merged = survivors.fold(data)(sv => sv.unionByName(data))
+    val merged = survivors.fold(dataObs: DataFrame)(sv => sv.unionByName(dataObs))
     val nF = math.max(2, spark.sparkContext.defaultParallelism / 8)
     val clustered =
       if (bucketBy.isDefined || statsCols.isEmpty) merged
       else merged.repartitionByRange(nF, statsCols.map(col): _*)
-    val staged = writeDataFilesNdv(spark, base, newCommitDir(base, version),
+    val commitDir = newCommitDir(base, version)
+    val staged = writeDataFilesNdv(spark, base, commitDir,
       clustered, statsCols.headOption, statsCols.drop(1).headOption,
       statsCols.drop(2), collectNdv = true, bucketBy = bucketBy)
+    val leaks = obs.get.get("leaks")
+      .collect { case n: Number => n.longValue }.getOrElse(0L)
+    if (leaks > 0) {
+      // refuse BEFORE any manifest exists; the staged dir is reclaimed
+      // now (and by vacuum if this delete itself fails)
+      try fs(spark, base).delete(new Path(commitDir), true)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new IllegalArgumentException(
+        s"REPLACE WHERE: $leaks incoming row(s) fall OUTSIDE the replaced " +
+          "region — every inserted row must satisfy the REPLACE WHERE " +
+          "condition (widen the condition or filter the data)")
+    }
     val out = writeManifest(spark, base, version, schemaJson,
       untouched ++ staged.entries, txn = None, statsCols = statsCols,
       op = "replace",
@@ -2268,26 +2299,43 @@ object TableFormat {
     val entries = manifestEntries(spark, base, v)
     if (entries.size < 2) return (v, 0, entries.size)
     val f = fs(spark, base)
-    def lohi(e: ManifestEntry): Option[(Long, Long)] =
-      for { lo <- e.statsAt(0)._1; hi <- e.statsAt(0)._2 } yield (lo, hi)
-    val (bounded, statless) = entries.partition(e => lohi(e).isDefined)
-    val (smalls, candidates) =
-      if (smallBytes <= 0) (Seq.empty[ManifestEntry], bounded)
-      else bounded.partition(e =>
-        f.getFileStatus(new Path(e.path)).getLen < smallBytes)
-    // greedy max disjoint set by upper bound; ties by lower bound
-    var lastHi = Long.MinValue
-    var first = true
-    val conforming = candidates.sortBy(e => lohi(e).get.swap).filter { e =>
-      val (lo, hi) = lohi(e).get
-      if (first || lo > lastHi) { lastHi = hi; first = false; true }
-      else false
+    // the leading cluster key's bounds live in the NUMERIC slot for
+    // integral keys and the STRING slot (`sext`, byte order) for string
+    // keys (review r12): reading only lo/hi classified every file of a
+    // lang-clustered table as stat-less and each pass rewrote 100 % of
+    // the snapshot — the exact cost the feature exists to avoid
+    val firstIsString = manifestSchema(spark, base, v).exists(sch =>
+      declared.headOption.flatMap(c => sch.fields.find(_.name == c))
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+    def greedyDisjoint[A](get: ManifestEntry => Option[(A, A)])(
+        implicit ord: Ordering[A]): Seq[ManifestEntry] = {
+      val bounded = entries.filter(e => get(e).isDefined)
+      val candidates =
+        if (smallBytes <= 0) bounded
+        else bounded.filterNot(e =>
+          f.getFileStatus(new Path(e.path)).getLen < smallBytes)
+      // greedy max disjoint set by upper bound; ties by lower bound
+      var lastHi: Option[A] = None
+      candidates.sortBy(e => get(e).get.swap)(Ordering.Tuple2(ord, ord))
+        .filter { e =>
+          val (lo, hi) = get(e).get
+          if (lastHi.forall(h => ord.gt(lo, h))) { lastHi = Some(hi); true }
+          else false
+        }
     }
+    val conforming =
+      if (firstIsString)
+        greedyDisjoint(e => for {
+          lo <- e.strStatsAt(0)._1; hi <- e.strStatsAt(0)._2
+        } yield (lo, hi))(utf8Ordering)
+      else
+        greedyDisjoint(e => for {
+          lo <- e.statsAt(0)._1; hi <- e.statsAt(0)._2
+        } yield (lo, hi))
     val violators = entries.filterNot(conforming.toSet)
     if (violators.isEmpty) return (v, 0, entries.size)
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    val _ = (statless, smalls) // named for clarity: both sets are violators
     // dv-aware read: rewriting a dv-carrying violator MATERIALIZES its
     // deletes; a dv-carrying CONFORMING file carries its dv pointer
     val df = readEntriesDf(spark, base, v, violators)
@@ -2483,18 +2531,27 @@ object TableFormat {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(keyCols.map(col): _*)
             val ct = col("_change_type")
+            // per (key, side) ordinal: only min(inserts, deletes) rows
+            // per key pair up (review r12) — the PK is RELY, so a key
+            // CAN legally carry 2 inserts + 1 delete in one commit, and
+            // re-tagging all three would hand a CDC consumer an
+            // unpaired postimage; the excess rows keep their honest
+            // insert/delete tags
+            val ws = org.apache.spark.sql.expressions.Window
+              .partitionBy((keyCols.map(col) :+ ct): _*).orderBy(lit(1))
             val keyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
             Seq(ins.unionByName(del)
               .withColumn("__ni",
                 sum(when(ct === "insert", 1).otherwise(0)).over(w))
               .withColumn("__nd",
                 sum(when(ct === "delete", 1).otherwise(0)).over(w))
+              .withColumn("__rn", row_number().over(ws))
               .withColumn("_change_type",
-                when(keyed && col("__ni") > 0 && col("__nd") > 0,
+                when(keyed && col("__rn") <= least(col("__ni"), col("__nd")),
                   when(ct === "insert", lit("update_postimage"))
                     .otherwise(lit("update_preimage")))
                   .otherwise(ct))
-              .drop("__ni", "__nd"))
+              .drop("__ni", "__nd", "__rn"))
           }
       }
     }
@@ -3327,10 +3384,11 @@ object TableFormat {
     val untouched = entries.filterNot(touched.toSet)
     val rewritten =
       if (touched.isEmpty) Seq.empty
-      else writeDataFiles(spark, base, newCommitDir(base, version),
+      else writeDataFilesNdv(spark, base, newCommitDir(base, version),
         readEntriesDf(spark, base, v, touched) // dv-aware (see deleteWhere)
           .filter(!coalesce(cond, lit(false))),
-        statsCols.headOption, statsCols.drop(1).headOption, statsCols.drop(2))
+        statsCols.headOption, statsCols.drop(1).headOption, statsCols.drop(2),
+        bucketBy = bucketSpecOf(manifestProps(spark, base, v))).entries
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
     val out = writeManifest(spark, base, version, schemaJson, untouched ++ rewritten,

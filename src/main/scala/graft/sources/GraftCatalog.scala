@@ -839,17 +839,25 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
                   "graft-table: REPLACE WHERE into an identity table is " +
                     "not supported — identity allocation needs the " +
                     "append path")
-                val cond = replaceFilters.flatMap(GraftScanBuilder.toColumn)
-                  .reduceOption(_ && _)
-                  .getOrElse(throw new UnsupportedOperationException(
-                    "graft-table REPLACE WHERE: cannot translate " +
-                      s"${replaceFilters.mkString(", ")} to a row predicate"))
+                // EVERY conjunct must translate (review r12): dropping an
+                // untranslatable one (Not, EqualNullSafe, StartsWith …)
+                // would silently WIDEN the replaced region — the weakened
+                // predicate deletes rows the user's condition excluded,
+                // and the leak check (validated against the same weakened
+                // predicate) cannot catch it
+                val cond = replaceFilters.toSeq.map { f =>
+                  GraftScanBuilder.toColumn(f).getOrElse(
+                    throw new UnsupportedOperationException(
+                      "graft-table REPLACE WHERE: cannot translate filter " +
+                        s"$f to a row predicate — rewrite the condition with " +
+                        "=, <, <=, >, >=, IN, IS [NOT] NULL, AND, OR"))
+                }.reduce(_ && _)
                 val v = TableFormat.currentVersion(s, base)
                 val sb = new GraftScanBuilder(base, v, schema(),
                   TableFormat.manifestStatsCols(s, base, v), s, 0)
                 sb.pushFilters(replaceFilters)
                 TableFormat.replaceWhereCommit(s, base, data, cond,
-                  sb.keptEntries(), bucketBy = bucketSpec)
+                  sb.keptEntries(), basedOnVersion = v, bucketBy = bucketSpec)
                 ()
               } else if (identityCols.nonEmpty)
                 TableFormat.appendCommitIdentity(s, base, data, identityCols,
@@ -1630,11 +1638,36 @@ class GraftBucketReaderFactory(readSchema: StructType, conf: SerializableHadoopC
   }
 }
 
+/** THE bucket routing — `pmod(murmur3_hash(value), n)` with Spark's
+  * seed 42 and its per-type hash variants (byte/short/int as ints,
+  * longs as longs, NULL leaves the seed). One implementation shared by
+  * the V2 `bucket` function and the executor row writers; the batch
+  * write's `pmod(hash(col), n)` Column expr is Spark's own codegen of
+  * the same arithmetic, and GraftTableSpec's parity property pins all
+  * three together — a type added here without a write-expr audit still
+  * fails that spec rather than silently mis-joining. */
+object GraftBucketRouting {
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32
+  def of(dt: DataType, row: InternalRow, idx: Int, n: Int): Int = {
+    val h =
+      if (row.isNullAt(idx)) 42
+      else dt match {
+        case LongType => Murmur3_x86_32.hashLong(row.getLong(idx), 42)
+        case IntegerType => Murmur3_x86_32.hashInt(row.getInt(idx), 42)
+        case ShortType => Murmur3_x86_32.hashInt(row.getShort(idx).toInt, 42)
+        case ByteType => Murmur3_x86_32.hashInt(row.getByte(idx).toInt, 42)
+        case other => throw new UnsupportedOperationException(
+          s"graft bucket: unsupported key type ${other.simpleString} (integral only)")
+      }
+    ((h % n) + n) % n
+  }
+}
+
 /** The catalog's V2 `bucket` function — EXACTLY the bucketed write
-  * path's routing, `pmod(murmur3_hash(col), n)` with Spark's seed 42,
-  * so the partition values two scans report are comparable and a
-  * runtime re-bucketing of an unbucketed join side (the v2 bucketing
-  * shuffle) lands rows where the layout would have. */
+  * path's routing ([[GraftBucketRouting]]), so the partition values two
+  * scans report are comparable and a runtime re-bucketing of an
+  * unbucketed join side (the v2 bucketing shuffle) lands rows where the
+  * layout would have. */
 object GraftBucketFunction
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
   import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
@@ -1656,19 +1689,8 @@ object GraftBucketFunction
     override def name(): String = "bucket"
     override def canonicalName(): String = "graft.bucket"
     override def isResultNullable: Boolean = false
-    override def produceResult(input: InternalRow): Integer = {
-      import org.apache.spark.unsafe.hash.Murmur3_x86_32
-      val n = input.getInt(0)
-      // the Murmur3 variants Spark's own hash() applies per type (its
-      // seed is 42): byte/short/int hash as ints, longs as longs
-      val h = dt match {
-        case LongType => Murmur3_x86_32.hashLong(input.getLong(1), 42)
-        case IntegerType => Murmur3_x86_32.hashInt(input.getInt(1), 42)
-        case ShortType => Murmur3_x86_32.hashInt(input.getShort(1).toInt, 42)
-        case _ => Murmur3_x86_32.hashInt(input.getByte(1).toInt, 42)
-      }
-      ((h % n) + n) % n
-    }
+    override def produceResult(input: InternalRow): Integer =
+      GraftBucketRouting.of(dt, input, 1, input.getInt(0))
   }
 }
 

@@ -191,7 +191,11 @@ object TableFilesTvf {
         catch { case _: java.io.FileNotFoundException => -1L }
       (e.path, e.rows, e.liveRows, bytes,
         TableFormat.bucketOfPath(e.path), e.dv, e.dvRows,
-        e.lo.isDefined && e.hi.isDefined)
+        // first declared key's bounds — NUMERIC slot for integral keys,
+        // STRING slot (sext) for string keys (review r12: checking only
+        // lo/hi reported a healthy lang-clustered index as broken)
+        (e.lo.isDefined && e.hi.isDefined) ||
+          (e.strStatsAt(0)._1.isDefined && e.strStatsAt(0)._2.isDefined))
     }.toDF("path", "rows", "live_rows", "size_bytes", "bucket",
            "dv_path", "dv_rows", "has_bounds"))
   }

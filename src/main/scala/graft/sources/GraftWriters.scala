@@ -203,22 +203,14 @@ class GraftBucketedDataWriter(stagingDir: String, tag: String,
                               gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
                               nBuckets: Int, keyIdx: Int)
     extends DataWriter[InternalRow] {
-  import org.apache.spark.unsafe.hash.Murmur3_x86_32
   private val delegates = new java.util.HashMap[Int, GraftParquetDataWriter]()
   private val keyType = schema.fields(keyIdx).dataType
   private lazy val genProj = gen.map(
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create)
   override def write(row0: InternalRow): Unit = {
     val row = genProj.fold(row0)(p => p(row0): InternalRow)
-    val h =
-      if (row.isNullAt(keyIdx)) 42 // hash(NULL) leaves the seed — Spark semantics
-      else keyType match {
-        case LongType => Murmur3_x86_32.hashLong(row.getLong(keyIdx), 42)
-        case IntegerType => Murmur3_x86_32.hashInt(row.getInt(keyIdx), 42)
-        case ShortType => Murmur3_x86_32.hashInt(row.getShort(keyIdx).toInt, 42)
-        case _ => Murmur3_x86_32.hashInt(row.getByte(keyIdx).toInt, 42)
-      }
-    val b = ((h % nBuckets) + nBuckets) % nBuckets
+    // one shared kernel with the V2 bucket function — see GraftBucketRouting
+    val b = GraftBucketRouting.of(keyType, row, keyIdx, nBuckets)
     var w = delegates.get(b)
     if (w == null) {
       w = new GraftParquetDataWriter(

@@ -1219,6 +1219,55 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readSnapshot(spark, base, Some(v2)).count() == 110000L)
   }
 
+  test("incremental optimize reads STRING leading-key bounds — a lang-clustered body carries by reference (r12 review)") {
+    val base = freshBase("tf_opt_incr_str")
+    val langs = Seq("ar", "de", "en", "fr", "ja", "ko", "pt", "zh")
+    // clustered body: one file per language band (string-range clustered)
+    TableFormat.commit(spark, base,
+      (0L until 8000L).map(i => (langs((i % 8).toInt), i)).toDF("lang", "doc_id"),
+      1, None, statsCol = Some("lang"), clusterFiles = Some(8))
+    val v1 = TableFormat.manifestEntries(spark, base, 1)
+    assert(v1.forall(e => e.strStatsAt(0)._1.isDefined), "premise: string bounds")
+    // a small tail append straddling every language
+    TableFormat.appendCommit(spark, base,
+      langs.zipWithIndex.map { case (l, i) => (l, 100000L + i) }.toDF("lang", "doc_id"),
+      statsCol = Some("lang"))
+    val total = TableFormat.manifestEntries(spark, base, 2).size
+    val (v3, rewritten, tot) = TableFormat.optimizeIncremental(spark, base)
+    assert(tot == total)
+    assert(rewritten < tot,
+      s"string-clustered body fully rewritten ($rewritten/$tot) — string bounds unread")
+    assert(rewritten >= 1)
+    assert(TableFormat.readSnapshot(spark, base, Some(v3)).count() == 8008L)
+  }
+
+  test("CDF update pairing caps at min(inserts, deletes) per key — excess rows keep honest tags (r12 review)") {
+    val base = freshBase("tf_cdf_mult")
+    TableFormat.commit(spark, base,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), 1, None,
+      statsCol = Some("k"))
+    TableFormat.alterConstraintsCommit(spark, base,
+      upsert = Some("pk" -> "PK:k")) // RELY key — duplicates still legal
+    // replace: key 1 gets ONE delete (old row) and TWO inserts; key 2
+    // updates cleanly; key 3 is deleted; key 4 is a pure insert
+    TableFormat.commit(spark, base,
+      Seq((1L, 11L), (1L, 12L), (2L, 21L), (4L, 40L)).toDF("k", "v"),
+      3, parent = None, statsCol = Some("k"))
+    val ch = TableFormat.readChanges(spark, base, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    def of(t: String) = ch.filter(_._3 == t).map(c => (c._1, c._2)).sorted
+    // key 2: clean pair; key 1: exactly ONE pair + one honest insert
+    assert(of("update_preimage").contains((2L, 20L)))
+    assert(of("update_postimage").contains((2L, 21L)))
+    assert(of("update_preimage").count(_._1 == 1L) == 1,
+      s"key 1 must contribute exactly one preimage: $ch")
+    assert(of("update_postimage").count(_._1 == 1L) == 1)
+    assert(of("insert").count(_._1 == 1L) == 1,
+      s"key 1's excess insert must stay tagged insert: $ch")
+    assert(of("insert").contains((4L, 40L)))
+    assert(of("delete") == Seq((3L, 30L)), s"key 3 is a genuine delete: $ch")
+  }
+
   test("auto-analyze: a heavy delete rebuilds stale NDV only under graft.analyze.auto; light deletes never trigger (r12, VERDICT r11 #7)") {
     def est(base: String): Long = {
       val v = TableFormat.currentVersion(spark, base)

@@ -1825,6 +1825,20 @@ class GraftTableSpec extends SparkTestBase {
       "SELECT bucket FROM graft_table_files('db.files_tvf_b')").collect()
       .map(_.getInt(0)).sorted.toSeq
     assert(bk == Seq(0, 1, 2, 3), s"bucket ids wrong: $bk")
+    // string-clustered tables report their (string-slot) bounds as
+    // present (r12 review: the numeric-only check read a healthy
+    // lang-clustered index as broken)
+    val b3 = s"$wh/db/files_tvf_s"
+    val p3 = new org.apache.hadoop.fs.Path(b3)
+    p3.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p3, true)
+    TableFormat.commit(spark, b3,
+      (0L until 800L).map(i => (Seq("de", "en", "fr", "ja")((i % 4).toInt), i))
+        .toDF("lang", "doc_id"),
+      1, None, statsCol = Some("lang"), clusterFiles = Some(4))
+    val sb = spark.sql(
+      "SELECT has_bounds FROM graft_table_files('db.files_tvf_s')").collect()
+    assert(sb.nonEmpty && sb.forall(_.getBoolean(0)),
+      "string-clustered files must report has_bounds = true")
   }
 
   test("bucket routing parity: SQL hash expr, V2 bucket function, and the executor writer agree on every key (r12 property)") {
@@ -1895,6 +1909,15 @@ class GraftTableSpec extends SparkTestBase {
     assert(entries2.forall(_.path.contains("__bkt=")),
       "MERGE rewrite staged unbucketed files")
     assert(spark.sql("SELECT count(1) FROM graft.db.spj_rl").head.getLong(0) == 2010L)
+    // SQL DELETE (SupportsDelete → CoW deleteRows) keeps the layout too
+    // (r12 review: the delete path staged plain files and silently
+    // demoted the table off SPJ)
+    spark.sql("DELETE FROM graft.db.spj_rl WHERE k BETWEEN 300 AND 349")
+    val entries3 = TableFormat.manifestEntries(spark, base,
+      TableFormat.currentVersion(spark, base))
+    assert(entries3.forall(_.path.contains("__bkt=")),
+      "CoW DELETE staged unbucketed files")
+    assert(spark.sql("SELECT count(1) FROM graft.db.spj_rl").head.getLong(0) == 1960L)
     // the streaming sink routes per-bucket files as well
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1930,6 +1953,41 @@ class GraftTableSpec extends SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     }
+  }
+
+  test("REPLACE WHERE hardening: untranslatable conjuncts refuse (never widen), stale-snapshot commits conflict loudly (r12 review)") {
+    val base = s"$wh/db/rw_hard"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base, (0L until 1000L).map(i => (i, i)).toDF("k", "v"),
+      1, None, statsCol = Some("k"))
+    // NOT k = 5 has no source-filter translation: dropping it would
+    // WIDEN the replaced region and delete row k=5 the user excluded —
+    // the write must refuse, not guess
+    val e = intercept[Exception] {
+      spark.sql(
+        """INSERT INTO graft.db.rw_hard REPLACE WHERE k < 100 AND NOT k = 5
+          |SELECT id AS k, id AS v FROM range(0, 100) WHERE id <> 5""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot translate")),
+      s"expected the translation refusal, got: ${msgs(e).mkString(" | ")}")
+    assert(TableFormat.currentVersion(spark, base) == 1, "refusal must commit nothing")
+    assert(spark.sql("SELECT count(1) FROM graft.db.rw_hard").head.getLong(0) == 1000L)
+    // a commit landing between the caller's scan and the replace commit
+    // must CONFLICT, not silently carry the concurrent files past the
+    // replace: anchor at a stale snapshot and watch the CAS refuse
+    val staleEntries = TableFormat.manifestEntries(spark, base, 1)
+    TableFormat.appendCommit(spark, base,
+      Seq((5000L, 5000L)).toDF("k", "v"), statsCol = Some("k")) // v2 lands
+    intercept[TableFormat.CommitConflictException] {
+      TableFormat.replaceWhereCommit(spark, base,
+        Seq((10L, 99L)).toDF("k", "v"), col("k") === 10L,
+        staleEntries.filter(_.mayMatch(10L, 10L)), basedOnVersion = 1)
+    }
+    assert(spark.sql("SELECT count(1) FROM graft.db.rw_hard").head.getLong(0) == 1001L,
+      "conflicted replace must leave the table untouched")
   }
 
   test("graft.bloom: declared columns carry parquet split-block bloom filters, others don't; point lookups exact (r12)") {
