@@ -1269,12 +1269,19 @@ object TableFormat {
     val collectCols: Seq[String] =
       if (statsCol.isDefined && declared0.headOption == statsCol) declared0
       else statsCol.toSeq
+    // bucketed tables keep their layout through programmatic commits
+    // too (r12) — same rule as the SQL insert path
+    val bucket =
+      if (version <= 1) None
+      else
+        try bucketSpecOf(manifestProps(spark, base, version - 1))
+        catch { case _: java.io.FileNotFoundException => None }
     val clustered =
-      if (collectCols.isEmpty) df
+      if (collectCols.isEmpty || bucket.isDefined) df
       else df.repartitionByRange(nFiles, collectCols.map(col): _*)
     val staged0 = writeDataFilesNdv(spark, base, newCommitDir(base, version), clustered,
       collectCols.headOption, collectCols.drop(1).headOption, collectCols.drop(2),
-      collectNdv = true)
+      collectNdv = true, bucketBy = bucket)
     val entries = staged0.entries
     val freshNdv = staged0.ndv
     val parentEntries = parent.toSeq.flatMap(v => manifestEntries(spark, base, v))
