@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // r12: SQL views need the extensions-injected analyzer rule
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // broadcast/RDD cleanup is driven by driver GC; the default periodic
       // GC interval (30 min) lets hundreds of per-query broadcasts pile up
       // over a ~100-query sweep and the resulting heap pressure inflated

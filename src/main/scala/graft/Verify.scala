@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r12: analyzer-level features (SQL views) need build-time
+      // extension injection — everything else self-registers lazily
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // keep broadcast/RDD cleanup flowing across the ~100-query dump
       // (default periodic GC is 30 min — see Bench.scala)
       .config("spark.cleaner.periodicGC.interval", "2min")

@@ -77,6 +77,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(CountMin.estimateDescription)
     e.injectOptimizerRule(_ => graft.plans.PushVecNormThroughJoin)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // r12: SQL views on the graft catalog — the analyzer wiring OSS
+    // Spark doesn't ship for its own ViewCatalog SPI. DDL interception
+    // must run BEFORE the Resolution batch (ResolveSessionCatalog throws
+    // UNSUPPORTED_FEATURE for non-session-catalog view DDL there), hence
+    // the hint-resolution batch; view-read expansion runs in Resolution.
+    // Only injectable at session build, hence extensions-only (unlike
+    // the lazily self-registering tiers above).
+    e.injectHintResolutionRule(s => graft.plans.ResolveGraftViewDdl(s))
+    e.injectResolutionRule(s => graft.plans.ResolveGraftViews(s))
     e.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableChangesTvf.name),
       graft.sources.TableChangesTvf.info,

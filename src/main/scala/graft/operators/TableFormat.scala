@@ -1065,7 +1065,8 @@ object TableFormat {
   def appendCommit(spark: SparkSession, base: String, df: DataFrame,
                    statsCol: Option[String] = None, maxRetries: Int = 10,
                    bucketBy: Option[(Int, String)] = None,
-                   replace: Boolean = false): Int = {
+                   replace: Boolean = false,
+                   setProps: Map[String, String] = Map.empty): Int = {
     val nFiles = math.max(2, spark.sparkContext.defaultParallelism / 8)
     // when the caller's statsCol IS the table's declared first cluster
     // column, collect bounds for EVERY declared column (r11, VERDICT
@@ -1144,10 +1145,18 @@ object TableFormat {
         }
         StructType(ps.fields ++ added)
       }
+      // `setProps` (r12, materialized views): property updates travel IN
+      // the data commit — refresh bookkeeping (`graft.mv.version`) can
+      // never be observed apart from the state it describes
+      val propsOut =
+        if (setProps.isEmpty) None
+        else Some((if (parentV == 0) Map.empty[String, String]
+                   else manifestProps(spark, base, parentV)) ++ setProps)
       try
         return writeManifest(spark, base, parentV + 1, mergedSchema.json,
           parentEntries ++ publishable, txn = None, statsCols = statsCols,
           op = if (replace) "replace" else "append",
+          props = propsOut,
           ndv = ndvOut(spark, base, parentV, freshNdv, mergeParent = !replace))
       catch {
         case e: CommitConflictException =>

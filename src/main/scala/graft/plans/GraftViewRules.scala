@@ -1,0 +1,359 @@
+package graft.plans
+
+import java.util.Locale
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.StringUtils
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{GraftCatalog, GraftView, GraftViews}
+
+/** SQL views over the graft catalog (r12).
+  *
+  * OSS Spark 4.1 ships the DSv2 `ViewCatalog` SPI with NO engine wiring:
+  * `ResolveSessionCatalog` throws `UNSUPPORTED_FEATURE.CATALOG_OPERATION`
+  * for any view DDL aimed at a non-session catalog — implementing the
+  * SPI alone changes nothing, the analyzer must be extended (the public
+  * Iceberg view-extension design, re-derived). Two rules, two injection
+  * points, both registered by `GraftExtensions`:
+  *
+  *  - [[ResolveGraftViewDdl]] runs in the HINT-RESOLUTION batch — i.e.
+  *    BEFORE the Resolution batch where `ResolveSessionCatalog` throws —
+  *    and rewrites view DDL whose (still unresolved) identifier lands in
+  *    a [[GraftCatalog]] into plain [[LeafRunnableCommand]]s; Spark's own
+  *    command machinery executes them, no planner strategy needed.
+  *  - [[ResolveGraftViews]] runs in the Resolution batch and expands an
+  *    [[UnresolvedRelation]] naming a stored view into the view's
+  *    ANALYZED plan: parse the stored text, QUALIFY relative table names
+  *    against the view's CREATE-time catalog/namespace (so the text
+  *    means the same tables from any session), then run a nested full
+  *    analysis — which transparently handles CTEs/windows/nested views
+  *    (the same nested-analysis trick v1 view resolution uses), with a
+  *    thread-local expansion stack turning cycles into a loud error
+  *    instead of analyzer divergence.
+  *
+  * A view read is therefore indistinguishable, by the end of analysis,
+  * from the user having inlined the view text: filter pushdown, column
+  * pruning, and the manifest's file-skipping index all apply unchanged —
+  * and the view re-plans against CURRENT table state every read (late
+  * binding; base-table schema evolution flows through).
+  */
+case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftViewCommands._
+  import GraftViewRules._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _, props,
+        originalText, _, allowExisting, replace, _)
+        if graftCatalogOf(spark, parts).isDefined =>
+      val (gc, ident) = graftCatalogOf(spark, parts).get
+      val text = originalText.getOrElse(throw new IllegalArgumentException(
+        "graft views: CREATE VIEW requires the original query text"))
+      val cm = spark.sessionState.catalogManager
+      CreateGraftViewCommand(gc, ident, text,
+        userCols.map(_._1), userCols.map(_._2.getOrElse("")),
+        comment, props, allowExisting, replace,
+        cm.currentCatalog.name, cm.currentNamespace.toSeq)
+
+    case DropView(child, ifExists) if partsOf(child).exists(
+        p => graftCatalogOf(spark, p).isDefined) =>
+      val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
+      DropGraftViewCommand(gc, ident, ifExists)
+
+    case ShowViews(UnresolvedNamespace(parts, _), pattern, out)
+        if graftNamespaceOf(spark, parts).isDefined =>
+      val (gc, ns) = graftNamespaceOf(spark, parts).get
+      ShowGraftViewsCommand(gc, ns, pattern, out)
+
+    case SetViewProperties(child, props) if partsOf(child).exists(
+        p => graftCatalogOf(spark, p).isDefined) =>
+      val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
+      SetGraftViewPropertiesCommand(gc, ident, props)
+
+    case UnsetViewProperties(child, keys, _) if partsOf(child).exists(
+        p => graftCatalogOf(spark, p).isDefined) =>
+      val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
+      UnsetGraftViewPropertiesCommand(gc, ident, keys)
+
+    case AlterViewAs(child, originalText, _) if partsOf(child).exists(
+        p => graftCatalogOf(spark, p).isDefined) =>
+      val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
+      val cm = spark.sessionState.catalogManager
+      AlterGraftViewAsCommand(gc, ident, originalText,
+        cm.currentCatalog.name, cm.currentNamespace.toSeq)
+
+    case RenameTable(child, newName, true) if partsOf(child).exists(
+        p => graftCatalogOf(spark, p).isDefined) =>
+      val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
+      val toParts =
+        if (newName.length > 1 && newName.head.equalsIgnoreCase(gc.name)) newName.tail
+        else newName
+      val to =
+        if (toParts.length == 1) Identifier.of(ident.namespace, toParts.head)
+        else Identifier.of(toParts.init.toArray, toParts.last)
+      RenameGraftViewCommand(gc, ident, to)
+  }
+
+  private def partsOf(child: LogicalPlan): Option[Seq[String]] = child match {
+    case u: UnresolvedIdentifier => Some(u.nameParts)
+    case u: UnresolvedView => Some(u.multipartIdentifier)
+    case u: UnresolvedTableOrView => Some(u.multipartIdentifier)
+    case _ => None
+  }
+}
+
+/** Read-path expansion: `SELECT … FROM graft.db.v` (and nested views)
+  * inline the stored text — see the class doc above. */
+case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case InsertIntoStatement(u: UnresolvedRelation, _, _, _, _, _, _)
+        if GraftViewRules.resolveView(spark, u.multipartIdentifier).isDefined =>
+      throw new UnsupportedOperationException(
+        s"graft views: inserting into view ${u.multipartIdentifier.mkString(".")} is not allowed")
+    case u: UnresolvedRelation
+        if GraftViewRules.resolveView(spark, u.multipartIdentifier).isDefined =>
+      if (u.isStreaming) throw new UnsupportedOperationException(
+        s"graft views: streaming read of view ${u.multipartIdentifier.mkString(".")} is not " +
+          "supported — readStream the underlying table instead")
+      val (gc, ident) = GraftViewRules.resolveView(spark, u.multipartIdentifier).get
+      GraftViewRules.viewPlan(spark, gc, ident)
+  }
+}
+
+object GraftViewRules {
+
+  /** Resolve a multipart name to (graft catalog, identifier), mirroring
+    * Spark's lookup order: leading part naming a registered catalog
+    * wins; otherwise the current catalog (+ current namespace for
+    * 1-part names). None when the catalog is not a [[GraftCatalog]]. */
+  def graftCatalogOf(spark: SparkSession,
+                     parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
+    val cm = spark.sessionState.catalogManager
+    val (plugin, idParts) =
+      if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    plugin match {
+      case gc: GraftCatalog if idParts.nonEmpty =>
+        val ident =
+          if (idParts.length == 1) Identifier.of(cm.currentNamespace, idParts.head)
+          else Identifier.of(idParts.init.toArray, idParts.last)
+        Some((gc, ident))
+      case _ => None
+    }
+  }
+
+  /** Like [[graftCatalogOf]] but additionally requires a STORED view. */
+  def resolveView(spark: SparkSession,
+                  parts: Seq[String]): Option[(GraftCatalog, Identifier)] =
+    graftCatalogOf(spark, parts).filter { case (gc, ident) => gc.viewExists(ident) }
+
+  /** Resolve a (possibly catalog-qualified, possibly empty) namespace
+    * reference to (graft catalog, namespace parts). */
+  def graftNamespaceOf(spark: SparkSession,
+                       parts: Seq[String]): Option[(GraftCatalog, Seq[String])] = {
+    val cm = spark.sessionState.catalogManager
+    val (plugin, ns) =
+      if (parts.isEmpty) (cm.currentCatalog, cm.currentNamespace.toSeq)
+      else if (cm.isCatalogRegistered(parts.head)) (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    plugin match {
+      case gc: GraftCatalog => Some((gc, ns))
+      case _ => None
+    }
+  }
+
+  /** Qualify relative table names in a PARSED (unresolved) plan against
+    * the view's stored resolution context: 1-part `t` → `cat.ns….t`
+    * (unless it names a CTE defined in the plan — CTEs shadow tables for
+    * simple names), 2-part `db.t` → `cat.db.t` (unless the head is
+    * itself a registered catalog). Subqueries included. */
+  def qualifyRelations(spark: SparkSession, plan: LogicalPlan,
+                       cat: String, ns: Seq[String]): LogicalPlan = {
+    val ctes: Set[String] = plan.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase(Locale.ROOT))
+    }.flatten.toSet
+    val cm = spark.sessionState.catalogManager
+    plan.transformDownWithSubqueries {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+          !ctes.contains(u.multipartIdentifier.head.toLowerCase(Locale.ROOT)) =>
+        u.copy(multipartIdentifier = (cat +: ns) ++ u.multipartIdentifier)
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+          !cm.isCatalogRegistered(u.multipartIdentifier.head) =>
+        u.copy(multipartIdentifier = cat +: u.multipartIdentifier)
+    }
+  }
+
+  /** Expansion path of the CURRENT thread — nested views recurse through
+    * [[analyzeInContext]]'s nested analysis, so a cycle re-enters
+    * [[viewPlan]] for a key already on the stack and fails loudly
+    * (instead of the analyzer spinning to its iteration cap). */
+  private val expanding = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+
+  /** Parse + qualify + NESTED-ANALYZE a view text in its stored context.
+    * Full analysis (not subtree splicing) is what makes CTEs, windows,
+    * ordinals, and nested views inside the text work without
+    * re-implementing any analyzer machinery. */
+  def analyzeInContext(spark: SparkSession, text: String,
+                       cat: String, ns: Seq[String]): LogicalPlan = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val qualified = qualifyRelations(spark, parsed, cat, ns)
+    spark.sessionState.executePlan(qualified).analyzed
+  }
+
+  /** The fully expanded, aliased, SubqueryAlias-wrapped ANALYZED plan of
+    * a stored view. */
+  def viewPlan(spark: SparkSession, gc: GraftCatalog,
+               ident: Identifier): LogicalPlan = {
+    val key = (gc.name +: ident.namespace.toSeq :+ ident.name).mkString(".")
+    val stack = expanding.get()
+    if (stack.contains(key)) throw new IllegalStateException(
+      s"graft views: recursive view $key " +
+        s"(expansion path: ${(key :: stack).reverse.mkString(" -> ")})")
+    val d = gc.loadView(ident).asInstanceOf[GraftView].desc
+    expanding.set(key :: stack)
+    val analyzed =
+      try analyzeInContext(spark, d.sql, d.currentCatalog, d.currentNamespace)
+      finally expanding.set(stack)
+    val aliased =
+      if (d.columnAliases.nonEmpty && d.columnAliases != d.queryColumnNames) {
+        if (analyzed.output.length != d.columnAliases.length)
+          throw new IllegalStateException(
+            s"graft views: $key now produces ${analyzed.output.length} columns but " +
+              s"was created with ${d.columnAliases.length} aliases — recreate the view")
+        Project(analyzed.output.zip(d.columnAliases).map {
+          case (attr, a) => Alias(attr, a)()
+        }, analyzed)
+      } else analyzed
+    SubqueryAlias(gc.name +: ident.namespace.toSeq :+ ident.name, aliased)
+  }
+
+  /** CREATE-time resolution of the stored text in its stored context
+    * ALONE — doubles as the self-containment check: a reference that
+    * only resolves through a session temp view fails here (relative
+    * names were qualified away from the temp-view namespace), refusing
+    * the CREATE instead of storing a view that dies with the session —
+    * the v1 `INVALID_TEMP_OBJ_REFERENCE` contract. */
+  def resolveViewText(spark: SparkSession, text: String,
+                      cat: String, ns: Seq[String]): LogicalPlan =
+    try analyzeInContext(spark, text, cat, ns)
+    catch {
+      case e: IllegalStateException => throw e // recursive-view loop: already precise
+      case e: Exception => throw new IllegalArgumentException(
+        "graft views: view text is not self-contained — it must resolve from " +
+          s"stored catalog context '$cat${ns.mkString(".", ".", "")}' without session " +
+          s"temp views (${e.getMessage})", e)
+    }
+}
+
+/** The view DDL commands — plain [[LeafRunnableCommand]]s so Spark's own
+  * command machinery executes them; storage delegates to the catalog's
+  * [[ViewCatalog]] SPI (atomic `_VIEW` publication in [[GraftViews]]). */
+object GraftViewCommands {
+
+  case class CreateGraftViewCommand(
+      catalog: GraftCatalog, ident: Identifier, viewText: String,
+      aliases: Seq[String], colComments: Seq[String],
+      comment: Option[String], props: Map[String, String],
+      allowExisting: Boolean, replace: Boolean,
+      currentCatalog: String, currentNamespace: Seq[String])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val analyzed = GraftViewRules.resolveViewText(
+        spark, viewText, currentCatalog, currentNamespace)
+      if (aliases.nonEmpty && aliases.length != analyzed.output.length)
+        throw new IllegalArgumentException(
+          s"graft views: ${aliases.length} column aliases for a " +
+            s"${analyzed.output.length}-column query")
+      val outNames = analyzed.output.map(_.name)
+      val schema = StructType(analyzed.schema.fields.zipWithIndex.map {
+        case (f, i) => if (aliases.nonEmpty) f.copy(name = aliases(i)) else f
+      })
+      val allProps = props ++ comment.map(ViewCatalog.PROP_COMMENT -> _)
+      val info = new ViewInfo(ident, viewText, currentCatalog,
+        currentNamespace.toArray, schema, outNames.toArray,
+        aliases.toArray, colComments.toArray, allProps.asJava)
+      if (replace) catalog.replaceView(info, true)
+      else if (catalog.viewExists(ident)) {
+        if (!allowExisting) throw new ViewAlreadyExistsException(ident)
+      } else catalog.createView(info)
+      Seq.empty
+    }
+  }
+
+  case class DropGraftViewCommand(catalog: GraftCatalog, ident: Identifier,
+      ifExists: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dropped = catalog.dropView(ident)
+      if (!dropped && !ifExists) throw new NoSuchViewException(ident)
+      Seq.empty
+    }
+  }
+
+  case class ShowGraftViewsCommand(catalog: GraftCatalog, ns: Seq[String],
+      pattern: Option[String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val names = catalog.listViews(ns: _*).map(_.name).toSeq.sorted
+      val kept = pattern.map(p => StringUtils.filterPattern(names, p)).getOrElse(names)
+      kept.map(n => Row(ns.mkString("."), n, false))
+    }
+  }
+
+  case class SetGraftViewPropertiesCommand(catalog: GraftCatalog,
+      ident: Identifier, props: Map[String, String]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.connector.catalog.ViewChange
+      catalog.alterView(ident,
+        props.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) }: _*)
+      Seq.empty
+    }
+  }
+
+  case class UnsetGraftViewPropertiesCommand(catalog: GraftCatalog,
+      ident: Identifier, keys: Seq[String]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.connector.catalog.ViewChange
+      catalog.alterView(ident, keys.map(ViewChange.removeProperty): _*)
+      Seq.empty
+    }
+  }
+
+  /** ALTER VIEW … AS: replaces the stored text/schema, KEEPS the view's
+    * properties (properties live on the view object, not its query). */
+  case class AlterGraftViewAsCommand(catalog: GraftCatalog, ident: Identifier,
+      newText: String, currentCatalog: String, currentNamespace: Seq[String])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val analyzed = GraftViewRules.resolveViewText(
+        spark, newText, currentCatalog, currentNamespace)
+      val old = catalog.loadView(ident).asInstanceOf[GraftView].desc
+      val info = new ViewInfo(ident, newText, currentCatalog,
+        currentNamespace.toArray, StructType(analyzed.schema.fields),
+        analyzed.output.map(_.name).toArray,
+        Array.empty, Array.empty, old.properties.asJava)
+      catalog.replaceView(info, false)
+      Seq.empty
+    }
+  }
+
+  case class RenameGraftViewCommand(catalog: GraftCatalog, from: Identifier,
+      to: Identifier) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      catalog.renameView(from, to)
+      Seq.empty
+    }
+  }
+}

@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -45,7 +45,7 @@ import graft.operators.TableFormat
   * `pcap-to-parquet` users get from querying its parquet output through
   * engines like DuckDB (README.md:21-24), lifted to a versioned table. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-    with StagingTableCatalog with FunctionCatalog {
+    with StagingTableCatalog with FunctionCatalog with ViewCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -107,6 +107,90 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
       GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  /** [[ViewCatalog]] (r12): persistent SQL views. A view lives as a
+    * `_VIEW` file in the identifier's warehouse directory (tables are
+    * `_CURRENT`, so the namespace tree is shared and unambiguous); the
+    * stored text + its CREATE-time catalog/namespace context resolve at
+    * read time through [[graft.plans.ResolveGraftViews]]. OSS Spark 4.1
+    * ships this SPI with no engine wiring — the graft extensions supply
+    * the analyzer rule + commands, this catalog supplies the storage. */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = new HadoopPath((warehouse +: namespace).mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && GraftViews.exists(fs, s.getPath.toString))
+      .map(s => Identifier.of(ns, s.getPath.getName)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(fs, tablePath(ident))
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.read(fs, tablePath(ident))
+      .map(d => new GraftView(ident, catalogName, d))
+      .getOrElse(throw new NoSuchViewException(ident))
+
+  override def createView(info: ViewInfo): View = {
+    val path = tablePath(info.ident)
+    if (isTable(path)) throw new IllegalArgumentException(
+      s"graft catalog: ${info.ident} is a table — cannot create a view over it")
+    val d = descOf(info)
+    if (!GraftViews.write(fs, path, d, overwrite = false))
+      throw new ViewAlreadyExistsException(info.ident)
+    new GraftView(info.ident, catalogName, d)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val path = tablePath(info.ident)
+    if (isTable(path)) throw new IllegalArgumentException(
+      s"graft catalog: ${info.ident} is a table — cannot replace it with a view")
+    if (!orCreate && !GraftViews.exists(fs, path))
+      throw new NoSuchViewException(info.ident)
+    val d = descOf(info)
+    GraftViews.write(fs, path, d, overwrite = true)
+    new GraftView(info.ident, catalogName, d)
+  }
+
+  private def descOf(info: ViewInfo): GraftViews.Desc = GraftViews.Desc(
+    sql = info.sql,
+    currentCatalog = info.currentCatalog,
+    currentNamespace = info.currentNamespace.toSeq,
+    schemaJson = info.schema.json,
+    queryColumnNames = info.queryColumnNames.toSeq,
+    columnAliases = info.columnAliases.toSeq,
+    columnComments = info.columnComments.toSeq,
+    properties = info.properties.asScala.toMap)
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val path = tablePath(ident)
+    val d0 = GraftViews.read(fs, path)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val props = changes.foldLeft(d0.properties) {
+      case (acc, s: ViewChange.SetProperty) => acc + (s.property -> s.value)
+      case (acc, r: ViewChange.RemoveProperty) => acc - r.property
+      case (acc, _) => acc
+    }
+    val d = d0.copy(properties = props)
+    GraftViews.write(fs, path, d, overwrite = true)
+    new GraftView(ident, catalogName, d)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(fs, tablePath(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val fromPath = tablePath(from)
+    val toPath = tablePath(to)
+    val d = GraftViews.read(fs, fromPath)
+      .getOrElse(throw new NoSuchViewException(from))
+    if (isTable(toPath) || GraftViews.exists(fs, toPath))
+      throw new ViewAlreadyExistsException(to)
+    if (!GraftViews.write(fs, toPath, d, overwrite = false))
+      throw new ViewAlreadyExistsException(to)
+    GraftViews.drop(fs, fromPath)
+  }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
   /** `VERSION AS OF n` lands here with the literal version string. */
@@ -3121,7 +3205,91 @@ object GraftCatalogOps {
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_view` (r12): persistent SQL views end to end — the analyzer
+    * wiring OSS Spark doesn't ship for its own ViewCatalog SPI
+    * ([[graft.plans.ResolveGraftViewDdl]] /
+    * [[graft.plans.ResolveGraftViews]]). A base view with column
+    * aliases over the snapshot table, a second view stacked ON the
+    * first (nested expansion), a filter through both layers — which
+    * reaches the manifest's stats index because the expansion inlines
+    * the text (GraftViewSpec pins the pushdown). The oracle replays the
+    * composed SELECT relationally on the source. */
+  def sqlView(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/vsrc"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    TableFormat.commit(spark, base, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CREATE OR REPLACE VIEW graft.db.v_docs (id, language, chars) AS
+        |SELECT doc_id, lang, n_chars FROM graft.db.vsrc""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE VIEW graft.db.v_lang_stats AS
+        |SELECT language, count(1) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.v_docs
+        |WHERE id % 3 <> 0
+        |GROUP BY language""".stripMargin)
+    spark.sql(
+      """SELECT language, n_docs, sum_chars
+        |FROM graft.db.v_lang_stats
+        |WHERE n_docs > 0
+        |ORDER BY language ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `mv_incremental` (r12): incremental materialized view end to end —
+    * `CALL graft.system.create_mv` pins the source version and
+    * publishes the aggregate; the source then takes an append AND a
+    * range delete; `refresh_mv` folds ONLY the CDF of those two commits
+    * into the MV (IO ∝ the change — the 100 TB story is the source
+    * never rescans) with the bookmark riding the same commit. The
+    * oracle recomputes the aggregate over the equivalent final state;
+    * MaterializedViewSpec pins bit-identity with recompute, group
+    * death, NULL-sum semantics, and the maintenance-span no-op. */
+  def mvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvq_src", "mvq_agg")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvq_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvq_agg',
+        |  'SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvq_src WHERE doc_id % 7 <> 0 GROUP BY lang')""".stripMargin)
+      .collect()
+    // v2: append a shifted copy of a slice under a fresh lang;
+    // v3: delete a key range
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 10 = 4")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 1000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("zz")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 100L, 299L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvq_agg')").collect()
+    spark.sql(
+      """SELECT lang, n_docs, CAST(sum_chars AS BIGINT) AS sum_chars
+        |FROM graft.db.mvq_agg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_incremental" -> (mvIncremental _),
+    "sql_view" -> (sqlView _),
     "sql_spj_join" -> (sqlSpjJoin _),
     "sql_string_cluster" -> (sqlStringCluster _),
     "sql_widen_type" -> (sqlWidenType _),
@@ -3153,6 +3321,26 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_incremental" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 299
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, 'zz', n_chars FROM documents
+        |  WHERE doc_id % 10 = 4 AND (doc_id + 1000000000) NOT BETWEEN 100 AND 299)
+        |SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_state
+        |WHERE doc_id % 7 <> 0
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "sql_view" ->
+      """SELECT lang AS language, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 3 <> 0
+        |GROUP BY lang
+        |HAVING count(1) > 0
+        |ORDER BY language ASC NULLS FIRST""".stripMargin,
     "sql_replace_where" ->
       """SELECT o_orderpriority, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -516,10 +516,56 @@ object GraftProcedures {
     }
   }
 
+  /** CREATE MATERIALIZED VIEW (r12): `CALL graft.system.create_mv(
+    * 'db.mv', 'SELECT dims…, aggs… FROM graft.db.src [WHERE …] GROUP BY
+    * dims')` — validates the IVM-maintainable shape, pins the source's
+    * current version, and publishes the full aggregate + bookkeeping as
+    * the MV's first commit ([[graft.operators.MaterializedView]]).
+    * Returns (version, n_groups, src_version). */
+  private object CreateMvProc extends Proc("create_mv",
+    Seq(in("table", StringType), in("query", StringType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("n_groups", LongType),
+                   StructField("src_version", IntegerType)))) {
+    override def description(): String =
+      "create an incrementally-maintainable materialized view table from an aggregate query"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow =
+      throw new IllegalStateException("create_mv binds via runWith")
+    override protected def runWith(spark: SparkSession, warehouse: String,
+                                   base: String, input: InternalRow): InternalRow = {
+      val (v, n, sv) = graft.operators.MaterializedView.create(
+        spark, warehouse, base, input.getUTF8String(1).toString)
+      new GenericInternalRow(Array[Any](v, n, sv))
+    }
+  }
+
+  /** REFRESH MATERIALIZED VIEW (r12): fold the source's CDF since the
+    * bookmark into the MV — IO ∝ the change, never the source. Returns
+    * (version, src_from, src_to, n_groups); n_groups = -1 means the
+    * bookmark was already current (true no-op, no commit at all). */
+  private object RefreshMvProc extends Proc("refresh_mv",
+    Seq(in("table", StringType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("src_from", IntegerType),
+                   StructField("src_to", IntegerType),
+                   StructField("n_groups", LongType)))) {
+    override def description(): String =
+      "incrementally refresh a materialized view from its source's change data feed"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow =
+      throw new IllegalStateException("refresh_mv binds via runWith")
+    override protected def runWith(spark: SparkSession, warehouse: String,
+                                   base: String, input: InternalRow): InternalRow = {
+      val (v, from, to, n) = graft.operators.MaterializedView.refresh(
+        spark, warehouse, base)
+      new GenericInternalRow(Array[Any](v, from, to, n))
+    }
+  }
+
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, OptimizeClusterProc,
-      OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc)
+      OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
+      CreateMvProc, RefreshMvProc)
 
   def names: Seq[String] = all.map(_.name())
 

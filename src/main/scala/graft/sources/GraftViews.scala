@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
+import org.apache.spark.sql.connector.catalog.{Identifier, View}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Persistent SQL views for the graft catalog (r12).
+  *
+  * A view is a `_VIEW` file inside the identifier's warehouse directory —
+  * the same addressing as tables (which are recognized by `_CURRENT`), so
+  * a path is unambiguously a table, a view, or free. The file is a
+  * java.util.Properties document (deterministic escaping for arbitrary
+  * SQL text, schema JSON, and property values — no hand-rolled JSON):
+  *
+  * {{{
+  * sql   = the stored view text, exactly as the user wrote it
+  * cat   = catalog current at CREATE VIEW time  (resolution context)
+  * ns.N  = namespace parts current at CREATE VIEW time
+  * schema= StructType JSON of the view's OUTPUT (aliases applied)
+  * qcn.N = column names the stored query produced at create time
+  * als.N = user column aliases (absent => qcn are the output names)
+  * cmt.N = per-column comments ("" = none)
+  * p.<k> = user view properties
+  * }}}
+  *
+  * The resolution context (cat/ns) is what makes the stored text stable:
+  * relative table names are qualified against it at READ time
+  * ([[graft.plans.ResolveGraftViews]]), so a view keeps meaning the same
+  * tables no matter which catalog/namespace the reader is sitting in —
+  * the Iceberg/Delta view-metadata model re-derived for this format.
+  *
+  * Writes are atomic via temp-file + rename: CREATE is put-if-absent
+  * (rename fails if `_VIEW` appeared concurrently), REPLACE is
+  * last-writer-wins over an existing file — the same publication
+  * discipline as the table manifests.
+  */
+object GraftViews {
+
+  val FILE = "_VIEW"
+
+  case class Desc(
+      sql: String,
+      currentCatalog: String,
+      currentNamespace: Seq[String],
+      schemaJson: String,
+      queryColumnNames: Seq[String],
+      columnAliases: Seq[String],
+      columnComments: Seq[String],
+      properties: Map[String, String]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  private def indexed(p: Properties, prefix: String, vs: Seq[String]): Unit =
+    vs.zipWithIndex.foreach { case (v, i) => p.setProperty(s"$prefix.$i", v) }
+
+  private def readIndexed(p: Properties, prefix: String): Seq[String] = {
+    Iterator.from(0)
+      .map(i => Option(p.getProperty(s"$prefix.$i")))
+      .takeWhile(_.isDefined)
+      .map(_.get)
+      .toSeq
+  }
+
+  def encode(d: Desc): Array[Byte] = {
+    val p = new Properties()
+    p.setProperty("sql", d.sql)
+    p.setProperty("cat", d.currentCatalog)
+    indexed(p, "ns", d.currentNamespace)
+    p.setProperty("schema", d.schemaJson)
+    indexed(p, "qcn", d.queryColumnNames)
+    indexed(p, "als", d.columnAliases)
+    indexed(p, "cmt", d.columnComments)
+    d.properties.foreach { case (k, v) => p.setProperty(s"p.$k", v) }
+    val bos = new ByteArrayOutputStream()
+    p.store(bos, "graft view")
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Desc = {
+    val p = new Properties()
+    p.load(new ByteArrayInputStream(bytes))
+    val props = p.stringPropertyNames().asScala.toSeq
+      .filter(_.startsWith("p."))
+      .map(k => k.stripPrefix("p.") -> p.getProperty(k))
+      .toMap
+    Desc(
+      sql = p.getProperty("sql"),
+      currentCatalog = p.getProperty("cat"),
+      currentNamespace = readIndexed(p, "ns"),
+      schemaJson = p.getProperty("schema"),
+      queryColumnNames = readIndexed(p, "qcn"),
+      columnAliases = readIndexed(p, "als"),
+      columnComments = readIndexed(p, "cmt"),
+      properties = props)
+  }
+
+  /** Write `dir/_VIEW`. `overwrite=false` is put-if-absent (atomic via
+    * temp + rename); returns false if the view already existed. */
+  def write(fs: FileSystem, dir: String, d: Desc, overwrite: Boolean): Boolean = {
+    val target = new HadoopPath(dir, FILE)
+    if (!overwrite && fs.exists(target)) return false
+    fs.mkdirs(new HadoopPath(dir))
+    val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(encode(d)) finally out.close()
+    if (overwrite) {
+      // last-writer-wins replace: delete + rename (the read side never
+      // sees a partial file — the content swap is the rename itself)
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) { fs.delete(tmp, false); return false }
+      true
+    } else {
+      val ok = fs.rename(tmp, target)
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
+  }
+
+  def read(fs: FileSystem, dir: String): Option[Desc] = {
+    val f = new HadoopPath(dir, FILE)
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    try {
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      Some(decode(bos.toByteArray))
+    } finally in.close()
+  }
+
+  def exists(fs: FileSystem, dir: String): Boolean =
+    fs.exists(new HadoopPath(dir, FILE))
+
+  def drop(fs: FileSystem, dir: String): Boolean = {
+    val f = new HadoopPath(dir, FILE)
+    val existed = fs.delete(f, false)
+    // reclaim the directory if the view file was its only content
+    val d = new HadoopPath(dir)
+    if (existed && fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
+    existed
+  }
+}
+
+/** Connector [[View]] over a stored [[GraftViews.Desc]]. */
+class GraftView(ident: Identifier, catalogName: String, d: GraftViews.Desc) extends View {
+  override def name(): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+  override def query(): String = d.sql
+  override def currentCatalog(): String = d.currentCatalog
+  override def currentNamespace(): Array[String] = d.currentNamespace.toArray
+  override def schema(): StructType = d.schema
+  override def queryColumnNames(): Array[String] = d.queryColumnNames.toArray
+  override def columnAliases(): Array[String] =
+    (if (d.columnAliases.nonEmpty) d.columnAliases else d.queryColumnNames).toArray
+  override def columnComments(): Array[String] = d.columnComments.toArray
+  override def properties(): java.util.Map[String, String] = d.properties.asJava
+  private[graft] def desc: GraftViews.Desc = d
+}

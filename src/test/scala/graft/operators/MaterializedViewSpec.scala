@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+import graft.sources.GraftCatalog
+
+/** Incremental materialized views (r12): CREATE pins the source version
+  * and bookmarks it; REFRESH folds the CDF delta in and matches a full
+  * recompute BIT-FOR-BIT — including group death (count→0), SQL NULL-sum
+  * semantics, update-image pairing, maintenance-only spans (metadata
+  * commit), true no-ops (no commit), and the shape refusals. */
+class MaterializedViewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val w = s"${graft.Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    w
+  }
+
+  private def fresh(name: String): String = {
+    val base = s"$wh/db/$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  private def recompute(srcTable: String, where: String): Seq[Row] =
+    spark.sql(
+      s"""SELECT lang, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+         |FROM $srcTable $where
+         |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+
+  private def mvRead(mv: String): Seq[Row] =
+    spark.sql(s"SELECT lang, n_docs, sum_n FROM $mv ORDER BY lang ASC NULLS FIRST")
+      .collect().toSeq
+
+  test("create + refresh over append/delete matches full recompute; bookmark advances atomically") {
+    val src = fresh("mv_src"); fresh("mv_agg")
+    val rows = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de", i * 10))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    val c = spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_src WHERE doc_id % 5 <> 0 GROUP BY lang')""".stripMargin).head
+    assert(c.getInt(0) == 1 && c.getInt(2) == 1 && c.getLong(1) == 3)
+    assert(mvRead("graft.db.mv_agg") ==
+      recompute("graft.db.mv_src", "WHERE doc_id % 5 <> 0"))
+    // v2: append new rows (new lang too); v3: range delete
+    TableFormat.appendCommit(spark, src,
+      (300L until 400L).map(i => (i, "zz", i)).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 100L, 199L)
+    val r = spark.sql("CALL graft.system.refresh_mv('db.mv_agg')").head
+    assert(r.getInt(1) == 1 && r.getInt(2) == 3, s"refresh window: $r")
+    assert(mvRead("graft.db.mv_agg") ==
+      recompute("graft.db.mv_src", "WHERE doc_id % 5 <> 0"))
+    // the bookmark rode the SAME commit as the data
+    val props = TableFormat.manifestProps(spark, s"$wh/db/mv_agg",
+      TableFormat.currentVersion(spark, s"$wh/db/mv_agg"))
+    assert(props("graft.mv.version") == "3")
+  }
+
+  test("group death: a lang whose rows all delete disappears from the MV") {
+    val src = fresh("mv_src2"); fresh("mv_agg2")
+    TableFormat.commit(spark, src,
+      ((0L until 50L).map(i => (i, "en", i)) ++ (1000L until 1020L).map(i => (i, "xx", i)))
+        .toDF("doc_id", "lang", "n"), 1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg2',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_src2 GROUP BY lang')""".stripMargin).collect()
+    assert(mvRead("graft.db.mv_agg2").map(_.getString(0)) == Seq("en", "xx"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 1000L, 1019L) // kill all xx
+    spark.sql("CALL graft.system.refresh_mv('db.mv_agg2')").collect()
+    assert(mvRead("graft.db.mv_agg2").map(_.getString(0)) == Seq("en"),
+      "dead group must vanish (GROUP BY semantics), not linger at count 0")
+    assert(mvRead("graft.db.mv_agg2") == recompute("graft.db.mv_src2", ""))
+  }
+
+  test("NULL-sum semantics: all-null contributions report NULL, not 0") {
+    val src = fresh("mv_src3"); fresh("mv_agg3")
+    // lang 'nn' rows carry NULL n from the start; 'en' loses its only
+    // non-null contribution in v2 → its sum must BECOME null
+    val v1 = Seq[(Long, String, Option[Long])](
+      (1L, "en", Some(7L)), (2L, "en", None),
+      (10L, "nn", None), (11L, "nn", None))
+    TableFormat.commit(spark, src, v1.toDF("doc_id", "lang", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg3',
+        |  'SELECT lang, count(*) AS n_docs, count(n) AS n_vals, sum(n) AS sum_n
+        |   FROM graft.db.mv_src3 GROUP BY lang')""".stripMargin).collect()
+    TableFormat.deleteWhere(spark, src, "doc_id", 1L, 1L) // drop the non-null en row
+    spark.sql("CALL graft.system.refresh_mv('db.mv_agg3')").collect()
+    val got = spark.sql(
+      """SELECT lang, n_docs, n_vals, sum_n FROM graft.db.mv_agg3
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    val want = spark.sql(
+      """SELECT lang, count(1) AS n_docs, count(n) AS n_vals,
+        |  CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM graft.db.mv_src3 GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    assert(got == want)
+    assert(got.forall(r => r.isNullAt(3)), s"both groups are all-null now: $got")
+  }
+
+  test("CoW UPDATE flows through as paired images; no-op and maintenance spans") {
+    val src = fresh("mv_src4"); fresh("mv_agg4")
+    TableFormat.commit(spark, src,
+      (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "fr", i)).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg4',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_src4 GROUP BY lang')""".stripMargin).collect()
+    // true no-op: bookmark already current → NO commit at all
+    val mvV0 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4")
+    val noop = spark.sql("CALL graft.system.refresh_mv('db.mv_agg4')").head
+    assert(noop.getLong(3) == -1L &&
+      TableFormat.currentVersion(spark, s"$wh/db/mv_agg4") == mvV0)
+    // SQL UPDATE (CoW rewrite) on the source
+    spark.sql("UPDATE graft.db.mv_src4 SET n = n + 1000 WHERE doc_id < 10")
+    spark.sql("CALL graft.system.refresh_mv('db.mv_agg4')").collect()
+    assert(mvRead("graft.db.mv_agg4") == recompute("graft.db.mv_src4", ""))
+    // maintenance-only span: compact emits no CDF rows → refresh
+    // advances the bookmark with a METADATA commit (op = alter)
+    spark.sql(s"CALL graft.system.compact('db.mv_src4', ${Long.MaxValue}L, 2)").collect()
+    val mvV1 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4")
+    val m = spark.sql("CALL graft.system.refresh_mv('db.mv_agg4')").head
+    assert(m.getLong(3) == 0L)
+    val mvV2 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4")
+    assert(mvV2 == mvV1 + 1)
+    assert(mvRead("graft.db.mv_agg4") == recompute("graft.db.mv_src4", ""))
+  }
+
+  test("shape refusals name the offending construct") {
+    val src = fresh("mv_src5"); fresh("mv_agg5")
+    TableFormat.commit(spark, src,
+      Seq((1L, "en", 1.5, 2L)).toDF("doc_id", "lang", "d", "n"), 1, None)
+    def refused(q: String, needle: String): Unit = {
+      val e = intercept[Exception](
+        spark.sql(s"CALL graft.system.create_mv('db.mv_agg5', '$q')").collect())
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+      assert(chain(e).contains(needle), s"wanted '$needle' in: ${chain(e)}")
+    }
+    refused("SELECT lang, sum(d) AS s FROM graft.db.mv_src5 GROUP BY lang",
+      "integral-only")
+    refused("SELECT lang, min(n) AS m FROM graft.db.mv_src5 GROUP BY lang",
+      "aggregate")
+    refused("SELECT lang, count(DISTINCT n) AS c FROM graft.db.mv_src5 GROUP BY lang",
+      "DISTINCT")
+    refused("SELECT lang || lang AS l2, count(*) AS c FROM graft.db.mv_src5 GROUP BY lang || lang",
+      "plain column")
+    refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 a JOIN graft.db.mv_src5 b ON a.doc_id = b.doc_id GROUP BY lang",
+      "single table")
+  }
+
+  test("refresh refuses a source restored behind the bookmark") {
+    val src = fresh("mv_src6"); fresh("mv_agg6")
+    TableFormat.commit(spark, src, Seq((1L, "en", 1L)).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, src,
+      Seq((2L, "fr", 2L)).toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg6',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_src6 GROUP BY lang')""".stripMargin).collect()
+    // restore src to v1: applied history rewritten under the MV
+    spark.sql("CALL graft.system.restore('db.mv_src6', 1)").collect()
+    // restore PUBLISHES v3 (a new commit) — the bookmark at 2 is now in
+    // a history whose v2 content was logically rewound; refresh must
+    // still produce the recompute (restore emits full-diff CDF) …
+    spark.sql("CALL graft.system.refresh_mv('db.mv_agg6')").collect()
+    assert(mvRead("graft.db.mv_agg6") == recompute("graft.db.mv_src6", ""))
+  }
+}

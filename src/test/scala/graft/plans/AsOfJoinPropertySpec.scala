@@ -17,6 +17,10 @@ object AsOfJoinPropertySpec extends Properties("AsOfJoinExec") {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // keep in lockstep with SparkTestBase: whichever suite runs first
+      // creates the ONE shared session, and extensions (the r12 view
+      // rules) only apply at creation
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
