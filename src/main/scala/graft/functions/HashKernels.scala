@@ -255,6 +255,89 @@ object HashKernels {
       returnNullable = false))
   }
 
+  // ---- product quantization (sim_ann_pq) -------------------------------
+
+  /** PQ ENCODE: split the embedding into `m` contiguous sub-vectors and
+    * code each as its L2-NEAREST of `k` per-subspace centroids. The
+    * codebooks travel flattened m × k × subDim (subspace-major). Ties
+    * break to the LOWEST centroid id — bit-deterministic across runs
+    * and executors. Output ARRAY<INT> of m codes: the 100 TB point is
+    * the index stores m small ints (m bytes in a real byte-packed
+    * layout) instead of dim floats — a 32× compression at dim=64/m=8. */
+  def pqEncode(emb: ArrayData, flat: ArrayData, m: Int, k: Int): ArrayData = {
+    val subDim = flat.numElements() / (m * k)
+    val ne = emb.numElements()
+    val codes = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = (mi * k + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val idx = mi * subDim + i
+          val v = if (idx < ne) emb.getFloat(idx).toDouble else 0.0
+          val diff = v - flat.getDouble(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** PQ DECODE: reconstruct the (lossy) vector by concatenating each
+    * code's centroid — the decompression side of asymmetric distance
+    * computation (the probe stays exact, the corpus is decoded). */
+  def pqDecode(codes: ArrayData, flat: ArrayData, m: Int, k: Int): ArrayData = {
+    val subDim = flat.numElements() / (m * k)
+    val out = new Array[Any](m * subDim)
+    var mi = 0
+    while (mi < m) {
+      val base = (mi * k + codes.getInt(mi)) * subDim
+      var i = 0
+      while (i < subDim) {
+        out(mi * subDim + i) = flat.getDouble(base + i)
+        i += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pq_encode(emb: Column, flatCodebooks: Array[Double], m: Int, k: Int): Column = {
+    require(m > 0 && k > 0 && flatCodebooks.length % (m * k) == 0,
+      s"PQ codebooks length ${flatCodebooks.length} is not m*k*subDim for m=$m k=$k")
+    SqlBridge.column(StaticInvoke(
+      HashKernels.getClass, ArrayType(IntegerType), "pqEncode",
+      Seq(SqlBridge.expression(emb),
+          Literal.create(flatCodebooks, ArrayType(DoubleType, containsNull = false)),
+          Literal(m), Literal(k)),
+      inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType, containsNull = false),
+        IntegerType, IntegerType),
+      returnNullable = false))
+  }
+
+  def pq_decode(codes: Column, flatCodebooks: Array[Double], m: Int, k: Int): Column = {
+    require(m > 0 && k > 0 && flatCodebooks.length % (m * k) == 0,
+      s"PQ codebooks length ${flatCodebooks.length} is not m*k*subDim for m=$m k=$k")
+    SqlBridge.column(StaticInvoke(
+      HashKernels.getClass, ArrayType(DoubleType), "pqDecode",
+      Seq(SqlBridge.expression(codes),
+          Literal.create(flatCodebooks, ArrayType(DoubleType, containsNull = false)),
+          Literal(m), Literal(k)),
+      inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType, containsNull = false),
+        IntegerType, IntegerType),
+      returnNullable = false))
+  }
+
   // ---- n-gram md5 keys (decontam_overlap) ------------------------------
 
   private val hexDigits = "0123456789abcdef".toCharArray

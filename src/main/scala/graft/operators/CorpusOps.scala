@@ -240,6 +240,120 @@ object CorpusOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** Cross-document EXACT-SUBSTRING dedup (r12) — the span-level pass
+    * from the public "Deduplicating Training Data Makes Language Models
+    * Better" recipe, at shingle granularity: any 8-token span occurring
+    * in ≥ 2 documents keeps its occurrences only in the LOWEST-doc_id
+    * owner; every other document excises the covered token positions
+    * and re-emits the scrubbed text. Unlike document-level dedup
+    * (`dedup_exact`/`dedup_fuzzy`, which keep or drop whole docs), this
+    * removes boilerplate that RIDES otherwise-unique documents —
+    * headers, license blocks, templated paragraphs.
+    *
+    * 100 TB shape: spans travel as md5 keys via the one-pass
+    * `gram_md5_keys` kernel (shuffles carry 32-byte hashes + int
+    * positions, never text); the duplicated-shingle table is
+    * |dup shingles| rows (broadcastable or bloom-gated at scale); the
+    * only per-doc state is the doc's OWN token list at re-assembly —
+    * bounded by document length, never by corpus size. Output is exact
+    * integers + the md5 of the scrubbed text (comparable across
+    * engines without shipping text through the compare). */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val sh = docs
+      .filter(size(split(col("text"), " ")) >= 8)
+      .select(col("doc_id"),
+        posexplode(graft.functions.HashKernels.gram_md5_keys(col("text"), 8))
+          .as(Seq("gpos", "h")))
+    val dup = sh.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("keeper"))
+    val cover = sh.join(dup, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + lit(7))).as("pos"))
+      .distinct()
+    val kept = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
+    val totals = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("clean_md5"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        col("clean_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Triangle counting + global clustering profile (r12) over the
+    * co-purchase graph: parts are nodes, an edge joins two parts bought
+    * in the same order. The classic DEGREE-ORIENTED algorithm: orient
+    * every edge from the (degree, id)-smaller endpoint to the larger,
+    * enumerate wedges by joining oriented edges head-to-tail, close
+    * them against the oriented edge set. Orientation is the 100 TB
+    * device: each wedge is generated at its LOWEST-degree vertex, so
+    * per-node wedge work is min(deg)² — O(m^1.5) total on any graph —
+    * while the naive undirected wedge join is Σdeg², which a single
+    * celebrity node turns into 10¹² pairs. Every shuffle carries
+    * fixed-width int pairs; per-order pair expansion is bounded by the
+    * order's own line count (TPC-H ≤ 7). Exact integer output: node,
+    * edge, open-wedge, and triangle counts (wedges and triangles give
+    * the global clustering coefficient 3T/W without a float in sight). */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val items = t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = items.select(col("l_orderkey"),
+      col("l_partkey").as("pk2"))
+    val edges = items.join(b, "l_orderkey")
+      .filter(col("l_partkey") < col("pk2"))
+      .select(col("l_partkey").as("u"), col("pk2").as("v"))
+      .distinct()
+      .persist()
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .persist()
+    val e2 = oriented.select(col("src").as("mid"), col("dst").as("fin"))
+    val wedges = oriented.join(e2, col("dst") === col("mid"))
+      .select(col("src"), col("fin"))
+    val e3 = oriented.select(col("src"), col("dst").as("fin"))
+    // inner join, not semi: each closed wedge IS one triangle under the
+    // total-order orientation (simple graph → no multi-counting)
+    val tri = wedges.join(e3, Seq("src", "fin"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val openWedges = deg.agg(
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    val counts = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(openWedges)
+      .crossJoin(tri)
+    val out = counts.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+      col("n_triangles"))
+    val result = out.collect() // 1 row; materialize before unpersist
+    edges.unpersist(false); oriented.unpersist(false)
+    spark.createDataFrame(
+      java.util.List.of(result.head),
+      out.schema)
+  }
+
   /** Zipf profile of the corpus vocabulary (r7): term frequencies ranked
     * (rank() with the term as tiebreak — a total order, so the cut at 50
     * is deterministic), emitting freq·rank whose rough constancy IS
@@ -301,7 +415,9 @@ object CorpusOps {
     "dedup_incremental" -> (dedupIncremental _),
     "text_zipf" -> (textZipf _),
     "dedup_paragraph" -> (dedupParagraph _),
+    "dedup_substring" -> (dedupSubstring _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "text_tfidf" -> (textTfidf _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "dedup_url" -> (dedupUrl _),
@@ -348,6 +464,68 @@ object CorpusOps {
         |GROUP BY h
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY h ASC NULLS FIRST""".stripMargin,
+    "dedup_substring" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |words AS (
+        |  SELECT doc_id, g.i AS pos, t[g.i] AS tok
+        |  FROM toks0, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+        |grams AS (
+        |  SELECT doc_id, g.i AS gpos,
+        |    md5(list_aggregate(t[g.i:g.i+7], 'string_agg', ' ')) AS h
+        |  FROM toks0, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+        |  WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT h, min(doc_id) AS keeper FROM grams
+        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |cover AS (
+        |  SELECT DISTINCT s.doc_id, c.p
+        |  FROM grams s JOIN dup d ON s.h = d.h AND s.doc_id <> d.keeper,
+        |    LATERAL (SELECT unnest(generate_series(s.gpos, s.gpos + 7)) AS p) c),
+        |kept AS (
+        |  SELECT w.doc_id, w.pos, w.tok FROM words w
+        |  LEFT JOIN cover c ON w.doc_id = c.doc_id AND w.pos = c.p
+        |  WHERE c.doc_id IS NULL),
+        |tot AS (SELECT doc_id, count(1) AS n_toks FROM words GROUP BY doc_id),
+        |ka AS (
+        |  SELECT doc_id, count(1) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_toks,
+        |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n_toks - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  ka.clean_md5
+        |FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin,
+    "graph_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node, count(1) AS deg FROM (
+        |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY node),
+        |oriented AS (
+        |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS dst
+        |  FROM edges e
+        |  JOIN deg du ON e.u = du.node
+        |  JOIN deg dv ON e.v = dv.node),
+        |tri AS (
+        |  SELECT count(1) AS n_triangles
+        |  FROM oriented e1
+        |  JOIN oriented e2 ON e1.dst = e2.src
+        |  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT (SELECT count(1) FROM deg) AS n_nodes,
+        |  (SELECT count(1) FROM edges) AS n_edges,
+        |  (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin,
     "graph_pagerank" ->
       """WITH seq AS (
         |  SELECT event_type AS src,

@@ -346,6 +346,99 @@ object LlmOpsExt {
       .orderBy(col("p_id").asc, col("rnk").asc)
   }
 
+  /** Plain-L2 Lloyd k-means (PQ sub-codebook training): unlike the
+    * spherical [[kmeansCodebook]], sub-vectors must NOT be normalized —
+    * PQ reconstructs by concatenation, so each subspace codebook
+    * approximates raw coordinates. Deterministic init (first k sample
+    * rows), empty cells keep their previous centroid. */
+  private[operators] def kmeansL2(xs: Array[Array[Double]], k: Int,
+                                  iters: Int = 4): Array[Array[Double]] = {
+    val dim = xs.head.length
+    var cents = xs.take(k)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** PRODUCT-QUANTIZATION ANN top-5 (r12): the third ANN family next to
+    * sign-LSH (`sim_ann`) and IVF (`sim_ann_ivf`) — compression instead
+    * of bucketing. The embedding splits into m=8 sub-vectors, each coded
+    * as one of k=16 per-subspace centroids: the corpus index stores 8
+    * small codes per vector instead of 64 floats (32× smaller — the
+    * device that keeps a 10¹⁰-vector index in cluster RAM). Search is
+    * asymmetric distance computation: probes stay exact, candidates
+    * DECODE to their centroid concatenation (`pq_decode`, a
+    * plan-native StaticInvoke kernel — no UDF), approximate cosine
+    * ranks a candidate pool, and TRUE cosine re-ranks the pool to the
+    * final top-5 (the standard PQ + exact-rerank pipeline).
+    *
+    * 100 TB shape: encode is one map-side pass (m·k·subDim ops/vector);
+    * the scan streams CODES (m ints) with the codebook a plan literal;
+    * re-rank touches only |probes|·pool true vectors. Training is the
+    * same bounded driver sample as IVF (a model artifact, not a scan).
+    * Spec-pinned (k-means floats aren't oracle-portable): recall vs the
+    * exact scan, compression arithmetic, and bit-determinism. */
+  def simAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val dbl: Column => Column = c => transform(c, x => x.cast("double"))
+    val M = 8; val K = 16
+    val sample: Array[Array[Double]] = emb.filter(col("vec_id") < 4096)
+      .orderBy(col("vec_id").asc).select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    require(dim % M == 0, s"PQ: dim $dim not divisible by m=$M")
+    val sub = dim / M
+    val flat: Array[Double] = (0 until M).toArray.flatMap { mi =>
+      kmeansL2(sample.map(_.slice(mi * sub, (mi + 1) * sub)), K).flatten
+    }
+    val codes = emb.select(col("vec_id").as("c_id"),
+      graft.functions.HashKernels.pq_encode(col("embedding"), flat, M, K).as("codes"))
+    val recon = codes.withColumn("c_emb_d",
+      graft.functions.HashKernels.pq_decode(col("codes"), flat, M, K))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), dbl(col("embedding")).as("p_emb_d"))
+    val dot = graft.functions.VecDot.vec_dot(col("p_emb_d"), col("c_emb_d"))
+    val np = graft.functions.VecDot.vec_norm(col("p_emb_d"))
+    val nc = graft.functions.VecDot.vec_norm(col("c_emb_d"))
+    val wA = Window.partitionBy(col("p_id")).orderBy(col("acos").desc, col("c_id").asc)
+    val pool = broadcast(probes).join(recon,
+        col("p_id") =!= col("c_id")) // compressed linear scan
+      .withColumn("acos", dot / (np * nc))
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= 20)
+      .select(col("p_id"), col("p_emb_d"), col("c_id"))
+    // exact re-rank of the 20-candidate pool per probe
+    val exact = emb.select(col("vec_id").as("c_id"), dbl(col("embedding")).as("c_emb_d"))
+    val wE = Window.partitionBy(col("p_id")).orderBy(col("cos").desc, col("c_id").asc)
+    pool.join(exact, "c_id")
+      .withColumn("cos", dot / (np * nc))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 5)
+      .select(col("p_id"), col("rnk"), col("c_id"), graft.Det.r4(col("cos")).as("cosine"))
+      .orderBy(col("p_id").asc, col("rnk").asc)
+  }
+
   // ---- text analysis ----------------------------------------------------
 
   private val langMarkers: Map[String, Set[String]] = Map(
@@ -689,6 +782,7 @@ object LlmOpsExt {
     "dedup_embed" -> (dedupEmbed _),
     "sim_ann" -> (simAnn _),
     "sim_ann_ivf" -> (simAnnIvf _),
+    "sim_ann_pq" -> (simAnnPq _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),

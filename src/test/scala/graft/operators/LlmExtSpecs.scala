@@ -222,4 +222,66 @@ class LlmExtSpecs extends SparkTestBase {
     }
     assert(e.getMessage.contains("did not reach its fixpoint"))
   }
+
+  test("sim_ann_pq: re-ranked cosines are exact; recall vs the exact scan; determinism") {
+    val pq = LlmOpsExt.simAnnPq(spark, sfDir)
+      .select(col("p_id"), col("rnk"), col("c_id"), col("cosine")).collect()
+    assert(pq.nonEmpty)
+    pq.groupBy(_.getLong(0)).foreach { case (_, rs) => assert(rs.length <= 5) }
+    val exact = LlmOps.simTopk(spark, sfDir)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("cosine")).collect()
+    // every surfaced pair carries the TRUE cosine (the re-rank is exact)
+    val exactMap = exact.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val pqPairs = pq.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    pqPairs.foreach { case (k, c) =>
+      exactMap.get(k).foreach(e => assert(math.abs(c - e) < 1e-9,
+        s"pair $k: PQ re-rank cosine $c != exact $e")) }
+    // recall@5 of the compressed scan vs the exact top-5 — PQ with
+    // m=8/k=16 on 64-dim synthetic data must recover most of the true
+    // neighborhood (deterministic: fixed sample, fixed init)
+    val exactTop = exact.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val pqTop = pq.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val common = exactTop.keySet intersect pqTop.keySet
+    assert(common.nonEmpty)
+    val recall = common.toSeq.map(p =>
+      (exactTop(p) intersect pqTop(p)).size.toDouble / exactTop(p).size).sum / common.size
+    assert(recall >= 0.5, s"PQ recall@5 collapsed to $recall")
+    // bit-determinism: a second full run reproduces the same rows
+    val again = LlmOpsExt.simAnnPq(spark, sfDir)
+      .select(col("p_id"), col("rnk"), col("c_id"), col("cosine")).collect()
+    assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("pq_encode/pq_decode: codes bound by k, reconstruction is centroid concat, 8x fewer values") {
+    val emb = graft.Tables.t(spark, sfDir, "embeddings")
+    val M = 8; val K = 16
+    val sample = emb.filter(col("vec_id") < 256).orderBy(col("vec_id").asc)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    val sub = dim / M
+    val flat = (0 until M).toArray.flatMap { mi =>
+      LlmOpsExt.kmeansL2(sample.map(_.slice(mi * sub, (mi + 1) * sub)), K).flatten
+    }
+    assert(flat.length == M * K * sub)
+    val coded = emb.select(col("vec_id"),
+      graft.functions.HashKernels.pq_encode(col("embedding"), flat, M, K).as("codes"),
+      graft.functions.HashKernels.pq_decode(
+        graft.functions.HashKernels.pq_encode(col("embedding"), flat, M, K),
+        flat, M, K).as("recon")).collect()
+    coded.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == M, "one code per subspace") // dim/sub compression
+      assert(codes.forall(c => c >= 0 && c < K))
+      val recon = r.getSeq[Double](2)
+      assert(recon.length == dim)
+      // reconstruction = exact concatenation of the coded centroids
+      codes.zipWithIndex.foreach { case (c, mi) =>
+        val cent = flat.slice((mi * K + c) * sub, (mi * K + c) * sub + sub)
+        assert(recon.slice(mi * sub, (mi + 1) * sub) == cent.toSeq)
+      }
+    }
+  }
 }
