@@ -307,19 +307,24 @@ object CorpusOps {
     * edge, open-wedge, and triangle counts (wedges and triangles give
     * the global clustering coefficient 3T/W without a float in sight). */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val items = t(spark, dir, "lineitem")
+    // pairs generate MAP-SIDE from one per-order set aggregate — the
+    // per-order item count bounds the expansion (TPC-H ≤ 7 lines), so
+    // no self-join and no second scan of lineitem
+    val perOrder = t(spark, dir, "lineitem")
       .filter(col("l_orderkey") % 20 === 0)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = items.select(col("l_orderkey"),
-      col("l_partkey").as("pk2"))
-    val edges = items.join(b, "l_orderkey")
-      .filter(col("l_partkey") < col("pk2"))
-      .select(col("l_partkey").as("u"), col("pk2").as("v"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val pair = explode(flatten(transform(col("ps"),
+      x => transform(filter(col("ps"), y => y > x),
+        y => struct(x.as("u"), y.as("v"))))))
+    val edges = perOrder.select(pair.as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .persist()
     val deg = edges.select(col("u").as("node"))
       .unionByName(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist()
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     val oriented = edges.join(du, "u").join(dv, "v")
@@ -339,19 +344,17 @@ object CorpusOps {
     // total-order orientation (simple graph → no multi-counting)
     val tri = wedges.join(e3, Seq("src", "fin"))
       .agg(count(lit(1)).as("n_triangles"))
-    val openWedges = deg.agg(
+    // node + open-wedge stats in ONE pass over deg
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
-    val counts = deg.agg(count(lit(1)).as("n_nodes"))
+    val out = degStats
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(openWedges)
       .crossJoin(tri)
-    val out = counts.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-      col("n_triangles"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
     val result = out.collect() // 1 row; materialize before unpersist
-    edges.unpersist(false); oriented.unpersist(false)
-    spark.createDataFrame(
-      java.util.List.of(result.head),
-      out.schema)
+    edges.unpersist(false); oriented.unpersist(false); deg.unpersist(false)
+    spark.createDataFrame(java.util.List.of(result.head), out.schema)
   }
 
   /** Zipf profile of the corpus vocabulary (r7): term frequencies ranked
