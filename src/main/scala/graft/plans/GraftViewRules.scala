@@ -69,6 +69,13 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
       DropGraftViewCommand(gc, ident, ifExists)
 
+    // DROP TABLE aimed at a stored VIEW: refuse with the cure named
+    // (the default path would report a confusing TABLE_NOT_FOUND)
+    case DropTable(child, _, _) if partsOf(child).exists(
+        p => GraftViewRules.resolveView(spark, p).isDefined) =>
+      throw new UnsupportedOperationException(
+        s"graft views: ${partsOf(child).get.mkString(".")} is a view — use DROP VIEW")
+
     case ShowViews(UnresolvedNamespace(parts, _), pattern, out)
         if graftNamespaceOf(spark, parts).isDefined =>
       val (gc, ns) = graftNamespaceOf(spark, parts).get
@@ -91,6 +98,17 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       AlterGraftViewAsCommand(gc, ident, originalText,
         cm.currentCatalog.name, cm.currentNamespace.toSeq)
 
+    // introspection: DESCRIBE / SHOW CREATE TABLE against a stored view
+    case DescribeRelation(child, _, isExtended, out) if partsOf(child).exists(
+        p => GraftViewRules.resolveView(spark, p).isDefined) =>
+      val (gc, ident) = GraftViewRules.resolveView(spark, partsOf(child).get).get
+      DescribeGraftViewCommand(gc, ident, isExtended, out)
+
+    case ShowCreateTable(child, _, out) if partsOf(child).exists(
+        p => GraftViewRules.resolveView(spark, p).isDefined) =>
+      val (gc, ident) = GraftViewRules.resolveView(spark, partsOf(child).get).get
+      ShowCreateGraftViewCommand(gc, ident, out)
+
     case RenameTable(child, newName, true) if partsOf(child).exists(
         p => graftCatalogOf(spark, p).isDefined) =>
       val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
@@ -112,14 +130,39 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** Read-path expansion: `SELECT … FROM graft.db.v` (and nested views)
-  * inline the stored text — see the class doc above. */
+  * inline the stored text — see the class doc above. TOP-DOWN so the
+  * write-refusal guards see the DML node while its target is still the
+  * raw relation (bottom-up would expand the view first and surface a
+  * confusing downstream error instead of the refusal). */
 case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case InsertIntoStatement(u: UnresolvedRelation, _, _, _, _, _, _)
-        if GraftViewRules.resolveView(spark, u.multipartIdentifier).isDefined =>
-      throw new UnsupportedOperationException(
-        s"graft views: inserting into view ${u.multipartIdentifier.mkString(".")} is not allowed")
+  private def viewName(p: LogicalPlan): Option[String] = {
+    val rel = p match {
+      case SubqueryAlias(_, child) => child // UPDATE t AS x / MERGE INTO t x
+      case other => other
+    }
+    rel match {
+      case u: UnresolvedRelation
+          if GraftViewRules.resolveView(spark, u.multipartIdentifier).isDefined =>
+        Some(u.multipartIdentifier.mkString("."))
+      case _ => None
+    }
+  }
+
+  private def refuse(op: String, name: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft views: $op on view $name is not allowed — views are read-only " +
+        "(write to the underlying table)")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case InsertIntoStatement(t, _, _, _, _, _, _) if viewName(t).isDefined =>
+      refuse("INSERT", viewName(t).get)
+    case UpdateTable(t, _, _) if viewName(t).isDefined =>
+      refuse("UPDATE", viewName(t).get)
+    case DeleteFromTable(t, _) if viewName(t).isDefined =>
+      refuse("DELETE", viewName(t).get)
+    case m: MergeIntoTable if viewName(m.targetTable).isDefined =>
+      refuse("MERGE", viewName(m.targetTable).get)
     case u: UnresolvedRelation
         if GraftViewRules.resolveView(spark, u.multipartIdentifier).isDefined =>
       if (u.isStreaming) throw new UnsupportedOperationException(
@@ -354,6 +397,54 @@ object GraftViewCommands {
     override def run(spark: SparkSession): Seq[Row] = {
       catalog.renameView(from, to)
       Seq.empty
+    }
+  }
+
+  /** DESCRIBE [EXTENDED] on a view: column rows from the STORED schema
+    * (the view's contract), plus — extended — the v1-style
+    * `# View Information` block with the defining text and its
+    * resolution context. */
+  case class DescribeGraftViewCommand(catalog: GraftCatalog, ident: Identifier,
+      isExtended: Boolean, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = catalog.loadView(ident).asInstanceOf[GraftView]
+      val d = v.desc
+      val cols = d.schema.fields.map(f =>
+        Row(f.name, f.dataType.simpleString, null: String)).toSeq
+      if (!isExtended) cols
+      else cols ++ Seq(
+        Row("", "", null: String),
+        Row("# View Information", "", null: String),
+        Row("View Text", d.sql, null: String),
+        Row("View Catalog and Namespace",
+          (d.currentCatalog +: d.currentNamespace).mkString("."), null: String),
+        Row("View Query Output Columns",
+          d.queryColumnNames.mkString("[", ", ", "]"), null: String))
+    }
+  }
+
+  /** SHOW CREATE TABLE on a view: reconstruct the CREATE VIEW statement
+    * from the stored descriptor (aliases, properties, text). */
+  case class ShowCreateGraftViewCommand(catalog: GraftCatalog, ident: Identifier,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = catalog.loadView(ident).asInstanceOf[GraftView]
+      val d = v.desc
+      val name = (catalog.name +: ident.namespace.toSeq :+ ident.name).mkString(".")
+      val colList =
+        if (d.columnAliases.nonEmpty && d.columnAliases != d.queryColumnNames)
+          d.columnAliases.mkString(" (", ", ", ")")
+        else ""
+      val props = d.properties.filterNot(_._1 == ViewCatalog.PROP_COMMENT)
+      val tbl =
+        if (props.isEmpty) ""
+        else props.toSeq.sortBy(_._1)
+          .map { case (k, p) => s"'$k' = '$p'" }
+          .mkString("\nTBLPROPERTIES (", ", ", ")")
+      val comment = d.properties.get(ViewCatalog.PROP_COMMENT)
+        .map(c => s"\nCOMMENT '$c'").getOrElse("")
+      Seq(Row(s"CREATE VIEW $name$colList$comment$tbl AS\n${d.sql}"))
     }
   }
 }

@@ -161,17 +161,47 @@ class GraftViewSpec extends SparkTestBase {
     assert(e.getMessage.contains("self-contained"))
   }
 
-  test("INSERT into a view refused; CREATE TABLE at a view path refused") {
+  test("writes against a view refused with the read-only message; CREATE TABLE at a view path refused") {
     freshTable("vw_guard", Seq((1L, "en", 10L)))
     dropViewQuiet("graft.db.v_guard")
     spark.sql("CREATE VIEW graft.db.v_guard AS SELECT k FROM graft.db.vw_guard")
-    intercept[Exception](
-      spark.sql("INSERT INTO graft.db.v_guard VALUES (2)"))
+    def refusedReadOnly(sql: String, op: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("read-only") && e.getMessage.contains(op),
+        s"$op: wanted the explicit view refusal, got: ${e.getMessage}")
+    }
+    refusedReadOnly("INSERT INTO graft.db.v_guard VALUES (2)", "INSERT")
+    refusedReadOnly("UPDATE graft.db.v_guard SET k = 9", "UPDATE")
+    refusedReadOnly("DELETE FROM graft.db.v_guard WHERE k = 1", "DELETE")
+    refusedReadOnly(
+      """MERGE INTO graft.db.v_guard t USING graft.db.vw_guard s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin, "MERGE")
+    // DROP TABLE on a view names the cure
+    val dt = intercept[Exception](spark.sql("DROP TABLE graft.db.v_guard"))
+    assert(dt.getMessage.contains("DROP VIEW"))
     intercept[Exception](
       spark.sql("CREATE TABLE graft.db.v_guard (x BIGINT)"))
     // and a view over an existing TABLE name is refused
     intercept[Exception](
       spark.sql("CREATE VIEW graft.db.vw_guard AS SELECT 1 AS one"))
+  }
+
+  test("DESCRIBE and SHOW CREATE TABLE on a view") {
+    freshTable("vw_desc", Seq((1L, "en", 10L)))
+    dropViewQuiet("graft.db.v_desc")
+    spark.sql(
+      """CREATE VIEW graft.db.v_desc (language, total)
+        |TBLPROPERTIES ('team' = 'data') AS
+        |SELECT lang, sum(n) FROM graft.db.vw_desc GROUP BY lang""".stripMargin)
+    val desc = spark.sql("DESCRIBE graft.db.v_desc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc == Seq(("language", "string"), ("total", "bigint")))
+    val ext = spark.sql("DESCRIBE EXTENDED graft.db.v_desc").collect()
+      .map(_.getString(0)).toSeq
+    assert(ext.contains("# View Information") && ext.contains("View Text"))
+    val ddl = spark.sql("SHOW CREATE TABLE graft.db.v_desc").head.getString(0)
+    assert(ddl.startsWith("CREATE VIEW graft.db.v_desc (language, total)"))
+    assert(ddl.contains("'team' = 'data'") && ddl.contains("GROUP BY lang"))
   }
 
   test("plan quality: a filter through a view prunes files via the table's stats index") {
