@@ -337,7 +337,47 @@ object TimeSeriesOps {
       .orderBy(col("event_id").asc)
   }
 
+  /** Windowed HOLT linear-trend smoothing (r12): level+trend double
+    * exponential smoothing over the trailing 8 samples of each series —
+    * `ℓ_t = α·x_t + (1-α)(ℓ+b)`, `b_t = β(ℓ_t-ℓ) + (1-β)b`, initialized
+    * at the window head (`ℓ₀=x₀, b₀=x₁-x₀`), α=1/2, β=1/4 (exact binary
+    * fractions). The recurrence is SEQUENTIAL, which normally locks it
+    * out of both SQL engines and map-side parallelism; the windowed
+    * form unrolls it into a FIXED expression tree over lag() terms —
+    * one window pass, fully codegen'd, embarrassingly parallel across
+    * series and rows, and bit-identical across engines because both
+    * evaluate the same IEEE operation order (neither reassociates float
+    * arithmetic). Rows without a full 8-window (series heads) drop.
+    * Output: smoothed level, trend, and the one-step-ahead forecast
+    * ℓ+b — the anomaly baseline `ts_anomaly`-style monitors difference
+    * against. */
+  def tsHolt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    var df = Tables.t(spark, dir, "events")
+      .select(Seq(col("event_id"), col("event_type")) ++
+        (0 to 7).map(i => lag(col("value"), 7 - i).over(w).as(s"x$i")): _*)
+      .filter(col("x0").isNotNull) // full window only
+      .withColumn("l0", col("x0"))
+      .withColumn("b0", col("x1") - col("x0"))
+    for (i <- 1 to 7) {
+      df = df
+        .withColumn(s"l$i",
+          lit(0.5) * col(s"x$i") + lit(0.5) * (col(s"l${i - 1}") + col(s"b${i - 1}")))
+        .withColumn(s"b$i",
+          lit(0.25) * (col(s"l$i") - col(s"l${i - 1}")) + lit(0.75) * col(s"b${i - 1}"))
+    }
+    df.filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"),
+        graft.Det.r4(col("l7")).as("level"),
+        graft.Det.r4(col("b7")).as("trend"),
+        graft.Det.r4(col("l7") + col("b7")).as("forecast"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_holt" -> (tsHolt _),
     "ts_ewma" -> (tsEwma _),
     "ts_acf" -> (tsAcf _),
     "ts_anomaly" -> (tsAnomaly _),
@@ -352,6 +392,37 @@ object TimeSeriesOps {
     "ts_ohlc" -> (tsOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "ts_holt" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type,
+        |    lag(value, 7) OVER w AS x0, lag(value, 6) OVER w AS x1,
+        |    lag(value, 5) OVER w AS x2, lag(value, 4) OVER w AS x3,
+        |    lag(value, 3) OVER w AS x4, lag(value, 2) OVER w AS x5,
+        |    lag(value, 1) OVER w AS x6, lag(value, 0) OVER w AS x7
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)),
+        |s0 AS (
+        |  SELECT *, x0 AS l0, x1 - x0 AS b0 FROM l WHERE x0 IS NOT NULL),
+        |s1 AS (SELECT *, 0.5 * x1 + 0.5 * (l0 + b0) AS l1 FROM s0),
+        |t1 AS (SELECT *, 0.25 * (l1 - l0) + 0.75 * b0 AS b1 FROM s1),
+        |s2 AS (SELECT *, 0.5 * x2 + 0.5 * (l1 + b1) AS l2 FROM t1),
+        |t2 AS (SELECT *, 0.25 * (l2 - l1) + 0.75 * b1 AS b2 FROM s2),
+        |s3 AS (SELECT *, 0.5 * x3 + 0.5 * (l2 + b2) AS l3 FROM t2),
+        |t3 AS (SELECT *, 0.25 * (l3 - l2) + 0.75 * b2 AS b3 FROM s3),
+        |s4 AS (SELECT *, 0.5 * x4 + 0.5 * (l3 + b3) AS l4 FROM t3),
+        |t4 AS (SELECT *, 0.25 * (l4 - l3) + 0.75 * b3 AS b4 FROM s4),
+        |s5 AS (SELECT *, 0.5 * x5 + 0.5 * (l4 + b4) AS l5 FROM t4),
+        |t5 AS (SELECT *, 0.25 * (l5 - l4) + 0.75 * b4 AS b5 FROM s5),
+        |s6 AS (SELECT *, 0.5 * x6 + 0.5 * (l5 + b5) AS l6 FROM t5),
+        |t6 AS (SELECT *, 0.25 * (l6 - l5) + 0.75 * b5 AS b6 FROM s6),
+        |s7 AS (SELECT *, 0.5 * x7 + 0.5 * (l6 + b6) AS l7 FROM t6),
+        |t7 AS (SELECT *, 0.25 * (l7 - l6) + 0.75 * b6 AS b7 FROM s7)
+        |SELECT event_id, event_type,
+        |  floor(l7 * 10000 + 0.5) / 10000 AS level,
+        |  floor(b7 * 10000 + 0.5) / 10000 AS trend,
+        |  floor((l7 + b7) * 10000 + 0.5) / 10000 AS forecast
+        |FROM t7 WHERE event_id % 20 = 0
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "ts_ewma" ->
       """WITH l AS (
         |  SELECT event_id, event_type,
