@@ -258,8 +258,10 @@ object CorpusOps {
     * bounded by document length, never by corpus size. Output is exact
     * integers + the md5 of the scrubbed text (comparable across
     * engines without shipping text through the compare). */
-  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringOn(t(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  private[operators] def dedupSubstringOn(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val sh = docs

@@ -118,4 +118,32 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().map(_.toSeq)
     assert(two.toSeq == direct.toSeq)
   }
+
+  test("dedup_substring: keeper keeps everything, copies lose the span, full excision goes null") {
+    import spark.implicits._
+    val span = (0 until 8).map(i => s"dup$i").mkString(" ") // one exact 8-gram
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),      // keeper (lowest id)
+      (2L, s"other words $span trailing here"),   // loses the 8 span tokens
+      (3L, span),                                  // ONLY the span -> fully excised
+      (4L, "nothing shared with anyone here at all today ok")) // untouched
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dedupSubstringOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4))))).toMap
+    // doc 1 is the keeper: nothing removed, md5 = md5(original text)
+    assert(out(1L) == ((12L, 12L, 0L,
+      Some(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"alpha beta $span gamma delta".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))))
+    // doc 2 loses exactly the 8 covered positions, scrubbed text reassembles
+    assert(out(2L)._1 == 12L && out(2L)._2 == 4L && out(2L)._3 == 8L)
+    assert(out(2L)._4.contains(java.security.MessageDigest.getInstance("MD5")
+      .digest("other words trailing here".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString))
+    // doc 3 is the span alone: fully excised -> zero kept, NULL fingerprint
+    assert(out(3L) == ((8L, 0L, 8L, None)))
+    // doc 4 untouched
+    assert(out(4L)._3 == 0L)
+  }
 }
