@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.sources.GraftViews
+
 /** Incremental MATERIALIZED VIEWS over snapshot tables (r12) — a small
   * incremental-view-maintenance (IVM) compiler on top of the table
   * format's change data feed.
@@ -196,27 +198,91 @@ object MaterializedView {
   private def srcPath(warehouse: String, d: MvDef): String =
     (warehouse +: d.srcRelative).mkString("/")
 
+  /** The session catalog NAME serving `warehouse` — stored as the view
+    * descriptor's resolution context so the MV's read surface resolves
+    * from any session context. */
+  private def catalogNameFor(spark: SparkSession, warehouse: String): String = {
+    val confs = spark.conf.getAll
+    confs.collectFirst {
+      case (k, v) if k.startsWith("spark.sql.catalog.") &&
+          !k.stripPrefix("spark.sql.catalog.").contains(".") &&
+          v == classOf[graft.sources.GraftCatalog].getName &&
+          confs.get(s"$k.warehouse").contains(warehouse) =>
+        k.stripPrefix("spark.sql.catalog.")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"materialized view: no graft catalog registered over warehouse $warehouse"))
+  }
+
+  /** The MV's physical STATE table sits beside the published name. */
+  private def stateBase(mvBase: String): String = s"${mvBase}__state"
+
+  /** Resolve the base a refresh operates on: the published name is a
+    * VIEW over `<name>__state` (r12 surface), but a bare state table at
+    * the name itself (the pre-view layout) still refreshes. */
+  private def resolveState(spark: SparkSession, mvBase: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(mvBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (GraftViews.exists(fs, mvBase)) stateBase(mvBase) else mvBase
+  }
+
   /** CREATE: pin the source's current version v0, publish the full
-    * aggregate at v0 as the MV's v1 with all bookkeeping in the same
-    * commit. Returns (mv_version, n_groups, src_version). */
+    * aggregate at v0 into the `__state` table (bookkeeping in the same
+    * commit), then publish the MV's NAME as a stored VIEW projecting
+    * only the user-declared columns — `SELECT … FROM graft.db.mv` shows
+    * the clean aggregate schema while the liveness/null counters stay
+    * an implementation detail of the state table (which remains fully
+    * addressable: time travel, DESCRIBE DETAIL, vacuum).
+    * Returns (mv_version, n_groups, src_version). */
   def create(spark: SparkSession, warehouse: String, mvBase: String,
              query: String): (Int, Long, Int) = {
     val d = parseDef(spark, query)
     val src = srcPath(warehouse, d)
     val fs = new org.apache.hadoop.fs.Path(mvBase)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$mvBase/_CURRENT")))
+    val sb = stateBase(mvBase)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$mvBase/_CURRENT")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$sb/_CURRENT")) ||
+        GraftViews.exists(fs, mvBase))
       throw new IllegalArgumentException(
         s"materialized view: $mvBase already exists — drop it first")
+    val catName = catalogNameFor(spark, warehouse)
+    val relParts = mvBase.stripPrefix(s"$warehouse/").split('/').toSeq
     val v0 = TableFormat.currentVersion(spark, src)
     val state = fullState(TableFormat.readSnapshot(spark, src, Some(v0)), d)
-    val v = TableFormat.appendCommit(spark, mvBase, state,
+    val v = TableFormat.appendCommit(spark, sb, state,
       statsCol = None, setProps = Map(
         "graft.mv.query" -> query,
         "graft.mv.src" -> d.srcRelative.mkString("."),
         "graft.mv.version" -> v0.toString))
-    val n = TableFormat.readSnapshot(spark, mvBase, Some(v)).count()
+    // the published read surface: a stored view over the state table,
+    // resolution pinned to this catalog (2-part name + stored context)
+    val visible = visibleColumns(d)
+    val stateRel = (relParts.init :+ s"${relParts.last}__state").mkString(".")
+    val viewSchema = org.apache.spark.sql.types.StructType(
+      state.schema.fields.filter(f => visible.contains(f.name)))
+    GraftViews.write(fs, mvBase, GraftViews.Desc(
+      sql = s"SELECT ${visible.mkString(", ")} FROM $stateRel",
+      currentCatalog = catName,
+      currentNamespace = Seq.empty,
+      schemaJson = viewSchema.json,
+      queryColumnNames = visible,
+      columnAliases = Seq.empty,
+      columnComments = Seq.empty,
+      properties = Map("graft.mv" -> "true")), overwrite = false)
+    val n = TableFormat.readSnapshot(spark, sb, Some(v)).count()
     (v, n, v0)
+  }
+
+  /** DROP: remove the published view AND the state table — the pair is
+    * one logical object; dropping only the view would orphan the state
+    * and block a re-create. Idempotent on a half-dropped MV. Returns
+    * (dropped_view, dropped_state). */
+  def drop(spark: SparkSession, mvBase: String): (Boolean, Boolean) = {
+    val fs = new org.apache.hadoop.fs.Path(mvBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vDropped = GraftViews.drop(fs, mvBase)
+    val sDropped = fs.delete(new org.apache.hadoop.fs.Path(stateBase(mvBase)), true)
+    (vDropped, sDropped)
   }
 
   /** REFRESH: fold the source CDF from the bookmark to now into the MV.
@@ -228,7 +294,8 @@ object MaterializedView {
     * caller to re-run against the winner's state.
     * Returns (mv_version, src_from, src_to, n_groups). */
   def refresh(spark: SparkSession, warehouse: String,
-              mvBase: String): (Int, Int, Int, Long) = {
+              mvBase0: String): (Int, Int, Int, Long) = {
+    val mvBase = resolveState(spark, mvBase0)
     val mvV = TableFormat.currentVersion(spark, mvBase)
     val props = TableFormat.manifestProps(spark, mvBase, mvV)
     val query = props.getOrElse("graft.mv.query",

@@ -561,11 +561,26 @@ object GraftProcedures {
     }
   }
 
+  /** DROP MATERIALIZED VIEW (r12): removes the published view AND its
+    * `__state` table as one logical object (dropping only the view would
+    * orphan the state and block re-creation). Idempotent. */
+  private object DropMvProc extends Proc("drop_mv",
+    Seq(in("table", StringType)),
+    StructType(Seq(StructField("dropped_view", BooleanType),
+                   StructField("dropped_state", BooleanType)))) {
+    override def description(): String =
+      "drop a materialized view: its published view and its __state table together"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (v, s) = graft.operators.MaterializedView.drop(spark, base)
+      new GenericInternalRow(Array[Any](v, s))
+    }
+  }
+
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
-      CreateMvProc, RefreshMvProc)
+      CreateMvProc, RefreshMvProc, DropMvProc)
 
   def names: Seq[String] = all.map(_.name())
 

@@ -23,7 +23,9 @@ class MaterializedViewSpec extends SparkTestBase {
   private def fresh(name: String): String = {
     val base = s"$wh/db/$name"
     val p = new org.apache.hadoop.fs.Path(base)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${base}__state"), true) // MV state twin
     base
   }
 
@@ -47,6 +49,11 @@ class MaterializedViewSpec extends SparkTestBase {
         |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
         |   FROM graft.db.mv_src WHERE doc_id % 5 <> 0 GROUP BY lang')""".stripMargin).head
     assert(c.getInt(0) == 1 && c.getInt(2) == 1 && c.getLong(1) == 3)
+    // the published name is a VIEW projecting ONLY the declared columns —
+    // the liveness/null counters live in the __state table
+    assert(spark.table("graft.db.mv_agg").columns.toSeq ==
+      Seq("lang", "n_docs", "sum_n"))
+    assert(spark.table("graft.db.mv_agg__state").columns.contains("__cnt"))
     assert(mvRead("graft.db.mv_agg") ==
       recompute("graft.db.mv_src", "WHERE doc_id % 5 <> 0"))
     // v2: append new rows (new lang too); v3: range delete
@@ -59,8 +66,8 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(mvRead("graft.db.mv_agg") ==
       recompute("graft.db.mv_src", "WHERE doc_id % 5 <> 0"))
     // the bookmark rode the SAME commit as the data
-    val props = TableFormat.manifestProps(spark, s"$wh/db/mv_agg",
-      TableFormat.currentVersion(spark, s"$wh/db/mv_agg"))
+    val props = TableFormat.manifestProps(spark, s"$wh/db/mv_agg__state",
+      TableFormat.currentVersion(spark, s"$wh/db/mv_agg__state"))
     assert(props("graft.mv.version") == "3")
   }
 
@@ -118,10 +125,10 @@ class MaterializedViewSpec extends SparkTestBase {
         |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
         |   FROM graft.db.mv_src4 GROUP BY lang')""".stripMargin).collect()
     // true no-op: bookmark already current → NO commit at all
-    val mvV0 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4")
+    val mvV0 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4__state")
     val noop = spark.sql("CALL graft.system.refresh_mv('db.mv_agg4')").head
     assert(noop.getLong(3) == -1L &&
-      TableFormat.currentVersion(spark, s"$wh/db/mv_agg4") == mvV0)
+      TableFormat.currentVersion(spark, s"$wh/db/mv_agg4__state") == mvV0)
     // SQL UPDATE (CoW rewrite) on the source
     spark.sql("UPDATE graft.db.mv_src4 SET n = n + 1000 WHERE doc_id < 10")
     spark.sql("CALL graft.system.refresh_mv('db.mv_agg4')").collect()
@@ -129,10 +136,10 @@ class MaterializedViewSpec extends SparkTestBase {
     // maintenance-only span: compact emits no CDF rows → refresh
     // advances the bookmark with a METADATA commit (op = alter)
     spark.sql(s"CALL graft.system.compact('db.mv_src4', ${Long.MaxValue}L, 2)").collect()
-    val mvV1 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4")
+    val mvV1 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4__state")
     val m = spark.sql("CALL graft.system.refresh_mv('db.mv_agg4')").head
     assert(m.getLong(3) == 0L)
-    val mvV2 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4")
+    val mvV2 = TableFormat.currentVersion(spark, s"$wh/db/mv_agg4__state")
     assert(mvV2 == mvV1 + 1)
     assert(mvRead("graft.db.mv_agg4") == recompute("graft.db.mv_src4", ""))
   }
@@ -196,6 +203,30 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(mvRead("graft.db.mv_agg7").map(_.getString(0)) == Seq("en", "fr"),
         "streamed delete must kill the zz group")
     } finally q.stop()
+  }
+
+  test("drop_mv removes view + state together; the name re-creates cleanly") {
+    val src = fresh("mv_src8"); fresh("mv_agg8")
+    TableFormat.commit(spark, src, Seq((1L, "en", 1L)).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg8',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_src8 GROUP BY lang')""".stripMargin).collect()
+    // a second create on the live name refuses
+    intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg8',
+        |  'SELECT lang, count(*) AS n_docs FROM graft.db.mv_src8 GROUP BY lang')"""
+        .stripMargin).collect())
+    val d = spark.sql("CALL graft.system.drop_mv('db.mv_agg8')").head
+    assert(d.getBoolean(0) && d.getBoolean(1))
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.mv_agg8").collect())
+    // and the name is free again (even after a HALF-dropped leftover)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg8',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_src8 GROUP BY lang')""".stripMargin).collect()
+    assert(mvRead("graft.db.mv_agg8") == recompute("graft.db.mv_src8", ""))
   }
 
   test("refresh refuses a source restored behind the bookmark") {
