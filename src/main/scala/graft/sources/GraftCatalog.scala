@@ -3256,7 +3256,7 @@ object GraftCatalogOps {
     val wh = s"${Tables.scratchDir}/graft_wh"
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    for (t <- Seq("mvq_src", "mvq_agg")) {
+    for (t <- Seq("mvq_src", "mvq_agg", "mvq_agg__state")) {
       val p = new HadoopPath(s"$wh/db/$t")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
