@@ -376,7 +376,49 @@ object TimeSeriesOps {
       .orderBy(col("event_id").asc)
   }
 
+  /** CROSS-correlation at lags 0..3 between the minute-bucketed `click`
+    * and `purchase` series (r12) — the lead-lag probe behind "does
+    * activity in series A anticipate series B?": bucket both series to
+    * a common minute grid (sums as exact DECIMAL — engine-portable),
+    * shift one side by the lag (a self-equi-join on `bucket + L`, never
+    * a window over the whole grid), and compute Pearson r per lag from
+    * exact decimal sums with the same one-double-expression discipline
+    * as `ts_acf`. At 100 TB the grid is |minutes| rows per series —
+    * aggregation does the data reduction BEFORE any pairing, and each
+    * lag's join is grid×grid on an integer key. */
+  def tsCrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        date_trunc("minute", col("ts")).as("bucket"), // exact, engine-portable
+        col("value").cast("decimal(18,2)").as("v"))
+    val grid = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("v")).as("sv"))
+    val a = grid.filter(col("event_type") === "click")
+      .select(col("bucket"), col("sv").as("x"))
+    val b = grid.filter(col("event_type") === "purchase")
+      .select(col("bucket").as("bbucket"), col("sv").as("y"))
+    val lags = (0 to 3).map { l =>
+      a.join(b, col("bbucket") === col("bucket") + expr(s"INTERVAL $l MINUTE"))
+        .select(lit(l).as("lag"), col("x"), col("y"))
+    }.reduce(_ unionByName _)
+    def d(c: String) = col(c).cast("double")
+    lags.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,4)")).as("syy"))
+      .select(col("lag"), col("n"),
+        graft.Det.r4(
+          (d("n") * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+             sqrt(d("n") * d("syy") - d("sy") * d("sy")))).as("xcorr"))
+      .orderBy(col("lag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cross_corr" -> (tsCrossCorr _),
     "ts_holt" -> (tsHolt _),
     "ts_ewma" -> (tsEwma _),
     "ts_acf" -> (tsAcf _),
@@ -392,6 +434,35 @@ object TimeSeriesOps {
     "ts_ohlc" -> (tsOhlc _))
 
   val oracle: Map[String, String] = Map(
+    "ts_cross_corr" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS bucket,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |grid AS (
+        |  SELECT event_type, bucket, sum(v) AS sv FROM ev GROUP BY 1, 2),
+        |a AS (SELECT bucket, sv AS x FROM grid WHERE event_type = 'click'),
+        |b AS (SELECT bucket AS bbucket, sv AS y FROM grid WHERE event_type = 'purchase'),
+        |lags AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM (VALUES (0), (1), (2), (3)) AS l(lag), a
+        |  JOIN b ON b.bbucket = a.bucket + l.lag * INTERVAL 1 MINUTE),
+        |s AS (
+        |  SELECT lag, count(1) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38,4))) AS syy
+        |  FROM lags GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |        * 10000 + 0.5) / 10000 AS xcorr
+        |FROM s
+        |ORDER BY lag ASC NULLS FIRST""".stripMargin,
     "ts_holt" ->
       """WITH l AS (
         |  SELECT event_id, event_type,
