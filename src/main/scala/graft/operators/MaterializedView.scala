@@ -51,6 +51,8 @@ object MaterializedView {
   case class CountStar(alias: String) extends AggSpec
   case class CountCol(colName: String, alias: String) extends AggSpec
   case class SumCol(colName: String, alias: String) extends AggSpec
+  case class MinCol(colName: String, alias: String) extends AggSpec
+  case class MaxCol(colName: String, alias: String) extends AggSpec
 
   case class MvDef(srcParts: Seq[String], dims: Seq[String],
                    aggs: Seq[AggSpec], filterSql: Option[String]) {
@@ -63,9 +65,10 @@ object MaterializedView {
   def parseDef(spark: SparkSession, sql: String): MvDef = {
     def refuse(what: String): Nothing = throw new IllegalArgumentException(
       s"materialized view: $what — supported shape is SELECT dims…, " +
-        "COUNT(*)/COUNT(col)/SUM(col) AS alias… FROM graft_table [WHERE pred] " +
-        "GROUP BY dims (SUM/COUNT over integral columns; no DISTINCT, no " +
-        "MIN/MAX, no expressions in GROUP BY, no joins)")
+        "COUNT(*)/COUNT(col)/SUM(col)/MIN(col)/MAX(col) AS alias… FROM " +
+        "graft_table [WHERE pred] GROUP BY dims (SUM over integral columns, " +
+        "MIN/MAX over integral or string; no DISTINCT, no AVG, no " +
+        "expressions in GROUP BY, no joins)")
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val agg = plan match {
       case a: Aggregate => a
@@ -95,6 +98,8 @@ object MaterializedView {
           case ("count", Seq(Literal(1, _))) => Some(CountStar(alias))
           case ("count", Seq(c: UnresolvedAttribute)) => Some(CountCol(c.name, alias))
           case ("sum", Seq(c: UnresolvedAttribute)) => Some(SumCol(c.name, alias))
+          case ("min", Seq(c: UnresolvedAttribute)) => Some(MinCol(c.name, alias))
+          case ("max", Seq(c: UnresolvedAttribute)) => Some(MaxCol(c.name, alias))
           case _ => refuse(s"aggregate '${f.nameParts.mkString(".")}' in '$alias'")
         }
       case Alias(e, alias) => refuse(s"output '$alias' = '${e.sql}' is not " +
@@ -112,6 +117,14 @@ object MaterializedView {
   private def nCol(a: String) = s"__n_$a"
   private def dCol(a: String) = s"__d_$a"
   private def dnCol(a: String) = s"__dn_$a"
+  private def dMinMaxCol(a: String) = s"__dmm_$a"   // extremum of inserts
+  private def delMinMaxCol(a: String) = s"__ddel_$a" // extremum of deletes
+  private val REGROUP = "__regroup"
+
+  private def hasMinMax(d: MvDef): Boolean = d.aggs.exists {
+    case _: MinCol | _: MaxCol => true
+    case _ => false
+  }
 
   /** Integral-only guard for SUM/COUNT columns (exactness contract). */
   private def validateTypes(d: MvDef, srcSchema: StructType): Unit = {
@@ -129,6 +142,20 @@ object MaterializedView {
             "integral-only (cast to a fixed-point integral column upstream)")
       }
     }
+    d.aggs.collect { case m @ (_: MinCol | _: MaxCol) =>
+      val (c, a) = m match {
+        case MinCol(c0, a0) => (c0, a0); case MaxCol(c0, a0) => (c0, a0)
+        case _ => throw new MatchError(m)
+      }
+      fieldOf(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"materialized view: MIN/MAX($c) AS $a over ${dt.simpleString} — " +
+            "extrema maintain exactly over integral or string columns only " +
+            "(float comparisons are exact but float columns are refused for " +
+            "consistency with the SUM contract)")
+      }
+    }
   }
 
   /** Full (re)computation of the MV state — used once at CREATE, and the
@@ -140,6 +167,8 @@ object MaterializedView {
       case CountStar(a) => count(lit(1)).as(a)
       case CountCol(c, a) => count(col(c)).as(a)
       case SumCol(c, a) => sum(col(c).cast(LongType)).as(a)
+      case MinCol(c, a) => min(col(c)).as(a)
+      case MaxCol(c, a) => max(col(c)).as(a)
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) => count(col(c)).as(nCol(a))
@@ -159,33 +188,69 @@ object MaterializedView {
       case CountCol(c, a) =>
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dCol(a))
       case SumCol(c, a) => sum(col(c).cast(LongType) * col("__sign")).as(dCol(a))
+      // extrema: the delta carries the INSERTED extremum (folds in) and
+      // the DELETED extremum (decides whether the group must regroup)
+      case MinCol(c, a) => min(when(col("__sign") === 1L, col(c))).as(dMinMaxCol(a))
+      case MaxCol(c, a) => max(when(col("__sign") === 1L, col(c))).as(dMinMaxCol(a))
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) =>
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a))
+      case MinCol(c, a) => min(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
+      case MaxCol(c, a) => max(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
     } :+ sum(col("__sign")).as(s"__d$CNT")
     val all = deltas ++ hidden
     filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
   }
 
   /** One full-outer merge of |groups| rows: state ⊕ delta, dead groups
-    * dropped, all-null sums reported as NULL. */
+    * dropped, all-null sums reported as NULL.
+    *
+    * MIN/MAX fold the INSERTED extremum in directly (`least`/`greatest`
+    * skip NULLs) and carry a `__regroup` flag instead of a value when a
+    * DELETED extremum could have been the binding one — the classic IVM
+    * distinction: extrema are self-maintainable under inserts, only
+    * conditionally under deletes. The condition is sharp where it can
+    * be: a deleted value strictly WORSE than the stored extremum proves
+    * the extremum survived (no regroup); a deleted value tying or
+    * beating it — or any delete into a group whose state is absent or
+    * all-NULL — marks the group for a targeted recompute. */
   def merge(state: DataFrame, delta: DataFrame, d: MvDef): DataFrame = {
-    val joined = state.join(delta, d.dims, "full_outer")
+    // NULL-SAFE dim matching: a NULL dim value is a legitimate GROUP BY
+    // group — a plain equi-join would leave the state and delta halves
+    // of the NULL group unmatched and emit it twice
+    val deltaR = d.dims.foldLeft(delta)((df, k) => df.withColumnRenamed(k, s"__k_$k"))
+    val cond = d.dims.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val joined = state.join(deltaR, cond, "full_outer")
     def add(a: String, b: String): Column =
       coalesce(col(a), lit(0L)) + coalesce(col(b), lit(0L))
+    val absent = col(CNT).isNull // no state row for this group
     val outAggs: Seq[Column] = d.aggs.map {
       case CountStar(a) => add(a, dCol(a)).as(a)
       case CountCol(c, a) => add(a, dCol(a)).as(a)
       case SumCol(c, a) =>
         when(add(nCol(a), dnCol(a)) > 0, add(a, dCol(a)))
           .otherwise(lit(null).cast(LongType)).as(a)
+      case MinCol(_, a) => least(col(a), col(dMinMaxCol(a))).as(a)
+      case MaxCol(_, a) => greatest(col(a), col(dMinMaxCol(a))).as(a)
     }
-    val outHidden: Seq[Column] = d.aggs.collect {
+    val regroupConds: Seq[Column] = d.aggs.collect {
+      case MinCol(_, a) =>
+        col(delMinMaxCol(a)).isNotNull &&
+          (absent || col(a).isNull || col(delMinMaxCol(a)) <= col(a))
+      case MaxCol(_, a) =>
+        col(delMinMaxCol(a)).isNotNull &&
+          (absent || col(a).isNull || col(delMinMaxCol(a)) >= col(a))
+    }
+    val outHidden: Seq[Column] = (d.aggs.collect {
       case SumCol(_, a) => add(nCol(a), dnCol(a)).as(nCol(a))
-    } :+ add(CNT, s"__d$CNT").as(CNT)
+    } :+ add(CNT, s"__d$CNT").as(CNT)) ++
+      (if (hasMinMax(d))
+         Seq(regroupConds.reduce(_ || _).as(REGROUP))
+       else Nil)
+    val dimsOut = d.dims.map(k => coalesce(col(k), col(s"__k_$k")).as(k))
     joined
-      .select((d.dims.map(col) ++ outAggs ++ outHidden): _*)
+      .select((dimsOut ++ outAggs ++ outHidden): _*)
       .filter(col(CNT) > 0)
   }
 
@@ -294,7 +359,7 @@ object MaterializedView {
     * caller to re-run against the winner's state.
     * Returns (mv_version, src_from, src_to, n_groups). */
   def refresh(spark: SparkSession, warehouse: String,
-              mvBase0: String): (Int, Int, Int, Long) = {
+              mvBase0: String): (Int, Int, Int, Long, Long) = {
     val mvBase = resolveState(spark, mvBase0)
     val mvV = TableFormat.currentVersion(spark, mvBase)
     val props = TableFormat.manifestProps(spark, mvBase, mvV)
@@ -307,7 +372,7 @@ object MaterializedView {
     val toV = TableFormat.currentVersion(spark, src)
     require(toV >= fromV, s"materialized view: source $src moved BACKWARD " +
       s"($fromV -> $toV) — a restore rewrote applied history; re-create the MV")
-    if (toV == fromV) return (mvV, fromV, toV, -1L)
+    if (toV == fromV) return (mvV, fromV, toV, -1L, 0L)
     val delta = deltaAggregate(TableFormat.readChanges(spark, src, fromV, toV), d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -315,15 +380,42 @@ object MaterializedView {
         // maintenance-only span: bookmark advances, data untouched
         val v = TableFormat.alterPropsCommit(spark, mvBase,
           Map("graft.mv.version" -> toV.toString))
-        (v, fromV, toV, 0L)
+        (v, fromV, toV, 0L, 0L)
       } else {
         val state = TableFormat.readSnapshot(spark, mvBase, Some(mvV))
-        val merged = merge(state, delta, d)
+        val merged0 = merge(state, delta, d)
+        // MIN/MAX targeted regroup: only groups whose DELETED extremum
+        // could have been the binding one recompute, via ONE source scan
+        // semi-joined to exactly those groups (insert-only spans and
+        // non-binding deletes never rescan the source)
+        val (merged, nRegrouped) =
+          if (!hasMinMax(d)) (merged0, 0L)
+          else {
+            val m = merged0.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val marked = m.filter(col(REGROUP)).select(d.dims.map(col): _*).distinct()
+            val nMarked = marked.count()
+            val folded = m.filter(!col(REGROUP)).drop(REGROUP)
+            val out =
+              if (nMarked == 0) folded
+              else {
+                val srcNow = TableFormat.readSnapshot(spark, src, Some(toV))
+                val mk = d.dims.foldLeft(marked)(
+                  (df, k) => df.withColumnRenamed(k, s"__k_$k"))
+                val semiCond = d.dims.map(
+                  k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+                val regrouped = fullState(
+                  srcNow.join(broadcast(mk), semiCond, "left_semi"), d)
+                folded.unionByName(regrouped)
+              }
+            (out, nMarked)
+          }
         val v = TableFormat.appendCommit(spark, mvBase, merged,
           statsCol = None, replace = true, maxRetries = 0,
           setProps = Map("graft.mv.version" -> toV.toString))
+        merged0.unpersist()
         val n = TableFormat.readSnapshot(spark, mvBase, Some(v)).count()
-        (v, fromV, toV, n)
+        (v, fromV, toV, n, nRegrouped)
       }
     } finally { delta.unpersist(); () }
   }

@@ -3287,7 +3287,51 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `mv_minmax` (r12): extrema in the incremental MV — the full IVM
+    * ladder: MIN/MAX fold under inserts (self-maintainable), and under
+    * deletes only the groups whose DELETED extremum could have been the
+    * binding one recompute, via one source scan semi-joined to exactly
+    * those groups (MaterializedViewSpec pins n_regrouped == 0 for
+    * insert-only and non-binding-delete spans). The oracle recomputes
+    * the extrema over the equivalent final state. */
+  def mvMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvm_src", "mvm_agg", "mvm_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvm_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvm_agg',
+        |  'SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+        |          max(n_chars) AS max_chars, sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvm_src GROUP BY lang')""".stripMargin).collect()
+    // v2: insert a new band; v3: delete a band that HOLDS extrema for
+    // some langs (doc_id-range delete over the clustered key)
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 9 = 2")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 2000000000L),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 0L, 149L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvm_agg')").collect()
+    spark.sql(
+      """SELECT lang, n_docs, CAST(min_chars AS BIGINT) AS min_chars,
+        |  CAST(max_chars AS BIGINT) AS max_chars,
+        |  CAST(sum_chars AS BIGINT) AS sum_chars
+        |FROM graft.db.mvm_agg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_minmax" -> (mvMinmax _),
     "mv_incremental" -> (mvIncremental _),
     "sql_view" -> (sqlView _),
     "sql_spj_join" -> (sqlSpjJoin _),
@@ -3321,6 +3365,20 @@ object GraftCatalogOps {
     "sql_catalog_skip" -> (sqlCatalogSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_minmax" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 0 AND 149
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, lang, n_chars FROM documents
+        |  WHERE doc_id % 9 = 2 AND (doc_id + 2000000000) NOT BETWEEN 0 AND 149)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_incremental" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents

@@ -548,16 +548,17 @@ object GraftProcedures {
     StructType(Seq(StructField("version", IntegerType),
                    StructField("src_from", IntegerType),
                    StructField("src_to", IntegerType),
-                   StructField("n_groups", LongType)))) {
+                   StructField("n_groups", LongType),
+                   StructField("n_regrouped", LongType)))) {
     override def description(): String =
       "incrementally refresh a materialized view from its source's change data feed"
     override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow =
       throw new IllegalStateException("refresh_mv binds via runWith")
     override protected def runWith(spark: SparkSession, warehouse: String,
                                    base: String, input: InternalRow): InternalRow = {
-      val (v, from, to, n) = graft.operators.MaterializedView.refresh(
+      val (v, from, to, n, re) = graft.operators.MaterializedView.refresh(
         spark, warehouse, base)
-      new GenericInternalRow(Array[Any](v, from, to, n))
+      new GenericInternalRow(Array[Any](v, from, to, n, re))
     }
   }
 

@@ -157,8 +157,10 @@ class MaterializedViewSpec extends SparkTestBase {
     }
     refused("SELECT lang, sum(d) AS s FROM graft.db.mv_src5 GROUP BY lang",
       "integral-only")
-    refused("SELECT lang, min(n) AS m FROM graft.db.mv_src5 GROUP BY lang",
+    refused("SELECT lang, avg(n) AS m FROM graft.db.mv_src5 GROUP BY lang",
       "aggregate")
+    refused("SELECT lang, min(d) AS m FROM graft.db.mv_src5 GROUP BY lang",
+      "integral or string")
     refused("SELECT lang, count(DISTINCT n) AS c FROM graft.db.mv_src5 GROUP BY lang",
       "DISTINCT")
     refused("SELECT lang || lang AS l2, count(*) AS c FROM graft.db.mv_src5 GROUP BY lang || lang",
@@ -203,6 +205,46 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(mvRead("graft.db.mv_agg7").map(_.getString(0)) == Seq("en", "fr"),
         "streamed delete must kill the zz group")
     } finally q.stop()
+  }
+
+  test("MIN/MAX: inserts fold; non-binding deletes fold; binding deletes regroup targeted") {
+    val src = fresh("mv_src9"); fresh("mv_agg9")
+    TableFormat.commit(spark, src,
+      ((0L until 40L).map(i => (i, "en", i + 100L)) ++
+       (100L until 140L).map(i => (i, "fr", i))).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg9',
+        |  'SELECT lang, count(*) AS n_docs, min(n) AS min_n, max(n) AS max_n
+        |   FROM graft.db.mv_src9 GROUP BY lang')""".stripMargin).collect()
+    def recomputeMm() = spark.sql(
+      """SELECT lang, count(1) AS n_docs, CAST(min(n) AS BIGINT) AS min_n,
+        |  CAST(max(n) AS BIGINT) AS max_n
+        |FROM graft.db.mv_src9 GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def mvMm() = spark.sql(
+      """SELECT lang, n_docs, min_n, max_n FROM graft.db.mv_agg9
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    // 1) INSERT-only span: extrema fold, zero regrouped groups
+    TableFormat.appendCommit(spark, src,
+      Seq((200L, "en", 50L), (201L, "fr", 999L)).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_agg9')").head
+    assert(r1.getLong(4) == 0L, s"insert-only span regrouped: $r1")
+    assert(mvMm() == recomputeMm())
+    // 2) NON-BINDING delete (doc 120 holds n=120, strictly inside both
+    //    extrema of fr = [100, 999]) — the sharp condition proves the
+    //    extrema survived: still zero regrouped
+    TableFormat.deleteWhere(spark, src, "doc_id", 120L, 120L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_agg9')").head
+    assert(r2.getLong(4) == 0L, s"non-binding delete regrouped: $r2")
+    assert(mvMm() == recomputeMm())
+    // 3) BINDING delete: doc 200 holds en's min (50) — exactly one group
+    //    recomputes, and only that group's rows rescan the source
+    TableFormat.deleteWhere(spark, src, "doc_id", 200L, 200L)
+    val r3 = spark.sql("CALL graft.system.refresh_mv('db.mv_agg9')").head
+    assert(r3.getLong(4) == 1L, s"binding delete should regroup exactly en: $r3")
+    assert(mvMm() == recomputeMm())
   }
 
   test("drop_mv removes view + state together; the name re-creates cleanly") {
