@@ -98,5 +98,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableDetailTvf.name),
       graft.sources.TableDetailTvf.info,
       graft.sources.TableDetailTvf.builder))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.ViewHistoryTvf.name),
+      graft.sources.ViewHistoryTvf.info,
+      graft.sources.ViewHistoryTvf.builder))
   }
 }

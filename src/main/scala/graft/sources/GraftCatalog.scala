@@ -183,13 +183,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def renameView(from: Identifier, to: Identifier): Unit = {
     val fromPath = tablePath(from)
     val toPath = tablePath(to)
-    val d = GraftViews.read(fs, fromPath)
-      .getOrElse(throw new NoSuchViewException(from))
+    if (!GraftViews.exists(fs, fromPath)) throw new NoSuchViewException(from)
     if (isTable(toPath) || GraftViews.exists(fs, toPath))
       throw new ViewAlreadyExistsException(to)
-    if (!GraftViews.write(fs, toPath, d, overwrite = false))
-      throw new ViewAlreadyExistsException(to)
-    GraftViews.drop(fs, fromPath)
+    // file renames, not re-writes: the version history travels with the
+    // view and the current version number is preserved
+    GraftViews.moveAll(fs, fromPath, toPath)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)

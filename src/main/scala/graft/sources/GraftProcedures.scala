@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -81,6 +82,38 @@ object TableChangesTvf {
   * driver-side metadata (two small reads per version) surfaced as a
   * local relation — the audit an operator consults before
   * `CALL graft.system.vacuum/restore`. */
+/** `graft_view_history(base)` — every definition a view ever had (r12):
+  * archived versions + the current one, oldest first. Pure metadata
+  * (one directory listing + the small descriptor files); what an
+  * operator reads before `restore_view`. */
+object ViewHistoryTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  val name = "graft_view_history"
+
+  def builder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 1, s"$name(base) takes 1 argument, got ${args.length}")
+    val spark = SparkSession.active
+    val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
+    val fs = new HadoopPath(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = GraftViews.read(fs, base).map(_.ver).getOrElse(
+      throw new IllegalArgumentException(s"$name: no view at $base"))
+    import spark.implicits._
+    SqlBridge.analyzed(
+      GraftViews.history(fs, base)
+        .map(d => (d.ver, d.ver == cur, d.schema.fields.length, d.sql))
+        .toDF("version", "is_current", "n_cols", "sql"))
+  }
+
+  val info = new ExpressionInfo(getClass.getName, name)
+
+  def register(spark: SparkSession): Unit =
+    SqlBridge.registerTableFunction(spark, name, info, builder)
+}
+
 object TableHistoryTvf {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -577,11 +610,37 @@ object GraftProcedures {
     }
   }
 
+  /** RESTORE VIEW (r12): republish an archived definition as the NEW
+    * current version (never rewinds the version counter — the restore
+    * itself is a versioned event, same discipline as table RESTORE).
+    * Returns (restored_from, new_version). */
+  private object RestoreViewProc extends Proc("restore_view",
+    Seq(in("table", StringType), in("version", IntegerType)),
+    StructType(Seq(StructField("restored_from", IntegerType),
+                   StructField("new_version", IntegerType)))) {
+    override def description(): String =
+      "republish an archived view definition as the new current version"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val fs = new HadoopPath(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = input.getInt(1)
+      val d = GraftViews.readVersion(fs, base, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore_view: no version $v at $base " +
+            s"(have: ${GraftViews.history(fs, base).map(_.ver).mkString(", ")})"))
+      require(GraftViews.exists(fs, base),
+        s"restore_view: no current view at $base")
+      GraftViews.write(fs, base, d, overwrite = true)
+      val now = GraftViews.read(fs, base).map(_.ver).getOrElse(-1)
+      new GenericInternalRow(Array[Any](v, now))
+    }
+  }
+
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
-      CreateMvProc, RefreshMvProc, DropMvProc)
+      CreateMvProc, RefreshMvProc, DropMvProc, RestoreViewProc)
 
   def names: Seq[String] = all.map(_.name())
 

@@ -52,7 +52,8 @@ object GraftViews {
       queryColumnNames: Seq[String],
       columnAliases: Seq[String],
       columnComments: Seq[String],
-      properties: Map[String, String]) {
+      properties: Map[String, String],
+      ver: Int = 1) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -69,6 +70,7 @@ object GraftViews {
 
   def encode(d: Desc): Array[Byte] = {
     val p = new Properties()
+    p.setProperty("ver", d.ver.toString)
     p.setProperty("sql", d.sql)
     p.setProperty("cat", d.currentCatalog)
     indexed(p, "ns", d.currentNamespace)
@@ -97,19 +99,37 @@ object GraftViews {
       queryColumnNames = readIndexed(p, "qcn"),
       columnAliases = readIndexed(p, "als"),
       columnComments = readIndexed(p, "cmt"),
-      properties = props)
+      properties = props,
+      ver = Option(p.getProperty("ver")).map(_.toInt).getOrElse(1))
   }
 
   /** Write `dir/_VIEW`. `overwrite=false` is put-if-absent (atomic via
-    * temp + rename); returns false if the view already existed. */
+    * temp + rename) publishing VERSION 1; `overwrite=true` ARCHIVES the
+    * replaced descriptor as `_VIEW.v<oldVer>` and publishes the new one
+    * at `oldVer + 1` — every definition a view ever had stays
+    * addressable ([[readVersion]]), the Iceberg versioned-view-metadata
+    * model. The caller's `d.ver` is ignored; versioning is the store's.
+    * Returns false if a put-if-absent lost. */
   def write(fs: FileSystem, dir: String, d: Desc, overwrite: Boolean): Boolean = {
     val target = new HadoopPath(dir, FILE)
     if (!overwrite && fs.exists(target)) return false
     fs.mkdirs(new HadoopPath(dir))
+    val prior = if (overwrite) read(fs, dir) else None
+    val versioned = d.copy(ver = prior.map(_.ver + 1).getOrElse(1))
     val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(encode(d)) finally out.close()
+    try out.write(encode(versioned)) finally out.close()
     if (overwrite) {
+      // archive the replaced definition under its own version, THEN
+      // swap — a crash between the two leaves current + archive
+      // consistent (re-running the replace re-archives idempotently)
+      prior.foreach { old =>
+        val arch = new HadoopPath(dir, s"$FILE.v${old.ver}")
+        if (!fs.exists(arch)) {
+          val a = fs.create(arch, false)
+          try a.write(encode(old)) finally a.close()
+        }
+      }
       // last-writer-wins replace: delete + rename (the read side never
       // sees a partial file — the content swap is the rename itself)
       fs.delete(target, false)
@@ -120,6 +140,39 @@ object GraftViews {
       if (!ok) fs.delete(tmp, false)
       ok
     }
+  }
+
+  /** Read a SPECIFIC definition version: the current one, or an archived
+    * `_VIEW.v<n>`. */
+  def readVersion(fs: FileSystem, dir: String, v: Int): Option[Desc] =
+    read(fs, dir) match {
+      case cur @ Some(d) if d.ver == v => cur
+      case _ =>
+        val arch = new HadoopPath(dir, s"$FILE.v$v")
+        if (!fs.exists(arch)) None
+        else {
+          val in = fs.open(arch)
+          try {
+            val bos = new ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            Some(decode(bos.toByteArray))
+          } finally in.close()
+        }
+    }
+
+  /** All definition versions, oldest first (archives + current). */
+  def history(fs: FileSystem, dir: String): Seq[Desc] = {
+    val cur = read(fs, dir).toSeq
+    val d = new HadoopPath(dir)
+    val archived =
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(s => s.getPath.getName.matches(s"\\Q$FILE\\E\\.v\\d+"))
+        .flatMap(s => readVersion(fs, dir,
+          s.getPath.getName.stripPrefix(s"$FILE.v").toInt))
+    (archived ++ cur).sortBy(_.ver)
   }
 
   def read(fs: FileSystem, dir: String): Option[Desc] = {
@@ -139,12 +192,31 @@ object GraftViews {
     fs.exists(new HadoopPath(dir, FILE))
 
   def drop(fs: FileSystem, dir: String): Boolean = {
-    val f = new HadoopPath(dir, FILE)
-    val existed = fs.delete(f, false)
-    // reclaim the directory if the view file was its only content
     val d = new HadoopPath(dir)
-    if (existed && fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
+    val existed = fs.delete(new HadoopPath(dir, FILE), false)
+    if (existed && fs.exists(d)) {
+      // the view identity is gone: its archived versions go with it
+      fs.listStatus(d).toSeq
+        .filter(_.getPath.getName.matches(s"\\Q$FILE\\E\\.v\\d+"))
+        .foreach(s => fs.delete(s.getPath, false))
+      // reclaim the directory if view files were its only content
+      if (fs.listStatus(d).isEmpty) fs.delete(d, false)
+    }
     existed
+  }
+
+  /** Move a view (current + archives) to a new directory — rename's
+    * storage half. The target must have been checked free. */
+  def moveAll(fs: FileSystem, fromDir: String, toDir: String): Unit = {
+    fs.mkdirs(new HadoopPath(toDir))
+    val from = new HadoopPath(fromDir)
+    fs.listStatus(from).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n == FILE || n.matches(s"\\Q$FILE\\E\\.v\\d+")
+      }
+      .foreach(s => fs.rename(s.getPath, new HadoopPath(toDir, s.getPath.getName)))
+    if (fs.exists(from) && fs.listStatus(from).isEmpty) fs.delete(from, false)
   }
 }
 

@@ -186,6 +186,31 @@ class GraftViewSpec extends SparkTestBase {
       spark.sql("CREATE VIEW graft.db.vw_guard AS SELECT 1 AS one"))
   }
 
+  test("view versions: replace archives, history lists, restore republishes, rename carries") {
+    freshTable("vw_ver", Seq((1L, "en", 10L), (2L, "fr", 20L)))
+    dropViewQuiet("graft.db.v_ver"); dropViewQuiet("graft.db.v_ver2")
+    spark.sql("CREATE VIEW graft.db.v_ver AS SELECT k FROM graft.db.vw_ver WHERE lang = 'en'")
+    spark.sql("CREATE OR REPLACE VIEW graft.db.v_ver AS SELECT k FROM graft.db.vw_ver")
+    spark.sql("CREATE OR REPLACE VIEW graft.db.v_ver AS SELECT n FROM graft.db.vw_ver")
+    val hist = spark.sql("SELECT version, is_current, sql FROM graft_view_history('db.v_ver') ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq
+    assert(hist == Seq((1, false), (2, false), (3, true)))
+    // restore v1: republishes as v4 (the restore is itself a versioned event)
+    val r = spark.sql("CALL graft.system.restore_view('db.v_ver', 1)").head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 4)
+    assert(spark.sql("SELECT k FROM graft.db.v_ver").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "restored definition (the lang='en' filter) must serve reads")
+    // rename carries the whole history
+    spark.sql("ALTER VIEW graft.db.v_ver RENAME TO db.v_ver2")
+    val hist2 = spark.sql("SELECT version FROM graft_view_history('db.v_ver2') ORDER BY version")
+      .collect().map(_.getInt(0)).toSeq
+    assert(hist2 == Seq(1, 2, 3, 4))
+    // drop removes history with the view; the path is then table-creatable
+    spark.sql("DROP VIEW graft.db.v_ver2")
+    spark.sql("CREATE TABLE graft.db.v_ver2 (x BIGINT)")
+    spark.sql("DROP TABLE graft.db.v_ver2")
+  }
+
   test("DESCRIBE and SHOW CREATE TABLE on a view") {
     freshTable("vw_desc", Seq((1L, "en", 10L)))
     dropViewQuiet("graft.db.v_desc")
