@@ -98,6 +98,12 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       AlterGraftViewAsCommand(gc, ident, originalText,
         cm.currentCatalog.name, cm.currentNamespace.toSeq)
 
+    // introspection: SHOW TBLPROPERTIES against a stored view
+    case ShowTableProperties(child, propertyKey, out) if partsOf(child).exists(
+        p => GraftViewRules.resolveView(spark, p).isDefined) =>
+      val (gc, ident) = GraftViewRules.resolveView(spark, partsOf(child).get).get
+      ShowGraftViewPropertiesCommand(gc, ident, propertyKey, out)
+
     // introspection: DESCRIBE / SHOW CREATE TABLE against a stored view
     case DescribeRelation(child, _, isExtended, out) if partsOf(child).exists(
         p => GraftViewRules.resolveView(spark, p).isDefined) =>
@@ -400,6 +406,21 @@ object GraftViewCommands {
     }
   }
 
+  /** SHOW TBLPROPERTIES on a view: the stored user properties (a named
+    * key answers just that key, absent → the v1-style error row shape
+    * is skipped in favor of an empty result). */
+  case class ShowGraftViewPropertiesCommand(catalog: GraftCatalog,
+      ident: Identifier, propertyKey: Option[String],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val props = catalog.loadView(ident).asInstanceOf[GraftView].desc.properties
+      propertyKey match {
+        case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+        case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+      }
+    }
+  }
+
   /** DESCRIBE [EXTENDED] on a view: column rows from the STORED schema
     * (the view's contract), plus — extended — the v1-style
     * `# View Information` block with the defining text and its
@@ -410,8 +431,10 @@ object GraftViewCommands {
     override def run(spark: SparkSession): Seq[Row] = {
       val v = catalog.loadView(ident).asInstanceOf[GraftView]
       val d = v.desc
-      val cols = d.schema.fields.map(f =>
-        Row(f.name, f.dataType.simpleString, null: String)).toSeq
+      val cols = d.schema.fields.zipWithIndex.map { case (f, i) =>
+        val comment = d.columnComments.lift(i).filter(_.nonEmpty).orNull
+        Row(f.name, f.dataType.simpleString, comment)
+      }.toSeq
       if (!isExtended) cols
       else cols ++ Seq(
         Row("", "", null: String),

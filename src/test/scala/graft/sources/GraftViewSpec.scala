@@ -221,6 +221,11 @@ class GraftViewSpec extends SparkTestBase {
     val desc = spark.sql("DESCRIBE graft.db.v_desc").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(desc == Seq(("language", "string"), ("total", "bigint")))
+    val stp = spark.sql("SHOW TBLPROPERTIES graft.db.v_desc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(stp.get("team").contains("data"))
+    assert(spark.sql("SHOW TBLPROPERTIES graft.db.v_desc ('team')")
+      .head.getString(1) == "data")
     val ext = spark.sql("DESCRIBE EXTENDED graft.db.v_desc").collect()
       .map(_.getString(0)).toSeq
     assert(ext.contains("# View Information") && ext.contains("View Text"))
