@@ -169,6 +169,21 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
       refuse("DELETE", viewName(t).get)
     case m: MergeIntoTable if viewName(m.targetTable).isDefined =>
       refuse("MERGE", viewName(m.targetTable).get)
+    // `VERSION AS OF n` on a VIEW: serve the n-th stored DEFINITION
+    // (current tables underneath — definitions version, data does not;
+    // a timestamp clause is refused: view versions carry no wall-clock)
+    case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+        u: UnresolvedRelation, ts, ver)
+        if GraftViewRules.resolveView(spark, u.multipartIdentifier).isDefined =>
+      val name = u.multipartIdentifier.mkString(".")
+      if (ts.isDefined) throw new UnsupportedOperationException(
+        s"graft views: TIMESTAMP AS OF on view $name is not supported — view " +
+          "versions are definition numbers (see graft_view_history); use VERSION AS OF")
+      val v = ver.getOrElse(throw new UnsupportedOperationException(
+        s"graft views: time travel on view $name needs VERSION AS OF")).toInt
+      val (gc, ident) = GraftViewRules.resolveView(spark, u.multipartIdentifier).get
+      GraftViewRules.viewPlan(spark, gc, ident, pinnedVersion = Some(v))
+
     case u: UnresolvedRelation
         if GraftViewRules.resolveView(spark, u.multipartIdentifier).isDefined =>
       if (u.isStreaming) throw new UnsupportedOperationException(
@@ -263,15 +278,19 @@ object GraftViewRules {
   }
 
   /** The fully expanded, aliased, SubqueryAlias-wrapped ANALYZED plan of
-    * a stored view. */
-  def viewPlan(spark: SparkSession, gc: GraftCatalog,
-               ident: Identifier): LogicalPlan = {
+    * a stored view — the CURRENT definition, or (`pinnedVersion`) an
+    * archived one. */
+  def viewPlan(spark: SparkSession, gc: GraftCatalog, ident: Identifier,
+               pinnedVersion: Option[Int] = None): LogicalPlan = {
     val key = (gc.name +: ident.namespace.toSeq :+ ident.name).mkString(".")
     val stack = expanding.get()
     if (stack.contains(key)) throw new IllegalStateException(
       s"graft views: recursive view $key " +
         s"(expansion path: ${(key :: stack).reverse.mkString(" -> ")})")
-    val d = gc.loadView(ident).asInstanceOf[GraftView].desc
+    val d = pinnedVersion match {
+      case None => gc.loadView(ident).asInstanceOf[GraftView].desc
+      case Some(v) => gc.loadViewVersion(ident, v)
+    }
     expanding.set(key :: stack)
     val analyzed =
       try analyzeInContext(spark, d.sql, d.currentCatalog, d.currentNamespace)

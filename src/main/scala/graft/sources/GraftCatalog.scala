@@ -132,6 +132,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .map(d => new GraftView(ident, catalogName, d))
       .getOrElse(throw new NoSuchViewException(ident))
 
+  /** A SPECIFIC definition version — current or archived (r12,
+    * `SELECT … FROM v VERSION AS OF n`). */
+  private[graft] def loadViewVersion(ident: Identifier, v: Int): GraftViews.Desc = {
+    val path = tablePath(ident)
+    GraftViews.readVersion(fs, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft views: no version $v of view ${ident.namespace.mkString(".")}.${ident.name} " +
+          s"(have: ${GraftViews.history(fs, path).map(_.ver).mkString(", ")})"))
+  }
+
   override def createView(info: ViewInfo): View = {
     val path = tablePath(info.ident)
     if (isTable(path)) throw new IllegalArgumentException(

@@ -200,6 +200,17 @@ class GraftViewSpec extends SparkTestBase {
     assert(r.getInt(0) == 1 && r.getInt(1) == 4)
     assert(spark.sql("SELECT k FROM graft.db.v_ver").collect().map(_.getLong(0)).toSeq == Seq(1L),
       "restored definition (the lang='en' filter) must serve reads")
+    // VERSION AS OF on a view serves the pinned DEFINITION (data stays
+    // current underneath — definitions version, data does not)
+    assert(spark.sql("SELECT k FROM graft.db.v_ver VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "v2 definition (unfiltered k) must serve under VERSION AS OF 2")
+    assert(spark.sql("SELECT n FROM graft.db.v_ver VERSION AS OF 3")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.v_ver VERSION AS OF 99").collect())
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.db.v_ver TIMESTAMP AS OF '2026-01-01'").collect())
     // rename carries the whole history
     spark.sql("ALTER VIEW graft.db.v_ver RENAME TO db.v_ver2")
     val hist2 = spark.sql("SELECT version FROM graft_view_history('db.v_ver2') ORDER BY version")
