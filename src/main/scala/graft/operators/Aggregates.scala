@@ -52,6 +52,29 @@ object Aggregates {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus").asc)
 
+  /** EXACT distinct counting through Spark 4's BITMAP aggregate family
+    * (r12): ids hash to (bucket, bit-position), one fixed-width 4 KB
+    * bitmap per (group, bucket) ORs map-side, bitmap_count pops the
+    * bits, an outer sum folds buckets. Versus countDistinct's Expand
+    * (row multiplication, per-value shuffle state) the shuffle carries
+    * ≤ 4 KB per (group, bucket) regardless of how many distinct ids a
+    * group holds — the exact-distinct shape that survives 100 TB user
+    * tables; the two-level plan IS the documented Databricks/Spark
+    * bitmap recipe. The oracle checks the COUNTS (bitmaps are an
+    * engine-internal encoding; their cardinalities are exact). */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("bitmap_events")
+    spark.sql(
+      """SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_users
+        |FROM (
+        |  SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+        |    bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id))) AS cnt
+        |  FROM bitmap_events
+        |  GROUP BY event_type, bitmap_bucket_number(user_id))
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
+  }
+
   private def hierSelect(df: DataFrame): DataFrame =
     df.select(
         coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
@@ -971,6 +994,7 @@ object Aggregates {
     "agg_stats" -> (aggStats _),
     "agg_hash" -> (aggHash _),
     "agg_distinct" -> (aggDistinct _),
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_gsets" -> (aggGsets _),
@@ -1217,6 +1241,10 @@ object Aggregates {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(1) AS n_orders
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,
