@@ -102,5 +102,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.ViewHistoryTvf.name),
       graft.sources.ViewHistoryTvf.info,
       graft.sources.ViewHistoryTvf.builder))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.MvDetailTvf.name),
+      graft.sources.MvDetailTvf.info,
+      graft.sources.MvDetailTvf.builder))
   }
 }

@@ -114,6 +114,53 @@ object ViewHistoryTvf {
     SqlBridge.registerTableFunction(spark, name, info, builder)
 }
 
+/** `graft_mv_detail(base)` — the materialized view's freshness row
+  * (r12): source table, the source version the MV has APPLIED vs the
+  * source's CURRENT version (their gap IS the staleness), the state
+  * table's own version, and the group count — all from manifests and
+  * the view descriptor, zero data IO. What an operator reads before
+  * deciding to `refresh_mv`. */
+object MvDetailTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  val name = "graft_mv_detail"
+
+  def builder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 1, s"$name(base) takes 1 argument, got ${args.length}")
+    val spark = SparkSession.active
+    val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
+    val fs = new HadoopPath(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state =
+      if (GraftViews.exists(fs, base)) s"${base}__state" else base
+    val sv = TableFormat.currentVersion(spark, state)
+    val props = TableFormat.manifestProps(spark, state, sv)
+    val srcRel = props.getOrElse("graft.mv.src",
+      throw new IllegalArgumentException(s"$name: $base is not a materialized view"))
+    val applied = props("graft.mv.version").toInt
+    val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+    val srcBase = wh.map(w => (w +: srcRel.split('.').toSeq).mkString("/"))
+      .getOrElse(srcRel)
+    val srcCur = TableFormat.currentVersion(spark, srcBase)
+    val nGroups = {
+      val es = TableFormat.manifestEntries(spark, state, sv)
+      if (es.forall(_.rows.isDefined)) es.flatMap(_.liveRows).sum else -1L
+    }
+    import spark.implicits._
+    SqlBridge.analyzed(Seq(
+      (srcRel, applied, srcCur, srcCur > applied, sv, nGroups))
+      .toDF("src", "src_version_applied", "src_version_current",
+        "stale", "state_version", "n_groups"))
+  }
+
+  val info = new ExpressionInfo(getClass.getName, name)
+
+  def register(spark: SparkSession): Unit =
+    SqlBridge.registerTableFunction(spark, name, info, builder)
+}
+
 object TableHistoryTvf {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan

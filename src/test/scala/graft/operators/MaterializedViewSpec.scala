@@ -247,6 +247,28 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(mvMm() == recomputeMm())
   }
 
+  test("graft_mv_detail reports staleness from pure metadata") {
+    val src = fresh("mv_srcA"); fresh("mv_aggA")
+    TableFormat.commit(spark, src, Seq((1L, "en", 1L), (2L, "fr", 2L))
+      .toDF("doc_id", "lang", "n"), 1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggA',
+        |  'SELECT lang, count(*) AS n_docs FROM graft.db.mv_srcA GROUP BY lang')"""
+        .stripMargin).collect()
+    val fresh0 = spark.sql("SELECT * FROM graft_mv_detail('db.mv_aggA')").head
+    assert(fresh0.getAs[String]("src") == "db.mv_srcA")
+    assert(!fresh0.getAs[Boolean]("stale") && fresh0.getAs[Long]("n_groups") == 2L)
+    TableFormat.appendCommit(spark, src,
+      Seq((3L, "de", 3L)).toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    val stale = spark.sql("SELECT * FROM graft_mv_detail('db.mv_aggA')").head
+    assert(stale.getAs[Boolean]("stale") &&
+      stale.getAs[Int]("src_version_applied") == 1 &&
+      stale.getAs[Int]("src_version_current") == 2)
+    spark.sql("CALL graft.system.refresh_mv('db.mv_aggA')").collect()
+    val after = spark.sql("SELECT * FROM graft_mv_detail('db.mv_aggA')").head
+    assert(!after.getAs[Boolean]("stale") && after.getAs[Long]("n_groups") == 3L)
+  }
+
   test("drop_mv removes view + state together; the name re-creates cleanly") {
     val src = fresh("mv_src8"); fresh("mv_agg8")
     TableFormat.commit(spark, src, Seq((1L, "en", 1L)).toDF("doc_id", "lang", "n"),
