@@ -89,6 +89,37 @@ object CurationOps {
       .orderBy(col("source").asc, col("bin").asc)
   }
 
+  /** RAG-style document CHUNKING (r12): fixed 32-token windows with a
+    * 24-token stride (8-token overlap so a fact straddling a boundary
+    * survives in at least one chunk) — the ingestion step every
+    * retrieval pipeline runs between cleaning and embedding. Chunk
+    * identity is CONTENT-derived (md5 of the chunk text), so re-chunking
+    * a re-sharded / re-ordered corpus reproduces the same ids — the same
+    * no-RNG reproducibility rule as the sampling family. The chunk
+    * explosion happens map-side off one HOF over the token array
+    * (⌈n/24⌉ chunks per doc, bounded by the doc's own length); nothing
+    * shuffles but the emitted chunk rows themselves. Tail rule: windows
+    * start at strides 0,24,48,… while a FULL preceding window exists;
+    * the final partial window (if any tokens remain) is kept — every
+    * token lands in ≥1 chunk. */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // number of stride starts: 1 + ceil(max(n-32,0)/24) (last start covers the tail)
+    val nChunks = lit(1) + ceil(greatest(n - 32, lit(0)).cast("double") / 24).cast("int")
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("t"), n.as("n_tok"), nChunks.as("nc"))
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => concat_ws(" ", slice(col("t"), i * 24 + 1, lit(32)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * 24).as("start_tok"),
+        size(split(col("chunk_text"), " ")).as("n_tok"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+  }
+
   /** BM25 (k1=1.2, b=0.75) retrieval scores for a fixed query-term set,
     * top-5 documents per term. The idf factor is the same integer-exact
     * `(1000·N) div df` as `text_tfidf` (libm `ln` is not correctly rounded,
@@ -241,6 +272,7 @@ object CurationOps {
     "mix_sample" -> (mixSample _),
     "text_repetition" -> (textRepetition _),
     "seq_pack" -> (seqPack _),
+    "text_chunk" -> (textChunk _),
     "text_bm25" -> (textBm25 _),
     "sample_split" -> (sampleSplit _),
     "mix_domain_stats" -> (mixDomainStats _))
@@ -317,6 +349,26 @@ object CurationOps {
         |  (n_uniq * 4 > n_tok AND coalesce(top_bi_n, 0) * 10 < n_tok) AS keep
         |FROM per_doc p LEFT JOIN top USING (doc_id)
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(1 + ceil(CAST(greatest(n_tok - 32, 0) AS DOUBLE) / 24) AS INT) AS nc
+        |  FROM d),
+        |chunks AS (
+        |  SELECT d.doc_id, g.i AS chunk_idx,
+        |    list_aggregate(d.t[g.i * 24 + 1 : g.i * 24 + 32], 'string_agg', ' ') AS chunk_text
+        |  FROM d JOIN c ON d.doc_id = c.doc_id,
+        |    LATERAL (SELECT unnest(generate_series(0, c.nc - 1)) AS i) g)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 24 AS INT) AS start_tok,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tok,
+        |  md5(chunk_text) AS chunk_md5
+        |FROM chunks
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
     "seq_pack" ->
       """WITH d AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
