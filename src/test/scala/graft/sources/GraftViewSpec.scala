@@ -245,6 +245,28 @@ class GraftViewSpec extends SparkTestBase {
     assert(ddl.contains("'team' = 'data'") && ddl.contains("GROUP BY lang"))
   }
 
+  test("zero overhead: a view read optimizes to the same plan as the inlined query") {
+    freshTable("vw_zero", Seq((1L, "en", 10L), (2L, "fr", 20L), (3L, "en", 30L)))
+    dropViewQuiet("graft.db.v_zero")
+    spark.sql(
+      """CREATE VIEW graft.db.v_zero AS
+        |SELECT lang, n FROM graft.db.vw_zero WHERE k % 2 = 1""".stripMargin)
+    // canonicalized STRUCTURE comparison via treeString: the relation
+    // leaf embeds a fresh connector Table instance per resolution, so
+    // object equality can never hold across two independent queries —
+    // the printed canonical form is exactly the structural claim
+    val viaView = spark.sql(
+      "SELECT lang, sum(n) AS s FROM graft.db.v_zero WHERE lang = 'en' GROUP BY lang")
+      .queryExecution.optimizedPlan.canonicalized.treeString
+    val inlined = spark.sql(
+      """SELECT lang, sum(n) AS s
+        |FROM (SELECT lang, n FROM graft.db.vw_zero WHERE k % 2 = 1)
+        |WHERE lang = 'en' GROUP BY lang""".stripMargin)
+      .queryExecution.optimizedPlan.canonicalized.treeString
+    assert(viaView == inlined,
+      s"view plan diverged from the inlined query:\n--- view ---\n$viaView\n--- inline ---\n$inlined")
+  }
+
   test("plan quality: a filter through a view prunes files via the table's stats index") {
     val base = s"$wh/db/vw_prune"
     val p = new org.apache.hadoop.fs.Path(base)
