@@ -105,24 +105,26 @@ object GraftViews {
 
   /** Write `dir/_VIEW`. `overwrite=false` is put-if-absent (atomic via
     * temp + rename) publishing VERSION 1; `overwrite=true` ARCHIVES the
-    * replaced descriptor as `_VIEW.v<oldVer>` and publishes the new one
-    * at `oldVer + 1` — every definition a view ever had stays
-    * addressable ([[readVersion]]), the Iceberg versioned-view-metadata
-    * model. The caller's `d.ver` is ignored; versioning is the store's.
-    * Returns false if a put-if-absent lost. */
+    * replaced descriptor as `_VIEW.v<oldVer>`, CLAIMS the next version
+    * slot `_VIEW.v<oldVer+1>` put-if-absent — the same compare-and-swap
+    * discipline as the table manifests: two concurrent REPLACEs from
+    * the same parent cannot both win the slot, the loser throws instead
+    * of silently erasing the winner's definition — and then swaps the
+    * `_VIEW` pointer (derived state, always rebuildable from the newest
+    * slot). Every definition a view ever had stays addressable
+    * ([[readVersion]]), the Iceberg versioned-view-metadata model. The
+    * caller's `d.ver` is ignored; versioning is the store's. Returns
+    * false if a put-if-absent CREATE lost. */
   def write(fs: FileSystem, dir: String, d: Desc, overwrite: Boolean): Boolean = {
     val target = new HadoopPath(dir, FILE)
     if (!overwrite && fs.exists(target)) return false
     fs.mkdirs(new HadoopPath(dir))
     val prior = if (overwrite) read(fs, dir) else None
     val versioned = d.copy(ver = prior.map(_.ver + 1).getOrElse(1))
-    val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(encode(versioned)) finally out.close()
+    val bytes = encode(versioned)
     if (overwrite) {
-      // archive the replaced definition under its own version, THEN
-      // swap — a crash between the two leaves current + archive
-      // consistent (re-running the replace re-archives idempotently)
+      // archive the replaced definition under its own version (exists
+      // guard: a crashed replace re-archives idempotently)
       prior.foreach { old =>
         val arch = new HadoopPath(dir, s"$FILE.v${old.ver}")
         if (!fs.exists(arch)) {
@@ -130,12 +132,29 @@ object GraftViews {
           try a.write(encode(old)) finally a.close()
         }
       }
-      // last-writer-wins replace: delete + rename (the read side never
-      // sees a partial file — the content swap is the rename itself)
+      // the new version SLOT is the CAS: create(overwrite = false)
+      // fails if a concurrent replace claimed oldVer+1 first
+      val slot = new HadoopPath(dir, s"$FILE.v${versioned.ver}")
+      val s =
+        try fs.create(slot, false)
+        catch { case _: java.io.IOException =>
+          throw new IllegalStateException(
+            s"graft views: concurrent REPLACE on $dir — version " +
+              s"${versioned.ver} was already claimed; re-read and retry")
+        }
+      try s.write(bytes) finally s.close()
+      // pointer swap (derived state; the read side never sees a partial
+      // file — the content swap is the rename itself)
+      val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
       fs.delete(target, false)
       if (!fs.rename(tmp, target)) { fs.delete(tmp, false); return false }
       true
     } else {
+      val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
       val ok = fs.rename(tmp, target)
       if (!ok) fs.delete(tmp, false)
       ok
@@ -162,7 +181,9 @@ object GraftViews {
         }
     }
 
-  /** All definition versions, oldest first (archives + current). */
+  /** All definition versions, oldest first (version slots + current;
+    * the current version may exist as both the pointer and its own CAS
+    * slot — dedup by version number). */
   def history(fs: FileSystem, dir: String): Seq[Desc] = {
     val cur = read(fs, dir).toSeq
     val d = new HadoopPath(dir)
@@ -172,11 +193,10 @@ object GraftViews {
         .filter(s => s.getPath.getName.matches(s"\\Q$FILE\\E\\.v\\d+"))
         .flatMap(s => readVersion(fs, dir,
           s.getPath.getName.stripPrefix(s"$FILE.v").toInt))
-    (archived ++ cur).sortBy(_.ver)
+    (archived ++ cur).groupBy(_.ver).map(_._2.head).toSeq.sortBy(_.ver)
   }
 
-  def read(fs: FileSystem, dir: String): Option[Desc] = {
-    val f = new HadoopPath(dir, FILE)
+  private def readFile(fs: FileSystem, f: HadoopPath): Option[Desc] = {
     if (!fs.exists(f)) return None
     val in = fs.open(f)
     try {
@@ -186,6 +206,27 @@ object GraftViews {
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       Some(decode(bos.toByteArray))
     } finally in.close()
+  }
+
+  /** Current definition: the `_VIEW` pointer, UNLESS a newer version
+    * slot exists — a replace that crashed between claiming its slot and
+    * swapping the pointer is still the committed definition (the slot
+    * CAS is the commit, the pointer is derived), same discipline as the
+    * table manifests' pointer self-heal. */
+  def read(fs: FileSystem, dir: String): Option[Desc] = {
+    val ptr = readFile(fs, new HadoopPath(dir, FILE))
+    if (ptr.isEmpty) return None
+    val d = new HadoopPath(dir)
+    val newestSlot = fs.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches(s"\\Q$FILE\\E\\.v\\d+"))
+      .map(_.stripPrefix(s"$FILE.v").toInt)
+      .sorted.lastOption
+    newestSlot match {
+      case Some(v) if v > ptr.get.ver =>
+        readFile(fs, new HadoopPath(dir, s"$FILE.v$v")).orElse(ptr)
+      case _ => ptr
+    }
   }
 
   def exists(fs: FileSystem, dir: String): Boolean =

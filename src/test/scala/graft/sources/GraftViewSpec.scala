@@ -222,6 +222,50 @@ class GraftViewSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft.db.v_ver2")
   }
 
+  test("concurrent REPLACE: the version-slot CAS admits one winner per slot; crash heals") {
+    freshTable("vw_occ", Seq((1L, "en", 10L)))
+    dropViewQuiet("graft.db.v_occ")
+    spark.sql("CREATE VIEW graft.db.v_occ AS SELECT k FROM graft.db.vw_occ")
+    val dir = s"$wh/db/v_occ"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = GraftViews.read(fs, dir).get
+    // 4 concurrent replaces from (racing reads of) the same lineage: every
+    // version slot is claimed by EXACTLY one writer — losers throw instead
+    // of silently erasing a winner's definition
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val go = new CountDownLatch(1)
+    val outcomes = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[String, Int]] {
+        override def call(): Either[String, Int] = {
+          go.await()
+          try Right { GraftViews.write(fs, dir, base.copy(sql = s"SELECT k FROM graft.db.vw_occ -- w$i"),
+            overwrite = true); GraftViews.read(fs, dir).get.ver }
+          catch { case e: IllegalStateException => Left(e.getMessage) }
+        }
+      })
+    }
+    go.countDown()
+    val results = outcomes.map(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    val wins = results.count(_.isRight)
+    assert(wins >= 1 && wins <= 4)
+    results.collect { case Left(m) => assert(m.contains("concurrent REPLACE")) }
+    // history is contiguous 1..(1+wins) with no gaps and no lost updates
+    val vers = GraftViews.history(fs, dir).map(_.ver)
+    assert(vers == (1 to (1 + wins)), s"history $vers after $wins winning replaces")
+    // crash heal: a slot claimed beyond the pointer IS the committed
+    // definition (slot CAS = commit, pointer = derived)
+    val cur = GraftViews.read(fs, dir).get
+    val orphanVer = cur.ver + 1
+    val orphan = cur.copy(sql = "SELECT k FROM graft.db.vw_occ -- crashed", ver = orphanVer)
+    val o = fs.create(new org.apache.hadoop.fs.Path(dir, s"_VIEW.v$orphanVer"), false)
+    try o.write(GraftViews.encode(orphan)) finally o.close()
+    assert(GraftViews.read(fs, dir).get.sql.endsWith("-- crashed"),
+      "read must serve the newest claimed slot over a stale pointer")
+  }
+
   test("DESCRIBE and SHOW CREATE TABLE on a view") {
     freshTable("vw_desc", Seq((1L, "en", 10L)))
     dropViewQuiet("graft.db.v_desc")
