@@ -103,6 +103,35 @@ object GraftViews {
       ver = Option(p.getProperty("ver")).map(_.toInt).getOrElse(1))
   }
 
+  /** Atomic put-if-absent: temp write + rename-with-dst-must-not-exist
+    * through [[org.apache.hadoop.fs.FileContext]] (plain
+    * `FileSystem.rename` overwrites on some local implementations, and
+    * `create(overwrite=false)` is a check-then-create race). */
+  private def putIfAbsent(fs: FileSystem, target: HadoopPath,
+                          bytes: Array[Byte]): Boolean = {
+    if (fs.exists(target)) return false
+    val tmp = new HadoopPath(target.getParent,
+      target.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(tmp, target) // NO overwrite option: dst must not exist
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        false
+      case _: java.nio.file.FileAlreadyExistsException =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        false
+      case _: java.io.IOException =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        false
+    }
+  }
+
   /** Write `dir/_VIEW`. `overwrite=false` is put-if-absent (atomic via
     * temp + rename) publishing VERSION 1; `overwrite=true` ARCHIVES the
     * replaced descriptor as `_VIEW.v<oldVer>`, CLAIMS the next version
@@ -123,26 +152,23 @@ object GraftViews {
     val versioned = d.copy(ver = prior.map(_.ver + 1).getOrElse(1))
     val bytes = encode(versioned)
     if (overwrite) {
-      // archive the replaced definition under its own version (exists
-      // guard: a crashed replace re-archives idempotently)
+      // archive the replaced definition under its own version — atomic
+      // put-if-absent; losing the race is fine (concurrent archivers
+      // write IDENTICAL bytes, and a crashed replace re-archives
+      // idempotently)
       prior.foreach { old =>
-        val arch = new HadoopPath(dir, s"$FILE.v${old.ver}")
-        if (!fs.exists(arch)) {
-          val a = fs.create(arch, false)
-          try a.write(encode(old)) finally a.close()
-        }
+        putIfAbsent(fs, new HadoopPath(dir, s"$FILE.v${old.ver}"), encode(old))
+        ()
       }
-      // the new version SLOT is the CAS: create(overwrite = false)
-      // fails if a concurrent replace claimed oldVer+1 first
+      // the new version SLOT is the CAS: temp-write + dst-must-not-exist
+      // rename (FileContext.rename with no OVERWRITE flag is the atomic
+      // put-if-absent — `create(overwrite=false)` on a local FS is a
+      // check-then-create race; same device as the manifest CAS)
       val slot = new HadoopPath(dir, s"$FILE.v${versioned.ver}")
-      val s =
-        try fs.create(slot, false)
-        catch { case _: java.io.IOException =>
-          throw new IllegalStateException(
-            s"graft views: concurrent REPLACE on $dir — version " +
-              s"${versioned.ver} was already claimed; re-read and retry")
-        }
-      try s.write(bytes) finally s.close()
+      if (!putIfAbsent(fs, slot, bytes))
+        throw new IllegalStateException(
+          s"graft views: concurrent REPLACE on $dir — version " +
+            s"${versioned.ver} was already claimed; re-read and retry")
       // pointer swap (derived state; the read side never sees a partial
       // file — the content swap is the rename itself)
       val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
@@ -152,12 +178,16 @@ object GraftViews {
       if (!fs.rename(tmp, target)) { fs.delete(tmp, false); return false }
       true
     } else {
-      val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      val ok = fs.rename(tmp, target)
-      if (!ok) fs.delete(tmp, false)
-      ok
+      // CREATE: sweep slot/tmp debris a crashed PREVIOUS incarnation
+      // left behind (drop removes archives with the view; anything
+      // still here without a `_VIEW` pointer is not history), then the
+      // pointer itself is the put-if-absent slot (a plain rename would
+      // silently REPLACE on a POSIX local FS)
+      val d0 = new HadoopPath(dir)
+      if (fs.exists(d0)) fs.listStatus(d0).toSeq
+        .filter(_.getPath.getName.startsWith(s"$FILE."))
+        .foreach(s => fs.delete(s.getPath, false))
+      putIfAbsent(fs, target, bytes)
     }
   }
 
@@ -240,8 +270,13 @@ object GraftViews {
       fs.listStatus(d).toSeq
         .filter(_.getPath.getName.matches(s"\\Q$FILE\\E\\.v\\d+"))
         .foreach(s => fs.delete(s.getPath, false))
-      // reclaim the directory if view files were its only content
-      if (fs.listStatus(d).isEmpty) fs.delete(d, false)
+      // reclaim the directory if view files were its only VISIBLE
+      // content — recursive, because ChecksumFileSystem leaves hidden
+      // .crc siblings that a non-recursive delete trips over
+      if (fs.listStatus(d).isEmpty) {
+        try { fs.delete(d, true); () }
+        catch { case _: java.io.IOException => () }
+      }
     }
     existed
   }
@@ -257,7 +292,10 @@ object GraftViews {
         n == FILE || n.matches(s"\\Q$FILE\\E\\.v\\d+")
       }
       .foreach(s => fs.rename(s.getPath, new HadoopPath(toDir, s.getPath.getName)))
-    if (fs.exists(from) && fs.listStatus(from).isEmpty) fs.delete(from, false)
+    if (fs.exists(from) && fs.listStatus(from).isEmpty) {
+      try { fs.delete(from, true); () } // recursive: hidden .crc siblings
+      catch { case _: java.io.IOException => () }
+    }
   }
 }
 
