@@ -32,12 +32,15 @@ import graft.sources.GraftViews
   * Supported shape (validated at CREATE, re-derived from the public IVM
   * literature on self-maintainable aggregates): `SELECT dims…, aggs…
   * FROM src [WHERE pred] GROUP BY dims` with COUNT(*) / COUNT(col) /
-  * SUM(col) over INTEGRAL columns — exactly the self-maintainable
-  * aggregates under insert AND delete. MIN/MAX are refused (not
-  * self-maintainable under deletes without regrouping); float SUM is
-  * refused (incremental accumulation order would drift vs recompute —
-  * the engine-wide exact-arithmetic rule). Two hidden columns make the
-  * maintenance EXACT, not approximate:
+  * SUM(col) over INTEGRAL columns — the self-maintainable aggregates
+  * under insert AND delete — plus MIN/MAX over integral or string
+  * columns with the conditional ladder: extrema fold under inserts,
+  * and under deletes only the groups whose DELETED extremum ties or
+  * beats the stored one recompute, via one source scan semi-joined to
+  * exactly those groups. Float SUM is refused (incremental
+  * accumulation order would drift vs recompute — the engine-wide
+  * exact-arithmetic rule). Hidden columns make the maintenance EXACT,
+  * not approximate:
   *
   *  - `__cnt`: live contributing rows per group — a group whose count
   *    reaches 0 disappears from the MV (GROUP BY semantics);
@@ -87,7 +90,8 @@ object MaterializedView {
     }
     val aggs = agg.aggregateExpressions.flatMap {
       case a: UnresolvedAttribute =>
-        if (!dims.contains(a.name)) refuse(
+        // case-insensitive, matching Spark's default resolution
+        if (!dims.exists(_.equalsIgnoreCase(a.name))) refuse(
           s"output column '${a.name}' is neither a GROUP BY dim nor an aggregate")
         None // dim passthrough
       case Alias(f: UnresolvedFunction, alias) =>
@@ -107,8 +111,9 @@ object MaterializedView {
       case e => refuse(s"unaliased aggregate '${e.sql}' — every aggregate needs AS alias")
     }
     if (aggs.isEmpty) refuse("no aggregates")
-    val dup = (dims ++ aggs.map(_.alias)).groupBy(identity).collectFirst {
-      case (n, vs) if vs.length > 1 => n }
+    val dup = (dims ++ aggs.map(_.alias))
+      .groupBy(_.toLowerCase(java.util.Locale.ROOT)).collectFirst {
+        case (_, vs) if vs.length > 1 => vs.head }
     dup.foreach(n => refuse(s"duplicate output column '$n'"))
     MvDef(srcParts, dims, aggs, filterSql)
   }
@@ -128,9 +133,10 @@ object MaterializedView {
 
   /** Integral-only guard for SUM/COUNT columns (exactness contract). */
   private def validateTypes(d: MvDef, srcSchema: StructType): Unit = {
-    def fieldOf(c: String): StructField = srcSchema.fields.find(_.name == c)
-      .getOrElse(throw new IllegalArgumentException(
-        s"materialized view: column $c is not in the source table schema"))
+    def fieldOf(c: String): StructField =
+      srcSchema.fields.find(_.name.equalsIgnoreCase(c)) // Spark-default case rule
+        .getOrElse(throw new IllegalArgumentException(
+          s"materialized view: column $c is not in the source table schema"))
     (d.aggs.collect { case SumCol(c, _) => c } ++ d.dims).foreach(fieldOf)
     d.aggs.collect { case CountCol(c, _) => fieldOf(c); () }
     d.aggs.collect { case SumCol(c, a) =>

@@ -118,8 +118,15 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
     case RenameTable(child, newName, true) if partsOf(child).exists(
         p => graftCatalogOf(spark, p).isDefined) =>
       val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
+      val cm = spark.sessionState.catalogManager
       val toParts =
         if (newName.length > 1 && newName.head.equalsIgnoreCase(gc.name)) newName.tail
+        else if (newName.length > 1 && cm.isCatalogRegistered(newName.head))
+          // a leading part naming a DIFFERENT registered catalog is a
+          // cross-catalog rename, not a namespace inside this one
+          throw new UnsupportedOperationException(
+            s"graft views: RENAME across catalogs is not supported " +
+              s"(${ident.namespace.mkString(".")}.${ident.name} -> ${newName.mkString(".")})")
         else newName
       val to =
         if (toParts.length == 1) Identifier.of(ident.namespace, toParts.head)
@@ -184,13 +191,18 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
       val (gc, ident) = GraftViewRules.resolveView(spark, u.multipartIdentifier).get
       GraftViewRules.viewPlan(spark, gc, ident, pinnedVersion = Some(v))
 
-    case u: UnresolvedRelation
-        if GraftViewRules.resolveView(spark, u.multipartIdentifier).isDefined =>
-      if (u.isStreaming) throw new UnsupportedOperationException(
-        s"graft views: streaming read of view ${u.multipartIdentifier.mkString(".")} is not " +
-          "supported — readStream the underlying table instead")
-      val (gc, ident) = GraftViewRules.resolveView(spark, u.multipartIdentifier).get
-      GraftViewRules.viewPlan(spark, gc, ident)
+    // hot path: every unresolved relation in every query passes here —
+    // ONE resolveView (one FS existence probe) per visit, with the
+    // no-view case returning the node unchanged
+    case u: UnresolvedRelation =>
+      GraftViewRules.resolveView(spark, u.multipartIdentifier) match {
+        case None => u
+        case Some((gc, ident)) =>
+          if (u.isStreaming) throw new UnsupportedOperationException(
+            s"graft views: streaming read of view ${u.multipartIdentifier.mkString(".")} is not " +
+              "supported — readStream the underlying table instead")
+          GraftViewRules.viewPlan(spark, gc, ident)
+      }
   }
 }
 
@@ -239,23 +251,38 @@ object GraftViewRules {
 
   /** Qualify relative table names in a PARSED (unresolved) plan against
     * the view's stored resolution context: 1-part `t` → `cat.ns….t`
-    * (unless it names a CTE defined in the plan — CTEs shadow tables for
-    * simple names), 2-part `db.t` → `cat.db.t` (unless the head is
-    * itself a registered catalog). Subqueries included. */
+    * (unless a CTE named `t` is IN SCOPE — shadowing is scoped, so a
+    * CTE defined inside a subquery does not hide an outer table of the
+    * same name), 2-part `db.t` → `cat.db.t` (unless the head is itself
+    * a registered catalog). Subquery expressions included, each carrying
+    * its enclosing scope's CTE names. */
   def qualifyRelations(spark: SparkSession, plan: LogicalPlan,
                        cat: String, ns: Seq[String]): LogicalPlan = {
-    val ctes: Set[String] = plan.collectWithSubqueries {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase(Locale.ROOT))
-    }.flatten.toSet
     val cm = spark.sessionState.catalogManager
-    plan.transformDownWithSubqueries {
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
-          !ctes.contains(u.multipartIdentifier.head.toLowerCase(Locale.ROOT)) =>
+    def qualifyName(u: UnresolvedRelation, ctes: Set[String]): UnresolvedRelation =
+      if (u.multipartIdentifier.length == 1 &&
+          !ctes.contains(u.multipartIdentifier.head.toLowerCase(Locale.ROOT)))
         u.copy(multipartIdentifier = (cat +: ns) ++ u.multipartIdentifier)
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-          !cm.isCatalogRegistered(u.multipartIdentifier.head) =>
+      else if (u.multipartIdentifier.length == 2 &&
+          !cm.isCatalogRegistered(u.multipartIdentifier.head))
         u.copy(multipartIdentifier = cat +: u.multipartIdentifier)
+      else u
+    def walk(p: LogicalPlan, ctes: Set[String]): LogicalPlan = {
+      val scoped = p match {
+        case w: UnresolvedWith =>
+          ctes ++ w.cteRelations.map(_._1.toLowerCase(Locale.ROOT))
+        case _ => ctes
+      }
+      val here = p match {
+        case u: UnresolvedRelation => qualifyName(u, scoped)
+        case other => other.mapChildren(walk(_, scoped))
+      }
+      here.transformExpressions {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(walk(se.plan, scoped))
+      }
     }
+    walk(plan, Set.empty)
   }
 
   /** Expansion path of the CURRENT thread — nested views recurse through

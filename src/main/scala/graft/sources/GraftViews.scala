@@ -139,14 +139,17 @@ object GraftViews {
     * discipline as the table manifests: two concurrent REPLACEs from
     * the same parent cannot both win the slot, the loser throws instead
     * of silently erasing the winner's definition — and then swaps the
-    * `_VIEW` pointer (derived state, always rebuildable from the newest
-    * slot). Every definition a view ever had stays addressable
-    * ([[readVersion]]), the Iceberg versioned-view-metadata model. The
-    * caller's `d.ver` is ignored; versioning is the store's. Returns
-    * false if a put-if-absent CREATE lost. */
+    * `_VIEW` pointer. The SLOT is the commit; the pointer is derived
+    * state: [[read]]/[[exists]] fall back to the newest slot, so a
+    * replace that crashed (or lost a pointer race) after its slot claim
+    * is still fully committed and reads heal. Every definition a view
+    * ever had stays addressable ([[readVersion]]), the Iceberg
+    * versioned-view-metadata model. The caller's `d.ver` is ignored;
+    * versioning is the store's. Returns false if a put-if-absent CREATE
+    * lost. */
   def write(fs: FileSystem, dir: String, d: Desc, overwrite: Boolean): Boolean = {
     val target = new HadoopPath(dir, FILE)
-    if (!overwrite && fs.exists(target)) return false
+    if (!overwrite && exists(fs, dir)) return false
     fs.mkdirs(new HadoopPath(dir))
     val prior = if (overwrite) read(fs, dir) else None
     val versioned = d.copy(ver = prior.map(_.ver + 1).getOrElse(1))
@@ -169,61 +172,28 @@ object GraftViews {
         throw new IllegalStateException(
           s"graft views: concurrent REPLACE on $dir — version " +
             s"${versioned.ver} was already claimed; re-read and retry")
-      // pointer swap (derived state; the read side never sees a partial
-      // file — the content swap is the rename itself)
-      val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      fs.delete(target, false)
-      if (!fs.rename(tmp, target)) { fs.delete(tmp, false); return false }
+      // pointer publish: BEST EFFORT — the slot claim above IS the
+      // commit; a crash or race in this window only costs readers the
+      // pointer fast path (read() serves the newest slot regardless)
+      try {
+        val tmp = new HadoopPath(dir, s"$FILE.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+      } catch { case _: java.io.IOException => () }
       true
     } else {
-      // CREATE: sweep slot/tmp debris a crashed PREVIOUS incarnation
-      // left behind (drop removes archives with the view; anything
-      // still here without a `_VIEW` pointer is not history), then the
-      // pointer itself is the put-if-absent slot (a plain rename would
-      // silently REPLACE on a POSIX local FS)
+      // CREATE: sweep only TMP debris (never version slots — a slot
+      // without a pointer is a COMMITTED crashed replace, which the
+      // exists() check above already refused on), then the pointer
+      // itself is the put-if-absent slot for version 1
       val d0 = new HadoopPath(dir)
       if (fs.exists(d0)) fs.listStatus(d0).toSeq
-        .filter(_.getPath.getName.startsWith(s"$FILE."))
+        .filter(_.getPath.getName.startsWith(s"$FILE.tmp-"))
         .foreach(s => fs.delete(s.getPath, false))
       putIfAbsent(fs, target, bytes)
     }
-  }
-
-  /** Read a SPECIFIC definition version: the current one, or an archived
-    * `_VIEW.v<n>`. */
-  def readVersion(fs: FileSystem, dir: String, v: Int): Option[Desc] =
-    read(fs, dir) match {
-      case cur @ Some(d) if d.ver == v => cur
-      case _ =>
-        val arch = new HadoopPath(dir, s"$FILE.v$v")
-        if (!fs.exists(arch)) None
-        else {
-          val in = fs.open(arch)
-          try {
-            val bos = new ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-            Some(decode(bos.toByteArray))
-          } finally in.close()
-        }
-    }
-
-  /** All definition versions, oldest first (version slots + current;
-    * the current version may exist as both the pointer and its own CAS
-    * slot — dedup by version number). */
-  def history(fs: FileSystem, dir: String): Seq[Desc] = {
-    val cur = read(fs, dir).toSeq
-    val d = new HadoopPath(dir)
-    val archived =
-      if (!fs.exists(d)) Nil
-      else fs.listStatus(d).toSeq
-        .filter(s => s.getPath.getName.matches(s"\\Q$FILE\\E\\.v\\d+"))
-        .flatMap(s => readVersion(fs, dir,
-          s.getPath.getName.stripPrefix(s"$FILE.v").toInt))
-    (archived ++ cur).groupBy(_.ver).map(_._2.head).toSeq.sortBy(_.ver)
   }
 
   private def readFile(fs: FileSystem, f: HadoopPath): Option[Desc] = {
@@ -238,47 +208,71 @@ object GraftViews {
     } finally in.close()
   }
 
-  /** Current definition: the `_VIEW` pointer, UNLESS a newer version
-    * slot exists — a replace that crashed between claiming its slot and
-    * swapping the pointer is still the committed definition (the slot
-    * CAS is the commit, the pointer is derived), same discipline as the
-    * table manifests' pointer self-heal. */
-  def read(fs: FileSystem, dir: String): Option[Desc] = {
-    val ptr = readFile(fs, new HadoopPath(dir, FILE))
-    if (ptr.isEmpty) return None
+  /** Version numbers of all claimed slots in `dir`, ascending. */
+  private def slotVersions(fs: FileSystem, dir: String): Seq[Int] = {
     val d = new HadoopPath(dir)
-    val newestSlot = fs.listStatus(d).toSeq
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq
       .map(_.getPath.getName)
       .filter(_.matches(s"\\Q$FILE\\E\\.v\\d+"))
       .map(_.stripPrefix(s"$FILE.v").toInt)
-      .sorted.lastOption
-    newestSlot match {
-      case Some(v) if v > ptr.get.ver =>
+      .sorted
+  }
+
+  /** Read a SPECIFIC definition version: the newest slot/pointer, or an
+    * archived `_VIEW.v<n>`. */
+  def readVersion(fs: FileSystem, dir: String, v: Int): Option[Desc] =
+    readFile(fs, new HadoopPath(dir, s"$FILE.v$v"))
+      .orElse(readFile(fs, new HadoopPath(dir, FILE)).filter(_.ver == v))
+
+  /** All definition versions, oldest first (version slots + current;
+    * the current version may exist as both the pointer and its own CAS
+    * slot — dedup by version number). */
+  def history(fs: FileSystem, dir: String): Seq[Desc] = {
+    val slots = slotVersions(fs, dir)
+      .flatMap(v => readFile(fs, new HadoopPath(dir, s"$FILE.v$v")))
+    val cur = readFile(fs, new HadoopPath(dir, FILE)).toSeq
+    (slots ++ cur).groupBy(_.ver).map(_._2.head).toSeq.sortBy(_.ver)
+  }
+
+  /** Current definition: the newest VERSION SLOT when one is ahead of
+    * (or survives without) the `_VIEW` pointer — the slot CAS is the
+    * commit, the pointer a read-path cache; a replace that crashed
+    * between claim and swap is therefore still fully committed, the
+    * same pointer-self-heal discipline as the table manifests. */
+  def read(fs: FileSystem, dir: String): Option[Desc] = {
+    val ptr = readFile(fs, new HadoopPath(dir, FILE))
+    val newest = slotVersions(fs, dir).lastOption
+    newest match {
+      case Some(v) if ptr.forall(_.ver < v) =>
         readFile(fs, new HadoopPath(dir, s"$FILE.v$v")).orElse(ptr)
       case _ => ptr
     }
   }
 
+  /** A view exists if its pointer OR any committed slot does. */
   def exists(fs: FileSystem, dir: String): Boolean =
-    fs.exists(new HadoopPath(dir, FILE))
+    fs.exists(new HadoopPath(dir, FILE)) || slotVersions(fs, dir).nonEmpty
 
   def drop(fs: FileSystem, dir: String): Boolean = {
     val d = new HadoopPath(dir)
-    val existed = fs.delete(new HadoopPath(dir, FILE), false)
-    if (existed && fs.exists(d)) {
-      // the view identity is gone: its archived versions go with it
+    val hadPointer = fs.delete(new HadoopPath(dir, FILE), false)
+    var hadSlots = false
+    if (fs.exists(d)) {
+      // the view identity is gone: its version slots go with it (a
+      // pointer-less crashed replace still counts as an existing view)
       fs.listStatus(d).toSeq
         .filter(_.getPath.getName.matches(s"\\Q$FILE\\E\\.v\\d+"))
-        .foreach(s => fs.delete(s.getPath, false))
+        .foreach { s => hadSlots = true; fs.delete(s.getPath, false) }
       // reclaim the directory if view files were its only VISIBLE
       // content — recursive, because ChecksumFileSystem leaves hidden
       // .crc siblings that a non-recursive delete trips over
-      if (fs.listStatus(d).isEmpty) {
+      if ((hadPointer || hadSlots) && fs.listStatus(d).isEmpty) {
         try { fs.delete(d, true); () }
         catch { case _: java.io.IOException => () }
       }
     }
-    existed
+    hadPointer || hadSlots
   }
 
   /** Move a view (current + archives) to a new directory — rename's

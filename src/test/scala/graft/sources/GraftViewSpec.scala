@@ -266,6 +266,56 @@ class GraftViewSpec extends SparkTestBase {
       "read must serve the newest claimed slot over a stale pointer")
   }
 
+  test("pointer loss is survivable: slots serve reads, CREATE refuses, drop clears") {
+    freshTable("vw_ptr", Seq((1L, "en", 10L)))
+    dropViewQuiet("graft.db.v_ptr")
+    spark.sql("CREATE VIEW graft.db.v_ptr AS SELECT k FROM graft.db.vw_ptr")
+    spark.sql("CREATE OR REPLACE VIEW graft.db.v_ptr AS SELECT n FROM graft.db.vw_ptr")
+    val dir = s"$wh/db/v_ptr"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash that lost the pointer AFTER the slot commit
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_VIEW"), false)
+    // the committed v2 slot still serves reads …
+    assert(spark.sql("SELECT n FROM graft.db.v_ptr").head.getLong(0) == 10L)
+    // … CREATE refuses (the view EXISTS — slots are commits, and a
+    // create must never destroy them) …
+    intercept[Exception](spark.sql(
+      "CREATE VIEW graft.db.v_ptr AS SELECT 1 AS one"))
+    // … a further REPLACE continues the lineage from the slot …
+    spark.sql("CREATE OR REPLACE VIEW graft.db.v_ptr AS SELECT k FROM graft.db.vw_ptr")
+    assert(GraftViews.read(fs, dir).get.ver == 3)
+    // … and DROP clears the whole identity so the name frees up
+    spark.sql("DROP VIEW graft.db.v_ptr")
+    spark.sql("CREATE VIEW graft.db.v_ptr AS SELECT k FROM graft.db.vw_ptr")
+    assert(GraftViews.read(fs, dir).get.ver == 1)
+  }
+
+  test("CTE shadowing is scoped: a nested CTE does not hide an outer table of the same name") {
+    freshTable("vw_cte", Seq((1L, "en", 10L), (2L, "fr", 20L)))
+    dropViewQuiet("graft.db.v_cte")
+    // the view text references table vw_cte at the OUTER level and
+    // defines a CTE of the same name INSIDE a subquery — the outer
+    // reference must still qualify to graft.db.vw_cte
+    spark.sql("USE graft.db")
+    try spark.sql(
+      """CREATE VIEW v_cte AS
+        |SELECT k FROM vw_cte
+        |WHERE k IN (WITH vw_cte AS (SELECT 1 AS x) SELECT x FROM vw_cte)""".stripMargin)
+    finally spark.sql("USE spark_catalog.default")
+    assert(spark.sql("SELECT k FROM graft.db.v_cte").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("cross-catalog RENAME refused with a clear message") {
+    freshTable("vw_xcat", Seq((1L, "en", 10L)))
+    dropViewQuiet("graft.db.v_xcat")
+    spark.sql("CREATE VIEW graft.db.v_xcat AS SELECT k FROM graft.db.vw_xcat")
+    val e = intercept[Exception](spark.sql(
+      "ALTER VIEW graft.db.v_xcat RENAME TO spark_catalog.db2.v_elsewhere"))
+    assert(e.getMessage.contains("across catalogs"))
+  }
+
   test("DESCRIBE and SHOW CREATE TABLE on a view") {
     freshTable("vw_desc", Seq((1L, "en", 10L)))
     dropViewQuiet("graft.db.v_desc")
