@@ -75,6 +75,34 @@ object Aggregates {
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
   }
 
+  /** PRE-AGGREGATED bitmap rollup (r12): the mergeable-cube pattern for
+    * EXACT distinct — per-(site, group, bucket) bitmaps built
+    * independently (here: even/odd event halves standing in for two
+    * ingestion sites), persisted as BINARY cube cells, then merged with
+    * `bitmap_or_agg` and popped. The point vs re-counting raw data:
+    * the merge input is |sites|·|groups|·|buckets| fixed-width bitmaps
+    * — a distinct-count cube refreshes by OR-ing cells, never
+    * re-scanning events, and unlike HLL cubes (`agg_sketch_merge`) the
+    * answer is EXACT. Oracle compares against count(DISTINCT) over the
+    * union, which must agree bit-for-bit. */
+  def aggBitmapMerge(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("bitmap_events2")
+    spark.sql(
+      """WITH cells AS (
+        |  SELECT event_id % 2 AS site, event_type,
+        |    bitmap_bucket_number(user_id) AS bkt,
+        |    bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+        |  FROM bitmap_events2
+        |  GROUP BY event_id % 2, event_type, bitmap_bucket_number(user_id)),
+        |merged AS (
+        |  SELECT event_type, bkt, bitmap_count(bitmap_or_agg(bm)) AS cnt
+        |  FROM cells GROUP BY event_type, bkt)
+        |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_users
+        |FROM merged
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
+  }
+
   private def hierSelect(df: DataFrame): DataFrame =
     df.select(
         coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
@@ -995,6 +1023,7 @@ object Aggregates {
     "agg_hash" -> (aggHash _),
     "agg_distinct" -> (aggDistinct _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
+    "agg_bitmap_merge" -> (aggBitmapMerge _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_gsets" -> (aggGsets _),
@@ -1242,6 +1271,10 @@ object Aggregates {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
     "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "agg_bitmap_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
