@@ -2027,7 +2027,7 @@ case class GraftCdfSpec(changeType: String, version: Int,
   * DataFrame path's codegen'd per-file skip predicate. */
 object GraftDv {
   def positions(conf: org.apache.hadoop.conf.Configuration, dir: String,
-                file: String): java.util.HashSet[java.lang.Long] =
+                file: String): graft.operators.DvRuns =
     graft.operators.DvLookup.positions(conf, dir, file)
 }
 
@@ -2124,17 +2124,16 @@ class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoop
       // its own file's ordinals; rows at those ordinals are skipped
       // below. Path identity is scheme-insensitive (dv records
       // `_metadata.file_path` URIs, the partition a manifest path).
-      private val deleted: java.util.HashSet[java.lang.Long] =
+      private val deleted: graft.operators.DvRuns =
         part.dv.map(GraftDv.positions(conf.value, _, file)).orNull
       // CDF emit-mode (r10): produce ONLY the positions a merge-on-read
-      // delete commit added to the dv — new pairs minus old pairs
-      private val emitOnly: java.util.HashSet[java.lang.Long] =
+      // delete commit added to the dv — new runs minus old runs
+      private val emitOnly: graft.operators.DvRuns =
         part.cdf.flatMap(_.emitDiffNew).map { nd =>
           val s = GraftDv.positions(conf.value, nd, file)
-          part.cdf.flatMap(_.emitDiffOld).foreach { od =>
-            s.removeAll(GraftDv.positions(conf.value, od, file))
-          }
-          s
+          part.cdf.flatMap(_.emitDiffOld)
+            .map(od => s.minus(GraftDv.positions(conf.value, od, file)))
+            .getOrElse(s)
         }.orNull
       private var ordinal: Long = -1L
       private var current: Group = _
