@@ -4,12 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // r12: SQL views need the extensions-injected analyzer rule
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    // r12: SQL views need the extensions-injected analyzer rule.
+    // SPARK_GRAFT_EXTENSIONS=0 drops them for controlled A/B runs
+    // isolating per-query extension overhead (r13, VERDICT r12 perf) —
+    // view/TVF queries fail without them, so pair it with
+    // SPARK_GRAFT_ONLY.
+    val spark = (if (sys.env.getOrElse("SPARK_GRAFT_EXTENSIONS", "1") != "0")
+        b0.config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      else b0)
       // broadcast/RDD cleanup is driven by driver GC; the default periodic
       // GC interval (30 min) lets hundreds of per-query broadcasts pile up
       // over a ~100-query sweep and the resulting heap pressure inflated

@@ -58,7 +58,8 @@ object MaterializedView {
   case class MaxCol(colName: String, alias: String) extends AggSpec
 
   case class MvDef(srcParts: Seq[String], dims: Seq[String],
-                   aggs: Seq[AggSpec], filterSql: Option[String]) {
+                   aggs: Seq[AggSpec], filterSql: Option[String],
+                   selectCols: Seq[String]) {
     def srcRelative: Seq[String] =
       if (srcParts.length >= 3) srcParts.takeRight(2) else srcParts
   }
@@ -88,13 +89,21 @@ object MaterializedView {
       case a: UnresolvedAttribute => a.name
       case e => refuse(s"GROUP BY expression '${e.sql}' is not a plain column")
     }
+    // SELECT-LIST ORDER (r13, ADVICE r12 #2): the published view must
+    // project EXACTLY the defining query's output — same columns, same
+    // order — so record each output name as encountered (dim
+    // passthroughs normalized to the GROUP BY spelling, which is what
+    // the state table's columns carry)
+    val selectCols = scala.collection.mutable.ArrayBuffer.empty[String]
     val aggs = agg.aggregateExpressions.flatMap {
       case a: UnresolvedAttribute =>
         // case-insensitive, matching Spark's default resolution
-        if (!dims.exists(_.equalsIgnoreCase(a.name))) refuse(
-          s"output column '${a.name}' is neither a GROUP BY dim nor an aggregate")
+        val dim = dims.find(_.equalsIgnoreCase(a.name)).getOrElse(refuse(
+          s"output column '${a.name}' is neither a GROUP BY dim nor an aggregate"))
+        selectCols += dim
         None // dim passthrough
       case Alias(f: UnresolvedFunction, alias) =>
+        selectCols += alias
         if (f.isDistinct) refuse(s"DISTINCT aggregate in '$alias'")
         val fn = f.nameParts.map(_.toLowerCase).mkString(".")
         (fn, f.arguments) match {
@@ -115,7 +124,14 @@ object MaterializedView {
       .groupBy(_.toLowerCase(java.util.Locale.ROOT)).collectFirst {
         case (_, vs) if vs.length > 1 => vs.head }
     dup.foreach(n => refuse(s"duplicate output column '$n'"))
-    MvDef(srcParts, dims, aggs, filterSql)
+    // a GROUP BY dim missing from the SELECT list would make the view's
+    // rows non-unique per visible key — refuse loudly (ADVICE r12 #2)
+    dims.foreach { dim =>
+      if (!selectCols.exists(_.equalsIgnoreCase(dim))) refuse(
+        s"GROUP BY dim '$dim' is absent from the SELECT list — the published " +
+          "view projects the defining query's exact output")
+    }
+    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq)
   }
 
   private val CNT = "__cnt"
@@ -261,8 +277,9 @@ object MaterializedView {
   }
 
   /** The user-visible projection (hidden bookkeeping columns dropped) —
-    * what `graft_mv(...)`-style readers and the oracle compare. */
-  def visibleColumns(d: MvDef): Seq[String] = d.dims ++ d.aggs.map(_.alias)
+    * EXACTLY the defining query's SELECT list, in its order (r13,
+    * ADVICE r12 #2): what `SELECT * FROM mv` and the oracle compare. */
+  def visibleColumns(d: MvDef): Seq[String] = d.selectCols
 
   // ---- procedures' entry points ------------------------------------
 
@@ -330,7 +347,9 @@ object MaterializedView {
     val visible = visibleColumns(d)
     val stateRel = (relParts.init :+ s"${relParts.last}__state").mkString(".")
     val viewSchema = org.apache.spark.sql.types.StructType(
-      state.schema.fields.filter(f => visible.contains(f.name)))
+      visible.map(n => state.schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalStateException(
+          s"materialized view: visible column $n missing from state schema"))))
     GraftViews.write(fs, mvBase, GraftViews.Desc(
       sql = s"SELECT ${visible.mkString(", ")} FROM $stateRel",
       currentCatalog = catName,

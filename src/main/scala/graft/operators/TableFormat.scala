@@ -256,6 +256,36 @@ object TableFormat {
     * pin them all. */
   private case class ManifestStamp(mtime: Long, len: Long)
   private val ManifestCacheMax = 64
+
+  /** Freshness guard (r13, ADVICE r12 #3): a cross-process DROP +
+    * re-create that republishes a same-length manifest within the
+    * filesystem's mtime granularity (1-2 s on several local FSes)
+    * produces an identical (mtime, len) stamp — undetectable by the
+    * stamp compare. Such a collision REQUIRES both writes to land
+    * inside one granularity window, so simply refusing to cache a
+    * manifest younger than that window closes the race with ZERO extra
+    * reads: once the window has passed, any later re-create necessarily
+    * gets a strictly newer mtime and the stamp compare catches it.
+    * Manifests are read many times over their lifetime — skipping the
+    * first seconds costs nothing. (Out of scope: forged mtimes via
+    * setTimes; a clock ahead of the FS only disables caching, never
+    * serves stale.) */
+  private val MtimeGranularityMs = 5000L
+
+  /** Stamps of manifests THIS JVM published ([[writeFileIfAbsent]]):
+    * our own fresh publishes are trusted immediately — the invalidation
+    * in the writer keeps same-JVM coherence — so the freshness guard
+    * only defers caching of manifests written by OTHER processes (whose
+    * re-create races are the ones a stamp cannot see). Bounded LRU. */
+  private val ownPublishStamps =
+    new java.util.LinkedHashMap[String, ManifestStamp](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ManifestStamp]): Boolean = size() > 256
+    }
+  private def trustable(path: String, stamp: ManifestStamp): Boolean =
+    System.currentTimeMillis() - stamp.mtime > MtimeGranularityMs ||
+      ownPublishStamps.synchronized {
+        Option(ownPublishStamps.get(path)).contains(stamp) }
   private def lru[A]() =
     new java.util.LinkedHashMap[String, (ManifestStamp, A)](32, 0.75f, true) {
       override def removeEldestEntry(
@@ -284,7 +314,8 @@ object TableFormat {
       }
     }
     val t = readFile(spark, path)
-    manifestTextCache.synchronized { manifestTextCache.put(path, (stamp, t)); () }
+    if (trustable(path, stamp))
+      manifestTextCache.synchronized { manifestTextCache.put(path, (stamp, t)); () }
     t
   }
 
@@ -646,6 +677,17 @@ object TableFormat {
         // DROP+CREATE) — this JVM's cache entries for the path are now
         // stale regardless of the (mtime, len) guard
         invalidateManifest(path)
+        // record OUR publish's stamp: the freshness guard (ADVICE r12
+        // #3) defers caching of young manifests, but our own are
+        // immediately trustworthy — same-JVM coherence is the explicit
+        // invalidation above
+        try {
+          val st = f.getFileStatus(p)
+          ownPublishStamps.synchronized {
+            ownPublishStamps.put(path, ManifestStamp(st.getModificationTime, st.getLen))
+            ()
+          }
+        } catch { case _: java.io.IOException => () }
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -1716,7 +1758,7 @@ object TableFormat {
     val parsed = manifestText(spark, base, version)
       .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(ManifestEntry.parse)
-    manifestEntriesCache.synchronized {
+    if (trustable(path, stamp)) manifestEntriesCache.synchronized {
       manifestEntriesCache.put(path, (stamp, parsed))
       ()
     }
@@ -1804,15 +1846,16 @@ object TableFormat {
   private[graft] def readEntriesDf(spark: SparkSession, base: String,
                                    schemaVersion: Int, entries: Seq[ManifestEntry],
                                    keepPos: Boolean = false,
-                                   fileCol: Option[String] = None): DataFrame = {
+                                   fileCol: Option[String] = None,
+                                   posCol: Option[String] = None): DataFrame = {
     require(entries.nonEmpty, "readEntriesDf: empty entry list (caller owns the empty case)")
     val (dvd, plain) = entries.partition(_.dv.isDefined)
-    val needPos = keepPos || fileCol.isDefined
+    val needPos = keepPos || fileCol.isDefined || posCol.isDefined
     def decorate(df: DataFrame) = {
       val withF = fileCol.fold(df)(c => df.withColumn(c, col("__fp")))
-      if (keepPos) withF
-      else if (needPos) withF.drop("__fp", "__ri")
-      else withF
+      val withP = posCol.fold(withF)(c => withF.withColumn(c, col("__ri")))
+      // drop is a no-op when the raw columns were never materialized
+      if (keepPos) withP else withP.drop("__fp", "__ri")
     }
     val plainDf =
       if (plain.isEmpty) None
@@ -1833,8 +1876,7 @@ object TableFormat {
             SqlBridge.expression(col("__fp")), SqlBridge.expression(col("__ri"))),
           returnNullable = false))
         val joined = data.filter(!isDeleted)
-        val withF = fileCol.fold(joined)(c => joined.withColumn(c, col("__fp")))
-        Some(if (keepPos) withF else withF.drop("__fp", "__ri"))
+        Some(decorate(joined))
       }
     (plainDf.toSeq ++ dvdDf.toSeq).reduce(_ unionByName _)
   }
@@ -1853,6 +1895,50 @@ object TableFormat {
     * materialize dvs back into clean files. `bounds` prune candidate
     * files by manifest stats exactly like [[deleteRows]]. Returns
     * (newVersion, filesWithDv, filesTotal). */
+  /** RLE-encode + shard-write a dv (file, position) pair set as a dv
+    * dir; returns per-file deleted counts (shared by [[deleteRowsDV]]
+    * and the merge-on-read delta commit, r13).
+    *
+    * RUN-LENGTH encode before writing (r11, VERDICT r10 #4): contiguous
+    * ordinals collapse into (run_start, run_len) rows — scattered
+    * deletes cost what they did (1 run ≈ 1 position), dense deletes
+    * collapse by orders of magnitude (the RoaringBitmap-sidecar
+    * trade in parquet clothing). The classic gaps-and-islands shape:
+    * pos - row_number is constant exactly within a contiguous run.
+    *
+    * PER-FILE SIDECARS (r12, VERDICT r11 #1): partition the dv write by
+    * a shard key of the data-file path, so a reading task opens ONLY its
+    * own file's sidecar — per-task dv IO ∝ own-file deletions, not the
+    * dv dir's total bytes (the r11 full-dir rescan degraded a wide
+    * scattered delete quadratically: F files × S dir bytes). The
+    * repartition routes each file's runs to one task, so every shard
+    * holds exactly one parquet file; the shard key is computed by the
+    * same [[DvLookup.shardKey]] kernel the read side resolves with. */
+  private def writeDvDir(spark: SparkSession, allPairs: DataFrame,
+                         dvDir: String): Map[String, Long] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(DvFileCol)).orderBy(col(DvPosCol))
+    val runs = allPairs
+      .withColumn("__grp", col(DvPosCol) - row_number().over(w))
+      .groupBy(col(DvFileCol), col("__grp"))
+      .agg(min(col(DvPosCol)).as(DvRunStartCol),
+           count(lit(1)).as(DvRunLenCol))
+      .drop("__grp")
+    val shardK = org.apache.spark.sql.graftbridge.SqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        DvLookup.getClass, org.apache.spark.sql.types.StringType, "shardKey",
+        Seq(org.apache.spark.sql.graftbridge.SqlBridge.expression(col(DvFileCol))),
+        returnNullable = false))
+    runs.withColumn(DvLookup.ShardCol, shardK)
+      .repartition(col(DvLookup.ShardCol))
+      .write.partitionBy(DvLookup.ShardCol).parquet(dvDir)
+    // per-file deleted counts from the WRITTEN dv (tiny metadata read):
+    // drives live-row accounting and the full-file drop in the callers
+    spark.read.parquet(dvDir).groupBy(DvFileCol)
+      .agg(sum(col(DvRunLenCol)).as("n"))
+      .collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+  }
+
   def deleteRowsDV(spark: SparkSession, base: String, cond: Column,
                    bounds: Seq[(Long, Long)] = Nil): (Int, Int, Int) = {
     val v = currentVersion(spark, base)
@@ -1882,42 +1968,7 @@ object TableFormat {
     val allPairs = dvPairsOf(spark, touched)
       .fold(newPairs)(old => newPairs.unionByName(old)).distinct()
     val dvDir = s"$base/data/dv${version}_${java.util.UUID.randomUUID.toString.take(8)}"
-    // RUN-LENGTH encode before writing (r11, VERDICT r10 #4): contiguous
-    // ordinals collapse into (run_start, run_len) rows — scattered
-    // deletes cost what they did (1 run ≈ 1 position), dense deletes
-    // collapse by orders of magnitude (the RoaringBitmap-sidecar
-    // trade in parquet clothing). The classic gaps-and-islands shape:
-    // pos - row_number is constant exactly within a contiguous run.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(DvFileCol)).orderBy(col(DvPosCol))
-    val runs = allPairs
-      .withColumn("__grp", col(DvPosCol) - row_number().over(w))
-      .groupBy(col(DvFileCol), col("__grp"))
-      .agg(min(col(DvPosCol)).as(DvRunStartCol),
-           count(lit(1)).as(DvRunLenCol))
-      .drop("__grp")
-    // PER-FILE SIDECARS (r12, VERDICT r11 #1): partition the dv write by
-    // a shard key of the data-file path, so a reading task opens ONLY its
-    // own file's sidecar — per-task dv IO ∝ own-file deletions, not the
-    // dv dir's total bytes (the r11 full-dir rescan degraded a wide
-    // scattered delete quadratically: F files × S dir bytes). The
-    // repartition routes each file's runs to one task, so every shard
-    // holds exactly one parquet file; the shard key is computed by the
-    // same [[DvLookup.shardKey]] kernel the read side resolves with.
-    val shardK = org.apache.spark.sql.graftbridge.SqlBridge.column(
-      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-        DvLookup.getClass, org.apache.spark.sql.types.StringType, "shardKey",
-        Seq(org.apache.spark.sql.graftbridge.SqlBridge.expression(col(DvFileCol))),
-        returnNullable = false))
-    runs.withColumn(DvLookup.ShardCol, shardK)
-      .repartition(col(DvLookup.ShardCol))
-      .write.partitionBy(DvLookup.ShardCol).parquet(dvDir)
-    // per-file deleted counts from the WRITTEN dv (tiny metadata read):
-    // drives live-row accounting and the full-file drop below
-    val counts: Map[String, Long] =
-      spark.read.parquet(dvDir).groupBy(DvFileCol)
-        .agg(sum(col(DvRunLenCol)).as("n"))
-        .collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+    val counts = writeDvDir(spark, allPairs, dvDir)
     var withDv = 0
     val updated = touched.flatMap { e =>
       val n = counts.getOrElse(normPath(e.path), 0L)
@@ -1929,6 +1980,75 @@ object TableFormat {
       txn = None, statsCols = statsCols, op = "delete_dv")
     maybeAutoAnalyze(spark, base, out)
     (out, withDv, entries.size)
+  }
+
+  /** MERGE-ON-READ delta commit (r13, VERDICT r12 #2) — the commit half
+    * of `update.mode`/`merge.mode` = merge-on-read UPDATE/MERGE (and
+    * delta-routed DELETE): the executors staged (a) plain parquet pair
+    * files of deleted (file_path, row_index) positions and (b) the
+    * post-image/insert data files; this publishes BOTH as ONE manifest
+    * version. Touched entries re-enter pointing at a superseding dv
+    * (old ∪ new positions, RLE + per-file sidecar sharded exactly like
+    * [[deleteRowsDV]]); untouched entries carry by reference; staged
+    * data files get footer stats. Net IO ∝ changed-row count — a
+    * scattered 0.1 %-of-rows UPDATE on a 100 TB table writes kilobytes
+    * of dv + the postimage rows, where copy-on-write rewrites every
+    * touched file (the Delta deletion-vector-update analog).
+    *
+    * `basedOn` is the snapshot the operation's scan read: anything
+    * committed since makes the positions stale — fail loudly
+    * ([[ConcurrentModificationException]]), never silently corrupt. */
+  def deltaCommitStaged(spark: SparkSession, base: String, basedOn: Int,
+                        dvPairPaths: Seq[String], insertPaths: Seq[String],
+                        op: String): Int = {
+    val parentV = latestVersion(spark, base)
+    if (basedOn != parentV)
+      throw new ConcurrentModificationException(base, basedOn, parentV)
+    val version = parentV + 1
+    val entries = manifestEntries(spark, base, parentV)
+    val statsCols = manifestStatsCols(spark, base, parentV)
+    val cm = manifestColmap(spark, base, parentV)
+    val schemaJson = manifestSchema(spark, base, parentV).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$parentV has no schema header"))
+    val newPairs =
+      if (dvPairPaths.isEmpty) None
+      else Some(spark.read.parquet(dvPairPaths: _*)
+        .select(col(DvFileCol), col(DvPosCol)))
+    // touched = entries whose file the delete positions name (path
+    // identity scheme-insensitive; the collect is FILE-count bounded)
+    val touchedPaths: Set[String] = newPairs.fold(Set.empty[String])(
+      _.select(DvFileCol).distinct().collect()
+        .map(r => normPath(r.getString(0))).toSet)
+    val (touched, untouched) = entries.partition(e => touchedPaths(normPath(e.path)))
+    val updatedTouched =
+      if (touched.isEmpty) Seq.empty
+      else {
+        // superseding dv = old ∪ new for the touched files (an entry's dv
+        // must describe its complete deletion state)
+        val allPairs = dvPairsOf(spark, touched)
+          .fold(newPairs.get)(old => newPairs.get.unionByName(old)).distinct()
+        val dvDir = s"$base/data/dv${version}_${java.util.UUID.randomUUID.toString.take(8)}"
+        val counts = writeDvDir(spark, allPairs, dvDir)
+        touched.flatMap { e =>
+          val n = counts.getOrElse(normPath(e.path), 0L)
+          if (n == 0L) Some(e)
+          else if (e.rows.contains(n)) None // every row deleted: file drops out
+          else Some(e.copy(dv = Some(dvDir), dvRows = Some(n)))
+        }
+      }
+    val insertEntries = entriesFromFooters(spark, insertPaths, statsCols, cm)
+    val out = writeManifest(spark, base, version, schemaJson,
+      untouched ++ updatedTouched ++ insertEntries,
+      txn = None, statsCols = statsCols, op = op,
+      ndv = ndvOut(spark, base, parentV,
+        ndvFromFiles(spark, insertPaths, statsCols, cm), mergeParent = true))
+    // the raw pair stage served only this commit — the published dv dir
+    // carries the state; reclaim the stage bytes
+    val f = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dvPairPaths.map(p => new Path(p).getParent).distinct
+      .foreach(d => try { f.delete(d, true); () } catch { case _: Exception => () })
+    maybeAutoAnalyze(spark, base, out)
+    out
   }
 
   /** The data files snapshot `version` consists of. */
@@ -2468,6 +2588,53 @@ object TableFormat {
     * only those touched files' rows. Restriction (documented, same as
     * Delta CDF): fromVersion must predate toVersion and both manifests
     * must still be retained (not vacuumed). */
+  /** UPDATE IMAGES (r12, VERDICT r11 #4; shared by CoW and
+    * merge-on-read commits since r13): when the table DECLARES a
+    * primary key (`PK:` constraint — RELY, the lakehouse key contract),
+    * a commit's delete+insert rows pair up on it and re-tag as
+    * `update_preimage`/`update_postimage` — the Delta CDF shape that
+    * lets a consumer distinguish an update from an unrelated
+    * delete+insert. One window shuffle over the commit's OWN changed
+    * rows (never the table); NULL keys and key columns missing from
+    * this schema (dropped/renamed) never pair; without a declared key
+    * the raw delete+insert form is unchanged.
+    *
+    * Per (key, side) ordinal: only min(inserts, deletes) rows per key
+    * pair up (review r12) — the PK is RELY, so a key CAN legally carry
+    * 2 inserts + 1 delete in one commit, and re-tagging all three would
+    * hand a CDC consumer an unpaired postimage; the excess rows keep
+    * their honest insert/delete tags. */
+  private def pairUpdateImages(spark: SparkSession, base: String, toVersion: Int,
+                               changes: Seq[DataFrame]): Seq[DataFrame] = {
+    if (changes.isEmpty) return changes
+    val keyCols = manifestConstraints(spark, base, toVersion)
+      .collectFirst { case (_, spec) if spec.startsWith("PK:") =>
+        spec.drop(3).split(',').toSeq }
+      .getOrElse(Seq.empty)
+    if (keyCols.isEmpty || !keyCols.forall(changes.head.columns.contains))
+      changes
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      val ct = col("_change_type")
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy((keyCols.map(col) :+ ct): _*).orderBy(lit(1))
+      val keyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
+      Seq(changes.reduce(_ unionByName _)
+        .withColumn("__ni",
+          sum(when(ct === "insert", 1).otherwise(0)).over(w))
+        .withColumn("__nd",
+          sum(when(ct === "delete", 1).otherwise(0)).over(w))
+        .withColumn("__rn", row_number().over(ws))
+        .withColumn("_change_type",
+          when(keyed && col("__rn") <= least(col("__ni"), col("__nd")),
+            when(ct === "insert", lit("update_postimage"))
+              .otherwise(lit("update_preimage")))
+            .otherwise(ct))
+        .drop("__ni", "__nd", "__rn"))
+    }
+  }
+
   def readChanges(spark: SparkSession, base: String,
                   fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
@@ -2496,12 +2663,14 @@ object TableFormat {
         case Some("compact") | Some("optimize") => Seq.empty // bytes moved, no rows changed
         case Some("alter") => Seq.empty // schema widened, no files touched at all
         case Some("append") => Seq(tag(read(added), "insert"))
-        case Some("delete_dv") =>
-          // merge-on-read delete: no bytes moved, only dvs grew (and
-          // fully-deleted files dropped). Emitting the deletes needs the
-          // POSITION diff, not the payload diff — read only the affected
-          // files once and semi-join the new-this-commit positions,
-          // instead of the generic exceptAll over both full sides.
+        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") =>
+          // merge-on-read commit: no bytes of EXISTING files moved, only
+          // dvs grew (and fully-deleted files dropped) — plus, for
+          // UPDATE/MERGE (r13), brand-new post-image files appended.
+          // Emitting the deletes needs the POSITION diff, not the
+          // payload diff — read only the affected files once and
+          // semi-join the new-this-commit positions, instead of the
+          // generic exceptAll over both full sides.
           val beforeByPath = before.map(e => normPath(e.path) -> e).toMap
           val dropped = removed.filterNot(e => after.exists(a => normPath(a.path) == normPath(e.path)))
           // dv pointer changed → candidate; identical pairs diff to zero
@@ -2521,7 +2690,14 @@ object TableFormat {
                 data("__fp") === diff(DvFileCol) && data("__ri") === diff(DvPosCol),
                 "left_semi").drop("__fp", "__ri"), "delete"))
             }
-          (droppedDeletes.toSeq ++ grownDeletes.toSeq)
+          // post-image/insert files this commit appended (empty for a
+          // pure delete_dv); with a declared PK the delete+insert rows
+          // pair into update_pre/postimages exactly like the CoW path
+          val newFiles = added.filterNot(e => beforeByPath.contains(normPath(e.path)))
+          val inserts =
+            if (newFiles.isEmpty) None else Some(tag(read(newFiles), "insert"))
+          pairUpdateImages(spark, base, toVersion,
+            droppedDeletes.toSeq ++ grownDeletes.toSeq ++ inserts.toSeq)
         case _ => // delete / merge / replace / restore / pre-r9: full diff
           val a = read(added)
           val r = read(removed)
@@ -2537,38 +2713,7 @@ object TableFormat {
           // key columns missing from this schema (dropped/renamed)
           // never pair; without a declared key the raw delete+insert
           // form is unchanged.
-          val keyCols = manifestConstraints(spark, base, toVersion)
-            .collectFirst { case (_, spec) if spec.startsWith("PK:") =>
-              spec.drop(3).split(',').toSeq }
-            .getOrElse(Seq.empty)
-          if (keyCols.isEmpty || !keyCols.forall(ins.columns.contains))
-            Seq(ins, del)
-          else {
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(keyCols.map(col): _*)
-            val ct = col("_change_type")
-            // per (key, side) ordinal: only min(inserts, deletes) rows
-            // per key pair up (review r12) — the PK is RELY, so a key
-            // CAN legally carry 2 inserts + 1 delete in one commit, and
-            // re-tagging all three would hand a CDC consumer an
-            // unpaired postimage; the excess rows keep their honest
-            // insert/delete tags
-            val ws = org.apache.spark.sql.expressions.Window
-              .partitionBy((keyCols.map(col) :+ ct): _*).orderBy(lit(1))
-            val keyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
-            Seq(ins.unionByName(del)
-              .withColumn("__ni",
-                sum(when(ct === "insert", 1).otherwise(0)).over(w))
-              .withColumn("__nd",
-                sum(when(ct === "delete", 1).otherwise(0)).over(w))
-              .withColumn("__rn", row_number().over(ws))
-              .withColumn("_change_type",
-                when(keyed && col("__rn") <= least(col("__ni"), col("__nd")),
-                  when(ct === "insert", lit("update_postimage"))
-                    .otherwise(lit("update_preimage")))
-                  .otherwise(ct))
-              .drop("__ni", "__nd", "__rn"))
-          }
+          pairUpdateImages(spark, base, toVersion, Seq(ins, del))
       }
     }
     val all = steps.flatten

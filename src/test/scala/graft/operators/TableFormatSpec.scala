@@ -1447,4 +1447,45 @@ class TableFormatSpec extends SparkTestBase {
     assert(union.size == 2500L, s"superseding union: ${union.size}")
     assert(union.runCount <= 4, s"union must re-coalesce: ${union.runCount} runs")
   }
+
+  test("manifest cache: a cross-process same-length re-create inside the mtime window is never served stale (r13, ADVICE r12 #3)") {
+    // template manifest text from a REAL commit, so the format stays honest
+    val tBase = freshBase("tf_fp_tmpA")
+    TableFormat.commit(spark, tBase, Seq((1L, "aaaa")).toDF("k", "tag"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tBase).getFileSystem(conf)
+    def readText(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p); try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    def writeText(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      fs.delete(p, false)
+      val out = fs.create(p, true); try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val textA = readText(new org.apache.hadoop.fs.Path(s"$tBase/_manifests/v1.manifest"))
+    assert(textA.contains("tf_fp_tmpA"), "entry paths must carry the base name")
+    // manifest published by ANOTHER process (raw FS write — this JVM's
+    // writeFileIfAbsent never saw it, so no own-publish trust applies)
+    val cBase = freshBase("tf_fp_cross")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$cBase/_manifests"))
+    val mPath = new org.apache.hadoop.fs.Path(s"$cBase/_manifests/v1.manifest")
+    writeText(mPath, textA)
+    assert(TableFormat.manifestEntries(spark, cBase, 1)
+      .forall(_.path.contains("tf_fp_tmpA")))
+    val st0 = fs.getFileStatus(mPath)
+    // the attack: DROP + re-create republishes a DIFFERENT manifest of
+    // identical byte length, forged to the identical mtime — the exact
+    // (mtime, len) collision the stamp compare cannot see; entry paths
+    // swap to a same-length sibling base
+    writeText(mPath, textA.replace("tf_fp_tmpA", "tf_fp_tmpZ"))
+    fs.setTimes(mPath, st0.getModificationTime, -1)
+    val st1 = fs.getFileStatus(mPath)
+    assert(st1.getModificationTime == st0.getModificationTime && st1.getLen == st0.getLen,
+      "precondition: forged stamp must collide")
+    // freshness guard: the young other-process manifest was never
+    // cached, so entries re-read from storage and see the re-create
+    assert(TableFormat.manifestEntries(spark, cBase, 1)
+      .forall(_.path.contains("tf_fp_tmpZ")),
+      "stale manifest entries served across a same-stamp cross-process re-create")
+  }
 }

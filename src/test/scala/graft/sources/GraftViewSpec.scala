@@ -393,4 +393,53 @@ class GraftViewSpec extends SparkTestBase {
     assert(sb.keptEntries().size < total,
       s"stats index kept all $total files for the narrow band")
   }
+
+  test("temp-view-first: unqualified DDL and reads resolve the temp view, not a stored twin (r13, ADVICE r12 #1)") {
+    freshTable("vw_shadow", Seq((1L, "en", 10L), (2L, "fr", 20L)))
+    dropViewQuiet("graft.db.v_shadow")
+    spark.sql("CREATE VIEW graft.db.v_shadow AS SELECT k FROM graft.db.vw_shadow")
+    spark.sql("USE graft.db")
+    try {
+      // a session temp view with the SAME 1-part name
+      spark.range(1).selectExpr("999L AS k").createOrReplaceTempView("v_shadow")
+      // read: temp view wins for the unqualified name…
+      assert(spark.sql("SELECT k FROM v_shadow").head.getLong(0) == 999L)
+      // …the stored view stays reachable fully qualified
+      assert(spark.sql("SELECT count(1) FROM graft.db.v_shadow").head.getLong(0) == 2L)
+      // ALTER VIEW … AS on the unqualified name hits the TEMP view (its
+      // plan changes), NOT the stored definition
+      spark.sql("ALTER VIEW v_shadow AS SELECT 111L AS k")
+      assert(spark.sql("SELECT k FROM v_shadow").head.getLong(0) == 111L)
+      assert(spark.sql("SELECT count(1) FROM graft.db.v_shadow").head.getLong(0) == 2L)
+      // DROP VIEW on the unqualified name drops the TEMP view first…
+      spark.sql("DROP VIEW v_shadow")
+      // …after which the unqualified name falls through to the stored view
+      assert(spark.sql("SELECT count(1) FROM v_shadow").head.getLong(0) == 2L)
+      // and a second DROP now removes the stored one
+      spark.sql("DROP VIEW v_shadow")
+      intercept[Exception](spark.sql("SELECT * FROM graft.db.v_shadow").collect())
+    } finally {
+      spark.catalog.dropTempView("v_shadow")
+      spark.sql("USE spark_catalog.default")
+    }
+  }
+
+  test("viewExists memoization: own-catalog DDL invalidates; TTL=0 disables (r13, VERDICT r12 perf #2)") {
+    freshTable("vw_cache", Seq((1L, "en", 10L)))
+    dropViewQuiet("graft.db.v_cache")
+    val gc = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "v_cache")
+    // negative result is served from cache (delete the probe target out
+    // from under it: the cached answer must survive until invalidation)
+    assert(!gc.viewExists(ident))
+    spark.sql("CREATE VIEW graft.db.v_cache AS SELECT k FROM graft.db.vw_cache")
+    // the CREATE went through this catalog → invalidated → visible NOW
+    assert(gc.viewExists(ident), "own-catalog CREATE must invalidate the negative cache")
+    assert(spark.sql("SELECT k FROM graft.db.v_cache").head.getLong(0) == 1L)
+    spark.sql("DROP VIEW graft.db.v_cache")
+    assert(!gc.viewExists(ident), "own-catalog DROP must invalidate the positive cache")
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.v_cache").collect())
+  }
 }
