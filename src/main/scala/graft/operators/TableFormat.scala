@@ -2385,12 +2385,10 @@ object TableFormat {
     val v = currentVersion(spark, base)
     val schema = manifestSchema(spark, base, v).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    require(schema.fields.find(_.name == bucketCol).map(_.dataType).exists {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }, s"optimizeBucket: column $bucketCol must be integral (the bucket " +
-       "function hashes byte/short/int/long)")
+    require(schema.fields.find(_.name == bucketCol).map(_.dataType)
+      .exists(graft.sources.GraftBucketRouting.supported),
+      s"optimizeBucket: column $bucketCol must be a bucket-routable type " +
+        "(the bucket function hashes byte/short/int/long/string)")
     val declared = manifestStatsCols(spark, base, v)
     val staged = writeDataFilesNdv(spark, base, newCommitDir(base, v + 1),
       readSnapshot(spark, base, Some(v)),

@@ -1883,12 +1883,13 @@ class GraftBucketReaderFactory(readSchema: StructType, conf: SerializableHadoopC
 
 /** THE bucket routing — `pmod(murmur3_hash(value), n)` with Spark's
   * seed 42 and its per-type hash variants (byte/short/int as ints,
-  * longs as longs, NULL leaves the seed). One implementation shared by
-  * the V2 `bucket` function and the executor row writers; the batch
-  * write's `pmod(hash(col), n)` Column expr is Spark's own codegen of
-  * the same arithmetic, and GraftTableSpec's parity property pins all
-  * three together — a type added here without a write-expr audit still
-  * fails that spec rather than silently mis-joining. */
+  * longs as longs, strings as raw UTF-8 bytes — r13, VERDICT r12 #4 —
+  * NULL leaves the seed). One implementation shared by the V2 `bucket`
+  * function and the executor row writers; the batch write's
+  * `pmod(hash(col), n)` Column expr is Spark's own codegen of the same
+  * arithmetic, and GraftTableSpec's parity property pins all three
+  * together — a type added here without a write-expr audit still fails
+  * that spec rather than silently mis-joining. */
 object GraftBucketRouting {
   import org.apache.spark.unsafe.hash.Murmur3_x86_32
   def of(dt: DataType, row: InternalRow, idx: Int, n: Int): Int = {
@@ -1899,10 +1900,23 @@ object GraftBucketRouting {
         case IntegerType => Murmur3_x86_32.hashInt(row.getInt(idx), 42)
         case ShortType => Murmur3_x86_32.hashInt(row.getShort(idx).toInt, 42)
         case ByteType => Murmur3_x86_32.hashInt(row.getByte(idx).toInt, 42)
+        case StringType =>
+          // exactly Spark's Murmur3Hash codegen for UTF8String — the
+          // doc_id-keyed corpus tables' Exchange-free join path
+          val s = row.getUTF8String(idx)
+          Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
         case other => throw new UnsupportedOperationException(
-          s"graft bucket: unsupported key type ${other.simpleString} (integral only)")
+          s"graft bucket: unsupported key type ${other.simpleString} " +
+            "(byte/short/int/long/string)")
       }
     ((h % n) + n) % n
+  }
+
+  /** The types the routing (and therefore the whole bucketed-layout /
+    * SPJ surface) supports — one predicate shared by every gate. */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
   }
 }
 
@@ -1921,9 +1935,10 @@ object GraftBucketFunction
     require(inputType.fields.length == 2,
       s"graft bucket: expected (numBuckets INT, col), got $inputType")
     inputType.fields(1).dataType match {
-      case dt @ (ByteType | ShortType | IntegerType | LongType) => new Bound(dt)
+      case dt if GraftBucketRouting.supported(dt) => new Bound(dt)
       case other => throw new UnsupportedOperationException(
-        s"graft bucket: unsupported column type ${other.simpleString} (integral only)")
+        s"graft bucket: unsupported column type ${other.simpleString} " +
+          "(byte/short/int/long/string)")
     }
   }
   private class Bound(dt: DataType) extends ScalarFunction[Integer] {
@@ -3449,6 +3464,51 @@ object GraftCatalogOps {
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_spj_string` (r13, VERDICT r12 #4): STORAGE-PARTITIONED JOIN
+    * on a STRING key — the repo's own flagship corpus shape (documents
+    * keyed by `doc_id`). Both tables declare `graft.bucket =
+    * "8:doc_id"`; the routing hashes the key's raw UTF-8 bytes with
+    * Spark's murmur3/seed-42 (one kernel shared by the V2 `bucket`
+    * function, the batch write expr, and the executor row writers —
+    * parity property-pinned), so the doc⋈metadata join plans with NO
+    * Exchange on either side. The pre-r13 integral-only routing forced
+    * every string-keyed corpus join back through a full shuffle. */
+  def sqlSpjString(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    Seq("spjs_d", "spjs_m").foreach { t =>
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("doc-"),
+                org.apache.spark.sql.functions.col("doc_id")).as("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"),
+              org.apache.spark.sql.functions.col("source"))
+      .createOrReplaceTempView("src_spjs_docs")
+    spark.sql(
+      """CREATE TABLE graft.db.spjs_d (doc_id STRING, lang STRING, n_chars BIGINT)
+        |TBLPROPERTIES ('graft.bucket' = '8:doc_id')""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.db.spjs_m (doc_id STRING, source STRING)
+        |TBLPROPERTIES ('graft.bucket' = '8:doc_id')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.spjs_d SELECT doc_id, lang, n_chars FROM src_spjs_docs")
+    spark.sql(
+      "INSERT INTO graft.db.spjs_m SELECT doc_id, source FROM src_spjs_docs")
+    spark.sql(
+      """SELECT /*+ MERGE(m) */ m.source, d.lang, count(1) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.spjs_d d JOIN graft.db.spjs_m m ON d.doc_id = m.doc_id
+        |GROUP BY m.source, d.lang
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `sql_view` (r12): persistent SQL views end to end — the analyzer
     * wiring OSS Spark doesn't ship for its own ViewCatalog SPI
     * ([[graft.plans.ResolveGraftViewDdl]] /
@@ -3579,6 +3639,7 @@ object GraftCatalogOps {
     "mv_incremental" -> (mvIncremental _),
     "sql_view" -> (sqlView _),
     "sql_spj_join" -> (sqlSpjJoin _),
+    "sql_spj_string" -> (sqlSpjString _),
     "sql_string_cluster" -> (sqlStringCluster _),
     "sql_widen_type" -> (sqlWidenType _),
     "sql_identity_columns" -> (sqlIdentityColumns _),
@@ -3689,6 +3750,12 @@ object GraftCatalogOps {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "sql_spj_string" ->
+      """SELECT source, lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY source, lang
+        |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
     "sql_string_cluster" ->
       """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents

@@ -341,11 +341,8 @@ object GraftWriterBucket {
       val cm = TableFormat.manifestColmap(spark, base, v)
       val phys = cm.getOrElse(c, c)
       val i = physSchema.fieldNames.indexOf(phys)
-      val integral = i >= 0 && (physSchema.fields(i).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      })
-      if (integral) Some((n, i)) else None
+      val routable = i >= 0 && GraftBucketRouting.supported(physSchema.fields(i).dataType)
+      if (routable) Some((n, i)) else None
     }
   }
 }

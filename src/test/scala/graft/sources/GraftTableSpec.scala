@@ -1747,6 +1747,44 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("storage-partitioned join on STRING keys: doc_id-shaped tables SMJ with ZERO Exchange (r13, VERDICT r12 #4)") {
+    wh
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try {
+      Seq("spj_sa", "spj_sb").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$wh/db/$t")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      spark.sql("""CREATE TABLE graft.db.spj_sa (doc_id STRING, n BIGINT)
+                  |TBLPROPERTIES ('graft.bucket' = '4:doc_id')""".stripMargin)
+      spark.sql("""CREATE TABLE graft.db.spj_sb (doc_id STRING, src STRING)
+                  |TBLPROPERTIES ('graft.bucket' = '4:doc_id')""".stripMargin)
+      spark.sql("""INSERT INTO graft.db.spj_sa
+                  |SELECT concat('doc-', id), id FROM range(2000)""".stripMargin)
+      spark.sql("""INSERT INTO graft.db.spj_sb
+                  |SELECT concat('doc-', id), concat('s', id % 3) FROM range(1000)""".stripMargin)
+      val aEntries = TableFormat.manifestEntries(spark, s"$wh/db/spj_sa",
+        TableFormat.currentVersion(spark, s"$wh/db/spj_sa"))
+      assert(aEntries.size == 4 && aEntries.forall(_.path.contains("__bkt=")),
+        s"string-keyed layout: ${aEntries.map(_.path).mkString("\n")}")
+      val joined = spark.sql(
+        """SELECT /*+ MERGE(b) */ a.doc_id, a.n, b.src
+          |FROM graft.db.spj_sa a JOIN graft.db.spj_sb b ON a.doc_id = b.doc_id""".stripMargin)
+      val rows = joined.collect()
+      assert(rows.length == 1000)
+      assert(rows.map(_.getLong(1)).sum == (0L until 1000L).sum,
+        "string-keyed SPJ mis-joined: bucket routing drift between sides")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"not an SMJ:\n$plan")
+      assert("GraftBucketedScan".r.findAllIn(plan).size >= 2,
+        s"both sides must be bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange"), s"co-bucketed string join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+  }
+
   test("REPLACE WHERE: one commit, out-of-range files carried by reference, leaking rows refused, time travel intact (r12)") {
     val base = s"$wh/db/rw_spec"
     val p = new org.apache.hadoop.fs.Path(base)
@@ -1879,6 +1917,31 @@ class GraftTableSpec extends SparkTestBase {
     intKeys.foreach { k =>
       val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
       assert(((h % 8) + 8) % 8 == viaExprI(k), s"int key $k drifts")
+    }
+    // STRING keys (r13, VERDICT r12 #4): doc_id-shaped corpus keys route
+    // identically through all three implementations — empty string,
+    // ASCII, multi-byte UTF-8, and random hex ids
+    val rnd2 = new scala.util.Random(13)
+    val strKeys = Seq("", "a", "doc-000017", "naïve-文書-🙂") ++
+      (0 until 200).map(_ => rnd2.alphanumeric.take(1 + rnd2.nextInt(24)).mkString)
+    Seq(4, 32, 257).foreach { n =>
+      val viaExprS = spark.createDataFrame(strKeys.map(k => Tuple1(k))).toDF("k")
+        .select(col("k"), pmod(hash(col("k")), lit(n)).as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val boundS = GraftBucketFunction.bind(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+      strKeys.foreach { k =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(k)
+        val f = boundS.produceResult(InternalRow(n, u)).intValue
+        assert(f == viaExprS(k),
+          s"V2 bucket($n, '$k') = $f but the write expr routes to ${viaExprS(k)}")
+        val w = GraftBucketRouting.of(org.apache.spark.sql.types.StringType,
+          InternalRow(n, u), 1, n)
+        assert(w == viaExprS(k), s"writer bucket($n, '$k') = $w vs expr ${viaExprS(k)}")
+      }
     }
   }
 
