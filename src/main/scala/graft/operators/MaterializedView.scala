@@ -56,6 +56,12 @@ object MaterializedView {
   case class SumCol(colName: String, alias: String) extends AggSpec
   case class MinCol(colName: String, alias: String) extends AggSpec
   case class MaxCol(colName: String, alias: String) extends AggSpec
+  /** AVG (r13, VERDICT r12 #5): no new maintenance math — the state
+    * carries the exact hidden SUM (`__s_`) and COUNT (`__n_`) longs and
+    * the visible column is their division, recomputed after every
+    * merge. Refresh ≡ recompute bit-for-bit because both sides derive
+    * the double the same way: CAST(exact_sum AS DOUBLE) / exact_count. */
+  case class AvgCol(colName: String, alias: String) extends AggSpec
 
   case class MvDef(srcParts: Seq[String], dims: Seq[String],
                    aggs: Seq[AggSpec], filterSql: Option[String],
@@ -69,9 +75,9 @@ object MaterializedView {
   def parseDef(spark: SparkSession, sql: String): MvDef = {
     def refuse(what: String): Nothing = throw new IllegalArgumentException(
       s"materialized view: $what — supported shape is SELECT dims…, " +
-        "COUNT(*)/COUNT(col)/SUM(col)/MIN(col)/MAX(col) AS alias… FROM " +
-        "graft_table [WHERE pred] GROUP BY dims (SUM over integral columns, " +
-        "MIN/MAX over integral or string; no DISTINCT, no AVG, no " +
+        "COUNT(*)/COUNT(col)/SUM(col)/AVG(col)/MIN(col)/MAX(col) AS alias… FROM " +
+        "graft_table [WHERE pred] GROUP BY dims (SUM/AVG over integral columns, " +
+        "MIN/MAX over integral or string; no DISTINCT, no " +
         "expressions in GROUP BY, no joins)")
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val agg = plan match {
@@ -111,6 +117,7 @@ object MaterializedView {
           case ("count", Seq(Literal(1, _))) => Some(CountStar(alias))
           case ("count", Seq(c: UnresolvedAttribute)) => Some(CountCol(c.name, alias))
           case ("sum", Seq(c: UnresolvedAttribute)) => Some(SumCol(c.name, alias))
+          case ("avg" | "mean", Seq(c: UnresolvedAttribute)) => Some(AvgCol(c.name, alias))
           case ("min", Seq(c: UnresolvedAttribute)) => Some(MinCol(c.name, alias))
           case ("max", Seq(c: UnresolvedAttribute)) => Some(MaxCol(c.name, alias))
           case _ => refuse(s"aggregate '${f.nameParts.mkString(".")}' in '$alias'")
@@ -136,6 +143,7 @@ object MaterializedView {
 
   private val CNT = "__cnt"
   private def nCol(a: String) = s"__n_$a"
+  private def sCol(a: String) = s"__s_$a"  // AVG's exact hidden sum
   private def dCol(a: String) = s"__d_$a"
   private def dnCol(a: String) = s"__dn_$a"
   private def dMinMaxCol(a: String) = s"__dmm_$a"   // extremum of inserts
@@ -153,14 +161,18 @@ object MaterializedView {
       srcSchema.fields.find(_.name.equalsIgnoreCase(c)) // Spark-default case rule
         .getOrElse(throw new IllegalArgumentException(
           s"materialized view: column $c is not in the source table schema"))
-    (d.aggs.collect { case SumCol(c, _) => c } ++ d.dims).foreach(fieldOf)
+    (d.aggs.collect { case SumCol(c, _) => c; case AvgCol(c, _) => c }
+      ++ d.dims).foreach(fieldOf)
     d.aggs.collect { case CountCol(c, _) => fieldOf(c); () }
-    d.aggs.collect { case SumCol(c, a) =>
+    d.aggs.collect {
+      case SumCol(c, a) => ("SUM", c, a)
+      case AvgCol(c, a) => ("AVG", c, a)
+    }.foreach { case (fn, c, a) =>
       fieldOf(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => ()
         case dt => throw new IllegalArgumentException(
-          s"materialized view: SUM($c) AS $a over ${dt.simpleString} — " +
-            "incremental float accumulation drifts vs recompute; SUM is " +
+          s"materialized view: $fn($c) AS $a over ${dt.simpleString} — " +
+            "incremental float accumulation drifts vs recompute; SUM/AVG are " +
             "integral-only (cast to a fixed-point integral column upstream)")
       }
     }
@@ -189,12 +201,18 @@ object MaterializedView {
       case CountStar(a) => count(lit(1)).as(a)
       case CountCol(c, a) => count(col(c)).as(a)
       case SumCol(c, a) => sum(col(c).cast(LongType)).as(a)
+      // visible AVG = exact-sum / exact-count, the SAME double the merge
+      // re-derives — an empty/all-null group divides NULL, yielding NULL
+      case AvgCol(c, a) =>
+        (sum(col(c).cast(LongType)).cast(DoubleType) / count(col(c))).as(a)
       case MinCol(c, a) => min(col(c)).as(a)
       case MaxCol(c, a) => max(col(c)).as(a)
     }
     val hidden: Seq[Column] = d.aggs.collect {
-      case SumCol(c, a) => count(col(c)).as(nCol(a))
-    } :+ count(lit(1)).as(CNT)
+      case SumCol(c, a) => Seq(count(col(c)).as(nCol(a)))
+      case AvgCol(c, a) =>
+        Seq(sum(col(c).cast(LongType)).as(sCol(a)), count(col(c)).as(nCol(a)))
+    }.flatten :+ count(lit(1)).as(CNT)
     val all = visible ++ hidden
     filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
   }
@@ -210,6 +228,9 @@ object MaterializedView {
       case CountCol(c, a) =>
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dCol(a))
       case SumCol(c, a) => sum(col(c).cast(LongType) * col("__sign")).as(dCol(a))
+      // AVG's delta is its hidden SUM's delta (the visible double is
+      // derived, never accumulated)
+      case AvgCol(c, a) => sum(col(c).cast(LongType) * col("__sign")).as(dCol(a))
       // extrema: the delta carries the INSERTED extremum (folds in) and
       // the DELETED extremum (decides whether the group must regroup)
       case MinCol(c, a) => min(when(col("__sign") === 1L, col(c))).as(dMinMaxCol(a))
@@ -217,6 +238,8 @@ object MaterializedView {
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) =>
+        sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a))
+      case AvgCol(c, a) =>
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a))
       case MinCol(c, a) => min(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
       case MaxCol(c, a) => max(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
@@ -253,6 +276,13 @@ object MaterializedView {
       case SumCol(c, a) =>
         when(add(nCol(a), dnCol(a)) > 0, add(a, dCol(a)))
           .otherwise(lit(null).cast(LongType)).as(a)
+      // visible AVG re-derives from the merged EXACT sum/count — the
+      // identical arithmetic fullState uses, so refresh ≡ recompute
+      // bit-for-bit on the double too
+      case AvgCol(_, a) =>
+        when(add(nCol(a), dnCol(a)) > 0,
+          add(sCol(a), dCol(a)).cast(DoubleType) / add(nCol(a), dnCol(a)))
+          .otherwise(lit(null).cast(DoubleType)).as(a)
       case MinCol(_, a) => least(col(a), col(dMinMaxCol(a))).as(a)
       case MaxCol(_, a) => greatest(col(a), col(dMinMaxCol(a))).as(a)
     }
@@ -265,8 +295,12 @@ object MaterializedView {
           (absent || col(a).isNull || col(delMinMaxCol(a)) >= col(a))
     }
     val outHidden: Seq[Column] = (d.aggs.collect {
-      case SumCol(_, a) => add(nCol(a), dnCol(a)).as(nCol(a))
-    } :+ add(CNT, s"__d$CNT").as(CNT)) ++
+      case SumCol(_, a) => Seq(add(nCol(a), dnCol(a)).as(nCol(a)))
+      case AvgCol(_, a) => Seq(
+        when(add(nCol(a), dnCol(a)) > 0, add(sCol(a), dCol(a)))
+          .otherwise(lit(null).cast(LongType)).as(sCol(a)),
+        add(nCol(a), dnCol(a)).as(nCol(a)))
+    }.flatten :+ add(CNT, s"__d$CNT").as(CNT)) ++
       (if (hasMinMax(d))
          Seq(regroupConds.reduce(_ || _).as(REGROUP))
        else Nil)

@@ -3591,6 +3591,48 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `mv_avg` (r13, VERDICT r12 #5): AVG in the incremental MV — no new
+    * maintenance math: the state carries AVG's exact hidden SUM/COUNT
+    * longs (the same columns a SUM+COUNT(*) pair would maintain) and
+    * the visible double is their division, re-derived after every
+    * merge with the identical arithmetic full recompute uses — so
+    * refresh ≡ recompute bit-for-bit on the double too (the oracle
+    * replays the same exact-sum/count division). Lifecycle mirrors
+    * `mv_incremental`: create, append under a fresh group, range
+    * delete, one incremental refresh. */
+  def mvAvg(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mva_src", "mva_agg", "mva_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mva_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mva_agg',
+        |  'SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars
+        |   FROM graft.db.mva_src WHERE doc_id % 5 <> 0 GROUP BY lang')""".stripMargin)
+      .collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 11 = 3")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 3000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("yy")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 200L, 399L)
+    spark.sql("CALL graft.system.refresh_mv('db.mva_agg')").collect()
+    spark.sql(
+      """SELECT lang, n_docs, avg_chars
+        |FROM graft.db.mva_agg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `mv_minmax` (r12): extrema in the incremental MV — the full IVM
     * ladder: MIN/MAX fold under inserts (self-maintainable), and under
     * deletes only the groups whose DELETED extremum could have been the
@@ -3637,6 +3679,7 @@ object GraftCatalogOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_minmax" -> (mvMinmax _),
     "mv_incremental" -> (mvIncremental _),
+    "mv_avg" -> (mvAvg _),
     "sql_view" -> (sqlView _),
     "sql_spj_join" -> (sqlSpjJoin _),
     "sql_spj_string" -> (sqlSpjString _),
@@ -3696,6 +3739,19 @@ object GraftCatalogOps {
         |SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM final_state
         |WHERE doc_id % 7 <> 0
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "mv_avg" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 200 AND 399
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, 'yy', n_chars FROM documents
+        |  WHERE doc_id % 11 = 3 AND (doc_id + 3000000000) NOT BETWEEN 200 AND 399)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(n_chars) AS avg_chars
+        |FROM final_state
+        |WHERE doc_id % 5 <> 0
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_view" ->

@@ -115,6 +115,65 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(got.forall(r => r.isNullAt(3)), s"both groups are all-null now: $got")
   }
 
+  test("AVG maintains via hidden exact sum/count; refresh == recompute bit-for-bit on the double (r13, VERDICT r12 #5)") {
+    val src = fresh("mv_src_avg"); fresh("mv_agg_avg")
+    // odd counts and sums that do NOT divide evenly — the doubles carry
+    // full mantissas, so any arithmetic drift between the incremental
+    // and recompute paths fails the exact Row comparison below
+    // n is NULLABLE from v1 (Option) — the all-null 'uu' group appends later
+    val v1: Seq[(Long, String, Option[Long])] = (0L until 301L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de",
+        Option(i * 7 + 1))) :+ ((9001L, "nn", Option(0L)))
+    TableFormat.commit(spark, src, v1.toDF("doc_id", "lang", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    // SELECT-LIST ORDER (r13, ADVICE r12 #2): agg first, dim second —
+    // the published view must keep exactly this projection
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg_avg',
+        |  'SELECT count(*) AS n_docs, lang, avg(n) AS avg_n
+        |   FROM graft.db.mv_src_avg GROUP BY lang')""".stripMargin).collect()
+    assert(spark.table("graft.db.mv_agg_avg").columns.toSeq ==
+      Seq("n_docs", "lang", "avg_n"),
+      "published view must project the defining SELECT's exact column order")
+    def readAvg: Seq[Row] = spark.sql(
+      """SELECT n_docs, lang, avg_n FROM graft.db.mv_agg_avg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def recomputeAvg: Seq[Row] = spark.sql(
+      """SELECT count(1) AS n_docs, lang,
+        |  CAST(sum(n) AS DOUBLE) / count(n) AS avg_n
+        |FROM graft.db.mv_src_avg GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    assert(readAvg == recomputeAvg)
+    // v2: append into existing groups + a fresh one; v3: kill 'nn' and
+    // thin 'en' — the incremental double must re-derive exactly
+    TableFormat.appendCommit(spark, src,
+      (500L until 577L).map(i =>
+        (i, if (i % 2 == 0) "en" else "yy", Option(i * 13 + 5)))
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 9001L, 9001L)
+    TableFormat.deleteWhere(spark, src, "doc_id", 0L, 29L)
+    spark.sql("CALL graft.system.refresh_mv('db.mv_agg_avg')").collect()
+    val got = readAvg
+    assert(got == recomputeAvg,
+      s"incremental AVG drifted from recompute:\n$got\nvs\n$recomputeAvg")
+    assert(!got.exists(_.getString(1) == "nn"), "dead group must vanish")
+    // an ALL-NULL group reports NULL avg (count(n)=0), matching SQL AVG
+    TableFormat.appendCommit(spark, src,
+      Seq[(Long, String, Option[Long])]((8000L, "uu", None), (8001L, "uu", None))
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_agg_avg')").collect()
+    val uu = readAvg.find(_.getString(1) == "uu").get
+    assert(uu.getLong(0) == 2L && uu.isNullAt(2), s"all-null AVG must be NULL: $uu")
+    assert(readAvg == recomputeAvg)
+    // a GROUP BY dim omitted from the SELECT list refuses loudly (ADVICE r12 #2)
+    fresh("mv_agg_avg2")
+    val e = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg_avg2',
+        |  'SELECT count(*) AS n FROM graft.db.mv_src_avg GROUP BY lang')""".stripMargin)
+      .collect())
+    assert(e.getMessage.contains("absent from the SELECT list"), e.getMessage)
+  }
+
   test("CoW UPDATE flows through as paired images; no-op and maintenance spans") {
     val src = fresh("mv_src4"); fresh("mv_agg4")
     TableFormat.commit(spark, src,
@@ -157,8 +216,10 @@ class MaterializedViewSpec extends SparkTestBase {
     }
     refused("SELECT lang, sum(d) AS s FROM graft.db.mv_src5 GROUP BY lang",
       "integral-only")
-    refused("SELECT lang, avg(n) AS m FROM graft.db.mv_src5 GROUP BY lang",
-      "aggregate")
+    // AVG is supported since r13 — but only over integral columns, the
+    // same exactness contract as SUM
+    refused("SELECT lang, avg(d) AS m FROM graft.db.mv_src5 GROUP BY lang",
+      "integral-only")
     refused("SELECT lang, min(d) AS m FROM graft.db.mv_src5 GROUP BY lang",
       "integral or string")
     refused("SELECT lang, count(DISTINCT n) AS c FROM graft.db.mv_src5 GROUP BY lang",
