@@ -2782,6 +2782,17 @@ object TableFormat {
     (bb, forkV)
   }
 
+  /** `_FORK` contents: (parent version the branch is based on, the
+    * BRANCH-LOCAL version mirroring that parent snapshot). Branch-local
+    * numbering restarts at 1 (the clone manifest), so the two
+    * coordinate systems differ; a pre-rebase `_FORK` is the single
+    * parent int (local base = 1, the clone), a rebase (r13) re-points
+    * both as "parentV localV". */
+  private[graft] def readForkInfo(spark: SparkSession, bb: String): (Int, Int) = {
+    val parts = readFile(spark, s"$bb/_FORK").trim.split("\\s+")
+    (parts(0).toInt, if (parts.length > 1) parts(1).toInt else 1)
+  }
+
   /** PUBLISH (write-audit-publish): fast-forward the parent table to
     * branch `name`'s current contents as one commit. All of the
     * branch's headers travel (schema/colmap/constraints/props/stats/
@@ -2791,7 +2802,7 @@ object TableFormat {
                     maxRetries: Int = 10): Int = {
     val bb = branchBaseOf(base, name)
     val fork =
-      try readFile(spark, s"$bb/_FORK").trim.toInt
+      try readForkInfo(spark, bb)._1
       catch { case _: java.io.FileNotFoundException =>
         throw new IllegalArgumentException(s"no branch $name of $base") }
     val bv = currentVersion(spark, bb)
@@ -2826,6 +2837,129 @@ object TableFormat {
       }
     }
     -1 // unreachable
+  }
+
+  /** REBASE (r13, VERDICT r12 #6): replay a diverged branch's commits
+    * onto the parent's CURRENT head, so `publish` can fast-forward
+    * again — the escape hatch for the WAP branch whose parent advanced
+    * underneath it. Replayable commit kinds are the ones whose effects
+    * are position-stable: `append` (incl. identity/bucketed appends)
+    * and the merge-on-read family (`delete_dv`/`update_mor`/
+    * `merge_mor`), whose deletions are physical ordinals of IMMUTABLE
+    * files — anything else on the branch (CoW rewrites, compact,
+    * optimize, restore, replace) refuses loudly, naming the op. The
+    * replay itself is NET, not commit-by-commit: branch-added files
+    * append by reference; for every fork file whose deletion state the
+    * branch changed (or that it fully deleted) the final dv is the
+    * UNION of the branch's and the parent's complete states (both
+    * include the fork's, and positions are file ordinals, so union is
+    * exact) — written as one superseding dv dir by the same
+    * [[writeDvDir]] discipline every delete uses. Conflicts refuse: a
+    * fork file the branch touched that the parent has since rewritten
+    * or removed has no position mapping; diverged schemas/colmaps
+    * refuse too. The rebase commits on the BRANCH tree (version bv+1,
+    * entries = parent head ⊕ branch net changes, `op = rebase`) and
+    * re-points `_FORK` to the parent head — audit the rebased branch,
+    * then publish, the same WAP rhythm as before the divergence.
+    * Returns (branchNewVersion, parentVersion, replayedCommits). */
+  def rebaseBranch(spark: SparkSession, base: String, name: String): (Int, Int, Int) = {
+    val bb = branchBaseOf(base, name)
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"cannot rebase branch $name of $base: $why")
+    val (fork, localBase) =
+      try readForkInfo(spark, bb)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"no branch $name of $base") }
+    val bv = currentVersion(spark, bb)
+    val pv = latestVersion(spark, base)
+    if (pv == fork) return (bv, pv, 0) // nothing to rebase; publish works as-is
+    require(pv > fork, s"parent $base at v$pv is BEHIND the fork v$fork")
+    val allowed = Set("append", "delete_dv", "update_mor", "merge_mor")
+    ((localBase + 1) to bv).foreach { w =>
+      val op = manifestOp(spark, bb, w).getOrElse("unknown")
+      if (!allowed(op)) refuse(
+        s"branch commit v$w is '$op' — only append and merge-on-read " +
+          "commits (delete_dv/update_mor/merge_mor) replay position-stably; " +
+          "re-branch from the new head and re-apply")
+    }
+    val pSchema = manifestSchema(spark, base, pv).map(_.json).getOrElse(
+      refuse(s"parent v$pv has no schema header"))
+    val bSchema = manifestSchema(spark, bb, bv).map(_.json).getOrElse(
+      refuse(s"branch v$bv has no schema header"))
+    if (pSchema != bSchema) refuse(
+      "schemas diverged since the fork — reconcile the DDL first")
+    if (manifestColmap(spark, base, pv) != manifestColmap(spark, bb, bv))
+      refuse("column mappings diverged since the fork (rename on one side)")
+    val forkE = manifestEntries(spark, bb, localBase)
+    val headE = manifestEntries(spark, bb, bv)
+    val parentE = manifestEntries(spark, base, pv)
+    val forkByPath = forkE.map(e => normPath(e.path) -> e).toMap
+    val headPaths = headE.map(e => normPath(e.path)).toSet
+    val parentByPath = parentE.map(e => normPath(e.path) -> e).toMap
+    val added = headE.filterNot(e => forkByPath.contains(normPath(e.path)))
+    val dvChanged = headE.filter(e =>
+      forkByPath.get(normPath(e.path)).exists(f => f.dv != e.dv))
+    val removed = forkE.filterNot(e => headPaths(normPath(e.path)))
+    (dvChanged ++ removed).foreach { e =>
+      if (!parentByPath.contains(normPath(e.path))) refuse(
+        s"the branch deleted rows of ${e.path}, which the parent has since " +
+          "rewritten or removed — physical positions no longer map; " +
+          "re-branch and re-apply the delete by predicate")
+    }
+    val touched = (dvChanged ++ removed).map(e => normPath(e.path)).toSet
+    val replayed = bv - localBase
+    val out: Seq[ManifestEntry] =
+      if (touched.isEmpty) parentE ++ added
+      else {
+        // union of complete deletion states: branch head's dvs for the
+        // changed files, the parent head's dvs for the same files (both
+        // supersets of the fork's), and every ordinal of a fully-deleted
+        // file — expanded to pairs, distinct'd, rewritten as ONE
+        // superseding run-length dv dir (the deleteRowsDV discipline)
+        val parts: Seq[DataFrame] =
+          dvPairsOf(spark, dvChanged).toSeq ++
+          dvPairsOf(spark, parentE.filter(e => touched(normPath(e.path)))).toSeq ++
+          removed.map { e =>
+            val n = e.rows.getOrElse(refuse(
+              s"${e.path} was fully deleted on the branch but carries no " +
+                "row-count stats to replay the deletion"))
+            spark.range(n).select(lit(e.path).as(DvFileCol), col("id").as(DvPosCol))
+          }
+        val allPairs = parts.reduce(_ unionByName _).distinct()
+        val dvDir = s"$bb/data/dv_rebase${bv + 1}_${java.util.UUID.randomUUID.toString.take(8)}"
+        val counts = writeDvDir(spark, allPairs, dvDir)
+        parentE.flatMap { e =>
+          val p = normPath(e.path)
+          if (!touched(p)) Some(e)
+          else {
+            val n = counts.getOrElse(p, 0L)
+            if (n == 0L) Some(e)
+            else if (e.rows.contains(n)) None // every row deleted
+            else Some(e.copy(dv = Some(dvDir), dvRows = Some(n)))
+          }
+        } ++ added
+      }
+    val mergedHwm = {
+      val m = manifestHwm(spark, base, pv)
+      val b = manifestHwm(spark, bb, bv)
+      (m.keySet ++ b.keySet).map(k =>
+        k -> math.max(m.getOrElse(k, Long.MinValue), b.getOrElse(k, Long.MinValue))).toMap
+    }
+    val newV = writeManifest(spark, bb, bv + 1, pSchema, out, txn = None,
+      statsCols = manifestStatsCols(spark, base, pv), op = "rebase",
+      // parent props as the base, branch's overrides on top — the same
+      // branch-wins rule publish applies to the whole header
+      props = Some(manifestProps(spark, base, pv) ++ manifestProps(spark, bb, bv)),
+      colmap = Some(manifestColmap(spark, base, pv)),
+      tombstones = Some(manifestTombstones(spark, base, pv) ++
+        manifestTombstones(spark, bb, bv)),
+      constraints = Some(manifestConstraints(spark, base, pv)),
+      ndv = Some(manifestNdv(spark, base, pv)),
+      hwm = Some(mergedHwm))
+    // both coordinates advance: based on parent pv, mirrored locally by
+    // the rebase commit itself — a SECOND rebase diffs against newV
+    writeFile(spark, s"$bb/_FORK", s"$pv $newV")
+    (newV, pv, replayed)
   }
 
   /** COMMIT HISTORY (r9) — one (version, operation, fileCount) row per
@@ -3894,6 +4028,43 @@ object TableFormat {
       .orderBy(col("stage").asc_nulls_first)
   }
 
+  /** `table_rebase` (r13, VERDICT r12 #6): the full diverged-WAP rescue
+    * — seed, fork, branch appends a slice AND dv-deletes a band, the
+    * PARENT advances underneath (its own append), publish would refuse,
+    * `rebaseBranch` replays the branch's net changes onto the new head
+    * (appends by reference, deletion state = exact position union), and
+    * publish fast-forwards. Final contents = parent ∪ branch-appends −
+    * branch-deletes; the oracle replays that set algebra over the same
+    * source slices. GraftTableSpec pins the refusals (CoW commit on the
+    * branch; parent rewriting a branch-deleted file). */
+  def tableRebase(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/rebase_table"
+    fs(spark, base).delete(new Path(base), true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // seed: two thirds of the corpus
+    commit(spark, base, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+      1, parent = None, statsCol = Some("doc_id"))
+    branchCreate(spark, base, "dev")
+    val bb = branchBaseOf(base, "dev")
+    // branch: append the doc_id%3==0 slice, then dv-delete a seed band
+    appendCommit(spark, bb, docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      statsCol = Some("doc_id"))
+    deleteRowsDV(spark, bb, col("doc_id").between(100L, 249L))
+    // parent advances underneath: a shifted re-append of a small slice
+    appendCommit(spark, base,
+      docs.filter(pmod(col("doc_id"), lit(50)) === 7)
+        .withColumn("doc_id", col("doc_id") + 5000000L),
+      statsCol = Some("doc_id"))
+    rebaseBranch(spark, base, "dev")
+    publishBranch(spark, base, "dev")
+    readSnapshot(spark, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
   /** `table_optimize` (r9): commit orders UNCLUSTERED (no stats — every
     * read scans every file), then `optimizeZorder` re-clusters the
     * snapshot along (o_custkey, o_orderkey); the same box query now
@@ -3952,7 +4123,8 @@ object TableFormat {
     "table_compact" -> (tableCompact _),
     "table_incremental" -> (tableIncremental _),
     "table_zorder" -> (tableZorder _),
-    "table_branch_wap" -> (tableBranchWap _))
+    "table_branch_wap" -> (tableBranchWap _),
+    "table_rebase" -> (tableRebase _))
 
   val oracle: Map[String, String] = Map(
     "table_optimize_incr" ->
@@ -3968,6 +4140,17 @@ object TableFormat {
         |SELECT 'published', count(1), CAST(sum(n_chars) AS BIGINT)
         |FROM documents
         |ORDER BY stage ASC NULLS FIRST""".stripMargin,
+    "table_rebase" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 249
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, lang, n_chars FROM documents
+        |  WHERE doc_id % 50 = 7)
+        |SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "table_cdf" ->
       """SELECT 2 AS v, 'insert' AS change_type, count(1) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -324,11 +324,8 @@ object TableBranchesTvf {
         val name = st.getPath.getName
         val bb = TableFormat.branchBaseOf(base, name)
         try {
-          val in = fs.open(new org.apache.hadoop.fs.Path(s"$bb/_FORK"))
-          val fork =
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-            finally in.close()
+          // shared parser: a rebased branch's _FORK is "parentV localV"
+          val fork = TableFormat.readForkInfo(spark, bb)._1
           val head = TableFormat.currentVersion(spark, bb)
           Some((name, fork, head, mainV, mainV == fork))
         } catch { case _: java.io.FileNotFoundException => None }
@@ -536,6 +533,26 @@ object GraftProcedures {
     }
   }
 
+  /** REBASE (r13, VERDICT r12 #6): replay a diverged branch's commits
+    * onto the parent's current head so publish can fast-forward again.
+    * Append + merge-on-read commits replay position-stably; CoW
+    * rewrites on the branch — or parent-side rewrites of files the
+    * branch deleted from — refuse loudly. Returns
+    * (branch_version, rebased_onto, replayed_commits). */
+  private object RebaseProc extends Proc("rebase",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("branch_version", IntegerType),
+                   StructField("rebased_onto", IntegerType),
+                   StructField("replayed_commits", IntegerType)))) {
+    override def description(): String =
+      "replay a diverged branch onto the parent's current head (append/MoR commits only)"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (bv, pv, n) = TableFormat.rebaseBranch(spark, base,
+        input.getUTF8String(1).toString)
+      new GenericInternalRow(Array[Any](bv, pv, n))
+    }
+  }
+
   /** OPTIMIZE CLUSTER (r11): rewrite the snapshot hierarchically
     * range-clustered on ALL declared clustering columns (any number) —
     * the N-column complement of optimize_zorder. CDF-silent; NDV
@@ -697,7 +714,7 @@ object GraftProcedures {
 
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
-      AnalyzeProc, BranchProc, PublishProc, OptimizeClusterProc,
+      AnalyzeProc, BranchProc, PublishProc, RebaseProc, OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
       CreateMvProc, RefreshMvProc, DropMvProc, RestoreViewProc)
 

@@ -1347,6 +1347,60 @@ class GraftTableSpec extends SparkTestBase {
       .head.getLong(0) == 0L)
   }
 
+  test("branch rebase: diverged WAP branch replays onto the new head, publish succeeds, contents = parent UNION branch (r13, VERDICT r12 #6)") {
+    val _ = wh
+    val base = s"$wh/db/rb_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("CREATE TABLE graft.db.rb_t (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.db.rb_t SELECT id, id FROM range(1000)")
+    spark.sql("CALL graft.system.branch('db.rb_t', 'dev')").collect()
+    // branch work: an append AND a merge-on-read delete of fork-time rows
+    spark.sql("INSERT INTO graft.db.rb_t.branches.dev SELECT id + 5000, id FROM range(100)")
+    TableFormat.deleteRowsDV(spark, s"$base/branches/dev", col("k").between(100L, 199L))
+    // the PARENT advances underneath: publish refuses
+    spark.sql("INSERT INTO graft.db.rb_t VALUES (7777, 7)")
+    val e0 = intercept[Exception](
+      spark.sql("CALL graft.system.publish('db.rb_t', 'dev')").collect())
+    assert(e0.getMessage.contains("fast-forward"), e0.getMessage)
+    // REBASE replays the branch's net changes onto the new head
+    val rb = spark.sql("CALL graft.system.rebase('db.rb_t', 'dev')").head
+    assert(rb.getInt(1) == 3 && rb.getInt(2) == 2, s"rebase row: $rb")
+    // the rebased branch sees parent ∪ branch changes
+    assert(spark.sql("SELECT count(1) FROM graft.db.rb_t.branches.dev")
+      .head.getLong(0) == 1000L + 100L + 1L - 100L)
+    assert(spark.sql("SELECT v FROM graft.db.rb_t.branches.dev WHERE k = 7777")
+      .head.getLong(0) == 7L, "parent's post-fork row missing after rebase")
+    assert(spark.sql(
+      "SELECT count(1) FROM graft.db.rb_t.branches.dev WHERE k BETWEEN 100 AND 199")
+      .head.getLong(0) == 0L, "branch's dv delete lost in the rebase")
+    // ... and publish now fast-forwards
+    spark.sql("CALL graft.system.publish('db.rb_t', 'dev')").collect()
+    assert(spark.sql("SELECT count(1) FROM graft.db.rb_t").head.getLong(0) == 1001L)
+    assert(spark.sql(
+      "SELECT count(1) FROM graft.db.rb_t WHERE k >= 5000 AND k < 5100")
+      .head.getLong(0) == 100L)
+    assert(spark.sql(
+      "SELECT count(1) FROM graft.db.rb_t WHERE k BETWEEN 100 AND 199")
+      .head.getLong(0) == 0L)
+    // a COW rewrite on the branch refuses, naming the op
+    spark.sql("CALL graft.system.branch('db.rb_t', 'cowy')").collect()
+    spark.sql("UPDATE graft.db.rb_t.branches.cowy SET v = -1 WHERE k = 0")
+    spark.sql("INSERT INTO graft.db.rb_t VALUES (8888, 8)")
+    val e1 = intercept[Exception](
+      spark.sql("CALL graft.system.rebase('db.rb_t', 'cowy')").collect())
+    assert(e1.getMessage.contains("replay position-stably") ||
+      e1.getMessage.contains("'replace'") || e1.getMessage.contains("'merge'"),
+      e1.getMessage)
+    // a parent-side REWRITE of a file the branch dv-deleted from refuses
+    spark.sql("CALL graft.system.branch('db.rb_t', 'dv2')").collect()
+    TableFormat.deleteRowsDV(spark, s"$base/branches/dv2", col("k").between(200L, 249L))
+    spark.sql("UPDATE graft.db.rb_t SET v = v + 1 WHERE k BETWEEN 200 AND 299") // CoW on parent
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft.system.rebase('db.rb_t', 'dv2')").collect())
+    assert(e2.getMessage.contains("rewritten or removed"), e2.getMessage)
+  }
+
   test("string bounds stay SOUND under long shared-prefix values — never a wrongful prune (r11)") {
     val _ = wh
     val base = s"$wh/db/strlong_t"
