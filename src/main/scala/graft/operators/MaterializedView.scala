@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,9 +64,18 @@ object MaterializedView {
     * the double the same way: CAST(exact_sum AS DOUBLE) / exact_count. */
   case class AvgCol(colName: String, alias: String) extends AggSpec
 
+  /** MV over a JOIN of two graft tables (r13, VERDICT r12 #7): inner
+    * equi-join on one column per side, keys written qualified in the ON
+    * clause (`a.k = b.k`). `leftKey`/`rightKey` are the UNQUALIFIED
+    * column names inside each side's schema. */
+  case class JoinSpec(src2Parts: Seq[String], leftKey: String, rightKey: String) {
+    def src2Relative: Seq[String] =
+      if (src2Parts.length >= 3) src2Parts.takeRight(2) else src2Parts
+  }
+
   case class MvDef(srcParts: Seq[String], dims: Seq[String],
                    aggs: Seq[AggSpec], filterSql: Option[String],
-                   selectCols: Seq[String]) {
+                   selectCols: Seq[String], join: Option[JoinSpec] = None) {
     def srcRelative: Seq[String] =
       if (srcParts.length >= 3) srcParts.takeRight(2) else srcParts
   }
@@ -76,20 +86,66 @@ object MaterializedView {
     def refuse(what: String): Nothing = throw new IllegalArgumentException(
       s"materialized view: $what — supported shape is SELECT dims…, " +
         "COUNT(*)/COUNT(col)/SUM(col)/AVG(col)/MIN(col)/MAX(col) AS alias… FROM " +
-        "graft_table [WHERE pred] GROUP BY dims (SUM/AVG over integral columns, " +
-        "MIN/MAX over integral or string; no DISTINCT, no " +
-        "expressions in GROUP BY, no joins)")
+        "graft_table [INNER JOIN graft_table2 ON a.k = b.k] [WHERE pred] " +
+        "GROUP BY dims (SUM/AVG over integral columns, MIN/MAX over integral " +
+        "or string; no DISTINCT, no expressions in GROUP BY; join keys " +
+        "qualified, everything else unqualified)")
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val agg = plan match {
       case a: Aggregate => a
       case Project(_, _) => refuse("no GROUP BY found")
       case _ => refuse(s"top-level ${plan.nodeName} is not an aggregate")
     }
-    val (srcParts, filterSql) = agg.child match {
-      case r: UnresolvedRelation => (r.multipartIdentifier, None)
-      case LFilter(cond, r: UnresolvedRelation) =>
-        (r.multipartIdentifier, Some(cond.sql))
-      case other => refuse(s"FROM must be a single table (got ${other.nodeName})")
+    // one relation, optionally aliased: (table parts, visible name the
+    // ON clause may qualify keys with — the alias, else the table name)
+    def rel(p: LogicalPlan): Option[(Seq[String], String)] = p match {
+      case r: UnresolvedRelation =>
+        Some((r.multipartIdentifier, r.multipartIdentifier.last))
+      case SubqueryAlias(id, r: UnresolvedRelation) =>
+        Some((r.multipartIdentifier, id.name))
+      case _ => None
+    }
+    // inner equi-join of two graft tables (r13): keys must be written
+    // QUALIFIED (`x.k = y.k`) so each side is unambiguous at parse time
+    def joined(p: LogicalPlan): Option[(Seq[String], JoinSpec)] = p match {
+      case Join(l, r, Inner, Some(EqualTo(lk: UnresolvedAttribute,
+          rk: UnresolvedAttribute)), _) =>
+        for {
+          (lParts, lName) <- rel(l)
+          (rParts, rName) <- rel(r)
+        } yield {
+          def sideOf(a: UnresolvedAttribute): (String, String) = {
+            if (a.nameParts.length != 2) refuse(
+              s"join key '${a.name}' must be qualified (alias.column)")
+            (a.nameParts.head, a.nameParts.last)
+          }
+          val (q1, c1) = sideOf(lk)
+          val (q2, c2) = sideOf(rk)
+          val spec =
+            if (q1.equalsIgnoreCase(lName) && q2.equalsIgnoreCase(rName))
+              JoinSpec(rParts, c1, c2)
+            else if (q1.equalsIgnoreCase(rName) && q2.equalsIgnoreCase(lName))
+              JoinSpec(rParts, c2, c1)
+            else refuse(s"join key qualifiers '${q1}'/'${q2}' match neither " +
+              s"side ('$lName'/'$rName')")
+          (lParts, spec)
+        }
+      case Join(_, _, jt, cond, _) => refuse(
+        s"only INNER equi-joins on one column per side are maintainable " +
+          s"(got ${jt.sql} join, on ${cond.map(_.sql).getOrElse("<no condition>")})")
+      case _ => None
+    }
+    val (srcParts, filterSql, joinSpec) = agg.child match {
+      case r if rel(r).isDefined => (rel(r).get._1, None, None)
+      case r if joined(r).isDefined =>
+        val (l, js) = joined(r).get; (l, None, Some(js))
+      case LFilter(cond, r) if rel(r).isDefined =>
+        (rel(r).get._1, Some(cond.sql), None)
+      case LFilter(cond, r) if joined(r).isDefined =>
+        val (l, js) = joined(r).get; (l, Some(cond.sql), Some(js))
+      case other => refuse(
+        s"FROM must be a single table or an inner equi-join of two " +
+          s"(got ${other.nodeName})")
     }
     val dims = agg.groupingExpressions.map {
       case a: UnresolvedAttribute => a.name
@@ -138,7 +194,15 @@ object MaterializedView {
         s"GROUP BY dim '$dim' is absent from the SELECT list — the published " +
           "view projects the defining query's exact output")
     }
-    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq)
+    // dims and aggregate inputs stay UNQUALIFIED — over a join they must
+    // be unambiguous across the two schemas (create() refuses overlaps)
+    (dims ++ aggs.collect {
+      case CountCol(c, _) => c; case SumCol(c, _) => c; case AvgCol(c, _) => c
+      case MinCol(c, _) => c; case MaxCol(c, _) => c
+    }).find(_.contains(".")).foreach(c => refuse(
+      s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
+        "unqualified (the join's column namespaces may not overlap)"))
+    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq, joinSpec)
   }
 
   private val CNT = "__cnt"
@@ -320,6 +384,63 @@ object MaterializedView {
   private def srcPath(warehouse: String, d: MvDef): String =
     (warehouse +: d.srcRelative).mkString("/")
 
+  private def src2Path(warehouse: String, d: MvDef): String =
+    (warehouse +: d.join.get.src2Relative).mkString("/")
+
+  /** Inner equi-join of the two sides (r13, join MVs) — the duplicate
+    * key column drops when both sides spell it the same, so the joined
+    * namespace is the disjoint union create() validated. Either side
+    * may carry extra columns (`_change_type` on the delta half); they
+    * ride along. */
+  private def joinSides(a: DataFrame, b: DataFrame, d: MvDef): DataFrame = {
+    val js = d.join.get
+    val j = a.join(b, a(js.leftKey) === b(js.rightKey), "inner")
+    if (js.leftKey.equalsIgnoreCase(js.rightKey)) j.drop(b(js.rightKey)) else j
+  }
+
+  /** The joined source at a version PAIR — what fullState aggregates at
+    * CREATE, what a regroup rescans, and the semantic definition the
+    * two-sided incremental delta must match bit-for-bit. */
+  private def joinedSnapshot(spark: SparkSession, warehouse: String, d: MvDef,
+                             va: Int, vb: Int): DataFrame =
+    joinSides(
+      TableFormat.readSnapshot(spark, srcPath(warehouse, d), Some(va)),
+      TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(vb)), d)
+
+  /** Two-sided signed delta of an inner join (r13, VERDICT r12 #7) —
+    * the classic counting-IVM identity:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B_new  +  A_old ⋈ ΔB
+    *
+    * (exact under signed multiplicities: (A_old+ΔA)⋈(B_old+ΔB) −
+    * A_old⋈B_old = ΔA⋈B_new + A_old⋈ΔB). Each half keeps its own CDF
+    * `_change_type`, so the downstream per-group fold applies the same
+    * ±1 signs the single-source path uses; update images pair as
+    * pre(−1)/post(+1) rows and the algebra absorbs them. IO: the ΔA
+    * half reads B@new pruned by the join (ΔA is small → AQE broadcasts
+    * it); the ΔB half scans A@old once — the inherent cost of join IVM
+    * without a key index, documented, and zero when B didn't change. */
+  private def joinDelta(spark: SparkSession, warehouse: String, d: MvDef,
+                        fromA: Int, toA: Int, fromB: Int, toB: Int): DataFrame = {
+    val outCols: Seq[Column] = {
+      val a = TableFormat.readSnapshot(spark, srcPath(warehouse, d), Some(fromA))
+      val b = TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(fromB))
+      val js = d.join.get
+      val bCols = b.columns.toSeq.filterNot(c =>
+        js.leftKey.equalsIgnoreCase(js.rightKey) && c.equalsIgnoreCase(js.rightKey))
+      (a.columns.toSeq ++ bCols :+ "_change_type").map(col)
+    }
+    val halves = Seq(
+      if (toA == fromA) None else Some(joinSides(
+        TableFormat.readChanges(spark, srcPath(warehouse, d), fromA, toA),
+        TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(toB)), d)),
+      if (toB == fromB) None else Some(joinSides(
+        TableFormat.readSnapshot(spark, srcPath(warehouse, d), Some(fromA)),
+        TableFormat.readChanges(spark, src2Path(warehouse, d), fromB, toB), d))
+    ).flatten
+    halves.map(_.select(outCols: _*)).reduce(_ unionByName _)
+  }
+
   /** The session catalog NAME serving `warehouse` — stored as the view
     * descriptor's resolution context so the MV's read surface resolves
     * from any session context. */
@@ -370,12 +491,32 @@ object MaterializedView {
     val catName = catalogNameFor(spark, warehouse)
     val relParts = mvBase.stripPrefix(s"$warehouse/").split('/').toSeq
     val v0 = TableFormat.currentVersion(spark, src)
-    val state = fullState(TableFormat.readSnapshot(spark, src, Some(v0)), d)
+    // JOIN MVs (r13): pin BOTH source versions; the joined column
+    // namespaces must be disjoint (outside the equal-named key) or
+    // every downstream unqualified reference would be ambiguous
+    val v0b = d.join.map(_ => TableFormat.currentVersion(spark, src2Path(warehouse, d)))
+    d.join.foreach { js =>
+      val aCols = TableFormat.readSnapshot(spark, src, Some(v0)).columns.map(_.toLowerCase)
+      val bCols = TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(v0b.get))
+        .columns.map(_.toLowerCase)
+      val sameKey = js.leftKey.equalsIgnoreCase(js.rightKey)
+      val overlap = aCols.toSet.intersect(bCols.toSet)
+        .filterNot(c => sameKey && c.equalsIgnoreCase(js.leftKey))
+      if (overlap.nonEmpty) throw new IllegalArgumentException(
+        s"materialized view: join sides share column(s) ${overlap.mkString(", ")} " +
+          "— rename one side so every reference is unambiguous")
+    }
+    val seed = d.join.fold(TableFormat.readSnapshot(spark, src, Some(v0)))(
+      _ => joinedSnapshot(spark, warehouse, d, v0, v0b.get))
+    val state = fullState(seed, d)
     val v = TableFormat.appendCommit(spark, sb, state,
       statsCol = None, setProps = Map(
         "graft.mv.query" -> query,
         "graft.mv.src" -> d.srcRelative.mkString("."),
-        "graft.mv.version" -> v0.toString))
+        "graft.mv.version" -> v0.toString) ++
+        d.join.map(js => Map(
+          "graft.mv.src2" -> js.src2Relative.mkString("."),
+          "graft.mv.version2" -> v0b.get.toString)).getOrElse(Map.empty))
     // the published read surface: a stored view over the state table,
     // resolution pinned to this catalog (2-part name + stored context)
     val visible = visibleColumns(d)
@@ -431,14 +572,26 @@ object MaterializedView {
     val toV = TableFormat.currentVersion(spark, src)
     require(toV >= fromV, s"materialized view: source $src moved BACKWARD " +
       s"($fromV -> $toV) — a restore rewrote applied history; re-create the MV")
-    if (toV == fromV) return (mvV, fromV, toV, -1L, 0L)
-    val delta = deltaAggregate(TableFormat.readChanges(spark, src, fromV, toV), d)
+    // join MVs (r13): the second side's span rides the same bookmark
+    // discipline — both versions advance in the ONE state commit below
+    val fromV2 = d.join.map(_ => props("graft.mv.version2").toInt)
+    val toV2 = d.join.map(_ =>
+      TableFormat.currentVersion(spark, src2Path(warehouse, d)))
+    d.join.foreach { _ =>
+      require(toV2.get >= fromV2.get, s"materialized view: second source " +
+        s"moved BACKWARD (${fromV2.get} -> ${toV2.get}); re-create the MV")
+    }
+    if (toV == fromV && toV2 == fromV2) return (mvV, fromV, toV, -1L, 0L)
+    val bookmarks = Map("graft.mv.version" -> toV.toString) ++
+      toV2.map(v2 => Map("graft.mv.version2" -> v2.toString)).getOrElse(Map.empty)
+    val changes = d.join.fold(TableFormat.readChanges(spark, src, fromV, toV))(
+      _ => joinDelta(spark, warehouse, d, fromV, toV, fromV2.get, toV2.get))
+    val delta = deltaAggregate(changes, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (delta.isEmpty) {
-        // maintenance-only span: bookmark advances, data untouched
-        val v = TableFormat.alterPropsCommit(spark, mvBase,
-          Map("graft.mv.version" -> toV.toString))
+        // maintenance-only span: bookmark(s) advance, data untouched
+        val v = TableFormat.alterPropsCommit(spark, mvBase, bookmarks)
         (v, fromV, toV, 0L, 0L)
       } else {
         val state = TableFormat.readSnapshot(spark, mvBase, Some(mvV))
@@ -458,7 +611,9 @@ object MaterializedView {
             val out =
               if (nMarked == 0) folded
               else {
-                val srcNow = TableFormat.readSnapshot(spark, src, Some(toV))
+                val srcNow = d.join.fold(
+                  TableFormat.readSnapshot(spark, src, Some(toV)))(
+                  _ => joinedSnapshot(spark, warehouse, d, toV, toV2.get))
                 val mk = d.dims.foldLeft(marked)(
                   (df, k) => df.withColumnRenamed(k, s"__k_$k"))
                 val semiCond = d.dims.map(
@@ -471,7 +626,7 @@ object MaterializedView {
           }
         val v = TableFormat.appendCommit(spark, mvBase, merged,
           statsCol = None, replace = true, maxRetries = 0,
-          setProps = Map("graft.mv.version" -> toV.toString))
+          setProps = bookmarks)
         merged0.unpersist()
         val n = TableFormat.readSnapshot(spark, mvBase, Some(v)).count()
         (v, fromV, toV, n, nRegrouped)

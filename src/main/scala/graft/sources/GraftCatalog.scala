@@ -3633,6 +3633,66 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `mv_join` (r13, VERDICT r12 #7): incremental MV over an INNER
+    * equi-join of two graft tables — the other self-maintainable IVM
+    * shape. Refresh applies the counting identity Δ(A⋈B) = ΔA⋈B_new +
+    * A_old⋈ΔB, each half signed by its own CDF change types, and BOTH
+    * source bookmarks advance in the one state commit. Lifecycle:
+    * facts ⋈ lang-dim, a facts append under a dim row that doesn't
+    * exist yet (stays unmatched), a facts range delete, the dim GAINING
+    * that row (the A_old⋈ΔB half matches the earlier facts in), and the
+    * dim LOSING a lang (group death through the join). One refresh
+    * folds it all; the oracle recomputes the join over the equivalent
+    * final state. */
+  def mvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvj_src", "mvj_dim", "mvj_agg", "mvj_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    import org.apache.spark.sql.functions.{col, concat, lit, upper}
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = s"$wh/db/mvj_src"
+    val dim = s"$wh/db/mvj_dim"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    // dim: every ORIGINAL lang mapped to a derived region — but NOT the
+    // 'qq' lang the facts side will gain later
+    TableFormat.commit(spark, dim,
+      docs.select(col("lang")).distinct()
+        .withColumn("region", concat(lit("R_"), upper(col("lang")))),
+      1, parent = None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvj_agg',
+        |  'SELECT region, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvj_src s JOIN graft.db.mvj_dim d ON s.lang = d.lang
+        |   GROUP BY region')""".stripMargin).collect()
+    // facts: append a 'qq' slice (unmatched yet) + delete a band
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 13 = 5")
+        .withColumn("doc_id", col("doc_id") + 4000000000L)
+        .withColumn("lang", lit("qq")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 300L, 499L)
+    // dim: gains 'qq' (matching the earlier facts in), loses 'de'
+    TableFormat.appendCommit(spark, dim,
+      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("qq", "R_QQ")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("region",
+            org.apache.spark.sql.types.StringType)))))
+    TableFormat.deleteRowsDV(spark, dim, col("lang") === "de")
+    spark.sql("CALL graft.system.refresh_mv('db.mvj_agg')").collect()
+    spark.sql(
+      """SELECT region, n_docs, CAST(sum_chars AS BIGINT) AS sum_chars
+        |FROM graft.db.mvj_agg
+        |ORDER BY region ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `mv_minmax` (r12): extrema in the incremental MV — the full IVM
     * ladder: MIN/MAX fold under inserts (self-maintainable), and under
     * deletes only the groups whose DELETED extremum could have been the
@@ -3680,6 +3740,7 @@ object GraftCatalogOps {
     "mv_minmax" -> (mvMinmax _),
     "mv_incremental" -> (mvIncremental _),
     "mv_avg" -> (mvAvg _),
+    "mv_join" -> (mvJoin _),
     "sql_view" -> (sqlView _),
     "sql_spj_join" -> (sqlSpjJoin _),
     "sql_spj_string" -> (sqlSpjString _),
@@ -3741,6 +3802,22 @@ object GraftCatalogOps {
         |WHERE doc_id % 7 <> 0
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "mv_join" ->
+      """WITH facts AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 300 AND 499
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, 'qq', n_chars FROM documents
+        |  WHERE doc_id % 13 = 5),
+        |dim AS (
+        |  SELECT lang, 'R_' || upper(lang) AS region
+        |  FROM (SELECT DISTINCT lang FROM documents)
+        |  WHERE lang <> 'de'
+        |  UNION ALL SELECT 'qq', 'R_QQ')
+        |SELECT region, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM facts s JOIN dim d ON s.lang = d.lang
+        |GROUP BY region
+        |ORDER BY region ASC NULLS FIRST""".stripMargin,
     "mv_avg" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents

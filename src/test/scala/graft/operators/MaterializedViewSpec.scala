@@ -174,6 +174,82 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(e.getMessage.contains("absent from the SELECT list"), e.getMessage)
   }
 
+  test("MV over an inner equi-join: per-side delta propagation, both bookmarks atomic, refresh == recompute (r13, VERDICT r12 #7)") {
+    val facts = fresh("jmv_f"); val dim = fresh("jmv_d"); fresh("jmv_agg")
+    // facts(doc_id, lang_id, n) ⋈ dim(lang_id, lang): the dim starts
+    // WITHOUT lang_id 4, so facts referencing it stay unmatched until
+    // the dim side gains the row — the Δ of the OTHER side must pick
+    // them up (A_old ⋈ ΔB)
+    TableFormat.commit(spark, facts,
+      (0L until 400L).map(i => (i, i % 5, Option(i * 3 + 1)))
+        .toDF("doc_id", "lang_id", "n"), 1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, dim,
+      Seq((0L, "en"), (1L, "fr"), (2L, "de"), (3L, "es"))
+        .toDF("lang_id", "lang"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.jmv_agg',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n, min(n) AS min_n
+        |   FROM graft.db.jmv_f f JOIN graft.db.jmv_d d ON f.lang_id = d.lang_id
+        |   GROUP BY lang')""".stripMargin).collect()
+    def readMv: Seq[Row] = spark.sql(
+      """SELECT lang, n_docs, sum_n, min_n FROM graft.db.jmv_agg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def recomputeJoin: Seq[Row] = spark.sql(
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n,
+        |  CAST(min(n) AS BIGINT) AS min_n
+        |FROM graft.db.jmv_f f JOIN graft.db.jmv_d d ON f.lang_id = d.lang_id
+        |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    assert(readMv == recomputeJoin)
+    assert(!readMv.exists(_.getLong(1) == 0), "unmatched lang_id=4 must not appear")
+    // ΔA only: append facts (some matched, some still unmatched) + delete a band
+    TableFormat.appendCommit(spark, facts,
+      (400L until 500L).map(i => (i, i % 5, Option(i * 7))).toDF("doc_id", "lang_id", "n"),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, facts, "doc_id", 50L, 149L)
+    spark.sql("CALL graft.system.refresh_mv('db.jmv_agg')").collect()
+    assert(readMv == recomputeJoin, "one-sided (facts) delta drifted")
+    // ΔB only: the dim GAINS lang_id 4 → every unmatched fact joins in
+    TableFormat.appendCommit(spark, dim,
+      Seq((4L, "it")).toDF("lang_id", "lang"))
+    spark.sql("CALL graft.system.refresh_mv('db.jmv_agg')").collect()
+    assert(readMv == recomputeJoin, "dim-side delta (A_old JOIN dB) drifted")
+    assert(readMv.exists(_.getString(0) == "it"), "newly matched group missing")
+    // BOTH sides change in one span; the dim also LOSES a lang → group
+    // death through the join; the facts delete also hits minima → the
+    // join-regroup path recomputes exactly the marked groups
+    TableFormat.appendCommit(spark, facts,
+      (500L until 520L).map(i => (i, 4L, Option(i))).toDF("doc_id", "lang_id", "n"),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteRowsDV(spark, dim,
+      org.apache.spark.sql.functions.col("lang") === "de")
+    TableFormat.deleteWhere(spark, facts, "doc_id", 0L, 9L)
+    spark.sql("CALL graft.system.refresh_mv('db.jmv_agg')").collect()
+    assert(readMv == recomputeJoin, "two-sided span drifted")
+    assert(!readMv.exists(_.getString(0) == "de"), "dead joined group must vanish")
+    // both bookmarks advanced atomically with the state
+    val props = TableFormat.manifestProps(spark, s"${graft.Tables.scratchDir}/graft_wh/db/jmv_agg__state",
+      TableFormat.currentVersion(spark, s"${graft.Tables.scratchDir}/graft_wh/db/jmv_agg__state"))
+    assert(props("graft.mv.version").toInt ==
+      TableFormat.currentVersion(spark, facts), props.toString)
+    assert(props("graft.mv.version2").toInt ==
+      TableFormat.currentVersion(spark, dim), props.toString)
+    // shape guards: outer joins and unqualified keys refuse
+    fresh("jmv_agg2")
+    val e1 = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.jmv_agg2',
+        |  'SELECT lang, count(*) AS n FROM graft.db.jmv_f f
+        |   LEFT JOIN graft.db.jmv_d d ON f.lang_id = d.lang_id GROUP BY lang')""".stripMargin)
+      .collect())
+    assert(e1.getMessage.contains("INNER equi-join") ||
+      e1.getMessage.contains("equi-join"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.jmv_agg2',
+        |  'SELECT lang, count(*) AS n FROM graft.db.jmv_f f
+        |   JOIN graft.db.jmv_d d ON lang_id = lang_id GROUP BY lang')""".stripMargin)
+      .collect())
+    assert(e2.getMessage.contains("qualified"), e2.getMessage)
+  }
+
   test("CoW UPDATE flows through as paired images; no-op and maintenance spans") {
     val src = fresh("mv_src4"); fresh("mv_agg4")
     TableFormat.commit(spark, src,
