@@ -1942,17 +1942,13 @@ object TableFormat {
   def deleteRowsDV(spark: SparkSession, base: String, cond: Column,
                    bounds: Seq[(Long, Long)] = Nil): (Int, Int, Int) = {
     val v = currentVersion(spark, base)
-    val version = v + 1
     val entries = manifestEntries(spark, base, v)
-    val statsCols = manifestStatsCols(spark, base, v)
     val touched = entries.filter { e =>
       bounds.zipWithIndex.forall {
         case ((lo, hi), i) => e.mayMatchAt(i, lo, hi)
       }
     }
     val untouched = entries.filterNot(touched.toSet)
-    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
-      throw new IllegalStateException(s"table $base v$v has no schema header"))
     if (touched.isEmpty) return (v, 0, entries.size) // stats prove nothing matches
     // positions matched THIS delete — computed over the LIVE rows (the
     // existing dv is applied first, so already-deleted rows can't be
@@ -1960,11 +1956,61 @@ object TableFormat {
     val newPairs = readEntriesDf(spark, base, v, touched, keepPos = true)
       .filter(coalesce(cond, lit(false)))
       .select(col("__fp").as(DvFileCol), col("__ri").as(DvPosCol))
-    // superseding dv = old positions ∪ new positions for the touched
-    // files (an entry's dv must describe its complete deletion state —
-    // see the invariant above). Pairs the old dirs carry for files
-    // outside `touched` ride along harmlessly: no entry will reference
-    // them through this dir, and `distinct` bounds the duplication.
+    dvDeleteCommit(spark, base, v, touched, untouched, newPairs, entries.size)
+  }
+
+  /** MERGE-ON-READ DELETE BY KEYS (r13) — `deleteByKeys`'s dv twin and
+    * the CDC-replication delete at 100 TB: candidate files prune by the
+    * mirror's key stats exactly like the CoW variant, but matched rows
+    * mask through ONE superseding deletion vector instead of rewriting
+    * every touched file — per-batch replication IO ∝ changed rows, not
+    * touched-file bytes (a hot key landing in every file made the CoW
+    * apply rewrite the whole mirror). The key match is a distributed
+    * left-semi join (keys never reach the driver); already-masked rows
+    * can't re-match (the dv applies before the join). */
+  def deleteByKeysDV(spark: SparkSession, base: String, keys: DataFrame,
+                     key: String): (Int, Int, Int) = {
+    val v = currentVersion(spark, base)
+    val entries = manifestEntries(spark, base, v)
+    if (keys.isEmpty) return (v, 0, entries.size)
+    val statsCols = manifestStatsCols(spark, base, v)
+    val statsOnKey = statsCols.headOption.contains(key)
+    val cands =
+      if (statsOnKey) entries.filter(e => e.lo.isDefined && e.hi.isDefined)
+      else Seq.empty
+    val noStats = entries.filterNot(cands.toSet)
+    val touchedPaths: Set[String] =
+      if (cands.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val ranges = cands.map(e => (e.path, e.lo.get, e.hi.get)).toDF("path", "lo", "hi")
+        keys.select(col(key).cast("long").as("__k")).na.drop
+          .join(broadcast(ranges), col("__k") >= col("lo") && col("__k") <= col("hi"))
+          .select("path").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val touched = noStats ++ cands.filter(e => touchedPaths(e.path))
+    if (touched.isEmpty) return (v, 0, entries.size)
+    val untouched = entries.filterNot(touched.toSet)
+    val newPairs = readEntriesDf(spark, base, v, touched, keepPos = true)
+      .join(keys.select(col(key)), Seq(key), "left_semi")
+      .select(col("__fp").as(DvFileCol), col("__ri").as(DvPosCol))
+    dvDeleteCommit(spark, base, v, touched, untouched, newPairs, entries.size)
+  }
+
+  /** The shared dv-delete commit tail: superseding dv = old ∪ new
+    * positions for the touched files (an entry's dv must describe its
+    * complete deletion state). Pairs the old dirs carry for files
+    * outside `touched` ride along harmlessly: no entry references them
+    * through this dir, and `distinct` bounds the duplication. */
+  private def dvDeleteCommit(spark: SparkSession, base: String, v: Int,
+                             touched: Seq[ManifestEntry],
+                             untouched: Seq[ManifestEntry],
+                             newPairs: DataFrame, total: Int): (Int, Int, Int) = {
+    val version = v + 1
+    val statsCols = manifestStatsCols(spark, base, v)
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
     val allPairs = dvPairsOf(spark, touched)
       .fold(newPairs)(old => newPairs.unionByName(old)).distinct()
     val dvDir = s"$base/data/dv${version}_${java.util.UUID.randomUUID.toString.take(8)}"
@@ -1979,7 +2025,7 @@ object TableFormat {
     val out = writeManifest(spark, base, version, schemaJson, untouched ++ updated,
       txn = None, statsCols = statsCols, op = "delete_dv")
     maybeAutoAnalyze(spark, base, out)
-    (out, withDv, entries.size)
+    (out, withDv, total)
   }
 
   /** MERGE-ON-READ delta commit (r13, VERDICT r12 #2) — the commit half

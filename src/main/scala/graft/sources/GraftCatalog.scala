@@ -2796,6 +2796,62 @@ object GraftCatalogOps {
       .orderBy(col("lang").asc_nulls_first)
   }
 
+  /** `table_cdc_apply_mor` (r13): the CDC replication loop with
+    * MERGE-ON-READ deletes — the 100 TB form of `table_cdc_apply`. The
+    * same per-version foreachBatch apply, but each batch's deletes mask
+    * through ONE superseding deletion vector (`deleteByKeysDV`: key
+    * stats prune candidate files, a distributed left-semi join finds
+    * the positions, zero data files rewrite) — per-batch replication IO
+    * ∝ changed rows where the CoW variant rewrites every touched file
+    * (a hot key straddling all files rewrote the whole mirror per
+    * batch). The final mirror state is identical — one oracle serves
+    * both; TableFormatSpec pins the zero-rewrite file identity. */
+  def tableCdcApplyMor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+    val src = s"${Tables.scratchDir}/cdcm_src"
+    val mirror = s"${Tables.scratchDir}/cdcm_mirror"
+    Seq(src, mirror).foreach { b =>
+      val p = new HadoopPath(b)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    TableFormat.commit(spark, src, docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      1, parent = None, statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, src, docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteRowsDV(spark, src, pmod(col("doc_id"), lit(10)) === 3)
+    val q = spark.readStream.format("graft-table").option("path", src)
+      .option("readChangeFeed", "true").load()
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val shape = b.groupBy(col("_commit_version"), col("_change_type"))
+            .count().collect()
+            .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+          val versions = shape.keys.map(_._1).toSeq.distinct.sorted
+          versions.foreach { v =>
+            val step = b.filter(col("_commit_version") === v)
+            if (shape.getOrElse((v, "delete"), 0L) > 0L)
+              TableFormat.deleteByKeysDV(spark, mirror,
+                step.filter(col("_change_type") === "delete").select(col("doc_id")),
+                "doc_id")
+            if (shape.getOrElse((v, "insert"), 0L) > 0L)
+              TableFormat.appendCommit(spark, mirror,
+                step.filter(col("_change_type") === "insert")
+                  .drop("_change_type", "_commit_version"),
+                statsCol = Some("doc_id"))
+          }
+        } finally { b.unpersist(); () }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    TableFormat.readSnapshot(spark, mirror)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
   /** `sql_generated_columns` (r10): GENERATED ALWAYS AS columns — the
     * engine computes the column on every INSERT (user-supplied values
     * are overwritten by definition), and since the generated column is
@@ -3763,6 +3819,7 @@ object GraftCatalogOps {
     "sql_check_constraints" -> (sqlCheckConstraints _),
     "sql_generated_columns" -> (sqlGeneratedColumns _),
     "table_cdc_apply" -> (tableCdcApply _),
+    "table_cdc_apply_mor" -> (tableCdcApplyMor _),
     "sql_tblproperties" -> (sqlTblProperties _),
     "sql_delete_dv" -> (sqlDeleteDv _),
     "sql_update_dv" -> (sqlUpdateDv _),
@@ -3910,6 +3967,11 @@ object GraftCatalogOps {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
     "table_cdc_apply" ->
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 3
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "table_cdc_apply_mor" ->
       """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 10 <> 3
         |GROUP BY lang

@@ -1448,6 +1448,60 @@ class TableFormatSpec extends SparkTestBase {
     assert(union.runCount <= 4, s"union must re-coalesce: ${union.runCount} runs")
   }
 
+  test("deleteByKeysDV: keyed deletes mask through one dv — zero files rewritten even when a hot key straddles every file (r13)") {
+    val base = freshBase("tf_dbk_dv")
+    // key-clustered layout in 4 files + a second non-key column
+    TableFormat.commit(spark, base,
+      (0L until 8000L).map(i => (i, i % 7)).toDF("k", "grp"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(4))
+    val v1Paths = TableFormat.manifestEntries(spark, base, 1).map(_.path).toSet
+    // batch 1: a narrow key band (stats prune most files) — but the CLAIM
+    // is file identity, not pruning: every surviving path is a v1 path
+    import spark.implicits._
+    val (v2, withDv2, _) = TableFormat.deleteByKeysDV(spark, base,
+      (100L until 200L).toDF("k"), "k")
+    assert(v2 == 2 && withDv2 >= 1)
+    val e2 = TableFormat.manifestEntries(spark, base, 2)
+    assert(e2.map(_.path).toSet == v1Paths,
+      "MoR keyed delete must keep every data file BY PATH (zero rewrites)")
+    assert(TableFormat.readSnapshot(spark, base).count() == 7900L)
+    // batch 2: a hot-key pattern touching EVERY file (k % 100 == 7) —
+    // the CoW variant would rewrite all four files; the dv variant masks
+    val hot = (0L until 8000L).filter(_ % 100 == 7).toDF("k")
+    val (v3, withDv3, total3) = TableFormat.deleteByKeysDV(spark, base, hot, "k")
+    assert(v3 == 3 && withDv3 == total3,
+      s"every file should carry a dv, got $withDv3/$total3")
+    val e3 = TableFormat.manifestEntries(spark, base, 3)
+    assert(e3.map(_.path).toSet == v1Paths, "hot-key MoR delete rewrote files")
+    // 80 hot keys, but 107 already masked by batch 1 → 79 new deletions
+    assert(TableFormat.readSnapshot(spark, base).count() == 7900L - 79L)
+    // superseding discipline: batch-1 masks survive batch-2's dv
+    assert(TableFormat.readSnapshot(spark, base)
+      .filter(col("k").between(100L, 199L)).count() == 0L)
+    // already-masked rows can't re-match: re-deleting the same keys no-ops
+    val (v4, _, _) = TableFormat.deleteByKeysDV(spark, base, hot, "k")
+    assert(TableFormat.readSnapshot(spark, base, Some(v4)).count() == 7821L)
+    // history records the MoR op, and time travel reads each state exact
+    assert(TableFormat.history(spark, base).map(_._2) ==
+      Seq("replace", "delete_dv", "delete_dv", "delete_dv"))
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 8000L)
+    assert(TableFormat.readSnapshot(spark, base, Some(2)).count() == 7900L)
+    // equivalence with the CoW variant on an identical twin table
+    val twin = freshBase("tf_dbk_cow")
+    TableFormat.commit(spark, twin,
+      (0L until 8000L).map(i => (i, i % 7)).toDF("k", "grp"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(4))
+    TableFormat.deleteByKeys(spark, twin, (100L until 200L).toDF("k"), "k")
+    TableFormat.deleteByKeys(spark, twin, hot, "k")
+    val a = TableFormat.readSnapshot(spark, base).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .orderBy("grp").collect().toSeq
+    val c = TableFormat.readSnapshot(spark, twin).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .orderBy("grp").collect().toSeq
+    assert(a == c, "MoR and CoW keyed deletes must converge to the same state")
+  }
+
   test("manifest cache: a cross-process same-length re-create inside the mtime window is never served stale (r13, ADVICE r12 #3)") {
     // template manifest text from a REAL commit, so the format stays honest
     val tBase = freshBase("tf_fp_tmpA")
