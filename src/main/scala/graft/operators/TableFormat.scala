@@ -1618,6 +1618,50 @@ object TableFormat {
       small.size)
   }
 
+  /** PURGE DELETION VECTORS (r13) — the Delta `REORG TABLE … APPLY
+    * (PURGE)` analog and the dv lifecycle's third act: deletes write
+    * masks (IO ∝ deleted rows), reads subtract them (per-task sidecar
+    * lookups), and once a file's masked fraction crosses a threshold
+    * the mask itself becomes the cost — every scan pays the dv lookup
+    * for rows that are mostly gone. This rewrites ONLY the files whose
+    * deleted fraction ≥ `minFraction` (default 0.10) into clean
+    * mask-free files — re-clustered on the declared index, bucketed
+    * layouts preserved — while every other entry (dv-light or dv-free)
+    * carries BY REFERENCE. Maintenance IO ∝ the dv-heavy subset, never
+    * the table: the `compact`-for-masks that stays affordable at
+    * 100 TB, where full OPTIMIZE is not. `op = compact` keeps the CDF
+    * silent (rows move, never change); superseded dv dirs age out with
+    * their manifests under VACUUM. Nothing qualifying = NO-OP (no
+    * commit). Returns (version, purgedFiles, filesTotal). */
+  def purgeDv(spark: SparkSession, base: String,
+              minFraction: Double = 0.10): (Int, Int, Int) = {
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"purge_dv: min_fraction must be in (0, 1], got $minFraction")
+    val v = currentVersion(spark, base)
+    val entries = manifestEntries(spark, base, v)
+    val (heavy, keep) = entries.partition(e =>
+      e.dv.isDefined && e.rows.exists(r => r > 0 &&
+        e.dvRows.exists(d => d.toDouble / r >= minFraction)))
+    if (heavy.isEmpty) return (v, 0, entries.size)
+    val version = v + 1
+    val declared = manifestStatsCols(spark, base, v)
+    val bucket = bucketSpecOf(manifestProps(spark, base, v))
+    // dv-aware read = the masks MATERIALIZE: live rows only
+    val live = readEntriesDf(spark, base, v, heavy)
+    val clustered =
+      if (bucket.isDefined) live
+      else if (declared.isEmpty) live.coalesce(math.max(1, heavy.size))
+      else live.repartitionByRange(math.max(1, heavy.size), declared.map(col): _*)
+    val rewritten = writeDataFilesNdv(spark, base, newCommitDir(base, version),
+      clustered, declared.headOption, declared.drop(1).headOption, declared.drop(2),
+      bucketBy = bucket).entries
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    val out = writeManifest(spark, base, version, schemaJson, keep ++ rewritten,
+      txn = None, statsCols = declared, op = "compact")
+    (out, heavy.size, entries.size)
+  }
+
   /** VACUUM (r7): physically delete every data file under `base/data`
     * that no RETAINED manifest references — superseded files from delete
     * commits and orphans from failed writers alike — then drop the
@@ -1793,7 +1837,7 @@ object TableFormat {
     * layer's runtime filter): manifest entries spell Hadoop
     * `Path.toString` (`file:/x`), `_metadata.file_path` spells a URI
     * (`file:///x`) — equal files, different spellings. */
-  private def normPath(p: String): String = new Path(p).toUri.getPath
+  private[graft] def normPath(p: String): String = new Path(p).toUri.getPath
 
   /** The distinct (file_path, row_index) pairs of the dv dirs `entries`
     * reference, or None when no entry carries a dv. Distinct matters: a
@@ -4111,6 +4155,31 @@ object TableFormat {
       .orderBy(col("lang").asc_nulls_first)
   }
 
+  /** `table_purge_dv` (r13): the dv lifecycle's maintenance act —
+    * cluster-commit orders, mask a heavy band merge-on-read (zero
+    * rewrites), then `purgeDv` materializes ONLY the dv-heavy files
+    * into clean mask-free rewrites while the rest carry by reference
+    * (Delta REORG APPLY (PURGE)); the read-back must answer exactly
+    * what the masked snapshot answered — purge moves bytes, never
+    * changes rows. TableFormatSpec pins the carry-by-path, threshold,
+    * CDF-silence, and no-op claims the oracle can't see. */
+  def tablePurgeDv(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${Tables.scratchDir}/purgedv_table"
+    fs(spark, base).delete(new Path(base), true)
+    val orders = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    commit(spark, base, orders, 1, parent = None,
+      statsCol = Some("o_orderkey"), clusterFiles = Some(6))
+    // a dense band lands in few files (heavy fraction there); a
+    // scattered pinprick elsewhere stays under the threshold
+    deleteRowsDV(spark, base, col("o_orderkey") <= 4000L)
+    deleteRowsDV(spark, base, col("o_orderkey") % 977 === 5)
+    purgeDv(spark, base, 0.10)
+    readSnapshot(spark, base)
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   /** `table_optimize` (r9): commit orders UNCLUSTERED (no stats — every
     * read scans every file), then `optimizeZorder` re-clusters the
     * snapshot along (o_custkey, o_orderkey); the same box query now
@@ -4170,7 +4239,8 @@ object TableFormat {
     "table_incremental" -> (tableIncremental _),
     "table_zorder" -> (tableZorder _),
     "table_branch_wap" -> (tableBranchWap _),
-    "table_rebase" -> (tableRebase _))
+    "table_rebase" -> (tableRebase _),
+    "table_purge_dv" -> (tablePurgeDv _))
 
   val oracle: Map[String, String] = Map(
     "table_optimize_incr" ->
@@ -4186,6 +4256,11 @@ object TableFormat {
         |SELECT 'published', count(1), CAST(sum(n_chars) AS BIGINT)
         |FROM documents
         |ORDER BY stage ASC NULLS FIRST""".stripMargin,
+    "table_purge_dv" ->
+      """SELECT count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey > 4000 AND o_orderkey % 977 <> 5""".stripMargin,
     "table_rebase" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents

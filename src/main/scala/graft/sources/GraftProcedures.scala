@@ -533,6 +533,24 @@ object GraftProcedures {
     }
   }
 
+  /** PURGE DV (r13): rewrite only the files whose deleted fraction
+    * crossed the threshold into clean mask-free files (everything else
+    * carries by reference) — Delta's REORG APPLY (PURGE). Returns
+    * (version, purged_files, files_total). */
+  private object PurgeDvProc extends Proc("purge_dv",
+    Seq(in("table", StringType), in("min_fraction", DoubleType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("purged_files", IntegerType),
+                   StructField("files_total", IntegerType)))) {
+    override def description(): String =
+      "materialize deletion vectors of dv-heavy files into clean rewrites"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val frac = if (input.isNullAt(1)) 0.10 else input.getDouble(1)
+      val (v, purged, total) = TableFormat.purgeDv(spark, base, frac)
+      new GenericInternalRow(Array[Any](v, purged, total))
+    }
+  }
+
   /** REBASE (r13, VERDICT r12 #6): replay a diverged branch's commits
     * onto the parent's current head so publish can fast-forward again.
     * Append + merge-on-read commits replay position-stably; CoW
@@ -714,7 +732,8 @@ object GraftProcedures {
 
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
-      AnalyzeProc, BranchProc, PublishProc, RebaseProc, OptimizeClusterProc,
+      AnalyzeProc, BranchProc, PublishProc, RebaseProc, PurgeDvProc,
+      OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
       CreateMvProc, RefreshMvProc, DropMvProc, RestoreViewProc)
 

@@ -1502,6 +1502,49 @@ class TableFormatSpec extends SparkTestBase {
     assert(a == c, "MoR and CoW keyed deletes must converge to the same state")
   }
 
+  test("purge_dv: only dv-heavy files rewrite clean; light masks and mask-free files carry by path; CDF silent; no-op idempotent (r13)") {
+    val base = freshBase("tf_purge")
+    TableFormat.commit(spark, base,
+      (0L until 8000L).map(i => (i, i * 2)).toDF("k", "v"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(4))
+    val v1 = TableFormat.manifestEntries(spark, base, 1)
+    assert(v1.size == 4)
+    // heavy: 30% of the first range file; light: one row of the second
+    TableFormat.deleteRowsDV(spark, base, col("k") < 600L)
+    TableFormat.deleteRowsDV(spark, base, col("k") === 2000L)
+    val pre = TableFormat.manifestEntries(spark, base,
+      TableFormat.currentVersion(spark, base))
+    assert(pre.count(_.dv.isDefined) == 2)
+    val (v4, purged, total) = TableFormat.purgeDv(spark, base, 0.10)
+    assert(purged == 1 && total == 4, s"purged $purged/$total")
+    val post = TableFormat.manifestEntries(spark, base, v4)
+    // the heavy file's mask materialized: its path is GONE, replaced by
+    // clean dv-free rewrites; the light-mask and mask-free files carry
+    val prePaths = pre.map(e => TableFormat.normPath(e.path)).toSet
+    val heavyPath = pre.find(e => e.dvRows.exists(_ > 100)).get.path
+    assert(!post.exists(e => TableFormat.normPath(e.path) ==
+      TableFormat.normPath(heavyPath)), "dv-heavy file must rewrite")
+    val carried = post.filter(e => prePaths(TableFormat.normPath(e.path)))
+    assert(carried.size == 3, s"3 files must carry by path, got ${carried.size}")
+    assert(carried.count(_.dv.isDefined) == 1, "the light mask must survive")
+    assert(post.filterNot(e => prePaths(TableFormat.normPath(e.path)))
+      .forall(_.dv.isEmpty), "rewrites must be mask-free")
+    // answers identical before and after; the purge is CDF-silent
+    assert(TableFormat.readSnapshot(spark, base).count() == 8000L - 601L)
+    assert(TableFormat.readSnapshot(spark, base)
+      .filter(col("k") < 600L || col("k") === 2000L).count() == 0L)
+    assert(TableFormat.readChanges(spark, base, v4 - 1, v4).isEmpty,
+      "purge moved bytes, changed no rows — CDF must be silent")
+    // nothing qualifies anymore at this threshold: NO-OP, no commit
+    val (v5, p5, _) = TableFormat.purgeDv(spark, base, 0.10)
+    assert(v5 == v4 && p5 == 0)
+    // the light mask purges at a tighter threshold
+    val (v6, p6, _) = TableFormat.purgeDv(spark, base, 0.0001)
+    assert(v6 == v4 + 1 && p6 == 1)
+    assert(TableFormat.manifestEntries(spark, base, v6).forall(_.dv.isEmpty))
+    assert(TableFormat.readSnapshot(spark, base).count() == 8000L - 601L)
+  }
+
   test("manifest cache: a cross-process same-length re-create inside the mtime window is never served stale (r13, ADVICE r12 #3)") {
     // template manifest text from a REAL commit, so the format stays honest
     val tBase = freshBase("tf_fp_tmpA")
