@@ -1283,7 +1283,8 @@ class GraftDeltaOperation(base: String, spark: SparkSession,
   * [[GraftScanBuilder]]; filters stay residual, Spark re-applies). */
 class GraftDeltaScanBuilder(base: String, version: Int,
                             tableSchema: StructType, spark: SparkSession)
-    extends ScanBuilder with Scan with Batch with SupportsPushDownFilters {
+    extends ScanBuilder with Scan with Batch with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   /** The snapshot the delta positions are valid against — the commit's
     * conflict guard compares it with the head at publish time. */
   private[sources] val snapshotVersion: Int = version
@@ -1294,19 +1295,36 @@ class GraftDeltaScanBuilder(base: String, version: Int,
     filters // all residual: the push is file-pruning advice, never owns correctness
   }
   override def pushedFilters(): Array[Filter] = inner.pushedFilters()
+  /** COLUMN PRUNING (r13): a delta DELETE needs only the condition
+    * columns + the row id — at 100 TB that is two columns of a
+    * hundred-column table, not all of them. Spark hands the required
+    * data columns here (the `_file`/`_pos` metadata halves are appended
+    * by the reader regardless); UPDATE/MERGE require full rows for the
+    * post-image, so they prune nothing and lose nothing. */
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val dataCols = requiredSchema.fields.filterNot(f =>
+      f.name == "_file" || f.name == "_pos")
+    // never an empty projection: a parquet read needs ≥1 column to
+    // drive row iteration — keep the narrowest field
+    required =
+      if (dataCols.nonEmpty) StructType(dataCols)
+      else StructType(Array(tableSchema.fields.minBy(_.dataType.defaultSize)))
+  }
   override def build(): Scan = this
   override def readSchema(): StructType =
-    tableSchema
+    required
       .add(StructField("_file", StringType, nullable = false))
       .add(StructField("_pos", LongType, nullable = false))
   override def description(): String =
-    s"GraftDeltaScan $base v$version (${inner.keptEntries().size} files)"
+    s"GraftDeltaScan $base v$version (${inner.keptEntries().size} files, " +
+      s"ReadSchema: ${required.fieldNames.mkString(",")})"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     inner.keptEntries().sortBy(_.path)
       .map(e => GraftFilePartition(e.path, e.dv): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftParquetReaderFactory(tableSchema,
+    new GraftParquetReaderFactory(required,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       appendFilePath = true, appendRowPos = true,
       colmap = TableFormat.manifestColmap(spark, base, version))

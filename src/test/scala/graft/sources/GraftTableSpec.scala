@@ -2209,6 +2209,39 @@ class GraftTableSpec extends SparkTestBase {
     assert(e2.getMessage.contains("bucket key"), e2.getMessage)
   }
 
+  test("merge-on-read DELETE via the delta path: non-translatable predicate, zero rewrites, pruned scan (r13)") {
+    val base = s"$wh/db/mord"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.mord (k BIGINT, a BIGINT, b BIGINT, c STRING)
+        |PARTITIONED BY (k)
+        |TBLPROPERTIES ('delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("""INSERT INTO graft.db.mord
+                |SELECT id, id * 2, id * 3, concat('x', id) FROM range(4000)""".stripMargin)
+    val v1Paths = TableFormat.manifestEntries(spark, base, 2).map(_.path).toSet
+    // % is NOT a SupportsDelete-translatable filter → Spark falls to the
+    // row-level op, which merge-on-read routes through the DELTA scan
+    spark.sql("DELETE FROM graft.db.mord WHERE k % 10 = 3")
+    val vNow = TableFormat.currentVersion(spark, base)
+    val entries = TableFormat.manifestEntries(spark, base, vNow)
+    assert(entries.map(_.path).toSet == v1Paths,
+      "non-translatable MoR DELETE must keep every data file by path")
+    assert(entries.exists(_.dv.isDefined), "the delete must land as a dv")
+    assert(TableFormat.history(spark, base).last._2 == "delete_dv")
+    assert(spark.sql("SELECT count(1) FROM graft.db.mord").head.getLong(0) == 3600L)
+    assert(spark.sql("SELECT count(1) FROM graft.db.mord WHERE k % 10 = 3")
+      .head.getLong(0) == 0L)
+    // the delta scan pruned: a DELETE needs the condition column + row
+    // id, never the whole row (b and c must not be read)
+    val sb = new GraftDeltaScanBuilder(base, vNow,
+      spark.table("graft.db.mord").schema, spark)
+    sb.pruneColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+    assert(sb.readSchema().fieldNames.toSeq == Seq("k", "_file", "_pos"),
+      sb.readSchema().treeString)
+  }
+
   test("merge-on-read UPDATE: zero data files rewritten, dv + postimage in one commit, CDF pairs update images (r13, VERDICT r12 #2)") {
     val base = s"$wh/db/mor_upd"
     val p = new org.apache.hadoop.fs.Path(base)
