@@ -551,6 +551,46 @@ object GraftProcedures {
     }
   }
 
+  /** EXPIRE SNAPSHOTS (r13) — TIME-BASED retention, the Iceberg
+    * `expire_snapshots` / Delta `VACUUM ... RETAIN n HOURS` shape: the
+    * retained set is every version whose manifest is YOUNGER than
+    * `older_than_ms` plus the last `retain_last` versions (the current
+    * version always survives — the core vacuum enforces it), and
+    * everything else — superseded data files, orphans, old manifests —
+    * physically reclaims through the same vacuum walk as the
+    * count-based verb. Age comes from the manifest file's mtime: the
+    * commit's publication instant, exactly what a retention SLA names.
+    * Returns (files_deleted, versions_retained). */
+  private object ExpireSnapshotsProc extends Proc("expire_snapshots",
+    Seq(in("table", StringType), in("older_than_ms", LongType),
+        in("retain_last", IntegerType)),
+    StructType(Seq(StructField("files_deleted", IntegerType),
+                   StructField("versions_retained", IntegerType)))) {
+    override def description(): String =
+      "physically delete snapshots older than older_than_ms, keeping the last retain_last"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val olderMs = input.getLong(1)
+      val keepLast = if (input.isNullAt(2)) 1 else input.getInt(2)
+      require(olderMs >= 0, s"expire_snapshots: older_than_ms must be >= 0 (got $olderMs)")
+      require(keepLast >= 1, s"expire_snapshots: retain_last must be >= 1 (got $keepLast)")
+      val p = new org.apache.hadoop.fs.Path(s"$base/_manifests")
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cutoff = System.currentTimeMillis() - olderMs
+      val live = hfs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".manifest"))
+          n.stripPrefix("v").stripSuffix(".manifest").toIntOption
+            .map(_ -> st.getModificationTime)
+        else None
+      }.sortBy(_._1)
+      val cur = TableFormat.currentVersion(spark, base)
+      val retained = (live.filter(_._2 >= cutoff).map(_._1) ++
+        live.map(_._1).takeRight(keepLast) :+ cur).distinct.sorted
+      val (deleted, _) = TableFormat.vacuum(spark, base, retained)
+      new GenericInternalRow(Array[Any](deleted, retained.size))
+    }
+  }
+
   /** REBASE (r13, VERDICT r12 #6): replay a diverged branch's commits
     * onto the parent's current head so publish can fast-forward again.
     * Append + merge-on-read commits replay position-stably; CoW
@@ -731,7 +771,8 @@ object GraftProcedures {
   }
 
   private val all: Seq[Proc] =
-    Seq(CompactProc, VacuumProc, OptimizeZorderProc, RestoreProc, CloneProc,
+    Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, OptimizeZorderProc,
+      RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, RebaseProc, PurgeDvProc,
       OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,

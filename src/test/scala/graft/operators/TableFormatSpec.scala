@@ -1585,4 +1585,165 @@ class TableFormatSpec extends SparkTestBase {
       .forall(_.path.contains("tf_fp_tmpZ")),
       "stale manifest entries served across a same-stamp cross-process re-create")
   }
+
+  // ---- delta-log manifests (r13): commit metadata IO ∝ change ----
+
+  test("delta manifests: an append publishes an edit script, not the snapshot") {
+    val base = freshBase("tf_mdelta")
+    TableFormat.appendCommit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TableFormat.appendCommit(spark, base, Seq((3L, "c")).toDF("id", "v"))
+    TableFormat.appendCommit(spark, base, Seq((4L, "d")).toDF("id", "v"))
+    val t1 = TableFormat.readFile(spark, s"$base/_manifests/v1.manifest")
+    val t2 = TableFormat.readFile(spark, s"$base/_manifests/v2.manifest")
+    val t3 = TableFormat.readFile(spark, s"$base/_manifests/v3.manifest")
+    assert(!t1.contains("#delta"), "v1 must be full (no parent to diff)")
+    assert(t2.contains("#delta\t1\t1") && t3.contains("#delta\t2\t2"),
+      "appends onto a large-overlap parent must publish deltas with chain depths")
+    // the delta body is EXACTLY the change: one `+` line per new file,
+    // none of the parent's entries restated
+    val b3 = t3.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    assert(b3.nonEmpty && b3.forall(_.startsWith("+\t")), s"append delta body: $b3")
+    assert(b3.size == TableFormat.manifestFiles(spark, base, 3).size -
+      TableFormat.manifestFiles(spark, base, 2).size)
+    // resolution: every version reads exactly as a full manifest would
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 2)
+    assert(TableFormat.readSnapshot(spark, base, Some(2)).count() == 3)
+    assert(TableFormat.readSnapshot(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // append keeps referencing the parent's files through the delta
+    val f1 = TableFormat.manifestFiles(spark, base, 1).toSet
+    val f3 = TableFormat.manifestFiles(spark, base, 3).toSet
+    assert(f1.subsetOf(f3))
+  }
+
+  test("delta chain checkpoints: a full manifest bounds cold-read depth") {
+    val base = freshBase("tf_mdelta_ckpt")
+    (1 to TableFormat.CheckpointEvery + 1).foreach { i =>
+      TableFormat.appendCommit(spark, base, Seq((i.toLong, s"r$i")).toDF("id", "v"))
+    }
+    val mid = TableFormat.readFile(spark,
+      s"$base/_manifests/v${TableFormat.CheckpointEvery}.manifest")
+    val ckpt = TableFormat.readFile(spark,
+      s"$base/_manifests/v${TableFormat.CheckpointEvery + 1}.manifest")
+    assert(mid.contains("#delta"), "inside the interval: delta")
+    assert(!ckpt.contains("#delta"),
+      s"commit ${TableFormat.CheckpointEvery + 1} must checkpoint (write full)")
+    assert(TableFormat.readSnapshot(spark, base).count() ==
+      TableFormat.CheckpointEvery + 1L)
+  }
+
+  test("delta manifests: a dv delete supersedes entries in place (`~` lines)") {
+    val base = freshBase("tf_mdelta_dv")
+    TableFormat.appendCommit(spark, base,
+      (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "v"), statsCol = Some("id"))
+    // range-clustered on id → the bounded delete touches a file subset,
+    // so the commit qualifies as a delta with modifications only
+    val (v, _, _) = TableFormat.deleteRowsDV(spark, base, col("id") < 100,
+      bounds = Seq((0L, 99L)))
+    val t = TableFormat.readFile(spark, s"$base/_manifests/v$v.manifest")
+    assert(t.contains("#delta"), "a narrow dv delete must publish a delta")
+    val body = t.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    assert(body.nonEmpty && body.forall(_.startsWith("~\t")),
+      s"dv supersede = in-place modification lines, got: ${body.map(_.take(3))}")
+    assert(body.size < TableFormat.manifestEntries(spark, base, v).size,
+      "the script must be smaller than the snapshot")
+    assert(TableFormat.readSnapshot(spark, base).count() == 900)
+    assert(TableFormat.readSnapshot(spark, base, Some(v - 1)).count() == 1000)
+  }
+
+  test("vacuum materializes a retained delta before reclaiming its chain") {
+    val base = freshBase("tf_mdelta_vac")
+    TableFormat.appendCommit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TableFormat.appendCommit(spark, base, Seq((3L, "c")).toDF("id", "v"))
+    TableFormat.appendCommit(spark, base, Seq((4L, "d")).toDF("id", "v"))
+    assert(TableFormat.readFile(spark, s"$base/_manifests/v3.manifest").contains("#delta"))
+    val filesBefore = TableFormat.manifestFiles(spark, base, 3)
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // retain only the head: its chain parents v1, v2 reclaim, so the
+    // head's delta manifest must first be rewritten in its full form —
+    // the retention contract stays exact (retained readable,
+    // non-retained gone), and the resolved file list is IDENTICAL
+    TableFormat.vacuum(spark, base, retain = Seq(3))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/_manifests/v1.manifest")),
+      "non-retained manifests must reclaim even as chain parents")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/_manifests/v2.manifest")))
+    assert(!TableFormat.readFile(spark, s"$base/_manifests/v3.manifest").contains("#delta"),
+      "the retained head must be materialized to full")
+    assert(TableFormat.manifestFiles(spark, base, 3) == filesBefore,
+      "materialization must preserve the resolved entry list exactly")
+    assert(TableFormat.readSnapshot(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a retained delta whose chain parents are ALL retained stays a
+    // delta — materialization only happens when it must
+    TableFormat.appendCommit(spark, base, Seq((5L, "e")).toDF("id", "v"))
+    TableFormat.vacuum(spark, base, retain = Seq(3, 4))
+    assert(TableFormat.readFile(spark, s"$base/_manifests/v4.manifest").contains("#delta"),
+      "no materialization needed: the delta's parent is itself retained")
+    assert(TableFormat.readSnapshot(spark, base).count() == 5)
+  }
+
+  test("maintenance auto-rebase: a compact staged against v1 publishes over an interleaved append") {
+    val base = freshBase("tf_maint_rebase")
+    TableFormat.commit(spark, base,
+      (0L until 30L).map(i => (i, s"r$i")).toDF("id", "v").repartition(3), 1, None)
+    val v1Entries = TableFormat.manifestEntries(spark, base, 1)
+    assert(v1Entries.size == 3)
+    // a maintenance job reads v1 and consolidates two of its files...
+    val src = v1Entries.take(2)
+    val consolidatedDir = s"$base/data/cmaint_test"
+    spark.read.parquet(src.map(_.path): _*).coalesce(1)
+      .write.mode("overwrite").parquet(consolidatedDir)
+    val fsys = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newPath = fsys.listStatus(new org.apache.hadoop.fs.Path(consolidatedDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).head
+    val nRows = spark.read.parquet(newPath).count()
+    // ...meanwhile an append wins v2
+    TableFormat.appendCommit(spark, base,
+      (100L until 110L).map(i => (i, s"r$i")).toDF("id", "v"))
+    // the maintenance publish REBASES: the interleaved append's files
+    // survive, the consolidated sources swap for the new file
+    val out = TableFormat.maintenanceCommit(spark, base, basedOn = 1,
+      src = src, rewritten = Seq(new TableFormat.ManifestEntry(
+        newPath, None, None, rows = Some(nRows))),
+      op = "compact", statsCols = Nil)
+    assert(out == 3)
+    val f3 = TableFormat.manifestFiles(spark, base, 3).toSet
+    val f2 = TableFormat.manifestFiles(spark, base, 2).toSet
+    assert(f3 == f2 -- src.map(_.path) + newPath)
+    assert(TableFormat.readSnapshot(spark, base).count() == 40)
+    assert(TableFormat.readSnapshot(spark, base).agg(sum("id")).head.getLong(0) ==
+      (0L until 30L).sum + (100L until 110L).sum)
+    // a source entry that changed at the head aborts loudly: those two
+    // files are no longer in the snapshot at all
+    val e = intercept[TableFormat.ConcurrentModificationException] {
+      TableFormat.maintenanceCommit(spark, base, basedOn = 1,
+        src = src, rewritten = Seq.empty, op = "compact", statsCols = Nil)
+    }
+    assert(e.getMessage.contains("concurrent"))
+  }
+
+  test("graft.write.target-file-size sizes a commit's files from the plan estimate") {
+    // trickle under a 128 MB target: ONE file, not parallelism/8 stubs
+    val base = freshBase("tf_target_size")
+    TableFormat.appendCommit(spark, base, Seq((1L, "seed")).toDF("id", "v"),
+      setProps = Map("graft.write.target-file-size" -> (128L * 1024 * 1024).toString))
+    val f1 = TableFormat.manifestFiles(spark, base, 1).size
+    TableFormat.appendCommit(spark, base, Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(TableFormat.manifestFiles(spark, base, 2).size - f1 == 1,
+      "a 2-row append under a 128 MB target must write exactly one file")
+    assert(TableFormat.readSnapshot(spark, base).count() == 3)
+    // a tight target splits a large frame into many bounded files
+    val base2 = freshBase("tf_target_size2")
+    TableFormat.appendCommit(spark, base2, Seq((0L, "seed")).toDF("id", "v"),
+      setProps = Map("graft.write.target-file-size" -> "4096"))
+    val before = TableFormat.manifestFiles(spark, base2, 1).size
+    TableFormat.appendCommit(spark, base2,
+      (0L until 20000L).map(i => (i, s"row$i")).toDF("id", "v"))
+    val added = TableFormat.manifestFiles(spark, base2, 2).size - before
+    assert(added > 4 && added <= 4096, s"expected a multi-file split, got $added")
+    assert(TableFormat.readSnapshot(spark, base2).count() == 20001)
+  }
 }

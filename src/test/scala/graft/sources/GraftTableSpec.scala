@@ -403,6 +403,30 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
   }
 
+  test("CALL graft.system.expire_snapshots: time-based retention (r13)") {
+    val _ = wh
+    val base = s"$wh/db/expire"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+    TableFormat.commit(spark, base, Seq((1L, "a")).toDF("id", "v"), 1, None)
+    TableFormat.appendCommit(spark, base, Seq((2L, "b")).toDF("id", "v"))
+    TableFormat.appendCommit(spark, base, Seq((3L, "c")).toDF("id", "v"))
+    // a generous window retains everything — time travel intact
+    val r0 = spark.sql(
+      "CALL graft.system.expire_snapshots('db.expire', 86400000L, 1)").head
+    assert(r0.getInt(1) == 3, s"got $r0")
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 1)
+    // a zero window expires everything but the current snapshot
+    Thread.sleep(20)
+    val r1 = spark.sql(
+      "CALL graft.system.expire_snapshots('db.expire', 0L, 1)").head
+    assert(r1.getInt(1) == 1, s"got $r1")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/_manifests/v1.manifest")),
+      "expired manifest must reclaim")
+    assert(spark.sql("SELECT count(1) FROM graft.db.expire").head.getLong(0) == 3)
+  }
+
   test("CREATE TABLE PARTITIONED BY declares clustering; SQL INSERTs keep the index (r10)") {
     val _ = wh
     spark.sql("DROP TABLE IF EXISTS graft.db.part")
