@@ -479,13 +479,25 @@ object TableFormat {
       val stats = cols.map { c =>
         val chunks = blocks
           .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
-        // numeric bounds: plain INT32/INT64 ONLY — a converted/logical-
-        // type annotation (DATE day ordinals, TIMESTAMP micros,
-        // INT64-backed DECIMAL unscaled values) records bounds in the
-        // annotation's internal unit, contradicting the manifest's
-        // "integral column" contract (r10, ADVICE r9 #2).
-        val plain = chunks.nonEmpty &&
-          chunks.forall(_.getPrimitiveType.getLogicalTypeAnnotation == null)
+        // numeric bounds: plain INT32/INT64, plus (r13, hidden
+        // partitioning) TIMESTAMP(MICROS) and DATE — their bounds are
+        // the physical INT64 micros / INT32 epoch-days, and the read
+        // side maps query literals into the SAME unit
+        // (GraftScanBuilder.num), so comparisons stay unit-consistent.
+        // Everything else annotated (DECIMAL unscaled values,
+        // MILLIS/NANOS timestamps) records no bounds: its annotation
+        // unit would contradict what the reader compares against
+        // (r10, ADVICE r9 #2).
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val plain = chunks.nonEmpty && chunks.forall { ch =>
+          ch.getPrimitiveType.getLogicalTypeAnnotation match {
+            case null => true
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+            case _ => false
+          }
+        }
         // string bounds (r11): BINARY chunks annotated UTF8 only
         val isString = chunks.nonEmpty && chunks.forall(ch =>
           ch.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
@@ -652,11 +664,38 @@ object TableFormat {
           .filter(c => df.columns.contains(c))
         catch { case _: java.io.FileNotFoundException => Nil }
     }
-    def configured(d: DataFrame) =
-      bloomCols.foldLeft(d.write.mode("overwrite")) { (w, c) =>
+    // `graft.write.compression` (r13): per-table parquet codec — zstd
+    // is the 100 TB default trade (≈30 % smaller than snappy at minor
+    // CPU cost); undeclared tables keep the session default untouched
+    val codec = {
+      val v = latestVersion(spark, base)
+      if (v == 0) None
+      else
+        try manifestProps(spark, base, v).get("graft.write.compression")
+        catch { case _: java.io.FileNotFoundException => None }
+    }
+    def configured(d: DataFrame) = {
+      val w0 = codec.foldLeft(d.write.mode("overwrite"))((w, c) =>
+        w.option("compression", c))
+      bloomCols.foldLeft(w0) { (w, c) =>
         w.option(s"parquet.bloom.filter.enabled#${phys(c)}", "true")
       }
-    bucketBy match {
+    }
+    // TEMPORAL STATS need INT64 micros on disk (r13, hidden
+    // partitioning): Spark's session default for timestamp output can
+    // be the deprecated stats-less INT96, which would silently strip a
+    // time-clustered table of its skipping index. Graft data files are
+    // this format's OWN storage internals, so the write pins
+    // TIMESTAMP_MICROS for its duration (restored after — a concurrent
+    // same-session writer racing the restore degrades at worst to
+    // absent stats, never to wrong pruning: unknown bounds always read).
+    val TsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val hasTs = df.schema.fields.exists(f =>
+      f.dataType == org.apache.spark.sql.types.TimestampType ||
+      f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val prevTsType = if (hasTs) spark.conf.getOption(TsTypeKey) else None
+    if (hasTs) spark.conf.set(TsTypeKey, "TIMESTAMP_MICROS")
+    try bucketBy match {
       case Some((n, c)) =>
         // one file per bucket per commit: route rows by the bucket id
         // (hash-repartition on the id itself — every id's rows land in
@@ -670,6 +709,9 @@ object TableFormat {
           .partitionBy(BucketDirCol).parquet(commitDir)
       case None =>
         configured(toWrite).parquet(commitDir)
+    } finally if (hasTs) prevTsType match {
+      case Some(v) => spark.conf.set(TsTypeKey, v)
+      case None => spark.conf.unset(TsTypeKey)
     }
     val ndvSketches: Map[String, String] = observation.fold(Map.empty[String, String]) { o =>
       val metrics = o.get
@@ -1101,15 +1143,33 @@ object TableFormat {
     * by one crashed pointer write, so conflicts resolve against the
     * manifest listing, not the pointer). */
   def latestVersion(spark: SparkSession, base: String): Int = {
-    val dir = new Path(s"$base/_manifests")
     val f = fs(spark, base)
-    if (!f.exists(dir)) 0
-    else f.listStatus(dir).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("v") && n.endsWith(".manifest"))
-        n.stripPrefix("v").stripSuffix(".manifest").toIntOption
-      else None
-    }.foldLeft(0)(math.max)
+    // POINTER + PROBE (r13): versions are dense (each is a CAS slot won
+    // in sequence), so the head is findable from the pointer with a
+    // couple of exists() probes instead of listing `_manifests` — the
+    // listing was a per-commit O(version-count) directory scan, and on
+    // an object store a paginated LIST per tiny append. `_CURRENT` can
+    // lag the true head by any number of crashed pointer writes, so
+    // probe FORWARD until the first absent slot. Fall back to the
+    // listing when the pointer names a vacuumed/never-written slot
+    // (re-created tables, pointer from a dropped incarnation).
+    val ptr =
+      try readFile(spark, s"$base/_CURRENT").trim.toInt
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (ptr > 0 && f.exists(new Path(manifestPath(base, ptr)))) {
+      var v = ptr
+      while (f.exists(new Path(manifestPath(base, v + 1)))) v += 1
+      v
+    } else {
+      val dir = new Path(s"$base/_manifests")
+      if (!f.exists(dir)) 0
+      else f.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".manifest"))
+          n.stripPrefix("v").stripSuffix(".manifest").toIntOption
+        else None
+      }.foldLeft(0)(math.max)
+    }
   }
 
   private def writeManifest(spark: SparkSession, base: String, version: Int,

@@ -285,17 +285,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
   }
 
-  /** `PARTITIONED BY` → clustering-column validation shared by CREATE
-    * TABLE, CTAS, and REPLACE TABLE (identity transforms on integral
-    * columns only — see [[createTable]]). */
+  /** `PARTITIONED BY` → clustering columns, shared by CREATE TABLE,
+    * CTAS, and REPLACE TABLE. r13: HIDDEN PARTITIONING — the Iceberg
+    * transforms `years/months/days/hours(ts)` and `truncate(w, s)` are
+    * accepted and resolve to clustering on the SOURCE column: every one
+    * of them is MONOTONE in its source, so per-file bounds of the raw
+    * column subsume the transform's partition values exactly — a query
+    * filtering the RAW column prunes files without ever naming the
+    * transform (the hidden-partitioning contract), and range-clustering
+    * on the raw value is strictly finer than clustering on its
+    * day/month/prefix image. `bucket(n, col)` routes to the
+    * `graft.bucket` layout property instead ([[bucketTransformOf]]) —
+    * the storage-partitioned-join path. */
   private def clusterColsOf(schema: StructType,
                             partitions: Array[Transform]): Seq[String] = {
-    val clusterCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported partition transform $other — declare " +
-          "PARTITIONED BY (col[, col2, …]) with plain (identity) columns")
+    def sourceOf(t: Transform): StructField = {
+      require(t.references.length == 1,
+        s"graft catalog: partition transform $t must reference exactly one column")
+      val c = t.references.head.fieldNames.mkString(".")
+      schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: partition column $c is not in the table schema"))
+    }
+    val clusterCols = partitions.toSeq.flatMap { t =>
+      t.name match {
+        case "identity" => Seq(sourceOf(t).name)
+        case "years" | "months" | "days" =>
+          val f = sourceOf(t)
+          require(f.dataType == TimestampType || f.dataType == TimestampNTZType ||
+              f.dataType == DateType,
+            s"graft catalog: ${t.name}(${f.name}) needs a TIMESTAMP or DATE " +
+              s"column, got ${f.dataType.simpleString}")
+          Seq(f.name)
+        case "hours" =>
+          val f = sourceOf(t)
+          require(f.dataType == TimestampType || f.dataType == TimestampNTZType,
+            s"graft catalog: hours(${f.name}) needs a TIMESTAMP column, " +
+              s"got ${f.dataType.simpleString}")
+          Seq(f.name)
+        case "truncate" =>
+          val f = sourceOf(t)
+          require(f.dataType == StringType,
+            s"graft catalog: truncate(${f.name}) needs a STRING column, " +
+              s"got ${f.dataType.simpleString}")
+          Seq(f.name)
+        case "bucket" => Nil // layout property, merged by propsWithBucket
+        case _ => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported partition transform $t — declare " +
+            "PARTITIONED BY with plain columns or the transforms " +
+            "years/months/days/hours(ts), truncate(w, s), bucket(n, col)")
+      }
     }
     // r11 (VERDICT r10 #3): any number of clustering columns — each
     // gets per-file bounds (entry `ext` triples past the second) and
@@ -307,14 +346,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       field.dataType match {
         case ByteType | ShortType | IntegerType | LongType => ()
         case StringType => () // r11: string bounds (lang/domain/split keys)
+        // r13: temporal clustering — footer stats record the physical
+        // INT64 micros / INT32 days, scans compare in the same unit
+        case DateType | TimestampType | TimestampNTZType => ()
         case dt => throw new UnsupportedOperationException(
           s"graft catalog: partition column $c has type ${dt.simpleString} — " +
-            "clustering bounds are integral or string; partition by an " +
-            "integral key (e.g. an epoch-day INT) or a string key (e.g. lang)")
+            "clustering bounds are integral, string, or temporal; partition " +
+            "by an integral/timestamp/date key or a string key (e.g. lang)")
       }
     }
     clusterCols
   }
+
+  /** The `bucket(n, col)` transform of a `PARTITIONED BY` clause as a
+    * `graft.bucket` property value (r13) — Iceberg's bucket-transform
+    * syntax for the layout TBLPROPERTIES already declares. */
+  private def bucketTransformOf(partitions: Array[Transform]): Option[String] = {
+    val bs = partitions.toSeq.filter(_.name == "bucket")
+    require(bs.size <= 1, "graft catalog: at most one bucket(n, col) transform")
+    bs.headOption.map { t =>
+      require(t.references.length == 1,
+        s"graft catalog: bucket transform $t must reference exactly one column")
+      val c = t.references.head.fieldNames.mkString(".")
+      val n = t.arguments.toSeq.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Number] =>
+          l.value.asInstanceOf[Number].intValue
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: bucket transform $t carries no bucket count"))
+      require(n > 0, s"graft catalog: bucket count must be positive, got $n")
+      s"$n:$c"
+    }
+  }
+
+  /** Merge a `bucket(n, col)` transform into the table properties,
+    * refusing a conflicting explicit `graft.bucket`. */
+  private def propsWithBucket(props: Map[String, String],
+                              partitions: Array[Transform]): Map[String, String] =
+    bucketTransformOf(partitions).fold(props) { spec =>
+      props.get(graft.operators.TableFormat.BucketProp).filter(_ != spec).foreach(p =>
+        throw new IllegalArgumentException(
+          s"graft catalog: PARTITIONED BY bucket(...) ($spec) conflicts with " +
+            s"TBLPROPERTIES graft.bucket ($p) — declare one"))
+      props + (graft.operators.TableFormat.BucketProp -> spec)
+    }
 
   /** Engine-managed keys Spark folds into the DSv2 properties map —
     * not user TBLPROPERTIES; persisting them would make SHOW
@@ -333,7 +408,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val path = tablePath(ident)
     ensureCreatablePath(path)
     TableFormat.createEmpty(spark, path, schema, clusterColsOf(schema, partitions),
-      props = userProps(properties))
+      props = propsWithBucket(userProps(properties), partitions))
     new GraftTable(path, None, spark)
   }
 
@@ -404,15 +479,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // routing, so the combination would silently stage unbucketed files
     // and knock the table off the storage-partitioned-join path —
     // refuse loudly at CREATE, like REPLACE WHERE refuses identity
+    val createProps = propsWithBucket(userProps(info.properties()), info.partitions())
     if (schema.fields.exists(_.metadata.contains("GRAFT_IDENTITY_START")) &&
-        userProps(info.properties()).contains("graft.bucket"))
+        createProps.contains("graft.bucket"))
       throw new UnsupportedOperationException(
         s"graft catalog: ${ident.name} declares both an identity column and " +
           "graft.bucket — identity inserts bypass bucket routing, which would " +
           "break the bucketed-layout contract; drop one of the two")
     ensureCreatablePath(path)
     TableFormat.createEmpty(spark, path, schema,
-      clusterColsOf(schema, info.partitions()), props = userProps(info.properties()),
+      clusterColsOf(schema, info.partitions()), props = createProps,
       constraints = inlineConstraints)
     new GraftTable(path, None, spark)
   }
@@ -622,7 +698,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "query, which validates the landed data")
     new GraftStagedTable(path, info.schema(),
       clusterColsOf(info.schema(), info.partitions()), requireAbsent, spark,
-      props = userProps(info.properties()))
+      props = propsWithBucket(userProps(info.properties()), info.partitions()))
   }
   override def stageCreate(ident: Identifier,
                            info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
@@ -1048,6 +1124,7 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
     def integral(c: String): Boolean =
       tblSchema.fields.find(_.name == c).map(_.dataType).exists {
         case ByteType | ShortType | IntegerType | LongType => true
+        case DateType | TimestampType | TimestampNTZType => true // r13: micros/days units
         case _ => false
       }
     val bounds = TableFormat.manifestStatsCols(spark, base, v).map { c =>
@@ -1458,7 +1535,8 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
       case ByteType => v.toByte
       case ShortType => v.toShort
       case IntegerType => v.toInt
-      case _ => v
+      case DateType => v.toInt // internal rep: epoch-days INT
+      case _ => v // LongType; TimestampType/NTZ internal rep IS micros
     }
     def minMax(column: org.apache.spark.sql.connector.expressions.Expression,
                wantMin: Boolean): Option[(StructField, Any)] =
@@ -1515,6 +1593,9 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   private def integral(c: String): Boolean =
     tableSchema.fields.find(_.name == c).map(_.dataType).exists {
       case ByteType | ShortType | IntegerType | LongType => true
+      // temporal stats (r13): recorded as micros/epoch-days, compared
+      // against query literals mapped into the same unit by `num`
+      case DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
   private[sources] def keptEntries(): Seq[TableFormat.ManifestEntry] = {
@@ -1991,6 +2072,9 @@ object GraftScanBuilder {
     case null => false
     case _: java.lang.Number | _: String | _: java.lang.Boolean => true
     case _: java.sql.Date | _: java.sql.Timestamp => true
+    // java-8 datetime API literals (spark.sql.datetime.java8API.enabled)
+    case _: java.time.Instant | _: java.time.LocalDate |
+         _: java.time.LocalDateTime => true
     case _ => false
   }
 
@@ -2092,8 +2176,20 @@ object GraftScanBuilder {
     case n @ (_: java.lang.Byte | _: java.lang.Short |
               _: java.lang.Integer | _: java.lang.Long) =>
       Some(n.asInstanceOf[java.lang.Number].longValue())
+    // temporal literals (r13, hidden partitioning): mapped into the SAME
+    // unit the manifest records from parquet footers — INT64 micros for
+    // timestamps, INT32 epoch-days for dates — so bounds comparisons are
+    // unit-consistent. Both domains are integral, so the ±1 open-bound
+    // adjustments above stay exact.
+    case t: java.sql.Timestamp => Some(micros(t.toInstant))
+    case i: java.time.Instant => Some(micros(i))
+    case l: java.time.LocalDateTime => Some(micros(l.toInstant(java.time.ZoneOffset.UTC)))
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
     case _ => None
   }
+  private def micros(i: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
 }
 
 /** Version-offset for the table-format stream. */
@@ -2464,6 +2560,36 @@ object GraftCatalogOps {
         |WHERE o_orderkey BETWEEN 1000 AND 2000
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `sql_hidden_partition` (r13): Iceberg-style HIDDEN PARTITIONING —
+    * the table declares `PARTITIONED BY (days(ts))`, which resolves to
+    * clustering on the RAW timestamp (the transform is monotone in its
+    * source, so per-file micros bounds subsume the day partition
+    * exactly); the INSERT range-clusters on ts, and the WHERE on the
+    * raw column prunes files without ever naming a partition value
+    * (GraftTableSpec pins filesKept < filesTotal at the scan level).
+    * The oracle replays the aggregate on the source parquet. */
+  def sqlHiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/hp_events"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "events").createOrReplaceTempView("src_events_hp")
+    spark.sql(
+      """CREATE TABLE graft.db.hp_events (ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.hp_events SELECT ts, user_id, value FROM src_events_hp")
+    spark.sql(
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM graft.db.hp_events
+        |WHERE ts >= timestamp'2024-01-05 00:00:00'
+        |  AND ts < timestamp'2024-01-08 00:00:00'""".stripMargin)
   }
 
   /** `sql_insert` (r8): DDL + DML end to end on the catalog — CREATE
@@ -3848,7 +3974,8 @@ object GraftCatalogOps {
     "sql_maint_optimize" -> (sqlMaintOptimize _),
     "sql_maint_restore" -> (sqlMaintRestore _),
     "sql_maint_vacuum" -> (sqlMaintVacuum _),
-    "sql_catalog_skip" -> (sqlCatalogSkip _))
+    "sql_catalog_skip" -> (sqlCatalogSkip _),
+    "sql_hidden_partition" -> (sqlHiddenPartition _))
 
   val oracle: Map[String, String] = Map(
     "mv_minmax" ->
@@ -4154,5 +4281,12 @@ object GraftCatalogOps {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "sql_hidden_partition" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)
 }

@@ -1746,4 +1746,16 @@ class TableFormatSpec extends SparkTestBase {
     assert(added > 4 && added <= 4096, s"expected a multi-file split, got $added")
     assert(TableFormat.readSnapshot(spark, base2).count() == 20001)
   }
+
+  test("graft.write.compression selects the table's parquet codec") {
+    val base = freshBase("tf_codec")
+    TableFormat.appendCommit(spark, base, Seq((1L, "seed")).toDF("id", "v"),
+      setProps = Map("graft.write.compression" -> "zstd"))
+    TableFormat.appendCommit(spark, base, Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    val v2New = TableFormat.manifestFiles(spark, base, 2)
+      .filterNot(TableFormat.manifestFiles(spark, base, 1).toSet)
+    assert(v2New.nonEmpty && v2New.forall(_.contains(".zstd.")),
+      s"declared codec ignored: $v2New")
+    assert(TableFormat.readSnapshot(spark, base).count() == 3)
+  }
 }

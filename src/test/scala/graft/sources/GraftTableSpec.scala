@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 
 import graft.SparkTestBase
 import graft.operators.TableFormat
@@ -89,6 +89,55 @@ class GraftTableSpec extends SparkTestBase {
       "a fractional literal must yield no pruning bound on an integral column")
     assert(spark.sql("SELECT count(1) FROM graft.db.spec_f WHERE k > 100.5")
       .head.getLong(0) == 3899)
+  }
+
+  test("hidden partitioning: days(ts) clusters on raw ts; raw predicates prune (r13)") {
+    val _ = wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.hp")
+    spark.sql("CREATE TABLE graft.db.hp (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+    spark.sql(
+      """INSERT INTO graft.db.hp
+        |SELECT timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, CAST(id AS INT), 0), id
+        |FROM range(0, 20000)""".stripMargin)
+    val base = s"$wh/db/hp"
+    val v = TableFormat.currentVersion(spark, base)
+    // the transform resolves to clustering on the SOURCE column with
+    // real per-file micros bounds from the parquet footers
+    assert(TableFormat.manifestStatsCols(spark, base, v) == Seq("ts"))
+    val entries = TableFormat.manifestEntries(spark, base, v)
+    assert(entries.size >= 2 && entries.forall(e => e.lo.isDefined && e.hi.isDefined),
+      s"temporal footer stats missing: ${entries.map(e => (e.lo, e.hi))}")
+    // a predicate on the RAW column prunes files — the hidden-partitioning
+    // contract: the query never names the transform
+    val sb = new GraftScanBuilder(base, v,
+      TableFormat.manifestSchema(spark, base, v).get, Seq("ts"), spark, 0)
+    sb.pushFilters(Array(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))))
+    assert(sb.keptEntries().size < entries.size,
+      s"kept ${sb.keptEntries().size} of ${entries.size} — raw ts predicate didn't prune")
+    assert(spark.sql(
+      """SELECT count(1) FROM graft.db.hp
+        |WHERE ts >= timestamp'2024-01-02 00:00:00'
+        |  AND ts < timestamp'2024-01-03 00:00:00'""".stripMargin)
+      .head.getLong(0) == 1440) // one day of one-a-minute rows
+    // bucket(n, col) = Iceberg transform syntax for the graft.bucket layout
+    spark.sql("DROP TABLE IF EXISTS graft.db.hpb")
+    spark.sql("CREATE TABLE graft.db.hpb (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    val bBase = s"$wh/db/hpb"
+    assert(TableFormat.bucketSpecOf(TableFormat.manifestProps(spark, bBase,
+      TableFormat.currentVersion(spark, bBase))) == Some((4, "k")),
+      "bucket transform must land as the graft.bucket layout property")
+    spark.sql("INSERT INTO graft.db.hpb SELECT id, concat('r', id) FROM range(0, 100)")
+    val bEntries = TableFormat.manifestEntries(spark, bBase,
+      TableFormat.currentVersion(spark, bBase))
+    assert(bEntries.nonEmpty && bEntries.forall(_.path.contains("__bkt=")),
+      "bucket-transform INSERT must route one-file-per-bucket")
+    // unknown transforms refuse naming the supported set
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.hpx (k BIGINT) PARTITIONED BY (foo(k))")
+    }
+    assert(e.getMessage.contains("transform"), s"wrong error: ${e.getMessage}")
   }
 
   test("catalog DDL: createTable refuses to destroy a populated non-table path (r9)") {
