@@ -106,5 +106,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.MvDetailTvf.name),
       graft.sources.MvDetailTvf.info,
       graft.sources.MvDetailTvf.builder))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableManifestTvf.name),
+      graft.sources.TableManifestTvf.info,
+      graft.sources.TableManifestTvf.builder))
   }
 }

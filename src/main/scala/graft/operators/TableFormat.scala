@@ -354,6 +354,20 @@ object TableFormat {
     invalidateManifest(manifestPath(base, version))
   }
 
+  /** Delta-log observability (r13): (isDelta, depth, bodyLines, bytes)
+    * of `version`'s manifest FILE — what `graft_table_manifest`
+    * surfaces. bodyLines = edit-script size for a delta, snapshot entry
+    * count for a full manifest. */
+  def manifestLogStat(spark: SparkSession, base: String,
+                      version: Int): (Boolean, Int, Int, Long) = {
+    val lines = manifestText(spark, base, version).split("\n")
+    val delta = lines.exists(_.startsWith(DeltaPrefix))
+    val body = lines.count(l => l.nonEmpty && !l.startsWith("#"))
+    val bytes = fs(spark, base)
+      .getFileStatus(new Path(manifestPath(base, version))).getLen
+    (delta, deltaDepth(spark, base, version), body, bytes)
+  }
+
   /** The versions whose manifest FILES `version`'s resolution needs:
     * itself plus the transitive `#delta` parents back to the chain's
     * full manifest — what vacuum must keep on disk for a retained

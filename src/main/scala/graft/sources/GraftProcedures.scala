@@ -298,6 +298,42 @@ object TableFilesTvf {
     SqlBridge.registerTableFunction(spark, name, info, builder)
 }
 
+/** `graft_table_manifest(base)` — the commit LOG's physical shape as a
+  * composable TVF (r13, delta-log observability): one row per live
+  * version with its op, whether the manifest is a delta or a full
+  * checkpoint, its chain depth, the edit-script size (entry count for
+  * full manifests), the manifest's on-disk bytes, and the RESOLVED
+  * snapshot entry count. What an operator reads to see metadata-write
+  * amplification: a healthy log shows tiny delta bytes between full
+  * checkpoints every [[graft.operators.TableFormat.CheckpointEvery]]
+  * commits. Pure metadata — one small file read per version. */
+object TableManifestTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  val name = "graft_table_manifest"
+
+  def builder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 1, s"$name(base) takes 1 argument, got ${args.length}")
+    val spark = SparkSession.active
+    val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
+    import spark.implicits._
+    val rows = TableFormat.history(spark, base).map { case (v, op, _) =>
+      val (isDelta, depth, body, bytes) = TableFormat.manifestLogStat(spark, base, v)
+      (v, op, isDelta, depth, body, bytes,
+        TableFormat.manifestEntries(spark, base, v).size)
+    }
+    SqlBridge.analyzed(rows.toDF("version", "op", "is_delta", "delta_depth",
+      "script_lines", "manifest_bytes", "entries"))
+  }
+
+  val info = new ExpressionInfo(getClass.getName, name)
+
+  def register(spark: SparkSession): Unit =
+    SqlBridge.registerTableFunction(spark, name, info, builder)
+}
+
 /** `graft_table_branches(base)` — the branch listing as a composable
   * TVF (r11): one row per branch under `base/branches/` with its fork
   * version, current head version, and whether it has diverged from the

@@ -1955,6 +1955,29 @@ class GraftTableSpec extends SparkTestBase {
     assert(TableFormat.currentVersion(spark, base) == v2)
   }
 
+  test("graft_table_manifest TVF: the commit log's delta/checkpoint shape (r13)") {
+    val base = s"$wh/db/mlog_tvf"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 1, None)
+    TableFormat.appendCommit(spark, base, Seq((3L, "c")).toDF("id", "v"))
+    TableFormat.appendCommit(spark, base, Seq((4L, "d")).toDF("id", "v"))
+    TableManifestTvf.register(spark)
+    val rows = spark.sql(
+      "SELECT * FROM graft_table_manifest('db.mlog_tvf') ORDER BY version").collect()
+    assert(rows.length == 3)
+    assert(!rows(0).getAs[Boolean]("is_delta") && rows(0).getAs[Int]("delta_depth") == 0)
+    assert(rows(1).getAs[Boolean]("is_delta") && rows(1).getAs[Int]("delta_depth") == 1)
+    assert(rows(2).getAs[Boolean]("is_delta") && rows(2).getAs[Int]("delta_depth") == 2)
+    // delta script ∝ the change, resolved entries ∝ the snapshot
+    assert(rows(2).getAs[Int]("script_lines") ==
+      rows(2).getAs[Int]("entries") - rows(1).getAs[Int]("entries"))
+    assert(rows(2).getAs[Long]("manifest_bytes") < rows(0).getAs[Long]("manifest_bytes") +
+      rows(1).getAs[Long]("manifest_bytes"),
+      "a delta manifest must be smaller than restating the log")
+    assert(rows.map(_.getAs[String]("op")).toSeq == Seq("replace", "append", "append"))
+  }
+
   test("graft_table_files TVF: per-file inventory with live rows, bytes, bucket ids and dv pointers (r12)") {
     val base = s"$wh/db/files_tvf"
     val p = new org.apache.hadoop.fs.Path(base)
