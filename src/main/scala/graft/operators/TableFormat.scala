@@ -354,6 +354,22 @@ object TableFormat {
     invalidateManifest(manifestPath(base, version))
   }
 
+  /** Newest version whose manifest was published at or before epoch-ms
+    * `tsMillis` — the TIMESTAMP AS OF rule (the put-if-absent manifest
+    * create IS the commit instant, manifests are never rewritten except
+    * vacuum's content-equivalent materialization, so the filesystem
+    * clock is authoritative; vacuumed gaps skip). None when the
+    * earliest retained manifest is newer. */
+  def versionAtOrBefore(spark: SparkSession, base: String,
+                        tsMillis: Long): Option[Int] = {
+    val f = fs(spark, base)
+    (1 to latestVersion(spark, base)).filter { v =>
+      try f.getFileStatus(new Path(manifestPath(base, v)))
+        .getModificationTime <= tsMillis
+      catch { case _: java.io.FileNotFoundException => false }
+    }.maxOption
+  }
+
   /** Delta-log observability (r13): (isDelta, depth, bodyLines, bytes)
     * of `version`'s manifest FILE — what `graft_table_manifest`
     * surfaces. bodyLines = edit-script size for a delta, snapshot entry
@@ -3756,6 +3772,71 @@ object TableFormat {
       }
     }
     -1 // unreachable
+  }
+
+  /** PARTITION EVOLUTION (r13) — re-declare the table's clustering
+    * columns as a METADATA-ONLY commit, the Iceberg
+    * `REPLACE PARTITION FIELD` analog: new writes cluster and collect
+    * bounds under the NEW declaration immediately, while every existing
+    * entry's recorded stats REMAP positionally — a column present in
+    * both declarations keeps its per-file bounds (in its new slot), a
+    * newly-declared column reads as unknown (files always read — never
+    * fast-and-wrong) until maintenance (`optimize_cluster` /
+    * `optimize_incremental`) rewrites them under the new layout. Zero
+    * data IO at declare time; pruning on still-declared columns
+    * survives the evolution uninterrupted. The #stats header and each
+    * entry's triples move in the SAME commit, so positional stats can
+    * never be read under the wrong declaration. Returns
+    * (newVersion, columns carried over). */
+  def setClustering(spark: SparkSession, base: String, newCols: Seq[String],
+                    maxRetries: Int = 10): (Int, Int) = {
+    require(newCols.nonEmpty, "set_clustering: declare at least one column")
+    require(newCols.distinct == newCols,
+      s"set_clustering: duplicate columns in ${newCols.mkString(",")}")
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(spark, base)
+      require(v > 0, s"table $base: cannot re-cluster a table with no commits")
+      val schema = manifestSchema(spark, base, v).getOrElse(
+        throw new IllegalStateException(s"table $base v$v has no schema header"))
+      newCols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"set_clustering: column $c is not in the table schema"))
+        f.dataType match {
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => ()
+          case dt => throw new IllegalArgumentException(
+            s"set_clustering: column $c has type ${dt.simpleString} — clustering " +
+              "bounds are integral, string, or temporal")
+        }
+      }
+      val oldCols = manifestStatsCols(spark, base, v)
+      val carried = newCols.count(oldCols.contains)
+      val remapped = manifestEntries(spark, base, v).map { e =>
+        val ts = newCols.map { c =>
+          val j = oldCols.indexOf(c)
+          if (j >= 0) e.statsAt(j) else (None, None, None)
+        }
+        val ss = newCols.map { c =>
+          val j = oldCols.indexOf(c)
+          if (j >= 0) e.strStatsAt(j) else (None, None)
+        }
+        e.withStatsTriples(ts, ss)
+      }
+      try
+        return (writeManifest(spark, base, v + 1, schema.json, remapped,
+          txn = None, statsCols = newCols, op = "alter"), carried)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    (-1, -1) // unreachable
   }
 
   /** SCHEMA-ALTER commit (r10, VERDICT r9 #3): re-publish the current

@@ -232,15 +232,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
     val tsMillis = timestamp / 1000L
-    val atOrBefore = (1 to TableFormat.latestVersion(spark, path)).filter { v =>
-      try fs.getFileStatus(new HadoopPath(s"$path/_manifests/v$v.manifest"))
-        .getModificationTime <= tsMillis
-      catch { case _: java.io.FileNotFoundException => false } // vacuumed gap
-    }
+    val atOrBefore = TableFormat.versionAtOrBefore(spark, path, tsMillis)
     require(atOrBefore.nonEmpty,
       s"graft catalog: no snapshot of $ident at or before " +
         s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest manifest is newer)")
-    new GraftTable(path, Some(atOrBefore.max), spark)
+    new GraftTable(path, atOrBefore, spark)
   }
   private def load(ident: Identifier, version: Option[Int]): Table = {
     val path = tablePath(ident)

@@ -58,12 +58,29 @@ object TableChangesTvf {
 
   def builder: Seq[Expression] => LogicalPlan = { args =>
     require(args.length == 2 || args.length == 3,
-      s"$name(base, fromVersion[, toVersion]) takes 2 or 3 arguments, got ${args.length}")
+      s"$name(base, from[, to]) takes 2 or 3 arguments, got ${args.length}")
     val spark = SparkSession.active
     val base = GraftTvf.resolveBase(spark, GraftTvf.evalStr(args.head))
-    val from = GraftTvf.evalInt(name)(args(1))
+    // TIMESTAMP bounds (r13, the Delta table_changes timestamp form):
+    // `from` resolves to the newest version AT OR BEFORE the instant —
+    // the feed then carries exactly the changes committed AFTER it
+    // ((from, to] semantics, same as the version form); a from-instant
+    // predating the table yields the full retained history. `to` must
+    // land at or after some snapshot, loudly otherwise.
+    def bound(e: Expression, isFrom: Boolean): Int = e.dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        val tsMillis = e.eval(null).asInstanceOf[Long] / 1000L
+        TableFormat.versionAtOrBefore(spark, base, tsMillis).getOrElse {
+          if (isFrom) 0
+          else throw new IllegalArgumentException(
+            s"$name: no snapshot of $base at or before " +
+              java.time.Instant.ofEpochMilli(tsMillis))
+        }
+      case _ => GraftTvf.evalInt(name)(e)
+    }
+    val from = bound(args(1), isFrom = true)
     val to =
-      if (args.length == 3) GraftTvf.evalInt(name)(args(2))
+      if (args.length == 3) bound(args(2), isFrom = false)
       else TableFormat.currentVersion(spark, base)
     SqlBridge.analyzed(TableFormat.readChanges(spark, base, from, to))
   }
@@ -587,6 +604,28 @@ object GraftProcedures {
     }
   }
 
+  /** PARTITION EVOLUTION (r13) — `CALL graft.system.set_clustering(
+    * 'db.t', 'b,a')`, the Iceberg REPLACE PARTITION FIELD analog:
+    * re-declares the clustering columns metadata-only. New writes
+    * cluster and collect bounds the new way immediately; existing
+    * entries' stats remap positionally, so pruning on columns present
+    * in BOTH declarations never blinks, and newly-declared columns read
+    * as unknown until a maintenance rewrite. Returns
+    * (version, cols_carried). */
+  private object SetClusteringProc extends Proc("set_clustering",
+    Seq(in("table", StringType), in("columns", StringType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("cols_carried", IntegerType)))) {
+    override def description(): String =
+      "re-declare the clustering columns metadata-only; shared columns keep their bounds"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val cols = input.getUTF8String(1).toString
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      val (v, carried) = TableFormat.setClustering(spark, base, cols)
+      new GenericInternalRow(Array[Any](v, carried))
+    }
+  }
+
   /** EXPIRE SNAPSHOTS (r13) — TIME-BASED retention, the Iceberg
     * `expire_snapshots` / Delta `VACUUM ... RETAIN n HOURS` shape: the
     * retained set is every version whose manifest is YOUNGER than
@@ -807,8 +846,8 @@ object GraftProcedures {
   }
 
   private val all: Seq[Proc] =
-    Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, OptimizeZorderProc,
-      RestoreProc, CloneProc,
+    Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, SetClusteringProc,
+      OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, RebaseProc, PurgeDvProc,
       OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,

@@ -737,6 +737,42 @@ class GraftTableSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("no snapshot")), e.getMessage)
   }
 
+  test("graft_table_changes accepts TIMESTAMP bounds: (from, to] by commit instant (r13)") {
+    val _ = wh
+    val base = s"$wh/db/cdf_ts"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 1, None)
+    Thread.sleep(150) // manifest mtimes are millisecond-granular
+    val mid = java.sql.Timestamp.from(java.time.Instant.now())
+    Thread.sleep(150)
+    TableFormat.appendCommit(spark, base, Seq((3L, "c")).toDF("k", "v"))
+    TableChangesTvf.register(spark)
+    // from = newest version at/before mid (v1) → exactly v2's changes
+    val rows = spark.sql(
+      s"SELECT k, _change_type, _commit_version FROM " +
+        s"graft_table_changes('db.cdf_ts', TIMESTAMP '$mid') ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((3L, "insert", 2)), s"got ${rows.toSeq}")
+    // a from-instant predating the table anchors at version 0: full feed
+    val all = spark.sql(
+      "SELECT count(1) FROM graft_table_changes('db.cdf_ts', " +
+        "TIMESTAMP '1999-01-01 00:00:00')").head.getLong(0)
+    assert(all == 3)
+    // mixed forms compose: timestamp from, version to
+    val upTo1 = spark.sql(
+      "SELECT count(1) FROM graft_table_changes('db.cdf_ts', " +
+        "TIMESTAMP '1999-01-01 00:00:00', 1)").head.getLong(0)
+    assert(upTo1 == 2)
+    // a to-instant before the first commit refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('db.cdf_ts', " +
+        s"TIMESTAMP '$mid', TIMESTAMP '1999-01-01 00:00:00')").collect()
+    }
+    assert(e.getMessage.contains("no snapshot") ||
+      Option(e.getCause).exists(_.getMessage.contains("no snapshot")), e.getMessage)
+  }
+
   test("table stream: version offsets deliver each append exactly once") {
     val base = freshBase("tstream1")
     TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None)
@@ -1953,6 +1989,51 @@ class GraftTableSpec extends SparkTestBase {
       s"expected the leak refusal, got: ${e.getMessage}")
     // and the refused write changed NOTHING
     assert(TableFormat.currentVersion(spark, base) == v2)
+  }
+
+  test("partition evolution: set_clustering remaps stats; shared columns keep pruning (r13)") {
+    val _ = wh
+    val base = s"$wh/db/pevol"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("DROP TABLE IF EXISTS graft.db.pevol")
+    spark.sql("CREATE TABLE graft.db.pevol (a BIGINT, b BIGINT, v STRING) PARTITIONED BY (a)")
+    spark.sql("INSERT INTO graft.db.pevol SELECT id, (id * 7919) % 4000, concat('r', id) FROM range(0, 4000)")
+    val v1 = TableFormat.currentVersion(spark, base)
+    val total = TableFormat.manifestEntries(spark, base, v1).size
+    assert(total >= 2 && TableFormat.manifestStatsCols(spark, base, v1) == Seq("a"))
+    // evolve: b leads, a stays declared
+    val r = spark.sql("CALL graft.system.set_clustering('db.pevol', 'b,a')").head
+    val v2 = r.getInt(0)
+    assert(r.getInt(1) == 1, "one column (a) carried over")
+    assert(TableFormat.manifestStatsCols(spark, base, v2) == Seq("b", "a"))
+    // a's bounds survived the remap IN THE NEW SLOT: pruning on a never blinks
+    val sb = new GraftScanBuilder(base, v2,
+      TableFormat.manifestSchema(spark, base, v2).get, Seq("b", "a"), spark, 0)
+    sb.pushFilters(Array(GreaterThanOrEqual("a", 100L), LessThanOrEqual("a", 200L)))
+    assert(sb.keptEntries().size < total,
+      s"kept ${sb.keptEntries().size} of $total — remapped bounds didn't prune")
+    // b is newly declared: unknown bounds on old files → no pruning, never wrong
+    val sb2 = new GraftScanBuilder(base, v2,
+      TableFormat.manifestSchema(spark, base, v2).get, Seq("b", "a"), spark, 0)
+    sb2.pushFilters(Array(GreaterThanOrEqual("b", 100L), LessThanOrEqual("b", 200L)))
+    assert(sb2.keptEntries().size == total, "unknown bounds must read, not prune")
+    assert(spark.sql(
+      "SELECT count(1) FROM graft.db.pevol WHERE a BETWEEN 100 AND 200").head.getLong(0) == 101)
+    // new INSERTs collect bounds under the NEW declaration: b leads
+    spark.sql("INSERT INTO graft.db.pevol SELECT id, id, concat('n', id) FROM range(4000, 8000)")
+    val v3 = TableFormat.currentVersion(spark, base)
+    val newEntries = TableFormat.manifestEntries(spark, base, v3)
+      .filterNot(TableFormat.manifestEntries(spark, base, v2).toSet)
+    assert(newEntries.nonEmpty && newEntries.forall(e =>
+      e.lo.isDefined && e.hi.isDefined && e.statsAt(1)._1.isDefined),
+      s"post-evolution insert missing new-declaration bounds: $newEntries")
+    assert(spark.sql("SELECT count(1) FROM graft.db.pevol").head.getLong(0) == 8000)
+    // a non-existent column refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.set_clustering('db.pevol', 'nope')").collect()
+    }
+    assert(e.getMessage.contains("not in the table schema"), e.getMessage)
   }
 
   test("graft_table_manifest TVF: the commit log's delta/checkpoint shape (r13)") {
