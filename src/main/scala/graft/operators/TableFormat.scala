@@ -2663,9 +2663,14 @@ object TableFormat {
                   org.apache.spark.sql.types.LongType) => col(c).cast("long")
         case Some(org.apache.spark.sql.types.StringType) =>
           graft.functions.HashKernels.prefix_rank(col(c))
+        // temporal dims (r13, hidden partitioning): micros/epoch-days —
+        // the same units the footer stats record, so the curve's grid
+        // and the per-file bounds agree on ordering
+        case Some(org.apache.spark.sql.types.TimestampType) => unix_micros(col(c))
+        case Some(org.apache.spark.sql.types.DateType) => unix_date(col(c)).cast("long")
         case other => throw new IllegalArgumentException(
           s"optimizeZorderN: column $c (${other.fold("?")(_.simpleString)}) is " +
-            "neither integral nor string — use optimize_cluster")
+            "neither integral, string, nor timestamp/date — use optimize_cluster")
       }
     }
     val df = readSnapshot(spark, base, Some(v))

@@ -1612,13 +1612,40 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
         (i, Some(c).filter(isString).map(GraftScanBuilder.strBounds(pushed, _))
           .filter(b => b._1.isDefined || b._2.isDefined))
       }
+    // NULL-COUNT pruning (r13): top-level pushed conjuncts only (Spark
+    // pushes WHERE conjuncts as separate filters). `c IS NULL` skips a
+    // proven null-free file; `c IS NOT NULL` — and any RANGE predicate,
+    // which can only match non-null values — skips a proven all-null
+    // file. Unknown counts always read; deletion vectors only remove
+    // rows, so neither proof can be invalidated by a dv.
+    val nullPrunes: Seq[TableFormat.ManifestEntry => Boolean] =
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        def allNullSkips(e: TableFormat.ManifestEntry): Boolean = {
+          val n = e.statsAt(i)._3
+          !(n.isDefined && e.rows.isDefined && n.get >= e.rows.get)
+        }
+        val fromFilters = pushed.toSeq.collect {
+          case IsNull(a) if a == c =>
+            (e: TableFormat.ManifestEntry) => e.statsAt(i)._3.forall(_ > 0L)
+          case IsNotNull(a) if a == c => allNullSkips _
+        }
+        // an active range/equality envelope implies IS NOT NULL
+        val fromBounds =
+          if (bs.exists { case (j, b) =>
+                j == i && b.exists(w => w != (Long.MinValue, Long.MaxValue)) } ||
+              sbs.exists { case (j, b) => j == i && b.isDefined })
+            Seq(allNullSkips _)
+          else Nil
+        fromFilters ++ fromBounds
+      }
     entries.filter { e =>
       bs.forall { case (i, b) =>
         b.forall { case (lo, hi) => e.mayMatchAt(i, lo, hi) }
       } &&
       sbs.forall { case (i, b) =>
         b.forall { case (lo, hi) => e.mayMatchStrAt(i, lo, hi) }
-      }
+      } &&
+      nullPrunes.forall(_(e))
     }
   }
 
@@ -2060,6 +2087,7 @@ object GraftScanBuilder {
     case LessThanOrEqual(_, v) => literalOk(v)
     case In(_, vs) => vs.forall(literalOk)
     case IsNull(_) | IsNotNull(_) => true
+    case StringStartsWith(_, v) => v != null // r13: LIKE 'p%' prunes by string bounds
     case And(l, r) => translatable(l) && translatable(r)
     case Or(l, r) => translatable(l) && translatable(r)
     case _ => false
@@ -2085,6 +2113,7 @@ object GraftScanBuilder {
     case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
     case IsNull(a) => Some(col(a).isNull)
     case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(lit(v)))
     case And(l, r) => for (cl <- toColumn(l); cr <- toColumn(r)) yield cl && cr
     case Or(l, r) => for (cl <- toColumn(l); cr <- toColumn(r)) yield cl || cr
     case _ => None
@@ -2149,6 +2178,14 @@ object GraftScanBuilder {
       case In(a, vs) if a == c && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         val ss = vs.map(_.asInstanceOf[String])
         (Some(ss.min(ord)), Some(ss.max(ord)))
+      // LIKE 'p%' (r13): every match is ≥ p in UTF8 byte order, and
+      // < the prefix's code-point successor — UTF-8 preserves
+      // code-point order byte-wise, so the inclusive successor bound is
+      // a NECESSARY envelope (at most one extra boundary file reads,
+      // none is wrongly skipped). A prefix ending in a high surrogate
+      // or U+FFFF keeps the lower bound only.
+      case StringStartsWith(a, v) if a == c && v != null =>
+        (Some(v), prefixSuccessor(v))
       case And(l, r) =>
         val (ll, lh) = one(l); val (rl, rh) = one(r)
         (maxOpt(ll, rl), minOpt(lh, rh))
@@ -2186,6 +2223,23 @@ object GraftScanBuilder {
   }
   private def micros(i: java.time.Instant): Long =
     Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+
+  /** The smallest string strictly greater than every string with prefix
+    * `p`, in UTF8 byte order: increment p's LAST code point (skipping
+    * a trailing low/high-surrogate half or U+FFFD..U+FFFF edge by
+    * shortening). None when no safe successor exists — the caller keeps
+    * the lower bound only, still a valid necessary condition. */
+  private[sources] def prefixSuccessor(p: String): Option[String] = {
+    // a char is safely incrementable when char+1 is neither a surrogate
+    // half nor past the BMP: c+1 in surrogate range for c in
+    // [D7FF, DFFF], and c == FFFF has no in-char successor
+    def incrementable(c: Char): Boolean =
+      (c < 0xD7FF) || (c >= 0xE000 && c < 0xFFFF)
+    var i = p.length - 1
+    while (i >= 0 && !incrementable(p.charAt(i))) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
 }
 
 /** Version-offset for the table-format stream. */

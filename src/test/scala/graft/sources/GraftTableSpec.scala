@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 
 import graft.SparkTestBase
 import graft.operators.TableFormat
@@ -138,6 +138,21 @@ class GraftTableSpec extends SparkTestBase {
       spark.sql("CREATE TABLE graft.db.hpx (k BIGINT) PARTITIONED BY (foo(k))")
     }
     assert(e.getMessage.contains("transform"), s"wrong error: ${e.getMessage}")
+    // temporal z-order: a (days(ts), v) declaration rides the curve in
+    // micros — both dims' bounds recorded, answers exact
+    spark.sql("DROP TABLE IF EXISTS graft.db.hpz")
+    spark.sql("CREATE TABLE graft.db.hpz (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts), v)")
+    spark.sql(
+      """INSERT INTO graft.db.hpz
+        |SELECT timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, CAST(id % 1440 AS INT), 0), id
+        |FROM range(0, 8000)""".stripMargin)
+    val zr = spark.sql("CALL graft.system.optimize_zorder_n('db.hpz', 4)").head
+    val zEntries = TableFormat.manifestEntries(spark, s"$wh/db/hpz", zr.getInt(0))
+    assert(zEntries.size >= 2 && zEntries.forall(ze =>
+      ze.lo.isDefined && ze.hi.isDefined && ze.statsAt(1)._1.isDefined),
+      s"z-ordered temporal bounds missing: ${zEntries.map(ze => (ze.lo, ze.hi))}")
+    assert(spark.sql("SELECT count(1) FROM graft.db.hpz WHERE v BETWEEN 100 AND 200")
+      .head.getLong(0) == 101)
   }
 
   test("catalog DDL: createTable refuses to destroy a populated non-table path (r9)") {
@@ -1989,6 +2004,66 @@ class GraftTableSpec extends SparkTestBase {
       s"expected the leak refusal, got: ${e.getMessage}")
     // and the refused write changed NOTHING
     assert(TableFormat.currentVersion(spark, base) == v2)
+  }
+
+  test("prefix pruning: LIKE 'p%' prunes string-clustered files via the successor bound (r13)") {
+    // prefixSuccessor unit behavior first
+    assert(GraftScanBuilder.prefixSuccessor("en") == Some("eo"))
+    assert(GraftScanBuilder.prefixSuccessor("e\uffff") == Some("f"))
+    assert(GraftScanBuilder.prefixSuccessor("\uffff") == None)
+    val base = s"$wh/db/prefix_skip"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 2000L).map(i => (Seq("de", "en", "fr", "ja")((i % 4).toInt) + s"-${i % 7}", i))
+        .toDF("lang", "doc_id"),
+      1, None, statsCol = Some("lang"), clusterFiles = Some(4))
+    val total = TableFormat.manifestEntries(spark, base, 1).size
+    assert(total >= 2)
+    val sb = new GraftScanBuilder(base, 1,
+      TableFormat.manifestSchema(spark, base, 1).get, Seq("lang"), spark, 0)
+    sb.pushFilters(Array(StringStartsWith("lang", "en")))
+    assert(sb.keptEntries().size < total,
+      s"kept ${sb.keptEntries().size} of $total — prefix predicate didn't prune")
+    assert(spark.sql(
+      "SELECT count(1) FROM graft.db.prefix_skip WHERE lang LIKE 'en-%'")
+      .head.getLong(0) == 500)
+  }
+
+  test("null-count pruning: IS [NOT] NULL and range predicates skip proven files (r13)") {
+    val base = s"$wh/db/null_skip"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // nulls range-cluster first → one all-null file, three null-free
+    val rows = (0 until 2000).map(i =>
+      (if (i < 500) None else Some(i.toLong), s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None,
+      statsCol = Some("k"), clusterFiles = Some(4))
+    val entries = TableFormat.manifestEntries(spark, base, 1)
+    val total = entries.size
+    assert(entries.exists(e => e.nulls.exists(_ > 0) && e.rows.exists(r => e.nulls.contains(r))),
+      s"test premise: need a proven all-null file, got ${entries.map(e => (e.nulls, e.rows))}")
+    val schema = TableFormat.manifestSchema(spark, base, 1).get
+    // IS NOT NULL skips the all-null file
+    val sb1 = new GraftScanBuilder(base, 1, schema, Seq("k"), spark, 0)
+    sb1.pushFilters(Array(IsNotNull("k")))
+    assert(sb1.keptEntries().size < total, "IS NOT NULL didn't skip the all-null file")
+    // a range predicate implies IS NOT NULL: the stat-less all-null file
+    // (min/max ignore NULLs → no bounds) is skipped by its null proof
+    val sb2 = new GraftScanBuilder(base, 1, schema, Seq("k"), spark, 0)
+    sb2.pushFilters(Array(GreaterThanOrEqual("k", 1900L)))
+    assert(sb2.keptEntries().size < total, "range didn't skip the all-null file")
+    // IS NULL skips every proven null-free file
+    val sb3 = new GraftScanBuilder(base, 1, schema, Seq("k"), spark, 0)
+    sb3.pushFilters(Array(IsNull("k")))
+    assert(sb3.keptEntries().size < total, "IS NULL didn't skip null-free files")
+    // results stay exact through SQL
+    assert(spark.sql("SELECT count(1) FROM graft.db.null_skip WHERE k IS NULL")
+      .head.getLong(0) == 500)
+    assert(spark.sql("SELECT count(1) FROM graft.db.null_skip WHERE k IS NOT NULL")
+      .head.getLong(0) == 1500)
+    assert(spark.sql("SELECT count(1) FROM graft.db.null_skip WHERE k >= 1900")
+      .head.getLong(0) == 100)
   }
 
   test("partition evolution: set_clustering remaps stats; shared columns keep pruning (r13)") {
