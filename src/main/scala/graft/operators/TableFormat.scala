@@ -963,6 +963,40 @@ object TableFormat {
       }.toMap
     }.getOrElse(Map.empty)
 
+  /** Per-column EQUI-HEIGHT HISTOGRAMS (r13): `#hist` carries, per
+    * declared stats column ANALYZE processed, `height|lo:hi:ndv;…` —
+    * the selectivity input CBO's FilterEstimation consumes beyond plain
+    * NDV, so skewed columns stop estimating under the uniformity
+    * assumption. Values are the column's numeric image (raw integral,
+    * micros for timestamps, epoch-days for dates — the stats units).
+    * Inherited through commits like `#ndv`, same staleness contract
+    * (exact as of the last ANALYZE, advisory afterwards — estimation
+    * input, never correctness). */
+  private val HistPrefix = "#hist\t"
+
+  /** Raw (encoded) histogram strings — the inheritance currency. */
+  private def manifestHistRaw(spark: SparkSession, base: String,
+                              version: Int): Map[String, String] =
+    manifestHeader(spark, base, version, HistPrefix).map { body =>
+      body.split("\t").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        dec(kv.substring(0, i)) -> kv.substring(i + 1)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** column → (binHeight, bins as (lo, hi, ndv)) of snapshot `version`. */
+  def manifestHist(spark: SparkSession, base: String, version: Int)
+      : Map[String, (Double, Seq[(Double, Double, Long)])] =
+    manifestHistRaw(spark, base, version).map { case (c, s) =>
+      val bar = s.indexOf('|')
+      val height = s.substring(0, bar).toDouble
+      val bins = s.substring(bar + 1).split(";").toSeq.filter(_.nonEmpty).map { b =>
+        val p = b.split(":")
+        (p(0).toDouble, p(1).toDouble, p(2).toLong)
+      }
+      c -> (height, bins)
+    }
+
   /** Distinct-count estimate decoded from a `#ndv` sketch. */
   def ndvEstimate(sketchB64: String): Long =
     math.round(org.apache.datasketches.hll.HllSketch.heapify(
@@ -1045,18 +1079,74 @@ object TableFormat {
                org.apache.spark.sql.types.BinaryType => true
           case _ => false
         })
-      if (sketchable.isEmpty) return (v, Map.empty)
-      val aggs = sketchable.map(c => hll_sketch_agg(col(c)).as(c))
-      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val fresh = sketchable.zipWithIndex.map { case (c, i) =>
-        c -> java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
+      val fresh =
+        if (sketchable.isEmpty) Map.empty[String, String]
+        else {
+          val aggs = sketchable.map(c => hll_sketch_agg(col(c)).as(c))
+          val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+          sketchable.zipWithIndex.map { case (c, i) =>
+            c -> java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
+          }.toMap
+        }
+      // EQUI-HEIGHT HISTOGRAMS (r13) for the numeric-image stats columns:
+      // 32 bins bounded at approximate quantiles (one agg pass), per-bin
+      // NDV from a bucketed approx-distinct pass per column — the same
+      // O(table) cost class ANALYZE already is. Values map to the stats
+      // units (raw integral / micros / epoch-days), matching what CBO's
+      // FilterEstimation compares predicate literals against.
+      val nBins = 32
+      val histCols = statsCols.filter(c =>
+        df.schema.fields.find(_.name == c).map(_.dataType).exists {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false
+        })
+      val hist: Map[String, String] = histCols.flatMap { c =>
+        val dcol = df.schema(c).dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(col(c).cast("timestamp")).cast("double")
+          case org.apache.spark.sql.types.DateType =>
+            unix_date(col(c)).cast("double")
+          case _ => col(c).cast("double")
+        }
+        val qs = (0 to nBins).map(_.toDouble / nBins).toArray
+        val cutsRow = df.select(
+          percentile_approx(dcol, lit(qs), lit(10000)).as("q")).head
+        if (cutsRow.isNullAt(0)) None // all-null or empty column
+        else {
+          val cuts = cutsRow.getSeq[Double](0)
+          // bin index = number of INNER cut points strictly below v
+          val binExpr = cuts.slice(1, nBins).foldLeft(lit(0))((acc, cp) =>
+            acc + when(dcol > lit(cp), 1).otherwise(0))
+          val perBin = df.filter(dcol.isNotNull)
+            .groupBy(binExpr.as("__bin"))
+            .agg(approx_count_distinct(dcol).as("__ndv"), count(lit(1)).as("__n"))
+            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+          val nonNull = perBin.values.map(_._2).sum
+          if (nonNull == 0) None
+          else {
+            val height = nonNull.toDouble / nBins
+            val bins = (0 until nBins).map { i =>
+              s"${cuts(i)}:${cuts(i + 1)}:${perBin.get(i).map(_._1).getOrElse(0L)}"
+            }.mkString(";")
+            Some(c -> s"$height|$bins")
+          }
+        }
       }.toMap
       val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
         throw new IllegalStateException(s"table $base v$v has no schema header"))
+      if (fresh.isEmpty && hist.isEmpty) return (v, Map.empty) // nothing to record
       try
         return (writeManifest(spark, base, v + 1, schemaJson, entries,
           txn = None, statsCols = statsCols, op = "alter",
-          ndv = Some(fresh)),
+          ndv = if (fresh.isEmpty) None else Some(fresh),
+          hist = if (hist.isEmpty) None else Some(hist)),
           fresh.map { case (c, s) => c -> ndvEstimate(s) })
       catch {
         case e: CommitConflictException =>
@@ -1212,7 +1302,8 @@ object TableFormat {
                             tombstones: Option[Set[String]] = None,
                             constraints: Option[Seq[(String, String)]] = None,
                             hwm: Option[Map[String, Long]] = None,
-                            ndv: Option[Map[String, String]] = None): Int = {
+                            ndv: Option[Map[String, String]] = None,
+                            hist: Option[Map[String, String]] = None): Int = {
     // properties/colmap/tombstones flow with the table unless this
     // commit sets them: None = inherit the parent's header verbatim
     // (absent parent or pre-feature manifest → none), Some = write it
@@ -1233,6 +1324,8 @@ object TableFormat {
       inherited(manifestHwm(spark, base, version - 1), Map.empty[String, Long]))
     val effNdv = ndv.getOrElse(
       inherited(manifestNdv(spark, base, version - 1), Map.empty[String, String]))
+    val effHist = hist.getOrElse(
+      inherited(manifestHistRaw(spark, base, version - 1), Map.empty[String, String]))
     val header = Seq(SchemaPrefix + schemaJson) ++
       (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
       Seq(OpPrefix + op) ++
@@ -1257,6 +1350,10 @@ object TableFormat {
        else Nil) ++
       (if (effNdv.nonEmpty)
          Seq(NdvPrefix + effNdv.toSeq.sortBy(_._1)
+           .map { case (k, v) => s"${enc(k)}=$v" }.mkString("\t"))
+       else Nil) ++
+      (if (effHist.nonEmpty)
+         Seq(HistPrefix + effHist.toSeq.sortBy(_._1)
            .map { case (k, v) => s"${enc(k)}=$v" }.mkString("\t"))
        else Nil) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }

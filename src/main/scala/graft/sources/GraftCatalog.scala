@@ -1680,6 +1680,13 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
       val ndv =
         try TableFormat.manifestNdv(spark, base, version)
         catch { case _: Exception => Map.empty[String, String] }
+      // ANALYZE's equi-height histograms (r13): transformV2Stats maps
+      // them into catalyst ColumnStat.histogram, the input
+      // FilterEstimation uses for skew-aware selectivity under CBO
+      val histAll =
+        try TableFormat.manifestHist(spark, base, version)
+        catch { case _: Exception =>
+          Map.empty[String, (Double, Seq[(Double, Double, Long)])] }
       val kept = keptEntries()
       statsCols.zipWithIndex.foreach { case (c, i) =>
         val est = ndv.get(c).map(TableFormat.ndvEstimate)
@@ -1690,13 +1697,32 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
           if (kept.nonEmpty && nullsPer.forall(_.isDefined))
             Some(nullsPer.flatten.sum)
           else None
-        if (est.isDefined || nulls.isDefined)
+        val hbins = histAll.get(c)
+        if (est.isDefined || nulls.isDefined || hbins.isDefined)
           m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
                 est.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
               override def nullCount(): java.util.OptionalLong =
                 nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hbins match {
+                  case Some((binHeight, binList)) => java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = binHeight
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        binList.map { t =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = t._1
+                            override def hi(): Double = t._2
+                            override def ndv(): Long = t._3
+                          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                        }.toArray
+                    })
+                  case None => java.util.Optional.empty()
+                }
             })
       }
       m

@@ -356,4 +356,50 @@ class PlanAuditSpec extends SparkTestBase {
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
     }
   }
+
+  test("ANALYZE histograms: equi-height bins recorded in #hist and surfaced to catalyst stats (r13)") {
+    import graft.sources.GraftCatalog
+    import spark.implicits._
+    val wh = s"${graft.Tables.scratchDir}/graft_wh_hist"
+    val p = new org.apache.hadoop.fs.Path(wh)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.conf.set("spark.sql.catalog.graft_hist", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_hist.warehouse", wh)
+    // heavy skew: half the rows at k=0, the rest uniform — exactly the
+    // shape plain NDV estimates wrongly under the uniformity assumption
+    (0L until 10000L).map(i => (if (i < 5000) 0L else i, i)).toDF("k", "v")
+      .createOrReplaceTempView("hist_src")
+    spark.sql("CREATE TABLE graft_hist.db.hist_t (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft_hist.db.hist_t SELECT * FROM hist_src")
+    spark.sql("CALL graft_hist.system.analyze('db.hist_t')")
+    val base = s"$wh/db/hist_t"
+    val hist = TableFormat.manifestHist(spark, base,
+      TableFormat.currentVersion(spark, base))
+    assert(hist.contains("k"), s"no histogram recorded: ${hist.keys}")
+    val (height, bins) = hist("k")
+    assert(bins.size == 32, s"expected 32 bins, got ${bins.size}")
+    assert(math.abs(height - 10000.0 / 32) < 1.0, s"bin height $height")
+    // the skewed head collapses into near-degenerate low bins...
+    assert(bins.head._1 == 0.0 && bins.head._3 <= 2, s"head bin ${bins.head}")
+    // ...and the per-bin NDVs sum to roughly the true distinct count —
+    // the shape uniform-NDV estimation cannot represent
+    val ndvSum = bins.map(_._3).sum
+    assert(ndvSum > 4000 && ndvSum < 6500, s"ndv sum $ndvSum")
+    // surfaced through DSv2 columnStats → transformV2Stats → catalyst
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.sql("SELECT k FROM graft_hist.db.hist_t")
+        .queryExecution.optimizedPlan.stats
+      val h = stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "k" => s.histogram
+      }.flatten
+      assert(h.isDefined, s"histogram missing from attribute stats: ${stats.attributeStats}")
+      assert(h.get.bins.length == 32)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // histograms inherit through ordinary commits like #ndv
+    spark.sql("INSERT INTO graft_hist.db.hist_t VALUES (99999, 1)")
+    val after = TableFormat.manifestHist(spark, base,
+      TableFormat.currentVersion(spark, base))
+    assert(after.contains("k"), "histogram dropped by an append")
+  }
 }
