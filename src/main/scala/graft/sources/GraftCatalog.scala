@@ -1612,6 +1612,22 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
         (i, Some(c).filter(isString).map(GraftScanBuilder.strBounds(pushed, _))
           .filter(b => b._1.isDefined || b._2.isDefined))
       }
+    // EXACT IN-LIST pruning (r13): the range envelope keeps every file
+    // BETWEEN a sparse IN-list's extremes (IN (1, 10⁹) reads the whole
+    // table); per-value membership — survive iff SOME value intersects
+    // the file's bounds — prunes the gap. Top-level conjuncts, bounded
+    // list size (the probe is |files|·|values|).
+    val inPrunes: Seq[TableFormat.ManifestEntry => Boolean] =
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        if (!integral(c)) Nil
+        else pushed.toSeq.collect {
+          case In(a, vs) if a == c && vs.nonEmpty && vs.length <= 256 &&
+              vs.forall(v => GraftScanBuilder.numOf(v).isDefined) =>
+            val points = vs.flatMap(GraftScanBuilder.numOf)
+            (e: TableFormat.ManifestEntry) =>
+              points.exists(v => e.mayMatchAt(i, v, v))
+        }
+      }
     // NULL-COUNT pruning (r13): top-level pushed conjuncts only (Spark
     // pushes WHERE conjuncts as separate filters). `c IS NULL` skips a
     // proven null-free file; `c IS NOT NULL` — and any RANGE predicate,
@@ -1645,7 +1661,8 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
       sbs.forall { case (i, b) =>
         b.forall { case (lo, hi) => e.mayMatchStrAt(i, lo, hi) }
       } &&
-      nullPrunes.forall(_(e))
+      nullPrunes.forall(_(e)) &&
+      inPrunes.forall(_(e))
     }
   }
 
@@ -1845,7 +1862,13 @@ class GraftTableCdfMicroBatch(base: String, dataSchema: StructType, startVersion
           after.filterNot(en => beforeByPath.contains(norm(en.path)))
             .map(en => GraftFilePartition(en.path, en.dv,
               cdf = Some(GraftCdfSpec("insert", v))))
-        case Some("delete_dv") =>
+        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") =>
+          // the whole merge-on-read family is streamable (r13): deletes
+          // are the per-file dv POSITION diff exactly like delete_dv,
+          // and UPDATE/MERGE post-images are brand-new appended files —
+          // raw inserts. The stream emits the raw delete+insert form
+          // (per-file partitions can't pair update images); the batch
+          // feed pairs them when the table declares a PK.
           val dropped = before.filterNot(en => afterPaths(norm(en.path)))
             .map(en => GraftFilePartition(en.path, en.dv,
               cdf = Some(GraftCdfSpec("delete", v))))
@@ -1855,7 +1878,10 @@ class GraftTableCdfMicroBatch(base: String, dataSchema: StructType, startVersion
               cdf = Some(GraftCdfSpec("delete", v,
                 emitDiffNew = en.dv,
                 emitDiffOld = beforeByPath(norm(en.path)).dv))))
-          dropped ++ grown
+          val inserted = after.filterNot(en => beforeByPath.contains(norm(en.path)))
+            .map(en => GraftFilePartition(en.path, en.dv,
+              cdf = Some(GraftCdfSpec("insert", v))))
+          dropped ++ grown ++ inserted
         case other =>
           // a "rewrite" that removed nothing and touched no dv (the
           // table's first commit, INSERT OVERWRITE of an empty table)
@@ -2231,6 +2257,8 @@ object GraftScanBuilder {
     * adjustments in [[bounds]] assume an integral domain — `k > 10.5`
     * would become bounds (11, MAX) and prune files holding 10.6–10.9.
     * Fractional literals yield no bound → the filter prunes nothing. */
+  /** [[num]] exposed for the scan's per-value IN-list probe. */
+  private[sources] def numOf(v: Any): Option[Long] = num(v)
   private def num(v: Any): Option[Long] = v match {
     case n @ (_: java.lang.Byte | _: java.lang.Short |
               _: java.lang.Integer | _: java.lang.Long) =>

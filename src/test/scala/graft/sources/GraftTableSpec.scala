@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 
 import graft.SparkTestBase
 import graft.operators.TableFormat
@@ -1139,6 +1139,35 @@ class GraftTableSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("streaming change feed: merge-on-read UPDATE streams delete + post-image insert (r13)") {
+    val _ = wh
+    val base = s"$wh/db/cdfstream_mor"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("DROP TABLE IF EXISTS graft.db.cdfstream_mor")
+    spark.sql(
+      """CREATE TABLE graft.db.cdfstream_mor (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('update.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.cdfstream_mor VALUES (1, 10), (2, 20), (3, 30)")
+    val q = spark.readStream.format("graft-table").option("path", base)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfstream_mor").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val updV = TableFormat.currentVersion(spark, base) + 1
+      // pre-r13 this commit KILLED the stream (op=update_mor fell to the
+      // CoW refusal); it is exactly as streamable as delete_dv — the dv
+      // position diff is the delete, the appended post-image the insert
+      spark.sql("UPDATE graft.db.cdfstream_mor SET v = v + 1 WHERE k = 2")
+      q.processAllAvailable()
+      val rows = spark.table("cdfstream_mor").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+      val upd = rows.filter(_._4 == updV).sortBy(_._3)
+      assert(upd == Seq((2L, 20L, "delete", updV), (2L, 21L, "insert", updV)),
+        s"MoR update misstreamed: $upd (all: $rows)")
+    } finally q.stop()
+  }
+
   test("column DEFAULT values: INSERT fill, exists-default for pre-column files, SET/DROP DEFAULT (r10)") {
     val _ = wh
     val base = s"$wh/db/def_spec"
@@ -2028,6 +2057,26 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT count(1) FROM graft.db.prefix_skip WHERE lang LIKE 'en-%'")
       .head.getLong(0) == 500)
+  }
+
+  test("exact IN-list pruning: files between sparse IN values skip (r13)") {
+    val base = s"$wh/db/in_skip"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v"),
+      1, None, statsCol = Some("k"), clusterFiles = Some(4))
+    val total = TableFormat.manifestEntries(spark, base, 1).size
+    assert(total >= 4)
+    val sb = new GraftScanBuilder(base, 1,
+      TableFormat.manifestSchema(spark, base, 1).get, Seq("k"), spark, 0)
+    // the envelope [10, 3990] spans every file; per-value membership
+    // keeps only the two boundary files
+    sb.pushFilters(Array(In("k", Array(10L, 3990L))))
+    assert(sb.keptEntries().size == 2,
+      s"kept ${sb.keptEntries().size} of $total — sparse IN didn't prune the gap")
+    assert(spark.sql("SELECT count(1) FROM graft.db.in_skip WHERE k IN (10, 3990)")
+      .head.getLong(0) == 2)
   }
 
   test("null-count pruning: IS [NOT] NULL and range predicates skip proven files (r13)") {
