@@ -1364,7 +1364,9 @@ object TableFormat {
     // is non-empty (empty manifests stay full — their emptiness must be
     // self-evident). Everything else — v1, conflicts of any kind, mass
     // rewrites — writes the full list, which also resets the chain.
-    val fullBody = (header ++ entries.map(_.line)).mkString("\n")
+    // lazy: the common delta path must never pay the O(entry-count)
+    // snapshot serialization it exists to avoid
+    lazy val fullBody = (header ++ entries.map(_.line)).mkString("\n")
     val body: String =
       if (version <= 1 || entries.isEmpty) fullBody
       else {
@@ -1383,23 +1385,21 @@ object TableFormat {
                 parentBy.get(e.path).exists(pe => pe.line != e.line))
               val added = entries.filter(e => !parentBy.contains(e.path))
               val cost = removed.size + mods.size + added.size
-              // replay the script the way manifestEntries will. Entry
-              // LISTS are path-keyed sets to every consumer (scans read
-              // the named files, CDF diffs by path, maintenance
-              // partitions by entry), so the replay compares as a
-              // multiset: a delta canonicalizes order to "parent order,
-              // additions appended" (a CoW delete that emits
-              // untouched ++ modified resolves with the modified entry
-              // back in its parent slot — same snapshot). The guard
-              // survives as a cheap invariant check against any future
-              // line/parse round-trip asymmetry.
-              val modBy = mods.map(e => e.path -> e).toMap
-              val recon = parent.flatMap { pe =>
-                if (!newBy.contains(pe.path)) None
-                else Some(modBy.getOrElse(pe.path, pe))
-              } ++ added
+              // REPLAY EQUIVALENCE is structural, not checked per line:
+              // paths are unique on both sides (the map-size guard
+              // above), so "parent minus removals, mods applied in
+              // place, additions appended" is a bijection on paths and
+              // every surviving unchanged entry's LINE equals the
+              // intended one by the mods definition — the resolved
+              // multiset can only equal the intended entries. Entry
+              // lists are path-keyed sets to every consumer, so the
+              // canonical delta order ("parent order, additions
+              // appended") is the same snapshot. The O(1) size check
+              // stands in for the pre-optimization O(n log n) sorted
+              // line compare, which billed every commit the full
+              // snapshot cost this format exists to avoid.
               if (cost >= entries.size ||
-                  recon.map(_.line).sorted != entries.map(_.line).sorted) fullBody
+                  parent.size - removed.size + added.size != entries.size) fullBody
               else {
                 val depth = deltaDepth(spark, base, version - 1) + 1
                 (header ++ Seq(s"$DeltaPrefix${version - 1}\t$depth") ++
