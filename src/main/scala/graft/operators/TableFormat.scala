@@ -2414,8 +2414,16 @@ object TableFormat {
       .repartition(col(DvLookup.ShardCol))
       .write.partitionBy(DvLookup.ShardCol).parquet(dvDir)
     // per-file deleted counts from the WRITTEN dv (tiny metadata read):
-    // drives live-row accounting and the full-file drop in the callers
-    spark.read.parquet(dvDir).groupBy(DvFileCol)
+    // drives live-row accounting and the full-file drop in the callers.
+    // EXPLICIT schema (r13, found by the delta-log fuzz): a delete whose
+    // predicate matched ZERO rows in its stats-surviving candidates (and
+    // with no prior dv to supersede) writes an EMPTY dir — schema
+    // inference over it throws UNABLE_TO_INFER_SCHEMA where the right
+    // answer is an empty count map (the caller then no-ops).
+    spark.read.schema(
+        s"$DvFileCol STRING, $DvRunStartCol BIGINT, $DvRunLenCol BIGINT, " +
+          s"${DvLookup.ShardCol} STRING")
+      .parquet(dvDir).groupBy(DvFileCol)
       .agg(sum(col(DvRunLenCol)).as("n"))
       .collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
   }
@@ -2496,6 +2504,14 @@ object TableFormat {
       .fold(newPairs)(old => newPairs.unionByName(old)).distinct()
     val dvDir = s"$base/data/dv${version}_${java.util.UUID.randomUUID.toString.take(8)}"
     val counts = writeDvDir(spark, allPairs, dvDir)
+    // zero matches and no prior dv to supersede (an old dv would have
+    // re-counted here): nothing changed — commit NOTHING instead of an
+    // empty delete_dv version (r13, found by the delta-log fuzz)
+    if (counts.isEmpty) {
+      try { fs(spark, base).delete(new Path(dvDir), true); () }
+      catch { case _: java.io.IOException => () }
+      return (v, 0, total)
+    }
     var withDv = 0
     val updated = touched.flatMap { e =>
       val n = counts.getOrElse(normPath(e.path), 0L)

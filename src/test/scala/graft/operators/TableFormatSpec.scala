@@ -1747,6 +1747,67 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readSnapshot(spark, base2).count() == 20001)
   }
 
+  test("merge-on-read delete matching zero rows is a clean no-op (r13, fuzz find)") {
+    val base = freshBase("tf_dv_zero")
+    TableFormat.appendCommit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // stats can't exclude the candidates, but no row matches — pre-fix
+    // this wrote an EMPTY dv dir and crashed reading it back
+    // (UNABLE_TO_INFER_SCHEMA); now: no commit, no version, no dv debris
+    val (v, withDv, total) = TableFormat.deleteRowsDV(spark, base, col("id") === 99L)
+    assert(v == 1 && withDv == 0 && total == 2, s"got ($v, $withDv, $total)")
+    assert(TableFormat.currentVersion(spark, base) == 1, "no-op must not commit")
+    assert(TableFormat.readSnapshot(spark, base).count() == 2)
+    // and a REAL delete right after still works
+    val (v2, _, _) = TableFormat.deleteRowsDV(spark, base, col("id") === 1L)
+    assert(v2 == 2 && TableFormat.readSnapshot(spark, base).count() == 1)
+  }
+
+  test("delta-log fuzz: 30 seeded random commits resolve exactly at every version") {
+    val base = freshBase("tf_mdelta_fuzz")
+    val rnd = new scala.util.Random(42)
+    var live = Set.empty[(Long, String)]
+    var nextId = 0L
+    def append(n: Int): Unit = {
+      val rows = (nextId until nextId + n).map(i => (i, s"r$i"))
+      nextId += n
+      live ++= rows
+      TableFormat.appendCommit(spark, base, rows.toDF("id", "v"))
+      ()
+    }
+    append(3)
+    val snapshots = scala.collection.mutable.Map(
+      TableFormat.currentVersion(spark, base) -> live)
+    (1 to 29).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => append(1 + rnd.nextInt(3))
+        case 2 =>
+          val k = rnd.nextInt(7)
+          live = live.filterNot(_._1 % 7 == k)
+          TableFormat.deleteRowsDV(spark, base, col("id") % 7 === k.toLong)
+        case 3 =>
+          TableFormat.compact(spark, base, smallBytes = Long.MaxValue)
+      }
+      val v = TableFormat.currentVersion(spark, base)
+      snapshots(v) = live
+      // the head resolves through whatever delta chain the mix produced
+      assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
+        .collect().toSet == live, s"head v$v diverged from the shadow")
+    }
+    // every RECORDED version time-travels to exactly its shadow — cold
+    // resolution through the full chain structure the mix left behind
+    snapshots.foreach { case (v, want) =>
+      assert(TableFormat.readSnapshot(spark, base, Some(v)).as[(Long, String)]
+        .collect().toSet == want, s"time travel to v$v diverged")
+    }
+    // structural sanity: the log contains BOTH forms and every delta's
+    // depth stays under the checkpoint interval
+    val stats = snapshots.keys.map(v =>
+      TableFormat.manifestLogStat(spark, base, v)).toSeq
+    assert(stats.exists(_._1) && stats.exists(!_._1),
+      "fuzz premise: the mix should produce deltas AND full manifests")
+    assert(stats.forall(_._2 < TableFormat.CheckpointEvery))
+  }
+
   test("graft.write.compression selects the table's parquet codec") {
     val base = freshBase("tf_codec")
     TableFormat.appendCommit(spark, base, Seq((1L, "seed")).toDF("id", "v"),
