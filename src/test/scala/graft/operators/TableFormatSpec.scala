@@ -1808,6 +1808,65 @@ class TableFormatSpec extends SparkTestBase {
     assert(stats.forall(_._2 < TableFormat.CheckpointEvery))
   }
 
+  test("delta-log fuzz 2: clustered lifecycle — CoW deletes, optimize, restore, vacuum") {
+    val base = freshBase("tf_mdelta_fuzz2")
+    val rnd = new scala.util.Random(7)
+    var live = Set.empty[(Long, String)]
+    var nextId = 0L
+    def append(n: Int): Unit = {
+      val rows = (nextId until nextId + n).map(i => (i, s"r$i"))
+      nextId += n
+      live ++= rows
+      TableFormat.appendCommit(spark, base, rows.toDF("id", "v"),
+        statsCol = Some("id"))
+      ()
+    }
+    append(200)
+    val snaps = scala.collection.mutable.Map(
+      TableFormat.currentVersion(spark, base) -> live)
+    (1 to 24).foreach { _ =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => append(20 + rnd.nextInt(50))
+        case 2 => // CoW range delete on the clustering key
+          val lo = rnd.nextLong(math.max(1L, nextId))
+          val hi = lo + 10 + rnd.nextInt(40)
+          live = live.filterNot(t => t._1 >= lo && t._1 <= hi)
+          TableFormat.deleteWhere(spark, base, "id", lo, hi)
+        case 3 => // incremental optimize: rows move, never change
+          TableFormat.optimizeIncremental(spark, base)
+        case 4 => // metadata-only rollback to a random retained version
+          val target = snaps.keys.toSeq(rnd.nextInt(snaps.size))
+          live = snaps(target)
+          TableFormat.restoreVersion(spark, base, target)
+        case 5 => // reclaim: keep the last 3 still-on-disk versions
+          val cur = TableFormat.currentVersion(spark, base)
+          val onDisk = TableFormat.history(spark, base).map(_._1)
+          val retain = (onDisk.sorted.takeRight(3) :+ cur).distinct
+          TableFormat.vacuum(spark, base, retain)
+          snaps.filterInPlace { case (v, _) => retain.contains(v) }
+      }
+      val v = TableFormat.currentVersion(spark, base)
+      snaps(v) = live
+      assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
+        .collect().toSet == live, s"head v$v diverged from the shadow")
+      // pruned reads agree with unpruned ones through any chain shape
+      if (live.nonEmpty && rnd.nextBoolean()) {
+        val probe = live.head._1
+        val (df, _) = TableFormat.readSnapshotWhere(spark, base, "id", probe, probe + 25)
+        assert(df.as[(Long, String)].collect().toSet ==
+          live.filter(t => t._1 >= probe && t._1 <= probe + 25),
+          s"pruned read diverged at v$v")
+      }
+    }
+    // every shadowed still-retained version time-travels exactly
+    val onDisk = TableFormat.history(spark, base).map(_._1).toSet
+    snaps.foreach { case (v, want) =>
+      if (onDisk.contains(v))
+        assert(TableFormat.readSnapshot(spark, base, Some(v)).as[(Long, String)]
+          .collect().toSet == want, s"time travel to v$v diverged")
+    }
+  }
+
   test("graft.write.compression selects the table's parquet codec") {
     val base = freshBase("tf_codec")
     TableFormat.appendCommit(spark, base, Seq((1L, "seed")).toDF("id", "v"),
