@@ -2696,6 +2696,94 @@ object GraftCatalogOps {
         |  AND ts < timestamp'2024-01-08 00:00:00'""".stripMargin)
   }
 
+  /** `sql_set_clustering` (r13): PARTITION EVOLUTION end to end — the
+    * table starts clustered on o_orderkey, `set_clustering` re-declares
+    * (o_custkey, o_orderkey) metadata-only, a second INSERT clusters the
+    * new way, and the final aggregate filters BOTH keys: the carried
+    * column prunes pre-evolution files, the new one prunes
+    * post-evolution files, answers exact either way. */
+  def sqlSetClustering(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/pevol_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "orders").createOrReplaceTempView("src_orders_pe")
+    spark.sql(
+      """CREATE TABLE graft.db.pevol_q (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        |PARTITIONED BY (o_orderkey)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.pevol_q
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM src_orders_pe
+        |WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql("CALL graft.system.set_clustering('db.pevol_q', 'o_custkey,o_orderkey')")
+    spark.sql(
+      """INSERT INTO graft.db.pevol_q
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM src_orders_pe
+        |WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.db.pevol_q
+        |WHERE o_orderkey BETWEEN 500 AND 2500 AND o_custkey BETWEEN 100 AND 900""".stripMargin)
+  }
+
+  /** `sql_like_prune` (r13): `LIKE 'prefix%'` over a string-clustered
+    * table — the predicate pushes as StringStartsWith and prunes files
+    * through the prefix's code-point successor bound (GraftTableSpec
+    * pins the file counts); the aggregate replays on the source. */
+  def sqlLikePrune(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/like_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents").createOrReplaceTempView("src_docs_like")
+    spark.sql(
+      """CREATE TABLE graft.db.like_q (lang STRING, doc_id BIGINT, n_chars BIGINT)
+        |PARTITIONED BY (lang)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.like_q SELECT lang, doc_id, n_chars FROM src_docs_like")
+    spark.sql(
+      """SELECT lang, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.like_q
+        |WHERE lang LIKE 'e%'
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `sql_null_skip` (r13): IS NULL / IS NOT NULL over a cluster key
+    * with NULLs — null-count pruning skips proven null-free (resp.
+    * all-null) files (GraftTableSpec pins the file counts); both
+    * branches' aggregates replay on the source. */
+  def sqlNullSkip(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/null_q"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "documents").createOrReplaceTempView("src_docs_null")
+    spark.sql(
+      """CREATE TABLE graft.db.null_q (k BIGINT, n_chars BIGINT)
+        |PARTITIONED BY (k)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.null_q
+        |SELECT NULLIF(doc_id % 100, 7), n_chars FROM src_docs_null""".stripMargin)
+    spark.sql(
+      """SELECT 'null' AS side, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.null_q WHERE k IS NULL
+        |UNION ALL
+        |SELECT 'not_null', CAST(count(1) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM graft.db.null_q WHERE k IS NOT NULL
+        |ORDER BY side ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `sql_insert` (r8): DDL + DML end to end on the catalog — CREATE
     * TABLE, two INSERT INTO … SELECT appends (each an `appendCommit`
     * underneath: put-if-absent manifest, rebase on conflict), read back
@@ -4079,7 +4167,10 @@ object GraftCatalogOps {
     "sql_maint_restore" -> (sqlMaintRestore _),
     "sql_maint_vacuum" -> (sqlMaintVacuum _),
     "sql_catalog_skip" -> (sqlCatalogSkip _),
-    "sql_hidden_partition" -> (sqlHiddenPartition _))
+    "sql_hidden_partition" -> (sqlHiddenPartition _),
+    "sql_set_clustering" -> (sqlSetClustering _),
+    "sql_like_prune" -> (sqlLikePrune _),
+    "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
     "mv_minmax" ->
@@ -4392,5 +4483,26 @@ object GraftCatalogOps {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
-        |  AND ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)
+        |  AND ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    "sql_set_clustering" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 500 AND 2500 AND o_custkey BETWEEN 100 AND 900""".stripMargin,
+    "sql_like_prune" ->
+      """SELECT lang, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang LIKE 'e%'
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "sql_null_skip" ->
+      """SELECT 'null' AS side, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 100 = 7
+        |UNION ALL
+        |SELECT 'not_null', CAST(count(1) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 100 <> 7
+        |ORDER BY side ASC NULLS FIRST""".stripMargin)
 }
