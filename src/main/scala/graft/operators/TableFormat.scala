@@ -3385,6 +3385,36 @@ object TableFormat {
     -1 // unreachable
   }
 
+  /** DROP BRANCH (r13) — the branch lifecycle's missing end: a branch
+    * subtree (its own data/ and manifests) lives OUTSIDE the parent's
+    * `data/` sweep, so no vacuum ever reclaims an abandoned branch. The
+    * sharp edge guarded here: `publish` fast-forwards the PARENT onto
+    * branch-tree paths BY REFERENCE, so dropping a published branch's
+    * tree would yank data out from under the parent's retained
+    * snapshots — every on-disk parent version is checked and the drop
+    * REFUSES while any references survive (compact/optimize the parent,
+    * vacuum, then drop — the message names the cure). Returns the file
+    * count reclaimed. */
+  def dropBranch(spark: SparkSession, base: String, name: String): Long = {
+    val bb = branchBaseOf(base, name)
+    val f = fs(spark, base)
+    require(f.exists(new Path(s"$bb/_CURRENT")), s"no branch $name of $base")
+    val prefix = new Path(bb).toUri.getPath + "/"
+    val referenced = history(spark, base).flatMap { case (v, _, _) =>
+      val es = manifestEntries(spark, base, v)
+      es.map(_.path) ++ es.flatMap(_.dv)
+    }.filter(p => new Path(p).toUri.getPath.startsWith(prefix))
+    require(referenced.isEmpty,
+      s"cannot drop branch $name: ${referenced.size} of its files are " +
+        s"referenced by $base's retained snapshots (publish shares branch " +
+        "files by reference) — compact/optimize the parent, vacuum, then drop")
+    var files = 0L
+    val it = f.listFiles(new Path(bb), true)
+    while (it.hasNext) { it.next(); files += 1 }
+    f.delete(new Path(bb), true)
+    files
+  }
+
   /** REBASE (r13, VERDICT r12 #6): replay a diverged branch's commits
     * onto the parent's CURRENT head, so `publish` can fast-forward
     * again — the escape hatch for the WAP branch whose parent advanced

@@ -586,6 +586,23 @@ object GraftProcedures {
     }
   }
 
+  /** DROP BRANCH (r13): reclaim a branch subtree — refuses while any
+    * parent snapshot still references branch-tree files (publish shares
+    * by reference). Returns (branch, files_deleted). */
+  private object DropBranchProc extends Proc("drop_branch",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("branch", StringType),
+                   StructField("files_deleted", LongType)))) {
+    override def description(): String =
+      "delete a branch's subtree; refused while the parent references its files"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val name = input.getUTF8String(1).toString
+      val n = TableFormat.dropBranch(spark, base, name)
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(s"branches.$name"), n))
+    }
+  }
+
   /** PURGE DV (r13): rewrite only the files whose deleted fraction
     * crossed the threshold into clean mask-free files (everything else
     * carries by reference) — Delta's REORG APPLY (PURGE). Returns
@@ -848,7 +865,8 @@ object GraftProcedures {
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, SetClusteringProc,
       OptimizeZorderProc, RestoreProc, CloneProc,
-      AnalyzeProc, BranchProc, PublishProc, RebaseProc, PurgeDvProc,
+      AnalyzeProc, BranchProc, PublishProc, RebaseProc, DropBranchProc,
+      PurgeDvProc,
       OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
       CreateMvProc, RefreshMvProc, DropMvProc, RestoreViewProc)

@@ -1450,6 +1450,43 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(1) FROM graft.db.analyze_t").head.getLong(0) == 500L)
   }
 
+  test("drop_branch: unpublished branches reclaim; published ones refuse while referenced (r13)") {
+    val _ = wh
+    val base = s"$wh/db/dropbr_t"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+    spark.sql("DROP TABLE IF EXISTS graft.db.dropbr_t")
+    spark.sql("CREATE TABLE graft.db.dropbr_t (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.db.dropbr_t SELECT id, id FROM range(0, 100)")
+    // abandoned branch: fork, write, drop — subtree gone, parent intact
+    spark.sql("CALL graft.system.branch('db.dropbr_t', 'scratch')")
+    spark.sql("INSERT INTO graft.db.dropbr_t.branches.scratch SELECT id, id FROM range(100, 200)")
+    val r = spark.sql("CALL graft.system.drop_branch('db.dropbr_t', 'scratch')").head
+    assert(r.getString(0) == "branches.scratch" && r.getLong(1) > 0, s"got $r")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/branches/scratch")))
+    assert(spark.sql("SELECT count(1) FROM graft.db.dropbr_t").head.getLong(0) == 100)
+    // published branch: the parent references branch-tree files BY PATH —
+    // dropping would corrupt it, so the drop refuses naming the cure
+    spark.sql("CALL graft.system.branch('db.dropbr_t', 'staged')")
+    spark.sql("INSERT INTO graft.db.dropbr_t.branches.staged SELECT id, id FROM range(200, 300)")
+    spark.sql("CALL graft.system.publish('db.dropbr_t', 'staged')")
+    assert(spark.sql("SELECT count(1) FROM graft.db.dropbr_t").head.getLong(0) == 200)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.drop_branch('db.dropbr_t', 'staged')").collect()
+    }
+    assert(e.getMessage.contains("referenced"), e.getMessage)
+    // the cure: a parent rewrite + vacuum strands no branch references
+    spark.sql(s"CALL graft.system.compact('db.dropbr_t', ${Long.MaxValue}L, 2)")
+    val cur = TableFormat.currentVersion(spark, base)
+    TableFormat.vacuum(spark, base, retain = Seq(cur))
+    val r2 = spark.sql("CALL graft.system.drop_branch('db.dropbr_t', 'staged')").head
+    assert(r2.getLong(1) > 0)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/branches/staged")))
+    assert(spark.sql("SELECT count(1) FROM graft.db.dropbr_t").head.getLong(0) == 200,
+      "drop after rewrite+vacuum must leave the parent exact")
+  }
+
   test("branches: SQL write-audit-publish — zero-copy fork, isolated writes, fast-forward publish, divergence refused (r11)") {
     val _ = wh
     val base = s"$wh/db/wap_t"
