@@ -317,12 +317,18 @@ object TableFormat {
     * manifest (`#delta\t<parentVersion>\t<depth>`) and the writer
     * checkpoints — writes full — every [[CheckpointEvery]] commits, so a
     * cold read costs at most that many small files. Two honesty guards
-    * on the write side: the writer REPLAYS its own edit script and falls
-    * back to a full manifest unless the reconstruction reproduces the
-    * intended entry list byte-for-byte (ops that reorder entries in ways
-    * the script cannot express stay exact, never subtly reordered), and
-    * a script no smaller than the snapshot (mass rewrite, table
-    * replacement) writes full too — which also resets the chain.
+    * on the write side (STRUCTURAL, O(1) — see the replay-equivalence
+    * note at the decision site in [[writeManifest]]): paths must be
+    * unique on both the parent and the intended entry list (checked by
+    * comparing each path-keyed map's size to its list's size) and the
+    * size equation `|parent| − |removed| + |added| = |intended|` must
+    * hold — together these make "parent minus removals, mods applied in
+    * place, additions appended" a path-bijection whose every line equals
+    * the intended one, so the resolved SET of entries is exact by
+    * construction; only entry ORDER may differ from the intended list
+    * (entry lists are path-keyed sets to every consumer). Any failure,
+    * or a script no smaller than the snapshot (mass rewrite, table
+    * replacement), writes full — which also resets the chain.
     * Version 1, empty snapshots, and pre-r13 manifests are always full;
     * the formats coexist per-file. */
   private[operators] val DeltaPrefix = "#delta\t"
@@ -349,8 +355,17 @@ object TableFormat {
     val entries = manifestEntries(spark, base, version)
     val headers = text.split("\n").toSeq
       .filter(l => l.startsWith("#") && !l.startsWith(DeltaPrefix))
+    // the manifest's mtime IS its commit instant to [[versionAtOrBefore]]
+    // (TIMESTAMP AS OF, timestamp-bounded CDF) — restore it after the
+    // rewrite, or materialization would teleport a retained version's
+    // commit to vacuum time and an AS-OF between the original commits
+    // would resolve to an older version or error (ADVICE r13 #1)
+    val mp = new Path(manifestPath(base, version))
+    val f = fs(spark, base)
+    val committedAt = f.getFileStatus(mp).getModificationTime
     writeFile(spark, manifestPath(base, version),
       (headers ++ entries.map(_.line)).mkString("\n"))
+    f.setTimes(mp, committedAt, -1)
     invalidateManifest(manifestPath(base, version))
   }
 
@@ -1262,6 +1277,23 @@ object TableFormat {
     * conflicted committer (`_CURRENT` can lag a just-published manifest
     * by one crashed pointer write, so conflicts resolve against the
     * manifest listing, not the pointer). */
+  /** `_manifests/_RECLAIMED` (r14, ADVICE r13 #2): written by [[vacuum]]
+    * BEFORE it deletes any manifest — `<maxReclaimedVersion>\t<headAtVacuum>`,
+    * both monotone across vacuums. It closes the one hole in the
+    * pointer+probe head search: vacuum can leave interior GAPS (retain
+    * {3, 7}, reclaim 4–6), and a pointer regressed below a gap by a slow
+    * cross-JVM loser would make the dense-probe stop under it — serving
+    * stale reads and letting the next commit re-win a reclaimed slot.
+    * Reading it: gaps exist only BELOW the recorded head (vacuum must
+    * retain the then-current version), so a probe result `>= headAtVacuum`
+    * is provably the true head; anything below falls back to the listing.
+    * Absent file = never vacuumed = versions dense = probe exact. */
+  private def reclaimMarker(spark: SparkSession, base: String): Option[(Int, Int)] =
+    try {
+      val parts = readFile(spark, s"$base/_manifests/_RECLAIMED").trim.split("\t")
+      Some((parts(0).toInt, parts(1).toInt))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def latestVersion(spark: SparkSession, base: String): Int = {
     val f = fs(spark, base)
     // POINTER + PROBE (r13): versions are dense (each is a CAS slot won
@@ -1272,15 +1304,10 @@ object TableFormat {
     // lag the true head by any number of crashed pointer writes, so
     // probe FORWARD until the first absent slot. Fall back to the
     // listing when the pointer names a vacuumed/never-written slot
-    // (re-created tables, pointer from a dropped incarnation).
-    val ptr =
-      try readFile(spark, s"$base/_CURRENT").trim.toInt
-      catch { case scala.util.control.NonFatal(_) => 0 }
-    if (ptr > 0 && f.exists(new Path(manifestPath(base, ptr)))) {
-      var v = ptr
-      while (f.exists(new Path(manifestPath(base, v + 1)))) v += 1
-      v
-    } else {
+    // (re-created tables, pointer from a dropped incarnation), or when
+    // the probe result sits below a vacuum-recorded head and could
+    // therefore be hiding the true head behind a reclaimed gap (r14).
+    def listingMax: Int = {
       val dir = new Path(s"$base/_manifests")
       if (!f.exists(dir)) 0
       else f.listStatus(dir).toSeq.flatMap { st =>
@@ -1290,6 +1317,15 @@ object TableFormat {
         else None
       }.foldLeft(0)(math.max)
     }
+    val ptr =
+      try readFile(spark, s"$base/_CURRENT").trim.toInt
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (ptr > 0 && f.exists(new Path(manifestPath(base, ptr)))) {
+      var v = ptr
+      while (f.exists(new Path(manifestPath(base, v + 1)))) v += 1
+      val gapSafe = reclaimMarker(spark, base).forall { case (_, head) => v >= head }
+      if (gapSafe) v else math.max(v, listingMax)
+    } else listingMax
   }
 
   private def writeManifest(spark: SparkSession, base: String, version: Int,
@@ -1413,7 +1449,14 @@ object TableFormat {
       }
     // put-if-absent (r8): v$N.manifest is the commit's compare-and-swap
     // slot — two committers from the same parent CANNOT both win it; the
-    // pre-r8 overwrite-rename silently kept only the second writer's files
+    // pre-r8 overwrite-rename silently kept only the second writer's files.
+    // A vacuum-reclaimed slot is absent but NOT free (r14): re-winning it
+    // would fork history under every version above — a committer whose
+    // rebase point somehow landed below the reclaim line conflicts and
+    // retries against the healed latestVersion instead.
+    if (reclaimMarker(spark, base).exists { case (maxReclaimed, _) =>
+        version <= maxReclaimed })
+      throw new CommitConflictException(base, version)
     if (!writeFileIfAbsent(spark, s"$base/_manifests/v$version.manifest", body))
       throw new CommitConflictException(base, version)
     // pointer publish stays an overwrite-rename (it is DERIVED state),
@@ -2077,7 +2120,20 @@ object TableFormat {
     require(retain.contains(cur),
       s"vacuum must retain the current version $cur (got ${retain.mkString(",")})")
     val f = fs(spark, base)
-    val retainedEntriesAll = retain.flatMap(v => manifestEntries(spark, base, v))
+    // LIVE BRANCHES reference parent-tree files BY PATH (r14, same family
+    // as ADVICE r13 #3): branchCreate's zero-copy clone names the
+    // parent's data files in the branch's own v1 manifest, and every
+    // branch commit carries them forward. A parent-side rewrite +
+    // vacuum must NOT reclaim files a forked branch still reads — every
+    // branch tree's full retained history counts as referenced.
+    val branchEntries = branchTreesOf(spark, base).flatMap { bt =>
+      history(spark, bt).flatMap { case (v, _, _) =>
+        try manifestEntries(spark, bt, v)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }
+    }
+    val retainedEntriesAll =
+      retain.flatMap(v => manifestEntries(spark, base, v)) ++ branchEntries
     // a retained manifest references dv DIRS; the walk below sees their
     // PART files — expand each referenced dv dir to its files (r10).
     // RECURSIVE since r12: sharded dv dirs keep their sidecars under
@@ -2133,7 +2189,37 @@ object TableFormat {
       if (chain.tail.exists(!retain.contains(_)))
         materializeManifest(spark, base, v)
     }
-    f.listStatus(new Path(s"$base/_manifests")).foreach { st =>
+    // GAP SAFETY (r14, ADVICE r13 #2): reclaiming manifests can leave
+    // interior version gaps, which break latestVersion's dense forward
+    // probe if the pointer ever regresses below one. Two writes BEFORE
+    // any manifest delete: (a) re-pin `_CURRENT` to the verified head,
+    // so the probe starts at/above every gap; (b) record
+    // `_RECLAIMED = maxReclaimed \t headAtVacuum` (monotone merge with
+    // any prior vacuum's marker) — the probe falls back to the listing
+    // whenever its result lands below the recorded head, and commits
+    // refuse to re-win a reclaimed slot.
+    val statuses = f.listStatus(new Path(s"$base/_manifests"))
+    val reclaiming = statuses.toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".manifest"))
+        n.stripPrefix("v").stripSuffix(".manifest").toIntOption
+          .filter(!retain.contains(_))
+      else None
+    }
+    if (reclaiming.nonEmpty) {
+      // advance-only, same lock discipline as writeManifest's publish —
+      // a concurrent commit may have moved the head past `cur` already
+      val ptrLock = manifestLocks.computeIfAbsent(s"$base/_CURRENT", _ => new Object)
+      ptrLock.synchronized {
+        val ptr = try readFile(spark, s"$base/_CURRENT").trim.toInt
+                  catch { case scala.util.control.NonFatal(_) => 0 }
+        if (cur > ptr) writeFile(spark, s"$base/_CURRENT", cur.toString)
+      }
+      val (prevG, prevH) = reclaimMarker(spark, base).getOrElse((0, 0))
+      writeFile(spark, s"$base/_manifests/_RECLAIMED",
+        s"${math.max(prevG, reclaiming.max)}\t${math.max(prevH, cur)}")
+    }
+    statuses.foreach { st =>
       val n = st.getPath.getName // vN.manifest
       if (n.startsWith("v") && n.endsWith(".manifest")) {
         val ver = n.stripPrefix("v").stripSuffix(".manifest").toIntOption
@@ -3395,19 +3481,52 @@ object TableFormat {
     * REFUSES while any references survive (compact/optimize the parent,
     * vacuum, then drop — the message names the cure). Returns the file
     * count reclaimed. */
+  /** Every branch TREE rooted under `base`, recursively (a branch is a
+    * full table tree, so it can hold branches of its own). Shared by
+    * [[dropBranch]]'s reference guard and [[vacuum]]'s referenced-file
+    * walk — both must see the same set of manifest-bearing trees. */
+  private def branchTreesOf(spark: SparkSession, base: String): Seq[String] = {
+    val f = fs(spark, base)
+    def walk(root: String): Seq[String] = {
+      val dir = new Path(s"$root/branches")
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+        val b = st.getPath.toUri.getPath
+        b +: walk(b)
+      }
+    }
+    walk(base)
+  }
+
   def dropBranch(spark: SparkSession, base: String, name: String): Long = {
     val bb = branchBaseOf(base, name)
     val f = fs(spark, base)
     require(f.exists(new Path(s"$bb/_CURRENT")), s"no branch $name of $base")
     val prefix = new Path(bb).toUri.getPath + "/"
-    val referenced = history(spark, base).flatMap { case (v, _, _) =>
-      val es = manifestEntries(spark, base, v)
-      es.map(_.path) ++ es.flatMap(_.dv)
-    }.filter(p => new Path(p).toUri.getPath.startsWith(prefix))
+    // Every tree that can hold a manifest referencing this subtree
+    // (r14, ADVICE r13 #3): the parent — AND every OTHER branch tree
+    // under it, recursively. branchCreate zero-copy clones the parent's
+    // HEAD, so a sibling forked after publish(name) carries this
+    // branch's paths in its own manifests; the parent compacting +
+    // vacuuming away its references must not unlock a drop that yanks
+    // data from under the sibling. Trees under the branch being dropped
+    // are excluded — they die with it.
+    val scanRoots = (base +: branchTreesOf(spark, base))
+      .filterNot(r => r == bb || (new Path(r).toUri.getPath + "/").startsWith(prefix))
+    val referenced = scanRoots.flatMap { root =>
+      history(spark, root).flatMap { case (v, _, _) =>
+        val es = manifestEntries(spark, root, v)
+        (es.map(_.path) ++ es.flatMap(_.dv))
+          .filter(p => new Path(p).toUri.getPath.startsWith(prefix))
+          .map(p => root -> p)
+      }
+    }
     require(referenced.isEmpty,
       s"cannot drop branch $name: ${referenced.size} of its files are " +
-        s"referenced by $base's retained snapshots (publish shares branch " +
-        "files by reference) — compact/optimize the parent, vacuum, then drop")
+        s"referenced by retained snapshots of " +
+        s"${referenced.map(_._1).distinct.mkString(", ")} (publish and " +
+        "branch forks share files by reference) — compact/optimize the " +
+        "referencing tree, vacuum, then drop")
     var files = 0L
     val it = f.listFiles(new Path(bb), true)
     while (it.hasNext) { it.next(); files += 1 }

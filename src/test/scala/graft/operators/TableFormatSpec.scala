@@ -1867,6 +1867,67 @@ class TableFormatSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum materialization preserves manifest mtimes — TIMESTAMP AS OF anchors survive (r14, ADVICE r13 #1)") {
+    val base = freshBase("tf_mtime")
+    TableFormat.commit(spark, base, Seq((1L, "a")).toDF("id", "v"), 1, None)
+    (2 to 4).foreach(v => TableFormat.commit(spark, base,
+      Seq((v.toLong, "x")).toDF("id", "v"), v, Some(v - 1)))
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mp(v: Int) = new org.apache.hadoop.fs.Path(s"$base/_manifests/v$v.manifest")
+    // pin distinct, well-separated commit instants
+    val t0 = System.currentTimeMillis() - 100000
+    (1 to 4).foreach(v => f.setTimes(mp(v), t0 + v * 1000, -1))
+    assert(TableFormat.versionAtOrBefore(spark, base, t0 + 3500).contains(3))
+    // retain {3, 4}: v3's delta chain parents (v2, v1) are reclaimed, so
+    // vacuum must MATERIALIZE v3 — the rewrite that used to reset mtime
+    TableFormat.vacuum(spark, base, retain = Seq(3, 4))
+    assert(f.getFileStatus(mp(3)).getModificationTime == t0 + 3000,
+      "materialization moved v3's commit instant to vacuum time")
+    assert(TableFormat.versionAtOrBefore(spark, base, t0 + 3500).contains(3),
+      "AS-OF between v3 and v4 no longer resolves to v3 after vacuum")
+    assert(TableFormat.versionAtOrBefore(spark, base, t0 + 4500).contains(4))
+    // the materialized manifest still reads exactly
+    assert(TableFormat.readSnapshot(spark, base, Some(3)).count() == 3)
+  }
+
+  test("latestVersion survives a pointer regressed below a vacuumed gap; reclaimed slots refuse re-commit (r14, ADVICE r13 #2)") {
+    val base = freshBase("tf_gap")
+    (1 to 7).foreach(v => TableFormat.commit(spark, base,
+      Seq((v.toLong, "x")).toDF("id", "v"), v, if (v == 1) None else Some(v - 1)))
+    // interior gap: retain {3, 7}, reclaim 1-2 and 4-6
+    TableFormat.vacuum(spark, base, retain = Seq(3, 7))
+    // simulate the slow cross-JVM loser regressing the pointer to a
+    // retained version sitting directly below the gap
+    TableFormat.writeFile(spark, s"$base/_CURRENT", "3")
+    assert(TableFormat.latestVersion(spark, base) == 7,
+      "dense probe stopped under the vacuumed gap — stale head")
+    assert(TableFormat.currentVersion(spark, base) == 7)
+    assert(TableFormat.readSnapshot(spark, base).count() == 7)
+    // a reclaimed slot can never be re-won (history fork guard)
+    intercept[TableFormat.CommitConflictException] {
+      TableFormat.commit(spark, base, Seq((99L, "fork")).toDF("id", "v"), 5, Some(3))
+    }
+    // and a fresh commit lands at the true head + 1
+    TableFormat.commit(spark, base, Seq((8L, "y")).toDF("id", "v"), 8, Some(7))
+    assert(TableFormat.currentVersion(spark, base) == 8)
+    assert(TableFormat.readSnapshot(spark, base).count() == 8)
+  }
+
+  test("vacuum keeps parent files a live branch still references (r14)") {
+    val base = freshBase("tf_branch_vacuum")
+    TableFormat.commit(spark, base,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v"), 1, None)
+    val (bb, _) = TableFormat.branchCreate(spark, base, "dev")
+    // parent rewrites everything; its own history no longer needs v1's files
+    val (v2, _) = TableFormat.compact(spark, base, smallBytes = Long.MaxValue)
+    val (deleted, _) = TableFormat.vacuum(spark, base, retain = Seq(v2))
+    assert(deleted == 0,
+      "vacuum reclaimed parent files the dev branch still references")
+    // the branch still reads its fork snapshot exactly
+    assert(TableFormat.readSnapshot(spark, bb).count() == 100)
+  }
+
   test("graft.write.compression selects the table's parquet codec") {
     val base = freshBase("tf_codec")
     TableFormat.appendCommit(spark, base, Seq((1L, "seed")).toDF("id", "v"),

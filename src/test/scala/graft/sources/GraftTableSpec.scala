@@ -1487,6 +1487,41 @@ class GraftTableSpec extends SparkTestBase {
       "drop after rewrite+vacuum must leave the parent exact")
   }
 
+  test("drop_branch: refuses while a SIBLING branch references the subtree (r14, ADVICE r13 #3)") {
+    val _ = wh
+    val base = s"$wh/db/dropbr_sib"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+    spark.sql("DROP TABLE IF EXISTS graft.db.dropbr_sib")
+    spark.sql("CREATE TABLE graft.db.dropbr_sib (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.db.dropbr_sib SELECT id, id FROM range(0, 100)")
+    // publish branch b: the parent's head now names b-subtree paths
+    spark.sql("CALL graft.system.branch('db.dropbr_sib', 'b')")
+    spark.sql("INSERT INTO graft.db.dropbr_sib.branches.b SELECT id, id FROM range(100, 200)")
+    spark.sql("CALL graft.system.publish('db.dropbr_sib', 'b')")
+    // sibling c forks AFTER the publish — its clone manifest carries
+    // b-subtree paths too
+    spark.sql("CALL graft.system.branch('db.dropbr_sib', 'c')")
+    // the parent rewrites + vacuums away ITS references to b's subtree...
+    spark.sql(s"CALL graft.system.compact('db.dropbr_sib', ${Long.MaxValue}L, 2)")
+    val cur = TableFormat.currentVersion(spark, base)
+    TableFormat.vacuum(spark, base, retain = Seq(cur))
+    // ...but c still reads through b's files: the drop must refuse
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.drop_branch('db.dropbr_sib', 'b')").collect()
+    }
+    assert(e.getMessage.contains("referenced"), e.getMessage)
+    assert(spark.sql("SELECT count(1) FROM graft.db.dropbr_sib.branches.c")
+      .head.getLong(0) == 200, "sibling c must stay readable")
+    // retiring the sibling unlocks the drop
+    spark.sql("CALL graft.system.drop_branch('db.dropbr_sib', 'c')")
+    val r = spark.sql("CALL graft.system.drop_branch('db.dropbr_sib', 'b')").head
+    assert(r.getLong(1) > 0)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/branches/b")))
+    assert(spark.sql("SELECT count(1) FROM graft.db.dropbr_sib").head.getLong(0) == 200)
+  }
+
   test("branches: SQL write-audit-publish — zero-copy fork, isolated writes, fast-forward publish, divergence refused (r11)") {
     val _ = wh
     val base = s"$wh/db/wap_t"
