@@ -200,6 +200,31 @@ object TableFormat {
           case _ => (None, None, None)
         }
       }
+    /** Rebuild an entry from the parquet-checkpoint column values (r14):
+      * scalar fields arrive typed, the rare ext/sext stats ride in their
+      * packed text encodings. */
+    def fromPacked(path: String, lo: Option[Long], hi: Option[Long],
+                   lo2: Option[Long], hi2: Option[Long],
+                   nulls: Option[Long], nulls2: Option[Long],
+                   rows: Option[Long], dv: Option[String], dvRows: Option[Long],
+                   ext: Option[String], sext: Option[String]): ManifestEntry =
+      ManifestEntry(path, lo, hi, lo2, hi2, nulls, nulls2, rows, dv, dvRows,
+        ext = ext.fold(Seq.empty[(Option[Long], Option[Long], Option[Long])])(parseExt),
+        sext = sext.fold(Seq.empty[(Option[String], Option[String])])(parseSext))
+    /** The packed text encodings of an entry's ext/sext stats — the
+      * parquet checkpoint's storage form (None when empty). */
+    def packedExt(e: ManifestEntry): Option[String] =
+      if (e.ext.isEmpty) None
+      else Some(e.ext.map { case (l, h, n) =>
+        s"${l.fold("")(_.toString)}:${h.fold("")(_.toString)}:${n.fold("")(_.toString)}"
+      }.mkString(";"))
+    def packedSext(e: ManifestEntry): Option[String] =
+      if (!e.sext.exists(t => t._1.isDefined || t._2.isDefined)) None
+      else Some(e.sext.map { case (l, h) =>
+        def one(o: Option[String]) =
+          o.fold("")(v => "s" + java.net.URLEncoder.encode(v, "UTF-8"))
+        s"${one(l)}:${one(h)}"
+      }.mkString(";"))
     def parse(line: String): ManifestEntry = line.split("\t", -1) match {
       case Array(p, l, h) => ManifestEntry(p, opt(l), opt(h))
       case Array(p, l, h, n) => ManifestEntry(p, opt(l), opt(h), nulls = opt(n))
@@ -334,6 +359,125 @@ object TableFormat {
   private[operators] val DeltaPrefix = "#delta\t"
   private[operators] val CheckpointEvery = 16
 
+  /** PARQUET CHECKPOINT MANIFESTS (r14, VERDICT r13 #2). Delta-log
+    * manifests made commit WRITES O(change), but a checkpoint — the
+    * full snapshot written every [[CheckpointEvery]] commits — was
+    * still the text format: at 10⁶ entries a cold read parses ~100 MB
+    * of tab-separated text on the driver. A full manifest with
+    * [[PqCheckpointMinEntries]]+ entries therefore stores its entry
+    * list as a COLUMNAR SIDECAR (`v{N}.entries.<uuid>.zstd.parquet`,
+    * one typed column per entry field, zstd-compressed — the Delta
+    * `checkpoint.parquet` analog) and the manifest text carries only
+    * the headers plus `#entriespq\t<sidecar>\t<count>`. Cold
+    * resolution reads the sidecar through the VECTORIZED parquet
+    * reader — typed column decode, no per-line splitting — an order of
+    * magnitude less IO and parse work at 10⁶ entries. The commit
+    * protocol is unchanged: the MANIFEST file stays the put-if-absent
+    * CAS slot; the sidecar is staged BEFORE the CAS under a
+    * per-attempt unique name (losers delete theirs, crashed attempts
+    * age out under vacuum's grace rule), so any reader that can see
+    * the manifest can see its sidecar. Small tables stay text — the
+    * formats coexist per-version, and deltas/edit scripts are never
+    * parquet (they are small by construction). */
+  private[operators] val EntriesPqPrefix = "#entriespq\t"
+  private[operators] val PqCheckpointMinEntries = 64
+
+  /** Stage `entries` as a columnar checkpoint sidecar (driver-side
+    * parquet-mr write — the write is O(entries) either way; the win is
+    * on the read side). */
+  private[operators] def writeEntriesParquet(spark: SparkSession, path: String,
+                                  entries: Seq[ManifestEntry]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.io.api.Binary
+    val b = Types.buildMessage()
+    def str(n: String) = b.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(n)
+    def i64(n: String) = b.optional(PrimitiveTypeName.INT64).named(n)
+    str("path"); i64("lo"); i64("hi"); i64("lo2"); i64("hi2")
+    i64("nulls"); i64("nulls2"); i64("rows"); str("dv"); i64("dvRows")
+    str("ext"); str("sext")
+    val msgType = b.named("graft_manifest_entries")
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(
+      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new Path(path), spark.sparkContext.hadoopConfiguration))
+      .withType(msgType)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD)
+      .withConf(spark.sparkContext.hadoopConfiguration).build()
+    try entries.foreach { e =>
+      val g = factory.newGroup()
+      g.add("path", Binary.fromString(e.path))
+      e.lo.foreach(g.add("lo", _)); e.hi.foreach(g.add("hi", _))
+      e.lo2.foreach(g.add("lo2", _)); e.hi2.foreach(g.add("hi2", _))
+      e.nulls.foreach(g.add("nulls", _)); e.nulls2.foreach(g.add("nulls2", _))
+      e.rows.foreach(g.add("rows", _))
+      e.dv.foreach(v => g.add("dv", Binary.fromString(v)))
+      e.dvRows.foreach(g.add("dvRows", _))
+      ManifestEntry.packedExt(e).foreach(v => g.add("ext", Binary.fromString(v)))
+      ManifestEntry.packedSext(e).foreach(v => g.add("sext", Binary.fromString(v)))
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** Resolve a checkpoint sidecar back to its entry list — driver-side
+    * VECTORIZED read (Spark's columnar parquet reader; typed column
+    * decode, zstd page IO — the cold-read path this format exists
+    * for). */
+  private[operators] def readEntriesParquet(spark: SparkSession, path: String): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType), StructField("lo", LongType),
+      StructField("hi", LongType), StructField("lo2", LongType),
+      StructField("hi2", LongType), StructField("nulls", LongType),
+      StructField("nulls2", LongType), StructField("rows", LongType),
+      StructField("dv", StringType), StructField("dvRows", LongType),
+      StructField("ext", StringType), StructField("sext", StringType)))
+    val c = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val p = new Path(path)
+    val len = p.getFileSystem(c).getFileStatus(p).getLen
+    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    val out = Seq.newBuilder[ManifestEntry]
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), org.apache.spark.sql.catalyst.InternalRow.empty)
+      while (r.nextKeyValue()) {
+        val row = r.getCurrentValue.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        def s(i: Int) = if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+        def l(i: Int) = if (row.isNullAt(i)) None else Some(row.getLong(i))
+        out += ManifestEntry.fromPacked(row.getUTF8String(0).toString,
+          l(1), l(2), l(3), l(4), l(5), l(6), l(7), s(8), l(9), s(10), s(11))
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** The full-manifest body for `entries` under the checkpoint-format
+    * rule: columnar sidecar + pointer header at
+    * [[PqCheckpointMinEntries]]+, inline text lines below it. Returns
+    * (bodyLines, sidecarName). */
+  private def fullEntriesBody(spark: SparkSession, base: String, version: Int,
+                              entries: Seq[ManifestEntry]): (Seq[String], Option[String]) =
+    if (entries.size >= PqCheckpointMinEntries) {
+      val name = s"v$version.entries.${java.util.UUID.randomUUID.toString.take(8)}.zstd.parquet"
+      writeEntriesParquet(spark, s"$base/_manifests/$name", entries)
+      (Seq(s"$EntriesPqPrefix$name\t${entries.size}"), Some(name))
+    } else (entries.map(_.line), None)
+
   /** Distance of `version`'s manifest from the last FULL manifest in its
     * chain (0 = full/checkpoint). */
   private def deltaDepth(spark: SparkSession, base: String, version: Int): Int =
@@ -363,8 +507,11 @@ object TableFormat {
     val mp = new Path(manifestPath(base, version))
     val f = fs(spark, base)
     val committedAt = f.getFileStatus(mp).getModificationTime
+    // same checkpoint-format rule as a fresh full write (r14): a big
+    // materialized snapshot lands as a columnar sidecar + pointer
+    val (bodyLines, _) = fullEntriesBody(spark, base, version, entries)
     writeFile(spark, manifestPath(base, version),
-      (headers ++ entries.map(_.line)).mkString("\n"))
+      (headers ++ bodyLines).mkString("\n"))
     f.setTimes(mp, committedAt, -1)
     invalidateManifest(manifestPath(base, version))
   }
@@ -393,11 +540,23 @@ object TableFormat {
                       version: Int): (Boolean, Int, Int, Long) = {
     val lines = manifestText(spark, base, version).split("\n")
     val delta = lines.exists(_.startsWith(DeltaPrefix))
-    val body = lines.count(l => l.nonEmpty && !l.startsWith("#"))
-    val bytes = fs(spark, base)
-      .getFileStatus(new Path(manifestPath(base, version))).getLen
+    val pq = lines.find(_.startsWith(EntriesPqPrefix))
+      .map(_.substring(EntriesPqPrefix.length).split("\t"))
+    // a parquet checkpoint's body is its sidecar: entry count from the
+    // pointer header, bytes = manifest text + sidecar file (r14)
+    val body = pq.flatMap(_.lift(1)).flatMap(_.toIntOption).getOrElse(
+      lines.count(l => l.nonEmpty && !l.startsWith("#")))
+    val f = fs(spark, base)
+    val bytes = f.getFileStatus(new Path(manifestPath(base, version))).getLen +
+      pq.map(h => f.getFileStatus(new Path(s"$base/_manifests/${h.head}")).getLen)
+        .getOrElse(0L)
     (delta, deltaDepth(spark, base, version), body, bytes)
   }
+
+  /** Whether `version`'s full manifest stores its entries as a columnar
+    * parquet sidecar (r14) — the `graft_table_manifest` format column. */
+  def manifestIsParquet(spark: SparkSession, base: String, version: Int): Boolean =
+    manifestHeader(spark, base, version, EntriesPqPrefix).isDefined
 
   /** The versions whose manifest FILES `version`'s resolution needs:
     * itself plus the transitive `#delta` parents back to the chain's
@@ -1401,8 +1560,15 @@ object TableFormat {
     // self-evident). Everything else — v1, conflicts of any kind, mass
     // rewrites — writes the full list, which also resets the chain.
     // lazy: the common delta path must never pay the O(entry-count)
-    // snapshot serialization it exists to avoid
-    lazy val fullBody = (header ++ entries.map(_.line)).mkString("\n")
+    // snapshot serialization it exists to avoid. A big full manifest
+    // stages a columnar sidecar (r14) — tracked so a lost CAS can
+    // delete it again.
+    var pqSidecar: Option[String] = None
+    lazy val fullBody = {
+      val (bodyLines, sc) = fullEntriesBody(spark, base, version, entries)
+      pqSidecar = sc
+      (header ++ bodyLines).mkString("\n")
+    }
     val body: String =
       if (version <= 1 || entries.isEmpty) fullBody
       else {
@@ -1454,11 +1620,19 @@ object TableFormat {
     // would fork history under every version above — a committer whose
     // rebase point somehow landed below the reclaim line conflicts and
     // retries against the healed latestVersion instead.
+    def dropSidecar(): Unit = pqSidecar.foreach { n =>
+      try { fs(spark, base).delete(new Path(s"$base/_manifests/$n"), false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     if (reclaimMarker(spark, base).exists { case (maxReclaimed, _) =>
-        version <= maxReclaimed })
+        version <= maxReclaimed }) {
+      dropSidecar()
       throw new CommitConflictException(base, version)
-    if (!writeFileIfAbsent(spark, s"$base/_manifests/v$version.manifest", body))
+    }
+    if (!writeFileIfAbsent(spark, s"$base/_manifests/v$version.manifest", body)) {
+      dropSidecar()
       throw new CommitConflictException(base, version)
+    }
     // pointer publish stays an overwrite-rename (it is DERIVED state),
     // but only ever ADVANCES — a slow loser must not regress it. The
     // read-compare-write is serialized per table (same single-JVM guard
@@ -2219,11 +2393,35 @@ object TableFormat {
       writeFile(spark, s"$base/_manifests/_RECLAIMED",
         s"${math.max(prevG, reclaiming.max)}\t${math.max(prevH, cur)}")
     }
-    statuses.foreach { st =>
+    // re-list AFTER materialization: a retained delta that just
+    // materialized may have staged a fresh checkpoint sidecar, which
+    // the sweep below must see as live
+    val graceMs = 5L * 60 * 1000
+    f.listStatus(new Path(s"$base/_manifests")).foreach { st =>
       val n = st.getPath.getName // vN.manifest
       if (n.startsWith("v") && n.endsWith(".manifest")) {
         val ver = n.stripPrefix("v").stripSuffix(".manifest").toIntOption
         if (ver.exists(!retain.contains(_))) f.delete(st.getPath, false)
+      } else if (n.startsWith("v") && n.contains(".entries.") && n.endsWith(".parquet")) {
+        // checkpoint sidecar (r14): live iff its version is retained
+        // AND its manifest names exactly this file; a retained-version
+        // sidecar that is NOT named (a losing/crashed committer's
+        // staging) gets the same grace rule as .staged leftovers
+        val ver = n.takeWhile(_ != '.').stripPrefix("v").toIntOption
+        val named = ver.exists { v =>
+          retain.contains(v) &&
+            (try manifestHeader(spark, base, v, EntriesPqPrefix)
+               .exists(_.split("\t").headOption.contains(n))
+             catch { case _: java.io.FileNotFoundException => false })
+        }
+        if (!named) {
+          val retainedVersion = ver.exists(retain.contains)
+          if (!retainedVersion ||
+              System.currentTimeMillis() - st.getModificationTime > graceMs) {
+            f.delete(st.getPath, false)
+            ()
+          }
+        }
       } else if (n.contains(".staged.")) {
         // a crashed publisher's staging leftover (r10) — its rename
         // never happened, so nothing references it. r11 (ADVICE r10
@@ -2233,7 +2431,6 @@ object TableFormat {
         // spuriously at the rename. Five minutes dwarfs any real
         // create→rename window; a crashed publisher's file ages past
         // it and is reclaimed on the next vacuum.
-        val graceMs = 5L * 60 * 1000
         if (System.currentTimeMillis() - st.getModificationTime > graceMs) {
           f.delete(st.getPath, false)
           ()
@@ -2323,7 +2520,15 @@ object TableFormat {
           if (removed.contains(pe.path)) None
           else Some(modBy.getOrElse(pe.path, pe))
         } ++ added
-      case None => body.map(ManifestEntry.parse)
+      case None =>
+        // parquet checkpoint (r14): the entry list lives in a columnar
+        // sidecar; resolve through the vectorized driver-side read
+        lines.find(_.startsWith(EntriesPqPrefix)) match {
+          case Some(h) =>
+            val name = h.substring(EntriesPqPrefix.length).split("\t").head
+            readEntriesParquet(spark, s"$base/_manifests/$name")
+          case None => body.map(ManifestEntry.parse)
+        }
     }
     if (trustable(path, stamp)) manifestEntriesCache.synchronized {
       manifestEntriesCache.put(path, (stamp, parsed))

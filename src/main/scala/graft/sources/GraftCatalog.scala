@@ -2414,195 +2414,25 @@ object GraftDv {
     graft.operators.DvLookup.positions(conf, dir, file)
 }
 
-/** Executor-side parquet record reader for stream batches, built on
-  * parquet-hadoop's example `Group` materializer (the plain-record API
-  * parquet ships; Spark's own vectorized reader isn't addressable from
-  * a connector). Supports the scalar types the table format's tables
-  * carry; schema evolution holds: a column absent from an old file
-  * reads as NULL. The BATCH path never comes here — it rides the native
-  * parquet scan via [[GraftV1Relation]]. */
+/** Executor-side parquet reader factory for stream batches, CDF
+  * emit-mode, CoW/delta rewrite scans and bucketed SPJ scans. r14
+  * (VERDICT r13 #1): decode is VECTORIZED — each partition reads
+  * through Spark's own columnar parquet reader via
+  * [[GraftVectorizedRowReader]] (page-level decode, dictionary reuse,
+  * EXISTS_DEFAULT fill and widening up-casts in the column updaters),
+  * replacing the row-materializing parquet-hadoop `example.Group` API
+  * that previously dominated these paths' per-byte cost. Schema
+  * evolution holds: a column absent from an old file reads its
+  * exists-default or NULL. The BATCH path proper never comes here — it
+  * rides the native parquet scan via [[GraftV1Relation]]. */
 class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoopConf,
                                 appendFilePath: Boolean = false,
                                 appendRowPos: Boolean = false,
                                 colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
-  /** Existence defaults (r10), mirroring Spark's parquet reader: a
-    * column ABSENT from a file reads its EXISTS_DEFAULT (what rows
-    * predating the column must show), while a present-but-null value
-    * stays NULL. Parsed once here (driver side) from the metadata's
-    * SQL literal; the supported literal forms match this reader's
-    * supported scalar types. */
-  private val existsDefault: Array[Any] = readSchema.fields.map { f =>
-    if (!f.metadata.contains("EXISTS_DEFAULT")) null
-    else {
-      // the stored text is a FOLDED catalyst literal: numerics carry a
-      // type suffix (42L, 1.5D, 2.0F) and a retyped literal arrives as
-      // CAST(lit AS type) — unwrap both before parsing
-      var sql = f.metadata.getString("EXISTS_DEFAULT").trim
-      val cast = "(?i)^CAST\\((.+) AS [A-Za-z0-9_() ]+\\)$".r
-      sql = sql match { case cast(inner) => inner.trim; case s => s }
-      def num(s: String) = s.replaceAll("(?i)[LDF]$", "")
-      if (sql.equalsIgnoreCase("null")) null
-      else f.dataType match {
-        case LongType => num(sql).toLong
-        case IntegerType => num(sql).toInt
-        case DoubleType => num(sql).toDouble
-        case FloatType => num(sql).toFloat
-        case BooleanType => sql.toBoolean
-        case StringType =>
-          UTF8String.fromString(sql.stripPrefix("'").stripSuffix("'")
-            .replace("''", "'").replace("\\'", "'"))
-        case other => throw new UnsupportedOperationException(
-          s"graft-table reader: EXISTS_DEFAULT on ${f.name} of type $other " +
-            "is not supported (long/int/double/float/boolean/string literals only)")
-      }
-    }
-  }
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[GraftFilePartition]
-    val file = part.file
-    new PartitionReader[InternalRow] {
-      import org.apache.parquet.example.data.Group
-      import org.apache.parquet.hadoop.ParquetReader
-      import org.apache.parquet.hadoop.example.GroupReadSupport
-      // COLUMN PROJECTION (r12): without a requested schema the Group
-      // materializer decodes EVERY column of every row — a pruned scan
-      // (SELECT two columns of twenty) still paid full decode on the
-      // streaming/CoW/bucketed read paths. Push the projection into
-      // parquet-mr (`parquet.read.schema`): the projection is built from
-      // the FILE's own footer schema restricted to the requested
-      // physical names, so schema evolution (columns absent from old
-      // files) and column mapping stay exact; row ordinals are
-      // projection-invariant, so dv skip/emit positions are unaffected.
-      // One extra footer read per file, repaid by skipping whole column
-      // chunks.
-      private val readConf: org.apache.hadoop.conf.Configuration = {
-        val wanted = readSchema.fields
-          .map(f => colmap.getOrElse(f.name, f.name)).toSet
-        try {
-          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new HadoopPath(file), conf.value))
-          val fileSchema =
-            try fr.getFooter.getFileMetaData.getSchema
-            finally fr.close()
-          val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
-          fileSchema.getFields.forEach { t =>
-            if (wanted.contains(t.getName)) { kept.add(t); () }
-          }
-          if (kept.isEmpty || kept.size == fileSchema.getFieldCount) conf.value
-          else {
-            val c2 = new org.apache.hadoop.conf.Configuration(conf.value)
-            c2.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-              new org.apache.parquet.schema.MessageType(fileSchema.getName, kept)
-                .toString)
-            c2
-          }
-        } catch { case scala.util.control.NonFatal(_) => conf.value }
-      }
-      private val reader: ParquetReader[Group] =
-        ParquetReader.builder(new GroupReadSupport(), new HadoopPath(file))
-          .withConf(readConf).build()
-      // deletion-vector positions for THIS file (r10): the dv dir is
-      // positions-only and small, so each task reads it whole and keeps
-      // its own file's ordinals; rows at those ordinals are skipped
-      // below. Path identity is scheme-insensitive (dv records
-      // `_metadata.file_path` URIs, the partition a manifest path).
-      private val deleted: graft.operators.DvRuns =
-        part.dv.map(GraftDv.positions(conf.value, _, file)).orNull
-      // CDF emit-mode (r10): produce ONLY the positions a merge-on-read
-      // delete commit added to the dv — new runs minus old runs
-      private val emitOnly: graft.operators.DvRuns =
-        part.cdf.flatMap(_.emitDiffNew).map { nd =>
-          val s = GraftDv.positions(conf.value, nd, file)
-          part.cdf.flatMap(_.emitDiffOld)
-            .map(od => s.minus(GraftDv.positions(conf.value, od, file)))
-            .getOrElse(s)
-        }.orNull
-      private var ordinal: Long = -1L
-      private var current: Group = _
-      // per-file field resolution (by PHYSICAL name through the colmap
-      // — column order may differ across commits, renamed columns store
-      // under their original spelling; -1 = column absent → NULL)
-      private var fieldIdx: Array[Int] = _
-      private def resolve(g: Group): Unit = {
-        val t = g.getType
-        fieldIdx = readSchema.fields.map { f =>
-          val phys = colmap.getOrElse(f.name, f.name)
-          if (t.containsField(phys)) t.getFieldIndex(phys) else -1
-        }
-      }
-      private def keep(o: Long): Boolean =
-        if (emitOnly != null) emitOnly.contains(o)
-        else deleted == null || !deleted.contains(o)
-      override def next(): Boolean = {
-        current = reader.read()
-        ordinal += 1
-        while (current != null && !keep(ordinal)) {
-          current = reader.read()
-          ordinal += 1
-        }
-        if (current != null && fieldIdx == null) resolve(current)
-        current != null
-      }
-      override def get(): InternalRow = {
-        val extra = (if (appendFilePath) 1 else 0) + (if (appendRowPos) 1 else 0) +
-          (if (part.cdf.isDefined) 2 else 0)
-        val vals = new Array[Any](readSchema.length + extra)
-        if (appendFilePath) vals(readSchema.length) = UTF8String.fromString(file)
-        // `_pos` (r13): the row's FILE ordinal — the physical parquet row
-        // index, NOT the post-dv-skip position — so (file, pos) is the
-        // stable row id the merge-on-read delta write records
-        if (appendRowPos)
-          vals(readSchema.length + (if (appendFilePath) 1 else 0)) = ordinal
-        part.cdf.foreach { spec =>
-          val at = readSchema.length + (if (appendFilePath) 1 else 0) +
-            (if (appendRowPos) 1 else 0)
-          vals(at) = UTF8String.fromString(spec.changeType)
-          vals(at + 1) = spec.version
-        }
-        var i = 0
-        while (i < readSchema.length) {
-          val idx = fieldIdx(i)
-          vals(i) =
-            if (idx < 0) existsDefault(i) // column absent from this file
-            else if (current.getFieldRepetitionCount(idx) == 0) null
-            else {
-              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-              // the FILE's physical type — under type widening (r11) a
-              // pre-widen file stores the narrower encoding and must be
-              // read as such, then up-cast to the logical type
-              def physName = current.getType.getType(idx).asPrimitiveType()
-                .getPrimitiveTypeName
-              readSchema.fields(i).dataType match {
-                case LongType =>
-                  if (physName == PrimitiveTypeName.INT32)
-                    current.getInteger(idx, 0).toLong
-                  else current.getLong(idx, 0)
-                case IntegerType => current.getInteger(idx, 0)
-                case DoubleType => physName match {
-                  case PrimitiveTypeName.FLOAT => current.getFloat(idx, 0).toDouble
-                  case PrimitiveTypeName.INT32 => current.getInteger(idx, 0).toDouble
-                  case _ => current.getDouble(idx, 0)
-                }
-                case FloatType => current.getFloat(idx, 0)
-                case BooleanType => current.getBoolean(idx, 0)
-                case StringType =>
-                  UTF8String.fromBytes(current.getBinary(idx, 0).getBytes)
-                case DateType => current.getInteger(idx, 0)
-                case other => throw new UnsupportedOperationException(
-                  s"graft-table stream: column ${readSchema.fields(i).name} has " +
-                    s"unsupported type $other (supported: long/int/double/float/" +
-                    "boolean/string/date — read timestamps as unix micros)")
-              }
-            }
-          i += 1
-        }
-        new GenericInternalRow(vals)
-      }
-      override def close(): Unit = reader.close()
-    }
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftVectorizedRowReader(partition.asInstanceOf[GraftFilePartition],
+      readSchema, conf, appendFilePath, appendRowPos, colmap)
 }
 
 /** SQL-facing queries of the catalog surface. */

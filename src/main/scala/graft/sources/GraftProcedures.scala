@@ -338,11 +338,14 @@ object TableManifestTvf {
     import spark.implicits._
     val rows = TableFormat.history(spark, base).map { case (v, op, _) =>
       val (isDelta, depth, body, bytes) = TableFormat.manifestLogStat(spark, base, v)
-      (v, op, isDelta, depth, body, bytes,
+      val fmt = if (isDelta) "delta"
+        else if (TableFormat.manifestIsParquet(spark, base, v)) "parquet-checkpoint"
+        else "text"
+      (v, op, isDelta, depth, fmt, body, bytes,
         TableFormat.manifestEntries(spark, base, v).size)
     }
     SqlBridge.analyzed(rows.toDF("version", "op", "is_delta", "delta_depth",
-      "script_lines", "manifest_bytes", "entries"))
+      "format", "script_lines", "manifest_bytes", "entries"))
   }
 
   val info = new ExpressionInfo(getClass.getName, name)

@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Vectorized executor-side parquet reader for the table format's DSv2
+  * row-returning scans (r14, VERDICT r13 #1) — replaces the
+  * parquet-hadoop `example.Group` record materializer that backed the
+  * streaming source, CoW/delta rewrite scans, CDF emit-mode, and
+  * bucketed SPJ scans. Decode now runs through Spark's own
+  * [[VectorizedParquetRecordReader]] (columnar page decode, dictionary
+  * reuse, batched null handling); rows are served as the reader's
+  * batch-row VIEW, so per-row cost is a position bump instead of a
+  * `Group` object graph. At 100 TB these are exactly the paths every
+  * UPDATE/MERGE rewrite and stream batch pays — several× per byte
+  * cheaper than the row-materializing API.
+  *
+  * Semantics preserved exactly, pinned by the existing suites:
+  *   - schema evolution: a column absent from an old file reads its
+  *     EXISTS_DEFAULT (Spark's vectorized reader consumes the same
+  *     `EXISTS_DEFAULT` field metadata this format stores) or NULL;
+  *   - column mapping: the file is asked for PHYSICAL names (the
+  *     requested schema is the logical schema renamed through the
+  *     colmap — positional output, so logical ordering is unchanged);
+  *   - type widening: a pre-widen file's narrower physical type
+  *     up-casts in the column updaters (INT32→long/double,
+  *     FLOAT→double — Spark's widening updater set);
+  *   - deletion vectors: positions are FILE ordinals; the batch rows
+  *     stream out in file order (one split = the whole file, no
+  *     filters pushed, so no row-group skipping), and the wrapper
+  *     counts ordinals and skips dv hits / emits CDF diff hits exactly
+  *     as the row reader did;
+  *   - appended metadata columns (`_file`, `_pos`, CDF type/version)
+  *     join the data row through a reusable projection row.
+  *
+  * The one behavioral EXTENSION: types beyond the staged-writer set
+  * (timestamps, decimals — files written by the V1 batch path) now
+  * read instead of throwing, since the vectorized reader supports the
+  * full parquet-spark surface. */
+private[sources] class GraftVectorizedRowReader(
+    part: GraftFilePartition, readSchema: StructType,
+    conf: SerializableHadoopConf, appendFilePath: Boolean,
+    appendRowPos: Boolean, colmap: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val file = part.file
+
+  // requested schema: physical names (through the colmap), logical
+  // types, field metadata (EXISTS_DEFAULT) intact
+  private val physSchema = StructType(readSchema.fields.map(f =>
+    f.copy(name = colmap.getOrElse(f.name, f.name))))
+
+  private val reader: VectorizedParquetRecordReader = {
+    val c = new org.apache.hadoop.conf.Configuration(conf.value)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, physSchema.json)
+    // ParquetToSparkSchemaConverter / ParquetReadSupport read these
+    // with NO defaults — every key must be present (ParquetFileFormat
+    // sets the same five from the session conf)
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val p = new HadoopPath(file)
+    val len = p.getFileSystem(c).getFileStatus(p).getLen
+    // the old-API FileSplit (it extends the mapreduce one): Spark's
+    // reader base downcasts to it internally
+    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+    val ctx = new TaskAttemptContextImpl(c, new TaskAttemptID())
+    // no session timezone conversion (this format stores no INT96 and
+    // its timestamp columns are adjusted-to-UTC micros); rebase modes
+    // CORRECTED = read stored values as-is, the modern-file default
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), InternalRow.empty)
+    } catch { case t: Throwable => r.close(); throw t }
+    r
+  }
+
+  // deletion-vector positions for THIS file (r10): the dv dir is
+  // positions-only and small, so each task reads it whole and keeps
+  // its own file's ordinals; rows at those ordinals are skipped.
+  private val deleted: graft.operators.DvRuns =
+    part.dv.map(GraftDv.positions(conf.value, _, file)).orNull
+  // CDF emit-mode (r10): produce ONLY the positions a merge-on-read
+  // delete commit added to the dv — new runs minus old runs
+  private val emitOnly: graft.operators.DvRuns =
+    part.cdf.flatMap(_.emitDiffNew).map { nd =>
+      val s = GraftDv.positions(conf.value, nd, file)
+      part.cdf.flatMap(_.emitDiffOld)
+        .map(od => s.minus(GraftDv.positions(conf.value, od, file)))
+        .getOrElse(s)
+    }.orNull
+
+  private def keep(o: Long): Boolean =
+    if (emitOnly != null) emitOnly.contains(o)
+    else deleted == null || !deleted.contains(o)
+
+  private val nExtra = (if (appendFilePath) 1 else 0) +
+    (if (appendRowPos) 1 else 0) + (if (part.cdf.isDefined) 2 else 0)
+  private val fileUtf8 = UTF8String.fromString(file)
+  private val posAt = readSchema.length + (if (appendFilePath) 1 else 0)
+  private val cdfAt = posAt + (if (appendRowPos) 1 else 0)
+
+  private var ordinal: Long = -1L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    do {
+      if (!reader.nextKeyValue()) { current = null; return false }
+      current = reader.getCurrentValue.asInstanceOf[InternalRow]
+      ordinal += 1
+    } while (!keep(ordinal))
+    true
+  }
+
+  override def get(): InternalRow = {
+    // copy out of the batch view (the view mutates on next()); the
+    // DSv2 row scan's consumers may buffer rows across next() calls
+    val vals = new Array[Any](readSchema.length + nExtra)
+    var i = 0
+    while (i < readSchema.length) {
+      vals(i) =
+        if (current.isNullAt(i)) null
+        else current.get(i, readSchema.fields(i).dataType) match {
+          case s: UTF8String => s.copy() // batch-buffer view
+          case v => v
+        }
+      i += 1
+    }
+    if (appendFilePath) vals(readSchema.length) = fileUtf8
+    // `_pos` (r13): the row's FILE ordinal — the physical parquet row
+    // index, NOT the post-dv-skip position — so (file, pos) is the
+    // stable row id the merge-on-read delta write records
+    if (appendRowPos) vals(posAt) = ordinal
+    part.cdf.foreach { spec =>
+      vals(cdfAt) = UTF8String.fromString(spec.changeType)
+      vals(cdfAt + 1) = spec.version
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -2253,6 +2253,9 @@ class GraftTableSpec extends SparkTestBase {
       rows(1).getAs[Long]("manifest_bytes"),
       "a delta manifest must be smaller than restating the log")
     assert(rows.map(_.getAs[String]("op")).toSeq == Seq("replace", "append", "append"))
+    // format column (r14): small full manifests are text, deltas delta;
+    // ≥64-entry checkpoints report parquet-checkpoint (TableFormatSpec)
+    assert(rows.map(_.getAs[String]("format")).toSeq == Seq("text", "delta", "delta"))
   }
 
   test("graft_table_files TVF: per-file inventory with live rows, bytes, bucket ids and dv pointers (r12)") {
