@@ -874,10 +874,20 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
       StructField("_commit_version", IntegerType, nullable = false)))
   }
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION (r14, VERDICT r13 #3): opts this table
+    // into Spark 4's `MERGE INTO … WITH SCHEMA EVOLUTION` — the
+    // analyzer computes the source-minus-target ADD COLUMN set and
+    // routes it through [[GraftCatalog.alterTable]]'s add-only rules
+    // (retypes refuse there), then the merge itself plans against the
+    // reloaded widened table: old files project NULL through the
+    // per-file reader, CDC pipelines land new columns without a manual
+    // DDL step. Evolution only happens under the explicit syntax — a
+    // plain MERGE with an unknown source column still fails analysis.
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   /** Constraints (r10), rebuilt from the `#constraints` header: CHECK
     * (`C:` entries) reports ENFORCED + VALID — ADD validated existing
     * data and the analyzer validates every subsequent write — so the
@@ -3270,6 +3280,48 @@ object GraftCatalogOps {
         |FROM graft.db.smm""".stripMargin)
   }
 
+  /** `sql_merge_evolve` (r14, VERDICT r13 #3): `MERGE WITH SCHEMA
+    * EVOLUTION` — the source carries a column the target lacks
+    * (`o_custkey`); the explicit syntax widens the target add-only
+    * (Spark's AUTOMATIC_SCHEMA_EVOLUTION capability routed through this
+    * catalog's ALTER rules), matched rows take source values, untouched
+    * pre-evolution rows read NULL, inserts land fully populated — the
+    * CDC-pipeline evolution path. Oracle replays the merge + widening as
+    * set algebra. */
+  def sqlMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/smev"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.t(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_totalprice"),
+              org.apache.spark.sql.functions.col("o_custkey"))
+      .createOrReplaceTempView("src_orders_smev")
+    spark.sql(
+      """CREATE TABLE graft.db.smev (o_orderkey BIGINT, o_totalprice DOUBLE)
+        |PARTITIONED BY (o_orderkey)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.smev
+        |SELECT o_orderkey, o_totalprice FROM src_orders_smev
+        |WHERE o_orderkey % 3 != 0""".stripMargin)
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.db.smev t
+        |USING (SELECT o_orderkey, o_totalprice, o_custkey FROM src_orders_smev
+        |       WHERE o_orderkey % 2 = 0) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+        |  CAST(count(o_custkey) AS BIGINT) AS n_evolved,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.db.smev""".stripMargin)
+  }
+
   /** `sql_table_changes` (r10, VERDICT r9 #4): the change data feed as a
     * composable TVF — the table walks append/delete commits, then ONE
     * SQL query aggregates `graft_table_changes('db.t', 0, 3)` per
@@ -3990,6 +4042,7 @@ object GraftCatalogOps {
     "sql_delete_dv" -> (sqlDeleteDv _),
     "sql_update_dv" -> (sqlUpdateDv _),
     "sql_merge_mor" -> (sqlMergeMor _),
+    "sql_merge_evolve" -> (sqlMergeEvolve _),
     "sql_table_changes" -> (sqlTableChanges _),
     "table_cdf_update" -> (tableCdfUpdate _),
     "sql_maint_compact" -> (sqlMaintCompact _),
@@ -4299,6 +4352,24 @@ object GraftCatalogOps {
         |     )
         |SELECT CAST(count(1) AS BIGINT) AS n,
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged""".stripMargin,
+    "sql_merge_evolve" ->
+      """WITH t0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 != 0),
+        |     s AS (SELECT o_orderkey, o_totalprice, o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+        |     merged AS (
+        |       SELECT t0.o_orderkey AS o_orderkey,
+        |              CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |                   ELSE t0.o_totalprice END AS o_totalprice,
+        |              s.o_custkey AS o_custkey
+        |       FROM t0 LEFT JOIN s ON t0.o_orderkey = s.o_orderkey
+        |       UNION ALL
+        |       SELECT s.o_orderkey, s.o_totalprice, s.o_custkey
+        |       FROM s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t0)
+        |     )
+        |SELECT CAST(count(1) AS BIGINT) AS n,
+        |  CAST(count(o_custkey) AS BIGINT) AS n_evolved,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM merged""".stripMargin,
     "sql_catalog_skip" ->
