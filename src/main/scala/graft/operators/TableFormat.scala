@@ -1269,6 +1269,14 @@ object TableFormat {
       // units (raw integral / micros / epoch-days), matching what CBO's
       // FilterEstimation compares predicate literals against.
       val nBins = 32
+      // STRING stats columns histogram too (r14, VERDICT r13 #5): bins
+      // live on the PREFIX-RANK image (first 7 UTF-8 bytes packed
+      // big-endian — monotone in byte order, the same grid the z-order
+      // string dims interleave), so the corpus tables' hot string
+      // predicates (`lang`, `doc_id`) get skew-aware selectivity.
+      // Estimation-only, like every histogram: strings equal through 7
+      // bytes collapse to one rank, which can only OVER-estimate an
+      // equality's selectivity, never prune a row.
       val histCols = statsCols.filter(c =>
         df.schema.fields.find(_.name == c).map(_.dataType).exists {
           case org.apache.spark.sql.types.ByteType |
@@ -1277,7 +1285,8 @@ object TableFormat {
                org.apache.spark.sql.types.LongType |
                org.apache.spark.sql.types.DateType |
                org.apache.spark.sql.types.TimestampType |
-               org.apache.spark.sql.types.TimestampNTZType => true
+               org.apache.spark.sql.types.TimestampNTZType |
+               org.apache.spark.sql.types.StringType => true
           case _ => false
         })
       val hist: Map[String, String] = histCols.flatMap { c =>
@@ -1287,6 +1296,8 @@ object TableFormat {
             unix_micros(col(c).cast("timestamp")).cast("double")
           case org.apache.spark.sql.types.DateType =>
             unix_date(col(c)).cast("double")
+          case org.apache.spark.sql.types.StringType =>
+            graft.functions.HashKernels.prefix_rank(col(c)).cast("double")
           case _ => col(c).cast("double")
         }
         val qs = (0 to nBins).map(_.toDouble / nBins).toArray

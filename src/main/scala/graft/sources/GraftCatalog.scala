@@ -1418,6 +1418,20 @@ class GraftDeltaScanBuilder(base: String, version: Int,
   * re-applies them), and uses range-expressible ones twice: to prune
   * FILES against the manifest's per-file [min, max], and — applied to
   * the inner DataFrame — to reach the parquet row-group index. */
+/** Aggregate-pushdown answer shapes (r14). [[GraftCompleteAgg]]: the
+  * whole aggregation is manifest-exact — one metadata row, zero data
+  * IO (complete pushdown). [[GraftHybridAggPlan]]: some dv-carrying
+  * entries could change the answer — the metadata row covers the
+  * dominated set and `scanEntries` (only) read, with Spark's final
+  * aggregation merging the partial rows. */
+private[sources] sealed trait GraftAggAnswer
+private[sources] final case class GraftCompleteAgg(
+    schema: StructType, row: Seq[Any]) extends GraftAggAnswer
+private[sources] final case class GraftHybridAggPlan(
+    schema: StructType, metaRow: Seq[Any],
+    scanEntries: Seq[TableFormat.ManifestEntry],
+    aggs: Seq[(String, String)]) extends GraftAggAnswer
+
 class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
                        statsCols: Seq[String], spark: SparkSession,
                        startVersion: Int,
@@ -1433,6 +1447,14 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   /** Set when a whole aggregation was answered from manifest METADATA
     * (r10): (result schema, the single result row) — zero data IO. */
   private var aggResult: Option[(StructType, Seq[Any])] = None
+  /** HYBRID aggregate pushdown (r14, VERDICT r13 #4): set when the
+    * aggregation is answerable from metadata for MOST files but some
+    * dv-carrying entries could genuinely change the answer — those
+    * (and only those) scan. Spark keeps the FINAL aggregation (partial
+    * pushdown: supportCompletePushDown = false), this scan emits two
+    * kinds of partial rows: the manifest row covering the dominated
+    * set, and one distributed-aggregate row over the scan set. */
+  private var hybridAgg: Option[GraftHybridAggPlan] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftScanBuilder.translatable)
@@ -1455,7 +1477,8 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   override def build(): Scan = {
     val spjOn = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       .exists(_.equalsIgnoreCase("true"))
-    if (spjOn && aggResult.isEmpty && !required.fieldNames.contains("_file")) {
+    if (spjOn && aggResult.isEmpty && hybridAgg.isEmpty &&
+        !required.fieldNames.contains("_file")) {
       val spec =
         try TableFormat.bucketSpecOf(TableFormat.manifestProps(spark, base, version))
         catch { case _: java.io.FileNotFoundException => None }
@@ -1471,10 +1494,13 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
     }
     this
   }
-  override def readSchema(): StructType = aggResult.map(_._1).getOrElse(required)
+  override def readSchema(): StructType =
+    aggResult.map(_._1).orElse(hybridAgg.map(_.schema)).getOrElse(required)
   override def description(): String =
     s"GraftTableScan $base v$version, PushedFilters: [${pushed.mkString(", ")}]" +
-      aggResult.fold("")(_ => ", metadata-only aggregate")
+      aggResult.fold("")(_ => ", metadata-only aggregate") +
+      hybridAgg.fold("")(h =>
+        s", hybrid aggregate (scans ${h.scanEntries.size} dv file(s))")
 
   /** METADATA-ONLY aggregate pushdown (r10) — the manifest's per-file
     * (rows, min, max, nulls) answer whole-table aggregates with ZERO
@@ -1494,8 +1520,8 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   // same Aggregation — memoize so the manifest is read and the bounds
   // computed ONCE per query (r10; on an object store each manifest read
   // is a network round-trip)
-  private var aggMemo: Option[(Aggregation, Option[(StructType, Seq[Any])])] = None
-  private def computeAggCached(agg: Aggregation): Option[(StructType, Seq[Any])] =
+  private var aggMemo: Option[(Aggregation, Option[GraftAggAnswer])] = None
+  private def computeAggCached(agg: Aggregation): Option[GraftAggAnswer] =
     aggMemo match {
       case Some((a, r)) if a eq agg => r
       case _ =>
@@ -1504,10 +1530,13 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
         r
     }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    computeAggCached(agg).isDefined
+    computeAggCached(agg).exists(_.isInstanceOf[GraftCompleteAgg])
   override def pushAggregation(agg: Aggregation): Boolean =
     computeAggCached(agg) match {
-      case some @ Some(_) => aggResult = some; true
+      case Some(GraftCompleteAgg(schema, row)) =>
+        aggResult = Some((schema, row)); true
+      case Some(h: GraftHybridAggPlan) =>
+        hybridAgg = Some(h); true
       case None => false
     }
 
@@ -1522,21 +1551,39 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   private lazy val manifestEntriesCached: Seq[TableFormat.ManifestEntry] =
     TableFormat.manifestEntries(spark, base, version)
 
-  private def computeAgg(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+  private def computeAgg(agg: Aggregation): Option[GraftAggAnswer] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     val entries = manifestEntriesCached
     if (!entries.forall(_.rows.isDefined)) return None // pre-r10 manifest
-    // deletion vectors (r10): COUNT(*) stays answerable — liveRows is
-    // exact — but per-column stats describe the file INCLUDING deleted
-    // rows (the true min/max/null-count of the live subset may differ),
-    // so MIN/MAX/COUNT(c) bail to the data path on any dv-carrying entry
-    val anyDv = entries.exists(_.dv.isDefined)
     def statsIdx(c: String): Option[Int] =
       statsCols.indexOf(c) match {
         case i if i >= 0 && i < 2 && integral(c) => Some(i)
         case _ => None
       }
-    def boundsOf(e: TableFormat.ManifestEntry, i: Int) = e.statsAt(i)
+    // parse the requested functions into positional specs — kind tag +
+    // column + stats slot; any unsupported shape bails the whole push
+    final case class Spec(kind: String, n: String, i: Int, dt: DataType) {
+      def field: StructField = kind match {
+        case "count*" => StructField("count(*)", LongType, nullable = false)
+        case "count" => StructField(s"count($n)", LongType, nullable = false)
+        case "min" => StructField(s"min($n)", dt)
+        case "max" => StructField(s"max($n)", dt)
+      }
+    }
+    def colSpec(kind: String,
+                c: org.apache.spark.sql.connector.expressions.Expression): Option[Spec] =
+      colName(c).flatMap(n => statsIdx(n).map(i =>
+        Spec(kind, n, i, tableSchema.fields.find(_.name == n).get.dataType)))
+    val parsed: Seq[Option[Spec]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(Spec("count*", "", -1, LongType))
+      case c: Count if !c.isDistinct => colSpec("count", c.column)
+      case m: Min => colSpec("min", m.column)
+      case m: Max => colSpec("max", m.column)
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val sp = parsed.flatten
+    val schema = StructType(sp.map(_.field))
     def castTo(v: Long, dt: DataType): Any = dt match {
       case ByteType => v.toByte
       case ShortType => v.toShort
@@ -1544,48 +1591,86 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
       case DateType => v.toInt // internal rep: epoch-days INT
       case _ => v // LongType; TimestampType/NTZ internal rep IS micros
     }
-    def minMax(column: org.apache.spark.sql.connector.expressions.Expression,
-               wantMin: Boolean): Option[(StructField, Any)] =
-      colName(column).filterNot(_ => anyDv).flatMap { n =>
-        statsIdx(n).flatMap { i =>
-          val dt = tableSchema.fields.find(_.name == n).get.dataType
-          // all-null files (nulls = rows, proven) contribute nothing to
-          // MIN/MAX; every OTHER file must carry bounds or we bail
-          val contributing = entries.filterNot { e =>
-            val (_, _, nu) = boundsOf(e, i)
-            nu.isDefined && nu == e.rows
-          }
-          val picked = contributing.map(e =>
-            if (wantMin) boundsOf(e, i)._1 else boundsOf(e, i)._2)
-          if (picked.forall(_.isDefined)) {
-            val vals = picked.flatten
-            val v: Any =
-              if (vals.isEmpty) null
-              else castTo(if (wantMin) vals.min else vals.max, dt)
-            Some((StructField(s"${if (wantMin) "min" else "max"}($n)", dt), v))
-          } else None
-        }
-      }
-    val results: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count(*)", LongType, nullable = false),
-          entries.flatMap(_.liveRows).sum: Any))
-      case c: Count if !c.isDistinct =>
-        colName(c.column).filterNot(_ => anyDv).flatMap { n =>
-          statsIdx(n).flatMap { i =>
-            val nulls = entries.map(e => boundsOf(e, i)._3)
-            if (nulls.forall(_.isDefined))
-              Some((StructField(s"count($n)", LongType, nullable = false),
-                entries.zip(nulls).map { case (e, nu) => e.rows.get - nu.get }.sum: Any))
-            else None
-          }
-        }
-      case m: Min => minMax(m.column, wantMin = true)
-      case m: Max => minMax(m.column, wantMin = false)
-      case _ => None
+    // a file PROVEN all-null in slot i contributes nothing to MIN/MAX
+    // and exactly zero to COUNT(c) — deletion can only shrink the live
+    // set, so the proof survives any dv
+    def allNull(e: TableFormat.ManifestEntry, i: Int): Boolean = {
+      val (_, _, nu) = e.statsAt(i)
+      nu.isDefined && nu == e.rows
     }
-    if (results.exists(_.isEmpty)) None
-    else Some((StructType(results.map(_.get._1)), results.map(_.get._2)))
+    val (dvE, freeE) = entries.partition(_.dv.isDefined)
+    // dv-FREE contributions must be manifest-provable or the whole push
+    // bails (the r10 rule): every contributing entry carries the bound /
+    // null count the spec needs
+    val freeMin = scala.collection.mutable.Map.empty[Int, Option[Long]]
+    val freeMax = scala.collection.mutable.Map.empty[Int, Option[Long]]
+    def freeBound(i: Int, wantMin: Boolean): Option[Option[Long]] = {
+      val contributing = freeE.filterNot(e => allNull(e, i))
+      val picked = contributing.map(e =>
+        if (wantMin) e.statsAt(i)._1 else e.statsAt(i)._2)
+      if (!picked.forall(_.isDefined)) None
+      else Some(picked.flatten match {
+        case Seq() => None
+        case vs => Some(if (wantMin) vs.min else vs.max)
+      })
+    }
+    sp.foreach { s =>
+      s.kind match {
+        case "min" => freeBound(s.i, wantMin = true) match {
+          case Some(v) => freeMin(s.i) = v
+          case None => return None
+        }
+        case "max" => freeBound(s.i, wantMin = false) match {
+          case Some(v) => freeMax(s.i) = v
+          case None => return None
+        }
+        case "count" =>
+          if (!freeE.forall(e => allNull(e, s.i) || e.statsAt(s.i)._3.isDefined))
+            return None
+        case _ => ()
+      }
+    }
+    // HYBRID split (r14, VERDICT r13 #4): per-file stats describe the
+    // file INCLUDING deleted rows, so a dv entry's manifest answer may
+    // be stale — but deletion only REMOVES rows, which makes three
+    // proofs cheap: (a) `nulls = 0` ⇒ every live row is non-null ⇒
+    // COUNT(c) = liveRows, exact; (b) all-null ⇒ COUNT(c) = 0 and no
+    // MIN/MAX contribution; (c) a dv file whose recorded lo is already
+    // ≥ the dv-free min cannot LOWER the global min (its live min can
+    // only be higher), symmetrically for max. Only files failing every
+    // proof for some requested function scan — usually none, so the
+    // 99 % of files untouched by deletes keep the zero-IO answer.
+    def needsScan(e: TableFormat.ManifestEntry): Boolean = sp.exists { s =>
+      s.kind match {
+        case "count*" => false
+        case "count" => !(allNull(e, s.i) || e.statsAt(s.i)._3.contains(0L))
+        case "min" =>
+          !allNull(e, s.i) && !(e.statsAt(s.i)._1.isDefined &&
+            freeMin(s.i).exists(_ <= e.statsAt(s.i)._1.get))
+        case "max" =>
+          !allNull(e, s.i) && !(e.statsAt(s.i)._2.isDefined &&
+            freeMax(s.i).exists(_ >= e.statsAt(s.i)._2.get))
+      }
+    }
+    val (scanSet, metaDv) = dvE.partition(needsScan)
+    val metaEntries = freeE ++ metaDv
+    val row: Seq[Any] = sp.map { s =>
+      s.kind match {
+        case "count*" => metaEntries.flatMap(_.liveRows).sum: Any
+        case "count" => metaEntries.map { e =>
+          if (allNull(e, s.i)) 0L
+          else if (e.dv.isDefined) e.liveRows.get // nulls = 0 proven above
+          else e.rows.get - e.statsAt(s.i)._3.get
+        }.sum: Any
+        // dominated metaDv bounds cannot move the dv-free extremes, so
+        // the dv-free bound IS the metadata answer
+        case "min" => freeMin(s.i).map(castTo(_, s.dt)).orNull: Any
+        case "max" => freeMax(s.i).map(castTo(_, s.dt)).orNull: Any
+      }
+    }
+    if (scanSet.isEmpty) Some(GraftCompleteAgg(schema, row))
+    else Some(GraftHybridAggPlan(schema, row, scanSet,
+      sp.map(s => (s.kind, s.n))))
   }
 
   /** Manifest entries surviving the pushed filters' bounds on the
@@ -1684,9 +1769,45 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
     * BROADCAST side, as it should. Pre-r10 manifests (no row counts)
     * report unknown, never a guess. */
   override def estimateStatistics(): Statistics = new Statistics {
+    /** STRING-KEY histogram selectivity (r14, VERDICT r13 #5): catalyst's
+      * FilterEstimation cannot consume a histogram for a string column
+      * (it maps literals onto doubles), so string-equality selectivity
+      * is applied HERE, where the literal maps onto the same prefix-rank
+      * image ANALYZE binned. Standard equi-height equality estimate:
+      * height/ndv of each bin containing the point, over total rows —
+      * skewed keys (`lang = 'zz'` vs `lang = 'en'`) stop estimating
+      * under the uniformity assumption. Estimation-only (advisory size
+      * for join-side selection); prefix collapse can only over-estimate. */
+    private lazy val strHistSel: Double = {
+      val histAll =
+        try TableFormat.manifestHist(spark, base, version)
+        catch { case _: Exception =>
+          Map.empty[String, (Double, Seq[(Double, Double, Long)])] }
+      if (histAll.isEmpty) 1.0
+      else pushed.toSeq.flatMap {
+        case org.apache.spark.sql.sources.EqualTo(c, v: String)
+            if statsCols.contains(c) && histAll.contains(c) &&
+              tableSchema.fields.find(_.name == c).exists(_.dataType == StringType) =>
+          val (height, bins) = histAll(c)
+          val total = height * bins.size
+          if (total <= 0) None
+          else {
+            val pt = graft.functions.HashKernels.prefixRank(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v)).toDouble
+            val sel = bins.filter(b => pt >= b._1 && pt <= b._2)
+              .map(b => height / math.max(1L, b._3)).sum / total
+            // floor, never zero: a key outside every bin may still exist
+            // (post-ANALYZE append) — stats are advisory, not pruning
+            Some(math.min(1.0, math.max(sel, 1e-4)))
+          }
+        case _ => None
+      }.product
+    }
     private lazy val nRows: Option[Long] = {
       val kept = keptEntries()
-      if (kept.forall(_.rows.isDefined)) Some(kept.flatMap(_.liveRows).sum) else None
+      if (kept.forall(_.rows.isDefined))
+        Some(math.max(1L, (kept.flatMap(_.liveRows).sum * strHistSel).toLong))
+      else None
     }
     private def rowWidth: Long = math.max(1L, required.fields.map(_.dataType.defaultSize).sum.toLong)
     override def sizeInBytes(): java.util.OptionalLong =
@@ -1724,7 +1845,12 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
           if (kept.nonEmpty && nullsPer.forall(_.isDefined))
             Some(nullsPer.flatten.sum)
           else None
-        val hbins = histAll.get(c)
+        // string-key histograms live on the prefix-rank image — USABLE
+        // only by this scan's own estimator above; catalyst's
+        // FilterEstimation maps literals onto doubles and would misread
+        // rank-image bins against a string attribute (r14)
+        val hbins = histAll.get(c).filterNot(_ =>
+          tableSchema.fields.find(_.name == c).exists(_.dataType == StringType))
         if (est.isDefined || nulls.isDefined || hbins.isDefined)
           m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -1757,8 +1883,8 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-    aggResult match {
-      case Some((aggSchema, vals)) =>
+    (aggResult, hybridAgg) match {
+      case (Some((aggSchema, vals)), _) =>
         // the aggregate was answered from the manifest: one local row,
         // no file ever opens
         new BaseRelation with TableScan {
@@ -1767,7 +1893,33 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
           override def buildScan(): RDD[Row] =
             ctx.sparkSession.sparkContext.parallelize(Seq(Row.fromSeq(vals)), 1)
         }.asInstanceOf[T]
-      case None =>
+      case (None, Some(h)) =>
+        // hybrid (r14): Spark kept the FINAL aggregation (partial
+        // pushdown), so this scan emits PARTIAL rows — the manifest row
+        // for every dominated file plus one distributed-aggregate row
+        // over the dv files that could change the answer; Spark's final
+        // agg merges them (sum over counts, min over mins, max over
+        // maxs). Data IO ∝ the undominated dv subset, never the table.
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = ctx
+          override def schema: StructType = h.schema
+          override def buildScan(): RDD[Row] = {
+            val metaRdd = ctx.sparkSession.sparkContext
+              .parallelize(Seq(Row.fromSeq(h.metaRow)), 1)
+            val live = TableFormat.readEntriesDf(
+              ctx.sparkSession, base, version, h.scanEntries)
+            import org.apache.spark.sql.functions.{col, count, lit, max, min}
+            val aggCols = h.aggs.map {
+              case ("count*", _) => count(lit(1))
+              case ("count", n) => count(col(n))
+              case ("min", n) => min(col(n))
+              case ("max", n) => max(col(n))
+              case (k, n) => throw new IllegalStateException(s"hybrid agg $k($n)")
+            }
+            live.agg(aggCols.head, aggCols.tail: _*).rdd.union(metaRdd)
+          }
+        }.asInstanceOf[T]
+      case (None, None) =>
         new GraftV1Relation(ctx, base, version, required, pushed, keptEntries()).asInstanceOf[T]
     }
 
@@ -3488,6 +3640,10 @@ object GraftCatalogOps {
               org.apache.spark.sql.functions.col("n_chars"))
     TableFormat.commit(spark, base, docs, 1, parent = None, statsCol = Some("doc_id"))
     spark.sql("DELETE FROM graft.db.mv WHERE doc_id BETWEEN 100 AND 300")
+    // the retention floor (r14) would keep these seconds-old versions —
+    // this table declares an explicit zero floor, the documented way to
+    // run an aggressive vacuum on tables with no long-running readers
+    spark.sql("ALTER TABLE graft.db.mv SET TBLPROPERTIES('graft.vacuum.min-age'='0')")
     spark.sql("CALL graft.system.vacuum('db.mv', 1)").collect()
     spark.sql(
       """SELECT count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -467,11 +467,37 @@ object GraftProcedures {
   /** VACUUM: retain the last `retain_last` versions, physically delete
     * everything no retained manifest references. Returns
     * (files_deleted, files_kept). */
+  /** READER-VS-VACUUM RETENTION FLOOR (r14, VERDICT r13 #6 — the Delta
+    * retention-duration contract): a long-running reader plans its file
+    * list from the version that was current at plan time; a concurrent
+    * `vacuum`/`expire_snapshots` reclaiming that version mid-query
+    * yanks its files. The SQL maintenance surface therefore refuses to
+    * reclaim versions younger than `graft.vacuum.min-age` (table
+    * property, ms; default 7 days — no running query outlives that).
+    * Forced reclaim is explicit and LOUD: either declare a shorter
+    * floor on the table, or set the session escape hatch
+    * `spark.graft.vacuum.retentionCheck = false` (the Delta
+    * retentionDurationCheck analog). The low-level
+    * [[TableFormat.vacuum]] stays the explicit-retain primitive —
+    * callers who hand-pick versions own their own retention. */
+  private val DefaultVacuumMinAgeMs = 7L * 24 * 60 * 60 * 1000
+  private def vacuumMinAge(spark: SparkSession, base: String): Long =
+    (try TableFormat.manifestProps(spark, base,
+        TableFormat.currentVersion(spark, base))
+      catch { case _: Exception => Map.empty[String, String] })
+      .get("graft.vacuum.min-age").flatMap(_.toLongOption)
+      .getOrElse(DefaultVacuumMinAgeMs)
+  private def retentionCheckOn(spark: SparkSession): Boolean =
+    !spark.conf.getOption("spark.graft.vacuum.retentionCheck")
+      .exists(_.equalsIgnoreCase("false"))
+
   private object VacuumProc extends Proc("vacuum",
     Seq(in("table", StringType), in("retain_last", IntegerType)),
     StructType(Seq(StructField("files_deleted", IntegerType), StructField("files_kept", IntegerType)))) {
     override def description(): String =
-      "physically delete data files and manifests outside the last retain_last versions"
+      "physically delete data files and manifests outside the last retain_last versions " +
+        "(versions younger than graft.vacuum.min-age are always kept unless " +
+        "spark.graft.vacuum.retentionCheck=false)"
     override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
       val cur = TableFormat.currentVersion(spark, base)
       val keep = input.getInt(1)
@@ -480,8 +506,22 @@ object GraftProcedures {
       // FIRST vacuum already dropped — retain only versions whose
       // manifest still exists, or the core vacuum would FNF reading a
       // manifest this very procedure deleted last time
-      val retained = TableFormat.history(spark, base).map(_._1)
-        .filter(v => v > cur - keep && v <= cur)
+      val onDisk = TableFormat.history(spark, base).map(_._1)
+      val window = onDisk.filter(v => v > cur - keep && v <= cur)
+      // retention floor: additionally keep every version younger than
+      // min-age — a reader planned from it may still be running
+      val retained =
+        if (!retentionCheckOn(spark)) window
+        else {
+          val floor = System.currentTimeMillis() - vacuumMinAge(spark, base)
+          val hfs = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          (window ++ onDisk.filter { v =>
+            try hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+              s"$base/_manifests/v$v.manifest")).getModificationTime >= floor
+            catch { case _: java.io.FileNotFoundException => false }
+          }).distinct.sorted
+        }
       val (deleted, kept) = TableFormat.vacuum(spark, base, retained)
       new GenericInternalRow(Array[Any](deleted, kept))
     }
@@ -668,6 +708,18 @@ object GraftProcedures {
       val keepLast = if (input.isNullAt(2)) 1 else input.getInt(2)
       require(olderMs >= 0, s"expire_snapshots: older_than_ms must be >= 0 (got $olderMs)")
       require(keepLast >= 1, s"expire_snapshots: retain_last must be >= 1 (got $keepLast)")
+      // retention floor (r14, VERDICT r13 #6): a sub-floor window could
+      // reclaim a version a live reader planned from — refuse loudly,
+      // naming both cures (the Delta retention-duration contract)
+      if (retentionCheckOn(spark)) {
+        val minAge = vacuumMinAge(spark, base)
+        require(olderMs >= minAge,
+          s"expire_snapshots: older_than_ms = $olderMs is below the table's " +
+            s"retention floor graft.vacuum.min-age = $minAge — a reader planned " +
+            "from a younger snapshot may still be running. Declare a shorter " +
+            "floor via TBLPROPERTIES('graft.vacuum.min-age'='...') or force " +
+            "with SET spark.graft.vacuum.retentionCheck=false")
+      }
       val p = new org.apache.hadoop.fs.Path(s"$base/_manifests")
       val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val cutoff = System.currentTimeMillis() - olderMs

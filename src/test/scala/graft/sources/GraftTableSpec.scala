@@ -454,17 +454,53 @@ class GraftTableSpec extends SparkTestBase {
     val r2 = spark.sql("CALL graft.system.restore(`table` => 'db.maint', version => 5)").head
     assert(r2.getInt(0) == 5 && r2.getInt(1) == 8, s"named-arg CALL: got $r2")
     assert(TableFormat.manifestFiles(spark, base, 7) == TableFormat.manifestFiles(spark, base, 5))
-    // VACUUM via SQL: retain the last 2 versions, superseded layouts reclaimed
+    // VACUUM via SQL: the retention floor (r14) keeps seconds-old
+    // versions a live reader could still be planning from — the
+    // default-config call reclaims NOTHING
+    val vac0 = spark.sql("CALL graft.system.vacuum('db.maint', 2)").head
+    assert(vac0.getInt(0) == 0, s"retention floor breached: $vac0")
+    assert(TableFormat.readSnapshot(spark, base, Some(5)).count() == 4000,
+      "a version inside the floor must stay readable after default vacuum")
+    // forced reclaim is explicit and loud: zero per-table floor
+    spark.sql("ALTER TABLE graft.db.maint SET TBLPROPERTIES('graft.vacuum.min-age'='0')")
     val vac = spark.sql("CALL graft.system.vacuum('db.maint', 2)").head
     assert(vac.getInt(0) > 0, s"vacuum deleted nothing: $vac")
     assert(spark.sql("SELECT count(1) FROM graft.db.maint").head.getLong(0) == 4000)
     // history shows the maintenance trail (vacuumed versions drop out:
-    // retain_last=2 keeps v7+v8, both restore commits)
+    // retain_last=2 keeps v8 (restore) + v9 (the floor ALTER))
     val hist = TableFormat.history(spark, base).map(h => h._1 -> h._2).toMap
-    assert(hist.get(7).contains("restore") && hist.get(8).contains("restore"), s"got $hist")
+    assert(hist.get(8).contains("restore") && hist.get(9).contains("alter"), s"got $hist")
     // unknown procedure fails by name (Spark wraps it as FAILED_TO_LOAD_ROUTINE)
     val e = intercept[Exception] { spark.sql("CALL graft.system.nope('db.maint')") }
     assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("vacuum retention floor: a reader planned pre-maintenance survives a default-config vacuum; forced reclaim is loud (r14, VERDICT r13 #6)") {
+    val _ = wh
+    val base = s"$wh/db/retention"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 1000L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None,
+      statsCol = Some("k"))
+    // a long-running reader: plans its file list from v1 NOW
+    val pinned = TableFormat.readSnapshot(spark, base, Some(1))
+    // the table advances — a CoW delete supersedes v1's files entirely
+    spark.sql("DELETE FROM graft.db.retention WHERE k < 500")
+    assert(spark.sql("SELECT count(1) FROM graft.db.retention").head.getLong(0) == 500)
+    // DEFAULT-CONFIG vacuum retaining only the head: the retention floor
+    // keeps the young superseded version — the reader still succeeds
+    val r0 = spark.sql("CALL graft.system.vacuum('db.retention', 1)").head
+    assert(r0.getInt(0) == 0, s"default vacuum reclaimed inside the floor: $r0")
+    assert(pinned.count() == 1000,
+      "reader planned at v1 must survive a default-config vacuum")
+    // FORCED reclaim: the session escape hatch, explicit and loud
+    spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    try {
+      val r1 = spark.sql("CALL graft.system.vacuum('db.retention', 1)").head
+      assert(r1.getInt(0) > 0, s"forced vacuum reclaimed nothing: $r1")
+    } finally spark.conf.unset("spark.graft.vacuum.retentionCheck")
+    assert(spark.sql("SELECT count(1) FROM graft.db.retention").head.getLong(0) == 500)
   }
 
   test("CALL graft.system.expire_snapshots: time-based retention (r13)") {
@@ -476,10 +512,18 @@ class GraftTableSpec extends SparkTestBase {
     TableFormat.commit(spark, base, Seq((1L, "a")).toDF("id", "v"), 1, None)
     TableFormat.appendCommit(spark, base, Seq((2L, "b")).toDF("id", "v"))
     TableFormat.appendCommit(spark, base, Seq((3L, "c")).toDF("id", "v"))
+    // a sub-floor window REFUSES by default (r14): a reader planned
+    // from a younger snapshot may still be running
+    val eGuard = intercept[Exception] {
+      spark.sql("CALL graft.system.expire_snapshots('db.expire', 0L, 1)").collect()
+    }
+    assert(eGuard.getMessage.contains("graft.vacuum.min-age"), eGuard.getMessage)
+    // this table opts out of the floor (no long-running readers here)
+    spark.sql("ALTER TABLE graft.db.expire SET TBLPROPERTIES('graft.vacuum.min-age'='0')")
     // a generous window retains everything — time travel intact
     val r0 = spark.sql(
       "CALL graft.system.expire_snapshots('db.expire', 86400000L, 1)").head
-    assert(r0.getInt(1) == 3, s"got $r0")
+    assert(r0.getInt(1) >= 3, s"got $r0")
     assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 1)
     // a zero window expires everything but the current snapshot
     Thread.sleep(20)
@@ -546,6 +590,74 @@ class GraftTableSpec extends SparkTestBase {
     // avg/sum are NOT pushable from bounds: still exact via the data path
     assert(spark.sql("SELECT sum(k) FROM graft.db.aggmeta").head.getLong(0) ==
       (0L until 4000L).sum)
+  }
+
+  test("hybrid aggregate pushdown under dvs: dominated dv files stay zero-IO, undominated ones scan exactly (r14, VERDICT r13 #4)") {
+    val _ = wh
+    val base = s"$wh/db/agghyb"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"),
+      clusterFiles = Some(4)) // range files ~[0,1e3) [1e3,2e3) [2e3,3e3) [3e3,4e3)
+    // dv on an INTERIOR slice: the carrier file's recorded bounds are
+    // dominated by dv-free files on both ends and its nulls = 0 proves
+    // COUNT(k) = liveRows — NO data file can change any answer
+    TableFormat.deleteRowsDV(spark, base, col("k").between(1500L, 1599L))
+    val df = spark.sql("SELECT count(*), min(k), max(k), count(k) FROM graft.db.agghyb")
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3900L, 0L, 3999L, 3900L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("parquet") && !plan.contains("HashAggregate") &&
+      !plan.contains("SortAggregate"),
+      s"dominated dv file broke the zero-IO complete pushdown:\n$plan")
+    // now delete the GLOBAL MINIMUM block: the min-holding file's dv can
+    // change min(k) — exactly the undominated files scan, the rest stay
+    // metadata, Spark's final agg merges the partials
+    TableFormat.deleteRowsDV(spark, base, col("k") < 500L)
+    val df2 = spark.sql("SELECT count(*), min(k), max(k), count(k) FROM graft.db.agghyb")
+    val r2 = df2.head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)) ==
+      ((3400L, 500L, 3999L, 3400L)),
+      s"hybrid aggregate wrong: $r2")
+    val plan2 = df2.queryExecution.executedPlan.toString
+    // partial pushdown shape: the aggregates ARE pushed (scan emits
+    // partial rows) and Spark keeps the merging final aggregate
+    assert(plan2.contains("PushedAggregates") && plan2.contains("HashAggregate"),
+      s"min-affecting dv did not route through partial pushdown:\n$plan2")
+    // builder-level pin: exactly the undominated dv files scan — the
+    // min-holding file AND the interior dv file below the dv-free min
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, Max, Min}
+    val schema1 = TableFormat.manifestSchema(spark, base, 1).get
+    val cur = TableFormat.currentVersion(spark, base)
+    def builderWith(agg: Aggregation): GraftScanBuilder = {
+      val sb = new GraftScanBuilder(base, cur, schema1, Seq("k"), spark, 0)
+      sb.pushAggregation(agg)
+      sb
+    }
+    val minAgg = new Aggregation(Array(new Min(Expressions.column("k"))), Array.empty)
+    val sbMin = new GraftScanBuilder(base, cur, schema1, Seq("k"), spark, 0)
+    assert(!sbMin.supportCompletePushDown(minAgg), "min must not complete-push")
+    assert(sbMin.pushAggregation(minAgg), "min must partial-push")
+    assert(sbMin.description().contains("hybrid aggregate (scans 2 dv file(s))"),
+      s"scan set must be exactly the 2 undominated dv files: ${sbMin.description()}")
+    // max / count(k) stay COMPLETE under the same dvs (zero data IO)
+    val maxAgg = new Aggregation(Array(new Max(Expressions.column("k"))), Array.empty)
+    assert(builderWith(maxAgg).description().contains("metadata-only aggregate"))
+    val cntAgg = new Aggregation(
+      Array(new Count(Expressions.column("k"), false)), Array.empty)
+    assert(builderWith(cntAgg).description().contains("metadata-only aggregate"))
+    // a MAX/COUNT-only query stays complete even with both dvs present:
+    // deletion can only raise mins — recorded his are still dominated,
+    // and nulls = 0 keeps counts manifest-exact
+    val df3 = spark.sql("SELECT max(k), count(k) FROM graft.db.agghyb")
+    assert((df3.head.getLong(0), df3.head.getLong(1)) == ((3999L, 3400L)))
+    val plan3 = df3.queryExecution.executedPlan.toString
+    assert(!plan3.contains("parquet") && !plan3.contains("HashAggregate") &&
+      !plan3.contains("SortAggregate"),
+      s"max/count under dominated dvs should stay zero-IO:\n$plan3")
   }
 
   test("manifest row counts drive join statistics: pruned side broadcasts (r10)") {
