@@ -512,7 +512,11 @@ object TableFormat {
     val (bodyLines, _) = fullEntriesBody(spark, base, version, entries)
     writeFile(spark, manifestPath(base, version),
       (headers ++ bodyLines).mkString("\n"))
-    f.setTimes(mp, committedAt, -1)
+    // stores without setTimes (some object-store connectors) keep the
+    // rewrite time — the pre-r14 behavior, degraded AS-OF anchoring
+    // only on those stores, never a failed vacuum
+    try f.setTimes(mp, committedAt, -1)
+    catch { case _: UnsupportedOperationException => () }
     invalidateManifest(manifestPath(base, version))
   }
 

@@ -2158,9 +2158,13 @@ class GraftBucketedScan(base: String, version: Int, required: StructType,
       GraftBucketPartition(b, es.map(e => (e.path, e.dv)).toArray): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
+    // TRUE COLUMNAR when the whole snapshot is mask-free (r14 phase 2);
+    // any dv anywhere keeps the scan in row mode — ordinal-tracking
+    // skip semantics live in the row-view reader
     new GraftBucketReaderFactory(required,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      TableFormat.manifestColmap(spark, base, version))
+      TableFormat.manifestColmap(spark, base, version),
+      columnar = kept.forall(_.dv.isEmpty))
   /** Same manifest-derived size the V1 path reports — the bucketed scan
     * must not regress join-side selection to "unknown = huge". */
   override def estimateStatistics(): Statistics = new Statistics {
@@ -2189,9 +2193,37 @@ case class GraftBucketPartition(bucket: Int, files: Array[(String, Option[String
 
 /** Concatenates the per-file record readers of a bucket group. */
 class GraftBucketReaderFactory(readSchema: StructType, conf: SerializableHadoopConf,
-                               colmap: Map[String, String])
+                               colmap: Map[String, String],
+                               columnar: Boolean = false)
     extends PartitionReaderFactory {
   private val per = new GraftParquetReaderFactory(readSchema, conf, colmap = colmap)
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  /** Concatenates per-file COLUMNAR readers of a bucket group (r14). */
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftBucketPartition]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var i = 0
+      private var cur: GraftColumnarReader = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (i >= p.files.length) return false
+            val (f, dv) = p.files(i)
+            i += 1
+            cur = new GraftColumnarReader(GraftFilePartition(f, dv),
+              readSchema, conf, colmap)
+          }
+          if (cur.next()) return true
+          cur.close()
+          cur = null
+        }
+        false // unreachable
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketPartition]
     new PartitionReader[InternalRow] {
@@ -2540,13 +2572,26 @@ class GraftTableMicroBatch(base: String, readSchema: StructType, startVersion: I
       s"graft-table stream on $base: versions $s -> $e change the deletion vector of " +
         s"${dvChanged.size} file(s) — a merge-on-read DELETE crossed the stream. " +
         "Restart the stream from a full snapshot instead")
-    afterEntries.filterNot(en => before(en.path)).sortBy(_.path)
-      .map(en => GraftFilePartition(en.path, en.dv): InputPartition).toArray
+    val fresh = afterEntries.filterNot(en => before(en.path)).sortBy(_.path)
+    // columnar contract (r14): the factory below is columnar, which is
+    // only sound for clean partitions. Append-only commits never attach
+    // a dv to a NEWLY-ADDED file in this format — enforce that loudly
+    // rather than silently mask through the wrong reader mode
+    fresh.find(_.dv.isDefined).foreach { en =>
+      throw new IllegalStateException(
+        s"graft-table stream on $base: versions $s -> $e add file ${en.path} " +
+          "carrying a deletion vector — append-only batches must add clean files")
+    }
+    fresh.map(en => GraftFilePartition(en.path, en.dv): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
+    // TRUE COLUMNAR (r14 phase 2): stream batches are append-only clean
+    // files (guard above), so the scan hands Spark ColumnarBatches
+    // directly — no per-row materialization in the source at all
     new GraftParquetReaderFactory(readSchema, conf,
       colmap = TableFormat.manifestColmap(spark, base,
-        TableFormat.currentVersion(spark, base)))
+        TableFormat.currentVersion(spark, base)),
+      columnar = true)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -2590,11 +2635,21 @@ object GraftDv {
 class GraftParquetReaderFactory(readSchema: StructType, conf: SerializableHadoopConf,
                                 appendFilePath: Boolean = false,
                                 appendRowPos: Boolean = false,
-                                colmap: Map[String, String] = Map.empty)
+                                colmap: Map[String, String] = Map.empty,
+                                columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftVectorizedRowReader(partition.asInstanceOf[GraftFilePartition],
       readSchema, conf, appendFilePath, appendRowPos, colmap)
+  /** TRUE-COLUMNAR mode (r14 phase 2): a SCAN-LEVEL decision (Spark
+    * requires every partition of a scan to agree on row-vs-columnar) —
+    * the owning scan passes `columnar = true` only when every partition
+    * it plans is clean (no dv, no CDF tag, no appended metadata cols). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(partition.asInstanceOf[GraftFilePartition],
+      readSchema, conf, colmap)
 }
 
 /** SQL-facing queries of the catalog surface. */

@@ -57,36 +57,9 @@ private[sources] class GraftVectorizedRowReader(
   private val physSchema = StructType(readSchema.fields.map(f =>
     f.copy(name = colmap.getOrElse(f.name, f.name))))
 
-  private val reader: VectorizedParquetRecordReader = {
-    val c = new org.apache.hadoop.conf.Configuration(conf.value)
-    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, physSchema.json)
-    // ParquetToSparkSchemaConverter / ParquetReadSupport read these
-    // with NO defaults — every key must be present (ParquetFileFormat
-    // sets the same five from the session conf)
-    c.setBoolean("spark.sql.parquet.binaryAsString", false)
-    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-    c.setBoolean("spark.sql.caseSensitive", false)
-    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-    val p = new HadoopPath(file)
-    val len = p.getFileSystem(c).getFileStatus(p).getLen
-    // the old-API FileSplit (it extends the mapreduce one): Spark's
-    // reader base downcasts to it internally
-    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
-    val ctx = new TaskAttemptContextImpl(c, new TaskAttemptID())
-    // no session timezone conversion (this format stores no INT96 and
-    // its timestamp columns are adjusted-to-UTC micros); rebase modes
-    // CORRECTED = read stored values as-is, the modern-file default
-    val r = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-    try {
-      r.initialize(split, ctx)
-      r.initBatch(new StructType(), InternalRow.empty)
-    } catch { case t: Throwable => r.close(); throw t }
-    r
-  }
+  private val reader: VectorizedParquetRecordReader =
+    GraftVectorizedReaders.open(file, physSchema, conf.value,
+      returnBatches = false)
 
   // deletion-vector positions for THIS file (r10): the dv dir is
   // positions-only and small, so each task reads it whole and keeps
@@ -151,5 +124,72 @@ private[sources] class GraftVectorizedRowReader(
     new GenericInternalRow(vals)
   }
 
+  override def close(): Unit = reader.close()
+}
+
+/** Shared construction of Spark's vectorized parquet reader for this
+  * format's DSv2 scans — one place owns the conf keys, split shape, and
+  * rebase modes for both the row-view and the true-columnar readers. */
+private[sources] object GraftVectorizedReaders {
+  def open(file: String, physSchema: StructType,
+           hconf: org.apache.hadoop.conf.Configuration,
+           returnBatches: Boolean): VectorizedParquetRecordReader = {
+    val c = new org.apache.hadoop.conf.Configuration(hconf)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, physSchema.json)
+    // ParquetToSparkSchemaConverter / ParquetReadSupport read these
+    // with NO defaults — every key must be present (ParquetFileFormat
+    // sets the same five from the session conf)
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val p = new HadoopPath(file)
+    val len = p.getFileSystem(c).getFileStatus(p).getLen
+    // the old-API FileSplit (it extends the mapreduce one): Spark's
+    // reader base downcasts to it internally
+    val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+    val ctx = new TaskAttemptContextImpl(c, new TaskAttemptID())
+    // no session timezone conversion (this format stores no INT96 and
+    // its timestamp columns are adjusted-to-UTC micros); rebase modes
+    // CORRECTED = read stored values as-is, the modern-file default
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    try {
+      r.initialize(split, ctx)
+      if (returnBatches) r.enableReturningBatches()
+      r.initBatch(new StructType(), InternalRow.empty)
+    } catch { case t: Throwable => r.close(); throw t }
+    r
+  }
+}
+
+/** TRUE-COLUMNAR partition reader (r14, phase 2 of the vectorized-read
+  * work): for CLEAN partitions — no deletion vector, no CDF tagging, no
+  * appended metadata columns — the scan hands Spark the decoder's
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es directly, so
+  * downstream whole-stage codegen consumes columns with no per-row
+  * materialization at all (the streaming source's and SPJ scan's common
+  * case). Dirty partitions keep the row-view reader, which owns the
+  * ordinal-tracking dv/CDF semantics; a scan opts into columnar ONLY
+  * when every partition it plans is clean (Spark requires scan-uniform
+  * row-vs-columnar mode). */
+private[sources] class GraftColumnarReader(
+    part: GraftFilePartition, readSchema: StructType,
+    conf: SerializableHadoopConf, colmap: Map[String, String])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  require(part.dv.isEmpty && part.cdf.isEmpty,
+    s"graft columnar read planned over a dirty partition (${part.file}) — " +
+      "dv/CDF partitions must take the row-view reader")
+  private val physSchema = StructType(readSchema.fields.map(f =>
+    f.copy(name = colmap.getOrElse(f.name, f.name))))
+  private val reader: VectorizedParquetRecordReader =
+    GraftVectorizedReaders.open(part.file, physSchema, conf.value,
+      returnBatches = true)
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
   override def close(): Unit = reader.close()
 }

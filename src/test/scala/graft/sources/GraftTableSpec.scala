@@ -2075,6 +2075,45 @@ class GraftTableSpec extends SparkTestBase {
       8000L - 50L)
   }
 
+  test("true-columnar reads: mask-free SPJ scans batch straight to Spark; a dv flips to row mode; stream factory is columnar (r14)") {
+    val _ = wh
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val base = s"$wh/db/colr"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.sql("DROP TABLE IF EXISTS graft.db.colr")
+      spark.sql("""CREATE TABLE graft.db.colr (k BIGINT, v STRING)
+                  |TBLPROPERTIES ('graft.bucket' = '4:k')""".stripMargin)
+      spark.sql("INSERT INTO graft.db.colr SELECT id, concat('r', id) FROM range(2000)")
+      val q = spark.sql("SELECT k, v FROM graft.db.colr")
+      assert(q.count() == 2000)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketedScan"), s"premise: SPJ scan\n$plan")
+      assert(plan.contains("ColumnarToRow"),
+        s"mask-free bucketed scan should hand Spark ColumnarBatches:\n$plan")
+      // values exact through the columnar path
+      assert(spark.sql("SELECT sum(k) FROM graft.db.colr WHERE v = 'r7'")
+        .head.getLong(0) == 7L)
+      // a deletion vector anywhere flips the scan to ROW mode (ordinal
+      // skip semantics live there) — same results, no ColumnarToRow
+      TableFormat.deleteRowsDV(spark, base, col("k") < 100L)
+      val q2 = spark.sql("SELECT k, v FROM graft.db.colr")
+      assert(q2.count() == 1900)
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(plan2.contains("GraftBucketedScan") && !plan2.contains("ColumnarToRow"),
+        s"dv-carrying scan must take the row-view reader:\n$plan2")
+      // the streaming source's factory is columnar (its batches are
+      // append-only clean files, guarded in planInputPartitions)
+      val mb = new GraftTableMicroBatch(base,
+        TableFormat.manifestSchema(spark, base, 1).get, 0, spark,
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      assert(mb.createReaderFactory()
+        .supportColumnarReads(GraftFilePartition("any", None)),
+        "stream batches should read columnar")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
   test("storage-partitioned join: co-bucketed tables SMJ with ZERO Exchange; dv and appends compose; flag off falls back (r12, VERDICT r11 #2)") {
     wh // force catalog registration
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
