@@ -675,6 +675,31 @@ object TableFormat {
       } finally pool.shutdown()
     }
 
+  /** Footer sweep over staged paths → per-path (column stats, row
+    * count). Small commits keep the driver-side bounded pool (no job
+    * overhead); a commit staging [[FooterSweepDistributedAt]]+ files
+    * runs the sweep as ONE Spark job — executors each open a slice of
+    * footers in parallel and ship back only the KB-scale stat rows
+    * (r14: at 100 TB an 8000-file append was ~500 serial driver
+    * round-trip batches; now it is a task wave at cluster width, and
+    * the driver's commit latency is O(1) RPCs). */
+  private val FooterSweepDistributedAt = 64
+  private def footerSweep(spark: SparkSession, paths: Seq[String],
+                          cols: Seq[String]): Map[String, (Map[String, ColFooterStats], Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (paths.size < FooterSweepDistributedAt)
+      parMap(paths)(p => p -> footerStats(conf, p, cols)).toMap
+    else {
+      val ser = new graft.sources.SerializableHadoopConf(conf)
+      val colsLocal = cols
+      spark.sparkContext
+        .parallelize(paths, math.min(paths.size,
+          math.max(2, spark.sparkContext.defaultParallelism * 2)))
+        .map(p => p -> footerStats(ser.value, p, colsLocal))
+        .collect().toMap
+    }
+  }
+
   private def footerStats(conf: org.apache.hadoop.conf.Configuration, file: String,
                           cols: Seq[String]): (Map[String, ColFooterStats], Long) = {
     import scala.jdk.CollectionConverters._
@@ -945,13 +970,13 @@ object TableFormat {
         }
         out.toSeq.sorted
       }
-    val conf = spark.sparkContext.hadoopConfiguration
     // columns 3+ (r11, VERDICT r10 #3) land in the entry's `ext`
     // triples — every declared stats column gets per-file bounds
     val allCols = statsCol.toSeq ++ statsCol2.toSeq ++ moreStatsCols
     val cols = allCols.map(phys)
-    val entries = parMap(newFiles) { p =>
-      val (st, nRows) = footerStats(conf, p, cols)
+    val footers = footerSweep(spark, newFiles, cols)
+    val entries = newFiles.map { p =>
+      val (st, nRows) = footers(p)
       val first = statsCol.map(c => st(phys(c)))
       val second = statsCol2.map(c => st(phys(c)))
       val sPairs = allCols.map { c =>
@@ -4074,10 +4099,10 @@ object TableFormat {
   private def entriesFromFooters(spark: SparkSession, paths: Seq[String],
                                  statsCols: Seq[String],
                                  colmap: Map[String, String] = Map.empty): Seq[ManifestEntry] = {
-    val conf = spark.sparkContext.hadoopConfiguration
     val physCols = statsCols.map(c => colmap.getOrElse(c, c))
-    parMap(paths.sorted) { p =>
-      val (st, nRows) = footerStats(conf, p, physCols)
+    val footers = footerSweep(spark, paths, physCols)
+    paths.sorted.map { p =>
+      val (st, nRows) = footers(p)
       val first = physCols.headOption.map(st)
       val second = physCols.drop(1).headOption.map(st)
       val sPairs = physCols.map { c => val t = st(c); (t.slo, t.shi) }
