@@ -1944,6 +1944,83 @@ class TableFormatSpec extends SparkTestBase {
     }
   }
 
+  test("delta-log fuzz 3: parquet checkpoints, vacuum gaps, pointer regression, dv deletes — head and time travel exact (r14)") {
+    val base = freshBase("tf_mdelta_fuzz3")
+    val rnd = new scala.util.Random(14)
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var live = Set.empty[(Long, String)]
+    var nextId = 0L
+    def append(n: Int, files: Int): Unit = {
+      val rows = (nextId until nextId + n).map(i => (i, s"r$i"))
+      nextId += n
+      live ++= rows
+      TableFormat.commit(spark, base, rows.toDF("id", "v"),
+        TableFormat.latestVersion(spark, base) + 1,
+        parent = Some(TableFormat.latestVersion(spark, base)).filter(_ > 0),
+        statsCol = Some("id"), clusterFiles = Some(files))
+      ()
+    }
+    // seed WIDE: 70 files crosses PqCheckpointMinEntries, so every full
+    // manifest (v1, checkpoints, vacuum materializations) from here on
+    // takes the parquet-sidecar form
+    append(700, 70)
+    assert(TableFormat.manifestIsParquet(spark, base, 1),
+      "fuzz premise: the seed checkpoint should be parquet")
+    val snaps = scala.collection.mutable.Map(
+      TableFormat.currentVersion(spark, base) -> live)
+    (1 to 24).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => append(10 + rnd.nextInt(30), 1 + rnd.nextInt(3))
+        case 2 => // merge-on-read delete: `~` scripts over pq-resolved entries
+          val lo = rnd.nextLong(math.max(1L, nextId))
+          val hi = lo + 5 + rnd.nextInt(30)
+          live = live.filterNot(t => t._1 >= lo && t._1 <= hi)
+          TableFormat.deleteRowsDV(spark, base,
+            col("id") >= lo && col("id") <= hi)
+          ()
+        case 3 => // compact occasionally (keeps file counts sane)
+          TableFormat.compact(spark, base, smallBytes = 1L << 16, targetFiles = 8)
+          ()
+        case 4 => // vacuum to a RANDOM retained subset — interior gaps
+          val cur = TableFormat.currentVersion(spark, base)
+          val onDisk = TableFormat.history(spark, base).map(_._1)
+          val retain = (onDisk.filter(_ => rnd.nextBoolean()) :+ cur).distinct
+          TableFormat.vacuum(spark, base, retain)
+          snaps.filterInPlace { case (v, _) => retain.contains(v) }
+        case 5 => // the slow cross-JVM loser: regress the pointer to a
+          // random retained version — latestVersion must re-find the head
+          val onDisk = TableFormat.history(spark, base).map(_._1)
+          TableFormat.writeFile(spark, s"$base/_CURRENT",
+            onDisk(rnd.nextInt(onDisk.size)).toString)
+      }
+      val v = TableFormat.currentVersion(spark, base)
+      snaps(v) = live
+      assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
+        .collect().toSet == live, s"head v$v diverged from the shadow (step $step)")
+      if (live.nonEmpty && rnd.nextBoolean()) {
+        val probe = live.head._1
+        val (df, _) = TableFormat.readSnapshotWhere(spark, base, "id", probe, probe + 25)
+        assert(df.as[(Long, String)].collect().toSet ==
+          live.filter(t => t._1 >= probe && t._1 <= probe + 25),
+          s"pruned read diverged at v$v (step $step)")
+      }
+    }
+    // every shadowed still-retained version time-travels exactly —
+    // including parquet-materialized ones resolved across gaps
+    val onDisk = TableFormat.history(spark, base).map(_._1).toSet
+    snaps.foreach { case (v, want) =>
+      if (onDisk.contains(v))
+        assert(TableFormat.readSnapshot(spark, base, Some(v)).as[(Long, String)]
+          .collect().toSet == want, s"time travel to v$v diverged")
+    }
+    // the marker recorded the reclaims and commits above it still land
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$base/_manifests/_RECLAIMED")),
+      "fuzz premise: at least one vacuum should have reclaimed")
+    append(5, 1)
+    assert(TableFormat.readSnapshot(spark, base).count() == live.size)
+  }
+
   test("vacuum materialization preserves manifest mtimes — TIMESTAMP AS OF anchors survive (r14, ADVICE r13 #1)") {
     val base = freshBase("tf_mtime")
     TableFormat.commit(spark, base, Seq((1L, "a")).toDF("id", "v"), 1, None)
