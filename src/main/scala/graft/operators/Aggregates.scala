@@ -1003,6 +1003,62 @@ object Aggregates {
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Per-aggregate FILTER clause (r14) — the SQL:2003 form of
+    * conditional aggregation: independent predicates per aggregate in
+    * ONE map-side-combined pass, where the CASE-WHEN spelling needs the
+    * same plan but reads worse and the self-join spelling pays N scans. */
+  def aggFilterClause(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(FilterClauseSql)
+  }
+
+  private val FilterClauseSql =
+    """SELECT o_orderpriority,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_even,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_finished
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS subqueries (r14): both rewrite to
+    * semi/anti joins under the hood — the declarative spelling of the
+    * "customers with big orders but no failed ones" shape; one scan per
+    * subquery, never a per-row loop. */
+  def sqlExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(ExistsSubSql)
+  }
+
+  private val ExistsSubSql =
+    """SELECT c_nationkey, count(1) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F'
+      |                    AND o2.o_totalprice < 50000)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin
+
+  /** GROUP BY ordinals + ORDER BY ALL (r14) — the DuckDB-popularized
+    * shorthand Spark 4 ships: positions resolve against the select
+    * list, ORDER BY ALL totals-orders every output column. */
+  def sqlOrderByAll(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(OrderByAllSql)
+  }
+
+  private val OrderByAllSql =
+    """SELECT o_orderpriority, o_orderstatus, count(1) AS n
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY ALL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pivot_syntax" -> (sqlPivotSyntax _),
     "agg_approx_topk" -> (aggApproxTopk _),
@@ -1051,7 +1107,10 @@ object Aggregates {
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "sql_lateral_join" -> (sqlLateralJoin _),
     "sql_scalar_subquery" -> (sqlScalarSubquery _),
-    "agg_sort_fallback" -> (aggSortFallback _))
+    "agg_sort_fallback" -> (aggSortFallback _),
+    "agg_filter_clause" -> (aggFilterClause _),
+    "sql_exists_subquery" -> (sqlExistsSubquery _),
+    "sql_order_by_all" -> (sqlOrderByAll _))
 
   val oracle: Map[String, String] = Map(
     "sql_pivot_syntax" ->
@@ -1125,6 +1184,13 @@ object Aggregates {
     "sql_recursive_cte" -> RecursiveCteSql,
     "sql_lateral_join" -> LateralSql,
     "sql_scalar_subquery" -> ScalarSubSql,
+    "agg_filter_clause" -> FilterClauseSql,
+    "sql_exists_subquery" -> ExistsSubSql,
+    "sql_order_by_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(1) AS n
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "agg_corr_matrix" ->
       """WITH s AS (
         |  SELECT count(1) AS n,

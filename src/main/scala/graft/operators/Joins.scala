@@ -234,10 +234,42 @@ object Joins {
       .orderBy(col("bucket_name").asc)
   }
 
+  /** Nearest-direction as-of (r14): per purchase, the click with the
+    * SMALLEST absolute time distance, ties preferring the backward
+    * (earlier) match — pandas merge_asof(direction='nearest'). Composed
+    * from two native single-direction as-of merges (each one sort-merge
+    * pass) joined 1:1 on the left key — no all-pairs work at any scale;
+    * the oracle replays the same composition in DuckDB. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts_us"))
+    val back = graft.plans.AsOfJoin.asof(purchases, clicks,
+        "user_id", "c_user", "ts_us", "c_ts_us", direction = "backward")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+              col("c_ts_us").as("b_ts"))
+    val fwd = graft.plans.AsOfJoin.asof(purchases, clicks,
+        "user_id", "c_user", "ts_us", "c_ts_us", direction = "forward")
+      .select(col("event_id").as("f_event_id"), col("c_ts_us").as("f_ts"))
+    val nearest = back.join(fwd, back("event_id") === fwd("f_event_id"), "inner")
+      .withColumn("near_ts",
+        when(col("b_ts").isNull, col("f_ts"))
+          .when(col("f_ts").isNull, col("b_ts"))
+          .when(col("ts_us") - col("b_ts") <= col("f_ts") - col("ts_us"), col("b_ts"))
+          .otherwise(col("f_ts")))
+    nearest.select(col("event_id"), col("user_id"),
+        date_format(timestamp_micros(col("near_ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("nearest_click_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_null_safe" -> (joinNullSafe _),
     "join_asof_native" -> (joinAsofNative _),
     "join_asof_fwd" -> (joinAsofFwd _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "join_asof_inner" -> (joinAsofInner _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_inner" -> (joinInner _),
@@ -276,6 +308,24 @@ object Joins {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS b_ts
+        |           FROM p ASOF LEFT JOIN c
+        |             ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |     f AS (SELECT p.event_id, c.ts AS f_ts
+        |           FROM p ASOF LEFT JOIN c
+        |             ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.event_id, b.user_id,
+        |  strftime(CASE
+        |    WHEN b.b_ts IS NULL THEN f.f_ts
+        |    WHEN f.f_ts IS NULL THEN b.b_ts
+        |    WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+        |      <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_ts
+        |    ELSE f.f_ts END, '%Y-%m-%d %H:%M:%S.%f') AS nearest_click_ts
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY b.event_id ASC NULLS FIRST""".stripMargin,
     "join_asof_fwd" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_click_ts
