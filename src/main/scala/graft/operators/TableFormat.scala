@@ -2433,11 +2433,14 @@ object TableFormat {
       writeFile(spark, s"$base/_manifests/_RECLAIMED",
         s"${math.max(prevG, reclaiming.max)}\t${math.max(prevH, cur)}")
     }
-    // re-list AFTER materialization: a retained delta that just
-    // materialized may have staged a fresh checkpoint sidecar, which
-    // the sweep below must see as live
+    // sweep the ORIGINAL listing snapshot only: a manifest committed
+    // concurrently after that listing must never be swept (it is not in
+    // `retain`, but it is not reclaimable either), and the fresh
+    // checkpoint sidecars materialization just staged are simply not in
+    // the snapshot — not considered, therefore not deleted, which is
+    // the safe side
     val graceMs = 5L * 60 * 1000
-    f.listStatus(new Path(s"$base/_manifests")).foreach { st =>
+    statuses.foreach { st =>
       val n = st.getPath.getName // vN.manifest
       if (n.startsWith("v") && n.endsWith(".manifest")) {
         val ver = n.stripPrefix("v").stripSuffix(".manifest").toIntOption

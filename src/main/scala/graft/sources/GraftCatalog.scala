@@ -2572,26 +2572,22 @@ class GraftTableMicroBatch(base: String, readSchema: StructType, startVersion: I
       s"graft-table stream on $base: versions $s -> $e change the deletion vector of " +
         s"${dvChanged.size} file(s) — a merge-on-read DELETE crossed the stream. " +
         "Restart the stream from a full snapshot instead")
-    val fresh = afterEntries.filterNot(en => before(en.path)).sortBy(_.path)
-    // columnar contract (r14): the factory below is columnar, which is
-    // only sound for clean partitions. Append-only commits never attach
-    // a dv to a NEWLY-ADDED file in this format — enforce that loudly
-    // rather than silently mask through the wrong reader mode
-    fresh.find(_.dv.isDefined).foreach { en =>
-      throw new IllegalStateException(
-        s"graft-table stream on $base: versions $s -> $e add file ${en.path} " +
-          "carrying a deletion vector — append-only batches must add clean files")
-    }
-    fresh.map(en => GraftFilePartition(en.path, en.dv): InputPartition).toArray
+    afterEntries.filterNot(en => before(en.path)).sortBy(_.path)
+      .map(en => GraftFilePartition(en.path, en.dv): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    // TRUE COLUMNAR (r14 phase 2): stream batches are append-only clean
-    // files (guard above), so the scan hands Spark ColumnarBatches
-    // directly — no per-row materialization in the source at all
+    // ROW mode deliberately (r14): a batch crossing a branch PUBLISH
+    // commit legitimately adds dv-CARRYING files (the branch's own
+    // merge-on-read deletes travel with its data files by reference),
+    // and the row-view reader's ordinal skip is what streams exactly
+    // their live rows. The factory is per-stream while dirtiness is
+    // per-batch, and Spark requires scan-uniform row-vs-columnar — so
+    // the streaming source stays on the (still vectorized-decode)
+    // row-view path; true-columnar is the SPJ scan's win, where the
+    // whole partition set is known at plan time.
     new GraftParquetReaderFactory(readSchema, conf,
       colmap = TableFormat.manifestColmap(spark, base,
-        TableFormat.currentVersion(spark, base)),
-      columnar = true)
+        TableFormat.currentVersion(spark, base)))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

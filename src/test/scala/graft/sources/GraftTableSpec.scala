@@ -919,6 +919,39 @@ class GraftTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("table stream: a publish commit's dv-carrying branch files stream exactly their live rows (r14)") {
+    val _ = wh
+    val base = s"$wh/db/pubstream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql("DROP TABLE IF EXISTS graft.db.pubstream")
+    spark.sql("CREATE TABLE graft.db.pubstream (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.db.pubstream SELECT id, id FROM range(0, 10)")
+    val q = spark.readStream.format("graft-table").option("path", base).load()
+      .writeStream.format("memory").queryName("pubstream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pubstream").count() == 10)
+      // branch, append, merge-on-read delete ON THE BRANCH, publish: the
+      // publish fast-forwards the parent onto branch files by reference
+      // — one of them carrying a deletion vector
+      spark.sql("CALL graft.system.branch('db.pubstream', 'st')")
+      spark.sql(
+        "INSERT INTO graft.db.pubstream.branches.st SELECT id, id FROM range(10, 20)")
+      val bb = s"$base/branches/st"
+      TableFormat.deleteRowsDV(spark, bb, col("k").between(10L, 12L))
+      assert(TableFormat.manifestEntries(spark, bb,
+        TableFormat.currentVersion(spark, bb)).exists(_.dv.isDefined),
+        "test premise: the branch head must carry a dv")
+      spark.sql("CALL graft.system.publish('db.pubstream', 'st')")
+      q.processAllAvailable()
+      // exactly the LIVE branch rows arrive — dv-deleted rows never sent
+      val got = spark.table("pubstream").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == ((0L until 10L) ++ (13L until 20L)),
+        s"publish batch diverged: $got")
+    } finally q.stop()
+  }
+
   test("table stream: fresh checkpoint replays from the pinned start version") {
     val base = freshBase("tstream2")
     val ck1 = freshBase("tstream2_ck1")
@@ -2075,7 +2108,7 @@ class GraftTableSpec extends SparkTestBase {
       8000L - 50L)
   }
 
-  test("true-columnar reads: mask-free SPJ scans batch straight to Spark; a dv flips to row mode; stream factory is columnar (r14)") {
+  test("true-columnar reads: mask-free SPJ scans batch straight to Spark; a dv flips to row mode; stream factory stays row (r14)") {
     val _ = wh
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
@@ -2103,14 +2136,15 @@ class GraftTableSpec extends SparkTestBase {
       val plan2 = q2.queryExecution.executedPlan.toString
       assert(plan2.contains("GraftBucketedScan") && !plan2.contains("ColumnarToRow"),
         s"dv-carrying scan must take the row-view reader:\n$plan2")
-      // the streaming source's factory is columnar (its batches are
-      // append-only clean files, guarded in planInputPartitions)
+      // the streaming source stays ROW mode by design: a batch crossing
+      // a branch publish can add dv-CARRYING files whose live rows only
+      // the ordinal-skipping row reader streams exactly
       val mb = new GraftTableMicroBatch(base,
         TableFormat.manifestSchema(spark, base, 1).get, 0, spark,
         new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-      assert(mb.createReaderFactory()
+      assert(!mb.createReaderFactory()
         .supportColumnarReads(GraftFilePartition("any", None)),
-        "stream batches should read columnar")
+        "stream factory must keep the dv-capable row reader")
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
   }
 
