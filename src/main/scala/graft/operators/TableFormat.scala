@@ -3363,6 +3363,43 @@ object TableFormat {
     (out, violators.size, entries.size)
   }
 
+  /** PREDICATE-SCOPED OPTIMIZE (r14) — the Delta `OPTIMIZE … WHERE`
+    * analog: consolidate + re-cluster ONLY the files whose recorded
+    * bounds intersect [lo, hi] on the FIRST declared clustering column
+    * (stats-less files are conservatively included — they may hold
+    * range rows), carrying every other entry by reference. The 100 TB
+    * maintenance knob full OPTIMIZE cannot be: a hot ingest range gets
+    * its layout repaired with IO ∝ that range, not the table. dv-
+    * carrying files in range MATERIALIZE their deletes (superseded dvs
+    * age out under vacuum); `op = optimize` keeps the CDF silent (rows
+    * move, never change); the publish rides the maintenance auto-rebase
+    * loop, so it runs alongside the ingest. Returns
+    * (version, rewrittenFiles, filesTotal). */
+  def optimizeWhere(spark: SparkSession, base: String, lo: Long, hi: Long,
+                    targetFiles: Int = 0): (Int, Int, Int) = {
+    require(lo <= hi, s"optimize_where: lo $lo must be <= hi $hi")
+    val v = currentVersion(spark, base)
+    val declared = manifestStatsCols(spark, base, v)
+    require(declared.nonEmpty,
+      s"optimize_where: table $base declares no clustering column to scope on")
+    val entries = manifestEntries(spark, base, v)
+    val (in, _) = entries.partition(_.mayMatch(lo, hi))
+    // nothing to repair: zero or one clean file in range is already optimal
+    if (in.size < 2 && !in.exists(_.dv.isDefined)) return (v, 0, entries.size)
+    val bucket = bucketSpecOf(manifestProps(spark, base, v))
+    val nF = if (targetFiles > 0) targetFiles else math.max(1, in.size / 2)
+    val df = readEntriesDf(spark, base, v, in) // dv-aware: live rows only
+    val clustered =
+      if (bucket.isDefined) df
+      else df.repartitionByRange(nF, declared.map(col): _*)
+    val staged = writeDataFilesNdv(spark, base, newCommitDir(base, v + 1),
+      clustered, declared.headOption, declared.drop(1).headOption, declared.drop(2),
+      bucketBy = bucket)
+    val out = maintenanceCommit(spark, base, v, in, staged.entries,
+      op = "optimize", statsCols = declared)
+    (out, in.size, entries.size)
+  }
+
   /** Two-dimensional file skipping over a z-ordered table: drop every
     * file whose recorded bounds miss EITHER box edge, then apply the
     * exact row filter. Returns the DataFrame and (filesRead, filesTotal). */

@@ -464,6 +464,23 @@ object GraftProcedures {
     }
   }
 
+  /** PREDICATE-SCOPED OPTIMIZE (r14) — `OPTIMIZE … WHERE` for the hot
+    * range: rewrite only the files whose bounds intersect [lo, hi] on
+    * the first clustering column; IO ∝ the range, not the table. */
+  private object OptimizeWhereProc extends Proc("optimize_where",
+    Seq(in("table", StringType), in("lo", LongType), in("hi", LongType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("files_rewritten", IntegerType),
+                   StructField("files_total", IntegerType)))) {
+    override def description(): String =
+      "consolidate + re-cluster only the files intersecting [lo, hi] on the first clustering column"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (v, n, total) = TableFormat.optimizeWhere(
+        spark, base, input.getLong(1), input.getLong(2))
+      new GenericInternalRow(Array[Any](v, n, total))
+    }
+  }
+
   /** VACUUM: retain the last `retain_last` versions, physically delete
     * everything no retained manifest references. Returns
     * (files_deleted, files_kept). */
@@ -919,6 +936,7 @@ object GraftProcedures {
 
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, SetClusteringProc,
+        OptimizeWhereProc,
       OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, RebaseProc, DropBranchProc,
       PurgeDvProc,

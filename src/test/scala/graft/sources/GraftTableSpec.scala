@@ -475,6 +475,50 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"), s"wrong error: ${e.getMessage}")
   }
 
+  test("CALL graft.system.optimize_where: only range-intersecting files rewrite, the rest carry by reference (r14)") {
+    val _ = wh
+    import spark.implicits._
+    val base = s"$wh/db/ow"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 4000L).map(i => (i, i * 3)).toDF("k", "v"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(8))
+    // fragment the HOT range only: three micro-appends inside [0, 500)
+    (1 to 3).foreach { j =>
+      TableFormat.appendCommit(spark, base,
+        (0L until 50L).map(i => (i + j, i)).toDF("k", "v"),
+        statsCol = Some("k"))
+    }
+    val before = TableFormat.manifestEntries(spark, base,
+      TableFormat.currentVersion(spark, base))
+    val inRange = before.count(_.mayMatch(0L, 500L))
+    val outOfRange = before.filterNot(_.mayMatch(0L, 500L)).map(_.path).toSet
+    assert(inRange >= 4, s"premise: hot range fragmented ($inRange files)")
+    val sumBefore = spark.sql("SELECT sum(v) FROM graft.db.ow").head.getLong(0)
+    val r = spark.sql("CALL graft.system.optimize_where('db.ow', 0L, 500L)").head
+    assert(r.getInt(1) == inRange, s"rewrote ${r.getInt(1)} of $inRange in-range files")
+    val after = TableFormat.manifestEntries(spark, base, r.getInt(0))
+    // cold files carried BY REFERENCE — identical paths, zero IO
+    assert(outOfRange.subsetOf(after.map(_.path).toSet),
+      "out-of-range files must carry by reference")
+    assert(after.size < before.size, "hot range should consolidate")
+    // contents exact; counts preserved through the rewrite
+    assert(spark.sql("SELECT count(1) FROM graft.db.ow").head.getLong(0) == 4150)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.ow").head.getLong(0) == sumBefore)
+    // a dv in range MATERIALIZES its deletes on the next scoped optimize
+    TableFormat.deleteRowsDV(spark, base, col("k") < 100L)
+    val r2 = spark.sql("CALL graft.system.optimize_where('db.ow', 0L, 500L)").head
+    assert(r2.getInt(1) >= 1)
+    val v2 = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestEntries(spark, base, v2)
+      .filter(_.mayMatch(0L, 99L)).forall(_.dv.isEmpty),
+      "scoped optimize must materialize in-range dvs")
+    // deleted: base k∈[0,100) = 100 rows + 3×50 appended rows (k∈[1,52])
+    assert(spark.sql("SELECT count(1) FROM graft.db.ow").head.getLong(0) == 3900,
+      "post-materialization contents must stay exact")
+  }
+
   test("vacuum retention floor: a reader planned pre-maintenance survives a default-config vacuum; forced reclaim is loud (r14, VERDICT r13 #6)") {
     val _ = wh
     val base = s"$wh/db/retention"
