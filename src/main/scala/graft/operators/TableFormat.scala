@@ -3382,6 +3382,14 @@ object TableFormat {
     val declared = manifestStatsCols(spark, base, v)
     require(declared.nonEmpty,
       s"optimize_where: table $base declares no clustering column to scope on")
+    // a STRING first key records no numeric bounds — every file would
+    // "intersect" and the scoped optimize silently degrade to a full
+    // one; route to the string form instead of quietly rewriting all
+    require(!manifestSchema(spark, base, v).exists(_.fields
+        .find(_.name == declared.head).exists(_.dataType ==
+          org.apache.spark.sql.types.StringType)),
+      s"optimize_where: ${declared.head} is a STRING clustering column — " +
+        "use optimize_where_str(table, lo, hi)")
     val entries = manifestEntries(spark, base, v)
     val (in, _) = entries.partition(_.mayMatch(lo, hi))
     // nothing to repair: zero or one clean file in range is already optimal
@@ -3389,6 +3397,34 @@ object TableFormat {
     val bucket = bucketSpecOf(manifestProps(spark, base, v))
     val nF = if (targetFiles > 0) targetFiles else math.max(1, in.size / 2)
     val df = readEntriesDf(spark, base, v, in) // dv-aware: live rows only
+    val clustered =
+      if (bucket.isDefined) df
+      else df.repartitionByRange(nF, declared.map(col): _*)
+    val staged = writeDataFilesNdv(spark, base, newCommitDir(base, v + 1),
+      clustered, declared.headOption, declared.drop(1).headOption, declared.drop(2),
+      bucketBy = bucket)
+    val out = maintenanceCommit(spark, base, v, in, staged.entries,
+      op = "optimize", statsCols = declared)
+    (out, in.size, entries.size)
+  }
+
+  /** [[optimizeWhere]] for STRING clustering keys (r14): the range
+    * tests against the per-file byte-order string bounds (`sext`) —
+    * the `doc_id`/`lang`-clustered corpus-table case. Same carry /
+    * dv-materialization / CDF-silence / auto-rebase contract. */
+  def optimizeWhereStr(spark: SparkSession, base: String, lo: String, hi: String,
+                       targetFiles: Int = 0): (Int, Int, Int) = {
+    require(lo <= hi, s"optimize_where_str: lo '$lo' must be <= hi '$hi'")
+    val v = currentVersion(spark, base)
+    val declared = manifestStatsCols(spark, base, v)
+    require(declared.nonEmpty,
+      s"optimize_where_str: table $base declares no clustering column to scope on")
+    val entries = manifestEntries(spark, base, v)
+    val (in, _) = entries.partition(_.mayMatchStrAt(0, Some(lo), Some(hi)))
+    if (in.size < 2 && !in.exists(_.dv.isDefined)) return (v, 0, entries.size)
+    val bucket = bucketSpecOf(manifestProps(spark, base, v))
+    val nF = if (targetFiles > 0) targetFiles else math.max(1, in.size / 2)
+    val df = readEntriesDf(spark, base, v, in)
     val clustered =
       if (bucket.isDefined) df
       else df.repartitionByRange(nF, declared.map(col): _*)

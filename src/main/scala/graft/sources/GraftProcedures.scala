@@ -481,6 +481,21 @@ object GraftProcedures {
     }
   }
 
+  /** [[OptimizeWhereProc]] for STRING clustering keys (r14). */
+  private object OptimizeWhereStrProc extends Proc("optimize_where_str",
+    Seq(in("table", StringType), in("lo", StringType), in("hi", StringType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("files_rewritten", IntegerType),
+                   StructField("files_total", IntegerType)))) {
+    override def description(): String =
+      "consolidate + re-cluster only the files whose string bounds intersect [lo, hi]"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (v, n, total) = TableFormat.optimizeWhereStr(
+        spark, base, input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      new GenericInternalRow(Array[Any](v, n, total))
+    }
+  }
+
   /** VACUUM: retain the last `retain_last` versions, physically delete
     * everything no retained manifest references. Returns
     * (files_deleted, files_kept). */
@@ -936,7 +951,7 @@ object GraftProcedures {
 
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, SetClusteringProc,
-        OptimizeWhereProc,
+        OptimizeWhereProc, OptimizeWhereStrProc,
       OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, RebaseProc, DropBranchProc,
       PurgeDvProc,

@@ -517,6 +517,34 @@ class GraftTableSpec extends SparkTestBase {
     // deleted: base k∈[0,100) = 100 rows + 3×50 appended rows (k∈[1,52])
     assert(spark.sql("SELECT count(1) FROM graft.db.ow").head.getLong(0) == 3900,
       "post-materialization contents must stay exact")
+    // STRING clustering keys refuse the numeric form and take their own
+    val sbase = s"$wh/db/ow_s"
+    val sp2 = new org.apache.hadoop.fs.Path(sbase)
+    sp2.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp2, true)
+    TableFormat.commit(spark, sbase,
+      (0L until 2000L).map(i => (f"d$i%05d", i)).toDF("doc_id", "n"), 1, None,
+      statsCol = Some("doc_id"), clusterFiles = Some(8))
+    (1 to 3).foreach { _ =>
+      TableFormat.appendCommit(spark, sbase,
+        (0L until 40L).map(i => (f"d$i%05d", i)).toDF("doc_id", "n"),
+        statsCol = Some("doc_id"))
+    }
+    val eNum = intercept[Exception] {
+      spark.sql("CALL graft.system.optimize_where('db.ow_s', 0L, 10L)").collect()
+    }
+    assert(eNum.getMessage.contains("optimize_where_str"), eNum.getMessage)
+    val beforeS = TableFormat.manifestEntries(spark, sbase,
+      TableFormat.currentVersion(spark, sbase))
+    val coldS = beforeS.filterNot(_.mayMatchStrAt(0, Some("d00000"), Some("d00300")))
+      .map(_.path).toSet
+    assert(coldS.nonEmpty, "premise: some files out of the string range")
+    val rs = spark.sql(
+      "CALL graft.system.optimize_where_str('db.ow_s', 'd00000', 'd00300')").head
+    assert(rs.getInt(1) > 0 && rs.getInt(1) < beforeS.size, s"got $rs")
+    val afterS = TableFormat.manifestEntries(spark, sbase, rs.getInt(0))
+    assert(coldS.subsetOf(afterS.map(_.path).toSet),
+      "out-of-range string files must carry by reference")
+    assert(spark.sql("SELECT count(1) FROM graft.db.ow_s").head.getLong(0) == 2120)
   }
 
   test("vacuum retention floor: a reader planned pre-maintenance survives a default-config vacuum; forced reclaim is loud (r14, VERDICT r13 #6)") {
