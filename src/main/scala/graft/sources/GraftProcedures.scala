@@ -590,6 +590,29 @@ object GraftProcedures {
     }
   }
 
+  /** RESTORE TO TIMESTAMP (r14): resolve the instant to the newest
+    * snapshot committed at or before it ([[TableFormat.versionAtOrBefore]]
+    * — manifest mtimes are the commit instants, and since r14 vacuum's
+    * materialization PRESERVES them, so the anchor survives maintenance)
+    * and re-publish that version's file list as a new commit — the
+    * Delta `RESTORE … TO TIMESTAMP AS OF` analog, metadata-only. */
+  private object RestoreTsProc extends Proc("restore_ts",
+    Seq(in("table", StringType), in("as_of", TimestampType)),
+    StructType(Seq(StructField("restored_version", IntegerType), StructField("new_version", IntegerType)))) {
+    override def description(): String =
+      "metadata-only rollback to the newest snapshot committed at or before as_of"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val tsMillis = input.getLong(1) / 1000L // TimestampType internal = micros
+      val target = TableFormat.versionAtOrBefore(spark, base, tsMillis).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore_ts: no snapshot of $base at or before " +
+            java.time.Instant.ofEpochMilli(tsMillis) +
+            " — the earliest retained manifest is newer"))
+      val v = TableFormat.restoreVersion(spark, base, target)
+      new GenericInternalRow(Array[Any](target, v))
+    }
+  }
+
   /** SHALLOW CLONE: start `target` as a zero-copy reference to
     * `source`'s current snapshot (one manifest write; clone commits
     * never touch the source — the Delta SHALLOW CLONE analog as a
@@ -951,7 +974,7 @@ object GraftProcedures {
 
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, SetClusteringProc,
-        OptimizeWhereProc, OptimizeWhereStrProc,
+        OptimizeWhereProc, OptimizeWhereStrProc, RestoreTsProc,
       OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, RebaseProc, DropBranchProc,
       PurgeDvProc,

@@ -575,6 +575,37 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(1) FROM graft.db.retention").head.getLong(0) == 500)
   }
 
+  test("CALL graft.system.restore_ts: metadata-only rollback to an instant; the anchor survives vacuum materialization (r14)") {
+    val _ = wh
+    import spark.implicits._
+    val base = s"$wh/db/rts"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+    (1 to 4).foreach(v => TableFormat.commit(spark, base,
+      Seq((v.toLong, s"r$v")).toDF("id", "v"), v,
+      parent = if (v == 1) None else Some(v - 1)))
+    // pin well-separated commit instants
+    val t0 = System.currentTimeMillis() - 100000
+    (1 to 4).foreach(v => f.setTimes(
+      new org.apache.hadoop.fs.Path(s"$base/_manifests/v$v.manifest"), t0 + v * 1000, -1))
+    // vacuum materializes v3 (its chain parents reclaim) — the commit
+    // instant must survive the rewrite for the anchor below
+    TableFormat.vacuum(spark, base, retain = Seq(3, 4))
+    def sqlTs(ms: Long) =
+      new java.sql.Timestamp(ms).toString
+    val r = spark.sql(
+      s"CALL graft.system.restore_ts('db.rts', TIMESTAMP '${sqlTs(t0 + 3500)}')").head
+    assert(r.getInt(0) == 3, s"instant between v3 and v4 must restore v3: $r")
+    assert(spark.sql("SELECT count(1) FROM graft.db.rts").head.getLong(0) == 3)
+    // an instant predating every retained manifest refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        s"CALL graft.system.restore_ts('db.rts', TIMESTAMP '${sqlTs(t0 - 50000)}')").collect()
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+  }
+
   test("CALL graft.system.expire_snapshots: time-based retention (r13)") {
     val _ = wh
     val base = s"$wh/db/expire"
