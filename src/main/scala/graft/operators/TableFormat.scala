@@ -3419,6 +3419,14 @@ object TableFormat {
     val declared = manifestStatsCols(spark, base, v)
     require(declared.nonEmpty,
       s"optimize_where_str: table $base declares no clustering column to scope on")
+    // mirror of the numeric form's guard: a non-STRING first key records
+    // no string bounds — every file would "intersect" and the scoped
+    // optimize silently degrade to a full one
+    require(manifestSchema(spark, base, v).exists(_.fields
+        .find(_.name == declared.head).exists(_.dataType ==
+          org.apache.spark.sql.types.StringType)),
+      s"optimize_where_str: ${declared.head} is not a STRING clustering " +
+        "column — use optimize_where(table, lo, hi)")
     val entries = manifestEntries(spark, base, v)
     val (in, _) = entries.partition(_.mayMatchStrAt(0, Some(lo), Some(hi)))
     if (in.size < 2 && !in.exists(_.dv.isDefined)) return (v, 0, entries.size)

@@ -545,6 +545,11 @@ class GraftTableSpec extends SparkTestBase {
     assert(coldS.subsetOf(afterS.map(_.path).toSet),
       "out-of-range string files must carry by reference")
     assert(spark.sql("SELECT count(1) FROM graft.db.ow_s").head.getLong(0) == 2120)
+    // and the mirror refusal: the string form on a numeric key
+    val eStr = intercept[Exception] {
+      spark.sql("CALL graft.system.optimize_where_str('db.ow', 'a', 'z')").collect()
+    }
+    assert(eStr.getMessage.contains("not a STRING"), eStr.getMessage)
   }
 
   test("vacuum retention floor: a reader planned pre-maintenance survives a default-config vacuum; forced reclaim is loud (r14, VERDICT r13 #6)") {
