@@ -2396,6 +2396,13 @@ object TableFormat {
     // non-retained manifests disappear. Ascending order: materializing
     // a lower retained version shortens a higher one's chain, so the
     // recompute per version keeps the work minimal.
+    // snapshot the manifest-dir listing BEFORE the materialization loop
+    // (r15, ADVICE r14 #3): a manifest committed concurrently after this
+    // listing must never be swept (it is not in `retain`, but it is not
+    // reclaimable either), and the fresh checkpoint sidecars
+    // materialization stages below are genuinely not in the snapshot —
+    // not considered, therefore not deleted
+    val statuses = f.listStatus(new Path(s"$base/_manifests"))
     retain.sorted.foreach { v =>
       val chain =
         try chainVersions(spark, base, v)
@@ -2412,7 +2419,6 @@ object TableFormat {
     // any prior vacuum's marker) — the probe falls back to the listing
     // whenever its result lands below the recorded head, and commits
     // refuse to re-win a reclaimed slot.
-    val statuses = f.listStatus(new Path(s"$base/_manifests"))
     val reclaiming = statuses.toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("v") && n.endsWith(".manifest"))
@@ -2433,12 +2439,8 @@ object TableFormat {
       writeFile(spark, s"$base/_manifests/_RECLAIMED",
         s"${math.max(prevG, reclaiming.max)}\t${math.max(prevH, cur)}")
     }
-    // sweep the ORIGINAL listing snapshot only: a manifest committed
-    // concurrently after that listing must never be swept (it is not in
-    // `retain`, but it is not reclaimable either), and the fresh
-    // checkpoint sidecars materialization just staged are simply not in
-    // the snapshot — not considered, therefore not deleted, which is
-    // the safe side
+    // sweep the ORIGINAL listing snapshot only (taken above, before the
+    // materialization loop)
     val graceMs = 5L * 60 * 1000
     statuses.foreach { st =>
       val n = st.getPath.getName // vN.manifest
@@ -2458,9 +2460,17 @@ object TableFormat {
              catch { case _: java.io.FileNotFoundException => false })
         }
         if (!named) {
-          val retainedVersion = ver.exists(retain.contains)
-          if (!retainedVersion ||
-              System.currentTimeMillis() - st.getModificationTime > graceMs) {
+          // grace for ALL unnamed sidecars, retained version or not
+          // (r15, ADVICE r14 medium): writeManifest stages the sidecar
+          // BEFORE the manifest CAS, and a concurrent committer's
+          // version (head+1) is never in `retain` — an unconditional
+          // delete of non-retained-version sidecars could reclaim a
+          // live committer's just-staged file, after which the winning
+          // manifest points at a missing sidecar and that version is
+          // permanently unresolvable. Same rule as `.staged.` below; a
+          // crashed committer's sidecar ages past the grace window and
+          // is reclaimed on the next vacuum.
+          if (System.currentTimeMillis() - st.getModificationTime > graceMs) {
             f.delete(st.getPath, false)
             ()
           }

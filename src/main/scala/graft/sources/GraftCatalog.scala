@@ -1584,12 +1584,24 @@ class GraftScanBuilder(base: String, version: Int, tableSchema: StructType,
     if (parsed.exists(_.isEmpty)) return None
     val sp = parsed.flatten
     val schema = StructType(sp.map(_.field))
+    // EXTERNAL values, not catalyst internals (r15, ADVICE r14 #2): the
+    // V1 relation that serves this row keeps the default
+    // needConversion=true, so Spark runs the row through
+    // CatalystTypeConverters — epoch-day Ints / micros Longs for
+    // temporal columns would MatchError there; and the hybrid path
+    // unions this row with `live.agg(...).rdd` rows, which already
+    // carry java.sql.Date/Timestamp.
     def castTo(v: Long, dt: DataType): Any = dt match {
       case ByteType => v.toByte
       case ShortType => v.toShort
       case IntegerType => v.toInt
-      case DateType => v.toInt // internal rep: epoch-days INT
-      case _ => v // LongType; TimestampType/NTZ internal rep IS micros
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(v.toInt)
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v)
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(v)
+      case _ => v // LongType
     }
     // a file PROVEN all-null in slot i contributes nothing to MIN/MAX
     // and exactly zero to COUNT(c) — deletion can only shrink the live

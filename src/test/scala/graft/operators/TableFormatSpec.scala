@@ -1247,7 +1247,14 @@ class TableFormatSpec extends SparkTestBase {
       s"$base/_manifests/v2.entries.deadbeef.zstd.parquet")
     f.create(orphan).close()
     TableFormat.vacuum(spark, base, retain = Seq(1, v3))
-    assert(!f.exists(orphan), "unretained-version sidecar must reclaim")
+    // r15 (ADVICE r14 medium): a FRESH unnamed sidecar may be a live
+    // concurrent committer's pre-CAS staging — vacuum must leave it
+    // inside the grace window even though its version is unretained
+    assert(f.exists(orphan), "fresh unnamed sidecar must survive the grace window")
+    // aged past the grace window it is a crashed committer's leftover
+    f.setTimes(orphan, System.currentTimeMillis() - 6L * 60 * 1000, -1)
+    TableFormat.vacuum(spark, base, retain = Seq(1, v3))
+    assert(!f.exists(orphan), "aged orphan sidecar must reclaim")
     assert(TableFormat.manifestIsParquet(spark, base, 1))
     assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 4000)
     assert(TableFormat.readSnapshot(spark, base).count() == 3901)

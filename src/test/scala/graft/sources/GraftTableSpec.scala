@@ -768,6 +768,42 @@ class GraftTableSpec extends SparkTestBase {
       s"max/count under dominated dvs should stay zero-IO:\n$plan3")
   }
 
+  test("temporal stats columns: MIN/MAX pushdown serves external Date values, complete AND hybrid (r15, ADVICE r14 #2)") {
+    val _ = wh
+    val base = s"$wh/db/aggtempo"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    import java.sql.Date
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val rows = (0 until 4000).map(i => (Date.valueOf(d0.plusDays(i / 10)), i.toLong))
+      .toDF("d", "k")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("d"),
+      clusterFiles = Some(4))
+    // complete pushdown: the metadata row carries epoch-day bounds that
+    // MUST surface as external java.sql.Date through the V1 relation's
+    // needConversion path (internal Ints MatchError in
+    // CatalystTypeConverters — the r14 ADVICE bug)
+    val df = spark.sql("SELECT min(d), max(d), count(d) FROM graft.db.aggtempo")
+    val r = df.head
+    assert(r.getDate(0) == Date.valueOf(d0) &&
+      r.getDate(1) == Date.valueOf(d0.plusDays(399)) && r.getLong(2) == 4000L,
+      s"temporal metadata aggregate wrong: $r")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("parquet") && !plan.contains("HashAggregate"),
+      s"temporal min/max was not answered from metadata:\n$plan")
+    // hybrid: delete the global-minimum block so the min-holding file
+    // scans — its live.agg rows carry external Dates and the meta row
+    // must union with them representation-consistently
+    TableFormat.deleteRowsDV(spark, base, col("d") < Date.valueOf(d0.plusDays(50)))
+    val df2 = spark.sql("SELECT min(d), max(d) FROM graft.db.aggtempo")
+    val r2 = df2.head
+    assert(r2.getDate(0) == Date.valueOf(d0.plusDays(50)) &&
+      r2.getDate(1) == Date.valueOf(d0.plusDays(399)),
+      s"temporal hybrid aggregate wrong: $r2")
+    assert(df2.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "min under a min-affecting dv should route through partial pushdown")
+  }
+
   test("manifest row counts drive join statistics: pruned side broadcasts (r10)") {
     val _ = wh
     val base = s"$wh/db/statjoin"
