@@ -73,6 +73,28 @@ object HashKernels {
       HashKernels.getClass, ArrayType(StringType), "minhashBuckets",
       Seq(SqlBridge.expression(c)), returnNullable = false))
 
+  // ---- Bitmap OR (mv_distinct state merge, r15) -------------------------
+
+  /** Byte-wise OR of two bitmaps; the shorter input is zero-extended.
+    * `bitmap_construct_agg` emits fixed-width buckets so the lengths
+    * normally match — the padding keeps the kernel total either way.
+    * Codegen'd via StaticInvoke: the MV merge path ORs one pair per
+    * (group, bucket), never per row. */
+  def bitmapOr(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (lo, hi) = if (a.length <= b.length) (a, b) else (b, a)
+    val out = java.util.Arrays.copyOf(hi, hi.length)
+    var i = 0
+    while (i < lo.length) { out(i) = (out(i) | lo(i)).toByte; i += 1 }
+    out
+  }
+
+  /** Column API: byte-wise OR of two BINARY bitmap buckets. */
+  def bitmap_or2(x: Column, y: Column): Column =
+    SqlBridge.column(StaticInvoke(
+      HashKernels.getClass, BinaryType, "bitmapOr",
+      Seq(SqlBridge.expression(x), SqlBridge.expression(y)),
+      returnNullable = false))
+
   // ---- String prefix rank (z-order string dims, r12) -------------------
 
   /** First 7 UTF-8 bytes of `s` packed big-endian into a NON-NEGATIVE

@@ -86,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the lazily self-registering tiers above).
     e.injectHintResolutionRule(s => graft.plans.ResolveGraftViewDdl(s))
     e.injectResolutionRule(s => graft.plans.ResolveGraftViews(s))
+    // r15: MV-based query rewrite (opt-in via spark.graft.mv.rewrite) —
+    // post-hoc so it sees the clean analyzed aggregate before the
+    // optimizer reshapes filters
+    e.injectPostHocResolutionRule(s => graft.plans.RewriteAggregateToMv(s))
     e.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableChangesTvf.name),
       graft.sources.TableChangesTvf.info,

@@ -379,6 +379,37 @@ object MaterializedView {
     * ADVICE r12 #2): what `SELECT * FROM mv` and the oracle compare. */
   def visibleColumns(d: MvDef): Seq[String] = d.selectCols
 
+  /** MV state tables in `srcBase`'s namespace directory that declare
+    * `srcBase` as their SINGLE source — rewrite candidates for an
+    * aggregate query over the source (r15, VERDICT r14 #2). Driver-side
+    * metadata only: one directory listing plus one manifest-props read
+    * per sibling `*__state` table; join MVs are excluded (their
+    * freshness spans two sources and their defining shape is not a
+    * single-relation aggregate). Sorted by path for a deterministic
+    * first-match. Returns (stateBase, stateVersion, props). */
+  def candidatesFor(spark: SparkSession, srcBase: String)
+      : Seq[(String, Int, Map[String, String])] = {
+    val srcP = new org.apache.hadoop.fs.Path(srcBase)
+    val dbDir = srcP.getParent
+    if (dbDir == null) return Seq.empty
+    val fs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dbDir)) return Seq.empty
+    val srcRel = s"${dbDir.getName}.${srcP.getName}"
+    fs.listStatus(dbDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith("__state"))
+      .map(_.getPath.toUri.getPath).sorted
+      .flatMap { sb =>
+        try {
+          val v = TableFormat.currentVersion(spark, sb)
+          val props = TableFormat.manifestProps(spark, sb, v)
+          if (props.get("graft.mv.src").contains(srcRel) &&
+              !props.contains("graft.mv.src2") && props.contains("graft.mv.query"))
+            Some((sb, v, props))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+  }
+
   // ---- procedures' entry points ------------------------------------
 
   private def srcPath(warehouse: String, d: MvDef): String =

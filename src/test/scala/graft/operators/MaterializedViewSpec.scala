@@ -71,6 +71,84 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(props("graft.mv.version") == "3")
   }
 
+  test("MV query rewrite: fresh MV serves matching aggregates; stale/mismatched/pinned reads stand down (r15, VERDICT r14 #2)") {
+    val src = fresh("mv_src_rw"); fresh("mv_agg_rw")
+    val rows = (0L until 400L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de", i * 7))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agg_rw',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n, avg(n) AS avg_n,
+        |          min(n) AS min_n, max(n) AS max_n
+        |   FROM graft.db.mv_src_rw WHERE doc_id % 5 <> 0 GROUP BY lang')""".stripMargin)
+      .collect()
+    val q =
+      """SELECT lang, max(n) AS mx, sum(n) AS s, count(*) AS c
+        |FROM graft.db.mv_src_rw WHERE doc_id % 5 <> 0
+        |GROUP BY lang HAVING count(*) > 1 ORDER BY lang""".stripMargin
+    val direct = spark.sql(q).collect().toSeq
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // 1. substituted scan: the plan reads the |groups|-row state table,
+      //    never the source — and the answers are oracle-identical
+      val df = spark.sql(q)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_agg_rw__state"), s"no substituted scan:\n$plan")
+      assert(!plan.contains("mv_src_rw"), s"source still scanned:\n$plan")
+      assert(df.collect().toSeq == direct)
+      // AVG rewrites to the MV's exact-sum/count division (within a ulp
+      // of the double-accumulated direct plan)
+      val qa =
+        """SELECT lang, avg(n) AS a FROM graft.db.mv_src_rw
+          |WHERE doc_id % 5 <> 0 GROUP BY lang ORDER BY lang""".stripMargin
+      val dfa = spark.sql(qa)
+      assert(dfa.queryExecution.optimizedPlan.toString.contains("mv_agg_rw__state"))
+      val directAvg = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(qa).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      dfa.collect().toSeq.zip(directAvg).foreach { case (a, b) =>
+        assert(a.getString(0) == b.getString(0) &&
+          math.abs(a.getDouble(1) - b.getDouble(1)) <= math.ulp(b.getDouble(1)) * 4)
+      }
+      // 2. WHERE mismatch stands down
+      val qm = q.replace("% 5 <> 0", "% 5 <> 1")
+      assert(spark.sql(qm).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+      // 3. extra aggregate the MV lacks stands down
+      val qx =
+        """SELECT lang, count(DISTINCT n) AS d FROM graft.db.mv_src_rw
+          |WHERE doc_id % 5 <> 0 GROUP BY lang""".stripMargin
+      assert(spark.sql(qx).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+      // 4. STALE standdown: source advances, MV not refreshed — the
+      //    query must scan the source and see the new rows
+      TableFormat.appendCommit(spark, src,
+        (400L until 450L).map(i => (i, "zz", i)).toDF("doc_id", "lang", "n"),
+        statsCol = Some("doc_id"))
+      val dfStale = spark.sql(q)
+      assert(dfStale.queryExecution.optimizedPlan.toString.contains("mv_src_rw"),
+        "stale MV must not serve the query")
+      assert(dfStale.collect().map(_.getString(0)).contains("zz"))
+      // 5. refresh restores the rewrite, answers include the new group
+      spark.sql("CALL graft.system.refresh_mv('db.mv_agg_rw')").collect()
+      val dfFresh = spark.sql(q)
+      assert(dfFresh.queryExecution.optimizedPlan.toString.contains("mv_agg_rw__state"))
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val direct2 = try spark.sql(q).collect().toSeq
+                    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      assert(dfFresh.collect().toSeq == direct2)
+      // 6. time travel is never rewritten — history is not the MV's
+      val qt =
+        """SELECT lang, count(*) AS c
+          |FROM graft.db.mv_src_rw VERSION AS OF 1
+          |WHERE doc_id % 5 <> 0 GROUP BY lang""".stripMargin
+      assert(spark.sql(qt).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    // 7. flag off: no rewrite even when fresh
+    assert(spark.sql(q).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+  }
+
   test("group death: a lang whose rows all delete disappears from the MV") {
     val src = fresh("mv_src2"); fresh("mv_agg2")
     TableFormat.commit(spark, src,
