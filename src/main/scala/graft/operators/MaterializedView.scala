@@ -63,6 +63,22 @@ object MaterializedView {
     * merge. Refresh ≡ recompute bit-for-bit because both sides derive
     * the double the same way: CAST(exact_sum AS DOUBLE) / exact_count. */
   case class AvgCol(colName: String, alias: String) extends AggSpec
+  /** COUNT(DISTINCT col) (r15, VERDICT r14 #3): EXACT distinct counts
+    * via hidden per-group bitmap state — the `agg_bitmap_distinct`
+    * two-level device (bucket = `bitmap_bucket_number`, 32768-bit
+    * bitmap per bucket) stored as one `map<bucket, bitmap>` column per
+    * group. INSERTS are self-maintainable: the delta's insert bitmaps
+    * OR into the state (idempotent — re-inserting a seen value changes
+    * nothing) and the visible count is the popcount sum. DELETES are
+    * not (a bitmap has presence, not multiplicity: deleting one of two
+    * equal values must not shrink the set), so any delete of a
+    * non-null value marks the group for the SAME targeted regroup
+    * MIN/MAX uses — one source scan semi-joined to exactly the marked
+    * groups. Integral columns only: the bitmap's (bucket, position)
+    * decomposition is a bijection on longs. At 100 TB the state is
+    * ~n_distinct/8 bytes per group — 16× under a value list — and the
+    * maintenance shuffle stays |changed groups|-row shaped. */
+  case class DistinctCol(colName: String, alias: String) extends AggSpec
 
   /** MV over a JOIN of two graft tables (r13, VERDICT r12 #7): inner
     * equi-join on one column per side, keys written qualified in the ON
@@ -166,9 +182,15 @@ object MaterializedView {
         None // dim passthrough
       case Alias(f: UnresolvedFunction, alias) =>
         selectCols += alias
-        if (f.isDistinct) refuse(s"DISTINCT aggregate in '$alias'")
         val fn = f.nameParts.map(_.toLowerCase).mkString(".")
-        (fn, f.arguments) match {
+        if (f.isDistinct) (fn, f.arguments) match {
+          // r15: COUNT(DISTINCT col) — bitmap state, see DistinctCol
+          case ("count", Seq(c: UnresolvedAttribute)) =>
+            Some(DistinctCol(c.name, alias)): Option[AggSpec]
+          case _ => refuse(s"DISTINCT aggregate in '$alias' — only " +
+            "COUNT(DISTINCT col) maintains incrementally")
+        }
+        else (fn, f.arguments) match {
           case ("count", Seq(_: UnresolvedStar)) => Some(CountStar(alias))
           case ("count", Seq(Literal(1, _))) => Some(CountStar(alias))
           case ("count", Seq(c: UnresolvedAttribute)) => Some(CountCol(c.name, alias))
@@ -198,7 +220,7 @@ object MaterializedView {
     // be unambiguous across the two schemas (create() refuses overlaps)
     (dims ++ aggs.collect {
       case CountCol(c, _) => c; case SumCol(c, _) => c; case AvgCol(c, _) => c
-      case MinCol(c, _) => c; case MaxCol(c, _) => c
+      case MinCol(c, _) => c; case MaxCol(c, _) => c; case DistinctCol(c, _) => c
     }).find(_.contains(".")).foreach(c => refuse(
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
@@ -212,12 +234,55 @@ object MaterializedView {
   private def dnCol(a: String) = s"__dn_$a"
   private def dMinMaxCol(a: String) = s"__dmm_$a"   // extremum of inserts
   private def delMinMaxCol(a: String) = s"__ddel_$a" // extremum of deletes
+  private def bmCol(a: String) = s"__bm_$a"    // distinct: state bitmap map
+  private def dbmCol(a: String) = s"__dbm_$a"  // distinct: inserted bitmaps
+  private def ddCol(a: String) = s"__dd_$a"    // distinct: delete marker
   private val REGROUP = "__regroup"
 
   private def hasMinMax(d: MvDef): Boolean = d.aggs.exists {
     case _: MinCol | _: MaxCol => true
     case _ => false
   }
+  private def hasDistinct(d: MvDef): Boolean =
+    d.aggs.exists(_.isInstanceOf[DistinctCol])
+  /** Aggregates that are self-maintainable under inserts but only
+    * conditionally under deletes — they share the targeted-regroup
+    * machinery (MIN/MAX r12, COUNT DISTINCT r15). */
+  private def needsRegroup(d: MvDef): Boolean = hasMinMax(d) || hasDistinct(d)
+
+  /** Typed empty `map<bucket, bitmap>` — the distinct state of a group
+    * with no non-null values. */
+  private def emptyBm: Column = typedLit(Map.empty[Long, Array[Byte]])
+
+  /** `map<bucket, bitmap>` of `c`'s non-null values per dims group —
+    * the agg_bitmap_distinct two-level device: per-(group, bucket)
+    * bitmaps OR map-side in `bitmap_construct_agg`, one map per group.
+    * sort_array makes the stored entry order deterministic. */
+  private def bitmapState(rows: DataFrame, d: MvDef, c: String,
+                          out: String): DataFrame =
+    rows.filter(col(c).isNotNull)
+      .groupBy((d.dims.map(col) :+
+        expr(s"bitmap_bucket_number(`$c`)").as("__bkt")): _*)
+      .agg(expr(s"bitmap_construct_agg(bitmap_bit_position(`$c`))").as("__bm"))
+      .groupBy(d.dims.map(col): _*)
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("__bkt"), col("__bm"))))).as(out))
+
+  /** Null-safe LEFT join of per-group bitmap maps onto `base`; a group
+    * with no non-null values gets the empty map. */
+  private def joinBitmaps(base: DataFrame, bm: DataFrame, d: MvDef,
+                          out: String): DataFrame = {
+    val r = d.dims.foldLeft(bm)((df, k) => df.withColumnRenamed(k, s"__bk_$k"))
+    val cond = d.dims.map(k => col(k) <=> col(s"__bk_$k")).reduce(_ && _)
+    base.join(r, cond, "left")
+      .drop(d.dims.map(k => s"__bk_$k"): _*)
+      .withColumn(out, coalesce(col(out), emptyBm))
+  }
+
+  /** Visible distinct count = popcount sum over the map's bitmaps. */
+  private def popSum(m: Column): Column =
+    aggregate(map_values(m), lit(0L),
+      (acc, x) => acc + call_function("bitmap_count", x))
 
   /** Integral-only guard for SUM/COUNT columns (exactness contract). */
   private def validateTypes(d: MvDef, srcSchema: StructType): Unit = {
@@ -238,6 +303,15 @@ object MaterializedView {
           s"materialized view: $fn($c) AS $a over ${dt.simpleString} — " +
             "incremental float accumulation drifts vs recompute; SUM/AVG are " +
             "integral-only (cast to a fixed-point integral column upstream)")
+      }
+    }
+    d.aggs.collect { case DistinctCol(c, a) =>
+      fieldOf(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"materialized view: COUNT(DISTINCT $c) AS $a over ${dt.simpleString} — " +
+            "bitmap distinct state requires an integral column (the bitmap's " +
+            "(bucket, position) decomposition is a bijection on longs)")
       }
     }
     d.aggs.collect { case m @ (_: MinCol | _: MaxCol) =>
@@ -271,6 +345,7 @@ object MaterializedView {
         (sum(col(c).cast(LongType)).cast(DoubleType) / count(col(c))).as(a)
       case MinCol(c, a) => min(col(c)).as(a)
       case MaxCol(c, a) => max(col(c)).as(a)
+      case DistinctCol(c, a) => countDistinct(col(c)).as(a)
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) => Seq(count(col(c)).as(nCol(a)))
@@ -278,7 +353,14 @@ object MaterializedView {
         Seq(sum(col(c).cast(LongType)).as(sCol(a)), count(col(c)).as(nCol(a)))
     }.flatten :+ count(lit(1)).as(CNT)
     val all = visible ++ hidden
-    filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
+    val base = filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
+    // distinct state (r15): the per-group bitmap maps need a two-level
+    // aggregation (dims+bucket, then dims), joined back null-safe — the
+    // join is |groups| vs |groups|, never row-shaped
+    d.aggs.collect { case DistinctCol(c, a) => (c, a) }
+      .foldLeft(base) { case (acc, (c, a)) =>
+        joinBitmaps(acc, bitmapState(filtered, d, c, bmCol(a)), d, bmCol(a))
+      }
   }
 
   /** Signed per-group delta from a CDF slice. */
@@ -299,6 +381,12 @@ object MaterializedView {
       // the DELETED extremum (decides whether the group must regroup)
       case MinCol(c, a) => min(when(col("__sign") === 1L, col(c))).as(dMinMaxCol(a))
       case MaxCol(c, a) => max(when(col("__sign") === 1L, col(c))).as(dMinMaxCol(a))
+      // distinct (r15): the delta carries the INSERTED values' bitmaps
+      // (joined below — they OR in idempotently) and a DELETE MARKER —
+      // a bitmap has presence, not multiplicity, so any delete of a
+      // non-null value sends the group to the targeted regroup
+      case DistinctCol(c, a) =>
+        max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) =>
@@ -309,7 +397,13 @@ object MaterializedView {
       case MaxCol(c, a) => max(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
     } :+ sum(col("__sign")).as(s"__d$CNT")
     val all = deltas ++ hidden
-    filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
+    val base = filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
+    d.aggs.collect { case DistinctCol(c, a) => (c, a) }
+      .foldLeft(base) { case (acc, (c, a)) =>
+        joinBitmaps(acc,
+          bitmapState(filtered.filter(col("__sign") === 1L), d, c, dbmCol(a)),
+          d, dbmCol(a))
+      }
   }
 
   /** One full-outer merge of |groups| rows: state ⊕ delta, dead groups
@@ -349,6 +443,10 @@ object MaterializedView {
           .otherwise(lit(null).cast(DoubleType)).as(a)
       case MinCol(_, a) => least(col(a), col(dMinMaxCol(a))).as(a)
       case MaxCol(_, a) => greatest(col(a), col(dMinMaxCol(a))).as(a)
+      // distinct (r15): the visible count derives from the MERGED
+      // bitmap below (withColumn replaces this placeholder in place) —
+      // sibling select items cannot reference each other
+      case DistinctCol(_, a) => lit(null).cast(LongType).as(a)
     }
     val regroupConds: Seq[Column] = d.aggs.collect {
       case MinCol(_, a) =>
@@ -357,6 +455,9 @@ object MaterializedView {
       case MaxCol(_, a) =>
         col(delMinMaxCol(a)).isNotNull &&
           (absent || col(a).isNull || col(delMinMaxCol(a)) >= col(a))
+      // any delete of a non-null value: presence-only state cannot
+      // prove the value still has other rows — regroup (targeted)
+      case DistinctCol(_, a) => col(ddCol(a)).isNotNull
     }
     val outHidden: Seq[Column] = (d.aggs.collect {
       case SumCol(_, a) => Seq(add(nCol(a), dnCol(a)).as(nCol(a)))
@@ -364,14 +465,24 @@ object MaterializedView {
         when(add(nCol(a), dnCol(a)) > 0, add(sCol(a), dCol(a)))
           .otherwise(lit(null).cast(LongType)).as(sCol(a)),
         add(nCol(a), dnCol(a)).as(nCol(a)))
+      // merged bitmap: key-union zip, per-bucket byte OR (idempotent —
+      // a re-inserted value flips no bit)
+      case DistinctCol(_, a) => Seq(
+        map_zip_with(coalesce(col(bmCol(a)), emptyBm),
+          coalesce(col(dbmCol(a)), emptyBm),
+          (_, v1, v2) => when(v1.isNull, v2).when(v2.isNull, v1)
+            .otherwise(graft.functions.HashKernels.bitmap_or2(v1, v2)))
+          .as(bmCol(a)))
     }.flatten :+ add(CNT, s"__d$CNT").as(CNT)) ++
-      (if (hasMinMax(d))
+      (if (needsRegroup(d))
          Seq(regroupConds.reduce(_ || _).as(REGROUP))
        else Nil)
     val dimsOut = d.dims.map(k => coalesce(col(k), col(s"__k_$k")).as(k))
-    joined
+    val merged0 = joined
       .select((dimsOut ++ outAggs ++ outHidden): _*)
       .filter(col(CNT) > 0)
+    d.aggs.collect { case DistinctCol(_, a) => a }
+      .foldLeft(merged0)((df, a) => df.withColumn(a, popSum(col(bmCol(a)))))
   }
 
   /** The user-visible projection (hidden bookkeeping columns dropped) —
@@ -627,12 +738,12 @@ object MaterializedView {
       } else {
         val state = TableFormat.readSnapshot(spark, mvBase, Some(mvV))
         val merged0 = merge(state, delta, d)
-        // MIN/MAX targeted regroup: only groups whose DELETED extremum
-        // could have been the binding one recompute, via ONE source scan
-        // semi-joined to exactly those groups (insert-only spans and
-        // non-binding deletes never rescan the source)
+        // MIN/MAX + COUNT DISTINCT targeted regroup: only groups whose
+        // delete could have changed the answer recompute, via ONE source
+        // scan semi-joined to exactly those groups (insert-only spans
+        // and non-binding deletes never rescan the source)
         val (merged, nRegrouped) =
-          if (!hasMinMax(d)) (merged0, 0L)
+          if (!needsRegroup(d)) (merged0, 0L)
           else {
             val m = merged0.persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

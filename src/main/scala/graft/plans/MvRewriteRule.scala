@@ -173,6 +173,8 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     ae.aggregateFunction match {
       case Count(Seq(Literal(_, _))) if !ae.isDistinct =>
         d.aggs.collectFirst { case MV.CountStar(a) => a }
+      case Count(Seq(att)) if ae.isDistinct =>
+        d.aggs.collectFirst { case MV.DistinctCol(c, a) if is(c, att) => a }
       case Count(Seq(att)) if !ae.isDistinct =>
         d.aggs.collectFirst { case MV.CountCol(c, a) if is(c, att) => a }
       case Sum(att, _) if !ae.isDistinct =>

@@ -4236,6 +4236,48 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `mv_distinct` (r15, VERDICT r14 #3): COUNT(DISTINCT) in the
+    * incremental MV via hidden per-group bitmap state — the
+    * `agg_bitmap_distinct` two-level device stored as one
+    * `map<bucket, bitmap>` column per group. Inserts fold by bitmap OR
+    * (idempotent); deletes of non-null values take the targeted-regroup
+    * path MIN/MAX already has. Lifecycle mirrors `mv_incremental`:
+    * create, append under a fresh group, range delete, one refresh;
+    * the oracle recomputes count(DISTINCT) over the equivalent final
+    * state — refresh ≡ recompute exact. */
+  def mvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvd_src", "mvd_agg", "mvd_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvd_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvd_agg',
+        |  'SELECT lang, count(*) AS n_docs, count(DISTINCT n_chars) AS d_chars,
+        |          sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvd_src GROUP BY lang')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 12 = 7")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 6000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("vv")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 250L, 449L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvd_agg')").collect()
+    spark.sql(
+      """SELECT lang, n_docs, d_chars, CAST(sum_chars AS BIGINT) AS sum_chars
+        |FROM graft.db.mvd_agg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `mv_rewrite` (r15, VERDICT r14 #2): MV-BASED QUERY REWRITE — the
     * read half of materialized views. The user's aggregate targets the
     * SOURCE table; with `spark.graft.mv.rewrite=true` and the MV fresh
@@ -4290,6 +4332,7 @@ object GraftCatalogOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_distinct" -> (mvDistinct _),
     "mv_rewrite" -> (mvRewrite _),
     "mv_minmax" -> (mvMinmax _),
     "mv_incremental" -> (mvIncremental _),
@@ -4336,6 +4379,18 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_distinct" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 250 AND 449
+        |  UNION ALL
+        |  SELECT doc_id + 6000000000, 'vv', n_chars FROM documents
+        |  WHERE doc_id % 12 = 7)
+        |SELECT lang, count(1) AS n_docs, count(DISTINCT n_chars) AS d_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_rewrite" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents

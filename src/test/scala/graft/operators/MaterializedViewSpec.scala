@@ -328,6 +328,64 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(e2.getMessage.contains("qualified"), e2.getMessage)
   }
 
+  test("COUNT(DISTINCT): bitmap state folds inserts exactly; value deletes regroup targeted; refresh == recompute (r15, VERDICT r14 #3)") {
+    val src = fresh("mv_srcd"); fresh("mv_aggd")
+    // repeated values so distinct != count; fr's values cross bitmap
+    // buckets (stride 40000 > 32768); NULLs never count
+    val rows: Seq[(Long, String, Option[Long])] =
+      (0L until 40L).map(i => (i, "en", Some(i % 20))) ++
+      (100L until 130L).map(i => (i, "fr", Some((i - 100) / 3 * 40000L))) ++
+      Seq((200L, "en", None), (201L, "fr", None))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggd',
+        |  'SELECT lang, count(*) AS n_docs, count(DISTINCT n) AS d_n,
+        |          sum(n) AS sum_n
+        |   FROM graft.db.mv_srcd GROUP BY lang')""".stripMargin).collect()
+    def recomputeD() = spark.sql(
+      """SELECT lang, count(1) AS n_docs, count(DISTINCT n) AS d_n,
+        |  CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM graft.db.mv_srcd GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def mvD() = spark.sql(
+      """SELECT lang, n_docs, d_n, sum_n FROM graft.db.mv_aggd
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    assert(mvD() == recomputeD(), "create must equal recompute")
+    assert(spark.table("graft.db.mv_aggd__state").columns.contains("__bm_d_n"),
+      "distinct state must carry the hidden bitmap map")
+    // 1) INSERT-only span: seen values (no distinct change), unseen
+    //    values (distinct grows), a new group, a NULL — zero regrouped
+    TableFormat.appendCommit(spark, src,
+      (Seq((300L, "en", Some(5L)), (301L, "en", Some(123456L)),
+        (302L, "zz", Some(7L)), (303L, "zz", Some(7L)),
+        (304L, "fr", None)): Seq[(Long, String, Option[Long])])
+        .toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggd')").head
+    assert(r1.getLong(4) == 0L, s"insert-only span regrouped: $r1")
+    assert(mvD() == recomputeD())
+    // 2) delete a row holding a DUPLICATED value (en n=5 survives via
+    //    other rows): presence-only state cannot prove that, so the
+    //    group regroups — and the recompute keeps the count unchanged
+    TableFormat.deleteWhere(spark, src, "doc_id", 300L, 300L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggd')").head
+    assert(r2.getLong(4) == 1L, s"value delete should regroup exactly en: $r2")
+    assert(mvD() == recomputeD())
+    // 3) delete the only row of a UNIQUE value (en n=123456): distinct
+    //    shrinks; regroup keeps it exact
+    TableFormat.deleteWhere(spark, src, "doc_id", 301L, 301L)
+    val r3 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggd')").head
+    assert(r3.getLong(4) == 1L, s"unique-value delete should regroup en: $r3")
+    assert(mvD() == recomputeD())
+    // 4) delete a NULL-value row: counts fold, distinct untouched — no
+    //    regroup
+    TableFormat.deleteWhere(spark, src, "doc_id", 200L, 200L)
+    val r4 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggd')").head
+    assert(r4.getLong(4) == 0L, s"null-value delete regrouped: $r4")
+    assert(mvD() == recomputeD())
+  }
+
   test("CoW UPDATE flows through as paired images; no-op and maintenance spans") {
     val src = fresh("mv_src4"); fresh("mv_agg4")
     TableFormat.commit(spark, src,
@@ -376,8 +434,12 @@ class MaterializedViewSpec extends SparkTestBase {
       "integral-only")
     refused("SELECT lang, min(d) AS m FROM graft.db.mv_src5 GROUP BY lang",
       "integral or string")
-    refused("SELECT lang, count(DISTINCT n) AS c FROM graft.db.mv_src5 GROUP BY lang",
-      "DISTINCT")
+    // COUNT(DISTINCT integral) is supported since r15 (bitmap state) —
+    // other DISTINCT aggregates and non-integral distinct columns refuse
+    refused("SELECT lang, sum(DISTINCT n) AS c FROM graft.db.mv_src5 GROUP BY lang",
+      "only COUNT(DISTINCT col)")
+    refused("SELECT lang, count(DISTINCT d) AS c FROM graft.db.mv_src5 GROUP BY lang",
+      "integral column")
     refused("SELECT lang || lang AS l2, count(*) AS c FROM graft.db.mv_src5 GROUP BY lang || lang",
       "plain column")
     // joins are SUPPORTED since r13 — a self-join's fully-overlapping
