@@ -1538,7 +1538,9 @@ object TableFormat {
                             constraints: Option[Seq[(String, String)]] = None,
                             hwm: Option[Map[String, Long]] = None,
                             ndv: Option[Map[String, String]] = None,
-                            hist: Option[Map[String, String]] = None): Int = {
+                            hist: Option[Map[String, String]] = None,
+                            eqdel: Option[Seq[(String, String, Int)]] = None,
+                            eqadd: Option[Map[String, Int]] = None): Int = {
     // properties/colmap/tombstones flow with the table unless this
     // commit sets them: None = inherit the parent's header verbatim
     // (absent parent or pre-feature manifest → none), Some = write it
@@ -1561,6 +1563,33 @@ object TableFormat {
       inherited(manifestNdv(spark, base, version - 1), Map.empty[String, String]))
     val effHist = hist.getOrElse(
       inherited(manifestHistRaw(spark, base, version - 1), Map.empty[String, String]))
+    // equality deletes (r15): inherit unless this commit sets them; the
+    // #eqadd stamp is maintained HERE — the one commit choke point — so
+    // every committer scopes its new files out of older deletes
+    val effEqDel = eqdel.getOrElse(
+      inherited(manifestEqDels(spark, base, version - 1), Seq.empty[(String, String, Int)]))
+    if (effEqDel.nonEmpty && !EqSafeOps(op))
+      throw new UnsupportedOperationException(
+        s"table $base: commit op '$op' while ${effEqDel.size} equality delete(s) " +
+          "are outstanding — a rewrite would re-add masked rows under a fresh " +
+          "added-version; resolve first (CALL graft.system.resolve_eqdel, or " +
+          "TableFormat.resolveEqDeletes)")
+    // explicit eqadd (restore/clone) wins: deriving it from the PARENT
+    // diff would stamp every re-appearing old file addedV = this
+    // version, scoping it out of every delete — a silent un-delete
+    val effEqAdd: Map[String, Int] = eqadd.getOrElse {
+      if (effEqDel.isEmpty) Map.empty
+      else {
+        val parentAdd = inherited(manifestEqAdds(spark, base, version - 1),
+          Map.empty[String, Int])
+        val parentPaths = inherited(
+          manifestEntries(spark, base, version - 1).map(e => normPath(e.path)).toSet,
+          Set.empty[String])
+        val cur = entries.map(e => normPath(e.path)).toSet
+        parentAdd.filter { case (p, _) => cur.contains(p) } ++
+          cur.toSeq.filterNot(parentPaths).map(_ -> version)
+      }
+    }
     val header = Seq(SchemaPrefix + schemaJson) ++
       (if (statsCols.nonEmpty) Seq(StatsPrefix + statsCols.mkString("\t")) else Nil) ++
       Seq(OpPrefix + op) ++
@@ -1590,6 +1619,14 @@ object TableFormat {
       (if (effHist.nonEmpty)
          Seq(HistPrefix + effHist.toSeq.sortBy(_._1)
            .map { case (k, v) => s"${enc(k)}=$v" }.mkString("\t"))
+       else Nil) ++
+      (if (effEqDel.nonEmpty)
+         Seq(EqDelPrefix + effEqDel
+           .map { case (d, k, dv) => s"${enc(d)}:${enc(k)}:$dv" }.mkString("\t"))
+       else Nil) ++
+      (if (effEqAdd.nonEmpty)
+         Seq(EqAddPrefix + effEqAdd.toSeq.sortBy(_._1)
+           .map { case (p, av) => s"${enc(p)}=$av" }.mkString("\t"))
        else Nil) ++
       txn.map { case (app, b) => s"$TxnPrefix$app\t$b" }
     // delta-vs-full decision (r13): diff against the parent's resolved
@@ -2199,6 +2236,10 @@ object TableFormat {
     * versions age out. Returns (newVersion, filesCompacted). */
   def compact(spark: SparkSession, base: String, smallBytes: Long,
               targetFiles: Int = 1, minFiles: Int = 2): (Int, Int) = {
+    // outstanding equality deletes resolve FIRST (r15) — the lazy half
+    // of the eqdel contract: maintenance pays the one deferred join
+    if (manifestEqDels(spark, base, currentVersion(spark, base)).nonEmpty)
+      resolveEqDeletes(spark, base)
     val v = currentVersion(spark, base)
     val version = v + 1
     val f = fs(spark, base)
@@ -2298,6 +2339,10 @@ object TableFormat {
               minFraction: Double = 0.10): (Int, Int, Int) = {
     require(minFraction > 0.0 && minFraction <= 1.0,
       s"purge_dv: min_fraction must be in (0, 1], got $minFraction")
+    // outstanding equality deletes resolve FIRST (r15): the resolution
+    // dv lands before the fraction test so heavy masks purge in one pass
+    if (manifestEqDels(spark, base, currentVersion(spark, base)).nonEmpty)
+      resolveEqDeletes(spark, base)
     val v = currentVersion(spark, base)
     val entries = manifestEntries(spark, base, v)
     val (heavy, keep) = entries.partition(e =>
@@ -2353,7 +2398,7 @@ object TableFormat {
     // RECURSIVE since r12: sharded dv dirs keep their sidecars under
     // `__fk=` subdirs — a flat listing would miss them and vacuum would
     // reclaim live deletion state
-    val dvFiles = retainedEntriesAll.flatMap(_.dv).distinct.flatMap { d =>
+    def dirFiles(d: String): Seq[String] = {
       val dp = new Path(d)
       if (f.exists(dp)) {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2366,7 +2411,21 @@ object TableFormat {
         out.toSeq
       } else Seq.empty
     }
-    val referenced = (retainedEntriesAll.map(_.path) ++ dvFiles)
+    val dvFiles = retainedEntriesAll.flatMap(_.dv).distinct.flatMap(dirFiles)
+    // equality-delete key files (r15): a retained version's #eqdel dirs
+    // are live deletion state exactly like dv dirs — expand them (base
+    // and live branch trees both); non-retained versions' key files
+    // reclaim with their manifests
+    val eqFiles = ((retain.flatMap(v =>
+        try manifestEqDels(spark, base, v).map(_._1)
+        catch { case _: java.io.FileNotFoundException => Nil }) ++
+      branchTreesOf(spark, base).flatMap { bt =>
+        history(spark, bt).flatMap { case (bv, _, _) =>
+          try manifestEqDels(spark, bt, bv).map(_._1)
+          catch { case _: java.io.FileNotFoundException => Nil }
+        }
+      }).distinct).flatMap(dirFiles)
+    val referenced = (retainedEntriesAll.map(_.path) ++ dvFiles ++ eqFiles)
       .map(p => new Path(p).toUri.getPath).toSet
     var deleted = 0
     var kept = 0
@@ -2869,6 +2928,173 @@ object TableFormat {
     (out, withDv, total)
   }
 
+  // ---- EQUALITY DELETES (r15, VERDICT r14 #4) -------------------------
+  //
+  // The high-frequency-CDC ingest shape: [[deleteByKeysDV]] resolves
+  // keys to positions with one distributed join PER BATCH — correct,
+  // but the join reads candidate table files, so a 1000-batch/hour CDC
+  // writer pays table-layout-shaped IO 1000 times an hour. An EQUALITY
+  // delete (the Iceberg equality-delete-file design, re-derived) makes
+  // ingest O(batch): the commit writes ONLY the key set as a small
+  // parquet file and records it in the manifest header —
+  //
+  //   #eqdel  enc(dir):enc(keyCol):commitVersion  (tab-separated records)
+  //   #eqadd  enc(path)=addedVersion              (files added AFTER the
+  //                                                first outstanding delete)
+  //
+  // A delete at version D masks key-matching rows of files ADDED BEFORE
+  // D only — a later re-insert of the same key lives (addedV defaults
+  // to 0 for files predating every outstanding delete, so #eqadd stays
+  // bounded by the commits since the oldest one). Reads apply the masks
+  // as broadcast anti-joins grouped by (applicable-delete-set); key
+  // files are batch-sized by construction. Position resolution is
+  // DEFERRED to [[resolveEqDeletes]] — one join for ALL outstanding
+  // deletes — which compact/purge_dv run automatically, converging the
+  // table to exactly [[deleteByKeysDV]]'s final state.
+  //
+  // Safety rail: while deletes are outstanding, any commit that REWRITES
+  // old rows into new files (CoW delete/update/merge, compact, optimize,
+  // restore, …) would re-add masked rows under a fresh added-version —
+  // [[writeManifest]] refuses those ops outright, naming the cure.
+  // Appends, further equality/dv deletes, and MoR post-image commits are
+  // scope-safe and stay allowed; the change feed and the catalog scan
+  // refuse outstanding-delete snapshots loudly instead of silently
+  // missing masks.
+
+  private[graft] val EqDelPrefix = "#eqdel\t"
+  private[graft] val EqAddPrefix = "#eqadd\t"
+  /** Commit ops that cannot re-expose equality-masked rows: they add
+    * new rows and/or mask more, never rewrite old rows to new files. */
+  // restore/clone/publish are safe because they carry their SOURCE
+  // snapshot's eqdel/eqadd headers explicitly (pure metadata re-naming,
+  // scoping exact by construction)
+  private val EqSafeOps =
+    Set("append", "delete_eq", "eqdel_resolve", "delete_dv",
+        "update_mor", "merge_mor", "alter", "restore", "clone", "publish")
+
+  /** Outstanding equality deletes of `version`: (keyDir, keyCol,
+    * committedAtVersion), oldest first. */
+  def manifestEqDels(spark: SparkSession, base: String,
+                     version: Int): Seq[(String, String, Int)] =
+    manifestHeader(spark, base, version, EqDelPrefix)
+      .map(_.split("\t").toSeq.filter(_.nonEmpty).map { r =>
+        val p = r.split(":", 3)
+        (dec(p(0)), dec(p(1)), p(2).toInt)
+      }).getOrElse(Nil)
+
+  /** path → version the file was ADDED at, for files added while
+    * equality deletes were outstanding (absent path = predates them). */
+  def manifestEqAdds(spark: SparkSession, base: String,
+                     version: Int): Map[String, Int] =
+    manifestHeader(spark, base, version, EqAddPrefix)
+      .map(_.split("\t").toSeq.filter(_.nonEmpty).map { r =>
+        val i = r.lastIndexOf('=')
+        dec(r.substring(0, i)) -> r.substring(i + 1).toInt
+      }.toMap).getOrElse(Map.empty)
+
+  /** EQUALITY DELETE BY KEYS: stage the key set, commit metadata —
+    * ingest IO ∝ |keys|, ZERO table reads, ZERO joins. Returns
+    * (newVersion, nKeys); an empty key set commits nothing. */
+  def deleteByKeysEq(spark: SparkSession, base: String, keys: DataFrame,
+                     key: String): (Int, Long) = {
+    val v = currentVersion(spark, base)
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    require(manifestSchema(spark, base, v).exists(_.fields.exists(_.name == key)),
+      s"delete_eq: key column '$key' is not in the table schema")
+    val version = v + 1
+    val dir = s"$base/data/eq${version}_${java.util.UUID.randomUUID.toString.take(8)}"
+    keys.select(col(key)).na.drop.distinct().write.parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    if (n == 0) {
+      try { fs(spark, base).delete(new Path(dir), true); () }
+      catch { case _: java.io.IOException => () }
+      return (v, 0L)
+    }
+    val eqd = manifestEqDels(spark, base, v) :+ ((dir, key, version))
+    val out = writeManifest(spark, base, version, schemaJson,
+      manifestEntries(spark, base, v), txn = None,
+      statsCols = manifestStatsCols(spark, base, v), op = "delete_eq",
+      eqdel = Some(eqd))
+    (out, n)
+  }
+
+  /** The distinct union of a delete's key file contents — batch-sized
+    * by construction (deleteByKeysEq stores the distinct key set). */
+  private def eqKeysDf(spark: SparkSession,
+                       recs: Seq[(String, String, Int)], key: String): DataFrame =
+    recs.map(r => spark.read.parquet(r._1)).reduce(_ unionByName _)
+      .select(col(key)).distinct()
+
+  /** Entries → DataFrame with outstanding equality deletes APPLIED:
+    * entries group by their applicable-delete set (deletes committed
+    * AFTER the file was added), each group anti-joins the broadcast
+    * key sets per key column. NULL keys never match a delete — the
+    * [[deleteByKeysDV]] semantics this must converge with. */
+  private[graft] def entriesDfEq(spark: SparkSession, base: String,
+                                 version: Int,
+                                 entries: Seq[ManifestEntry]): DataFrame = {
+    val eqd = manifestEqDels(spark, base, version)
+    if (eqd.isEmpty) return readEntriesDf(spark, base, version, entries)
+    val adds = manifestEqAdds(spark, base, version)
+    entries.groupBy(e => eqd.filter(_._3 > adds.getOrElse(normPath(e.path), 0)))
+      .toSeq.map { case (applicable, ents) =>
+        val df0 = readEntriesDf(spark, base, version, ents)
+        applicable.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(df0) {
+          case (df, (k, recs)) =>
+            df.join(broadcast(eqKeysDf(spark, recs, k)), Seq(k), "left_anti")
+        }
+      }.reduce(_ unionByName _)
+  }
+
+  /** RESOLVE outstanding equality deletes into ONE positional deletion
+    * vector commit — the deferred cost the write path skipped, paid
+    * once for all batches since the last resolution. The commit clears
+    * `#eqdel`/`#eqadd`; the final state equals what per-batch
+    * [[deleteByKeysDV]] calls would have produced. Returns
+    * (newVersion, nDeletes resolved). */
+  def resolveEqDeletes(spark: SparkSession, base: String): (Int, Int) = {
+    val v = currentVersion(spark, base)
+    val eqd = manifestEqDels(spark, base, v)
+    if (eqd.isEmpty) return (v, 0)
+    val entries = manifestEntries(spark, base, v)
+    val adds = manifestEqAdds(spark, base, v)
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    val statsCols = manifestStatsCols(spark, base, v)
+    val groups = entries
+      .groupBy(e => eqd.filter(_._3 > adds.getOrElse(normPath(e.path), 0)))
+      .toSeq.filter(_._1.nonEmpty)
+    val (touched, pairDfs) = groups.map { case (applicable, ents) =>
+      val withPos = readEntriesDf(spark, base, v, ents, keepPos = true)
+      val pairs = applicable.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (k, recs) =>
+          withPos.join(broadcast(eqKeysDf(spark, recs, k)), Seq(k), "left_semi")
+            .select(col("__fp").as(DvFileCol), col("__ri").as(DvPosCol))
+      }.reduce(_ unionByName _)
+      (ents, pairs)
+    }.unzip
+    val newPairs = pairDfs.reduce(_ unionByName _).distinct()
+    val touchedE = touched.flatten
+    val untouched = entries.filterNot(touchedE.toSet)
+    val version = v + 1
+    val allPairs = dvPairsOf(spark, touchedE)
+      .fold(newPairs)(old => newPairs.unionByName(old)).distinct()
+    val dvDir = s"$base/data/dv${version}_${java.util.UUID.randomUUID.toString.take(8)}"
+    val counts = writeDvDir(spark, allPairs, dvDir)
+    val updated = touchedE.flatMap { e =>
+      val n = counts.getOrElse(normPath(e.path), 0L)
+      if (n == 0L) Some(e)
+      else if (e.rows.contains(n)) None // every row deleted: file drops out
+      else Some(e.copy(dv = Some(dvDir), dvRows = Some(n)))
+    }
+    val out = writeManifest(spark, base, version, schemaJson,
+      untouched ++ updated, txn = None, statsCols = statsCols,
+      op = "eqdel_resolve", eqdel = Some(Nil))
+    maybeAutoAnalyze(spark, base, out)
+    (out, eqd.size)
+  }
+
   /** MERGE-ON-READ delta commit (r13, VERDICT r12 #2) — the commit half
     * of `update.mode`/`merge.mode` = merge-on-read UPDATE/MERGE (and
     * delta-routed DELETE): the executors staged (a) plain parquet pair
@@ -2974,7 +3200,7 @@ object TableFormat {
     val v = version.getOrElse(currentVersion(spark, base))
     val entries = manifestEntries(spark, base, v)
     if (entries.isEmpty) emptySnapshot(spark, base, v)
-    else readEntriesDf(spark, base, v, entries)
+    else entriesDfEq(spark, base, v, entries) // r15: equality deletes apply
   }
 
   /** FILE SKIPPING — the reason table formats carry stats: resolve the
@@ -2994,7 +3220,7 @@ object TableFormat {
     val keep = entries.filter(_.mayMatch(lo, hi))
     val df =
       (if (keep.isEmpty) emptySnapshot(spark, base, v)
-       else readEntriesDf(spark, base, v, keep))
+       else entriesDfEq(spark, base, v, keep))
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     (df, (keep.size, entries.size))
   }
@@ -3466,7 +3692,7 @@ object TableFormat {
     val keep = entries.filter(e => e.mayMatch(lo1, hi1) && e.mayMatch2(lo2, hi2))
     val df =
       (if (keep.isEmpty) emptySnapshot(spark, base, v)
-       else readEntriesDf(spark, base, v, keep))
+       else entriesDfEq(spark, base, v, keep))
         .filter(col(c1) >= lo1 && col(c1) <= hi1 &&
                 col(c2) >= lo2 && col(c2) <= hi2)
     (df, (keep.size, entries.size))
@@ -3610,6 +3836,23 @@ object TableFormat {
       s"readChanges: fromVersion $fromVersion must precede toVersion $toVersion")
     require(fromVersion >= 0,
       s"readChanges: fromVersion $fromVersion must be >= 0 (0 = before the first commit)")
+    // equality deletes (r15): an outstanding eqdel commit changes NO
+    // entries, so the file diff would silently emit zero change rows
+    // for real deletes. Feeds over RESOLVED spans are exact — the
+    // deletes surface at their eqdel_resolve commit's dv growth — so
+    // the guard is on the END version's outstanding set only.
+    // BOTH ends: an eqdel outstanding at the START would have masked
+    // rows in snapshot(from) whose deletes then re-emit at the in-span
+    // resolve commit — a consumer that never had them would wrongly
+    // subtract them.
+    def eqGuard(v: Int): Unit =
+      if (v > 0 && (try manifestEqDels(spark, base, v)
+                    catch { case _: java.io.FileNotFoundException => Nil }).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"readChanges: table $base v$v has outstanding equality " +
+            "deletes — the change feed cannot see them; resolve first " +
+            "(CALL graft.system.resolve_eqdel)")
+    eqGuard(fromVersion); eqGuard(toVersion)
     val steps = ((fromVersion + 1) to toVersion).map { v =>
       val before = retainedEntries(spark, base, v - 1, "readChanges")
       val after = retainedEntries(spark, base, v, "readChanges")
@@ -3631,8 +3874,13 @@ object TableFormat {
       op match {
         case Some("compact") | Some("optimize") => Seq.empty // bytes moved, no rows changed
         case Some("alter") => Seq.empty // schema widened, no files touched at all
+        // an eqdel commit changes no entries (guard above proves the
+        // span's END resolved them; the rows surface at the resolve
+        // commit below, which diffs exactly like a dv delete)
+        case Some("delete_eq") => Seq.empty
         case Some("append") => Seq(tag(read(added), "insert"))
-        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") =>
+        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") |
+             Some("eqdel_resolve") =>
           // merge-on-read commit: no bytes of EXISTING files moved, only
           // dvs grew (and fully-deleted files dropped) — plus, for
           // UPDATE/MERGE (r13), brand-new post-image files appended.
@@ -3722,7 +3970,11 @@ object TableFormat {
       // identity watermarks travel with the clone (r11): a clone (or a
       // branch) of an identity table must CONTINUE the sequence, never
       // restart it — publish merges marks back per-column MAX
-      hwm = Some(manifestHwm(spark, srcBase, v)))
+      hwm = Some(manifestHwm(spark, srcBase, v)),
+      // equality-delete state travels too (r15): dropping it would
+      // silently un-delete every masked row in the clone
+      eqdel = Some(manifestEqDels(spark, srcBase, v)),
+      eqadd = Some(manifestEqAdds(spark, srcBase, v)))
     v
   }
 
@@ -3800,7 +4052,11 @@ object TableFormat {
           tombstones = Some(manifestTombstones(spark, bb, bv)),
           constraints = Some(manifestConstraints(spark, bb, bv)),
           ndv = Some(manifestNdv(spark, bb, bv)),
-          hwm = Some(mergedHwm))
+          hwm = Some(mergedHwm),
+          // the branch's equality-delete state fast-forwards with its
+          // entries (r15) — same pass-through rule as restore/clone
+          eqdel = Some(manifestEqDels(spark, bb, bv)),
+          eqadd = Some(manifestEqAdds(spark, bb, bv)))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -4048,7 +4304,13 @@ object TableFormat {
           constraints = Some(manifestConstraints(spark, base, toVersion)),
           // contents ARE toVersion's — its NDV is exact for the restore
           // (the identity hwm, by contrast, stays the parent's: monotone)
-          ndv = Some(manifestNdv(spark, base, toVersion)))
+          ndv = Some(manifestNdv(spark, base, toVersion)),
+          // equality-delete state rides the SAME pass-through (r15): the
+          // restored snapshot must read exactly like toVersion did —
+          // deriving #eqadd from the parent diff would scope every
+          // re-appearing file out of its deletes
+          eqdel = Some(manifestEqDels(spark, base, toVersion)),
+          eqadd = Some(manifestEqAdds(spark, base, toVersion)))
       catch {
         case e: CommitConflictException =>
           attempt += 1

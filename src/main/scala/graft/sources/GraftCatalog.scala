@@ -937,7 +937,17 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
       .foreach { case (k, v) => m.put(k, v) }
     m
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // equality deletes (r15): the catalog's file-scan machinery reads
+    // manifest entries directly and would silently MISS outstanding
+    // equality masks — refuse loudly with the cure named (the change
+    // feed has its own guard inside readChanges)
+    if (changes.isEmpty &&
+        TableFormat.manifestEqDels(spark, base, resolvedVersion).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table $base v$resolvedVersion has outstanding equality deletes — " +
+          "the SQL scan cannot apply them; CALL graft.system.resolve_eqdel " +
+          "(or compact) first, or read via TableFormat.readSnapshot")
     changes match {
       case Some((from, to)) =>
         new GraftChangesScanBuilder(base, from, to, schema(), spark,
@@ -950,6 +960,7 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
           maxVersionsPerBatch =
             Option(options.get("maxVersionsPerBatch")).map(_.toInt).getOrElse(0))
     }
+  }
 
   /** `INSERT INTO graft.db.t …` = an `appendCommit` (optimistic
     * concurrency — two concurrent SQL inserts both land); `INSERT
@@ -3250,6 +3261,66 @@ object GraftCatalogOps {
       .orderBy(col("lang").asc_nulls_first)
   }
 
+  /** `table_cdc_apply_eq` (r15, VERDICT r14 #4): the CDC mirror loop on
+    * EQUALITY DELETES — the high-frequency-ingest shape. Each delete
+    * batch commits only its key set (IO ∝ batch, zero joins, zero table
+    * reads: `deleteByKeysEq`); the deferred position resolution runs
+    * ONCE at the end (`resolveEqDeletes`), converging the mirror to
+    * exactly what per-batch `deleteByKeysDV` would have produced. The
+    * in-code `require` pins that the O(batch) path really ran (deletes
+    * were outstanding until the resolve); the oracle recomputes the
+    * final state. */
+  def tableCdcApplyEq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+    val src = s"${Tables.scratchDir}/cdce_src"
+    val mirror = s"${Tables.scratchDir}/cdce_mirror"
+    Seq(src, mirror).foreach { b =>
+      val p = new HadoopPath(b)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    TableFormat.commit(spark, src, docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      1, parent = None, statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, src, docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteRowsDV(spark, src, pmod(col("doc_id"), lit(10)) === 7)
+    val q = spark.readStream.format("graft-table").option("path", src)
+      .option("readChangeFeed", "true").load()
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val shape = b.groupBy(col("_commit_version"), col("_change_type"))
+            .count().collect()
+            .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+          val versions = shape.keys.map(_._1).toSeq.distinct.sorted
+          versions.foreach { v =>
+            val step = b.filter(col("_commit_version") === v)
+            if (shape.getOrElse((v, "delete"), 0L) > 0L)
+              TableFormat.deleteByKeysEq(spark, mirror,
+                step.filter(col("_change_type") === "delete").select(col("doc_id")),
+                "doc_id")
+            if (shape.getOrElse((v, "insert"), 0L) > 0L)
+              TableFormat.appendCommit(spark, mirror,
+                step.filter(col("_change_type") === "insert")
+                  .drop("_change_type", "_commit_version"),
+                statsCol = Some("doc_id"))
+          }
+        } finally { b.unpersist(); () }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // the O(batch) path must actually have run: deletes still unresolved
+    require(TableFormat.manifestEqDels(spark, mirror,
+      TableFormat.currentVersion(spark, mirror)).nonEmpty,
+      "table_cdc_apply_eq: no outstanding equality deletes before resolution")
+    TableFormat.resolveEqDeletes(spark, mirror)
+    TableFormat.readSnapshot(spark, mirror)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
   /** `sql_generated_columns` (r10): GENERATED ALWAYS AS columns — the
     * engine computes the column on every INSERT (user-supplied values
     * are overwritten by definition), and since the generated column is
@@ -4361,6 +4432,7 @@ object GraftCatalogOps {
     "sql_generated_columns" -> (sqlGeneratedColumns _),
     "table_cdc_apply" -> (tableCdcApply _),
     "table_cdc_apply_mor" -> (tableCdcApplyMor _),
+    "table_cdc_apply_eq" -> (tableCdcApplyEq _),
     "sql_tblproperties" -> (sqlTblProperties _),
     "sql_delete_dv" -> (sqlDeleteDv _),
     "sql_update_dv" -> (sqlUpdateDv _),
@@ -4545,6 +4617,11 @@ object GraftCatalogOps {
     "table_cdc_apply_mor" ->
       """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 10 <> 3
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "table_cdc_apply_eq" ->
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 7
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_generated_columns" ->

@@ -719,6 +719,25 @@ object GraftProcedures {
     }
   }
 
+  /** RESOLVE EQUALITY DELETES (r15, VERDICT r14 #4): fold every
+    * outstanding equality-delete key file into ONE positional deletion
+    * vector commit — the deferred join the O(batch) CDC ingest path
+    * skipped, paid once for all batches since the last resolution.
+    * compact/purge_dv run this automatically; the SQL scan and the
+    * change feed name this procedure as the cure when they refuse an
+    * outstanding-delete snapshot. Returns (version, resolved_deletes). */
+  private object ResolveEqDelProc extends Proc("resolve_eqdel",
+    Seq(in("table", StringType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("resolved_deletes", IntegerType)))) {
+    override def description(): String =
+      "fold outstanding equality deletes into one positional deletion-vector commit"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (v, n) = TableFormat.resolveEqDeletes(spark, base)
+      new GenericInternalRow(Array[Any](v, n))
+    }
+  }
+
   /** PARTITION EVOLUTION (r13) — `CALL graft.system.set_clustering(
     * 'db.t', 'b,a')`, the Iceberg REPLACE PARTITION FIELD analog:
     * re-declares the clustering columns metadata-only. New writes
@@ -977,7 +996,7 @@ object GraftProcedures {
         OptimizeWhereProc, OptimizeWhereStrProc, RestoreTsProc,
       OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, RebaseProc, DropBranchProc,
-      PurgeDvProc,
+      PurgeDvProc, ResolveEqDelProc,
       OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
       CreateMvProc, RefreshMvProc, DropMvProc, RestoreViewProc)

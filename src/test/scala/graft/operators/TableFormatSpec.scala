@@ -1264,6 +1264,103 @@ class TableFormatSpec extends SparkTestBase {
       "materialization of a big delta should land in the parquet form")
   }
 
+  test("equality deletes: O(batch) ingest with zero table IO; version-scoped reads; resolution converges with deleteByKeysDV (r15, VERDICT r14 #4)") {
+    val base = freshBase("tf_eqdel")
+    val mirror = freshBase("tf_eqdel_mirror")
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 4000L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"),
+      clusterFiles = Some(4))
+    TableFormat.commit(spark, mirror, rows, 1, None, statsCol = Some("k"),
+      clusterFiles = Some(4))
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(b: String): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$b/data"), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) out += st.getPath.toUri.getPath
+      }
+      out.toSet
+    }
+    def snap(b: String) = TableFormat.readSnapshot(spark, b)
+      .orderBy("k", "v").collect().toSeq
+    // batch 1: equality delete of keys [100, 200) — INGEST IO PIN: the
+    // only new bytes under data/ are the key files themselves (no data
+    // file read or rewritten, no dv dir, no join anywhere: the commit
+    // is manifest entries VERBATIM + one header)
+    val before = dataFiles(base)
+    val keys1 = (100L until 200L).toDF("k")
+    val (v2, n1) = TableFormat.deleteByKeysEq(spark, base, keys1, "k")
+    assert(n1 == 100L)
+    val addedFiles = dataFiles(base) -- before
+    assert(addedFiles.nonEmpty && addedFiles.forall(_.contains("/eq")),
+      s"equality delete wrote more than its key set: $addedFiles")
+    assert(TableFormat.manifestEntries(spark, base, v2).map(_.line) ==
+      TableFormat.manifestEntries(spark, base, 1).map(_.line),
+      "eqdel commit must carry entries verbatim")
+    TableFormat.deleteByKeysDV(spark, mirror, keys1, "k")
+    assert(snap(base) == snap(mirror))
+    assert(TableFormat.readSnapshot(spark, base).count() == 3900)
+    // version scoping: re-inserted keys LIVE (added after the delete)
+    val reins = Seq((150L, "new150"), (151L, "new151")).toDF("k", "v")
+    TableFormat.appendCommit(spark, base, reins, statsCol = Some("k"))
+    TableFormat.appendCommit(spark, mirror, reins, statsCol = Some("k"))
+    assert(snap(base) == snap(mirror))
+    assert(TableFormat.readSnapshot(spark, base).filter(col("k") === 150L).count() == 1)
+    // batch 2: a delete covering a re-inserted key + fresh keys — masks
+    // the re-insert (added before THIS delete) and the fresh keys
+    val keys2 = Seq(150L, 500L, 501L).toDF("k")
+    val (v4, _) = TableFormat.deleteByKeysEq(spark, base, keys2, "k")
+    TableFormat.deleteByKeysDV(spark, mirror, keys2, "k")
+    assert(snap(base) == snap(mirror),
+      "eq semantics must converge with per-batch deleteByKeysDV")
+    // the file-skipping read path applies the masks too
+    val (dfSkip, _) = TableFormat.readSnapshotWhere(spark, base, "k", 0L, 600L)
+    val mirrorRange = TableFormat.readSnapshot(spark, mirror)
+      .filter(col("k").between(0L, 600L)).count()
+    assert(dfSkip.count() == mirrorRange)
+    // time travel: each version masks exactly its own outstanding set
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 4000)
+    assert(TableFormat.readSnapshot(spark, base, Some(v2)).count() == 3900)
+    // vacuum keeps outstanding key files (they are live deletion state)
+    val cur = TableFormat.currentVersion(spark, base)
+    TableFormat.vacuum(spark, base, retain = (1 to cur))
+    assert(snap(base) == snap(mirror), "vacuum reclaimed live eqdel key files")
+    // safety rail: a CoW rewrite would re-add masked rows — refused
+    val eCow = intercept[UnsupportedOperationException](
+      TableFormat.deleteWhere(spark, base, "k", 0L, 10L))
+    assert(eCow.getMessage.contains("equality delete"), eCow.getMessage)
+    // the change feed and the catalog scan refuse outstanding snapshots
+    val eCdf = intercept[UnsupportedOperationException](
+      TableFormat.readChanges(spark, base, 1, cur))
+    assert(eCdf.getMessage.contains("resolve_eqdel"), eCdf.getMessage)
+    // RESOLUTION: one dv commit clears the headers, answers unchanged,
+    // final state == the mirror deleteByKeysDV produced batch-by-batch
+    val (rv, nRes) = TableFormat.resolveEqDeletes(spark, base)
+    assert(nRes == 2)
+    assert(TableFormat.manifestEqDels(spark, base, rv).isEmpty &&
+      TableFormat.manifestEqAdds(spark, base, rv).isEmpty)
+    assert(snap(base) == snap(mirror))
+    assert(TableFormat.manifestEntries(spark, base, rv).exists(_.dv.isDefined),
+      "resolution must land positional dvs")
+    // CDF across the RESOLVED span reconstructs the final state: the
+    // eq-deleted rows surface at the resolve commit
+    val ch = TableFormat.readChanges(spark, base, 1, rv)
+    val net = ch.filter(col("_change_type") === "insert").count() -
+      ch.filter(col("_change_type") === "delete").count()
+    assert(4000L + net == TableFormat.readSnapshot(spark, base).count(),
+      "CDF over the resolved span must fold to the snapshot")
+    // compact AUTO-RESOLVES a fresh outstanding delete before rewriting
+    TableFormat.deleteByKeysEq(spark, base, Seq(600L).toDF("k"), "k")
+    TableFormat.compact(spark, base, smallBytes = Long.MaxValue, targetFiles = 2)
+    val head = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestEqDels(spark, base, head).isEmpty)
+    assert(TableFormat.readSnapshot(spark, base)
+      .filter(col("k") === 600L).count() == 0)
+  }
+
   test("dv runs: a dense delete encodes as runs, bytes far under 16 per row (r11, VERDICT r10 #4)") {
     val base = freshBase("tf_dv_rle")
     TableFormat.commit(spark, base, (0L until 200000L).map(i => (i, i)).toDF("k", "v"),
