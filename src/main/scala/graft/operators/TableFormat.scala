@@ -3680,6 +3680,88 @@ object TableFormat {
     (out, in.size, entries.size)
   }
 
+  /** [[optimizeWhere]] in TWO dimensions (r15, VERDICT r14 #5): scope
+    * the rewrite to exactly the files whose recorded bounds intersect
+    * the BOX [lo1,hi1]×[lo2,hi2] over the FIRST TWO declared clustering
+    * columns — the maintenance analog of [[readSnapshotWhere2]]'s box
+    * read. Bounds are in stats units (raw integral / micros /
+    * epoch-days, the same units the footer records). The box rows
+    * re-cluster along the z-curve with BOX-LOCAL grid bounds, so the
+    * repaired files keep serving BOTH dimensions' pruning; everything
+    * outside the box carries by reference — at 100 TB a hot-region
+    * repair costs IO ∝ the region, never the table. Same carry /
+    * dv-materialization / CDF-silence / auto-rebase contract as the 1-D
+    * forms. Returns (newVersion, filesRewritten, filesTotal). */
+  def optimizeWhereBox(spark: SparkSession, base: String,
+                       lo1: Long, hi1: Long, lo2: Long, hi2: Long,
+                       targetFiles: Int = 0): (Int, Int, Int) = {
+    require(lo1 <= hi1, s"optimize_where_box: lo1 $lo1 must be <= hi1 $hi1")
+    require(lo2 <= hi2, s"optimize_where_box: lo2 $lo2 must be <= hi2 $hi2")
+    val v = currentVersion(spark, base)
+    val declared = manifestStatsCols(spark, base, v)
+    require(declared.size >= 2,
+      s"optimize_where_box: table $base declares ${declared.size} clustering " +
+        "column(s) — the box form needs two (optimize_zorder / set_clustering first)")
+    val schema = manifestSchema(spark, base, v).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    // same silent-degradation guard as the 1-D forms: a STRING key
+    // records no numeric bounds, every file would "intersect" and the
+    // scoped optimize quietly rewrite the whole table
+    declared.take(2).foreach { c =>
+      require(!schema.fields.find(_.name == c).exists(_.dataType ==
+          org.apache.spark.sql.types.StringType),
+        s"optimize_where_box: $c is a STRING clustering column — string " +
+          "bounds form no numeric box; use optimize_where_str for 1-D scoping")
+    }
+    require(bucketSpecOf(manifestProps(spark, base, v)).isEmpty,
+      s"optimize_where_box: table $base declares a bucket layout — the " +
+        "z-curve and hash-bucket routing conflict; use optimize_bucket")
+    val entries = manifestEntries(spark, base, v)
+    val (in, _) = entries.partition(e =>
+      e.mayMatchAt(0, lo1, hi1) && e.mayMatchAt(1, lo2, hi2))
+    // nothing to repair: zero or one clean file in the box is optimal
+    if (in.size < 2 && !in.exists(_.dv.isDefined)) return (v, 0, entries.size)
+    val df = readEntriesDf(spark, base, v, in) // dv-aware: live rows only
+    // the two dims grid in their STATS units (the z-curve and the
+    // recorded bounds must agree on ordering — optimizeZorderN's rule)
+    val dimExprs: Seq[Column] = declared.take(2).map { c =>
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.TimestampType) => unix_micros(col(c))
+        case Some(org.apache.spark.sql.types.DateType) => unix_date(col(c)).cast("long")
+        case _ => col(c).cast("long")
+      }
+    }
+    val nF = if (targetFiles > 0) targetFiles else math.max(1, in.size / 2)
+    val aggs = dimExprs.flatMap(e => Seq(min(e).cast("long"), max(e).cast("long")))
+    val b = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val clustered =
+      if ((0 until 4).exists(b.isNullAt))
+        df.repartitionByRange(nF, declared.map(col): _*) // no bounds: linear
+      else {
+        val bits = 30
+        val top = (1L << bits) - 1
+        val gs = dimExprs.zipWithIndex.map { case (e, i) =>
+          val lo = b.getLong(2 * i)
+          val hi = b.getLong(2 * i + 1)
+          val span = math.max(1.0, hi.toDouble - lo.toDouble)
+          least(lit(top.toDouble),
+            (e.cast("double") - lit(lo.toDouble)) * lit(top.toDouble) / lit(span))
+            .cast("long")
+        }
+        val z = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+          gs.zipWithIndex.foldLeft(acc) { case (a, (g, i)) =>
+            a.bitwiseOR(shiftleft(shiftright(g, j).bitwiseAND(lit(1L)), j * 2 + i))
+          }
+        }
+        df.withColumn("__z", z).repartitionByRange(nF, col("__z")).drop("__z")
+      }
+    val staged = writeDataFilesNdv(spark, base, newCommitDir(base, v + 1),
+      clustered, declared.headOption, declared.drop(1).headOption, declared.drop(2))
+    val out = maintenanceCommit(spark, base, v, in, staged.entries,
+      op = "optimize", statsCols = declared)
+    (out, in.size, entries.size)
+  }
+
   /** Two-dimensional file skipping over a z-ordered table: drop every
     * file whose recorded bounds miss EITHER box edge, then apply the
     * exact row filter. Returns the DataFrame and (filesRead, filesTotal). */

@@ -496,6 +496,26 @@ object GraftProcedures {
     }
   }
 
+  /** 2-D PREDICATE-SCOPED OPTIMIZE (r15, VERDICT r14 #5) —
+    * `optimize_where_box('db.t', lo1, hi1, lo2, hi2)`: rewrite only the
+    * files whose recorded bounds intersect the box over BOTH declared
+    * clustering columns — the maintenance analog of the z-order box
+    * read; the box rows re-z-order with box-local grid bounds. */
+  private object OptimizeWhereBoxProc extends Proc("optimize_where_box",
+    Seq(in("table", StringType), in("lo1", LongType), in("hi1", LongType),
+        in("lo2", LongType), in("hi2", LongType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("files_rewritten", IntegerType),
+                   StructField("files_total", IntegerType)))) {
+    override def description(): String =
+      "consolidate + re-z-order only the files intersecting the [lo1,hi1]x[lo2,hi2] box on the two clustering columns"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (v, n, total) = TableFormat.optimizeWhereBox(spark, base,
+        input.getLong(1), input.getLong(2), input.getLong(3), input.getLong(4))
+      new GenericInternalRow(Array[Any](v, n, total))
+    }
+  }
+
   /** VACUUM: retain the last `retain_last` versions, physically delete
     * everything no retained manifest references. Returns
     * (files_deleted, files_kept). */
@@ -993,7 +1013,8 @@ object GraftProcedures {
 
   private val all: Seq[Proc] =
     Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, SetClusteringProc,
-        OptimizeWhereProc, OptimizeWhereStrProc, RestoreTsProc,
+        OptimizeWhereProc, OptimizeWhereStrProc, OptimizeWhereBoxProc,
+        RestoreTsProc,
       OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, RebaseProc, DropBranchProc,
       PurgeDvProc, ResolveEqDelProc,

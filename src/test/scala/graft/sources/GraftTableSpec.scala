@@ -552,6 +552,66 @@ class GraftTableSpec extends SparkTestBase {
     assert(eStr.getMessage.contains("not a STRING"), eStr.getMessage)
   }
 
+  test("CALL graft.system.optimize_where_box: exactly the box-intersecting files rewrite on both dimensions (r15, VERDICT r14 #5)") {
+    val _ = wh
+    import spark.implicits._
+    val base = s"$wh/db/owb"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // z-ordered table over two independent-ish dims
+    val rows = (0L until 4000L).map(i =>
+      (i, (i * 2654435761L) % 4096L, i * 3)).toDF("k", "j", "v")
+    TableFormat.commitZorder(spark, base, rows, "k", "j", 1, nFiles = 16)
+    // fragment the HOT BOX [0,500]x[0,500] only: three micro-appends
+    (1 to 3).foreach { t =>
+      TableFormat.appendCommit(spark, base,
+        (0L until 50L).map(i => (i % 400L, (i * 7 + t) % 400L, i)).toDF("k", "j", "v"),
+        statsCol = Some("k"))
+    }
+    val before = TableFormat.manifestEntries(spark, base,
+      TableFormat.currentVersion(spark, base))
+    val inBox = before.count(e => e.mayMatchAt(0, 0L, 500L) && e.mayMatchAt(1, 0L, 500L))
+    val kStrip = before.count(_.mayMatchAt(0, 0L, 500L))
+    val outOfBox = before.filterNot(e =>
+      e.mayMatchAt(0, 0L, 500L) && e.mayMatchAt(1, 0L, 500L)).map(_.path).toSet
+    assert(inBox >= 4, s"premise: hot box fragmented ($inBox files)")
+    // the 2-D scope is strictly tighter than 1-D: some files intersect
+    // the k-range but miss the j-range — the box must NOT rewrite them
+    assert(kStrip > inBox,
+      s"premise: k-strip ($kStrip) should exceed the box ($inBox)")
+    val sumBefore = spark.sql("SELECT sum(v) FROM graft.db.owb").head.getLong(0)
+    val r = spark.sql(
+      "CALL graft.system.optimize_where_box('db.owb', 0L, 500L, 0L, 500L)").head
+    assert(r.getInt(1) == inBox,
+      s"rewrote ${r.getInt(1)} of $inBox box-intersecting files")
+    val after = TableFormat.manifestEntries(spark, base, r.getInt(0))
+    assert(outOfBox.subsetOf(after.map(_.path).toSet),
+      "out-of-box files (including k-strip-only ones) must carry by reference")
+    assert(after.size < before.size, "hot box should consolidate")
+    assert(spark.sql("SELECT count(1) FROM graft.db.owb").head.getLong(0) == 4150)
+    assert(spark.sql("SELECT sum(v) FROM graft.db.owb").head.getLong(0) == sumBefore)
+    // the repaired layout still serves the 2-D box read path exactly
+    val (boxDf, (read, total)) = TableFormat.readSnapshotWhere2(
+      spark, base, "k", 0L, 500L, "j", 0L, 500L)
+    assert(read < total, "box read should prune after the scoped repair")
+    val expected = spark.sql(
+      "SELECT count(1) FROM graft.db.owb WHERE k BETWEEN 0 AND 500 AND j BETWEEN 0 AND 500")
+      .head.getLong(0)
+    assert(boxDf.count() == expected)
+    // refusal: one declared clustering column cannot form a box
+    val base1 = s"$wh/db/owb1"
+    val p1 = new org.apache.hadoop.fs.Path(base1)
+    p1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p1, true)
+    TableFormat.commit(spark, base1,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), 1, None,
+      statsCol = Some("k"))
+    val e1 = intercept[Exception] {
+      spark.sql("CALL graft.system.optimize_where_box('db.owb1', 0L, 10L, 0L, 10L)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("needs two"), e1.getMessage)
+  }
+
   test("vacuum retention floor: a reader planned pre-maintenance survives a default-config vacuum; forced reclaim is loud (r14, VERDICT r13 #6)") {
     val _ = wh
     val base = s"$wh/db/retention"
