@@ -273,9 +273,13 @@ class PcapTable(properties: Map[String, String]) extends Table with SupportsRead
     val splitBytes = Option(options.get("splitBytes")).orElse(properties.get("splitBytes"))
       .map(_.toLong).getOrElse(0L)
     require(splitBytes >= 0, s"pcap option splitBytes=$splitBytes must be >= 0")
+    // streaming admission control (r15, VERDICT r14 #6)
+    val maxFiles = Option(options.get("maxFilesPerTrigger"))
+      .orElse(properties.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(0)
+    require(maxFiles >= 0, s"pcap option maxFilesPerTrigger=$maxFiles must be >= 0")
     // resolved on the driver, shipped to executors by the reader factory
     val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
-    new PcapScanBuilder(path, mode == "strict", conf, splitBytes)
+    new PcapScanBuilder(path, mode == "strict", conf, splitBytes, maxFiles)
   }
 }
 
@@ -387,7 +391,7 @@ object PcapFilters {
   * scan. Pushed filters additionally skip row construction for
   * non-matching packets (see [[PcapFilters]]). */
 class PcapScanBuilder(path: String, strict: Boolean, conf: SerializableHadoopConf,
-                      splitBytes: Long = 0L)
+                      splitBytes: Long = 0L, maxFilesPerTrigger: Int = 0)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsReportStatistics with SupportsRuntimeFiltering {
@@ -464,7 +468,7 @@ class PcapScanBuilder(path: String, strict: Boolean, conf: SerializableHadoopCon
   override def createReaderFactory(): PartitionReaderFactory =
     new PcapReaderFactory(required, pushed ++ runtime, strict, conf)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PcapMicroBatchStream(path, required, pushed, strict, conf)
+    new PcapMicroBatchStream(path, required, pushed, strict, conf, maxFilesPerTrigger)
 }
 
 case class PcapFilePartition(file: String, rangeStart: Long = 0L,
@@ -508,8 +512,11 @@ object PcapOffset {
   * silently replaying or skipping. Column pruning and filter pushdown
   * apply the same as the batch path. */
 class PcapMicroBatchStream(path: String, readSchema: StructType, pushed: Array[Filter],
-                           strict: Boolean, conf: SerializableHadoopConf)
-    extends MicroBatchStream {
+                           strict: Boolean, conf: SerializableHadoopConf,
+                           maxFilesPerTrigger: Int = 0)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
   // snapshot the listing once per latestOffset() call so a file landing
   // mid-planning can't shift indices between latestOffset and plan
   @volatile private var snapshot: Seq[String] = Nil
@@ -518,6 +525,34 @@ class PcapMicroBatchStream(path: String, readSchema: StructType, pushed: Array[F
     snapshot = PcapDataSource.listCaptureFiles(path, conf.value)
     PcapOffset(snapshot.size, snapshot.lastOption)
   }
+  /** ADMISSION CONTROL (r15, VERDICT r14 #6) — the `maxFilesPerTrigger`
+    * analog the capture-directory source was missing: a restart against
+    * a month-old backlog (or a burst of rolled captures) planned EVERY
+    * new file into one batch — one giant commit, no incremental
+    * checkpoints, executor-count-insensitive latency. With
+    * `maxFilesPerTrigger = k` each trigger admits at most k new files
+    * (oldest first — names roll lexicographically); the engine drains
+    * the backlog across consecutive batches, each with its own offset
+    * commit, exactly like FileStreamSource's own option. Offsets stay
+    * the same (count, lastName) pair — a capped batch commits the name
+    * of the LAST ADMITTED file, so the append-only contract check keeps
+    * working across restarts mid-drain. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    snapshot = PcapDataSource.listCaptureFiles(path, conf.value)
+    val s = start.asInstanceOf[PcapOffset]
+    val cap = limit match {
+      case m: ReadMaxFiles => math.min(snapshot.size, s.n + m.maxFiles())
+      case _ => snapshot.size
+    }
+    PcapOffset(cap, if (cap > 0) Some(snapshot(cap - 1)) else None)
+  }
+  /** True head of the directory regardless of the cap — the engine's
+    * backlog/lag metric reads this. */
+  override def reportLatestOffset(): Offset =
+    PcapOffset(snapshot.size, snapshot.lastOption)
   override def deserializeOffset(json: String): Offset = PcapOffset.fromJson(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PcapOffset]
