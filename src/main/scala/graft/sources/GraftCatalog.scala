@@ -2054,7 +2054,19 @@ class GraftTableCdfMicroBatch(base: String, dataSchema: StructType, startVersion
           after.filterNot(en => beforeByPath.contains(norm(en.path)))
             .map(en => GraftFilePartition(en.path, en.dv,
               cdf = Some(GraftCdfSpec("insert", v))))
-        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") =>
+        // an equality-delete commit changes NO entries — the file diff
+        // would silently emit nothing for real deletes (r15): refuse
+        // with the cure named; after resolution the masks stream as the
+        // resolve commit's dv growth (the eqdel_resolve case below)
+        case Some("delete_eq") =>
+          if (skipChangeCommits) Seq.empty
+          else throw new IllegalStateException(
+            s"graft-table change feed on $base: commit v$v is an equality " +
+              "delete whose masks are not yet position-resolved — CALL " +
+              "graft.system.resolve_eqdel first (the deletes then stream at " +
+              "the resolve commit), or set option(\"skipChangeCommits\", true)")
+        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") |
+             Some("eqdel_resolve") =>
           // the whole merge-on-read family is streamable (r13): deletes
           // are the per-file dv POSITION diff exactly like delete_dv,
           // and UPDATE/MERGE post-images are brand-new appended files —
@@ -2602,6 +2614,18 @@ class GraftTableMicroBatch(base: String, readSchema: StructType, startVersion: I
       s"graft-table stream on $base: versions $s -> $e change the deletion vector of " +
         s"${dvChanged.size} file(s) — a merge-on-read DELETE crossed the stream. " +
         "Restart the stream from a full snapshot instead")
+    // equality deletes (r15): an eqdel commit changes NO entries, so the
+    // guards above cannot see it — but it masks rows this stream may
+    // already have emitted, the same cannot-unsend hazard as a dv change
+    val eqBefore = if (s == 0) Nil
+                   else TableFormat.manifestEqDels(spark, base, s)
+    val eqAfter = TableFormat.manifestEqDels(spark, base, e)
+    if (eqBefore != eqAfter || eqAfter.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-table stream on $base: versions $s -> $e carry outstanding " +
+          "equality deletes (or change the outstanding set) — already-streamed " +
+          "rows cannot be unsent and masked rows must not stream. Resolve " +
+          "(CALL graft.system.resolve_eqdel) and restart from a full snapshot")
     afterEntries.filterNot(en => before(en.path)).sortBy(_.path)
       .map(en => GraftFilePartition(en.path, en.dv): InputPartition).toArray
   }
