@@ -95,7 +95,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a
       case _ => return None // expression dims: not the MV shape
     }
-    if (dims.isEmpty) return None
+    // dims MAY be empty: a global aggregate rolls up over every MV group
     if (aggExprs.exists(_.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))) return None
     val candidates = MV.candidatesFor(spark, base)
@@ -114,7 +114,12 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     val d = try MV.parseDef(spark, props("graft.mv.query"))
             catch { case scala.util.control.NonFatal(_) => return None }
     if (d.join.isDefined) return None
-    if (d.dims.map(_.toLowerCase(Locale.ROOT)).toSet != dimSet) return None
+    val mvDimSet = d.dims.map(_.toLowerCase(Locale.ROOT)).toSet
+    // exact dims → 1:1 substitution; STRICT SUBSET (including the empty
+    // set = global aggregate) → ROLL-UP re-aggregation over the
+    // |groups|-row state (r15): counts/sums re-sum, extrema re-extreme,
+    // AVG re-derives from the hidden exact sum/count columns
+    if (!dimSet.subsetOf(mvDimSet)) return None
     if (!filterMatches(cond, d.filterSql, rel)) return None
     // FRESHNESS — the stale-MV standdown: bookmark == source head. Read
     // LAST so a matching-but-stale MV costs no extra probes elsewhere.
@@ -145,22 +150,90 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         else None
       case _ => None // unexpected leaf (current_time-like): stand down
     }
+    // ROLL-UP remapping (dims strict subset): every aggregate call maps
+    // to a RE-AGGREGATION over the stored per-group columns
+    def rollupAgg(ae: AggregateExpression): Option[Expression] = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Divide, GreaterThan, If}
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      def reAgg(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+        AggregateExpression(f, org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false)
+      def is(c: String, att: Expression): Boolean = att match {
+        case a: AttributeReference => a.name.equalsIgnoreCase(c)
+        case _ => false
+      }
+      if (ae.filter.isDefined || ae.isDistinct) return None // bitmaps don't re-sum
+      val out: Option[Expression] = ae.aggregateFunction match {
+        // count(*) = Σ live rows — the hidden __cnt column IS exactly that;
+        // coalesce covers the empty-MV global aggregate (count = 0, not NULL)
+        case Count(Seq(Literal(_, _))) =>
+          mvCol("__cnt").map(c => Coalesce(Seq(reAgg(Sum(c)), Literal(0L))))
+        case Count(Seq(att)) =>
+          d.aggs.collectFirst { case MV.CountCol(c, a) if is(c, att) => a }
+            .flatMap(mvCol).map(c => Coalesce(Seq(reAgg(Sum(c)), Literal(0L))))
+        case Sum(att, _) =>
+          d.aggs.collectFirst { case MV.SumCol(c, a) if is(c, att) => a }
+            .flatMap(mvCol).map(c => reAgg(Sum(c)))
+        case Min(att) =>
+          d.aggs.collectFirst { case MV.MinCol(c, a) if is(c, att) => a }
+            .flatMap(mvCol).map(c => reAgg(Min(c)))
+        case Max(att) =>
+          d.aggs.collectFirst { case MV.MaxCol(c, a) if is(c, att) => a }
+            .flatMap(mvCol).map(c => reAgg(Max(c)))
+        // AVG re-derives EXACTLY from the hidden per-group (exact sum,
+        // count) longs — the same arithmetic fullState uses, at the
+        // coarser grain: CAST(Σ sums AS DOUBLE) / Σ counts
+        case Average(att, _) =>
+          d.aggs.collectFirst { case MV.AvgCol(c, a) if is(c, att) => a }
+            .flatMap { a =>
+              for { s <- mvCol(s"__s_$a"); n <- mvCol(s"__n_$a") } yield {
+                val sSum = reAgg(Sum(s))
+                val nSum = reAgg(Sum(n))
+                If(GreaterThan(nSum, Literal(0L)),
+                  Divide(Cast(sSum, DoubleType), Cast(nSum, DoubleType)),
+                  Literal(null, DoubleType)): Expression
+              }
+            }
+        case _ => None
+      }
+      out.filter(_.dataType == ae.dataType)
+    }
+    def remapRollup(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rollupAgg(ae)
+      case a: AttributeReference if dimSet.contains(a.name.toLowerCase(Locale.ROOT)) =>
+        mvCol(a.name).filter(_.dataType == a.dataType)
+      case _: AttributeReference => None
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty =>
+        val kids = other.children.map(remapRollup)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+    val exact = dimSet == mvDimSet
+    val mapper: Expression => Option[Expression] =
+      if (exact) remap else remapRollup
     val projections = aggExprs.map {
       case a: AttributeReference =>
-        remap(a) match {
+        mapper(a) match {
           case Some(m) => Alias(m, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
           case None => return None
         }
       case al: Alias =>
-        remap(al.child) match {
+        mapper(al.child) match {
           case Some(m) => Alias(m, al.name)(exprId = al.exprId, qualifier = al.qualifier,
             explicitMetadata = Some(al.metadata))
           case None => return None
         }
       case _ => return None
     }
-    Some(Project(projections, mvRel))
+    if (exact) Some(Project(projections, mvRel))
+    else {
+      val grouping = dimSet.toSeq.sorted.map(n =>
+        mvCol(n).getOrElse(return None): Expression)
+      Some(Aggregate(grouping, projections, mvRel))
+    }
   }
 
   /** Query aggregate call → stored MV column name, matched on the

@@ -4426,9 +4426,60 @@ object GraftCatalogOps {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  /** `mv_rewrite_rollup` (r15): the ROLL-UP half of MV query rewrite —
+    * a GLOBAL aggregate (dims = the empty subset of the MV's dims)
+    * re-aggregates over the |groups|-row state instead of scanning the
+    * source: counts re-sum via the hidden `__cnt`, sums re-sum, extrema
+    * re-extreme, and AVG re-derives from the hidden exact sum/count
+    * longs — bit-identical to the oracle's explicit
+    * CAST(exact_sum AS DOUBLE)/count. Plan asserted substituted
+    * in-code; values oracle-gated. */
+  def mvRewriteRollup(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvru_src", "mvru_agg", "mvru_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvru_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvru_agg',
+        |  'SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |          avg(n_chars) AS avg_chars, min(n_chars) AS min_chars
+        |   FROM graft.db.mvru_src GROUP BY lang')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 9 = 4")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 7000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("uu")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 350L, 549L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvru_agg')").collect()
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val out = spark.sql(
+        """SELECT count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+          |  avg(n_chars) AS avg_chars
+          |FROM graft.db.mvru_src""".stripMargin)
+      val plan = out.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvru_agg__state") && !plan.contains("mvru_src"),
+        s"mv_rewrite_rollup: the global aggregate was not rolled up onto the MV:\n$plan")
+      out
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
     "mv_rewrite" -> (mvRewrite _),
+    "mv_rewrite_rollup" -> (mvRewriteRollup _),
     "mv_minmax" -> (mvMinmax _),
     "mv_incremental" -> (mvIncremental _),
     "mv_avg" -> (mvAvg _),
@@ -4475,6 +4526,17 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_rewrite_rollup" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 350 AND 549
+        |  UNION ALL
+        |  SELECT doc_id + 7000000000, 'uu', n_chars FROM documents
+        |  WHERE doc_id % 9 = 4)
+        |SELECT count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(n_chars) AS avg_chars
+        |FROM final_state""".stripMargin,
     "mv_distinct" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents

@@ -144,6 +144,37 @@ class MaterializedViewSpec extends SparkTestBase {
           |FROM graft.db.mv_src_rw VERSION AS OF 1
           |WHERE doc_id % 5 <> 0 GROUP BY lang""".stripMargin
       assert(spark.sql(qt).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+      // 7. ROLL-UP: a GLOBAL aggregate (dims = empty subset) re-aggregates
+      //    over the |groups|-row state — counts re-sum via the hidden
+      //    __cnt, extrema re-extreme, AVG re-derives from exact sums
+      val qg =
+        """SELECT count(*) AS c, sum(n) AS s, max(n) AS mx, avg(n) AS a
+          |FROM graft.db.mv_src_rw WHERE doc_id % 5 <> 0""".stripMargin
+      val dfg = spark.sql(qg)
+      assert(dfg.queryExecution.optimizedPlan.toString.contains("mv_agg_rw__state"),
+        s"global roll-up not substituted:\n${dfg.queryExecution.optimizedPlan}")
+      val directG = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(qg).collect().head
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val got = dfg.collect().head
+      assert(got.getLong(0) == directG.getLong(0) && got.getLong(1) == directG.getLong(1) &&
+        got.getLong(2) == directG.getLong(2) &&
+        math.abs(got.getDouble(3) - directG.getDouble(3)) <=
+          math.ulp(directG.getDouble(3)) * 4,
+        s"roll-up mismatch: $got vs $directG")
+      // count(DISTINCT) does NOT roll up (bitmaps don't re-sum): stand down
+      val qgd =
+        """SELECT count(DISTINCT n) AS d FROM graft.db.mv_src_rw
+          |WHERE doc_id % 5 <> 0""".stripMargin
+      assert(spark.sql(qgd).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+      // a SUPERSET of the MV dims can never be served: stand down
+      val qsup =
+        """SELECT lang, doc_id % 2 AS par, count(*) AS c
+          |FROM graft.db.mv_src_rw WHERE doc_id % 5 <> 0
+          |GROUP BY lang, doc_id % 2""".stripMargin
+      assert(spark.sql(qsup).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
     // 7. flag off: no rewrite even when fresh
     assert(spark.sql(q).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
