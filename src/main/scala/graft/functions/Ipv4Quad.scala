@@ -73,6 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(VecDot.functionDescription)
     e.injectFunction(MisraGriesAgg.functionDescription)
     e.injectFunction(CountMin.aggDescription)
+    e.injectFunction(BitmapMapOrAgg.functionDescription)
     e.injectFunction(CountMin.mergeDescription)
     e.injectFunction(CountMin.estimateDescription)
     e.injectOptimizerRule(_ => graft.plans.PushVecNormThroughJoin)

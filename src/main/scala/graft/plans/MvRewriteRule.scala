@@ -162,8 +162,16 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference => a.name.equalsIgnoreCase(c)
         case _ => false
       }
-      if (ae.filter.isDefined || ae.isDistinct) return None // bitmaps don't re-sum
+      if (ae.filter.isDefined) return None
       val out: Option[Expression] = ae.aggregateFunction match {
+        // count(DISTINCT c) rolls up through the stored bitmap maps:
+        // presence ORs idempotently across groups, so the union's
+        // popcount is the exact coarser-grain distinct count
+        case Count(Seq(att)) if ae.isDistinct =>
+          d.aggs.collectFirst { case MV.DistinctCol(c, a) if is(c, att) => a }
+            .flatMap(a => mvCol(s"__bm_$a"))
+            .map(bm => reAgg(graft.functions.BitmapMapOrAgg(bm)))
+        case _ if ae.isDistinct => None
         // count(*) = Σ live rows — the hidden __cnt column IS exactly that;
         // coalesce covers the empty-MV global aggregate (count = 0, not NULL)
         case Count(Seq(Literal(_, _))) =>

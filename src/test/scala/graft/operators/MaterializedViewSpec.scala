@@ -415,6 +415,27 @@ class MaterializedViewSpec extends SparkTestBase {
     val r4 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggd')").head
     assert(r4.getLong(4) == 0L, s"null-value delete regrouped: $r4")
     assert(mvD() == recomputeD())
+    // 5) ROLL-UP rewrite (r15): a GLOBAL count(DISTINCT) re-derives from
+    //    the OR-union of the stored bitmap maps (BitmapMapOrAgg) — the
+    //    one aggregate plain re-summing cannot serve
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val qg = "SELECT count(DISTINCT n) AS d, count(*) AS c FROM graft.db.mv_srcd"
+      val dfg = spark.sql(qg)
+      assert(dfg.queryExecution.optimizedPlan.toString.contains("mv_aggd__state"),
+        s"distinct roll-up not substituted:\n${dfg.queryExecution.optimizedPlan}")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(qg).collect().head
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(dfg.collect().head == direct)
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    // the SQL-registered aggregate agrees with a direct distinct count
+    assert(spark.sql(
+      "SELECT bitmap_map_distinct(__bm_d_n) FROM graft.db.mv_aggd__state")
+      .head.getLong(0) ==
+      spark.sql("SELECT count(DISTINCT n) FROM graft.db.mv_srcd").head.getLong(0))
   }
 
   test("CoW UPDATE flows through as paired images; no-op and maintenance spans") {
