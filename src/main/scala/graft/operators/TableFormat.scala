@@ -4111,6 +4111,15 @@ object TableFormat {
       catch { case _: java.io.FileNotFoundException =>
         throw new IllegalArgumentException(s"no branch $name of $base") }
     val bv = currentVersion(spark, bb)
+    // outstanding equality deletes refuse to publish (r15): the parent
+    // snapshot would reference key files living under the BRANCH's data
+    // tree through its #eqdel header — a later drop_branch's reference
+    // guard scans entries only and would yank them. Resolving first
+    // turns the masks into ordinary dv sidecars the guard understands.
+    if (manifestEqDels(spark, bb, bv).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot publish branch $name of $base: the branch has outstanding " +
+          "equality deletes — CALL graft.system.resolve_eqdel on the branch first")
     var attempt = 0
     while (true) {
       val mainV = latestVersion(spark, base)

@@ -1336,6 +1336,17 @@ class TableFormatSpec extends SparkTestBase {
     val eCdf = intercept[UnsupportedOperationException](
       TableFormat.readChanges(spark, base, 1, cur))
     assert(eCdf.getMessage.contains("resolve_eqdel"), eCdf.getMessage)
+    // branches: the zero-copy clone CARRIES the eqdel state (a dropped
+    // header would silently un-delete every masked row in the branch),
+    // and publish refuses while the branch's deletes are outstanding
+    // (the parent would reference branch-tree key files the drop_branch
+    // guard cannot see)
+    val (bb, _) = TableFormat.branchCreate(spark, base, "dev")
+    assert(TableFormat.readSnapshot(spark, bb).orderBy("k", "v").collect().toSeq
+      == snap(base), "branch clone lost the equality-delete state")
+    val ePub = intercept[UnsupportedOperationException](
+      TableFormat.publishBranch(spark, base, "dev"))
+    assert(ePub.getMessage.contains("resolve_eqdel"), ePub.getMessage)
     // RESOLUTION: one dv commit clears the headers, answers unchanged,
     // final state == the mirror deleteByKeysDV produced batch-by-batch
     val (rv, nRes) = TableFormat.resolveEqDeletes(spark, base)
@@ -2040,6 +2051,100 @@ class TableFormatSpec extends SparkTestBase {
       }
     }
     // every shadowed still-retained version time-travels exactly
+    val onDisk = TableFormat.history(spark, base).map(_._1).toSet
+    snaps.foreach { case (v, want) =>
+      if (onDisk.contains(v))
+        assert(TableFormat.readSnapshot(spark, base, Some(v)).as[(Long, String)]
+          .collect().toSet == want, s"time travel to v$v diverged")
+    }
+  }
+
+  test("delta-log fuzz 4: equality deletes under re-inserts, dv mixes, resolution, compaction, restore, vacuum — head and time travel exact (r15)") {
+    val base = freshBase("tf_mdelta_fuzz4")
+    val rnd = new scala.util.Random(15)
+    var live = Set.empty[(Long, String)]
+    var nextId = 0L
+    def commitAppend(rows: Seq[(Long, String)]): Unit = {
+      live ++= rows
+      TableFormat.appendCommit(spark, base, rows.toDF("id", "v"),
+        statsCol = Some("id"))
+      ()
+    }
+    TableFormat.commit(spark, base,
+      (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v"), 1, None,
+      statsCol = Some("id"), clusterFiles = Some(8))
+    live = (0L until 400L).map(i => (i, s"r$i")).toSet
+    nextId = 400L
+    val snaps = scala.collection.mutable.Map(
+      TableFormat.currentVersion(spark, base) -> live)
+    (1 to 24).foreach { step =>
+      rnd.nextInt(8) match {
+        case 0 => // fresh append
+          val n = 10 + rnd.nextInt(30)
+          commitAppend((nextId until nextId + n).map(i => (i, s"r$i")))
+          nextId += n
+        case 1 => // RE-INSERT previously-seen ids — the eq-scoping case:
+          // a later eq delete must mask them, an earlier one must not
+          val ids = (0 until 5 + rnd.nextInt(10))
+            .map(_ => rnd.nextLong(math.max(1L, nextId)))
+            .distinct.filterNot(i => live.exists(_._1 == i))
+          if (ids.nonEmpty) commitAppend(ids.map(i => (i, s"re$step-$i")))
+        case 2 | 3 => // equality delete of a random key set
+          val keys = (0 until 5 + rnd.nextInt(25))
+            .map(_ => rnd.nextLong(math.max(1L, nextId))).distinct
+          live = live.filterNot(t => keys.contains(t._1))
+          TableFormat.deleteByKeysEq(spark, base, keys.toDF("id"), "id")
+          ()
+        case 4 => // positional dv delete mixed in (eq-safe op)
+          val lo = rnd.nextLong(math.max(1L, nextId))
+          val hi = lo + 5 + rnd.nextInt(20)
+          live = live.filterNot(t => t._1 >= lo && t._1 <= hi)
+          TableFormat.deleteRowsDV(spark, base,
+            col("id") >= lo && col("id") <= hi)
+          ()
+        case 5 => // resolve everything outstanding into one dv commit
+          TableFormat.resolveEqDeletes(spark, base)
+          ()
+        case 6 => // compact auto-resolves, then rewrites
+          TableFormat.compact(spark, base, smallBytes = 1L << 16, targetFiles = 6)
+          ()
+        case 7 => // restore to a random retained version — the eqdel
+          // headers ride the pass-through and the shadow rolls back
+          val onDisk = TableFormat.history(spark, base).map(_._1)
+            .filter(snaps.contains)
+          if (onDisk.nonEmpty) {
+            val target = onDisk(rnd.nextInt(onDisk.size))
+            TableFormat.restoreVersion(spark, base, target)
+            live = snaps(target)
+          }
+      }
+      val v = TableFormat.currentVersion(spark, base)
+      snaps(v) = live
+      assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
+        .collect().toSet == live, s"head v$v diverged from the shadow (step $step)")
+      if (live.nonEmpty && rnd.nextBoolean()) {
+        val probe = live.head._1
+        val (df, _) = TableFormat.readSnapshotWhere(spark, base, "id", probe, probe + 25)
+        assert(df.as[(Long, String)].collect().toSet ==
+          live.filter(t => t._1 >= probe && t._1 <= probe + 25),
+          s"pruned read diverged at v$v (step $step)")
+      }
+      if (step == 12) { // mid-fuzz vacuum: outstanding key files survive
+        val cur = TableFormat.currentVersion(spark, base)
+        val onDisk = TableFormat.history(spark, base).map(_._1)
+        val retain = (onDisk.filter(_ => rnd.nextBoolean()) :+ cur).distinct
+        TableFormat.vacuum(spark, base, retain)
+        snaps.filterInPlace { case (sv, _) => retain.contains(sv) }
+        assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
+          .collect().toSet == live, "post-vacuum head diverged")
+      }
+    }
+    // final resolution converges to plain dv state; answers unchanged
+    TableFormat.resolveEqDeletes(spark, base)
+    assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
+      .collect().toSet == live, "post-resolution head diverged")
+    // every shadowed still-retained version time-travels exactly,
+    // each under its OWN outstanding-delete set
     val onDisk = TableFormat.history(spark, base).map(_._1).toSet
     snaps.foreach { case (v, want) =>
       if (onDisk.contains(v))
