@@ -40,10 +40,17 @@ import graft.sources.GraftTable
   *  - the MV is FRESH: its bookmark equals the source's CURRENT
   *    version — a stale MV stands down silently (the judge-specified
   *    contract; `graft_mv_detail` names the gap for the operator);
-  *  - the query's GROUP BY equals the MV's dims as a set, its WHERE is
-  *    ABSENT on both sides or canonically equal to the MV's stored
-  *    predicate, and every aggregate call maps onto a stored MV column
-  *    with the identical result type.
+  *  - the query's GROUP BY is the MV's dims or a SUBSET of them (a
+  *    strict subset — including the empty set, a global aggregate —
+  *    re-aggregates over the state: counts/sums re-sum, extrema
+  *    re-extreme, AVG re-derives from the hidden exact sums, and
+  *    count(DISTINCT) re-derives through the bitmap-map OR aggregate);
+  *  - the query's WHERE CONTAINS the MV's stored predicate: every MV
+  *    conjunct appears canonically among the query's, and leftover
+  *    conjuncts reference MV dims only — they filter the state rows
+  *    (group membership is a function of the dims);
+  *  - every aggregate call maps onto a stored MV column with the
+  *    identical result type.
   *
   * The substituted subtree is a Project over the MV state table PINNED
   * at the version whose freshness was just verified — a concurrent
@@ -58,7 +65,8 @@ import graft.sources.GraftTable
   * division — bit-identical to recompute-from-scratch, and MORE exact
   * than the double-accumulated plan it replaces.
   */
-case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
+case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private val FLAG = "spark.graft.mv.rewrite"
 
@@ -120,7 +128,16 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     // |groups|-row state (r15): counts/sums re-sum, extrema re-extreme,
     // AVG re-derives from the hidden exact sum/count columns
     if (!dimSet.subsetOf(mvDimSet)) return None
-    if (!filterMatches(cond, d.filterSql, rel)) return None
+    // FILTER CONTAINMENT (r15): the query's WHERE may be the MV's
+    // stored predicate plus EXTRA conjuncts over MV DIMS only — group
+    // membership is a function of the dims, so filtering the state rows
+    // by the extra conjuncts equals filtering the source rows. Returns
+    // the dim-only residual to apply over the state (Nil = exact match).
+    val residual: Seq[Expression] =
+      filterResidual(cond, d.filterSql, rel, mvDimSet) match {
+        case Some(r) => r
+        case None => return None
+      }
     // FRESHNESS — the stale-MV standdown: bookmark == source head. Read
     // LAST so a matching-but-stale MV costs no extra probes elsewhere.
     val bookmark = props.get("graft.mv.version").flatMap(_.toIntOption)
@@ -218,6 +235,28 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         else None
       case _ => None
     }
+    // the residual dim-only conjuncts filter the STATE rows (their
+    // source attrs remapped to the state's same-named dim columns)
+    def remapDims(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference if mvDimSet.contains(a.name.toLowerCase(Locale.ROOT)) =>
+        mvCol(a.name).filter(_.dataType == a.dataType)
+      case _: AttributeReference => None
+      case _: AggregateExpression => None
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty =>
+        val kids = other.children.map(remapDims)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+    val mvBase: LogicalPlan =
+      if (residual.isEmpty) mvRel
+      else {
+        val mapped = residual.map(remapDims)
+        if (mapped.exists(_.isEmpty)) return None
+        Filter(mapped.flatten.reduceLeft(
+          org.apache.spark.sql.catalyst.expressions.And(_, _)), mvRel)
+      }
     val exact = dimSet == mvDimSet
     val mapper: Expression => Option[Expression] =
       if (exact) remap else remapRollup
@@ -236,11 +275,11 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
-    if (exact) Some(Project(projections, mvRel))
+    if (exact) Some(Project(projections, mvBase))
     else {
       val grouping = dimSet.toSeq.sorted.map(n =>
         mvCol(n).getOrElse(return None): Expression)
-      Some(Aggregate(grouping, projections, mvRel))
+      Some(Aggregate(grouping, projections, mvBase))
     }
   }
 
@@ -268,24 +307,37 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** WHERE equivalence: both absent, or the stored predicate — parsed
-    * and nested-analyzed against the SAME relation (so names resolve to
-    * the same attributes and type coercion applies identically) —
-    * canonically equals the query's condition. Any analysis failure or
-    * shape difference stands down (a miss is only a lost optimization,
-    * never a wrong answer). */
-  private def filterMatches(cond: Option[Expression], filterSql: Option[String],
-                            rel: DataSourceV2Relation): Boolean =
-    (cond, filterSql) match {
-      case (None, None) => true
-      case (Some(c), Some(sql)) =>
+  /** WHERE containment: every conjunct of the MV's stored predicate —
+    * parsed and nested-analyzed against the SAME relation, so names
+    * resolve to the same attributes and type coercion applies
+    * identically — must appear among the query's conjuncts
+    * (canonically), and every LEFTOVER query conjunct must reference
+    * only MV dims (group membership is a function of the dims, so the
+    * residual applies over the state rows instead). Returns the
+    * residual conjuncts (Nil = exact match); None = no rewrite. Any
+    * analysis failure stands down — a miss is only a lost optimization,
+    * never a wrong answer. */
+  private def filterResidual(cond: Option[Expression], filterSql: Option[String],
+                             rel: DataSourceV2Relation,
+                             mvDims: Set[String]): Option[Seq[Expression]] = {
+    val q = cond.map(splitConjunctivePredicates).getOrElse(Nil)
+    val m: Seq[Expression] = filterSql match {
+      case None => Nil
+      case Some(sql) =>
         try {
           val parsed = spark.sessionState.sqlParser.parseExpression(sql)
           spark.sessionState.executePlan(Filter(parsed, rel)).analyzed match {
-            case Filter(mc, _) => mc.canonicalized == c.canonicalized
-            case _ => false
+            case Filter(mc, _) => splitConjunctivePredicates(mc)
+            case _ => return None
           }
-        } catch { case scala.util.control.NonFatal(_) => false }
-      case _ => false
+        } catch { case scala.util.control.NonFatal(_) => return None }
     }
+    val mCanon = m.map(_.canonicalized)
+    if (!mCanon.forall(c => q.exists(_.canonicalized == c))) return None
+    val residual = q.filterNot(e => mCanon.contains(e.canonicalized))
+    if (residual.forall(_.references.forall(a =>
+        mvDims.contains(a.name.toLowerCase(Locale.ROOT)))))
+      Some(residual)
+    else None
+  }
 }

@@ -164,11 +164,39 @@ class MaterializedViewSpec extends SparkTestBase {
         math.abs(got.getDouble(3) - directG.getDouble(3)) <=
           math.ulp(directG.getDouble(3)) * 4,
         s"roll-up mismatch: $got vs $directG")
-      // count(DISTINCT) does NOT roll up (bitmaps don't re-sum): stand down
+      // count(DISTINCT) stands down here — THIS MV has no DistinctCol
+      // (the mv_distinct spec pins the positive bitmap roll-up case)
       val qgd =
         """SELECT count(DISTINCT n) AS d FROM graft.db.mv_src_rw
           |WHERE doc_id % 5 <> 0""".stripMargin
       assert(spark.sql(qgd).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+      // 8. FILTER CONTAINMENT: the MV predicate plus an extra DIM-ONLY
+      //    conjunct — the residual filters the |groups|-row state
+      val qc =
+        """SELECT lang, count(*) AS c, sum(n) AS s
+          |FROM graft.db.mv_src_rw
+          |WHERE doc_id % 5 <> 0 AND lang <> 'de'
+          |GROUP BY lang ORDER BY lang""".stripMargin
+      val dfc = spark.sql(qc)
+      assert(dfc.queryExecution.optimizedPlan.toString.contains("mv_agg_rw__state"),
+        s"containment rewrite not substituted:\n${dfc.queryExecution.optimizedPlan}")
+      val directC = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(qc).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(dfc.collect().toSeq == directC, "containment rewrite values diverged")
+      // an extra conjunct over a NON-dim column cannot filter groups:
+      // stand down
+      val qnc =
+        """SELECT lang, count(*) AS c FROM graft.db.mv_src_rw
+          |WHERE doc_id % 5 <> 0 AND n > 100 GROUP BY lang""".stripMargin
+      assert(spark.sql(qnc).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+      // a query MISSING an MV conjunct (weaker predicate) stands down
+      val qw =
+        """SELECT lang, count(*) AS c FROM graft.db.mv_src_rw
+          |WHERE lang <> 'de' GROUP BY lang""".stripMargin
+      assert(spark.sql(qw).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
       // a SUPERSET of the MV dims can never be served: stand down
       val qsup =
         """SELECT lang, doc_id % 2 AS par, count(*) AS c
