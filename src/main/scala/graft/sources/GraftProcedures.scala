@@ -254,9 +254,12 @@ object TableDetailTvf {
       sizeBytes,
       TableFormat.manifestStatsCols(spark, base, v).mkString(","),
       TableFormat.manifestProps(spark, base, v).size,
-      TableFormat.manifestConstraints(spark, base, v).size
+      TableFormat.manifestConstraints(spark, base, v).size,
+      // outstanding equality deletes (r15): the operator signal that a
+      // resolve_eqdel / compact is due before SQL scans work again
+      TableFormat.manifestEqDels(spark, base, v).size
     )).toDF("version", "n_files", "n_dv_files", "live_rows", "size_bytes",
-            "stats_cols", "n_props", "n_constraints"))
+            "stats_cols", "n_props", "n_constraints", "n_eqdel"))
   }
 
   val info = new ExpressionInfo(getClass.getName, name)

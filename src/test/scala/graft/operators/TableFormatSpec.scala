@@ -1347,12 +1347,17 @@ class TableFormatSpec extends SparkTestBase {
     val ePub = intercept[UnsupportedOperationException](
       TableFormat.publishBranch(spark, base, "dev"))
     assert(ePub.getMessage.contains("resolve_eqdel"), ePub.getMessage)
+    // observability: DESCRIBE DETAIL surfaces the outstanding count
+    assert(spark.sql(s"SELECT n_eqdel FROM graft_table_detail('$base')")
+      .head.getInt(0) == 2, "detail TVF must report outstanding eqdels")
     // RESOLUTION: one dv commit clears the headers, answers unchanged,
     // final state == the mirror deleteByKeysDV produced batch-by-batch
     val (rv, nRes) = TableFormat.resolveEqDeletes(spark, base)
     assert(nRes == 2)
     assert(TableFormat.manifestEqDels(spark, base, rv).isEmpty &&
       TableFormat.manifestEqAdds(spark, base, rv).isEmpty)
+    assert(spark.sql(s"SELECT n_eqdel FROM graft_table_detail('$base')")
+      .head.getInt(0) == 0, "detail TVF must show zero after resolution")
     assert(snap(base) == snap(mirror))
     assert(TableFormat.manifestEntries(spark, base, rv).exists(_.dv.isDefined),
       "resolution must land positional dvs")
