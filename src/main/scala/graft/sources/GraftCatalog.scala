@@ -1171,7 +1171,36 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
     // position and then drop every file anyway
     val mor = mode.exists(_.equalsIgnoreCase("merge-on-read")) &&
       !filters.contains(AlwaysTrue())
-    if (mor) TableFormat.deleteRowsDV(spark, base, cond, bounds)
+    // `delete.mode = equality` (r15): the high-frequency-CDC SQL route —
+    // a pure key-set predicate (IN / =) commits ONLY the key file
+    // (deleteByKeysEq: IO ∝ keys, zero joins); any other predicate takes
+    // the dv path, which COMPOSES with outstanding equality deletes
+    // (op delete_dv is eq-safe), never the CoW path (which would refuse).
+    // Reads via SQL stay refused until resolve_eqdel/compact — the
+    // documented trade a CDC mirror writer opts into.
+    val eqMode = mode.exists(_.equalsIgnoreCase("equality")) &&
+      !filters.contains(AlwaysTrue())
+    def keySetOf(fs: Array[Filter]): Option[(String, Seq[Any])] = fs match {
+      case Array(org.apache.spark.sql.sources.In(c, vs)) if !c.contains(".") =>
+        Some((c, vs.toSeq.filter(_ != null)))
+      case Array(org.apache.spark.sql.sources.EqualTo(c, value))
+          if value != null && !c.contains(".") => Some((c, Seq(value)))
+      case _ => None
+    }
+    if (eqMode) {
+      keySetOf(filters).flatMap { case (c, vals) =>
+        tblSchema.fields.find(_.name.equalsIgnoreCase(c)).map((_, vals))
+      } match {
+        case Some((field, vals)) =>
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          vals.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+          val keysDf = spark.createDataFrame(rows,
+            StructType(Seq(StructField(field.name, field.dataType))))
+          TableFormat.deleteByKeysEq(spark, base, keysDf, field.name)
+        case None => TableFormat.deleteRowsDV(spark, base, cond, bounds)
+      }
+    }
+    else if (mor) TableFormat.deleteRowsDV(spark, base, cond, bounds)
     else TableFormat.deleteRows(spark, base, cond, bounds)
     ()
   }
@@ -2935,6 +2964,45 @@ object GraftCatalogOps {
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `sql_delete_eq` (r15, VERDICT r14 #4): the SQL surface of equality
+    * deletes — `delete.mode = equality` routes a pure key-set DELETE
+    * (`WHERE k IN (…)`) through `deleteByKeysEq`: the commit writes
+    * ONLY the key file (IO ∝ keys, zero joins, zero table reads). The
+    * in-code pins assert the O(batch) path really ran (detail TVF shows
+    * one outstanding delete; the SQL scan refuses with the cure named)
+    * before `resolve_eqdel` folds it into a positional dv; the oracle
+    * recomputes the final state. */
+  def sqlDeleteEq(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val base = s"$wh/db/sde"
+    val p = new HadoopPath(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    TableFormat.commit(spark, base, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql("ALTER TABLE graft.db.sde SET TBLPROPERTIES ('delete.mode'='equality')")
+    spark.sql(
+      "DELETE FROM graft.db.sde WHERE doc_id IN (5, 17, 23, 100, 250, 251, 252, 400)")
+    require(spark.sql("SELECT n_eqdel FROM graft_table_detail('db.sde')")
+      .head.getInt(0) == 1,
+      "sql_delete_eq: the key-set DELETE did not take the equality route")
+    val refused =
+      try { spark.sql("SELECT count(1) FROM graft.db.sde").collect(); false }
+      catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("resolve_eqdel") }
+    require(refused, "sql_delete_eq: the SQL scan must refuse outstanding deletes")
+    spark.sql("CALL graft.system.resolve_eqdel('db.sde')").collect()
+    spark.sql(
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.sde
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `sql_merge` (r9, VERDICT r8 #2): `MERGE INTO` through Spark 4's
     * group-based row-level operation API — change rows (half updates of
     * existing keys, half inserts of fresh keys) merged into the
@@ -4496,6 +4564,7 @@ object GraftCatalogOps {
     "sql_timetravel" -> (sqlTimetravel _),
     "sql_insert" -> (sqlInsert _),
     "sql_delete" -> (sqlDelete _),
+    "sql_delete_eq" -> (sqlDeleteEq _),
     "sql_merge" -> (sqlMerge _),
     "sql_merge_clauses" -> (sqlMergeClauses _),
     "sql_replace_where" -> (sqlReplaceWhere _),
@@ -4708,6 +4777,12 @@ object GraftCatalogOps {
     "table_cdc_apply_eq" ->
       """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 10 <> 7
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "sql_delete_eq" ->
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (5, 17, 23, 100, 250, 251, 252, 400)
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "sql_generated_columns" ->
