@@ -1336,6 +1336,23 @@ class TableFormatSpec extends SparkTestBase {
     val eCdf = intercept[UnsupportedOperationException](
       TableFormat.readChanges(spark, base, 1, cur))
     assert(eCdf.getMessage.contains("resolve_eqdel"), eCdf.getMessage)
+    // both STREAMING surfaces refuse too — the masks cannot stream and
+    // already-streamed rows cannot be unsent
+    def streamFails(readChangeFeed: Boolean): Unit = {
+      val reader0 = spark.readStream.format("graft-table").option("path", base)
+      val reader = if (readChangeFeed) reader0.option("readChangeFeed", "true")
+                   else reader0
+      val q = reader.load().writeStream.format("noop").start()
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(m =>
+        m.contains("resolve_eqdel") || m.contains("equality delete")),
+        s"wrong stream failure (cdf=$readChangeFeed): ${messages(ex).mkString(" | ")}")
+      q.stop()
+    }
+    streamFails(readChangeFeed = true)
+    streamFails(readChangeFeed = false)
     // branches: the zero-copy clone CARRIES the eqdel state (a dropped
     // header would silently un-delete every masked row in the branch),
     // and publish refuses while the branch's deletes are outstanding
