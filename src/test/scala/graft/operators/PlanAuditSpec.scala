@@ -43,6 +43,43 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("mv_rewrite_rollup: the substituted state scan prunes to the referenced columns; the source never scans (r15)") {
+    val df = graft.sources.GraftCatalogOps.mvRewriteRollup(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("mvru_src"), s"source scanned despite the rewrite:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty, s"no ReadSchema in plan:\n$p")
+    // the global roll-up needs exactly 5 state columns (sum, min,
+    // hidden avg sum/count, __cnt) — dims and the other hidden
+    // bookkeeping must prune away
+    assert(read.split(",").length <= 5, s"state scan not pruned: ReadSchema=$read")
+    assert(p.contains("partial_"), s"roll-up lost map-side partials:\n$p")
+  }
+
+  test("equality-delete reads: masks apply as BROADCAST anti-joins, never a shuffle of the table (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = s"${graft.Tables.scratchDir}/pa_eqdel"
+    val fp = new org.apache.hadoop.fs.Path(base)
+    fp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fp, true)
+    TableFormat.commit(spark, base,
+      (0L until 2000L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(4))
+    TableFormat.deleteByKeysEq(spark, base, (100L until 150L).toDF("k"), "k")
+    TableFormat.appendCommit(spark, base,
+      Seq((120L, "re")).toDF("k", "v"), statsCol = Some("k"))
+    TableFormat.deleteByKeysEq(spark, base, Seq(120L, 500L).toDF("k"), "k")
+    val df = TableFormat.readSnapshot(spark, base).filter(col("k") < 1000L)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"eq masks did not plan as broadcast anti-joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"an eq mask shuffled the table side:\n$p")
+    // 1000 originals under k<1000, minus 50 (100..149) minus 500; the
+    // re-inserted 120 is masked by the SECOND delete (version scoping)
+    assert(df.count() == 949)
+  }
+
   test("text_tfidf: vocabulary-side joins are broadcast (no shuffle of the tf table for df)") {
     val p = plan(CorpusOps.textTfidf(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
