@@ -598,6 +598,16 @@ object MaterializedView {
       s"materialized view: no graft catalog registered over warehouse $warehouse"))
   }
 
+  /** Resolve a source's outstanding equality deletes before pinning or
+    * advancing a bookmark (r15) — see the call sites in create/refresh. */
+  private def resolveSrcEqDels(spark: SparkSession, src: String): Unit = {
+    if (TableFormat.manifestEqDels(spark, src,
+        TableFormat.currentVersion(spark, src)).nonEmpty) {
+      TableFormat.resolveEqDeletes(spark, src)
+      ()
+    }
+  }
+
   /** The MV's physical STATE table sits beside the published name. */
   private def stateBase(mvBase: String): String = s"${mvBase}__state"
 
@@ -632,6 +642,12 @@ object MaterializedView {
         s"materialized view: $mvBase already exists — drop it first")
     val catName = catalogNameFor(spark, warehouse)
     val relParts = mvBase.stripPrefix(s"$warehouse/").split('/').toSeq
+    // equality-mode sources self-heal (r15): outstanding eq deletes
+    // resolve BEFORE the bookmark pins — a bookmark inside an
+    // unresolved span could never serve as a change-feed start (the
+    // CDF cannot see the masks), bricking the first refresh
+    resolveSrcEqDels(spark, src)
+    d.join.foreach(_ => resolveSrcEqDels(spark, src2Path(warehouse, d)))
     val v0 = TableFormat.currentVersion(spark, src)
     // JOIN MVs (r13): pin BOTH source versions; the joined column
     // namespaces must be disjoint (outside the equal-named key) or
@@ -711,6 +727,13 @@ object MaterializedView {
     val fromV = props("graft.mv.version").toInt
     val d = parseDef(spark, query)
     val src = srcPath(warehouse, d)
+    // equality-mode sources self-heal (r15): the MV loop resolves the
+    // source's outstanding eq deletes first — the same deferred join
+    // compact/purge_dv pay — so an equality-mode CDC mirror refreshes
+    // without an operator in the loop. The resolve is a normal source
+    // commit; the refreshed span then ends at the resolved head.
+    resolveSrcEqDels(spark, src)
+    d.join.foreach(_ => resolveSrcEqDels(spark, src2Path(warehouse, d)))
     val toV = TableFormat.currentVersion(spark, src)
     require(toV >= fromV, s"materialized view: source $src moved BACKWARD " +
       s"($fromV -> $toV) — a restore rewrote applied history; re-create the MV")

@@ -466,6 +466,38 @@ class MaterializedViewSpec extends SparkTestBase {
       spark.sql("SELECT count(DISTINCT n) FROM graft.db.mv_srcd").head.getLong(0))
   }
 
+  test("MV over an equality-mode CDC source self-heals: refresh resolves outstanding eq deletes first (r15)") {
+    val src = fresh("mv_srce"); fresh("mv_agge")
+    TableFormat.commit(spark, src,
+      (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "fr", i)).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // equality delete lands BEFORE the MV exists: create must resolve it
+    // or its bookmark could never start a change feed
+    TableFormat.deleteByKeysEq(spark, src, (0L until 10L).toDF("doc_id"), "doc_id")
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agge',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_srce GROUP BY lang')""".stripMargin).collect()
+    assert(TableFormat.manifestEqDels(spark, src,
+      TableFormat.currentVersion(spark, src)).isEmpty,
+      "create must resolve the source's outstanding deletes")
+    assert(mvRead("graft.db.mv_agge") == recompute("graft.db.mv_srce", ""))
+    // the CDC loop: appends + an equality delete, then ONE refresh —
+    // the MV self-heals (resolves, then folds the CDF) with no operator
+    // in the loop
+    TableFormat.appendCommit(spark, src,
+      (200L until 260L).map(i => (i, "zz", i)).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteByKeysEq(spark, src,
+      (Seq(20L, 21L, 22L) ++ (200L until 210L)).toDF("doc_id"), "doc_id")
+    val r = spark.sql("CALL graft.system.refresh_mv('db.mv_agge')").head
+    assert(r.getLong(3) > 0, s"refresh should fold rows: $r")
+    assert(TableFormat.manifestEqDels(spark, src,
+      TableFormat.currentVersion(spark, src)).isEmpty,
+      "refresh must resolve the source's outstanding deletes")
+    assert(mvRead("graft.db.mv_agge") == recompute("graft.db.mv_srce", ""))
+  }
+
   test("CoW UPDATE flows through as paired images; no-op and maintenance spans") {
     val src = fresh("mv_src4"); fresh("mv_agg4")
     TableFormat.commit(spark, src,
