@@ -503,23 +503,51 @@ object MaterializedView {
     val srcP = new org.apache.hadoop.fs.Path(srcBase)
     val dbDir = srcP.getParent
     if (dbDir == null) return Seq.empty
+    val srcRel = s"${dbDir.getName}.${srcP.getName}"
+    // `spark.graft.mv.rewrite.cacheMs` (r15, default 0 = off): memoize
+    // the per-namespace candidate sweep for object-store sessions with
+    // many MVs. Staleness is SAFE by construction — every failure mode
+    // is a MISSED rewrite, never a wrong answer: an unseen new MV or a
+    // stale bookmark just fails the per-query freshness check (which
+    // always reads the source's live head), and a dropped MV's dead
+    // state path is skipped by the probe's exception guard at match
+    // time via the pinned-version schema read.
+    val ttl = spark.conf.getOption("spark.graft.mv.rewrite.cacheMs")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    val key = dbDir.toUri.getPath
+    if (ttl > 0) {
+      val now = System.currentTimeMillis()
+      Option(candidateCache.get(key)) match {
+        case Some((at, cands)) if now - at <= ttl =>
+          return cands.filter(_._3.get("graft.mv.src").contains(srcRel))
+        case _ => ()
+      }
+    }
     val fs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dbDir)) return Seq.empty
-    val srcRel = s"${dbDir.getName}.${srcP.getName}"
-    fs.listStatus(dbDir).toSeq
+    // sweep EVERY state table in the namespace once (the cache serves
+    // all source tables of the namespace), filter per source after
+    val all = fs.listStatus(dbDir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.endsWith("__state"))
       .map(_.getPath.toUri.getPath).sorted
       .flatMap { sb =>
         try {
           val v = TableFormat.currentVersion(spark, sb)
           val props = TableFormat.manifestProps(spark, sb, v)
-          if (props.get("graft.mv.src").contains(srcRel) &&
-              !props.contains("graft.mv.src2") && props.contains("graft.mv.query"))
+          if (!props.contains("graft.mv.src2") && props.contains("graft.mv.query") &&
+              props.contains("graft.mv.src"))
             Some((sb, v, props))
           else None
         } catch { case scala.util.control.NonFatal(_) => None }
       }
+    if (ttl > 0) candidateCache.put(key, (System.currentTimeMillis(), all))
+    all.filter(_._3.get("graft.mv.src").contains(srcRel))
   }
+
+  /** Namespace-dir → (sweep instant, all single-source MV candidates). */
+  private val candidateCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Seq[(String, Int, Map[String, String])])]()
 
   // ---- procedures' entry points ------------------------------------
 

@@ -110,7 +110,10 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     if (candidates.isEmpty) return None
     val dimSet = dims.map(_.name.toLowerCase(Locale.ROOT)).toSet
     candidates.view.flatMap { case (stateBase, stateV, props) =>
-      tryCandidate(stateBase, stateV, props, base, cond, rel, dimSet, aggExprs)
+      // a candidate may be DEAD by match time (drop_mv after a cached
+      // sweep): any probe failure is a standdown, never a query failure
+      try tryCandidate(stateBase, stateV, props, base, cond, rel, dimSet, aggExprs)
+      catch { case scala.util.control.NonFatal(_) => None }
     }.headOption
   }
 

@@ -466,6 +466,51 @@ class MaterializedViewSpec extends SparkTestBase {
       spark.sql("SELECT count(DISTINCT n) FROM graft.db.mv_srcd").head.getLong(0))
   }
 
+  test("rewrite candidate cache: stale entries only MISS, never mis-serve; dropped MVs stand down (r15)") {
+    val src = fresh("mv_srcc"); fresh("mv_aggc")
+    TableFormat.commit(spark, src,
+      (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "fr", i)).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggc',
+        |  'SELECT lang, count(*) AS n_docs FROM graft.db.mv_srcc GROUP BY lang')"""
+        .stripMargin).collect()
+    val q = "SELECT lang, count(*) AS c FROM graft.db.mv_srcc GROUP BY lang ORDER BY lang"
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      spark.conf.set("spark.graft.mv.rewrite.cacheMs", "600000")
+      // prime the cache with a rewrite hit
+      assert(spark.sql(q).queryExecution.optimizedPlan.toString.contains("mv_aggc__state"))
+      // the source advances; the CACHED bookmark is stale but freshness
+      // always reads the LIVE source head → standdown, correct values
+      TableFormat.appendCommit(spark, src,
+        Seq((1000L, "zz", 1L)).toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+      val dfStale = spark.sql(q)
+      assert(dfStale.queryExecution.optimizedPlan.toString.contains("mv_srcc"),
+        "stale cache must stand down, not serve the old state")
+      assert(dfStale.collect().map(_.getString(0)).contains("zz"))
+      // refresh makes the MV fresh again, but the cache still carries
+      // the OLD bookmark → MISSED rewrite (safe), values exact
+      spark.sql("CALL graft.system.refresh_mv('db.mv_aggc')").collect()
+      val dfMiss = spark.sql(q)
+      assert(dfMiss.queryExecution.optimizedPlan.toString.contains("mv_srcc"),
+        "a cached stale bookmark may only MISS")
+      // dropping the MV under a cached entry: the dead candidate is
+      // skipped at match time — standdown, never a query failure
+      spark.conf.set("spark.graft.mv.rewrite.cacheMs", "0")
+      spark.sql(q).collect() // uncached sweep re-primes nothing
+      spark.conf.set("spark.graft.mv.rewrite.cacheMs", "600000")
+      spark.sql(q).collect() // re-prime with the fresh bookmark
+      spark.sql("CALL graft.system.drop_mv('db.mv_aggc')").collect()
+      val dfDropped = spark.sql(q)
+      assert(dfDropped.queryExecution.optimizedPlan.toString.contains("mv_srcc"))
+      assert(dfDropped.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      spark.conf.set("spark.graft.mv.rewrite.cacheMs", "0")
+    }
+  }
+
   test("MV over an equality-mode CDC source self-heals: refresh resolves outstanding eq deletes first (r15)") {
     val src = fresh("mv_srce"); fresh("mv_agge")
     TableFormat.commit(spark, src,
