@@ -109,7 +109,20 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     val candidates = MV.candidatesFor(spark, base)
     if (candidates.isEmpty) return None
     val dimSet = dims.map(_.name.toLowerCase(Locale.ROOT)).toSet
-    candidates.view.flatMap { case (stateBase, stateV, props) =>
+    // several MVs may match (e.g. a finer- and a coarser-grained one):
+    // prefer the SMALLEST state — fewest live rows to scan. The row
+    // count parses from the already-cached manifest text; unknown
+    // counts sort last, ties stay path-ordered (deterministic).
+    val ranked = candidates.sortBy { case (sb, v, _) =>
+      (try {
+        val es = TableFormat.manifestEntries(spark, sb, v)
+        if (es.nonEmpty && es.forall(_.rows.isDefined))
+          es.flatMap(_.liveRows).sum
+        else Long.MaxValue
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue },
+        sb)
+    }
+    ranked.view.flatMap { case (stateBase, stateV, props) =>
       // a candidate may be DEAD by match time (drop_mv after a cached
       // sweep): any probe failure is a standdown, never a query failure
       try tryCandidate(stateBase, stateV, props, base, cond, rel, dimSet, aggExprs)

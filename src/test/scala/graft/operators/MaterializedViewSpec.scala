@@ -466,6 +466,30 @@ class MaterializedViewSpec extends SparkTestBase {
       spark.sql("SELECT count(DISTINCT n) FROM graft.db.mv_srcd").head.getLong(0))
   }
 
+  test("multi-MV choice: the smallest fresh state serves the query (r15)") {
+    val src = fresh("mv_srcm"); fresh("mv_aggm_big"); fresh("mv_aggm_small")
+    TableFormat.commit(spark, src,
+      (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "fr", i)).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // both MVs can serve a GLOBAL count: 300-group vs 2-group states
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggm_big',
+        |  'SELECT doc_id, count(*) AS c FROM graft.db.mv_srcm GROUP BY doc_id')"""
+        .stripMargin).collect()
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggm_small',
+        |  'SELECT lang, count(*) AS c FROM graft.db.mv_srcm GROUP BY lang')"""
+        .stripMargin).collect()
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql("SELECT count(*) AS c FROM graft.db.mv_srcm")
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("mv_aggm_small__state") && !p.contains("mv_aggm_big__state"),
+        s"rewrite should pick the 2-group state over the 300-group one:\n$p")
+      assert(df.head.getLong(0) == 300L)
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   test("rewrite candidate cache: stale entries only MISS, never mis-serve; dropped MVs stand down (r15)") {
     val src = fresh("mv_srcc"); fresh("mv_aggc")
     TableFormat.commit(spark, src,
