@@ -515,11 +515,20 @@ class PcapMicroBatchStream(path: String, readSchema: StructType, pushed: Array[F
                            strict: Boolean, conf: SerializableHadoopConf,
                            maxFilesPerTrigger: Int = 0)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
   // snapshot the listing once per latestOffset() call so a file landing
   // mid-planning can't shift indices between latestOffset and plan
   @volatile private var snapshot: Seq[String] = Nil
+  // Trigger.AvailableNow (r15): pin the catch-up target at query start —
+  // the stream drains to exactly this listing (in maxFilesPerTrigger-
+  // bounded batches) and stops; files landing mid-drain wait for the
+  // next run. Same contract as the table stream's AvailableNow.
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(PcapDataSource.listCaptureFiles(path, conf.value).size)
   override def initialOffset(): Offset = PcapOffset(0, None)
   override def latestOffset(): Offset = {
     snapshot = PcapDataSource.listCaptureFiles(path, conf.value)
@@ -543,9 +552,10 @@ class PcapMicroBatchStream(path: String, readSchema: StructType, pushed: Array[F
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     snapshot = PcapDataSource.listCaptureFiles(path, conf.value)
     val s = start.asInstanceOf[PcapOffset]
+    val avail = availableNowTarget.fold(snapshot.size)(math.min(snapshot.size, _))
     val cap = limit match {
-      case m: ReadMaxFiles => math.min(snapshot.size, s.n + m.maxFiles())
-      case _ => snapshot.size
+      case m: ReadMaxFiles => math.min(avail, s.n + m.maxFiles())
+      case _ => avail
     }
     PcapOffset(cap, if (cap > 0) Some(snapshot(cap - 1)) else None)
   }

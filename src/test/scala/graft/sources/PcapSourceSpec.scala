@@ -192,6 +192,30 @@ class PcapSourceSpec extends SparkTestBase {
       seen.exists(_.endsWith(f"b$i%02d.pcap"))), s"files seen: $seen")
   }
 
+  test("Trigger.AvailableNow + maxFilesPerTrigger: the backlog drains in bounded batches and the query self-terminates (r15)") {
+    def onePkt2(sport: Int): Array[Byte] = PcapFixtures.pcapFile(Seq(
+      (PcapFixtures.ethernet(0x0800, PcapFixtures.ipv4(17,
+        Array[Byte](10, 3, 3, 3), Array[Byte](10, 4, 4, 4),
+        PcapFixtures.l4Ports(sport, 53))), BaseTs + sport)))
+    val d = Files.createTempDirectory("pcap-availnow").toFile
+    (0 until 5).foreach(i =>
+      Files.write(new java.io.File(d, f"a$i%02d.pcap").toPath, onePkt2(2000 + i)))
+    val out = Files.createTempDirectory("pcap-availnow-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("pcap-availnow-ckpt").toFile.getAbsolutePath
+    val q = spark.readStream.format("pcap")
+      .option("maxFilesPerTrigger", "2").load(d.getAbsolutePath)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    // drained to the start-time target in ceil(5/2) = 3 bounded batches
+    val p = q.recentProgress.filter(_.numInputRows > 0)
+    assert(p.length == 3 && p.forall(_.numInputRows <= 2),
+      s"drain shape: ${p.map(_.numInputRows).mkString(",")}")
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
   test("listing and reading go through the Hadoop FileSystem API: file:// scheme works") {
     // an explicit file:// URI exercises scheme resolution end-to-end — the
     // same code path hdfs:// or s3a:// capture directories take
