@@ -2374,17 +2374,22 @@ object TableFormat {
     * point: without GC a format that never rewrites data accumulates
     * dead files forever). `retain` must include the current version.
     * Returns (filesDeleted, filesKept). */
-  def vacuum(spark: SparkSession, base: String, retain: Seq[Int]): (Int, Int) = {
-    val cur = currentVersion(spark, base)
-    require(retain.contains(cur),
-      s"vacuum must retain the current version $cur (got ${retain.mkString(",")})")
+  /** The set of data-tree file paths the retained versions (and every
+    * live branch tree's history) still reference — the walk both
+    * [[vacuum]] and [[vacuumPreview]] decide against.
+    *
+    * LIVE BRANCHES reference parent-tree files BY PATH (r14, same family
+    * as ADVICE r13 #3): branchCreate's zero-copy clone names the
+    * parent's data files in the branch's own v1 manifest, and every
+    * branch commit carries them forward — every branch tree's full
+    * retained history counts as referenced. A retained manifest
+    * references dv DIRS; the data walk sees their PART files — each
+    * referenced dv dir expands to its files (r10), RECURSIVELY since
+    * r12 (sharded dv dirs keep sidecars under `__fk=` subdirs).
+    * Equality-delete key dirs (r15) expand the same way. */
+  private def vacuumReferenced(spark: SparkSession, base: String,
+                               retain: Seq[Int]): Set[String] = {
     val f = fs(spark, base)
-    // LIVE BRANCHES reference parent-tree files BY PATH (r14, same family
-    // as ADVICE r13 #3): branchCreate's zero-copy clone names the
-    // parent's data files in the branch's own v1 manifest, and every
-    // branch commit carries them forward. A parent-side rewrite +
-    // vacuum must NOT reclaim files a forked branch still reads — every
-    // branch tree's full retained history counts as referenced.
     val branchEntries = branchTreesOf(spark, base).flatMap { bt =>
       history(spark, bt).flatMap { case (v, _, _) =>
         try manifestEntries(spark, bt, v)
@@ -2393,11 +2398,6 @@ object TableFormat {
     }
     val retainedEntriesAll =
       retain.flatMap(v => manifestEntries(spark, base, v)) ++ branchEntries
-    // a retained manifest references dv DIRS; the walk below sees their
-    // PART files — expand each referenced dv dir to its files (r10).
-    // RECURSIVE since r12: sharded dv dirs keep their sidecars under
-    // `__fk=` subdirs — a flat listing would miss them and vacuum would
-    // reclaim live deletion state
     def dirFiles(d: String): Seq[String] = {
       val dp = new Path(d)
       if (f.exists(dp)) {
@@ -2412,10 +2412,6 @@ object TableFormat {
       } else Seq.empty
     }
     val dvFiles = retainedEntriesAll.flatMap(_.dv).distinct.flatMap(dirFiles)
-    // equality-delete key files (r15): a retained version's #eqdel dirs
-    // are live deletion state exactly like dv dirs — expand them (base
-    // and live branch trees both); non-retained versions' key files
-    // reclaim with their manifests
     val eqFiles = ((retain.flatMap(v =>
         try manifestEqDels(spark, base, v).map(_._1)
         catch { case _: java.io.FileNotFoundException => Nil }) ++
@@ -2425,8 +2421,45 @@ object TableFormat {
           catch { case _: java.io.FileNotFoundException => Nil }
         }
       }).distinct).flatMap(dirFiles)
-    val referenced = (retainedEntriesAll.map(_.path) ++ dvFiles ++ eqFiles)
+    (retainedEntriesAll.map(_.path) ++ dvFiles ++ eqFiles)
       .map(p => new Path(p).toUri.getPath).toSet
+  }
+
+  /** DRY-RUN vacuum (r15): what WOULD reclaim under `retain` — the
+    * accounting an operator reads before committing to a retention
+    * change. Pure metadata + one data-tree listing; NOTHING is deleted,
+    * no manifest/pointer/marker writes. Returns
+    * (reclaimableFiles, reclaimableBytes, keptFiles). */
+  def vacuumPreview(spark: SparkSession, base: String,
+                    retain: Seq[Int]): (Int, Long, Int) = {
+    val cur = currentVersion(spark, base)
+    require(retain.contains(cur),
+      s"vacuum_preview must retain the current version $cur (got ${retain.mkString(",")})")
+    val f = fs(spark, base)
+    val referenced = vacuumReferenced(spark, base, retain)
+    var reclaimable = 0
+    var bytes = 0L
+    var kept = 0
+    val dataDir = new Path(s"$base/data")
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          if (referenced.contains(st.getPath.toUri.getPath)) kept += 1
+          else { reclaimable += 1; bytes += st.getLen }
+        }
+      }
+    }
+    (reclaimable, bytes, kept)
+  }
+
+  def vacuum(spark: SparkSession, base: String, retain: Seq[Int]): (Int, Int) = {
+    val cur = currentVersion(spark, base)
+    require(retain.contains(cur),
+      s"vacuum must retain the current version $cur (got ${retain.mkString(",")})")
+    val f = fs(spark, base)
+    val referenced = vacuumReferenced(spark, base, retain)
     var deleted = 0
     var kept = 0
     // a table may own no data tree at all (a fresh shallow clone

@@ -554,31 +554,57 @@ object GraftProcedures {
         "(versions younger than graft.vacuum.min-age are always kept unless " +
         "spark.graft.vacuum.retentionCheck=false)"
     override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
-      val cur = TableFormat.currentVersion(spark, base)
       val keep = input.getInt(1)
       require(keep >= 1, s"vacuum: retain_last must be >= 1 (got $keep)")
-      // a second vacuum's retain window may reach back past versions the
-      // FIRST vacuum already dropped — retain only versions whose
-      // manifest still exists, or the core vacuum would FNF reading a
-      // manifest this very procedure deleted last time
-      val onDisk = TableFormat.history(spark, base).map(_._1)
-      val window = onDisk.filter(v => v > cur - keep && v <= cur)
-      // retention floor: additionally keep every version younger than
-      // min-age — a reader planned from it may still be running
-      val retained =
-        if (!retentionCheckOn(spark)) window
-        else {
-          val floor = System.currentTimeMillis() - vacuumMinAge(spark, base)
-          val hfs = new org.apache.hadoop.fs.Path(base)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          (window ++ onDisk.filter { v =>
-            try hfs.getFileStatus(new org.apache.hadoop.fs.Path(
-              s"$base/_manifests/v$v.manifest")).getModificationTime >= floor
-            catch { case _: java.io.FileNotFoundException => false }
-          }).distinct.sorted
-        }
-      val (deleted, kept) = TableFormat.vacuum(spark, base, retained)
+      val (deleted, kept) = TableFormat.vacuum(spark, base,
+        retainedWindow(spark, base, keep))
       new GenericInternalRow(Array[Any](deleted, kept))
+    }
+  }
+
+  /** The retained set `vacuum(retain_last)` resolves to — the last
+    * `keep` versions that still exist ON DISK (a second vacuum's window
+    * may reach past versions the first already dropped), plus every
+    * version younger than the retention floor unless the session escape
+    * hatch is set. Shared by [[VacuumProc]] and [[VacuumPreviewProc]]
+    * so the preview predicts the real reclaim exactly. */
+  private def retainedWindow(spark: SparkSession, base: String, keep: Int): Seq[Int] = {
+    val cur = TableFormat.currentVersion(spark, base)
+    val onDisk = TableFormat.history(spark, base).map(_._1)
+    val window = onDisk.filter(v => v > cur - keep && v <= cur)
+    if (!retentionCheckOn(spark)) window
+    else {
+      val floor = System.currentTimeMillis() - vacuumMinAge(spark, base)
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (window ++ onDisk.filter { v =>
+        try hfs.getFileStatus(new org.apache.hadoop.fs.Path(
+          s"$base/_manifests/v$v.manifest")).getModificationTime >= floor
+        catch { case _: java.io.FileNotFoundException => false }
+      }).distinct.sorted
+    }
+  }
+
+  /** VACUUM DRY RUN (r15) — `CALL graft.system.vacuum_preview('db.t', n)`:
+    * what the same-argument vacuum WOULD reclaim (file count, bytes,
+    * kept files, versions retained) under the identical retained-set
+    * derivation, retention floor included. Nothing is deleted and no
+    * metadata is written — the accounting an operator reads before
+    * committing to a retention change (Delta VACUUM DRY RUN analog). */
+  private object VacuumPreviewProc extends Proc("vacuum_preview",
+    Seq(in("table", StringType), in("retain_last", IntegerType)),
+    StructType(Seq(StructField("files_reclaimable", IntegerType),
+                   StructField("bytes_reclaimable", LongType),
+                   StructField("files_kept", IntegerType),
+                   StructField("versions_retained", IntegerType)))) {
+    override def description(): String =
+      "report what vacuum(table, retain_last) would reclaim; deletes nothing"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val keep = input.getInt(1)
+      require(keep >= 1, s"vacuum_preview: retain_last must be >= 1 (got $keep)")
+      val retained = retainedWindow(spark, base, keep)
+      val (n, bytes, kept) = TableFormat.vacuumPreview(spark, base, retained)
+      new GenericInternalRow(Array[Any](n, bytes, kept, retained.size))
     }
   }
 
@@ -1015,7 +1041,7 @@ object GraftProcedures {
   }
 
   private val all: Seq[Proc] =
-    Seq(CompactProc, VacuumProc, ExpireSnapshotsProc, SetClusteringProc,
+    Seq(CompactProc, VacuumProc, VacuumPreviewProc, ExpireSnapshotsProc, SetClusteringProc,
         OptimizeWhereProc, OptimizeWhereStrProc, OptimizeWhereBoxProc,
         RestoreTsProc,
       OptimizeZorderProc, RestoreProc, CloneProc,

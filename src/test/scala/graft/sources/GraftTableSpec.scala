@@ -612,6 +612,48 @@ class GraftTableSpec extends SparkTestBase {
     assert(e1.getMessage.contains("needs two"), e1.getMessage)
   }
 
+  test("vacuum_preview: predicts the same-argument vacuum exactly and deletes NOTHING (r15)") {
+    val _ = wh
+    import spark.implicits._
+    val base = s"$wh/db/vprev"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 1000L).map(i => (i, i)).toDF("k", "v"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(4))
+    // superseded files to reclaim: a CoW delete rewrites straddlers
+    TableFormat.deleteWhere(spark, base, "k", 100L, 899L)
+    TableFormat.appendCommit(spark, base,
+      (2000L until 2100L).map(i => (i, i)).toDF("k", "v"), statsCol = Some("k"))
+    def dataFileCount(): Int = {
+      var n = 0
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+      while (it.hasNext) { if (it.next().isFile) n += 1 }
+      n
+    }
+    val beforeCount = dataFileCount()
+    // min-age floor would retain everything fresh — lift it like the
+    // retention-floor test does, so the preview has something to report
+    spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    try {
+      val prev = spark.sql("CALL graft.system.vacuum_preview('db.vprev', 1)").head
+      assert(prev.getInt(0) > 0 && prev.getLong(1) > 0L,
+        s"preview should find reclaimable files: $prev")
+      // NOTHING was deleted, no metadata written: counts and head intact
+      assert(dataFileCount() == beforeCount, "preview must not delete")
+      assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 1000,
+        "preview must not reclaim manifests (time travel intact)")
+      // the real vacuum with the same argument reclaims EXACTLY the
+      // predicted file count and keeps the predicted kept count
+      val real = spark.sql("CALL graft.system.vacuum('db.vprev', 1)").head
+      assert(real.getInt(0) == prev.getInt(0),
+        s"preview predicted ${prev.getInt(0)} but vacuum deleted ${real.getInt(0)}")
+      assert(real.getInt(1) == prev.getInt(2),
+        s"kept mismatch: predicted ${prev.getInt(2)}, vacuum kept ${real.getInt(1)}")
+    } finally spark.conf.set("spark.graft.vacuum.retentionCheck", "true")
+  }
+
   test("vacuum retention floor: a reader planned pre-maintenance survives a default-config vacuum; forced reclaim is loud (r14, VERDICT r13 #6)") {
     val _ = wh
     val base = s"$wh/db/retention"
