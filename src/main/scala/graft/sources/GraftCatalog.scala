@@ -938,16 +938,15 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
     m
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // equality deletes (r15): the catalog's file-scan machinery reads
-    // manifest entries directly and would silently MISS outstanding
-    // equality masks — refuse loudly with the cure named (the change
-    // feed has its own guard inside readChanges)
+    // equality deletes (r15): the fast scan machinery reads manifest
+    // entries directly and would silently MISS outstanding masks —
+    // batch reads route through a DELEGATING scan over the eq-aware
+    // snapshot read instead (exact; loses agg pushdown / SPJ / stats
+    // until resolution — the interim cost the CDC writer opted into);
+    // streaming from such a snapshot still refuses (masks can't stream)
     if (changes.isEmpty &&
         TableFormat.manifestEqDels(spark, base, resolvedVersion).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"table $base v$resolvedVersion has outstanding equality deletes — " +
-          "the SQL scan cannot apply them; CALL graft.system.resolve_eqdel " +
-          "(or compact) first, or read via TableFormat.readSnapshot")
+      return new GraftEqDelScanBuilder(base, resolvedVersion, schema(), spark)
     changes match {
       case Some((from, to)) =>
         new GraftChangesScanBuilder(base, from, to, schema(), spark,
@@ -2021,6 +2020,51 @@ class GraftChangesScanBuilder(base: String, from: Int, to: Int,
       skipChangeCommits, maxVersionsPerBatch)
 }
 
+/** Scan over a snapshot with OUTSTANDING equality deletes (r15) — the
+  * same whole-read V1 delegation pattern as the changes scan:
+  * [[graft.operators.TableFormat.readSnapshot]] owns the mask semantics
+  * (version-scoped broadcast anti-joins), this builder hands Spark its
+  * RDD. Pushed filters re-apply INSIDE the delegated plan (so parquet
+  * row-group skipping still fires) and stay residual for Spark; column
+  * pruning projects inside the delegated plan too. What the interim
+  * state deliberately loses until `resolve_eqdel`/compact: manifest
+  * file-skipping, aggregate pushdown, SPJ, and manifest-derived stats —
+  * exactness first, the fast paths return with resolution. */
+class GraftEqDelScanBuilder(base: String, version: Int,
+                            tableSchema: StructType, spark: SparkSession)
+    extends ScanBuilder with Scan with V1Scan
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters // all residual: the inner apply is an optimization only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftEqDelScan $base v$version (outstanding equality deletes; " +
+      s"PushedFilters: [${pushed.mkString(", ")}])"
+  override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] = {
+        val df0 = TableFormat.readSnapshot(ctx.sparkSession, base, Some(version))
+        val df1 = pushed.flatMap(GraftScanBuilder.toColumn).foldLeft(df0)(_ filter _)
+        df1.select(required.fieldNames.map(
+          org.apache.spark.sql.functions.col): _*).rdd
+      }
+    }.asInstanceOf[T]
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"table $base v$version has outstanding equality deletes — masked rows " +
+        "cannot stream; CALL graft.system.resolve_eqdel (or compact) first")
+}
+
 /** Micro-batch CHANGE DATA FEED source (r10) — the Delta
   * `readChangeFeed` streaming analog, derived from manifest diffs with
   * no CDC sidecars: per commit in a version-offset range,
@@ -2969,9 +3013,10 @@ object GraftCatalogOps {
     * (`WHERE k IN (…)`) through `deleteByKeysEq`: the commit writes
     * ONLY the key file (IO ∝ keys, zero joins, zero table reads). The
     * in-code pins assert the O(batch) path really ran (detail TVF shows
-    * one outstanding delete; the SQL scan refuses with the cure named)
-    * before `resolve_eqdel` folds it into a positional dv; the oracle
-    * recomputes the final state. */
+    * one outstanding delete) and that the SQL scan SERVES the masked
+    * snapshot immediately — plain and filtered answers pre-resolution
+    * equal post-resolution exactly — before `resolve_eqdel` folds it
+    * into a positional dv; the oracle recomputes the final state. */
   def sqlDeleteEq(spark: SparkSession, dir: String): DataFrame = {
     val wh = s"${Tables.scratchDir}/graft_wh"
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
@@ -2990,12 +3035,23 @@ object GraftCatalogOps {
     require(spark.sql("SELECT n_eqdel FROM graft_table_detail('db.sde')")
       .head.getInt(0) == 1,
       "sql_delete_eq: the key-set DELETE did not take the equality route")
-    val refused =
-      try { spark.sql("SELECT count(1) FROM graft.db.sde").collect(); false }
-      catch { case e: Exception =>
-        e.getMessage != null && e.getMessage.contains("resolve_eqdel") }
-    require(refused, "sql_delete_eq: the SQL scan must refuse outstanding deletes")
+    // the scan SERVES the masked snapshot immediately (the delegating
+    // eq-aware read, r15): pre-resolution answers — plain and filtered —
+    // must equal post-resolution exactly
+    val aggSql =
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM graft.db.sde
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    val pre = spark.sql(aggSql).collect().toSeq
+    val preFiltered = spark.sql(
+      "SELECT count(1) FROM graft.db.sde WHERE doc_id < 100").head.getLong(0)
     spark.sql("CALL graft.system.resolve_eqdel('db.sde')").collect()
+    require(spark.sql(aggSql).collect().toSeq == pre,
+      "sql_delete_eq: pre/post-resolution answers diverged")
+    require(spark.sql("SELECT count(1) FROM graft.db.sde WHERE doc_id < 100")
+      .head.getLong(0) == preFiltered,
+      "sql_delete_eq: filtered pre/post-resolution counts diverged")
     spark.sql(
       """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM graft.db.sde

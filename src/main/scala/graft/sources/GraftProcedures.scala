@@ -256,7 +256,8 @@ object TableDetailTvf {
       TableFormat.manifestProps(spark, base, v).size,
       TableFormat.manifestConstraints(spark, base, v).size,
       // outstanding equality deletes (r15): the operator signal that a
-      // resolve_eqdel / compact is due before SQL scans work again
+      // resolve_eqdel / compact is due — scans serve exactly meanwhile,
+      // but without file skipping / agg pushdown / SPJ, and streams refuse
       TableFormat.manifestEqDels(spark, base, v).size
     )).toDF("version", "n_files", "n_dv_files", "live_rows", "size_bytes",
             "stats_cols", "n_props", "n_constraints", "n_eqdel"))
