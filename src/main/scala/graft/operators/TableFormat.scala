@@ -1574,6 +1574,27 @@ object TableFormat {
           "are outstanding — a rewrite would re-add masked rows under a fresh " +
           "added-version; resolve first (CALL graft.system.resolve_eqdel, or " +
           "TableFormat.resolveEqDeletes)")
+    // ALTER vs outstanding eq-deletes (r16, ADVICE r15 #2): the delete
+    // records store the key by LOGICAL name. A rename/drop of that
+    // column would break every serving read AND the named cure
+    // (resolve_eqdel) — and RENAME a→b + ADD COLUMN a would silently
+    // re-point the masks at the new, unrelated column. Refuse any alter
+    // that removes a key column or changes its physical mapping;
+    // unrelated schema evolution stays allowed.
+    if (effEqDel.nonEmpty && op == "alter") {
+      val newSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val parentColmap = inherited(
+        manifestColmap(spark, base, version - 1), Map.empty[String, String])
+      effEqDel.map(_._2).distinct.foreach { k =>
+        if (!newSchema.fieldNames.contains(k) ||
+            effColmap.getOrElse(k, k) != parentColmap.getOrElse(k, k))
+          throw new UnsupportedOperationException(
+            s"table $base: ALTER would rename/drop column '$k' while an " +
+              "equality delete keyed on it is outstanding — the masks " +
+              "would break or silently re-point; resolve first " +
+              "(CALL graft.system.resolve_eqdel)")
+      }
+    }
     // explicit eqadd (restore/clone) wins: deriving it from the PARENT
     // diff would stamp every re-appearing old file addedV = this
     // version, scoping it out of every delete — a silent un-delete
@@ -3000,10 +3021,14 @@ object TableFormat {
     * new rows and/or mask more, never rewrite old rows to new files. */
   // restore/clone/publish are safe because they carry their SOURCE
   // snapshot's eqdel/eqadd headers explicitly (pure metadata re-naming,
-  // scoping exact by construction)
+  // scoping exact by construction). update_mor/merge_mor are NOT here
+  // (r16, ADVICE r15 #1): their delta scan reads rows without eq-masks,
+  // so a post-image of a masked row would commit under a fresh addedV —
+  // a silent un-delete; the catalog auto-resolves before building the
+  // MoR operation, and this set makes any other route fail loudly.
   private val EqSafeOps =
     Set("append", "delete_eq", "eqdel_resolve", "delete_dv",
-        "update_mor", "merge_mor", "alter", "restore", "clone", "publish")
+        "alter", "restore", "clone", "publish")
 
   /** Outstanding equality deletes of `version`: (keyDir, keyCol,
     * committedAtVersion), oldest first. */

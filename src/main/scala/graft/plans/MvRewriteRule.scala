@@ -351,7 +351,11 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     val mCanon = m.map(_.canonicalized)
     if (!mCanon.forall(c => q.exists(_.canonicalized == c))) return None
     val residual = q.filterNot(e => mCanon.contains(e.canonicalized))
-    if (residual.forall(_.references.forall(a =>
+    // residuals evaluate once per STATE row, not once per source row —
+    // a non-deterministic conjunct (rand(), uuid()) would change its
+    // sampling distribution under the rewrite; stand down (r16, ADVICE
+    // r15 #4)
+    if (residual.forall(e => e.deterministic && e.references.forall(a =>
         mvDims.contains(a.name.toLowerCase(Locale.ROOT)))))
       Some(residual)
     else None

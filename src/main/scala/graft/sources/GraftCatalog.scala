@@ -1262,6 +1262,22 @@ class GraftTable(base: String, version: Option[Int], spark: SparkSession,
         if (morModeFor(info.command())) {
           require(version.isEmpty,
             "graft-table: row-level operations target the current version only")
+          // EQUALITY-DELETE SAFETY (r16, ADVICE r15 #1): the delta scan
+          // reads snapshot rows with dvs applied but NOT eq-masks — a
+          // MoR UPDATE/MERGE whose condition matches an eq-masked row
+          // would read the "deleted" row and re-insert its post-image
+          // in a file stamped addedV = commit version, scoping it out
+          // of every outstanding delete (a silent un-delete surviving
+          // resolve_eqdel). Auto-resolve first — the same self-heal the
+          // MV loop and compact use — so the scan reads a mask-free
+          // snapshot; writeManifest refuses update_mor/merge_mor while
+          // outstanding as the loud backstop. MoR DELETE composes
+          // safely (dv-deleting an already-masked row is idempotent)
+          // and keeps the zero-resolve fast path.
+          if (info.command() != RowLevelOperation.Command.DELETE &&
+              TableFormat.manifestEqDels(spark, base,
+                TableFormat.currentVersion(spark, base)).nonEmpty)
+            TableFormat.resolveEqDeletes(spark, base)
           new GraftDeltaOperation(base, spark, schema(), info.command())
         } else new RowLevelOperation {
         // the operation object outlives both halves: the scan records

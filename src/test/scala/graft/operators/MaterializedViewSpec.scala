@@ -203,6 +203,15 @@ class MaterializedViewSpec extends SparkTestBase {
           |FROM graft.db.mv_src_rw WHERE doc_id % 5 <> 0
           |GROUP BY lang, doc_id % 2""".stripMargin
       assert(spark.sql(qsup).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))
+      // a NON-DETERMINISTIC residual conjunct stands down (r16, ADVICE
+      // r15 #4): under the rewrite it would evaluate once per STATE row
+      // instead of once per source row, changing its sampling
+      // distribution
+      val qnd =
+        """SELECT lang, count(*) AS c FROM graft.db.mv_src_rw
+          |WHERE doc_id % 5 <> 0 AND rand() >= 0 GROUP BY lang""".stripMargin
+      assert(spark.sql(qnd).queryExecution.optimizedPlan.toString.contains("mv_src_rw"),
+        "non-deterministic residual must not be served from MV state")
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
     // 7. flag off: no rewrite even when fresh
     assert(spark.sql(q).queryExecution.optimizedPlan.toString.contains("mv_src_rw"))

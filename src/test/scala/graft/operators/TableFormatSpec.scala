@@ -1264,6 +1264,36 @@ class TableFormatSpec extends SparkTestBase {
       "materialization of a big delta should land in the parquet form")
   }
 
+  test("ALTER rename/drop of an outstanding equality-delete key column refuses; unrelated evolution stays allowed (r16, ADVICE r15 #2)") {
+    val base = freshBase("tf_eq_alter")
+    TableFormat.commit(spark, base,
+      (0L until 50L).map(i => (i, s"r$i")).toDF("id", "v"), 1, None,
+      statsCol = Some("id"))
+    TableFormat.deleteByKeysEq(spark, base, Seq(7L).toDF("id"), "id")
+    // eqdel records store the key by LOGICAL name: a rename would break
+    // every serving read and the named cure; rename+re-add would
+    // silently re-point the masks at an unrelated column — refuse both
+    val eRen = intercept[UnsupportedOperationException] {
+      TableFormat.alterRenameCommit(spark, base, "id", "id2")
+    }
+    assert(eRen.getMessage.contains("resolve_eqdel"), eRen.getMessage)
+    val eDrop = intercept[UnsupportedOperationException] {
+      TableFormat.alterDropCommit(spark, base, "id")
+    }
+    assert(eDrop.getMessage.contains("resolve_eqdel"), eDrop.getMessage)
+    // NON-key evolution stays allowed while outstanding, and the
+    // serving read keeps applying the mask through it
+    val vR = TableFormat.alterRenameCommit(spark, base, "v", "val")
+    assert(TableFormat.manifestEqDels(spark, base, vR).nonEmpty)
+    assert(TableFormat.readSnapshot(spark, base).count() == 49L)
+    // resolution lifts the guard
+    TableFormat.resolveEqDeletes(spark, base)
+    val vOk = TableFormat.alterRenameCommit(spark, base, "id", "id2")
+    assert(TableFormat.manifestSchema(spark, base, vOk)
+      .exists(_.fieldNames.contains("id2")))
+    assert(TableFormat.readSnapshot(spark, base).count() == 49L)
+  }
+
   test("equality deletes: O(batch) ingest with zero table IO; version-scoped reads; resolution converges with deleteByKeysDV (r15, VERDICT r14 #4)") {
     val base = freshBase("tf_eqdel")
     val mirror = freshBase("tf_eqdel_mirror")

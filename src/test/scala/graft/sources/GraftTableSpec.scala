@@ -3174,4 +3174,64 @@ class GraftTableSpec extends SparkTestBase {
       "SELECT sum(v) FROM graft.db.mor_upd WHERE k >= 39998").head.getLong(0) ==
       (39998L until 40002L).map(_ * 2L).sum)
   }
+
+  test("merge-on-read UPDATE/MERGE while equality deletes are outstanding auto-resolve first — no silent un-delete (r16, ADVICE r15 #1)") {
+    val base = s"$wh/db/mor_eq"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      """CREATE TABLE graft.db.mor_eq (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('update.mode' = 'merge-on-read',
+        |               'merge.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.mor_eq SELECT id, id FROM range(100)")
+    TableFormat.deleteByKeysEq(spark, base, Seq(5L, 10L).toDF("k"), "k")
+    assert(TableFormat.manifestEqDels(spark, base,
+      TableFormat.currentVersion(spark, base)).nonEmpty)
+    // the UPDATE predicate COVERS the masked keys: pre-fix, the delta
+    // scan (dv-aware only) read k=5/k=10 as live and re-inserted their
+    // post-images under a fresh addedV — scoping them out of every
+    // outstanding delete, a silent un-delete surviving resolve_eqdel.
+    // Post-fix: the catalog auto-resolves, THEN runs the MoR update.
+    spark.sql("UPDATE graft.db.mor_eq SET v = v + 1000 WHERE k < 20")
+    val v = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestEqDels(spark, base, v).isEmpty,
+      "outstanding eqdels must be resolved before a MoR update")
+    assert(TableFormat.manifestOp(spark, base, v).contains("update_mor"))
+    assert(TableFormat.manifestOp(spark, base, v - 1).contains("eqdel_resolve"))
+    val got = spark.sql("SELECT k, v FROM graft.db.mor_eq WHERE k < 20")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(5L) && !got.contains(10L), s"masked rows resurrected: $got")
+    assert(got == (0L until 20L).filterNot(Set(5L, 10L))
+      .map(i => i -> (i + 1000L)).toMap)
+    assert(spark.sql("SELECT count(1) FROM graft.db.mor_eq").head.getLong(0) == 98L)
+    // MERGE over a fresh outstanding delete: the masked key arrives as a
+    // NOT MATCHED insert (a legitimate re-insert AFTER the delete), not
+    // as a resurrected MATCHED update
+    TableFormat.deleteByKeysEq(spark, base, Seq(30L).toDF("k"), "k")
+    Seq((30L, -30L), (31L, -31L)).toDF("k", "v")
+      .createOrReplaceTempView("mor_eq_src")
+    spark.sql(
+      """MERGE INTO graft.db.mor_eq t USING mor_eq_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val v2 = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestEqDels(spark, base, v2).isEmpty)
+    assert(TableFormat.manifestOp(spark, base, v2).contains("merge_mor"))
+    val got2 = spark.sql("SELECT k, v FROM graft.db.mor_eq WHERE k IN (30, 31)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(30L -> -30L, 31L -> -31L), got2.toString)
+    assert(spark.sql("SELECT count(1) FROM graft.db.mor_eq").head.getLong(0) == 98L)
+    // MoR DELETE still COMPOSES without forcing a resolve (dv-deleting
+    // an already-masked row is idempotent — the zero-resolve fast path)
+    TableFormat.deleteByKeysEq(spark, base, Seq(40L).toDF("k"), "k")
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql("DELETE FROM graft.db.mor_eq WHERE k = 41")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val v3 = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestEqDels(spark, base, v3).nonEmpty,
+      "MoR DELETE must not force a resolve")
+    assert(spark.sql("SELECT count(1) FROM graft.db.mor_eq WHERE k IN (40, 41)")
+      .head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(1) FROM graft.db.mor_eq").head.getLong(0) == 96L)
+  }
 }
