@@ -1294,6 +1294,65 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.readSnapshot(spark, base).count() == 49L)
   }
 
+  test("equality-delete backlog: 50 interleaved commits keep the serving plan at ONE join per key column; past the size gate it runs off-broadcast exactly (r16, VERDICT r15 #1)") {
+    val base = freshBase("tf_eq_backlog")
+    TableFormat.commit(spark, base,
+      (0L until 2000L).map(i => (i, s"r$i")).toDF("k", "v"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(4))
+    var live = (0L until 2000L).toSet
+    var next = 2000L
+    val rnd = new scala.util.Random(16)
+    // the exact workload the feature targets: a high-frequency CDC feed
+    // that never ran resolve — 25 delete commits interleaved with 25
+    // appends (50 commits, 26 distinct added-version intervals)
+    (1 to 25).foreach { _ =>
+      val keys = (0 until 20).map(_ => rnd.nextLong(next)).distinct
+      live --= keys
+      TableFormat.deleteByKeysEq(spark, base, keys.toDF("k"), "k")
+      val app = next until next + 20L
+      live ++= app
+      TableFormat.appendCommit(spark, base,
+        app.map(i => (i, s"a$i")).toDF("k", "v"), statsCol = Some("k"))
+      next += 20
+    }
+    val vCur = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestEqDels(spark, base, vCur).size == 25)
+    // PLAN SHAPE: one anti-join for the one key column — the version
+    // scoping lives in the join condition, NOT in a per-interval chain
+    val df = TableFormat.readSnapshot(spark, base)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val antiJoins = plan.sliding("LeftAnti".length).count(_ == "LeftAnti")
+    assert(antiJoins == 1, s"expected 1 anti-join, got $antiJoins")
+    assert(df.as[(Long, String)].collect().map(_._1).toSet == live,
+      "backlog serving read diverged")
+    // default gate: small key sets broadcast (the fast path)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "small key sets should take the broadcast fast path")
+    // SIZE GATE: graft threshold 0 (and Spark's own auto-broadcast off,
+    // emulating a backlog too big to estimate under it) must plan with
+    // NO BroadcastExchange anywhere and stay exact — both the serving
+    // read and the resolution join
+    val autoBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.eqdel.broadcastBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df2 = TableFormat.readSnapshot(spark, base)
+      assert(!df2.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "size gate did not drop the broadcast")
+      assert(df2.as[(Long, String)].collect().map(_._1).toSet == live,
+        "off-broadcast serving read diverged")
+      val (_, n) = TableFormat.resolveEqDeletes(spark, base)
+      assert(n == 25)
+    } finally {
+      spark.conf.unset("spark.graft.eqdel.broadcastBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBefore)
+    }
+    val vRes = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.manifestEqDels(spark, base, vRes).isEmpty)
+    assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
+      .collect().map(_._1).toSet == live, "post-resolution state diverged")
+  }
+
   test("equality deletes: O(batch) ingest with zero table IO; version-scoped reads; resolution converges with deleteByKeysDV (r15, VERDICT r14 #4)") {
     val base = freshBase("tf_eqdel")
     val mirror = freshBase("tf_eqdel_mirror")
