@@ -494,15 +494,45 @@ object MaterializedView {
     * `srcBase` as their SINGLE source — rewrite candidates for an
     * aggregate query over the source (r15, VERDICT r14 #2). Driver-side
     * metadata only: one directory listing plus one manifest-props read
-    * per sibling `*__state` table; join MVs are excluded (their
-    * freshness spans two sources and their defining shape is not a
-    * single-relation aggregate). Sorted by path for a deterministic
+    * per sibling `*__state` table; join MVs are excluded here (their
+    * defining shape is not a single-relation aggregate — see
+    * [[joinCandidatesFor]]). Sorted by path for a deterministic
     * first-match. Returns (stateBase, stateVersion, props). */
   def candidatesFor(spark: SparkSession, srcBase: String)
-      : Seq[(String, Int, Map[String, String])] = {
+      : Seq[(String, Int, Map[String, String])] =
+    sweepFor(spark, srcBase) match {
+      case None => Seq.empty
+      case Some((srcRel, all)) =>
+        all.filter(c => !c._3.contains("graft.mv.src2") &&
+          c._3.get("graft.mv.src").contains(srcRel))
+    }
+
+  /** JOIN-MV candidates (r16, VERDICT r15 #2): sibling state tables
+    * whose recorded (src, src2) are exactly the two joined tables, in
+    * order. Same sweep/cache as [[candidatesFor]]. */
+  def joinCandidatesFor(spark: SparkSession, leftBase: String,
+                        rightBase: String)
+      : Seq[(String, Int, Map[String, String])] =
+    sweepFor(spark, leftBase) match {
+      case None => Seq.empty
+      case Some((lRel, all)) =>
+        val rP = new org.apache.hadoop.fs.Path(rightBase)
+        val rDb = rP.getParent
+        if (rDb == null) return Seq.empty
+        val rRel = s"${rDb.getName}.${rP.getName}"
+        all.filter(c => c._3.get("graft.mv.src").contains(lRel) &&
+          c._3.get("graft.mv.src2").contains(rRel))
+    }
+
+  /** The namespace sweep shared by the candidate lookups: every sibling
+    * `*__state` table's (base, head version, props) — single-source AND
+    * join MVs; callers filter. Returns the source's `db.table` spelling
+    * alongside. */
+  private def sweepFor(spark: SparkSession, srcBase: String)
+      : Option[(String, Seq[(String, Int, Map[String, String])])] = {
     val srcP = new org.apache.hadoop.fs.Path(srcBase)
     val dbDir = srcP.getParent
-    if (dbDir == null) return Seq.empty
+    if (dbDir == null) return None
     val srcRel = s"${dbDir.getName}.${srcP.getName}"
     // `spark.graft.mv.rewrite.cacheMs` (r15, default 0 = off): memoize
     // the per-namespace candidate sweep for object-store sessions with
@@ -518,15 +548,14 @@ object MaterializedView {
     if (ttl > 0) {
       val now = System.currentTimeMillis()
       Option(candidateCache.get(key)) match {
-        case Some((at, cands)) if now - at <= ttl =>
-          return cands.filter(_._3.get("graft.mv.src").contains(srcRel))
+        case Some((at, cands)) if now - at <= ttl => return Some((srcRel, cands))
         case _ => ()
       }
     }
     val fs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dbDir)) return Seq.empty
+    if (!fs.exists(dbDir)) return None
     // sweep EVERY state table in the namespace once (the cache serves
-    // all source tables of the namespace), filter per source after
+    // all source tables of the namespace), filter per caller after
     val all = fs.listStatus(dbDir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.endsWith("__state"))
       .map(_.getPath.toUri.getPath).sorted
@@ -534,17 +563,16 @@ object MaterializedView {
         try {
           val v = TableFormat.currentVersion(spark, sb)
           val props = TableFormat.manifestProps(spark, sb, v)
-          if (!props.contains("graft.mv.src2") && props.contains("graft.mv.query") &&
-              props.contains("graft.mv.src"))
+          if (props.contains("graft.mv.query") && props.contains("graft.mv.src"))
             Some((sb, v, props))
           else None
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     if (ttl > 0) candidateCache.put(key, (System.currentTimeMillis(), all))
-    all.filter(_._3.get("graft.mv.src").contains(srcRel))
+    Some((srcRel, all))
   }
 
-  /** Namespace-dir → (sweep instant, all single-source MV candidates). */
+  /** Namespace-dir → (sweep instant, all MV candidates, joins included). */
   private val candidateCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, (Long, Seq[(String, Int, Map[String, String])])]()

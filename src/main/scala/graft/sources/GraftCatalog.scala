@@ -4616,10 +4616,66 @@ object GraftCatalogOps {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  /** `mv_rewrite_join` (r16, VERDICT r15 #2): MV query rewrite over a
+    * JOIN MV — the star-schema dashboard shape. A fresh join MV
+    * (facts ⋈ dim on the stored key pair) serves the matching
+    * `Aggregate → Join` query from its |groups|-row state: the plan is
+    * asserted in-code to scan NEITHER source, and the values hash-match
+    * the oracle's explicit join recompute. Freshness spans BOTH
+    * bookmarks; either source advancing stands the rewrite down
+    * (MaterializedViewSpec pins the standdowns + the flipped FROM
+    * order). */
+  def mvRewriteJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvrj_f", "mvrj_d", "mvrj_agg", "mvrj_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    import org.apache.spark.sql.functions.{col, concat, lit, upper}
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val facts = s"$wh/db/mvrj_f"
+    val dim = s"$wh/db/mvrj_d"
+    TableFormat.commit(spark, facts, docs, 1, parent = None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, dim,
+      docs.select(col("lang")).distinct()
+        .withColumn("region", concat(lit("R_"), upper(col("lang")))),
+      1, parent = None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvrj_agg',
+        |  'SELECT region, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvrj_f f JOIN graft.db.mvrj_d d ON f.lang = d.lang
+        |   GROUP BY region')""".stripMargin).collect()
+    // both sides move, then one refresh re-freshens both bookmarks
+    TableFormat.appendCommit(spark, facts,
+      docs.filter("doc_id % 11 = 3")
+        .withColumn("doc_id", col("doc_id") + 8000000000L),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, facts, "doc_id", 100L, 299L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvrj_agg')").collect()
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val out = spark.sql(
+        """SELECT region, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft.db.mvrj_f f JOIN graft.db.mvrj_d d ON f.lang = d.lang
+          |GROUP BY region
+          |ORDER BY region ASC NULLS FIRST""".stripMargin)
+      val plan = out.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvrj_agg__state") &&
+        !plan.contains("mvrj_f") && !plan.contains("mvrj_d"),
+        s"mv_rewrite_join: the join aggregate was not substituted with the MV scan:\n$plan")
+      out
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
     "mv_rewrite" -> (mvRewrite _),
     "mv_rewrite_rollup" -> (mvRewriteRollup _),
+    "mv_rewrite_join" -> (mvRewriteJoin _),
     "mv_minmax" -> (mvMinmax _),
     "mv_incremental" -> (mvIncremental _),
     "mv_avg" -> (mvAvg _),
@@ -4667,6 +4723,19 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_rewrite_join" ->
+      """WITH final_facts AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 299
+        |  UNION ALL
+        |  SELECT doc_id + 8000000000, lang, n_chars FROM documents
+        |  WHERE doc_id % 11 = 3),
+        |dim AS (SELECT DISTINCT lang, 'R_' || upper(lang) AS region FROM documents)
+        |SELECT region, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_facts f JOIN dim d ON f.lang = d.lang
+        |GROUP BY region
+        |ORDER BY region ASC NULLS FIRST""".stripMargin,
     "mv_rewrite_rollup" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents

@@ -396,6 +396,79 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(e2.getMessage.contains("qualified"), e2.getMessage)
   }
 
+  test("MV query rewrite over a JOIN MV: fresh join MV serves the star aggregate in either FROM order; stale/mismatched shapes stand down (r16, VERDICT r15 #2)") {
+    val facts = fresh("jrw_f"); val dim = fresh("jrw_d"); fresh("jrw_agg")
+    TableFormat.commit(spark, facts,
+      (0L until 400L).map(i => (i, i % 4, Option(i * 3 + 1)))
+        .toDF("doc_id", "lang_id", "n"), 1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, dim,
+      Seq((0L, "en"), (1L, "fr"), (2L, "de"), (3L, "es"))
+        .toDF("lang_id", "lang"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.jrw_agg',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.jrw_f f JOIN graft.db.jrw_d d ON f.lang_id = d.lang_id
+        |   GROUP BY lang')""".stripMargin).collect()
+    val q =
+      """SELECT lang, count(*) AS c, sum(n) AS s
+        |FROM graft.db.jrw_f f JOIN graft.db.jrw_d d ON f.lang_id = d.lang_id
+        |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
+    val direct = spark.sql(q).collect().toSeq
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // 1. the star-schema dashboard aggregate reads the |groups|-row
+      //    state — neither source is scanned — and values are exact
+      val df = spark.sql(q)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("jrw_agg__state"), s"join rewrite not substituted:\n$plan")
+      assert(!plan.contains("jrw_f") && !plan.contains("jrw_d"),
+        s"sources still scanned:\n$plan")
+      assert(df.collect().toSeq == direct)
+      // 2. flipped FROM order (dim JOIN facts) serves too — inner joins
+      //    are symmetric, the candidate lookup rotates the key pair
+      val qf =
+        """SELECT lang, count(*) AS c, sum(n) AS s
+          |FROM graft.db.jrw_d d JOIN graft.db.jrw_f f ON f.lang_id = d.lang_id
+          |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
+      assert(planOf(qf).contains("jrw_agg__state"), s"flipped order:\n${planOf(qf)}")
+      assert(spark.sql(qf).collect().toSeq == direct)
+      // 3. ROLL-UP over the join MV: the global aggregate re-sums state
+      val qg =
+        """SELECT count(*) AS c, sum(n) AS s
+          |FROM graft.db.jrw_f f JOIN graft.db.jrw_d d ON f.lang_id = d.lang_id""".stripMargin
+      assert(planOf(qg).contains("jrw_agg__state"), s"join roll-up:\n${planOf(qg)}")
+      val g = spark.sql(qg).collect().head
+      assert(g.getLong(0) == direct.map(_.getLong(1)).sum &&
+        g.getLong(1) == direct.map(_.getLong(2)).sum, g.toString)
+      // 4. FILTER CONTAINMENT: an extra dim-only conjunct filters state
+      val qc = q.replace("GROUP BY", "WHERE lang <> 'de' GROUP BY")
+      assert(planOf(qc).contains("jrw_agg__state"), s"join containment:\n${planOf(qc)}")
+      assert(spark.sql(qc).collect().toSeq == direct.filter(_.getString(0) != "de"))
+      // 5. a DIFFERENT key pair stands down (same tables, wrong ON)
+      val qk =
+        """SELECT lang, count(*) AS c
+          |FROM graft.db.jrw_f f JOIN graft.db.jrw_d d ON f.doc_id = d.lang_id
+          |GROUP BY lang""".stripMargin
+      assert(planOf(qk).contains("jrw_f"), s"wrong key must stand down:\n${planOf(qk)}")
+      // 6. a single-table aggregate is never served by the join MV
+      val qs =
+        """SELECT lang_id, count(*) AS c FROM graft.db.jrw_f GROUP BY lang_id""".stripMargin
+      assert(planOf(qs).contains("jrw_f"))
+      // 7. STALENESS spans BOTH sources: advance the RIGHT (dim) side
+      //    only → standdown; refresh restores the rewrite
+      TableFormat.appendCommit(spark, dim, Seq((9L, "xx")).toDF("lang_id", "lang"))
+      assert(planOf(q).contains("jrw_f"), "right-source staleness must stand down")
+      spark.sql("CALL graft.system.refresh_mv('db.jrw_agg')").collect()
+      assert(planOf(q).contains("jrw_agg__state"))
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val direct2 = try spark.sql(q).collect().toSeq
+                    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      assert(spark.sql(q).collect().toSeq == direct2)
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   test("COUNT(DISTINCT): bitmap state folds inserts exactly; value deletes regroup targeted; refresh == recompute (r15, VERDICT r14 #3)") {
     val src = fresh("mv_srcd"); fresh("mv_aggd")
     // repeated values so distinct != count; fr's values cross bitmap
