@@ -89,9 +89,19 @@ object MaterializedView {
       if (src2Parts.length >= 3) src2Parts.takeRight(2) else src2Parts
   }
 
+  /** `dimExprs` (r16, VERDICT r15 #3): dims whose GROUP BY key is a
+    * DETERMINISTIC SCALAR EXPRESSION of source columns (`date_trunc`,
+    * integer DIV, …), declared `SELECT expr AS alias … GROUP BY alias`
+    * (or the expression repeated). The state stores the computed value
+    * under `alias`; maintenance projects the expression onto source and
+    * delta rows at one chokepoint ([[withDimExprs]]) and every
+    * downstream consumer treats it as a plain column — group membership
+    * stays a pure function of the row, so the whole IVM algebra is
+    * unchanged. Keys are the dim aliases (as spelled in `dims`). */
   case class MvDef(srcParts: Seq[String], dims: Seq[String],
                    aggs: Seq[AggSpec], filterSql: Option[String],
-                   selectCols: Seq[String], join: Option[JoinSpec] = None) {
+                   selectCols: Seq[String], join: Option[JoinSpec] = None,
+                   dimExprs: Map[String, String] = Map.empty) {
     def srcRelative: Seq[String] =
       if (srcParts.length >= 3) srcParts.takeRight(2) else srcParts
   }
@@ -104,8 +114,10 @@ object MaterializedView {
         "COUNT(*)/COUNT(col)/SUM(col)/AVG(col)/MIN(col)/MAX(col) AS alias… FROM " +
         "graft_table [INNER JOIN graft_table2 ON a.k = b.k] [WHERE pred] " +
         "GROUP BY dims (SUM/AVG over integral columns, MIN/MAX over integral " +
-        "or string; no DISTINCT, no expressions in GROUP BY; join keys " +
-        "qualified, everything else unqualified)")
+        "or string; no DISTINCT except COUNT(DISTINCT col); a dim may be a " +
+        "deterministic scalar expression aliased in the SELECT list and " +
+        "grouped by that alias; join keys qualified, everything else " +
+        "unqualified)")
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val agg = plan match {
       case a: Aggregate => a
@@ -163,10 +175,56 @@ object MaterializedView {
         s"FROM must be a single table or an inner equi-join of two " +
           s"(got ${other.nodeName})")
     }
-    val dims = agg.groupingExpressions.map {
-      case a: UnresolvedAttribute => a.name
-      case e => refuse(s"GROUP BY expression '${e.sql}' is not a plain column")
+    // EXPRESSION DIMS (r16, VERDICT r15 #3): the SELECT list may alias
+    // a deterministic scalar expression (`date_trunc('day', ts) AS day`)
+    // and GROUP BY either the alias or the expression itself. The alias
+    // becomes the state column; maintenance computes it per row.
+    def isAggCall(f: UnresolvedFunction): Boolean =
+      f.isDistinct || Set("count", "sum", "avg", "mean", "min", "max",
+        "first", "last", "collect_list", "collect_set", "stddev", "variance")
+        .contains(f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString("."))
+    val aliasExprs: Seq[(String, Expression)] = agg.aggregateExpressions.collect {
+      case Alias(e, alias) => (alias, e)
     }
+    def dimAliasOf(g: Expression): Option[String] = g match {
+      case a: UnresolvedAttribute =>
+        aliasExprs.collectFirst {
+          case (alias, e) if alias.equalsIgnoreCase(a.name) &&
+            !e.isInstanceOf[UnresolvedFunction] => alias
+          case (alias, e: UnresolvedFunction)
+            if alias.equalsIgnoreCase(a.name) && !isAggCall(e) => alias
+        }
+      case e =>
+        aliasExprs.collectFirst {
+          case (alias, se) if se.sql == e.sql => alias }
+          .orElse(refuse(s"GROUP BY expression '${e.sql}' has no matching " +
+            "SELECT alias — write it as SELECT <expr> AS name … GROUP BY name"))
+    }
+    val dims = agg.groupingExpressions.map {
+      case a: UnresolvedAttribute => dimAliasOf(a).getOrElse(a.name)
+      case e => dimAliasOf(e).get
+    }
+    val dimExprs: Map[String, String] = agg.groupingExpressions.flatMap { g =>
+      dimAliasOf(g).map { alias =>
+        val e = aliasExprs.find(_._1 == alias).get._2
+        if (e.exists {
+              case f: UnresolvedFunction => isAggCall(f)
+              case _: org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression => true
+              case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
+              case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+              case _ => false
+            })
+          refuse(s"dim expression '$alias' contains an aggregate, window, " +
+            "or subquery — dims must be scalar expressions of the row")
+        e.foreach {
+          case a: UnresolvedAttribute if a.nameParts.length != 1 => refuse(
+            s"dim expression '$alias' references qualified column '${a.name}' " +
+              "— expression dims must reference unqualified columns")
+          case _ => ()
+        }
+        alias -> e.sql
+      }
+    }.toMap
     // SELECT-LIST ORDER (r13, ADVICE r12 #2): the published view must
     // project EXACTLY the defining query's output — same columns, same
     // order — so record each output name as encountered (dim
@@ -180,6 +238,9 @@ object MaterializedView {
           s"output column '${a.name}' is neither a GROUP BY dim nor an aggregate"))
         selectCols += dim
         None // dim passthrough
+      case Alias(_, alias) if dimExprs.contains(alias) =>
+        selectCols += alias
+        None // expression-dim passthrough (computed per row at maintenance)
       case Alias(f: UnresolvedFunction, alias) =>
         selectCols += alias
         val fn = f.nameParts.map(_.toLowerCase).mkString(".")
@@ -224,8 +285,28 @@ object MaterializedView {
     }).find(_.contains(".")).foreach(c => refuse(
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
-    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq, joinSpec)
+    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq, joinSpec, dimExprs)
   }
+
+  /** The expression-dim projection chokepoint (r16): computed dim
+    * columns materialize on source/delta/regroup rows BEFORE any
+    * grouping, so every downstream consumer — state build, delta fold,
+    * bitmap maps, regroup semi-joins — treats them as plain columns. */
+  private def withDimExprs(df: DataFrame, d: MvDef): DataFrame =
+    d.dimExprs.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (alias, sql)) =>
+      acc.withColumn(alias, expr(sql))
+    }
+
+  /** Expression-dim validation at create/regroup: deterministic only —
+    * a rand()-derived dim would re-bucket rows on every refresh. */
+  private def validateDimExprs(rows: DataFrame, d: MvDef): Unit =
+    d.dimExprs.toSeq.sortBy(_._1).foreach { case (alias, sql) =>
+      val analyzed = rows.select(expr(sql).as(alias))
+        .queryExecution.analyzed.expressions.head
+      if (!analyzed.deterministic) throw new IllegalArgumentException(
+        s"materialized view: dim expression '$alias' ($sql) is " +
+          "non-deterministic — group membership must be a pure function of the row")
+    }
 
   private val CNT = "__cnt"
   private def nCol(a: String) = s"__n_$a"
@@ -291,7 +372,7 @@ object MaterializedView {
         .getOrElse(throw new IllegalArgumentException(
           s"materialized view: column $c is not in the source table schema"))
     (d.aggs.collect { case SumCol(c, _) => c; case AvgCol(c, _) => c }
-      ++ d.dims).foreach(fieldOf)
+      ++ d.dims.filterNot(d.dimExprs.contains)).foreach(fieldOf)
     d.aggs.collect { case CountCol(c, _) => fieldOf(c); () }
     d.aggs.collect {
       case SumCol(c, a) => ("SUM", c, a)
@@ -334,7 +415,10 @@ object MaterializedView {
     * semantic definition the incremental path must match bit-for-bit. */
   def fullState(src: DataFrame, d: MvDef): DataFrame = {
     validateTypes(d, src.schema)
-    val filtered = d.filterSql.map(src.where).getOrElse(src)
+    validateDimExprs(src, d)
+    // WHERE filters on source columns first (SQL scoping: the predicate
+    // cannot see SELECT aliases), then expression dims project
+    val filtered = withDimExprs(d.filterSql.map(src.where).getOrElse(src), d)
     val visible: Seq[Column] = d.aggs.map {
       case CountStar(a) => count(lit(1)).as(a)
       case CountCol(c, a) => count(col(c)).as(a)
@@ -368,7 +452,7 @@ object MaterializedView {
     val signed = changes.withColumn("__sign",
       when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
         .otherwise(lit(-1L)))
-    val filtered = d.filterSql.map(signed.where).getOrElse(signed)
+    val filtered = withDimExprs(d.filterSql.map(signed.where).getOrElse(signed), d)
     val deltas: Seq[Column] = d.aggs.map {
       case CountStar(a) => sum(col("__sign")).as(dCol(a))
       case CountCol(c, a) =>
@@ -832,9 +916,12 @@ object MaterializedView {
             val out =
               if (nMarked == 0) folded
               else {
-                val srcNow = d.join.fold(
+                // expression dims project onto the source BEFORE the
+                // semi-join: the marked groups carry the COMPUTED dim
+                // values, which plain source rows don't have yet (r16)
+                val srcNow = withDimExprs(d.join.fold(
                   TableFormat.readSnapshot(spark, src, Some(toV)))(
-                  _ => joinedSnapshot(spark, warehouse, d, toV, toV2.get))
+                  _ => joinedSnapshot(spark, warehouse, d, toV, toV2.get)), d)
                 val mk = d.dims.foldLeft(marked)(
                   (df, k) => df.withColumnRenamed(k, s"__k_$k"))
                 val semiCond = d.dims.map(

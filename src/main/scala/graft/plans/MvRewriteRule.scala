@@ -130,15 +130,14 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         (None, j, joinCands(bl, br, kl, kr))
       case _ => return None
     }
-    val dims = grouping.map {
-      case a: AttributeReference => a
-      case _ => return None // expression dims: not the MV shape
-    }
-    // dims MAY be empty: a global aggregate rolls up over every MV group
+    // dims may be plain attributes OR deterministic expressions (r16,
+    // VERDICT r15 #3 — `GROUP BY date_trunc('day', ts)` matched against
+    // an MV declared on that same expression); dims MAY be empty: a
+    // global aggregate rolls up over every MV group
+    if (grouping.exists(!_.deterministic)) return None
     if (aggExprs.exists(_.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))) return None
     if (cands.isEmpty) return None
-    val dimSet = dims.map(_.name.toLowerCase(Locale.ROOT)).toSet
     // several MVs may match (e.g. a finer- and a coarser-grained one):
     // prefer the SMALLEST state — fewest live rows to scan. The row
     // count parses from the already-cached manifest text; unknown
@@ -157,7 +156,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         // a candidate may be DEAD by match time (drop_mv after a cached
         // sweep): any probe failure is a standdown, never a query failure
         try tryCandidate(stateBase, stateV, props, srcBase, srcBase2, cond,
-          analysisPlan, dimSet, aggExprs, joinKeys)
+          analysisPlan, grouping, aggExprs, joinKeys)
         catch { case scala.util.control.NonFatal(_) => None }
     }.headOption
   }
@@ -181,7 +180,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
                            props: Map[String, String], srcBase: String,
                            srcBase2: Option[String],
                            cond: Option[Expression], analysisPlan: LogicalPlan,
-                           dimSet: Set[String], aggExprs: Seq[NamedExpression],
+                           grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
                            joinKeys: Option[(String, String)]): Option[LogicalPlan] = {
     val d = try MV.parseDef(spark, props("graft.mv.query"))
             catch { case scala.util.control.NonFatal(_) => return None }
@@ -198,6 +197,46 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
     val mvDimSet = d.dims.map(_.toLowerCase(Locale.ROOT)).toSet
+    val mvPlainDims = d.dims.filterNot(d.dimExprs.contains)
+      .map(_.toLowerCase(Locale.ROOT)).toSet
+    // EXPRESSION DIMS (r16, VERDICT r15 #3): analyze each stored dim
+    // expression against the QUERY'S OWN plan, so attribute ids line up
+    // and canonical comparison is exact. Any analysis failure (renamed
+    // column, different relation) stands down.
+    val mvExprDims: Seq[(String, Expression)] = {
+      val out = Seq.newBuilder[(String, Expression)]
+      for ((alias, sql) <- d.dimExprs.toSeq.sortBy(_._1)) {
+        try {
+          val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+          spark.sessionState.executePlan(
+            Project(Seq(Alias(parsed, alias)()), analysisPlan)).analyzed match {
+            case Project(Seq(al: Alias), _) =>
+              out += ((alias.toLowerCase(Locale.ROOT), al.child))
+            case _ => return None
+          }
+        } catch { case scala.util.control.NonFatal(_) => return None }
+      }
+      out.result()
+    }
+    // ANY MV dim a source-shaped expression may substitute for: plain
+    // attribute dims by name, expression dims semantically
+    def mvDimColOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if mvPlainDims.contains(a.name.toLowerCase(Locale.ROOT)) =>
+        Some(a.name.toLowerCase(Locale.ROOT))
+      case other =>
+        mvExprDims.collectFirst { case (al, me) if me.semanticEquals(other) => al }
+    }
+    // every query grouping expression must land on a DISTINCT MV dim
+    val qDimPairs: Seq[(Expression, String)] = grouping.map { g =>
+      mvDimColOf(g) match {
+        case Some(n) => (g, n)
+        case None => return None
+      }
+    }
+    val dimSet = qDimPairs.map(_._2).toSet
+    def qDimCol(e: Expression): Option[String] =
+      qDimPairs.collectFirst { case (g, n) if g.semanticEquals(e) => n }
     // exact dims → 1:1 substitution; STRICT SUBSET (including the empty
     // set = global aggregate) → ROLL-UP re-aggregation over the
     // |groups|-row state (r15): counts/sums re-sum, extrema re-extreme,
@@ -209,7 +248,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     // by the extra conjuncts equals filtering the source rows. Returns
     // the dim-only residual to apply over the state (Nil = exact match).
     val residual: Seq[Expression] =
-      filterResidual(cond, d.filterSql, analysisPlan, mvDimSet) match {
+      filterResidual(cond, d.filterSql, analysisPlan) match {
         case Some(r) => r
         case None => return None
       }
@@ -240,8 +279,10 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       case ae: AggregateExpression if ae.filter.isEmpty =>
         matchAgg(ae, d).flatMap(mvCol)
           .filter(_.dataType == ae.dataType)
-      case a: AttributeReference if dimSet.contains(a.name.toLowerCase(Locale.ROOT)) =>
-        mvCol(a.name).filter(_.dataType == a.dataType)
+      // a grouped dim expression — plain attribute or derived scalar —
+      // reads the state's stored dim column (r16)
+      case e2 if qDimCol(e2).isDefined =>
+        mvCol(qDimCol(e2).get).filter(_.dataType == e2.dataType)
       case _: AttributeReference => None
       case l: Literal => Some(l)
       case other if other.children.nonEmpty =>
@@ -308,8 +349,8 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     }
     def remapRollup(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => rollupAgg(ae)
-      case a: AttributeReference if dimSet.contains(a.name.toLowerCase(Locale.ROOT)) =>
-        mvCol(a.name).filter(_.dataType == a.dataType)
+      case e2 if qDimCol(e2).isDefined =>
+        mvCol(qDimCol(e2).get).filter(_.dataType == e2.dataType)
       case _: AttributeReference => None
       case l: Literal => Some(l)
       case other if other.children.nonEmpty =>
@@ -318,13 +359,15 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         else None
       case _ => None
     }
-    // the residual dim-only conjuncts filter the STATE rows (their
-    // source attrs remapped to the state's same-named dim columns)
+    // the residual conjuncts filter the STATE rows: every source-shaped
+    // dim occurrence — plain attribute or dim EXPRESSION (r16) — remaps
+    // to the state's stored dim column; any leftover source attribute
+    // means the conjunct is not a function of the dims → stand down
     def remapDims(e: Expression): Option[Expression] = e match {
-      case a: AttributeReference if mvDimSet.contains(a.name.toLowerCase(Locale.ROOT)) =>
-        mvCol(a.name).filter(_.dataType == a.dataType)
-      case _: AttributeReference => None
       case _: AggregateExpression => None
+      case e2 if mvDimColOf(e2).isDefined =>
+        mvCol(mvDimColOf(e2).get).filter(_.dataType == e2.dataType)
+      case _: AttributeReference => None
       case l: Literal => Some(l)
       case other if other.children.nonEmpty =>
         val kids = other.children.map(remapDims)
@@ -401,8 +444,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     * analysis failure stands down — a miss is only a lost optimization,
     * never a wrong answer. */
   private def filterResidual(cond: Option[Expression], filterSql: Option[String],
-                             analysisPlan: LogicalPlan,
-                             mvDims: Set[String]): Option[Seq[Expression]] = {
+                             analysisPlan: LogicalPlan): Option[Seq[Expression]] = {
     val q = cond.map(splitConjunctivePredicates).getOrElse(Nil)
     val m: Seq[Expression] = filterSql match {
       case None => Nil
@@ -421,10 +463,9 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     // residuals evaluate once per STATE row, not once per source row —
     // a non-deterministic conjunct (rand(), uuid()) would change its
     // sampling distribution under the rewrite; stand down (r16, ADVICE
-    // r15 #4)
-    if (residual.forall(e => e.deterministic && e.references.forall(a =>
-        mvDims.contains(a.name.toLowerCase(Locale.ROOT)))))
-      Some(residual)
-    else None
+    // r15 #4). Whether each conjunct is a pure function of the MV dims
+    // is decided by remapDims at substitution time (expression dims make
+    // a name-based reference check insufficient — r16).
+    if (residual.forall(_.deterministic)) Some(residual) else None
   }
 }

@@ -4671,11 +4671,60 @@ object GraftCatalogOps {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  /** `mv_rewrite_expr` (r16, VERDICT r15 #3): MV query rewrite over an
+    * EXPRESSION DIM — the `GROUP BY derived-time-bucket` dashboard
+    * shape. The MV declares `doc_id % 10 AS bucket` (state stores the
+    * computed value); the user query groups by the raw expression and
+    * is served from the |groups|-row state — matched canonically by
+    * analyzing the stored dim SQL against the query's own plan. Plan
+    * asserted substituted in-code; values hash-matched by DuckDB. */
+  def mvRewriteExpr(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvrx_src", "mvrx_agg", "mvrx_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvrx_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvrx_agg',
+        |  'SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+        |          sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvrx_src GROUP BY bucket')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 8 = 5")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 9000000000L),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 200L, 399L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvrx_agg')").collect()
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val out = spark.sql(
+        """SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft.db.mvrx_src
+          |GROUP BY doc_id % 10
+          |ORDER BY bucket ASC NULLS FIRST""".stripMargin)
+      val plan = out.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvrx_agg__state") && !plan.contains("mvrx_src"),
+        s"mv_rewrite_expr: the expression-dim aggregate was not substituted:\n$plan")
+      out
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
     "mv_rewrite" -> (mvRewrite _),
     "mv_rewrite_rollup" -> (mvRewriteRollup _),
     "mv_rewrite_join" -> (mvRewriteJoin _),
+    "mv_rewrite_expr" -> (mvRewriteExpr _),
     "mv_minmax" -> (mvMinmax _),
     "mv_incremental" -> (mvIncremental _),
     "mv_avg" -> (mvAvg _),
@@ -4723,6 +4772,18 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_rewrite_expr" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 200 AND 399
+        |  UNION ALL
+        |  SELECT doc_id + 9000000000, n_chars FROM documents
+        |  WHERE doc_id % 8 = 5)
+        |SELECT doc_id % 10 AS bucket, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_state
+        |GROUP BY 1
+        |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
     "mv_rewrite_join" ->
       """WITH final_facts AS (
         |  SELECT doc_id, lang, n_chars FROM documents

@@ -678,6 +678,97 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(mvRead("graft.db.mv_agg4") == recompute("graft.db.mv_src4", ""))
   }
 
+  test("expression dims: GROUP BY derived scalars maintains incrementally — create/refresh == recompute, regroup through computed dims (r16, VERDICT r15 #3)") {
+    val src = fresh("mv_srce"); fresh("mv_agge")
+    val rows = (0L until 500L).map(i => (i, s"l${i % 4}", i * 3))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    // one dim grouped by the EXPRESSION text, one by its ALIAS — both
+    // legal spellings of the same contract
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agge',
+        |  'SELECT doc_id DIV 100 AS era, upper(lang) AS ulang,
+        |          count(*) AS n_docs, sum(n) AS sum_n, min(n) AS min_n
+        |   FROM graft.db.mv_srce WHERE doc_id % 7 <> 0
+        |   GROUP BY doc_id DIV 100, ulang')""".stripMargin).collect()
+    def recomputeE: Seq[Row] = spark.sql(
+      """SELECT doc_id DIV 100 AS era, upper(lang) AS ulang,
+        |  count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n,
+        |  CAST(min(n) AS BIGINT) AS min_n
+        |FROM graft.db.mv_srce WHERE doc_id % 7 <> 0
+        |GROUP BY 1, 2 ORDER BY era, ulang""".stripMargin).collect().toSeq
+    def readE: Seq[Row] = spark.sql(
+      """SELECT era, ulang, n_docs, sum_n, min_n FROM graft.db.mv_agge
+        |ORDER BY era, ulang""".stripMargin).collect().toSeq
+    assert(spark.table("graft.db.mv_agge").columns.toSeq ==
+      Seq("era", "ulang", "n_docs", "sum_n", "min_n"))
+    assert(readE == recomputeE)
+    // inserts: new eras appear, existing groups fold in
+    TableFormat.appendCommit(spark, src,
+      (500L until 650L).map(i => (i, s"l${i % 5}", i * 7)).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_agge')").collect()
+    assert(readE == recomputeE, "insert fold over expression dims drifted")
+    // a band delete REMOVES binding minima: the targeted regroup must
+    // rescan with the computed dims projected onto the source
+    TableFormat.deleteWhere(spark, src, "doc_id", 0L, 149L)
+    spark.sql("CALL graft.system.refresh_mv('db.mv_agge')").collect()
+    assert(readE == recomputeE, "regroup through computed dims drifted")
+    assert(!readE.exists(_.getLong(0) == 0L), "era 0 must die with its rows")
+  }
+
+  test("MV query rewrite over expression dims: GROUP BY the derived scalar serves from state; residuals over the dim expression filter state rows (r16, VERDICT r15 #3)") {
+    val src = fresh("mv_srcx"); fresh("mv_aggx")
+    TableFormat.commit(spark, src,
+      (0L until 600L).map(i => (i, s"l${i % 3}", i * 2)).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggx',
+        |  'SELECT doc_id DIV 100 AS era, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_srcx WHERE doc_id % 5 <> 0 GROUP BY era')""".stripMargin)
+      .collect()
+    val q =
+      """SELECT doc_id DIV 100 AS era, count(*) AS c, sum(n) AS s
+        |FROM graft.db.mv_srcx WHERE doc_id % 5 <> 0
+        |GROUP BY doc_id DIV 100 ORDER BY era""".stripMargin
+    val direct = spark.sql(q).collect().toSeq
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // 1. the derived-dim aggregate reads the state, values exact
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("mv_aggx__state"),
+        s"expression-dim rewrite not substituted:\n${df.queryExecution.optimizedPlan}")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("mv_srcx"))
+      assert(df.collect().toSeq == direct)
+      // 2. residual over the DIM EXPRESSION filters the state rows
+      val qc = q.replace("GROUP BY", "AND doc_id DIV 100 >= 2 GROUP BY")
+      assert(planOf(qc).contains("mv_aggx__state"), s"expr residual:\n${planOf(qc)}")
+      assert(spark.sql(qc).collect().toSeq == direct.filter(_.getLong(0) >= 2L))
+      // 3. ROLL-UP: the global aggregate re-sums the state
+      val qg =
+        """SELECT count(*) AS c, sum(n) AS s FROM graft.db.mv_srcx
+          |WHERE doc_id % 5 <> 0""".stripMargin
+      assert(planOf(qg).contains("mv_aggx__state"), s"expr roll-up:\n${planOf(qg)}")
+      val g = spark.sql(qg).collect().head
+      assert(g.getLong(0) == direct.map(_.getLong(1)).sum &&
+        g.getLong(1) == direct.map(_.getLong(2)).sum)
+      // 4. a DIFFERENT derivation of the same column stands down
+      val qd = q.replace("DIV 100", "DIV 50")
+      assert(planOf(qd).contains("mv_srcx"), "different expression must stand down")
+      // 5. a residual over a NON-dim column still stands down
+      val qn = q.replace("GROUP BY", "AND n > 100 GROUP BY")
+      assert(planOf(qn).contains("mv_srcx"), "non-dim residual must stand down")
+      // 6. a superset of the dims stands down
+      val qs =
+        """SELECT doc_id DIV 100 AS era, lang, count(*) AS c
+          |FROM graft.db.mv_srcx WHERE doc_id % 5 <> 0
+          |GROUP BY doc_id DIV 100, lang""".stripMargin
+      assert(planOf(qs).contains("mv_srcx"), "dim superset must stand down")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   test("shape refusals name the offending construct") {
     val src = fresh("mv_src5"); fresh("mv_agg5")
     TableFormat.commit(spark, src,
@@ -703,8 +794,14 @@ class MaterializedViewSpec extends SparkTestBase {
       "only COUNT(DISTINCT col)")
     refused("SELECT lang, count(DISTINCT d) AS c FROM graft.db.mv_src5 GROUP BY lang",
       "integral column")
-    refused("SELECT lang || lang AS l2, count(*) AS c FROM graft.db.mv_src5 GROUP BY lang || lang",
-      "plain column")
+    // expression dims are SUPPORTED since r16 when aliased in the
+    // SELECT list — the refusals move to the unsupported corners:
+    refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 GROUP BY lang || lang",
+      "no matching SELECT alias")
+    refused("SELECT substr(lang, 1, CAST(rand() * 2 AS INT)) AS l2, count(*) AS c FROM graft.db.mv_src5 GROUP BY l2",
+      "non-deterministic")
+    refused("SELECT CAST(sum(n) AS STRING) AS l2, count(*) AS c FROM graft.db.mv_src5 GROUP BY l2",
+      "aggregate, window")
     // joins are SUPPORTED since r13 — a self-join's fully-overlapping
     // namespace hits the ambiguity refusal instead
     refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 a JOIN graft.db.mv_src5 b ON a.doc_id = b.doc_id GROUP BY lang",
