@@ -80,6 +80,20 @@ object MaterializedView {
     * maintenance shuffle stays |changed groups|-row shaped. */
   case class DistinctCol(colName: String, alias: String) extends AggSpec
 
+  /** `approx_distinct(col)` / `approx_count_distinct(col)` (r16,
+    * VERDICT r15 #4): APPROXIMATE distinct count backed by mergeable
+    * HLL sketch state — the cure for `count(DISTINCT string_id)`, which
+    * the exact bitmap path refuses (its (bucket, position) bijection is
+    * long-only). Inserts fold by sketch UNION (register max —
+    * idempotent, associative, so refresh ≡ recompute estimate exactly);
+    * deletes take the same targeted regroup as the bitmap path (a
+    * sketch cannot subtract). Documented approximate: the visible
+    * column is the HLL ESTIMATE (Spark's datasketches HLL, lgK 12).
+    * State is one ~KB sketch per group — at 100 TB the maintenance
+    * shuffle stays |changed groups|-shaped and re-inserted ids flip no
+    * register. */
+  case class ApproxDistinctCol(colName: String, alias: String) extends AggSpec
+
   /** MV over a JOIN of two graft tables (r13, VERDICT r12 #7): inner
     * equi-join on one column per side, keys written qualified in the ON
     * clause (`a.k = b.k`). `leftKey`/`rightKey` are the UNQUALIFIED
@@ -257,6 +271,8 @@ object MaterializedView {
           case ("count", Seq(c: UnresolvedAttribute)) => Some(CountCol(c.name, alias))
           case ("sum", Seq(c: UnresolvedAttribute)) => Some(SumCol(c.name, alias))
           case ("avg" | "mean", Seq(c: UnresolvedAttribute)) => Some(AvgCol(c.name, alias))
+          case ("approx_distinct" | "approx_count_distinct", Seq(c: UnresolvedAttribute)) =>
+            Some(ApproxDistinctCol(c.name, alias))
           case ("min", Seq(c: UnresolvedAttribute)) => Some(MinCol(c.name, alias))
           case ("max", Seq(c: UnresolvedAttribute)) => Some(MaxCol(c.name, alias))
           case _ => refuse(s"aggregate '${f.nameParts.mkString(".")}' in '$alias'")
@@ -282,6 +298,7 @@ object MaterializedView {
     (dims ++ aggs.collect {
       case CountCol(c, _) => c; case SumCol(c, _) => c; case AvgCol(c, _) => c
       case MinCol(c, _) => c; case MaxCol(c, _) => c; case DistinctCol(c, _) => c
+      case ApproxDistinctCol(c, _) => c
     }).find(_.contains(".")).foreach(c => refuse(
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
@@ -318,6 +335,8 @@ object MaterializedView {
   private def bmCol(a: String) = s"__bm_$a"    // distinct: state bitmap map
   private def dbmCol(a: String) = s"__dbm_$a"  // distinct: inserted bitmaps
   private def ddCol(a: String) = s"__dd_$a"    // distinct: delete marker
+  private def hllCol(a: String) = s"__hll_$a"  // approx distinct: HLL sketch
+  private def dhllCol(a: String) = s"__dhll_$a" // approx distinct: insert sketch
   private val REGROUP = "__regroup"
 
   private def hasMinMax(d: MvDef): Boolean = d.aggs.exists {
@@ -325,7 +344,7 @@ object MaterializedView {
     case _ => false
   }
   private def hasDistinct(d: MvDef): Boolean =
-    d.aggs.exists(_.isInstanceOf[DistinctCol])
+    d.aggs.exists(a => a.isInstanceOf[DistinctCol] || a.isInstanceOf[ApproxDistinctCol])
   /** Aggregates that are self-maintainable under inserts but only
     * conditionally under deletes — they share the targeted-regroup
     * machinery (MIN/MAX r12, COUNT DISTINCT r15). */
@@ -392,7 +411,18 @@ object MaterializedView {
         case dt => throw new IllegalArgumentException(
           s"materialized view: COUNT(DISTINCT $c) AS $a over ${dt.simpleString} — " +
             "bitmap distinct state requires an integral column (the bitmap's " +
-            "(bucket, position) decomposition is a bijection on longs)")
+            "(bucket, position) decomposition is a bijection on longs); for " +
+            "string ids use approx_distinct($c) — mergeable HLL state, " +
+            "documented approximate")
+      }
+    }
+    d.aggs.collect { case ApproxDistinctCol(c, a) =>
+      fieldOf(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             BinaryType => ()
+        case dt => throw new IllegalArgumentException(
+          s"materialized view: approx_distinct($c) AS $a over ${dt.simpleString} — " +
+            "HLL sketch state takes integral, string, or binary columns")
       }
     }
     d.aggs.collect { case m @ (_: MinCol | _: MaxCol) =>
@@ -430,11 +460,16 @@ object MaterializedView {
       case MinCol(c, a) => min(col(c)).as(a)
       case MaxCol(c, a) => max(col(c)).as(a)
       case DistinctCol(c, a) => countDistinct(col(c)).as(a)
+      // documented approximate: the estimate of the group's sketch —
+      // the same function applied at merge, so fold ≡ recompute
+      case ApproxDistinctCol(c, a) =>
+        coalesce(hll_sketch_estimate(hll_sketch_agg(col(c))), lit(0L)).as(a)
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) => Seq(count(col(c)).as(nCol(a)))
       case AvgCol(c, a) =>
         Seq(sum(col(c).cast(LongType)).as(sCol(a)), count(col(c)).as(nCol(a)))
+      case ApproxDistinctCol(c, a) => Seq(hll_sketch_agg(col(c)).as(hllCol(a)))
     }.flatten :+ count(lit(1)).as(CNT)
     val all = visible ++ hidden
     val base = filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
@@ -471,6 +506,11 @@ object MaterializedView {
       // non-null value sends the group to the targeted regroup
       case DistinctCol(c, a) =>
         max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
+      // approx distinct (r16): same presence-only reasoning — any delete
+      // of a non-null value sends the group to the targeted regroup;
+      // the INSERTED values' sketch folds in by union below
+      case ApproxDistinctCol(c, a) =>
+        max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) =>
@@ -479,6 +519,8 @@ object MaterializedView {
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a))
       case MinCol(c, a) => min(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
       case MaxCol(c, a) => max(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
+      case ApproxDistinctCol(c, a) =>
+        hll_sketch_agg(when(col("__sign") === 1L, col(c))).as(dhllCol(a))
     } :+ sum(col("__sign")).as(s"__d$CNT")
     val all = deltas ++ hidden
     val base = filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
@@ -531,6 +573,7 @@ object MaterializedView {
       // bitmap below (withColumn replaces this placeholder in place) —
       // sibling select items cannot reference each other
       case DistinctCol(_, a) => lit(null).cast(LongType).as(a)
+      case ApproxDistinctCol(_, a) => lit(null).cast(LongType).as(a)
     }
     val regroupConds: Seq[Column] = d.aggs.collect {
       case MinCol(_, a) =>
@@ -542,6 +585,7 @@ object MaterializedView {
       // any delete of a non-null value: presence-only state cannot
       // prove the value still has other rows — regroup (targeted)
       case DistinctCol(_, a) => col(ddCol(a)).isNotNull
+      case ApproxDistinctCol(_, a) => col(ddCol(a)).isNotNull
     }
     val outHidden: Seq[Column] = (d.aggs.collect {
       case SumCol(_, a) => Seq(add(nCol(a), dnCol(a)).as(nCol(a)))
@@ -557,6 +601,13 @@ object MaterializedView {
           (_, v1, v2) => when(v1.isNull, v2).when(v2.isNull, v1)
             .otherwise(graft.functions.HashKernels.bitmap_or2(v1, v2)))
           .as(bmCol(a)))
+      // merged sketch: HLL union (register max) — null-safe on either
+      // side (absent state row / insert-free span)
+      case ApproxDistinctCol(_, a) => Seq(
+        when(col(hllCol(a)).isNull, col(dhllCol(a)))
+          .when(col(dhllCol(a)).isNull, col(hllCol(a)))
+          .otherwise(hll_union(col(hllCol(a)), col(dhllCol(a))))
+          .as(hllCol(a)))
     }.flatten :+ add(CNT, s"__d$CNT").as(CNT)) ++
       (if (needsRegroup(d))
          Seq(regroupConds.reduce(_ || _).as(REGROUP))
@@ -565,8 +616,11 @@ object MaterializedView {
     val merged0 = joined
       .select((dimsOut ++ outAggs ++ outHidden): _*)
       .filter(col(CNT) > 0)
-    d.aggs.collect { case DistinctCol(_, a) => a }
+    val merged1 = d.aggs.collect { case DistinctCol(_, a) => a }
       .foldLeft(merged0)((df, a) => df.withColumn(a, popSum(col(bmCol(a)))))
+    d.aggs.collect { case ApproxDistinctCol(_, a) => a }
+      .foldLeft(merged1)((df, a) => df.withColumn(a,
+        coalesce(hll_sketch_estimate(col(hllCol(a))), lit(0L))))
   }
 
   /** The user-visible projection (hidden bookkeeping columns dropped) —
