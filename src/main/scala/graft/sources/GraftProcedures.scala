@@ -844,21 +844,59 @@ object GraftProcedures {
             "floor via TBLPROPERTIES('graft.vacuum.min-age'='...') or force " +
             "with SET spark.graft.vacuum.retentionCheck=false")
       }
-      val p = new org.apache.hadoop.fs.Path(s"$base/_manifests")
-      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val cutoff = System.currentTimeMillis() - olderMs
-      val live = hfs.listStatus(p).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("v") && n.endsWith(".manifest"))
-          n.stripPrefix("v").stripSuffix(".manifest").toIntOption
-            .map(_ -> st.getModificationTime)
-        else None
-      }.sortBy(_._1)
-      val cur = TableFormat.currentVersion(spark, base)
-      val retained = (live.filter(_._2 >= cutoff).map(_._1) ++
-        live.map(_._1).takeRight(keepLast) :+ cur).distinct.sorted
+      val retained = expireRetained(spark, base, olderMs, keepLast)
       val (deleted, _) = TableFormat.vacuum(spark, base, retained)
       new GenericInternalRow(Array[Any](deleted, retained.size))
+    }
+  }
+
+  /** The time-based retained set shared by [[ExpireSnapshotsProc]] and
+    * [[ExpirePreviewProc]] (r16, VERDICT r15 #6): every version whose
+    * manifest is younger than `older_than_ms`, plus the last
+    * `retain_last` versions, plus the current one. One derivation — the
+    * preview's counts and the real expire's cannot drift. */
+  private def expireRetained(spark: SparkSession, base: String,
+                             olderMs: Long, keepLast: Int): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/_manifests")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - olderMs
+    val live = hfs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".manifest"))
+        n.stripPrefix("v").stripSuffix(".manifest").toIntOption
+          .map(_ -> st.getModificationTime)
+      else None
+    }.sortBy(_._1)
+    val cur = TableFormat.currentVersion(spark, base)
+    (live.filter(_._2 >= cutoff).map(_._1) ++
+      live.map(_._1).takeRight(keepLast) :+ cur).distinct.sorted
+  }
+
+  /** EXPIRE DRY RUN (r16, VERDICT r15 #6) — `vacuum_preview`'s
+    * time-based twin: what `expire_snapshots(table, older_than_ms,
+    * retain_last)` WOULD reclaim under the identical retained-set
+    * derivation ([[expireRetained]]) and the identical physical walk
+    * ([[TableFormat.vacuumPreview]]). Nothing is deleted and no
+    * metadata is written; the retention floor is NOT enforced here — a
+    * dry run of a sub-floor window is exactly how an operator sizes a
+    * retention change before committing to it. */
+  private object ExpirePreviewProc extends Proc("expire_preview",
+    Seq(in("table", StringType), in("older_than_ms", LongType),
+        in("retain_last", IntegerType)),
+    StructType(Seq(StructField("files_reclaimable", IntegerType),
+                   StructField("bytes_reclaimable", LongType),
+                   StructField("files_kept", IntegerType),
+                   StructField("versions_retained", IntegerType)))) {
+    override def description(): String =
+      "report what expire_snapshots(table, older_than_ms, retain_last) would reclaim; deletes nothing"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val olderMs = input.getLong(1)
+      val keepLast = if (input.isNullAt(2)) 1 else input.getInt(2)
+      require(olderMs >= 0, s"expire_preview: older_than_ms must be >= 0 (got $olderMs)")
+      require(keepLast >= 1, s"expire_preview: retain_last must be >= 1 (got $keepLast)")
+      val retained = expireRetained(spark, base, olderMs, keepLast)
+      val (n, bytes, kept) = TableFormat.vacuumPreview(spark, base, retained)
+      new GenericInternalRow(Array[Any](n, bytes, kept, retained.size))
     }
   }
 
@@ -1042,7 +1080,8 @@ object GraftProcedures {
   }
 
   private val all: Seq[Proc] =
-    Seq(CompactProc, VacuumProc, VacuumPreviewProc, ExpireSnapshotsProc, SetClusteringProc,
+    Seq(CompactProc, VacuumProc, VacuumPreviewProc, ExpireSnapshotsProc,
+        ExpirePreviewProc, SetClusteringProc,
         OptimizeWhereProc, OptimizeWhereStrProc, OptimizeWhereBoxProc,
         RestoreTsProc,
       OptimizeZorderProc, RestoreProc, CloneProc,

@@ -745,6 +745,48 @@ class GraftTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(1) FROM graft.db.expire").head.getLong(0) == 3)
   }
 
+  test("expire_preview: predicts the same-argument expire_snapshots exactly and deletes NOTHING (r16, VERDICT r15 #6)") {
+    val _ = wh
+    val base = s"$wh/db/exprev"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+    TableFormat.commit(spark, base,
+      (0L until 1000L).map(i => (i, i)).toDF("k", "v"), 1, None,
+      statsCol = Some("k"), clusterFiles = Some(4))
+    TableFormat.deleteWhere(spark, base, "k", 100L, 899L)
+    TableFormat.appendCommit(spark, base,
+      (2000L until 2100L).map(i => (i, i)).toDF("k", "v"), statsCol = Some("k"))
+    def dataFileCount(): Int = {
+      var n = 0
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+      while (it.hasNext) { if (it.next().isFile) n += 1 }
+      n
+    }
+    val beforeCount = dataFileCount()
+    // the preview of a sub-floor window is allowed (deletes nothing) —
+    // exactly how an operator sizes a retention change before forcing it
+    val prev = spark.sql("CALL graft.system.expire_preview('db.exprev', 0L, 1)").head
+    assert(prev.getInt(0) > 0 && prev.getLong(1) > 0L,
+      s"preview should find reclaimable files: $prev")
+    assert(dataFileCount() == beforeCount, "preview must not delete")
+    assert(TableFormat.readSnapshot(spark, base, Some(1)).count() == 1000,
+      "preview must not reclaim manifests (time travel intact)")
+    // the real expire with the SAME arguments reclaims exactly the
+    // predicted file count and retains the predicted version count
+    spark.sql("ALTER TABLE graft.db.exprev SET TBLPROPERTIES('graft.vacuum.min-age'='0')")
+    Thread.sleep(20)
+    // the ALTER added one manifest since the preview: re-preview, then
+    // expire in the same instant window
+    val prev2 = spark.sql("CALL graft.system.expire_preview('db.exprev', 0L, 1)").head
+    val real = spark.sql("CALL graft.system.expire_snapshots('db.exprev', 0L, 1)").head
+    assert(real.getInt(0) == prev2.getInt(0),
+      s"preview predicted ${prev2.getInt(0)} but expire deleted ${real.getInt(0)}")
+    assert(real.getInt(1) == prev2.getInt(3),
+      s"retained mismatch: predicted ${prev2.getInt(3)}, expire kept ${real.getInt(1)}")
+    assert(spark.sql("SELECT count(1) FROM graft.db.exprev").head.getLong(0) == 300)
+  }
+
   test("CREATE TABLE PARTITIONED BY declares clustering; SQL INSERTs keep the index (r10)") {
     val _ = wh
     spark.sql("DROP TABLE IF EXISTS graft.db.part")
