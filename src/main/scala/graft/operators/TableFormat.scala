@@ -3052,9 +3052,24 @@ object TableFormat {
 
   /** EQUALITY DELETE BY KEYS: stage the key set, commit metadata —
     * ingest IO ∝ |keys|, ZERO table reads, ZERO joins. Returns
-    * (newVersion, nKeys); an empty key set commits nothing. */
+    * (newVersion, nKeys); an empty key set commits nothing.
+    *
+    * BACKLOG PRESSURE (r16, ADVICE r15 #3): past
+    * `spark.graft.eqdel.maxOutstanding` outstanding deletes (default
+    * 64) the ingest auto-resolves first — Iceberg's compaction-pressure
+    * posture. Every serving read pays the outstanding set; an operator
+    * who never runs resolve_eqdel should degrade to periodic O(masked
+    * files) resolution, not to an unbounded key-set union. 0 disables
+    * the cap (the pure O(batch) contract, caller owns resolution). */
   def deleteByKeysEq(spark: SparkSession, base: String, keys: DataFrame,
                      key: String): (Int, Long) = {
+    val cap = spark.conf.getOption("spark.graft.eqdel.maxOutstanding")
+      .map(_.toInt).getOrElse(64)
+    if (cap > 0 &&
+        manifestEqDels(spark, base, currentVersion(spark, base)).size >= cap) {
+      resolveEqDeletes(spark, base)
+      ()
+    }
     val v = currentVersion(spark, base)
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))

@@ -3,8 +3,8 @@ package graft.plans
 import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, HllSketchEstimate, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -275,7 +275,32 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     }.toMap
     def mvCol(n: String): Option[AttributeReference] =
       byName.get(n.toLowerCase(Locale.ROOT))
+    // `hll_sketch_estimate(hll_sketch_agg(c))` over an ApproxDistinctCol
+    // MV (r16): the ESTIMATE is servable — exact dims read the visible
+    // estimate column, roll-ups union the hidden sketches (register max
+    // is associative, so union-of-groups == sketch-of-all-rows). The
+    // BARE sketch (unwrapped hll_sketch_agg) and approx_count_distinct
+    // (HLL++, a different estimator) stand down: their bytes/values
+    // would not match the unrewritten plan. lgK must equal the MV
+    // side's default (functions.hll_sketch_agg → 12).
+    def approxTarget(e: Expression): Option[String] = e match {
+      case HllSketchEstimate(ae: AggregateExpression)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case hs: HllSketchAgg if hs.lgConfigK == 12 =>
+            d.aggs.collectFirst {
+              case MV.ApproxDistinctCol(c, a) if hs.children.headOption.exists {
+                case at: AttributeReference => at.name.equalsIgnoreCase(c)
+                case _ => false
+              } => a
+            }
+          case _ => None
+        }
+      case _ => None
+    }
     def remap(e: Expression): Option[Expression] = e match {
+      case e2 if approxTarget(e2).isDefined =>
+        mvCol(approxTarget(e2).get).filter(_.dataType == e2.dataType)
       case ae: AggregateExpression if ae.filter.isEmpty =>
         matchAgg(ae, d).flatMap(mvCol)
           .filter(_.dataType == ae.dataType)
@@ -348,6 +373,15 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       out.filter(_.dataType == ae.dataType)
     }
     def remapRollup(e: Expression): Option[Expression] = e match {
+      // the approx-distinct estimate re-derives from the UNION of the
+      // stored per-group sketches at the coarser grain (r16)
+      case e2 if approxTarget(e2).isDefined =>
+        mvCol(s"__hll_${approxTarget(e2).get}").map { sk =>
+          HllSketchEstimate(AggregateExpression(
+            HllUnionAgg(sk, Literal(false)),
+            org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+            isDistinct = false)): Expression
+        }.filter(_.dataType == e2.dataType)
       case ae: AggregateExpression => rollupAgg(ae)
       case e2 if qDimCol(e2).isDefined =>
         mvCol(qDimCol(e2).get).filter(_.dataType == e2.dataType)

@@ -519,7 +519,48 @@ class MaterializedViewSpec extends SparkTestBase {
     val r3 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggh')").head
     assert(r3.getLong(4) == 0L, s"null-id delete regrouped: $r3")
     assert(mvH() == recomputeH())
-    // 4) the EXACT path still refuses strings — naming this as the cure
+    // 4) QUERY REWRITE: hll_sketch_estimate(hll_sketch_agg(uid)) — the
+    //    SAME estimator — serves from the state (exact dims read the
+    //    visible estimate; the global roll-up unions hidden sketches);
+    //    approx_count_distinct (HLL++, a DIFFERENT estimator) and the
+    //    bare sketch stand down — their values/bytes would change
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val q =
+        """SELECT lang, hll_sketch_estimate(hll_sketch_agg(uid)) AS d
+          |FROM graft.db.mv_srch GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("mv_aggh__state"),
+        s"estimate rewrite not substituted:\n${df.queryExecution.optimizedPlan}")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(q).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(df.collect().toSeq == direct, "estimate rewrite values diverged")
+      val qg =
+        "SELECT hll_sketch_estimate(hll_sketch_agg(uid)) AS d FROM graft.db.mv_srch"
+      val dfg = spark.sql(qg)
+      assert(dfg.queryExecution.optimizedPlan.toString.contains("mv_aggh__state"),
+        s"estimate roll-up not substituted:\n${dfg.queryExecution.optimizedPlan}")
+      val directG = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(qg).collect().head.getLong(0)
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(dfg.collect().head.getLong(0) == directG,
+        "roll-up union estimate diverged from the one-pass sketch")
+      val qx =
+        "SELECT lang, approx_count_distinct(uid) AS d FROM graft.db.mv_srch GROUP BY lang"
+      assert(spark.sql(qx).queryExecution.optimizedPlan.toString.contains("mv_srch"),
+        "approx_count_distinct (HLL++) must stand down")
+      val qb =
+        "SELECT lang, hll_sketch_agg(uid) AS sk FROM graft.db.mv_srch GROUP BY lang"
+      assert(spark.sql(qb).queryExecution.optimizedPlan.toString.contains("mv_srch"),
+        "the bare sketch must stand down")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    // 5) the EXACT path still refuses strings — naming this as the cure
     fresh("mv_aggh2")
     val e = intercept[Exception](spark.sql(
       """CALL graft.system.create_mv('db.mv_aggh2',

@@ -1351,6 +1351,21 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.manifestEqDels(spark, base, vRes).isEmpty)
     assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
       .collect().map(_._1).toSet == live, "post-resolution state diverged")
+    // BACKLOG PRESSURE (r16, ADVICE r15 #3): past maxOutstanding the
+    // ingest auto-resolves FIRST — the backlog can never exceed the cap
+    spark.conf.set("spark.graft.eqdel.maxOutstanding", "4")
+    try {
+      (1 to 7).foreach { _ =>
+        val k = rnd.nextLong(next)
+        live -= k
+        TableFormat.deleteByKeysEq(spark, base, Seq(k).toDF("k"), "k")
+        val outst = TableFormat.manifestEqDels(spark, base,
+          TableFormat.currentVersion(spark, base)).size
+        assert(outst <= 4, s"cap breached: $outst outstanding")
+      }
+      assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
+        .collect().map(_._1).toSet == live, "capped backlog state diverged")
+    } finally spark.conf.unset("spark.graft.eqdel.maxOutstanding")
   }
 
   test("equality deletes: O(batch) ingest with zero table IO; version-scoped reads; resolution converges with deleteByKeysDV (r15, VERDICT r14 #4)") {
