@@ -2897,9 +2897,11 @@ object TableFormat {
     val untouched = entries.filterNot(touched.toSet)
     if (touched.isEmpty) return (v, 0, entries.size) // stats prove nothing matches
     // positions matched THIS delete — computed over the LIVE rows (the
-    // existing dv is applied first, so already-deleted rows can't be
-    // re-matched), NULL-valued conditions keep their rows (SQL DELETE)
-    val newPairs = readEntriesDf(spark, base, v, touched, keepPos = true)
+    // existing dv AND any outstanding equality masks apply first, so an
+    // already-deleted row can't re-match — and can't re-emit in the
+    // change feed, r16), NULL-valued conditions keep their rows (SQL
+    // DELETE)
+    val newPairs = entriesDfEq(spark, base, v, touched, keepPos = true)
       .filter(coalesce(cond, lit(false)))
       .select(col("__fp").as(DvFileCol), col("__ri").as(DvPosCol))
     dvDeleteCommit(spark, base, v, touched, untouched, newPairs, entries.size)
@@ -2938,7 +2940,9 @@ object TableFormat {
     val touched = noStats ++ cands.filter(e => touchedPaths(e.path))
     if (touched.isEmpty) return (v, 0, entries.size)
     val untouched = entries.filterNot(touched.toSet)
-    val newPairs = readEntriesDf(spark, base, v, touched, keepPos = true)
+    // live rows only: dv and outstanding eq masks apply before the key
+    // match (a masked row must not re-mask — or re-emit in the feed)
+    val newPairs = entriesDfEq(spark, base, v, touched, keepPos = true)
       .join(keys.select(col(key)), Seq(key), "left_semi")
       .select(col("__fp").as(DvFileCol), col("__ri").as(DvPosCol))
     dvDeleteCommit(spark, base, v, touched, untouched, newPairs, entries.size)
@@ -3153,21 +3157,29 @@ object TableFormat {
     * converge with. */
   private[graft] def entriesDfEq(spark: SparkSession, base: String,
                                  version: Int,
-                                 entries: Seq[ManifestEntry]): DataFrame = {
+                                 entries: Seq[ManifestEntry],
+                                 schemaVersion: Int = -1,
+                                 keepPos: Boolean = false): DataFrame = {
+    val sv = if (schemaVersion > 0) schemaVersion else version
     val eqd = manifestEqDels(spark, base, version)
-    if (eqd.isEmpty) return readEntriesDf(spark, base, version, entries)
+    if (eqd.isEmpty) return readEntriesDf(spark, base, sv, entries, keepPos = keepPos)
     val adds = manifestEqAdds(spark, base, version)
     val (clear, masked) = entries.partition(e =>
       !eqd.exists(_._3 > adds.getOrElse(normPath(e.path), 0)))
     val clearDf =
-      if (clear.isEmpty) None else Some(readEntriesDf(spark, base, version, clear))
+      if (clear.isEmpty) None
+      else Some(readEntriesDf(spark, base, sv, clear, keepPos = keepPos))
     val maskedDf =
       if (masked.isEmpty) None
       else {
-        val data = readEntriesDf(spark, base, version, masked,
-            fileCol = Some("__eqfp"))
-          .withColumn("__eqav", eqAddedVCol(adds, col("__eqfp")))
-          .drop("__eqfp")
+        // keepPos callers already materialize __fp — derive the
+        // added-version from it; plain reads use a scoped temp column
+        val data =
+          if (keepPos) readEntriesDf(spark, base, sv, masked, keepPos = true)
+            .withColumn("__eqav", eqAddedVCol(adds, col("__fp")))
+          else readEntriesDf(spark, base, sv, masked, fileCol = Some("__eqfp"))
+            .withColumn("__eqav", eqAddedVCol(adds, col("__eqfp")))
+            .drop("__eqfp")
         Some(eqd.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(data) {
           case (df, (k, recs)) =>
             val keys = eqKeysGated(spark, recs, k)
@@ -4060,23 +4072,24 @@ object TableFormat {
       s"readChanges: fromVersion $fromVersion must precede toVersion $toVersion")
     require(fromVersion >= 0,
       s"readChanges: fromVersion $fromVersion must be >= 0 (0 = before the first commit)")
-    // equality deletes (r15): an outstanding eqdel commit changes NO
-    // entries, so the file diff would silently emit zero change rows
-    // for real deletes. Feeds over RESOLVED spans are exact — the
-    // deletes surface at their eqdel_resolve commit's dv growth — so
-    // the guard is on the END version's outstanding set only.
-    // BOTH ends: an eqdel outstanding at the START would have masked
-    // rows in snapshot(from) whose deletes then re-emit at the in-span
-    // resolve commit — a consumer that never had them would wrongly
-    // subtract them.
-    def eqGuard(v: Int): Unit =
-      if (v > 0 && (try manifestEqDels(spark, base, v)
-                    catch { case _: java.io.FileNotFoundException => Nil }).nonEmpty)
-        throw new UnsupportedOperationException(
-          s"readChanges: table $base v$v has outstanding equality " +
-            "deletes — the change feed cannot see them; resolve first " +
-            "(CALL graft.system.resolve_eqdel)")
-    eqGuard(fromVersion); eqGuard(toVersion)
+    // equality deletes (r16, upgraded from the r15 refusal): the batch
+    // feed SERVES spans with outstanding deletes — each delete_eq
+    // commit emits the rows it logically deleted (the case below), and
+    // the eqdel_resolve commit is METADATA-SILENT (its dv growth is
+    // exactly those already-emitted rows). Attribution is the logical
+    // commit, so incremental windows compose exactly-once across any
+    // backlog state. The STREAMING feed keeps its own per-surface
+    // contract (skip-or-refuse on delete_eq, deletes at the resolve
+    // commit) — checkpoints are per-surface, and its resolve-time
+    // emission stays exactly-once there.
+    // v0 predates the first commit (no manifest → no eq state); a
+    // reclaimed parent resolves its entries through the retained chain
+    // but its manifest text (and eq headers) may be gone — treat as none
+    def eqdAt(ver: Int): Seq[(String, String, Int)] =
+      if (ver <= 0) Nil
+      else
+        try manifestEqDels(spark, base, ver)
+        catch { case _: java.io.FileNotFoundException => Nil }
     val steps = ((fromVersion + 1) to toVersion).map { v =>
       val before = retainedEntries(spark, base, v - 1, "readChanges")
       val after = retainedEntries(spark, base, v, "readChanges")
@@ -4098,13 +4111,33 @@ object TableFormat {
       op match {
         case Some("compact") | Some("optimize") => Seq.empty // bytes moved, no rows changed
         case Some("alter") => Seq.empty // schema widened, no files touched at all
-        // an eqdel commit changes no entries (guard above proves the
-        // span's END resolved them; the rows surface at the resolve
-        // commit below, which diffs exactly like a dv delete)
-        case Some("delete_eq") => Seq.empty
+        // EQ-DELETE EMISSION (r16): the commit adds only a key-set
+        // record — the rows it deleted are the rows LIVE at v-1 (every
+        // EARLIER outstanding mask applied, so an already-dead row
+        // never re-emits) whose key matches THIS commit's set. The
+        // matching resolve commit below is silent: its dv growth is
+        // exactly these rows, already attributed here.
+        case Some("delete_eq") =>
+          val newRecs = {
+            val prev = eqdAt(v - 1).toSet
+            eqdAt(v).filterNot(prev)
+          }
+          if (newRecs.isEmpty || before.isEmpty) Seq.empty
+          else {
+            val live = entriesDfEq(spark, base, v - 1, before,
+              schemaVersion = toVersion)
+            val del = newRecs.groupBy(_._2).toSeq.sortBy(_._1).map {
+              case (k, recs) =>
+                live.join(broadcast(eqKeysDfV(spark, recs, k).drop("__eqv")
+                  .distinct()), Seq(k), "left_semi")
+            }.reduce(_ unionByName _)
+            Seq(tag(del, "delete"))
+          }
+        // the deferred position resolution of already-emitted eq
+        // deletes: pure maintenance to this feed (see delete_eq above)
+        case Some("eqdel_resolve") => Seq.empty
         case Some("append") => Seq(tag(read(added), "insert"))
-        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") |
-             Some("eqdel_resolve") =>
+        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") =>
           // merge-on-read commit: no bytes of EXISTING files moved, only
           // dvs grew (and fully-deleted files dropped) — plus, for
           // UPDATE/MERGE (r13), brand-new post-image files appended.
@@ -4140,8 +4173,25 @@ object TableFormat {
           pairUpdateImages(spark, base, toVersion,
             droppedDeletes.toSeq ++ grownDeletes.toSeq ++ inserts.toSeq)
         case _ => // delete / merge / replace / restore / pre-r9: full diff
-          val a = read(added)
-          val r = read(removed)
+          // each side reads under ITS OWN version's outstanding eq
+          // masks (r16): a restore across an unresolved span would
+          // otherwise re-emit already-emitted masked rows as deletes
+          // (before side) or emit masked-dead rows as inserts (after
+          // side). And when the step CHANGES the outstanding set (a
+          // restore across delete_eq/resolve commits), UNCHANGED files'
+          // visible rows change too — the entry diff cannot see that,
+          // so the diff widens to the full masked snapshots (a restored
+          // mask un-deleting a row surfaces as its re-insert). No eq
+          // state on either side → plain entry-diff reads, unchanged.
+          def readAt(entries: Seq[ManifestEntry], atV: Int) =
+            if (entries.isEmpty) emptySnapshot(spark, base, toVersion)
+            else if (eqdAt(atV).isEmpty)
+              readEntriesDf(spark, base, toVersion, entries)
+            else entriesDfEq(spark, base, atV, entries, schemaVersion = toVersion)
+          val eqStepChanged = eqdAt(v) != eqdAt(v - 1)
+          val (a, r) =
+            if (eqStepChanged) (readAt(after, v), readAt(before, v - 1))
+            else (readAt(added, v), readAt(removed, v - 1))
           val ins = tag(a.exceptAll(r), "insert")
           val del = tag(r.exceptAll(a), "delete")
           // UPDATE IMAGES (r12, VERDICT r11 #4): when the table DECLARES

@@ -1436,10 +1436,22 @@ class TableFormatSpec extends SparkTestBase {
     val eCow = intercept[UnsupportedOperationException](
       TableFormat.deleteWhere(spark, base, "k", 0L, 10L))
     assert(eCow.getMessage.contains("equality delete"), eCow.getMessage)
-    // the change feed and the catalog scan refuse outstanding snapshots
-    val eCdf = intercept[UnsupportedOperationException](
-      TableFormat.readChanges(spark, base, 1, cur))
-    assert(eCdf.getMessage.contains("resolve_eqdel"), eCdf.getMessage)
+    // the BATCH change feed SERVES the outstanding span (r16, upgraded
+    // from the r15 refusal): each delete_eq commit emits exactly the
+    // rows it logically deleted — the v4 delete of key 150 emits the
+    // RE-INSERTED row only (the original was already dead under the v2
+    // masks; an already-emitted delete never re-emits)
+    val chOut = TableFormat.readChanges(spark, base, 1, cur)
+    val delByV = chOut.filter(col("_change_type") === "delete")
+      .groupBy("_commit_version").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(delByV == Map(v2 -> 100L, v4 -> 3L), s"per-commit deletes: $delByV")
+    assert(chOut.filter(col("_change_type") === "delete")
+      .filter(col("_commit_version") === v4)
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((150L, "new150"), (500L, "r500"), (501L, "r501")),
+      "v4 must emit the re-inserted 150, not the long-dead original")
     // both STREAMING surfaces refuse too — the masks cannot stream and
     // already-streamed rows cannot be unsent
     def streamFails(readChangeFeed: Boolean): Unit = {
@@ -1483,8 +1495,12 @@ class TableFormatSpec extends SparkTestBase {
     assert(TableFormat.manifestEntries(spark, base, rv).exists(_.dv.isDefined),
       "resolution must land positional dvs")
     // CDF across the RESOLVED span reconstructs the final state: the
-    // eq-deleted rows surface at the resolve commit
+    // eq deletes stay attributed to their delete_eq commits, the
+    // resolve commit is metadata-silent (r16)
     val ch = TableFormat.readChanges(spark, base, 1, rv)
+    assert(ch.filter(col("_commit_version") === rv).count() == 0,
+      "the resolve commit must emit nothing — its rows were attributed " +
+        "at their delete_eq commits")
     val net = ch.filter(col("_change_type") === "insert").count() -
       ch.filter(col("_change_type") === "delete").count()
     assert(4000L + net == TableFormat.readSnapshot(spark, base).count(),
@@ -2203,6 +2219,10 @@ class TableFormatSpec extends SparkTestBase {
     nextId = 400L
     val snaps = scala.collection.mutable.Map(
       TableFormat.currentVersion(spark, base) -> live)
+    // CDF-fold shadow (r16): the batch feed over EVERY random span —
+    // equality deletes outstanding or not — must fold to the head
+    var cdfShadow = live
+    var cdfV = TableFormat.currentVersion(spark, base)
     (1 to 24).foreach { step =>
       rnd.nextInt(8) match {
         case 0 => // fresh append
@@ -2248,6 +2268,19 @@ class TableFormatSpec extends SparkTestBase {
       snaps(v) = live
       assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
         .collect().toSet == live, s"head v$v diverged from the shadow (step $step)")
+      if (v > cdfV) {
+        val ch = TableFormat.readChanges(spark, base, cdfV, v)
+          .select("id", "v", "_change_type").collect()
+        val dels = ch.filter(_.getString(2) == "delete")
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        val inss = ch.filter(_.getString(2) == "insert")
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        dels.foreach(d => assert(cdfShadow.contains(d),
+          s"CDF emitted a delete for an absent row $d (step $step)"))
+        cdfShadow = cdfShadow -- dels ++ inss
+        assert(cdfShadow == live, s"CDF fold diverged at v$v (step $step)")
+        cdfV = v
+      }
       if (live.nonEmpty && rnd.nextBoolean()) {
         val probe = live.head._1
         val (df, _) = TableFormat.readSnapshotWhere(spark, base, "id", probe, probe + 25)
@@ -2263,6 +2296,8 @@ class TableFormatSpec extends SparkTestBase {
         snaps.filterInPlace { case (sv, _) => retain.contains(sv) }
         assert(TableFormat.readSnapshot(spark, base).as[(Long, String)]
           .collect().toSet == live, "post-vacuum head diverged")
+        // reclaimed manifests break older feed starts — re-anchor
+        cdfV = cur; cdfShadow = live
       }
     }
     // final resolution converges to plain dv state; answers unchanged
