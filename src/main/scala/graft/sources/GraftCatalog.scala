@@ -2143,19 +2143,45 @@ class GraftTableCdfMicroBatch(base: String, dataSchema: StructType, startVersion
           after.filterNot(en => beforeByPath.contains(norm(en.path)))
             .map(en => GraftFilePartition(en.path, en.dv,
               cdf = Some(GraftCdfSpec("insert", v))))
-        // an equality-delete commit changes NO entries — the file diff
-        // would silently emit nothing for real deletes (r15): refuse
-        // with the cure named; after resolution the masks stream as the
-        // resolve commit's dv growth (the eqdel_resolve case below)
+        // an equality-delete commit changes NO entries — the deleted
+        // rows are the dv-live rows of files ADDED BEFORE the commit
+        // whose key is in its key set and not already masked by an
+        // EARLIER outstanding delete (r16, upgraded from the r15
+        // refusal): one emit-mode partition per candidate file carries
+        // the key column, this commit's key dir, and the earlier
+        // applicable (col, dir) pairs; [[EqKeys]] loads the batch-sized
+        // sets executor-side. Attribution matches the batch feed — the
+        // resolve commit below is metadata-silent.
         case Some("delete_eq") =>
-          if (skipChangeCommits) Seq.empty
-          else throw new IllegalStateException(
-            s"graft-table change feed on $base: commit v$v is an equality " +
-              "delete whose masks are not yet position-resolved — CALL " +
-              "graft.system.resolve_eqdel first (the deletes then stream at " +
-              "the resolve commit), or set option(\"skipChangeCommits\", true)")
-        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") |
-             Some("eqdel_resolve") =>
+          def eqdAt(ver: Int) =
+            if (ver <= 0) Seq.empty
+            else
+              try TableFormat.manifestEqDels(spark, base, ver)
+              catch { case _: java.io.FileNotFoundException =>
+                Seq.empty[(String, String, Int)] }
+          val prevEq = eqdAt(v - 1)
+          val prevSet = prevEq.toSet
+          val newRecs = eqdAt(v).filterNot(prevSet)
+          val adds = TableFormat.manifestEqAdds(spark, base, v - 1)
+          for {
+            en <- before
+            (dir, keyCol, _) <- newRecs
+          } yield {
+            val av = adds.getOrElse(norm(en.path), 0)
+            val earlier = prevEq.filter(_._3 > av)
+            GraftFilePartition(en.path, en.dv,
+              cdf = Some(GraftCdfSpec("delete", v,
+                eqKeyCol = Some(keyCol),
+                eqNewDir = Some(dir),
+                eqOldPairs =
+                  if (earlier.isEmpty) None
+                  else Some(earlier.map(r => s"${r._2}\t${r._1}")
+                    .mkString(graft.operators.DvLookup.DirSep)))))
+          }
+        // the deferred position resolution of already-streamed eq
+        // deletes: metadata-silent (see delete_eq above)
+        case Some("eqdel_resolve") => Seq.empty
+        case Some("delete_dv") | Some("update_mor") | Some("merge_mor") =>
           // the whole merge-on-read family is streamable (r13): deletes
           // are the per-file dv POSITION diff exactly like delete_dv,
           // and UPDATE/MERGE post-images are brand-new appended files —
@@ -2747,7 +2773,15 @@ case class GraftFilePartition(file: String, dv: Option[String] = None,
   * removed in exactly that commit. */
 case class GraftCdfSpec(changeType: String, version: Int,
                         emitDiffNew: Option[String] = None,
-                        emitDiffOld: Option[String] = None)
+                        emitDiffOld: Option[String] = None,
+                        // EQ-DELETE emit mode (r16): emit the dv-live
+                        // rows whose `eqKeyCol` value is in the key set
+                        // under `eqNewDir` and NOT already masked by an
+                        // earlier outstanding delete (`eqOldPairs`,
+                        // `col<TAB>dir` pairs packed with DvLookup.DirSep)
+                        eqKeyCol: Option[String] = None,
+                        eqNewDir: Option[String] = None,
+                        eqOldPairs: Option[String] = None)
 
 /** Executor-side deletion-vector position loading shared by the
   * snapshot reader (skip-mode) and the CDF stream reader (emit-mode).

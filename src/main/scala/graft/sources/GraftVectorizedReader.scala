@@ -76,8 +76,38 @@ private[sources] class GraftVectorizedRowReader(
         .getOrElse(s)
     }.orNull
 
+  // EQ-DELETE emit-mode (r16): produce ONLY the dv-live rows whose key
+  // is in THIS commit's key set and not already masked by an earlier
+  // outstanding delete — the same attribution the batch feed uses
+  private val eqKeyIdx: Int =
+    part.cdf.flatMap(_.eqKeyCol)
+      .map(k => readSchema.fieldNames.indexWhere(_.equalsIgnoreCase(k)))
+      .getOrElse(-1)
+  private val eqNewSet: java.util.HashSet[AnyRef] =
+    part.cdf.flatMap(_.eqNewDir).map(d =>
+      EqKeys.load(conf.value, d, readSchema.fields(eqKeyIdx))).orNull
+  private val eqOldSets: Array[(Int, java.util.HashSet[AnyRef])] =
+    part.cdf.flatMap(_.eqOldPairs).map {
+      _.split(graft.operators.DvLookup.DirSep).filter(_.nonEmpty).map { pair =>
+        val Array(c, d) = pair.split('\t')
+        val idx = readSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        (idx, EqKeys.load(conf.value, d, readSchema.fields(idx)))
+      }
+    }.getOrElse(Array.empty)
+
+  private def eqEmit(row: InternalRow): Boolean = {
+    if (row.isNullAt(eqKeyIdx)) return false // NULL never matches a delete
+    val v = row.get(eqKeyIdx, readSchema.fields(eqKeyIdx).dataType)
+    if (!eqNewSet.contains(v)) return false
+    eqOldSets.forall { case (i, s) =>
+      row.isNullAt(i) || !s.contains(row.get(i, readSchema.fields(i).dataType))
+    }
+  }
+
   private def keep(o: Long): Boolean =
-    if (emitOnly != null) emitOnly.contains(o)
+    if (eqNewSet != null)
+      (deleted == null || !deleted.contains(o)) && eqEmit(current)
+    else if (emitOnly != null) emitOnly.contains(o)
     else deleted == null || !deleted.contains(o)
 
   private val nExtra = (if (appendFilePath) 1 else 0) +
@@ -192,4 +222,49 @@ private[sources] class GraftColumnarReader(
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
     reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
   override def close(): Unit = reader.close()
+}
+
+/** Executor-side EQUALITY-DELETE key-set loading for the streaming
+  * change feed's eq emit-mode (r16): each task loads the commit's key
+  * files — batch-sized by construction (`deleteByKeysEq` stores the
+  * distinct key set) — into one HashSet of Catalyst-internal values
+  * (UTF8String/boxed primitives, so row probes compare directly), via
+  * the same vectorized parquet reader the data path uses (identical
+  * type conversion). Bounded executor-global LRU, the DvLookup shape. */
+private[sources] object EqKeys {
+  private val MaxCached = 64
+  private val cache =
+    new java.util.LinkedHashMap[String, java.util.HashSet[AnyRef]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.HashSet[AnyRef]]): Boolean =
+        size() > MaxCached
+    }
+
+  def load(conf: org.apache.hadoop.conf.Configuration, dir: String,
+           field: org.apache.spark.sql.types.StructField): java.util.HashSet[AnyRef] = {
+    val key = dir + " " + field.name
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) return hit
+    val out = new java.util.HashSet[AnyRef]()
+    val d = new HadoopPath(dir)
+    val fs = d.getFileSystem(conf)
+    val schema = StructType(Seq(field))
+    fs.listStatus(d).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val r = GraftVectorizedReaders.open(st.getPath.toString, schema, conf,
+          returnBatches = false)
+        try {
+          while (r.nextKeyValue()) {
+            val row = r.getCurrentValue.asInstanceOf[InternalRow]
+            if (!row.isNullAt(0))
+              out.add(row.get(0, field.dataType) match {
+                case s: UTF8String => s.copy() // batch-buffer view
+                case v => v.asInstanceOf[AnyRef]
+              })
+          }
+        } finally r.close()
+      }
+    cache.synchronized(cache.put(key, out))
+    out
+  }
 }

@@ -1521,6 +1521,53 @@ class GraftTableSpec extends SparkTestBase {
     assert(!pk.enforced() && pk.rely(), pk.toDDL)
   }
 
+  test("streaming change feed serves equality-delete spans: deletes attributed at their commits, resolve silent, version scoping exact (r16)") {
+    val base = freshBase("cdfstream_eq")
+    TableFormat.appendCommit(spark, base,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v"),
+      statsCol = Some("k"))                                           // v1
+    val (v2, _) = TableFormat.deleteByKeysEq(spark, base,
+      Seq(5L, 10L).toDF("k"), "k")                                    // v2
+    TableFormat.appendCommit(spark, base,
+      Seq((5L, "re5")).toDF("k", "v"), statsCol = Some("k"))          // v3
+    val (v4, _) = TableFormat.deleteByKeysEq(spark, base,
+      Seq(5L, 20L).toDF("k"), "k")                                    // v4
+    val (v5, _) = TableFormat.resolveEqDeletes(spark, base)           // v5
+    val q = spark.readStream.format("graft-table").option("path", base)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfstream_eq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdfstream_eq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSeq
+      val byVT = rows.groupBy(r => (r._4, r._3)).view.mapValues(_.size).toMap
+      assert(byVT == Map((1, "insert") -> 100, (v2, "delete") -> 2,
+        (3, "insert") -> 1, (v4, "delete") -> 2),
+        s"per-commit shape: $byVT")
+      // version scoping THROUGH the stream: v4 deletes the RE-INSERTED
+      // 5 (the original was already dead under v2's masks) plus 20
+      assert(rows.filter(r => r._4 == v4 && r._3 == "delete")
+        .map(r => (r._1, r._2)).toSet == Set((5L, "re5"), (20L, "r20")),
+        s"v4 emission: $rows")
+      assert(!rows.exists(_._4 == v5),
+        "the resolve commit must stream nothing — deletes were " +
+          "attributed at their delete_eq commits")
+      // the streamed feed folds to the snapshot
+      val net = rows.count(_._3 == "insert") - rows.count(_._3 == "delete")
+      assert(net == TableFormat.readSnapshot(spark, base).count(),
+        "streamed feed must fold to the snapshot")
+      // a LIVE delete_eq commit streams incrementally too (no resolve)
+      TableFormat.deleteByKeysEq(spark, base, Seq(21L, 5000L).toDF("k"), "k")
+      q.processAllAvailable()
+      val dels = spark.table("cdfstream_eq").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+        .filter(t => t._2 == "delete" && t._3 == v5 + 1).toSeq
+      assert(dels == Seq((21L, "delete", v5 + 1)),
+        s"live eq commit emission (absent key 5000 must emit nothing): $dels")
+    } finally q.stop()
+  }
+
   test("streaming change feed: inserts and merge-on-read deletes tagged per commit; CoW fails or skips (r10)") {
     val base = freshBase("cdfstream1")
     TableFormat.commit(spark, base, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 1, None,
