@@ -3031,8 +3031,8 @@ object TableFormat {
   // a silent un-delete; the catalog auto-resolves before building the
   // MoR operation, and this set makes any other route fail loudly.
   private val EqSafeOps =
-    Set("append", "delete_eq", "eqdel_resolve", "delete_dv",
-        "alter", "restore", "clone", "publish")
+    Set("append", "delete_eq", "eqdel_resolve", "eqdel_consolidate",
+        "delete_dv", "alter", "restore", "clone", "publish")
 
   /** Outstanding equality deletes of `version`: (keyDir, keyCol,
     * committedAtVersion), oldest first. */
@@ -3071,7 +3071,18 @@ object TableFormat {
       .map(_.toInt).getOrElse(64)
     if (cap > 0 &&
         manifestEqDels(spark, base, currentVersion(spark, base)).size >= cap) {
-      resolveEqDeletes(spark, base)
+      // `spark.graft.eqdel.capAction` (r16, r17 candidate #5):
+      // `resolve` (default) folds the backlog into one dv commit;
+      // `consolidate` takes the cheaper middle step — union the key
+      // files per column (IO ∝ key bytes, no table read, no dv write)
+      // — when full resolution is undesirable mid-ingest. Consolidation
+      // cost grows with the total masked key set; resolution remains
+      // the real cure and still runs at compact/purge_dv.
+      spark.conf.getOption("spark.graft.eqdel.capAction")
+        .getOrElse("resolve") match {
+        case "consolidate" => consolidateEqDeletes(spark, base)
+        case _ => resolveEqDeletes(spark, base)
+      }
       ()
     }
     val v = currentVersion(spark, base)
@@ -3096,14 +3107,22 @@ object TableFormat {
     (out, n)
   }
 
+  /** Per-key delete-version column of consolidated key files; plain
+    * (per-batch) key files derive it from their manifest record. */
+  private[graft] val EqVerCol = "__eqv"
+
   /** One delete KEY COLUMN's outstanding key sets as a single frame
     * `(key, __eqv)` — each key row tagged with the version its delete
     * committed at, so the version-scoping moves INTO the join
-    * condition (one plan branch per key file, linear in the backlog). */
+    * condition (one plan branch per key file, linear in the backlog).
+    * A CONSOLIDATED key file ([[consolidateEqDeletes]], r16) stores its
+    * per-key versions as a real `__eqv` column — read verbatim. */
   private def eqKeysDfV(spark: SparkSession,
                         recs: Seq[(String, String, Int)], key: String): DataFrame =
     recs.map { case (dir, _, v) =>
-      spark.read.parquet(dir).select(col(key), lit(v).as("__eqv"))
+      val raw = spark.read.parquet(dir)
+      if (raw.columns.contains(EqVerCol)) raw.select(col(key), col(EqVerCol))
+      else raw.select(col(key), lit(v).as(EqVerCol))
     }.reduce(_ unionByName _).distinct()
 
   /** Total on-disk bytes of a delete family's key files — the
@@ -3246,6 +3265,59 @@ object TableFormat {
       untouched ++ updated, txn = None, statsCols = statsCols,
       op = "eqdel_resolve", eqdel = Some(Nil))
     maybeAutoAnalyze(spark, base, out)
+    (out, eqd.size)
+  }
+
+  /** CONSOLIDATE outstanding equality deletes (r16, r17 candidate #5):
+    * union each key column's outstanding key files into ONE file that
+    * stores the per-key delete version alongside (`__eqv` =
+    * max(deleteV) over the key's deletes — exact, because a later
+    * delete of the same key masks a SUPERSET of files: `deleteV >
+    * addedV` is monotone in deleteV). The cheaper middle step between
+    * per-batch key records and full resolution: NO table read, NO dv
+    * commit — IO ∝ total key bytes — yet the serving read and the
+    * resolver drop from |delete commits| key files to one per column.
+    * The visible snapshot is UNCHANGED (the change feeds treat the
+    * commit as metadata-silent); version scoping stays exact through
+    * the stored per-key versions, which travel into every consumer:
+    * the driver-side joins read the `__eqv` column verbatim
+    * ([[eqKeysDfV]]) and the streaming feed's executor-side loader
+    * filters it against each file's added-version
+    * ([[graft.sources]] EqKeys — the `eqc` dir-name prefix marks the
+    * per-key-versioned layout). `#eqadd` is untouched: file scoping is
+    * a property of the FILES, not the key records. Returns
+    * (newVersion, nRecordsBefore); (current, 0) when the backlog is
+    * already ≤ 1 record per column. */
+  def consolidateEqDeletes(spark: SparkSession, base: String): (Int, Int) = {
+    val v = currentVersion(spark, base)
+    val eqd = manifestEqDels(spark, base, v)
+    val byCol = eqd.groupBy(_._2).toSeq.sortBy(_._1)
+    if (eqd.size <= byCol.size) return (v, 0)
+    val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
+      throw new IllegalStateException(s"table $base v$v has no schema header"))
+    val version = v + 1
+    val newRecs = byCol.map { case (k, recs) =>
+      if (recs.size == 1) recs.head
+      else {
+        val dir =
+          s"$base/data/eqc${version}_${java.util.UUID.randomUUID.toString.take(8)}"
+        // one file per column: the union is ≤ backlog-many batch-sized
+        // sets — small by construction, and a single file keeps the
+        // executor-side loader's read one open/scan
+        eqKeysDfV(spark, recs, k)
+          .groupBy(col(k)).agg(max(col(EqVerCol)).cast("int").as(EqVerCol))
+          .coalesce(1)
+          .write.parquet(dir)
+        // record version = max constituent: the record-level
+        // clear/masked file partition stays a (tight) superset of the
+        // per-key test the join applies
+        (dir, k, recs.map(_._3).max)
+      }
+    }
+    val out = writeManifest(spark, base, version, schemaJson,
+      manifestEntries(spark, base, v), txn = None,
+      statsCols = manifestStatsCols(spark, base, v),
+      op = "eqdel_consolidate", eqdel = Some(newRecs))
     (out, eqd.size)
   }
 
@@ -4136,6 +4208,10 @@ object TableFormat {
         // the deferred position resolution of already-emitted eq
         // deletes: pure maintenance to this feed (see delete_eq above)
         case Some("eqdel_resolve") => Seq.empty
+        // key-file consolidation (r16): the masks are semantically
+        // unchanged (per-key max(deleteV) masks exactly the union of
+        // the constituents), so no visible row changes — silent
+        case Some("eqdel_consolidate") => Seq.empty
         case Some("append") => Seq(tag(read(added), "insert"))
         case Some("delete_dv") | Some("update_mor") | Some("merge_mor") =>
           // merge-on-read commit: no bytes of EXISTING files moved, only

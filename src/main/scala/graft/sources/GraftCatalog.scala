@@ -2176,11 +2176,16 @@ class GraftTableCdfMicroBatch(base: String, dataSchema: StructType, startVersion
                 eqOldPairs =
                   if (earlier.isEmpty) None
                   else Some(earlier.map(r => s"${r._2}\t${r._1}")
-                    .mkString(graft.operators.DvLookup.DirSep)))))
+                    .mkString(graft.operators.DvLookup.DirSep)),
+                eqAddedV = Some(av))))
           }
         // the deferred position resolution of already-streamed eq
         // deletes: metadata-silent (see delete_eq above)
         case Some("eqdel_resolve") => Seq.empty
+        // key-file consolidation (r16): masks semantically unchanged
+        // (per-key max(deleteV) == the union of constituents), no
+        // visible row changes — silent, like the batch feed
+        case Some("eqdel_consolidate") => Seq.empty
         case Some("delete_dv") | Some("update_mor") | Some("merge_mor") =>
           // the whole merge-on-read family is streamable (r13): deletes
           // are the per-file dv POSITION diff exactly like delete_dv,
@@ -2781,7 +2786,12 @@ case class GraftCdfSpec(changeType: String, version: Int,
                         // `col<TAB>dir` pairs packed with DvLookup.DirSep)
                         eqKeyCol: Option[String] = None,
                         eqNewDir: Option[String] = None,
-                        eqOldPairs: Option[String] = None)
+                        eqOldPairs: Option[String] = None,
+                        // the emitting file's added-version: consolidated
+                        // (`eqc`) key files filter their per-key stored
+                        // versions against it (only deletes LATER than
+                        // the file's add apply — r16 consolidation)
+                        eqAddedV: Option[Int] = None)
 
 /** Executor-side deletion-vector position loading shared by the
   * snapshot reader (skip-mode) and the CDF stream reader (emit-mode).

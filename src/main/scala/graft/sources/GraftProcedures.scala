@@ -788,6 +788,26 @@ object GraftProcedures {
     }
   }
 
+  /** CONSOLIDATE EQUALITY DELETES (r16, r17 candidate #5): union each
+    * key column's outstanding key files into ONE per-key-versioned file
+    * — the cheaper middle step when full resolution is undesirable
+    * mid-ingest: no table read, no dv commit, IO ∝ key bytes, and the
+    * serving plan drops from |delete commits| key files to one per
+    * column. Masks are semantically unchanged; `resolve_eqdel` remains
+    * the real cure (and still runs automatically at compact/purge_dv).
+    * Returns (version, consolidated_records). */
+  private object ConsolidateEqDelProc extends Proc("consolidate_eqdel",
+    Seq(in("table", StringType)),
+    StructType(Seq(StructField("version", IntegerType),
+                   StructField("consolidated_records", IntegerType)))) {
+    override def description(): String =
+      "union outstanding equality-delete key files into one per-key-versioned file per column"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val (v, n) = TableFormat.consolidateEqDeletes(spark, base)
+      new GenericInternalRow(Array[Any](v, n))
+    }
+  }
+
   /** PARTITION EVOLUTION (r13) — `CALL graft.system.set_clustering(
     * 'db.t', 'b,a')`, the Iceberg REPLACE PARTITION FIELD analog:
     * re-declares the clustering columns metadata-only. New writes
@@ -1086,7 +1106,7 @@ object GraftProcedures {
         RestoreTsProc,
       OptimizeZorderProc, RestoreProc, CloneProc,
       AnalyzeProc, BranchProc, PublishProc, RebaseProc, DropBranchProc,
-      PurgeDvProc, ResolveEqDelProc,
+      PurgeDvProc, ResolveEqDelProc, ConsolidateEqDelProc,
       OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
       CreateMvProc, RefreshMvProc, DropMvProc, RestoreViewProc)

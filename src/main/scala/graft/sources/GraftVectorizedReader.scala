@@ -83,15 +83,21 @@ private[sources] class GraftVectorizedRowReader(
     part.cdf.flatMap(_.eqKeyCol)
       .map(k => readSchema.fieldNames.indexWhere(_.equalsIgnoreCase(k)))
       .getOrElse(-1)
+  // the new delete's key dir is always a plain per-batch set; earlier
+  // dirs may be CONSOLIDATED (`eqc` prefix, r16) — their per-key stored
+  // versions filter against this file's added-version, so only deletes
+  // LATER than the file's add suppress emission (the exact scoping the
+  // driver-side joins apply via the __eqv column)
+  private val eqAv: Int = part.cdf.flatMap(_.eqAddedV).getOrElse(0)
   private val eqNewSet: java.util.HashSet[AnyRef] =
     part.cdf.flatMap(_.eqNewDir).map(d =>
-      EqKeys.load(conf.value, d, readSchema.fields(eqKeyIdx))).orNull
+      EqKeys.load(conf.value, d, readSchema.fields(eqKeyIdx), eqAv)).orNull
   private val eqOldSets: Array[(Int, java.util.HashSet[AnyRef])] =
     part.cdf.flatMap(_.eqOldPairs).map {
       _.split(graft.operators.DvLookup.DirSep).filter(_.nonEmpty).map { pair =>
         val Array(c, d) = pair.split('\t')
         val idx = readSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-        (idx, EqKeys.load(conf.value, d, readSchema.fields(idx)))
+        (idx, EqKeys.load(conf.value, d, readSchema.fields(idx), eqAv))
       }
     }.getOrElse(Array.empty)
 
@@ -240,15 +246,28 @@ private[sources] object EqKeys {
         size() > MaxCached
     }
 
+  /** A consolidated key dir ([[graft.operators.TableFormat
+    * .consolidateEqDeletes]], r16) carries per-key delete versions in a
+    * `__eqv` column; `addedV` scopes the loaded set to the deletes that
+    * apply to the PROBING FILE (deleteV > addedV). Plain per-batch dirs
+    * ignore `addedV` — the planner already scoped them record-level. */
   def load(conf: org.apache.hadoop.conf.Configuration, dir: String,
-           field: org.apache.spark.sql.types.StructField): java.util.HashSet[AnyRef] = {
-    val key = dir + " " + field.name
+           field: org.apache.spark.sql.types.StructField,
+           addedV: Int = 0): java.util.HashSet[AnyRef] = {
+    val versioned = new HadoopPath(dir).getName.startsWith("eqc")
+    val key =
+      if (versioned) dir + " " + field.name + " @" + addedV
+      else dir + " " + field.name
     val hit = cache.synchronized(cache.get(key))
     if (hit != null) return hit
     val out = new java.util.HashSet[AnyRef]()
     val d = new HadoopPath(dir)
     val fs = d.getFileSystem(conf)
-    val schema = StructType(Seq(field))
+    val schema =
+      if (versioned) StructType(Seq(field,
+        org.apache.spark.sql.types.StructField("__eqv",
+          org.apache.spark.sql.types.IntegerType)))
+      else StructType(Seq(field))
     fs.listStatus(d).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .foreach { st =>
         val r = GraftVectorizedReaders.open(st.getPath.toString, schema, conf,
@@ -256,7 +275,8 @@ private[sources] object EqKeys {
         try {
           while (r.nextKeyValue()) {
             val row = r.getCurrentValue.asInstanceOf[InternalRow]
-            if (!row.isNullAt(0))
+            if (!row.isNullAt(0) &&
+                (!versioned || (!row.isNullAt(1) && row.getInt(1) > addedV)))
               out.add(row.get(0, field.dataType) match {
                 case s: UTF8String => s.copy() // batch-buffer view
                 case v => v.asInstanceOf[AnyRef]

@@ -1368,6 +1368,104 @@ class TableFormatSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.eqdel.maxOutstanding")
   }
 
+  test("equality-delete consolidation: key files union to ONE per-key-versioned file per column — serving and feeds unchanged, scoping exact across re-inserts, cap action (r16, r17 candidate #5)") {
+    val base = freshBase("tf_eq_consol")
+    TableFormat.appendCommit(spark, base,
+      (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v"),
+      statsCol = Some("k"))                                              // v1
+    TableFormat.deleteByKeysEq(spark, base, Seq(0L, 1L, 2L).toDF("k"), "k") // v2
+    TableFormat.appendCommit(spark, base,
+      (Seq((0L, "re0"), (1L, "re1")) ++ (100L until 105L).map(i => (i, s"a$i")))
+        .toDF("k", "v"), statsCol = Some("k"))                           // v3
+    TableFormat.deleteByKeysEq(spark, base, Seq(1L, 3L, 100L).toDF("k"), "k") // v4
+    // 0 was re-inserted AFTER its only delete (lives); 1 was re-inserted
+    // but deleted AGAIN later (dies); 2/3/100 die
+    val live: Set[Long] =
+      Set(0L) ++ (4L until 100L).toSet ++ (101L until 105L).toSet
+    def served: Set[Long] = TableFormat.readSnapshot(spark, base)
+      .select("k").as[Long].collect().toSet
+    assert(served == live)
+    val pre = TableFormat.readSnapshot(spark, base).orderBy("k", "v")
+      .as[(Long, String)].collect().toSeq
+    // CONSOLIDATE: 2 records → 1 per-key-versioned (`eqc`) file; the
+    // per-key max(deleteV) is exact because a later delete masks a
+    // superset of files
+    val (vc, n) = TableFormat.consolidateEqDeletes(spark, base)          // v5
+    assert(n == 2, s"consolidated records: $n")
+    val recs = TableFormat.manifestEqDels(spark, base, vc)
+    assert(recs.size == 1 && recs.head._2 == "k" &&
+      new org.apache.hadoop.fs.Path(recs.head._1).getName.startsWith("eqc"),
+      recs.toString)
+    assert(TableFormat.readSnapshot(spark, base).orderBy("k", "v")
+      .as[(Long, String)].collect().toSeq == pre,
+      "consolidation must not change the served snapshot")
+    // idempotent: already one record per column → metadata no-op
+    assert(TableFormat.consolidateEqDeletes(spark, base) == ((vc, 0)))
+    // scoping survives the consolidation: a re-insert of 2 lives (its
+    // stored delete version predates this add), and a FRESH delete
+    // masks through the mixed consolidated + plain record set
+    TableFormat.appendCommit(spark, base, Seq((2L, "re2")).toDF("k", "v"),
+      statsCol = Some("k"))                                              // v6
+    assert(served == live + 2L, "re-insert after consolidation must live")
+    val (v7, _) =
+      TableFormat.deleteByKeysEq(spark, base, Seq(4L).toDF("k"), "k")    // v7
+    assert(served == live + 2L - 4L)
+    // BATCH FEED: the consolidate commit is silent; the fresh delete_eq
+    // attributes exactly its rows (its live side reads THROUGH the
+    // consolidated masks); the whole feed folds to the snapshot
+    val ch = TableFormat.readChanges(spark, base, 0, v7)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(!ch.exists(_._3 == vc), "consolidate commit must be feed-silent")
+    assert(ch.filter(r => r._3 == v7 && r._2 == "delete").map(_._1) == Seq(4L),
+      s"post-consolidation delete emission: ${ch.filter(_._3 == v7)}")
+    assert(ch.count(_._2 == "insert") - ch.count(_._2 == "delete") == served.size,
+      "batch feed must fold to the snapshot")
+    // STREAMING FEED across the span: v7's earlier masks load from the
+    // consolidated file EXECUTOR-side, per-key versions filtered against
+    // each file's added-version
+    val q = spark.readStream.format("graft-table").option("path", base)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("tf_eq_consol_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tf_eq_consol_stream").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getInt(3))).toSeq
+      assert(!rows.exists(_._3 == vc), "consolidate commit must stream nothing")
+      assert(rows.filter(r => r._3 == v7 && r._2 == "delete").map(_._1) == Seq(4L),
+        s"streamed post-consolidation delete emission: ${rows.filter(_._3 == v7)}")
+      assert(rows.count(_._2 == "insert") - rows.count(_._2 == "delete") ==
+        served.size, "streamed feed must fold to the snapshot")
+    } finally q.stop()
+    // resolution converges from the consolidated state
+    TableFormat.resolveEqDeletes(spark, base)
+    assert(TableFormat.manifestEqDels(spark, base,
+      TableFormat.currentVersion(spark, base)).isEmpty)
+    assert(served == live + 2L - 4L, "post-resolution state diverged")
+    // CAP ACTION: `capAction=consolidate` takes the cheap middle step at
+    // the cap instead of resolving — outstanding collapses to one
+    // consolidated record, no dv commit, answers stay exact
+    spark.conf.set("spark.graft.eqdel.maxOutstanding", "2")
+    spark.conf.set("spark.graft.eqdel.capAction", "consolidate")
+    try {
+      TableFormat.deleteByKeysEq(spark, base, Seq(5L).toDF("k"), "k")
+      TableFormat.deleteByKeysEq(spark, base, Seq(6L).toDF("k"), "k")
+      TableFormat.deleteByKeysEq(spark, base, Seq(7L).toDF("k"), "k") // at cap
+      val cur = TableFormat.currentVersion(spark, base)
+      assert(TableFormat.manifestOp(spark, base, cur - 1)
+        .contains("eqdel_consolidate"), "cap must consolidate, not resolve")
+      val out = TableFormat.manifestEqDels(spark, base, cur)
+      assert(out.size == 2,
+        s"one consolidated + the fresh record expected: $out")
+      assert(served == live + 2L - 4L - 5L - 6L - 7L,
+        "capped-consolidation state diverged")
+    } finally {
+      spark.conf.unset("spark.graft.eqdel.maxOutstanding")
+      spark.conf.unset("spark.graft.eqdel.capAction")
+    }
+  }
+
   test("equality deletes: O(batch) ingest with zero table IO; version-scoped reads; resolution converges with deleteByKeysDV (r15, VERDICT r14 #4)") {
     val base = freshBase("tf_eqdel")
     val mirror = freshBase("tf_eqdel_mirror")
@@ -2225,7 +2323,7 @@ class TableFormatSpec extends SparkTestBase {
     var cdfShadow = live
     var cdfV = TableFormat.currentVersion(spark, base)
     (1 to 24).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // fresh append
           val n = 10 + rnd.nextInt(30)
           commitAppend((nextId until nextId + n).map(i => (i, s"r$i")))
@@ -2264,6 +2362,11 @@ class TableFormatSpec extends SparkTestBase {
             TableFormat.restoreVersion(spark, base, target)
             live = snaps(target)
           }
+        case 8 => // consolidate outstanding key files (r16): masks
+          // semantically unchanged, feeds silent — the shadow and the
+          // CDF fold below must both hold verbatim
+          TableFormat.consolidateEqDeletes(spark, base)
+          ()
       }
       val v = TableFormat.currentVersion(spark, base)
       snaps(v) = live
