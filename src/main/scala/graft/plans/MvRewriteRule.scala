@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, HllSketchEstimate, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -75,11 +75,23 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
   private val FLAG = "spark.graft.mv.rewrite"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!plan.containsPattern(TreePattern.AGGREGATE)) return plan
+    if (!plan.containsAnyPattern(TreePattern.AGGREGATE, TreePattern.DISTINCT_LIKE))
+      return plan
     if (spark.sessionState.conf.getConfString(FLAG, "false") != "true") return plan
-    plan.transformUpWithPruning(_.containsPattern(TreePattern.AGGREGATE)) {
+    plan.transformUpWithPruning(
+      _.containsAnyPattern(TreePattern.AGGREGATE, TreePattern.DISTINCT_LIKE)) {
       case agg @ Aggregate(grouping, aggExprs, child, _) if agg.resolved =>
         rewrite(grouping, aggExprs, child).getOrElse(agg)
+      // `SELECT DISTINCT dims…` (r16): at analysis time this is still
+      // Distinct(Project(…)) — ReplaceDistinctWithAggregate runs later,
+      // in the optimizer — so the Aggregate case above never sees the
+      // filter-dropdown query (`SELECT DISTINCT lang FROM events`).
+      // It IS the aggregate `GROUP BY projList` with no agg calls:
+      // exact dims project the state's dim columns, a dims subset
+      // re-distincts over the |groups|-row state.
+      case d @ Distinct(Project(projList, child)) if d.resolved =>
+        rewrite(projList.map { case Alias(e, _) => e; case e => e },
+          projList, child).getOrElse(d)
     }
   }
 

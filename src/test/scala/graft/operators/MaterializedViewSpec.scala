@@ -871,6 +871,213 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  test("MV rewrite through HAVING shapes: filters over aggregate outputs — selected, aliased, or analyzer-added hidden aggregates — resolve above the substituted state scan (r16, r17 candidate #4)") {
+    val src = fresh("mv_srchv"); fresh("mv_agghv")
+    TableFormat.commit(spark, src,
+      (0L until 500L).map(i =>
+        (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de", i * 7))
+        .toDF("doc_id", "lang", "n"), 1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agghv',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n, avg(n) AS avg_n,
+        |          min(n) AS min_n, max(n) AS max_n
+        |   FROM graft.db.mv_srchv WHERE doc_id % 5 <> 0 GROUP BY lang')""".stripMargin)
+      .collect()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    def pinned(sql: String, label: String): Unit = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.toString.contains("mv_agghv__state"),
+        s"$label not substituted:\n${df.queryExecution.optimizedPlan}")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("mv_srchv"),
+        s"$label still scans the source")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(sql).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(df.collect().toSeq == direct, s"$label values diverged")
+    }
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // 1. HAVING over a SELECTED aggregate's output alias
+      pinned(
+        """SELECT lang, sum(n) AS s FROM graft.db.mv_srchv
+          |WHERE doc_id % 5 <> 0 GROUP BY lang HAVING s > 100
+          |ORDER BY lang""".stripMargin, "alias HAVING")
+      // 2. HAVING over HIDDEN aggregates the analyzer adds to the plan
+      //    (max/count absent from the SELECT list): the Aggregate node
+      //    carries extra outputs — each must map onto a state column
+      pinned(
+        """SELECT lang, sum(n) AS s FROM graft.db.mv_srchv
+          |WHERE doc_id % 5 <> 0 GROUP BY lang
+          |HAVING max(n) > 500 AND count(*) > 2 ORDER BY lang""".stripMargin,
+        "hidden-aggregate HAVING")
+      // 3. GLOBAL aggregate (roll-up) + HAVING over an un-selected sum
+      pinned(
+        """SELECT count(*) AS c FROM graft.db.mv_srchv
+          |WHERE doc_id % 5 <> 0 HAVING sum(n) > 0""".stripMargin,
+        "roll-up HAVING")
+      // 4. ORDER BY an un-selected aggregate (the same analyzer device)
+      pinned(
+        """SELECT lang, count(*) AS c FROM graft.db.mv_srchv
+          |WHERE doc_id % 5 <> 0 GROUP BY lang ORDER BY max(n) DESC""".stripMargin,
+        "hidden-aggregate ORDER BY")
+      // 5. HAVING mixing aggregate outputs with dims
+      pinned(
+        """SELECT lang, avg(n) AS a FROM graft.db.mv_srchv
+          |WHERE doc_id % 5 <> 0 GROUP BY lang
+          |HAVING count(*) > 1 AND lang <> 'zz' ORDER BY lang""".stripMargin,
+        "mixed HAVING")
+      // a HAVING over an aggregate the MV cannot serve still stands down
+      val qx =
+        """SELECT lang, count(*) AS c FROM graft.db.mv_srchv
+          |WHERE doc_id % 5 <> 0 GROUP BY lang
+          |HAVING count(DISTINCT n) > 1""".stripMargin
+      assert(planOf(qx).contains("mv_srchv"),
+        "unservable hidden aggregate must stand down")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
+  test("MV rewrite serves SELECT DISTINCT dims — the filter-dropdown query reads |groups| state rows, exact and subset dims; non-dims and DISTINCT * stand down (r16)") {
+    val src = fresh("mv_srcd"); fresh("mv_aggd")
+    TableFormat.commit(spark, src,
+      (0L until 600L).map(i => (i, s"l${i % 4}", i % 7, i * 2))
+        .toDF("doc_id", "lang", "bucket", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggd',
+        |  'SELECT lang, bucket, count(*) AS n_docs
+        |   FROM graft.db.mv_srcd WHERE doc_id % 5 <> 0
+        |   GROUP BY lang, bucket')""".stripMargin).collect()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    def pinned(sql: String, label: String): Unit = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.toString.contains("mv_aggd__state"),
+        s"$label not substituted:\n${df.queryExecution.optimizedPlan}")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("mv_srcd"),
+        s"$label still scans the source")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(sql).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(df.collect().toSeq == direct, s"$label values diverged")
+    }
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // exact dims: the state's one-row-per-group IS the distinct set
+      pinned(
+        """SELECT DISTINCT lang, bucket FROM graft.db.mv_srcd
+          |WHERE doc_id % 5 <> 0 ORDER BY lang, bucket""".stripMargin,
+        "exact-dims DISTINCT")
+      // dims SUBSET: re-distinct over the |groups|-row state
+      pinned(
+        """SELECT DISTINCT lang FROM graft.db.mv_srcd
+          |WHERE doc_id % 5 <> 0 ORDER BY lang""".stripMargin,
+        "subset-dims DISTINCT")
+      // a dim-only residual filters state rows first
+      pinned(
+        """SELECT DISTINCT bucket FROM graft.db.mv_srcd
+          |WHERE doc_id % 5 <> 0 AND lang <> 'l2' ORDER BY bucket""".stripMargin,
+        "residual DISTINCT")
+      // a non-dim column can never be served
+      assert(planOf(
+        """SELECT DISTINCT lang, n FROM graft.db.mv_srcd
+          |WHERE doc_id % 5 <> 0""".stripMargin).contains("mv_srcd"),
+        "non-dim DISTINCT must stand down")
+      // DISTINCT * (all columns) is row dedup, not group enumeration
+      assert(planOf(
+        """SELECT DISTINCT * FROM graft.db.mv_srcd
+          |WHERE doc_id % 5 <> 0""".stripMargin).contains("mv_srcd"),
+        "DISTINCT * must stand down")
+      // a weaker WHERE than the MV's stands down
+      assert(planOf("SELECT DISTINCT lang FROM graft.db.mv_srcd")
+        .contains("mv_srcd"), "weaker predicate must stand down")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
+  test("join MV x expression dims: derived scalars over joined rows maintain and serve — create/refresh == recompute, regroup through computed dims, rewrite from state (r16, r17 candidate #3)") {
+    val facts = fresh("jx_f"); val dim = fresh("jx_d"); fresh("jx_agg")
+    TableFormat.commit(spark, facts,
+      (0L until 400L).map(i => (i, i % 4, Option(i * 3 + 1)))
+        .toDF("doc_id", "lang_id", "n"), 1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, dim,
+      Seq((0L, "en"), (1L, "fr"), (2L, "de"), (3L, "es"))
+        .toDF("lang_id", "lang"), 1, None)
+    // one expression dim from EACH side of the join: `era` derives from
+    // the fact table, `ulang` from the dim table — both computed at the
+    // maintenance chokepoint AFTER the join, stored as plain state columns
+    spark.sql(
+      """CALL graft.system.create_mv('db.jx_agg',
+        |  'SELECT upper(lang) AS ulang, doc_id DIV 100 AS era,
+        |          count(*) AS n_docs, sum(n) AS sum_n, min(n) AS min_n
+        |   FROM graft.db.jx_f f JOIN graft.db.jx_d d ON f.lang_id = d.lang_id
+        |   GROUP BY ulang, era')""".stripMargin).collect()
+    def recomputeJX: Seq[Row] = spark.sql(
+      """SELECT upper(lang) AS ulang, doc_id DIV 100 AS era,
+        |  count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n,
+        |  CAST(min(n) AS BIGINT) AS min_n
+        |FROM graft.db.jx_f f JOIN graft.db.jx_d d ON f.lang_id = d.lang_id
+        |GROUP BY 1, 2 ORDER BY ulang, era""".stripMargin).collect().toSeq
+    def readJX: Seq[Row] = spark.sql(
+      """SELECT ulang, era, n_docs, sum_n, min_n FROM graft.db.jx_agg
+        |ORDER BY ulang, era""".stripMargin).collect().toSeq
+    assert(readJX == recomputeJX, "create over join + expression dims drifted")
+    // ΔA: append facts (new eras) + band delete; ΔB: dim gains a lang
+    TableFormat.appendCommit(spark, facts,
+      (400L until 520L).map(i => (i, i % 5, Option(i * 7)))
+        .toDF("doc_id", "lang_id", "n"), statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, facts, "doc_id", 50L, 149L)
+    TableFormat.appendCommit(spark, dim, Seq((4L, "it")).toDF("lang_id", "lang"))
+    spark.sql("CALL graft.system.refresh_mv('db.jx_agg')").collect()
+    assert(readJX == recomputeJX, "two-sided delta over expression dims drifted")
+    assert(readJX.exists(_.getString(0) == "IT"), "newly matched derived group missing")
+    // delete the rows holding binding minima: the targeted regroup must
+    // rescan the JOINED snapshot with the computed dims projected on
+    TableFormat.deleteWhere(spark, facts, "doc_id", 0L, 9L)
+    spark.sql("CALL graft.system.refresh_mv('db.jx_agg')").collect()
+    assert(readJX == recomputeJX, "join regroup through computed dims drifted")
+    // REWRITE: GROUP BY the derived scalars over the join serves from
+    // the state; a residual over a dim expression filters state rows
+    val q =
+      """SELECT upper(lang) AS ulang, doc_id DIV 100 AS era,
+        |  count(*) AS c, sum(n) AS s
+        |FROM graft.db.jx_f f JOIN graft.db.jx_d d ON f.lang_id = d.lang_id
+        |GROUP BY upper(lang), doc_id DIV 100 ORDER BY ulang, era""".stripMargin
+    val direct = spark.sql(q).collect().toSeq
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql(q)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("jx_agg__state"),
+        s"join+expr-dim rewrite not substituted:\n$plan")
+      assert(!plan.contains("jx_f") && !plan.contains("jx_d"),
+        s"sources still scanned:\n$plan")
+      assert(df.collect().toSeq == direct)
+      // residual over the fact-side dim expression filters state rows
+      val qc = q.replace("GROUP BY", "WHERE doc_id DIV 100 >= 2 GROUP BY")
+      assert(planOf(qc).contains("jx_agg__state"), s"expr residual:\n${planOf(qc)}")
+      assert(spark.sql(qc).collect().toSeq == direct.filter(_.getLong(1) >= 2L))
+      // roll-up to ONE derived dim (strict subset) re-aggregates state
+      val qr =
+        """SELECT upper(lang) AS ulang, count(*) AS c, sum(n) AS s
+          |FROM graft.db.jx_f f JOIN graft.db.jx_d d ON f.lang_id = d.lang_id
+          |GROUP BY upper(lang) ORDER BY ulang""".stripMargin
+      assert(planOf(qr).contains("jx_agg__state"), s"expr roll-up:\n${planOf(qr)}")
+      val rolled = spark.sql(qr).collect().toSeq
+      val want = direct.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+        case (u, rs) => (u, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum) }
+      assert(rolled.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) == want)
+      // a different derivation stands down
+      assert(planOf(q.replace("DIV 100", "DIV 50")).contains("jx_f"),
+        "different expression over the join must stand down")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   test("shape refusals name the offending construct") {
     val src = fresh("mv_src5"); fresh("mv_agg5")
     TableFormat.commit(spark, src,
