@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, HllSketchEstimate, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -126,20 +126,65 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       }
   }
 
+  /** Strip TRIVIAL wrappers between the aggregate and the source (r16)
+    * — SubqueryAlias, View (temp/SQL views), alias-free column-pruning
+    * Projects — and flatten the Filter stack into one conjunct list (a
+    * view's WHERE and the query's own WHERE compose conjunctively).
+    * Dashboards habitually aggregate over `FROM (SELECT cols FROM t
+    * WHERE p) x` or a saved view of the source; at analysis time those
+    * layers are pure passthroughs, so the matcher sees through them.
+    * Anything that CHANGES the attribute namespace — an aliasing or
+    * computing Project — stops the walk: names below it would not be
+    * the source's (CTEs stay un-inlined at analysis time and stop the
+    * walk at their CTERelationRef the same way). */
+  private def unwrapTrivial(p: LogicalPlan): (Seq[Expression], LogicalPlan) =
+    p match {
+      case SubqueryAlias(_, c) => unwrapTrivial(c)
+      case v: View => unwrapTrivial(v.child)
+      case Project(ps, c) if ps.forall(isPassthrough) => unwrapTrivial(c)
+      case Filter(cond, c) =>
+        val (cs, core) = unwrapTrivial(c)
+        (splitConjunctivePredicates(cond) ++ cs, core)
+      case other => (Nil, other)
+    }
+
+  /** A projection item that preserves the source's attribute namespace:
+    * a bare attribute, or the analyzer's view schema-compensation shape
+    * — `Alias(cast(attr AS <same type>), <the attr's own name>)` with a
+    * fresh exprId. Matching below the wrapper is NAME-based (dims,
+    * aggregate inputs) and the compensation alias keeps the name, so
+    * stripping it is sound; a RENAME or a computed column fails this
+    * test and stops the walk. */
+  private def isPassthrough(e: NamedExpression): Boolean = e match {
+    case _: AttributeReference => true
+    case Alias(child, name) =>
+      stripIdentityCasts(child) match {
+        case a: AttributeReference => a.name.equalsIgnoreCase(name)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def stripIdentityCasts(e: Expression): Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.dataType == c.dataType => stripIdentityCasts(c.child)
+    case other => other
+  }
+
   private def rewrite(grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] = {
-    // (filter, the plan the stored predicate re-analyzes against,
-    //  candidate list oriented to the MV's (src, src2),
-    //  query join keys in MV orientation — None = single-table query)
-    val (cond, analysisPlan: LogicalPlan, cands) = child match {
-      case Filter(c, SourceRel(r, b)) =>
-        (Some(c), r, MV.candidatesFor(spark, b).map(x => (x, b, None, None)))
+    // fold trivial wrappers first, then match the bare source: (filter
+    // conjuncts, the plan the stored predicate re-analyzes against,
+    // candidate list oriented to the MV's (src, src2), query join keys
+    // in MV orientation — None = single-table query)
+    val (conds, core) = unwrapTrivial(child)
+    val cond: Option[Expression] = conds.reduceLeftOption(
+      org.apache.spark.sql.catalyst.expressions.And(_, _))
+    val (analysisPlan: LogicalPlan, cands) = core match {
       case SourceRel(r, b) =>
-        (None, r, MV.candidatesFor(spark, b).map(x => (x, b, None, None)))
-      case Filter(c, j @ SourceJoin(_, bl, _, br, kl, kr)) =>
-        (Some(c), j, joinCands(bl, br, kl, kr))
+        (r, MV.candidatesFor(spark, b).map(x => (x, b, None, None)))
       case j @ SourceJoin(_, bl, _, br, kl, kr) =>
-        (None, j, joinCands(bl, br, kl, kr))
+        (j, joinCands(bl, br, kl, kr))
       case _ => return None
     }
     // dims may be plain attributes OR deterministic expressions (r16,

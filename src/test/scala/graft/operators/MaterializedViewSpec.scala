@@ -998,6 +998,86 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  test("MV rewrite sees through trivial wrappers: views, inline subqueries, column-pruning projects, stacked WHEREs — aliasing/computing wrappers stand down (r16)") {
+    val src = fresh("mv_srcw"); fresh("mv_aggw")
+    TableFormat.commit(spark, src,
+      (0L until 600L).map(i => (i, s"l${i % 3}", i * 2))
+        .toDF("doc_id", "lang", "n"), 1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggw',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0 GROUP BY lang')""".stripMargin)
+      .collect()
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    def pinned(sql: String, label: String): Unit = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.toString.contains("mv_aggw__state"),
+        s"$label not substituted; analyzed:\n${df.queryExecution.analyzed}")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("mv_srcw"),
+        s"$label still scans the source")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(sql).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(df.collect().toSeq == direct, s"$label values diverged")
+    }
+    // a temp VIEW carrying the MV's WHERE — the saved-view dashboard
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mv_srcw_v AS
+        |SELECT * FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0""".stripMargin)
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // 1. aggregate over the VIEW: the view's WHERE is the MV predicate
+      pinned(
+        """SELECT lang, count(*) AS c, sum(n) AS s FROM mv_srcw_v
+          |GROUP BY lang ORDER BY lang""".stripMargin, "view-wrapped aggregate")
+      // 2. view WHERE + query's own dim residual compose conjunctively
+      pinned(
+        """SELECT lang, count(*) AS c FROM mv_srcw_v WHERE lang <> 'l1'
+          |GROUP BY lang ORDER BY lang""".stripMargin, "view + residual")
+      // 3. inline subquery with column pruning and its own WHERE
+      pinned(
+        """SELECT lang, sum(n) AS s
+          |FROM (SELECT lang, n FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0) x
+          |GROUP BY lang ORDER BY lang""".stripMargin, "pruning subquery")
+      // 4. DISTINCT through the view (the Distinct path composes)
+      pinned("SELECT DISTINCT lang FROM mv_srcw_v ORDER BY lang",
+        "view-wrapped DISTINCT")
+      // 5. roll-up through the subquery
+      pinned(
+        """SELECT count(*) AS c
+          |FROM (SELECT lang FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0) x""".stripMargin,
+        "subquery roll-up")
+      // an ALIASING subquery changes the attribute namespace: stand down
+      assert(planOf(
+        """SELECT l, count(*) AS c
+          |FROM (SELECT lang AS l FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0) x
+          |GROUP BY l""".stripMargin).contains("mv_srcw"),
+        "aliasing wrapper must stand down")
+      // a COMPUTING subquery (expression under the source's own name)
+      // must stand down — serving it would be a wrong answer
+      val qComp =
+        """SELECT lang, count(*) AS c
+          |FROM (SELECT upper(lang) AS lang, doc_id
+          |      FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0) x
+          |GROUP BY lang""".stripMargin
+      assert(planOf(qComp).contains("mv_srcw"),
+        "computing wrapper must stand down")
+      // a view WEAKER than the MV predicate stands down
+      spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW mv_srcw_weak AS
+          |SELECT * FROM graft.db.mv_srcw""".stripMargin)
+      assert(planOf("SELECT lang, count(*) AS c FROM mv_srcw_weak GROUP BY lang")
+        .contains("mv_srcw"), "weaker view predicate must stand down")
+    } finally {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      spark.sql("DROP VIEW IF EXISTS mv_srcw_v")
+      spark.sql("DROP VIEW IF EXISTS mv_srcw_weak")
+    }
+  }
+
   test("join MV x expression dims: derived scalars over joined rows maintain and serve — create/refresh == recompute, regroup through computed dims, rewrite from state (r16, r17 candidate #3)") {
     val facts = fresh("jx_f"); val dim = fresh("jx_d"); fresh("jx_agg")
     TableFormat.commit(spark, facts,
