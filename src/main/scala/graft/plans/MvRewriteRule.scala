@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, HllSketchEstimate, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -78,10 +78,20 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     if (!plan.containsAnyPattern(TreePattern.AGGREGATE, TreePattern.DISTINCT_LIKE))
       return plan
     if (spark.sessionState.conf.getConfString(FLAG, "false") != "true") return plan
+    // CTE bodies for the wrapper fold (r16): at analysis time a CTE is
+    // still WithCTE + CTERelationRef leaves (InlineCTE runs in the
+    // optimizer), so `WITH x AS (SELECT … WHERE p) SELECT … FROM x`
+    // hides the source behind a ref. Collect the defs once; the unwrap
+    // follows refs into their bodies (matching below stays name-based —
+    // the ref's output names equal the def's, and column-aliasing defs
+    // fail the passthrough test). A rewritten aggregate simply stops
+    // referencing the def; the optimizer's InlineCTE drops it unused.
+    val cteDefs: Map[Long, LogicalPlan] =
+      plan.collect { case d: CTERelationDef => d.id -> d.child }.toMap
     plan.transformUpWithPruning(
       _.containsAnyPattern(TreePattern.AGGREGATE, TreePattern.DISTINCT_LIKE)) {
       case agg @ Aggregate(grouping, aggExprs, child, _) if agg.resolved =>
-        rewrite(grouping, aggExprs, child).getOrElse(agg)
+        rewrite(grouping, aggExprs, child, cteDefs).getOrElse(agg)
       // `SELECT DISTINCT dims…` (r16): at analysis time this is still
       // Distinct(Project(…)) — ReplaceDistinctWithAggregate runs later,
       // in the optimizer — so the Aggregate case above never sees the
@@ -91,7 +101,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       // re-distincts over the |groups|-row state.
       case d @ Distinct(Project(projList, child)) if d.resolved =>
         rewrite(projList.map { case Alias(e, _) => e; case e => e },
-          projList, child).getOrElse(d)
+          projList, child, cteDefs).getOrElse(d)
     }
   }
 
@@ -137,14 +147,22 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     * computing Project — stops the walk: names below it would not be
     * the source's (CTEs stay un-inlined at analysis time and stop the
     * walk at their CTERelationRef the same way). */
-  private def unwrapTrivial(p: LogicalPlan): (Seq[Expression], LogicalPlan) =
+  private def unwrapTrivial(p: LogicalPlan, cteDefs: Map[Long, LogicalPlan],
+                            seen: Set[Long] = Set.empty)
+      : (Seq[Expression], LogicalPlan) =
     p match {
-      case SubqueryAlias(_, c) => unwrapTrivial(c)
-      case v: View => unwrapTrivial(v.child)
-      case Project(ps, c) if ps.forall(isPassthrough) => unwrapTrivial(c)
+      case SubqueryAlias(_, c) => unwrapTrivial(c, cteDefs, seen)
+      case v: View => unwrapTrivial(v.child, cteDefs, seen)
+      case Project(ps, c) if ps.forall(isPassthrough) =>
+        unwrapTrivial(c, cteDefs, seen)
       case Filter(cond, c) =>
-        val (cs, core) = unwrapTrivial(c)
+        val (cs, core) = unwrapTrivial(c, cteDefs, seen)
         (splitConjunctivePredicates(cond) ++ cs, core)
+      // follow a CTE ref into its body; the seen-set stops recursive
+      // CTEs (a self-referencing def can never be a bare source anyway)
+      case r: CTERelationRef
+          if cteDefs.contains(r.cteId) && !seen.contains(r.cteId) =>
+        unwrapTrivial(cteDefs(r.cteId), cteDefs, seen + r.cteId)
       case other => (Nil, other)
     }
 
@@ -172,12 +190,14 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def rewrite(grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
-                      child: LogicalPlan): Option[LogicalPlan] = {
+                      child: LogicalPlan,
+                      cteDefs: Map[Long, LogicalPlan] = Map.empty)
+      : Option[LogicalPlan] = {
     // fold trivial wrappers first, then match the bare source: (filter
     // conjuncts, the plan the stored predicate re-analyzes against,
     // candidate list oriented to the MV's (src, src2), query join keys
     // in MV orientation — None = single-table query)
-    val (conds, core) = unwrapTrivial(child)
+    val (conds, core) = unwrapTrivial(child, cteDefs)
     val cond: Option[Expression] = conds.reduceLeftOption(
       org.apache.spark.sql.catalyst.expressions.And(_, _))
     val (analysisPlan: LogicalPlan, cands) = core match {

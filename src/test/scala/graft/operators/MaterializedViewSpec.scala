@@ -1050,6 +1050,23 @@ class MaterializedViewSpec extends SparkTestBase {
         """SELECT count(*) AS c
           |FROM (SELECT lang FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0) x""".stripMargin,
         "subquery roll-up")
+      // 6. CTE: at analysis time still WithCTE + CTERelationRef — the
+      //    unwrap follows the ref into its body (r16)
+      pinned(
+        """WITH x AS (SELECT * FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0)
+          |SELECT lang, count(*) AS c, sum(n) AS s FROM x
+          |GROUP BY lang ORDER BY lang""".stripMargin, "CTE-wrapped aggregate")
+      // 7. CTE + the query's own dim residual
+      pinned(
+        """WITH x AS (SELECT lang, n FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0)
+          |SELECT lang, sum(n) AS s FROM x WHERE lang <> 'l0'
+          |GROUP BY lang ORDER BY lang""".stripMargin, "CTE + residual")
+      // a column-ALIASING CTE renames the namespace: stand down
+      assert(planOf(
+        """WITH x (l, m) AS (SELECT lang, n FROM graft.db.mv_srcw
+          |                  WHERE doc_id % 5 <> 0)
+          |SELECT l, count(*) AS c FROM x GROUP BY l""".stripMargin)
+        .contains("mv_srcw"), "column-aliasing CTE must stand down")
       // an ALIASING subquery changes the attribute namespace: stand down
       assert(planOf(
         """SELECT l, count(*) AS c
