@@ -94,6 +94,25 @@ object MaterializedView {
     * register. */
   case class ApproxDistinctCol(colName: String, alias: String) extends AggSpec
 
+  /** VARIANCE / STDDEV (r16): `var_samp`/`var_pop`/`stddev_samp`/
+    * `stddev_pop` over INTEGRAL columns via exact POWER SUMS — the
+    * textbook IVM device: hidden Σx (long, the SUM contract's exposure)
+    * and Σx² (DECIMAL(38,0) — any long² fits in 38 digits, so the
+    * per-row square is always exact; sum overflow surfaces as NULL, the
+    * decimal contract) plus the non-null count. FULLY self-maintainable
+    * under inserts AND deletes (signed folds on both sums — no regroup,
+    * unlike extrema/distinct). The visible double derives from the
+    * exact sums by the same expression in fullState and merge, so
+    * refresh ≡ recompute bit-for-bit; the power-sum form trades the
+    * two-pass formula's cancellation resistance for incrementality
+    * (documented — the negative-drift guard clamps at 0 so stddev never
+    * NaNs). The QUERY REWRITE deliberately stands down on var/stddev
+    * calls: Spark's direct plan uses Welford-style central moments
+    * whose low-order double bits differ from the power-sum derivation —
+    * serving them would change answers. */
+  case class VarCol(colName: String, alias: String,
+                    pop: Boolean, stddev: Boolean) extends AggSpec
+
   /** MV over a JOIN of two graft tables (r13, VERDICT r12 #7): inner
     * equi-join on one column per side, keys written qualified in the ON
     * clause (`a.k = b.k`). `leftKey`/`rightKey` are the UNQUALIFIED
@@ -125,7 +144,8 @@ object MaterializedView {
   def parseDef(spark: SparkSession, sql: String): MvDef = {
     def refuse(what: String): Nothing = throw new IllegalArgumentException(
       s"materialized view: $what — supported shape is SELECT dims…, " +
-        "COUNT(*)/COUNT(col)/SUM(col)/AVG(col)/MIN(col)/MAX(col) AS alias… FROM " +
+        "COUNT(*)/COUNT(col)/SUM(col)/AVG(col)/MIN(col)/MAX(col)/" +
+        "VAR_SAMP|VAR_POP|STDDEV_SAMP|STDDEV_POP(col) AS alias… FROM " +
         "graft_table [INNER JOIN graft_table2 ON a.k = b.k] [WHERE pred] " +
         "GROUP BY dims (SUM/AVG over integral columns, MIN/MAX over integral " +
         "or string; no DISTINCT except COUNT(DISTINCT col); a dim may be a " +
@@ -195,7 +215,8 @@ object MaterializedView {
     // becomes the state column; maintenance computes it per row.
     def isAggCall(f: UnresolvedFunction): Boolean =
       f.isDistinct || Set("count", "sum", "avg", "mean", "min", "max",
-        "first", "last", "collect_list", "collect_set", "stddev", "variance")
+        "first", "last", "collect_list", "collect_set", "stddev", "variance",
+        "var_samp", "var_pop", "stddev_samp", "stddev_pop")
         .contains(f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString("."))
     val aliasExprs: Seq[(String, Expression)] = agg.aggregateExpressions.collect {
       case Alias(e, alias) => (alias, e)
@@ -273,6 +294,14 @@ object MaterializedView {
           case ("avg" | "mean", Seq(c: UnresolvedAttribute)) => Some(AvgCol(c.name, alias))
           case ("approx_distinct" | "approx_count_distinct", Seq(c: UnresolvedAttribute)) =>
             Some(ApproxDistinctCol(c.name, alias))
+          case ("var_samp" | "variance", Seq(c: UnresolvedAttribute)) =>
+            Some(VarCol(c.name, alias, pop = false, stddev = false))
+          case ("var_pop", Seq(c: UnresolvedAttribute)) =>
+            Some(VarCol(c.name, alias, pop = true, stddev = false))
+          case ("stddev_samp" | "stddev", Seq(c: UnresolvedAttribute)) =>
+            Some(VarCol(c.name, alias, pop = false, stddev = true))
+          case ("stddev_pop", Seq(c: UnresolvedAttribute)) =>
+            Some(VarCol(c.name, alias, pop = true, stddev = true))
           case ("min", Seq(c: UnresolvedAttribute)) => Some(MinCol(c.name, alias))
           case ("max", Seq(c: UnresolvedAttribute)) => Some(MaxCol(c.name, alias))
           case _ => refuse(s"aggregate '${f.nameParts.mkString(".")}' in '$alias'")
@@ -298,7 +327,7 @@ object MaterializedView {
     (dims ++ aggs.collect {
       case CountCol(c, _) => c; case SumCol(c, _) => c; case AvgCol(c, _) => c
       case MinCol(c, _) => c; case MaxCol(c, _) => c; case DistinctCol(c, _) => c
-      case ApproxDistinctCol(c, _) => c
+      case ApproxDistinctCol(c, _) => c; case VarCol(c, _, _, _) => c
     }).find(_.contains(".")).foreach(c => refuse(
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
@@ -337,6 +366,8 @@ object MaterializedView {
   private def ddCol(a: String) = s"__dd_$a"    // distinct: delete marker
   private def hllCol(a: String) = s"__hll_$a"  // approx distinct: HLL sketch
   private def dhllCol(a: String) = s"__dhll_$a" // approx distinct: insert sketch
+  private def qCol(a: String) = s"__q_$a"    // variance: exact Σx² (decimal)
+  private def dqCol(a: String) = s"__dq_$a"  // variance: signed Σx² delta
   private val REGROUP = "__regroup"
 
   private def hasMinMax(d: MvDef): Boolean = d.aggs.exists {
@@ -384,6 +415,29 @@ object MaterializedView {
     aggregate(map_values(m), lit(0L),
       (acc, x) => acc + call_function("bitmap_count", x))
 
+  /** Exact per-row square for the variance power sums: any long² fits
+    * in DECIMAL(38,0) (long max² ≈ 8.5e37 < 1e38), so the square is
+    * always exact; the SUM over it surfaces overflow as NULL. */
+  private def sqExact(c: String): Column = {
+    val d = col(c).cast(DecimalType(38, 0))
+    d * d
+  }
+
+  /** The ONE visible-variance derivation both fullState and merge use
+    * (refresh ≡ recompute bit-for-bit on the double): power-sum form
+    * (Σx² − (Σx)²/n) / (n or n−1), negative float drift clamped at 0
+    * (so stddev never NaNs on a constant column), NULL below the
+    * denominator's support. */
+  private def varVisible(s: Column, q: Column, n: Column,
+                         pop: Boolean, stddev: Boolean): Column = {
+    val nd = n.cast(DoubleType)
+    val num = q.cast(DoubleType) - s.cast(DoubleType) * s.cast(DoubleType) / nd
+    val v = greatest(num / (if (pop) nd else nd - lit(1.0d)), lit(0.0d))
+    val out = if (stddev) sqrt(v) else v
+    when(n > lit(if (pop) 0L else 1L), out)
+      .otherwise(lit(null).cast(DoubleType))
+  }
+
   /** Integral-only guard for SUM/COUNT columns (exactness contract). */
   private def validateTypes(d: MvDef, srcSchema: StructType): Unit = {
     def fieldOf(c: String): StructField =
@@ -396,13 +450,15 @@ object MaterializedView {
     d.aggs.collect {
       case SumCol(c, a) => ("SUM", c, a)
       case AvgCol(c, a) => ("AVG", c, a)
+      case VarCol(c, a, _, _) => ("VAR/STDDEV", c, a)
     }.foreach { case (fn, c, a) =>
       fieldOf(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => ()
         case dt => throw new IllegalArgumentException(
           s"materialized view: $fn($c) AS $a over ${dt.simpleString} — " +
-            "incremental float accumulation drifts vs recompute; SUM/AVG are " +
-            "integral-only (cast to a fixed-point integral column upstream)")
+            "incremental float accumulation drifts vs recompute; SUM/AVG/" +
+            "VAR/STDDEV are integral-only (cast to a fixed-point integral " +
+            "column upstream)")
       }
     }
     d.aggs.collect { case DistinctCol(c, a) =>
@@ -464,12 +520,20 @@ object MaterializedView {
       // the same function applied at merge, so fold ≡ recompute
       case ApproxDistinctCol(c, a) =>
         coalesce(hll_sketch_estimate(hll_sketch_agg(col(c))), lit(0L)).as(a)
+      // variance/stddev (r16): the SAME power-sum derivation merge uses
+      case VarCol(c, a, pop, stddev) =>
+        varVisible(sum(col(c).cast(LongType)), sum(sqExact(c)),
+          count(col(c)), pop, stddev).as(a)
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) => Seq(count(col(c)).as(nCol(a)))
       case AvgCol(c, a) =>
         Seq(sum(col(c).cast(LongType)).as(sCol(a)), count(col(c)).as(nCol(a)))
       case ApproxDistinctCol(c, a) => Seq(hll_sketch_agg(col(c)).as(hllCol(a)))
+      case VarCol(c, a, _, _) => Seq(
+        sum(col(c).cast(LongType)).as(sCol(a)),
+        sum(sqExact(c)).as(qCol(a)),
+        count(col(c)).as(nCol(a)))
     }.flatten :+ count(lit(1)).as(CNT)
     val all = visible ++ hidden
     val base = filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
@@ -511,17 +575,26 @@ object MaterializedView {
       // the INSERTED values' sketch folds in by union below
       case ApproxDistinctCol(c, a) =>
         max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
+      // variance/stddev (r16): signed power-sum deltas — fully
+      // self-maintainable both directions, no regroup marker needed
+      case VarCol(c, a, _, _) =>
+        sum(col(c).cast(LongType) * col("__sign")).as(dCol(a))
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) =>
-        sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a))
+        Seq(sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a)))
       case AvgCol(c, a) =>
-        sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a))
-      case MinCol(c, a) => min(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
-      case MaxCol(c, a) => max(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a))
+        Seq(sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a)))
+      case MinCol(c, a) =>
+        Seq(min(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a)))
+      case MaxCol(c, a) =>
+        Seq(max(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a)))
       case ApproxDistinctCol(c, a) =>
-        hll_sketch_agg(when(col("__sign") === 1L, col(c))).as(dhllCol(a))
-    } :+ sum(col("__sign")).as(s"__d$CNT")
+        Seq(hll_sketch_agg(when(col("__sign") === 1L, col(c))).as(dhllCol(a)))
+      case VarCol(c, a, _, _) => Seq(
+        sum(sqExact(c) * col("__sign")).as(dqCol(a)),
+        sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a)))
+    }.flatten :+ sum(col("__sign")).as(s"__d$CNT")
     val all = deltas ++ hidden
     val base = filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
     d.aggs.collect { case DistinctCol(c, a) => (c, a) }
@@ -553,6 +626,12 @@ object MaterializedView {
     val joined = state.join(deltaR, cond, "full_outer")
     def add(a: String, b: String): Column =
       coalesce(col(a), lit(0L)) + coalesce(col(b), lit(0L))
+    // decimal power sums (variance): the typed zero keeps the merged
+    // column at DECIMAL(38,0) instead of coercing through longs
+    def addDec(a: String, b: String): Column = {
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))
+      coalesce(col(a), zero) + coalesce(col(b), zero)
+    }
     val absent = col(CNT).isNull // no state row for this group
     val outAggs: Seq[Column] = d.aggs.map {
       case CountStar(a) => add(a, dCol(a)).as(a)
@@ -574,6 +653,10 @@ object MaterializedView {
       // sibling select items cannot reference each other
       case DistinctCol(_, a) => lit(null).cast(LongType).as(a)
       case ApproxDistinctCol(_, a) => lit(null).cast(LongType).as(a)
+      // the SAME derivation fullState uses, over the merged exact sums
+      case VarCol(_, a, pop, stddev) =>
+        varVisible(add(sCol(a), dCol(a)), addDec(qCol(a), dqCol(a)),
+          add(nCol(a), dnCol(a)), pop, stddev).as(a)
     }
     val regroupConds: Seq[Column] = d.aggs.collect {
       case MinCol(_, a) =>
@@ -608,6 +691,14 @@ object MaterializedView {
           .when(col(dhllCol(a)).isNull, col(hllCol(a)))
           .otherwise(hll_union(col(hllCol(a)), col(dhllCol(a))))
           .as(hllCol(a)))
+      // merged power sums (all-null groups report NULL, mirroring AVG,
+      // so the state matches a recompute's NULL sums bit-for-bit)
+      case VarCol(_, a, _, _) => Seq(
+        when(add(nCol(a), dnCol(a)) > 0, add(sCol(a), dCol(a)))
+          .otherwise(lit(null).cast(LongType)).as(sCol(a)),
+        when(add(nCol(a), dnCol(a)) > 0, addDec(qCol(a), dqCol(a)))
+          .otherwise(lit(null).cast(DecimalType(38, 0))).as(qCol(a)),
+        add(nCol(a), dnCol(a)).as(nCol(a)))
     }.flatten :+ add(CNT, s"__d$CNT").as(CNT)) ++
       (if (needsRegroup(d))
          Seq(regroupConds.reduce(_ || _).as(REGROUP))

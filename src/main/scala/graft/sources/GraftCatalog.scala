@@ -4557,6 +4557,50 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `mv_var` (r16): variance/stddev in the incremental MV via exact
+    * POWER SUMS — hidden Σx (long) + Σx² (DECIMAL(38,0): any long²
+    * fits 38 digits, so the per-row square is always exact) + the
+    * non-null count. FULLY self-maintainable under inserts AND deletes
+    * (signed folds on both sums — zero regroups, unlike extrema/
+    * distinct). The visible double derives from the exact sums by ONE
+    * shared expression in create and merge, so refresh ≡ recompute
+    * bit-for-bit — and the oracle computes the IDENTICAL power-sum
+    * expression over the equivalent final state in DuckDB, so the hash
+    * match is on exact doubles with no rounding. The query REWRITE
+    * deliberately stands down on var/stddev (Spark's Welford doubles
+    * differ in low bits from the power-sum derivation). */
+  def mvVar(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvv_src", "mvv_agg", "mvv_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvv_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvv_agg',
+        |  'SELECT lang, count(*) AS n_docs, var_samp(n_chars) AS v_chars,
+        |          stddev_samp(n_chars) AS sd_chars, var_pop(n_chars) AS vp_chars
+        |   FROM graft.db.mvv_src GROUP BY lang')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 11 = 3")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 8000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("yy")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 200L, 399L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvv_agg')").collect()
+    spark.sql(
+      """SELECT lang, n_docs, v_chars, sd_chars, vp_chars FROM graft.db.mvv_agg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `mv_rewrite` (r15, VERDICT r14 #2): MV-BASED QUERY REWRITE — the
     * read half of materialized views. The user's aggregate targets the
     * SOURCE table; with `spark.graft.mv.rewrite=true` and the MV fresh
@@ -4765,6 +4809,7 @@ object GraftCatalogOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
+    "mv_var" -> (mvVar _),
     "mv_rewrite" -> (mvRewrite _),
     "mv_rewrite_rollup" -> (mvRewriteRollup _),
     "mv_rewrite_join" -> (mvRewriteJoin _),
@@ -4863,6 +4908,30 @@ object GraftCatalogOps {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM final_state
         |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "mv_var" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 200 AND 399
+        |  UNION ALL
+        |  SELECT doc_id + 8000000000, 'yy', n_chars FROM documents
+        |  WHERE doc_id % 11 = 3),
+        |sums AS (
+        |  SELECT lang, count(1) AS n_docs, count(n_chars) AS nn,
+        |    CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS DOUBLE) AS q,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS s
+        |  FROM final_state GROUP BY lang)
+        |SELECT lang, n_docs,
+        |  CASE WHEN nn > 1 THEN greatest(
+        |    (q - s * s / CAST(nn AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0), 0.0)
+        |  END AS v_chars,
+        |  CASE WHEN nn > 1 THEN sqrt(greatest(
+        |    (q - s * s / CAST(nn AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0), 0.0))
+        |  END AS sd_chars,
+        |  CASE WHEN nn > 0 THEN greatest(
+        |    (q - s * s / CAST(nn AS DOUBLE)) / CAST(nn AS DOUBLE), 0.0)
+        |  END AS vp_chars
+        |FROM sums
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_rewrite" ->
       """WITH final_state AS (

@@ -1175,6 +1175,125 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  test("variance/stddev MV state: exact power sums fold under inserts AND deletes with zero regroups — refresh == recompute bit-for-bit on the shared derivation (r16)") {
+    val src = fresh("mv_srcv"); fresh("mv_aggv")
+    // a constant-valued group ('cc') exercises the negative-drift clamp
+    // (stddev of a constant must be 0.0, never NaN); a single-row group
+    // ('one') pins the n=1 NULL/0 split between samp and pop
+    val rows: Seq[(Long, String, Option[Long])] =
+      (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "fr",
+        Some(i * i % 997))) ++
+      (1000L until 1040L).map(i => (i, "cc", Some(42L))) ++
+      Seq((2000L, "one", Some(7L)), (2001L, "nn", None))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggv',
+        |  'SELECT lang, count(*) AS n_docs, var_samp(n) AS v,
+        |          stddev_samp(n) AS sd, var_pop(n) AS vp, stddev_pop(n) AS sdp
+        |   FROM graft.db.mv_srcv GROUP BY lang')""".stripMargin).collect()
+    // the recompute uses the SAME power-sum derivation — equality is
+    // bit-for-bit, not ulp-tolerant
+    def recomputeV: Seq[Row] = spark.sql(
+      """SELECT lang, count(1) AS n_docs,
+        |  CASE WHEN count(n) > 1 THEN greatest(
+        |    (CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+        |     - CAST(sum(CAST(n AS BIGINT)) AS DOUBLE) * CAST(sum(CAST(n AS BIGINT)) AS DOUBLE)
+        |       / CAST(count(n) AS DOUBLE))
+        |    / (CAST(count(n) AS DOUBLE) - 1.0D), 0.0D) END AS v,
+        |  CASE WHEN count(n) > 1 THEN sqrt(greatest(
+        |    (CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+        |     - CAST(sum(CAST(n AS BIGINT)) AS DOUBLE) * CAST(sum(CAST(n AS BIGINT)) AS DOUBLE)
+        |       / CAST(count(n) AS DOUBLE))
+        |    / (CAST(count(n) AS DOUBLE) - 1.0D), 0.0D)) END AS sd,
+        |  CASE WHEN count(n) > 0 THEN greatest(
+        |    (CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+        |     - CAST(sum(CAST(n AS BIGINT)) AS DOUBLE) * CAST(sum(CAST(n AS BIGINT)) AS DOUBLE)
+        |       / CAST(count(n) AS DOUBLE))
+        |    / CAST(count(n) AS DOUBLE), 0.0D) END AS vp,
+        |  CASE WHEN count(n) > 0 THEN sqrt(greatest(
+        |    (CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+        |     - CAST(sum(CAST(n AS BIGINT)) AS DOUBLE) * CAST(sum(CAST(n AS BIGINT)) AS DOUBLE)
+        |       / CAST(count(n) AS DOUBLE))
+        |    / CAST(count(n) AS DOUBLE), 0.0D)) END AS sdp
+        |FROM graft.db.mv_srcv GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def readV: Seq[Row] = spark.sql(
+      """SELECT lang, n_docs, v, sd, vp, sdp FROM graft.db.mv_aggv
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    assert(readV == recomputeV, "create drifted from the power-sum recompute")
+    // sanity vs Spark's own estimators (Welford central moments): the
+    // values agree to a few ulps even though the bits may differ
+    spark.sql(
+      """SELECT lang, var_samp(n) AS v, stddev_pop(n) AS sdp
+        |FROM graft.db.mv_srcv GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect()
+      .zip(readV).foreach { case (w, m) =>
+        Seq((1, 2), (2, 5)).foreach { case (wi, mi) =>
+          val (a, b) = (w.get(wi), m.get(mi))
+          if (a != null && b != null) {
+            val (x, y) = (a.asInstanceOf[Double], b.asInstanceOf[Double])
+            assert(math.abs(x - y) <= math.max(math.abs(x), 1.0) * 1e-9,
+              s"power-sum vs Welford diverged beyond float noise: $x vs $y")
+          }
+        }
+      }
+    // expected corner values
+    val byLang = readV.map(r => r.getString(0) -> r).toMap
+    assert(byLang("cc").getDouble(2) == 0.0 && byLang("cc").getDouble(3) == 0.0,
+      "constant column must have exactly zero variance (clamp)")
+    assert(byLang("one").isNullAt(2) && byLang("one").getDouble(4) == 0.0,
+      "n=1: var_samp NULL, var_pop 0")
+    assert(byLang("nn").isNullAt(2) && byLang("nn").isNullAt(4),
+      "all-NULL group: every variance NULL")
+    // INSERT fold (new group + existing groups) — zero regroups
+    TableFormat.appendCommit(spark, src,
+      ((300L until 400L).map(i => (i, "zz", Some(i * 3 % 501)))
+        : Seq[(Long, String, Option[Long])]).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggv')").head
+    assert(r1.getLong(4) == 0L, s"insert span must not regroup: $r1")
+    assert(readV == recomputeV, "insert fold drifted")
+    // DELETE fold — variance is self-maintainable under deletes too:
+    // still zero regroups (the MIN/MAX/distinct paths would rescan)
+    TableFormat.deleteWhere(spark, src, "doc_id", 50L, 149L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggv')").head
+    assert(r2.getLong(4) == 0L, s"delete span must not regroup: $r2")
+    assert(readV == recomputeV, "delete fold drifted")
+    // kill the constant group entirely — group death composes
+    TableFormat.deleteWhere(spark, src, "doc_id", 1000L, 1039L)
+    spark.sql("CALL graft.system.refresh_mv('db.mv_aggv')").collect()
+    assert(readV == recomputeV)
+    assert(!readV.exists(_.getString(0) == "cc"), "dead group must vanish")
+    // the QUERY REWRITE stands down on var/stddev calls: Spark's direct
+    // plan is Welford-based and its low-order double bits differ from
+    // the power-sum derivation — serving them would change answers
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val qv =
+        """SELECT lang, var_samp(n) AS v FROM graft.db.mv_srcv
+          |GROUP BY lang""".stripMargin
+      assert(spark.sql(qv).queryExecution.optimizedPlan.toString
+        .contains("mv_srcv"), "var_samp query must not be served from MV state")
+      // sibling aggregates the SAME MV stores still serve
+      val qc =
+        """SELECT lang, count(*) AS c FROM graft.db.mv_srcv
+          |GROUP BY lang""".stripMargin
+      assert(spark.sql(qc).queryExecution.optimizedPlan.toString
+        .contains("mv_aggv__state"), "count over the var MV must still serve")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    // float columns refuse with the named cure
+    fresh("mv_aggv2")
+    val e = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggv2',
+        |  'SELECT lang, var_samp(CAST(n AS DOUBLE)) AS v
+        |   FROM graft.db.mv_srcv GROUP BY lang')""".stripMargin).collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("not") || chain(e).contains("integral"),
+      chain(e))
+  }
+
   test("shape refusals name the offending construct") {
     val src = fresh("mv_src5"); fresh("mv_agg5")
     TableFormat.commit(spark, src,
