@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, HllSketchEstimate, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Deduplicate, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -102,6 +102,16 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       case d @ Distinct(Project(projList, child)) if d.resolved =>
         rewrite(projList.map { case Alias(e, _) => e; case e => e },
           projList, child, cteDefs).getOrElse(d)
+      // the DataFrame API's `distinct()`/`dropDuplicates()` plans as
+      // Deduplicate, not Distinct (r16): when the dedup keys are the
+      // ENTIRE output, it IS `SELECT DISTINCT output` — serve it the
+      // same way. Keyed dropDuplicates(subset) keeps whole rows (an
+      // arbitrary representative per key) and can never be served from
+      // group state: the key≠output case falls through untouched.
+      case d @ Deduplicate(keys, child) if d.resolved &&
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(keys) ==
+            child.outputSet =>
+        rewrite(child.output, child.output, child, cteDefs).getOrElse(d)
     }
   }
 

@@ -995,6 +995,27 @@ class MaterializedViewSpec extends SparkTestBase {
       // a weaker WHERE than the MV's stands down
       assert(planOf("SELECT DISTINCT lang FROM graft.db.mv_srcd")
         .contains("mv_srcd"), "weaker predicate must stand down")
+      // the DataFrame API route: distinct()/dropDuplicates() plan as
+      // Deduplicate, not Distinct — whole-output dedup serves the same
+      val dfd = spark.table("graft.db.mv_srcd")
+        .where("doc_id % 5 <> 0").select("lang", "bucket").distinct()
+      assert(dfd.queryExecution.optimizedPlan.toString.contains("mv_aggd__state"),
+        s"Dataset.distinct not substituted:\n${dfd.queryExecution.optimizedPlan}")
+      val directD = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.table("graft.db.mv_srcd").where("doc_id % 5 <> 0")
+          .select("lang", "bucket").distinct()
+          .orderBy("lang", "bucket").collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(dfd.orderBy("lang", "bucket").collect().toSeq == directD,
+        "Dataset.distinct values diverged")
+      // keyed dropDuplicates keeps WHOLE rows (a representative per
+      // key) — never servable from group state
+      val dfk = spark.table("graft.db.mv_srcd")
+        .where("doc_id % 5 <> 0").dropDuplicates("lang")
+      assert(dfk.queryExecution.optimizedPlan.toString.contains("mv_srcd"),
+        "keyed dropDuplicates must stand down")
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
