@@ -1585,7 +1585,7 @@ object TableFormat {
       val newSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val parentColmap = inherited(
         manifestColmap(spark, base, version - 1), Map.empty[String, String])
-      effEqDel.map(_._2).distinct.foreach { k =>
+      effEqDel.flatMap(r => eqColsOf(r._2)).distinct.foreach { k =>
         if (!newSchema.fieldNames.contains(k) ||
             effColmap.getOrElse(k, k) != parentColmap.getOrElse(k, k))
           throw new UnsupportedOperationException(
@@ -3066,7 +3066,22 @@ object TableFormat {
     * files) resolution, not to an unbounded key-set union. 0 disables
     * the cap (the pure O(batch) contract, caller owns resolution). */
   def deleteByKeysEq(spark: SparkSession, base: String, keys: DataFrame,
-                     key: String): (Int, Long) = {
+                     key: String): (Int, Long) =
+    deleteByKeysEq(spark, base, keys, Seq(key))
+
+  /** COMPOSITE-KEY equality delete (r16): the CDC feed keyed on a
+    * multi-column business key — `(tenant_id, user_id)` — stages ONE
+    * key file holding all key columns; the manifest record stores the
+    * column list comma-joined and every consumer (serving anti-joins,
+    * resolution, consolidation, both change feeds' emit paths, the
+    * ALTER guard) matches on the full tuple. A key row with NULL in ANY
+    * component is dropped at ingest — SQL equality can never match it,
+    * the same [[deleteByKeysDV]] semantics single-column keys have. */
+  def deleteByKeysEq(spark: SparkSession, base: String, keys: DataFrame,
+                     keyCols: Seq[String]): (Int, Long) = {
+    require(keyCols.nonEmpty, "delete_eq: at least one key column")
+    require(keyCols.forall(!_.contains(",")),
+      s"delete_eq: key column names may not contain ',' (got $keyCols)")
     val cap = spark.conf.getOption("spark.graft.eqdel.maxOutstanding")
       .map(_.toInt).getOrElse(64)
     if (cap > 0 &&
@@ -3088,18 +3103,20 @@ object TableFormat {
     val v = currentVersion(spark, base)
     val schemaJson = manifestSchema(spark, base, v).map(_.json).getOrElse(
       throw new IllegalStateException(s"table $base v$v has no schema header"))
-    require(manifestSchema(spark, base, v).exists(_.fields.exists(_.name == key)),
-      s"delete_eq: key column '$key' is not in the table schema")
+    keyCols.foreach(k =>
+      require(manifestSchema(spark, base, v).exists(_.fields.exists(_.name == k)),
+        s"delete_eq: key column '$k' is not in the table schema"))
     val version = v + 1
     val dir = s"$base/data/eq${version}_${java.util.UUID.randomUUID.toString.take(8)}"
-    keys.select(col(key)).na.drop.distinct().write.parquet(dir)
+    keys.select(keyCols.map(col): _*).na.drop.distinct().write.parquet(dir)
     val n = spark.read.parquet(dir).count()
     if (n == 0) {
       try { fs(spark, base).delete(new Path(dir), true); () }
       catch { case _: java.io.IOException => () }
       return (v, 0L)
     }
-    val eqd = manifestEqDels(spark, base, v) :+ ((dir, key, version))
+    val eqd = manifestEqDels(spark, base, v) :+
+      ((dir, keyCols.mkString(","), version))
     val out = writeManifest(spark, base, version, schemaJson,
       manifestEntries(spark, base, v), txn = None,
       statsCols = manifestStatsCols(spark, base, v), op = "delete_eq",
@@ -3111,19 +3128,26 @@ object TableFormat {
     * (per-batch) key files derive it from their manifest record. */
   private[graft] val EqVerCol = "__eqv"
 
-  /** One delete KEY COLUMN's outstanding key sets as a single frame
-    * `(key, __eqv)` — each key row tagged with the version its delete
-    * committed at, so the version-scoping moves INTO the join
+  /** A record's key-column SPEC: one column, or a comma-joined list
+    * for composite business keys (r16). */
+  private[graft] def eqColsOf(spec: String): Seq[String] =
+    spec.split(',').toSeq
+
+  /** One delete KEY SPEC's outstanding key sets as a single frame
+    * `(keyCols…, __eqv)` — each key row tagged with the version its
+    * delete committed at, so the version-scoping moves INTO the join
     * condition (one plan branch per key file, linear in the backlog).
     * A CONSOLIDATED key file ([[consolidateEqDeletes]], r16) stores its
     * per-key versions as a real `__eqv` column — read verbatim. */
   private def eqKeysDfV(spark: SparkSession,
-                        recs: Seq[(String, String, Int)], key: String): DataFrame =
+                        recs: Seq[(String, String, Int)], spec: String): DataFrame = {
+    val cs = eqColsOf(spec).map(col)
     recs.map { case (dir, _, v) =>
       val raw = spark.read.parquet(dir)
-      if (raw.columns.contains(EqVerCol)) raw.select(col(key), col(EqVerCol))
-      else raw.select(col(key), lit(v).as(EqVerCol))
+      if (raw.columns.contains(EqVerCol)) raw.select(cs :+ col(EqVerCol): _*)
+      else raw.select(cs :+ lit(v).as(EqVerCol): _*)
     }.reduce(_ unionByName _).distinct()
+  }
 
   /** Total on-disk bytes of a delete family's key files — the
     * broadcast size gate (driver-side listing, paths already known). */
@@ -3202,8 +3226,8 @@ object TableFormat {
         Some(eqd.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(data) {
           case (df, (k, recs)) =>
             val keys = eqKeysGated(spark, recs, k)
-            df.join(keys, df(k) === keys(k) && keys("__eqv") > df("__eqav"),
-              "left_anti")
+            val tupleEq = eqColsOf(k).map(c => df(c) === keys(c)).reduce(_ && _)
+            df.join(keys, tupleEq && keys("__eqv") > df("__eqav"), "left_anti")
         }.drop("__eqav"))
       }
     (clearDf.toSeq ++ maskedDf.toSeq).reduce(_ unionByName _)
@@ -3244,8 +3268,8 @@ object TableFormat {
       .withColumn("__eqav", eqAddedVCol(adds, col("__fp")))
     val newPairs = eqd.groupBy(_._2).toSeq.sortBy(_._1).map { case (k, recs) =>
       val keys = eqKeysGated(spark, recs, k)
-      data.join(keys, data(k) === keys(k) && keys("__eqv") > data("__eqav"),
-          "left_semi")
+      val tupleEq = eqColsOf(k).map(c => data(c) === keys(c)).reduce(_ && _)
+      data.join(keys, tupleEq && keys("__eqv") > data("__eqav"), "left_semi")
         .select(col("__fp").as(DvFileCol), col("__ri").as(DvPosCol))
     }.reduce(_ unionByName _).distinct()
     val touchedE = groups.flatMap(_._2)
@@ -3305,7 +3329,8 @@ object TableFormat {
         // sets — small by construction, and a single file keeps the
         // executor-side loader's read one open/scan
         eqKeysDfV(spark, recs, k)
-          .groupBy(col(k)).agg(max(col(EqVerCol)).cast("int").as(EqVerCol))
+          .groupBy(eqColsOf(k).map(col): _*)
+          .agg(max(col(EqVerCol)).cast("int").as(EqVerCol))
           .coalesce(1)
           .write.parquet(dir)
         // record version = max constituent: the record-level
@@ -4201,7 +4226,7 @@ object TableFormat {
             val del = newRecs.groupBy(_._2).toSeq.sortBy(_._1).map {
               case (k, recs) =>
                 live.join(broadcast(eqKeysDfV(spark, recs, k).drop("__eqv")
-                  .distinct()), Seq(k), "left_semi")
+                  .distinct()), eqColsOf(k), "left_semi")
             }.reduce(_ unionByName _)
             Seq(tag(del, "delete"))
           }

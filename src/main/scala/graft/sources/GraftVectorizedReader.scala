@@ -78,11 +78,14 @@ private[sources] class GraftVectorizedRowReader(
 
   // EQ-DELETE emit-mode (r16): produce ONLY the dv-live rows whose key
   // is in THIS commit's key set and not already masked by an earlier
-  // outstanding delete — the same attribution the batch feed uses
-  private val eqKeyIdx: Int =
-    part.cdf.flatMap(_.eqKeyCol)
-      .map(k => readSchema.fieldNames.indexWhere(_.equalsIgnoreCase(k)))
-      .getOrElse(-1)
+  // outstanding delete — the same attribution the batch feed uses. A
+  // key SPEC may be composite (comma-joined columns, r16): the probe
+  // value is then the full tuple.
+  private def eqIdxsOf(spec: String): Array[Int] =
+    spec.split(',').map(c =>
+      readSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
+  private val eqKeyIdxs: Array[Int] =
+    part.cdf.flatMap(_.eqKeyCol).map(eqIdxsOf).getOrElse(Array.empty)
   // the new delete's key dir is always a plain per-batch set; earlier
   // dirs may be CONSOLIDATED (`eqc` prefix, r16) — their per-key stored
   // versions filter against this file's added-version, so only deletes
@@ -91,22 +94,45 @@ private[sources] class GraftVectorizedRowReader(
   private val eqAv: Int = part.cdf.flatMap(_.eqAddedV).getOrElse(0)
   private val eqNewSet: java.util.HashSet[AnyRef] =
     part.cdf.flatMap(_.eqNewDir).map(d =>
-      EqKeys.load(conf.value, d, readSchema.fields(eqKeyIdx), eqAv)).orNull
-  private val eqOldSets: Array[(Int, java.util.HashSet[AnyRef])] =
+      EqKeys.load(conf.value, d,
+        eqKeyIdxs.map(readSchema.fields(_)).toSeq, eqAv)).orNull
+  private val eqOldSets: Array[(Array[Int], java.util.HashSet[AnyRef])] =
     part.cdf.flatMap(_.eqOldPairs).map {
       _.split(graft.operators.DvLookup.DirSep).filter(_.nonEmpty).map { pair =>
         val Array(c, d) = pair.split('\t')
-        val idx = readSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-        (idx, EqKeys.load(conf.value, d, readSchema.fields(idx), eqAv))
+        val idxs = eqIdxsOf(c)
+        (idxs, EqKeys.load(conf.value, d,
+          idxs.map(readSchema.fields(_)).toSeq, eqAv))
       }
     }.getOrElse(Array.empty)
 
+  /** The row's probe value for a key spec: the bare value for a single
+    * column, a Vector for a composite tuple (element-wise equals, so
+    * it probes the loaded sets directly); NULL in ANY component means
+    * the row can never match a delete. */
+  private def eqKeyOf(row: InternalRow, idxs: Array[Int]): AnyRef = {
+    if (idxs.length == 1) {
+      if (row.isNullAt(idxs(0))) null
+      else row.get(idxs(0), readSchema.fields(idxs(0)).dataType).asInstanceOf[AnyRef]
+    } else {
+      val b = Vector.newBuilder[AnyRef]
+      var i = 0
+      while (i < idxs.length) {
+        if (row.isNullAt(idxs(i))) return null
+        b += row.get(idxs(i), readSchema.fields(idxs(i)).dataType).asInstanceOf[AnyRef]
+        i += 1
+      }
+      b.result()
+    }
+  }
+
   private def eqEmit(row: InternalRow): Boolean = {
-    if (row.isNullAt(eqKeyIdx)) return false // NULL never matches a delete
-    val v = row.get(eqKeyIdx, readSchema.fields(eqKeyIdx).dataType)
-    if (!eqNewSet.contains(v)) return false
-    eqOldSets.forall { case (i, s) =>
-      row.isNullAt(i) || !s.contains(row.get(i, readSchema.fields(i).dataType))
+    val k = eqKeyOf(row, eqKeyIdxs)
+    if (k == null) return false // NULL never matches a delete
+    if (!eqNewSet.contains(k)) return false
+    eqOldSets.forall { case (idxs, s) =>
+      val ko = eqKeyOf(row, idxs)
+      ko == null || !s.contains(ko)
     }
   }
 
@@ -250,24 +276,33 @@ private[sources] object EqKeys {
     * .consolidateEqDeletes]], r16) carries per-key delete versions in a
     * `__eqv` column; `addedV` scopes the loaded set to the deletes that
     * apply to the PROBING FILE (deleteV > addedV). Plain per-batch dirs
-    * ignore `addedV` — the planner already scoped them record-level. */
+    * ignore `addedV` — the planner already scoped them record-level.
+    * COMPOSITE key specs (r16) load as Vectors of the column values
+    * (element-wise equals, matching the reader's tuple probes). */
   def load(conf: org.apache.hadoop.conf.Configuration, dir: String,
-           field: org.apache.spark.sql.types.StructField,
+           fields: Seq[org.apache.spark.sql.types.StructField],
            addedV: Int = 0): java.util.HashSet[AnyRef] = {
     val versioned = new HadoopPath(dir).getName.startsWith("eqc")
+    val names = fields.map(_.name).mkString(",")
     val key =
-      if (versioned) dir + " " + field.name + " @" + addedV
-      else dir + " " + field.name
+      if (versioned) dir + " " + names + " @" + addedV
+      else dir + " " + names
     val hit = cache.synchronized(cache.get(key))
     if (hit != null) return hit
     val out = new java.util.HashSet[AnyRef]()
     val d = new HadoopPath(dir)
     val fs = d.getFileSystem(conf)
+    val vIdx = fields.length
     val schema =
-      if (versioned) StructType(Seq(field,
+      if (versioned) StructType(fields :+
         org.apache.spark.sql.types.StructField("__eqv",
-          org.apache.spark.sql.types.IntegerType)))
-      else StructType(Seq(field))
+          org.apache.spark.sql.types.IntegerType))
+      else StructType(fields)
+    def valueAt(row: InternalRow, i: Int): AnyRef =
+      row.get(i, fields(i).dataType) match {
+        case s: UTF8String => s.copy() // batch-buffer view
+        case v => v.asInstanceOf[AnyRef]
+      }
     fs.listStatus(d).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .foreach { st =>
         val r = GraftVectorizedReaders.open(st.getPath.toString, schema, conf,
@@ -275,12 +310,12 @@ private[sources] object EqKeys {
         try {
           while (r.nextKeyValue()) {
             val row = r.getCurrentValue.asInstanceOf[InternalRow]
-            if (!row.isNullAt(0) &&
-                (!versioned || (!row.isNullAt(1) && row.getInt(1) > addedV)))
-              out.add(row.get(0, field.dataType) match {
-                case s: UTF8String => s.copy() // batch-buffer view
-                case v => v.asInstanceOf[AnyRef]
-              })
+            val anyNull = (0 until fields.length).exists(row.isNullAt)
+            if (!anyNull &&
+                (!versioned || (!row.isNullAt(vIdx) && row.getInt(vIdx) > addedV)))
+              out.add(
+                if (fields.length == 1) valueAt(row, 0)
+                else (0 until fields.length).map(valueAt(row, _)).toVector)
           }
         } finally r.close()
       }

@@ -1466,6 +1466,104 @@ class TableFormatSpec extends SparkTestBase {
     }
   }
 
+  test("composite-key equality deletes: tuple masks never over-delete, scoping across re-inserts, consolidation, both feeds exact, alter guard (r16)") {
+    val base = freshBase("tf_eq_multi")
+    // the same uid lives under BOTH tenants: a single-column mask would
+    // over-delete — the tuple must not
+    def mk(t: String, ids: Seq[Long], tag: String) =
+      ids.map(i => (t, i, s"$tag$t$i"))
+    TableFormat.appendCommit(spark, base,
+      (mk("a", 0L until 50L, "r") ++ mk("b", 0L until 50L, "r"))
+        .toDF("tenant", "uid", "v"), statsCol = Some("uid"))          // v1
+    var live = (mk("a", 0L until 50L, "r") ++ mk("b", 0L until 50L, "r")).toSet
+    def served: Set[(String, Long, String)] =
+      TableFormat.readSnapshot(spark, base)
+        .as[(String, Long, String)].collect().toSet
+    val (v2, n2) = TableFormat.deleteByKeysEq(spark, base,
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("tenant", "uid"),
+      Seq("tenant", "uid"))                                           // v2
+    assert(n2 == 3)
+    live --= Set(("a", 1L, "ra1"), ("a", 2L, "ra2"), ("b", 3L, "rb3"))
+    assert(served == live, "tuple mask over- or under-deleted")
+    assert(served.exists(_ == ("b", 1L, "rb1")) &&
+      served.exists(_ == ("a", 3L, "ra3")),
+      "the OTHER tenant's same uid must survive — tuple, not column, masking")
+    // the record stores the comma-joined spec; ONE anti-join serves it
+    assert(TableFormat.manifestEqDels(spark, base, v2).head._2 == "tenant,uid")
+    val plan = TableFormat.readSnapshot(spark, base)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.sliding("LeftAnti".length).count(_ == "LeftAnti") == 1, plan)
+    // re-insert one deleted tuple + a fresh row; a LATER delete masks
+    // the re-insert, an earlier one never does — and a NULL-component
+    // key row is dropped at ingest (SQL equality can never match it)
+    TableFormat.appendCommit(spark, base,
+      Seq(("a", 1L, "re"), ("a", 100L, "new")).toDF("tenant", "uid", "v"),
+      statsCol = Some("uid"))                                         // v3
+    live ++= Set(("a", 1L, "re"), ("a", 100L, "new"))
+    assert(served == live, "re-inserted tuple must live until re-deleted")
+    val (v4, n4) = TableFormat.deleteByKeysEq(spark, base,
+      (Seq(("a", Option(1L)), ("a", Option(4L)), (null.asInstanceOf[String], Option(5L)),
+        ("b", None)): Seq[(String, Option[Long])]).toDF("tenant", "uid"),
+      Seq("tenant", "uid"))                                           // v4
+    assert(n4 == 2, s"NULL-component keys must drop at ingest: $n4")
+    live --= Set(("a", 1L, "re"), ("a", 4L, "ra4"))
+    assert(served == live, "re-delete after re-insert diverged")
+    // CONSOLIDATE the two composite records into one eqc file
+    val (vc, nc) = TableFormat.consolidateEqDeletes(spark, base)      // v5
+    assert(nc == 2)
+    val recs = TableFormat.manifestEqDels(spark, base, vc)
+    assert(recs.size == 1 && recs.head._2 == "tenant,uid" &&
+      new org.apache.hadoop.fs.Path(recs.head._1).getName.startsWith("eqc"))
+    assert(served == live, "consolidation changed the served tuples")
+    // a fresh delete AFTER consolidation: its feed emission must read
+    // the earlier masks from the CONSOLIDATED tuple file — (a,1) is
+    // already dead and must not re-emit; (b,2) emits
+    val (v6, _) = TableFormat.deleteByKeysEq(spark, base,
+      Seq(("b", 2L), ("a", 1L)).toDF("tenant", "uid"),
+      Seq("tenant", "uid"))                                           // v6
+    live -= (("b", 2L, "rb2"))
+    assert(served == live)
+    val ch = TableFormat.readChanges(spark, base, 0, v6)
+      .select("tenant", "uid", "v", "_change_type", "_commit_version")
+      .as[(String, Long, String, String, Int)].collect().toSeq
+    assert(!ch.exists(_._5 == vc), "consolidate commit must be feed-silent")
+    assert(ch.filter(c => c._5 == v6 && c._4 == "delete")
+      .map(c => (c._1, c._2, c._3)) == Seq(("b", 2L, "rb2")),
+      s"v6 emission must skip the already-masked tuple: ${ch.filter(_._5 == v6)}")
+    assert(ch.filter(c => c._5 == v4 && c._4 == "delete")
+      .map(c => (c._1, c._2)).toSet == Set(("a", 1L), ("a", 4L)),
+      s"v4 emission: ${ch.filter(_._5 == v4)}")
+    // STREAMING feed: same attribution, the eqc tuple set probed
+    // executor-side with per-file added-version scoping
+    val q = spark.readStream.format("graft-table").option("path", base)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("tf_eq_multi_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tf_eq_multi_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getInt(4))).toSeq
+      assert(rows.filter(c => c._5 == v6 && c._4 == "delete")
+        .map(c => (c._1, c._2, c._3)) == Seq(("b", 2L, "rb2")),
+        s"streamed v6 emission: ${rows.filter(_._5 == v6)}")
+      assert(rows.filter(c => c._5 == v4 && c._4 == "delete")
+        .map(c => (c._1, c._2)).toSet == Set(("a", 1L), ("a", 4L)))
+      assert(rows.count(_._4 == "insert") - rows.count(_._4 == "delete") ==
+        live.size, "streamed feed must fold to the snapshot")
+    } finally q.stop()
+    // ALTER guard covers EVERY component of a composite key
+    val eRen = intercept[UnsupportedOperationException] {
+      TableFormat.alterRenameCommit(spark, base, "uid", "uid2")
+    }
+    assert(eRen.getMessage.contains("resolve_eqdel"), eRen.getMessage)
+    // resolution converges to plain dv state; answers unchanged
+    TableFormat.resolveEqDeletes(spark, base)
+    assert(TableFormat.manifestEqDels(spark, base,
+      TableFormat.currentVersion(spark, base)).isEmpty)
+    assert(served == live, "post-resolution tuples diverged")
+  }
+
   test("equality deletes: O(batch) ingest with zero table IO; version-scoped reads; resolution converges with deleteByKeysDV (r15, VERDICT r14 #4)") {
     val base = freshBase("tf_eqdel")
     val mirror = freshBase("tf_eqdel_mirror")
