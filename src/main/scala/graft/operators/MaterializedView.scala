@@ -131,10 +131,17 @@ object MaterializedView {
     * downstream consumer treats it as a plain column — group membership
     * stays a pure function of the row, so the whole IVM algebra is
     * unchanged. Keys are the dim aliases (as spelled in `dims`). */
+  /** `aggInExprs` (r16): aggregate INPUTS that are deterministic scalar
+    * expressions (`SUM(price * (1 - disc))`, the TPC-H Q1 shape) —
+    * computed per row at the same maintenance chokepoint as expression
+    * dims under a hidden `__in_<alias>` column, then aggregated as a
+    * plain column; the state stores only the aggregate under the user's
+    * alias. Keys are the hidden column names. */
   case class MvDef(srcParts: Seq[String], dims: Seq[String],
                    aggs: Seq[AggSpec], filterSql: Option[String],
                    selectCols: Seq[String], join: Option[JoinSpec] = None,
-                   dimExprs: Map[String, String] = Map.empty) {
+                   dimExprs: Map[String, String] = Map.empty,
+                   aggInExprs: Map[String, String] = Map.empty) {
     def srcRelative: Seq[String] =
       if (srcParts.length >= 3) srcParts.takeRight(2) else srcParts
   }
@@ -266,6 +273,35 @@ object MaterializedView {
     // passthroughs normalized to the GROUP BY spelling, which is what
     // the state table's columns carry)
     val selectCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    // AGGREGATE-INPUT EXPRESSIONS (r16): a deterministic scalar input
+    // (`SUM(price * (1 - disc))`) computes per row at the maintenance
+    // chokepoint under a hidden `__in_<alias>` column and aggregates as
+    // a plain column from there — the whole IVM algebra is unchanged
+    val aggIn = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def inputColOf(e: Expression, alias: String): String = e match {
+      case c: UnresolvedAttribute => c.name // qualified check happens below
+      case _: UnresolvedStar => refuse(s"'*' input in '$alias'")
+      case other =>
+        if (other.exists {
+              case f: UnresolvedFunction => isAggCall(f)
+              case _: org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression => true
+              case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
+              case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+              case _ => false
+            })
+          refuse(s"aggregate input '${other.sql}' in '$alias' contains an " +
+            "aggregate, window, or subquery — inputs must be scalar " +
+            "expressions of the row")
+        other.foreach {
+          case a: UnresolvedAttribute if a.nameParts.length != 1 => refuse(
+            s"aggregate input in '$alias' references qualified column " +
+              s"'${a.name}' — expression inputs must reference unqualified columns")
+          case _ => ()
+        }
+        val name = s"__in_$alias"
+        aggIn += name -> other.sql
+        name
+    }
     val aggs = agg.aggregateExpressions.flatMap {
       case a: UnresolvedAttribute =>
         // case-insensitive, matching Spark's default resolution
@@ -280,30 +316,31 @@ object MaterializedView {
         selectCols += alias
         val fn = f.nameParts.map(_.toLowerCase).mkString(".")
         if (f.isDistinct) (fn, f.arguments) match {
-          // r15: COUNT(DISTINCT col) — bitmap state, see DistinctCol
-          case ("count", Seq(c: UnresolvedAttribute)) =>
-            Some(DistinctCol(c.name, alias)): Option[AggSpec]
+          // r15: COUNT(DISTINCT col) — bitmap state, see DistinctCol;
+          // r16: the input may be a scalar expression
+          case ("count", Seq(e)) =>
+            Some(DistinctCol(inputColOf(e, alias), alias)): Option[AggSpec]
           case _ => refuse(s"DISTINCT aggregate in '$alias' — only " +
             "COUNT(DISTINCT col) maintains incrementally")
         }
         else (fn, f.arguments) match {
           case ("count", Seq(_: UnresolvedStar)) => Some(CountStar(alias))
           case ("count", Seq(Literal(1, _))) => Some(CountStar(alias))
-          case ("count", Seq(c: UnresolvedAttribute)) => Some(CountCol(c.name, alias))
-          case ("sum", Seq(c: UnresolvedAttribute)) => Some(SumCol(c.name, alias))
-          case ("avg" | "mean", Seq(c: UnresolvedAttribute)) => Some(AvgCol(c.name, alias))
-          case ("approx_distinct" | "approx_count_distinct", Seq(c: UnresolvedAttribute)) =>
-            Some(ApproxDistinctCol(c.name, alias))
-          case ("var_samp" | "variance", Seq(c: UnresolvedAttribute)) =>
-            Some(VarCol(c.name, alias, pop = false, stddev = false))
-          case ("var_pop", Seq(c: UnresolvedAttribute)) =>
-            Some(VarCol(c.name, alias, pop = true, stddev = false))
-          case ("stddev_samp" | "stddev", Seq(c: UnresolvedAttribute)) =>
-            Some(VarCol(c.name, alias, pop = false, stddev = true))
-          case ("stddev_pop", Seq(c: UnresolvedAttribute)) =>
-            Some(VarCol(c.name, alias, pop = true, stddev = true))
-          case ("min", Seq(c: UnresolvedAttribute)) => Some(MinCol(c.name, alias))
-          case ("max", Seq(c: UnresolvedAttribute)) => Some(MaxCol(c.name, alias))
+          case ("count", Seq(e)) => Some(CountCol(inputColOf(e, alias), alias))
+          case ("sum", Seq(e)) => Some(SumCol(inputColOf(e, alias), alias))
+          case ("avg" | "mean", Seq(e)) => Some(AvgCol(inputColOf(e, alias), alias))
+          case ("approx_distinct" | "approx_count_distinct", Seq(e)) =>
+            Some(ApproxDistinctCol(inputColOf(e, alias), alias))
+          case ("var_samp" | "variance", Seq(e)) =>
+            Some(VarCol(inputColOf(e, alias), alias, pop = false, stddev = false))
+          case ("var_pop", Seq(e)) =>
+            Some(VarCol(inputColOf(e, alias), alias, pop = true, stddev = false))
+          case ("stddev_samp" | "stddev", Seq(e)) =>
+            Some(VarCol(inputColOf(e, alias), alias, pop = false, stddev = true))
+          case ("stddev_pop", Seq(e)) =>
+            Some(VarCol(inputColOf(e, alias), alias, pop = true, stddev = true))
+          case ("min", Seq(e)) => Some(MinCol(inputColOf(e, alias), alias))
+          case ("max", Seq(e)) => Some(MaxCol(inputColOf(e, alias), alias))
           case _ => refuse(s"aggregate '${f.nameParts.mkString(".")}' in '$alias'")
         }
       case Alias(e, alias) => refuse(s"output '$alias' = '${e.sql}' is not " +
@@ -331,28 +368,34 @@ object MaterializedView {
     }).find(_.contains(".")).foreach(c => refuse(
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
-    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq, joinSpec, dimExprs)
+    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq, joinSpec, dimExprs,
+      aggIn.toMap)
   }
 
-  /** The expression-dim projection chokepoint (r16): computed dim
-    * columns materialize on source/delta/regroup rows BEFORE any
-    * grouping, so every downstream consumer — state build, delta fold,
-    * bitmap maps, regroup semi-joins — treats them as plain columns. */
+  /** The computed-column projection chokepoint (r16): expression DIMS
+    * and expression AGGREGATE INPUTS materialize on source/delta/
+    * regroup rows BEFORE any grouping, so every downstream consumer —
+    * state build, delta fold, bitmap maps, regroup semi-joins — treats
+    * them as plain columns. Idempotent (withColumn replaces), so a
+    * pre-projected regroup snapshot passing through fullState is safe. */
   private def withDimExprs(df: DataFrame, d: MvDef): DataFrame =
-    d.dimExprs.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (alias, sql)) =>
-      acc.withColumn(alias, expr(sql))
-    }
+    (d.dimExprs.toSeq.sortBy(_._1) ++ d.aggInExprs.toSeq.sortBy(_._1))
+      .foldLeft(df) { case (acc, (name, sql)) =>
+        acc.withColumn(name, expr(sql))
+      }
 
-  /** Expression-dim validation at create/regroup: deterministic only —
-    * a rand()-derived dim would re-bucket rows on every refresh. */
+  /** Computed-column validation at create/regroup: deterministic only —
+    * a rand()-derived dim or input would re-bucket/re-value rows on
+    * every refresh. */
   private def validateDimExprs(rows: DataFrame, d: MvDef): Unit =
-    d.dimExprs.toSeq.sortBy(_._1).foreach { case (alias, sql) =>
-      val analyzed = rows.select(expr(sql).as(alias))
-        .queryExecution.analyzed.expressions.head
-      if (!analyzed.deterministic) throw new IllegalArgumentException(
-        s"materialized view: dim expression '$alias' ($sql) is " +
-          "non-deterministic — group membership must be a pure function of the row")
-    }
+    (d.dimExprs.toSeq.sortBy(_._1) ++ d.aggInExprs.toSeq.sortBy(_._1))
+      .foreach { case (name, sql) =>
+        val analyzed = rows.select(expr(sql).as(name))
+          .queryExecution.analyzed.expressions.head
+        if (!analyzed.deterministic) throw new IllegalArgumentException(
+          s"materialized view: computed column '$name' ($sql) is " +
+            "non-deterministic — maintenance must be a pure function of the row")
+      }
 
   private val CNT = "__cnt"
   private def nCol(a: String) = s"__n_$a"
@@ -500,11 +543,13 @@ object MaterializedView {
   /** Full (re)computation of the MV state — used once at CREATE, and the
     * semantic definition the incremental path must match bit-for-bit. */
   def fullState(src: DataFrame, d: MvDef): DataFrame = {
-    validateTypes(d, src.schema)
     validateDimExprs(src, d)
     // WHERE filters on source columns first (SQL scoping: the predicate
-    // cannot see SELECT aliases), then expression dims project
+    // cannot see SELECT aliases), then computed columns project; types
+    // validate against the PROJECTED schema so expression inputs
+    // (`__in_*`) take the same integral-only contract as plain columns
     val filtered = withDimExprs(d.filterSql.map(src.where).getOrElse(src), d)
+    validateTypes(d, filtered.schema)
     val visible: Seq[Column] = d.aggs.map {
       case CountStar(a) => count(lit(1)).as(a)
       case CountCol(c, a) => count(col(c)).as(a)

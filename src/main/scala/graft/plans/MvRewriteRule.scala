@@ -305,6 +305,31 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       }
       out.result()
     }
+    // AGGREGATE-INPUT EXPRESSIONS (r16): analyze each stored input
+    // against the QUERY'S OWN plan (exprIds line up) so a query calling
+    // the aggregate over the SAME expression matches semantically
+    val mvInExprs: Seq[(String, Expression)] = {
+      val out = Seq.newBuilder[(String, Expression)]
+      for ((name, sql) <- d.aggInExprs.toSeq.sortBy(_._1)) {
+        try {
+          val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+          spark.sessionState.executePlan(
+            Project(Seq(Alias(parsed, name)()), analysisPlan)).analyzed match {
+            case Project(Seq(al: Alias), _) =>
+              out += ((name.toLowerCase(Locale.ROOT), al.child))
+            case _ => return None
+          }
+        } catch { case scala.util.control.NonFatal(_) => return None }
+      }
+      out.result()
+    }
+    // a stored agg-input column matched against the query's agg child:
+    // plain columns by name, `__in_*` expression inputs semantically
+    def colEq(c: String, att: Expression): Boolean = att match {
+      case a: AttributeReference if a.name.equalsIgnoreCase(c) => true
+      case other => mvInExprs.exists { case (n, me) =>
+        n.equalsIgnoreCase(c) && me.semanticEquals(other) }
+    }
     // ANY MV dim a source-shaped expression may substitute for: plain
     // attribute dims by name, expression dims semantically
     def mvDimColOf(e: Expression): Option[String] = e match {
@@ -376,10 +401,8 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         ae.aggregateFunction match {
           case hs: HllSketchAgg if hs.lgConfigK == 12 =>
             d.aggs.collectFirst {
-              case MV.ApproxDistinctCol(c, a) if hs.children.headOption.exists {
-                case at: AttributeReference => at.name.equalsIgnoreCase(c)
-                case _ => false
-              } => a
+              case MV.ApproxDistinctCol(c, a)
+                if hs.children.headOption.exists(colEq(c, _)) => a
             }
           case _ => None
         }
@@ -389,7 +412,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       case e2 if approxTarget(e2).isDefined =>
         mvCol(approxTarget(e2).get).filter(_.dataType == e2.dataType)
       case ae: AggregateExpression if ae.filter.isEmpty =>
-        matchAgg(ae, d).flatMap(mvCol)
+        matchAgg(ae, d, colEq).flatMap(mvCol)
           .filter(_.dataType == ae.dataType)
       // a grouped dim expression — plain attribute or derived scalar —
       // reads the state's stored dim column (r16)
@@ -411,10 +434,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       def reAgg(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
         AggregateExpression(f, org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
           isDistinct = false)
-      def is(c: String, att: Expression): Boolean = att match {
-        case a: AttributeReference => a.name.equalsIgnoreCase(c)
-        case _ => false
-      }
+      def is(c: String, att: Expression): Boolean = colEq(c, att)
       if (ae.filter.isDefined) return None
       val out: Option[Expression] = ae.aggregateFunction match {
         // count(DISTINCT c) rolls up through the stored bitmap maps:
@@ -531,12 +551,11 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** Query aggregate call → stored MV column name, matched on the
-    * VALUE computed (the query's own alias is preserved outside). */
-  private def matchAgg(ae: AggregateExpression, d: MV.MvDef): Option[String] = {
-    def is(c: String, att: Expression): Boolean = att match {
-      case a: AttributeReference => a.name.equalsIgnoreCase(c)
-      case _ => false
-    }
+    * VALUE computed (the query's own alias is preserved outside).
+    * `colEq` also matches `__in_*` expression inputs semantically. */
+  private def matchAgg(ae: AggregateExpression, d: MV.MvDef,
+                       colEq: (String, Expression) => Boolean): Option[String] = {
+    def is(c: String, att: Expression): Boolean = colEq(c, att)
     ae.aggregateFunction match {
       case Count(Seq(Literal(_, _))) if !ae.isDistinct =>
         d.aggs.collectFirst { case MV.CountStar(a) => a }

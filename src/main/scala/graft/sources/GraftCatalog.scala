@@ -4557,6 +4557,51 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `mv_agg_expr` (r16): aggregates over EXPRESSIONS in the
+    * incremental MV — `SUM(price * (1 - disc))`, the TPC-H Q1 shape.
+    * The deterministic scalar input computes per row at the same
+    * maintenance chokepoint as expression dims (hidden `__in_<alias>`
+    * column) and aggregates as a plain column — the whole IVM algebra
+    * (signed folds, targeted regroups for extrema/distinct) is
+    * unchanged, and the query REWRITE matches the same expression
+    * semantically. Lifecycle mirrors `mv_incremental`; the oracle
+    * recomputes the expression aggregates over the equivalent final
+    * state. */
+  def mvAggExpr(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvx_src", "mvx_agg", "mvx_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvx_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvx_agg',
+        |  'SELECT lang, count(*) AS n_docs,
+        |          sum(n_chars * (doc_id % 3 + 1)) AS wsum,
+        |          min(n_chars + doc_id % 7) AS mexp
+        |   FROM graft.db.mvx_src GROUP BY lang')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 13 = 5")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 9000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("xx")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 100L, 249L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvx_agg')").collect()
+    spark.sql(
+      """SELECT lang, n_docs, CAST(wsum AS BIGINT) AS wsum,
+        |  CAST(mexp AS BIGINT) AS mexp
+        |FROM graft.db.mvx_agg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `mv_var` (r16): variance/stddev in the incremental MV via exact
     * POWER SUMS — hidden Σx (long) + Σx² (DECIMAL(38,0): any long²
     * fits 38 digits, so the per-row square is always exact) + the
@@ -4810,6 +4855,7 @@ object GraftCatalogOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
     "mv_var" -> (mvVar _),
+    "mv_agg_expr" -> (mvAggExpr _),
     "mv_rewrite" -> (mvRewrite _),
     "mv_rewrite_rollup" -> (mvRewriteRollup _),
     "mv_rewrite_join" -> (mvRewriteJoin _),
@@ -4906,6 +4952,19 @@ object GraftCatalogOps {
         |  WHERE doc_id % 12 = 7)
         |SELECT lang, count(1) AS n_docs, count(DISTINCT n_chars) AS d_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "mv_agg_expr" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 249
+        |  UNION ALL
+        |  SELECT doc_id + 9000000000, 'xx', n_chars FROM documents
+        |  WHERE doc_id % 13 = 5)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars * (doc_id % 3 + 1)) AS BIGINT) AS wsum,
+        |  CAST(min(n_chars + doc_id % 7) AS BIGINT) AS mexp
         |FROM final_state
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,

@@ -1315,6 +1315,85 @@ class MaterializedViewSpec extends SparkTestBase {
       chain(e))
   }
 
+  test("aggregates over expressions: SUM/AVG/MIN/COUNT(DISTINCT) of derived scalars maintain and serve — the TPC-H Q1 shape (r16)") {
+    val src = fresh("mv_srcq"); fresh("mv_aggq")
+    val rows = (0L until 500L).map(i => (i, s"l${i % 3}", i * 3 % 97, i % 13))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "n", "m"), 1, None,
+      statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggq',
+        |  'SELECT lang, count(*) AS c, sum(n * (m % 3 + 1)) AS wsum,
+        |          avg(n + m) AS anm, min(n + m) AS mn,
+        |          count(DISTINCT n % 10) AS d10
+        |   FROM graft.db.mv_srcq WHERE doc_id % 5 <> 0 GROUP BY lang')""".stripMargin)
+      .collect()
+    def recomputeQ: Seq[Row] = spark.sql(
+      """SELECT lang, count(1) AS c,
+        |  CAST(sum(n * (m % 3 + 1)) AS BIGINT) AS wsum,
+        |  CAST(sum(CAST(n + m AS BIGINT)) AS DOUBLE) / count(n + m) AS anm,
+        |  CAST(min(n + m) AS BIGINT) AS mn,
+        |  count(DISTINCT n % 10) AS d10
+        |FROM graft.db.mv_srcq WHERE doc_id % 5 <> 0
+        |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def readQ: Seq[Row] = spark.sql(
+      """SELECT lang, c, wsum, anm, mn, d10 FROM graft.db.mv_aggq
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    assert(readQ == recomputeQ, "create over expression inputs drifted")
+    // insert fold: new group + existing groups through computed inputs
+    TableFormat.appendCommit(spark, src,
+      (500L until 620L).map(i => (i, s"l${i % 4}", i * 7 % 89, i % 11))
+        .toDF("doc_id", "lang", "n", "m"), statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_aggq')").collect()
+    assert(readQ == recomputeQ, "insert fold over expression inputs drifted")
+    // a band delete removes binding minima AND distinct values: the
+    // targeted regroup rescans with the computed inputs projected
+    TableFormat.deleteWhere(spark, src, "doc_id", 0L, 99L)
+    spark.sql("CALL graft.system.refresh_mv('db.mv_aggq')").collect()
+    assert(readQ == recomputeQ, "regroup through computed inputs drifted")
+    // REWRITE: the SAME expression in the query's aggregate serves from
+    // state; a DIFFERENT expression stands down
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val q =
+        """SELECT lang, sum(n * (m % 3 + 1)) AS s, count(*) AS c
+          |FROM graft.db.mv_srcq WHERE doc_id % 5 <> 0
+          |GROUP BY lang ORDER BY lang""".stripMargin
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("mv_aggq__state"),
+        s"expr-input rewrite not substituted:\n${df.queryExecution.optimizedPlan}")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(q).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(df.collect().toSeq == direct, "expr-input rewrite values diverged")
+      // global roll-up re-sums the expression aggregate
+      val qg =
+        """SELECT sum(n * (m % 3 + 1)) AS s FROM graft.db.mv_srcq
+          |WHERE doc_id % 5 <> 0""".stripMargin
+      assert(planOf(qg).contains("mv_aggq__state"), s"expr roll-up:\n${planOf(qg)}")
+      // a different expression must stand down
+      assert(planOf(q.replace("% 3 + 1", "% 4 + 1")).contains("mv_srcq"),
+        "different input expression must stand down")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    // refusals: float-typed expression input, non-deterministic input
+    fresh("mv_aggq2")
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val eF = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggq2',
+        |  'SELECT lang, sum(n * 0.5) AS s FROM graft.db.mv_srcq
+        |   GROUP BY lang')""".stripMargin).collect())
+    assert(chain(eF).contains("integral"), chain(eF))
+    val eN = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggq2',
+        |  'SELECT lang, sum(n + CAST(rand() * 2 AS INT)) AS s
+        |   FROM graft.db.mv_srcq GROUP BY lang')""".stripMargin).collect())
+    assert(chain(eN).contains("non-deterministic"), chain(eN))
+  }
+
   test("shape refusals name the offending construct") {
     val src = fresh("mv_src5"); fresh("mv_agg5")
     TableFormat.commit(spark, src,
