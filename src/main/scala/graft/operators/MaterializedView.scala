@@ -114,12 +114,17 @@ object MaterializedView {
                     pop: Boolean, stddev: Boolean) extends AggSpec
 
   /** MV over a JOIN of two graft tables (r13, VERDICT r12 #7): inner
-    * equi-join on one column per side, keys written qualified in the ON
-    * clause (`a.k = b.k`). `leftKey`/`rightKey` are the UNQUALIFIED
-    * column names inside each side's schema. */
-  case class JoinSpec(src2Parts: Seq[String], leftKey: String, rightKey: String) {
+    * equi-join, keys written qualified in the ON clause (`a.k = b.k`,
+    * or a conjunction for COMPOSITE keys — r16:
+    * `a.k1 = b.k1 AND a.k2 = b.k2`). `leftKeys`/`rightKeys` are the
+    * positional UNQUALIFIED column-name pairs inside each side's
+    * schema. */
+  case class JoinSpec(src2Parts: Seq[String], leftKeys: Seq[String],
+                      rightKeys: Seq[String]) {
     def src2Relative: Seq[String] =
       if (src2Parts.length >= 3) src2Parts.takeRight(2) else src2Parts
+    /** Key-name pairs, left-side oriented. */
+    def pairs: Seq[(String, String)] = leftKeys.zip(rightKeys)
   }
 
   /** `dimExprs` (r16, VERDICT r15 #3): dims whose GROUP BY key is a
@@ -175,33 +180,45 @@ object MaterializedView {
       case _ => None
     }
     // inner equi-join of two graft tables (r13): keys must be written
-    // QUALIFIED (`x.k = y.k`) so each side is unambiguous at parse time
+    // QUALIFIED (`x.k = y.k`) so each side is unambiguous at parse
+    // time; the ON clause may be a CONJUNCTION of such equalities for
+    // composite keys (r16)
     def joined(p: LogicalPlan): Option[(Seq[String], JoinSpec)] = p match {
-      case Join(l, r, Inner, Some(EqualTo(lk: UnresolvedAttribute,
-          rk: UnresolvedAttribute)), _) =>
-        for {
-          (lParts, lName) <- rel(l)
-          (rParts, rName) <- rel(r)
-        } yield {
-          def sideOf(a: UnresolvedAttribute): (String, String) = {
-            if (a.nameParts.length != 2) refuse(
-              s"join key '${a.name}' must be qualified (alias.column)")
-            (a.nameParts.head, a.nameParts.last)
-          }
-          val (q1, c1) = sideOf(lk)
-          val (q2, c2) = sideOf(rk)
-          val spec =
+      case Join(l, r, Inner, Some(cond0), _)
+          if rel(l).isDefined && rel(r).isDefined =>
+        val (lParts, lName) = rel(l).get
+        val (_, rName) = rel(r).get
+        val rParts = rel(r).get._1
+        def sideOf(a: UnresolvedAttribute): (String, String) = {
+          if (a.nameParts.length != 2) refuse(
+            s"join key '${a.name}' must be qualified (alias.column)")
+          (a.nameParts.head, a.nameParts.last)
+        }
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+            conjuncts(a) ++ conjuncts(b)
+          case other => Seq(other)
+        }
+        val pairs = conjuncts(cond0).map {
+          case EqualTo(lk: UnresolvedAttribute, rk: UnresolvedAttribute) =>
+            val (q1, c1) = sideOf(lk)
+            val (q2, c2) = sideOf(rk)
             if (q1.equalsIgnoreCase(lName) && q2.equalsIgnoreCase(rName))
-              JoinSpec(rParts, c1, c2)
+              (c1, c2)
             else if (q1.equalsIgnoreCase(rName) && q2.equalsIgnoreCase(lName))
-              JoinSpec(rParts, c2, c1)
+              (c2, c1)
             else refuse(s"join key qualifiers '${q1}'/'${q2}' match neither " +
               s"side ('$lName'/'$rName')")
-          (lParts, spec)
+          case other => refuse(
+            s"only INNER equi-join conditions are maintainable " +
+              s"(got conjunct '${other.sql}')")
         }
-      case Join(_, _, jt, cond, _) => refuse(
-        s"only INNER equi-joins on one column per side are maintainable " +
+        Some((lParts, JoinSpec(rParts, pairs.map(_._1), pairs.map(_._2))))
+      case Join(l, r, jt, cond, _) if rel(l).isDefined && rel(r).isDefined =>
+        refuse(s"only INNER equi-joins of two graft tables are maintainable " +
           s"(got ${jt.sql} join, on ${cond.map(_.sql).getOrElse("<no condition>")})")
+      // nested / non-relation joins (three-table FROMs) fall through to
+      // the FROM-shape refusal below
       case _ => None
     }
     val (srcParts, filterSql, joinSpec) = agg.child match {
@@ -866,8 +883,10 @@ object MaterializedView {
     * ride along. */
   private def joinSides(a: DataFrame, b: DataFrame, d: MvDef): DataFrame = {
     val js = d.join.get
-    val j = a.join(b, a(js.leftKey) === b(js.rightKey), "inner")
-    if (js.leftKey.equalsIgnoreCase(js.rightKey)) j.drop(b(js.rightKey)) else j
+    val cond = js.pairs.map { case (lk, rk) => a(lk) === b(rk) }.reduce(_ && _)
+    val j = a.join(b, cond, "inner")
+    js.pairs.filter { case (lk, rk) => lk.equalsIgnoreCase(rk) }
+      .foldLeft(j) { case (df, (_, rk)) => df.drop(b(rk)) }
   }
 
   /** The joined source at a version PAIR — what fullState aggregates at
@@ -898,8 +917,8 @@ object MaterializedView {
       val a = TableFormat.readSnapshot(spark, srcPath(warehouse, d), Some(fromA))
       val b = TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(fromB))
       val js = d.join.get
-      val bCols = b.columns.toSeq.filterNot(c =>
-        js.leftKey.equalsIgnoreCase(js.rightKey) && c.equalsIgnoreCase(js.rightKey))
+      val bCols = b.columns.toSeq.filterNot(c => js.pairs.exists {
+        case (lk, rk) => lk.equalsIgnoreCase(rk) && c.equalsIgnoreCase(rk) })
       (a.columns.toSeq ++ bCols :+ "_change_type").map(col)
     }
     val halves = Seq(
@@ -987,9 +1006,9 @@ object MaterializedView {
       val aCols = TableFormat.readSnapshot(spark, src, Some(v0)).columns.map(_.toLowerCase)
       val bCols = TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(v0b.get))
         .columns.map(_.toLowerCase)
-      val sameKey = js.leftKey.equalsIgnoreCase(js.rightKey)
       val overlap = aCols.toSet.intersect(bCols.toSet)
-        .filterNot(c => sameKey && c.equalsIgnoreCase(js.leftKey))
+        .filterNot(c => js.pairs.exists { case (lk, rk) =>
+          lk.equalsIgnoreCase(rk) && c.equalsIgnoreCase(lk) })
       if (overlap.nonEmpty) throw new IllegalArgumentException(
         s"materialized view: join sides share column(s) ${overlap.mkString(", ")} " +
           "— rename one side so every reference is unambiguous")

@@ -130,18 +130,27 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
 
   /** Inner equi-join of two plain graft relations — the join-MV query
     * shape (r16, VERDICT r15 #2): (left rel/base, right rel/base, left
-    * key, right key), the key attrs oriented to their own side. */
+    * keys, right keys), each conjunct's attrs oriented to their own
+    * side; the ON clause may be a CONJUNCTION of equalities for
+    * composite keys (r16). */
   private object SourceJoin {
     def unapply(p: LogicalPlan): Option[(DataSourceV2Relation, String,
-        DataSourceV2Relation, String, AttributeReference, AttributeReference)] =
+        DataSourceV2Relation, String,
+        Seq[AttributeReference], Seq[AttributeReference])] =
       p match {
-        case Join(SourceRel(rl, bl), SourceRel(rr, br), Inner,
-            Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
-          if (rl.outputSet.contains(x) && rr.outputSet.contains(y))
-            Some((rl, bl, rr, br, x, y))
-          else if (rl.outputSet.contains(y) && rr.outputSet.contains(x))
-            Some((rl, bl, rr, br, y, x))
-          else None
+        case Join(SourceRel(rl, bl), SourceRel(rr, br), Inner, Some(cond), _) =>
+          val pairs = splitConjunctivePredicates(cond).map {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              if (rl.outputSet.contains(x) && rr.outputSet.contains(y))
+                Some((x, y))
+              else if (rl.outputSet.contains(y) && rr.outputSet.contains(x))
+                Some((y, x))
+              else None
+            case _ => None
+          }
+          if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
+          else Some((rl, bl, rr, br,
+            pairs.map(_.get._1), pairs.map(_.get._2)))
         case _ => None
       }
   }
@@ -248,39 +257,46 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     }.headOption
   }
 
-  /** Join-MV candidates for a query joining (bl ⋈ br on kl = kr), BOTH
-    * orientations — inner joins are symmetric, the MV's stored
+  /** Join-MV candidates for a query joining (bl ⋈ br on key pairs),
+    * BOTH orientations — inner joins are symmetric, the MV's stored
     * (src, src2) order need not match the query's FROM order. Each
-    * candidate carries the two bases and the query's key names rotated
-    * into the MV's (src, src2) orientation. */
+    * candidate carries the two bases and the query's key-name pairs
+    * rotated into the MV's (src, src2) orientation. */
   private def joinCands(bl: String, br: String,
-                        kl: AttributeReference, kr: AttributeReference)
+                        kl: Seq[AttributeReference], kr: Seq[AttributeReference])
       : Seq[((String, Int, Map[String, String]), String, Option[String],
-             Option[(String, String)])] =
+             Option[(Seq[String], Seq[String])])] =
     MV.joinCandidatesFor(spark, bl, br)
-      .map(x => (x, bl, Some(br), Some((kl.name, kr.name)))) ++
+      .map(x => (x, bl, Some(br), Some((kl.map(_.name), kr.map(_.name))))) ++
       (if (bl == br) Nil
        else MV.joinCandidatesFor(spark, br, bl)
-         .map(x => (x, br, Some(bl), Some((kr.name, kl.name)))))
+         .map(x => (x, br, Some(bl), Some((kr.map(_.name), kl.map(_.name))))))
 
   private def tryCandidate(stateBase: String, stateV: Int,
                            props: Map[String, String], srcBase: String,
                            srcBase2: Option[String],
                            cond: Option[Expression], analysisPlan: LogicalPlan,
                            grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
-                           joinKeys: Option[(String, String)]): Option[LogicalPlan] = {
+                           joinKeys: Option[(Seq[String], Seq[String])])
+      : Option[LogicalPlan] = {
     val d = try MV.parseDef(spark, props("graft.mv.query"))
             catch { case scala.util.control.NonFatal(_) => return None }
     // JOIN shape (r16, VERDICT r15 #2): a join query is served only by a
     // join MV over the same two tables (candidate lookup matched the
-    // bases) joined on the SAME key pair, orientation already rotated to
-    // the MV's — anything else stands down. A single-table query is
+    // bases) joined on the SAME key-pair SET — conjunct order is
+    // irrelevant (composite keys, r16) — orientation already rotated to
+    // the MV's. Anything else stands down. A single-table query is
     // never served by a join MV and vice versa.
     (d.join, joinKeys) match {
       case (None, None) => ()
-      case (Some(js), Some((kl, kr))) =>
-        if (!kl.equalsIgnoreCase(js.leftKey) ||
-            !kr.equalsIgnoreCase(js.rightKey)) return None
+      case (Some(js), Some((kls, krs))) =>
+        val qPairs = kls.zip(krs)
+          .map { case (a, b) =>
+            (a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT)) }.toSet
+        val mPairs = js.pairs
+          .map { case (a, b) =>
+            (a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT)) }.toSet
+        if (qPairs != mPairs) return None
       case _ => return None
     }
     val mvDimSet = d.dims.map(_.toLowerCase(Locale.ROOT)).toSet

@@ -1315,6 +1315,80 @@ class MaterializedViewSpec extends SparkTestBase {
       chain(e))
   }
 
+  test("composite join keys: an MV over a two-column equi-join maintains exactly and the rewrite matches the key-pair SET in either conjunct order (r16)") {
+    val facts = fresh("jck_f"); val dim = fresh("jck_d"); fresh("jck_agg")
+    TableFormat.commit(spark, facts,
+      (0L until 300L).map(i => (i, i % 3, i % 2, i * 5 % 89))
+        .toDF("doc_id", "lang_id", "era", "n"), 1, None, statsCol = Some("doc_id"))
+    // the dim deliberately LACKS some (lang_id, era) cells: facts whose
+    // tuple has no dim row must not join — a single-column join would
+    // wrongly match them
+    TableFormat.commit(spark, dim,
+      Seq((0L, 0L, "en-old"), (0L, 1L, "en-new"), (1L, 0L, "fr-old"),
+        (2L, 1L, "de-new"))
+        .toDF("lang_id", "era", "label"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.jck_agg',
+        |  'SELECT label, count(*) AS c, sum(n) AS s
+        |   FROM graft.db.jck_f f JOIN graft.db.jck_d d
+        |     ON f.lang_id = d.lang_id AND f.era = d.era
+        |   GROUP BY label')""".stripMargin).collect()
+    def recomputeJ: Seq[Row] = spark.sql(
+      """SELECT label, count(1) AS c, CAST(sum(n) AS BIGINT) AS s
+        |FROM graft.db.jck_f f JOIN graft.db.jck_d d
+        |  ON f.lang_id = d.lang_id AND f.era = d.era
+        |GROUP BY label ORDER BY label ASC NULLS FIRST""".stripMargin)
+      .collect().toSeq
+    def readJ: Seq[Row] = spark.sql(
+      """SELECT label, c, s FROM graft.db.jck_agg
+        |ORDER BY label ASC NULLS FIRST""".stripMargin).collect().toSeq
+    assert(readJ == recomputeJ, "create over the composite join drifted")
+    assert(!readJ.exists(_.getString(0) == "fr-new"),
+      "a missing (lang_id, era) cell must not join")
+    // ΔA (facts append + band delete) and ΔB (the dim GAINS the
+    // (1, 1) cell — previously unmatched facts join in) in one span
+    TableFormat.appendCommit(spark, facts,
+      (300L until 400L).map(i => (i, i % 4, i % 2, i * 7 % 97))
+        .toDF("doc_id", "lang_id", "era", "n"), statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, facts, "doc_id", 40L, 119L)
+    TableFormat.appendCommit(spark, dim,
+      Seq((1L, 1L, "fr-new")).toDF("lang_id", "era", "label"))
+    spark.sql("CALL graft.system.refresh_mv('db.jck_agg')").collect()
+    assert(readJ == recomputeJ, "two-sided composite-key delta drifted")
+    assert(readJ.exists(_.getString(0) == "fr-new"),
+      "the newly-matched composite cell must appear")
+    // REWRITE: the key-pair SET matches in EITHER conjunct order and
+    // either FROM order; a single-key subset of the pair stands down
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val q =
+        """SELECT label, count(*) AS c, sum(n) AS s
+          |FROM graft.db.jck_f f JOIN graft.db.jck_d d
+          |  ON f.era = d.era AND f.lang_id = d.lang_id
+          |GROUP BY label ORDER BY label ASC NULLS FIRST""".stripMargin
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("jck_agg__state"),
+        s"composite-key join rewrite not substituted:\n${df.queryExecution.optimizedPlan}")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(q).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(df.collect().toSeq == direct, "composite-key rewrite values diverged")
+      val qf = q.replace("graft.db.jck_f f JOIN graft.db.jck_d d",
+        "graft.db.jck_d d JOIN graft.db.jck_f f")
+      assert(planOf(qf).contains("jck_agg__state"), s"flipped order:\n${planOf(qf)}")
+      val qs =
+        """SELECT label, count(*) AS c
+          |FROM graft.db.jck_f f JOIN graft.db.jck_d d ON f.lang_id = d.lang_id
+          |GROUP BY label""".stripMargin
+      assert(planOf(qs).contains("jck_f"),
+        "a single-key SUBSET of the composite pair must stand down")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   test("aggregates over expressions: SUM/AVG/MIN/COUNT(DISTINCT) of derived scalars maintain and serve — the TPC-H Q1 shape (r16)") {
     val src = fresh("mv_srcq"); fresh("mv_aggq")
     val rows = (0L until 500L).map(i => (i, s"l${i % 3}", i * 3 % 97, i % 13))
