@@ -113,18 +113,22 @@ object MaterializedView {
   case class VarCol(colName: String, alias: String,
                     pop: Boolean, stddev: Boolean) extends AggSpec
 
-  /** MV over a JOIN of two graft tables (r13, VERDICT r12 #7): inner
-    * equi-join, keys written qualified in the ON clause (`a.k = b.k`,
-    * or a conjunction for COMPOSITE keys — r16:
-    * `a.k1 = b.k1 AND a.k2 = b.k2`). `leftKeys`/`rightKeys` are the
-    * positional UNQUALIFIED column-name pairs inside each side's
-    * schema. */
-  case class JoinSpec(src2Parts: Seq[String], leftKeys: Seq[String],
-                      rightKeys: Seq[String]) {
-    def src2Relative: Seq[String] =
-      if (src2Parts.length >= 3) src2Parts.takeRight(2) else src2Parts
-    /** Key-name pairs, left-side oriented. */
-    def pairs: Seq[(String, String)] = leftKeys.zip(rightKeys)
+  /** MV over a JOIN CHAIN of graft tables (r13 two-table, r16 N-table
+    * — the SNOWFLAKE shape `fact ⋈ dim1 ⋈ dim2 …`): each link joins
+    * the next table onto the already-joined prefix by a conjunction of
+    * qualified equalities (`a.k = b.k [AND …]` — composite keys, r16).
+    * `pairs` are (prefixTableIdx, prefixCol, rightCol): the 0-based
+    * index of the EARLIER chain table the conjunct's left side
+    * qualified, its unqualified column, and the new table's unqualified
+    * column. */
+  case class JoinLink(srcParts: Seq[String],
+                      pairs: Seq[(Int, String, String)]) {
+    def srcRelative: Seq[String] =
+      if (srcParts.length >= 3) srcParts.takeRight(2) else srcParts
+    /** Same-named key pairs dedup the new side's column from the
+      * joined namespace. */
+    def dupCols: Seq[String] =
+      pairs.collect { case (_, pc, rc) if pc.equalsIgnoreCase(rc) => rc }
   }
 
   /** `dimExprs` (r16, VERDICT r15 #3): dims whose GROUP BY key is a
@@ -144,11 +148,14 @@ object MaterializedView {
     * alias. Keys are the hidden column names. */
   case class MvDef(srcParts: Seq[String], dims: Seq[String],
                    aggs: Seq[AggSpec], filterSql: Option[String],
-                   selectCols: Seq[String], join: Option[JoinSpec] = None,
+                   selectCols: Seq[String], joins: Seq[JoinLink] = Nil,
                    dimExprs: Map[String, String] = Map.empty,
                    aggInExprs: Map[String, String] = Map.empty) {
     def srcRelative: Seq[String] =
       if (srcParts.length >= 3) srcParts.takeRight(2) else srcParts
+    /** Every chain table's `db.table` spelling, first table included. */
+    def tableRels: Seq[String] =
+      srcRelative.mkString(".") +: joins.map(_.srcRelative.mkString("."))
   }
 
   /** Parse + shape-validate the defining text. Refusals name the exact
@@ -179,58 +186,70 @@ object MaterializedView {
         Some((r.multipartIdentifier, id.name))
       case _ => None
     }
-    // inner equi-join of two graft tables (r13): keys must be written
-    // QUALIFIED (`x.k = y.k`) so each side is unambiguous at parse
-    // time; the ON clause may be a CONJUNCTION of such equalities for
-    // composite keys (r16)
-    def joined(p: LogicalPlan): Option[(Seq[String], JoinSpec)] = p match {
-      case Join(l, r, Inner, Some(cond0), _)
-          if rel(l).isDefined && rel(r).isDefined =>
-        val (lParts, lName) = rel(l).get
-        val (_, rName) = rel(r).get
-        val rParts = rel(r).get._1
-        def sideOf(a: UnresolvedAttribute): (String, String) = {
-          if (a.nameParts.length != 2) refuse(
-            s"join key '${a.name}' must be qualified (alias.column)")
-          (a.nameParts.head, a.nameParts.last)
-        }
-        def conjuncts(e: Expression): Seq[Expression] = e match {
-          case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
-            conjuncts(a) ++ conjuncts(b)
-          case other => Seq(other)
-        }
-        val pairs = conjuncts(cond0).map {
-          case EqualTo(lk: UnresolvedAttribute, rk: UnresolvedAttribute) =>
-            val (q1, c1) = sideOf(lk)
-            val (q2, c2) = sideOf(rk)
-            if (q1.equalsIgnoreCase(lName) && q2.equalsIgnoreCase(rName))
-              (c1, c2)
-            else if (q1.equalsIgnoreCase(rName) && q2.equalsIgnoreCase(lName))
-              (c2, c1)
-            else refuse(s"join key qualifiers '${q1}'/'${q2}' match neither " +
-              s"side ('$lName'/'$rName')")
-          case other => refuse(
-            s"only INNER equi-join conditions are maintainable " +
-              s"(got conjunct '${other.sql}')")
-        }
-        Some((lParts, JoinSpec(rParts, pairs.map(_._1), pairs.map(_._2))))
-      case Join(l, r, jt, cond, _) if rel(l).isDefined && rel(r).isDefined =>
-        refuse(s"only INNER equi-joins of two graft tables are maintainable " +
-          s"(got ${jt.sql} join, on ${cond.map(_.sql).getOrElse("<no condition>")})")
-      // nested / non-relation joins (three-table FROMs) fall through to
-      // the FROM-shape refusal below
-      case _ => None
+    // inner equi-join CHAIN of graft tables (r13 two-table, r16
+    // N-table): a LEFT-DEEP chain of INNER joins, each ON a conjunction
+    // of QUALIFIED equalities (`x.k = y.k`) tying the new table to any
+    // EARLIER alias — qualification makes every side unambiguous at
+    // parse time. Returns (first table parts, alias names in chain
+    // order, links).
+    def sideOf(a: UnresolvedAttribute): (String, String) = {
+      if (a.nameParts.length != 2) refuse(
+        s"join key '${a.name}' must be qualified (alias.column)")
+      (a.nameParts.head, a.nameParts.last)
     }
-    val (srcParts, filterSql, joinSpec) = agg.child match {
-      case r if rel(r).isDefined => (rel(r).get._1, None, None)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+        conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def chainWalk(p: LogicalPlan): Option[(Seq[String], Seq[String], Seq[JoinLink])] =
+      p match {
+        case r if rel(r).isDefined =>
+          val (parts, name) = rel(r).get
+          Some((parts, Seq(name), Nil))
+        case Join(l, r0, Inner, Some(cond0), _) if rel(r0).isDefined =>
+          chainWalk(l).map { case (firstParts, names, links) =>
+            val (rParts, rName) = rel(r0).get
+            if (names.exists(_.equalsIgnoreCase(rName))) refuse(
+              s"join alias '$rName' repeats — every chain table needs a " +
+                "distinct alias")
+            val pairs = conjuncts(cond0).map {
+              case EqualTo(lk: UnresolvedAttribute, rk: UnresolvedAttribute) =>
+                val (q1, c1) = sideOf(lk)
+                val (q2, c2) = sideOf(rk)
+                val (pq, pc, rc) =
+                  if (q1.equalsIgnoreCase(rName)) (q2, c2, c1)
+                  else if (q2.equalsIgnoreCase(rName)) (q1, c1, c2)
+                  else refuse(s"join key qualifiers '$q1'/'$q2' neither " +
+                    s"names the joined table '$rName'")
+                val idx = names.indexWhere(_.equalsIgnoreCase(pq))
+                if (idx < 0) refuse(s"join key qualifier '$pq' names no " +
+                  s"earlier chain table (${names.mkString(", ")})")
+                (idx, pc, rc)
+              case other => refuse(
+                s"only INNER equi-join conditions are maintainable " +
+                  s"(got conjunct '${other.sql}')")
+            }
+            (firstParts, names :+ rName, links :+ JoinLink(rParts, pairs))
+          }
+        case Join(_, r0, jt, cond, _) if rel(r0).isDefined =>
+          refuse(s"only INNER equi-joins of graft tables are maintainable " +
+            s"(got ${jt.sql} join, on ${cond.map(_.sql).getOrElse("<no condition>")})")
+        case _ => None
+      }
+    def joined(p: LogicalPlan): Option[(Seq[String], Seq[JoinLink])] =
+      chainWalk(p).collect { case (parts, _, links) if links.nonEmpty =>
+        (parts, links) }
+    val (srcParts, filterSql, joinLinks) = agg.child match {
+      case r if rel(r).isDefined => (rel(r).get._1, None, Nil)
       case r if joined(r).isDefined =>
-        val (l, js) = joined(r).get; (l, None, Some(js))
+        val (l, js) = joined(r).get; (l, None, js)
       case LFilter(cond, r) if rel(r).isDefined =>
-        (rel(r).get._1, Some(cond.sql), None)
+        (rel(r).get._1, Some(cond.sql), Nil)
       case LFilter(cond, r) if joined(r).isDefined =>
-        val (l, js) = joined(r).get; (l, Some(cond.sql), Some(js))
+        val (l, js) = joined(r).get; (l, Some(cond.sql), js)
       case other => refuse(
-        s"FROM must be a single table or an inner equi-join of two " +
+        s"FROM must be a single table or an inner equi-join chain " +
           s"(got ${other.nodeName})")
     }
     // EXPRESSION DIMS (r16, VERDICT r15 #3): the SELECT list may alias
@@ -385,7 +404,7 @@ object MaterializedView {
     }).find(_.contains(".")).foreach(c => refuse(
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
-    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq, joinSpec, dimExprs,
+    MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq, joinLinks, dimExprs,
       aggIn.toMap)
   }
 
@@ -798,21 +817,37 @@ object MaterializedView {
           c._3.get("graft.mv.src").contains(srcRel))
     }
 
-  /** JOIN-MV candidates (r16, VERDICT r15 #2): sibling state tables
-    * whose recorded (src, src2) are exactly the two joined tables, in
-    * order. Same sweep/cache as [[candidatesFor]]. */
-  def joinCandidatesFor(spark: SparkSession, leftBase: String,
-                        rightBase: String)
+  /** The stored chain-source list of an MV's props: `graft.mv.src`
+    * plus `graft.mv.src2`, `src3`, … in order. */
+  def mvSrcsOf(props: Map[String, String]): Seq[String] =
+    props.get("graft.mv.src").toSeq ++
+      Iterator.from(2).map(i => props.get(s"graft.mv.src$i"))
+        .takeWhile(_.isDefined).flatten
+
+  /** JOIN-MV candidates (r16, VERDICT r15 #2; N-table r16): sibling
+    * state tables whose recorded source SET equals the query's joined
+    * base set — inner joins commute and associate, so ORDER is
+    * irrelevant here (the rewrite verifies the key-pair set per
+    * candidate). Same sweep/cache as [[candidatesFor]]. */
+  def joinCandidatesFor(spark: SparkSession, bases: Seq[String])
       : Seq[(String, Int, Map[String, String])] =
-    sweepFor(spark, leftBase) match {
+    sweepFor(spark, bases.head) match {
       case None => Seq.empty
-      case Some((lRel, all)) =>
-        val rP = new org.apache.hadoop.fs.Path(rightBase)
-        val rDb = rP.getParent
-        if (rDb == null) return Seq.empty
-        val rRel = s"${rDb.getName}.${rP.getName}"
-        all.filter(c => c._3.get("graft.mv.src").contains(lRel) &&
-          c._3.get("graft.mv.src2").contains(rRel))
+      case Some((_, all)) =>
+        val rels = bases.map { b =>
+          val p = new org.apache.hadoop.fs.Path(b)
+          val db = p.getParent
+          if (db == null) return Seq.empty
+          s"${db.getName}.${p.getName}"
+        }
+        // distinct bases only (self-joins never match an MV — create
+        // refuses their overlapping namespace)
+        if (rels.distinct.size != rels.size) return Seq.empty
+        val want = rels.map(_.toLowerCase).toSet
+        all.filter { c =>
+          val srcs = mvSrcsOf(c._3).map(_.toLowerCase)
+          srcs.size == want.size && srcs.toSet == want
+        }
     }
 
   /** The namespace sweep shared by the candidate lookups: every sibling
@@ -873,62 +908,84 @@ object MaterializedView {
   private def srcPath(warehouse: String, d: MvDef): String =
     (warehouse +: d.srcRelative).mkString("/")
 
-  private def src2Path(warehouse: String, d: MvDef): String =
-    (warehouse +: d.join.get.src2Relative).mkString("/")
+  /** Every chain table's path, first table included. */
+  private def srcPaths(warehouse: String, d: MvDef): Seq[String] =
+    srcPath(warehouse, d) +:
+      d.joins.map(l => (warehouse +: l.srcRelative).mkString("/"))
 
-  /** Inner equi-join of the two sides (r13, join MVs) — the duplicate
-    * key column drops when both sides spell it the same, so the joined
-    * namespace is the disjoint union create() validated. Either side
-    * may carry extra columns (`_change_type` on the delta half); they
-    * ride along. */
-  private def joinSides(a: DataFrame, b: DataFrame, d: MvDef): DataFrame = {
-    val js = d.join.get
-    val cond = js.pairs.map { case (lk, rk) => a(lk) === b(rk) }.reduce(_ && _)
-    val j = a.join(b, cond, "inner")
-    js.pairs.filter { case (lk, rk) => lk.equalsIgnoreCase(rk) }
-      .foldLeft(j) { case (df, (_, rk)) => df.drop(b(rk)) }
+  /** Fold the chain tables' frames into the inner-join of all of them
+    * (r13 two-table, r16 N-table): each link's condition resolves its
+    * prefix columns against the RECORDED earlier frame (Spark keeps the
+    * lineage through the join), so composite keys and snowflake chains
+    * need no qualified-name games; same-named key pairs drop the new
+    * side's column, keeping the joined namespace the disjoint union
+    * create() validated. Any frame may carry extra columns
+    * (`_change_type` on a delta half); they ride along. */
+  private def joinChain(dfs: Seq[DataFrame], d: MvDef): DataFrame = {
+    // a later link may reference a prefix column an EARLIER link
+    // deduped away (same-named key pair) — the join equated it with its
+    // surviving endpoint, so resolving through the survivor is exact
+    val remap: Map[(Int, String), (Int, String)] =
+      d.joins.zipWithIndex.flatMap { case (link, i) =>
+        link.pairs.collect { case (pIdx, pc, rc) if pc.equalsIgnoreCase(rc) =>
+          ((i + 1, rc.toLowerCase), (pIdx, pc)) }
+      }.toMap
+    def colOf(idx: Int, c: String): Column = remap.get((idx, c.toLowerCase)) match {
+      case Some((pi, pc)) => colOf(pi, pc)
+      case None => dfs(idx)(c)
+    }
+    d.joins.zipWithIndex.foldLeft(dfs.head) { case (acc, (link, i)) =>
+      val b = dfs(i + 1)
+      val cond = link.pairs.map { case (pIdx, pc, rc) =>
+        colOf(pIdx, pc) === b(rc) }.reduce(_ && _)
+      val j = acc.join(b, cond, "inner")
+      link.dupCols.foldLeft(j)((df, rc) => df.drop(b(rc)))
+    }
   }
 
-  /** The joined source at a version PAIR — what fullState aggregates at
-    * CREATE, what a regroup rescans, and the semantic definition the
-    * two-sided incremental delta must match bit-for-bit. */
+  /** The joined chain at a VERSION VECTOR — what fullState aggregates
+    * at CREATE, what a regroup rescans, and the semantic definition the
+    * incremental delta must match bit-for-bit. */
   private def joinedSnapshot(spark: SparkSession, warehouse: String, d: MvDef,
-                             va: Int, vb: Int): DataFrame =
-    joinSides(
-      TableFormat.readSnapshot(spark, srcPath(warehouse, d), Some(va)),
-      TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(vb)), d)
+                             vs: Seq[Int]): DataFrame =
+    joinChain(srcPaths(warehouse, d).zip(vs).map { case (p, v) =>
+      TableFormat.readSnapshot(spark, p, Some(v)) }, d)
 
-  /** Two-sided signed delta of an inner join (r13, VERDICT r12 #7) —
-    * the classic counting-IVM identity:
+  /** N-sided signed delta of an inner-join chain (r13 two-table,
+    * VERDICT r12 #7; r16 N-table) — the telescoping counting-IVM
+    * identity:
     *
-    *   Δ(A ⋈ B) = ΔA ⋈ B_new  +  A_old ⋈ ΔB
+    *   Δ(S₁ ⋈ … ⋈ S_N) = Σᵢ S₁^old ⋈ … ⋈ S_{i−1}^old ⋈ ΔSᵢ
+    *                        ⋈ S_{i+1}^new ⋈ … ⋈ S_N^new
     *
-    * (exact under signed multiplicities: (A_old+ΔA)⋈(B_old+ΔB) −
-    * A_old⋈B_old = ΔA⋈B_new + A_old⋈ΔB). Each half keeps its own CDF
-    * `_change_type`, so the downstream per-group fold applies the same
-    * ±1 signs the single-source path uses; update images pair as
-    * pre(−1)/post(+1) rows and the algebra absorbs them. IO: the ΔA
-    * half reads B@new pruned by the join (ΔA is small → AQE broadcasts
-    * it); the ΔB half scans A@old once — the inherent cost of join IVM
-    * without a key index, documented, and zero when B didn't change. */
+    * (exact under signed multiplicities — expand the product of
+    * (old + Δ) terms and the cross terms telescope). Each half keeps
+    * its own CDF `_change_type`, so the downstream per-group fold
+    * applies the same ±1 signs the single-source path uses; update
+    * images pair as pre(−1)/post(+1) rows and the algebra absorbs
+    * them. IO: the ΔSᵢ half reads the other chain tables once, pruned
+    * by the join (a small Δ broadcasts under AQE); change-free tables
+    * contribute no half. */
   private def joinDelta(spark: SparkSession, warehouse: String, d: MvDef,
-                        fromA: Int, toA: Int, fromB: Int, toB: Int): DataFrame = {
+                        froms: Seq[Int], tos: Seq[Int]): DataFrame = {
+    val paths = srcPaths(warehouse, d)
     val outCols: Seq[Column] = {
-      val a = TableFormat.readSnapshot(spark, srcPath(warehouse, d), Some(fromA))
-      val b = TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(fromB))
-      val js = d.join.get
-      val bCols = b.columns.toSeq.filterNot(c => js.pairs.exists {
-        case (lk, rk) => lk.equalsIgnoreCase(rk) && c.equalsIgnoreCase(rk) })
-      (a.columns.toSeq ++ bCols :+ "_change_type").map(col)
+      val colsPerTable = paths.zip(froms).map { case (p, v) =>
+        TableFormat.readSnapshot(spark, p, Some(v)).columns.toSeq }
+      val joined = colsPerTable.head ++
+        d.joins.zipWithIndex.flatMap { case (link, i) =>
+          colsPerTable(i + 1).filterNot(c =>
+            link.dupCols.exists(_.equalsIgnoreCase(c)))
+        }
+      (joined :+ "_change_type").map(col)
     }
-    val halves = Seq(
-      if (toA == fromA) None else Some(joinSides(
-        TableFormat.readChanges(spark, srcPath(warehouse, d), fromA, toA),
-        TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(toB)), d)),
-      if (toB == fromB) None else Some(joinSides(
-        TableFormat.readSnapshot(spark, srcPath(warehouse, d), Some(fromA)),
-        TableFormat.readChanges(spark, src2Path(warehouse, d), fromB, toB), d))
-    ).flatten
+    val halves = paths.indices.filter(i => tos(i) != froms(i)).map { i =>
+      joinChain(paths.indices.map { j =>
+        if (j < i) TableFormat.readSnapshot(spark, paths(j), Some(froms(j)))
+        else if (j == i) TableFormat.readChanges(spark, paths(j), froms(j), tos(j))
+        else TableFormat.readSnapshot(spark, paths(j), Some(tos(j)))
+      }, d)
+    }
     halves.map(_.select(outCols: _*)).reduce(_ unionByName _)
   }
 
@@ -996,34 +1053,42 @@ object MaterializedView {
     // unresolved span could never serve as a change-feed start (the
     // CDF cannot see the masks), bricking the first refresh
     resolveSrcEqDels(spark, src)
-    d.join.foreach(_ => resolveSrcEqDels(spark, src2Path(warehouse, d)))
-    val v0 = TableFormat.currentVersion(spark, src)
-    // JOIN MVs (r13): pin BOTH source versions; the joined column
-    // namespaces must be disjoint (outside the equal-named key) or
+    srcPaths(warehouse, d).drop(1).foreach(resolveSrcEqDels(spark, _))
+    // JOIN MVs (r13 two-table, r16 N-table): pin EVERY chain source's
+    // version; each new table's column namespace must be disjoint from
+    // the joined prefix (outside the equal-named keys it dedups) or
     // every downstream unqualified reference would be ambiguous
-    val v0b = d.join.map(_ => TableFormat.currentVersion(spark, src2Path(warehouse, d)))
-    d.join.foreach { js =>
-      val aCols = TableFormat.readSnapshot(spark, src, Some(v0)).columns.map(_.toLowerCase)
-      val bCols = TableFormat.readSnapshot(spark, src2Path(warehouse, d), Some(v0b.get))
-        .columns.map(_.toLowerCase)
-      val overlap = aCols.toSet.intersect(bCols.toSet)
-        .filterNot(c => js.pairs.exists { case (lk, rk) =>
-          lk.equalsIgnoreCase(rk) && c.equalsIgnoreCase(lk) })
-      if (overlap.nonEmpty) throw new IllegalArgumentException(
-        s"materialized view: join sides share column(s) ${overlap.mkString(", ")} " +
-          "— rename one side so every reference is unambiguous")
+    val paths = srcPaths(warehouse, d)
+    val v0s = paths.map(TableFormat.currentVersion(spark, _))
+    val v0 = v0s.head
+    if (d.joins.nonEmpty) {
+      val colsPerTable = paths.zip(v0s).map { case (p, pv) =>
+        TableFormat.readSnapshot(spark, p, Some(pv)).columns.map(_.toLowerCase).toSeq
+      }
+      var prefix = colsPerTable.head.toSet
+      d.joins.zipWithIndex.foreach { case (link, i) =>
+        val bCols = colsPerTable(i + 1)
+        val dups = link.dupCols.map(_.toLowerCase).toSet
+        val overlap = prefix.intersect(bCols.toSet).diff(dups)
+        if (overlap.nonEmpty) throw new IllegalArgumentException(
+          s"materialized view: join table ${link.srcRelative.mkString(".")} " +
+            s"shares column(s) ${overlap.mkString(", ")} with the joined " +
+            "prefix — rename so every reference is unambiguous")
+        prefix ++= bCols.filterNot(dups)
+      }
     }
-    val seed = d.join.fold(TableFormat.readSnapshot(spark, src, Some(v0)))(
-      _ => joinedSnapshot(spark, warehouse, d, v0, v0b.get))
+    val seed =
+      if (d.joins.isEmpty) TableFormat.readSnapshot(spark, src, Some(v0))
+      else joinedSnapshot(spark, warehouse, d, v0s)
     val state = fullState(seed, d)
     val v = TableFormat.appendCommit(spark, sb, state,
       statsCol = None, setProps = Map(
         "graft.mv.query" -> query,
         "graft.mv.src" -> d.srcRelative.mkString("."),
         "graft.mv.version" -> v0.toString) ++
-        d.join.map(js => Map(
-          "graft.mv.src2" -> js.src2Relative.mkString("."),
-          "graft.mv.version2" -> v0b.get.toString)).getOrElse(Map.empty))
+        d.joins.zipWithIndex.flatMap { case (link, i) => Map(
+          s"graft.mv.src${i + 2}" -> link.srcRelative.mkString("."),
+          s"graft.mv.version${i + 2}" -> v0s(i + 1).toString) }.toMap)
     // the published read surface: a stored view over the state table,
     // resolution pinned to this catalog (2-part name + stored context)
     val visible = visibleColumns(d)
@@ -1081,25 +1146,27 @@ object MaterializedView {
     // compact/purge_dv pay — so an equality-mode CDC mirror refreshes
     // without an operator in the loop. The resolve is a normal source
     // commit; the refreshed span then ends at the resolved head.
-    resolveSrcEqDels(spark, src)
-    d.join.foreach(_ => resolveSrcEqDels(spark, src2Path(warehouse, d)))
-    val toV = TableFormat.currentVersion(spark, src)
-    require(toV >= fromV, s"materialized view: source $src moved BACKWARD " +
-      s"($fromV -> $toV) — a restore rewrote applied history; re-create the MV")
-    // join MVs (r13): the second side's span rides the same bookmark
-    // discipline — both versions advance in the ONE state commit below
-    val fromV2 = d.join.map(_ => props("graft.mv.version2").toInt)
-    val toV2 = d.join.map(_ =>
-      TableFormat.currentVersion(spark, src2Path(warehouse, d)))
-    d.join.foreach { _ =>
-      require(toV2.get >= fromV2.get, s"materialized view: second source " +
-        s"moved BACKWARD (${fromV2.get} -> ${toV2.get}); re-create the MV")
+    val paths = srcPaths(warehouse, d)
+    paths.foreach(resolveSrcEqDels(spark, _))
+    // join MVs (r13 two-table, r16 N-table): every chain source's span
+    // rides the same bookmark discipline — ALL versions advance in the
+    // ONE state commit below
+    val fromVs = fromV +: d.joins.indices.map(i =>
+      props(s"graft.mv.version${i + 2}").toInt)
+    val toVs = paths.map(TableFormat.currentVersion(spark, _))
+    val toV = toVs.head
+    paths.indices.foreach { i =>
+      require(toVs(i) >= fromVs(i), s"materialized view: source ${paths(i)} " +
+        s"moved BACKWARD (${fromVs(i)} -> ${toVs(i)}) — a restore rewrote " +
+        "applied history; re-create the MV")
     }
-    if (toV == fromV && toV2 == fromV2) return (mvV, fromV, toV, -1L, 0L)
+    if (toVs == fromVs) return (mvV, fromV, toV, -1L, 0L)
     val bookmarks = Map("graft.mv.version" -> toV.toString) ++
-      toV2.map(v2 => Map("graft.mv.version2" -> v2.toString)).getOrElse(Map.empty)
-    val changes = d.join.fold(TableFormat.readChanges(spark, src, fromV, toV))(
-      _ => joinDelta(spark, warehouse, d, fromV, toV, fromV2.get, toV2.get))
+      d.joins.indices.map(i =>
+        s"graft.mv.version${i + 2}" -> toVs(i + 1).toString).toMap
+    val changes =
+      if (d.joins.isEmpty) TableFormat.readChanges(spark, src, fromV, toV)
+      else joinDelta(spark, warehouse, d, fromVs, toVs)
     val delta = deltaAggregate(changes, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1128,9 +1195,10 @@ object MaterializedView {
                 // expression dims project onto the source BEFORE the
                 // semi-join: the marked groups carry the COMPUTED dim
                 // values, which plain source rows don't have yet (r16)
-                val srcNow = withDimExprs(d.join.fold(
-                  TableFormat.readSnapshot(spark, src, Some(toV)))(
-                  _ => joinedSnapshot(spark, warehouse, d, toV, toV2.get)), d)
+                val srcNow = withDimExprs(
+                  if (d.joins.isEmpty)
+                    TableFormat.readSnapshot(spark, src, Some(toV))
+                  else joinedSnapshot(spark, warehouse, d, toVs), d)
                 val mk = d.dims.foldLeft(marked)(
                   (df, k) => df.withColumnRenamed(k, s"__k_$k"))
                 val semiCond = d.dims.map(

@@ -128,31 +128,65 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Inner equi-join of two plain graft relations — the join-MV query
-    * shape (r16, VERDICT r15 #2): (left rel/base, right rel/base, left
-    * keys, right keys), each conjunct's attrs oriented to their own
-    * side; the ON clause may be a CONJUNCTION of equalities for
-    * composite keys (r16). */
-  private object SourceJoin {
-    def unapply(p: LogicalPlan): Option[(DataSourceV2Relation, String,
-        DataSourceV2Relation, String,
-        Seq[AttributeReference], Seq[AttributeReference])] =
+  /** The query's join context after flattening: each joined table's
+    * `db.table` spelling (lowercased) → its base path, plus the
+    * normalized equi-pair set — endpoints as (rel, col) lowercased,
+    * each unordered pair sorted canonically. Inner joins commute and
+    * associate, so SET equality against the MV's stored chain is the
+    * exact match condition regardless of FROM order or nesting. */
+  private case class QueryJoin(pathOf: Map[String, String],
+                               pairs: Set[((String, String), (String, String))])
+
+  private def normPair(a: (String, String),
+                       b: (String, String)): ((String, String), (String, String)) =
+    if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) (a, b) else (b, a)
+
+  private def relNameOf(base: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    Option(p.getParent).map(db =>
+      s"${db.getName}.${p.getName}".toLowerCase(Locale.ROOT))
+  }
+
+  /** Flatten an INNER-join TREE of plain graft relations (r16 N-table
+    * — the snowflake query shape): all relations in encounter order and
+    * every join-condition conjunct. Any non-inner join, non-relation
+    * leaf, or non-equi conjunct fails the match. */
+  private object SourceJoinTree {
+    private def flat(p: LogicalPlan)
+        : Option[(Seq[(DataSourceV2Relation, String)], Seq[Expression])] =
       p match {
-        case Join(SourceRel(rl, bl), SourceRel(rr, br), Inner, Some(cond), _) =>
-          val pairs = splitConjunctivePredicates(cond).map {
+        case SourceRel(r, b) => Some((Seq((r, b)), Nil))
+        case Join(l, r, Inner, Some(c), _) =>
+          for { (rl, cl) <- flat(l); (rr, cr) <- flat(r) }
+            yield (rl ++ rr, cl ++ cr ++ splitConjunctivePredicates(c))
+        case _ => None
+      }
+    def unapply(p: LogicalPlan)
+        : Option[(Seq[(DataSourceV2Relation, String)], QueryJoin)] = p match {
+      case _: Join =>
+        flat(p).flatMap { case (rels, conds) =>
+          // distinct bases only: a self-join's namespace can never match
+          // an MV (create refuses the overlap)
+          if (rels.size < 2 || rels.map(_._2).distinct.size != rels.size)
+            return None
+          val relName: Map[String, String] = rels.map { case (_, b) =>
+            b -> (relNameOf(b).getOrElse(return None)) }.toMap
+          def endpointOf(a: AttributeReference): Option[(String, String)] =
+            rels.collectFirst { case (r, b) if r.outputSet.contains(a) =>
+              (relName(b), a.name.toLowerCase(Locale.ROOT)) }
+          val pairs = conds.map {
             case EqualTo(x: AttributeReference, y: AttributeReference) =>
-              if (rl.outputSet.contains(x) && rr.outputSet.contains(y))
-                Some((x, y))
-              else if (rl.outputSet.contains(y) && rr.outputSet.contains(x))
-                Some((y, x))
-              else None
+              for { ex <- endpointOf(x); ey <- endpointOf(y)
+                    if ex._1 != ey._1 } yield normPair(ex, ey)
             case _ => None
           }
           if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
-          else Some((rl, bl, rr, br,
-            pairs.map(_.get._1), pairs.map(_.get._2)))
-        case _ => None
-      }
+          else Some((rels, QueryJoin(
+            rels.map { case (_, b) => relName(b) -> b }.toMap,
+            pairs.flatten.toSet)))
+        }
+      case _ => None
+    }
   }
 
   /** Strip TRIVIAL wrappers between the aggregate and the source (r16)
@@ -219,11 +253,12 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     val (conds, core) = unwrapTrivial(child, cteDefs)
     val cond: Option[Expression] = conds.reduceLeftOption(
       org.apache.spark.sql.catalyst.expressions.And(_, _))
-    val (analysisPlan: LogicalPlan, cands) = core match {
+    val (analysisPlan: LogicalPlan, cands, queryJoin) = core match {
       case SourceRel(r, b) =>
-        (r, MV.candidatesFor(spark, b).map(x => (x, b, None, None)))
-      case j @ SourceJoin(_, bl, _, br, kl, kr) =>
-        (j, joinCands(bl, br, kl, kr))
+        (r, MV.candidatesFor(spark, b).map(x => (x, b)), None)
+      case j @ SourceJoinTree(rels, qj) =>
+        (j, MV.joinCandidatesFor(spark, rels.map(_._2))
+          .map(x => (x, rels.head._2)), Some(qj))
       case _ => return None
     }
     // dims may be plain attributes OR deterministic expressions (r16,
@@ -238,7 +273,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     // prefer the SMALLEST state — fewest live rows to scan. The row
     // count parses from the already-cached manifest text; unknown
     // counts sort last, ties stay path-ordered (deterministic).
-    val ranked = cands.sortBy { case ((sb, v, _), _, _, _) =>
+    val ranked = cands.sortBy { case ((sb, v, _), _) =>
       (try {
         val es = TableFormat.manifestEntries(spark, sb, v)
         if (es.nonEmpty && es.forall(_.rows.isDefined))
@@ -248,55 +283,40 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         sb)
     }
     ranked.view.flatMap {
-      case ((stateBase, stateV, props), srcBase, srcBase2, joinKeys) =>
+      case ((stateBase, stateV, props), srcBase) =>
         // a candidate may be DEAD by match time (drop_mv after a cached
         // sweep): any probe failure is a standdown, never a query failure
-        try tryCandidate(stateBase, stateV, props, srcBase, srcBase2, cond,
-          analysisPlan, grouping, aggExprs, joinKeys)
+        try tryCandidate(stateBase, stateV, props, srcBase, cond,
+          analysisPlan, grouping, aggExprs, queryJoin)
         catch { case scala.util.control.NonFatal(_) => None }
     }.headOption
   }
 
-  /** Join-MV candidates for a query joining (bl ⋈ br on key pairs),
-    * BOTH orientations — inner joins are symmetric, the MV's stored
-    * (src, src2) order need not match the query's FROM order. Each
-    * candidate carries the two bases and the query's key-name pairs
-    * rotated into the MV's (src, src2) orientation. */
-  private def joinCands(bl: String, br: String,
-                        kl: Seq[AttributeReference], kr: Seq[AttributeReference])
-      : Seq[((String, Int, Map[String, String]), String, Option[String],
-             Option[(Seq[String], Seq[String])])] =
-    MV.joinCandidatesFor(spark, bl, br)
-      .map(x => (x, bl, Some(br), Some((kl.map(_.name), kr.map(_.name))))) ++
-      (if (bl == br) Nil
-       else MV.joinCandidatesFor(spark, br, bl)
-         .map(x => (x, br, Some(bl), Some((kr.map(_.name), kl.map(_.name))))))
-
   private def tryCandidate(stateBase: String, stateV: Int,
                            props: Map[String, String], srcBase: String,
-                           srcBase2: Option[String],
                            cond: Option[Expression], analysisPlan: LogicalPlan,
                            grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
-                           joinKeys: Option[(Seq[String], Seq[String])])
+                           queryJoin: Option[QueryJoin])
       : Option[LogicalPlan] = {
     val d = try MV.parseDef(spark, props("graft.mv.query"))
             catch { case scala.util.control.NonFatal(_) => return None }
-    // JOIN shape (r16, VERDICT r15 #2): a join query is served only by a
-    // join MV over the same two tables (candidate lookup matched the
-    // bases) joined on the SAME key-pair SET — conjunct order is
-    // irrelevant (composite keys, r16) — orientation already rotated to
-    // the MV's. Anything else stands down. A single-table query is
-    // never served by a join MV and vice versa.
-    (d.join, joinKeys) match {
-      case (None, None) => ()
-      case (Some(js), Some((kls, krs))) =>
-        val qPairs = kls.zip(krs)
-          .map { case (a, b) =>
-            (a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT)) }.toSet
-        val mPairs = js.pairs
-          .map { case (a, b) =>
-            (a.toLowerCase(Locale.ROOT), b.toLowerCase(Locale.ROOT)) }.toSet
-        if (qPairs != mPairs) return None
+    // JOIN shape (r16, VERDICT r15 #2; N-table r16): a join query is
+    // served only by a join MV over the SAME table set (candidate
+    // lookup matched the bases) joined on the SAME normalized key-pair
+    // SET — (rel, col) endpoints, unordered per pair — so FROM order,
+    // join nesting, and conjunct order are all irrelevant. Anything
+    // else stands down. A single-table query is never served by a join
+    // MV and vice versa.
+    (d.joins.nonEmpty, queryJoin) match {
+      case (false, None) => ()
+      case (true, Some(qj)) =>
+        val rels = d.tableRels.map(_.toLowerCase(Locale.ROOT))
+        val mvPairs = d.joins.zipWithIndex.flatMap { case (link, i) =>
+          link.pairs.map { case (pIdx, pc, rc) =>
+            normPair((rels(pIdx), pc.toLowerCase(Locale.ROOT)),
+              (rels(i + 1), rc.toLowerCase(Locale.ROOT))) }
+        }.toSet
+        if (mvPairs != qj.pairs) return None
       case _ => return None
     }
     val mvDimSet = d.dims.map(_.toLowerCase(Locale.ROOT)).toSet
@@ -380,20 +400,24 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         case Some(r) => r
         case None => return None
       }
-    // FRESHNESS — the stale-MV standdown: bookmark == source head (BOTH
-    // bookmarks for a join MV — its exactness spans two sources). Read
-    // LAST so a matching-but-stale MV costs no extra probes elsewhere.
-    val bookmark = props.get("graft.mv.version").flatMap(_.toIntOption)
-      .getOrElse(return None)
-    val srcHead = try TableFormat.currentVersion(spark, srcBase)
-                  catch { case scala.util.control.NonFatal(_) => return None }
-    if (bookmark != srcHead) return None
-    if (srcBase2.isDefined) {
-      val bookmark2 = props.get("graft.mv.version2").flatMap(_.toIntOption)
-        .getOrElse(return None)
-      val srcHead2 = try TableFormat.currentVersion(spark, srcBase2.get)
-                     catch { case scala.util.control.NonFatal(_) => return None }
-      if (bookmark2 != srcHead2) return None
+    // FRESHNESS — the stale-MV standdown: bookmark == source head for
+    // EVERY chain source (the MV's exactness spans them all). Read LAST
+    // so a matching-but-stale MV costs no extra probes elsewhere.
+    {
+      val rels = d.tableRels
+      val paths: Seq[String] = rels.indices.map { i =>
+        if (queryJoin.isEmpty) srcBase
+        else queryJoin.get.pathOf.getOrElse(
+          rels(i).toLowerCase(Locale.ROOT), return None)
+      }
+      rels.indices.foreach { i =>
+        val bm = (if (i == 0) props.get("graft.mv.version")
+                  else props.get(s"graft.mv.version${i + 1}"))
+          .flatMap(_.toIntOption).getOrElse(return None)
+        val head = try TableFormat.currentVersion(spark, paths(i))
+                   catch { case scala.util.control.NonFatal(_) => return None }
+        if (bm != head) return None
+      }
     }
     // Build the PINNED state relation and map every output expression.
     val mvRel = DataSourceV2Relation.create(

@@ -1389,6 +1389,129 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  test("snowflake MVs: a three-table join chain maintains via the telescoping N-delta and serves from state under any FROM order or nesting (r16)") {
+    val facts = fresh("sf_f"); val d1 = fresh("sf_d1"); val d2 = fresh("sf_d2")
+    fresh("sf_agg")
+    TableFormat.commit(spark, facts,
+      (0L until 300L).map(i => (i, i % 4, i * 3 % 101))
+        .toDF("doc_id", "lang_id", "n"), 1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, d1,
+      Seq((0L, 0L, "en"), (1L, 0L, "fr"), (2L, 1L, "de"))
+        .toDF("lang_id", "region_id", "lang"), 1, None)
+    TableFormat.commit(spark, d2,
+      Seq((0L, "emea"), (1L, "dach")).toDF("region_id", "region"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.sf_agg',
+        |  'SELECT region, lang, count(*) AS c, sum(n) AS s, min(n) AS mn
+        |   FROM graft.db.sf_f f JOIN graft.db.sf_d1 l ON f.lang_id = l.lang_id
+        |        JOIN graft.db.sf_d2 r ON l.region_id = r.region_id
+        |   GROUP BY region, lang')""".stripMargin).collect()
+    def recomputeS: Seq[Row] = spark.sql(
+      """SELECT region, lang, count(1) AS c, CAST(sum(n) AS BIGINT) AS s,
+        |  CAST(min(n) AS BIGINT) AS mn
+        |FROM graft.db.sf_f f JOIN graft.db.sf_d1 l ON f.lang_id = l.lang_id
+        |     JOIN graft.db.sf_d2 r ON l.region_id = r.region_id
+        |GROUP BY region, lang ORDER BY region, lang""".stripMargin)
+      .collect().toSeq
+    def readS: Seq[Row] = spark.sql(
+      """SELECT region, lang, c, s, mn FROM graft.db.sf_agg
+        |ORDER BY region, lang""".stripMargin).collect().toSeq
+    assert(readS == recomputeS, "snowflake create drifted")
+    assert(!readS.exists(r => r.getString(1) == null),
+      "unmatched lang_id=3 must not appear")
+    // Δfacts only: append (incl. still-unmatched lang_id 4) + a band
+    // delete that REMOVES binding minima → chain regroup
+    TableFormat.appendCommit(spark, facts,
+      (300L until 380L).map(i => (i, i % 5, i * 7 % 97))
+        .toDF("doc_id", "lang_id", "n"), statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, facts, "doc_id", 0L, 39L)
+    spark.sql("CALL graft.system.refresh_mv('db.sf_agg')").collect()
+    assert(readS == recomputeS, "facts-only delta drifted")
+    // Δd1 only: lang_id 3 gains a mapping → its facts join in through
+    // BOTH hops
+    TableFormat.appendCommit(spark, d1,
+      Seq((3L, 1L, "it")).toDF("lang_id", "region_id", "lang"))
+    spark.sql("CALL graft.system.refresh_mv('db.sf_agg')").collect()
+    assert(readS == recomputeS, "mid-chain (d1) delta drifted")
+    assert(readS.exists(_.getString(1) == "it"), "newly mapped lang missing")
+    // ALL THREE change in ONE span — the telescoping identity: facts
+    // append, d1 gains lang 4, d2 LOSES region 'dach' (group death
+    // through two hops)
+    TableFormat.appendCommit(spark, facts,
+      (380L until 420L).map(i => (i, i % 5, i + 1))
+        .toDF("doc_id", "lang_id", "n"), statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, d1,
+      Seq((4L, 0L, "pt")).toDF("lang_id", "region_id", "lang"))
+    TableFormat.deleteRowsDV(spark, d2,
+      org.apache.spark.sql.functions.col("region") === "dach")
+    spark.sql("CALL graft.system.refresh_mv('db.sf_agg')").collect()
+    assert(readS == recomputeS, "three-sided span drifted")
+    assert(!readS.exists(_.getString(0) == "dach"),
+      "a region dying at the chain's far end must kill its groups")
+    assert(readS.exists(_.getString(1) == "pt"))
+    // ALL bookmarks advanced atomically with the state
+    val props = TableFormat.manifestProps(spark,
+      s"${graft.Tables.scratchDir}/graft_wh/db/sf_agg__state",
+      TableFormat.currentVersion(spark,
+        s"${graft.Tables.scratchDir}/graft_wh/db/sf_agg__state"))
+    assert(props("graft.mv.version").toInt ==
+      TableFormat.currentVersion(spark, facts))
+    assert(props("graft.mv.version2").toInt ==
+      TableFormat.currentVersion(spark, d1))
+    assert(props("graft.mv.version3").toInt ==
+      TableFormat.currentVersion(spark, d2))
+    // REWRITE: the snowflake aggregate serves from state regardless of
+    // FROM order or join NESTING (the flattener normalizes both)
+    def planOf(sql: String): String =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    val q =
+      """SELECT region, lang, count(*) AS c, sum(n) AS s
+        |FROM graft.db.sf_f f JOIN graft.db.sf_d1 l ON f.lang_id = l.lang_id
+        |     JOIN graft.db.sf_d2 r ON l.region_id = r.region_id
+        |GROUP BY region, lang ORDER BY region, lang""".stripMargin
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql(q)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("sf_agg__state"),
+        s"snowflake rewrite not substituted:\n$plan")
+      assert(!plan.contains("sf_f") && !plan.contains("sf_d1") &&
+        !plan.contains("sf_d2"), s"sources still scanned:\n$plan")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(q).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(df.collect().toSeq == direct, "snowflake rewrite values diverged")
+      // a RIGHT-NESTED, reordered FROM flattens to the same pair set
+      val qn =
+        """SELECT region, lang, count(*) AS c, sum(n) AS s
+          |FROM graft.db.sf_d2 r JOIN
+          |  (graft.db.sf_f f JOIN graft.db.sf_d1 l ON f.lang_id = l.lang_id)
+          |  ON l.region_id = r.region_id
+          |GROUP BY region, lang ORDER BY region, lang""".stripMargin
+      assert(planOf(qn).contains("sf_agg__state"),
+        s"nested/reordered FROM must still serve:\n${planOf(qn)}")
+      assert(spark.sql(qn).collect().toSeq == direct)
+      // a DIFFERENT key pair on one hop stands down
+      val qk = q.replace("l.region_id = r.region_id",
+        "l.lang_id = r.region_id")
+      assert(planOf(qk).contains("sf_f"), "wrong hop key must stand down")
+      // a two-table SUBSET of the chain stands down
+      val qs =
+        """SELECT lang, count(*) AS c
+          |FROM graft.db.sf_f f JOIN graft.db.sf_d1 l ON f.lang_id = l.lang_id
+          |GROUP BY lang""".stripMargin
+      assert(planOf(qs).contains("sf_f"), "chain subset must stand down")
+      // staleness on the FAR dim stands down; refresh restores
+      TableFormat.appendCommit(spark, d2,
+        Seq((9L, "apac")).toDF("region_id", "region"))
+      assert(planOf(q).contains("sf_f"), "third-source staleness must stand down")
+      spark.sql("CALL graft.system.refresh_mv('db.sf_agg')").collect()
+      assert(planOf(q).contains("sf_agg__state"))
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   test("aggregates over expressions: SUM/AVG/MIN/COUNT(DISTINCT) of derived scalars maintain and serve — the TPC-H Q1 shape (r16)") {
     val src = fresh("mv_srcq"); fresh("mv_aggq")
     val rows = (0L until 500L).map(i => (i, s"l${i % 3}", i * 3 % 97, i % 13))
@@ -1504,10 +1627,14 @@ class MaterializedViewSpec extends SparkTestBase {
     // joins are SUPPORTED since r13 — a self-join's fully-overlapping
     // namespace hits the ambiguity refusal instead
     refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 a JOIN graft.db.mv_src5 b ON a.doc_id = b.doc_id GROUP BY lang",
-      "share column")
-    // three-table FROM stays out of contract
+      "shares column")
+    // three-table chains are SUPPORTED since r16 (snowflake MVs) —
+    // a three-way SELF-join hits the same ambiguity refusal
     refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 a JOIN graft.db.mv_src5 b ON a.doc_id = b.doc_id JOIN graft.db.mv_src5 c ON b.doc_id = c.doc_id GROUP BY lang",
-      "single table or an inner equi-join")
+      "shares column")
+    // a RIGHT-NESTED join tree stays out of the left-deep contract
+    refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 a JOIN (graft.db.mv_src5 b JOIN graft.db.mv_src5 c ON b.doc_id = c.doc_id) ON a.doc_id = b.doc_id GROUP BY lang",
+      "single table or an inner equi-join chain")
   }
 
   test("streaming maintenance: a foreachBatch loop over the table stream keeps the MV continuous") {
