@@ -4557,6 +4557,70 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `mv_snowflake` (r16): a THREE-TABLE join MV — the snowflake shape
+    * `fact ⋈ dim1 ⋈ dim2`. Maintenance applies the telescoping N-delta
+    * (one half per changed table; all three bookmarks advance in the
+    * one state commit); this lifecycle changes EVERY chain position —
+    * facts delete + append under a new lang, dim1 gains the lang's
+    * region, dim2 loses a region (group death through two hops) AND
+    * gains the new one — then refreshes ONCE. The oracle recomputes the
+    * aggregate over the equivalent final three-way join. */
+  def mvSnowflake(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvs_f", "mvs_d1", "mvs_d2", "mvs_agg", "mvs_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, upper}
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val f = s"$wh/db/mvs_f"; val d1 = s"$wh/db/mvs_d1"; val d2 = s"$wh/db/mvs_d2"
+    TableFormat.commit(spark, f, docs, 1, parent = None, statsCol = Some("doc_id"))
+    val d1df = docs.select(col("lang")).distinct()
+      .withColumn("region", concat(lit("R_"), upper(col("lang"))))
+    TableFormat.commit(spark, d1, d1df, 1, parent = None)
+    TableFormat.commit(spark, d2,
+      d1df.select(col("region")).distinct()
+        .withColumn("zone", expr("'Z_' || substr(region, 3, 1)")),
+      1, parent = None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvs_agg',
+        |  'SELECT zone, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvs_f f JOIN graft.db.mvs_d1 a ON f.lang = a.lang
+        |        JOIN graft.db.mvs_d2 b ON a.region = b.region
+        |   GROUP BY zone')""".stripMargin).collect()
+    TableFormat.deleteWhere(spark, f, "doc_id", 120L, 279L)
+    TableFormat.appendCommit(spark, f,
+      docs.filter("doc_id % 17 = 4")
+        .withColumn("doc_id", col("doc_id") + 11000000000L)
+        .withColumn("lang", lit("mm")),
+      statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, d1,
+      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("mm", "R_MM")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("region",
+            org.apache.spark.sql.types.StringType)))))
+    TableFormat.deleteRowsDV(spark, d2, col("region") === "R_DE")
+    TableFormat.appendCommit(spark, d2,
+      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("R_MM", "Z_M")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("region",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("zone",
+            org.apache.spark.sql.types.StringType)))))
+    spark.sql("CALL graft.system.refresh_mv('db.mvs_agg')").collect()
+    spark.sql(
+      """SELECT zone, n_docs, CAST(sum_chars AS BIGINT) AS sum_chars
+        |FROM graft.db.mvs_agg
+        |ORDER BY zone ASC NULLS FIRST""".stripMargin)
+  }
+
   /** `mv_agg_expr` (r16): aggregates over EXPRESSIONS in the
     * incremental MV — `SUM(price * (1 - disc))`, the TPC-H Q1 shape.
     * The deterministic scalar input computes per row at the same
@@ -4856,6 +4920,7 @@ object GraftCatalogOps {
     "mv_distinct" -> (mvDistinct _),
     "mv_var" -> (mvVar _),
     "mv_agg_expr" -> (mvAggExpr _),
+    "mv_snowflake" -> (mvSnowflake _),
     "mv_rewrite" -> (mvRewrite _),
     "mv_rewrite_rollup" -> (mvRewriteRollup _),
     "mv_rewrite_join" -> (mvRewriteJoin _),
@@ -4955,6 +5020,28 @@ object GraftCatalogOps {
         |FROM final_state
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "mv_snowflake" ->
+      """WITH facts AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 120 AND 279
+        |  UNION ALL
+        |  SELECT doc_id + 11000000000, 'mm', n_chars FROM documents
+        |  WHERE doc_id % 17 = 4),
+        |dim1 AS (
+        |  SELECT lang, 'R_' || upper(lang) AS region
+        |  FROM (SELECT DISTINCT lang FROM documents)
+        |  UNION ALL SELECT 'mm', 'R_MM'),
+        |dim2 AS (
+        |  SELECT region, 'Z_' || substr(region, 3, 1) AS zone
+        |  FROM (SELECT DISTINCT 'R_' || upper(lang) AS region FROM documents)
+        |  WHERE region <> 'R_DE'
+        |  UNION ALL SELECT 'R_MM', 'Z_M')
+        |SELECT zone, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM facts f JOIN dim1 a ON f.lang = a.lang
+        |     JOIN dim2 b ON a.region = b.region
+        |GROUP BY zone
+        |ORDER BY zone ASC NULLS FIRST""".stripMargin,
     "mv_agg_expr" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents
