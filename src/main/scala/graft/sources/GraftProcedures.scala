@@ -154,10 +154,18 @@ object MvDetailTvf {
       if (GraftViews.exists(fs, base)) s"${base}__state" else base
     val sv = TableFormat.currentVersion(spark, state)
     val props = TableFormat.manifestProps(spark, state, sv)
-    val srcRel = props.getOrElse("graft.mv.src",
-      throw new IllegalArgumentException(s"$name: $base is not a materialized view"))
-    val applied = props("graft.mv.version").toInt
-    // the MV's source is stored RELATIVE (db.t) — resolve it against
+    // EVERY chain source (r16 N-table join MVs): `graft.mv.src` plus
+    // `src2`, `src3`, … each with its own bookmark — one output ROW per
+    // source, so staleness at ANY chain position is visible (a join
+    // MV's exactness spans all of them)
+    val srcRels = graft.operators.MaterializedView.mvSrcsOf(props)
+    if (srcRels.isEmpty)
+      throw new IllegalArgumentException(s"$name: $base is not a materialized view")
+    val appliedVs = srcRels.indices.map { i =>
+      (if (i == 0) props("graft.mv.version")
+       else props(s"graft.mv.version${i + 1}")).toInt
+    }
+    // the MV's sources are stored RELATIVE (db.t) — resolve against
     // the warehouse CONTAINING this MV's own path, scanning every
     // registered graft catalog instead of assuming one named 'graft'
     // (r13, ADVICE r12 #4)
@@ -170,18 +178,18 @@ object MvDetailTvf {
     }.flatten
     val wh = warehouses.find(w => base.startsWith(w.stripSuffix("/") + "/"))
       .orElse(warehouses.headOption)
-    val srcBase = wh.map(w => (w +: srcRel.split('.').toSeq).mkString("/"))
-      .getOrElse(srcRel)
-    val srcCur = TableFormat.currentVersion(spark, srcBase)
     val nGroups = {
       val es = TableFormat.manifestEntries(spark, state, sv)
       if (es.forall(_.rows.isDefined)) es.flatMap(_.liveRows).sum else -1L
     }
     import spark.implicits._
-    SqlBridge.analyzed(Seq(
-      (srcRel, applied, srcCur, srcCur > applied, sv, nGroups))
-      .toDF("src", "src_version_applied", "src_version_current",
-        "stale", "state_version", "n_groups"))
+    SqlBridge.analyzed(srcRels.zip(appliedVs).map { case (srcRel, applied) =>
+      val srcBase = wh.map(w => (w +: srcRel.split('.').toSeq).mkString("/"))
+        .getOrElse(srcRel)
+      val srcCur = TableFormat.currentVersion(spark, srcBase)
+      (srcRel, applied, srcCur, srcCur > applied, sv, nGroups)
+    }.toDF("src", "src_version_applied", "src_version_current",
+      "stale", "state_version", "n_groups"))
   }
 
   val info = new ExpressionInfo(getClass.getName, name)

@@ -1503,12 +1503,20 @@ class MaterializedViewSpec extends SparkTestBase {
           |FROM graft.db.sf_f f JOIN graft.db.sf_d1 l ON f.lang_id = l.lang_id
           |GROUP BY lang""".stripMargin
       assert(planOf(qs).contains("sf_f"), "chain subset must stand down")
-      // staleness on the FAR dim stands down; refresh restores
+      // staleness on the FAR dim stands down; refresh restores — and
+      // graft_mv_detail reports ONE ROW PER CHAIN SOURCE, flagging
+      // exactly the stale one (r16)
       TableFormat.appendCommit(spark, d2,
         Seq((9L, "apac")).toDF("region_id", "region"))
       assert(planOf(q).contains("sf_f"), "third-source staleness must stand down")
+      val det = spark.sql("SELECT src, stale FROM graft_mv_detail('db.sf_agg')")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(det.size == 3 && det("db.sf_d2") && !det("db.sf_f") &&
+        !det("db.sf_d1"), s"per-source staleness rows: $det")
       spark.sql("CALL graft.system.refresh_mv('db.sf_agg')").collect()
       assert(planOf(q).contains("sf_agg__state"))
+      assert(spark.sql("SELECT stale FROM graft_mv_detail('db.sf_agg')")
+        .collect().forall(!_.getBoolean(0)), "all sources fresh after refresh")
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
