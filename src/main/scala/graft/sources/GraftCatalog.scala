@@ -4916,9 +4916,73 @@ object GraftCatalogOps {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  /** `mv_rewrite_var` (r17, VERDICT r16 #1): var/stddev served from MV
+    * state — the natural completion of `mv_var`. The exact power sums
+    * (n, Σx, Σx²) the MV already maintains self-maintainably answer the
+    * stddev-band dashboard query without re-scanning the source: exact
+    * dims read the visible power-sum derivation; the GLOBAL shape rolls
+    * up by summing the hidden per-group power sums (pooled variance).
+    * Both plans are asserted substituted in-code, and the oracle
+    * recomputes the identical power-sum arithmetic in DuckDB over the
+    * equivalent final state, so the serve is oracle-gated on exact
+    * doubles (the sample/population and var/stddev axes both pinned). */
+  def mvRewriteVar(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvrv_src", "mvrv_agg", "mvrv_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvrv_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvrv_agg',
+        |  'SELECT lang, count(*) AS n_docs, var_samp(n_chars) AS v_chars,
+        |          stddev_pop(n_chars) AS sdp_chars
+        |   FROM graft.db.mvrv_src GROUP BY lang')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 12 = 5")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 7000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("vv")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 250L, 449L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvrv_agg')").collect()
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val out = spark.sql(
+        """SELECT lang, count(*) AS n_docs, var_samp(n_chars) AS v_chars,
+          |  stddev_pop(n_chars) AS sdp_chars
+          |FROM graft.db.mvrv_src
+          |GROUP BY lang""".stripMargin)
+      val plan = out.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvrv_agg__state") && !plan.contains("mvrv_src"),
+        s"mv_rewrite_var: the var/stddev aggregate was not substituted:\n$plan")
+      // the GLOBAL shape rolls up from the hidden power sums — pin the
+      // plan here; its value lands in the result via a cross join of
+      // one row so the oracle gates BOTH shapes
+      val g = spark.sql(
+        """SELECT var_samp(n_chars) AS g_v, stddev_samp(n_chars) AS g_sd
+          |FROM graft.db.mvrv_src""".stripMargin)
+      val gPlan = g.queryExecution.optimizedPlan.toString
+      require(gPlan.contains("mvrv_agg__state") && !gPlan.contains("mvrv_src"),
+        s"mv_rewrite_var: the global variance was not rolled up:\n$gPlan")
+      // the cross join does not preserve the aggregate's order — sort
+      // LAST so the dumped rows line up with the oracle's ORDER BY
+      out.crossJoin(g)
+        .orderBy(org.apache.spark.sql.functions.asc_nulls_first("lang"))
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
     "mv_var" -> (mvVar _),
+    "mv_rewrite_var" -> (mvRewriteVar _),
     "mv_agg_expr" -> (mvAggExpr _),
     "mv_snowflake" -> (mvSnowflake _),
     "mv_rewrite" -> (mvRewrite _),
@@ -4972,6 +5036,38 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_rewrite_var" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 250 AND 449
+        |  UNION ALL
+        |  SELECT doc_id + 7000000000, 'vv', n_chars FROM documents
+        |  WHERE doc_id % 12 = 5),
+        |sums AS (
+        |  SELECT lang, count(1) AS n_docs, count(n_chars) AS nn,
+        |    CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS DOUBLE) AS q,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS s
+        |  FROM final_state GROUP BY lang),
+        |gsums AS (
+        |  SELECT count(n_chars) AS nn,
+        |    CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS DOUBLE) AS q,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS s
+        |  FROM final_state)
+        |SELECT lang, n_docs,
+        |  CASE WHEN nn > 1 THEN greatest(
+        |    (q - s * s / CAST(nn AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0), 0.0)
+        |  END AS v_chars,
+        |  CASE WHEN nn > 0 THEN sqrt(greatest(
+        |    (q - s * s / CAST(nn AS DOUBLE)) / CAST(nn AS DOUBLE), 0.0))
+        |  END AS sdp_chars,
+        |  (SELECT CASE WHEN nn > 1 THEN greatest(
+        |     (q - s * s / CAST(nn AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0), 0.0)
+        |   END FROM gsums) AS g_v,
+        |  (SELECT CASE WHEN nn > 1 THEN sqrt(greatest(
+        |     (q - s * s / CAST(nn AS DOUBLE)) / (CAST(nn AS DOUBLE) - 1.0), 0.0))
+        |   END FROM gsums) AS g_sd
+        |FROM sums
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_rewrite_expr" ->
       """WITH final_state AS (
         |  SELECT doc_id, n_chars FROM documents

@@ -1286,22 +1286,55 @@ class MaterializedViewSpec extends SparkTestBase {
     spark.sql("CALL graft.system.refresh_mv('db.mv_aggv')").collect()
     assert(readV == recomputeV)
     assert(!readV.exists(_.getString(0) == "cc"), "dead group must vanish")
-    // the QUERY REWRITE stands down on var/stddev calls: Spark's direct
-    // plan is Welford-based and its low-order double bits differ from
-    // the power-sum derivation — serving them would change answers
+    // the QUERY REWRITE serves var/stddev from the power-sum state
+    // (r17, VERDICT r16 #1): exact dims read the visible derivation;
+    // the served answer is the MV contract's exact power-sum double
+    // (documented: may differ in low-order bits from Spark's Welford
+    // direct plan, the same contract AVG's exact-sum division has)
     try {
       spark.conf.set("spark.graft.mv.rewrite", "true")
-      val qv =
-        """SELECT lang, var_samp(n) AS v FROM graft.db.mv_srcv
-          |GROUP BY lang""".stripMargin
-      assert(spark.sql(qv).queryExecution.optimizedPlan.toString
-        .contains("mv_srcv"), "var_samp query must not be served from MV state")
+      val qv = spark.sql(
+        """SELECT lang, var_samp(n) AS v, stddev_pop(n) AS sdp
+          |FROM graft.db.mv_srcv GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+      assert(qv.queryExecution.optimizedPlan.toString.contains("mv_aggv__state"),
+        "var_samp/stddev_pop must serve from the MV state")
+      assert(qv.collect().toSeq ==
+        readV.map(r => Row(r.get(0), r.get(2), r.get(5))),
+        "served var/stddev must equal the MV's visible power-sum values")
       // sibling aggregates the SAME MV stores still serve
       val qc =
         """SELECT lang, count(*) AS c FROM graft.db.mv_srcv
           |GROUP BY lang""".stripMargin
       assert(spark.sql(qc).queryExecution.optimizedPlan.toString
         .contains("mv_aggv__state"), "count over the var MV must still serve")
+      // ROLL-UP: the global variance re-derives from the SUMMED hidden
+      // power sums (n=Σn, s=Σs, q=Σq are the coarser grain's own power
+      // sums) — equal to the power-sum recompute bit-for-bit
+      val qr = spark.sql(
+        """SELECT var_samp(n) AS v, stddev_samp(n) AS sd, var_pop(n) AS vp,
+          |  stddev_pop(n) AS sdp FROM graft.db.mv_srcv""".stripMargin)
+      assert(qr.queryExecution.optimizedPlan.toString.contains("mv_aggv__state"),
+        "global var/stddev must roll up onto the MV state")
+      val pooled = spark.sql(
+        """SELECT
+          |  CASE WHEN count(n) > 1 THEN greatest(
+          |    (CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+          |     - CAST(sum(CAST(n AS BIGINT)) AS DOUBLE) * CAST(sum(CAST(n AS BIGINT)) AS DOUBLE)
+          |       / CAST(count(n) AS DOUBLE))
+          |    / (CAST(count(n) AS DOUBLE) - 1.0D), 0.0D) END AS v,
+          |  CASE WHEN count(n) > 0 THEN greatest(
+          |    (CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+          |     - CAST(sum(CAST(n AS BIGINT)) AS DOUBLE) * CAST(sum(CAST(n AS BIGINT)) AS DOUBLE)
+          |       / CAST(count(n) AS DOUBLE))
+          |    / CAST(count(n) AS DOUBLE), 0.0D) END AS vp
+          |FROM graft.db.mv_srcv""".stripMargin).head
+      val served = qr.head
+      assert(served.getDouble(0) == pooled.getDouble(0) &&
+        served.getDouble(2) == pooled.getDouble(1) &&
+        served.getDouble(1) == math.sqrt(pooled.getDouble(0)) &&
+        served.getDouble(3) == math.sqrt(pooled.getDouble(1)),
+        s"rolled-up variance must equal the pooled power-sum recompute: $served vs $pooled")
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
     // float columns refuse with the named cure
     fresh("mv_aggv2")
@@ -1313,6 +1346,127 @@ class MaterializedViewSpec extends SparkTestBase {
       if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
     assert(chain(e).contains("not") || chain(e).contains("integral"),
       chain(e))
+  }
+
+  test("variance overflow poison: Σx² past DECIMAL(38,0) surfaces NULL (never 0.0) and the poisoned group regroups back to exactness (r17, ADVICE r16 #1)") {
+    val src = fresh("mv_srcof"); fresh("mv_aggof")
+    // 'of': two huge rows — Σx overflows LONG (1.8e19) and Σx² overflows
+    // DECIMAL(38,0) (1.66e38) at CREATE; 'ok' is a plain healthy group.
+    // After deleting doc 1 the remainder (9e18, 7) fits BOTH sums again.
+    val rows: Seq[(Long, String, Option[Long])] = Seq(
+      (1L, "of", Some(Long.MaxValue)), (2L, "of", Some(9000000000000000000L)),
+      (10L, "ok", Some(5L)), (11L, "ok", Some(9L)), (12L, "ok", Some(11L)))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggof',
+        |  'SELECT lang, count(*) AS n_docs, var_samp(n) AS v,
+        |          var_pop(n) AS vp
+        |   FROM graft.db.mv_srcof GROUP BY lang')""".stripMargin).collect()
+    def readOf: Map[String, Row] = spark.sql(
+      "SELECT lang, n_docs, v, vp FROM graft.db.mv_aggof")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the documented contract: overflow is NULL, not a silent 0.0 (the
+    // r16 bug: `greatest` skipped the NULL numerator and clamped to 0)
+    assert(readOf("of").isNullAt(2) && readOf("of").isNullAt(3),
+      s"overflowed group must report NULL variance: ${readOf("of")}")
+    assert(readOf("ok").getDouble(2) > 0.0, "healthy group unaffected")
+    // touching the poisoned group keeps it NULL — the merge must NOT
+    // coalesce the stored NULL Σx² to 0 (that would corrupt state) —
+    // and takes the targeted regroup
+    TableFormat.appendCommit(spark, src,
+      (Seq((3L, "of", Some(7L))): Seq[(Long, String, Option[Long])])
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggof')").head
+    assert(r1.getLong(4) == 1L, s"poisoned group must regroup (got $r1)")
+    assert(readOf("of").isNullAt(2) && readOf("of").getLong(1) == 3L,
+      "still-overflowing group stays NULL after refresh")
+    // deleting a huge row brings Σx² back under 38 digits: the regroup
+    // recomputes the TRUE variance — refresh ≡ recompute through and
+    // past the overflow, not permanent corruption
+    TableFormat.deleteWhere(spark, src, "doc_id", 1L, 1L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggof')").head
+    assert(r2.getLong(4) == 1L, s"recovery must regroup (got $r2)")
+    val recovered = spark.sql(
+      """SELECT CASE WHEN count(n) > 1 THEN greatest(
+        |  (CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+        |   - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE) / CAST(count(n) AS DOUBLE))
+        |  / (CAST(count(n) AS DOUBLE) - 1.0D), 0.0D) END AS v
+        |FROM graft.db.mv_srcof WHERE lang = 'of'""".stripMargin).head.getDouble(0)
+    assert(readOf("of").getDouble(2) == recovered,
+      s"recovered variance must equal recompute: ${readOf("of")} vs $recovered")
+    // an untouched poisoned group does NOT re-regroup every refresh:
+    // spans touching only other groups leave it alone
+    TableFormat.appendCommit(spark, src,
+      (Seq((20L, "ok", Some(13L))): Seq[(Long, String, Option[Long])])
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    val r3 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggof')").head
+    assert(r3.getLong(4) == 0L, s"untouched groups must not regroup (got $r3)")
+  }
+
+  test("duplicate output aliases refuse at CREATE — they key every hidden state column (r17, ADVICE r16 #3)") {
+    val src = fresh("mv_srcdup"); fresh("mv_aggdup")
+    TableFormat.commit(spark, src,
+      (Seq((1L, "en", 5L), (2L, "fr", 7L)): Seq[(Long, String, Long)])
+        .toDF("doc_id", "lang", "n"), 1, None, statsCol = Some("doc_id"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    // two aggregates under one alias: __in_x/__s_x/__n_x would collide
+    val e1 = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggdup',
+        |  'SELECT lang, sum(n) AS x, min(n) AS x
+        |   FROM graft.db.mv_srcdup GROUP BY lang')""".stripMargin).collect())
+    assert(chain(e1).toLowerCase.contains("duplicate"), chain(e1))
+    // an aggregate alias shadowing a dim
+    val e2 = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggdup',
+        |  'SELECT lang, sum(n) AS lang
+        |   FROM graft.db.mv_srcdup GROUP BY lang')""".stripMargin).collect())
+    assert(chain(e2).toLowerCase.contains("duplicate"), chain(e2))
+    // case-insensitive: X and x are the same state column
+    val e3 = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggdup',
+        |  'SELECT lang, sum(n) AS x, count(*) AS X
+        |   FROM graft.db.mv_srcdup GROUP BY lang')""".stripMargin).collect())
+    assert(chain(e3).toLowerCase.contains("duplicate"), chain(e3))
+  }
+
+  test("join MV in a sibling namespace serves: the candidate sweep covers every chain source's db, not just the first-listed one (r17, ADVICE r16 #2)") {
+    val facts = fresh("mv_nsf")
+    // dim + MV live in db2; the query lists the db-namespace fact FIRST
+    val dim = {
+      val base = s"$wh/db2/mv_nsd"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/db2/mv_nsagg"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/db2/mv_nsagg__state"), true)
+      base
+    }
+    TableFormat.commit(spark, facts,
+      (Seq((1L, "en", 5L), (2L, "fr", 7L), (3L, "en", 9L))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, dim,
+      (Seq(("en", "E"), ("fr", "F")): Seq[(String, String)])
+        .toDF("lang", "region"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db2.mv_nsagg',
+        |  'SELECT region, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_nsf f JOIN graft.db2.mv_nsd d ON f.lang = d.lang
+        |   GROUP BY region')""".stripMargin).collect()
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val out = spark.sql(
+        """SELECT region, count(*) AS n_docs, sum(n) AS sum_n
+          |FROM graft.db.mv_nsf f JOIN graft.db2.mv_nsd d ON f.lang = d.lang
+          |GROUP BY region ORDER BY region""".stripMargin)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_nsagg__state") && !plan.contains("mv_nsf"),
+        s"join MV in the second table's namespace must serve:\n$plan")
+      assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq == Seq(("E", 2L, 14L), ("F", 1L, 7L)))
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
   test("composite join keys: an MV over a two-column equi-join maintains exactly and the rewrite matches the key-pair SET in either conjunct order (r16)") {
