@@ -112,6 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.MvDetailTvf.info,
       graft.sources.MvDetailTvf.builder))
     e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.MvExplainTvf.name),
+      graft.sources.MvExplainTvf.info,
+      graft.sources.MvExplainTvf.builder))
+    e.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(graft.sources.TableManifestTvf.name),
       graft.sources.TableManifestTvf.info,
       graft.sources.TableManifestTvf.builder))

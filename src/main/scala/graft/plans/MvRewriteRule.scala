@@ -252,14 +252,15 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     case other => other
   }
 
-  private def rewrite(grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
-                      child: LogicalPlan,
-                      cteDefs: Map[Long, LogicalPlan] = Map.empty)
-      : Option[LogicalPlan] = {
-    // fold trivial wrappers first, then match the bare source: (filter
-    // conjuncts, the plan the stored predicate re-analyzes against,
-    // candidate list oriented to the MV's (src, src2), query join keys
-    // in MV orientation — None = single-table query)
+  /** The probe context rewrite() and [[explain]] share: trivial-wrapper
+    * fold, bare-source / join-tree match, candidate enumeration, size
+    * ranking. Left = a QUERY-level standdown (named); Right = (filter
+    * conjuncts, the plan stored expressions re-analyze against, ranked
+    * candidates, query join keys — None = single-table query). */
+  private def probeContext(child: LogicalPlan, cteDefs: Map[Long, LogicalPlan])
+      : Either[String, (Option[Expression], LogicalPlan,
+                        Seq[((String, Int, Map[String, String]), String)],
+                        Option[QueryJoin])] = {
     val (conds, core) = unwrapTrivial(child, cteDefs)
     val cond: Option[Expression] = conds.reduceLeftOption(
       org.apache.spark.sql.catalyst.expressions.And(_, _))
@@ -269,16 +270,13 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       case j @ SourceJoinTree(rels, qj) =>
         (j, MV.joinCandidatesFor(spark, rels.map(_._2))
           .map(x => (x, rels.head._2)), Some(qj))
-      case _ => return None
+      case other => return Left("query-shape: FROM is not a plain " +
+        "current-version graft table or an inner equi-join of them " +
+        s"(got ${other.nodeName})")
     }
-    // dims may be plain attributes OR deterministic expressions (r16,
-    // VERDICT r15 #3 — `GROUP BY date_trunc('day', ts)` matched against
-    // an MV declared on that same expression); dims MAY be empty: a
-    // global aggregate rolls up over every MV group
-    if (grouping.exists(!_.deterministic)) return None
-    if (aggExprs.exists(_.exists(_.isInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))) return None
-    if (cands.isEmpty) return None
+    if (cands.isEmpty) return Left("no-candidates: no sibling __state " +
+      "table declares this exact source set (check the MV's namespace " +
+      "and graft.mv.src properties)")
     // several MVs may match (e.g. a finer- and a coarser-grained one):
     // prefer the SMALLEST state — fewest live rows to scan. The row
     // count parses from the already-cached manifest text; unknown
@@ -292,14 +290,72 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       } catch { case scala.util.control.NonFatal(_) => Long.MaxValue },
         sb)
     }
-    ranked.view.flatMap {
-      case ((stateBase, stateV, props), srcBase) =>
-        // a candidate may be DEAD by match time (drop_mv after a cached
-        // sweep): any probe failure is a standdown, never a query failure
-        try tryCandidate(stateBase, stateV, props, srcBase, cond,
-          analysisPlan, grouping, aggExprs, queryJoin)
-        catch { case scala.util.control.NonFatal(_) => None }
-    }.headOption
+    Right((cond, analysisPlan, ranked, queryJoin))
+  }
+
+  private def rewrite(grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
+                      child: LogicalPlan,
+                      cteDefs: Map[Long, LogicalPlan] = Map.empty)
+      : Option[LogicalPlan] = {
+    // dims may be plain attributes OR deterministic expressions (r16,
+    // VERDICT r15 #3 — `GROUP BY date_trunc('day', ts)` matched against
+    // an MV declared on that same expression); dims MAY be empty: a
+    // global aggregate rolls up over every MV group
+    if (grouping.exists(!_.deterministic)) return None
+    if (aggExprs.exists(_.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))) return None
+    probeContext(child, cteDefs).toOption.flatMap {
+      case (cond, analysisPlan, ranked, queryJoin) =>
+        ranked.view.flatMap {
+          case ((stateBase, stateV, props), srcBase) =>
+            // a candidate may be DEAD by match time (drop_mv after a
+            // cached sweep): any probe failure is a standdown, never a
+            // query failure
+            (try tryCandidate(stateBase, stateV, props, srcBase, cond,
+              analysisPlan, grouping, aggExprs, queryJoin)
+            catch { case scala.util.control.NonFatal(_) =>
+              Left("probe-error") }).toOption
+        }.headOption
+    }
+  }
+
+  /** The rewrite-miss EXPLAINER's probe (r17, VERDICT r16 #3): the
+    * EXACT chain rewrite() runs — same probeContext, same tryCandidate
+    * — but reporting every candidate's outcome instead of stopping at
+    * the first success, so an operator can see WHY a query did not
+    * serve. Rows: (mv `db.table` — None for query-level standdowns,
+    * status `would_serve`/`standdown`, reason). The shared code path is
+    * the drift guard: the explainer cannot disagree with the matcher. */
+  def explainProbe(grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
+                   child: LogicalPlan, cteDefs: Map[Long, LogicalPlan])
+      : Seq[(Option[String], String, String)] = {
+    if (grouping.exists(!_.deterministic))
+      return Seq((None, "standdown",
+        "non-deterministic-grouping: a GROUP BY expression is non-deterministic"))
+    if (aggExprs.exists(_.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+      return Seq((None, "standdown",
+        "subquery-in-select: the SELECT list contains a subquery expression"))
+    probeContext(child, cteDefs) match {
+      case Left(reason) => Seq((None, "standdown", reason))
+      case Right((cond, analysisPlan, ranked, queryJoin)) =>
+        ranked.map { case ((stateBase, stateV, props), srcBase) =>
+          val mvName = {
+            val p = new org.apache.hadoop.fs.Path(stateBase)
+            Option(p.getParent)
+              .map(db => s"${db.getName}.${p.getName.stripSuffix("__state")}")
+              .getOrElse(stateBase)
+          }
+          (try tryCandidate(stateBase, stateV, props, srcBase, cond,
+            analysisPlan, grouping, aggExprs, queryJoin)
+          catch { case scala.util.control.NonFatal(e) =>
+            Left(s"probe-error: ${e.getMessage}") }) match {
+            case Right(_) => (Some(mvName), "would_serve",
+              "substitutes the |groups|-row state scan for the source")
+            case Left(reason) => (Some(mvName), "standdown", reason)
+          }
+        }
+    }
   }
 
   private def tryCandidate(stateBase: String, stateV: Int,
@@ -307,9 +363,10 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
                            cond: Option[Expression], analysisPlan: LogicalPlan,
                            grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
                            queryJoin: Option[QueryJoin])
-      : Option[LogicalPlan] = {
+      : Either[String, LogicalPlan] = {
     val d = try MV.parseDef(spark, props("graft.mv.query"))
-            catch { case scala.util.control.NonFatal(_) => return None }
+            catch { case scala.util.control.NonFatal(e) =>
+              return Left(s"definition-unparseable: ${e.getMessage}") }
     // JOIN shape (r16, VERDICT r15 #2; N-table r16): a join query is
     // served only by a join MV over the SAME table set (candidate
     // lookup matched the bases) joined on the SAME normalized key-pair
@@ -326,8 +383,13 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
             normPair((rels(pIdx), pc.toLowerCase(Locale.ROOT)),
               (rels(i + 1), rc.toLowerCase(Locale.ROOT))) }
         }.toSet
-        if (mvPairs != qj.pairs) return None
-      case _ => return None
+        if (mvPairs != qj.pairs) return Left(
+          "join-keys-mismatch: the query's ON equi-pair set differs " +
+            "from the MV's stored join chain")
+      case (true, None) => return Left(
+        "shape-mismatch: a single-table query is never served by a join MV")
+      case (false, Some(_)) => return Left(
+        "shape-mismatch: a join query is never served by a single-source MV")
     }
     val mvDimSet = d.dims.map(_.toLowerCase(Locale.ROOT)).toSet
     val mvPlainDims = d.dims.filterNot(d.dimExprs.contains)
@@ -345,9 +407,12 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
             Project(Seq(Alias(parsed, alias)()), analysisPlan)).analyzed match {
             case Project(Seq(al: Alias), _) =>
               out += ((alias.toLowerCase(Locale.ROOT), al.child))
-            case _ => return None
+            case _ => return Left(s"expr-dim-unmatched: stored dim " +
+              s"expression '$sql' does not analyze against the query plan")
           }
-        } catch { case scala.util.control.NonFatal(_) => return None }
+        } catch { case scala.util.control.NonFatal(_) =>
+          return Left(s"expr-dim-unmatched: stored dim expression " +
+            s"'$sql' does not analyze against the query plan") }
       }
       out.result()
     }
@@ -363,9 +428,12 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
             Project(Seq(Alias(parsed, name)()), analysisPlan)).analyzed match {
             case Project(Seq(al: Alias), _) =>
               out += ((name.toLowerCase(Locale.ROOT), al.child))
-            case _ => return None
+            case _ => return Left(s"agg-input-unmatched: stored input " +
+              s"expression '$sql' does not analyze against the query plan")
           }
-        } catch { case scala.util.control.NonFatal(_) => return None }
+        } catch { case scala.util.control.NonFatal(_) =>
+          return Left(s"agg-input-unmatched: stored input expression " +
+            s"'$sql' does not analyze against the query plan") }
       }
       out.result()
     }
@@ -389,7 +457,9 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     val qDimPairs: Seq[(Expression, String)] = grouping.map { g =>
       mvDimColOf(g) match {
         case Some(n) => (g, n)
-        case None => return None
+        case None => return Left(s"dims-mismatch: GROUP BY expression " +
+          s"'${g.sql}' is not one of the MV's dims " +
+          s"(${d.dims.mkString(", ")})")
       }
     }
     val dimSet = qDimPairs.map(_._2).toSet
@@ -399,7 +469,8 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     // set = global aggregate) → ROLL-UP re-aggregation over the
     // |groups|-row state (r15): counts/sums re-sum, extrema re-extreme,
     // AVG re-derives from the hidden exact sum/count columns
-    if (!dimSet.subsetOf(mvDimSet)) return None
+    if (!dimSet.subsetOf(mvDimSet)) return Left(
+      "dims-mismatch: query dims are not a subset of the MV's dims")
     // FILTER CONTAINMENT (r15): the query's WHERE may be the MV's
     // stored predicate plus EXTRA conjuncts over MV DIMS only — group
     // membership is a function of the dims, so filtering the state rows
@@ -408,7 +479,10 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     val residual: Seq[Expression] =
       filterResidual(cond, d.filterSql, analysisPlan) match {
         case Some(r) => r
-        case None => return None
+        case None => return Left("filter-mismatch: the query WHERE does " +
+          "not contain every conjunct of the MV's stored predicate" +
+          d.filterSql.map(f => s" ($f)").getOrElse("") +
+          ", or a leftover conjunct is non-deterministic")
       }
     // FRESHNESS — the stale-MV standdown: bookmark == source head for
     // EVERY chain source (the MV's exactness spans them all). Read LAST
@@ -418,15 +492,22 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       val paths: Seq[String] = rels.indices.map { i =>
         if (queryJoin.isEmpty) srcBase
         else queryJoin.get.pathOf.getOrElse(
-          rels(i).toLowerCase(Locale.ROOT), return None)
+          rels(i).toLowerCase(Locale.ROOT),
+          return Left(s"stale-bookmark: chain source ${rels(i)} is not " +
+            "among the query's joined tables"))
       }
       rels.indices.foreach { i =>
         val bm = (if (i == 0) props.get("graft.mv.version")
                   else props.get(s"graft.mv.version${i + 1}"))
-          .flatMap(_.toIntOption).getOrElse(return None)
+          .flatMap(_.toIntOption).getOrElse(
+            return Left(s"stale-bookmark: no bookmark recorded for " +
+              s"chain source ${rels(i)}"))
         val head = try TableFormat.currentVersion(spark, paths(i))
-                   catch { case scala.util.control.NonFatal(_) => return None }
-        if (bm != head) return None
+                   catch { case scala.util.control.NonFatal(_) =>
+                     return Left(s"stale-bookmark: source ${rels(i)} " +
+                       "head version unreadable") }
+        if (bm != head) return Left(s"stale-bookmark: ${rels(i)} applied " +
+          s"v$bm but source head is v$head — CALL graft.system.refresh_mv")
       }
     }
     // Build the PINNED state relation and map every output expression.
@@ -619,33 +700,44 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       if (residual.isEmpty) mvRel
       else {
         val mapped = residual.map(remapDims)
-        if (mapped.exists(_.isEmpty)) return None
+        if (mapped.exists(_.isEmpty)) {
+          val bad = residual(mapped.indexWhere(_.isEmpty))
+          return Left(s"residual-not-dim-only: WHERE conjunct " +
+            s"'${bad.sql}' is not a pure function of the MV's dims")
+        }
         Filter(mapped.flatten.reduceLeft(
           org.apache.spark.sql.catalyst.expressions.And(_, _)), mvRel)
       }
     val exact = dimSet == mvDimSet
     val mapper: Expression => Option[Expression] =
       if (exact) remap else remapRollup
+    def aggMiss(name: String): String =
+      s"agg-unmatched: output '$name' does not map onto stored state " +
+        "(unsupported aggregate, approx_count_distinct/HLL++ or bare " +
+        "sketch standdown, unstored input expression, or a result-type " +
+        "mismatch)"
     val projections = aggExprs.map {
       case a: AttributeReference =>
         mapper(a) match {
           case Some(m) => Alias(m, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
-          case None => return None
+          case None => return Left(aggMiss(a.name))
         }
       case al: Alias =>
         mapper(al.child) match {
           case Some(m) => Alias(m, al.name)(exprId = al.exprId, qualifier = al.qualifier,
             explicitMetadata = Some(al.metadata))
-          case None => return None
+          case None => return Left(aggMiss(al.name))
         }
-      case _ => return None
+      case other => return Left(aggMiss(other.nodeName))
     }
-    if (exact) Some(Project(projections, mvBase))
+    if (exact) Right(Project(projections, mvBase))
     else {
       val grouping = dimSet.toSeq.sorted.map(n =>
-        mvCol(n).getOrElse(return None): Expression)
-      Some(Aggregate(grouping, projections, mvBase))
+        mvCol(n).getOrElse(return Left(
+          s"state-column-missing: dim '$n' absent from the state table"))
+          : Expression)
+      Right(Aggregate(grouping, projections, mvBase))
     }
   }
 

@@ -183,13 +183,91 @@ object MvDetailTvf {
       if (es.forall(_.rows.isDefined)) es.flatMap(_.liveRows).sum else -1L
     }
     import spark.implicits._
-    SqlBridge.analyzed(srcRels.zip(appliedVs).map { case (srcRel, applied) =>
+    val perSrc = srcRels.zip(appliedVs).map { case (srcRel, applied) =>
       val srcBase = wh.map(w => (w +: srcRel.split('.').toSeq).mkString("/"))
         .getOrElse(srcRel)
       val srcCur = TableFormat.currentVersion(spark, srcBase)
       (srcRel, applied, srcCur, srcCur > applied, sv, nGroups)
+    }
+    // `serving` (r17, VERDICT r16 #3): would the query REWRITE's
+    // freshness gate pass right now — every chain bookmark at its
+    // source's head. The same fact graft_mv_explain reports as
+    // would_serve/stale-bookmark, derivable here from pure metadata.
+    val serving = perSrc.forall(!_._4)
+    SqlBridge.analyzed(perSrc.map { case (s, a, c, st, v, n) =>
+      (s, a, c, st, serving, v, n)
     }.toDF("src", "src_version_applied", "src_version_current",
-      "stale", "state_version", "n_groups"))
+      "stale", "serving", "state_version", "n_groups"))
+  }
+
+  val info = new ExpressionInfo(getClass.getName, name)
+
+  def register(spark: SparkSession): Unit =
+    SqlBridge.registerTableFunction(spark, name, info, builder)
+}
+
+/** `graft_mv_explain('<query sql>')` — the rewrite-miss EXPLAINER
+  * (r17, VERDICT r16 #3): runs the MV rewrite's OWN probe chain against
+  * the given query and reports, per candidate MV, either `would_serve`
+  * or the FIRST standdown reason (stale-bookmark, dims-mismatch,
+  * filter-mismatch, agg-unmatched/HLL++ standdown, join-keys-mismatch,
+  * expr-dim-unmatched, residual-not-dim-only, …). Query-level
+  * standdowns (shape, no candidates) come back as one row with mv NULL.
+  * The probes are the matcher's own code path — the explainer cannot
+  * drift from what the rewrite actually does. Driver-side metadata
+  * only; the query is analyzed but never executed. */
+object MvExplainTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, Deduplicate, Distinct, LogicalPlan, Project}
+  import org.apache.spark.sql.graftbridge.SqlBridge
+
+  val name = "graft_mv_explain"
+
+  def builder: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 1, s"$name(sql) takes 1 argument, got ${args.length}")
+    val spark = SparkSession.active
+    val sql = GraftTvf.evalStr(args.head)
+    val flag = spark.conf.getOption("spark.graft.mv.rewrite").getOrElse("false")
+    // analyze with the rewrite OFF: a fresh MV would otherwise already
+    // have substituted the aggregate, leaving nothing to explain
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val analyzed =
+      try spark.sessionState.executePlan(
+        spark.sessionState.sqlParser.parsePlan(sql)).analyzed
+      finally spark.conf.set("spark.graft.mv.rewrite", flag)
+    val cteDefs: Map[Long, LogicalPlan] =
+      analyzed.collect { case d: CTERelationDef => d.id -> d.child }.toMap
+    val rule = graft.plans.RewriteAggregateToMv(spark)
+    // the same node shapes apply() serves: Aggregate, SELECT DISTINCT
+    // (Distinct over Project), whole-output Deduplicate
+    val probes: Seq[(Option[String], String, String)] = analyzed.collect {
+      case agg @ Aggregate(grouping, aggExprs, child, _) if agg.resolved =>
+        rule.explainProbe(grouping, aggExprs, child, cteDefs)
+      case d @ Distinct(Project(projList, child)) if d.resolved =>
+        rule.explainProbe(
+          projList.map {
+            case org.apache.spark.sql.catalyst.expressions.Alias(e, _) => e
+            case e => e },
+          projList, child, cteDefs)
+      case d @ Deduplicate(keys, child) if d.resolved &&
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(keys) ==
+            child.outputSet =>
+        rule.explainProbe(child.output, child.output, child, cteDefs)
+    }.flatten
+    val rows =
+      (if (flag != "true")
+         Seq((None: Option[String], "note",
+           "spark.graft.mv.rewrite=false — rewrites are disabled; " +
+             "probe results below assume the flag enabled"))
+       else Nil) ++
+      (if (probes.isEmpty)
+         Seq((None: Option[String], "standdown",
+           "query-shape: no servable aggregate node (GROUP BY aggregate, " +
+             "SELECT DISTINCT, or whole-row distinct) in the query"))
+       else probes)
+    import spark.implicits._
+    SqlBridge.analyzed(rows.map { case (mv, st, why) => (mv.orNull, st, why) }
+      .toDF("mv", "status", "reason"))
   }
 
   val info = new ExpressionInfo(getClass.getName, name)

@@ -1888,15 +1888,97 @@ class MaterializedViewSpec extends SparkTestBase {
     val fresh0 = spark.sql("SELECT * FROM graft_mv_detail('db.mv_aggA')").head
     assert(fresh0.getAs[String]("src") == "db.mv_srcA")
     assert(!fresh0.getAs[Boolean]("stale") && fresh0.getAs[Long]("n_groups") == 2L)
+    assert(fresh0.getAs[Boolean]("serving"), "fresh MV must report serving")
     TableFormat.appendCommit(spark, src,
       Seq((3L, "de", 3L)).toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
     val stale = spark.sql("SELECT * FROM graft_mv_detail('db.mv_aggA')").head
     assert(stale.getAs[Boolean]("stale") &&
       stale.getAs[Int]("src_version_applied") == 1 &&
       stale.getAs[Int]("src_version_current") == 2)
+    // serving == the rewrite's freshness gate — cross-checked against
+    // graft_mv_explain's verdict for a matching query (r17)
+    assert(!stale.getAs[Boolean]("serving"), "stale MV must not serve")
+    assert(spark.sql(
+      """SELECT reason FROM graft_mv_explain(
+        |  'SELECT lang, count(*) AS n_docs FROM graft.db.mv_srcA GROUP BY lang')
+        |WHERE mv = 'db.mv_aggA'""".stripMargin).head.getString(0)
+      .startsWith("stale-bookmark"), "explain must agree with serving=false")
     spark.sql("CALL graft.system.refresh_mv('db.mv_aggA')").collect()
     val after = spark.sql("SELECT * FROM graft_mv_detail('db.mv_aggA')").head
     assert(!after.getAs[Boolean]("stale") && after.getAs[Long]("n_groups") == 3L)
+    assert(after.getAs[Boolean]("serving"))
+    assert(spark.sql(
+      """SELECT status FROM graft_mv_explain(
+        |  'SELECT lang, count(*) AS n_docs FROM graft.db.mv_srcA GROUP BY lang')
+        |WHERE mv = 'db.mv_aggA'""".stripMargin).head.getString(0)
+      == "would_serve", "explain must agree with serving=true")
+  }
+
+  test("graft_mv_explain names the first standdown reason per candidate — the matcher's own probe chain surfaced (r17, VERDICT r16 #3)") {
+    val src = fresh("mv_srcE"); fresh("mv_aggE")
+    TableFormat.commit(spark, src,
+      (Seq((1L, "en", 5L), (2L, "fr", 7L), (3L, "en", 9L))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggE',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_srcE WHERE doc_id > 0 GROUP BY lang')""".stripMargin)
+      .collect()
+    def reasonFor(q: String): String = {
+      val rows = spark.sql(
+        s"SELECT status, reason FROM graft_mv_explain('${q.replace("'", "''")}') " +
+          "WHERE mv = 'db.mv_aggE'").collect()
+      assert(rows.length == 1, s"want one probe row, got ${rows.toSeq}")
+      if (rows.head.getString(0) == "would_serve") "would_serve"
+      else rows.head.getString(1)
+    }
+    val serveQ =
+      "SELECT lang, count(*) AS c FROM graft.db.mv_srcE WHERE doc_id > 0 GROUP BY lang"
+    // flag OFF: the note row says so, and probes still run
+    val note = spark.sql(
+      s"SELECT status, reason FROM graft_mv_explain('${serveQ.replace("'", "''")}')")
+      .collect()
+    assert(note.exists(r => r.getString(0) == "note" &&
+      r.getString(1).contains("spark.graft.mv.rewrite=false")),
+      s"flag-off note missing: ${note.toSeq}")
+    assert(reasonFor(serveQ) == "would_serve")
+    // one named reason per standdown class
+    assert(reasonFor(
+      "SELECT doc_id, count(*) AS c FROM graft.db.mv_srcE WHERE doc_id > 0 GROUP BY doc_id")
+      .startsWith("dims-mismatch"), "grouping on a non-dim")
+    assert(reasonFor(
+      "SELECT lang, count(*) AS c FROM graft.db.mv_srcE GROUP BY lang")
+      .startsWith("filter-mismatch"), "query WHERE lacks the MV predicate")
+    assert(reasonFor(
+      "SELECT lang, count(*) AS c FROM graft.db.mv_srcE WHERE doc_id > 0 AND n > 3 GROUP BY lang")
+      .startsWith("residual-not-dim-only"), "extra conjunct over a non-dim")
+    assert(reasonFor(
+      "SELECT lang, approx_count_distinct(n) AS a FROM graft.db.mv_srcE WHERE doc_id > 0 GROUP BY lang")
+      .startsWith("agg-unmatched"), "HLL++ approx_count_distinct stands down")
+    // staleness names the gap and the cure
+    TableFormat.appendCommit(spark, src,
+      (Seq((9L, "de", 1L)): Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    val staleR = reasonFor(serveQ)
+    assert(staleR.startsWith("stale-bookmark") && staleR.contains("refresh_mv"),
+      staleR)
+    spark.sql("CALL graft.system.refresh_mv('db.mv_aggE')").collect()
+    assert(reasonFor(serveQ) == "would_serve")
+    // query-level standdowns come back as one mv-NULL row
+    val noCand = spark.sql(
+      """SELECT status, reason FROM graft_mv_explain(
+        |  'SELECT count(*) AS c FROM range(3)')""".stripMargin).collect()
+      .filter(_.getString(0) == "standdown")
+    assert(noCand.length == 1 && noCand.head.getString(1).startsWith("query-shape"),
+      noCand.toSeq.toString)
+    // non-aggregate query: explicit no-servable-shape row
+    val nonAgg = spark.sql(
+      """SELECT status, reason FROM graft_mv_explain(
+        |  'SELECT * FROM graft.db.mv_srcE')""".stripMargin).collect()
+      .filter(_.getString(0) == "standdown")
+    assert(nonAgg.length == 1 && nonAgg.head.getString(1).contains("no servable"),
+      nonAgg.toSeq.toString)
   }
 
   test("drop_mv removes view + state together; the name re-creates cleanly") {
