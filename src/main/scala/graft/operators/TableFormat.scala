@@ -2446,13 +2446,29 @@ object TableFormat {
       .map(p => new Path(p).toUri.getPath).toSet
   }
 
+  /** A data-tree file that lives under an equality-delete KEY dir —
+    * per-batch `eq<v>_<uuid>` or consolidated `eqc<v>_<uuid>` (never a
+    * partition dir: those carry `col=value` names). The vacuum preview
+    * itemizes these separately (r17, VERDICT r16 #4): after
+    * `consolidate_eqdel` the superseded per-batch key dirs become
+    * reclaimable the moment their referencing manifests age out, and
+    * without the line item that payoff is invisible to operators. */
+  private val EqKeyDirName = "^eqc?\\d+_".r
+  private def isEqKeyFile(base: String, p: Path): Boolean = {
+    val rel = p.toUri.getPath.stripPrefix(
+      new Path(s"$base/data").toUri.getPath).stripPrefix("/")
+    rel.split('/').headOption.exists(EqKeyDirName.findPrefixOf(_).isDefined)
+  }
+
   /** DRY-RUN vacuum (r15): what WOULD reclaim under `retain` — the
     * accounting an operator reads before committing to a retention
     * change. Pure metadata + one data-tree listing; NOTHING is deleted,
-    * no manifest/pointer/marker writes. Returns
-    * (reclaimableFiles, reclaimableBytes, keptFiles). */
+    * no manifest/pointer/marker writes. Returns (reclaimableFiles,
+    * reclaimableBytes, keptFiles, eqKeyFilesReclaimable,
+    * eqKeyBytesReclaimable) — the eq-key pair is the superseded
+    * equality-delete key-dir subset of the first two (r17). */
   def vacuumPreview(spark: SparkSession, base: String,
-                    retain: Seq[Int]): (Int, Long, Int) = {
+                    retain: Seq[Int]): (Int, Long, Int, Int, Long) = {
     val cur = currentVersion(spark, base)
     require(retain.contains(cur),
       s"vacuum_preview must retain the current version $cur (got ${retain.mkString(",")})")
@@ -2461,6 +2477,8 @@ object TableFormat {
     var reclaimable = 0
     var bytes = 0L
     var kept = 0
+    var eqReclaimable = 0
+    var eqBytes = 0L
     val dataDir = new Path(s"$base/data")
     if (f.exists(dataDir)) {
       val it = f.listFiles(dataDir, true)
@@ -2468,11 +2486,16 @@ object TableFormat {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
           if (referenced.contains(st.getPath.toUri.getPath)) kept += 1
-          else { reclaimable += 1; bytes += st.getLen }
+          else {
+            reclaimable += 1; bytes += st.getLen
+            if (isEqKeyFile(base, st.getPath)) {
+              eqReclaimable += 1; eqBytes += st.getLen
+            }
+          }
         }
       }
     }
-    (reclaimable, bytes, kept)
+    (reclaimable, bytes, kept, eqReclaimable, eqBytes)
   }
 
   def vacuum(spark: SparkSession, base: String, retain: Seq[Int]): (Int, Int) = {

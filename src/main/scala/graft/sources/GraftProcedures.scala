@@ -683,15 +683,19 @@ object GraftProcedures {
     StructType(Seq(StructField("files_reclaimable", IntegerType),
                    StructField("bytes_reclaimable", LongType),
                    StructField("files_kept", IntegerType),
-                   StructField("versions_retained", IntegerType)))) {
+                   StructField("versions_retained", IntegerType),
+                   StructField("eq_key_files_reclaimable", IntegerType),
+                   StructField("eq_key_bytes_reclaimable", LongType)))) {
     override def description(): String =
       "report what vacuum(table, retain_last) would reclaim; deletes nothing"
     override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
       val keep = input.getInt(1)
       require(keep >= 1, s"vacuum_preview: retain_last must be >= 1 (got $keep)")
       val retained = retainedWindow(spark, base, keep)
-      val (n, bytes, kept) = TableFormat.vacuumPreview(spark, base, retained)
-      new GenericInternalRow(Array[Any](n, bytes, kept, retained.size))
+      val (n, bytes, kept, eqN, eqBytes) =
+        TableFormat.vacuumPreview(spark, base, retained)
+      new GenericInternalRow(Array[Any](n, bytes, kept, retained.size,
+        eqN, eqBytes))
     }
   }
 
@@ -992,7 +996,9 @@ object GraftProcedures {
     StructType(Seq(StructField("files_reclaimable", IntegerType),
                    StructField("bytes_reclaimable", LongType),
                    StructField("files_kept", IntegerType),
-                   StructField("versions_retained", IntegerType)))) {
+                   StructField("versions_retained", IntegerType),
+                   StructField("eq_key_files_reclaimable", IntegerType),
+                   StructField("eq_key_bytes_reclaimable", LongType)))) {
     override def description(): String =
       "report what expire_snapshots(table, older_than_ms, retain_last) would reclaim; deletes nothing"
     override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
@@ -1001,8 +1007,10 @@ object GraftProcedures {
       require(olderMs >= 0, s"expire_preview: older_than_ms must be >= 0 (got $olderMs)")
       require(keepLast >= 1, s"expire_preview: retain_last must be >= 1 (got $keepLast)")
       val retained = expireRetained(spark, base, olderMs, keepLast)
-      val (n, bytes, kept) = TableFormat.vacuumPreview(spark, base, retained)
-      new GenericInternalRow(Array[Any](n, bytes, kept, retained.size))
+      val (n, bytes, kept, eqN, eqBytes) =
+        TableFormat.vacuumPreview(spark, base, retained)
+      new GenericInternalRow(Array[Any](n, bytes, kept, retained.size,
+        eqN, eqBytes))
     }
   }
 

@@ -1466,6 +1466,67 @@ class TableFormatSpec extends SparkTestBase {
     }
   }
 
+  test("consolidation-aware vacuum accounting: the preview's eq-key line item predicts the real reclaim of superseded per-batch key dirs exactly (r17, VERDICT r16 #4)") {
+    val base = freshBase("tf_eq_vacct")
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableFormat.appendCommit(spark, base,
+      (0L until 200L).map(i => (i, s"r$i")).toDF("k", "v"),
+      statsCol = Some("k"))                                            // v1
+    // three per-batch key files → one consolidated eqc file
+    TableFormat.deleteByKeysEq(spark, base, Seq(0L, 1L).toDF("k"), "k")   // v2
+    TableFormat.deleteByKeysEq(spark, base, Seq(2L, 3L).toDF("k"), "k")   // v3
+    TableFormat.deleteByKeysEq(spark, base, Seq(4L).toDF("k"), "k")       // v4
+    val (vc, _) = TableFormat.consolidateEqDeletes(spark, base)           // v5
+    val live = (5L until 200L).toSet
+    def served: Set[Long] = TableFormat.readSnapshot(spark, base)
+      .select("k").as[Long].collect().toSet
+    assert(served == live)
+    // measured truth: bytes under data/eq* dirs (per-batch AND eqc)
+    def eqDirBytes(): (Int, Long) = {
+      var n = 0; var b = 0L
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(new org.apache.hadoop.fs.Path(s"$base/data").toUri.getPath)
+          .stripPrefix("/")
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            rel.takeWhile(_ != '/').matches("eqc?\\d+_.*")) {
+          n += 1; b += st.getLen
+        }
+      }
+      (n, b)
+    }
+    val (eqFilesBefore, eqBytesBefore) = eqDirBytes()
+    assert(eqFilesBefore >= 4, s"3 per-batch + 1 consolidated expected: $eqFilesBefore")
+    // retaining full history: every per-batch key dir is still
+    // referenced by the older manifests — nothing eq-reclaimable yet
+    val allVs = (1 to TableFormat.currentVersion(spark, base)).toSeq
+    val fullPrev = TableFormat.vacuumPreview(spark, base, allVs)
+    assert(fullPrev._4 == 0 && fullPrev._5 == 0L,
+      s"retained history must keep the per-batch key dirs: $fullPrev")
+    // retaining only the head: the consolidate→vacuum payoff — the
+    // superseded per-batch key dirs (eq*, NOT the live eqc file the
+    // current manifest references) become the eq line item
+    val cur = TableFormat.currentVersion(spark, base)
+    val prev = TableFormat.vacuumPreview(spark, base, Seq(cur))
+    assert(prev._4 == 3, s"three superseded per-batch key files: $prev")
+    assert(prev._5 > 0L && prev._5 < eqBytesBefore,
+      s"eq bytes must exclude the live consolidated file: $prev vs $eqBytesBefore")
+    // the REAL vacuum reclaims exactly the predicted eq bytes: the
+    // preview and the verb share the retained-set walk
+    TableFormat.vacuum(spark, base, Seq(cur))
+    val (eqFilesAfter, eqBytesAfter) = eqDirBytes()
+    assert(eqFilesBefore - eqFilesAfter == prev._4,
+      s"eq file reclaim mismatch: $eqFilesBefore -> $eqFilesAfter vs ${prev._4}")
+    assert(eqBytesBefore - eqBytesAfter == prev._5,
+      s"eq byte reclaim mismatch: ${eqBytesBefore - eqBytesAfter} vs ${prev._5}")
+    // serving is untouched: the consolidated masks still apply
+    assert(served == live, "post-vacuum serving diverged")
+    val _ = vc
+  }
+
   test("composite-key equality deletes: tuple masks never over-delete, scoping across re-inserts, consolidation, both feeds exact, alter guard (r16)") {
     val base = freshBase("tf_eq_multi")
     // the same uid lives under BOTH tenants: a single-column mask would
