@@ -82,9 +82,9 @@ object MaterializedView {
 
   /** `approx_distinct(col)` / `approx_count_distinct(col)` (r16,
     * VERDICT r15 #4): APPROXIMATE distinct count backed by mergeable
-    * HLL sketch state — the cure for `count(DISTINCT string_id)`, which
-    * the exact bitmap path refuses (its (bucket, position) bijection is
-    * long-only). Inserts fold by sketch UNION (register max —
+    * HLL sketch state — the recommended default for
+    * `count(DISTINCT string_id)` (the exact bitmap path covers strings
+    * only through the opt-in per-MV dictionary, r17). Inserts fold by sketch UNION (register max —
     * idempotent, associative, so refresh ≡ recompute estimate exactly);
     * deletes take the same targeted regroup as the bitmap path (a
     * sketch cannot subtract). Documented approximate: the visible
@@ -560,12 +560,17 @@ object MaterializedView {
     d.aggs.collect { case DistinctCol(c, a) =>
       fieldOf(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => ()
+        // string ids (r17, VERDICT r16 #5): exact through the per-MV
+        // dictionary — the opt-in is enforced at CREATE, not here (an
+        // existing dict MV must keep refreshing whatever the session
+        // conf says now)
+        case StringType => ()
         case dt => throw new IllegalArgumentException(
           s"materialized view: COUNT(DISTINCT $c) AS $a over ${dt.simpleString} — " +
-            "bitmap distinct state requires an integral column (the bitmap's " +
-            "(bucket, position) decomposition is a bijection on longs); for " +
-            "string ids use approx_distinct($c) — mergeable HLL state, " +
-            "documented approximate")
+            "bitmap distinct state requires an integral or string column " +
+            "(the bitmap's (bucket, position) decomposition is a bijection " +
+            "on longs; strings go through the per-MV dictionary); or use " +
+            s"approx_distinct($c) — mergeable HLL state, documented approximate")
       }
     }
     d.aggs.collect { case ApproxDistinctCol(c, a) =>
@@ -593,16 +598,108 @@ object MaterializedView {
     }
   }
 
+  // ---- exact string COUNT(DISTINCT) via a per-MV dictionary (r17,
+  // VERDICT r16 #5): each string-typed DistinctCol gets a sibling
+  // APPEND-ONLY dictionary table `<state>__dict_<alias>` mapping
+  // key string -> code long; the (bucket, position) bitmap then covers
+  // strings exactly through the codes. Injectivity is the whole
+  // contract — codes are arbitrary distinct positive longs (the bitmap
+  // buckets any long; density buys nothing), assigned max+zipWithIndex
+  // over the NEW keys only: two passes, no single-partition sort, and
+  // existing codes never rewrite (a key that got two codes would
+  // double-count). A superset dictionary is harmless (unused codes flip
+  // no stored bit), so keys are collected from UNFILTERED rows and a
+  // crash between the dict append and the state commit leaves only
+  // spare codes. The HLL approx path stays the default for strings —
+  // this exact path is opt-in at CREATE via
+  // `spark.graft.mv.distinct.dict=true`.
+
+  /** DistinctCol aliases whose input column is a STRING in `schema` —
+    * the aliases that maintain through the dictionary device. */
+  private def dictDistinctAliases(d: MvDef, schema: StructType): Seq[(String, String)] =
+    d.aggs.collect { case DistinctCol(c, a)
+      if schema.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(_.dataType == StringType) => (a, c) }
+
+  private def dictBase(stateB: String, alias: String): String =
+    s"${stateB}__dict_$alias"
+
+  /** The dictionary's current (key, code) frame — empty if never
+    * committed (an MV whose source had no non-null keys yet). */
+  private def loadDict(spark: SparkSession, dictB: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dictB/_CURRENT")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      TableFormat.readSnapshot(spark, dictB)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__dict_key", StringType),
+                     StructField("__dict_code", LongType))))
+  }
+
+  /** Append codes for the UNSEEN keys of `keys(c)` (append-only: an
+    * existing key's code is never rewritten). No-op when every key is
+    * covered. */
+  private def ensureDictCovers(spark: SparkSession, dictB: String,
+                               keys: DataFrame, c: String): Unit = {
+    val existing = loadDict(spark, dictB)
+    val fresh = keys.select(col(c).as("__dict_key"))
+      .filter(col("__dict_key").isNotNull).distinct()
+      .join(existing.select("__dict_key"), Seq("__dict_key"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!fresh.isEmpty) {
+        val maxCode = existing.agg(coalesce(max(col("__dict_code")), lit(0L)))
+          .head.getLong(0)
+        // DISTRIBUTED id assignment: zipWithIndex offsets per partition
+        // (one size-collection pass) — new keys never funnel through
+        // the driver, so a first-create over millions of distinct ids
+        // stays executor-shaped
+        val indexed = fresh.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), maxCode + i + 1) }
+        TableFormat.appendCommit(spark, dictB,
+          spark.createDataFrame(indexed,
+            StructType(Seq(StructField("__dict_key", StringType),
+                           StructField("__dict_code", LongType)))),
+          statsCol = None)
+      }
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Left-join the code for `c` under `out` — NULL only where the key
+    * itself is NULL (bitmapState drops those rows, matching the
+    * COUNT(DISTINCT) null contract). */
+  private def encodeCol(df: DataFrame, dict: DataFrame, c: String,
+                        out: String): DataFrame =
+    df.join(dict.withColumnRenamed("__dict_key", s"__dk_$out")
+              .withColumnRenamed("__dict_code", out),
+        col(c) === col(s"__dk_$out"), "left")
+      .drop(s"__dk_$out")
+
+  private def dcodeCol(a: String) = s"__dcode_$a"
+
   /** Full (re)computation of the MV state — used once at CREATE, and the
-    * semantic definition the incremental path must match bit-for-bit. */
-  def fullState(src: DataFrame, d: MvDef): DataFrame = {
+    * semantic definition the incremental path must match bit-for-bit.
+    * `dicts` carries the loaded dictionary per string-distinct alias
+    * (r17) — required to cover every key in `src` (create/refresh extend
+    * the dict FIRST). */
+  def fullState(src: DataFrame, d: MvDef,
+                dicts: Map[String, DataFrame] = Map.empty): DataFrame = {
     validateDimExprs(src, d)
     // WHERE filters on source columns first (SQL scoping: the predicate
     // cannot see SELECT aliases), then computed columns project; types
     // validate against the PROJECTED schema so expression inputs
     // (`__in_*`) take the same integral-only contract as plain columns
-    val filtered = withDimExprs(d.filterSql.map(src.where).getOrElse(src), d)
-    validateTypes(d, filtered.schema)
+    val filtered0 = withDimExprs(d.filterSql.map(src.where).getOrElse(src), d)
+    validateTypes(d, filtered0.schema)
+    val dictAs = dictDistinctAliases(d, filtered0.schema)
+    if (dictAs.exists(x => !dicts.contains(x._1)))
+      throw new IllegalStateException("materialized view: string " +
+        "COUNT(DISTINCT) requires its dictionary — create/refresh must " +
+        s"pass dicts for ${dictAs.map(_._1).mkString(", ")}")
+    val filtered = dictAs.foldLeft(filtered0) { case (df, (a, c)) =>
+      encodeCol(df, dicts(a), c, dcodeCol(a)) }
+    def bmInputCol(c: String, a: String): String =
+      if (dictAs.exists(_._1 == a)) dcodeCol(a) else c
     val visible: Seq[Column] = d.aggs.map {
       case CountStar(a) => count(lit(1)).as(a)
       case CountCol(c, a) => count(col(c)).as(a)
@@ -641,19 +738,34 @@ object MaterializedView {
     val base = filtered.groupBy(d.dims.map(col): _*).agg(all.head, all.tail: _*)
     // distinct state (r15): the per-group bitmap maps need a two-level
     // aggregation (dims+bucket, then dims), joined back null-safe — the
-    // join is |groups| vs |groups|, never row-shaped
+    // join is |groups| vs |groups|, never row-shaped. String-distinct
+    // aliases bitmap their dictionary CODES (r17) — injective, so the
+    // popcount equals the string distinct count exactly.
     d.aggs.collect { case DistinctCol(c, a) => (c, a) }
       .foldLeft(base) { case (acc, (c, a)) =>
-        joinBitmaps(acc, bitmapState(filtered, d, c, bmCol(a)), d, bmCol(a))
+        joinBitmaps(acc,
+          bitmapState(filtered, d, bmInputCol(c, a), bmCol(a)), d, bmCol(a))
       }
   }
 
-  /** Signed per-group delta from a CDF slice. */
-  def deltaAggregate(changes: DataFrame, d: MvDef): DataFrame = {
+  /** Signed per-group delta from a CDF slice. `dicts` as in
+    * [[fullState]] (r17): string-distinct insert bitmaps fold over
+    * dictionary codes. */
+  def deltaAggregate(changes: DataFrame, d: MvDef,
+                     dicts: Map[String, DataFrame] = Map.empty): DataFrame = {
     val signed = changes.withColumn("__sign",
       when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
         .otherwise(lit(-1L)))
-    val filtered = withDimExprs(d.filterSql.map(signed.where).getOrElse(signed), d)
+    val filtered0 = withDimExprs(d.filterSql.map(signed.where).getOrElse(signed), d)
+    val dictAs = dictDistinctAliases(d, filtered0.schema)
+    if (dictAs.exists(x => !dicts.contains(x._1)))
+      throw new IllegalStateException("materialized view: string " +
+        "COUNT(DISTINCT) requires its dictionary — refresh must pass " +
+        s"dicts for ${dictAs.map(_._1).mkString(", ")}")
+    val filtered = dictAs.foldLeft(filtered0) { case (df, (a, c)) =>
+      encodeCol(df, dicts(a), c, dcodeCol(a)) }
+    def bmInputCol(c: String, a: String): String =
+      if (dictAs.exists(_._1 == a)) dcodeCol(a) else c
     val deltas: Seq[Column] = d.aggs.map {
       case CountStar(a) => sum(col("__sign")).as(dCol(a))
       case CountCol(c, a) =>
@@ -707,7 +819,8 @@ object MaterializedView {
     d.aggs.collect { case DistinctCol(c, a) => (c, a) }
       .foldLeft(base) { case (acc, (c, a)) =>
         joinBitmaps(acc,
-          bitmapState(filtered.filter(col("__sign") === 1L), d, c, dbmCol(a)),
+          bitmapState(filtered.filter(col("__sign") === 1L), d,
+            bmInputCol(c, a), dbmCol(a)),
           d, dbmCol(a))
       }
   }
@@ -1142,7 +1255,31 @@ object MaterializedView {
     val seed =
       if (d.joins.isEmpty) TableFormat.readSnapshot(spark, src, Some(v0))
       else joinedSnapshot(spark, warehouse, d, v0s)
-    val state = fullState(seed, d)
+    // exact string COUNT(DISTINCT) via the per-MV dictionary (r17,
+    // VERDICT r16 #5) — OPT-IN at create; the HLL approx path stays the
+    // recommended default for string ids
+    val seedP = withDimExprs(seed, d)
+    val dictAs = dictDistinctAliases(d, seedP.schema)
+    if (dictAs.nonEmpty &&
+        !spark.conf.getOption("spark.graft.mv.distinct.dict").contains("true"))
+      throw new IllegalArgumentException(
+        s"materialized view: COUNT(DISTINCT ${dictAs.head._2}) over a " +
+          "string column — two cures: approx_distinct(" +
+          s"${dictAs.head._2}) (mergeable HLL state, documented " +
+          "approximate, the recommended default), or SET " +
+          "spark.graft.mv.distinct.dict=true to maintain an EXACT " +
+          "append-only per-MV string dictionary (codes never rewrite; " +
+          "the dictionary grows with the distinct key count)")
+    val dicts: Map[String, DataFrame] = dictAs.map { case (a, c) =>
+      val db = dictBase(sb, a)
+      // a stale dictionary from a dropped namesake would alias old
+      // codes onto new keys — clear it (the MV itself was create-refused
+      // above if any state existed)
+      fs.delete(new org.apache.hadoop.fs.Path(db), true)
+      ensureDictCovers(spark, db, seedP, c)
+      a -> loadDict(spark, db)
+    }.toMap
+    val state = fullState(seed, d, dicts)
     val v = TableFormat.appendCommit(spark, sb, state,
       statsCol = None, setProps = Map(
         "graft.mv.query" -> query,
@@ -1180,7 +1317,14 @@ object MaterializedView {
     val fs = new org.apache.hadoop.fs.Path(mvBase)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vDropped = GraftViews.drop(fs, mvBase)
-    val sDropped = fs.delete(new org.apache.hadoop.fs.Path(stateBase(mvBase)), true)
+    val sb = new org.apache.hadoop.fs.Path(stateBase(mvBase))
+    val sDropped = fs.delete(sb, true)
+    // dictionary siblings (r17) are part of the same logical object
+    val parent = sb.getParent
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent)
+        .filter(_.getPath.getName.startsWith(s"${sb.getName}__dict_"))
+        .foreach(st => fs.delete(st.getPath, true))
     (vDropped, sDropped)
   }
 
@@ -1229,7 +1373,21 @@ object MaterializedView {
     val changes =
       if (d.joins.isEmpty) TableFormat.readChanges(spark, src, fromV, toV)
       else joinDelta(spark, warehouse, d, fromVs, toVs)
-    val delta = deltaAggregate(changes, d)
+    // string-distinct dictionaries (r17): cover the span's NEW keys
+    // BEFORE the fold — append-only, so existing codes never move; keys
+    // come from the unfiltered delta (a superset dictionary is harmless)
+    val dicts: Map[String, DataFrame] = {
+      val dictAs = dictDistinctAliases(d, withDimExprs(changes, d).schema)
+      if (dictAs.isEmpty) Map.empty
+      else {
+        val keysSrc = withDimExprs(changes, d)
+        dictAs.map { case (a, c) =>
+          ensureDictCovers(spark, dictBase(mvBase, a), keysSrc, c)
+          a -> loadDict(spark, dictBase(mvBase, a))
+        }.toMap
+      }
+    }
+    val delta = deltaAggregate(changes, d, dicts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (delta.isEmpty) {
@@ -1266,7 +1424,7 @@ object MaterializedView {
                 val semiCond = d.dims.map(
                   k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
                 val regrouped = fullState(
-                  srcNow.join(broadcast(mk), semiCond, "left_semi"), d)
+                  srcNow.join(broadcast(mk), semiCond, "left_semi"), d, dicts)
                 folded.unionByName(regrouped)
               }
             (out, nMarked)

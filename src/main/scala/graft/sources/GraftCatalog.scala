@@ -4979,8 +4979,55 @@ object GraftCatalogOps {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  /** `mv_distinct_str` (r17, VERDICT r16 #5): EXACT
+    * `count(DISTINCT string)` in the incremental MV via the per-MV
+    * APPEND-ONLY dictionary — string keys map to distinct long codes
+    * (new keys appended at refresh, existing codes never rewritten), and
+    * the (bucket, position) bitmap then covers strings exactly: inserts
+    * fold idempotently, value deletes take the targeted regroup, and the
+    * popcount equals the string distinct count by injectivity. Opt-in
+    * (`spark.graft.mv.distinct.dict=true`): the mergeable-HLL
+    * `approx_distinct` stays the recommended default for string ids. */
+  def mvDistinctStr(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvds_src", "mvds_agg", "mvds_agg__state",
+                  "mvds_agg__state__dict_d_src")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+    val src = s"$wh/db/mvds_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.conf.set("spark.graft.mv.distinct.dict", "true")
+    try {
+      spark.sql(
+        """CALL graft.system.create_mv('db.mvds_agg',
+          |  'SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS d_src
+          |   FROM graft.db.mvds_src GROUP BY lang')""".stripMargin).collect()
+      // new lang AND new dictionary keys arrive in one span; the range
+      // delete then forces the presence-only regroup
+      TableFormat.appendCommit(spark, src,
+        docs.filter("doc_id % 9 = 2")
+          .withColumn("doc_id", col("doc_id") + 6500000000L)
+          .withColumn("lang", lit("dd"))
+          .withColumn("source",
+            concat(lit("src_"), (col("doc_id") % 5).cast("string"))),
+        statsCol = Some("doc_id"))
+      TableFormat.deleteWhere(spark, src, "doc_id", 150L, 349L)
+      spark.sql("CALL graft.system.refresh_mv('db.mvds_agg')").collect()
+      spark.sql(
+        """SELECT lang, n_docs, d_src FROM graft.db.mvds_agg
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+    } finally spark.conf.unset("spark.graft.mv.distinct.dict")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
+    "mv_distinct_str" -> (mvDistinctStr _),
     "mv_var" -> (mvVar _),
     "mv_rewrite_var" -> (mvRewriteVar _),
     "mv_agg_expr" -> (mvAggExpr _),
@@ -5036,6 +5083,18 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_distinct_str" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, source FROM documents
+        |  WHERE doc_id NOT BETWEEN 150 AND 349
+        |  UNION ALL
+        |  SELECT doc_id + 6500000000, 'dd',
+        |    'src_' || CAST((doc_id + 6500000000) % 5 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 9 = 2)
+        |SELECT lang, count(1) AS n_docs, count(DISTINCT source) AS d_src
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_rewrite_var" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents

@@ -1469,6 +1469,93 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  test("exact COUNT(DISTINCT string) via the per-MV dictionary: opt-in at CREATE, append-only codes, refresh == recompute through deletes, rewrite serves (r17, VERDICT r16 #5)") {
+    val src = fresh("mv_srcds"); fresh("mv_aggds")
+    val dictB = s"$wh/db/mv_aggds__state__dict_d_users"
+    val fsys = new org.apache.hadoop.fs.Path(dictB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(dictB), true)
+    def user(i: Long): String = s"u${i % 37}"
+    val rows: Seq[(Long, String, String)] =
+      (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "fr", user(i))) :+
+      ((1000L, "nn", null: String))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "u"), 1, None,
+      statsCol = Some("doc_id"))
+    val mvSql =
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT u) AS d_users
+        |FROM graft.db.mv_srcds GROUP BY lang""".stripMargin
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    // the DEFAULT refuses, naming BOTH cures (HLL stays the default path)
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.create_mv('db.mv_aggds', '${mvSql.replace("'", "''")}')")
+      .collect())
+    assert(chain(e).contains("approx_distinct") &&
+      chain(e).contains("spark.graft.mv.distinct.dict"), chain(e))
+    spark.conf.set("spark.graft.mv.distinct.dict", "true")
+    try {
+      spark.sql(
+        s"CALL graft.system.create_mv('db.mv_aggds', '${mvSql.replace("'", "''")}')")
+        .collect()
+      def readDs: Seq[Row] = spark.sql(
+        """SELECT lang, n_docs, d_users FROM graft.db.mv_aggds
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+      def recomputeDs: Seq[Row] = spark.sql(
+        """SELECT lang, count(1) AS n_docs, count(DISTINCT u) AS d_users
+          |FROM graft.db.mv_srcds GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+      assert(readDs == recomputeDs, "create drifted from recompute")
+      def dictMap: Map[String, Long] =
+        TableFormat.readSnapshot(spark, dictB).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dict1 = dictMap
+      assert(dict1.size == 37 && dict1.values.toSet.size == 37,
+        s"one injective code per distinct key: ${dict1.size}")
+      // INSERT fold: existing keys flip no bit; NEW keys append codes —
+      // and every pre-existing code is byte-identical (append-only)
+      TableFormat.appendCommit(spark, src,
+        ((300L until 360L).map(i => (i, "zz", s"w${i % 11}"))
+          : Seq[(Long, String, String)]).toDF("doc_id", "lang", "u"),
+        statsCol = Some("doc_id"))
+      val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggds')").head
+      assert(r1.getLong(4) == 0L, s"insert span must not regroup: $r1")
+      assert(readDs == recomputeDs, "insert fold drifted")
+      val dict2 = dictMap
+      assert(dict2.size == 48 && dict1.forall { case (k, c) => dict2(k) == c },
+        "dictionary must grow append-only — existing codes never rewrite")
+      // VALUE DELETES: presence-only state regroups targeted, exact
+      TableFormat.deleteWhere(spark, src, "doc_id", 0L, 99L)
+      val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggds')").head
+      assert(r2.getLong(4) > 0L, s"value deletes must regroup: $r2")
+      assert(readDs == recomputeDs, "delete regroup drifted")
+      assert(dictMap.size == 48,
+        "deletes must not shrink the dictionary (codes are permanent)")
+      // REWRITE: exact dims serve the visible popcount; the GLOBAL
+      // roll-up ORs the code bitmaps across groups — still the exact
+      // string distinct count (recompute captured with the flag OFF)
+      val globalExpected =
+        spark.sql("SELECT count(DISTINCT u) FROM graft.db.mv_srcds")
+          .head.getLong(0)
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      try {
+        val q = spark.sql(
+          """SELECT lang, count(DISTINCT u) AS d FROM graft.db.mv_srcds
+            |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
+        assert(q.queryExecution.optimizedPlan.toString.contains("mv_aggds__state"),
+          "string count(DISTINCT) must serve from state")
+        assert(q.collect().toSeq == readDs.map(r => Row(r.get(0), r.get(2))))
+        val g = spark.sql("SELECT count(DISTINCT u) AS d FROM graft.db.mv_srcds")
+        assert(g.queryExecution.optimizedPlan.toString.contains("mv_aggds__state"),
+          "global string distinct must roll up onto state")
+        assert(g.head.getLong(0) == globalExpected)
+      } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+      // DROP removes the dictionary sibling with the state
+      spark.sql("CALL graft.system.drop_mv('db.mv_aggds')").collect()
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(dictB)),
+        "drop_mv must remove the dictionary sibling")
+    } finally spark.conf.unset("spark.graft.mv.distinct.dict")
+  }
+
   test("composite join keys: an MV over a two-column equi-join maintains exactly and the rewrite matches the key-pair SET in either conjunct order (r16)") {
     val facts = fresh("jck_f"); val dim = fresh("jck_d"); fresh("jck_agg")
     TableFormat.commit(spark, facts,
@@ -1777,7 +1864,7 @@ class MaterializedViewSpec extends SparkTestBase {
     refused("SELECT lang, sum(DISTINCT n) AS c FROM graft.db.mv_src5 GROUP BY lang",
       "only COUNT(DISTINCT col)")
     refused("SELECT lang, count(DISTINCT d) AS c FROM graft.db.mv_src5 GROUP BY lang",
-      "integral column")
+      "integral or string column")
     // expression dims are SUPPORTED since r16 when aliased in the
     // SELECT list — the refusals move to the unsupported corners:
     refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 GROUP BY lang || lang",
