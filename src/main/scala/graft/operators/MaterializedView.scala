@@ -177,7 +177,44 @@ object MaterializedView {
         "deterministic scalar expression aliased in the SELECT list and " +
         "grouped by that alias; join keys qualified, everything else " +
         "unqualified)")
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val plan0 = spark.sessionState.sqlParser.parsePlan(sql)
+    // CTE-bodied DEFINITIONS (r17, VERDICT r16 #8): `WITH x AS (…)
+    // SELECT … FROM x` inlines each def body at its reference before
+    // the shape checks — the normalize pass below then folds the
+    // SubqueryAlias / SELECT-* / WHERE layers the inlining introduces.
+    // Column-aliasing CTEs refuse loudly (the body's names ARE the
+    // state's column contract); recursive and nested WITHs likewise.
+    val plan = plan0 match {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        val defs: Map[String, LogicalPlan] = w.cteRelations.map { rel3 =>
+          val name = rel3._1
+          val body = rel3._2.child
+          if (body.isInstanceOf[
+              org.apache.spark.sql.catalyst.analysis.UnresolvedSubqueryColumnAliases])
+            refuse(s"CTE '$name' renames its columns — an MV definition's " +
+              "CTEs must keep the source names (they key every state column)")
+          if (body.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith]))
+            refuse(s"CTE '$name' contains a nested WITH — flatten the " +
+              "definition to one WITH clause")
+          name.toLowerCase(java.util.Locale.ROOT) -> body
+        }.toMap
+        def inline(p: LogicalPlan, seen: Set[String]): LogicalPlan =
+          p.transformUp {
+            case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+                defs.contains(r.multipartIdentifier.head
+                  .toLowerCase(java.util.Locale.ROOT)) =>
+              val key = r.multipartIdentifier.head
+                .toLowerCase(java.util.Locale.ROOT)
+              if (seen.contains(key)) refuse(
+                s"CTE '${r.multipartIdentifier.head}' is recursive — " +
+                  "recursive CTEs are not maintainable")
+              SubqueryAlias(r.multipartIdentifier.head,
+                inline(defs(key), seen + key))
+          }
+        inline(w.child, Set.empty)
+      case p => p
+    }
     val agg = plan match {
       case a: Aggregate => a
       case Project(_, _) => refuse("no GROUP BY found")
@@ -185,12 +222,22 @@ object MaterializedView {
     }
     // one relation, optionally aliased: (table parts, visible name the
     // ON clause may qualify keys with — the alias, else the table name)
-    def rel(p: LogicalPlan): Option[(Seq[String], String)] = p match {
-      case r: UnresolvedRelation =>
-        Some((r.multipartIdentifier, r.multipartIdentifier.last))
-      case SubqueryAlias(id, r: UnresolvedRelation) =>
-        Some((r.multipartIdentifier, id.name))
-      case _ => None
+    def rel(p: LogicalPlan): Option[(Seq[String], String)] = {
+      // a bare-table body under transparent wrappers — lets a
+      // `WITH f AS (SELECT * FROM graft.db.fct)` CTE serve as a join
+      // leaf under its own alias (r17)
+      def relBody(q: LogicalPlan): Option[Seq[String]] = q match {
+        case r: UnresolvedRelation => Some(r.multipartIdentifier)
+        case Project(Seq(_: UnresolvedStar), c) => relBody(c)
+        case SubqueryAlias(_, c) => relBody(c)
+        case _ => None
+      }
+      p match {
+        case r: UnresolvedRelation =>
+          Some((r.multipartIdentifier, r.multipartIdentifier.last))
+        case SubqueryAlias(id, inner) => relBody(inner).map((_, id.name))
+        case _ => None
+      }
     }
     // inner equi-join CHAIN of graft tables (r13 two-table, r16
     // N-table): a LEFT-DEEP chain of INNER joins, each ON a conjunction
@@ -208,45 +255,117 @@ object MaterializedView {
         conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
-    def chainWalk(p: LogicalPlan): Option[(Seq[String], Seq[String], Seq[JoinLink])] =
-      p match {
-        case r if rel(r).isDefined =>
-          val (parts, name) = rel(r).get
-          Some((parts, Seq(name), Nil))
-        case Join(l, r0, Inner, Some(cond0), _) if rel(r0).isDefined =>
-          chainWalk(l).map { case (firstParts, names, links) =>
-            val (rParts, rName) = rel(r0).get
-            if (names.exists(_.equalsIgnoreCase(rName))) refuse(
-              s"join alias '$rName' repeats — every chain table needs a " +
-                "distinct alias")
-            val pairs = conjuncts(cond0).map {
-              case EqualTo(lk: UnresolvedAttribute, rk: UnresolvedAttribute) =>
-                val (q1, c1) = sideOf(lk)
-                val (q2, c2) = sideOf(rk)
-                val (pq, pc, rc) =
-                  if (q1.equalsIgnoreCase(rName)) (q2, c2, c1)
-                  else if (q2.equalsIgnoreCase(rName)) (q1, c1, c2)
-                  else refuse(s"join key qualifiers '$q1'/'$q2' neither " +
-                    s"names the joined table '$rName'")
-                val idx = names.indexWhere(_.equalsIgnoreCase(pq))
-                if (idx < 0) refuse(s"join key qualifier '$pq' names no " +
-                  s"earlier chain table (${names.mkString(", ")})")
-                (idx, pc, rc)
-              case other => refuse(
-                s"only INNER equi-join conditions are maintainable " +
-                  s"(got conjunct '${other.sql}')")
-            }
-            (firstParts, names :+ rName, links :+ JoinLink(rParts, pairs))
-          }
-        case Join(_, r0, jt, cond, _) if rel(r0).isDefined =>
+    // ANY inner-equi-join TREE of graft tables (r13 two-table, r16
+    // left-deep N-table, r17 bushy/right-deep — VERDICT r16 #6): inner
+    // joins commute and associate, so every shape flattens to (tables,
+    // qualified equi-conjuncts) and re-linearizes into a left-deep
+    // chain in CONNECTIVITY order — each admitted table must share at
+    // least one equi-key with the already-admitted prefix (anything
+    // else is a cartesian product, refused). The telescoping N-delta
+    // maintains over that spanning order, and the rewrite's flattened
+    // pair-set match was always shape-blind, so the stored chain form
+    // is unchanged.
+    def treeWalk(p: LogicalPlan): Option[(Seq[String], Seq[String], Seq[JoinLink])] = {
+      def flat(q: LogicalPlan)
+          : Option[(Seq[(Seq[String], String)], Seq[Expression])] = q match {
+        case r if rel(r).isDefined => Some((Seq(rel(r).get), Nil))
+        case Join(l, r0, Inner, Some(cond0), _) =>
+          for { lf <- flat(l); rf <- flat(r0) }
+            yield (lf._1 ++ rf._1, lf._2 ++ rf._2 ++ conjuncts(cond0))
+        case Join(_, r0, jt, cond, _)
+            if rel(r0).isDefined || flat(r0).isDefined =>
           refuse(s"only INNER equi-joins of graft tables are maintainable " +
             s"(got ${jt.sql} join, on ${cond.map(_.sql).getOrElse("<no condition>")})")
         case _ => None
       }
+      flat(p).map { case (rels, conds) =>
+        if (rels.size == 1) (rels.head._1, Seq(rels.head._2), Nil)
+        else {
+          rels.map(_._2).groupBy(_.toLowerCase(java.util.Locale.ROOT))
+            .foreach { case (_, vs) => if (vs.size > 1) refuse(
+              s"join alias '${vs.head}' repeats — every chain table needs " +
+                "a distinct alias") }
+          val names0 = rels.map(_._2)
+          val eps: Seq[((String, String), (String, String))] = conds.map {
+            case EqualTo(lk: UnresolvedAttribute, rk: UnresolvedAttribute) =>
+              (sideOf(lk), sideOf(rk))
+            case other => refuse(
+              s"only INNER equi-join conditions are maintainable " +
+                s"(got conjunct '${other.sql}')")
+          }
+          eps.foreach { case ((q1, _), (q2, _)) =>
+            Seq(q1, q2).foreach { q =>
+              if (!names0.exists(_.equalsIgnoreCase(q))) refuse(
+                s"join key qualifier '$q' names no chain table " +
+                  s"(${names0.mkString(", ")})") } }
+          val remaining = scala.collection.mutable.ArrayBuffer(rels.tail: _*)
+          val ordered = scala.collection.mutable.ArrayBuffer(rels.head)
+          val used = scala.collection.mutable.ArrayBuffer.fill(eps.size)(false)
+          val links = Seq.newBuilder[JoinLink]
+          while (remaining.nonEmpty) {
+            val names = ordered.map(_._2)
+            def prefixIdx(q: String): Int =
+              names.indexWhere(_.equalsIgnoreCase(q))
+            val nextI = remaining.indexWhere { case (_, rn) =>
+              eps.exists { case ((q1, _), (q2, _)) =>
+                (q1.equalsIgnoreCase(rn) && prefixIdx(q2) >= 0) ||
+                  (q2.equalsIgnoreCase(rn) && prefixIdx(q1) >= 0) } }
+            if (nextI < 0) refuse(
+              s"join tree is disconnected: ${remaining.map(_._2).mkString(", ")} " +
+                s"share no equi-key with ${names.mkString(", ")} — a " +
+                "cartesian product is not maintainable")
+            val (rParts, rName) = remaining.remove(nextI)
+            val pairs = eps.zipWithIndex.flatMap {
+              case (((q1, c1), (q2, c2)), i) =>
+                if (used(i)) None
+                else if (q1.equalsIgnoreCase(rName) && prefixIdx(q2) >= 0) {
+                  used(i) = true; Some((prefixIdx(q2), c2, c1))
+                } else if (q2.equalsIgnoreCase(rName) && prefixIdx(q1) >= 0) {
+                  used(i) = true; Some((prefixIdx(q1), c1, c2))
+                } else None
+            }
+            links += JoinLink(rParts, pairs.toSeq)
+            ordered += ((rParts, rName))
+          }
+          used.zipWithIndex.collectFirst { case (false, i) => i }.foreach { i =>
+            refuse(s"join conjunct '${conds(i).sql}' does not tie a new " +
+              "table to the joined prefix (a same-table or " +
+              "already-joined-pair condition is a filter, not a join key)") }
+          (rels.head._1, ordered.map(_._2).toSeq, links.result())
+        }
+      }
+    }
     def joined(p: LogicalPlan): Option[(Seq[String], Seq[JoinLink])] =
-      chainWalk(p).collect { case (parts, _, links) if links.nonEmpty =>
+      treeWalk(p).collect { case (parts, _, links) if links.nonEmpty =>
         (parts, links) }
-    val (srcParts, filterSql, joinLinks) = agg.child match {
+    // normalize the wrappers CTE inlining introduces (r17): a
+    // transparent alias over a complex body folds away (an alias over a
+    // BARE relation stays — the ON clause qualifies keys with it), a
+    // `SELECT *` passthrough folds away, and stacked WHEREs conjoin —
+    // outer conjuncts first, matching SQL's evaluation story. A CTE
+    // body projecting a column SUBSET refuses: folding it would widen
+    // visibility beyond what the definition's SQL says.
+    def normalize(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, r: UnresolvedRelation) => p
+      case SubqueryAlias(id, c) =>
+        normalize(c) match {
+          case r: UnresolvedRelation => SubqueryAlias(id, r)
+          case other => other
+        }
+      case Project(Seq(_: UnresolvedStar), c) => normalize(c)
+      case Project(_, _) =>
+        refuse("a WITH/subquery body in FROM must SELECT * — a " +
+          "column-subset projection would change which source columns " +
+          "the definition may reference")
+      case LFilter(cond, c) =>
+        normalize(c) match {
+          case LFilter(cond2, inner) => LFilter(
+            org.apache.spark.sql.catalyst.expressions.And(cond, cond2), inner)
+          case inner => LFilter(cond, inner)
+        }
+      case other => other
+    }
+    val (srcParts, filterSql, joinLinks) = normalize(agg.child) match {
       case r if rel(r).isDefined => (rel(r).get._1, None, Nil)
       case r if joined(r).isDefined =>
         val (l, js) = joined(r).get; (l, None, js)

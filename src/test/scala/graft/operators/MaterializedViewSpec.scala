@@ -1761,6 +1761,163 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  test("bushy and right-deep MV definitions: any inner-equi-join tree flattens to the connectivity-ordered chain — maintains, refreshes, serves; disconnected trees refuse (r17, VERDICT r16 #6)") {
+    // fact f ⋈ dim a ⋈ dim b, written RIGHT-DEEP and BUSHY — both must
+    // compile to the same maintainable chain the left-deep form uses
+    def seedTables(): Unit = {
+      val fct = fresh("mv_bshf"); val da = fresh("mv_bsha"); val db = fresh("mv_bshb")
+      TableFormat.commit(spark, fct,
+        (0L until 200L).map(i =>
+          (i, s"k${i % 5}", i % 11)).toDF("doc_id", "ka", "n"),
+        1, None, statsCol = Some("doc_id"))
+      TableFormat.commit(spark, da,
+        (0 until 5).map(i => (s"k$i", s"g${i % 2}")).toDF("ka", "kb"),
+        1, None)
+      TableFormat.commit(spark, db,
+        Seq(("g0", "Z0"), ("g1", "Z1")).toDF("kb", "zone"), 1, None)
+    }
+    def recomputeB: Seq[Row] = spark.sql(
+      """SELECT zone, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM graft.db.mv_bshf f JOIN graft.db.mv_bsha a ON f.ka = a.ka
+        |     JOIN graft.db.mv_bshb b ON a.kb = b.kb
+        |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+      .collect().toSeq
+    def readB: Seq[Row] = spark.sql(
+      """SELECT zone, n_docs, sum_n FROM graft.db.mv_bshagg
+        |ORDER BY zone ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def lifecycle(defSql: String): Unit = {
+      seedTables(); fresh("mv_bshagg")
+      spark.sql(
+        s"CALL graft.system.create_mv('db.mv_bshagg', '${defSql.replace("'", "''")}')")
+        .collect()
+      assert(readB == recomputeB, s"create drifted for: $defSql")
+      // all three tables move; one refresh re-freshens the whole chain
+      TableFormat.appendCommit(spark, s"$wh/db/mv_bshf",
+        (200L until 260L).map(i => (i, s"k${i % 5}", i % 7))
+          .toDF("doc_id", "ka", "n"), statsCol = Some("doc_id"))
+      TableFormat.appendCommit(spark, s"$wh/db/mv_bsha",
+        Seq(("k9", "g1")).toDF("ka", "kb"))
+      TableFormat.deleteWhere(spark, s"$wh/db/mv_bshf", "doc_id", 50L, 119L)
+      spark.sql("CALL graft.system.refresh_mv('db.mv_bshagg')").collect()
+      assert(readB == recomputeB, s"refresh drifted for: $defSql")
+      // the rewrite serves the flattened pair set regardless of the
+      // definition's ORIGINAL shape
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      try {
+        val q = spark.sql(
+          """SELECT zone, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+            |FROM graft.db.mv_bshb b JOIN graft.db.mv_bsha a ON a.kb = b.kb
+            |     JOIN graft.db.mv_bshf f ON f.ka = a.ka
+            |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+        assert(q.queryExecution.optimizedPlan.toString.contains("mv_bshagg__state"),
+          s"rewrite must serve the $defSql MV")
+        assert(q.collect().toSeq == readB)
+      } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    }
+    // RIGHT-DEEP: f ⋈ (a ⋈ b)
+    lifecycle(
+      """SELECT zone, count(*) AS n_docs, sum(n) AS sum_n
+        |FROM graft.db.mv_bshf f
+        |  JOIN (graft.db.mv_bsha a JOIN graft.db.mv_bshb b ON a.kb = b.kb)
+        |    ON f.ka = a.ka
+        |GROUP BY zone""".stripMargin)
+    // BUSHY with the cross-tree key in the outer ON: (f ⋈ a) ⋈ b
+    // nested the other way round plus a two-conjunct outer condition
+    lifecycle(
+      """SELECT zone, count(*) AS n_docs, sum(n) AS sum_n
+        |FROM (graft.db.mv_bshf f JOIN graft.db.mv_bsha a ON f.ka = a.ka)
+        |  JOIN graft.db.mv_bshb b ON a.kb = b.kb
+        |GROUP BY zone""".stripMargin)
+    // disconnected tree (no key ties b in) refuses as a cartesian
+    seedTables(); fresh("mv_bshagg")
+    val e = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_bshagg',
+        |  'SELECT zone, count(*) AS n_docs
+        |   FROM graft.db.mv_bshf f
+        |     JOIN graft.db.mv_bsha a ON f.ka = a.ka
+        |     JOIN graft.db.mv_bshb b ON b.kb = b.kb
+        |   GROUP BY zone')""".stripMargin).collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("disconnected") || chain(e).contains("does not tie"),
+      chain(e))
+  }
+
+  test("CTE-bodied MV definitions: WITH defs inline at their reference — create/refresh/serve; aliasing, recursive, and column-subset CTEs refuse loudly (r17, VERDICT r16 #8)") {
+    val src = fresh("mv_srcw"); fresh("mv_aggw")
+    TableFormat.commit(spark, src,
+      (0L until 300L).map(i =>
+        (i, if (i % 3 == 0) "en" else "fr", i % 13))
+        .toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // a filtered CTE as the FROM source: the CTE's WHERE and the outer
+    // WHERE conjoin into the stored predicate
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggw',
+        |  'WITH filtered AS (SELECT * FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0)
+        |   SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM filtered WHERE n > 1 GROUP BY lang')""".stripMargin).collect()
+    def readW: Seq[Row] = spark.sql(
+      """SELECT lang, n_docs, sum_n FROM graft.db.mv_aggw
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def recomputeW: Seq[Row] = spark.sql(
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0 AND n > 1
+        |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
+      .collect().toSeq
+    assert(readW == recomputeW, "CTE-bodied create drifted")
+    // maintains through append + delete like any other MV
+    TableFormat.appendCommit(spark, src,
+      (300L until 360L).map(i => (i, "zz", i % 9)).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 40L, 129L)
+    spark.sql("CALL graft.system.refresh_mv('db.mv_aggw')").collect()
+    assert(readW == recomputeW, "CTE-bodied refresh drifted")
+    // the rewrite serves a matching query (the query side's own CTE
+    // folding was already in place — both sides now meet in the middle)
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val q = spark.sql(
+        """WITH filtered AS (SELECT * FROM graft.db.mv_srcw WHERE doc_id % 5 <> 0)
+          |SELECT lang, count(*) AS n_docs FROM filtered WHERE n > 1
+          |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_aggw__state"),
+        "a CTE-shaped query must serve from the CTE-defined MV")
+      assert(q.collect().toSeq == readW.map(r => Row(r.get(0), r.get(1))))
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    // bare-table CTEs as JOIN leaves inline under their alias
+    val dim = fresh("mv_srcwd"); fresh("mv_aggw2")
+    TableFormat.commit(spark, dim,
+      Seq(("en", "E"), ("fr", "F"), ("zz", "Z")).toDF("lang", "region"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggw2',
+        |  'WITH f AS (SELECT * FROM graft.db.mv_srcw)
+        |   SELECT region, count(*) AS n_docs
+        |   FROM f JOIN graft.db.mv_srcwd d ON f.lang = d.lang
+        |   GROUP BY region')""".stripMargin).collect()
+    assert(spark.sql("SELECT region, n_docs FROM graft.db.mv_aggw2 ORDER BY region")
+      .collect().toSeq ==
+      spark.sql(
+        """SELECT region, count(1) AS n_docs
+          |FROM graft.db.mv_srcw f JOIN graft.db.mv_srcwd d ON f.lang = d.lang
+          |GROUP BY region ORDER BY region""".stripMargin).collect().toSeq,
+      "CTE join leaf drifted")
+    // refusals: column-aliasing, recursive, column-subset CTEs
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    fresh("mv_aggw3")
+    val e1 = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggw3',
+        |  'WITH x(a, b, c) AS (SELECT * FROM graft.db.mv_srcw)
+        |   SELECT a, count(*) AS n FROM x GROUP BY a')""".stripMargin).collect())
+    assert(chain(e1).contains("renames its columns"), chain(e1))
+    val e2 = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggw3',
+        |  'WITH x AS (SELECT doc_id, lang FROM graft.db.mv_srcw)
+        |   SELECT lang, count(*) AS n FROM x GROUP BY lang')""".stripMargin).collect())
+    assert(chain(e2).contains("SELECT *"), chain(e2))
+  }
+
   test("aggregates over expressions: SUM/AVG/MIN/COUNT(DISTINCT) of derived scalars maintain and serve — the TPC-H Q1 shape (r16)") {
     val src = fresh("mv_srcq"); fresh("mv_aggq")
     val rows = (0L until 500L).map(i => (i, s"l${i % 3}", i * 3 % 97, i % 13))
@@ -1881,9 +2038,11 @@ class MaterializedViewSpec extends SparkTestBase {
     // a three-way SELF-join hits the same ambiguity refusal
     refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 a JOIN graft.db.mv_src5 b ON a.doc_id = b.doc_id JOIN graft.db.mv_src5 c ON b.doc_id = c.doc_id GROUP BY lang",
       "shares column")
-    // a RIGHT-NESTED join tree stays out of the left-deep contract
+    // right-nested trees are ACCEPTED since r17 (flattened in
+    // connectivity order) — this self-join one still refuses, but at
+    // the column-namespace check, where the real problem is
     refused("SELECT lang, count(*) AS c FROM graft.db.mv_src5 a JOIN (graft.db.mv_src5 b JOIN graft.db.mv_src5 c ON b.doc_id = c.doc_id) ON a.doc_id = b.doc_id GROUP BY lang",
-      "single table or an inner equi-join chain")
+      "shares column")
   }
 
   test("streaming maintenance: a foreachBatch loop over the table stream keeps the MV continuous") {
