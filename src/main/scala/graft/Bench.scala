@@ -38,6 +38,35 @@ object Bench {
     // must NOT masquerade as a fast one: it is reported in an "errors" map,
     // skipped in later sweeps, and excluded from totals.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt)
+    // HOST-SPEED SENTINEL (r17, VERDICT r16 #2): fork [[SentinelBench]]
+    // — three fixed queries untouched since r5, fresh JVM so no suite
+    // context leaks in — at sweep start AND end; the ratio of their
+    // min-of-reps total against the pinned reference normalizes the
+    // round's totals, so cross-session drift (r14 +8.6%, r15 27%, r16
+    // +45%, all host) reads off the artifact instead of needing a
+    // rebuilt-binary ABA. Disable with SPARK_GRAFT_SENTINEL=0 (dev
+    // loops, subset runs).
+    def runSentinel(): Option[Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SENTINEL", "1") == "0") None
+      else try {
+        val java = System.getProperty("java.home") + "/bin/java"
+        val cp = System.getProperty("java.class.path")
+        val pb = new ProcessBuilder(java, "-Xmx16g", "-cp", cp,
+          "graft.SentinelBench")
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().remove("SPARK_GRAFT_REPEAT")
+        pb.environment().remove("SPARK_GRAFT_ONLY")
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        proc.getErrorStream.readAllBytes()
+        proc.waitFor()
+        """"sentinel_total":([0-9.]+)""".r.findFirstMatchIn(out)
+          .map(_.group(1).toDouble)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel failed: ${e.getMessage}"); None
+      }
+    val sentinelStart = runSentinel()
     // optional comma-separated subset for iterating on specific queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -130,7 +159,26 @@ object Bench {
     val errs = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = math.rint(medians.map(_._2).sum * 1000) / 1000
     val totalMin = math.rint(mins.map(_._2).sum * 1000) / 1000
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"suspects":$susp,"errors":$errs,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
+    // sentinel normalization: ratio = mean(start, end) / pinned
+    // reference; total/ratio is the host-speed-corrected number to read
+    // across rounds (raw totals stay primary in the artifact)
+    val sentinelEnd = runSentinel()
+    val sentinelRatio = (sentinelStart, sentinelEnd) match {
+      case (Some(a), Some(b)) =>
+        Some(math.rint((a + b) / 2 / SentinelBench.referenceTotalSec * 1000) / 1000)
+      case (Some(a), None) =>
+        Some(math.rint(a / SentinelBench.referenceTotalSec * 1000) / 1000)
+      case (None, Some(b)) =>
+        Some(math.rint(b / SentinelBench.referenceTotalSec * 1000) / 1000)
+      case _ => None
+    }
+    def fmtOpt(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
+    val totalNorm = sentinelRatio.filter(_ > 0)
+      .map(r => math.rint(totalMin / r * 1000) / 1000)
+    val sentinelJson =
+      s""""sentinel_start":${fmtOpt(sentinelStart)},"sentinel_end":${fmtOpt(sentinelEnd)},""" +
+      s""""sentinel_ratio":${fmtOpt(sentinelRatio)},"total_min_norm":${fmtOpt(totalNorm)}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,$sentinelJson,"queries":$qs,"queries_min":$qmins,"suspects":$susp,"errors":$errs,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
     println(full)
     // The harness that consumes this output keeps only the LAST ~2000
     // characters of stdout, and sbt appends a "[success] Total time..."
@@ -142,7 +190,7 @@ object Bench {
     // The full per-query map is also dumped to bench_full.json for humans.
     val slowest = medians.sortBy(-_._2).take(15)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_suspect":${stillSuspect.size},"queries":$slowest,"n_queries":${medians.size},"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,$sentinelJson,"n_suspect":${stillSuspect.size},"queries":$slowest,"n_queries":${medians.size},"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))

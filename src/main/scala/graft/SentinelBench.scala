@@ -1,0 +1,61 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Fresh-JVM HOST-SPEED SENTINEL (r17, VERDICT r16 #2): three fixed
+  * queries untouched since r5 — `text_bm25`, `ts_cross_corr`,
+  * `set_except_all` — timed in a JVM of their own so the measurement
+  * carries no suite context (no shared-JVM GC debt, no warehouse
+  * accumulation, no broadcast pileup). [[Bench]] forks this main at
+  * sweep start and end and publishes the ratio against the pinned
+  * reference, so a cross-session bench total is interpretable WITHOUT
+  * a forensic A/B: raw totals move with the host; totals divided by
+  * `sentinel_ratio` move with the code. Three rounds running (r14
+  * +8.6%, r15 27%, r16 +45% — all host, proven by rebuilt-binary ABA)
+  * motivated making the bench self-normalizing.
+  *
+  * Prints ONE JSON line: {"sentinel_total":s,"queries":{...}}. Each
+  * query runs one untimed warmup then `SPARK_GRAFT_REPEAT` timed reps
+  * (default 2), reporting the MIN — the sentinel estimates the host's
+  * best case, which is what the reference was pinned at. */
+object SentinelBench {
+  /** Queries untouched since r5, spanning shuffle-agg (bm25's idf
+    * join), window/sort (cross-corr lags), and set-op shapes. */
+  val names: Seq[String] = Seq("text_bm25", "ts_cross_corr", "set_except_all")
+
+  /** Pinned fresh-JVM min-of-reps total at sf0.1 local[32], measured
+    * idle 2026-08-16 (r17): three runs 2.72 / 3.52 / 3.36 s → 3.2. The
+    * ABSOLUTE value is an arbitrary anchor — only ratios against it
+    * compare across rounds. Re-pin ONLY with a fresh-JVM idle
+    * measurement and a note in the round's bench file. */
+  val referenceTotalSec: Double = 3.2
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val qs = SentinelBench.names.flatMap(n =>
+      SparkEntry.queries.get(n).map(n -> _))
+    val timed = qs.map { case (name, fn) =>
+      fn(spark, sfDir).count() // untimed warmup: JIT + FS metadata
+      val ts = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.rint(ts.min * 1000) / 1000
+    }
+    val total = math.rint(timed.map(_._2).sum * 1000) / 1000
+    val qjson = timed.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"sentinel_total":$total,"queries":$qjson}""")
+    spark.stop()
+  }
+}
