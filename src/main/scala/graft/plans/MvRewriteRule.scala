@@ -328,18 +328,20 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     * the drift guard: the explainer cannot disagree with the matcher. */
   def explainProbe(grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
                    child: LogicalPlan, cteDefs: Map[Long, LogicalPlan])
-      : Seq[(Option[String], String, String)] = {
+      : Seq[(Option[String], String, String, Boolean)] = {
     if (grouping.exists(!_.deterministic))
       return Seq((None, "standdown",
-        "non-deterministic-grouping: a GROUP BY expression is non-deterministic"))
+        "non-deterministic-grouping: a GROUP BY expression is non-deterministic",
+        false))
     if (aggExprs.exists(_.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
       return Seq((None, "standdown",
-        "subquery-in-select: the SELECT list contains a subquery expression"))
+        "subquery-in-select: the SELECT list contains a subquery expression",
+        false))
     probeContext(child, cteDefs) match {
-      case Left(reason) => Seq((None, "standdown", reason))
+      case Left(reason) => Seq((None, "standdown", reason, false))
       case Right((cond, analysisPlan, ranked, queryJoin)) =>
-        ranked.map { case ((stateBase, stateV, props), srcBase) =>
+        val rows = ranked.map { case ((stateBase, stateV, props), srcBase) =>
           val mvName = {
             val p = new org.apache.hadoop.fs.Path(stateBase)
             Option(p.getParent)
@@ -355,6 +357,12 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
             case Left(reason) => (Some(mvName), "standdown", reason)
           }
         }
+        // `chosen` marks the candidate the rewrite would actually pick:
+        // the FIRST would_serve in smallest-state ranked order — the
+        // same first-success-wins walk rewrite() takes
+        val firstServe = rows.indexWhere(_._2 == "would_serve")
+        rows.zipWithIndex.map { case ((mv, st, why), i) =>
+          (mv, st, why, i == firstServe) }
     }
   }
 

@@ -213,9 +213,12 @@ object MvDetailTvf {
   * filter-mismatch, agg-unmatched/HLL++ standdown, join-keys-mismatch,
   * expr-dim-unmatched, residual-not-dim-only, …). Query-level
   * standdowns (shape, no candidates) come back as one row with mv NULL.
-  * The probes are the matcher's own code path — the explainer cannot
-  * drift from what the rewrite actually does. Driver-side metadata
-  * only; the query is analyzed but never executed. */
+  * The `chosen` column marks the ONE candidate the rewrite would pick
+  * (the first would_serve in smallest-state ranked order — the same
+  * first-success walk the rewrite takes). The probes are the matcher's
+  * own code path — the explainer cannot drift from what the rewrite
+  * actually does. Driver-side metadata only; the query is analyzed but
+  * never executed. */
 object MvExplainTvf {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, Deduplicate, Distinct, LogicalPlan, Project}
@@ -240,7 +243,7 @@ object MvExplainTvf {
     val rule = graft.plans.RewriteAggregateToMv(spark)
     // the same node shapes apply() serves: Aggregate, SELECT DISTINCT
     // (Distinct over Project), whole-output Deduplicate
-    val probes: Seq[(Option[String], String, String)] = analyzed.collect {
+    val probes: Seq[(Option[String], String, String, Boolean)] = analyzed.collect {
       case agg @ Aggregate(grouping, aggExprs, child, _) if agg.resolved =>
         rule.explainProbe(grouping, aggExprs, child, cteDefs)
       case d @ Distinct(Project(projList, child)) if d.resolved =>
@@ -258,16 +261,17 @@ object MvExplainTvf {
       (if (flag != "true")
          Seq((None: Option[String], "note",
            "spark.graft.mv.rewrite=false — rewrites are disabled; " +
-             "probe results below assume the flag enabled"))
+             "probe results below assume the flag enabled", false))
        else Nil) ++
       (if (probes.isEmpty)
          Seq((None: Option[String], "standdown",
            "query-shape: no servable aggregate node (GROUP BY aggregate, " +
-             "SELECT DISTINCT, or whole-row distinct) in the query"))
+             "SELECT DISTINCT, or whole-row distinct) in the query", false))
        else probes)
     import spark.implicits._
-    SqlBridge.analyzed(rows.map { case (mv, st, why) => (mv.orNull, st, why) }
-      .toDF("mv", "status", "reason"))
+    SqlBridge.analyzed(rows.map { case (mv, st, why, ch) =>
+        (mv.orNull, st, why, ch) }
+      .toDF("mv", "status", "reason", "chosen"))
   }
 
   val info = new ExpressionInfo(getClass.getName, name)

@@ -671,6 +671,15 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(p.contains("mv_aggm_small__state") && !p.contains("mv_aggm_big__state"),
         s"rewrite should pick the 2-group state over the 300-group one:\n$p")
       assert(df.head.getLong(0) == 300L)
+      // graft_mv_explain's `chosen` column names the SAME pick: both
+      // candidates would_serve, exactly the smaller one is chosen (r17)
+      val exp = spark.sql(
+        """SELECT mv, status, chosen FROM graft_mv_explain(
+          |  'SELECT count(*) AS c FROM graft.db.mv_srcm')""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      assert(exp.count(_._2 == "would_serve") == 2, exp.toSeq.toString)
+      assert(exp.filter(_._3).map(_._1).toSeq == Seq("db.mv_aggm_small"),
+        s"chosen must mark exactly the rewrite's pick: ${exp.toSeq}")
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
@@ -1553,6 +1562,68 @@ class MaterializedViewSpec extends SparkTestBase {
       spark.sql("CALL graft.system.drop_mv('db.mv_aggds')").collect()
       assert(!fsys.exists(new org.apache.hadoop.fs.Path(dictB)),
         "drop_mv must remove the dictionary sibling")
+    } finally spark.conf.unset("spark.graft.mv.distinct.dict")
+  }
+
+  test("dictionary distinct x join MVs: count(DISTINCT string) over a join chain maintains through two-sided deltas and the joined regroup, and serves (r17)") {
+    val fct = fresh("mv_djf"); val dim = fresh("mv_djd"); fresh("mv_djagg")
+    val dictB = s"$wh/db/mv_djagg__state__dict_d_users"
+    val fsys = new org.apache.hadoop.fs.Path(dictB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(dictB), true)
+    TableFormat.commit(spark, fct,
+      (0L until 200L).map(i =>
+        (i, if (i % 2 == 0) "en" else "fr", s"u${i % 23}"))
+        .toDF("doc_id", "lang", "u"),
+      1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, dim,
+      Seq(("en", "E"), ("fr", "F"), ("zz", "Z")).toDF("lang", "region"), 1, None)
+    def recomputeDj: Seq[Row] = spark.sql(
+      """SELECT region, count(1) AS n_docs, count(DISTINCT u) AS d_users
+        |FROM graft.db.mv_djf f JOIN graft.db.mv_djd d ON f.lang = d.lang
+        |GROUP BY region ORDER BY region ASC NULLS FIRST""".stripMargin)
+      .collect().toSeq
+    def readDj: Seq[Row] = spark.sql(
+      """SELECT region, n_docs, d_users FROM graft.db.mv_djagg
+        |ORDER BY region ASC NULLS FIRST""".stripMargin).collect().toSeq
+    spark.conf.set("spark.graft.mv.distinct.dict", "true")
+    try {
+      spark.sql(
+        """CALL graft.system.create_mv('db.mv_djagg',
+          |  'SELECT region, count(*) AS n_docs, count(DISTINCT u) AS d_users
+          |   FROM graft.db.mv_djf f JOIN graft.db.mv_djd d ON f.lang = d.lang
+          |   GROUP BY region')""".stripMargin).collect()
+      assert(readDj == recomputeDj, "join-MV dict create drifted")
+      // BOTH sides move in one span — new users ride the fact delta,
+      // the dim gains the new lang's region; the dict covers the
+      // joined delta's new keys before the fold
+      TableFormat.appendCommit(spark, fct,
+        ((200L until 260L).map(i => (i, "zz", s"w${i % 7}"))
+          : Seq[(Long, String, String)]).toDF("doc_id", "lang", "u"),
+        statsCol = Some("doc_id"))
+      spark.sql("CALL graft.system.refresh_mv('db.mv_djagg')").collect()
+      assert(readDj == recomputeDj, "two-sided dict fold drifted")
+      val codes = TableFormat.readSnapshot(spark, dictB).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(codes.size == 30 && codes.values.toSet.size == 30,
+        s"23 u-keys + 7 w-keys, injective: ${codes.size}")
+      // value deletes regroup through the JOINED chain at the pinned
+      // version vector — still exact
+      TableFormat.deleteWhere(spark, fct, "doc_id", 0L, 79L)
+      val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_djagg')").head
+      assert(r2.getLong(4) > 0L, s"value deletes must regroup: $r2")
+      assert(readDj == recomputeDj, "joined dict regroup drifted")
+      // the rewrite serves the join query's popcount from state
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      try {
+        val q = spark.sql(
+          """SELECT region, count(DISTINCT u) AS d
+            |FROM graft.db.mv_djf f JOIN graft.db.mv_djd d ON f.lang = d.lang
+            |GROUP BY region ORDER BY region ASC NULLS FIRST""".stripMargin)
+        assert(q.queryExecution.optimizedPlan.toString.contains("mv_djagg__state"),
+          "string distinct over the join must serve from state")
+        assert(q.collect().toSeq == readDj.map(r => Row(r.get(0), r.get(2))))
+      } finally spark.conf.set("spark.graft.mv.rewrite", "false")
     } finally spark.conf.unset("spark.graft.mv.distinct.dict")
   }
 
