@@ -127,8 +127,14 @@ object MaterializedView {
     * index of the EARLIER chain table the conjunct's left side
     * qualified, its unqualified column, and the new table's unqualified
     * column. */
+  /** `outer` (r17, r18 candidate #4): this link joins LEFT OUTER — the
+    * dimension-table-with-missing-rows shape `fact ⟕ dim`. Maintained
+    * via the classic null-compensation IVM (see [[outerJoinDelta]]);
+    * accepted for exactly a TWO-table definition (outer joins don't
+    * commute, so the flatten-and-reorder path is inner-only). */
   case class JoinLink(srcParts: Seq[String],
-                      pairs: Seq[(Int, String, String)]) {
+                      pairs: Seq[(Int, String, String)],
+                      outer: Boolean = false) {
     def srcRelative: Seq[String] =
       if (srcParts.length >= 3) srcParts.takeRight(2) else srcParts
     /** Same-named key pairs dedup the new side's column from the
@@ -266,6 +272,39 @@ object MaterializedView {
     // pair-set match was always shape-blind, so the stored chain form
     // is unchanged.
     def treeWalk(p: LogicalPlan): Option[(Seq[String], Seq[String], Seq[JoinLink])] = {
+      // LEFT OUTER (r17, r18 candidate #4): exactly TWO bare tables —
+      // `fact ⟕ dim`. Outer joins don't commute, so this shape bypasses
+      // the inner flatten-and-reorder below; deeper outer chains refuse.
+      p match {
+        case Join(l, r0, org.apache.spark.sql.catalyst.plans.LeftOuter,
+                  Some(cond0), _) if rel(l).isDefined && rel(r0).isDefined =>
+          val (lParts, lName) = rel(l).get
+          val (rParts, rName) = rel(r0).get
+          if (lName.equalsIgnoreCase(rName)) refuse(
+            s"join alias '$rName' repeats — every chain table needs a " +
+              "distinct alias")
+          val pairs = conjuncts(cond0).map {
+            case EqualTo(lk: UnresolvedAttribute, rk: UnresolvedAttribute) =>
+              val (q1, c1) = sideOf(lk)
+              val (q2, c2) = sideOf(rk)
+              if (q1.equalsIgnoreCase(lName) && q2.equalsIgnoreCase(rName))
+                (0, c1, c2)
+              else if (q2.equalsIgnoreCase(lName) && q1.equalsIgnoreCase(rName))
+                (0, c2, c1)
+              else refuse(s"join key qualifiers '$q1'/'$q2' must name " +
+                s"'$lName' and '$rName'")
+            case other => refuse(
+              s"only equi-join conditions are maintainable " +
+                s"(got conjunct '${other.sql}')")
+          }
+          return Some((lParts, Seq(lName, rName),
+            Seq(JoinLink(rParts, pairs, outer = true))))
+        case Join(_, _, org.apache.spark.sql.catalyst.plans.LeftOuter, _, _) =>
+          refuse("LEFT OUTER joins maintain for exactly two bare tables " +
+            "(fact LEFT JOIN dim ON keys) — deeper or nested outer " +
+            "chains are not maintainable")
+        case _ => ()
+      }
       def flat(q: LogicalPlan)
           : Option[(Seq[(Seq[String], String)], Seq[Expression])] = q match {
         case r if rel(r).isDefined => Some((Seq(rel(r).get), Nil))
@@ -274,7 +313,8 @@ object MaterializedView {
             yield (lf._1 ++ rf._1, lf._2 ++ rf._2 ++ conjuncts(cond0))
         case Join(_, r0, jt, cond, _)
             if rel(r0).isDefined || flat(r0).isDefined =>
-          refuse(s"only INNER equi-joins of graft tables are maintainable " +
+          refuse(s"only INNER (or two-table LEFT OUTER) equi-joins of " +
+            s"graft tables are maintainable " +
             s"(got ${jt.sql} join, on ${cond.map(_.sql).getOrElse("<no condition>")})")
         case _ => None
       }
@@ -1232,7 +1272,10 @@ object MaterializedView {
       val b = dfs(i + 1)
       val cond = link.pairs.map { case (pIdx, pc, rc) =>
         colOf(pIdx, pc) === b(rc) }.reduce(_ && _)
-      val j = acc.join(b, cond, "inner")
+      // LEFT OUTER links (r17) join outer; dedup keeps the LEFT key,
+      // which stays non-null on null-extended rows — the standard
+      // USING-style output
+      val j = acc.join(b, cond, if (link.outer) "left_outer" else "inner")
       link.dupCols.foldLeft(j)((df, rc) => df.drop(b(rc)))
     }
   }
@@ -1281,6 +1324,84 @@ object MaterializedView {
       }, d)
     }
     halves.map(_.select(outCols: _*)).reduce(_ unionByName _)
+  }
+
+  /** TWO-TABLE LEFT-OUTER delta (r17, r18 candidate #4) — the exact
+    * null-compensation IVM:
+    *
+    *   Δ(F ⟕ D) = [ΔF ⟕ D_new] + [F_old ⋈ ΔD] + flip corrections
+    *
+    * Derivation: split F ⟕ D = (F ⋈ D) ⊎ ((F anti D) × nulls). The
+    * inner part telescopes as usual — ΔF⋈D_new rides inside ΔF⟕D_new's
+    * matched half, F_old⋈ΔD is its own half. The anti part's delta is
+    * (ΔF anti D_new) — ΔF⟕D_new's null-extended half — PLUS
+    * (F_old anti D_new − F_old anti D_old): exactly the F_old rows
+    * whose join key's D-presence FLIPPED across the span. Presence
+    * 0→+ DELETES the old null-extended row (sign −1); presence +→0
+    * INSERTS the new one (+1). A key's presence can only flip at a key
+    * ΔD touched, so the correction scan is F_old SEMI-JOINED to the
+    * flipped-key set — targeted, never a full fact rescan; NULL-keyed
+    * rows never match anything and never flip (SQL join semantics). */
+  private def outerJoinDelta(spark: SparkSession, warehouse: String, d: MvDef,
+                             froms: Seq[Int], tos: Seq[Int]): DataFrame = {
+    val paths = srcPaths(warehouse, d)
+    val link = d.joins.head
+    val fOld = TableFormat.readSnapshot(spark, paths(0), Some(froms(0)))
+    val dOld = TableFormat.readSnapshot(spark, paths(1), Some(froms(1)))
+    val dNew = TableFormat.readSnapshot(spark, paths(1), Some(tos(1)))
+    val dimKeep = dOld.columns.toSeq.filterNot(c =>
+      link.dupCols.exists(_.equalsIgnoreCase(c)))
+    val outCols: Seq[Column] =
+      (fOld.columns.toSeq ++ dimKeep :+ "_change_type").map(col)
+    val halves = Seq.newBuilder[DataFrame]
+    if (tos(0) != froms(0)) {
+      // ΔF ⟕ D_new: fact-delta rows match or null-extend, _change_type
+      // rides from the fact feed
+      val dF = TableFormat.readChanges(spark, paths(0), froms(0), tos(0))
+      val cond = link.pairs.map { case (_, pc, rc) => dF(pc) === dNew(rc) }
+        .reduce(_ && _)
+      val j = dF.join(dNew, cond, "left_outer")
+      halves += link.dupCols.foldLeft(j)((df, rc) => df.drop(dNew(rc)))
+        .select(outCols: _*)
+    }
+    if (tos(1) != froms(1)) {
+      val dD = TableFormat.readChanges(spark, paths(1), froms(1), tos(1))
+      // matched-multiplicity half: F_old ⋈ ΔD (INNER — null-extension
+      // boundaries are the corrections' job), _change_type from ΔD
+      val cond = link.pairs.map { case (_, pc, rc) => fOld(pc) === dD(rc) }
+        .reduce(_ && _)
+      val j = fOld.join(dD, cond, "inner")
+      halves += link.dupCols.foldLeft(j)((df, rc) => df.drop(dD(rc)))
+        .select(outCols: _*)
+      // flip corrections: keys ΔD touched whose presence crossed zero
+      val dKeys = link.pairs.map(_._3)
+      def keySet(df: DataFrame): DataFrame =
+        df.select(dKeys.map(col): _*).na.drop("any").distinct()
+      val changed = keySet(dD)
+      val zeroToSome = changed
+        .join(keySet(dNew), dKeys, "left_semi")
+        .join(keySet(dOld), dKeys, "left_anti")
+      val someToZero = changed
+        .join(keySet(dOld), dKeys, "left_semi")
+        .join(keySet(dNew), dKeys, "left_anti")
+      // null-extended F_old rows for a flip-key set, with the given sign
+      def nullExtended(flips: DataFrame, changeType: String): DataFrame = {
+        val fk = link.pairs.map { case (_, pc, rc) => (pc, rc) }
+        val renamed = fk.foldLeft(flips) { case (df, (pc, rc)) =>
+          df.withColumnRenamed(rc, s"__flip_$pc") }
+        val cond = fk.map { case (pc, _) =>
+          fOld(pc) === renamed(s"__flip_$pc") }.reduce(_ && _)
+        val base = fOld.join(renamed, cond, "left_semi")
+        val withDims = dimKeep.foldLeft(base) { (df, c) =>
+          df.withColumn(c,
+            lit(null).cast(dOld.schema(dOld.columns.indexOf(c)).dataType)) }
+        withDims.withColumn("_change_type", lit(changeType))
+          .select(outCols: _*)
+      }
+      halves += nullExtended(zeroToSome, "delete")
+      halves += nullExtended(someToZero, "insert")
+    }
+    halves.result().reduce(_ unionByName _)
   }
 
   /** The session catalog NAME serving `warehouse` — stored as the view
@@ -1491,6 +1612,7 @@ object MaterializedView {
         s"graft.mv.version${i + 2}" -> toVs(i + 1).toString).toMap
     val changes =
       if (d.joins.isEmpty) TableFormat.readChanges(spark, src, fromV, toV)
+      else if (d.joins.head.outer) outerJoinDelta(spark, warehouse, d, fromVs, toVs)
       else joinDelta(spark, warehouse, d, fromVs, toVs)
     // string-distinct dictionaries (r17): cover the span's NEW keys
     // BEFORE the fold — append-only, so existing codes never move; keys

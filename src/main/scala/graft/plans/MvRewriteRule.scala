@@ -134,8 +134,13 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     * each unordered pair sorted canonically. Inner joins commute and
     * associate, so SET equality against the MV's stored chain is the
     * exact match condition regardless of FROM order or nesting. */
+  /** `outer`/`leftRel` (r17): a two-table LEFT OUTER query — outer
+    * joins don't commute, so the match additionally pins the LEFT
+    * table's identity against the MV's first chain table. */
   private case class QueryJoin(pathOf: Map[String, String],
-                               pairs: Set[((String, String), (String, String))])
+                               pairs: Set[((String, String), (String, String))],
+                               outer: Boolean = false,
+                               leftRel: Option[String] = None)
 
   private def normPair(a: (String, String),
                        b: (String, String)): ((String, String), (String, String)) =
@@ -163,6 +168,28 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       }
     def unapply(p: LogicalPlan)
         : Option[(Seq[(DataSourceV2Relation, String)], QueryJoin)] = p match {
+      // two-table LEFT OUTER (r17): mirror of the CREATE contract —
+      // both sides bare relations, orientation recorded
+      case Join(SourceRel(rl, bl), SourceRel(rr, br),
+                org.apache.spark.sql.catalyst.plans.LeftOuter, Some(c), _)
+          if bl != br =>
+        val rels = Seq((rl, bl), (rr, br))
+        val relName: Map[String, String] = Map(
+          bl -> relNameOf(bl).getOrElse(return None),
+          br -> relNameOf(br).getOrElse(return None))
+        def endpointOf(a: AttributeReference): Option[(String, String)] =
+          rels.collectFirst { case (r, b) if r.outputSet.contains(a) =>
+            (relName(b), a.name.toLowerCase(Locale.ROOT)) }
+        val pairs = splitConjunctivePredicates(c).map {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            for { ex <- endpointOf(x); ey <- endpointOf(y)
+                  if ex._1 != ey._1 } yield normPair(ex, ey)
+          case _ => None
+        }
+        if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
+        else Some((rels, QueryJoin(
+          rels.map { case (_, b) => relName(b) -> b }.toMap,
+          pairs.flatten.toSet, outer = true, leftRel = Some(relName(bl)))))
       case _: Join =>
         flat(p).flatMap { case (rels, conds) =>
           // distinct bases only: a self-join's namespace can never match
@@ -386,6 +413,18 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       case (false, None) => ()
       case (true, Some(qj)) =>
         val rels = d.tableRels.map(_.toLowerCase(Locale.ROOT))
+        // OUTER-ness must agree (r17): an outer MV's state carries
+        // null-extended rows an inner query must never see, and vice
+        // versa — and LEFT OUTER fixes the orientation (no commuting)
+        val mvOuter = d.joins.exists(_.outer)
+        if (mvOuter != qj.outer) return Left(
+          if (qj.outer) "shape-mismatch: a LEFT OUTER query is never " +
+            "served by an inner-join MV"
+          else "shape-mismatch: an inner-join query is never served by " +
+            "a LEFT OUTER MV (its state carries null-extended rows)")
+        if (qj.outer && !qj.leftRel.contains(rels.head)) return Left(
+          "shape-mismatch: LEFT OUTER orientation differs from the " +
+            "MV's (outer joins do not commute)")
         val mvPairs = d.joins.zipWithIndex.flatMap { case (link, i) =>
           link.pairs.map { case (pIdx, pc, rc) =>
             normPair((rels(pIdx), pc.toLowerCase(Locale.ROOT)),

@@ -5025,9 +5025,65 @@ object GraftCatalogOps {
     } finally spark.conf.unset("spark.graft.mv.distinct.dict")
   }
 
+  /** `mv_outer` (r17, r18 candidate #4): LEFT OUTER join MV — the
+    * dimension-table-with-missing-rows shape `fact ⟕ dim`, maintained
+    * by the exact null-compensation IVM: Δ(F⟕D) = ΔF⟕D_new + F_old⋈ΔD
+    * + presence-flip corrections (F_old rows whose key's dim presence
+    * crossed zero move between the NULL region and their new region —
+    * a targeted semi-join on the flipped keys, never a fact rescan).
+    * The lifecycle here exercises a fact append (new unmatched lang →
+    * the NULL group grows), a 0→1 presence flip (a missing dim row
+    * arrives and its facts MOVE out of the NULL group), and a fact
+    * range delete — one refresh after each, hash-matched against
+    * DuckDB's LEFT JOIN recompute. */
+  def mvOuter(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvlo_src", "mvlo_dim", "mvlo_agg", "mvlo_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    import org.apache.spark.sql.functions.{col, concat, lit, upper}
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = s"$wh/db/mvlo_src"
+    val dim = s"$wh/db/mvlo_dim"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    // the dim is MISSING 'de' at create — its facts null-extend
+    TableFormat.commit(spark, dim,
+      docs.select(col("lang")).distinct().filter("lang <> 'de'")
+        .withColumn("region", concat(lit("R_"), upper(col("lang")))),
+      1, parent = None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvlo_agg',
+        |  'SELECT region, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvlo_src f LEFT JOIN graft.db.mvlo_dim d
+        |     ON f.lang = d.lang
+        |   GROUP BY region')""".stripMargin).collect()
+    // fact append: a NEW lang with no dim row (NULL group grows)
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 10 = 7")
+        .withColumn("doc_id", col("doc_id") + 4000000000L)
+        .withColumn("lang", lit("oo")),
+      statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mvlo_agg')").collect()
+    // presence FLIP 0→1: 'de' gains its dim row — its facts MOVE from
+    // the NULL region into R_DE; then a fact range delete
+    TableFormat.appendCommit(spark, dim,
+      spark.sql("SELECT 'de' AS lang, 'R_DE' AS region"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 100L, 299L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvlo_agg')").collect()
+    spark.sql(
+      """SELECT region, n_docs, CAST(sum_chars AS BIGINT) AS sum_chars
+        |FROM graft.db.mvlo_agg
+        |ORDER BY region ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
     "mv_distinct_str" -> (mvDistinctStr _),
+    "mv_outer" -> (mvOuter _),
     "mv_var" -> (mvVar _),
     "mv_rewrite_var" -> (mvRewriteVar _),
     "mv_agg_expr" -> (mvAggExpr _),
@@ -5083,6 +5139,22 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_outer" ->
+      """WITH final_facts AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 299
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, 'oo', n_chars FROM documents
+        |  WHERE doc_id % 10 = 7),
+        |dim AS (
+        |  SELECT lang, 'R_' || upper(lang) AS region
+        |  FROM (SELECT DISTINCT lang FROM documents) WHERE lang <> 'de'
+        |  UNION ALL SELECT 'de', 'R_DE')
+        |SELECT region, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_facts f LEFT JOIN dim d ON f.lang = d.lang
+        |GROUP BY region
+        |ORDER BY region ASC NULLS FIRST""".stripMargin,
     "mv_distinct_str" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, source FROM documents

@@ -379,14 +379,15 @@ class MaterializedViewSpec extends SparkTestBase {
       TableFormat.currentVersion(spark, facts), props.toString)
     assert(props("graft.mv.version2").toInt ==
       TableFormat.currentVersion(spark, dim), props.toString)
-    // shape guards: outer joins and unqualified keys refuse
+    // shape guards: FULL outer joins (LEFT OUTER is supported since
+    // r17 — see the outer-MV spec) and unqualified keys refuse
     fresh("jmv_agg2")
     val e1 = intercept[Exception](spark.sql(
       """CALL graft.system.create_mv('db.jmv_agg2',
         |  'SELECT lang, count(*) AS n FROM graft.db.jmv_f f
-        |   LEFT JOIN graft.db.jmv_d d ON f.lang_id = d.lang_id GROUP BY lang')""".stripMargin)
+        |   FULL JOIN graft.db.jmv_d d ON f.lang_id = d.lang_id GROUP BY lang')""".stripMargin)
       .collect())
-    assert(e1.getMessage.contains("INNER equi-join") ||
+    assert(e1.getMessage.contains("INNER") ||
       e1.getMessage.contains("equi-join"), e1.getMessage)
     val e2 = intercept[Exception](spark.sql(
       """CALL graft.system.create_mv('db.jmv_agg2',
@@ -1625,6 +1626,99 @@ class MaterializedViewSpec extends SparkTestBase {
         assert(q.collect().toSeq == readDj.map(r => Row(r.get(0), r.get(2))))
       } finally spark.conf.set("spark.graft.mv.rewrite", "false")
     } finally spark.conf.unset("spark.graft.mv.distinct.dict")
+  }
+
+  test("LEFT OUTER join MVs: null-compensation IVM — matched deltas, presence flips both directions, NULL-dim group, orientation-pinned rewrite (r17, r18 candidate #4)") {
+    val fct = fresh("mv_lof"); val dim = fresh("mv_lod"); fresh("mv_loagg")
+    TableFormat.commit(spark, fct,
+      (0L until 200L).map(i =>
+        (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "xx", i % 13))
+        .toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // 'xx' has NO dim row: its facts null-extend into the NULL region
+    TableFormat.commit(spark, dim,
+      Seq(("en", "E"), ("fr", "F")).toDF("lang", "region"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_loagg',
+        |  'SELECT region, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_lof f LEFT JOIN graft.db.mv_lod d ON f.lang = d.lang
+        |   GROUP BY region')""".stripMargin).collect()
+    def readLo: Seq[Row] = spark.sql(
+      """SELECT region, n_docs, sum_n FROM graft.db.mv_loagg
+        |ORDER BY region ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def recomputeLo: Seq[Row] = spark.sql(
+      """SELECT region, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM graft.db.mv_lof f LEFT JOIN graft.db.mv_lod d ON f.lang = d.lang
+        |GROUP BY region ORDER BY region ASC NULLS FIRST""".stripMargin)
+      .collect().toSeq
+    assert(readLo == recomputeLo, "outer create drifted")
+    assert(readLo.exists(_.isNullAt(0)), "the missing-dim NULL group must exist")
+    // FACT-side delta: new matched rows + new null-extended rows
+    TableFormat.appendCommit(spark, fct,
+      ((200L until 240L).map(i => (i, if (i % 2 == 0) "en" else "yy", i % 7))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_loagg')").collect()
+    assert(readLo == recomputeLo, "fact-side outer delta drifted")
+    // PRESENCE FLIP 0→1: 'xx' gains a dim row — its null-extended
+    // facts MOVE from the NULL region into R_X (delete + insert)
+    TableFormat.appendCommit(spark, dim,
+      Seq(("xx", "X")).toDF("lang", "region"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_loagg')").collect()
+    assert(readLo == recomputeLo, "0->1 presence flip drifted")
+    assert(readLo.exists(r => !r.isNullAt(0) && r.getString(0) == "X"),
+      "flipped facts must land in the new region")
+    // PRESENCE FLIP 1→0: 'fr' loses its dim row — matched facts MOVE
+    // back into the NULL region
+    spark.sql("DELETE FROM graft.db.mv_lod WHERE lang = 'fr'")
+    spark.sql("CALL graft.system.refresh_mv('db.mv_loagg')").collect()
+    assert(readLo == recomputeLo, "1->0 presence flip drifted")
+    assert(!readLo.exists(r => !r.isNullAt(0) && r.getString(0) == "F"),
+      "the dropped region must vanish")
+    // BOTH sides move in one span: fact append + delete, dim gains 'yy'
+    TableFormat.appendCommit(spark, fct,
+      (Seq((500L, "yy", 3L), (501L, "zz", 4L)): Seq[(Long, String, Long)])
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, fct, "doc_id", 30L, 89L)
+    TableFormat.appendCommit(spark, dim, Seq(("yy", "Y")).toDF("lang", "region"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_loagg')").collect()
+    assert(readLo == recomputeLo, "three-sided outer span drifted")
+    // REWRITE: the LEFT OUTER query serves orientation-pinned; the
+    // INNER query over the same tables must NOT be served by this MV
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val q = spark.sql(
+        """SELECT region, count(*) AS n_docs
+          |FROM graft.db.mv_lof f LEFT JOIN graft.db.mv_lod d ON f.lang = d.lang
+          |GROUP BY region ORDER BY region ASC NULLS FIRST""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_loagg__state"),
+        "the matching LEFT OUTER query must serve from state")
+      assert(q.collect().toSeq == readLo.map(r => Row(r.get(0), r.get(1))))
+      val inner = spark.sql(
+        """SELECT region, count(*) AS c
+          |FROM graft.db.mv_lof f JOIN graft.db.mv_lod d ON f.lang = d.lang
+          |GROUP BY region""".stripMargin)
+      assert(inner.queryExecution.optimizedPlan.toString.contains("mv_lof"),
+        "an INNER query must never be served by the outer MV's state")
+      val exp = spark.sql(
+        """SELECT reason FROM graft_mv_explain(
+          |  'SELECT region, count(*) AS c
+          |   FROM graft.db.mv_lof f JOIN graft.db.mv_lod d ON f.lang = d.lang
+          |   GROUP BY region') WHERE mv = 'db.mv_loagg'""".stripMargin)
+        .head.getString(0)
+      assert(exp.contains("null-extended"), exp)
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    // deeper outer chains refuse loudly
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    fresh("mv_loagg2")
+    val e = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv('db.mv_loagg2',
+        |  'SELECT region, count(*) AS c
+        |   FROM graft.db.mv_lof f LEFT JOIN graft.db.mv_lod d ON f.lang = d.lang
+        |     LEFT JOIN graft.db.mv_lod e ON d.region = e.region
+        |   GROUP BY region')""".stripMargin).collect())
+    assert(chain(e).contains("exactly two"), chain(e))
   }
 
   test("composite join keys: an MV over a two-column equi-join maintains exactly and the rewrite matches the key-pair SET in either conjunct order (r16)") {
