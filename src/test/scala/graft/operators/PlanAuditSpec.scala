@@ -56,6 +56,45 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"roll-up lost map-side partials:\n$p")
   }
 
+  test("r17 MV serving plans: var/stddev, dict-distinct, and outer substitutions scan ONLY state, keep map-side partials, and carry no ScalaUDF") {
+    // mv_rewrite_var: both the per-lang serve and the global power-sum
+    // roll-up substituted — the source never scans, the roll-up keeps
+    // two-phase aggregation, nothing interpreted on the path
+    val vdf = graft.sources.GraftCatalogOps.mvRewriteVar(spark, sfDir)
+    val vp = plan(vdf)
+    assert(!vp.contains("mvrv_src"), s"var source scanned despite the rewrite:\n$vp")
+    assert(vp.contains("partial_"), s"var roll-up lost map-side partials:\n$vp")
+    assert(!vp.contains("ScalaUDF"), s"interpreted UDF on the var serve path:\n$vp")
+    // dict-distinct roll-up: the global count(DISTINCT string) re-derives
+    // through the bitmap-OR aggregate over state — no source scan, no
+    // re-shuffle of strings (the bitmap maps are the shuffle payload)
+    graft.sources.GraftCatalogOps.mvDistinctStr(spark, sfDir).count()
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val g = spark.sql("SELECT count(DISTINCT source) AS d FROM graft.db.mvds_src")
+      // substitution names live in the OPTIMIZED plan (the executed
+      // plan prints V1 state scans without their path)
+      val gOpt = g.queryExecution.optimizedPlan.toString
+      assert(gOpt.contains("mvds_agg__state") && !gOpt.contains("mvds_src"),
+        s"dict roll-up must read state only:\n$gOpt")
+      val gp = plan(g)
+      assert(gp.contains("partial_bitmap_map_distinct"),
+        s"dict roll-up must OR the stored bitmaps with map-side partials:\n$gp")
+      assert(!gp.contains("ScalaUDF"), s"interpreted UDF on the dict path:\n$gp")
+      // outer MV serve: state scan only (optimized-plan names)
+      graft.sources.GraftCatalogOps.mvOuter(spark, sfDir).count()
+      val oq = spark.sql(
+        """SELECT region, count(*) AS c
+          |FROM graft.db.mvlo_src f LEFT JOIN graft.db.mvlo_dim d
+          |  ON f.lang = d.lang GROUP BY region""".stripMargin)
+      val oOpt = oq.queryExecution.optimizedPlan.toString
+      assert(oOpt.contains("mvlo_agg__state") && !oOpt.contains("mvlo_src"),
+        s"outer serve must scan only state:\n$oOpt")
+      assert(!plan(oq).contains("ScalaUDF"),
+        s"interpreted UDF on the outer serve path:\n${plan(oq)}")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   test("equality-delete reads: masks apply as BROADCAST anti-joins, never a shuffle of the table (r15)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
