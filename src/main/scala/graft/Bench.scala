@@ -57,10 +57,19 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.environment().remove("SPARK_GRAFT_REPEAT")
         pb.environment().remove("SPARK_GRAFT_ONLY")
+        // Discard the child's stderr BEFORE reading stdout to EOF: a
+        // child Spark JVM can emit >64 KB of log4j noise on stderr, and
+        // reading one pipe to EOF while the other fills deadlocks both
+        // processes (r18, ADVICE r17 #1). waitFor gets a generous
+        // timeout with destroyForcibly as the backstop so a hung child
+        // can't hang the whole bench sweep.
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        proc.getErrorStream.readAllBytes()
-        proc.waitFor()
+        if (!proc.waitFor(10, _root_.java.util.concurrent.TimeUnit.MINUTES)) {
+          proc.destroyForcibly()
+          System.err.println("[bench] sentinel timed out after 10m; killed")
+        }
         """"sentinel_total":([0-9.]+)""".r.findFirstMatchIn(out)
           .map(_.group(1).toDouble)
       } catch { case e: Throwable =>

@@ -632,6 +632,22 @@ object MaterializedView {
   private def needsRegroup(d: MvDef): Boolean =
     hasMinMax(d) || hasDistinct(d) || hasVar(d)
 
+  /** Groups whose var/stddev power sums carry the overflow poison in a
+    * FINAL state (NULL Σx or Σx² with n>0 rows). The targeted regroup
+    * recomputes poisoned groups from source, so a poison that SURVIVES
+    * a commit means the group's true Σx² genuinely exceeds
+    * DECIMAL(38,0) — a documented-approximate NULL. create/refresh
+    * record this count as `graft.mv.varpoison` in the same commit so
+    * the REWRITE can stand down var/stddev queries against a poisoned
+    * state and fall back to the direct Welford plan, which still
+    * returns a finite double (r18, ADVICE r17 #3). Zero cost for
+    * MVs without var columns (never computed, never recorded). */
+  private def varPoisonCount(state: DataFrame, d: MvDef): Long = {
+    val conds = d.aggs.collect { case VarCol(_, a, _, _) =>
+      (col(qCol(a)).isNull || col(sCol(a)).isNull) && col(nCol(a)) > 0 }
+    if (conds.isEmpty) 0L else state.filter(conds.reduce(_ || _)).count()
+  }
+
   /** Typed empty `map<bucket, bitmap>` — the distinct state of a group
     * with no non-null values. */
   private def emptyBm: Column = typedLit(Map.empty[Long, Array[Byte]])
@@ -1519,7 +1535,15 @@ object MaterializedView {
       ensureDictCovers(spark, db, seedP, c)
       a -> loadDict(spark, db)
     }.toMap
-    val state = fullState(seed, d, dicts)
+    val state0 = fullState(seed, d, dicts)
+    // var poison audit (r18, ADVICE r17 #3): persisted so the count and
+    // the committed write share one computation of the state aggregate
+    val state = if (hasVar(d))
+      state0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else state0
+    val poisonProps: Map[String, String] =
+      if (hasVar(d)) Map("graft.mv.varpoison" -> varPoisonCount(state, d).toString)
+      else Map.empty
     val v = TableFormat.appendCommit(spark, sb, state,
       statsCol = None, setProps = Map(
         "graft.mv.query" -> query,
@@ -1527,7 +1551,9 @@ object MaterializedView {
         "graft.mv.version" -> v0.toString) ++
         d.joins.zipWithIndex.flatMap { case (link, i) => Map(
           s"graft.mv.src${i + 2}" -> link.srcRelative.mkString("."),
-          s"graft.mv.version${i + 2}" -> v0s(i + 1).toString) }.toMap)
+          s"graft.mv.version${i + 2}" -> v0s(i + 1).toString) }.toMap ++
+        poisonProps)
+    if (hasVar(d)) { state.unpersist(); () }
     // the published read surface: a stored view over the state table,
     // resolution pinned to this catalog (2-part name + stored context)
     val visible = visibleColumns(d)
@@ -1670,10 +1696,22 @@ object MaterializedView {
               }
             (out, nMarked)
           }
-        val v = TableFormat.appendCommit(spark, mvBase, merged,
+        // var poison audit (r18, ADVICE r17 #3): count on the FINAL
+        // state (post-regroup — only a genuinely unrepresentable Σx²
+        // survives it), persisted so the count and the committed write
+        // share one computation of the regroup's source scan
+        val mergedP = if (hasVar(d))
+          merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else merged
+        val poisonProps: Map[String, String] =
+          if (hasVar(d))
+            Map("graft.mv.varpoison" -> varPoisonCount(mergedP, d).toString)
+          else Map.empty
+        val v = TableFormat.appendCommit(spark, mvBase, mergedP,
           statsCol = None, replace = true, maxRetries = 0,
-          setProps = bookmarks)
+          setProps = bookmarks ++ poisonProps)
         merged0.unpersist()
+        if (hasVar(d)) { mergedP.unpersist(); () }
         val n = TableFormat.readSnapshot(spark, mvBase, Some(v)).count()
         (v, fromV, toV, n, nRegrouped)
       }

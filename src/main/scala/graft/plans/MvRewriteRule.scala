@@ -557,6 +557,27 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
           s"v$bm but source head is v$head — CALL graft.system.refresh_mv")
       }
     }
+    // VAR-STATE POISON standdown (r18, ADVICE r17 #3): the MV commit
+    // records how many groups' power sums survived the targeted regroup
+    // still NULL with n>0 — a true Σx² past DECIMAL(38,0). Serving such
+    // state would answer NULL where the unrewritten Welford plan returns
+    // a finite double, so a var/stddev-bearing query falls back to the
+    // direct plan instead. Conservative per-MV flag: non-variance
+    // queries over the same MV keep serving.
+    if (props.get("graft.mv.varpoison").flatMap(_.toLongOption).exists(_ > 0) &&
+        aggExprs.exists(_.exists {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case _: VarianceSamp | _: VariancePop | _: StddevSamp |
+                 _: StddevPop => true
+            case _ => false
+          }
+          case _ => false
+        }))
+      return Left("var-state-poisoned: " +
+        props("graft.mv.varpoison") + " group(s) hold power sums past " +
+        "DECIMAL(38,0) (NULL Σx/Σx² with n>0 after regroup) — the direct " +
+        "plan still returns a finite double, so var/stddev queries are " +
+        "not served from this state")
     // Build the PINNED state relation and map every output expression.
     val mvRel = DataSourceV2Relation.create(
       new GraftTable(stateBase, Some(stateV), spark), None, None)

@@ -230,14 +230,23 @@ object MvExplainTvf {
     require(args.length == 1, s"$name(sql) takes 1 argument, got ${args.length}")
     val spark = SparkSession.active
     val sql = GraftTvf.evalStr(args.head)
-    val flag = spark.conf.getOption("spark.graft.mv.rewrite").getOrElse("false")
+    val flagOpt = spark.conf.getOption("spark.graft.mv.rewrite")
+    val flag = flagOpt.getOrElse("false")
     // analyze with the rewrite OFF: a fresh MV would otherwise already
-    // have substituted the aggregate, leaving nothing to explain
+    // have substituted the aggregate, leaving nothing to explain.
+    // NOTE (r18, ADVICE r17 #2): the flag flip is session-global and not
+    // thread-safe — a query analyzed CONCURRENTLY in the same session
+    // during this window silently skips its MV rewrite (safe: it runs
+    // the direct plan, just unrewritten). An originally-unset flag is
+    // restored by UNSET, not pinned to an explicit "false".
     spark.conf.set("spark.graft.mv.rewrite", "false")
     val analyzed =
       try spark.sessionState.executePlan(
         spark.sessionState.sqlParser.parsePlan(sql)).analyzed
-      finally spark.conf.set("spark.graft.mv.rewrite", flag)
+      finally flagOpt match {
+        case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+        case None    => spark.conf.unset("spark.graft.mv.rewrite")
+      }
     val cteDefs: Map[Long, LogicalPlan] =
       analyzed.collect { case d: CTERelationDef => d.id -> d.child }.toMap
     val rule = graft.plans.RewriteAggregateToMv(spark)

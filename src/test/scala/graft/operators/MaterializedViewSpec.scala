@@ -1381,6 +1381,35 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(readOf("of").isNullAt(2) && readOf("of").isNullAt(3),
       s"overflowed group must report NULL variance: ${readOf("of")}")
     assert(readOf("ok").getDouble(2) > 0.0, "healthy group unaffected")
+    // r18, ADVICE r17 #3: the surviving poison count rides the SAME
+    // commit (graft.mv.varpoison=1), and the REWRITE stands down
+    // var/stddev queries against a poisoned state — the direct Welford
+    // plan still returns a finite double where the state would serve
+    // NULL. Non-variance queries keep serving from the same MV.
+    assert(TableFormat.manifestProps(spark, s"$wh/db/mv_aggof__state",
+      TableFormat.currentVersion(spark, s"$wh/db/mv_aggof__state"))
+      .get("graft.mv.varpoison").contains("1"))
+    val qVar = "SELECT lang, var_samp(n) AS v FROM graft.db.mv_srcof GROUP BY lang"
+    val qCnt = "SELECT lang, count(*) AS c FROM graft.db.mv_srcof GROUP BY lang"
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val dfv = spark.sql(qVar)
+      assert(dfv.queryExecution.optimizedPlan.toString.contains("mv_srcof"),
+        "poisoned state must not serve a var query")
+      val directOf = dfv.collect().map(r => r.getString(0) -> r).toMap
+      assert(!directOf("of").isNullAt(1) &&
+        !directOf("of").getDouble(1).isNaN,
+        s"direct plan returns a finite var for the overflowed group: " +
+          s"${directOf("of")}")
+      assert(spark.sql(qCnt).queryExecution.optimizedPlan.toString
+        .contains("mv_aggof__state"),
+        "non-variance queries keep serving from the poisoned MV")
+      val reasons = spark.sql(
+        s"SELECT reason FROM graft_mv_explain('$qVar')")
+        .collect().map(_.getString(0))
+      assert(reasons.exists(_.startsWith("var-state-poisoned")),
+        s"explainer must name the poison standdown: ${reasons.mkString("; ")}")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
     // touching the poisoned group keeps it NULL — the merge must NOT
     // coalesce the stored NULL Σx² to 0 (that would corrupt state) —
     // and takes the targeted regroup
@@ -1405,6 +1434,18 @@ class MaterializedViewSpec extends SparkTestBase {
         |FROM graft.db.mv_srcof WHERE lang = 'of'""".stripMargin).head.getDouble(0)
     assert(readOf("of").getDouble(2) == recovered,
       s"recovered variance must equal recompute: ${readOf("of")} vs $recovered")
+    // recovery CLEARS the poison flag in the same commit: var queries
+    // serve from state again (r18, ADVICE r17 #3)
+    assert(TableFormat.manifestProps(spark, s"$wh/db/mv_aggof__state",
+      TableFormat.currentVersion(spark, s"$wh/db/mv_aggof__state"))
+      .get("graft.mv.varpoison").contains("0"))
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      assert(spark.sql(
+        "SELECT lang, var_samp(n) AS v FROM graft.db.mv_srcof GROUP BY lang")
+        .queryExecution.optimizedPlan.toString.contains("mv_aggof__state"),
+        "recovered state serves var queries again")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
     // an untouched poisoned group does NOT re-regroup every refresh:
     // spans touching only other groups leave it alone
     TableFormat.appendCommit(spark, src,

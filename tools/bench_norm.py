@@ -21,8 +21,14 @@ import sys
 def load(path):
     with open(path) as f:
         txt = f.read()
-    # take the LAST parseable JSON object line with a queries map
-    for line in reversed(txt.strip().splitlines()):
+    # take the parseable JSON object line with the LARGEST queries map
+    # (r18, VERDICT r17 #6): idle artifacts carry both a full per-query
+    # map and a truncated top-15 summary line — "last parseable" picked
+    # the summary and silently compared 12 shared queries instead of
+    # ~293. Ties keep the later line (the fresher sweep).
+    best = None
+    best_n = -1
+    for line in txt.strip().splitlines():
         line = line.strip()
         if not line.startswith("{"):
             continue
@@ -30,9 +36,14 @@ def load(path):
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if "queries" in d:
-            return d
-    raise SystemExit(f"{path}: no parseable bench line with a queries map")
+        if "queries" not in d and "queries_min" not in d:
+            continue
+        n = len(d.get("queries_min") or d.get("queries") or {})
+        if n >= best_n:
+            best, best_n = d, n
+    if best is None:
+        raise SystemExit(f"{path}: no parseable bench line with a queries map")
+    return best
 
 
 def qmap(d):
