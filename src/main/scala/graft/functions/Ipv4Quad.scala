@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(BitmapMapOrAgg.functionDescription)
     e.injectFunction(CountMin.mergeDescription)
     e.injectFunction(CountMin.estimateDescription)
+    // r18: KLL quantile sketch family — the mergeable state behind
+    // approx_pct in materialized views (VERDICT r17 #1)
+    e.injectFunction(KllSketch.aggDescription)
+    e.injectFunction(KllSketch.mergeDescription)
+    e.injectFunction(KllSketch.quantileDescription)
     e.injectOptimizerRule(_ => graft.plans.PushVecNormThroughJoin)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // r12: SQL views on the graft catalog — the analyzer wiring OSS

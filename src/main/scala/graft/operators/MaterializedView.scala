@@ -94,6 +94,27 @@ object MaterializedView {
     * register. */
   case class ApproxDistinctCol(colName: String, alias: String) extends AggSpec
 
+  /** `approx_pct(col, p)` (r18, VERDICT r17 #1): APPROXIMATE quantile
+    * at rank p backed by mergeable KLL sketch state
+    * ([[graft.functions.KllAgg]], datasketches KLL doubles, k = 200 —
+    * pinned like the HLL path's lgK). The last common dashboard
+    * aggregate with no MV story: INSERTS fold by sketch MERGE (KLL
+    * merge preserves the rank-error bound, so the folded state is a
+    * valid sketch of all rows — though not byte-identical to a rebuild
+    * once compaction has run, hence documented approximate like the HLL
+    * estimate); DELETES take the same targeted regroup as distinct
+    * state (a sketch cannot subtract). The visible column is the
+    * quantile ESTIMATE at the stored rank; the hidden `__kll_` sketch
+    * serves ANY rank at query time — the rewrite probes it directly
+    * (exact dims) or merges it to coarser grains (roll-up), so one MV
+    * answers p50/p90/p99 alike. EXACT `percentile` and Spark's
+    * GK-estimator `approx_percentile`/`percentile_approx` refuse at
+    * CREATE and stand down at rewrite — different estimators, no
+    * incremental state. State is one ~KB sketch per group: at 100 TB
+    * the maintenance shuffle stays |changed groups|-shaped. */
+  case class ApproxPctCol(colName: String, alias: String,
+                          pct: Double) extends AggSpec
+
   /** VARIANCE / STDDEV (r16): `var_samp`/`var_pop`/`stddev_samp`/
     * `stddev_pop` over INTEGRAL columns via exact POWER SUMS — the
     * textbook IVM device: hidden Σx (long, the SUM contract's exposure)
@@ -479,6 +500,23 @@ object MaterializedView {
     // chokepoint under a hidden `__in_<alias>` column and aggregates as
     // a plain column from there — the whole IVM algebra is unchanged
     val aggIn = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // approx_pct's rank argument: a plain numeric literal in [0,1] —
+    // it keys the visible column, so it must be fixed at CREATE (any
+    // OTHER rank still serves at query time from the hidden sketch)
+    def pctLiteral(e: Expression, alias: String): Double = e match {
+      case l: Literal if l.value != null &&
+          l.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        val p = l.value match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: java.lang.Number => n.doubleValue()
+          case other => refuse(s"approx_pct rank '$other' in '$alias'")
+        }
+        if (p < 0.0 || p > 1.0) refuse(
+          s"approx_pct rank $p in '$alias' — must be in [0,1]")
+        p
+      case other => refuse(s"approx_pct rank '${other.sql}' in '$alias' — " +
+        "must be a numeric literal in [0,1]")
+    }
     def inputColOf(e: Expression, alias: String): String = e match {
       case c: UnresolvedAttribute => c.name // qualified check happens below
       case _: UnresolvedStar => refuse(s"'*' input in '$alias'")
@@ -532,6 +570,19 @@ object MaterializedView {
           case ("avg" | "mean", Seq(e)) => Some(AvgCol(inputColOf(e, alias), alias))
           case ("approx_distinct" | "approx_count_distinct", Seq(e)) =>
             Some(ApproxDistinctCol(inputColOf(e, alias), alias))
+          // r18: approx_pct(col, p) — mergeable KLL sketch state; the
+          // rank must be a [0,1] literal (it keys the visible column)
+          case ("approx_pct", Seq(e, pLit)) =>
+            Some(ApproxPctCol(inputColOf(e, alias), alias,
+              pctLiteral(pLit, alias)))
+          // exact/GK percentiles have no incremental state — name the
+          // cure instead of the generic refusal (r18, VERDICT r17 #1)
+          case ("percentile" | "median" | "percentile_approx" |
+                "approx_percentile", _) =>
+            refuse(s"'$fn' in '$alias' — exact and GK-estimator " +
+              "percentiles have no incremental state; use " +
+              "approx_pct(col, p) (mergeable KLL sketch, documented " +
+              "approximate, any rank servable from the same state)")
           case ("var_samp" | "variance", Seq(e)) =>
             Some(VarCol(inputColOf(e, alias), alias, pop = false, stddev = false))
           case ("var_pop", Seq(e)) =>
@@ -566,6 +617,7 @@ object MaterializedView {
       case CountCol(c, _) => c; case SumCol(c, _) => c; case AvgCol(c, _) => c
       case MinCol(c, _) => c; case MaxCol(c, _) => c; case DistinctCol(c, _) => c
       case ApproxDistinctCol(c, _) => c; case VarCol(c, _, _, _) => c
+      case ApproxPctCol(c, _, _) => c
     }).find(_.contains(".")).foreach(c => refuse(
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
@@ -610,6 +662,8 @@ object MaterializedView {
   private def ddCol(a: String) = s"__dd_$a"    // distinct: delete marker
   private def hllCol(a: String) = s"__hll_$a"  // approx distinct: HLL sketch
   private def dhllCol(a: String) = s"__dhll_$a" // approx distinct: insert sketch
+  private def kllCol(a: String) = s"__kll_$a"   // approx pct: KLL sketch
+  private def dkllCol(a: String) = s"__dkll_$a" // approx pct: insert sketch
   private def qCol(a: String) = s"__q_$a"    // variance: exact Σx² (decimal)
   private def dqCol(a: String) = s"__dq_$a"  // variance: signed Σx² delta
   private def danyCol(a: String) = s"__dany_$a" // variance: unsigned touched rows
@@ -621,6 +675,8 @@ object MaterializedView {
   }
   private def hasDistinct(d: MvDef): Boolean =
     d.aggs.exists(a => a.isInstanceOf[DistinctCol] || a.isInstanceOf[ApproxDistinctCol])
+  private def hasKll(d: MvDef): Boolean =
+    d.aggs.exists(_.isInstanceOf[ApproxPctCol])
   private def hasVar(d: MvDef): Boolean =
     d.aggs.exists(_.isInstanceOf[VarCol])
   /** Aggregates that are self-maintainable under inserts but only
@@ -630,7 +686,7 @@ object MaterializedView {
     * directions, but a Σx² past DECIMAL(38,0) surfaces NULL and the
     * poisoned group must recompute (ADVICE r16 #1). */
   private def needsRegroup(d: MvDef): Boolean =
-    hasMinMax(d) || hasDistinct(d) || hasVar(d)
+    hasMinMax(d) || hasDistinct(d) || hasVar(d) || hasKll(d)
 
   /** Groups whose var/stddev power sums carry the overflow poison in a
     * FINAL state (NULL Σx or Σx² with n>0 rows). The targeted regroup
@@ -755,6 +811,15 @@ object MaterializedView {
         case dt => throw new IllegalArgumentException(
           s"materialized view: approx_distinct($c) AS $a over ${dt.simpleString} — " +
             "HLL sketch state takes integral, string, or binary columns")
+      }
+    }
+    d.aggs.collect { case ApproxPctCol(c, a, _) =>
+      fieldOf(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case dt => throw new IllegalArgumentException(
+          s"materialized view: approx_pct($c) AS $a over ${dt.simpleString} — " +
+            "KLL sketch state ranks numeric columns only (values insert " +
+            "as doubles)")
       }
     }
     d.aggs.collect { case m @ (_: MinCol | _: MaxCol) =>
@@ -890,6 +955,11 @@ object MaterializedView {
       // the same function applied at merge, so fold ≡ recompute
       case ApproxDistinctCol(c, a) =>
         coalesce(hll_sketch_estimate(hll_sketch_agg(col(c))), lit(0L)).as(a)
+      // approx pct (r18): quantile estimate of the group's KLL sketch
+      // at the stored rank (NULL for all-null groups — no rank exists)
+      case ApproxPctCol(c, a, p) =>
+        graft.functions.KllSketch.kll_quantile(
+          graft.functions.KllSketch.kll_agg(col(c)), p).as(a)
       // variance/stddev (r16): the SAME power-sum derivation merge uses.
       // TRY-mode sums (r17, ADVICE r16 #1): overflow must surface as
       // NULL in BOTH ANSI modes — plain SUM throws under ANSI (crashing
@@ -904,6 +974,8 @@ object MaterializedView {
       case AvgCol(c, a) =>
         Seq(sum(col(c).cast(LongType)).as(sCol(a)), count(col(c)).as(nCol(a)))
       case ApproxDistinctCol(c, a) => Seq(hll_sketch_agg(col(c)).as(hllCol(a)))
+      case ApproxPctCol(c, a, _) =>
+        Seq(graft.functions.KllSketch.kll_agg(col(c)).as(kllCol(a)))
       case VarCol(c, a, _, _) => Seq(
         try_sum(col(c).cast(LongType)).as(sCol(a)),
         try_sum(sqExact(c)).as(qCol(a)),
@@ -964,6 +1036,11 @@ object MaterializedView {
       // the INSERTED values' sketch folds in by union below
       case ApproxDistinctCol(c, a) =>
         max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
+      // approx pct (r18): same one-way reasoning — a sketch cannot
+      // subtract, so any delete of a non-null value sends the group to
+      // the targeted regroup; the INSERTED values' sketch merges below
+      case ApproxPctCol(c, a, _) =>
+        max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
       // variance/stddev (r16): signed power-sum deltas — fully
       // self-maintainable both directions in the representable regime
       // (TRY sums: a delta-side overflow surfaces NULL → regroup, r17)
@@ -981,6 +1058,8 @@ object MaterializedView {
         Seq(max(when(col("__sign") === -1L, col(c))).as(delMinMaxCol(a)))
       case ApproxDistinctCol(c, a) =>
         Seq(hll_sketch_agg(when(col("__sign") === 1L, col(c))).as(dhllCol(a)))
+      case ApproxPctCol(c, a, _) => Seq(graft.functions.KllSketch
+        .kll_agg(when(col("__sign") === 1L, col(c))).as(dkllCol(a)))
       case VarCol(c, a, _, _) => Seq(
         try_sum(sqExact(c) * col("__sign")).as(dqCol(a)),
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a)),
@@ -1069,6 +1148,7 @@ object MaterializedView {
       // sibling select items cannot reference each other
       case DistinctCol(_, a) => lit(null).cast(LongType).as(a)
       case ApproxDistinctCol(_, a) => lit(null).cast(LongType).as(a)
+      case ApproxPctCol(_, a, _) => lit(null).cast(DoubleType).as(a)
       // the SAME derivation fullState uses, over the merged exact sums
       case VarCol(_, a, pop, stddev) =>
         varVisible(mergedS(a), mergedQ(a),
@@ -1085,6 +1165,7 @@ object MaterializedView {
       // prove the value still has other rows — regroup (targeted)
       case DistinctCol(_, a) => col(ddCol(a)).isNotNull
       case ApproxDistinctCol(_, a) => col(ddCol(a)).isNotNull
+      case ApproxPctCol(_, a, _) => col(ddCol(a)).isNotNull
       // overflow poison (r17, ADVICE r16 #1): a TOUCHED group whose
       // merged Σx² came out NULL with n>0 rows recomputes from source —
       // the only exact answer once a power sum is unrepresentable.
@@ -1115,6 +1196,15 @@ object MaterializedView {
           .when(col(dhllCol(a)).isNull, col(hllCol(a)))
           .otherwise(hll_union(col(hllCol(a)), col(dhllCol(a))))
           .as(hllCol(a)))
+      // merged KLL sketch (r18): pairwise union — null-safe on either
+      // side (absent state row / insert-free span); an empty delta
+      // sketch merges as a no-op
+      case ApproxPctCol(_, a, _) => Seq(
+        when(col(kllCol(a)).isNull, col(dkllCol(a)))
+          .when(col(dkllCol(a)).isNull, col(kllCol(a)))
+          .otherwise(graft.functions.KllSketch.kll_union2(
+            col(kllCol(a)), col(dkllCol(a))))
+          .as(kllCol(a)))
       // merged power sums (all-null groups report NULL, mirroring AVG,
       // so the state matches a recompute's NULL sums bit-for-bit; an
       // overflow-NULL Σx² propagates and the group regroups — r17)
@@ -1134,9 +1224,14 @@ object MaterializedView {
       .filter(col(CNT) > 0)
     val merged1 = d.aggs.collect { case DistinctCol(_, a) => a }
       .foldLeft(merged0)((df, a) => df.withColumn(a, popSum(col(bmCol(a)))))
-    d.aggs.collect { case ApproxDistinctCol(_, a) => a }
+    val merged2 = d.aggs.collect { case ApproxDistinctCol(_, a) => a }
       .foldLeft(merged1)((df, a) => df.withColumn(a,
         coalesce(hll_sketch_estimate(col(hllCol(a))), lit(0L))))
+    // approx pct (r18): the visible estimate re-derives from the MERGED
+    // sketch — the same probe fullState applies, at the stored rank
+    d.aggs.collect { case ApproxPctCol(_, a, p) => (a, p) }
+      .foldLeft(merged2) { case (df, (a, p)) => df.withColumn(a,
+        graft.functions.KllSketch.kll_quantile(col(kllCol(a)), p)) }
   }
 
   /** The user-visible projection (hidden bookkeeping columns dropped) —

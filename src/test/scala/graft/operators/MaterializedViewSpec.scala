@@ -1455,6 +1455,101 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(r3.getLong(4) == 0L, s"untouched groups must not regroup (got $r3)")
   }
 
+  test("approx_pct MV state: KLL sketches fold inserts with zero regroups, value deletes regroup, any rank serves from state; exact percentile refuses (r18, VERDICT r17 #1)") {
+    val src = fresh("mv_srcpx"); fresh("mv_aggpx")
+    // exact regime on purpose: every group holds < k=200 values, so the
+    // sketch IS the sorted set and every assertion is a deterministic
+    // equality (past compaction KLL is randomized — the driver query
+    // stays oracle-less per SURVEY's determinism rule)
+    val rows = (1L to 100L).map(i =>
+      (i, if (i <= 50) "a" else "b", Some(i)))
+    TableFormat.commit(spark, src,
+      rows.toDF("doc_id", "lang", "n"), 1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggpx',
+        |  'SELECT lang, count(*) AS n_docs, approx_pct(n, 0.5) AS p50
+        |   FROM graft.db.mv_srcpx GROUP BY lang')""".stripMargin).collect()
+    def readPx: Map[String, Row] = spark.sql(
+      "SELECT lang, n_docs, p50 FROM graft.db.mv_aggpx")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // create == recompute estimate: inclusive-rank p50 of 1..50 is 25,
+    // of 51..100 is 75
+    assert(readPx("a").getDouble(2) == 25.0 && readPx("b").getDouble(2) == 75.0,
+      s"create estimate must equal recompute: $readPx")
+    // INSERT-only span folds by sketch merge — ZERO regroups
+    TableFormat.appendCommit(spark, src,
+      (101L to 120L).map(i => (i, "a", Some(i))).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggpx')").head
+    assert(r1.getLong(4) == 0L, s"insert-only span must not regroup (got $r1)")
+    // group a is now 1..50 ∪ 101..120 (70 values): p50 = 35th = 35
+    assert(readPx("a").getDouble(2) == 35.0 && readPx("a").getLong(1) == 70L,
+      s"folded estimate must equal recompute: ${readPx("a")}")
+    // a VALUE DELETE regroups (a sketch cannot subtract) — targeted
+    TableFormat.deleteWhere(spark, src, "doc_id", 101L, 120L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggpx')").head
+    assert(r2.getLong(4) == 1L, s"value delete must regroup (got $r2)")
+    assert(readPx("a").getDouble(2) == 25.0 && readPx("b").getDouble(2) == 75.0,
+      s"regrouped estimate must equal recompute: $readPx")
+    // REWRITE serving: the hidden sketch serves the stored rank AND any
+    // other rank, exact dims and roll-up alike
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val q50 =
+        """SELECT lang, kll_quantile(kll_agg(n), 0.5D) AS p50
+          |FROM graft.db.mv_srcpx GROUP BY lang ORDER BY lang""".stripMargin
+      val df50 = spark.sql(q50)
+      assert(df50.queryExecution.optimizedPlan.toString.contains("mv_aggpx__state"),
+        "exact-dim quantile must serve from state")
+      assert(df50.collect().map(_.getDouble(1)).toSeq == Seq(25.0, 75.0))
+      val q90 =
+        """SELECT lang, kll_quantile(kll_agg(n), 0.9D) AS p90
+          |FROM graft.db.mv_srcpx GROUP BY lang ORDER BY lang""".stripMargin
+      val df90 = spark.sql(q90)
+      assert(df90.queryExecution.optimizedPlan.toString.contains("mv_aggpx__state"),
+        "a rank OTHER than the stored one still serves from the hidden sketch")
+      assert(df90.collect().map(_.getDouble(1)).toSeq == Seq(45.0, 95.0))
+      // roll-up: the GLOBAL quantile merges the per-group sketches
+      val qg = "SELECT kll_quantile(kll_agg(n), 0.5D) AS p50 FROM graft.db.mv_srcpx"
+      val dfg = spark.sql(qg)
+      assert(dfg.queryExecution.optimizedPlan.toString.contains("mv_aggpx__state"),
+        "global quantile must roll up the state sketches")
+      assert(dfg.head.getDouble(0) == 50.0)
+      // Spark's GK-estimator percentile stands down, named in explain
+      val qgk =
+        """SELECT lang, percentile_approx(n, 0.5D) AS p50
+          |FROM graft.db.mv_srcpx GROUP BY lang""".stripMargin
+      assert(spark.sql(qgk).queryExecution.optimizedPlan.toString
+        .contains("mv_srcpx"), "GK estimator must not serve from KLL state")
+      val reasons = spark.sql(
+        s"SELECT reason FROM graft_mv_explain('${qgk.replace('\n', ' ')}')")
+        .collect().map(_.getString(0))
+      assert(reasons.exists(r => r.contains("agg-unmatched") &&
+        r.contains("percentile")),
+        s"explain must name the percentile standdown: ${reasons.mkString("; ")}")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+    // exact percentile refuses at CREATE, naming the cure
+    fresh("mv_aggpx2")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CALL graft.system.create_mv('db.mv_aggpx2',
+          |  'SELECT lang, percentile(n, 0.5) AS p50
+          |   FROM graft.db.mv_srcpx GROUP BY lang')""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("approx_pct"),
+      s"exact percentile must refuse naming the cure: ${e.getMessage}")
+    // non-numeric input refuses
+    fresh("mv_aggpx3")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """CALL graft.system.create_mv('db.mv_aggpx3',
+          |  'SELECT lang, approx_pct(lang, 0.5) AS p50
+          |   FROM graft.db.mv_srcpx GROUP BY lang')""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("numeric"),
+      s"string input must refuse: ${e2.getMessage}")
+  }
+
   test("duplicate output aliases refuse at CREATE — they key every hidden state column (r17, ADVICE r16 #3)") {
     val src = fresh("mv_srcdup"); fresh("mv_aggdup")
     TableFormat.commit(spark, src,

@@ -95,6 +95,35 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
   }
 
+  test("r18 MV quantile serving plans: exact-dim probe is a pure state projection; the roll-up merges sketches with map-side partials; no ScalaUDF") {
+    graft.sources.GraftCatalogOps.mvApproxPct(spark, sfDir).count()
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      // exact dims: the quantile probe is a SCALAR over the state's
+      // stored sketch column — a projection on the |groups|-row scan,
+      // no re-aggregation at all
+      val q = spark.sql(
+        """SELECT lang, kll_quantile(kll_agg(n_chars), 0.99D) AS p99
+          |FROM graft.db.mvpx_src GROUP BY lang""".stripMargin)
+      val qOpt = q.queryExecution.optimizedPlan.toString
+      assert(qOpt.contains("mvpx_agg__state") && !qOpt.contains("mvpx_src"),
+        s"quantile serve must scan only state:\n$qOpt")
+      val qp = plan(q)
+      assert(!qp.contains("ScalaUDF"), s"interpreted UDF on the path:\n$qp")
+      // roll-up: per-group sketches MERGE to the global grain through a
+      // partial_kll_merge (sketches are the shuffle payload, never rows)
+      val g = spark.sql(
+        "SELECT kll_quantile(kll_agg(n_chars), 0.5D) AS p50 FROM graft.db.mvpx_src")
+      val gOpt = g.queryExecution.optimizedPlan.toString
+      assert(gOpt.contains("mvpx_agg__state") && !gOpt.contains("mvpx_src"),
+        s"quantile roll-up must scan only state:\n$gOpt")
+      val gp = plan(g)
+      assert(gp.contains("partial_kll_merge"),
+        s"quantile roll-up lost map-side sketch partials:\n$gp")
+      assert(!gp.contains("ScalaUDF"), s"interpreted UDF on the path:\n$gp")
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+  }
+
   test("equality-delete reads: masks apply as BROADCAST anti-joins, never a shuffle of the table (r15)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
