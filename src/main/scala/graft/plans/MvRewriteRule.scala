@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, HllSketchEstimate, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Deduplicate, Distinct, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Deduplicate, Distinct, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -320,6 +320,82 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     Right((cond, analysisPlan, ranked, queryJoin))
   }
 
+  /** GROUPING SETS / ROLLUP / CUBE shape (r18, VERDICT r17 #2): the
+    * analyzer plans these as `Aggregate(copyAttrs :+ gid, outputs,
+    * Expand(projections, childOut ++ copyAttrs :+ gid, Project(pass ++
+    * dim-aliases, source)))` — each Expand row replicates the input
+    * once per grouping set with non-member dims nulled and a
+    * `spark_grouping_id` literal. When every referenced dim is an MV
+    * dim, EVERY grain is a roll-up re-aggregation: the rewrite keeps
+    * the Aggregate/Expand structure but replants it over the
+    * |groups|-row STATE scan — the Expand replicates state rows (cheap
+    * at |groups| × |sets|), the copy positions read the stored dim
+    * columns, and every aggregate remaps through the same roll-up
+    * mapper subset-dim queries use. `grouping()`/`grouping_id()`
+    * disambiguation survives verbatim: the gid attribute and its
+    * literals are untouched. */
+  private case class GsetsCtx(
+      grouping: Seq[Expression],
+      copyAttrs: Seq[AttributeReference],
+      gidAttr: AttributeReference,
+      copyDims: Seq[Option[Expression]],
+      projections: Seq[Seq[Expression]],
+      passLen: Int,
+      source: LogicalPlan) {
+    def dims: Seq[Expression] = copyDims.flatten
+  }
+
+  private def extractGsets(grouping: Seq[Expression], e: Expand)
+      : Either[String, GsetsCtx] = {
+    val gidAttr = grouping.lastOption match {
+      case Some(a: AttributeReference) if a.name == "spark_grouping_id" => a
+      case _ => return Left("query-shape: Expand without a " +
+        "spark_grouping_id grouping tail is not a GROUPING SETS plan")
+    }
+    val copyAttrs = grouping.init.map {
+      case a: AttributeReference => a
+      case other => return Left("query-shape: non-attribute grouping " +
+        s"expression '${other.sql}' over an Expand")
+    }
+    val k = copyAttrs.length
+    val out = e.output
+    if (out.length < k + 1 ||
+        out.last.exprId != gidAttr.exprId ||
+        out.slice(out.length - 1 - k, out.length - 1).map(_.exprId) !=
+          copyAttrs.map(_.exprId))
+      return Left("query-shape: Expand output does not end with the " +
+        "grouping copies + spark_grouping_id")
+    val passLen = out.length - 1 - k
+    val (aliasMap, source) = e.child match {
+      case Project(projList, c) =>
+        (projList.collect { case al @ Alias(ex, _) => al.exprId -> ex }.toMap, c)
+      case other => return Left("query-shape: Expand child is not the " +
+        s"grouping-analytics Project (got ${other.nodeName})")
+    }
+    // each copy position's DIM EXPRESSION — the aliased source-shaped
+    // expression the analyzer computed below the Expand. A position
+    // that is NULL in every set (GROUP BY a, b GROUPING SETS ((a)))
+    // has no attr to resolve and needs no dim identity: it stays NULL.
+    val copyDims: Seq[Option[Expression]] = (0 until k).map { j =>
+      e.projections.view.flatMap(row => row(passLen + j) match {
+        case a: AttributeReference => aliasMap.get(a.exprId)
+        case _ => None
+      }).headOption
+    }
+    Right(GsetsCtx(grouping, copyAttrs, gidAttr, copyDims,
+      e.projections, passLen, source))
+  }
+
+  /** Fold the GROUPING SETS shape (if present) into (effective dims,
+    * effective source child, gsets context): Left = named standdown. */
+  private def normalizeShape(grouping: Seq[Expression], child: LogicalPlan)
+      : Either[String, (Seq[Expression], LogicalPlan, Option[GsetsCtx])] =
+    child match {
+      case e: Expand => extractGsets(grouping, e).map(ctx =>
+        (ctx.dims, ctx.source, Some(ctx)))
+      case _ => Right((grouping, child, None))
+    }
+
   private def rewrite(grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
                       child: LogicalPlan,
                       cteDefs: Map[Long, LogicalPlan] = Map.empty)
@@ -331,7 +407,11 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     if (grouping.exists(!_.deterministic)) return None
     if (aggExprs.exists(_.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))) return None
-    probeContext(child, cteDefs).toOption.flatMap {
+    val (dims, core, gsets) = normalizeShape(grouping, child) match {
+      case Right(x) => x
+      case Left(_) => return None
+    }
+    probeContext(core, cteDefs).toOption.flatMap {
       case (cond, analysisPlan, ranked, queryJoin) =>
         ranked.view.flatMap {
           case ((stateBase, stateV, props), srcBase) =>
@@ -339,7 +419,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
             // cached sweep): any probe failure is a standdown, never a
             // query failure
             (try tryCandidate(stateBase, stateV, props, srcBase, cond,
-              analysisPlan, grouping, aggExprs, queryJoin)
+              analysisPlan, dims, aggExprs, queryJoin, gsets)
             catch { case scala.util.control.NonFatal(_) =>
               Left("probe-error") }).toOption
         }.headOption
@@ -365,7 +445,11 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       return Seq((None, "standdown",
         "subquery-in-select: the SELECT list contains a subquery expression",
         false))
-    probeContext(child, cteDefs) match {
+    val (dims, core, gsets) = normalizeShape(grouping, child) match {
+      case Right(x) => x
+      case Left(reason) => return Seq((None, "standdown", reason, false))
+    }
+    probeContext(core, cteDefs) match {
       case Left(reason) => Seq((None, "standdown", reason, false))
       case Right((cond, analysisPlan, ranked, queryJoin)) =>
         val rows = ranked.map { case ((stateBase, stateV, props), srcBase) =>
@@ -376,7 +460,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
               .getOrElse(stateBase)
           }
           (try tryCandidate(stateBase, stateV, props, srcBase, cond,
-            analysisPlan, grouping, aggExprs, queryJoin)
+            analysisPlan, dims, aggExprs, queryJoin, gsets)
           catch { case scala.util.control.NonFatal(e) =>
             Left(s"probe-error: ${e.getMessage}") }) match {
             case Right(_) => (Some(mvName), "would_serve",
@@ -397,7 +481,8 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
                            props: Map[String, String], srcBase: String,
                            cond: Option[Expression], analysisPlan: LogicalPlan,
                            grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
-                           queryJoin: Option[QueryJoin])
+                           queryJoin: Option[QueryJoin],
+                           gsets: Option[GsetsCtx] = None)
       : Either[String, LogicalPlan] = {
     val d = try MV.parseDef(spark, props("graft.mv.query"))
             catch { case scala.util.control.NonFatal(e) =>
@@ -752,7 +837,16 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       }
       out.filter(_.dataType == ae.dataType)
     }
+    // GROUPING SETS pass-through leaves (r18): the grouping copies and
+    // spark_grouping_id live in the rebuilt Expand's output — SELECT
+    // items referencing them (the dims, grouping()/grouping_id()
+    // derivations) keep resolving verbatim
+    val gsetPass: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      gsets.map(g => org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        g.copyAttrs :+ g.gidAttr))
+        .getOrElse(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
     def remapRollup(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference if gsetPass.contains(a) => Some(a)
       // the approx-distinct estimate re-derives from the UNION of the
       // stored per-group sketches at the coarser grain (r16)
       case e2 if approxTarget(e2).isDefined =>
@@ -812,7 +906,9 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         Filter(mapped.flatten.reduceLeft(
           org.apache.spark.sql.catalyst.expressions.And(_, _)), mvRel)
       }
-    val exact = dimSet == mvDimSet
+    // GROUPING SETS always re-aggregate — the Expand replicates state
+    // rows per set, so even the full-dim grain is a roll-up (r18)
+    val exact = dimSet == mvDimSet && gsets.isEmpty
     val mapper: Expression => Option[Expression] =
       if (exact) remap else remapRollup
     def aggMiss(name: String): String =
@@ -822,7 +918,10 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         "different estimators; only kll_quantile(kll_agg(col), p) " +
         "serves from approx_pct state — unstored input expression, or " +
         "a result-type mismatch)"
-    val projections = aggExprs.map {
+    val projections: Seq[NamedExpression] = aggExprs.map {
+      // GROUPING SETS copy/gid outputs pass through unwrapped — they
+      // resolve against the rebuilt Expand (r18)
+      case a: AttributeReference if gsetPass.contains(a) => a
       case a: AttributeReference =>
         mapper(a) match {
           case Some(m) => Alias(m, a.name)(exprId = a.exprId, qualifier = a.qualifier,
@@ -837,13 +936,51 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         }
       case other => return Left(aggMiss(other.nodeName))
     }
-    if (exact) Right(Project(projections, mvBase))
-    else {
-      val grouping = dimSet.toSeq.sorted.map(n =>
-        mvCol(n).getOrElse(return Left(
-          s"state-column-missing: dim '$n' absent from the state table"))
-          : Expression)
-      Right(Aggregate(grouping, projections, mvBase))
+    gsets match {
+      case Some(g) =>
+        // rebuild the SAME Aggregate-over-Expand structure over the
+        // |groups|-row state scan: state columns pass through every
+        // Expand row; each copy position reads the stored dim column
+        // where the set includes it (NULL literals and the gid literal
+        // survive verbatim, so grouping()/grouping_id() disambiguation
+        // is untouched)
+        val stateAttrs: Seq[Attribute] = mvBase.output
+        val copyStateCols: Seq[Option[Attribute]] = g.copyDims.map(
+          _.flatMap(mvDimColOf).flatMap(mvCol))
+        val newProjs: Seq[Seq[Expression]] = g.projections.map { row =>
+          val copySeg: Seq[Expression] = (0 until g.copyAttrs.length).map { j =>
+            row(g.passLen + j) match {
+              case l: Literal => l
+              case _: AttributeReference =>
+                copyStateCols(j) match {
+                  case Some(attr) if attr.dataType == g.copyAttrs(j).dataType =>
+                    attr: Expression
+                  case _ => return Left("dims-mismatch: grouping-set dim " +
+                    "does not map onto a stored state column")
+                }
+              case other => return Left("query-shape: unexpected " +
+                s"grouping-set entry '${other.sql}' in the Expand")
+            }
+          }
+          val gidLit = row.last match {
+            case l: Literal => l
+            case other => return Left("query-shape: grouping-id entry " +
+              s"'${other.sql}' is not a literal")
+          }
+          (stateAttrs: Seq[Expression]) ++ copySeg :+ gidLit
+        }
+        val newOut: Seq[Attribute] = stateAttrs ++ g.copyAttrs :+ g.gidAttr
+        Right(Aggregate(g.grouping, projections,
+          Expand(newProjs, newOut, mvBase)))
+      case None =>
+        if (exact) Right(Project(projections, mvBase))
+        else {
+          val grouping = dimSet.toSeq.sorted.map(n =>
+            mvCol(n).getOrElse(return Left(
+              s"state-column-missing: dim '$n' absent from the state table"))
+              : Expression)
+          Right(Aggregate(grouping, projections, mvBase))
+        }
     }
   }
 

@@ -4769,6 +4769,67 @@ object GraftCatalogOps {
     }
   }
 
+  /** `mv_rewrite_gsets` (r18, VERDICT r17 #2): GROUPING SETS / ROLLUP /
+    * CUBE SERVED FROM MV STATE. The analyzer plans multi-grain
+    * aggregates as Aggregate-over-Expand with a `spark_grouping_id`;
+    * when every referenced dim is an MV dim, the rewrite replants the
+    * SAME structure over the |groups|-row state scan — the Expand
+    * replicates state rows per grouping set and each grain re-derives
+    * through the roll-up mapper, so one scan answers every grain. The
+    * plan is asserted substituted IN this query, and the oracle runs
+    * the IDENTICAL grouping sets in DuckDB over the equivalent final
+    * state — including GROUPING()/GROUPING_ID() disambiguation and the
+    * exact-sum AVG derivation — so multi-grain serving is oracle-gated
+    * on values. Maintained state: the serve happens after an append +
+    * range-delete refresh cycle, not just at create. */
+  def mvRewriteGsets(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvgs_src", "mvgs_agg", "mvgs_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("source"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvgs_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvgs_agg',
+        |  'SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |          avg(n_chars) AS avg_chars
+        |   FROM graft.db.mvgs_src GROUP BY lang, source')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 11 = 3")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 8000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("yy")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 200L, 399L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvgs_agg')").collect()
+    val prev = spark.conf.getOption("spark.graft.mv.rewrite")
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql(
+        """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |       avg(n_chars) AS avg_chars,
+          |       CAST(grouping(lang) AS INT) AS gl, grouping_id() AS gid
+          |FROM graft.db.mvgs_src
+          |GROUP BY lang, source GROUPING SETS ((lang, source), (lang), ())
+          |ORDER BY gid ASC, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvgs_agg__state") && !plan.contains("mvgs_src"),
+        s"mv_rewrite_gsets: grouping sets did not serve from state:\n$plan")
+      df
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+      case None => spark.conf.unset("spark.graft.mv.rewrite")
+    }
+  }
+
   /** `mv_rewrite` (r15, VERDICT r14 #2): MV-BASED QUERY REWRITE — the
     * read half of materialized views. The user's aggregate targets the
     * SOURCE table; with `spark.graft.mv.rewrite=true` and the MV fresh
@@ -5145,6 +5206,7 @@ object GraftCatalogOps {
     "mv_outer" -> (mvOuter _),
     "mv_var" -> (mvVar _),
     "mv_approx_pct" -> (mvApproxPct _),
+    "mv_rewrite_gsets" -> (mvRewriteGsets _),
     "mv_rewrite_var" -> (mvRewriteVar _),
     "mv_agg_expr" -> (mvAggExpr _),
     "mv_snowflake" -> (mvSnowflake _),
@@ -5342,6 +5404,25 @@ object GraftCatalogOps {
         |FROM final_state
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    // the IDENTICAL grouping-sets grains over the equivalent final
+    // state; AVG as the exact-sum division the MV derivation uses
+    "mv_rewrite_gsets" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 200 AND 399
+        |  UNION ALL
+        |  SELECT doc_id + 8000000000, 'yy', source, n_chars FROM documents
+        |  WHERE doc_id % 11 = 3)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CASE WHEN count(n_chars) > 0 THEN
+        |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) /
+        |    CAST(count(n_chars) AS DOUBLE) END AS avg_chars,
+        |  CAST(grouping(lang) AS INT) AS gl,
+        |  CAST(grouping_id(lang, source) AS BIGINT) AS gid
+        |FROM final_state
+        |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY gid ASC, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
     "mv_var" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, n_chars FROM documents

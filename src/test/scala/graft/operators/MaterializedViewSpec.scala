@@ -1550,6 +1550,73 @@ class MaterializedViewSpec extends SparkTestBase {
       s"string input must refuse: ${e2.getMessage}")
   }
 
+  test("GROUPING SETS / ROLLUP / CUBE serve from MV state: every grain re-aggregates one |groups|-row scan, grouping()/grouping_id() survive; superset dims stand down (r18, VERDICT r17 #2)") {
+    val src = fresh("mv_srcgs"); fresh("mv_agggs")
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "en" else "fr", if (i % 2 == 0) "web" else "book", i))
+    TableFormat.commit(spark, src,
+      rows.toDF("doc_id", "lang", "source", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_agggs',
+        |  'SELECT lang, source, count(*) AS n_docs, sum(n) AS sum_n,
+        |          avg(n) AS avg_n
+        |   FROM graft.db.mv_srcgs GROUP BY lang, source')""".stripMargin).collect()
+    val qGs =
+      """SELECT lang, source, count(*) AS c, sum(n) AS s, avg(n) AS a,
+        |       grouping(lang) AS gl, grouping_id() AS gid
+        |FROM graft.db.mv_srcgs
+        |GROUP BY lang, source GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+    val qRollup =
+      """SELECT lang, source, count(*) AS c, sum(n) AS s
+        |FROM graft.db.mv_srcgs GROUP BY ROLLUP(lang, source)
+        |ORDER BY grouping_id(), lang NULLS FIRST, source NULLS FIRST""".stripMargin
+    val qCube =
+      """SELECT lang, source, count(*) AS c
+        |FROM graft.db.mv_srcgs GROUP BY CUBE(lang, source)
+        |ORDER BY grouping_id(), lang NULLS FIRST, source NULLS FIRST""".stripMargin
+    val directs = Seq(qGs, qRollup, qCube).map(spark.sql(_).collect().toSeq)
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      Seq(qGs, qRollup, qCube).zip(directs).foreach { case (q, direct) =>
+        val df = spark.sql(q)
+        val p = df.queryExecution.optimizedPlan.toString
+        assert(p.contains("mv_agggs__state") && !p.contains("mv_srcgs"),
+          s"grain query must serve from state:\n$p")
+        assert(df.collect().toSeq == direct, s"values differ for:\n$q")
+      }
+      // a set naming a NON-dim column stands down, named in explain
+      val qBad =
+        """SELECT lang, doc_id, count(*) AS c FROM graft.db.mv_srcgs
+          |GROUP BY lang, doc_id GROUPING SETS ((lang), (lang, doc_id))""".stripMargin
+      assert(spark.sql(qBad).queryExecution.optimizedPlan.toString
+        .contains("mv_srcgs"), "superset-dim grouping sets must not serve")
+      val reasons = spark.sql(
+        s"SELECT reason FROM graft_mv_explain('${qBad.replace('\n', ' ')}')")
+        .collect().map(_.getString(0))
+      assert(reasons.exists(_.startsWith("dims-mismatch")),
+        s"explain must name the superset standdown: ${reasons.mkString("; ")}")
+      // staleness still gates every grain: advance the source, the
+      // grouping-sets query must scan it (and see the new rows)
+      TableFormat.appendCommit(spark, src,
+        Seq((100L, "zz", "web", 5L)).toDF("doc_id", "lang", "source", "n"),
+        statsCol = Some("doc_id"))
+      val dfStale = spark.sql(qGs)
+      assert(dfStale.queryExecution.optimizedPlan.toString.contains("mv_srcgs"),
+        "stale MV must not serve grouping sets")
+      assert(dfStale.collect().map(_.getString(0)).contains("zz"))
+      // refresh restores serving with the new group present
+      spark.sql("CALL graft.system.refresh_mv('db.mv_agggs')").collect()
+      val dfFresh = spark.sql(qGs)
+      assert(dfFresh.queryExecution.optimizedPlan.toString.contains("mv_agggs__state"))
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val direct2 = try spark.sql(qGs).collect().toSeq
+                    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      assert(dfFresh.collect().toSeq == direct2)
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("duplicate output aliases refuse at CREATE — they key every hidden state column (r17, ADVICE r16 #3)") {
     val src = fresh("mv_srcdup"); fresh("mv_aggdup")
     TableFormat.commit(spark, src,
