@@ -293,37 +293,53 @@ object MaterializedView {
     // pair-set match was always shape-blind, so the stored chain form
     // is unchanged.
     def treeWalk(p: LogicalPlan): Option[(Seq[String], Seq[String], Seq[JoinLink])] = {
-      // LEFT OUTER (r17, r18 candidate #4): exactly TWO bare tables —
-      // `fact ⟕ dim`. Outer joins don't commute, so this shape bypasses
-      // the inner flatten-and-reorder below; deeper outer chains refuse.
-      p match {
+      // LEFT OUTER (r17 two-table; r18 LEFT-DEEP N-CHAIN — VERDICT r17
+      // #3): `fact ⟕ dim1 ⟕ dim2 ⟕ …` — every link LEFT OUTER, every
+      // leaf a bare table, each hop's keys tying the NEW table to any
+      // EARLIER chain table. Outer joins don't commute, so the chain
+      // keeps its written order (no flatten-and-reorder); right-nested
+      // shapes and inner/outer mixes refuse loudly below.
+      def outerChain(q: LogicalPlan)
+          : Option[(Seq[String], Seq[String], Seq[JoinLink])] = q match {
         case Join(l, r0, org.apache.spark.sql.catalyst.plans.LeftOuter,
-                  Some(cond0), _) if rel(l).isDefined && rel(r0).isDefined =>
-          val (lParts, lName) = rel(l).get
+                  Some(cond0), _) if rel(r0).isDefined =>
+          val (lParts, names, links) = rel(l) match {
+            case Some((lp, ln)) => (lp, Seq(ln), Seq.empty[JoinLink])
+            case None => outerChain(l).getOrElse(return None)
+          }
           val (rParts, rName) = rel(r0).get
-          if (lName.equalsIgnoreCase(rName)) refuse(
+          if (names.exists(_.equalsIgnoreCase(rName))) refuse(
             s"join alias '$rName' repeats — every chain table needs a " +
               "distinct alias")
           val pairs = conjuncts(cond0).map {
             case EqualTo(lk: UnresolvedAttribute, rk: UnresolvedAttribute) =>
               val (q1, c1) = sideOf(lk)
               val (q2, c2) = sideOf(rk)
-              if (q1.equalsIgnoreCase(lName) && q2.equalsIgnoreCase(rName))
-                (0, c1, c2)
-              else if (q2.equalsIgnoreCase(lName) && q1.equalsIgnoreCase(rName))
-                (0, c2, c1)
-              else refuse(s"join key qualifiers '$q1'/'$q2' must name " +
-                s"'$lName' and '$rName'")
+              val i1 = names.indexWhere(_.equalsIgnoreCase(q1))
+              val i2 = names.indexWhere(_.equalsIgnoreCase(q2))
+              if (i1 >= 0 && q2.equalsIgnoreCase(rName)) (i1, c1, c2)
+              else if (i2 >= 0 && q1.equalsIgnoreCase(rName)) (i2, c2, c1)
+              else refuse(s"join key qualifiers '$q1'/'$q2' must tie " +
+                s"'$rName' to an earlier chain table " +
+                s"(${names.mkString(", ")})")
             case other => refuse(
               s"only equi-join conditions are maintainable " +
                 s"(got conjunct '${other.sql}')")
           }
-          return Some((lParts, Seq(lName, rName),
-            Seq(JoinLink(rParts, pairs, outer = true))))
-        case Join(_, _, org.apache.spark.sql.catalyst.plans.LeftOuter, _, _) =>
-          refuse("LEFT OUTER joins maintain for exactly two bare tables " +
-            "(fact LEFT JOIN dim ON keys) — deeper or nested outer " +
-            "chains are not maintainable")
+          Some((lParts, names :+ rName,
+            links :+ JoinLink(rParts, pairs, outer = true)))
+        case _ => None
+      }
+      p match {
+        case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.LeftOuter, _, _) =>
+          outerChain(j) match {
+            case Some(x) => return Some(x)
+            case None => refuse(
+              "LEFT OUTER joins maintain for a LEFT-DEEP chain of bare " +
+                "tables (fact LEFT JOIN dim1 ON keys LEFT JOIN dim2 ON " +
+                "keys …) — right-nested outer shapes and inner/outer " +
+                "mixes are not maintainable")
+          }
         case _ => ()
       }
       def flat(q: LogicalPlan)
@@ -1456,57 +1472,85 @@ object MaterializedView {
   private def outerJoinDelta(spark: SparkSession, warehouse: String, d: MvDef,
                              froms: Seq[Int], tos: Seq[Int]): DataFrame = {
     val paths = srcPaths(warehouse, d)
-    val link = d.joins.head
-    val fOld = TableFormat.readSnapshot(spark, paths(0), Some(froms(0)))
-    val dOld = TableFormat.readSnapshot(spark, paths(1), Some(froms(1)))
-    val dNew = TableFormat.readSnapshot(spark, paths(1), Some(tos(1)))
-    val dimKeep = dOld.columns.toSeq.filterNot(c =>
-      link.dupCols.exists(_.equalsIgnoreCase(c)))
+    val m = d.joins.length
+    val olds: Seq[DataFrame] = paths.indices.map(i =>
+      TableFormat.readSnapshot(spark, paths(i), Some(froms(i))))
+    val news: Seq[DataFrame] = paths.indices.map(i =>
+      TableFormat.readSnapshot(spark, paths(i), Some(tos(i))))
+    // kept (non-dedup'd) columns per dim table — the joined namespace
+    val dimKeeps: Seq[Seq[String]] = d.joins.zipWithIndex.map { case (link, i) =>
+      olds(i + 1).columns.toSeq.filterNot(c =>
+        link.dupCols.exists(_.equalsIgnoreCase(c))) }
     val outCols: Seq[Column] =
-      (fOld.columns.toSeq ++ dimKeep :+ "_change_type").map(col)
+      (olds(0).columns.toSeq ++ dimKeeps.flatten :+ "_change_type").map(col)
+    // fold links [fromLink, toLink) onto `start` — the chain's own
+    // LEFT OUTER type per link, except the Δ hop's MATCHED half joins
+    // INNER (null-extension boundaries are the flip corrections' job).
+    // Prefix key columns resolve BY NAME: create() validated the chain
+    // namespaces disjoint, and a dedup'd same-named key survives as
+    // the left side's column.
+    def foldLinks(start: DataFrame, frame: Int => DataFrame,
+                  fromLink: Int, toLink: Int, innerAt: Int): DataFrame =
+      (fromLink until toLink).foldLeft(start) { case (acc, li) =>
+        val link = d.joins(li)
+        val b = frame(li + 1)
+        val cond = link.pairs.map { case (_, pc, rc) =>
+          acc(pc) === b(rc) }.reduce(_ && _)
+        val j = acc.join(b, cond, if (li == innerAt) "inner" else "left_outer")
+        link.dupCols.foldLeft(j)((df, rc) => df.drop(b(rc)))
+      }
     val halves = Seq.newBuilder[DataFrame]
     if (tos(0) != froms(0)) {
-      // ΔF ⟕ D_new: fact-delta rows match or null-extend, _change_type
-      // rides from the fact feed
+      // ΔF ⟕ D₁^new ⟕ … ⟕ D_m^new: fact-delta rows match or
+      // null-extend down the whole chain, _change_type from the feed
       val dF = TableFormat.readChanges(spark, paths(0), froms(0), tos(0))
-      val cond = link.pairs.map { case (_, pc, rc) => dF(pc) === dNew(rc) }
-        .reduce(_ && _)
-      val j = dF.join(dNew, cond, "left_outer")
-      halves += link.dupCols.foldLeft(j)((df, rc) => df.drop(dNew(rc)))
-        .select(outCols: _*)
+      halves += foldLinks(dF, news, 0, m, innerAt = -1).select(outCols: _*)
     }
-    if (tos(1) != froms(1)) {
-      val dD = TableFormat.readChanges(spark, paths(1), froms(1), tos(1))
-      // matched-multiplicity half: F_old ⋈ ΔD (INNER — null-extension
-      // boundaries are the corrections' job), _change_type from ΔD
-      val cond = link.pairs.map { case (_, pc, rc) => fOld(pc) === dD(rc) }
-        .reduce(_ && _)
-      val j = fOld.join(dD, cond, "inner")
-      halves += link.dupCols.foldLeft(j)((df, rc) => df.drop(dD(rc)))
-        .select(outCols: _*)
-      // flip corrections: keys ΔD touched whose presence crossed zero
+    // per-hop halves — the recursive two-table identity applied at
+    // every level (exact by LEFT-LINEARITY of ⟕: each left row emits
+    // its matched/null-extended outputs independently, so
+    // Δ(L ⟕ D) = ΔL ⟕ D_new + L_old ⋈ ΔD + presence-flip corrections,
+    // and hop i's terms continue through hops i+1… at NEW versions
+    // while hop i+1's own halves re-use the PURE-OLD prefix):
+    for (i <- 1 to m; if tos(i) != froms(i)) {
+      val link = d.joins(i - 1)
+      val dD = TableFormat.readChanges(spark, paths(i), froms(i), tos(i))
+      // matched half: (F ⟕ D₁ … D_{i-1})^old ⋈ ΔD_i ⟕ D_{i+1}^new …
+      val prefixOldM = foldLinks(olds(0), olds, 0, i - 1, innerAt = -1)
+      halves += foldLinks(
+        foldLinks(prefixOldM, _ => dD, i - 1, i, innerAt = i - 1),
+        news, i, m, innerAt = -1).select(outCols: _*)
+      // flip corrections at hop i: keys ΔD_i touched whose D_i-presence
+      // crossed zero move prefix-old rows between the NULL region and
+      // their matched region — semi-join-targeted, never a prefix
+      // rescan; NULL-keyed prefix rows never match and never flip
       val dKeys = link.pairs.map(_._3)
       def keySet(df: DataFrame): DataFrame =
         df.select(dKeys.map(col): _*).na.drop("any").distinct()
       val changed = keySet(dD)
       val zeroToSome = changed
-        .join(keySet(dNew), dKeys, "left_semi")
-        .join(keySet(dOld), dKeys, "left_anti")
+        .join(keySet(news(i)), dKeys, "left_semi")
+        .join(keySet(olds(i)), dKeys, "left_anti")
       val someToZero = changed
-        .join(keySet(dOld), dKeys, "left_semi")
-        .join(keySet(dNew), dKeys, "left_anti")
-      // null-extended F_old rows for a flip-key set, with the given sign
+        .join(keySet(olds(i)), dKeys, "left_semi")
+        .join(keySet(news(i)), dKeys, "left_anti")
+      // prefix-old rows for a flip-key set, null-extended at hop i,
+      // then continued through hops i+1… at NEW versions (a hop-i+1
+      // key referencing the nulled D_i columns null-extends in turn —
+      // SQL join semantics compose)
       def nullExtended(flips: DataFrame, changeType: String): DataFrame = {
         val fk = link.pairs.map { case (_, pc, rc) => (pc, rc) }
         val renamed = fk.foldLeft(flips) { case (df, (pc, rc)) =>
           df.withColumnRenamed(rc, s"__flip_$pc") }
+        val prefixOld = foldLinks(olds(0), olds, 0, i - 1, innerAt = -1)
         val cond = fk.map { case (pc, _) =>
-          fOld(pc) === renamed(s"__flip_$pc") }.reduce(_ && _)
-        val base = fOld.join(renamed, cond, "left_semi")
-        val withDims = dimKeep.foldLeft(base) { (df, c) =>
-          df.withColumn(c,
-            lit(null).cast(dOld.schema(dOld.columns.indexOf(c)).dataType)) }
-        withDims.withColumn("_change_type", lit(changeType))
+          prefixOld(pc) === renamed(s"__flip_$pc") }.reduce(_ && _)
+        val base = prefixOld.join(renamed, cond, "left_semi")
+        val withDims = dimKeeps(i - 1).foldLeft(base) { (df, c) =>
+          df.withColumn(c, lit(null).cast(
+            olds(i).schema(olds(i).columns.indexOf(c)).dataType)) }
+        foldLinks(withDims, news, i, m, innerAt = -1)
+          .withColumn("_change_type", lit(changeType))
           .select(outCols: _*)
       }
       halves += nullExtended(zeroToSome, "delete")

@@ -168,6 +168,12 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       }
     def unapply(p: LogicalPlan)
         : Option[(Seq[(DataSourceV2Relation, String)], QueryJoin)] = p match {
+      // RIGHT OUTER normalization (r18, VERDICT r17 #4): `dim RIGHT
+      // JOIN fact` IS `fact LEFT JOIN dim` — swap the sides before
+      // orientation pinning, so the right-outer spelling of a served
+      // query substitutes. The ON condition is symmetric (normPair).
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.RightOuter, c, hint) =>
+        unapply(Join(r, l, org.apache.spark.sql.catalyst.plans.LeftOuter, c, hint))
       // two-table LEFT OUTER (r17): mirror of the CREATE contract —
       // both sides bare relations, orientation recorded
       case Join(SourceRel(rl, bl), SourceRel(rr, br),

@@ -1897,6 +1897,31 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(q.queryExecution.optimizedPlan.toString.contains("mv_loagg__state"),
         "the matching LEFT OUTER query must serve from state")
       assert(q.collect().toSeq == readLo.map(r => Row(r.get(0), r.get(1))))
+      // RIGHT OUTER normalization (r18, VERDICT r17 #4): `dim RIGHT
+      // JOIN fact` IS the served `fact LEFT JOIN dim` — the right-outer
+      // SPELLING substitutes with identical values
+      val qr = spark.sql(
+        """SELECT region, count(*) AS n_docs
+          |FROM graft.db.mv_lod d RIGHT JOIN graft.db.mv_lof f ON f.lang = d.lang
+          |GROUP BY region ORDER BY region ASC NULLS FIRST""".stripMargin)
+      assert(qr.queryExecution.optimizedPlan.toString.contains("mv_loagg__state"),
+        "the RIGHT OUTER spelling must normalize and serve from state")
+      assert(qr.collect().toSeq == readLo.map(r => Row(r.get(0), r.get(1))))
+      // a right-outer spelling with the WRONG orientation (fact RIGHT
+      // JOIN dim == dim LEFT JOIN fact) keeps the pinned refusal name
+      val qw = spark.sql(
+        """SELECT region, count(*) AS c
+          |FROM graft.db.mv_lof f RIGHT JOIN graft.db.mv_lod d ON f.lang = d.lang
+          |GROUP BY region""".stripMargin)
+      assert(qw.queryExecution.optimizedPlan.toString.contains("mv_lof"),
+        "the flipped orientation must not serve")
+      val expO = spark.sql(
+        """SELECT reason FROM graft_mv_explain(
+          |  'SELECT region, count(*) AS c
+          |   FROM graft.db.mv_lof f RIGHT JOIN graft.db.mv_lod d ON f.lang = d.lang
+          |   GROUP BY region') WHERE mv = 'db.mv_loagg'""".stripMargin)
+        .head.getString(0)
+      assert(expO.contains("orientation"), expO)
       val inner = spark.sql(
         """SELECT region, count(*) AS c
           |FROM graft.db.mv_lof f JOIN graft.db.mv_lod d ON f.lang = d.lang
@@ -1911,17 +1936,98 @@ class MaterializedViewSpec extends SparkTestBase {
         .head.getString(0)
       assert(exp.contains("null-extended"), exp)
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
-    // deeper outer chains refuse loudly
+    // inner/outer mixes and right-nested outer shapes refuse loudly
+    // (left-deep outer CHAINS maintain since r18 — see the N-chain test)
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
     fresh("mv_loagg2")
     val e = intercept[Exception](spark.sql(
       """CALL graft.system.create_mv('db.mv_loagg2',
         |  'SELECT region, count(*) AS c
-        |   FROM graft.db.mv_lof f LEFT JOIN graft.db.mv_lod d ON f.lang = d.lang
-        |     LEFT JOIN graft.db.mv_lod e ON d.region = e.region
+        |   FROM graft.db.mv_lof f JOIN graft.db.mv_lof g ON f.doc_id = g.doc_id
+        |     LEFT JOIN graft.db.mv_lod d ON f.lang = d.lang
         |   GROUP BY region')""".stripMargin).collect())
-    assert(chain(e).contains("exactly two"), chain(e))
+    assert(chain(e).contains("LEFT-DEEP"), chain(e))
+  }
+
+  test("N-table LEFT OUTER chains: flips at BOTH hops, cascaded null-extension, a three-sided span — refresh == recompute throughout (r18, VERDICT r17 #3)") {
+    val fct = fresh("mv_lcf"); val d1 = fresh("mv_lcd1"); val d2 = fresh("mv_lcd2")
+    fresh("mv_lcagg")
+    TableFormat.commit(spark, fct,
+      (0L until 200L).map(i =>
+        (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "xx", i % 13))
+        .toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // 'xx' has NO d1 row (hop-1 null region); region 'F' has NO d2 row
+    // (hop-2 null region) — both regions must exist from CREATE
+    TableFormat.commit(spark, d1,
+      Seq(("en", "E"), ("fr", "F")).toDF("lang", "region"), 1, None)
+    TableFormat.commit(spark, d2,
+      Seq(("E", "Z1")).toDF("region", "zone"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_lcagg',
+        |  'SELECT zone, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_lcf f
+        |     LEFT JOIN graft.db.mv_lcd1 d1 ON f.lang = d1.lang
+        |     LEFT JOIN graft.db.mv_lcd2 d2 ON d1.region = d2.region
+        |   GROUP BY zone')""".stripMargin).collect()
+    def readLc: Seq[Row] = spark.sql(
+      """SELECT zone, n_docs, sum_n FROM graft.db.mv_lcagg
+        |ORDER BY zone ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def recomputeLc: Seq[Row] = spark.sql(
+      """SELECT zone, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM graft.db.mv_lcf f
+        |  LEFT JOIN graft.db.mv_lcd1 d1 ON f.lang = d1.lang
+        |  LEFT JOIN graft.db.mv_lcd2 d2 ON d1.region = d2.region
+        |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+      .collect().toSeq
+    assert(readLc == recomputeLc, "N-chain outer create drifted")
+    assert(readLc.exists(_.isNullAt(0)),
+      "the cascaded NULL-zone group must exist (xx and fr facts)")
+    // fact-side delta threads the WHOLE chain at new versions
+    TableFormat.appendCommit(spark, fct,
+      ((200L until 240L).map(i => (i, if (i % 2 == 0) "en" else "yy", i % 7))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_lcagg')").collect()
+    assert(readLc == recomputeLc, "N-chain fact delta drifted")
+    // HOP-2 FLIP 0→1: region F gains a d2 row — fr facts move from the
+    // NULL zone into Z2 (the flip set is keyed by Δd2, prefix = f⟕d1)
+    TableFormat.appendCommit(spark, d2, Seq(("F", "Z2")).toDF("region", "zone"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_lcagg')").collect()
+    assert(readLc == recomputeLc, "hop-2 0->1 flip drifted")
+    assert(readLc.exists(r => !r.isNullAt(0) && r.getString(0) == "Z2"),
+      "fr facts must land in the new zone")
+    // HOP-1 FLIP 0→1: 'xx' gains a d1 row whose region has NO d2 row —
+    // the facts flip OUT of hop-1's null region but CASCADE into hop-2
+    // null-extension (same NULL zone, different path — count must hold)
+    TableFormat.appendCommit(spark, d1, Seq(("xx", "X")).toDF("lang", "region"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_lcagg')").collect()
+    assert(readLc == recomputeLc, "hop-1 0->1 cascading flip drifted")
+    // HOP-1 FLIP 1→0: 'en' loses its d1 row — matched-through-Z1 facts
+    // move back to the NULL zone; hop-2 untouched
+    spark.sql("DELETE FROM graft.db.mv_lcd1 WHERE lang = 'en'")
+    spark.sql("CALL graft.system.refresh_mv('db.mv_lcagg')").collect()
+    assert(readLc == recomputeLc, "hop-1 1->0 flip drifted")
+    assert(!readLc.exists(r => !r.isNullAt(0) && r.getString(0) == "Z1"),
+      "Z1 must vanish with its only feeding lang")
+    // HOP-2 FLIP 1→0 in a THREE-SIDED span: fact append + delete, d1
+    // regains 'en', d2 loses F — every half and both flip directions
+    // compose in ONE refresh
+    TableFormat.appendCommit(spark, fct,
+      (Seq((500L, "yy", 3L), (501L, "fr", 4L)): Seq[(Long, String, Long)])
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, fct, "doc_id", 30L, 89L)
+    TableFormat.appendCommit(spark, d1, Seq(("en", "E")).toDF("lang", "region"))
+    spark.sql("DELETE FROM graft.db.mv_lcd2 WHERE region = 'F'")
+    spark.sql("CALL graft.system.refresh_mv('db.mv_lcagg')").collect()
+    assert(readLc == recomputeLc, "three-sided N-chain span drifted")
+    // maintenance stays exact past the span: one more quiet fact append
+    TableFormat.appendCommit(spark, fct,
+      (Seq((600L, "en", 9L)): Seq[(Long, String, Long)])
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_lcagg')").collect()
+    assert(readLc == recomputeLc, "post-span fact append drifted")
   }
 
   test("composite join keys: an MV over a two-column equi-join maintains exactly and the rewrite matches the key-pair SET in either conjunct order (r16)") {
