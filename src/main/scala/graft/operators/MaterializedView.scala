@@ -1587,6 +1587,29 @@ object MaterializedView {
   /** The MV's physical STATE table sits beside the published name. */
   private def stateBase(mvBase: String): String = s"${mvBase}__state"
 
+  /** Public face of [[resolveState]] for the maintenance procedure
+    * (r18, VERDICT r17 #5) plus the MV's DICTIONARY siblings — the
+    * whole physical footprint `graft.system.mv_maintain` compacts and
+    * expires in one call. Every refresh is a full-state `replace`
+    * commit, so a long-lived MV (and especially a STREAMING
+    * foreachBatch maintenance loop — one version per micro-batch)
+    * accumulates manifests and superseded state files without bound
+    * until compact + expire run; mv_maintain is the one-call answer. */
+  def maintenanceTargets(spark: SparkSession, mvBase0: String): Seq[String] = {
+    val sb = resolveState(spark, mvBase0)
+    val p = new org.apache.hadoop.fs.Path(sb)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    val dicts =
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).toSeq
+          .map(_.getPath)
+          .filter(_.getName.startsWith(s"${p.getName}__dict_"))
+          .map(_.toString).sorted
+      else Seq.empty
+    sb +: dicts
+  }
+
   /** Resolve the base a refresh operates on: the published name is a
     * VIEW over `<name>__state` (r12 surface), but a bare state table at
     * the name itself (the pre-view layout) still refreshes. */

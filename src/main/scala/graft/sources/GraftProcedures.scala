@@ -1180,6 +1180,53 @@ object GraftProcedures {
     }
   }
 
+  /** MV MAINTENANCE in one call (r18, VERDICT r17 #5):
+    * `mv_maintain('db.mv', older_than_ms, retain_last)` compacts and
+    * time-expires the MV's WHOLE physical footprint — the `__state`
+    * table and every `__dict_*` sibling — so the per-refresh
+    * full-state replace commits (and a streaming foreachBatch loop's
+    * one-version-per-micro-batch cadence) don't accumulate manifests
+    * and superseded files without bound. Compaction folds small state
+    * files; expire keeps every version younger than `older_than_ms`
+    * plus the last `retain_last` (same retained-set derivation and
+    * retention-floor guard as `expire_snapshots`), so TIME TRAVEL
+    * inside the declared window stays intact. The refresh bookmark
+    * props ride the compact commit untouched (None-props commits
+    * inherit the parent header verbatim). */
+  private object MvMaintainProc extends Proc("mv_maintain",
+    Seq(in("table", StringType), in("older_than_ms", LongType),
+        in("retain_last", IntegerType)),
+    StructType(Seq(StructField("tables_maintained", IntegerType),
+                   StructField("files_compacted", IntegerType),
+                   StructField("files_deleted", IntegerType),
+                   StructField("versions_retained", IntegerType)))) {
+    override def description(): String =
+      "compact + expire a materialized view's state table and dictionary siblings in one call"
+    override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
+      val olderMs = input.getLong(1)
+      val keepLast = if (input.isNullAt(2)) 2 else input.getInt(2)
+      require(olderMs >= 0, s"mv_maintain: older_than_ms must be >= 0 (got $olderMs)")
+      require(keepLast >= 1, s"mv_maintain: retain_last must be >= 1 (got $keepLast)")
+      val targets = graft.operators.MaterializedView.maintenanceTargets(spark, base)
+      var compacted = 0; var deleted = 0; var retainedState = 0
+      targets.foreach { t =>
+        if (retentionCheckOn(spark)) {
+          val minAge = vacuumMinAge(spark, t)
+          require(olderMs >= minAge,
+            s"mv_maintain: older_than_ms = $olderMs is below $t's retention " +
+              s"floor graft.vacuum.min-age = $minAge — declare a shorter floor " +
+              "via TBLPROPERTIES or SET spark.graft.vacuum.retentionCheck=false")
+        }
+        compacted += TableFormat.compact(spark, t, 64L << 20, 1)._2
+        val retained = expireRetained(spark, t, olderMs, keepLast)
+        deleted += TableFormat.vacuum(spark, t, retained)._1
+        if (t == targets.head) retainedState = retained.size
+      }
+      new GenericInternalRow(Array[Any](
+        targets.size, compacted, deleted, retainedState))
+    }
+  }
+
   /** RESTORE VIEW (r12): republish an archived definition as the NEW
     * current version (never rewinds the version counter — the restore
     * itself is a versioned event, same discipline as table RESTORE).
@@ -1216,7 +1263,7 @@ object GraftProcedures {
       PurgeDvProc, ResolveEqDelProc, ConsolidateEqDelProc,
       OptimizeClusterProc,
       OptimizeZorderNProc, OptimizeIncrementalProc, OptimizeBucketProc,
-      CreateMvProc, RefreshMvProc, DropMvProc, RestoreViewProc)
+      CreateMvProc, RefreshMvProc, DropMvProc, MvMaintainProc, RestoreViewProc)
 
   def names: Seq[String] = all.map(_.name())
 

@@ -2030,6 +2030,80 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(readLc == recomputeLc, "post-span fact append drifted")
   }
 
+  test("mv_maintain bounds the state footprint: a 50-refresh loop keeps files/manifests bounded across state AND dict siblings; time travel inside the retention window intact (r18, VERDICT r17 #5)") {
+    val src = fresh("mv_srcmt"); fresh("mv_aggmt")
+    val rows: Seq[(Long, String, Long)] =
+      (0L until 40L).map(i => (i, s"k${i % 7}", i % 5))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "source", "n"), 1, None,
+      statsCol = Some("doc_id"))
+    // include a string-dict distinct so the dict SIBLING is maintained too
+    spark.conf.set("spark.graft.mv.distinct.dict", "true")
+    try {
+      spark.sql(
+        """CALL graft.system.create_mv('db.mv_aggmt',
+          |  'SELECT n, count(*) AS n_docs, count(DISTINCT source) AS n_src
+          |   FROM graft.db.mv_srcmt GROUP BY n')""".stripMargin).collect()
+    } finally spark.conf.unset("spark.graft.mv.distinct.dict")
+    val sb = s"$wh/db/mv_aggmt__state"
+    val fs = new org.apache.hadoop.fs.Path(sb)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countUnder(dir: String, pred: String => Boolean): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) 0
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) { if (pred(it.next().getPath.getName)) n += 1 }
+        n
+      }
+    }
+    def manifests(dir: String): Int =
+      countUnder(s"$dir/_manifests", _.endsWith(".manifest"))
+    def dataFiles(dir: String): Int =
+      countUnder(dir, n => n.endsWith(".parquet") && !n.startsWith("_"))
+    val prevCheck = spark.conf.getOption("spark.graft.vacuum.retentionCheck")
+    try {
+      spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
+      (1 to 50).foreach { i =>
+        TableFormat.appendCommit(spark, src,
+          (Seq((1000L + i, s"k${i % 11}", (i % 5).toLong))
+            : Seq[(Long, String, Long)]).toDF("doc_id", "source", "n"),
+          statsCol = Some("doc_id"))
+        spark.sql("CALL graft.system.refresh_mv('db.mv_aggmt')").collect()
+        if (i % 10 == 0)
+          spark.sql("CALL graft.system.mv_maintain('db.mv_aggmt', 0, 3)").collect()
+      }
+      // BOUNDED: 50 replace-refreshes would strand 50+ manifests and
+      // ~50 superseded state files; the maintenance window (10) plus
+      // retain_last (3) caps both — state AND dict siblings
+      assert(manifests(sb) <= 16, s"state manifests unbounded: ${manifests(sb)}")
+      assert(dataFiles(sb) <= 16, s"state files unbounded: ${dataFiles(sb)}")
+      val dict = graft.operators.MaterializedView
+        .maintenanceTargets(spark, s"$wh/db/mv_aggmt").tail
+      assert(dict.nonEmpty, "dict sibling must be discovered as a target")
+      dict.foreach { dt =>
+        assert(manifests(dt) <= 16, s"dict manifests unbounded: ${manifests(dt)}")
+      }
+      // TIME TRAVEL inside the retention window: the last maintain kept
+      // retain_last=3 — the previous version still reads
+      val cur = TableFormat.currentVersion(spark, sb)
+      val prev = TableFormat.readSnapshot(spark, sb, Some(cur - 1))
+      assert(prev.count() > 0, "previous retained version must still read")
+      // and the MV itself still equals a recompute after all of it
+      val got = spark.sql(
+        """SELECT n, n_docs, n_src FROM graft.db.mv_aggmt
+          |ORDER BY n ASC""".stripMargin).collect().toSeq
+      val want = spark.sql(
+        """SELECT n, count(1) AS n_docs, count(DISTINCT source) AS n_src
+          |FROM graft.db.mv_srcmt GROUP BY n ORDER BY n ASC""".stripMargin)
+        .collect().toSeq
+      assert(got == want, "maintained MV drifted from recompute")
+    } finally prevCheck match {
+      case Some(v) => spark.conf.set("spark.graft.vacuum.retentionCheck", v)
+      case None => spark.conf.unset("spark.graft.vacuum.retentionCheck")
+    }
+  }
+
   test("composite join keys: an MV over a two-column equi-join maintains exactly and the rewrite matches the key-pair SET in either conjunct order (r16)") {
     val facts = fresh("jck_f"); val dim = fresh("jck_d"); fresh("jck_agg")
     TableFormat.commit(spark, facts,
@@ -2699,6 +2773,56 @@ class MaterializedViewSpec extends SparkTestBase {
       .filter(_.getString(0) == "standdown")
     assert(nonAgg.length == 1 && nonAgg.head.getString(1).contains("no servable"),
       nonAgg.toSeq.toString)
+  }
+
+  test("graft_mv_explain covers DISTINCT-shaped queries: would_serve + chosen on the dim dropdown, named standdowns for non-dim and DISTINCT *, query-shape for keyed shapes (r18, VERDICT r17 #8)") {
+    val src = fresh("mv_srcxd"); fresh("mv_aggxd")
+    TableFormat.commit(spark, src,
+      ((0L until 90L).map(i => (i, if (i % 3 == 0) "en" else "fr", i % 7))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggxd',
+        |  'SELECT lang, count(*) AS n_docs
+        |   FROM graft.db.mv_srcxd GROUP BY lang')""".stripMargin).collect()
+    def explain(q: String): Seq[(String, String, String, Boolean)] =
+      spark.sql(s"SELECT mv, status, reason, chosen FROM graft_mv_explain('$q')")
+        .collect().toSeq.map(r =>
+          (if (r.isNullAt(0)) null else r.getString(0), r.getString(1),
+           r.getString(2), r.getBoolean(3)))
+    // the filter-dropdown query: Distinct(Project) probes the SAME
+    // chain the rewrite runs — would_serve, and chosen marks it
+    val serve = explain("SELECT DISTINCT lang FROM graft.db.mv_srcxd")
+    assert(serve.exists(r => r._1 == "db.mv_aggxd" &&
+      r._2 == "would_serve" && r._4), s"dim DISTINCT must probe would_serve: $serve")
+    // non-dim column: named dims-mismatch, never a silent NULL row
+    val nonDim = explain("SELECT DISTINCT doc_id FROM graft.db.mv_srcxd")
+    assert(nonDim.exists(r => r._1 == "db.mv_aggxd" && r._2 == "standdown" &&
+      r._3.startsWith("dims-mismatch")), s"non-dim DISTINCT: $nonDim")
+    // DISTINCT * carries non-dim columns: same named standdown
+    val star = explain("SELECT DISTINCT * FROM graft.db.mv_srcxd")
+    assert(star.exists(r => r._1 == "db.mv_aggxd" && r._2 == "standdown" &&
+      r._3.startsWith("dims-mismatch")), s"DISTINCT *: $star")
+    // a query with NO servable node gets the query-level NULL-mv row
+    val shapeless = explain("SELECT doc_id, lang FROM graft.db.mv_srcxd")
+      .filterNot(_._2 == "note") // the flag-off advisory row
+    assert(shapeless == Seq((null, "standdown",
+      "query-shape: no servable aggregate node (GROUP BY aggregate, " +
+        "SELECT DISTINCT, or whole-row distinct) in the query", false)),
+      s"shapeless query must report the NULL-mv query-shape row: $shapeless")
+    // keyed dropDuplicates keeps whole rows — never rewritten (the
+    // DataFrame-only shape; its SQL spellings are the cases above)
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val keyed = spark.sql("SELECT lang, doc_id FROM graft.db.mv_srcxd")
+        .dropDuplicates("lang")
+      assert(keyed.queryExecution.optimizedPlan.toString.contains("mv_srcxd"),
+        "keyed dropDuplicates must keep scanning the source")
+      // whole-output dedup IS SELECT DISTINCT — serves
+      val whole = spark.sql("SELECT lang FROM graft.db.mv_srcxd").distinct()
+      assert(whole.queryExecution.optimizedPlan.toString.contains("mv_aggxd__state"),
+        "whole-output distinct() must serve from state")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
   test("drop_mv removes view + state together; the name re-creates cleanly") {
