@@ -168,34 +168,56 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       }
     def unapply(p: LogicalPlan)
         : Option[(Seq[(DataSourceV2Relation, String)], QueryJoin)] = p match {
-      // RIGHT OUTER normalization (r18, VERDICT r17 #4): `dim RIGHT
-      // JOIN fact` IS `fact LEFT JOIN dim` — swap the sides before
-      // orientation pinning, so the right-outer spelling of a served
-      // query substitutes. The ON condition is symmetric (normPair).
-      case Join(l, r, org.apache.spark.sql.catalyst.plans.RightOuter, c, hint) =>
-        unapply(Join(r, l, org.apache.spark.sql.catalyst.plans.LeftOuter, c, hint))
-      // two-table LEFT OUTER (r17): mirror of the CREATE contract —
-      // both sides bare relations, orientation recorded
-      case Join(SourceRel(rl, bl), SourceRel(rr, br),
-                org.apache.spark.sql.catalyst.plans.LeftOuter, Some(c), _)
-          if bl != br =>
-        val rels = Seq((rl, bl), (rr, br))
-        val relName: Map[String, String] = Map(
-          bl -> relNameOf(bl).getOrElse(return None),
-          br -> relNameOf(br).getOrElse(return None))
-        def endpointOf(a: AttributeReference): Option[(String, String)] =
-          rels.collectFirst { case (r, b) if r.outputSet.contains(a) =>
-            (relName(b), a.name.toLowerCase(Locale.ROOT)) }
-        val pairs = splitConjunctivePredicates(c).map {
-          case EqualTo(x: AttributeReference, y: AttributeReference) =>
-            for { ex <- endpointOf(x); ey <- endpointOf(y)
-                  if ex._1 != ey._1 } yield normPair(ex, ey)
-          case _ => None
+      // LEFT OUTER chains (r17 two-table; r18 N-chain + RIGHT OUTER
+      // normalization — VERDICT r17 #3/#4): flatten a left-deep spine
+      // of LEFT OUTER joins over bare relations, normalizing `dim
+      // RIGHT JOIN fact` to `fact LEFT JOIN dim` at EVERY level before
+      // orientation pinning. The pair SET plus the pinned leftmost
+      // table determines the semantics: each hop's ON can only scope
+      // tables already in the spine, so equal pair sets force the same
+      // hop grouping, and independent hops commute row-locally
+      // (max(m,1)-extension per hop). Mixed inner/outer spines fail
+      // the flatten and stand down as query-shape.
+      case Join(_, _, org.apache.spark.sql.catalyst.plans.LeftOuter |
+                      org.apache.spark.sql.catalyst.plans.RightOuter, _, _) =>
+        def spine(q: LogicalPlan)
+            : Option[(Seq[(DataSourceV2Relation, String)], Seq[Expression])] =
+          q match {
+            case Join(l, r, org.apache.spark.sql.catalyst.plans.RightOuter,
+                      c, hint) =>
+              spine(Join(r, l, org.apache.spark.sql.catalyst.plans.LeftOuter,
+                c, hint))
+            case Join(l, SourceRel(rr, br),
+                      org.apache.spark.sql.catalyst.plans.LeftOuter,
+                      Some(c), _) =>
+              (l match {
+                case SourceRel(rl, bl) =>
+                  Some((Seq((rl, bl)), Nil: Seq[Expression]))
+                case _ => spine(l)
+              }).map { case (rels, conds) =>
+                (rels :+ ((rr, br)), conds ++ splitConjunctivePredicates(c)) }
+            case _ => None
+          }
+        spine(p).flatMap { case (rels, conds) =>
+          if (rels.size < 2 || rels.map(_._2).distinct.size != rels.size)
+            return None
+          val relName: Map[String, String] = rels.map { case (_, b) =>
+            b -> (relNameOf(b).getOrElse(return None)) }.toMap
+          def endpointOf(a: AttributeReference): Option[(String, String)] =
+            rels.collectFirst { case (r, b) if r.outputSet.contains(a) =>
+              (relName(b), a.name.toLowerCase(Locale.ROOT)) }
+          val pairs = conds.map {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              for { ex <- endpointOf(x); ey <- endpointOf(y)
+                    if ex._1 != ey._1 } yield normPair(ex, ey)
+            case _ => None
+          }
+          if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
+          else Some((rels, QueryJoin(
+            rels.map { case (_, b) => relName(b) -> b }.toMap,
+            pairs.flatten.toSet, outer = true,
+            leftRel = Some(relName(rels.head._2)))))
         }
-        if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
-        else Some((rels, QueryJoin(
-          rels.map { case (_, b) => relName(b) -> b }.toMap,
-          pairs.flatten.toSet, outer = true, leftRel = Some(relName(bl)))))
       case _: Join =>
         flat(p).flatMap { case (rels, conds) =>
           // distinct bases only: a self-join's namespace can never match

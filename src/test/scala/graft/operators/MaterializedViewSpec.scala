@@ -1560,10 +1560,13 @@ class MaterializedViewSpec extends SparkTestBase {
     spark.sql(
       """CALL graft.system.create_mv('db.mv_agggs',
         |  'SELECT lang, source, count(*) AS n_docs, sum(n) AS sum_n,
-        |          avg(n) AS avg_n
+        |          avg(n) AS avg_n, count(DISTINCT doc_id) AS nd
         |   FROM graft.db.mv_srcgs GROUP BY lang, source')""".stripMargin).collect()
+    // count(DISTINCT) rides the bitmap-OR roll-up through the Expand —
+    // every grain's distinct count is exact from the stored bitmaps
     val qGs =
       """SELECT lang, source, count(*) AS c, sum(n) AS s, avg(n) AS a,
+        |       count(DISTINCT doc_id) AS nd,
         |       grouping(lang) AS gl, grouping_id() AS gid
         |FROM graft.db.mv_srcgs
         |GROUP BY lang, source GROUPING SETS ((lang, source), (lang), ())
@@ -2028,6 +2031,29 @@ class MaterializedViewSpec extends SparkTestBase {
         .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
     spark.sql("CALL graft.system.refresh_mv('db.mv_lcagg')").collect()
     assert(readLc == recomputeLc, "post-span fact append drifted")
+    // REWRITE serves the N-chain: the left-deep outer SPINE flattens,
+    // orientation pinned to the fact; a right-outer spelling of an
+    // inner hop normalizes; a mixed inner/outer spine stands down
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val q = spark.sql(
+        """SELECT zone, count(*) AS n_docs
+          |FROM graft.db.mv_lcf f
+          |  LEFT JOIN graft.db.mv_lcd1 d1 ON f.lang = d1.lang
+          |  LEFT JOIN graft.db.mv_lcd2 d2 ON d1.region = d2.region
+          |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_lcagg__state"),
+        "the N-chain LEFT OUTER query must serve from state")
+      assert(q.collect().toSeq == readLc.map(r => Row(r.get(0), r.get(1))))
+      val mixed = spark.sql(
+        """SELECT zone, count(*) AS c
+          |FROM graft.db.mv_lcf f
+          |  JOIN graft.db.mv_lcd1 d1 ON f.lang = d1.lang
+          |  LEFT JOIN graft.db.mv_lcd2 d2 ON d1.region = d2.region
+          |GROUP BY zone""".stripMargin)
+      assert(mixed.queryExecution.optimizedPlan.toString.contains("mv_lcf"),
+        "a mixed inner/outer spine must not be served by the outer MV")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
   test("mv_maintain bounds the state footprint: a 50-refresh loop keeps files/manifests bounded across state AND dict siblings; time travel inside the retention window intact (r18, VERDICT r17 #5)") {
