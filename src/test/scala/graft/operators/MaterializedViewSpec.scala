@@ -1515,6 +1515,24 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(dfg.queryExecution.optimizedPlan.toString.contains("mv_aggpx__state"),
         "global quantile must roll up the state sketches")
       assert(dfg.head.getDouble(0) == 50.0)
+      // quantiles ride GROUPING SETS grains too: the gsets mapper is
+      // the roll-up mapper, so each grain merges the hidden sketches
+      // (exact regime — deterministic equality vs the direct plan)
+      val qGsPct =
+        """SELECT lang, kll_quantile(kll_agg(n), 0.5D) AS p50,
+          |       grouping_id() AS gid
+          |FROM graft.db.mv_srcpx
+          |GROUP BY lang GROUPING SETS ((lang), ())
+          |ORDER BY gid, lang NULLS FIRST""".stripMargin
+      val directGsPct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(qGsPct).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val dfGsPct = spark.sql(qGsPct)
+      assert(dfGsPct.queryExecution.optimizedPlan.toString.contains("mv_aggpx__state"),
+        "grouping-set quantiles must serve from state")
+      assert(dfGsPct.collect().toSeq == directGsPct)
       // Spark's GK-estimator percentile stands down, named in explain
       val qgk =
         """SELECT lang, percentile_approx(n, 0.5D) AS p50
@@ -1589,6 +1607,22 @@ class MaterializedViewSpec extends SparkTestBase {
           s"grain query must serve from state:\n$p")
         assert(df.collect().toSeq == direct, s"values differ for:\n$q")
       }
+      // a dim-only residual WHERE filters the state rows BEFORE the
+      // Expand — the grains all see the filtered groups
+      val qRes =
+        """SELECT lang, source, count(*) AS c
+          |FROM graft.db.mv_srcgs WHERE lang <> 'zz'
+          |GROUP BY lang, source GROUPING SETS ((lang, source), (lang), ())
+          |ORDER BY grouping_id(), lang NULLS FIRST, source NULLS FIRST""".stripMargin
+      val directRes = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(qRes).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val dfRes = spark.sql(qRes)
+      assert(dfRes.queryExecution.optimizedPlan.toString.contains("mv_agggs__state"),
+        "dim-residual grouping sets must serve from filtered state")
+      assert(dfRes.collect().toSeq == directRes)
       // a set naming a NON-dim column stands down, named in explain
       val qBad =
         """SELECT lang, doc_id, count(*) AS c FROM graft.db.mv_srcgs
