@@ -294,18 +294,22 @@ object MaterializedView {
     // is unchanged.
     def treeWalk(p: LogicalPlan): Option[(Seq[String], Seq[String], Seq[JoinLink])] = {
       // LEFT OUTER (r17 two-table; r18 LEFT-DEEP N-CHAIN — VERDICT r17
-      // #3): `fact ⟕ dim1 ⟕ dim2 ⟕ …` — every link LEFT OUTER, every
-      // leaf a bare table, each hop's keys tying the NEW table to any
-      // EARLIER chain table. Outer joins don't commute, so the chain
-      // keeps its written order (no flatten-and-reorder); right-nested
-      // shapes and inner/outer mixes refuse loudly below.
-      def outerChain(q: LogicalPlan)
+      // #3; r18 MIXED inner/outer chains): any LEFT-DEEP chain of bare
+      // tables whose links are each INNER or LEFT OUTER, with at least
+      // one outer link — `fact ⋈ dim1 ⟕ dim2`, `fact ⟕ dim1 ⋈ dim2`,
+      // all-outer, etc. Each hop's keys tie the NEW table to any
+      // EARLIER chain table. The chain keeps its WRITTEN order (no
+      // flatten-and-reorder — hops only commute row-locally when their
+      // keys are independent, which SQL scoping guarantees for any
+      // spellable reorder; the stored order is canonical). Right-nested
+      // outer shapes refuse loudly below.
+      def mixedChain(q: LogicalPlan)
           : Option[(Seq[String], Seq[String], Seq[JoinLink])] = q match {
-        case Join(l, r0, org.apache.spark.sql.catalyst.plans.LeftOuter,
-                  Some(cond0), _) if rel(r0).isDefined =>
+        case Join(l, r0, jt @ (org.apache.spark.sql.catalyst.plans.LeftOuter |
+                               Inner), Some(cond0), _) if rel(r0).isDefined =>
           val (lParts, names, links) = rel(l) match {
             case Some((lp, ln)) => (lp, Seq(ln), Seq.empty[JoinLink])
-            case None => outerChain(l).getOrElse(return None)
+            case None => mixedChain(l).getOrElse(return None)
           }
           val (rParts, rName) = rel(r0).get
           if (names.exists(_.equalsIgnoreCase(rName))) refuse(
@@ -326,21 +330,22 @@ object MaterializedView {
               s"only equi-join conditions are maintainable " +
                 s"(got conjunct '${other.sql}')")
           }
-          Some((lParts, names :+ rName,
-            links :+ JoinLink(rParts, pairs, outer = true)))
+          Some((lParts, names :+ rName, links :+ JoinLink(rParts, pairs,
+            outer = jt == org.apache.spark.sql.catalyst.plans.LeftOuter)))
         case _ => None
       }
-      p match {
-        case j @ Join(_, _, org.apache.spark.sql.catalyst.plans.LeftOuter, _, _) =>
-          outerChain(j) match {
-            case Some(x) => return Some(x)
-            case None => refuse(
-              "LEFT OUTER joins maintain for a LEFT-DEEP chain of bare " +
-                "tables (fact LEFT JOIN dim1 ON keys LEFT JOIN dim2 ON " +
-                "keys …) — right-nested outer shapes and inner/outer " +
-                "mixes are not maintainable")
-          }
-        case _ => ()
+      val hasOuter = p.collectFirst {
+        case Join(_, _, org.apache.spark.sql.catalyst.plans.LeftOuter, _, _) => ()
+      }.isDefined
+      if (hasOuter) {
+        mixedChain(p) match {
+          case Some(x) => return Some(x)
+          case None => refuse(
+            "LEFT OUTER joins maintain for a LEFT-DEEP chain of bare " +
+              "tables whose links are each INNER or LEFT OUTER " +
+              "(fact [LEFT] JOIN dim1 ON keys [LEFT] JOIN dim2 ON keys " +
+              "…) — right-nested outer shapes are not maintainable")
+        }
       }
       def flat(q: LogicalPlan)
           : Option[(Seq[(Seq[String], String)], Seq[Expression])] = q match {
@@ -1483,9 +1488,10 @@ object MaterializedView {
         link.dupCols.exists(_.equalsIgnoreCase(c))) }
     val outCols: Seq[Column] =
       (olds(0).columns.toSeq ++ dimKeeps.flatten :+ "_change_type").map(col)
-    // fold links [fromLink, toLink) onto `start` — the chain's own
-    // LEFT OUTER type per link, except the Δ hop's MATCHED half joins
-    // INNER (null-extension boundaries are the flip corrections' job).
+    // fold links [fromLink, toLink) onto `start` — each link's OWN
+    // join type (mixed chains, r18: inner links stay inner), except
+    // the Δ hop's MATCHED half always joins INNER (for an outer Δ hop
+    // the null-extension boundaries are the flip corrections' job).
     // Prefix key columns resolve BY NAME: create() validated the chain
     // namespaces disjoint, and a dedup'd same-named key survives as
     // the left side's column.
@@ -1496,7 +1502,8 @@ object MaterializedView {
         val b = frame(li + 1)
         val cond = link.pairs.map { case (_, pc, rc) =>
           acc(pc) === b(rc) }.reduce(_ && _)
-        val j = acc.join(b, cond, if (li == innerAt) "inner" else "left_outer")
+        val j = acc.join(b, cond,
+          if (li == innerAt || !link.outer) "inner" else "left_outer")
         link.dupCols.foldLeft(j)((df, rc) => df.drop(b(rc)))
       }
     val halves = Seq.newBuilder[DataFrame]
@@ -1520,10 +1527,13 @@ object MaterializedView {
       halves += foldLinks(
         foldLinks(prefixOldM, _ => dD, i - 1, i, innerAt = i - 1),
         news, i, m, innerAt = -1).select(outCols: _*)
-      // flip corrections at hop i: keys ΔD_i touched whose D_i-presence
-      // crossed zero move prefix-old rows between the NULL region and
-      // their matched region — semi-join-targeted, never a prefix
-      // rescan; NULL-keyed prefix rows never match and never flip
+      // flip corrections at hop i — OUTER hops only (an inner hop's
+      // delta is fully covered by its matched half, r18 mixed chains):
+      // keys ΔD_i touched whose D_i-presence crossed zero move
+      // prefix-old rows between the NULL region and their matched
+      // region — semi-join-targeted, never a prefix rescan; NULL-keyed
+      // prefix rows never match and never flip
+      if (link.outer) {
       val dKeys = link.pairs.map(_._3)
       def keySet(df: DataFrame): DataFrame =
         df.select(dKeys.map(col): _*).na.drop("any").distinct()
@@ -1555,6 +1565,7 @@ object MaterializedView {
       }
       halves += nullExtended(zeroToSome, "delete")
       halves += nullExtended(someToZero, "insert")
+      }
     }
     halves.result().reduce(_ unionByName _)
   }
@@ -1800,7 +1811,7 @@ object MaterializedView {
         s"graft.mv.version${i + 2}" -> toVs(i + 1).toString).toMap
     val changes =
       if (d.joins.isEmpty) TableFormat.readChanges(spark, src, fromV, toV)
-      else if (d.joins.head.outer) outerJoinDelta(spark, warehouse, d, fromVs, toVs)
+      else if (d.joins.exists(_.outer)) outerJoinDelta(spark, warehouse, d, fromVs, toVs)
       else joinDelta(spark, warehouse, d, fromVs, toVs)
     // string-distinct dictionaries (r17): cover the span's NEW keys
     // BEFORE the fold — append-only, so existing codes never move; keys

@@ -140,7 +140,11 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
   private case class QueryJoin(pathOf: Map[String, String],
                                pairs: Set[((String, String), (String, String))],
                                outer: Boolean = false,
-                               leftRel: Option[String] = None)
+                               leftRel: Option[String] = None,
+                               // r18 mixed chains: relName → was this
+                               // table admitted by a LEFT OUTER hop?
+                               // (chain head absent; empty = pure inner)
+                               outerOf: Map[String, Boolean] = Map.empty)
 
   private def normPair(a: (String, String),
                        b: (String, String)): ((String, String), (String, String)) =
@@ -168,58 +172,71 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       }
     def unapply(p: LogicalPlan)
         : Option[(Seq[(DataSourceV2Relation, String)], QueryJoin)] = p match {
-      // LEFT OUTER chains (r17 two-table; r18 N-chain + RIGHT OUTER
-      // normalization — VERDICT r17 #3/#4): flatten a left-deep spine
-      // of LEFT OUTER joins over bare relations, normalizing `dim
-      // RIGHT JOIN fact` to `fact LEFT JOIN dim` at EVERY level before
-      // orientation pinning. The pair SET plus the pinned leftmost
-      // table determines the semantics: each hop's ON can only scope
-      // tables already in the spine, so equal pair sets force the same
-      // hop grouping, and independent hops commute row-locally
-      // (max(m,1)-extension per hop). Mixed inner/outer spines fail
-      // the flatten and stand down as query-shape.
-      case Join(_, _, org.apache.spark.sql.catalyst.plans.LeftOuter |
-                      org.apache.spark.sql.catalyst.plans.RightOuter, _, _) =>
-        def spine(q: LogicalPlan)
-            : Option[(Seq[(DataSourceV2Relation, String)], Seq[Expression])] =
-          q match {
-            case Join(l, r, org.apache.spark.sql.catalyst.plans.RightOuter,
-                      c, hint) =>
-              spine(Join(r, l, org.apache.spark.sql.catalyst.plans.LeftOuter,
-                c, hint))
-            case Join(l, SourceRel(rr, br),
-                      org.apache.spark.sql.catalyst.plans.LeftOuter,
-                      Some(c), _) =>
-              (l match {
-                case SourceRel(rl, bl) =>
-                  Some((Seq((rl, bl)), Nil: Seq[Expression]))
-                case _ => spine(l)
-              }).map { case (rels, conds) =>
-                (rels :+ ((rr, br)), conds ++ splitConjunctivePredicates(c)) }
-            case _ => None
+      case j: Join =>
+        // OUTER-bearing trees (r17 two-table; r18 N-chain, RIGHT OUTER
+        // normalization, MIXED inner/outer — VERDICT r17 #3/#4):
+        // flatten a left-deep spine whose links are each INNER or LEFT
+        // OUTER over bare relations, normalizing `dim RIGHT JOIN fact`
+        // to `fact LEFT JOIN dim` at EVERY level before orientation
+        // pinning, and recording each table's admitting hop type. The
+        // pair SET + the pinned leftmost table + the per-table hop
+        // types determine the semantics: each hop's ON can only scope
+        // tables already in the spine, so equal pair sets force the
+        // same hop grouping, and hops commute row-locally
+        // (m- or max(m,1)-extension per row and hop). Right-nested
+        // outer shapes fail the flatten and stand down as query-shape.
+        val hasOuter = j.collectFirst {
+          case Join(_, _, org.apache.spark.sql.catalyst.plans.LeftOuter |
+                          org.apache.spark.sql.catalyst.plans.RightOuter,
+                    _, _) => ()
+        }.isDefined
+        if (hasOuter) {
+          def spine(q: LogicalPlan)
+              : Option[(Seq[(DataSourceV2Relation, String, Boolean)],
+                        Seq[Expression])] =
+            q match {
+              case Join(l, r, org.apache.spark.sql.catalyst.plans.RightOuter,
+                        c, hint) =>
+                spine(Join(r, l, org.apache.spark.sql.catalyst.plans.LeftOuter,
+                  c, hint))
+              case Join(l, SourceRel(rr, br),
+                        jt @ (org.apache.spark.sql.catalyst.plans.LeftOuter |
+                              Inner),
+                        Some(c), _) =>
+                (l match {
+                  case SourceRel(rl, bl) =>
+                    Some((Seq((rl, bl, false)), Nil: Seq[Expression]))
+                  case _ => spine(l)
+                }).map { case (rels, conds) =>
+                  (rels :+ ((rr, br,
+                    jt == org.apache.spark.sql.catalyst.plans.LeftOuter)),
+                   conds ++ splitConjunctivePredicates(c)) }
+              case _ => None
+            }
+          spine(p).flatMap { case (rels3, conds) =>
+            val rels = rels3.map { case (r, b, _) => (r, b) }
+            if (rels.size < 2 || rels.map(_._2).distinct.size != rels.size)
+              return None
+            val relName: Map[String, String] = rels.map { case (_, b) =>
+              b -> (relNameOf(b).getOrElse(return None)) }.toMap
+            def endpointOf(a: AttributeReference): Option[(String, String)] =
+              rels.collectFirst { case (r, b) if r.outputSet.contains(a) =>
+                (relName(b), a.name.toLowerCase(Locale.ROOT)) }
+            val pairs = conds.map {
+              case EqualTo(x: AttributeReference, y: AttributeReference) =>
+                for { ex <- endpointOf(x); ey <- endpointOf(y)
+                      if ex._1 != ey._1 } yield normPair(ex, ey)
+              case _ => None
+            }
+            if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
+            else Some((rels, QueryJoin(
+              rels.map { case (_, b) => relName(b) -> b }.toMap,
+              pairs.flatten.toSet, outer = true,
+              leftRel = Some(relName(rels.head._2)),
+              outerOf = rels3.tail.map { case (_, b, o) =>
+                relName(b) -> o }.toMap)))
           }
-        spine(p).flatMap { case (rels, conds) =>
-          if (rels.size < 2 || rels.map(_._2).distinct.size != rels.size)
-            return None
-          val relName: Map[String, String] = rels.map { case (_, b) =>
-            b -> (relNameOf(b).getOrElse(return None)) }.toMap
-          def endpointOf(a: AttributeReference): Option[(String, String)] =
-            rels.collectFirst { case (r, b) if r.outputSet.contains(a) =>
-              (relName(b), a.name.toLowerCase(Locale.ROOT)) }
-          val pairs = conds.map {
-            case EqualTo(x: AttributeReference, y: AttributeReference) =>
-              for { ex <- endpointOf(x); ey <- endpointOf(y)
-                    if ex._1 != ey._1 } yield normPair(ex, ey)
-            case _ => None
-          }
-          if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
-          else Some((rels, QueryJoin(
-            rels.map { case (_, b) => relName(b) -> b }.toMap,
-            pairs.flatten.toSet, outer = true,
-            leftRel = Some(relName(rels.head._2)))))
-        }
-      case _: Join =>
-        flat(p).flatMap { case (rels, conds) =>
+        } else flat(p).flatMap { case (rels, conds) =>
           // distinct bases only: a self-join's namespace can never match
           // an MV (create refuses the overlap)
           if (rels.size < 2 || rels.map(_._2).distinct.size != rels.size)
@@ -538,6 +555,16 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         if (qj.outer && !qj.leftRel.contains(rels.head)) return Left(
           "shape-mismatch: LEFT OUTER orientation differs from the " +
             "MV's (outer joins do not commute)")
+        // mixed chains (r18): every table's ADMITTING hop type must
+        // agree with the MV's stored link — `fact JOIN d1 LEFT JOIN d2`
+        // is never served by `fact LEFT JOIN d1 JOIN d2` state even
+        // though the pair sets coincide
+        if (qj.outer) {
+          val mvOuterOf = rels.tail.zip(d.joins.map(_.outer)).toMap
+          if (qj.outerOf != mvOuterOf) return Left(
+            "shape-mismatch: the chain's per-hop INNER/LEFT OUTER types " +
+              "differ from the MV's stored links")
+        }
         val mvPairs = d.joins.zipWithIndex.flatMap { case (link, i) =>
           link.pairs.map { case (pIdx, pc, rc) =>
             normPair((rels(pIdx), pc.toLowerCase(Locale.ROOT)),

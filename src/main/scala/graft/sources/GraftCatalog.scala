@@ -5200,6 +5200,86 @@ object GraftCatalogOps {
         |ORDER BY region ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `mv_mixed_chain` (r18, r19 candidate pulled forward): MIXED
+    * inner/outer MV chains — `fact ⋈ dim1 ⟕ dim2`. The recursive
+    * per-hop delta identity is join-type-agnostic (left-linearity
+    * holds for ⋈ and ⟕ alike): inner hops contribute matched halves
+    * only, outer hops add the presence-flip corrections. Lifecycle:
+    * create with a dim1-missing lang (drops at the inner hop) and a
+    * dim2-missing region (NULL zone) → fact append of an unmatched
+    * lang → dim1 append (inner-hop delta feeding the NULL zone) →
+    * dim2 append (OUTER-hop 0→1 flip moving a region's facts out of
+    * the NULL zone) + fact range delete → final serve ASSERTED
+    * substituted in-plan with per-hop type matching. Oracle: DuckDB
+    * recomputes the identical JOIN + LEFT JOIN over the equivalent
+    * final state. */
+  def mvMixedChain(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvmx_src", "mvmx_d1", "mvmx_d2", "mvmx_agg",
+                  "mvmx_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    import org.apache.spark.sql.functions.{col, concat, lit, upper}
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = s"$wh/db/mvmx_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    // d1 misses 'de' (inner hop drops its facts at create)
+    TableFormat.commit(spark, s"$wh/db/mvmx_d1",
+      docs.select(col("lang")).distinct().filter("lang <> 'de'")
+        .withColumn("region", concat(lit("R_"), upper(col("lang")))),
+      1, parent = None)
+    // d2 holds zones for en/fr only (other regions -> NULL zone)
+    TableFormat.commit(spark, s"$wh/db/mvmx_d2",
+      spark.sql("""SELECT 'R_EN' AS region, 'Z_R_EN' AS zone
+                  |UNION ALL SELECT 'R_FR', 'Z_R_FR'""".stripMargin),
+      1, parent = None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvmx_agg',
+        |  'SELECT zone, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvmx_src f
+        |     JOIN graft.db.mvmx_d1 d1 ON f.lang = d1.lang
+        |     LEFT JOIN graft.db.mvmx_d2 d2 ON d1.region = d2.region
+        |   GROUP BY zone')""".stripMargin).collect()
+    // fact append of an unmatched lang (drops at the inner hop)
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 10 = 7")
+        .withColumn("doc_id", col("doc_id") + 4000000000L)
+        .withColumn("lang", lit("oo")),
+      statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mvmx_agg')").collect()
+    // d1 gains 'de' (INNER-hop delta — de facts enter the NULL zone);
+    // d2 gains 'R_ES' (OUTER-hop 0→1 flip — es facts move NULL→zone);
+    // plus a fact range delete, all in one span
+    TableFormat.appendCommit(spark, s"$wh/db/mvmx_d1",
+      spark.sql("SELECT 'de' AS lang, 'R_DE' AS region"))
+    TableFormat.appendCommit(spark, s"$wh/db/mvmx_d2",
+      spark.sql("SELECT 'R_ES' AS region, 'Z_R_ES' AS zone"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 100L, 299L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvmx_agg')").collect()
+    val prev = spark.conf.getOption("spark.graft.mv.rewrite")
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql(
+        """SELECT zone, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft.db.mvmx_src f
+          |  JOIN graft.db.mvmx_d1 d1 ON f.lang = d1.lang
+          |  LEFT JOIN graft.db.mvmx_d2 d2 ON d1.region = d2.region
+          |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvmx_agg__state") && !plan.contains("mvmx_src"),
+        s"mv_mixed_chain: mixed spelling did not serve from state:\n$plan")
+      df
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+      case None => spark.conf.unset("spark.graft.mv.rewrite")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
     "mv_distinct_str" -> (mvDistinctStr _),
@@ -5207,6 +5287,7 @@ object GraftCatalogOps {
     "mv_var" -> (mvVar _),
     "mv_approx_pct" -> (mvApproxPct _),
     "mv_rewrite_gsets" -> (mvRewriteGsets _),
+    "mv_mixed_chain" -> (mvMixedChain _),
     "mv_rewrite_var" -> (mvRewriteVar _),
     "mv_agg_expr" -> (mvAggExpr _),
     "mv_snowflake" -> (mvSnowflake _),
@@ -5261,6 +5342,28 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_mixed_chain" ->
+      """WITH final_facts AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 299
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, 'oo', n_chars FROM documents
+        |  WHERE doc_id % 10 = 7),
+        |d1 AS (
+        |  SELECT lang, 'R_' || upper(lang) AS region
+        |  FROM (SELECT DISTINCT lang FROM documents) WHERE lang <> 'de'
+        |  UNION ALL SELECT 'de', 'R_DE'),
+        |d2 AS (
+        |  SELECT 'R_EN' AS region, 'Z_R_EN' AS zone
+        |  UNION ALL SELECT 'R_FR', 'Z_R_FR'
+        |  UNION ALL SELECT 'R_ES', 'Z_R_ES')
+        |SELECT zone, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM final_facts f
+        |  JOIN d1 ON f.lang = d1.lang
+        |  LEFT JOIN d2 ON d1.region = d2.region
+        |GROUP BY zone
+        |ORDER BY zone ASC NULLS FIRST""".stripMargin,
     "mv_outer" ->
       """WITH final_facts AS (
         |  SELECT doc_id, lang, n_chars FROM documents

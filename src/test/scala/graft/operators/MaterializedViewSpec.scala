@@ -2090,6 +2090,118 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("MIXED inner/outer MV chains: fact ⋈ d1 ⟕ d2 and fact ⟕ d1 ⋈ d2 both maintain — inner hops matched-half only, outer hops flip; rewrite matches per-hop types (r18, r19 candidate pulled forward)") {
+    val fct = fresh("mv_mxf"); val d1 = fresh("mv_mxd1"); val d2 = fresh("mv_mxd2")
+    fresh("mv_mxa"); fresh("mv_mxb")
+    TableFormat.commit(spark, fct,
+      ((0L until 180L).map(i =>
+        (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "xx", i % 11))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // 'xx' missing from d1; region 'F' missing from d2
+    TableFormat.commit(spark, d1,
+      Seq(("en", "E"), ("fr", "F")).toDF("lang", "region"), 1, None)
+    TableFormat.commit(spark, d2,
+      Seq(("E", "Z1")).toDF("region", "zone"), 1, None)
+    // A: inner hop BELOW the outer hop — xx facts drop at hop 1, fr
+    // facts survive into the NULL-zone region
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_mxa',
+        |  'SELECT zone, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_mxf f
+        |     JOIN graft.db.mv_mxd1 d1 ON f.lang = d1.lang
+        |     LEFT JOIN graft.db.mv_mxd2 d2 ON d1.region = d2.region
+        |   GROUP BY zone')""".stripMargin).collect()
+    // B: outer hop BELOW the inner hop — xx facts null-extend at hop 1
+    // then DROP at the inner hop 2 (NULL region never matches)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_mxb',
+        |  'SELECT zone, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_mxf f
+        |     LEFT JOIN graft.db.mv_mxd1 d1 ON f.lang = d1.lang
+        |     JOIN graft.db.mv_mxd2 d2 ON d1.region = d2.region
+        |   GROUP BY zone')""".stripMargin).collect()
+    def read(mv: String): Seq[Row] = spark.sql(
+      s"""SELECT zone, n_docs, sum_n FROM graft.db.$mv
+         |ORDER BY zone ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def recompute(join1: String, join2: String): Seq[Row] = spark.sql(
+      s"""SELECT zone, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+         |FROM graft.db.mv_mxf f
+         |  $join1 graft.db.mv_mxd1 d1 ON f.lang = d1.lang
+         |  $join2 graft.db.mv_mxd2 d2 ON d1.region = d2.region
+         |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+      .collect().toSeq
+    def checkBoth(tag: String): Unit = {
+      assert(read("mv_mxa") == recompute("JOIN", "LEFT JOIN"), s"A drifted: $tag")
+      assert(read("mv_mxb") == recompute("LEFT JOIN", "JOIN"), s"B drifted: $tag")
+    }
+    checkBoth("create")
+    assert(read("mv_mxa").exists(_.isNullAt(0)),
+      "A must hold the NULL-zone group (fr facts, F missing from d2)")
+    assert(!read("mv_mxb").exists(_.isNullAt(0)),
+      "B's inner hop 2 must drop every null-extended row")
+    // fact delta threads both chains
+    TableFormat.appendCommit(spark, fct,
+      ((200L until 230L).map(i => (i, if (i % 2 == 0) "fr" else "yy", i % 7))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_mxa')").collect()
+    spark.sql("CALL graft.system.refresh_mv('db.mv_mxb')").collect()
+    checkBoth("fact append")
+    // INNER-hop delta (d1 gains 'xx'): matched half only in A; in B it
+    // is the OUTER hop — a presence flip 0→1 that then meets hop 2
+    TableFormat.appendCommit(spark, d1, Seq(("xx", "E")).toDF("lang", "region"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_mxa')").collect()
+    spark.sql("CALL graft.system.refresh_mv('db.mv_mxb')").collect()
+    checkBoth("d1 append (inner delta in A, 0->1 flip in B)")
+    assert(read("mv_mxb").exists(r => !r.isNullAt(0) && r.getString(0) == "Z1"))
+    // OUTER-hop flip in A (d2 gains F): fr facts move NULL-zone → Z2;
+    // in B it is the INNER hop — matched half only
+    TableFormat.appendCommit(spark, d2, Seq(("F", "Z2")).toDF("region", "zone"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_mxa')").collect()
+    spark.sql("CALL graft.system.refresh_mv('db.mv_mxb')").collect()
+    checkBoth("d2 append (0->1 flip in A, inner delta in B)")
+    // three-sided span incl. a 1→0 flip (d2 loses E) + fact delete
+    TableFormat.deleteWhere(spark, fct, "doc_id", 20L, 59L)
+    spark.sql("DELETE FROM graft.db.mv_mxd2 WHERE region = 'E'")
+    TableFormat.appendCommit(spark, d1, Seq(("yy", "Y")).toDF("lang", "region"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_mxa')").collect()
+    spark.sql("CALL graft.system.refresh_mv('db.mv_mxb')").collect()
+    checkBoth("three-sided span with 1->0 flip")
+    // REWRITE: the matching per-hop spelling serves; the SAME pair set
+    // with flipped hop types stands down by name
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val qa = spark.sql(
+        """SELECT zone, count(*) AS n_docs
+          |FROM graft.db.mv_mxf f
+          |  JOIN graft.db.mv_mxd1 d1 ON f.lang = d1.lang
+          |  LEFT JOIN graft.db.mv_mxd2 d2 ON d1.region = d2.region
+          |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+      assert(qa.queryExecution.optimizedPlan.toString.contains("mv_mxa__state"),
+        "the matching mixed spelling must serve from A's state")
+      assert(qa.collect().toSeq == read("mv_mxa").map(r => Row(r.get(0), r.get(1))))
+      val qb = spark.sql(
+        """SELECT zone, count(*) AS n_docs
+          |FROM graft.db.mv_mxf f
+          |  LEFT JOIN graft.db.mv_mxd1 d1 ON f.lang = d1.lang
+          |  JOIN graft.db.mv_mxd2 d2 ON d1.region = d2.region
+          |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+      assert(qb.queryExecution.optimizedPlan.toString.contains("mv_mxb__state"),
+        "the flipped-hops spelling must serve from B's state, never A's")
+      assert(qb.collect().toSeq == read("mv_mxb").map(r => Row(r.get(0), r.get(1))))
+      val exp = spark.sql(
+        """SELECT reason FROM graft_mv_explain(
+          |  'SELECT zone, count(*) AS c
+          |   FROM graft.db.mv_mxf f
+          |     LEFT JOIN graft.db.mv_mxd1 d1 ON f.lang = d1.lang
+          |     JOIN graft.db.mv_mxd2 d2 ON d1.region = d2.region
+          |   GROUP BY zone') WHERE mv = 'db.mv_mxa'""".stripMargin)
+        .head.getString(0)
+      assert(exp.contains("per-hop"), exp)
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("mv_maintain bounds the state footprint: a 50-refresh loop keeps files/manifests bounded across state AND dict siblings; time travel inside the retention window intact (r18, VERDICT r17 #5)") {
     val src = fresh("mv_srcmt"); fresh("mv_aggmt")
     val rows: Seq[(Long, String, Long)] =
