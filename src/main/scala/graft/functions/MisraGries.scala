@@ -79,34 +79,11 @@ case class MisraGriesAgg(
     new GenericArrayData(
       buf.keysIterator.toArray.sorted.map(UTF8String.fromString(_): Any))
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (t, c) =>
-      val bytes = t.getBytes("UTF-8")
-      out.writeInt(bytes.length)
-      out.write(bytes)
-      out.writeLong(c)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    MisraGriesAgg.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Long]
-    var i = 0
-    while (i < n) {
-      val len = in.readInt()
-      val b = new Array[Byte](len)
-      in.readFully(b)
-      buf.update(new String(b, "UTF-8"), in.readLong())
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -173,4 +150,195 @@ object MisraGriesAgg {
       }
     }
   }
+
+  /** The one (term → count) wire format every MG carrier shares —
+    * aggregation-buffer shuffle AND the MV's stored state column. */
+  private[functions] def toBytes(buf: collection.Map[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, c) =>
+      val bytes = t.getBytes("UTF-8")
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[functions] def fromBytes(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
+    buf
+  }
+}
+
+/** Sketch-VALUED Misra–Gries build (r18): same kernel as
+  * [[MisraGriesAgg]] but evaluating to the SERIALIZED summary (BINARY)
+  * instead of the candidate array — the mergeable state the MV path
+  * stores per group (`approx_topk`). */
+case class MgSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k >= 1, s"mg_agg needs k >= 1, got $k")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_agg expects a STRING column, got ${other.sql}")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "mg_agg"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) MisraGriesAgg.add(buf, v.asInstanceOf[UTF8String].toString, k)
+    buf
+  }
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    MisraGriesAgg.mergeInto(a, b, k)
+    a
+  }
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    MisraGriesAgg.toBytes(buf)
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    MisraGriesAgg.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MgSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Merge already-serialized MG summaries (BINARY column) into one —
+  * the MV roll-up tier: per-group summaries combine to a coarser grain
+  * without touching raw data (the PODS'12 bound composes across any
+  * merge tree). */
+case class MgMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k >= 1, s"mg_merge needs k >= 1, got $k")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_merge expects a BINARY summary column, got ${other.sql}")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "mg_merge"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      MisraGriesAgg.mergeInto(buf,
+        MisraGriesAgg.fromBytes(v.asInstanceOf[Array[Byte]]), k)
+    buf
+  }
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    MisraGriesAgg.mergeInto(a, b, k)
+    a
+  }
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    MisraGriesAgg.toBytes(buf)
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    MisraGriesAgg.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MgMergeAgg =
+    copy(child = newChildren.head)
+}
+
+/** Scalar pairwise summary union at bound `k` — the MV MERGE step's
+  * device (state ⊎ delta per group row). */
+case class MgUnion2(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"mg_union2 expects two BINARY summaries, got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "mg_union2"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val m = MisraGriesAgg.fromBytes(a.asInstanceOf[Array[Byte]])
+    MisraGriesAgg.mergeInto(m,
+      MisraGriesAgg.fromBytes(b.asInstanceOf[Array[Byte]]), k)
+    MisraGriesAgg.toBytes(m)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MgUnion2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar candidate extraction: serialized summary → the same sorted
+  * ARRAY<STRING> [[MisraGriesAgg]].eval emits — one shared surface, so
+  * a served query and the direct plan read the same representation. */
+case class MgTopK(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_topk expects a BINARY summary, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "mg_topk"
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      MisraGriesAgg.fromBytes(v.asInstanceOf[Array[Byte]])
+        .keysIterator.toArray.sorted.map(UTF8String.fromString(_): Any))
+  override protected def withNewChildInternal(newChild: Expression): MgTopK =
+    copy(child = newChild)
+}
+
+object MgSketch {
+  def mg_agg(c: Column, k: Int): Column =
+    SqlBridge.column(MgSketchAgg(SqlBridge.expression(c), k).toAggregateExpression())
+  def mg_merge(c: Column, k: Int): Column =
+    SqlBridge.column(MgMergeAgg(SqlBridge.expression(c), k).toAggregateExpression())
+  def mg_union2(a: Column, b: Column, k: Int): Column =
+    SqlBridge.column(MgUnion2(SqlBridge.expression(a), SqlBridge.expression(b), k))
+  def mg_topk(c: Column): Column =
+    SqlBridge.column(MgTopK(SqlBridge.expression(c)))
 }

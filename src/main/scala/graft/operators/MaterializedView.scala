@@ -115,6 +115,25 @@ object MaterializedView {
   case class ApproxPctCol(colName: String, alias: String,
                           pct: Double) extends AggSpec
 
+  /** `approx_topk(col, k)` (r18, r19 candidate pulled forward):
+    * APPROXIMATE HEAVY HITTERS backed by mergeable MISRA-GRIES state
+    * ([[graft.functions.MgSketchAgg]] — the engine's `misra_gries`
+    * kernel, k stored per column since it bounds the summary): a
+    * hidden `__mg_` summary per group; INSERTS fold by the PODS'12
+    * mergeable-summaries combine with ZERO regroups (the recall
+    * guarantee — every term with frequency > n/(k+1) survives —
+    * composes across any merge tree, though the candidate SET near the
+    * threshold is path-dependent, hence documented approximate);
+    * DELETES take the targeted regroup (counters cannot subtract).
+    * The visible column is the sorted candidate ARRAY — the same
+    * surface `misra_gries(col, k)` emits — and the REWRITE serves that
+    * query shape: exact dims read the stored summary through a scalar
+    * `mg_topk`, subset dims merge summaries to the coarser grain.
+    * EXACT in the small-alphabet regime (≤ k distinct terms per group:
+    * no decrements ever fire, the fold is plain count addition). */
+  case class ApproxTopKCol(colName: String, alias: String,
+                           k: Int) extends AggSpec
+
   /** VARIANCE / STDDEV (r16): `var_samp`/`var_pop`/`stddev_samp`/
     * `stddev_pop` over INTEGRAL columns via exact POWER SUMS — the
     * textbook IVM device: hidden Σx (long, the SUM contract's exposure)
@@ -596,6 +615,15 @@ object MaterializedView {
           case ("approx_pct", Seq(e, pLit)) =>
             Some(ApproxPctCol(inputColOf(e, alias), alias,
               pctLiteral(pLit, alias)))
+          // r18: approx_topk(col, k) — mergeable Misra-Gries state
+          case ("approx_topk", Seq(e, kLit)) =>
+            val k = kLit match {
+              case Literal(v: Int, _) if v >= 1 => v
+              case other => refuse(s"approx_topk k '${other.sql}' in " +
+                s"'$alias' — must be an INT literal >= 1 (it bounds the " +
+                "per-group summary)")
+            }
+            Some(ApproxTopKCol(inputColOf(e, alias), alias, k))
           // exact/GK percentiles have no incremental state — name the
           // cure instead of the generic refusal (r18, VERDICT r17 #1)
           case ("percentile" | "median" | "percentile_approx" |
@@ -638,7 +666,7 @@ object MaterializedView {
       case CountCol(c, _) => c; case SumCol(c, _) => c; case AvgCol(c, _) => c
       case MinCol(c, _) => c; case MaxCol(c, _) => c; case DistinctCol(c, _) => c
       case ApproxDistinctCol(c, _) => c; case VarCol(c, _, _, _) => c
-      case ApproxPctCol(c, _, _) => c
+      case ApproxPctCol(c, _, _) => c; case ApproxTopKCol(c, _, _) => c
     }).find(_.contains(".")).foreach(c => refuse(
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
@@ -685,6 +713,8 @@ object MaterializedView {
   private def dhllCol(a: String) = s"__dhll_$a" // approx distinct: insert sketch
   private def kllCol(a: String) = s"__kll_$a"   // approx pct: KLL sketch
   private def dkllCol(a: String) = s"__dkll_$a" // approx pct: insert sketch
+  private def mgCol(a: String) = s"__mg_$a"     // approx topk: MG summary
+  private def dmgCol(a: String) = s"__dmg_$a"   // approx topk: insert summary
   private def qCol(a: String) = s"__q_$a"    // variance: exact Σx² (decimal)
   private def dqCol(a: String) = s"__dq_$a"  // variance: signed Σx² delta
   private def danyCol(a: String) = s"__dany_$a" // variance: unsigned touched rows
@@ -697,7 +727,8 @@ object MaterializedView {
   private def hasDistinct(d: MvDef): Boolean =
     d.aggs.exists(a => a.isInstanceOf[DistinctCol] || a.isInstanceOf[ApproxDistinctCol])
   private def hasKll(d: MvDef): Boolean =
-    d.aggs.exists(_.isInstanceOf[ApproxPctCol])
+    d.aggs.exists(a => a.isInstanceOf[ApproxPctCol] ||
+      a.isInstanceOf[ApproxTopKCol])
   private def hasVar(d: MvDef): Boolean =
     d.aggs.exists(_.isInstanceOf[VarCol])
   /** Aggregates that are self-maintainable under inserts but only
@@ -843,6 +874,15 @@ object MaterializedView {
             "as doubles)")
       }
     }
+    d.aggs.collect { case ApproxTopKCol(c, a, _) =>
+      fieldOf(c).dataType match {
+        case StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"materialized view: approx_topk($c) AS $a over ${dt.simpleString} — " +
+            "Misra-Gries state counts STRING terms (cast or format " +
+            "other types explicitly)")
+      }
+    }
     d.aggs.collect { case m @ (_: MinCol | _: MaxCol) =>
       val (c, a) = m match {
         case MinCol(c0, a0) => (c0, a0); case MaxCol(c0, a0) => (c0, a0)
@@ -981,6 +1021,11 @@ object MaterializedView {
       case ApproxPctCol(c, a, p) =>
         graft.functions.KllSketch.kll_quantile(
           graft.functions.KllSketch.kll_agg(col(c)), p).as(a)
+      // approx topk (r18): the sorted candidate array of the group's
+      // Misra-Gries summary (empty array for all-null groups)
+      case ApproxTopKCol(c, a, k) =>
+        graft.functions.MgSketch.mg_topk(
+          graft.functions.MgSketch.mg_agg(col(c), k)).as(a)
       // variance/stddev (r16): the SAME power-sum derivation merge uses.
       // TRY-mode sums (r17, ADVICE r16 #1): overflow must surface as
       // NULL in BOTH ANSI modes — plain SUM throws under ANSI (crashing
@@ -997,6 +1042,8 @@ object MaterializedView {
       case ApproxDistinctCol(c, a) => Seq(hll_sketch_agg(col(c)).as(hllCol(a)))
       case ApproxPctCol(c, a, _) =>
         Seq(graft.functions.KllSketch.kll_agg(col(c)).as(kllCol(a)))
+      case ApproxTopKCol(c, a, k) =>
+        Seq(graft.functions.MgSketch.mg_agg(col(c), k).as(mgCol(a)))
       case VarCol(c, a, _, _) => Seq(
         try_sum(col(c).cast(LongType)).as(sCol(a)),
         try_sum(sqExact(c)).as(qCol(a)),
@@ -1062,6 +1109,10 @@ object MaterializedView {
       // the targeted regroup; the INSERTED values' sketch merges below
       case ApproxPctCol(c, a, _) =>
         max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
+      // approx topk (r18): counters cannot subtract — delete of a
+      // non-null term sends the group to the targeted regroup
+      case ApproxTopKCol(c, a, _) =>
+        max(when(col("__sign") === -1L && col(c).isNotNull, lit(1L))).as(ddCol(a))
       // variance/stddev (r16): signed power-sum deltas — fully
       // self-maintainable both directions in the representable regime
       // (TRY sums: a delta-side overflow surfaces NULL → regroup, r17)
@@ -1081,6 +1132,8 @@ object MaterializedView {
         Seq(hll_sketch_agg(when(col("__sign") === 1L, col(c))).as(dhllCol(a)))
       case ApproxPctCol(c, a, _) => Seq(graft.functions.KllSketch
         .kll_agg(when(col("__sign") === 1L, col(c))).as(dkllCol(a)))
+      case ApproxTopKCol(c, a, k) => Seq(graft.functions.MgSketch
+        .mg_agg(when(col("__sign") === 1L, col(c)), k).as(dmgCol(a)))
       case VarCol(c, a, _, _) => Seq(
         try_sum(sqExact(c) * col("__sign")).as(dqCol(a)),
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L))).as(dnCol(a)),
@@ -1170,6 +1223,9 @@ object MaterializedView {
       case DistinctCol(_, a) => lit(null).cast(LongType).as(a)
       case ApproxDistinctCol(_, a) => lit(null).cast(LongType).as(a)
       case ApproxPctCol(_, a, _) => lit(null).cast(DoubleType).as(a)
+      case ApproxTopKCol(_, a, _) =>
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)).as(a)
       // the SAME derivation fullState uses, over the merged exact sums
       case VarCol(_, a, pop, stddev) =>
         varVisible(mergedS(a), mergedQ(a),
@@ -1187,6 +1243,7 @@ object MaterializedView {
       case DistinctCol(_, a) => col(ddCol(a)).isNotNull
       case ApproxDistinctCol(_, a) => col(ddCol(a)).isNotNull
       case ApproxPctCol(_, a, _) => col(ddCol(a)).isNotNull
+      case ApproxTopKCol(_, a, _) => col(ddCol(a)).isNotNull
       // overflow poison (r17, ADVICE r16 #1): a TOUCHED group whose
       // merged Σx² came out NULL with n>0 rows recomputes from source —
       // the only exact answer once a power sum is unrepresentable.
@@ -1226,6 +1283,13 @@ object MaterializedView {
           .otherwise(graft.functions.KllSketch.kll_union2(
             col(kllCol(a)), col(dkllCol(a))))
           .as(kllCol(a)))
+      // merged MG summary (r18): PODS'12 pairwise combine at bound k
+      case ApproxTopKCol(_, a, k) => Seq(
+        when(col(mgCol(a)).isNull, col(dmgCol(a)))
+          .when(col(dmgCol(a)).isNull, col(mgCol(a)))
+          .otherwise(graft.functions.MgSketch.mg_union2(
+            col(mgCol(a)), col(dmgCol(a)), k))
+          .as(mgCol(a)))
       // merged power sums (all-null groups report NULL, mirroring AVG,
       // so the state matches a recompute's NULL sums bit-for-bit; an
       // overflow-NULL Σx² propagates and the group regroups — r17)
@@ -1250,9 +1314,14 @@ object MaterializedView {
         coalesce(hll_sketch_estimate(col(hllCol(a))), lit(0L))))
     // approx pct (r18): the visible estimate re-derives from the MERGED
     // sketch — the same probe fullState applies, at the stored rank
-    d.aggs.collect { case ApproxPctCol(_, a, p) => (a, p) }
+    val merged3 = d.aggs.collect { case ApproxPctCol(_, a, p) => (a, p) }
       .foldLeft(merged2) { case (df, (a, p)) => df.withColumn(a,
         graft.functions.KllSketch.kll_quantile(col(kllCol(a)), p)) }
+    // approx topk (r18): the candidate array re-derives from the
+    // merged summary through the shared mg_topk surface
+    d.aggs.collect { case ApproxTopKCol(_, a, _) => a }
+      .foldLeft(merged3)((df, a) => df.withColumn(a,
+        graft.functions.MgSketch.mg_topk(col(mgCol(a)))))
   }
 
   /** The user-visible projection (hidden bookkeeping columns dropped) —

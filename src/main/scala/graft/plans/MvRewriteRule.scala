@@ -767,9 +767,30 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         }
       case _ => None
     }
+    // `misra_gries(c, k)` over an ApproxTopKCol MV (r18): the candidate
+    // ARRAY serves from the stored summary — exact dims read it through
+    // the scalar mg_topk (the same surface the direct plan's eval
+    // emits), roll-ups merge summaries at the stored bound k. The k
+    // must equal the state's (it bounds the summary).
+    def mgTarget(e: Expression): Option[(String, Int)] = e match {
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case mg: graft.functions.MisraGriesAgg =>
+            d.aggs.collectFirst {
+              case MV.ApproxTopKCol(c, a, k)
+                if k == mg.k && colEq(c, mg.child) => (a, k)
+            }
+          case _ => None
+        }
+      case _ => None
+    }
     def remap(e: Expression): Option[Expression] = e match {
       case e2 if approxTarget(e2).isDefined =>
         mvCol(approxTarget(e2).get).filter(_.dataType == e2.dataType)
+      case e2 if mgTarget(e2).isDefined =>
+        mvCol(s"__mg_${mgTarget(e2).get._1}").map(sk =>
+          graft.functions.MgTopK(sk): Expression)
+          .filter(_.dataType == e2.dataType)
       case e2 if kllTarget(e2).isDefined =>
         val (a, p) = kllTarget(e2).get
         mvCol(s"__kll_$a").map(sk =>
@@ -921,6 +942,16 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
             graft.functions.KllMergeAgg(sk),
             org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
             isDistinct = false), p): Expression
+        }.filter(_.dataType == e2.dataType)
+      // the candidate array re-derives from the PODS'12 MERGE of the
+      // stored per-group MG summaries at the coarser grain (r18)
+      case e2 if mgTarget(e2).isDefined =>
+        val (a, k) = mgTarget(e2).get
+        mvCol(s"__mg_$a").map { sk =>
+          graft.functions.MgTopK(AggregateExpression(
+            graft.functions.MgMergeAgg(sk, k),
+            org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+            isDistinct = false)): Expression
         }.filter(_.dataType == e2.dataType)
       case ae: AggregateExpression => rollupAgg(ae)
       case e2 if qDimCol(e2).isDefined =>

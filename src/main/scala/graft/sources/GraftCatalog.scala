@@ -5280,6 +5280,64 @@ object GraftCatalogOps {
     }
   }
 
+  /** `mv_approx_topk` (r18): HEAVY HITTERS in an MV via mergeable
+    * MISRA-GRIES summaries (`approx_topk(col, k)` — the engine's
+    * `misra_gries` kernel as per-group state). Lifecycle: create →
+    * insert-fold refresh (PODS'12 merge, zero regroups) → range-delete
+    * refresh (counters cannot subtract — targeted regroup) → the
+    * `misra_gries(col, k)` query shape SERVED from state, asserted
+    * in-plan. ORACLE-GATED in the exact regime: the corpus holds ≤ 20
+    * distinct sources per lang, far under k = 64, so no decrement ever
+    * fires and the candidate array is EXACTLY the sorted distinct
+    * set — DuckDB recomputes it as list_sort(list(DISTINCT …)); the
+    * array ships as a joined string (boring-type rule). */
+  def mvApproxTopk(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvtk_src", "mvtk_agg", "mvtk_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+    val src = s"$wh/db/mvtk_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvtk_agg',
+        |  'SELECT lang, count(*) AS n_docs, approx_topk(source, 64) AS top_src
+        |   FROM graft.db.mvtk_src GROUP BY lang')""".stripMargin).collect()
+    // insert fold: a new lang with fresh source terms
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 7 = 5")
+        .withColumn("doc_id", col("doc_id") + 5000000000L)
+        .withColumn("lang", lit("tt"))
+        .withColumn("source",
+          concat(lit("fresh_"), pmod(col("doc_id"), lit(6L)).cast("string"))),
+      statsCol = Some("doc_id"))
+    spark.sql("CALL graft.system.refresh_mv('db.mvtk_agg')").collect()
+    // a range delete regroups the touched groups
+    TableFormat.deleteWhere(spark, src, "doc_id", 120L, 339L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvtk_agg')").collect()
+    val prev = spark.conf.getOption("spark.graft.mv.rewrite")
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql(
+        """SELECT lang, count(*) AS n_docs,
+          |       concat_ws(',', misra_gries(source, 64)) AS top_src
+          |FROM graft.db.mvtk_src GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvtk_agg__state") && !plan.contains("mvtk_src"),
+        s"mv_approx_topk: misra_gries did not serve from state:\n$plan")
+      df
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+      case None => spark.conf.unset("spark.graft.mv.rewrite")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_distinct" -> (mvDistinct _),
     "mv_distinct_str" -> (mvDistinctStr _),
@@ -5288,6 +5346,7 @@ object GraftCatalogOps {
     "mv_approx_pct" -> (mvApproxPct _),
     "mv_rewrite_gsets" -> (mvRewriteGsets _),
     "mv_mixed_chain" -> (mvMixedChain _),
+    "mv_approx_topk" -> (mvApproxTopk _),
     "mv_rewrite_var" -> (mvRewriteVar _),
     "mv_agg_expr" -> (mvAggExpr _),
     "mv_snowflake" -> (mvSnowflake _),
@@ -5342,6 +5401,19 @@ object GraftCatalogOps {
     "sql_null_skip" -> (sqlNullSkip _))
 
   val oracle: Map[String, String] = Map(
+    "mv_approx_topk" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, source FROM documents
+        |  WHERE doc_id NOT BETWEEN 120 AND 339
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000, 'tt',
+        |    'fresh_' || CAST((doc_id + 5000000000) % 6 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 7 = 5)
+        |SELECT lang, count(1) AS n_docs,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS top_src
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_mixed_chain" ->
       """WITH final_facts AS (
         |  SELECT doc_id, lang, n_chars FROM documents

@@ -1568,6 +1568,76 @@ class MaterializedViewSpec extends SparkTestBase {
       s"string input must refuse: ${e2.getMessage}")
   }
 
+  test("approx_topk MV state: Misra-Gries summaries fold inserts with zero regroups, deletes regroup, the misra_gries query shape serves at matching k; non-string and k-mismatch refuse/stand down (r18)") {
+    val src = fresh("mv_srctk"); fresh("mv_aggtk")
+    // exact regime: <= 4 distinct terms per group with k=10 — no
+    // decrement ever fires, the fold is plain count addition and the
+    // candidate array is ALL distinct terms sorted (deterministic)
+    val rows: Seq[(Long, String, String)] = (0L until 120L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", s"t${i % 4}"))
+    TableFormat.commit(spark, src, rows.toDF("doc_id", "lang", "term"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggtk',
+        |  'SELECT lang, count(*) AS n_docs, approx_topk(term, 10) AS top_terms
+        |   FROM graft.db.mv_srctk GROUP BY lang')""".stripMargin).collect()
+    def readTk: Map[String, Seq[String]] = spark.sql(
+      "SELECT lang, top_terms FROM graft.db.mv_aggtk")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def recomputeTk: Map[String, Seq[String]] = spark.sql(
+      """SELECT lang, sort_array(collect_set(term)) AS ts
+        |FROM graft.db.mv_srctk GROUP BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(readTk == recomputeTk, s"create drifted: $readTk vs $recomputeTk")
+    // insert-only span folds by summary merge — ZERO regroups
+    TableFormat.appendCommit(spark, src,
+      ((200L until 230L).map(i => (i, "en", s"t${4 + i % 2}"))
+        : Seq[(Long, String, String)]).toDF("doc_id", "lang", "term"),
+      statsCol = Some("doc_id"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggtk')").head
+    assert(r1.getLong(4) == 0L, s"insert-only span must not regroup (got $r1)")
+    assert(readTk == recomputeTk, "folded candidates drifted")
+    assert(readTk("en").contains("t4") && readTk("en").contains("t5"))
+    // a term delete regroups (counters cannot subtract)
+    TableFormat.deleteWhere(spark, src, "doc_id", 200L, 229L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_aggtk')").head
+    assert(r2.getLong(4) > 0L, s"term delete must regroup (got $r2)")
+    assert(readTk == recomputeTk, "regrouped candidates drifted")
+    assert(!readTk("en").contains("t4"), "deleted terms must vanish")
+    // REWRITE: the misra_gries(term, 10) shape serves, exact dims and
+    // global roll-up alike; k mismatch stands down
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val q = spark.sql(
+        """SELECT lang, misra_gries(term, 10) AS tt
+          |FROM graft.db.mv_srctk GROUP BY lang ORDER BY lang""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_aggtk__state"),
+        "matching-k misra_gries must serve from state")
+      assert(q.collect().map(r =>
+        r.getString(0) -> r.getSeq[String](1)).toMap == recomputeTk)
+      val g = spark.sql(
+        "SELECT misra_gries(term, 10) AS tt FROM graft.db.mv_srctk")
+      assert(g.queryExecution.optimizedPlan.toString.contains("mv_aggtk__state"),
+        "the global roll-up must merge state summaries")
+      assert(g.head.getSeq[String](0).toSet ==
+        recomputeTk.values.flatten.toSet)
+      val qk = spark.sql(
+        """SELECT lang, misra_gries(term, 5) AS tt
+          |FROM graft.db.mv_srctk GROUP BY lang""".stripMargin)
+      assert(qk.queryExecution.optimizedPlan.toString.contains("mv_srctk"),
+        "a different k must not serve from this state")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+    // non-string input refuses by name
+    fresh("mv_aggtk2")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CALL graft.system.create_mv('db.mv_aggtk2',
+          |  'SELECT lang, approx_topk(doc_id, 5) AS t
+          |   FROM graft.db.mv_srctk GROUP BY lang')""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("STRING"), e.getMessage)
+  }
+
   test("GROUPING SETS / ROLLUP / CUBE serve from MV state: every grain re-aggregates one |groups|-row scan, grouping()/grouping_id() survive; superset dims stand down (r18, VERDICT r17 #2)") {
     val src = fresh("mv_srcgs"); fresh("mv_agggs")
     val rows = (1L to 60L).map(i =>
