@@ -2043,16 +2043,18 @@ class MaterializedViewSpec extends SparkTestBase {
         .head.getString(0)
       assert(exp.contains("null-extended"), exp)
     } finally spark.conf.set("spark.graft.mv.rewrite", "false")
-    // inner/outer mixes and right-nested outer shapes refuse loudly
-    // (left-deep outer CHAINS maintain since r18 — see the N-chain test)
+    // RIGHT-NESTED outer shapes refuse loudly (left-deep chains —
+    // all-outer AND inner/outer mixes — maintain since r18; see the
+    // N-chain and mixed-chain tests)
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
     fresh("mv_loagg2")
     val e = intercept[Exception](spark.sql(
       """CALL graft.system.create_mv('db.mv_loagg2',
         |  'SELECT region, count(*) AS c
-        |   FROM graft.db.mv_lof f JOIN graft.db.mv_lof g ON f.doc_id = g.doc_id
-        |     LEFT JOIN graft.db.mv_lod d ON f.lang = d.lang
+        |   FROM graft.db.mv_lof f LEFT JOIN
+        |     (graft.db.mv_lod d JOIN graft.db.mv_lod e ON d.lang = e.lang)
+        |     ON f.lang = d.lang
         |   GROUP BY region')""".stripMargin).collect())
     assert(chain(e).contains("LEFT-DEEP"), chain(e))
   }
