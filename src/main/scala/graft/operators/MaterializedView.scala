@@ -1836,6 +1836,37 @@ object MaterializedView {
     (vDropped, sDropped)
   }
 
+  /** Refresh-time AUTO MAINTENANCE (r18, r19 candidate #4 pulled
+    * forward): when the state table declares
+    * `graft.mv.maintain.every = N` (TBLPROPERTIES on the `__state`
+    * table), every Nth refresh commit runs the SAME compact + expire
+    * pair `graft.system.mv_maintain` runs — state and dict siblings
+    * alike — so a streaming foreachBatch maintenance loop keeps a
+    * bounded footprint with ZERO operator involvement. Optional
+    * companions: `graft.mv.maintain.retain` (versions kept, default 3)
+    * and `graft.mv.maintain.older-ms` (expire window; ABSENT = each
+    * table's own retention floor, so time travel inside the declared
+    * window always survives unattended maintenance). Failures are
+    * swallowed with a warning — maintenance must never fail a refresh
+    * that already committed. */
+  private def autoMaintain(spark: SparkSession, mvBase: String, v: Int): Unit =
+    try {
+      val props = TableFormat.manifestProps(spark, mvBase, v)
+      val every = props.get("graft.mv.maintain.every")
+        .flatMap(_.toIntOption).getOrElse(0)
+      if (every > 0 && v % every == 0) {
+        val keep = props.get("graft.mv.maintain.retain")
+          .flatMap(_.toIntOption).getOrElse(3)
+        val olderMs = props.get("graft.mv.maintain.older-ms")
+          .flatMap(_.toLongOption)
+        graft.sources.GraftProcedures.mvMaintainCore(
+          spark, mvBase, olderMs, keep)
+        ()
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[mv] auto-maintain failed on $mvBase: ${e.getMessage}")
+    }
+
   /** REFRESH: fold the source CDF from the bookmark to now into the MV.
     * Reads ONLY the changed versions' rows; a change-free span (or a
     * pure-maintenance span — compact/optimize emit no CDF rows) advances
@@ -1902,6 +1933,7 @@ object MaterializedView {
       if (delta.isEmpty) {
         // maintenance-only span: bookmark(s) advance, data untouched
         val v = TableFormat.alterPropsCommit(spark, mvBase, bookmarks)
+        autoMaintain(spark, mvBase, v)
         (v, fromV, toV, 0L, 0L)
       } else {
         val state = TableFormat.readSnapshot(spark, mvBase, Some(mvV))
@@ -1954,6 +1986,7 @@ object MaterializedView {
           setProps = bookmarks ++ poisonProps)
         merged0.unpersist()
         if (hasVar(d)) { mergedP.unpersist(); () }
+        autoMaintain(spark, mvBase, v)
         val n = TableFormat.readSnapshot(spark, mvBase, Some(v)).count()
         (v, fromV, toV, n, nRegrouped)
       }

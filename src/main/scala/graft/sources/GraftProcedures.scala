@@ -1207,24 +1207,38 @@ object GraftProcedures {
       val keepLast = if (input.isNullAt(2)) 2 else input.getInt(2)
       require(olderMs >= 0, s"mv_maintain: older_than_ms must be >= 0 (got $olderMs)")
       require(keepLast >= 1, s"mv_maintain: retain_last must be >= 1 (got $keepLast)")
-      val targets = graft.operators.MaterializedView.maintenanceTargets(spark, base)
-      var compacted = 0; var deleted = 0; var retainedState = 0
-      targets.foreach { t =>
-        if (retentionCheckOn(spark)) {
-          val minAge = vacuumMinAge(spark, t)
-          require(olderMs >= minAge,
-            s"mv_maintain: older_than_ms = $olderMs is below $t's retention " +
-              s"floor graft.vacuum.min-age = $minAge — declare a shorter floor " +
-              "via TBLPROPERTIES or SET spark.graft.vacuum.retentionCheck=false")
-        }
-        compacted += TableFormat.compact(spark, t, 64L << 20, 1)._2
-        val retained = expireRetained(spark, t, olderMs, keepLast)
-        deleted += TableFormat.vacuum(spark, t, retained)._1
-        if (t == targets.head) retainedState = retained.size
-      }
-      new GenericInternalRow(Array[Any](
-        targets.size, compacted, deleted, retainedState))
+      val (nt, compacted, deleted, retainedState) =
+        GraftProcedures.mvMaintainCore(spark, base, Some(olderMs), keepLast)
+      new GenericInternalRow(Array[Any](nt, compacted, deleted, retainedState))
     }
+  }
+
+  /** The ONE maintain implementation [[MvMaintainProc]] and the
+    * refresh-time AUTO POLICY share (r18, r19 candidate #4 pulled
+    * forward): compact + time-expire the state table and every dict
+    * sibling. `olderMs = None` (the auto policy's default) resolves to
+    * EACH table's own retention floor, so the floor check passes by
+    * construction and time travel inside the declared window survives
+    * unattended maintenance. Returns (tables, files_compacted,
+    * files_deleted, state_versions_retained). */
+  def mvMaintainCore(spark: SparkSession, mvBase: String,
+                     olderMs: Option[Long], keepLast: Int): (Int, Int, Int, Int) = {
+    val targets = graft.operators.MaterializedView.maintenanceTargets(spark, mvBase)
+    var compacted = 0; var deleted = 0; var retainedState = 0
+    targets.foreach { t =>
+      val floor = vacuumMinAge(spark, t)
+      val winMs = olderMs.getOrElse(floor)
+      if (olderMs.isDefined && retentionCheckOn(spark))
+        require(winMs >= floor,
+          s"mv_maintain: older_than_ms = $winMs is below $t's retention " +
+            s"floor graft.vacuum.min-age = $floor — declare a shorter floor " +
+            "via TBLPROPERTIES or SET spark.graft.vacuum.retentionCheck=false")
+      compacted += TableFormat.compact(spark, t, 64L << 20, 1)._2
+      val retained = expireRetained(spark, t, winMs, keepLast)
+      deleted += TableFormat.vacuum(spark, t, retained)._1
+      if (t == targets.head) retainedState = retained.size
+    }
+    (targets.size, compacted, deleted, retainedState)
   }
 
   /** RESTORE VIEW (r12): republish an archived definition as the NEW

@@ -1693,6 +1693,38 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(dfRes.queryExecution.optimizedPlan.toString.contains("mv_agggs__state"),
         "dim-residual grouping sets must serve from filtered state")
       assert(dfRes.collect().toSeq == directRes)
+      // GROUPING SETS over a JOIN MV (r18): the shape normalization
+      // routes the Expand's source through the same probeContext the
+      // flat aggregate uses, so multi-grain queries over joined
+      // sources serve from join-MV state too
+      val fj = fresh("mv_gsjf"); val dj = fresh("mv_gsjd"); fresh("mv_gsjm")
+      TableFormat.commit(spark, fj,
+        ((1L to 60L).map(i => (i, if (i % 3 == 0) "en" else "fr",
+          if (i % 2 == 0) "a" else "b", i)): Seq[(Long, String, String, Long)])
+          .toDF("doc_id", "lang", "cat", "n"),
+        1, None, statsCol = Some("doc_id"))
+      TableFormat.commit(spark, dj,
+        Seq(("en", "E"), ("fr", "F")).toDF("lang", "region"), 1, None)
+      spark.sql(
+        """CALL graft.system.create_mv('db.mv_gsjm',
+          |  'SELECT region, cat, count(*) AS c, sum(n) AS s
+          |   FROM graft.db.mv_gsjf f JOIN graft.db.mv_gsjd d ON f.lang = d.lang
+          |   GROUP BY region, cat')""".stripMargin).collect()
+      val qJ =
+        """SELECT region, cat, count(*) AS c, sum(n) AS s, grouping_id() AS gid
+          |FROM graft.db.mv_gsjf f JOIN graft.db.mv_gsjd d ON f.lang = d.lang
+          |GROUP BY region, cat GROUPING SETS ((region, cat), (region), ())
+          |ORDER BY gid, region NULLS FIRST, cat NULLS FIRST""".stripMargin
+      val directJ = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(qJ).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val dfJ = spark.sql(qJ)
+      val pJ = dfJ.queryExecution.optimizedPlan.toString
+      assert(pJ.contains("mv_gsjm__state") && !pJ.contains("mv_gsjf"),
+        s"grouping sets over a join MV must serve from state:\n$pJ")
+      assert(dfJ.collect().toSeq == directJ)
       // a set naming a NON-dim column stands down, named in explain
       val qBad =
         """SELECT lang, doc_id, count(*) AS c FROM graft.db.mv_srcgs
@@ -2274,6 +2306,73 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("sketch states x join MVs: approx_pct and approx_topk over a join chain maintain through two-sided deltas and the joined regroup, and serve (r18)") {
+    val fct = fresh("mv_skjf"); val dim = fresh("mv_skjd"); fresh("mv_skja")
+    // exact regimes on purpose: < k values and < k distinct terms per
+    // group, so every assertion is a deterministic equality
+    TableFormat.commit(spark, fct,
+      ((1L to 80L).map(i => (i, if (i % 2 == 0) "en" else "fr", i, s"t${i % 4}"))
+        : Seq[(Long, String, Long, String)]).toDF("doc_id", "lang", "n", "term"),
+      1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, dim,
+      Seq(("en", "E"), ("fr", "F")).toDF("lang", "region"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_skja',
+        |  'SELECT region, count(*) AS n_docs, approx_pct(n, 0.5) AS p50,
+        |          approx_topk(term, 10) AS tops
+        |   FROM graft.db.mv_skjf f JOIN graft.db.mv_skjd d ON f.lang = d.lang
+        |   GROUP BY region')""".stripMargin).collect()
+    def readSkj: Map[String, (Double, Seq[String])] = spark.sql(
+      "SELECT region, p50, tops FROM graft.db.mv_skja")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getSeq[String](2)))).toMap
+    def recomputeSkj: Map[String, (Double, Seq[String])] = spark.sql(
+      """SELECT region, kll_quantile(kll_agg(n), 0.5D) AS p50,
+        |       sort_array(collect_set(term)) AS tops
+        |FROM graft.db.mv_skjf f JOIN graft.db.mv_skjd d ON f.lang = d.lang
+        |GROUP BY region""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getSeq[String](2)))).toMap
+    assert(readSkj == recomputeSkj, "join-MV sketch create drifted")
+    // TWO-SIDED span: fact insert (folds) + dim append (new region)
+    TableFormat.appendCommit(spark, fct,
+      ((100L until 130L).map(i => (i, "de", i, s"t${4 + i % 2}"))
+        : Seq[(Long, String, Long, String)]).toDF("doc_id", "lang", "n", "term"),
+      statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, dim, Seq(("de", "D")).toDF("lang", "region"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_skja')").head
+    assert(r1.getLong(4) == 0L, s"insert-only two-sided span must not regroup (got $r1)")
+    assert(readSkj == recomputeSkj, "two-sided sketch fold drifted")
+    assert(readSkj.contains("D"))
+    // a value delete regroups the touched groups at the PINNED version
+    // vector (the joined snapshot rescans only marked groups)
+    TableFormat.deleteWhere(spark, fct, "doc_id", 100L, 114L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_skja')").head
+    assert(r2.getLong(4) > 0L, s"value delete must regroup (got $r2)")
+    assert(readSkj == recomputeSkj, "joined sketch regroup drifted")
+    // the join-query shapes serve from state at any rank / matching k
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val q = spark.sql(
+        """SELECT region, kll_quantile(kll_agg(n), 0.9D) AS p90,
+          |       misra_gries(term, 10) AS tops
+          |FROM graft.db.mv_skjf f JOIN graft.db.mv_skjd d ON f.lang = d.lang
+          |GROUP BY region ORDER BY region""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_skja__state"),
+        "join-query sketch reads must serve from state")
+      val direct = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(
+          """SELECT region, kll_quantile(kll_agg(n), 0.9D) AS p90,
+            |       sort_array(collect_set(term)) AS tops
+            |FROM graft.db.mv_skjf f JOIN graft.db.mv_skjd d ON f.lang = d.lang
+            |GROUP BY region ORDER BY region""".stripMargin).collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(q.collect().toSeq == direct, "served join sketch values drifted")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("mv_maintain bounds the state footprint: a 50-refresh loop keeps files/manifests bounded across state AND dict siblings; time travel inside the retention window intact (r18, VERDICT r17 #5)") {
     val src = fresh("mv_srcmt"); fresh("mv_aggmt")
     val rows: Seq[(Long, String, Long)] =
@@ -2346,6 +2445,55 @@ class MaterializedViewSpec extends SparkTestBase {
       case Some(v) => spark.conf.set("spark.graft.vacuum.retentionCheck", v)
       case None => spark.conf.unset("spark.graft.vacuum.retentionCheck")
     }
+  }
+
+  test("auto-maintenance policy: graft.mv.maintain.every=N keeps an unattended refresh loop's footprint bounded, expire window defaulting to the declared retention floor (r18)") {
+    val src = fresh("mv_srcam"); fresh("mv_aggam")
+    TableFormat.commit(spark, src,
+      ((0L until 30L).map(i => (i, s"k${i % 5}", i % 3))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "source", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggam',
+        |  'SELECT n, count(*) AS n_docs, sum(doc_id) AS s
+        |   FROM graft.db.mv_srcam GROUP BY n')""".stripMargin).collect()
+    // declare the policy ON THE STATE TABLE: maintain every 10th
+    // commit, keep 3 versions, zero retention floor (test speed — a
+    // production MV keeps the 7-day default and time travel survives)
+    spark.sql(
+      """ALTER TABLE graft.db.mv_aggam__state SET TBLPROPERTIES(
+        |  'graft.mv.maintain.every'='10',
+        |  'graft.mv.maintain.retain'='3',
+        |  'graft.vacuum.min-age'='0')""".stripMargin).collect()
+    val sb = s"$wh/db/mv_aggam__state"
+    val fs = new org.apache.hadoop.fs.Path(sb)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifests: Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$sb/_manifests")
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".manifest"))
+    }
+    // 30 refreshes, ZERO operator maintenance calls
+    (1 to 30).foreach { i =>
+      TableFormat.appendCommit(spark, src,
+        (Seq((1000L + i, s"k${i % 5}", (i % 3).toLong))
+          : Seq[(Long, String, Long)]).toDF("doc_id", "source", "n"),
+        statsCol = Some("doc_id"))
+      spark.sql("CALL graft.system.refresh_mv('db.mv_aggam')").collect()
+    }
+    assert(manifests <= 16,
+      s"auto-maintained state manifests unbounded: $manifests")
+    // the MV still equals a recompute, and the bookmark survived the
+    // policy's compact commits
+    val got = spark.sql(
+      "SELECT n, n_docs, s FROM graft.db.mv_aggam ORDER BY n").collect().toSeq
+    val want = spark.sql(
+      """SELECT n, count(1) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS s
+        |FROM graft.db.mv_srcam GROUP BY n ORDER BY n""".stripMargin)
+      .collect().toSeq
+    assert(got == want, "auto-maintained MV drifted from recompute")
+    // policy-free MVs are untouched: no property, no auto commits —
+    // the refresh count equals the commit count (pinned implicitly by
+    // every other MV test's version arithmetic staying valid)
   }
 
   test("composite join keys: an MV over a two-column equi-join maintains exactly and the rewrite matches the key-pair SET in either conjunct order (r16)") {
