@@ -36,8 +36,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * EXACT while a group holds ≤ k values. Spark ships no KLL surface
   * (`approx_percentile` is a different, non-mergeable-state estimator),
   * hence this custom family — preference tier (b) of SURVEY §4.3.
-  * Reference analogue: the quantile summaries of
-  * /root/reference/src/main.rs:210-224 (per-flow latency percentiles).
+  * ABSENT in reference (the 253-line ETL computes no aggregations at
+  * all); semantics from the public KLL literature (Karnin/Lang/
+  * Liberty, FOCS'16) and the Apache DataSketches KLL spec.
   */
 case class KllAgg(
     child: Expression,

@@ -358,7 +358,35 @@ object MaterializedView {
       }.isDefined
       if (hasOuter) {
         mixedChain(p) match {
-          case Some(x) => return Some(x)
+          case Some(x) =>
+            // r19 (ADVICE r18 #1): a later hop may NOT key on a column
+            // that an OUTER link's same-named key pair deduped away —
+            // the joined namespace resolves it through the LEFT
+            // survivor, which stays non-null on null-extended rows, so
+            // maintenance would silently diverge from the defining
+            // SQL (where the dim-side key is NULL and the later hop
+            // never matches). Remap-through-survivor is exact ONLY for
+            // inner links; outer-deduped keys refuse loudly.
+            val (_, chainNames, chainLinks) = x
+            chainLinks.zipWithIndex.foreach { case (lnk, j) =>
+              lnk.pairs.foreach { case (pIdx, pc, _) =>
+                if (pIdx > 0) {
+                  val admitting = chainLinks(pIdx - 1)
+                  if (admitting.outer &&
+                      admitting.dupCols.exists(_.equalsIgnoreCase(pc)))
+                    refuse(
+                      s"hop '${chainNames(j + 1)}' keys on " +
+                        s"'${chainNames(pIdx)}.$pc', which a LEFT OUTER " +
+                        "link merged into its left-side key — on " +
+                        s"null-extended rows '${chainNames(pIdx)}.$pc' " +
+                        "is NULL but the merged column is not, so the " +
+                        "chain is not maintainable; key the hop on a " +
+                        "column the outer join did not merge (e.g. a " +
+                        "differently-named key)")
+                }
+              }
+            }
+            return Some(x)
           case None => refuse(
             "LEFT OUTER joins maintain for a LEFT-DEEP chain of bare " +
               "tables whose links are each INNER or LEFT OUTER " +

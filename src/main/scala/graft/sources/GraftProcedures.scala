@@ -1204,7 +1204,11 @@ object GraftProcedures {
       "compact + expire a materialized view's state table and dictionary siblings in one call"
     override protected def run(spark: SparkSession, base: String, input: InternalRow): InternalRow = {
       val olderMs = input.getLong(1)
-      val keepLast = if (input.isNullAt(2)) 2 else input.getInt(2)
+      // NULL retain_last defaults to 3 — the SAME count the refresh-time
+      // auto-policy (graft.mv.maintain.retain) defaults to, so both
+      // entry points of mvMaintainCore keep identical version windows
+      // (ADVICE r18 #2)
+      val keepLast = if (input.isNullAt(2)) 3 else input.getInt(2)
       require(olderMs >= 0, s"mv_maintain: older_than_ms must be >= 0 (got $olderMs)")
       require(keepLast >= 1, s"mv_maintain: retain_last must be >= 1 (got $keepLast)")
       val (nt, compacted, deleted, retainedState) =

@@ -2194,6 +2194,88 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("a later hop keyed on an OUTER link's same-named deduped key REFUSES at create (remap-through-survivor is only exact for inner links); the inner-link spelling still maintains exactly (r19, ADVICE r18 #1)") {
+    val fct = fresh("mv_odkf"); val d1 = fresh("mv_odkd1")
+    val d2 = fresh("mv_odkd2"); val d3 = fresh("mv_odkd3")
+    fresh("mv_odka"); fresh("mv_odkb")
+    import spark.implicits._
+    TableFormat.commit(spark, fct,
+      ((1L to 60L).map(i =>
+        (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de", i))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // 'de' MISSING from d1 but PRESENT in d2 — the ADVICE repro corpus:
+    // resolving d2's hop key through the left survivor (f.lang, non-null
+    // 'de') would match d2 where direct SQL's d1.lang is NULL and never
+    // matches
+    TableFormat.commit(spark, d1,
+      Seq(("en", "E"), ("fr", "F")).toDF("lang", "region"), 1, None)
+    TableFormat.commit(spark, d2,
+      Seq(("en", "Z_en"), ("de", "Z_de")).toDF("lang", "zone"), 1, None)
+    TableFormat.commit(spark, d3,
+      Seq(("en", "P1")).toDF("lang", "pool"), 1, None)
+    // the broken shape refuses loudly, naming the merged key
+    val e = intercept[Exception] {
+      spark.sql(
+        """CALL graft.system.create_mv('db.mv_odka',
+          |  'SELECT zone, count(*) AS n_docs
+          |   FROM graft.db.mv_odkf f
+          |     LEFT JOIN graft.db.mv_odkd1 d1 ON f.lang = d1.lang
+          |     LEFT JOIN graft.db.mv_odkd2 d2 ON d1.lang = d2.lang
+          |   GROUP BY zone')""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("LEFT OUTER") &&
+      e.getMessage.contains("d1.lang") && e.getMessage.contains("merged"),
+      s"outer-deduped hop key must refuse naming the merged key: ${e.getMessage}")
+    // TRANSITIVE case: hop 3 keys on d2.lang, itself deduped by the
+    // OUTER link 2 — refuses the same way even though link 1 is inner
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """CALL graft.system.create_mv('db.mv_odka',
+          |  'SELECT pool, count(*) AS n_docs
+          |   FROM graft.db.mv_odkf f
+          |     JOIN graft.db.mv_odkd1 d1 ON f.lang = d1.lang
+          |     LEFT JOIN graft.db.mv_odkd2 d2 ON d1.lang = d2.lang
+          |     LEFT JOIN graft.db.mv_odkd3 d3 ON d2.lang = d3.lang
+          |   GROUP BY pool')""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("d2.lang") && e2.getMessage.contains("merged"),
+      s"transitively outer-deduped key must refuse: ${e2.getMessage}")
+    // the INNER-link spelling stays accepted: the inner join equates
+    // f.lang with d1.lang on every surviving row, so the survivor remap
+    // is exact — and the whole lifecycle matches direct SQL
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_odkb',
+        |  'SELECT zone, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM graft.db.mv_odkf f
+        |     JOIN graft.db.mv_odkd1 d1 ON f.lang = d1.lang
+        |     LEFT JOIN graft.db.mv_odkd2 d2 ON d1.lang = d2.lang
+        |   GROUP BY zone')""".stripMargin).collect()
+    def readB: Seq[Row] = spark.sql(
+      """SELECT zone, n_docs, sum_n FROM graft.db.mv_odkb
+        |ORDER BY zone ASC NULLS FIRST""".stripMargin).collect().toSeq
+    def recomputeB: Seq[Row] = spark.sql(
+      """SELECT zone, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM graft.db.mv_odkf f
+        |  JOIN graft.db.mv_odkd1 d1 ON f.lang = d1.lang
+        |  LEFT JOIN graft.db.mv_odkd2 d2 ON d1.lang = d2.lang
+        |GROUP BY zone ORDER BY zone ASC NULLS FIRST""".stripMargin)
+      .collect().toSeq
+    assert(readB == recomputeB, "create must match direct SQL")
+    assert(readB.exists(_.isNullAt(0)),
+      "fr facts survive the inner hop and null-extend at d2 (fr not in d2)")
+    // fact append + outer-hop 0→1 flip (d2 gains 'fr') in one span
+    TableFormat.appendCommit(spark, fct,
+      ((100L until 120L).map(i => (i, if (i % 2 == 0) "en" else "fr", i))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      statsCol = Some("doc_id"))
+    TableFormat.appendCommit(spark, d2, Seq(("fr", "Z_fr")).toDF("lang", "zone"))
+    spark.sql("CALL graft.system.refresh_mv('db.mv_odkb')").collect()
+    assert(readB == recomputeB, "span with outer flip must match direct SQL")
+    assert(!readB.exists(_.isNullAt(0)),
+      "after the flip every surviving lang has a zone")
+  }
+
   test("MIXED inner/outer MV chains: fact ⋈ d1 ⟕ d2 and fact ⟕ d1 ⋈ d2 both maintain — inner hops matched-half only, outer hops flip; rewrite matches per-hop types (r18, r19 candidate pulled forward)") {
     val fct = fresh("mv_mxf"); val d1 = fresh("mv_mxd1"); val d2 = fresh("mv_mxd2")
     fresh("mv_mxa"); fresh("mv_mxb")
