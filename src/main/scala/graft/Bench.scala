@@ -46,8 +46,11 @@ object Bench {
     // +45%, all host) reads off the artifact instead of needing a
     // rebuilt-binary ABA. Disable with SPARK_GRAFT_SENTINEL=0 (dev
     // loops, subset runs).
-    def runSentinel(): Option[Double] =
-      if (sys.env.getOrElse("SPARK_GRAFT_SENTINEL", "1") == "0") None
+    // Returns (latency total, throughput-arm seconds) — the r19 second
+    // arm (VERDICT r18 #1) measures sustained 32-thread bandwidth the
+    // 3-query latency probe can't see.
+    def runSentinel(): (Option[Double], Option[Double]) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SENTINEL", "1") == "0") (None, None)
       else try {
         val java = System.getProperty("java.home") + "/bin/java"
         val cp = System.getProperty("java.class.path")
@@ -70,10 +73,13 @@ object Bench {
           proc.destroyForcibly()
           System.err.println("[bench] sentinel timed out after 10m; killed")
         }
-        """"sentinel_total":([0-9.]+)""".r.findFirstMatchIn(out)
-          .map(_.group(1).toDouble)
+        (""""sentinel_total":([0-9.]+)""".r.findFirstMatchIn(out)
+           .map(_.group(1).toDouble),
+         """"sentinel_tp":([0-9.]+)""".r.findFirstMatchIn(out)
+           .map(_.group(1).toDouble))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] sentinel failed: ${e.getMessage}"); None
+        System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+        (None, None)
       }
     val sentinelStart = runSentinel()
     // optional comma-separated subset for iterating on specific queries
@@ -172,21 +178,32 @@ object Bench {
     // reference; total/ratio is the host-speed-corrected number to read
     // across rounds (raw totals stay primary in the artifact)
     val sentinelEnd = runSentinel()
-    val sentinelRatio = (sentinelStart, sentinelEnd) match {
-      case (Some(a), Some(b)) =>
-        Some(math.rint((a + b) / 2 / SentinelBench.referenceTotalSec * 1000) / 1000)
-      case (Some(a), None) =>
-        Some(math.rint(a / SentinelBench.referenceTotalSec * 1000) / 1000)
-      case (None, Some(b)) =>
-        Some(math.rint(b / SentinelBench.referenceTotalSec * 1000) / 1000)
-      case _ => None
-    }
+    def meanRatio(s: Option[Double], e: Option[Double], ref: Double): Option[Double] =
+      (s, e) match {
+        case (Some(a), Some(b)) => Some(math.rint((a + b) / 2 / ref * 1000) / 1000)
+        case (Some(a), None) => Some(math.rint(a / ref * 1000) / 1000)
+        case (None, Some(b)) => Some(math.rint(b / ref * 1000) / 1000)
+        case _ => None
+      }
+    val sentinelRatio =
+      meanRatio(sentinelStart._1, sentinelEnd._1, SentinelBench.referenceTotalSec)
+    // throughput-arm ratio (r19): sustained 32-thread bandwidth. The
+    // artifact carries BOTH — short queries track the latency ratio,
+    // long sweeps track this one; bench_norm.py normalizes each query
+    // by whichever of the two leaves it closer to parity (the
+    // conservative disposition the r17/r18 manual ABA always reached).
+    val sentinelTpRatio =
+      meanRatio(sentinelStart._2, sentinelEnd._2, SentinelBench.tpReferenceSec)
     def fmtOpt(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
     val totalNorm = sentinelRatio.filter(_ > 0)
       .map(r => math.rint(totalMin / r * 1000) / 1000)
+    val totalNormTp = sentinelTpRatio.filter(_ > 0)
+      .map(r => math.rint(totalMin / r * 1000) / 1000)
     val sentinelJson =
-      s""""sentinel_start":${fmtOpt(sentinelStart)},"sentinel_end":${fmtOpt(sentinelEnd)},""" +
-      s""""sentinel_ratio":${fmtOpt(sentinelRatio)},"total_min_norm":${fmtOpt(totalNorm)}"""
+      s""""sentinel_start":${fmtOpt(sentinelStart._1)},"sentinel_end":${fmtOpt(sentinelEnd._1)},""" +
+      s""""sentinel_ratio":${fmtOpt(sentinelRatio)},"total_min_norm":${fmtOpt(totalNorm)},""" +
+      s""""sentinel_tp_start":${fmtOpt(sentinelStart._2)},"sentinel_tp_end":${fmtOpt(sentinelEnd._2)},""" +
+      s""""sentinel_tp_ratio":${fmtOpt(sentinelTpRatio)},"total_min_norm_tp":${fmtOpt(totalNormTp)}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,$sentinelJson,"queries":$qs,"queries_min":$qmins,"suspects":$susp,"errors":$errs,"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}"""
     println(full)
     // The harness that consumes this output keeps only the LAST ~2000

@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Fresh-JVM HOST-SPEED SENTINEL (r17, VERDICT r16 #2): three fixed
   * queries untouched since r5 — `text_bm25`, `ts_cross_corr`,
@@ -13,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * +8.6%, r15 27%, r16 +45% — all host, proven by rebuilt-binary ABA)
   * motivated making the bench self-normalizing.
   *
-  * Prints ONE JSON line: {"sentinel_total":s,"queries":{...}}. Each
+  * Prints ONE JSON line: {"sentinel_total":s,"sentinel_tp":s,"queries":{...}}. Each
   * query runs one untimed warmup then `SPARK_GRAFT_REPEAT` timed reps
   * (default 2), reporting the MIN — the sentinel estimates the host's
   * best case, which is what the reference was pinned at. */
@@ -28,6 +29,40 @@ object SentinelBench {
     * compare across rounds. Re-pin ONLY with a fresh-JVM idle
     * measurement and a note in the round's bench file. */
   val referenceTotalSec: Double = 3.2
+
+  /** SUSTAINED-THROUGHPUT ARM (r19, VERDICT r18 #1): the 3-query
+    * latency probe under-captures memory-bandwidth contention — r18's
+    * ratio read the host FAST (0.801) while 32-thread sustained sweeps
+    * ran ~15% SLOW, so normalization OVERSTATED the cross-round delta
+    * and every flagged mover needed a manual fresh-JVM/ABA
+    * disposition. This arm is one fixed ~10-second 32-thread scan+agg:
+    * lineitem (single row group — a bare scan is ONE task) is
+    * repartitioned across all cores, each row explode-amplified 5376× (≈3.2B rows),
+    * and hash-aggregated into ~10^5 wide groups, so every core spends
+    * the whole window streaming rows through codegen and probing a
+    * larger-than-L2 hash table — the suite's sustained sweep profile.
+    * PINNED: defined here, not routed through SparkEntry.queries, so
+    * operator work can never touch it. */
+  def tpQuery(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .withColumn("r", explode(sequence(lit(0), lit(5375))))
+      .groupBy(expr("l_orderkey % 8192").as("k"), expr("r % 17").as("rk"),
+        col("l_returnflag"))
+      .agg(sum("l_quantity").as("sq"),
+        sum(expr("l_extendedprice * (1 - l_discount)")).as("srev"),
+        avg("l_tax").as("at"), count(lit(1)).as("n"),
+        max("l_shipdate").as("ms"), min("l_partkey").as("mp"))
+      .agg(count(lit(1)).as("groups"), sum(hash(col("k"), col("rk"),
+        col("sq"), col("n"))).as("chk"))
+
+  /** Pinned fresh-JVM min-of-reps seconds for [[tpQuery]] at sf0.1
+    * local[32], measured idle 2026-08-16 (r19): three fresh-JVM runs
+    * 12.38 / 9.91 / 10.20 → median 10.2 (the ~25% spread between
+    * IDENTICAL back-to-back runs is the bandwidth-contention dimension
+    * this arm exists to see). Same re-pin discipline as
+    * [[referenceTotalSec]]. */
+  val tpReferenceSec: Double = 10.2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,9 +88,20 @@ object SentinelBench {
       name -> math.rint(ts.min * 1000) / 1000
     }
     val total = math.rint(timed.map(_._2).sum * 1000) / 1000
+    // throughput arm: untimed warmup (page cache + JIT), then the same
+    // min-of-reps stat as the latency arm
+    val tp = {
+      tpQuery(spark, sfDir).collect()
+      val ts = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        tpQuery(spark, sfDir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.rint(ts.min * 1000) / 1000
+    }
     val qjson = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"sentinel_total":$total,"queries":$qjson}""")
+    println(s"""{"sentinel_total":$total,"sentinel_tp":$tp,"queries":$qjson}""")
     spark.stop()
   }
 }
