@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, C
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.DataType
 
 import graft.operators.{MaterializedView => MV, TableFormat}
 import graft.sources.GraftTable
@@ -767,6 +768,44 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         }
       case _ => None
     }
+    // `approx_percentile(col, p[, acc])` over an ApproxPctCol MV (r19,
+    // VERDICT r18 #2) — OPT-IN via `spark.graft.mv.rewrite.approxFamily`
+    // (default OFF): Spark's GK estimator and the stored KLL sketch are
+    // DIFFERENT estimators, so serving swaps the estimate — each stays
+    // within its own documented rank-error bound, but the number
+    // changes, hence the explicit flag; with the flag off the named
+    // standdown is unchanged. Scalar foldable rank only (the array form
+    // would multiply the swap per element); any rank, exact and subset
+    // dims. The KLL probe returns a RETAINED input value (so
+    // integer-valued for integral inputs) and casts back losslessly to
+    // the aggregate's result type.
+    val approxFamily = spark.sessionState.conf.getConfString(
+      "spark.graft.mv.rewrite.approxFamily", "false") == "true"
+    def apTarget(e: Expression): Option[(String, Double, DataType)] = e match {
+      case ae: AggregateExpression
+          if approxFamily && !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case ap: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
+              if ap.percentageExpression.foldable &&
+                ap.percentageExpression.dataType ==
+                  org.apache.spark.sql.types.DoubleType =>
+            Option(ap.percentageExpression.eval())
+              .map(_.asInstanceOf[Double])
+              .filter(p => p >= 0.0 && p <= 1.0)
+              .flatMap { p =>
+                d.aggs.collectFirst {
+                  case MV.ApproxPctCol(c, a, _)
+                      if colEq(c, stripVarCast(ap.child)) =>
+                    (a, p, ae.dataType)
+                }
+              }
+          case _ => None
+        }
+      case _ => None
+    }
+    def castBack(kq: Expression, to: DataType): Expression =
+      if (kq.dataType == to) kq
+      else org.apache.spark.sql.catalyst.expressions.Cast(kq, to)
     // `misra_gries(c, k)` over an ApproxTopKCol MV (r18): the candidate
     // ARRAY serves from the stored summary — exact dims read it through
     // the scalar mg_topk (the same surface the direct plan's eval
@@ -795,6 +834,11 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         val (a, p) = kllTarget(e2).get
         mvCol(s"__kll_$a").map(sk =>
           graft.functions.KllQuantile(sk, p): Expression)
+          .filter(_.dataType == e2.dataType)
+      case e2 if apTarget(e2).isDefined =>
+        val (a, p, to) = apTarget(e2).get
+        mvCol(s"__kll_$a").map(sk => castBack(graft.functions.KllQuantile(
+          sk, Literal(p, org.apache.spark.sql.types.DoubleType)), to))
           .filter(_.dataType == e2.dataType)
       case ae: AggregateExpression if ae.filter.isEmpty =>
         matchAgg(ae, d, colEq).flatMap(mvCol)
@@ -943,6 +987,18 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
             org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
             isDistinct = false), p): Expression
         }.filter(_.dataType == e2.dataType)
+      // opt-in approx_percentile roll-up (r19): probe the coarser-grain
+      // MERGE of the stored sketches — merge preserves the rank-error
+      // bound, so the estimator swap's contract is grain-independent
+      case e2 if apTarget(e2).isDefined =>
+        val (a, p, to) = apTarget(e2).get
+        mvCol(s"__kll_$a").map { sk =>
+          castBack(graft.functions.KllQuantile(AggregateExpression(
+            graft.functions.KllMergeAgg(sk),
+            org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+            isDistinct = false),
+            Literal(p, org.apache.spark.sql.types.DoubleType)), to)
+        }.filter(_.dataType == e2.dataType)
       // the candidate array re-derives from the PODS'12 MERGE of the
       // stored per-group MG summaries at the coarser grain (r18)
       case e2 if mgTarget(e2).isDefined =>
@@ -1001,9 +1057,12 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       s"agg-unmatched: output '$name' does not map onto stored state " +
         "(unsupported aggregate, approx_count_distinct/HLL++ or bare " +
         "sketch standdown, percentile/approx_percentile standdown — " +
-        "different estimators; only kll_quantile(kll_agg(col), p) " +
-        "serves from approx_pct state — unstored input expression, or " +
-        "a result-type mismatch)"
+        "different estimators; kll_quantile(kll_agg(col), p) serves " +
+        "from approx_pct state, and SET " +
+        "spark.graft.mv.rewrite.approxFamily=true to serve the " +
+        "approx_percentile spelling from the stored KLL sketch (an " +
+        "explicit estimator swap, scalar rank only) — unstored input " +
+        "expression, or a result-type mismatch)"
     val projections: Seq[NamedExpression] = aggExprs.map {
       // GROUPING SETS copy/gid outputs pass through unwrapped — they
       // resolve against the rebuilt Expand (r18)

@@ -1568,6 +1568,81 @@ class MaterializedViewSpec extends SparkTestBase {
       s"string input must refuse: ${e2.getMessage}")
   }
 
+  test("opt-in approxFamily rewrite: approx_percentile(col, p) serves from KLL MV state under spark.graft.mv.rewrite.approxFamily; default stays the named standdown; array rank never serves (r19, VERDICT r18 #2)") {
+    val src = fresh("mv_srcapf"); fresh("mv_aggapf")
+    // exact regime (< k=200 values/group): the KLL sketch retains every
+    // value, so the served answer is a deterministic retained value and
+    // the GK/KLL gap is bounded by each estimator's rank error
+    TableFormat.commit(spark, src,
+      ((1L to 100L).map(i => (i, if (i <= 50) "a" else "b", Some(i)))
+        : Seq[(Long, String, Some[Long])]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggapf',
+        |  'SELECT lang, count(*) AS n_docs, approx_pct(n, 0.5) AS p50
+        |   FROM graft.db.mv_srcapf GROUP BY lang')""".stripMargin).collect()
+    val q = """SELECT lang, approx_percentile(n, 0.5) AS p50
+              |FROM graft.db.mv_srcapf GROUP BY lang ORDER BY lang""".stripMargin
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // DEFAULT (flag off): the GK spelling stands down — source scan,
+      // explain names the standdown AND the cure flag
+      val off = spark.sql(q)
+      assert(off.queryExecution.optimizedPlan.toString.contains("mv_srcapf") &&
+        !off.queryExecution.optimizedPlan.toString.contains("__state"),
+        "flag-off approx_percentile must scan the source")
+      val direct = off.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val reasons = spark.sql(
+        s"SELECT reason FROM graft_mv_explain('${q.replace('\n', ' ')}')")
+        .collect().map(_.getString(0))
+      assert(reasons.exists(r => r.contains("agg-unmatched") &&
+        r.contains("approxFamily")),
+        s"flag-off explain must name the standdown and the cure flag: ${reasons.mkString("; ")}")
+      // FLAG ON: the same spelling serves from state — plan-asserted
+      // state-only, any rank, and the value is the KLL retained value
+      // (here exact), within both estimators' rank error of the GK plan
+      spark.conf.set("spark.graft.mv.rewrite.approxFamily", "true")
+      val on = spark.sql(q)
+      assert(on.queryExecution.optimizedPlan.toString.contains("mv_aggapf__state") &&
+        !on.queryExecution.optimizedPlan.toString.contains("mv_srcapf"),
+        s"flag-on approx_percentile must serve state-only:\n${on.queryExecution.optimizedPlan}")
+      val served = on.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served == Map("a" -> 25L, "b" -> 75L),
+        s"served p50 must be the KLL retained value: $served")
+      served.foreach { case (k, v) =>
+        assert(math.abs(v - direct(k)) <= 3,
+          s"estimator swap must stay within rank error: $k served=$v direct=${direct(k)}") }
+      // a rank the MV never stored serves too (the sketch answers any)
+      val on90 = spark.sql(
+        """SELECT lang, approx_percentile(n, 0.9) AS p90
+          |FROM graft.db.mv_srcapf GROUP BY lang ORDER BY lang""".stripMargin)
+      assert(on90.queryExecution.optimizedPlan.toString.contains("mv_aggapf__state"))
+      assert(on90.collect().map(_.getLong(1)).toSeq == Seq(45L, 95L))
+      // roll-up: the global grain merges the stored sketches
+      val ong = spark.sql(
+        "SELECT approx_percentile(n, 0.5) AS p50 FROM graft.db.mv_srcapf")
+      assert(ong.queryExecution.optimizedPlan.toString.contains("mv_aggapf__state"),
+        "global approx_percentile must roll up the state sketches")
+      assert(ong.head.getLong(0) == 50L)
+      // the ARRAY-rank form never serves, flag or no flag
+      val onArr = spark.sql(
+        """SELECT lang, approx_percentile(n, array(0.5, 0.9)) AS ps
+          |FROM graft.db.mv_srcapf GROUP BY lang""".stripMargin)
+      assert(onArr.queryExecution.optimizedPlan.toString.contains("mv_srcapf"),
+        "array-rank approx_percentile must stand down even with the flag on")
+      // explain reflects the flag-on serve
+      val expOn = spark.sql(
+        s"SELECT mv, status, chosen FROM graft_mv_explain('${q.replace('\n', ' ')}')")
+        .collect().filter(r => !r.isNullAt(0) && r.getString(0) == "db.mv_aggapf")
+      assert(expOn.nonEmpty && expOn.head.getString(1) == "would_serve" &&
+        expOn.head.getBoolean(2),
+        s"flag-on explain must show would_serve+chosen: ${expOn.mkString("; ")}")
+    } finally {
+      spark.conf.unset("spark.graft.mv.rewrite")
+      spark.conf.unset("spark.graft.mv.rewrite.approxFamily")
+    }
+  }
+
   test("approx_topk MV state: Misra-Gries summaries fold inserts with zero regroups, deletes regroup, the misra_gries query shape serves at matching k; non-string and k-mismatch refuse/stand down (r18)") {
     val src = fresh("mv_srctk"); fresh("mv_aggtk")
     // exact regime: <= 4 distinct terms per group with k=10 — no
