@@ -2530,6 +2530,121 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("sketch states x OUTER chains: approx_pct and approx_topk over a mixed inner/outer chain MV — presence flips at the outer hop regroup sketch state both directions; serve at both grains (r19, VERDICT r18 #3)") {
+    val fct = fresh("mv_skof"); val d1 = fresh("mv_skod1")
+    val d2 = fresh("mv_skod2"); fresh("mv_skoa")
+    import spark.implicits._
+    // exact regimes: < k=200 values and < k distinct terms per group,
+    // so every sketch assertion is a deterministic equality
+    // four langs → four regions; d2 maps E and H to the SAME zone Z1
+    // and misses F/G, so both zone groups hold rows from TWO regions —
+    // a later single-region flip PARTIALLY drains a surviving group
+    // (the shape where a sketch regroup is unavoidable; a fully-dying
+    // or brand-new group needs none)
+    TableFormat.commit(spark, fct,
+      ((1L to 80L).map(i => (i, Seq("en", "fr", "de", "hu")((i % 4).toInt),
+        i, s"t${i % 4}"))
+        : Seq[(Long, String, Long, String)]).toDF("doc_id", "lang", "n", "term"),
+      1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, d1,
+      Seq(("en", "E"), ("fr", "F"), ("de", "G"), ("hu", "H"))
+        .toDF("lang", "region"), 1, None)
+    TableFormat.commit(spark, d2,
+      Seq(("E", "Z1"), ("H", "Z1")).toDF("region", "zone"), 1, None)
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_skoa',
+        |  'SELECT zone, count(*) AS n_docs, approx_pct(n, 0.5) AS p50,
+        |          approx_topk(term, 10) AS tops
+        |   FROM graft.db.mv_skof f
+        |     JOIN graft.db.mv_skod1 d1 ON f.lang = d1.lang
+        |     LEFT JOIN graft.db.mv_skod2 d2 ON d1.region = d2.region
+        |   GROUP BY zone')""".stripMargin).collect()
+    def readSko: Map[Option[String], (Long, Double, Seq[String])] = spark.sql(
+      "SELECT zone, n_docs, p50, tops FROM graft.db.mv_skoa")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getSeq[String](3)))).toMap
+    def recomputeSko: Map[Option[String], (Long, Double, Seq[String])] = spark.sql(
+      """SELECT zone, count(1) AS n_docs, kll_quantile(kll_agg(n), 0.5D) AS p50,
+        |       sort_array(collect_set(term)) AS tops
+        |FROM graft.db.mv_skof f
+        |  JOIN graft.db.mv_skod1 d1 ON f.lang = d1.lang
+        |  LEFT JOIN graft.db.mv_skod2 d2 ON d1.region = d2.region
+        |GROUP BY zone""".stripMargin)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getSeq[String](3)))).toMap
+    assert(readSko == recomputeSko, "outer-chain sketch create drifted")
+    assert(readSko.contains(None), "fr+de facts must hold the NULL-zone group")
+    // fact-only insert span folds into BOTH the matched and the
+    // null-extended groups' sketches with zero regroups
+    TableFormat.appendCommit(spark, fct,
+      ((100L until 120L).map(i => (i, if (i % 2 == 0) "en" else "fr", i, s"t${4 + i % 2}"))
+        : Seq[(Long, String, Long, String)]).toDF("doc_id", "lang", "n", "term"),
+      statsCol = Some("doc_id"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_skoa')").head
+    assert(r1.getLong(4) == 0L, s"fact insert span must not regroup (got $r1)")
+    assert(readSko == recomputeSko, "outer-chain sketch fold drifted")
+    // 0→1 PRESENCE FLIP at the outer hop: d2 gains 'F' — fr rows leave
+    // the NULL-zone group, which SURVIVES on the de rows. A sketch
+    // cannot subtract the departing rows, so the flip must REGROUP the
+    // surviving group, exactly
+    TableFormat.appendCommit(spark, d2, Seq(("F", "Z2")).toDF("region", "zone"))
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_skoa')").head
+    assert(r2.getLong(4) > 0L, s"0->1 flip must regroup sketch groups (got $r2)")
+    assert(readSko == recomputeSko, "0->1 flip sketch regroup drifted")
+    assert(readSko.contains(None) && readSko.contains(Some("Z2")),
+      "fr rows move to Z2; the NULL-zone group survives on de rows")
+    // 1→0 FLIP the other way: d2 loses 'E' — en rows move Z1 → NULL,
+    // Z1 SURVIVES on the hu rows → deletes in a surviving group →
+    // sketch regroup again
+    spark.sql("DELETE FROM graft.db.mv_skod2 WHERE region = 'E'")
+    val r3 = spark.sql("CALL graft.system.refresh_mv('db.mv_skoa')").head
+    assert(r3.getLong(4) > 0L, s"1->0 flip must regroup sketch groups (got $r3)")
+    assert(readSko == recomputeSko, "1->0 flip sketch regroup drifted")
+    assert(readSko.contains(None) && readSko.contains(Some("Z1")),
+      "Z1 survives on hu rows; en rows rejoin the NULL-zone group")
+    // SERVE at both grains: the chain query's sketch reads come from
+    // state (per-hop types matched), values equal the direct plan's in
+    // the exact regime
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val qEx = spark.sql(
+        """SELECT zone, kll_quantile(kll_agg(n), 0.9D) AS p90,
+          |       misra_gries(term, 10) AS tops
+          |FROM graft.db.mv_skof f
+          |  JOIN graft.db.mv_skod1 d1 ON f.lang = d1.lang
+          |  LEFT JOIN graft.db.mv_skod2 d2 ON d1.region = d2.region
+          |GROUP BY zone ORDER BY zone NULLS FIRST""".stripMargin)
+      assert(qEx.queryExecution.optimizedPlan.toString.contains("mv_skoa__state"),
+        "exact-grain chain sketch reads must serve from state")
+      val qGl = spark.sql(
+        """SELECT kll_quantile(kll_agg(n), 0.5D) AS p50
+          |FROM graft.db.mv_skof f
+          |  JOIN graft.db.mv_skod1 d1 ON f.lang = d1.lang
+          |  LEFT JOIN graft.db.mv_skod2 d2 ON d1.region = d2.region""".stripMargin)
+      assert(qGl.queryExecution.optimizedPlan.toString.contains("mv_skoa__state"),
+        "global roll-up must merge the state sketches")
+      val (directEx, directGl) = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try (spark.sql(
+          """SELECT zone, kll_quantile(kll_agg(n), 0.9D) AS p90,
+            |       sort_array(collect_set(term)) AS tops
+            |FROM graft.db.mv_skof f
+            |  JOIN graft.db.mv_skod1 d1 ON f.lang = d1.lang
+            |  LEFT JOIN graft.db.mv_skod2 d2 ON d1.region = d2.region
+            |GROUP BY zone ORDER BY zone NULLS FIRST""".stripMargin).collect().toSeq,
+          spark.sql(
+            """SELECT kll_quantile(kll_agg(n), 0.5D) AS p50
+              |FROM graft.db.mv_skof f
+              |  JOIN graft.db.mv_skod1 d1 ON f.lang = d1.lang
+              |  LEFT JOIN graft.db.mv_skod2 d2 ON d1.region = d2.region""".stripMargin)
+            .collect().toSeq)
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(qEx.collect().toSeq == directEx, "served chain sketch values drifted")
+      assert(qGl.collect().toSeq == directGl, "served global sketch roll-up drifted")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("mv_maintain bounds the state footprint: a 50-refresh loop keeps files/manifests bounded across state AND dict siblings; time travel inside the retention window intact (r18, VERDICT r17 #5)") {
     val src = fresh("mv_srcmt"); fresh("mv_aggmt")
     val rows: Seq[(Long, String, Long)] =
