@@ -498,27 +498,70 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     probeContext(core, cteDefs) match {
       case Left(reason) => Seq((None, "standdown", reason, false))
       case Right((cond, analysisPlan, ranked, queryJoin)) =>
+        def mvNameOf(stateBase: String): String = {
+          val p = new org.apache.hadoop.fs.Path(stateBase)
+          Option(p.getParent)
+            .map(db => s"${db.getName}.${p.getName.stripSuffix("__state")}")
+            .getOrElse(stateBase)
+        }
         val rows = ranked.map { case ((stateBase, stateV, props), srcBase) =>
-          val mvName = {
-            val p = new org.apache.hadoop.fs.Path(stateBase)
-            Option(p.getParent)
-              .map(db => s"${db.getName}.${p.getName.stripSuffix("__state")}")
-              .getOrElse(stateBase)
-          }
           (try tryCandidate(stateBase, stateV, props, srcBase, cond,
             analysisPlan, dims, aggExprs, queryJoin, gsets)
           catch { case scala.util.control.NonFatal(e) =>
             Left(s"probe-error: ${e.getMessage}") }) match {
-            case Right(_) => (Some(mvName), "would_serve",
+            case Right(_) => (Some(mvNameOf(stateBase)), "would_serve",
               "substitutes the |groups|-row state scan for the source")
-            case Left(reason) => (Some(mvName), "standdown", reason)
+            case Left(reason) => (Some(mvNameOf(stateBase)), "standdown", reason)
           }
         }
+        // SPLIT-COVERAGE naming (r19, VERDICT r18 #4): when a
+        // grouping-sets query has NO single serving candidate but each
+        // grain, probed alone as a plain subset-dims aggregate, IS
+        // served by some fresh MV — and at least two distinct MVs are
+        // needed (one MV covering every grain would have served the
+        // whole query) — the explainer names the split so the operator
+        // knows a union plan would cover it. Serving stays
+        // single-candidate: this is a diagnostic row, never a plan.
+        val splitRow: Seq[(Option[String], String, String)] =
+          gsets match {
+            case Some(g) if rows.forall(_._2 != "would_serve") &&
+                ranked.size >= 2 =>
+              val grains: Seq[(Seq[Expression], String)] =
+                g.projections.flatMap { row =>
+                  val incl = (0 until g.copyAttrs.length).filter(j =>
+                    row(g.passLen + j).isInstanceOf[AttributeReference])
+                  val exprs = incl.map(g.copyDims(_))
+                  if (exprs.exists(_.isEmpty)) None
+                  else Some((exprs.flatten,
+                    incl.map(g.copyAttrs(_).name).mkString("(", ",", ")")))
+                }.distinctBy(_._2)
+              val aggOnly = aggExprs.filter(_.exists(
+                _.isInstanceOf[AggregateExpression]))
+              val perGrain: Seq[Option[String]] = grains.map { case (gdims, _) =>
+                ranked.view.flatMap { case ((sb, sv, props), srcB) =>
+                  (try tryCandidate(sb, sv, props, srcB, cond,
+                    analysisPlan, gdims, aggOnly, queryJoin, None)
+                  catch { case scala.util.control.NonFatal(_) =>
+                    Left("probe-error") }).toOption.map(_ => mvNameOf(sb))
+                }.headOption
+              }
+              if (grains.size >= 2 && perGrain.forall(_.isDefined) &&
+                  perGrain.flatten.distinct.size >= 2)
+                Seq((None, "standdown",
+                  "gsets-split-coverage: " +
+                    grains.zip(perGrain).map { case ((_, lbl), mv) =>
+                      s"grain $lbl served by ${mv.get}" }.mkString(", ") +
+                    " — the single-candidate rule serves a grouping-sets " +
+                    "query from ONE MV covering every grain"))
+              else Nil
+            case _ => Nil
+          }
+        val allRows = rows ++ splitRow
         // `chosen` marks the candidate the rewrite would actually pick:
         // the FIRST would_serve in smallest-state ranked order — the
         // same first-success-wins walk rewrite() takes
-        val firstServe = rows.indexWhere(_._2 == "would_serve")
-        rows.zipWithIndex.map { case ((mv, st, why), i) =>
+        val firstServe = allRows.indexWhere(_._2 == "would_serve")
+        allRows.zipWithIndex.map { case ((mv, st, why), i) =>
           (mv, st, why, i == firstServe) }
     }
   }

@@ -1713,6 +1713,63 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(e.getMessage.contains("STRING"), e.getMessage)
   }
 
+  test("gsets split coverage is NAMED: grains coverable only by a UNION of two MVs stand down with gsets-split-coverage naming each grain's server; serving stays single-candidate (r19, VERDICT r18 #4)") {
+    val src = fresh("mv_srcsp"); fresh("mv_spl"); fresh("mv_sps")
+    import spark.implicits._
+    TableFormat.commit(spark, src,
+      ((1L to 60L).map(i =>
+        (i, if (i % 3 == 0) "en" else "fr", if (i % 2 == 0) "web" else "book", i))
+        : Seq[(Long, String, String, Long)])
+        .toDF("doc_id", "lang", "source", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // two MVs, each covering ONE of the query's grains — neither holds
+    // the union dims {lang, source}
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_spl',
+        |  'SELECT lang, count(*) AS n_docs
+        |   FROM graft.db.mv_srcsp GROUP BY lang')""".stripMargin).collect()
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_sps',
+        |  'SELECT source, count(*) AS n_docs
+        |   FROM graft.db.mv_srcsp GROUP BY source')""".stripMargin).collect()
+    val q =
+      """SELECT lang, source, count(*) AS n_docs
+        |FROM graft.db.mv_srcsp
+        |GROUP BY lang, source GROUPING SETS ((lang), (source))""".stripMargin
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // serving stays single-candidate: the query scans the source
+      assert(spark.sql(q).queryExecution.optimizedPlan.toString
+        .contains("mv_srcsp"), "a split-coverage gsets query must not serve")
+      val rows = spark.sql(
+        s"SELECT mv, status, reason FROM graft_mv_explain('${q.replace('\n', ' ')}')")
+        .collect()
+      // both candidates stand down on the union dims…
+      assert(rows.count(r => !r.isNullAt(0) && r.getString(1) == "standdown") >= 2,
+        s"both single candidates must stand down: ${rows.mkString("; ")}")
+      // …and the query-level split row NAMES each grain's server
+      val split = rows.filter(r => r.isNullAt(0) &&
+        r.getString(2).startsWith("gsets-split-coverage"))
+      assert(split.length == 1, s"exactly one split row: ${rows.mkString("; ")}")
+      val reason = split.head.getString(2)
+      assert(reason.contains("grain (lang) served by db.mv_spl") &&
+        reason.contains("grain (source) served by db.mv_sps") &&
+        reason.contains("single-candidate"), reason)
+      // a gsets query ONE MV can cover gets no split row (it serves)
+      val qCov =
+        """SELECT lang, count(*) AS n_docs FROM graft.db.mv_srcsp
+          |GROUP BY lang GROUPING SETS ((lang), ())""".stripMargin
+      val rowsCov = spark.sql(
+        s"SELECT mv, status, reason FROM graft_mv_explain('${qCov.replace('\n', ' ')}')")
+        .collect()
+      assert(rowsCov.exists(r => !r.isNullAt(0) && r.getString(1) == "would_serve"),
+        s"single-coverable gsets must serve: ${rowsCov.mkString("; ")}")
+      assert(!rowsCov.exists(r => !r.isNullAt(2) &&
+        r.getString(2).startsWith("gsets-split-coverage")),
+        "no split row when a single candidate covers")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("GROUPING SETS / ROLLUP / CUBE serve from MV state: every grain re-aggregates one |groups|-row scan, grouping()/grouping_id() survive; superset dims stand down (r18, VERDICT r17 #2)") {
     val src = fresh("mv_srcgs"); fresh("mv_agggs")
     val rows = (1L to 60L).map(i =>
