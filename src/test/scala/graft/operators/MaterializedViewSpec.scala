@@ -1885,6 +1885,31 @@ class MaterializedViewSpec extends SparkTestBase {
       val direct2 = try spark.sql(qGs).collect().toSeq
                     finally spark.conf.set("spark.graft.mv.rewrite", "true")
       assert(dfFresh.collect().toSeq == direct2)
+      // HAVING over grouping sets (r19, VERDICT r18 #7): the analyzer
+      // plants the filter ABOVE the Aggregate-over-Expand, so it
+      // composes with the replanted state scan untouched — including a
+      // HAVING aggregate that is NOT in the SELECT list (the hidden
+      // output remaps through the roll-up mapper like any other)
+      val qHav =
+        """SELECT lang, source, count(*) AS n_docs
+          |FROM graft.db.mv_srcgs
+          |GROUP BY ROLLUP(lang, source) HAVING count(*) > 10
+          |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+      val qHavHidden =
+        """SELECT lang, source, count(*) AS n_docs
+          |FROM graft.db.mv_srcgs
+          |GROUP BY ROLLUP(lang, source) HAVING sum(n) > 400
+          |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+      for (qh <- Seq(qHav, qHavHidden)) {
+        val dfH = spark.sql(qh)
+        assert(dfH.queryExecution.optimizedPlan.toString.contains("mv_agggs__state"),
+          s"HAVING over grouping sets must serve from state:\n$qh")
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        val directH = try spark.sql(qh).collect().toSeq
+                      finally spark.conf.set("spark.graft.mv.rewrite", "true")
+        assert(directH.nonEmpty && dfH.collect().toSeq == directH,
+          s"served HAVING-over-gsets values drifted: $qh")
+      }
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
