@@ -898,6 +898,24 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         else None
       case _ => None // unexpected leaf (current_time-like): stand down
     }
+    // the residual conjuncts filter the STATE rows: every source-shaped
+    // dim occurrence — plain attribute or dim EXPRESSION (r16) — remaps
+    // to the state's stored dim column; any leftover source attribute
+    // means the conjunct is not a function of the dims → stand down
+    // (also reused by rollupAgg's FILTER-clause remap, r19 — hence
+    // defined before it)
+    def remapDims(e: Expression): Option[Expression] = e match {
+      case _: AggregateExpression => None
+      case e2 if mvDimColOf(e2).isDefined =>
+        mvCol(mvDimColOf(e2).get).filter(_.dataType == e2.dataType)
+      case _: AttributeReference => None
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty =>
+        val kids = other.children.map(remapDims)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
     // ROLL-UP remapping (dims strict subset): every aggregate call maps
     // to a RE-AGGREGATION over the stored per-group columns
     def rollupAgg(ae: AggregateExpression): Option[Expression] = {
@@ -907,7 +925,22 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         AggregateExpression(f, org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
           isDistinct = false)
       def is(c: String, att: Expression): Boolean = colEq(c, att)
-      if (ae.filter.isDefined) return None
+      // FILTER clause (r19, VERDICT r18 #8 — the PIVOT/dashboard
+      // shape `sum(x) FILTER (WHERE dim = 'a')`): a predicate that is
+      // a pure function of the MV dims selects WHOLE groups, so the
+      // re-aggregation carries the remapped predicate as its own
+      // FILTER over the state rows — exact for every composite
+      // derivation below (avg/var re-derive from power sums of exactly
+      // the selected groups; bitmap distinct ORs exactly their
+      // bitmaps; counts coalesce to 0, sums/extrema to NULL, matching
+      // empty-set SQL semantics). A non-dim predicate stands down.
+      val stateFilter: Option[Expression] = ae.filter match {
+        case None => None
+        case Some(p) => remapDims(p) match {
+          case some @ Some(_) => some
+          case None => return None
+        }
+      }
       val out: Option[Expression] = ae.aggregateFunction match {
         // count(DISTINCT c) rolls up through the stored bitmap maps:
         // presence ORs idempotently across groups, so the union's
@@ -998,7 +1031,12 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
           }
         case _ => None
       }
-      out.filter(_.dataType == ae.dataType)
+      // attach the remapped dim predicate to every re-aggregation the
+      // derivation contains (avg/var carry several)
+      out.map(o => stateFilter.fold(o)(sp => o.transform {
+        case inner: AggregateExpression if inner.filter.isEmpty =>
+          inner.copy(filter = Some(sp))
+      })).filter(_.dataType == ae.dataType)
     }
     // GROUPING SETS pass-through leaves (r18): the grouping copies and
     // spark_grouping_id live in the rebuilt Expand's output — SELECT
@@ -1063,22 +1101,6 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         else None
       case _ => None
     }
-    // the residual conjuncts filter the STATE rows: every source-shaped
-    // dim occurrence — plain attribute or dim EXPRESSION (r16) — remaps
-    // to the state's stored dim column; any leftover source attribute
-    // means the conjunct is not a function of the dims → stand down
-    def remapDims(e: Expression): Option[Expression] = e match {
-      case _: AggregateExpression => None
-      case e2 if mvDimColOf(e2).isDefined =>
-        mvCol(mvDimColOf(e2).get).filter(_.dataType == e2.dataType)
-      case _: AttributeReference => None
-      case l: Literal => Some(l)
-      case other if other.children.nonEmpty =>
-        val kids = other.children.map(remapDims)
-        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
-        else None
-      case _ => None
-    }
     val mvBase: LogicalPlan =
       if (residual.isEmpty) mvRel
       else {
@@ -1092,8 +1114,17 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
           org.apache.spark.sql.catalyst.expressions.And(_, _)), mvRel)
       }
     // GROUPING SETS always re-aggregate — the Expand replicates state
-    // rows per set, so even the full-dim grain is a roll-up (r18)
-    val exact = dimSet == mvDimSet && gsets.isEmpty
+    // rows per set, so even the full-dim grain is a roll-up (r18).
+    // FILTER-clause aggregates route through the roll-up mapper too
+    // (r19): at exact dims each output group re-aggregates its own
+    // single state row, so the attached state-side FILTER yields the
+    // row's value or the empty-set result — the same algebra as any
+    // coarser grain
+    val hasAggFilter = aggExprs.exists(_.exists {
+      case ae: AggregateExpression => ae.filter.isDefined
+      case _ => false
+    })
+    val exact = dimSet == mvDimSet && gsets.isEmpty && !hasAggFilter
     val mapper: Expression => Option[Expression] =
       if (exact) remap else remapRollup
     def aggMiss(name: String): String =
@@ -1105,7 +1136,8 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         "spark.graft.mv.rewrite.approxFamily=true to serve the " +
         "approx_percentile spelling from the stored KLL sketch (an " +
         "explicit estimator swap, scalar rank only) — unstored input " +
-        "expression, or a result-type mismatch)"
+        "expression, a FILTER clause whose predicate is not a pure " +
+        "function of the MV dims, or a result-type mismatch)"
     val projections: Seq[NamedExpression] = aggExprs.map {
       // GROUPING SETS copy/gid outputs pass through unwrapped — they
       // resolve against the rebuilt Expand (r18)

@@ -4830,6 +4830,71 @@ object GraftCatalogOps {
     }
   }
 
+  /** `mv_rewrite_filter` (r19, VERDICT r18 #8): CONDITIONAL AGGREGATES
+    * — `agg(x) FILTER (WHERE dim = …)`, the PIVOT/dashboard shape —
+    * SERVED FROM MV STATE. A FILTER predicate that is a pure function
+    * of the MV dims selects WHOLE groups, so the rewrite routes the
+    * query through the roll-up mapper with the remapped predicate
+    * attached to every re-aggregation over the state rows: counts
+    * coalesce to 0 and sums/avgs yield NULL on filtered-out groups
+    * (empty-set SQL semantics), and the exact-sum AVG derivation runs
+    * over exactly the selected groups' hidden sums. Non-dim predicates
+    * stand down by name. The plan is asserted substituted IN this
+    * query; the oracle runs the IDENTICAL FILTER clauses in DuckDB
+    * over the equivalent final state, so conditional-aggregate serving
+    * is oracle-gated on values after a full append + range-delete
+    * refresh cycle. */
+  def mvRewriteFilter(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvfl_src", "mvfl_agg", "mvfl_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("source"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvfl_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvfl_agg',
+        |  'SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |          avg(n_chars) AS avg_chars
+        |   FROM graft.db.mvfl_src GROUP BY lang, source')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 13 = 5")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 9000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("yy")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 100L, 299L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvfl_agg')").collect()
+    val prev = spark.conf.getOption("spark.graft.mv.rewrite")
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql(
+        """SELECT lang,
+          |  count(*) FILTER (WHERE source = 'src7') AS n_s7,
+          |  sum(n_chars) FILTER (WHERE source = 'src7') AS sum_s7,
+          |  avg(n_chars) FILTER (WHERE source = 'src3') AS avg_s3,
+          |  sum(n_chars) FILTER (WHERE source IN ('src1', 'src3')) AS sum_s13,
+          |  count(*) AS n_all
+          |FROM graft.db.mvfl_src
+          |GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvfl_agg__state") && !plan.contains("mvfl_src"),
+        s"mv_rewrite_filter: FILTER aggregates did not serve from state:\n$plan")
+      df
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+      case None => spark.conf.unset("spark.graft.mv.rewrite")
+    }
+  }
+
   /** `mv_rewrite` (r15, VERDICT r14 #2): MV-BASED QUERY REWRITE — the
     * read half of materialized views. The user's aggregate targets the
     * SOURCE table; with `spark.graft.mv.rewrite=true` and the MV fresh
@@ -5345,6 +5410,7 @@ object GraftCatalogOps {
     "mv_var" -> (mvVar _),
     "mv_approx_pct" -> (mvApproxPct _),
     "mv_rewrite_gsets" -> (mvRewriteGsets _),
+    "mv_rewrite_filter" -> (mvRewriteFilter _),
     "mv_mixed_chain" -> (mvMixedChain _),
     "mv_approx_topk" -> (mvApproxTopk _),
     "mv_rewrite_var" -> (mvRewriteVar _),
@@ -5581,6 +5647,24 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     // the IDENTICAL grouping-sets grains over the equivalent final
     // state; AVG as the exact-sum division the MV derivation uses
+    "mv_rewrite_filter" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 299
+        |  UNION ALL
+        |  SELECT doc_id + 9000000000, 'yy', source, n_chars FROM documents
+        |  WHERE doc_id % 13 = 5)
+        |SELECT lang,
+        |  count(*) FILTER (WHERE source = 'src7') AS n_s7,
+        |  CAST(sum(n_chars) FILTER (WHERE source = 'src7') AS BIGINT) AS sum_s7,
+        |  CASE WHEN count(n_chars) FILTER (WHERE source = 'src3') > 0 THEN
+        |    CAST(CAST(sum(n_chars) FILTER (WHERE source = 'src3') AS BIGINT) AS DOUBLE) /
+        |    CAST(count(n_chars) FILTER (WHERE source = 'src3') AS DOUBLE) END AS avg_s3,
+        |  CAST(sum(n_chars) FILTER (WHERE source IN ('src1', 'src3')) AS BIGINT) AS sum_s13,
+        |  count(*) AS n_all
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_rewrite_gsets" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents

@@ -1713,6 +1713,78 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(e.getMessage.contains("STRING"), e.getMessage)
   }
 
+  test("FILTER-clause aggregates serve from MV state when the predicate is dim-only — the PIVOT shape; subset, exact, and global grains; non-dim predicates stand down named (r19, VERDICT r18 #8)") {
+    val src = fresh("mv_srcfc"); fresh("mv_aggfc")
+    import spark.implicits._
+    TableFormat.commit(spark, src,
+      ((1L to 60L).map(i =>
+        (i, if (i % 3 == 0) "en" else "fr", if (i % 2 == 0) "web" else "book", i))
+        : Seq[(Long, String, String, Long)])
+        .toDF("doc_id", "lang", "source", "n"),
+      1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_aggfc',
+        |  'SELECT lang, source, count(*) AS n_docs, sum(n) AS sum_n,
+        |          avg(n) AS avg_n, count(DISTINCT doc_id) AS nd
+        |   FROM graft.db.mv_srcfc GROUP BY lang, source')""".stripMargin).collect()
+    def servedVsDirect(q: String, label: String): Unit = {
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("mv_aggfc__state") &&
+        !df.queryExecution.optimizedPlan.toString.contains("mv_srcfc"),
+        s"$label must serve state-only:\n${df.queryExecution.optimizedPlan}")
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val direct = try spark.sql(q).collect().toSeq
+                   finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      assert(df.collect().toSeq == direct, s"$label values drifted")
+    }
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // the PIVOT shape: subset dims, per-source conditional aggregates
+      // — count coalesces to 0, sum/avg to NULL on filtered-out groups,
+      // count(DISTINCT) ORs exactly the selected groups' bitmaps
+      servedVsDirect(
+        """SELECT lang,
+          |  count(*) FILTER (WHERE source = 'web') AS n_web,
+          |  sum(n) FILTER (WHERE source = 'web') AS s_web,
+          |  avg(n) FILTER (WHERE source = 'book') AS a_book,
+          |  count(DISTINCT doc_id) FILTER (WHERE source = 'web') AS nd_web,
+          |  count(*) AS n_all
+          |FROM graft.db.mv_srcfc GROUP BY lang ORDER BY lang""".stripMargin,
+        "pivot-shape FILTER")
+      // a predicate no group satisfies: empty-set semantics (0 / NULL)
+      servedVsDirect(
+        """SELECT lang, count(*) FILTER (WHERE source = 'nope') AS n0,
+          |       sum(n) FILTER (WHERE source = 'nope') AS s0
+          |FROM graft.db.mv_srcfc GROUP BY lang ORDER BY lang""".stripMargin,
+        "empty-filter")
+      // EXACT dims with a FILTER route through the roll-up mapper:
+      // each group re-aggregates its own state row or the empty set
+      servedVsDirect(
+        """SELECT lang, source, sum(n) FILTER (WHERE source = 'web') AS sw
+          |FROM graft.db.mv_srcfc GROUP BY lang, source
+          |ORDER BY lang, source""".stripMargin,
+        "exact-dims FILTER")
+      // global grain + compound dim predicate
+      servedVsDirect(
+        """SELECT count(*) FILTER (WHERE source = 'web' AND lang = 'en') AS n,
+          |       sum(n) FILTER (WHERE source IN ('web', 'book')) AS s
+          |FROM graft.db.mv_srcfc""".stripMargin,
+        "global FILTER")
+      // a NON-dim predicate stands down, named
+      val qBad =
+        """SELECT lang, sum(n) FILTER (WHERE n > 30) AS s
+          |FROM graft.db.mv_srcfc GROUP BY lang""".stripMargin
+      assert(spark.sql(qBad).queryExecution.optimizedPlan.toString
+        .contains("mv_srcfc"), "non-dim FILTER predicate must not serve")
+      val reasons = spark.sql(
+        s"SELECT reason FROM graft_mv_explain('${qBad.replace('\n', ' ')}')")
+        .collect().map(_.getString(0))
+      assert(reasons.exists(r => r.contains("agg-unmatched") &&
+        r.contains("FILTER")),
+        s"explain must name the FILTER standdown: ${reasons.mkString("; ")}")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("gsets split coverage is NAMED: grains coverable only by a UNION of two MVs stand down with gsets-split-coverage naming each grain's server; serving stays single-candidate (r19, VERDICT r18 #4)") {
     val src = fresh("mv_srcsp"); fresh("mv_spl"); fresh("mv_sps")
     import spark.implicits._
