@@ -916,9 +916,77 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         else None
       case _ => None
     }
+    // CASE-WHEN conditional aggregates (r19): the pre-FILTER-syntax
+    // spelling `sum(CASE WHEN p THEN x END)` every legacy dashboard
+    // uses is EXACTLY `sum(x) FILTER (WHERE p)` when the CASE has one
+    // branch and no/NULL else — NULL contributions are invisible to
+    // SUM/MIN/MAX/AVG/COUNT(col). `sum(CASE WHEN p THEN 1 ELSE 0 END)`
+    // is `count(*) FILTER (WHERE p)`. Normalizing here lets the whole
+    // FILTER-clause serving path (dim-only predicates over state rows)
+    // apply to both spellings; non-dim predicates keep standing down.
+    def normalizeCaseFilter(ae: AggregateExpression): Option[AggregateExpression] = {
+      import org.apache.spark.sql.catalyst.expressions.CaseWhen
+      if (ae.filter.isDefined || ae.isDistinct) return None
+      def oneBranch(e: Expression): Option[(Expression, Expression)] = e match {
+        case CaseWhen(Seq((p, v)), elseOpt)
+            if elseOpt.forall { case Literal(null, _) => true; case _ => false } =>
+          Some((p, v))
+        case _ => None
+      }
+      // sum(CASE WHEN p THEN 1 ELSE 0 END) — with or without an
+      // analyzer cast — is a conditional row count
+      def asCondCount(c: Expression): Option[Expression] = {
+        val cw = c match {
+          case org.apache.spark.sql.catalyst.expressions.Cast(w: CaseWhen, _, _, _) =>
+            Some(w)
+          case w: CaseWhen => Some(w)
+          case _ => None
+        }
+        cw.collect {
+          case CaseWhen(Seq((p, Literal(one, _))), elseOpt)
+              if (one == 1 || one == 1L) && elseOpt.forall {
+                case Literal(z, _) => z == null || z == 0 || z == 0L
+                case _ => false } => p
+        }
+      }
+      ae.aggregateFunction match {
+        case Sum(c, ctx) =>
+          asCondCount(c).map(p =>
+            AggregateExpression(Count(Seq(Literal(1))), ae.mode,
+              isDistinct = false, Some(p), ae.resultId))
+          .orElse(oneBranch(c).map { case (p, v) =>
+            AggregateExpression(Sum(v, ctx), ae.mode, isDistinct = false,
+              Some(p), ae.resultId) })
+        case Min(c) => oneBranch(c).map { case (p, v) =>
+          AggregateExpression(Min(v), ae.mode, isDistinct = false,
+            Some(p), ae.resultId) }
+        case Max(c) => oneBranch(c).map { case (p, v) =>
+          AggregateExpression(Max(v), ae.mode, isDistinct = false,
+            Some(p), ae.resultId) }
+        case Average(c, ctx) => oneBranch(c).map { case (p, v) =>
+          AggregateExpression(Average(v, ctx), ae.mode, isDistinct = false,
+            Some(p), ae.resultId) }
+        // count(CASE WHEN p THEN x END) counts rows where p holds AND
+        // x is non-null — exactly count(x) FILTER (WHERE p)
+        case Count(Seq(c)) => oneBranch(c).map { case (p, v) =>
+          AggregateExpression(Count(Seq(v)), ae.mode, isDistinct = false,
+            Some(p), ae.resultId) }
+        case _ => None
+      }
+    }
     // ROLL-UP remapping (dims strict subset): every aggregate call maps
-    // to a RE-AGGREGATION over the stored per-group columns
-    def rollupAgg(ae: AggregateExpression): Option[Expression] = {
+    // to a RE-AGGREGATION over the stored per-group columns. The
+    // VERBATIM shape is tried first (an MV may have stored the query's
+    // CASE expression itself via aggInExprs); the CASE→FILTER
+    // normalization is the fallback.
+    def rollupAgg(ae0: AggregateExpression): Option[Expression] =
+      rollupAggCore(ae0).orElse(
+        normalizeCaseFilter(ae0).flatMap(rollupAggCore))
+        // the served expression must carry the QUERY output's type —
+        // a normalization that changed it (fractional 1/0 sums) stands
+        // down rather than corrupting the alias
+        .filter(_.dataType == ae0.dataType)
+    def rollupAggCore(ae: AggregateExpression): Option[Expression] = {
       import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Divide, GreaterThan, If}
       import org.apache.spark.sql.types.{DoubleType, LongType}
       def reAgg(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
@@ -1121,7 +1189,8 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     // row's value or the empty-set result — the same algebra as any
     // coarser grain
     val hasAggFilter = aggExprs.exists(_.exists {
-      case ae: AggregateExpression => ae.filter.isDefined
+      case ae: AggregateExpression =>
+        ae.filter.isDefined || normalizeCaseFilter(ae).isDefined
       case _ => false
     })
     val exact = dimSet == mvDimSet && gsets.isEmpty && !hasAggFilter

@@ -4881,6 +4881,8 @@ object GraftCatalogOps {
           |  sum(n_chars) FILTER (WHERE source = 'src7') AS sum_s7,
           |  avg(n_chars) FILTER (WHERE source = 'src3') AS avg_s3,
           |  sum(n_chars) FILTER (WHERE source IN ('src1', 'src3')) AS sum_s13,
+          |  sum(CASE WHEN source = 'src5' THEN n_chars END) AS sum_case5,
+          |  sum(CASE WHEN source = 'src5' THEN 1 ELSE 0 END) AS n_case5,
           |  count(*) AS n_all
           |FROM graft.db.mvfl_src
           |GROUP BY lang
@@ -5661,6 +5663,8 @@ object GraftCatalogOps {
         |    CAST(CAST(sum(n_chars) FILTER (WHERE source = 'src3') AS BIGINT) AS DOUBLE) /
         |    CAST(count(n_chars) FILTER (WHERE source = 'src3') AS DOUBLE) END AS avg_s3,
         |  CAST(sum(n_chars) FILTER (WHERE source IN ('src1', 'src3')) AS BIGINT) AS sum_s13,
+        |  CAST(sum(CASE WHEN source = 'src5' THEN n_chars END) AS BIGINT) AS sum_case5,
+        |  CAST(sum(CASE WHEN source = 'src5' THEN 1 ELSE 0 END) AS BIGINT) AS n_case5,
         |  count(*) AS n_all
         |FROM final_state
         |GROUP BY lang

@@ -1770,6 +1770,26 @@ class MaterializedViewSpec extends SparkTestBase {
           |       sum(n) FILTER (WHERE source IN ('web', 'book')) AS s
           |FROM graft.db.mv_srcfc""".stripMargin,
         "global FILTER")
+      // the pre-FILTER-syntax CASE spellings normalize onto the same
+      // path: sum/avg/count of a single-branch CASE, and the 1/0
+      // conditional row count (r19)
+      servedVsDirect(
+        """SELECT lang,
+          |  sum(CASE WHEN source = 'web' THEN n END) AS s_web,
+          |  avg(CASE WHEN source = 'book' THEN n END) AS a_book,
+          |  count(CASE WHEN source = 'web' THEN 1 END) AS c_web,
+          |  sum(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS n_web
+          |FROM graft.db.mv_srcfc GROUP BY lang ORDER BY lang""".stripMargin,
+        "CASE-spelling conditional aggregates")
+      // FILTER clauses ride GROUPING SETS grains too (the gsets mapper
+      // IS the roll-up mapper)
+      servedVsDirect(
+        """SELECT lang, count(*) FILTER (WHERE source = 'web') AS n_web,
+          |       grouping_id() AS gid
+          |FROM graft.db.mv_srcfc
+          |GROUP BY lang GROUPING SETS ((lang), ())
+          |ORDER BY gid, lang NULLS FIRST""".stripMargin,
+        "FILTER over grouping sets")
       // a NON-dim predicate stands down, named
       val qBad =
         """SELECT lang, sum(n) FILTER (WHERE n > 30) AS s
@@ -1782,6 +1802,12 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(reasons.exists(r => r.contains("agg-unmatched") &&
         r.contains("FILTER")),
         s"explain must name the FILTER standdown: ${reasons.mkString("; ")}")
+      // a non-dim CASE condition stands down the same way
+      assert(spark.sql(
+        """SELECT lang, sum(CASE WHEN n > 30 THEN n END) AS s
+          |FROM graft.db.mv_srcfc GROUP BY lang""".stripMargin)
+        .queryExecution.optimizedPlan.toString.contains("mv_srcfc"),
+        "non-dim CASE condition must not serve")
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
