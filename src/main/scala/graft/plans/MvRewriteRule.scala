@@ -950,6 +950,11 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         }
       }
       ae.aggregateFunction match {
+        // count_if(p) IS count(*) FILTER (WHERE p) — Spark's CountIf
+        // stays unreplaced at analysis time, where this rule runs
+        case org.apache.spark.sql.catalyst.expressions.aggregate.CountIf(p) =>
+          Some(AggregateExpression(Count(Seq(Literal(1))), ae.mode,
+            isDistinct = false, Some(p), ae.resultId))
         case Sum(c, ctx) =>
           asCondCount(c).map(p =>
             AggregateExpression(Count(Seq(Literal(1))), ae.mode,

@@ -1624,6 +1624,17 @@ class MaterializedViewSpec extends SparkTestBase {
       assert(ong.queryExecution.optimizedPlan.toString.contains("mv_aggapf__state"),
         "global approx_percentile must roll up the state sketches")
       assert(ong.head.getLong(0) == 50L)
+      // the flag-on serve composes with GROUPING SETS grains (the
+      // gsets mapper is the roll-up mapper): each grain merges the
+      // stored sketches and the retained values match the exact regime
+      val onGs = spark.sql(
+        """SELECT lang, approx_percentile(n, 0.5) AS p50, grouping_id() AS gid
+          |FROM graft.db.mv_srcapf
+          |GROUP BY lang GROUPING SETS ((lang), ())
+          |ORDER BY gid, lang NULLS FIRST""".stripMargin)
+      assert(onGs.queryExecution.optimizedPlan.toString.contains("mv_aggapf__state"),
+        "flag-on approx_percentile must serve grouping-set grains")
+      assert(onGs.collect().map(_.getLong(1)).toSeq == Seq(25L, 75L, 50L))
       // the ARRAY-rank form never serves, flag or no flag
       val onArr = spark.sql(
         """SELECT lang, approx_percentile(n, array(0.5, 0.9)) AS ps
@@ -1778,7 +1789,8 @@ class MaterializedViewSpec extends SparkTestBase {
           |  sum(CASE WHEN source = 'web' THEN n END) AS s_web,
           |  avg(CASE WHEN source = 'book' THEN n END) AS a_book,
           |  count(CASE WHEN source = 'web' THEN 1 END) AS c_web,
-          |  sum(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS n_web
+          |  sum(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS n_web,
+          |  count_if(source = 'book') AS ci_book
           |FROM graft.db.mv_srcfc GROUP BY lang ORDER BY lang""".stripMargin,
         "CASE-spelling conditional aggregates")
       // FILTER clauses ride GROUPING SETS grains too (the gsets mapper
