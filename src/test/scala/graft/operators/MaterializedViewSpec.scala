@@ -2719,6 +2719,22 @@ class MaterializedViewSpec extends SparkTestBase {
         finally spark.conf.set("spark.graft.mv.rewrite", "true")
       }
       assert(q.collect().toSeq == direct, "served join sketch values drifted")
+      // FILTER-clause aggregates compose over JOIN MVs too (r19): the
+      // dim-only predicate selects whole joined groups
+      val qF = spark.sql(
+        """SELECT count(*) FILTER (WHERE region = 'E') AS n_e
+          |FROM graft.db.mv_skjf f JOIN graft.db.mv_skjd d ON f.lang = d.lang""".stripMargin)
+      assert(qF.queryExecution.optimizedPlan.toString.contains("mv_skja__state"),
+        "FILTER over a join MV must serve from state")
+      val directF = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try spark.sql(
+          """SELECT count(*) FILTER (WHERE region = 'E') AS n_e
+            |FROM graft.db.mv_skjf f JOIN graft.db.mv_skjd d ON f.lang = d.lang""".stripMargin)
+          .collect().toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      assert(qF.collect().toSeq == directF, "served join FILTER count drifted")
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
