@@ -4897,6 +4897,62 @@ object GraftCatalogOps {
     }
   }
 
+  /** `mv_rewrite_pivot` (r19): the SQL PIVOT syntax SERVED FROM MV
+    * STATE. Spark plans PIVOT as a `pivotfirst` aggregate OVER an
+    * inner GROUP BY (outDims, pivotCol) aggregate; when that inner
+    * aggregate matches an MV (here exact dims — a pure state
+    * projection), the rewrite substitutes the |groups|-row state scan
+    * and pivotfirst re-shapes those rows — the source never appears in
+    * the plan. Absent (dim, pivot-value) combinations surface NULL
+    * (two-phase PIVOT semantics: no inner row → nothing to pivot), so
+    * the oracle emulates with FILTER aggregates NULLed at count 0.
+    * Plan asserted substituted IN this query; values hash-matched by
+    * DuckDB after the append + range-delete refresh cycle. */
+  def mvRewritePivot(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvpv_src", "mvpv_agg", "mvpv_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("source"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    val src = s"$wh/db/mvpv_src"
+    TableFormat.commit(spark, src, docs, 1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvpv_agg',
+        |  'SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |   FROM graft.db.mvpv_src GROUP BY lang, source')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, src,
+      docs.filter("doc_id % 17 = 2")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 7000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("zz")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, src, "doc_id", 50L, 249L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvpv_agg')").collect()
+    val prev = spark.conf.getOption("spark.graft.mv.rewrite")
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql(
+        """SELECT * FROM (SELECT lang, source, n_chars FROM graft.db.mvpv_src)
+          |PIVOT (sum(n_chars) AS s, count(*) AS c
+          |       FOR source IN ('src7', 'src3'))
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("mvpv_agg__state") && !plan.contains("mvpv_src"),
+        s"mv_rewrite_pivot: PIVOT did not serve from state:\n$plan")
+      df
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+      case None => spark.conf.unset("spark.graft.mv.rewrite")
+    }
+  }
+
   /** `mv_rewrite` (r15, VERDICT r14 #2): MV-BASED QUERY REWRITE — the
     * read half of materialized views. The user's aggregate targets the
     * SOURCE table; with `spark.graft.mv.rewrite=true` and the MV fresh
@@ -5413,6 +5469,7 @@ object GraftCatalogOps {
     "mv_approx_pct" -> (mvApproxPct _),
     "mv_rewrite_gsets" -> (mvRewriteGsets _),
     "mv_rewrite_filter" -> (mvRewriteFilter _),
+    "mv_rewrite_pivot" -> (mvRewritePivot _),
     "mv_mixed_chain" -> (mvMixedChain _),
     "mv_approx_topk" -> (mvApproxTopk _),
     "mv_rewrite_var" -> (mvRewriteVar _),
@@ -5649,6 +5706,23 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     // the IDENTICAL grouping-sets grains over the equivalent final
     // state; AVG as the exact-sum division the MV derivation uses
+    "mv_rewrite_pivot" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 50 AND 249
+        |  UNION ALL
+        |  SELECT doc_id + 7000000000, 'zz', source, n_chars FROM documents
+        |  WHERE doc_id % 17 = 2)
+        |SELECT lang,
+        |  CAST(sum(n_chars) FILTER (WHERE source = 'src7') AS BIGINT) AS src7_s,
+        |  CASE WHEN count(*) FILTER (WHERE source = 'src7') > 0
+        |    THEN count(*) FILTER (WHERE source = 'src7') END AS src7_c,
+        |  CAST(sum(n_chars) FILTER (WHERE source = 'src3') AS BIGINT) AS src3_s,
+        |  CASE WHEN count(*) FILTER (WHERE source = 'src3') > 0
+        |    THEN count(*) FILTER (WHERE source = 'src3') END AS src3_c
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_rewrite_filter" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents

@@ -1793,6 +1793,16 @@ class MaterializedViewSpec extends SparkTestBase {
           |  count_if(source = 'book') AS ci_book
           |FROM graft.db.mv_srcfc GROUP BY lang ORDER BY lang""".stripMargin,
         "CASE-spelling conditional aggregates")
+      // the SQL PIVOT syntax serves through the same machinery (r19):
+      // the analyzer plans PIVOT as pivotfirst OVER an inner
+      // GROUP BY (outDims, pivotCol) aggregate — the inner aggregate
+      // rewrites to the state scan and pivotfirst re-shapes |groups|
+      // rows; the 100 TB source never appears in the plan
+      servedVsDirect(
+        """SELECT * FROM (SELECT lang, source, n FROM graft.db.mv_srcfc)
+          |PIVOT (sum(n) AS s, count(*) AS c FOR source IN ('web', 'book'))
+          |ORDER BY lang""".stripMargin,
+        "SQL PIVOT")
       // FILTER clauses ride GROUPING SETS grains too (the gsets mapper
       // IS the roll-up mapper)
       servedVsDirect(
