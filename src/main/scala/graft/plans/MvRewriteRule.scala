@@ -1119,6 +1119,19 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       gsets.map(g => org.apache.spark.sql.catalyst.expressions.AttributeSet(
         g.copyAttrs :+ g.gidAttr))
         .getOrElse(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
+    // strip one FILTER clause off a (possibly wrapped) aggregate call,
+    // returning the bare shape the sketch targets match plus the
+    // predicate (r19 — FILTER × sketch composition)
+    def stripAggFilter(e: Expression): (Expression, Option[Expression]) = e match {
+      case ae: AggregateExpression if ae.filter.isDefined =>
+        (ae.copy(filter = None), ae.filter)
+      case HllSketchEstimate(ae: AggregateExpression) if ae.filter.isDefined =>
+        (HllSketchEstimate(ae.copy(filter = None)), ae.filter)
+      case graft.functions.KllQuantile(ae: AggregateExpression, p)
+          if ae.filter.isDefined =>
+        (graft.functions.KllQuantile(ae.copy(filter = None), p), ae.filter)
+      case other => (other, None)
+    }
     def remapRollup(e: Expression): Option[Expression] = e match {
       case a: AttributeReference if gsetPass.contains(a) => Some(a)
       // the approx-distinct estimate re-derives from the UNION of the
@@ -1163,6 +1176,26 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
             org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
             isDistinct = false)): Expression
         }.filter(_.dataType == e2.dataType)
+      // dim-only FILTER × sketch roll-ups (r19): strip the filter,
+      // remap the bare sketch target, then attach the remapped
+      // predicate to the merge aggregation — the merge then combines
+      // exactly the selected groups' sketches, which is the sketch of
+      // exactly the predicate's rows (group membership is a function
+      // of the dims). A non-dim predicate fails remapDims → standdown.
+      case e2 if {
+        val (stripped, f) = stripAggFilter(e2)
+        f.isDefined && (approxTarget(stripped).isDefined ||
+          kllTarget(stripped).isDefined || apTarget(stripped).isDefined ||
+          mgTarget(stripped).isDefined)
+      } =>
+        val (stripped, f) = stripAggFilter(e2)
+        for {
+          sp <- remapDims(f.get)
+          mapped <- remapRollup(stripped)
+        } yield mapped.transform {
+          case inner: AggregateExpression if inner.filter.isEmpty =>
+            inner.copy(filter = Some(sp))
+        }
       case ae: AggregateExpression => rollupAgg(ae)
       case e2 if qDimCol(e2).isDefined =>
         mvCol(qDimCol(e2).get).filter(_.dataType == e2.dataType)

@@ -1736,7 +1736,9 @@ class MaterializedViewSpec extends SparkTestBase {
     spark.sql(
       """CALL graft.system.create_mv('db.mv_aggfc',
         |  'SELECT lang, source, count(*) AS n_docs, sum(n) AS sum_n,
-        |          avg(n) AS avg_n, count(DISTINCT doc_id) AS nd
+        |          avg(n) AS avg_n, count(DISTINCT doc_id) AS nd,
+        |          approx_pct(n, 0.5) AS p50, approx_topk(source, 10) AS tops,
+        |          approx_distinct(source) AS adc
         |   FROM graft.db.mv_srcfc GROUP BY lang, source')""".stripMargin).collect()
     def servedVsDirect(q: String, label: String): Unit = {
       val df = spark.sql(q)
@@ -1793,6 +1795,32 @@ class MaterializedViewSpec extends SparkTestBase {
           |  count_if(source = 'book') AS ci_book
           |FROM graft.db.mv_srcfc GROUP BY lang ORDER BY lang""".stripMargin,
         "CASE-spelling conditional aggregates")
+      // dim-only FILTERs compose with SKETCH roll-ups too (r19): the
+      // merge aggregation combines exactly the selected groups'
+      // sketches — in the exact regime the values equal the direct
+      // plan's sketch over the predicate's rows
+      servedVsDirect(
+        """SELECT lang,
+          |  kll_quantile(kll_agg(n) FILTER (WHERE source = 'web'), 0.5D) AS p50w,
+          |  hll_sketch_estimate(hll_sketch_agg(source) FILTER (WHERE source = 'web')) AS dw,
+          |  misra_gries(source, 10) FILTER (WHERE source = 'book') AS tb
+          |FROM graft.db.mv_srcfc GROUP BY lang ORDER BY lang""".stripMargin,
+        "FILTER over sketch aggregates")
+      // and with the opt-in approx family flag, the GK spelling's
+      // FILTER rides the same path
+      spark.conf.set("spark.graft.mv.rewrite.approxFamily", "true")
+      try servedVsDirect(
+        """SELECT lang,
+          |  approx_percentile(n, 0.5) FILTER (WHERE source = 'web') AS apw
+          |FROM graft.db.mv_srcfc GROUP BY lang ORDER BY lang""".stripMargin,
+        "FILTER over opt-in approx_percentile")
+      finally spark.conf.unset("spark.graft.mv.rewrite.approxFamily")
+      // a sketch FILTER with a non-dim predicate stands down
+      assert(spark.sql(
+        """SELECT lang, kll_quantile(kll_agg(n) FILTER (WHERE n > 30), 0.5D) AS p
+          |FROM graft.db.mv_srcfc GROUP BY lang""".stripMargin)
+        .queryExecution.optimizedPlan.toString.contains("mv_srcfc"),
+        "non-dim sketch FILTER must not serve")
       // the SQL PIVOT syntax serves through the same machinery (r19):
       // the analyzer plans PIVOT as pivotfirst OVER an inner
       // GROUP BY (outDims, pivotCol) aggregate — the inner aggregate
