@@ -1840,6 +1840,21 @@ class MaterializedViewSpec extends SparkTestBase {
           |GROUP BY lang GROUPING SETS ((lang), ())
           |ORDER BY gid, lang NULLS FIRST""".stripMargin,
         "FILTER over grouping sets")
+      // GROUP BY ALL resolves to concrete dims before the rule runs,
+      // so it serves like any explicit GROUP BY (r19 pin)
+      servedVsDirect(
+        """SELECT lang, count(*) AS c, sum(n) FILTER (WHERE source = 'web') AS sw
+          |FROM graft.db.mv_srcfc GROUP BY ALL ORDER BY lang""".stripMargin,
+        "GROUP BY ALL")
+      // a window over an aggregate subquery serves its INNER aggregate
+      // from state (the rule rewrites every matching Aggregate, not
+      // just the root — same machinery PIVOT rides) (r19 pin)
+      servedVsDirect(
+        """SELECT lang, cnt, rank() OVER (ORDER BY cnt DESC, lang) AS rk
+          |FROM (SELECT lang, count(*) AS cnt
+          |      FROM graft.db.mv_srcfc GROUP BY lang)
+          |ORDER BY rk""".stripMargin,
+        "window over served aggregate")
       // a NON-dim predicate stands down, named
       val qBad =
         """SELECT lang, sum(n) FILTER (WHERE n > 30) AS s
