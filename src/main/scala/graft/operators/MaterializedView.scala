@@ -198,16 +198,29 @@ object MaterializedView {
     * dims under a hidden `__in_<alias>` column, then aggregated as a
     * plain column; the state stores only the aggregate under the user's
     * alias. Keys are the hidden column names. */
+  /** `unionLegs` (r19): additional UNION ALL leg tables — the
+    * partitioned-fact shape `FROM (SELECT * FROM events_2024 UNION ALL
+    * SELECT * FROM events_2025)`. The first leg stays `srcParts`; all
+    * legs share one column namespace (validated same-columns at
+    * create). Mutually exclusive with `joins`. The IVM identity is the
+    * simplest multi-source one there is: Δ(⋃ᵢ Sᵢ) = ⋃ᵢ ΔSᵢ under bag
+    * semantics — per-leg change feeds union with their signs intact
+    * and the single-source group fold applies unchanged. */
   case class MvDef(srcParts: Seq[String], dims: Seq[String],
                    aggs: Seq[AggSpec], filterSql: Option[String],
                    selectCols: Seq[String], joins: Seq[JoinLink] = Nil,
                    dimExprs: Map[String, String] = Map.empty,
-                   aggInExprs: Map[String, String] = Map.empty) {
+                   aggInExprs: Map[String, String] = Map.empty,
+                   unionLegs: Seq[Seq[String]] = Nil) {
     def srcRelative: Seq[String] =
       if (srcParts.length >= 3) srcParts.takeRight(2) else srcParts
-    /** Every chain table's `db.table` spelling, first table included. */
+    private def legRelative(parts: Seq[String]): Seq[String] =
+      if (parts.length >= 3) parts.takeRight(2) else parts
+    /** Every chain/union table's `db.table` spelling, first included. */
     def tableRels: Seq[String] =
-      srcRelative.mkString(".") +: joins.map(_.srcRelative.mkString("."))
+      srcRelative.mkString(".") +:
+        (joins.map(_.srcRelative.mkString(".")) ++
+         unionLegs.map(legRelative(_).mkString(".")))
   }
 
   /** Parse + shape-validate the defining text. Refusals name the exact
@@ -494,17 +507,54 @@ object MaterializedView {
         }
       case other => other
     }
-    val (srcParts, filterSql, joinLinks) = normalize(agg.child) match {
-      case r if rel(r).isDefined => (rel(r).get._1, None, Nil)
+    // UNION ALL sources (r19) — the partitioned-fact shape: every leg
+    // must normalize to a bare graft table (SELECT * only); plain
+    // UNION refuses (it deduplicates — a different relation); legs
+    // must be distinct tables (a repeated leg doubles its rows —
+    // almost certainly a mistake; spell intentional doubling in the
+    // aggregate).
+    def unionLegsOf(p: LogicalPlan): Option[Seq[Seq[String]]] = p match {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        if (u.byName) refuse("UNION by name is not maintainable — spell " +
+          "the legs SELECT * over same-schema tables")
+        def legs(q: LogicalPlan): Seq[Seq[String]] = normalize(q) match {
+          case u2: org.apache.spark.sql.catalyst.plans.logical.Union =>
+            if (u2.byName) refuse("UNION by name is not maintainable")
+            u2.children.flatMap(legs)
+          case r if rel(r).isDefined => Seq(rel(r).get._1)
+          case other => refuse("every UNION ALL leg must be SELECT * " +
+            s"FROM a bare graft table (got ${other.nodeName})")
+        }
+        val ls = u.children.flatMap(legs)
+        val names = ls.map(parts =>
+          (if (parts.length >= 3) parts.takeRight(2) else parts)
+            .mkString(".").toLowerCase(java.util.Locale.ROOT))
+        names.groupBy(identity).foreach { case (n, vs) =>
+          if (vs.size > 1) refuse(s"UNION ALL leg '$n' repeats — a " +
+            "repeated leg doubles its rows; union distinct tables") }
+        Some(ls)
+      case org.apache.spark.sql.catalyst.plans.logical.Distinct(
+            _: org.apache.spark.sql.catalyst.plans.logical.Union) =>
+        refuse("UNION deduplicates across legs and is not incrementally " +
+          "maintainable — use UNION ALL (and COUNT/SUM semantics over " +
+          "the bag), or dedup in the aggregate")
+      case _ => None
+    }
+    val (srcParts, filterSql, joinLinks, unionLegs0) = normalize(agg.child) match {
+      case r if rel(r).isDefined => (rel(r).get._1, None, Nil, Nil)
       case r if joined(r).isDefined =>
-        val (l, js) = joined(r).get; (l, None, js)
+        val (l, js) = joined(r).get; (l, None, js, Nil)
+      case u if unionLegsOf(u).isDefined =>
+        val ls = unionLegsOf(u).get; (ls.head, None, Nil, ls.tail)
       case LFilter(cond, r) if rel(r).isDefined =>
-        (rel(r).get._1, Some(cond.sql), Nil)
+        (rel(r).get._1, Some(cond.sql), Nil, Nil)
       case LFilter(cond, r) if joined(r).isDefined =>
-        val (l, js) = joined(r).get; (l, Some(cond.sql), js)
+        val (l, js) = joined(r).get; (l, Some(cond.sql), js, Nil)
+      case LFilter(cond, u) if unionLegsOf(u).isDefined =>
+        val ls = unionLegsOf(u).get; (ls.head, Some(cond.sql), Nil, ls.tail)
       case other => refuse(
-        s"FROM must be a single table or an inner equi-join chain " +
-          s"(got ${other.nodeName})")
+        s"FROM must be a single table, an inner equi-join chain, or a " +
+          s"UNION ALL of same-schema tables (got ${other.nodeName})")
     }
     // EXPRESSION DIMS (r16, VERDICT r15 #3): the SELECT list may alias
     // a deterministic scalar expression (`date_trunc('day', ts) AS day`)
@@ -699,7 +749,7 @@ object MaterializedView {
       s"column '$c' is qualified — SELECT/GROUP BY columns must be " +
         "unqualified (the join's column namespaces may not overlap)"))
     MvDef(srcParts, dims, aggs, filterSql, selectCols.toSeq, joinLinks, dimExprs,
-      aggIn.toMap)
+      aggIn.toMap, unionLegs0)
   }
 
   /** The computed-column projection chokepoint (r16): expression DIMS
@@ -1409,7 +1459,35 @@ object MaterializedView {
       .distinctBy(_._1).sortBy(_._1)
     all.filter { c =>
       val srcs = mvSrcsOf(c._3).map(_.toLowerCase)
-      srcs.size == want.size && srcs.toSet == want
+      !c._3.get("graft.mv.shape").contains("union") &&
+        srcs.size == want.size && srcs.toSet == want
+    }
+  }
+
+  /** UNION-MV candidates (r19): sibling state tables whose stored
+    * shape is `union` and whose leg table SET equals the query's —
+    * bag union commutes, so leg order is irrelevant. Same sweep/cache
+    * as [[joinCandidatesFor]]; the shape marker keeps join and union
+    * MVs over the same table set from cross-matching. */
+  def unionCandidatesFor(spark: SparkSession, bases: Seq[String])
+      : Seq[(String, Int, Map[String, String])] = {
+    val rels = bases.map { b =>
+      val p = new org.apache.hadoop.fs.Path(b)
+      val db = p.getParent
+      if (db == null) return Seq.empty
+      s"${db.getName}.${p.getName}"
+    }
+    if (rels.distinct.size != rels.size) return Seq.empty
+    val want = rels.map(_.toLowerCase).toSet
+    val all = bases
+      .distinctBy(b => Option(new org.apache.hadoop.fs.Path(b).getParent)
+        .map(_.toUri.getPath))
+      .flatMap(b => sweepFor(spark, b).map(_._2).getOrElse(Nil))
+      .distinctBy(_._1).sortBy(_._1)
+    all.filter { c =>
+      val srcs = mvSrcsOf(c._3).map(_.toLowerCase)
+      c._3.get("graft.mv.shape").contains("union") &&
+        srcs.size == want.size && srcs.toSet == want
     }
   }
 
@@ -1471,10 +1549,14 @@ object MaterializedView {
   private def srcPath(warehouse: String, d: MvDef): String =
     (warehouse +: d.srcRelative).mkString("/")
 
-  /** Every chain table's path, first table included. */
+  /** Every chain/union table's path, first table included. */
   private def srcPaths(warehouse: String, d: MvDef): Seq[String] =
     srcPath(warehouse, d) +:
-      d.joins.map(l => (warehouse +: l.srcRelative).mkString("/"))
+      (d.joins.map(l => (warehouse +: l.srcRelative).mkString("/")) ++
+       d.unionLegs.map { parts =>
+         val rel = if (parts.length >= 3) parts.takeRight(2) else parts
+         (warehouse +: rel).mkString("/")
+       })
 
   /** Fold the chain tables' frames into the inner-join of all of them
     * (r13 two-table, r16 N-table): each link's condition resolves its
@@ -1516,6 +1598,26 @@ object MaterializedView {
                              vs: Seq[Int]): DataFrame =
     joinChain(srcPaths(warehouse, d).zip(vs).map { case (p, v) =>
       TableFormat.readSnapshot(spark, p, Some(v)) }, d)
+
+  /** The UNION ALL of all legs at a VERSION VECTOR (r19 union MVs) —
+    * what fullState aggregates at CREATE and a regroup rescans. */
+  private def unionSnapshot(spark: SparkSession, warehouse: String, d: MvDef,
+                            vs: Seq[Int]): DataFrame =
+    srcPaths(warehouse, d).zip(vs).map { case (p, v) =>
+      TableFormat.readSnapshot(spark, p, Some(v)) }.reduce(_ unionByName _)
+
+  /** Signed delta of a UNION ALL source (r19): Δ(⋃ᵢ Sᵢ) = ⋃ᵢ ΔSᵢ
+    * under bag semantics — each changed leg's CDF rows union with
+    * their own `_change_type`, and the single-source per-group fold
+    * applies the same ±1 signs it always does. Change-free legs
+    * contribute nothing. */
+  private def unionDelta(spark: SparkSession, warehouse: String, d: MvDef,
+                         froms: Seq[Int], tos: Seq[Int]): DataFrame = {
+    val paths = srcPaths(warehouse, d)
+    paths.indices.filter(i => tos(i) != froms(i)).map { i =>
+      TableFormat.readChanges(spark, paths(i), froms(i), tos(i))
+    }.reduce(_ unionByName _)
+  }
 
   /** N-sided signed delta of an inner-join chain (r13 two-table,
     * VERDICT r12 #7; r16 N-table) — the telescoping counting-IVM
@@ -1762,6 +1864,22 @@ object MaterializedView {
     val paths = srcPaths(warehouse, d)
     val v0s = paths.map(TableFormat.currentVersion(spark, _))
     val v0 = v0s.head
+    // UNION legs share ONE column namespace (r19): every leg must carry
+    // the same column set — a missing/extra column would silently NULL
+    // or widen under unionByName where the definition's SQL errors
+    if (d.unionLegs.nonEmpty) {
+      val colsPerLeg = paths.zip(v0s).map { case (p, pv) =>
+        TableFormat.readSnapshot(spark, p, Some(pv))
+          .columns.map(_.toLowerCase).toSet
+      }
+      colsPerLeg.zip(d.tableRels).drop(1).foreach { case (cols, rel) =>
+        if (cols != colsPerLeg.head) throw new IllegalArgumentException(
+          s"materialized view: UNION ALL leg $rel's columns " +
+            s"(${cols.toSeq.sorted.mkString(", ")}) differ from the first " +
+            s"leg's (${colsPerLeg.head.toSeq.sorted.mkString(", ")}) — " +
+            "legs must share one schema")
+      }
+    }
     if (d.joins.nonEmpty) {
       val colsPerTable = paths.zip(v0s).map { case (p, pv) =>
         TableFormat.readSnapshot(spark, p, Some(pv)).columns.map(_.toLowerCase).toSeq
@@ -1779,8 +1897,9 @@ object MaterializedView {
       }
     }
     val seed =
-      if (d.joins.isEmpty) TableFormat.readSnapshot(spark, src, Some(v0))
-      else joinedSnapshot(spark, warehouse, d, v0s)
+      if (d.joins.nonEmpty) joinedSnapshot(spark, warehouse, d, v0s)
+      else if (d.unionLegs.nonEmpty) unionSnapshot(spark, warehouse, d, v0s)
+      else TableFormat.readSnapshot(spark, src, Some(v0))
     // exact string COUNT(DISTINCT) via the per-MV dictionary (r17,
     // VERDICT r16 #5) — OPT-IN at create; the HLL approx path stays the
     // recommended default for string ids
@@ -1819,9 +1938,11 @@ object MaterializedView {
         "graft.mv.query" -> query,
         "graft.mv.src" -> d.srcRelative.mkString("."),
         "graft.mv.version" -> v0.toString) ++
-        d.joins.zipWithIndex.flatMap { case (link, i) => Map(
-          s"graft.mv.src${i + 2}" -> link.srcRelative.mkString("."),
+        d.tableRels.drop(1).zipWithIndex.flatMap { case (rel, i) => Map(
+          s"graft.mv.src${i + 2}" -> rel,
           s"graft.mv.version${i + 2}" -> v0s(i + 1).toString) }.toMap ++
+        (if (d.unionLegs.nonEmpty) Map("graft.mv.shape" -> "union")
+         else Map.empty[String, String]) ++
         poisonProps)
     if (hasVar(d)) { state.unpersist(); () }
     // the published read surface: a stored view over the state table,
@@ -1924,8 +2045,8 @@ object MaterializedView {
     // join MVs (r13 two-table, r16 N-table): every chain source's span
     // rides the same bookmark discipline — ALL versions advance in the
     // ONE state commit below
-    val fromVs = fromV +: d.joins.indices.map(i =>
-      props(s"graft.mv.version${i + 2}").toInt)
+    val fromVs = fromV +: paths.indices.drop(1).map(i =>
+      props(s"graft.mv.version${i + 1}").toInt)
     val toVs = paths.map(TableFormat.currentVersion(spark, _))
     val toV = toVs.head
     paths.indices.foreach { i =>
@@ -1935,12 +2056,15 @@ object MaterializedView {
     }
     if (toVs == fromVs) return (mvV, fromV, toV, -1L, 0L)
     val bookmarks = Map("graft.mv.version" -> toV.toString) ++
-      d.joins.indices.map(i =>
-        s"graft.mv.version${i + 2}" -> toVs(i + 1).toString).toMap
+      paths.indices.drop(1).map(i =>
+        s"graft.mv.version${i + 1}" -> toVs(i).toString).toMap
     val changes =
-      if (d.joins.isEmpty) TableFormat.readChanges(spark, src, fromV, toV)
-      else if (d.joins.exists(_.outer)) outerJoinDelta(spark, warehouse, d, fromVs, toVs)
-      else joinDelta(spark, warehouse, d, fromVs, toVs)
+      if (d.joins.nonEmpty) {
+        if (d.joins.exists(_.outer)) outerJoinDelta(spark, warehouse, d, fromVs, toVs)
+        else joinDelta(spark, warehouse, d, fromVs, toVs)
+      }
+      else if (d.unionLegs.nonEmpty) unionDelta(spark, warehouse, d, fromVs, toVs)
+      else TableFormat.readChanges(spark, src, fromV, toV)
     // string-distinct dictionaries (r17): cover the span's NEW keys
     // BEFORE the fold — append-only, so existing codes never move; keys
     // come from the unfiltered delta (a superset dictionary is harmless)
@@ -1985,9 +2109,10 @@ object MaterializedView {
                 // semi-join: the marked groups carry the COMPUTED dim
                 // values, which plain source rows don't have yet (r16)
                 val srcNow = withDimExprs(
-                  if (d.joins.isEmpty)
-                    TableFormat.readSnapshot(spark, src, Some(toV))
-                  else joinedSnapshot(spark, warehouse, d, toVs), d)
+                  if (d.joins.nonEmpty) joinedSnapshot(spark, warehouse, d, toVs)
+                  else if (d.unionLegs.nonEmpty)
+                    unionSnapshot(spark, warehouse, d, toVs)
+                  else TableFormat.readSnapshot(spark, src, Some(toV)), d)
                 val mk = d.dims.foldLeft(marked)(
                   (df, k) => df.withColumnRenamed(k, s"__k_$k"))
                 val semiCond = d.dims.map(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, HllSketchEstimate, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HllUnionAgg, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Deduplicate, Distinct, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Deduplicate, Distinct, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias, Union, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -155,6 +155,48 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     val p = new org.apache.hadoop.fs.Path(base)
     Option(p.getParent).map(db =>
       s"${db.getName}.${p.getName}".toLowerCase(Locale.ROOT))
+  }
+
+  /** A UNION ALL of plain graft relations (r19 union MVs — the
+    * partitioned-fact query shape). Each leg must be an IDENTITY
+    * projection of its relation (star expansion's alias-free Project
+    * in relation order) and every leg's column-name sequence must
+    * equal the first's — Spark's Union is POSITIONAL, so same-ordered
+    * schemas are what make by-name state maintenance and the
+    * positional query coincide; anything else fails the match and
+    * stands down. Plain UNION (Distinct over Union) never matches. */
+  private object SourceUnionAll {
+    private def stripLeg(p: LogicalPlan): Option[(DataSourceV2Relation, String)] =
+      p match {
+        case SubqueryAlias(_, c) => stripLeg(c)
+        case Project(projList, c)
+            if projList.forall(_.isInstanceOf[AttributeReference]) =>
+          stripLeg(c).filter { case (r, _) =>
+            projList.map(_.exprId) == r.output.map(_.exprId) }
+        case SourceRel(r, b) => Some((r, b))
+        case _ => None
+      }
+    private def legsOf(p: LogicalPlan): Option[Seq[(DataSourceV2Relation, String)]] =
+      p match {
+        case u: Union if !u.byName =>
+          val parts = u.children.map {
+            case u2: Union => legsOf(u2)
+            case leg => stripLeg(leg).map(Seq(_))
+          }
+          if (parts.exists(_.isEmpty)) None else Some(parts.flatten.flatten)
+        case _ => None
+      }
+    def unapply(p: LogicalPlan): Option[Seq[(DataSourceV2Relation, String)]] =
+      p match {
+        case u: Union =>
+          legsOf(u).filter { rels =>
+            rels.size >= 2 &&
+              rels.map(_._2).distinct.size == rels.size &&
+              rels.forall(_._1.output.map(_.name.toLowerCase(Locale.ROOT)) ==
+                rels.head._1.output.map(_.name.toLowerCase(Locale.ROOT)))
+          }
+        case _ => None
+      }
   }
 
   /** Flatten an INNER-join TREE of plain graft relations (r16 N-table
@@ -333,19 +375,29 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
   private def probeContext(child: LogicalPlan, cteDefs: Map[Long, LogicalPlan])
       : Either[String, (Option[Expression], LogicalPlan,
                         Seq[((String, Int, Map[String, String]), String)],
-                        Option[QueryJoin])] = {
+                        Option[QueryJoin], Option[Map[String, String]])] = {
     val (conds, core) = unwrapTrivial(child, cteDefs)
     val cond: Option[Expression] = conds.reduceLeftOption(
       org.apache.spark.sql.catalyst.expressions.And(_, _))
-    val (analysisPlan: LogicalPlan, cands, queryJoin) = core match {
+    val (analysisPlan: LogicalPlan, cands, queryJoin, queryUnion) = core match {
       case SourceRel(r, b) =>
-        (r, MV.candidatesFor(spark, b).map(x => (x, b)), None)
+        (r, MV.candidatesFor(spark, b).map(x => (x, b)), None, None)
       case j @ SourceJoinTree(rels, qj) =>
         (j, MV.joinCandidatesFor(spark, rels.map(_._2))
-          .map(x => (x, rels.head._2)), Some(qj))
+          .map(x => (x, rels.head._2)), Some(qj), None)
+      // UNION ALL of graft relations (r19): candidates are
+      // union-shaped MVs over the same table set; the leg map feeds
+      // per-leg freshness
+      case u @ SourceUnionAll(rels) =>
+        val legMap: Map[String, String] = rels.map { case (_, b) =>
+          relNameOf(b).getOrElse(return Left(
+            "query-shape: a union leg's base path has no db.table name")) -> b
+        }.toMap
+        (u, MV.unionCandidatesFor(spark, rels.map(_._2))
+          .map(x => (x, rels.head._2)), None, Some(legMap))
       case other => return Left("query-shape: FROM is not a plain " +
-        "current-version graft table or an inner equi-join of them " +
-        s"(got ${other.nodeName})")
+        "current-version graft table, an inner equi-join of them, or " +
+        s"a UNION ALL of them (got ${other.nodeName})")
     }
     if (cands.isEmpty) return Left("no-candidates: no sibling __state " +
       "table declares this exact source set (check the MV's namespace " +
@@ -363,7 +415,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       } catch { case scala.util.control.NonFatal(_) => Long.MaxValue },
         sb)
     }
-    Right((cond, analysisPlan, ranked, queryJoin))
+    Right((cond, analysisPlan, ranked, queryJoin, queryUnion))
   }
 
   /** GROUPING SETS / ROLLUP / CUBE shape (r18, VERDICT r17 #2): the
@@ -458,14 +510,14 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
       case Left(_) => return None
     }
     probeContext(core, cteDefs).toOption.flatMap {
-      case (cond, analysisPlan, ranked, queryJoin) =>
+      case (cond, analysisPlan, ranked, queryJoin, queryUnion) =>
         ranked.view.flatMap {
           case ((stateBase, stateV, props), srcBase) =>
             // a candidate may be DEAD by match time (drop_mv after a
             // cached sweep): any probe failure is a standdown, never a
             // query failure
             (try tryCandidate(stateBase, stateV, props, srcBase, cond,
-              analysisPlan, dims, aggExprs, queryJoin, gsets)
+              analysisPlan, dims, aggExprs, queryJoin, gsets, queryUnion)
             catch { case scala.util.control.NonFatal(_) =>
               Left("probe-error") }).toOption
         }.headOption
@@ -497,7 +549,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     }
     probeContext(core, cteDefs) match {
       case Left(reason) => Seq((None, "standdown", reason, false))
-      case Right((cond, analysisPlan, ranked, queryJoin)) =>
+      case Right((cond, analysisPlan, ranked, queryJoin, queryUnion)) =>
         def mvNameOf(stateBase: String): String = {
           val p = new org.apache.hadoop.fs.Path(stateBase)
           Option(p.getParent)
@@ -506,7 +558,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
         }
         val rows = ranked.map { case ((stateBase, stateV, props), srcBase) =>
           (try tryCandidate(stateBase, stateV, props, srcBase, cond,
-            analysisPlan, dims, aggExprs, queryJoin, gsets)
+            analysisPlan, dims, aggExprs, queryJoin, gsets, queryUnion)
           catch { case scala.util.control.NonFatal(e) =>
             Left(s"probe-error: ${e.getMessage}") }) match {
             case Right(_) => (Some(mvNameOf(stateBase)), "would_serve",
@@ -540,7 +592,7 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
               val perGrain: Seq[Option[String]] = grains.map { case (gdims, _) =>
                 ranked.view.flatMap { case ((sb, sv, props), srcB) =>
                   (try tryCandidate(sb, sv, props, srcB, cond,
-                    analysisPlan, gdims, aggOnly, queryJoin, None)
+                    analysisPlan, gdims, aggOnly, queryJoin, None, queryUnion)
                   catch { case scala.util.control.NonFatal(_) =>
                     Left("probe-error") }).toOption.map(_ => mvNameOf(sb))
                 }.headOption
@@ -571,11 +623,30 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
                            cond: Option[Expression], analysisPlan: LogicalPlan,
                            grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
                            queryJoin: Option[QueryJoin],
-                           gsets: Option[GsetsCtx] = None)
+                           gsets: Option[GsetsCtx] = None,
+                           queryUnion: Option[Map[String, String]] = None)
       : Either[String, LogicalPlan] = {
     val d = try MV.parseDef(spark, props("graft.mv.query"))
             catch { case scala.util.control.NonFatal(e) =>
               return Left(s"definition-unparseable: ${e.getMessage}") }
+    // UNION shape (r19): a UNION ALL query is served only by a
+    // union-shaped MV over the SAME leg table set (bag union commutes,
+    // so order is irrelevant); a non-union query is never served by a
+    // union MV and vice versa.
+    (d.unionLegs.nonEmpty, queryUnion) match {
+      case (false, None) => ()
+      case (true, Some(qu)) =>
+        val mvSet = d.tableRels.map(_.toLowerCase(Locale.ROOT)).toSet
+        if (mvSet != qu.keySet) return Left(
+          "union-legs-mismatch: the query's UNION ALL table set differs " +
+            "from the MV's stored legs")
+      case (true, None) => return Left(
+        "shape-mismatch: a non-union query is never served by a " +
+          "UNION ALL MV (its state aggregates every leg)")
+      case (false, Some(_)) => return Left(
+        "shape-mismatch: a UNION ALL query is never served by a " +
+          "non-union MV")
+    }
     // JOIN shape (r16, VERDICT r15 #2; N-table r16): a join query is
     // served only by a join MV over the SAME table set (candidate
     // lookup matched the bases) joined on the SAME normalized key-pair
@@ -721,11 +792,15 @@ case class RewriteAggregateToMv(spark: SparkSession) extends Rule[LogicalPlan]
     {
       val rels = d.tableRels
       val paths: Seq[String] = rels.indices.map { i =>
-        if (queryJoin.isEmpty) srcBase
-        else queryJoin.get.pathOf.getOrElse(
+        if (queryJoin.isDefined) queryJoin.get.pathOf.getOrElse(
           rels(i).toLowerCase(Locale.ROOT),
           return Left(s"stale-bookmark: chain source ${rels(i)} is not " +
             "among the query's joined tables"))
+        else if (queryUnion.isDefined) queryUnion.get.getOrElse(
+          rels(i).toLowerCase(Locale.ROOT),
+          return Left(s"stale-bookmark: union leg ${rels(i)} is not " +
+            "among the query's legs"))
+        else srcBase
       }
       rels.indices.foreach { i =>
         val bm = (if (i == 0) props.get("graft.mv.version")

@@ -4897,6 +4897,73 @@ object GraftCatalogOps {
     }
   }
 
+  /** `mv_union` (r19): MATERIALIZED VIEWS OVER UNION ALL SOURCES —
+    * the partitioned-fact shape (`events_2024 UNION ALL events_2025`)
+    * every lakehouse grows into. The IVM identity is Δ(⋃ᵢ Sᵢ) = ⋃ᵢ ΔSᵢ
+    * under bag semantics: per-leg change feeds union with their signs
+    * intact and the single-source group fold applies unchanged; each
+    * leg keeps its own bookmark in the one state commit, binding
+    * deletes regroup against the unioned snapshot at the pinned
+    * version vector, and the rewrite serves UNION ALL queries over the
+    * same leg SET (order-free) with per-leg freshness. This query runs
+    * the full lifecycle — create, append to one leg, range-delete the
+    * other, refresh — then returns the SERVED aggregate (plan-asserted
+    * state-only); the oracle recomputes the identical union in DuckDB,
+    * so union-MV maintenance AND serving are hash-gated on values. */
+  def mvUnion(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${Tables.scratchDir}/graft_wh"
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    for (t <- Seq("mvu_a", "mvu_b", "mvu_agg", "mvu_agg__state")) {
+      val p = new HadoopPath(s"$wh/db/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+    TableFormat.commit(spark, s"$wh/db/mvu_a", docs.filter("doc_id % 2 = 0"),
+      1, parent = None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, s"$wh/db/mvu_b", docs.filter("doc_id % 2 = 1"),
+      1, parent = None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mvu_agg',
+        |  'SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |          min(n_chars) AS min_chars
+        |   FROM (SELECT * FROM graft.db.mvu_a
+        |         UNION ALL SELECT * FROM graft.db.mvu_b)
+        |   GROUP BY lang')""".stripMargin).collect()
+    TableFormat.appendCommit(spark, s"$wh/db/mvu_b",
+      docs.filter("doc_id % 19 = 4")
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 6000000000L)
+        .withColumn("lang", org.apache.spark.sql.functions.lit("uu")),
+      statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, s"$wh/db/mvu_a", "doc_id", 100L, 399L)
+    spark.sql("CALL graft.system.refresh_mv('db.mvu_agg')").collect()
+    val prev = spark.conf.getOption("spark.graft.mv.rewrite")
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val df = spark.sql(
+        """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |       min(n_chars) AS min_chars
+          |FROM (SELECT * FROM graft.db.mvu_a
+          |      UNION ALL SELECT * FROM graft.db.mvu_b)
+          |GROUP BY lang
+          |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+      val plan = df.queryExecution.optimizedPlan.toString
+      // NB: "mvu_agg" itself contains the substring "mvu_a" — match the
+      // source relations' versioned spellings instead
+      require(plan.contains("mvu_agg__state") && !plan.contains("mvu_a@") &&
+        !plan.contains("mvu_b@"),
+        s"mv_union: the union aggregate did not serve from state:\n$plan")
+      df
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.mv.rewrite", v)
+      case None => spark.conf.unset("spark.graft.mv.rewrite")
+    }
+  }
+
   /** `mv_rewrite_pivot` (r19): the SQL PIVOT syntax SERVED FROM MV
     * STATE. Spark plans PIVOT as a `pivotfirst` aggregate OVER an
     * inner GROUP BY (outDims, pivotCol) aggregate; when that inner
@@ -5470,6 +5537,7 @@ object GraftCatalogOps {
     "mv_rewrite_gsets" -> (mvRewriteGsets _),
     "mv_rewrite_filter" -> (mvRewriteFilter _),
     "mv_rewrite_pivot" -> (mvRewritePivot _),
+    "mv_union" -> (mvUnion _),
     "mv_mixed_chain" -> (mvMixedChain _),
     "mv_approx_topk" -> (mvApproxTopk _),
     "mv_rewrite_var" -> (mvRewriteVar _),
@@ -5706,6 +5774,21 @@ object GraftCatalogOps {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     // the IDENTICAL grouping-sets grains over the equivalent final
     // state; AVG as the exact-sum division the MV derivation uses
+    "mv_union" ->
+      """WITH final_state AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id NOT BETWEEN 100 AND 399
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 6000000000, 'uu', n_chars FROM documents
+        |  WHERE doc_id % 19 = 4)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars
+        |FROM final_state
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "mv_rewrite_pivot" ->
       """WITH final_state AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents

@@ -2076,6 +2076,129 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("UNION ALL source MVs: the partitioned-fact shape maintains per-leg — create == recompute, per-leg deltas fold, binding deletes regroup over the union; rewrite serves leg-set-matched queries (r19)") {
+    val u1 = fresh("mv_u1"); val u2 = fresh("mv_u2"); val u3 = fresh("mv_u3")
+    fresh("mv_uagg")
+    import spark.implicits._
+    TableFormat.commit(spark, u1,
+      ((1L to 40L).map(i => (i, if (i % 2 == 0) "en" else "fr", i))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, u2,
+      ((100L to 130L).map(i => (i, if (i % 3 == 0) "en" else "de", i))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, u3,
+      (Seq((500L, "en", 5L)): Seq[(Long, String, Long)])
+        .toDF("doc_id", "lang", "n"), 1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_uagg',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n, min(n) AS min_n
+        |   FROM (SELECT * FROM graft.db.mv_u1
+        |         UNION ALL SELECT * FROM graft.db.mv_u2)
+        |   GROUP BY lang')""".stripMargin).collect()
+    def readU: Seq[Row] = spark.sql(
+      """SELECT lang, n_docs, sum_n, min_n FROM graft.db.mv_uagg
+        |ORDER BY lang""".stripMargin).collect().toSeq
+    def recomputeU: Seq[Row] = spark.sql(
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n,
+        |       CAST(min(n) AS BIGINT) AS min_n
+        |FROM (SELECT * FROM graft.db.mv_u1
+        |      UNION ALL SELECT * FROM graft.db.mv_u2)
+        |GROUP BY lang ORDER BY lang""".stripMargin).collect().toSeq
+    assert(readU == recomputeU, "union create must match recompute")
+    // a row present in BOTH legs counts twice — bag semantics
+    TableFormat.appendCommit(spark, u2,
+      Seq((1L, "fr", 1L)).toDF("doc_id", "lang", "n"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_uagg')").head
+    assert(r1.getLong(4) == 0L, s"insert-only leg span must not regroup ($r1)")
+    assert(readU == recomputeU, "bag-duplicate fold drifted")
+    // two-leg span: append to leg1 + BINDING delete from leg2 (the
+    // min row) — the regroup rescans the UNION at the pinned vector
+    TableFormat.appendCommit(spark, u1,
+      ((200L to 210L).map(i => (i, "de", i)): Seq[(Long, String, Long)])
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    TableFormat.deleteWhere(spark, u2, "doc_id", 100L, 104L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_uagg')").head
+    assert(r2.getLong(4) > 0L, s"binding delete must regroup ($r2)")
+    assert(readU == recomputeU, "two-leg span drifted")
+    // graft_mv_detail reports one row PER LEG
+    val det = spark.sql("SELECT src, stale FROM graft_mv_detail('db.mv_uagg')")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(det.keySet == Set("db.mv_u1", "db.mv_u2") &&
+      det.values.forall(_ == false), s"per-leg detail: $det")
+    // REFUSALS: plain UNION, repeated leg, filtered leg, schema drift
+    def refusesWith(sql: String, frag: String): Unit = {
+      fresh("mv_ubad")
+      val e = intercept[Exception](spark.sql(
+        s"CALL graft.system.create_mv('db.mv_ubad', '$sql')").collect())
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+      assert(chain(e).contains(frag), s"expected '$frag' in: ${chain(e)}")
+    }
+    refusesWith(
+      """SELECT lang, count(*) AS c
+        |FROM (SELECT * FROM graft.db.mv_u1 UNION SELECT * FROM graft.db.mv_u2)
+        |GROUP BY lang""".stripMargin.replace("\n", " "),
+      "UNION ALL")
+    refusesWith(
+      """SELECT lang, count(*) AS c
+        |FROM (SELECT * FROM graft.db.mv_u1 UNION ALL SELECT * FROM graft.db.mv_u1)
+        |GROUP BY lang""".stripMargin.replace("\n", " "),
+      "repeats")
+    refusesWith(
+      """SELECT lang, count(*) AS c
+        |FROM (SELECT * FROM graft.db.mv_u1 WHERE n > 3
+        |      UNION ALL SELECT * FROM graft.db.mv_u2)
+        |GROUP BY lang""".stripMargin.replace("\n", " "),
+      "bare graft table")
+    // REWRITE: the same-leg-set UNION ALL query serves, either order
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      for (legs <- Seq("graft.db.mv_u1 UNION ALL SELECT * FROM graft.db.mv_u2",
+                       "graft.db.mv_u2 UNION ALL SELECT * FROM graft.db.mv_u1")) {
+        val q = spark.sql(
+          s"""SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+             |FROM (SELECT * FROM $legs)
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+        assert(q.queryExecution.optimizedPlan.toString.contains("mv_uagg__state"),
+          s"union query must serve from state (legs: $legs)")
+        assert(q.collect().toSeq ==
+          readU.map(r => Row(r.get(0), r.get(1), r.get(2))))
+      }
+      // global roll-up over the union serves too
+      val qg = spark.sql(
+        """SELECT count(*) AS n FROM (SELECT * FROM graft.db.mv_u1
+          |UNION ALL SELECT * FROM graft.db.mv_u2)""".stripMargin)
+      assert(qg.queryExecution.optimizedPlan.toString.contains("mv_uagg__state"))
+      // a DIFFERENT leg set stands down; a single leg is never served
+      // by the union MV
+      val qDiff = spark.sql(
+        """SELECT lang, count(*) AS n FROM (SELECT * FROM graft.db.mv_u1
+          |UNION ALL SELECT * FROM graft.db.mv_u3) GROUP BY lang""".stripMargin)
+      assert(!qDiff.queryExecution.optimizedPlan.toString.contains("mv_uagg__state"),
+        "a different leg set must not serve")
+      val qOne = spark.sql(
+        "SELECT lang, count(*) AS n FROM graft.db.mv_u1 GROUP BY lang")
+      assert(!qOne.queryExecution.optimizedPlan.toString.contains("mv_uagg__state"),
+        "a single leg must never be served by the union MV")
+      // staleness at ANY leg stands down until refresh
+      TableFormat.appendCommit(spark, u2,
+        Seq((300L, "en", 3L)).toDF("doc_id", "lang", "n"))
+      val qStale = spark.sql(
+        """SELECT lang, count(*) AS n FROM (SELECT * FROM graft.db.mv_u1
+          |UNION ALL SELECT * FROM graft.db.mv_u2) GROUP BY lang""".stripMargin)
+      assert(!qStale.queryExecution.optimizedPlan.toString.contains("mv_uagg__state"),
+        "a stale leg must stand down")
+      spark.sql("CALL graft.system.refresh_mv('db.mv_uagg')").collect()
+      assert(readU == recomputeU, "post-stale refresh drifted")
+      val qFresh = spark.sql(
+        """SELECT lang, count(*) AS n FROM (SELECT * FROM graft.db.mv_u1
+          |UNION ALL SELECT * FROM graft.db.mv_u2) GROUP BY lang""".stripMargin)
+      assert(qFresh.queryExecution.optimizedPlan.toString.contains("mv_uagg__state"))
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("duplicate output aliases refuse at CREATE — they key every hidden state column (r17, ADVICE r16 #3)") {
     val src = fresh("mv_srcdup"); fresh("mv_aggdup")
     TableFormat.commit(spark, src,
