@@ -2199,6 +2199,63 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("union MVs compose with sketch state and expression dims: approx_pct folds per-leg inserts, regroups over the union; the bucketed dim serves (r19)") {
+    val u1 = fresh("mv_uc1"); val u2 = fresh("mv_uc2"); fresh("mv_ucagg")
+    import spark.implicits._
+    TableFormat.commit(spark, u1,
+      ((1L to 30L).map(i => (i, if (i % 2 == 0) "en" else "fr", i))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    TableFormat.commit(spark, u2,
+      ((100L to 120L).map(i => (i, if (i % 2 == 0) "en" else "fr", i))
+        : Seq[(Long, String, Long)]).toDF("doc_id", "lang", "n"),
+      1, None, statsCol = Some("doc_id"))
+    // expression dim (n DIV bucket) + KLL sketch state over the union
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_ucagg',
+        |  'SELECT lang, n DIV 50 AS bucket, count(*) AS n_docs,
+        |          approx_pct(n, 0.5) AS p50
+        |   FROM (SELECT * FROM graft.db.mv_uc1
+        |         UNION ALL SELECT * FROM graft.db.mv_uc2)
+        |   GROUP BY lang, bucket')""".stripMargin).collect()
+    def readUc: Seq[Row] = spark.sql(
+      """SELECT lang, bucket, n_docs, p50 FROM graft.db.mv_ucagg
+        |ORDER BY lang, bucket""".stripMargin).collect().toSeq
+    def recomputeUc: Seq[Row] = spark.sql(
+      """SELECT lang, n DIV 50 AS bucket, count(1) AS n_docs,
+        |       kll_quantile(kll_agg(n), 0.5D) AS p50
+        |FROM (SELECT * FROM graft.db.mv_uc1
+        |      UNION ALL SELECT * FROM graft.db.mv_uc2)
+        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin)
+      .collect().toSeq
+    assert(readUc == recomputeUc, "union sketch/expr-dim create drifted")
+    // per-leg insert folds the sketches with zero regroups
+    TableFormat.appendCommit(spark, u1,
+      ((200L to 215L).map(i => (i, "en", i)): Seq[(Long, String, Long)])
+        .toDF("doc_id", "lang", "n"), statsCol = Some("doc_id"))
+    val r1 = spark.sql("CALL graft.system.refresh_mv('db.mv_ucagg')").head
+    assert(r1.getLong(4) == 0L, s"leg insert must fold sketches ($r1)")
+    assert(readUc == recomputeUc, "union sketch fold drifted")
+    // a value delete in the OTHER leg regroups over the union
+    TableFormat.deleteWhere(spark, u2, "doc_id", 100L, 104L)
+    val r2 = spark.sql("CALL graft.system.refresh_mv('db.mv_ucagg')").head
+    assert(r2.getLong(4) > 0L, s"value delete must regroup ($r2)")
+    assert(readUc == recomputeUc, "union sketch regroup drifted")
+    // the expression-dim union query serves from state
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      val q = spark.sql(
+        """SELECT lang, n DIV 50 AS bucket, count(*) AS c
+          |FROM (SELECT * FROM graft.db.mv_uc1
+          |      UNION ALL SELECT * FROM graft.db.mv_uc2)
+          |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_ucagg__state"),
+        "expr-dim union query must serve from state")
+      assert(q.collect().toSeq ==
+        readUc.map(r => Row(r.get(0), r.get(1), r.get(2))))
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("duplicate output aliases refuse at CREATE — they key every hidden state column (r17, ADVICE r16 #3)") {
     val src = fresh("mv_srcdup"); fresh("mv_aggdup")
     TableFormat.commit(spark, src,
