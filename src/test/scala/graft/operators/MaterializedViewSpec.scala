@@ -2199,6 +2199,58 @@ class MaterializedViewSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
 
+  test("THREE-leg union MVs: the parser's nested Union flattens on both the create and the rewrite side — lifecycle with all three legs moving, serve at any leg order (r19)") {
+    val a = fresh("mv_u3a"); val b = fresh("mv_u3b"); val c = fresh("mv_u3c")
+    fresh("mv_u3agg")
+    import spark.implicits._
+    for ((t, off, lang) <- Seq((a, 0L, "en"), (b, 100L, "fr"), (c, 200L, "de")))
+      TableFormat.commit(spark, t,
+        ((1L to 20L).map(i => (i + off, lang, i)): Seq[(Long, String, Long)])
+          .toDF("doc_id", "lang", "n"), 1, None, statsCol = Some("doc_id"))
+    spark.sql(
+      """CALL graft.system.create_mv('db.mv_u3agg',
+        |  'SELECT lang, count(*) AS n_docs, sum(n) AS sum_n
+        |   FROM (SELECT * FROM graft.db.mv_u3a
+        |         UNION ALL SELECT * FROM graft.db.mv_u3b
+        |         UNION ALL SELECT * FROM graft.db.mv_u3c)
+        |   GROUP BY lang')""".stripMargin).collect()
+    def read3: Seq[Row] = spark.sql(
+      "SELECT lang, n_docs, sum_n FROM graft.db.mv_u3agg ORDER BY lang")
+      .collect().toSeq
+    def recompute3: Seq[Row] = spark.sql(
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_n
+        |FROM (SELECT * FROM graft.db.mv_u3a
+        |      UNION ALL SELECT * FROM graft.db.mv_u3b
+        |      UNION ALL SELECT * FROM graft.db.mv_u3c)
+        |GROUP BY lang ORDER BY lang""".stripMargin).collect().toSeq
+    assert(read3 == recompute3, "3-leg create drifted")
+    // all three legs move in ONE span
+    TableFormat.appendCommit(spark, a, Seq((500L, "de", 7L)).toDF("doc_id", "lang", "n"))
+    TableFormat.appendCommit(spark, b, Seq((501L, "en", 9L)).toDF("doc_id", "lang", "n"))
+    TableFormat.deleteWhere(spark, c, "doc_id", 201L, 205L)
+    spark.sql("CALL graft.system.refresh_mv('db.mv_u3agg')").collect()
+    assert(read3 == recompute3, "3-leg three-sided span drifted")
+    try {
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // serve at a PERMUTED leg order — set match, nested flatten
+      val q = spark.sql(
+        """SELECT lang, count(*) AS n_docs
+          |FROM (SELECT * FROM graft.db.mv_u3c
+          |      UNION ALL SELECT * FROM graft.db.mv_u3a
+          |      UNION ALL SELECT * FROM graft.db.mv_u3b)
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("mv_u3agg__state"),
+        "permuted 3-leg union must serve from state")
+      assert(q.collect().toSeq == read3.map(r => Row(r.get(0), r.get(1))))
+      // a 2-of-3 subset never serves
+      val qSub = spark.sql(
+        """SELECT lang, count(*) AS n FROM (SELECT * FROM graft.db.mv_u3a
+          |UNION ALL SELECT * FROM graft.db.mv_u3b) GROUP BY lang""".stripMargin)
+      assert(!qSub.queryExecution.optimizedPlan.toString.contains("mv_u3agg__state"),
+        "a leg subset must not serve")
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("union MVs compose with sketch state and expression dims: approx_pct folds per-leg inserts, regroups over the union; the bucketed dim serves (r19)") {
     val u1 = fresh("mv_uc1"); val u2 = fresh("mv_uc2"); fresh("mv_ucagg")
     import spark.implicits._
