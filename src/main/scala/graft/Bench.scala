@@ -8,6 +8,26 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // r19 (optimization round, guide §2.2/§2.4): let AQE coalesce
+      // partitions of CACHED plans too — the conservative default keeps
+      // a cached plan's output partitioning frozen at
+      // spark.sql.shuffle.partitions, so every stage over the persisted
+      // MV delta/merge frames paid `cpus` tasks for KB-scale data, and
+      // at production scale a cached intermediate keeps whatever
+      // partition count its shuffle had instead of AQE's size-derived
+      // one. Scale-adaptive by construction: AQE derives the partition
+      // count from bytes, not from a tuned constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Respect the advisory target size when coalescing instead of
+      // maximizing parallelism — Spark's own tuning docs recommend
+      // parallelismFirst=false; the default true exists only to avoid
+      // surprising users when AQE first ships. 64m IS Spark's default
+      // advisory size, pinned here so the bench is explicit about what
+      // it measured. ABA-measured on a 20-query cross-family subset
+      // (fresh JVMs, min-of-reps): 37.3-40.5 s without, 32.0-32.3 s
+      // with — every flagged arm below every unflagged arm.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     // r12: SQL views need the extensions-injected analyzer rule.
     // SPARK_GRAFT_EXTENSIONS=0 drops them for controlled A/B runs
     // isolating per-query extension overhead (r13, VERDICT r12 perf) —

@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r19: same AQE posture as Bench.scala (cached-plan coalescing +
+      // parallelismFirst=false) so the oracle gate attests correctness
+      // of exactly the configuration the bench measures
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       // r12: analyzer-level features (SQL views) need build-time
       // extension injection — everything else self-registers lazily
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -1026,7 +1026,11 @@ object MaterializedView {
       .join(existing.select("__dict_key"), Seq("__dict_key"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!fresh.isEmpty) {
+      // count(), not isEmpty (r19 opt): fills every cache partition in
+      // the one job emptiness costs anyway, so the zipWithIndex pass and
+      // the staged write below read the cache instead of recomputing
+      // the distinct + anti-join pipeline
+      if (fresh.count() > 0) {
         val maxCode = existing.agg(coalesce(max(col("__dict_code")), lit(0L)))
           .head.getLong(0)
         // DISTRIBUTED id assignment: zipWithIndex offsets per partition
@@ -1962,7 +1966,12 @@ object MaterializedView {
       columnAliases = Seq.empty,
       columnComments = Seq.empty,
       properties = Map("graft.mv" -> "true")), overwrite = false)
-    val n = TableFormat.readSnapshot(spark, sb, Some(v)).count()
+    // group count from the committed manifest's footer rows (r19 opt):
+    // the state files were just written, so the metadata count is the
+    // scan's answer with zero jobs; fall back to the scan if any entry
+    // lacks a row count
+    val n = TableFormat.liveRowCount(spark, sb, v).getOrElse(
+      TableFormat.readSnapshot(spark, sb, Some(v)).count())
     (v, n, v0)
   }
 
@@ -2082,7 +2091,11 @@ object MaterializedView {
     val delta = deltaAggregate(changes, d, dicts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (delta.isEmpty) {
+      // count(), not isEmpty (r19 opt): emptiness must run the delta
+      // aggregation either way, and count() materializes EVERY cache
+      // partition in that one job, so the merge below reads the cache
+      // instead of recomputing the partitions isEmpty's limit-1 skipped
+      if (delta.count() == 0L) {
         // maintenance-only span: bookmark(s) advance, data untouched
         val v = TableFormat.alterPropsCommit(spark, mvBase, bookmarks)
         autoMaintain(spark, mvBase, v)
@@ -2140,7 +2153,11 @@ object MaterializedView {
         merged0.unpersist()
         if (hasVar(d)) { mergedP.unpersist(); () }
         autoMaintain(spark, mvBase, v)
-        val n = TableFormat.readSnapshot(spark, mvBase, Some(v)).count()
+        // metadata-only group count (r19 opt): the replace commit just
+        // wrote fresh files, so summing their manifest row counts equals
+        // the scan it replaces — one fewer full state read per refresh
+        val n = TableFormat.liveRowCount(spark, mvBase, v).getOrElse(
+          TableFormat.readSnapshot(spark, mvBase, Some(v)).count())
         (v, fromV, toV, n, nRegrouped)
       }
     } finally { delta.unpersist(); () }

@@ -2068,6 +2068,20 @@ object TableFormat {
       }
   }
 
+  /** Metadata-only LIVE row count of snapshot `version` (r19 opt): the
+    * per-file footer row counts the manifest already records, minus
+    * DV-masked rows — the same numbers metadata COUNT(*) pushdown
+    * serves, with zero data IO and zero Spark jobs. None (caller falls
+    * back to a scan) when any entry predates row recording or the
+    * snapshot carries outstanding equality deletes, which mask at read
+    * time and are invisible to file metadata. */
+  def liveRowCount(spark: SparkSession, base: String,
+                   version: Int): Option[Long] = {
+    if (manifestEqDels(spark, base, version).nonEmpty) return None
+    val es = manifestEntries(spark, base, version)
+    if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.liveRows).sum) else None
+  }
+
   /** DELETE commit (r7): remove every row with `statsCol` in [lo, hi] as
     * a NEW snapshot — the parent's data files are never modified, so time
     * travel to the pre-delete version stays intact. File-level semantics
@@ -3131,8 +3145,13 @@ object TableFormat {
         s"delete_eq: key column '$k' is not in the table schema"))
     val version = v + 1
     val dir = s"$base/data/eq${version}_${java.util.UUID.randomUUID.toString.take(8)}"
-    keys.select(keyCols.map(col): _*).na.drop.distinct().write.parquet(dir)
-    val n = spark.read.parquet(dir).count()
+    // key count observed ON the staging write (r19 opt): the old
+    // read-back count re-scanned the staged files as a second job
+    val obs = org.apache.spark.sql.Observation()
+    keys.select(keyCols.map(col): _*).na.drop.distinct()
+      .observe(obs, count(lit(1)).as("n"))
+      .write.parquet(dir)
+    val n = obs.get("n").asInstanceOf[Long]
     if (n == 0) {
       try { fs(spark, base).delete(new Path(dir), true); () }
       catch { case _: java.io.IOException => () }

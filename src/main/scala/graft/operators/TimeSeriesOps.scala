@@ -392,16 +392,30 @@ object TimeSeriesOps {
       .select(col("event_type"),
         date_trunc("minute", col("ts")).as("bucket"), // exact, engine-portable
         col("value").cast("decimal(18,2)").as("v"))
-    val grid = ev.groupBy(col("event_type"), col("bucket"))
-      .agg(sum(col("v")).as("sv"))
-    val a = grid.filter(col("event_type") === "click")
-      .select(col("bucket"), col("sv").as("x"))
-    val b = grid.filter(col("event_type") === "purchase")
-      .select(col("bucket").as("bbucket"), col("sv").as("y"))
-    val lags = (0 to 3).map { l =>
-      a.join(b, col("bbucket") === col("bucket") + expr(s"INTERVAL $l MINUTE"))
-        .select(lit(l).as("lag"), col("x"), col("y"))
-    }.reduce(_ unionByName _)
+    // r19 opt (guide §2.4: shared subtrees, one exchange): the pre-opt
+    // shape derived `a`/`b` per lag — 4 unioned joins re-computed the
+    // events scan + grid aggregation EIGHT times (different filters on
+    // each side defeat ReuseExchange). Now ONE conditional aggregation
+    // builds both series per bucket (count-guards reconstruct "bucket
+    // had rows of that type" exactly, so an all-NULL value group still
+    // contributes its row like the filtered grid did), `a` and `b` are
+    // post-exchange filters over the SAME subtree (ReuseExchange dedupes
+    // it — the grid aggregates once), and the 4 lag shifts ride ONE
+    // equi-join via a 4-element explode on the reduced grid side instead
+    // of 4 separate joins. Same join pairs, same sums, same output.
+    val both = ev.groupBy(col("bucket")).agg(
+      sum(when(col("event_type") === "click", col("v"))).as("x"),
+      count(when(col("event_type") === "click", lit(1))).as("nx"),
+      sum(when(col("event_type") === "purchase", col("v"))).as("y"),
+      count(when(col("event_type") === "purchase", lit(1))).as("ny"))
+    val a = both.filter(col("nx") > 0).select(col("bucket"), col("x"))
+    val b = both.filter(col("ny") > 0).select(col("bucket").as("bbucket"), col("y"))
+    val lags = a.select(col("x"), explode(array((0 to 3).map(l =>
+        struct(lit(l).as("lag"),
+          (col("bucket") + expr(s"INTERVAL $l MINUTE")).as("jb"))): _*)).as("e"))
+      .select(col("e.lag").as("lag"), col("e.jb").as("jb"), col("x"))
+      .join(b, col("bbucket") === col("jb"))
+      .select(col("lag"), col("x"), col("y"))
     def d(c: String) = col(c).cast("double")
     lags.groupBy(col("lag"))
       .agg(count(lit(1)).as("n"),
