@@ -2726,4 +2726,30 @@ class TableFormatSpec extends SparkTestBase {
       s"declared codec ignored: $v2New")
     assert(TableFormat.readSnapshot(spark, base).count() == 3)
   }
+
+  test("liveRowCount: metadata count equals the scan across plain/DV snapshots; " +
+       "stands down on outstanding equality deletes (r19 opt)") {
+    val base = freshBase("tf_liverows")
+    val rows = (0L until 500L).map(i => (i, s"r$i")).toDF("k", "v")
+    TableFormat.commit(spark, base, rows, 1, None, statsCol = Some("k"))
+    // plain snapshot: metadata == scan, and the eqdel staging count
+    // (observed on the write, not a read-back) agrees with the key set
+    assert(TableFormat.liveRowCount(spark, base, 1) ===
+      Some(TableFormat.readSnapshot(spark, base, Some(1)).count()))
+    // DV delete: metadata subtracts masked rows exactly
+    val (v2, _, _) = TableFormat.deleteRowsDV(spark, base, col("k") % 7 === 3)
+    assert(TableFormat.liveRowCount(spark, base, v2) ===
+      Some(TableFormat.readSnapshot(spark, base, Some(v2)).count()))
+    // outstanding equality deletes mask at READ time — metadata cannot
+    // see them, so the helper must refuse (None), never a wrong count
+    val (v3, nk) = TableFormat.deleteByKeysEq(spark, base,
+      Seq(1L, 2L, 9L).toDF("k"), "k")
+    assert(nk == 3)
+    assert(TableFormat.liveRowCount(spark, base, v3).isEmpty)
+    // after resolution the metadata path serves again, and equals the scan
+    TableFormat.resolveEqDeletes(spark, base)
+    val v4 = TableFormat.currentVersion(spark, base)
+    assert(TableFormat.liveRowCount(spark, base, v4) ===
+      Some(TableFormat.readSnapshot(spark, base, Some(v4)).count()))
+  }
 }
