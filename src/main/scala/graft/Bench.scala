@@ -4,43 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val b0 = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // r19 (optimization round, guide §2.2/§2.4): let AQE coalesce
-      // partitions of CACHED plans too — the conservative default keeps
-      // a cached plan's output partitioning frozen at
-      // spark.sql.shuffle.partitions, so every stage over the persisted
-      // MV delta/merge frames paid `cpus` tasks for KB-scale data, and
-      // at production scale a cached intermediate keeps whatever
-      // partition count its shuffle had instead of AQE's size-derived
-      // one. Scale-adaptive by construction: AQE derives the partition
-      // count from bytes, not from a tuned constant.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // Respect the advisory target size when coalescing instead of
-      // maximizing parallelism — Spark's own tuning docs recommend
-      // parallelismFirst=false; the default true exists only to avoid
-      // surprising users when AQE first ships. 64m IS Spark's default
-      // advisory size, pinned here so the bench is explicit about what
-      // it measured. ABA-measured on a 20-query cross-family subset
-      // (fresh JVMs, min-of-reps): 37.3-40.5 s without, 32.0-32.3 s
-      // with — every flagged arm below every unflagged arm.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-    // r12: SQL views need the extensions-injected analyzer rule.
-    // SPARK_GRAFT_EXTENSIONS=0 drops them for controlled A/B runs
-    // isolating per-query extension overhead (r13, VERDICT r12 perf) —
-    // view/TVF queries fail without them, so pair it with
-    // SPARK_GRAFT_ONLY.
-    val spark = (if (sys.env.getOrElse("SPARK_GRAFT_EXTENSIONS", "1") != "0")
-        b0.config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      else b0)
-      // broadcast/RDD cleanup is driven by driver GC; the default periodic
-      // GC interval (30 min) lets hundreds of per-query broadcasts pile up
-      // over a ~100-query sweep and the resulting heap pressure inflated
-      // late-running queries 20-30x (r4 finding: sinks 1 s idle → 37 s)
-      .config("spark.cleaner.periodicGC.interval", "2min")
+    // r20 (VERDICT r19 #3): the measured session posture has ONE
+    // definition site — GraftSession. The r19 AQE flags, GC interval and
+    // extension wiring live there with their measurement history;
+    // SPARK_GRAFT_EXTENSIONS=0 drops the extensions for controlled A/B
+    // runs isolating per-query extension overhead (r13) — view/TVF
+    // queries fail without them, so pair it with SPARK_GRAFT_ONLY.
+    val spark = GraftSession.base(cpus,
+        withExtensions = sys.env.getOrElse("SPARK_GRAFT_EXTENSIONS", "1") != "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen compiler, shuffle service, FS metadata)

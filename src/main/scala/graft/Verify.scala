@@ -7,23 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // r20 (VERDICT r19 #3): the shared GraftSession posture — the oracle
+    // gate attests correctness of exactly the configuration the bench
+    // measures because both build from the same definition site.
+    val spark = GraftSession.base(cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // r19: same AQE posture as Bench.scala (cached-plan coalescing +
-      // parallelismFirst=false) so the oracle gate attests correctness
-      // of exactly the configuration the bench measures
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-      // r12: analyzer-level features (SQL views) need build-time
-      // extension injection — everything else self-registers lazily
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      // keep broadcast/RDD cleanup flowing across the ~100-query dump
-      // (default periodic GC is 30 min — see Bench.scala)
-      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

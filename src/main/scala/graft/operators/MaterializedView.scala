@@ -1030,9 +1030,26 @@ object MaterializedView {
       // the one job emptiness costs anyway, so the zipWithIndex pass and
       // the staged write below read the cache instead of recomputing
       // the distinct + anti-join pipeline
-      if (fresh.count() > 0) {
-        val maxCode = existing.agg(coalesce(max(col("__dict_code")), lit(0L)))
-          .head.getLong(0)
+      val nFresh = fresh.count()
+      if (nFresh > 0) {
+        // high-water code from the dict's OWN table props (r20, VERDICT
+        // r19 #6): every dict append flows through this path and records
+        // the max assigned code in the SAME manifest commit as the keys,
+        // so a present prop is exact and the per-ensure max() agg job
+        // disappears. Absent prop (first create, pre-r20 dict, or a prop
+        // lost to an external rewrite) falls back to the agg. Crash
+        // safety is unchanged: a crash between the dict append and the
+        // state commit leaves spare codes — harmless (unused codes flip
+        // no stored bit) — and the recorded high-water mark still covers
+        // them, so a later refresh can never re-issue one.
+        val propMax: Option[Long] =
+          try TableFormat.manifestProps(spark, dictB,
+              TableFormat.currentVersion(spark, dictB))
+            .get("graft.dict.maxcode").flatMap(_.toLongOption)
+          catch { case _: java.io.FileNotFoundException => None }
+        val maxCode = propMax.getOrElse(
+          existing.agg(coalesce(max(col("__dict_code")), lit(0L)))
+            .head.getLong(0))
         // DISTRIBUTED id assignment: zipWithIndex offsets per partition
         // (one size-collection pass) — new keys never funnel through
         // the driver, so a first-create over millions of distinct ids
@@ -1043,7 +1060,8 @@ object MaterializedView {
           spark.createDataFrame(indexed,
             StructType(Seq(StructField("__dict_key", StringType),
                            StructField("__dict_code", LongType)))),
-          statsCol = None)
+          statsCol = None,
+          setProps = Map("graft.dict.maxcode" -> (maxCode + nFresh).toString))
       }
     } finally { fresh.unpersist(); () }
   }

@@ -2056,11 +2056,12 @@ object TableFormat {
     if (!props.get("graft.analyze.auto").exists(_.equalsIgnoreCase("true"))) return
     val threshold = props.get("graft.analyze.threshold")
       .flatMap(_.toDoubleOption).getOrElse(0.2)
+    // delegate to liveRowCount (r20, ADVICE r19 #2): the inline copy
+    // lacked the eq-delete standdown, so the shrink heuristic could read
+    // a count that overstates live rows while eq-deletes are outstanding
     def live(v: Int): Option[Long] =
-      try {
-        val es = manifestEntries(spark, base, v)
-        if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.liveRows).sum) else None
-      } catch { case _: java.io.FileNotFoundException => None }
+      try liveRowCount(spark, base, v)
+      catch { case _: java.io.FileNotFoundException => None }
     for { p <- live(newVersion - 1); n <- live(newVersion) }
       if (p > 0 && (p - n).toDouble / p >= threshold) {
         analyzeNdv(spark, base)
@@ -3146,12 +3147,26 @@ object TableFormat {
     val version = v + 1
     val dir = s"$base/data/eq${version}_${java.util.UUID.randomUUID.toString.take(8)}"
     // key count observed ON the staging write (r19 opt): the old
-    // read-back count re-scanned the staged files as a second job
+    // read-back count re-scanned the staged files as a second job.
+    // Bounded wait (r20, ADVICE r19 #1): the write has already returned,
+    // so the metrics are normally available immediately — but obs.get
+    // blocks forever if the listener bus ever drops the event, so poll
+    // getOrEmpty with a deadline and fall back to the read-back count.
     val obs = org.apache.spark.sql.Observation()
     keys.select(keyCols.map(col): _*).na.drop.distinct()
       .observe(obs, count(lit(1)).as("n"))
       .write.parquet(dir)
-    val n = obs.get("n").asInstanceOf[Long]
+    val n: Long = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.DurationInt
+      import scala.concurrent.ExecutionContext.Implicits.global
+      try Await.result(Future(obs.get("n").asInstanceOf[Long]), 30.seconds)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println(s"[tableformat] delete_eq: observed metrics " +
+          s"not delivered within 30 s on $dir — falling back to read-back count")
+        spark.read.parquet(dir).count()
+      }
+    }
     if (n == 0) {
       try { fs(spark, base).delete(new Path(dir), true); () }
       catch { case _: java.io.IOException => () }

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * forked test JVM; getOrCreate reuses the first session). */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    // r20 (ADVICE r19 #4): tests run under the SAME tuned AQE posture as
+    // the bench and the oracle gate (GraftSession is the one definition
+    // site), so sbt test exercises the configuration that ships.
+    val s = GraftSession.tuned(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
